@@ -1,0 +1,428 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StringType}
+
+import graft.model.{Iso3166, Transaction}
+
+/**
+ * Financial-statement analytics operators.
+ *
+ * Each operator re-expresses one behavior of the reference pipeline
+ * (`/root/reference/docker/lambda_function.py`, cited as `LF` below) as a pure,
+ * set-based `DataFrame => DataFrame` transformation:
+ *
+ *  - The reference processes one `(UserId, YearMonth)` group at a time in a
+ *    driver-side Python loop (LF:495). Here every operator is keyed by `userId`
+ *    and computed for ALL users in one distributed pass — per-user scalars
+ *    (historical average, home country) become grouped aggregates that are
+ *    joined back on the group key. At 100 TB this is the difference between a
+ *    single shuffle and a million sequential jobs.
+ *  - Money arithmetic follows the reference's "round each amount to 2 dp, then
+ *    sum" semantics (LF:147,249,261), but accumulates in DECIMAL(18,2) rather
+ *    than float: exact, order-independent (a float sum changes value under
+ *    Spark's nondeterministic partial-aggregation order), and identical to the
+ *    reference's result for 2-dp inputs. Final outputs are cast to double to
+ *    match the reference's `float()` report values (LF:90,124,147).
+ *  - Input is the canonical transaction frame ([[graft.model.Transaction]]):
+ *    `userId, yearMonth, id, date, vendor, category, amount DECIMAL(12,2),
+ *    currency, recurring, txType, location, description`.
+ */
+object FinOps {
+
+  /** Accumulator type for money sums: wide enough for 100 TB of 2-dp amounts. */
+  val MoneySumType: DecimalType = DecimalType(18, 2)
+
+  /** Reference money semantics (LF:147): round to 2 dp *before* aggregation.
+    * The decimal cast keeps downstream sums exact and order-independent. */
+  def money(c: Column): Column = round(c.cast("double"), 2).cast(MoneySumType)
+
+  /** yearMonth ("yyyyMM") derived from a date column — replaces the
+    * reference's `date[:7].replace("-","")` string slicing (LF:170,258). */
+  def ymOfDate(date: Column): Column = date_format(date, "yyyyMM")
+
+  /** Previous calendar month of a "yyyyMM" string, with correct January →
+    * December-of-prior-year rollover (LF:156-165; fixes the LF:215 label bug —
+    * `str(int(ym)-1)` — which produces e.g. 202500). */
+  def prevYearMonth(ym: Column): Column =
+    date_format(add_months(to_date(concat(ym, lit("01")), "yyyyMMdd"), -1), "yyyyMM")
+
+  // -------------------------------------------------------------------------
+  // S2 / P1 / P2 — statement ingest
+  // -------------------------------------------------------------------------
+
+  /**
+   * Reads a statement CSV (reference header format, `transactions.`-prefixed
+   * columns, optional UTF-8 BOM — LF:58-86) into the canonical transaction
+   * frame. Everything is read as string and coerced here, so one malformed row
+   * becomes a null to police instead of aborting the load (LF:84-85 aborts).
+   *
+   * Column names in the raw schema contain literal dots, so every reference
+   * uses backticks (`col("`transactions.id`")`) — Spark would otherwise parse
+   * them as struct-field paths.
+   */
+  def ingestStatement(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read
+      .option("header", true)
+      .option("encoding", "UTF-8")
+      .schema(Transaction.csvSchema)
+      .csv(path)
+    normalizeStatement(raw)
+  }
+
+  /** The projection/coercion half of ingest (P1 + P2), usable on any frame
+    * that has the raw reference column names. */
+  def normalizeStatement(raw: DataFrame): DataFrame = {
+    def c(name: String): Column = col(s"`transactions.$name`")
+    raw.select(
+      col("UserId").cast(StringType).as("userId"),
+      col("YearMonth").cast(StringType).as("yearMonth"),
+      c("id").as("id"),
+      to_date(c("date"), "yyyy-MM-dd").as("date"),
+      c("vendor").as("vendor"),
+      c("category").as("category"),
+      c("amount").cast(Transaction.MoneyType).as("amount"),
+      c("currency").as("currency"),
+      // LF:73: recurring = str.lower() == "true"
+      (lower(c("recurring")) === "true").as("recurring"),
+      c("type").as("txType"),
+      c("location").as("location"),
+      c("description").as("description")
+    )
+  }
+
+  // -------------------------------------------------------------------------
+  // P3 / P4 / J1 — country resolution
+  // -------------------------------------------------------------------------
+
+  /**
+   * Resolves `location` ("CC-REGION", LF:75) to a country name via an inner
+   * broadcast join against the bundled ISO-3166 dimension (replaces the
+   * per-row uncached pycountry lookup, LF:101,121). Inner join reproduces the
+   * reference's "unknown code ⇒ row does not survive" behavior (LF:101 raises)
+   * without crashing the job. `broadcast` is explicit: the 249-row dimension
+   * must never shuffle the fact side.
+   */
+  def resolveCountry(df: DataFrame, spark: SparkSession): DataFrame =
+    df.withColumn("alpha2", substring(col("location"), 1, 2))
+      .join(broadcast(Iso3166.table(spark)), Seq("alpha2"), "inner")
+      .drop("alpha2")
+
+  // -------------------------------------------------------------------------
+  // A3 — historical average (per user)
+  // -------------------------------------------------------------------------
+
+  /** Exact 2-dp money value in integer cents — the substrate for the ops that
+    * must *round results of division* (A3 average, P9 projection). Rounding a
+    * float quotient is platform-dependent at half-boundaries (and .xx5
+    * boundaries occur systematically when dividing 2-dp money), so those ops
+    * round the true rational with integer arithmetic instead:
+    * `round_half_up(a/b) = (2a + b) DIV (2b)` for positive a, b. */
+  private def cents(amount: Column): Column =
+    (money(amount) * 100).cast("long")
+
+  /**
+   * Per-user mean transaction amount over the whole history, rounded
+   * half-up to 2 dp (LF:88-94 does `round(sum(float)/count, 2)`). Mean of
+   * *transaction amounts*, not of monthly totals. The reference computes one
+   * scalar per user in a driver loop; here it is a single grouped aggregate →
+   * `(userId, avg_amount)`.
+   *
+   * Computed entirely in integer cents — exact, order-independent, and
+   * deterministic across engines (a float `avg()` is none of these under
+   * partial aggregation).
+   */
+  def historicalAveragePerUser(df: DataFrame): DataFrame =
+    df.groupBy("userId")
+      .agg(sum(cents(col("amount"))).as("_cents"), count(lit(1)).as("_n"))
+      .select(
+        col("userId"),
+        (expr("(2 * _cents + _n) DIV (2 * _n)").cast("double") / 100).as("avg_amount"))
+
+  /** Global variant (single row) — the reference shape for one user's history
+    * (LF:88-94); empty input ⇒ 0. */
+  def historicalAverage(df: DataFrame): DataFrame =
+    df.agg(sum(cents(col("amount"))).as("_cents"), count(lit(1)).as("_n"))
+      .select(
+        coalesce(
+          expr("(2 * _cents + _n) DIV (2 * _n)").cast("double") / 100,
+          lit(0d)
+        ).as("avg_amount"))
+
+  // -------------------------------------------------------------------------
+  // A4 — home country (mode with deterministic tie-break)
+  // -------------------------------------------------------------------------
+
+  /**
+   * Per-user modal country of historical transactions (LF:96-115) →
+   * `(userId, home_country)`.
+   *
+   * Divergence (documented, SURVEY §7.4): the reference breaks count ties by
+   * dict insertion order (first country encountered), which is not stable
+   * under a shuffle. We use `(count desc, country asc)` — deterministic on any
+   * cluster. Implemented as a two-level aggregate + `max_by`-style struct max
+   * rather than `row_number` over a window, so there is no extra sort: the
+   * per-user winner is picked by a single `max(struct(cnt, inverted country))`.
+   */
+  def homeCountry(df: DataFrame, spark: SparkSession): DataFrame =
+    modeBy(resolveCountry(df, spark), "userId", "country", "home_country")
+
+  /**
+   * Generic per-key mode: the most frequent `value` per `key`, ties broken by
+   * the smaller value. Two hash aggregates and no window sort: the winner is
+   * picked by `min_by` over the composite ordering `(-count, value)`, a
+   * partial-aggregatable one-pass reduction — at scale this beats a
+   * `row_number` window, which would sort every group.
+   */
+  def modeBy(df: DataFrame, key: String, value: String, outName: String): DataFrame =
+    df.groupBy(col(key), col(value))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(key))
+      .agg(min_by(col(value), struct(negate(col("cnt")), col(value))).as(outName))
+
+  // -------------------------------------------------------------------------
+  // A5 — spending by category
+  // -------------------------------------------------------------------------
+
+  /**
+   * Sum of rounded amounts per category (LF:143-152), grouped by the given
+   * keys (reference scope: one user-month statement ⇒ keys = userId,
+   * yearMonth). Sum-of-rounded, not rounded-sum (SURVEY §7.4 trap #2).
+   */
+  def spendingByCategory(df: DataFrame, keys: Seq[String] = Seq("userId", "yearMonth")): DataFrame =
+    df.groupBy((keys :+ "category").map(col): _*)
+      .agg(sum(money(col("amount"))).cast("double").as("total"))
+
+  // -------------------------------------------------------------------------
+  // P7 / F4 / A8 — previous-month spending
+  // -------------------------------------------------------------------------
+
+  /**
+   * Previous-month category spending (LF:154-173): for each user, restrict
+   * `all` (current ∪ historical) to the month before `targetYm` and compute
+   * A5. `targetYm` is a per-row column (the statement month); in the set-based
+   * pipeline it is the user's max yearMonth.
+   */
+  def previousMonthSpending(all: DataFrame, targetYm: Column): DataFrame = {
+    val prev = prevYearMonth(targetYm)
+    spendingByCategory(
+      all.where(ymOfDate(col("date")) === prev),
+      keys = Seq("userId"))
+  }
+
+  // -------------------------------------------------------------------------
+  // F1 / J2 — high-value transactions
+  // -------------------------------------------------------------------------
+
+  /**
+   * Transactions strictly above the user's historical average (LF:225-236).
+   * The scalar threshold is a per-user aggregate joined back on the group key
+   * — the Spark form of a scalar subquery; no `.collect()` anywhere.
+   */
+  def highValue(cur: DataFrame, avgPerUser: DataFrame): DataFrame =
+    cur.join(avgPerUser, Seq("userId"))
+      .where(col("amount").cast("double") > col("avg_amount"))
+
+  // -------------------------------------------------------------------------
+  // O1 — top-K by amount
+  // -------------------------------------------------------------------------
+
+  /**
+   * Per-user top-K transactions by amount (LF:310-313), deterministic via the
+   * `(amount desc, id asc)` tie-break (reference relies on stable Python sort).
+   * Window + row_number plans as a partial top-K per partition under AQE; for
+   * the global (non-grouped) case Catalyst emits TakeOrderedAndProject.
+   */
+  def topHighValue(df: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("userId")
+      .orderBy(col("amount").desc, col("id").asc)
+    df.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  // -------------------------------------------------------------------------
+  // F3 / A6 / J4 — recurring year-to-date by vendor
+  // -------------------------------------------------------------------------
+
+  /**
+   * Recurring-transaction YTD totals by vendor (LF:238-251) over
+   * current ∪ historical (`unionByName`, J4). "Current year" is each user's
+   * latest statement year (the reference passes the statement's year); derived
+   * with a per-user window max so the operator stays set-based.
+   */
+  def recurringYtd(cur: DataFrame, hist: DataFrame): DataFrame = {
+    val all = cur.unionByName(hist)
+    val w = Window.partitionBy("userId")
+    all
+      .withColumn("cur_year", max(substring(col("yearMonth"), 1, 4)).over(w))
+      .where(year(col("date")) === col("cur_year").cast("int") && col("recurring"))
+      .groupBy("userId", "vendor")
+      .agg(
+        sum(money(col("amount"))).cast("double").as("ytd_total"),
+        // cur_year is constant within a user; min() is the deterministic pick
+        min(col("cur_year")).as("cur_year"))
+  }
+
+  // -------------------------------------------------------------------------
+  // P9 — year-end linear extrapolation
+  // -------------------------------------------------------------------------
+
+  /**
+   * Year-end projection of a YTD total (LF:392-399):
+   * `predicted = ytd + (ytd / m) * (12 - m)` rounded to 2 dp, where `m` is
+   * the months elapsed. Algebraically `predicted = ytd * 12 / m`; computed in
+   * integer cents with half-up rounding of the true rational —
+   * `(24*cents + m) DIV (2*m)` — so the result is exact and engine-portable
+   * (the reference rounds a float quotient, which is ill-defined at the .xx5
+   * boundaries this expression hits for every odd-cent ytd).
+   *
+   * Expects `ytdCol`/`monthsCol` to name existing columns; returns the frame
+   * with a double `projected` column appended.
+   */
+  def projectYearEnd(df: DataFrame, ytdCol: String, monthsCol: String): DataFrame =
+    df.withColumn("_c", cents(col(ytdCol)))
+      .withColumn(
+        "projected",
+        expr(s"(24 * _c + $monthsCol) DIV (2 * $monthsCol)").cast("double") / 100)
+      .drop("_c")
+
+  // -------------------------------------------------------------------------
+  // A7 — monthly spending
+  // -------------------------------------------------------------------------
+
+  /** Per-user month → total spending over current ∪ historical (LF:256-261). */
+  def monthlySpending(all: DataFrame): DataFrame =
+    all.groupBy(col("userId"), ymOfDate(col("date")).as("ym"))
+      .agg(sum(money(col("amount"))).cast("double").as("total"))
+
+  // -------------------------------------------------------------------------
+  // O2 — 3-point trend classification
+  // -------------------------------------------------------------------------
+
+  /**
+   * Classifies each user's spending trend from the latest 3 monthly totals
+   * (LF:253-281): strictly increasing toward the latest month ⇒ "Up",
+   * strictly decreasing ⇒ "Down", otherwise "Stable"; fewer than 3 months ⇒
+   * "Not enough data".
+   *
+   * The window is partitioned by `userId` (the reference's is effectively
+   * per-user because each run handles one user) — an unpartitioned
+   * `Window.orderBy` would serialize 100 TB through one task.
+   */
+  def classifyTrend(monthly: DataFrame): DataFrame = {
+    val w = Window.partitionBy("userId").orderBy(col("ym").desc)
+    val latest3 = monthly
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+    latest3
+      .groupBy("userId")
+      .agg(
+        count(lit(1)).as("n"),
+        max(when(col("rn") === 1, col("total"))).as("m0"),
+        max(when(col("rn") === 2, col("total"))).as("m1"),
+        max(when(col("rn") === 3, col("total"))).as("m2"))
+      .select(
+        col("userId"),
+        when(col("n") < 3, "Not enough data")
+          .when(col("m0") > col("m1") && col("m1") > col("m2"), "Up")
+          .when(col("m0") < col("m1") && col("m1") < col("m2"), "Down")
+          .otherwise("Stable")
+          .as("trend"))
+  }
+
+  // -------------------------------------------------------------------------
+  // F2 / C1 / C2 / C3 — risk flagging
+  // -------------------------------------------------------------------------
+
+  /**
+   * Flags foreign transactions (LF:96-141): resolve each current transaction's
+   * country (P3+J1), keep rows whose country differs from the user's home
+   * country (F2 — null-safe: a user with no history has `home_country = null`
+   * and every transaction is foreign, matching LF:122 with `None`), grade
+   * "High Risk" when the amount exceeds the historical average else
+   * "Moderate Risk" (C1), and project the flag record (C2) with an explanation
+   * string (C3).
+   *
+   * Divergence (documented): the reference's output keys contain typos
+   * (`avarage_amount`, `home_counter`, `categoty`, LF:133-137); we use correct
+   * names.
+   */
+  def flagRisky(cur: DataFrame, home: DataFrame, avgPerUser: DataFrame, spark: SparkSession): DataFrame = {
+    val resolved = resolveCountry(cur, spark)
+    val flagged = resolved
+      .join(home, Seq("userId"), "left")
+      .join(avgPerUser, Seq("userId"), "left")
+      .where(!(col("country") <=> col("home_country")))
+      .withColumn("amount_d", col("amount").cast("double"))
+      .withColumn(
+        "risk_level",
+        when(col("amount_d") > col("avg_amount"), "High Risk").otherwise("Moderate Risk"))
+    flagged.select(
+      col("userId"),
+      col("id").as("transaction_id"),
+      col("date"),
+      col("vendor"),
+      col("category"),
+      col("amount_d").as("amount"),
+      col("location"),
+      col("country"),
+      col("home_country"),
+      col("avg_amount").as("average_amount"),
+      col("risk_level"),
+      concat(
+        lit("Transaction in "), col("country"),
+        lit(" outside home country "), coalesce(col("home_country"), lit("unknown")),
+        lit("; amount "), col("amount").cast(DecimalType(18, 2)).cast("string"),
+        lit(" vs average "), coalesce(col("avg_amount").cast(DecimalType(18, 2)).cast("string"), lit("n/a"))
+      ).as("explanation"))
+  }
+
+  // -------------------------------------------------------------------------
+  // A2 / S4 / S5 — persistence model
+  // -------------------------------------------------------------------------
+
+  /**
+   * Nests each user-month's transactions into one row — the persisted
+   * statements-table item shape (reference DynamoDB item
+   * `{UserId, YearMonth, transactions: List[Map]}`, LF:467-474).
+   *
+   * Divergence: the struct field is `txType` where the reference item uses key
+   * `"type"` (a Scala keyword-adjacent name kept consistent with the case
+   * class); document-level shape is otherwise identical.
+   */
+  def toStatementItems(df: DataFrame): DataFrame =
+    df.groupBy("userId", "yearMonth")
+      .agg(collect_list(struct(Transaction.nestedFields.map(col): _*)).as("transactions"))
+
+  /** Flattens statement items back to transaction rows (the reference's
+    * history read concatenates each item's list — LF:40-49 — i.e. explode). */
+  def explodeStatements(items: DataFrame): DataFrame =
+    items
+      .select(col("userId"), col("yearMonth"), explode(col("transactions")).as("t"))
+      .select(
+        (Seq(col("userId"), col("yearMonth")) ++
+          Transaction.nestedFields.map(f => col(s"t.$f").as(f))): _*)
+
+  /**
+   * Writes statement items as a parquet table partitioned by `userId` so the
+   * keyed historical read (S4) is partition-pruned, with dynamic partition
+   * overwrite reproducing put-item last-writer-wins upsert semantics (LF:545).
+   *
+   * Partitioning by userId alone (not userId+yearMonth) bounds the partition
+   * count; at 100 TB a per-user-month directory layout would be a small-files
+   * explosion. Within a user partition, yearMonth is a normal column and
+   * parquet min/max stats still skip files on month predicates.
+   */
+  def writeStatements(items: DataFrame, path: String): Unit =
+    items.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("userId")
+      .parquet(path)
+
+  /** Partition-pruned read of one user's history, flattened to rows. */
+  def readUserHistory(spark: SparkSession, path: String, userId: String): DataFrame =
+    explodeStatements(spark.read.parquet(path).where(col("userId") === userId))
+}
