@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.FinQueries
+import graft.queries.{FinQueries, LlmQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,12 +14,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     FinQueries.queries("q_flag_risky")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * LLM-training-data operators (dedup / similarity / text / multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    FinQueries.queries
+    FinQueries.queries ++ LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    FinQueries.oracleSql
+    FinQueries.oracleSql ++ LlmQueries.oracleSql
 }

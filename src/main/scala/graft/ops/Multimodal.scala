@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column handling: images/audio/video ride through the pipeline as
+ * opaque `binary` payloads plus a typed metadata struct; decode and feature
+ * extraction are per-row column transforms over the bytes.
+ *
+ * The Spark-side plumbing here — schema, batch shape, partition sizing — is
+ * real and tested. The *codec* step is a STUB: this container has no
+ * image/audio libraries, so [[decodeStub]] derives deterministic fake
+ * features from the raw bytes (length, checksums, sampled bytes). A real
+ * deployment replaces only the marked expressions with a codec call (a
+ * Catalyst expression wrapping e.g. javax.imageio, or `mapInArrow` batches
+ * into a native decoder); every surrounding operator is unchanged.
+ *
+ * Scale notes: payloads are large, so operators avoid shuffling the binary
+ * column — features are extracted first and the payload is dropped or written
+ * through unshuffled. `repartitionForPayloads` sizes partitions by bytes, not
+ * rows, so a 100 TB scan does not produce multi-GB tasks.
+ */
+object Multimodal {
+
+  /** Canonical multimodal record: opaque payload + typed metadata. */
+  val schema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("modality", StringType), // image | audio | video
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType),
+      StructField("mime", StringType),
+      StructField("n_bytes", LongType))))))
+
+  /** Wraps a text/binary column into the multimodal record shape (used by
+    * tests and the oracle query to synthesize assets from the documents
+    * table). */
+  def asAsset(id: Column, modality: Column, payload: Column, source: Column): DataFrame => DataFrame =
+    df => df.select(
+      id.cast("long").as("asset_id"),
+      modality.as("modality"),
+      payload.cast("binary").as("content"),
+      struct(
+        source.as("source"),
+        concat(lit("application/"), modality).as("mime"),
+        length(payload.cast("binary")).cast("long").as("n_bytes")).as("meta"))
+
+  /**
+   * STUB decode: deterministic pseudo-features from raw bytes.
+   * Replace the marked expressions with a real codec; the signature —
+   * binary in, fixed-width feature struct out — is the production shape.
+   */
+  def decodeStub(content: Column): Column = {
+    // --- stub expressions: a real codec replaces from here ---
+    val nBytes = length(content).cast("long")
+    val checksum = crc32(content)
+    val digest = md5(content)
+    // "dimensions" sampled from the first two payload bytes
+    val w = (conv(substring(hex(content), 1, 2), 16, 10).cast("int") + 1) * 16
+    val h = (conv(substring(hex(content), 3, 2), 16, 10).cast("int") + 1) * 16
+    // --- to here ---
+    struct(
+      nBytes.as("n_bytes"),
+      checksum.as("checksum"),
+      digest.as("digest"),
+      w.as("width"),
+      h.as("height"))
+  }
+
+  /** Feature extraction over a multimodal frame: metadata + decoded features,
+    * payload dropped (never shuffle the bytes once features exist). */
+  def extractFeatures(assets: DataFrame): DataFrame =
+    assets.select(
+      col("asset_id"),
+      col("modality"),
+      col("meta.source").as("source"),
+      col("meta.n_bytes").as("n_bytes"),
+      decodeStub(col("content")).as("features"))
+
+  /**
+   * Frame sampling STUB for video-like payloads: every `stride`-th byte
+   * window stands in for a decoded frame; a real decoder emits one row per
+   * frame with a binary frame payload. Shape: one input row → N frame rows
+   * via posexplode, which is exactly how a real frame extractor fans out.
+   */
+  def sampleFrames(assets: DataFrame, stride: Int, frameBytes: Int): DataFrame =
+    assets
+      .select(
+        col("asset_id"),
+        posexplode(
+          transform(
+            sequence(lit(1), greatest(lit(1), (length(col("content")) / stride).cast("int"))),
+            i => substring(col("content"), (i - 1) * stride + 1, lit(frameBytes)))))
+      .toDF("asset_id", "frame_no", "frame_payload")
+
+  /** Bytes-aware repartition: target ~`targetMb` MB of payload per partition
+    * (row counts are meaningless when one row can be 100 KB or 100 MB). */
+  def repartitionForPayloads(assets: DataFrame, totalBytes: Long, targetMb: Int = 128): DataFrame = {
+    val parts = math.max(1, (totalBytes / (targetMb.toLong << 20)).toInt)
+    assets.repartition(parts, col("asset_id"))
+  }
+}

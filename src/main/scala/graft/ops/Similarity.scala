@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (`array<float>`).
+ *
+ * All scoring is done on integer-quantized components
+ * (`floor(x · 10^6)` per dimension): a float→double cast and a single double
+ * multiply are exactly rounded, so the quantized values — and therefore every
+ * dot product — are integers computed identically on any engine, with no
+ * float-summation-order nondeterminism. At 10^6 scale the quantization error
+ * on unit vectors is ~10^-6, far below any ranking-relevant margin; ties are
+ * broken by vector id.
+ *
+ * Scale design:
+ *  - [[bruteForceTopK]] is the exact baseline: a broadcast of the (small)
+ *    query set against the corpus — one pass, no shuffle of the corpus, a
+ *    per-query top-k via partial TakeOrdered. Linear in corpus size.
+ *  - [[srpSignature]] buckets vectors by a sign-random-projection bit
+ *    signature (deterministic integer weights). Near-dup search and ANN then
+ *    join only within buckets — candidate cost ∝ bucket sizes, not N².
+ *  - [[ivfAssign]] is the IVF coarse quantizer: vectors are assigned to their
+ *    nearest centroid cell; a query probes only its own cell(s). Centroid
+ *    count √N keeps both sides balanced at scale.
+ */
+object Similarity {
+
+  /** Quantization scale: 6 decimal digits of a unit-vector component. */
+  val Scale: Double = 1e6
+
+  /** `array<float>` → `array<long>` quantized components. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x * Scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def intDot(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Squared L2 norm (integer) of a quantized vector. */
+  def intNormSq(q: Column): Column =
+    aggregate(transform(q, x => x * x), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine similarity from integer dot/norms (single double ops at the end). */
+  def cosine(dot: Column, normSqA: Column, normSqB: Column): Column =
+    dot.cast("double") / (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double")))
+
+  /**
+   * Exact top-k neighbors for each query vector. `queries` must be small
+   * (it is broadcast); the corpus is streamed once. Scores are integer dot
+   * products (≙ cosine ranking for normalized embeddings).
+   */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame = {
+    val scored = corpus
+      .select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("q"))
+      .join(broadcast(
+        queries.select(col(qIdCol).as("qid"), quantize(col(qVecCol)).as("qq"))))
+      .select(col("qid"), col("vec_id"), intDot(col("q"), col("qq")).as("dot"))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /**
+   * Sign-random-projection bit signature (`nBits` ≤ 30): bit j is the sign of
+   * the dot product with a deterministic pseudo-random integer hyperplane
+   * `w[j][d] = ((1103515245·(j·dims+d) + 12345) mod 65536) − 32768` (an LCG
+   * over the flattened index — reproducible anywhere, no RNG state).
+   * Vectors in the same bucket are cosine-close with high probability.
+   */
+  def srpSignature(vec: Column, nBits: Int, dims: Int): Column = {
+    val q = quantize(vec)
+    val bitCols = (0 until nBits).map { j =>
+      val dot = aggregate(
+        zip_with(
+          q,
+          transform(sequence(lit(0), lit(dims - 1)),
+            d => (lit(1103515245L) * (lit(j.toLong * dims) + d) + lit(12345L)) % 65536L - 32768L),
+          (x, w) => x * w),
+        lit(0L), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /**
+   * LSH-bucketed near-duplicate pairs: vectors sharing an SRP bucket whose
+   * exact cosine ≥ `threshold`. The self-join is an equi-join on the bucket
+   * key — never all-pairs.
+   */
+  def srpNearDuplicates(
+      emb: DataFrame, nBits: Int, dims: Int, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sig = emb.select(
+      col(idCol).as("vec_id"),
+      quantize(col(vecCol)).as("q"),
+      srpSignature(col(vecCol), nBits, dims).as("bucket"))
+    val a = sig.select(col("bucket"), col("vec_id").as("id_a"), col("q").as("q_a"))
+    val b = sig.select(col("bucket"), col("vec_id").as("id_b"), col("q").as("q_b"))
+    a.join(b, "bucket")
+      .where(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        cosine(
+          intDot(col("q_a"), col("q_b")),
+          intNormSq(col("q_a")), intNormSq(col("q_b"))).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /**
+   * IVF coarse assignment: each vector goes to the centroid with the largest
+   * dot product (ties → smaller centroid id). `centroids` must be small
+   * (broadcast). Returns `(vec_id, cell, dot)`.
+   */
+  def ivfAssign(
+      emb: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cIdCol: String = "cid", cVecCol: String = "cvec"): DataFrame = {
+    val scored = emb
+      .select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("q"))
+      .join(broadcast(
+        centroids.select(col(cIdCol).as("cid"), quantize(col(cVecCol)).as("cq"))))
+      .select(col("vec_id"), col("cid"), intDot(col("q"), col("cq")).as("cdot"))
+    scored
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cid"), col("cdot")), struct(negate(col("cdot")), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cell"), col("best.cdot").as("cdot"))
+  }
+
+  /**
+   * IVF top-k: probe only the query's cell and rank its members by exact
+   * integer dot product — the scale path when brute force over the full
+   * corpus is too expensive (cost ∝ cell size ≈ N/#centroids).
+   */
+  def ivfTopK(
+      emb: DataFrame, centroids: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = ivfAssign(emb, centroids, idCol, vecCol)
+      .select(col("vec_id"), col("cell"))
+    val corpus = emb
+      .select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("q"))
+      .join(cells, "vec_id")
+    val qcells = queries
+      .select(col("qid"), quantize(col("qvec")).as("qq"))
+      .join(
+        broadcast(ivfAssign(queries.select(col("qid").as("vec_id"), col("qvec").as("embedding")), centroids)
+          .select(col("vec_id").as("qid"), col("cell"))),
+        "qid")
+    val scored = corpus
+      .join(broadcast(qcells), "cell")
+      .select(col("qid"), col("vec_id"), intDot(col("q"), col("qq")).as("dot"))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

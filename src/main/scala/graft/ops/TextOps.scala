@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale document pipelines: tokenization,
+ * shingling, hashing, quality scoring, language identification and
+ * fingerprinting. Everything is built from codegen'd built-in expressions
+ * (split / transform / aggregate / md5 / conv) — no UDFs, so the whole column
+ * pipeline stays inside whole-stage codegen and scales linearly with no
+ * per-row JVM⇄interpreter boundary.
+ *
+ * Determinism note: every hash is derived from `md5` (stable across engines,
+ * JVMs and locales), never from JVM `hashCode`/xxhash seeds that another
+ * engine could not reproduce.
+ */
+object TextOps {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /**
+   * Word n-gram shingles (default 3). Input with fewer than `n` tokens yields
+   * an empty array (guarded — `sequence` would otherwise throw on a negative
+   * range).
+   */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val ts = tokens(text)
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j)): _*)))
+  }
+
+  /** Stable 32-bit unsigned hash of a string: first 8 hex digits of md5,
+    * as a long in [0, 2^32). */
+  def hash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Content fingerprint: md5 of the case/whitespace-normalized text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling-hash document fingerprint: the minimum 32-bit hash over the
+    * document's word shingles (winnowing's min-sampling step with a single
+    * global window) — robust to local edits, cheap to compare at scale. */
+  def minShingleHash(text: Column, n: Int = 3): Column =
+    array_min(transform(wordShingles(text, n), s => hash32(s)))
+
+  /** Number of tokens of `text` that appear in `words`. */
+  def markerHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words: _*)))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Public knowledge (most-frequent function words). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "les"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不"))
+
+  /**
+   * Language-ID heuristic: count stopword hits per candidate language, pick
+   * the argmax (ties → language code ascending), `und` when no marker hits.
+   * A real pipeline would use character n-gram profiles; the operator shape
+   * (per-language score columns → greatest/argmax) is the same.
+   */
+  def langId(text: Column): Column = {
+    val scored = langMarkers.map { case (lang, words) =>
+      struct(markerHits(text, words).as("hits"), lit(lang).as("lang"))
+    }
+    // argmax by (hits desc, lang asc): array_max over (hits, reverse-lex lang)
+    // is wrong for strings, so sort structs by (-hits, lang) and take the head.
+    val best = element_at(
+      array_sort(
+        array(scored: _*),
+        (l, r) =>
+          when(l.getField("hits") > r.getField("hits"), -1)
+            .when(l.getField("hits") < r.getField("hits"), 1)
+            .when(l.getField("lang") < r.getField("lang"), -1)
+            .when(l.getField("lang") > r.getField("lang"), 1)
+            .otherwise(0)),
+      1)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Stopwords used by the quality score (union of the English markers). */
+  val qualityStopwords: Seq[String] = langMarkers.head._2
+
+  /**
+   * Document quality signals: length, token count, average word length,
+   * stopword ratio — the standard cheap filters for pretraining corpora.
+   * All divisions are single double ops (deterministic); callers threshold
+   * on the components.
+   */
+  def qualitySignals(text: Column): Seq[Column] = {
+    val nChars = length(text)
+    val nToks = tokenCount(text)
+    Seq(
+      nChars.as("n_chars"),
+      nToks.as("n_tokens"),
+      // tokens are single-space separated: chars minus separators, per token
+      ((nChars - (nToks - 1)).cast("double") / nToks).as("avg_word_len"),
+      (markerHits(text, qualityStopwords).cast("double") / nToks).as("stopword_ratio"))
+  }
+}

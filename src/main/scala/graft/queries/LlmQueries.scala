@@ -1,0 +1,360 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/**
+ * Driver-contract queries for the LLM-training-data operators (dedup,
+ * similarity search, text analysis, multimodal plumbing) over the
+ * `documents` / `embeddings` test tables.
+ *
+ * The synthetic corpus contains no natural near-duplicates (max pairwise
+ * 3-shingle Jaccard ≈ 0.03, max pairwise cosine ≈ 0.44), so the near-dup
+ * queries union the corpus with a deterministic mutation of itself
+ * (documents: first two tokens dropped, id+1000000; embeddings: identical
+ * copy, id+1000000). The pipelines must then recover exactly the planted
+ * pairs — a far stronger check than an empty result.
+ */
+object LlmQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tpch.read(s, dir, "documents")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tpch.read(s, dir, "embeddings")
+
+  /** documents ∪ near-dup mutation (drop first 2 tokens, id+1000000). */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks = split(col("text"), " ")
+    val mutated = d.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      array_join(slice(toks, lit(3), greatest(lit(0), size(toks) - 2)), " ").as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    d.select("doc_id", "text", "lang", "source", "n_chars").unionByName(mutated)
+  }
+
+  /** embeddings ∪ identical copy with id+1000000. */
+  private def embWithDups(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    e.unionByName(e.select(
+      (col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label")))
+  }
+
+  // Shared oracle fragments -------------------------------------------------
+
+  private val mutCte =
+    """alldocs AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         array_to_string(string_split(text, ' ')[3:], ' ') AS text,
+      |         lang, source, n_chars
+      |  FROM documents)""".stripMargin
+
+  /** Distinct word-3-shingles per doc over `src` (must expose doc_id, text). */
+  private def shingleCte(src: String): String =
+    s"""sh AS (
+       |  SELECT id, unnest(shs) AS sh FROM (
+       |    SELECT doc_id AS id,
+       |           list_distinct(list_transform(range(1, len(s) - 1),
+       |             i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS shs
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM $src)
+       |    WHERE len(s) >= 3))""".stripMargin
+
+  /** Jaccard verification of `cand(id_a, id_b)` against `sh`. */
+  private val jaccardSql =
+    """sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+      |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+      |          FROM cand c
+      |          JOIN sh sa ON sa.id = c.id_a
+      |          JOIN sh sb ON sb.id = c.id_b AND sb.sh = sa.sh
+      |          GROUP BY c.id_a, c.id_b),
+      |jac AS (SELECT c.id_a, c.id_b,
+      |          CAST(COALESCE(i.inter, 0) AS DOUBLE) / (na.n + nb.n - COALESCE(i.inter, 0)) AS jaccard
+      |        FROM cand c
+      |        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      |        JOIN sizes na ON na.id = c.id_a
+      |        JOIN sizes nb ON nb.id = c.id_b)""".stripMargin
+
+  /** Quantized components (vec_id, d, q) over embedding relation `src`. */
+  private def compCte(name: String, src: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, d, CAST(floor(x * 1e6) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+       |        FROM $src))""".stripMargin
+
+  // -------------------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: corpus unioned with itself → one survivor per content hash
+    "q_dedup_exact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.exactByContent(d.unionByName(d), "doc_id", "text")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // MinHash + LSH banding + Jaccard verification on planted near-dups
+    "q_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.nearDuplicates(
+          docsWithNearDups(s, dir), "doc_id", "text",
+          numHashes = 16, bands = 8, shingle = 3, threshold = 0.35)
+        .orderBy("id_a", "id_b")),
+
+    // Blocked pairwise n-gram Jaccard ((lang, source) blocking, no LSH)
+    "q_dedup_jaccard_blocked" -> ((s, dir) => {
+      val d = docsWithNearDups(s, dir)
+      val keyed = d.select(col("lang"), col("source"), col("doc_id"), col("text"))
+      val pairs = keyed.select(col("lang"), col("source"), col("doc_id").as("id_a"))
+        .join(keyed.select(col("lang"), col("source"), col("doc_id").as("id_b")),
+          Seq("lang", "source"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      Dedup.verifyJaccard(pairs, d, "doc_id", "text")
+        .where(col("jaccard") >= 0.35)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash sketches (32-bit, token-count weighted)
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // Token counting
+    "q_text_tokens" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")),
+
+    // Quality signals (length / word stats / stopword ratio)
+    "q_text_quality" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id") +: TextOps.qualitySignals(col("text")): _*)
+        .orderBy("doc_id")),
+
+    // Language-ID heuristic (stopword profiles, deterministic tie-break)
+    "q_text_langid" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("predicted"))
+        .orderBy("doc_id")),
+
+    // Content fingerprints: normalized md5 + min-shingle rolling hash
+    "q_text_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp"),
+          TextOps.minShingleHash(col("text")).as("min_shingle_hash"))
+        .orderBy("doc_id")),
+
+    // Brute-force exact top-k cosine (integer-quantized dot products)
+    "q_sim_topk_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(e, queries, 5)
+        .select("qid", "rank", "vec_id", "dot")
+        .orderBy("qid", "rank")
+    }),
+
+    // IVF: coarse-quantize to the 8 leading vectors, probe the query's cell
+    "q_sim_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(e, centroids, queries, 5)
+        .select("qid", "rank", "vec_id", "dot")
+        .orderBy("qid", "rank")
+    }),
+
+    // SRP-LSH bucketed near-duplicate vectors on planted exact dups
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.srpNearDuplicates(embWithDups(s, dir), nBits = 8, dims = 64, threshold = 0.99)
+        .orderBy("id_a", "id_b")),
+
+    // Multimodal plumbing: documents as binary assets → stub feature extract
+    "q_mm_features" -> ((s, dir) => {
+      val assets = Multimodal.asAsset(
+        col("doc_id"), lit("image"), col("text"), col("source"))(docs(s, dir))
+      Multimodal.extractFeatures(assets)
+        .select(
+          col("asset_id"), col("modality"), col("source"), col("n_bytes"),
+          col("features.digest").as("digest"),
+          col("features.width").as("width"),
+          col("features.height").as("height"))
+        .orderBy("asset_id")
+    })
+  )
+
+  // -------------------------------------------------------------------------
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_minhash_lsh" ->
+      s"""WITH $mutCte,
+         |${shingleCte("alldocs")},
+         |h AS (SELECT id, sh, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
+         |mh AS (SELECT id, i, min((h * (2*i + 1) + (98765*i + 12345)) % 2147483647) AS mh
+         |       FROM h, range(16) t(i) GROUP BY id, i),
+         |bands AS (SELECT id, i // 2 AS band,
+         |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_key
+         |          FROM mh GROUP BY id, i // 2),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |$jaccardSql
+         |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_jaccard_blocked" ->
+      s"""WITH $mutCte,
+         |${shingleCte("alldocs")},
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM alldocs a JOIN alldocs b
+         |           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+         |$jaccardSql
+         |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH tok AS (SELECT id, tok, count(*) AS cnt
+        |             FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |             GROUP BY id, tok),
+        |th AS (SELECT id, cnt, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+        |votes AS (SELECT id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+        |          FROM th, range(32) t(j) GROUP BY id, j)
+        |SELECT id AS doc_id,
+        |       SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+        |FROM votes GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" -> {
+      val stop = TextOps.qualityStopwords.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS INT) AS n_chars,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS avg_word_len,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_langid" -> {
+      // per-language hit counts, argmax with (hits desc, lang asc): langs are
+      // tested in ascending order with >= against all others
+      val langs = TextOps.langMarkers.sortBy(_._1)
+      val hitCols = langs.map { case (lang, words) =>
+        val set = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(string_split(text, ' '), x -> x IN ($set))) AS BIGINT) AS h_$lang"
+      }.mkString(",\n  ")
+      val codes = langs.map(_._1)
+      val caseArm = codes.map { c =>
+        val others = codes.filterNot(_ == c).map(o => s"h_$c >= h_$o").mkString(" AND ")
+        s"WHEN $others THEN '$c'"
+      }.mkString("\n    ")
+      val anyHit = codes.map(c => s"h_$c").mkString(", ")
+      s"""WITH scored AS (SELECT doc_id, lang,
+         |  $hitCols
+         |FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN greatest($anyHit) = 0 THEN 'und'
+         |    $caseArm
+         |  END AS predicted
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_fingerprint" ->
+      s"""WITH ${shingleCte("documents")},
+         |msh AS (SELECT id, min(('0x' || substr(md5(sh), 1, 8))::BIGINT) AS m FROM sh GROUP BY id)
+         |SELECT d.doc_id,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         |  m.m AS min_shingle_hash
+         |FROM documents d LEFT JOIN msh m ON m.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_sim_topk_brute" ->
+      s"""WITH ${compCte("comp", "embeddings")},
+         |${compCte("qcomp", "(SELECT * FROM embeddings WHERE vec_id < 3)")},
+         |dots AS (SELECT q.vec_id AS qid, c.vec_id, SUM(q.q * c.q) AS dot
+         |         FROM qcomp q JOIN comp c ON c.d = q.d
+         |         GROUP BY q.vec_id, c.vec_id)
+         |SELECT qid, rank, vec_id, dot FROM (
+         |  SELECT qid, vec_id, dot,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS INT) AS rank
+         |  FROM dots
+         |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_sim_ivf" ->
+      s"""WITH ${compCte("comp", "embeddings")},
+         |cent AS (SELECT vec_id AS cid, d, q FROM comp WHERE vec_id < 8),
+         |adot AS (SELECT c.vec_id, ct.cid, SUM(c.q * ct.q) AS cdot
+         |         FROM comp c JOIN cent ct ON ct.d = c.d GROUP BY c.vec_id, ct.cid),
+         |acell AS (SELECT vec_id, cid AS cell FROM (
+         |            SELECT vec_id, cid,
+         |                   row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS rn
+         |            FROM adot) WHERE rn = 1),
+         |qcell AS (SELECT vec_id AS qid, cell FROM acell WHERE vec_id < 3),
+         |cand AS (SELECT qc.qid, a.vec_id FROM qcell qc JOIN acell a ON a.cell = qc.cell),
+         |dots AS (SELECT c.qid, c.vec_id, SUM(ca.q * cb.q) AS dot
+         |         FROM cand c
+         |         JOIN comp ca ON ca.vec_id = c.qid
+         |         JOIN comp cb ON cb.vec_id = c.vec_id AND cb.d = ca.d
+         |         GROUP BY c.qid, c.vec_id)
+         |SELECT qid, rank, vec_id, dot FROM (
+         |  SELECT qid, vec_id, dot,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS INT) AS rank
+         |  FROM dots
+         |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_embed_neardup" ->
+      s"""WITH allv AS (SELECT * FROM embeddings
+         |              UNION ALL
+         |              SELECT vec_id + 1000000 AS vec_id, embedding, label FROM embeddings),
+         |${compCte("comp", "allv")},
+         |bits AS (SELECT vec_id, j,
+         |           SUM(q * (((1103515245 * (j * 64 + (d - 1)) + 12345) % 65536) - 32768)) AS dot
+         |         FROM comp, range(8) t(j) GROUP BY vec_id, j),
+         |sig AS (SELECT vec_id,
+         |          SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bucket
+         |        FROM bits GROUP BY vec_id),
+         |norm AS (SELECT vec_id, SUM(q * q) AS n2 FROM comp GROUP BY vec_id),
+         |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |pd AS (SELECT c.id_a, c.id_b, SUM(ca.q * cb.q) AS dot
+         |       FROM cand c
+         |       JOIN comp ca ON ca.vec_id = c.id_a
+         |       JOIN comp cb ON cb.vec_id = c.id_b AND cb.d = ca.d
+         |       GROUP BY c.id_a, c.id_b),
+         |cosv AS (SELECT p.id_a, p.id_b,
+         |           CAST(p.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+         |         FROM pd p
+         |         JOIN norm na ON na.vec_id = p.id_a
+         |         JOIN norm nb ON nb.vec_id = p.id_b)
+         |SELECT id_a, id_b, cos FROM cosv WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_mm_features" ->
+      """SELECT doc_id AS asset_id, 'image' AS modality, source,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest,
+        |  (ascii(substr(text, 1, 1)) + 1) * 16 AS width,
+        |  (ascii(substr(text, 2, 1)) + 1) * 16 AS height
+        |FROM documents ORDER BY asset_id""".stripMargin
+  )
+}
