@@ -1,24 +1,56 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main: runs every `SparkEntry.queries` entry against
+ * `SPARK_GRAFT_SF_DIR` and emits ONE machine-readable JSON line (also written
+ * to `BENCH_LOCAL.json` in the cwd so log-wrapping can't corrupt it).
+ *
+ * Measurement notes:
+ *  - Each query executes its FULL plan via a `noop`-format write — a bare
+ *    `count()` would let Catalyst prune every non-aggregate column and
+ *    under-measure scan/expression work.
+ *  - A failing query is recorded in `errors` with a sentinel time of -1, not
+ *    a (fast) wall time — a crash must never improve the total.
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val outcome =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      val secs = (System.nanoTime() - t0) / 1e9
+      (name, outcome.fold(secs)(_ => -1d), outcome)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val ok = results.filter(_._3.isEmpty)
+    val qs = results
+      .map { case (k, v, _) => "\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.3f") }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
+    }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"ok":${ok.size},"failed":${results.size - ok.size},"sf":"$sfDir"}"""
+    println(line)
+    Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
     spark.stop()
   }
 }

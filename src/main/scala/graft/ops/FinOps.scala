@@ -220,9 +220,12 @@ object FinOps {
    * Transactions strictly above the user's historical average (LF:225-236).
    * The scalar threshold is a per-user aggregate joined back on the group key
    * — the Spark form of a scalar subquery; no `.collect()` anywhere.
+   * A user with no history has average 0 (reference coalesce, LF:93-94), so
+   * every positive amount is high-value — hence the left join + coalesce.
    */
   def highValue(cur: DataFrame, avgPerUser: DataFrame): DataFrame =
-    cur.join(avgPerUser, Seq("userId"))
+    cur.join(avgPerUser, Seq("userId"), "left")
+      .withColumn("avg_amount", coalesce(col("avg_amount"), lit(0d)))
       .where(col("amount").cast("double") > col("avg_amount"))
 
   // -------------------------------------------------------------------------
@@ -354,6 +357,9 @@ object FinOps {
     val flagged = resolved
       .join(home, Seq("userId"), "left")
       .join(avgPerUser, Seq("userId"), "left")
+      // no history ⇒ average 0 (reference coalesce, LF:93-94) ⇒ any positive
+      // foreign amount grades High Risk
+      .withColumn("avg_amount", coalesce(col("avg_amount"), lit(0d)))
       .where(!(col("country") <=> col("home_country")))
       .withColumn("amount_d", col("amount").cast("double"))
       .withColumn(
@@ -422,7 +428,12 @@ object FinOps {
       .partitionBy("userId")
       .parquet(path)
 
-  /** Partition-pruned read of one user's history, flattened to rows. */
+  /** Partition-pruned read of one user's history, flattened to rows. The
+    * equality predicate on the partition column becomes a PartitionFilter —
+    * only that user's directory is listed and scanned. */
   def readUserHistory(spark: SparkSession, path: String, userId: String): DataFrame =
-    explodeStatements(spark.read.parquet(path).where(col("userId") === userId))
+    explodeStatements(
+      spark.read.parquet(path)
+        .where(col("userId") === userId)
+        .withColumn("userId", col("userId").cast("string")))
 }

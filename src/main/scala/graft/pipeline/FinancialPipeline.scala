@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.FinOps
+
+/**
+ * The full statement-analytics DAG of the reference
+ * (`lambda_handler`, LF:483-554), set-based: one distributed pass computes
+ * every user-month's report instead of a driver loop over groups (LF:495).
+ *
+ * Inputs are the canonical transaction frame: `cur` (the freshly ingested
+ * statement rows, any number of user-months) and `hist` (flattened history
+ * read from the statements table). The reference re-queries history per
+ * (user, month) group (LF:496) — here history is read once.
+ */
+object FinancialPipeline {
+
+  /** All per-statement analytics, each keyed by userId (and month where
+    * applicable) — the engine-side results the report is assembled from. */
+  final case class Results(
+      flagged: DataFrame,          // F2+C1+C2+C3
+      spendingByCategory: DataFrame, // A5 (current month)
+      previousMonth: DataFrame,    // P7+F4+A8
+      highValue: DataFrame,        // F1
+      topHighValue: DataFrame,     // O1
+      recurring: DataFrame,        // J4+F3+A6 (+P9 projection)
+      monthly: DataFrame,          // A7
+      trend: DataFrame)            // O2
+
+  def analyze(cur: DataFrame, hist: DataFrame, spark: SparkSession): Results = {
+    val all = cur.unionByName(hist) // J4
+    val home = FinOps.homeCountry(hist, spark) // A4 over history (LF:498)
+    val avg = FinOps.historicalAveragePerUser(hist) // A3 over history (LF:499)
+
+    // months elapsed = month number of each user's statement month (LF:392)
+    val tgt = cur.groupBy("userId").agg(max("yearMonth").as("tym"))
+    val rec = FinOps.recurringYtd(cur, hist)
+      .join(tgt, "userId")
+      .withColumn("m_elapsed", substring(col("tym"), 5, 2).cast("int"))
+    val recProjected =
+      FinOps.projectYearEnd(rec, "ytd_total", "m_elapsed").drop("tym")
+
+    Results(
+      flagged = FinOps.flagRisky(cur, home, avg, spark),
+      spendingByCategory = FinOps.spendingByCategory(cur),
+      previousMonth = FinOps.previousMonthSpending(
+        all.join(cur.groupBy("userId").agg(max("yearMonth").as("target_ym")), "userId"),
+        col("target_ym")),
+      highValue = FinOps.highValue(cur, avg),
+      topHighValue = FinOps.topHighValue(cur, 3),
+      recurring = recProjected,
+      monthly = FinOps.monthlySpending(all),
+      trend = FinOps.classifyTrend(FinOps.monthlySpending(all)))
+  }
+
+  /**
+   * S6 — report assembly: one row per (userId, statement month) carrying the
+   * reference report's fields (LF:511-521) as typed nested columns, ready for
+   * `df.write.json`. Each component is a grouped `map_from_entries` /
+   * `collect_list` roll-up joined on the user key — small results, broadcast
+   * joins all the way down.
+   */
+  def assembleReport(cur: DataFrame, results: Results): DataFrame = {
+    val keys = cur.select(col("userId"), col("yearMonth")).distinct()
+
+    def mapOf(df: DataFrame, key: Column, value: Column, name: String): DataFrame =
+      df.groupBy("userId")
+        .agg(map_from_entries(sort_array(collect_list(struct(key, value)))).as(name))
+
+    val cat = mapOf(results.spendingByCategory, col("category"), col("total"), "spending_by_category")
+    val prev = mapOf(results.previousMonth, col("category"), col("total"), "previous_month")
+    val recur = results.recurring
+      .groupBy("userId")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("vendor"), struct(col("ytd_total"), col("projected")))))).as("recurring"))
+    val top = results.topHighValue
+      .groupBy("userId")
+      .agg(sort_array(collect_list(struct(col("rank"), col("id"), col("amount").cast("double").as("amount"))))
+        .as("top_high_value"))
+    val flags = results.flagged
+      .groupBy("userId")
+      .agg(sort_array(collect_list(struct(
+        col("transaction_id"), col("country"), col("risk_level"), col("amount"), col("explanation"))))
+        .as("flagged_transactions"))
+    val monthly = mapOf(results.monthly, col("ym"), col("total"), "monthly_spending")
+
+    Seq(cat, prev, recur, top, flags, monthly, results.trend)
+      .foldLeft(keys)((acc, df) => acc.join(broadcast(df), Seq("userId"), "left"))
+  }
+
+  /**
+   * One batch run end-to-end (the body of `lambda_handler` minus AWS):
+   * ingest → analyze against the statements table → write the report (JSON,
+   * S6) → upsert the new statement items (S5, last-writer-wins per
+   * user-month partition).
+   */
+  def runBatch(
+      statement: DataFrame,
+      statementsPath: String,
+      reportPath: Option[String],
+      spark: SparkSession): Results = {
+    // Materialize history before the upsert below rewrites the table the
+    // lazy plans would otherwise re-scan.
+    val hist = loadHistory(spark, statementsPath).persist()
+    hist.count()
+    val results = analyze(statement, hist, spark)
+    reportPath.foreach(p => assembleReport(statement, results).write.mode("append").json(p))
+    FinOps.writeStatements(FinOps.toStatementItems(statement), statementsPath)
+    results
+  }
+
+  /** Flattened full history from the statements table (empty frame with the
+    * right schema when the table does not exist yet). */
+  def loadHistory(spark: SparkSession, statementsPath: String): DataFrame = {
+    val exists = {
+      val p = new org.apache.hadoop.fs.Path(statementsPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p)
+    }
+    // Partition columns come back type-inferred (numeric-looking userIds
+    // become ints); restore the canonical string key.
+    if (exists)
+      FinOps.explodeStatements(
+        spark.read.parquet(statementsPath)
+          .withColumn("userId", col("userId").cast("string")))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.model.Transaction.schema)
+  }
+}

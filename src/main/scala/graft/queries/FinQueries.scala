@@ -411,13 +411,13 @@ object FinQueries {
          |avg_t AS (${avgSql("hist")})
          |SELECT c.userId, c.id AS transaction_id, c.date, c.vendor, c.category,
          |  CAST(c.amount AS DOUBLE) AS amount, c.location, i.country, h.home_country,
-         |  a.avg_amount AS average_amount,
-         |  CASE WHEN CAST(c.amount AS DOUBLE) > a.avg_amount THEN 'High Risk'
+         |  COALESCE(a.avg_amount, 0) AS average_amount,
+         |  CASE WHEN CAST(c.amount AS DOUBLE) > COALESCE(a.avg_amount, 0) THEN 'High Risk'
          |       ELSE 'Moderate Risk' END AS risk_level,
          |  'Transaction in ' || i.country || ' outside home country ' ||
          |    COALESCE(h.home_country, 'unknown') || '; amount ' ||
          |    CAST(CAST(c.amount AS DECIMAL(18,2)) AS VARCHAR) || ' vs average ' ||
-         |    COALESCE(CAST(CAST(a.avg_amount AS DECIMAL(18,2)) AS VARCHAR), 'n/a') AS explanation
+         |    CAST(CAST(COALESCE(a.avg_amount, 0) AS DECIMAL(18,2)) AS VARCHAR) AS explanation
          |FROM cur c
          |JOIN iso i ON substr(c.location, 1, 2) = i.a2
          |LEFT JOIN home h ON c.userId = h.userId

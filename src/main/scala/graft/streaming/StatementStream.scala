@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.Transaction
+import graft.ops.FinOps
+import graft.pipeline.FinancialPipeline
+
+/**
+ * S1/S10 — the event-driven ingest loop as Structured Streaming.
+ *
+ * The reference wires S3 `ObjectCreated` → Lambda → full pipeline per file
+ * (LF:483-491). Here the ingest directory is a streaming file source: each
+ * discovered CSV becomes (part of) a micro-batch, `foreachBatch` runs the
+ * complete batch pipeline (analyze → report JSON → statements upsert), and
+ * `cleanSource=delete` reproduces the post-ingest `delete_object` (LF:548).
+ *
+ * Differences from the reference, by design:
+ *  - every file in an event batch is processed (the reference silently drops
+ *    all but the first record of a multi-record event, LF:485-486);
+ *  - exactly-once bookkeeping comes from the checkpoint dir instead of
+ *    "the file was deleted";
+ *  - one batch may carry many user-months — the set-based pipeline handles
+ *    them in one pass instead of a loop.
+ *
+ * `Trigger.AvailableNow` drains everything currently in the directory and
+ * stops — the batch-parity mode (and what the tests use); the default
+ * continuous trigger tails the directory forever.
+ */
+object StatementStream {
+
+  def start(
+      spark: SparkSession,
+      ingestDir: String,
+      statementsPath: String,
+      reportPath: String,
+      checkpointDir: String,
+      availableNow: Boolean = true,
+      deleteIngested: Boolean = false): StreamingQuery = {
+    val raw = spark.readStream
+      .option("header", true)
+      .option("encoding", "UTF-8")
+      .option("maxFilesPerTrigger", 16)
+      .option("cleanSource", if (deleteIngested) "delete" else "off")
+      .schema(Transaction.csvSchema)
+      .csv(ingestDir)
+
+    val writer = raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val statement = FinOps.normalizeStatement(batch)
+        if (!statement.isEmpty) {
+          FinancialPipeline.runBatch(
+            statement, statementsPath, Some(reportPath), spark)
+          ()
+        }
+      }
+
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.FinOps
+
+/** Unit tests for the reference-semantics traps (SURVEY §5 item 3, §7.4). */
+class FinOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def txRows(rows: (String, String, String, String, String, Double, Boolean, String)*) =
+    rows.toDF("userId", "yearMonth", "id", "date0", "category", "amount0", "recurring", "location")
+      .select(
+        $"userId", $"yearMonth", $"id",
+        to_date($"date0").as("date"),
+        lit("v").as("vendor"), $"category",
+        $"amount0".cast("decimal(12,2)").as("amount"),
+        lit("USD").as("currency"), $"recurring",
+        lit("t").as("txType"), $"location", lit("d").as("description"))
+
+  test("P8: amounts are rounded BEFORE summation (sum-of-rounded)") {
+    // 10.004 + 10.004: round-then-sum = 20.00; sum-then-round would be 20.01
+    val df = Seq(("u", "202401", "1", "2024-01-01", "c", 10.004, false, "US-CA"),
+                 ("u", "202401", "2", "2024-01-02", "c", 10.004, false, "US-CA"))
+    val out = FinOps.spendingByCategory(txRows(df: _*)).select("total").as[Double].collect()
+    assert(out.toSeq == Seq(20.00))
+  }
+
+  test("A4: mode tie-break is (count desc, value asc)") {
+    val df = Seq(("u", "B"), ("u", "A"), ("u", "C"), ("u", "A"), ("u", "B")).toDF("userId", "v")
+    val out = FinOps.modeBy(df, "userId", "v", "m").select("m").as[String].collect()
+    assert(out.toSeq == Seq("A")) // A and B both count 2 → A wins
+  }
+
+  test("P7: previous-month arithmetic rolls over January") {
+    val df = Seq("202501", "202401", "202403", "202412").toDF("ym")
+      .select(FinOps.prevYearMonth($"ym").as("prev"))
+    assert(df.as[String].collect().toSeq == Seq("202412", "202312", "202402", "202411"))
+  }
+
+  test("A3: average is round-half-up of the exact rational; empty history = 0") {
+    // (10.00 + 10.01)/2 = 10.005 → half-up → 10.01 (float round would give 10.0)
+    val df = Seq(("u", "202401", "1", "2024-01-01", "c", 10.00, false, "US-CA"),
+                 ("u", "202401", "2", "2024-01-02", "c", 10.01, false, "US-CA"))
+    val avg = FinOps.historicalAveragePerUser(txRows(df: _*))
+      .select("avg_amount").as[Double].collect()
+    assert(avg.toSeq == Seq(10.01))
+    val empty = FinOps.historicalAverage(txRows(df: _*).where(lit(false)))
+      .select("avg_amount").as[Double].collect()
+    assert(empty.toSeq == Seq(0.0))
+  }
+
+  test("P9: year-end projection is ytd*12/m with exact half-up rounding") {
+    val df = Seq((100.01, 8)).toDF("ytd_total", "m_elapsed")
+    val out = FinOps.projectYearEnd(df, "ytd_total", "m_elapsed")
+      .select("projected").as[Double].collect()
+    // 12 * 10001 / 8 cents = 15001.5 → 15002 → 150.02
+    assert(out.toSeq == Seq(150.02))
+    // December statement (m=12) projects exactly the ytd
+    val dec = Seq((55.55, 12)).toDF("ytd_total", "m_elapsed")
+    assert(FinOps.projectYearEnd(dec, "ytd_total", "m_elapsed")
+      .select("projected").as[Double].collect().toSeq == Seq(55.55))
+  }
+
+  test("O2: trend needs strict monotonicity over the latest 3 months") {
+    val monthly = Seq(
+      ("up", "202401", 1.0), ("up", "202402", 2.0), ("up", "202403", 3.0),
+      ("down", "202401", 3.0), ("down", "202402", 2.0), ("down", "202403", 1.0),
+      ("flat", "202401", 2.0), ("flat", "202402", 2.0), ("flat", "202403", 3.0),
+      ("short", "202401", 1.0), ("short", "202402", 2.0),
+      // 4 months: only the latest 3 count → 5,1,9 from the last three → Stable
+      ("older", "202401", 0.5), ("older", "202402", 5.0), ("older", "202403", 1.0), ("older", "202404", 9.0)
+    ).toDF("userId", "ym", "total")
+    val out = FinOps.classifyTrend(monthly).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      "up" -> "Up", "down" -> "Down", "flat" -> "Stable",
+      "short" -> "Not enough data", "older" -> "Stable"))
+  }
+
+  test("O1: top-k breaks amount ties by id ascending") {
+    val df = txRows(
+      ("u", "202401", "9", "2024-01-01", "c", 75.0, false, "US-CA"),
+      ("u", "202401", "2", "2024-01-02", "c", 75.0, false, "US-CA"),
+      ("u", "202401", "5", "2024-01-03", "c", 120.0, false, "US-CA"),
+      ("u", "202401", "7", "2024-01-04", "c", 10.0, false, "US-CA"))
+    val out = FinOps.topHighValue(df, 3).orderBy("rank").select("id").as[String].collect()
+    assert(out.toSeq == Seq("5", "2", "9"))
+  }
+
+  test("F2: null home country (no history) marks every transaction foreign, avg 0 ⇒ High Risk") {
+    val cur = txRows(("u", "202401", "1", "2024-01-01", "c", 5.0, false, "US-CA"))
+    val empty = cur.where(lit(false))
+    val out = FinOps.flagRisky(
+      cur, FinOps.homeCountry(empty, spark), FinOps.historicalAveragePerUser(empty), spark)
+    val rows = out.select("transaction_id", "home_country", "average_amount", "risk_level").collect()
+    assert(rows.length == 1)
+    assert(rows(0).isNullAt(1) && rows(0).getDouble(2) == 0.0 && rows(0).getString(3) == "High Risk")
+  }
+
+  test("J1: unknown country codes drop (reference would crash); known resolve") {
+    val df = txRows(
+      ("u", "202401", "1", "2024-01-01", "c", 5.0, false, "XX-??"),
+      ("u", "202401", "2", "2024-01-01", "c", 5.0, false, "DZ-ALG"))
+    val out = FinOps.resolveCountry(df, spark).select("id", "country").as[(String, String)].collect()
+    assert(out.toSeq == Seq(("2", "Algeria")))
+  }
+
+  test("S2: ingest parses the BOM'd reference fixture with typed coercions") {
+    val df = FinOps.ingestStatement(spark, "/root/reference/test_data/user_1_new_statement202412.csv")
+    assert(df.count() == 12)
+    val r = df.where($"id" === "1001").collect()(0)
+    assert(r.getAs[String]("userId") == "1")
+    assert(r.getAs[java.math.BigDecimal]("amount").doubleValue() == 55.0)
+    assert(r.getAs[Boolean]("recurring"))
+    assert(r.getAs[java.sql.Date]("date").toString == "2024-12-01")
+  }
+}

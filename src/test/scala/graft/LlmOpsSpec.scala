@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Units for the LLM-pipeline operators. */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TextOps: shingles, token counts, guards") {
+    val df = Seq("a b c d", "x y").toDF("text")
+      .select(TextOps.wordShingles($"text").as("sh"), TextOps.tokenCount($"text").as("n"))
+    val rows = df.collect()
+    assert(rows(0).getSeq[String](0) == Seq("a b c", "b c d") && rows(0).getInt(1) == 4)
+    assert(rows(1).getSeq[String](0) == Seq.empty && rows(1).getInt(1) == 2)
+  }
+
+  test("TextOps: langId picks the dominant stopword profile, 'und' without hits") {
+    val df = Seq("the cat sat on the mat", "el gato es un gato", "zzz qqq").toDF("text")
+      .select(TextOps.langId($"text").as("l"))
+    assert(df.as[String].collect().toSeq == Seq("en", "es", "und"))
+  }
+
+  test("Dedup: exact keeps the smallest id per content") {
+    val df = Seq((5L, "same"), (2L, "same"), (9L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exactByContent(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(2L, 9L))
+  }
+
+  test("Dedup: verifyJaccard is exact on known overlaps") {
+    val docs = Seq(
+      (1L, "a b c d e"),   // shingles {abc, bcd, cde}
+      (2L, "a b c d x"),   // shingles {abc, bcd, cdx} → inter 2, union 4
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.verifyJaccard(pairs, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 0.5)
+    assert(out((1L, 3L)) == 0.0)
+  }
+
+  test("Dedup: minhash-LSH recovers a planted near-duplicate") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tail"),          // near-dup of 1
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")).toDF("doc_id", "text")
+    val out = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("Dedup: simhash is deterministic and identical for identical content") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+    assert(out.values.forall(v => v >= 0 && v < (1L << 32)))
+  }
+
+  test("Similarity: quantized dot products are exact; top-1 is self") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f), 0),
+      (2L, Array(0.6f, 0.8f), 0)).toDF("vec_id", "embedding", "label")
+    val queries = vecs.where($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val out = Similarity.bruteForceTopK(vecs, queries, 3)
+      .orderBy("rank").select("vec_id", "dot").as[(Long, Long)].collect()
+    assert(out(0) == ((0L, 1000000L * 1000000L)))  // self first
+    assert(out(1)._1 == 2L && out(1)._2 == 600000L * 1000000L)
+    assert(out(2)._1 == 1L && out(2)._2 == 0L)
+  }
+
+  test("Similarity: identical vectors share an SRP bucket and cosine ≈ 1") {
+    val vecs = (0 until 4).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(d + i % 2).toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    // ids 0,2 identical; ids 1,3 identical
+    val out = Similarity.srpNearDuplicates(vecs, nBits = 8, dims = 8, threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((0L, 2L)) && out.contains((1L, 3L)))
+    assert(!out.contains((0L, 1L)))
+  }
+
+  test("Similarity: IVF assigns to the best centroid and probes one cell") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.0f, 1.0f), 0), (3L, Array(0.1f, 0.9f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val centroids = vecs.where($"vec_id".isin(0, 2))
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val cells = Similarity.ivfAssign(vecs, centroids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("Multimodal: asset plumbing — schema, stub features, frame fan-out") {
+    val docs = Seq((1L, "Hello world payload", "srcA")).toDF("doc_id", "text", "source")
+    val assets = Multimodal.asAsset($"doc_id", lit("image"), $"text", $"source")(docs)
+    assert(assets.schema.fieldNames.toSeq == Seq("asset_id", "modality", "content", "meta"))
+
+    val feats = Multimodal.extractFeatures(assets).collect()(0)
+    val f = feats.getStruct(4)
+    assert(f.getAs[Long]("n_bytes") == 19L)
+    assert(f.getAs[Int]("width") == ('H'.toInt + 1) * 16)
+    assert(f.getAs[Int]("height") == ('e'.toInt + 1) * 16)
+
+    val frames = Multimodal.sampleFrames(assets, stride = 5, frameBytes = 4)
+    assert(frames.count() == 3) // 19 bytes / stride 5 → 3 frames
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.FinOps
+import graft.pipeline.FinancialPipeline
+
+/**
+ * Golden end-to-end tests: the full pipeline over the three reference fixture
+ * statements, asserted against hand-computed goldens derived from the
+ * reference semantics (SURVEY §2; values recomputed independently from the
+ * CSVs).
+ */
+class PipelineGoldenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val statement =
+    FinOps.ingestStatement(spark, "/root/reference/test_data/*.csv").cache()
+
+  private def emptyHist = statement.where(lit(false))
+
+  test("golden: spending by category per user") {
+    val res = FinancialPipeline.analyze(statement, emptyHist, spark)
+    val cat = res.spendingByCategory
+      .collect().map(r => (r.getString(0), r.getString(2)) -> r.getDouble(3)).toMap
+    assert(cat(("1", "Groceries")) == 160.0)
+    assert(cat(("1", "Entertainment")) == 42.48)
+    assert(cat(("1", "Shopping")) == 248.35)
+    assert(cat(("2", "Shopping")) == 373.75)
+    assert(cat(("2", "Health & Wellness")) == 75.0)
+    assert(cat(("3", "Shopping")) == 593.35)
+    assert(cat(("3", "Food & Beverages")) == 43.0)
+  }
+
+  test("golden: cold start (no history) flags everything High Risk") {
+    val res = FinancialPipeline.analyze(statement, emptyHist, spark)
+    val flags = res.flagged.collect()
+    assert(flags.length == 36) // all 12 rows of each user
+    assert(flags.forall(_.getAs[String]("risk_level") == "High Risk"))
+    assert(res.trend.collect().forall(_.getString(1) == "Not enough data"))
+  }
+
+  test("golden: with seeded history — home country, average, flags") {
+    val dir = tmpDir("stmts")
+    FinOps.writeStatements(FinOps.toStatementItems(statement), dir)
+    val hist = FinancialPipeline.loadHistory(spark, dir)
+    val res = FinancialPipeline.analyze(statement, hist, spark)
+
+    val home = FinOps.homeCountry(hist, spark)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(home == Map("1" -> "United States", "2" -> "Canada", "3" -> "Canada"))
+
+    val avg = FinOps.historicalAveragePerUser(hist)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(avg == Map("1" -> 43.82, "2" -> 51.19, "3" -> 70.03))
+
+    val flags = res.flagged
+      .collect().groupBy(_.getAs[String]("userId"))
+      .view.mapValues(_.map(r =>
+        (r.getAs[String]("transaction_id"), r.getAs[String]("country"), r.getAs[String]("risk_level")))
+        .toSet).toMap
+    assert(flags("1") == Set(("1012", "Algeria", "High Risk"))) // 75 > 43.82
+    assert(flags("2") == Set(("2009", "France", "High Risk"))) // 150 > 51.19
+    assert(flags("3").size == 2) // DZ + US rows both foreign for a CA home
+    assert(flags("3").exists { case (_, c, r) => c == "Algeria" && r == "High Risk" }) // 250 > 70.03
+  }
+
+  test("golden: recurring YTD totals and year-end projection (December ⇒ identity)") {
+    val res = FinancialPipeline.analyze(statement, emptyHist, spark)
+    val rec = res.recurring.where($"userId" === "1")
+      .collect().map(r => r.getAs[String]("vendor") ->
+        (r.getAs[Double]("ytd_total"), r.getAs[Double]("projected"))).toMap
+    assert(rec == Map(
+      "Apple.com/Bill" -> (3.35, 3.35),
+      "Gym Membership" -> (55.0, 55.0),
+      "Netflix" -> (13.99, 13.99),
+      "Spotify" -> (9.99, 9.99)))
+  }
+
+  test("golden: top-3 high value per user with id tie-break") {
+    val res = FinancialPipeline.analyze(statement, emptyHist, spark)
+    val top = res.topHighValue
+      .orderBy("userId", "rank")
+      .select("userId", "id")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(top.toSeq == Seq(
+      ("1", "1006"), ("1", "1005"), ("1", "1012"), // 75.0 tie → 1005 before 1012
+      ("2", "2009"), ("2", "2006"), ("2", "2008"),
+      ("3", "3012"), ("3", "3008"), ("3", "3005")))
+  }
+
+  test("golden: report assembly carries all components as one row per user-month") {
+    val res = FinancialPipeline.analyze(statement, emptyHist, spark)
+    val report = FinancialPipeline.assembleReport(statement, res)
+    val rows = report.collect()
+    assert(rows.length == 3)
+    val u1 = report.where($"userId" === "1").collect()(0)
+    val cat = u1.getAs[Map[String, Double]]("spending_by_category")
+    assert(cat("Groceries") == 160.0 && cat.size == 5)
+    assert(u1.getAs[String]("trend") == "Not enough data")
+    assert(u1.getAs[scala.collection.Seq[Any]]("top_high_value").size == 3)
+    assert(u1.getAs[scala.collection.Seq[Any]]("flagged_transactions").size == 12)
+  }
+}
