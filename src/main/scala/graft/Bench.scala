@@ -28,6 +28,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Warm up JIT/codegen paths once so the alphabetically-first query does
+    // not absorb all first-run compilation cost (measured ~6s of skew).
+    try {
+      val warm = "/root/testdata/sf0.001"
+      if (new java.io.File(warm).isDirectory)
+        SparkEntry.queries.valuesIterator
+          .take(3)
+          .foreach(fn => fn(spark, warm).write.format("noop").mode("overwrite").save())
+    } catch { case _: Throwable => () }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)

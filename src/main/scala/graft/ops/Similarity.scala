@@ -77,12 +77,14 @@ object Similarity {
   def srpSignature(vec: Column, nBits: Int, dims: Int): Column = {
     val q = quantize(vec)
     val bitCols = (0 until nBits).map { j =>
+      // hyperplane weights are constants — precompute them driver-side so the
+      // per-row work is one zip_with/aggregate over literal values, not an
+      // LCG re-evaluation per element per row
+      val weights = array((0 until dims).map { d =>
+        lit((1103515245L * (j.toLong * dims + d) + 12345L) % 65536L - 32768L)
+      }: _*)
       val dot = aggregate(
-        zip_with(
-          q,
-          transform(sequence(lit(0), lit(dims - 1)),
-            d => (lit(1103515245L) * (lit(j.toLong * dims) + d) + lit(12345L)) % 65536L - 32768L),
-          (x, w) => x * w),
+        zip_with(q, weights, (x, w) => x * w),
         lit(0L), (acc, v) => acc + v)
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }

@@ -106,16 +106,21 @@ object LlmQueries {
           numHashes = 16, bands = 8, shingle = 3, threshold = 0.35)
         .orderBy("id_a", "id_b")),
 
-    // Blocked pairwise n-gram Jaccard ((lang, source) blocking, no LSH)
+    // Blocked pairwise n-gram Jaccard ((lang, source, length-bucket) blocking,
+    // no LSH — candidate cost ∝ block sizes, never all-pairs)
     "q_dedup_jaccard_blocked" -> ((s, dir) => {
       val d = docsWithNearDups(s, dir)
-      val keyed = d.select(col("lang"), col("source"), col("doc_id"), col("text"))
-      val pairs = keyed.select(col("lang"), col("source"), col("doc_id").as("id_a"))
-        .join(keyed.select(col("lang"), col("source"), col("doc_id").as("id_b")),
-          Seq("lang", "source"))
+      val keyed = d.select(
+        col("lang"), col("source"),
+        floor(col("n_chars") / 100).as("len_bucket"),
+        col("doc_id"), col("text"))
+      val blockKeys = Seq("lang", "source", "len_bucket")
+      val pairs = keyed.select(col("lang"), col("source"), col("len_bucket"), col("doc_id").as("id_a"))
+        .join(keyed.select(col("lang"), col("source"), col("len_bucket"), col("doc_id").as("id_b")),
+          blockKeys)
         .where(col("id_a") < col("id_b"))
         .select("id_a", "id_b")
-      Dedup.verifyJaccard(pairs, d, "doc_id", "text")
+      Dedup.verifyJaccard(pairs, d, "doc_id", "text", minJaccard = 0.35)
         .where(col("jaccard") >= 0.35)
         .orderBy("id_a", "id_b")
     }),
@@ -146,11 +151,8 @@ object LlmQueries {
 
     // Content fingerprints: normalized md5 + min-shingle rolling hash
     "q_text_fingerprint" -> ((s, dir) =>
-      docs(s, dir)
-        .select(
-          col("doc_id"),
-          TextOps.fingerprint(col("text")).as("fp"),
-          TextOps.minShingleHash(col("text")).as("min_shingle_hash"))
+      TextOps.fingerprints(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
     // Brute-force exact top-k cosine (integer-quantized dot products)
@@ -224,7 +226,9 @@ object LlmQueries {
          |${shingleCte("alldocs")},
          |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |         FROM alldocs a JOIN alldocs b
-         |           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+         |           ON a.lang = b.lang AND a.source = b.source
+         |          AND floor(a.n_chars / 100) = floor(b.n_chars / 100)
+         |          AND a.doc_id < b.doc_id),
          |$jaccardSql
          |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
