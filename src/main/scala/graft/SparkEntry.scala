@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{FinQueries, LlmQueries}
+import graft.queries.{EventQueries, FinQueries, LlmQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -17,10 +17,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2, plus the
     * LLM-training-data operators (dedup / similarity / text / multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    FinQueries.queries ++ LlmQueries.queries
+    FinQueries.queries ++ LlmQueries.queries ++ EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    FinQueries.oracleSql ++ LlmQueries.oracleSql
+    FinQueries.oracleSql ++ LlmQueries.oracleSql ++ EventQueries.oracleSql
 }

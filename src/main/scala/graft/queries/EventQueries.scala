@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Events
+
+/** Driver-contract queries for the event-stream operators (batch forms of
+  * the streaming computations — SURVEY §2.6 adjacency). */
+object EventQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling event-time windows
+    "q_ev_window_hour" -> ((s, dir) =>
+      Events.windowedAgg(Tpch.read(s, dir, "events"), "1 hour")
+        .orderBy("window_start", "event_type")),
+
+    // Gap-based sessionization (30-minute inactivity gap)
+    "q_ev_sessions" -> ((s, dir) =>
+      Events.sessionize(Tpch.read(s, dir, "events"), 30)
+        .orderBy("user_id", "session_no"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_ev_window_hour" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS cnt,
+        |  CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_ev_sessions" ->
+      """WITH o AS (SELECT user_id, event_id, ts, value,
+        |             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |           FROM events),
+        |s AS (SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |                     THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_new
+        |      FROM o),
+        |n AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        |      FROM s)
+        |SELECT user_id, session_no,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM n GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin
+  )
+}

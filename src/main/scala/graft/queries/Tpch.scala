@@ -29,7 +29,17 @@ object Tpch {
     20 -> "ZA", 21 -> "AR", 22 -> "CL", 23 -> "EG", 24 -> "KE")
 
   def read(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+    if (table == "events") readEvents(spark, sfDir) else
+      spark.read.parquet(s"$sfDir/$table.parquet")
+
+  /** The events table stores ns-precision timestamps, which Spark 4 refuses
+    * to read as TimestampType; read them as raw longs and truncate to µs with
+    * integer division (ns epochs exceed 2^53 — never via doubles). */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
 
   /**
    * Orders as canonical transactions. The two dimension joins (nation, the

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.Events
+import graft.streaming.EventStream
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, Long, String, Double)*) =
+    rows.toDF("event_id", "ts0", "user_id", "event_type", "value")
+      .select($"event_id", to_timestamp($"ts0").as("ts"), $"user_id", $"event_type", $"value",
+        lit("{}").as("props"))
+
+  test("sessionize: gap strictly greater than the threshold starts a new session") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", 7L, "view", 1.0),
+      (2L, "2024-01-01 10:30:00", 7L, "view", 2.0),  // gap == 30min → same session
+      (3L, "2024-01-01 11:00:01", 7L, "view", 3.0),  // gap 30m01s → new session
+      (4L, "2024-01-01 12:00:00", 8L, "view", 4.0))  // other user
+    val out = Events.sessionize(df, 30)
+      .orderBy("user_id", "session_no")
+      .select("user_id", "session_no", "n_events", "total_value")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((7L, 1L, 2L, 3.0), (7L, 2L, 1L, 3.0), (8L, 1L, 1L, 4.0)))
+  }
+
+  test("windowedAgg: tumbling hour windows with money-exact totals") {
+    val df = ev(
+      (1L, "2024-01-01 10:05:00", 1L, "view", 1.10),
+      (2L, "2024-01-01 10:55:00", 1L, "view", 2.20),
+      (3L, "2024-01-01 11:05:00", 1L, "click", 5.00))
+    val out = Events.windowedAgg(df, "1 hour")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", "view", 2L, 3.30),
+      ("2024-01-01 11:00:00.0", "click", 1L, 5.00)))
+  }
+
+  test("streaming windowedAgg: watermark finalizes past windows in append mode") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val stream = ms.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.windowedAgg(stream, "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("ev_stream_out").outputMode("append").start()
+    try {
+      ms.addData((ts("2024-01-01 10:05:00"), "view", 1.0), (ts("2024-01-01 10:20:00"), "view", 2.0))
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 13:00:00"), "view", 4.0)) // advances watermark to 12:00
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 13:30:00"), "view", 8.0)) // triggers emission of hour-10 window
+      q.processAllAvailable()
+      val rows = spark.table("ev_stream_out")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getDouble(3)))
+      assert(rows.contains(("2024-01-01 10:00:00.0", 2L, 3.0)))
+      // the 13:00 window is not final yet — append mode must not have emitted it
+      assert(!rows.exists(_._1.startsWith("2024-01-01 13:")))
+    } finally q.stop()
+  }
+}
