@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
  * on unit vectors is ~10^-6, far below any ranking-relevant margin; ties are
  * broken by vector id.
  *
+ * The scoring kernel is the native codegen'd expression
+ * [[graft.expressions.QuantizedDot]] (`quantized_dot`), installed by
+ * [[graft.GraftExtensions]] — the composed `aggregate(zip_with(...))` form is
+ * semantically identical but runs interpreted (higher-order functions don't
+ * codegen) and measures ~4× slower; it is kept here as [[intDot]] for
+ * cross-checking.
+ *
  * Scale design:
  *  - [[bruteForceTopK]] is the exact baseline: a broadcast of the (small)
  *    query set against the corpus — one pass, no shuffle of the corpus, a
@@ -31,17 +38,19 @@ object Similarity {
   /** Quantization scale: 6 decimal digits of a unit-vector component. */
   val Scale: Double = 1e6
 
-  /** `array<float>` → `array<long>` quantized components. */
+  /** Native codegen'd quantized dot product (requires
+    * [[graft.GraftExtensions.register]] on the session). */
+  def dotQ(a: Column, b: Column): Column =
+    call_function("quantized_dot", a, b)
+
+  /** `array<float>` → `array<long>` quantized components (slow-path util). */
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x * Scale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Interpreted reference implementation of the quantized dot product —
+    * same integers as [[dotQ]]; used to cross-check the native expression. */
   def intDot(qa: Column, qb: Column): Column =
     aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-
-  /** Squared L2 norm (integer) of a quantized vector. */
-  def intNormSq(q: Column): Column =
-    aggregate(transform(q, x => x * x), lit(0L), (acc, v) => acc + v)
 
   /** Cosine similarity from integer dot/norms (single double ops at the end). */
   def cosine(dot: Column, normSqA: Column, normSqB: Column): Column =
@@ -57,10 +66,9 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame = {
     val scored = corpus
-      .select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("q"))
-      .join(broadcast(
-        queries.select(col(qIdCol).as("qid"), quantize(col(qVecCol)).as("qq"))))
-      .select(col("qid"), col("vec_id"), intDot(col("q"), col("qq")).as("dot"))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(broadcast(queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"))))
+      .select(col("qid"), col("vec_id"), dotQ(col("v"), col("qv")).as("dot"))
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -73,20 +81,17 @@ object Similarity {
    * `w[j][d] = ((1103515245·(j·dims+d) + 12345) mod 65536) − 32768` (an LCG
    * over the flattened index — reproducible anywhere, no RNG state).
    * Vectors in the same bucket are cosine-close with high probability.
+   *
+   * Weights ride as float literal arrays through [[dotQ]]: they are integers
+   * ≤ 2^15 so `floor(w·10^6) = w·10^6` exactly, which scales every dot by
+   * 10^6 — sign-invariant, so the signature is unchanged.
    */
   def srpSignature(vec: Column, nBits: Int, dims: Int): Column = {
-    val q = quantize(vec)
     val bitCols = (0 until nBits).map { j =>
-      // hyperplane weights are constants — precompute them driver-side so the
-      // per-row work is one zip_with/aggregate over literal values, not an
-      // LCG re-evaluation per element per row
       val weights = array((0 until dims).map { d =>
-        lit((1103515245L * (j.toLong * dims + d) + 12345L) % 65536L - 32768L)
+        lit(((1103515245L * (j.toLong * dims + d) + 12345L) % 65536L - 32768L).toFloat)
       }: _*)
-      val dot = aggregate(
-        zip_with(q, weights, (x, w) => x * w),
-        lit(0L), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+      when(dotQ(vec, weights) > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }
@@ -101,34 +106,34 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val sig = emb.select(
       col(idCol).as("vec_id"),
-      quantize(col(vecCol)).as("q"),
+      col(vecCol).as("v"),
       srpSignature(col(vecCol), nBits, dims).as("bucket"))
-    val a = sig.select(col("bucket"), col("vec_id").as("id_a"), col("q").as("q_a"))
-    val b = sig.select(col("bucket"), col("vec_id").as("id_b"), col("q").as("q_b"))
+    val a = sig.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"))
+    val b = sig.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"))
     a.join(b, "bucket")
       .where(col("id_a") < col("id_b"))
       .select(
         col("id_a"), col("id_b"),
         cosine(
-          intDot(col("q_a"), col("q_b")),
-          intNormSq(col("q_a")), intNormSq(col("q_b"))).as("cos"))
+          dotQ(col("v_a"), col("v_b")),
+          dotQ(col("v_a"), col("v_a")),
+          dotQ(col("v_b"), col("v_b"))).as("cos"))
       .where(col("cos") >= threshold)
   }
 
   /**
    * IVF coarse assignment: each vector goes to the centroid with the largest
    * dot product (ties → smaller centroid id). `centroids` must be small
-   * (broadcast). Returns `(vec_id, cell, dot)`.
+   * (broadcast). Returns `(vec_id, cell, cdot)`.
    */
   def ivfAssign(
       emb: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       cIdCol: String = "cid", cVecCol: String = "cvec"): DataFrame = {
     val scored = emb
-      .select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("q"))
-      .join(broadcast(
-        centroids.select(col(cIdCol).as("cid"), quantize(col(cVecCol)).as("cq"))))
-      .select(col("vec_id"), col("cid"), intDot(col("q"), col("cq")).as("cdot"))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(broadcast(centroids.select(col(cIdCol).as("cid"), col(cVecCol).as("cv"))))
+      .select(col("vec_id"), col("cid"), dotQ(col("v"), col("cv")).as("cdot"))
     scored
       .groupBy("vec_id")
       .agg(min_by(struct(col("cid"), col("cdot")), struct(negate(col("cdot")), col("cid"))).as("best"))
@@ -146,17 +151,17 @@ object Similarity {
     val cells = ivfAssign(emb, centroids, idCol, vecCol)
       .select(col("vec_id"), col("cell"))
     val corpus = emb
-      .select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("q"))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .join(cells, "vec_id")
     val qcells = queries
-      .select(col("qid"), quantize(col("qvec")).as("qq"))
+      .select(col("qid"), col("qvec").as("qv"))
       .join(
         broadcast(ivfAssign(queries.select(col("qid").as("vec_id"), col("qvec").as("embedding")), centroids)
           .select(col("vec_id").as("qid"), col("cell"))),
         "qid")
     val scored = corpus
       .join(broadcast(qcells), "cell")
-      .select(col("qid"), col("vec_id"), intDot(col("q"), col("qq")).as("dot"))
+      .select(col("qid"), col("vec_id"), dotQ(col("v"), col("qv")).as("dot"))
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

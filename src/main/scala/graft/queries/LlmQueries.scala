@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.GraftExtensions
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 
 /**
@@ -157,6 +158,7 @@ object LlmQueries {
 
     // Brute-force exact top-k cosine (integer-quantized dot products)
     "q_sim_topk_brute" -> ((s, dir) => {
+      GraftExtensions.register(s)
       val e = emb(s, dir)
       val queries = e.where(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -167,6 +169,7 @@ object LlmQueries {
 
     // IVF: coarse-quantize to the 8 leading vectors, probe the query's cell
     "q_sim_ivf" -> ((s, dir) => {
+      GraftExtensions.register(s)
       val e = emb(s, dir)
       val centroids = e.where(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
@@ -178,9 +181,11 @@ object LlmQueries {
     }),
 
     // SRP-LSH bucketed near-duplicate vectors on planted exact dups
-    "q_embed_neardup" -> ((s, dir) =>
+    "q_embed_neardup" -> ((s, dir) => {
+      GraftExtensions.register(s)
       Similarity.srpNearDuplicates(embWithDups(s, dir), nBits = 8, dims = 64, threshold = 0.99)
-        .orderBy("id_a", "id_b")),
+        .orderBy("id_a", "id_b")
+    }),
 
     // Multimodal plumbing: documents as binary assets → stub feature extract
     "q_mm_features" -> ((s, dir) => {

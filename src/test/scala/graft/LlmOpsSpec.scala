@@ -62,6 +62,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.values.forall(v => v >= 0 && v < (1L << 32)))
   }
 
+  test("QuantizedDot: native expression matches the interpreted zip_with form") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(16)(d => (math.sin(i * 16 + d) * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" === 7).select($"embedding".as("qv"))
+    val both = vecs.join(q)
+      .select(
+        Similarity.dotQ($"embedding", $"qv").as("native"),
+        Similarity.intDot(
+          Similarity.quantize($"embedding"), Similarity.quantize($"qv")).as("interp"))
+    assert(both.where($"native" =!= $"interp").isEmpty)
+    // wrong input type is an analysis-time error, not a runtime surprise
+    val err = intercept[Exception] {
+      Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
+        .select(Similarity.dotQ($"a", $"b")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("quantized_dot"))
+  }
+
   test("Similarity: quantized dot products are exact; top-1 is self") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 0),
