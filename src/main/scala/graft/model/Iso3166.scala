@@ -14,8 +14,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * "unknown ⇒ not counted / not resolvable" effect with an inner join, which drops
  * unknown codes instead of aborting — at 100 TB a single bad row must never kill a job.
  *
- * Names follow the ISO-3166 short names as published by the standard (the same list
- * pycountry ships); only codes appearing in data ever matter to results.
+ * Names are ASCII-folded ISO-3166 short names (e.g. "Turkiye", "Cote d'Ivoire",
+ * "Reunion" without diacritics, and common short forms "Bolivia"/"Venezuela") —
+ * a deliberate divergence from pycountry's `.name`, which keeps diacritics and
+ * official long forms for a handful of countries. Output strings differ from the
+ * reference for those entries; only codes appearing in data ever matter to results.
  */
 object Iso3166 {
 
