@@ -132,6 +132,40 @@ object Dedup {
   }
 
   /**
+   * Blocked near-duplicate detection without LSH: documents are compared only
+   * within a block (e.g. (lang, source, length-bucket)), and candidate pairs
+   * are generated by a shingle-to-shingle equi-join on (block, shingle) —
+   * pairs sharing zero shingles have Jaccard 0 and can never pass a positive
+   * threshold, so they are never materialized at all (vs. a block-wide pair
+   * cross product). Returns pairs with exact Jaccard ≥ `threshold`.
+   */
+  def blockedNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String, blockCols: Seq[String],
+      shingle: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0, "a zero threshold would require the full pair cross product")
+    val bc = blockCols.map(col)
+    val sh = df.select(
+      (bc :+ col(idCol).as("id") :+
+        explode(array_distinct(TextOps.wordShingles(col(textCol), shingle))).as("sh")): _*)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.select((bc :+ col("id").as("id_a") :+ col("sh")): _*)
+      .join(
+        sh.select((bc :+ col("id").as("id_b") :+ col("sh")): _*),
+        blockCols :+ "sh")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /**
    * End-to-end MinHash-LSH near-dup detection: signatures → bands → candidate
    * pairs → Jaccard verification ≥ `threshold`.
    */

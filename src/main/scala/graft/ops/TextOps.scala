@@ -23,6 +23,19 @@ object TextOps {
   /** Token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword segmentation: letter runs, digit runs, and single
+    * punctuation marks (the pre-tokenization split every BPE vocabulary
+    * starts from). ASCII-only char classes so the regex behaves identically
+    * across engines. */
+  val SubwordPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def subwordTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(SubwordPattern), lit(0))
+
+  /** Subword token count — the cheap proxy for "how many BPE tokens will
+    * this document cost" used when budgeting a training corpus. */
+  def subwordCount(text: Column): Column = size(subwordTokens(text))
+
   /**
    * Word n-gram shingles (default 3). Input with fewer than `n` tokens yields
    * an empty array (guarded — `sequence` would otherwise throw on a negative

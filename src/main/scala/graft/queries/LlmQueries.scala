@@ -111,18 +111,11 @@ object LlmQueries {
     // no LSH — candidate cost ∝ block sizes, never all-pairs)
     "q_dedup_jaccard_blocked" -> ((s, dir) => {
       val d = docsWithNearDups(s, dir)
-      val keyed = d.select(
-        col("lang"), col("source"),
-        floor(col("n_chars") / 100).as("len_bucket"),
-        col("doc_id"), col("text"))
-      val blockKeys = Seq("lang", "source", "len_bucket")
-      val pairs = keyed.select(col("lang"), col("source"), col("len_bucket"), col("doc_id").as("id_a"))
-        .join(keyed.select(col("lang"), col("source"), col("len_bucket"), col("doc_id").as("id_b")),
-          blockKeys)
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-      Dedup.verifyJaccard(pairs, d, "doc_id", "text", minJaccard = 0.35)
-        .where(col("jaccard") >= 0.35)
+        .withColumn("len_bucket", floor(col("n_chars") / 100))
+      Dedup.blockedNearDuplicates(
+          d, "doc_id", "text",
+          blockCols = Seq("lang", "source", "len_bucket"),
+          shingle = 3, threshold = 0.35)
         .orderBy("id_a", "id_b")
     }),
 
@@ -132,10 +125,13 @@ object LlmQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
-    // Token counting
+    // Token counting: whitespace tokens + BPE-ish subword segments
     "q_text_tokens" -> ((s, dir) =>
       docs(s, dir)
-        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+        .select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.subwordCount(col("text")).as("n_subwords"))
         .orderBy("doc_id")),
 
     // Quality signals (length / word stats / stopword ratio)
@@ -250,7 +246,8 @@ object LlmQueries {
         |FROM votes GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q_text_tokens" ->
-      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_quality" -> {
