@@ -183,6 +183,16 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Multimodal frame fan-out: one asset row → N "frame" rows (posexplode),
+    // the exact shape a real video frame extractor produces
+    "q_mm_frames" -> ((s, dir) => {
+      val assets = Multimodal.asAsset(
+        col("doc_id"), lit("video"), col("text"), col("source"))(docs(s, dir))
+      Multimodal.sampleFrames(assets, stride = 64, frameBytes = 16)
+        .select(col("asset_id"), col("frame_no"), md5(col("frame_payload")).as("frame_md5"))
+        .orderBy("asset_id", "frame_no")
+    }),
+
     // Multimodal plumbing: documents as binary assets → stub feature extract
     "q_mm_features" -> ((s, dir) => {
       val assets = Multimodal.asAsset(
@@ -354,6 +364,14 @@ object LlmQueries {
          |         JOIN norm na ON na.vec_id = p.id_a
          |         JOIN norm nb ON nb.vec_id = p.id_b)
          |SELECT id_a, id_b, cos FROM cosv WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_mm_frames" ->
+      """SELECT asset_id, CAST(i - 1 AS INT) AS frame_no,
+        |  md5(substr(text, CAST((i - 1) * 64 + 1 AS INT), 16)) AS frame_md5
+        |FROM (SELECT doc_id AS asset_id, text,
+        |        unnest(range(1, greatest(1, length(text) // 64) + 1)) AS i
+        |      FROM documents)
+        |ORDER BY asset_id, frame_no""".stripMargin,
 
     "q_mm_features" ->
       """SELECT doc_id AS asset_id, 'image' AS modality, source,

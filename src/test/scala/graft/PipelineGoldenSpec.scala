@@ -89,6 +89,34 @@ class PipelineGoldenSpec extends SparkSpec {
       ("3", "3012"), ("3", "3008"), ("3", "3005")))
   }
 
+  test("golden: multi-month history drives previous-month selection and an Up trend") {
+    // History: the same statements shifted to 202410 (amounts ×0.25) and
+    // 202411 (×0.5) — monthly totals strictly increase into 202412.
+    def shifted(months: Int, scale: Double) = statement
+      .withColumn("yearMonth", date_format(add_months(to_date(concat($"yearMonth", lit("01")), "yyyyMMdd"), -months), "yyyyMM"))
+      .withColumn("date", add_months($"date", -months))
+      .withColumn("amount", ($"amount" * scale).cast("decimal(12,2)"))
+      .withColumn("id", concat($"id", lit(s"_m$months")))
+    val hist = shifted(2, 0.25).unionByName(shifted(1, 0.5))
+    val dir = tmpDir("stmts_multi")
+    FinOps.writeStatements(FinOps.toStatementItems(hist), dir)
+
+    val loaded = FinancialPipeline.loadHistory(spark, dir)
+    assert(loaded.count() == 72) // 2 months × 36 rows round-tripped
+    val res = FinancialPipeline.analyze(statement, loaded, spark)
+
+    // trend: three strictly increasing months per user
+    val trend = res.trend.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(trend == Map("1" -> "Up", "2" -> "Up", "3" -> "Up"))
+
+    // previous-month selection picks exactly the 202411 rows
+    val prev = res.previousMonth
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val expected = FinOps.spendingByCategory(shifted(1, 0.5), Seq("userId"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(prev == expected && prev.nonEmpty)
+  }
+
   test("golden: report assembly carries all components as one row per user-month") {
     val res = FinancialPipeline.analyze(statement, emptyHist, spark)
     val report = FinancialPipeline.assembleReport(statement, res)
