@@ -57,9 +57,7 @@ object Dedup {
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, shingle: Int = 3): DataFrame = {
-    val shingled = df
-      .select(col(idCol).as("id"),
-        explode(array_distinct(TextOps.wordShingles(col(textCol), shingle))).as("sh"))
+    val shingled = TextOps.explodedShingles(df, idCol, textCol, shingle)
       .withColumn("h", TextOps.hash32(col("sh")))
     val mins = (0 until numHashes).map(i => min(affine(i, col("h"))).as(s"mh_$i"))
     shingled.groupBy("id").agg(mins.head, mins.tail: _*)
@@ -101,9 +99,7 @@ object Dedup {
   def verifyJaccard(
       pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
       shingle: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    val sh = df.select(
-      col(idCol).as("id"),
-      explode(array_distinct(TextOps.wordShingles(col(textCol), shingle))).as("sh"))
+    val sh = TextOps.explodedShingles(df, idCol, textCol, shingle)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     // Size prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose set
     // sizes are more than a 1/minJaccard factor apart cannot pass — prune
@@ -144,9 +140,7 @@ object Dedup {
       shingle: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0, "a zero threshold would require the full pair cross product")
     val bc = blockCols.map(col)
-    val sh = df.select(
-      (bc :+ col(idCol).as("id") :+
-        explode(array_distinct(TextOps.wordShingles(col(textCol), shingle))).as("sh")): _*)
+    val sh = TextOps.explodedShingles(df, idCol, textCol, shingle, blockCols)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.select((bc :+ col("id").as("id_a") :+ col("sh")): _*)
       .join(

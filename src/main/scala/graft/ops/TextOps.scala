@@ -40,14 +40,38 @@ object TextOps {
    * Word n-gram shingles (default 3). Input with fewer than `n` tokens yields
    * an empty array (guarded — `sequence` would otherwise throw on a negative
    * range).
+   *
+   * PERF: pass an already-projected tokens COLUMN (an attribute) via
+   * [[wordShinglesFromTokens]] on hot paths — handing this a raw `text`
+   * expression makes every `element_at` re-evaluate the split inside the
+   * (interpreted) lambda, ~n·tokens splits per row. [[explodedShingles]]
+   * does the projection correctly.
    */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val ts = tokens(text)
+  def wordShingles(text: Column, n: Int = 3): Column =
+    wordShinglesFromTokens(tokens(text), n)
+
+  /** Shingles from a pre-computed tokens array column. */
+  def wordShinglesFromTokens(ts: Column, n: Int): Column =
     when(size(ts) < n, array().cast("array<string>"))
       .otherwise(
         transform(
           sequence(lit(1), size(ts) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j)): _*)))
+
+  /**
+   * Distinct word shingles, exploded: `(extra..., id, sh)` rows. Tokens are
+   * materialized into their own projection first so the shingle lambda
+   * references an attribute, not a re-evaluated split (the projection
+   * boundary survives CollapseProject because the reference is non-cheap and
+   * multiply-used).
+   */
+  def explodedShingles(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      n: Int = 3, extraCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val extra = extraCols.map(col)
+    df.select((extra :+ col(idCol).as("id") :+ tokens(col(textCol)).as("_toks")): _*)
+      .select((extra :+ col("id") :+
+        explode(array_distinct(wordShinglesFromTokens(col("_toks"), n))).as("sh")): _*)
   }
 
   /** Stable 32-bit unsigned hash of a string: first 8 hex digits of md5,
@@ -78,8 +102,7 @@ object TextOps {
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       n: Int = 3): org.apache.spark.sql.DataFrame = {
     val base = df.select(col(idCol).as("id"), fingerprint(col(textCol)).as("fp"))
-    val msh = df
-      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("sh"))
+    val msh = explodedShingles(df, idCol, textCol, n)
       .groupBy("id")
       .agg(min(hash32(col("sh"))).as("min_shingle_hash"))
     base.join(msh, Seq("id"), "left")
