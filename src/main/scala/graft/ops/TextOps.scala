@@ -108,9 +108,14 @@ object TextOps {
     base.join(msh, Seq("id"), "left")
   }
 
-  /** Number of tokens of `text` that appear in `words`. */
+  /** Number of tokens of `text` that appear in `words`. Prefer
+    * [[markerHitsFromTokens]] with a materialized tokens column on hot paths
+    * (same split-duplication pitfall as [[wordShingles]]). */
   def markerHits(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(words: _*)))
+    markerHitsFromTokens(tokens(text), words)
+
+  def markerHitsFromTokens(ts: Column, words: Seq[String]): Column =
+    size(filter(ts, t => t.isin(words: _*)))
 
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Public knowledge (most-frequent function words). */
@@ -127,9 +132,12 @@ object TextOps {
    * A real pipeline would use character n-gram profiles; the operator shape
    * (per-language score columns → greatest/argmax) is the same.
    */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  /** [[langId]] over a materialized tokens column (hot-path variant). */
+  def langIdFromTokens(ts: Column): Column = {
     val scored = langMarkers.map { case (lang, words) =>
-      struct(markerHits(text, words).as("hits"), lit(lang).as("lang"))
+      struct(markerHitsFromTokens(ts, words).as("hits"), lit(lang).as("lang"))
     }
     // argmax by (hits desc, lang asc): array_max over (hits, reverse-lex lang)
     // is wrong for strings, so sort structs by (-hits, lang) and take the head.
@@ -155,14 +163,17 @@ object TextOps {
    * All divisions are single double ops (deterministic); callers threshold
    * on the components.
    */
-  def qualitySignals(text: Column): Seq[Column] = {
+  def qualitySignals(text: Column): Seq[Column] = qualitySignalsFromTokens(text, tokens(text))
+
+  /** [[qualitySignals]] over a materialized tokens column (hot-path variant). */
+  def qualitySignalsFromTokens(text: Column, ts: Column): Seq[Column] = {
     val nChars = length(text)
-    val nToks = tokenCount(text)
+    val nToks = size(ts)
     Seq(
       nChars.as("n_chars"),
       nToks.as("n_tokens"),
       // tokens are single-space separated: chars minus separators, per token
       ((nChars - (nToks - 1)).cast("double") / nToks).as("avg_word_len"),
-      (markerHits(text, qualityStopwords).cast("double") / nToks).as("stopword_ratio"))
+      (markerHitsFromTokens(ts, qualityStopwords).cast("double") / nToks).as("stopword_ratio"))
   }
 }

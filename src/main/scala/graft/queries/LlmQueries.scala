@@ -137,13 +137,15 @@ object LlmQueries {
     // Quality signals (length / word stats / stopword ratio)
     "q_text_quality" -> ((s, dir) =>
       docs(s, dir)
-        .select(col("doc_id") +: TextOps.qualitySignals(col("text")): _*)
+        .withColumn("_toks", TextOps.tokens(col("text")))
+        .select(col("doc_id") +: TextOps.qualitySignalsFromTokens(col("text"), col("_toks")): _*)
         .orderBy("doc_id")),
 
     // Language-ID heuristic (stopword profiles, deterministic tie-break)
     "q_text_langid" -> ((s, dir) =>
       docs(s, dir)
-        .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("predicted"))
+        .withColumn("_toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"), col("lang"), TextOps.langIdFromTokens(col("_toks")).as("predicted"))
         .orderBy("doc_id")),
 
     // Content fingerprints: normalized md5 + min-shingle rolling hash

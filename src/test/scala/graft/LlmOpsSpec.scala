@@ -41,6 +41,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(out((1L, 3L)) == 0.0)
   }
 
+  test("TextOps: subword tokenizer splits letter runs, digits and punctuation") {
+    val df = Seq("Hello, world42! x").toDF("text")
+      .select(TextOps.subwordTokens($"text").as("t"))
+    assert(df.collect()(0).getSeq[String](0) ==
+      Seq("hello", ",", "world", "42", "!", "x"))
+  }
+
+  test("Dedup: blocked near-dups find only same-block overlapping pairs") {
+    val docs = Seq(
+      (1L, "a b c d e f", "en"),
+      (2L, "a b c d e x", "en"),   // near-dup of 1, same block
+      (3L, "a b c d e f", "fr"),   // identical text but different block
+      (4L, "q r s t u v", "en")).toDF("doc_id", "text", "lang")
+    val out = Dedup.blockedNearDuplicates(docs, "doc_id", "text", Seq("lang"), threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L))) // 3 is blocked away, 4 shares nothing
+  }
+
   test("Dedup: minhash-LSH recovers a planted near-duplicate") {
     val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
     val docs = Seq(
