@@ -91,6 +91,39 @@ object FinancialPipeline {
   }
 
   /**
+   * S7/S8 data layer — the chart models the reference renders (pie of
+   * current vs previous category spend LF:175-222, monthly bar+line
+   * LF:283-308, recurring grouped bars LF:388-430, and the PDF's top-3 /
+   * flagged tables LF:315-387) as one long-format DataFrame:
+   * `(userId, chart, series, label, value)`. Rendering (PNG/PDF) is
+   * presentation and stays out of the engine; everything a renderer needs is
+   * here, including pie percentages.
+   */
+  def chartData(results: Results): DataFrame = {
+    def part(df: DataFrame, chart: String, series: Column, label: Column, value: Column) =
+      df.select(
+        col("userId"), lit(chart).as("chart"), series.as("series"),
+        label.as("label"), value.cast("double").as("value"))
+
+    val curPie = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("userId")
+      results.spendingByCategory
+        .withColumn("pct", col("total") / sum(col("total")).over(w) * 100)
+        .select(
+          col("userId"), lit("category_pie").as("chart"), lit("current").as("series"),
+          col("category").as("label"), col("pct").as("value"))
+    }
+    Seq(
+      part(results.previousMonth, "category_pie_prev", lit("previous"), col("category"), col("total")),
+      part(results.monthly, "monthly_trend", lit("total"), col("ym"), col("total")),
+      part(results.recurring, "recurring_ytd", lit("ytd"), col("vendor"), col("ytd_total")),
+      part(results.recurring, "recurring_ytd", lit("projected"), col("vendor"), col("projected")),
+      part(results.topHighValue, "top_high_value", lit("amount"), col("id"), col("amount")),
+      part(results.flagged, "flagged", col("risk_level"), col("transaction_id"), col("amount"))
+    ).foldLeft(curPie)(_ unionByName _)
+  }
+
+  /**
    * One batch run end-to-end (the body of `lambda_handler` minus AWS):
    * ingest → analyze against the statements table → write the report (JSON,
    * S6) → upsert the new statement items (S5, last-writer-wins per

@@ -117,6 +117,20 @@ class PipelineGoldenSpec extends SparkSpec {
     assert(prev == expected && prev.nonEmpty)
   }
 
+  test("golden: chart data carries every series the reference renders") {
+    val res = FinancialPipeline.analyze(statement, emptyHist, spark)
+    val charts = FinancialPipeline.chartData(res).cache()
+    val kinds = charts.select("chart").distinct().as[String].collect().toSet
+    assert(kinds == Set(
+      "category_pie", "category_pie_prev", "monthly_trend",
+      "recurring_ytd", "top_high_value", "flagged")
+      - "category_pie_prev") // no previous month in the cold scenario
+    // pie percentages sum to 100 per user
+    val pies = charts.where($"chart" === "category_pie")
+      .groupBy("userId").agg(round(sum($"value"), 6).as("s"))
+    assert(pies.collect().forall(_.getDouble(1) == 100.0))
+  }
+
   test("golden: report assembly carries all components as one row per user-month") {
     val res = FinancialPipeline.analyze(statement, emptyHist, spark)
     val report = FinancialPipeline.assembleReport(statement, res)
