@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale primitives: bucketed co-located joins and salted skew joins — the
+ * two shuffle-elimination/shuffle-balancing techniques the engine reaches for
+ * when AQE alone is not enough.
+ */
+object Scale {
+
+  /**
+   * Writes `df` as a bucketed, sorted managed table. Two tables bucketed the
+   * same way on the join key join WITHOUT an exchange (verified in
+   * `ScaleSpec` by asserting the plan has no Exchange) — at 100 TB this is
+   * the difference between re-shuffling the fact table on every statement
+   * batch and a purely local merge per bucket.
+   */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Co-located equi-join of two identically-bucketed tables. */
+  def bucketedJoin(
+      spark: SparkSession, left: String, right: String, key: String,
+      joinType: String = "inner"): DataFrame =
+    spark.table(left).join(spark.table(right), Seq(key), joinType)
+
+  /**
+   * Salted inner equi-join for a skewed key distribution: the (large, skewed)
+   * left side gets a random-but-deterministic salt derived from a uniqueness
+   * column; the right side is replicated `saltFactor` times. The hot key's
+   * rows spread over `saltFactor` reduce-partitions instead of one straggler
+   * task. Use when a specific known-skewed join resists AQE's runtime skew
+   * splitting (e.g. the skew is in the *aggregated* stage input).
+   *
+   * The salt is `hash32(uniqueCol) % saltFactor` — deterministic, so retries
+   * and re-runs produce identical partitioning.
+   */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      uniqueCol: String, saltFactor: Int): DataFrame = {
+    val salted = left.withColumn(
+      "_salt", (TextOps.hash32(col(uniqueCol).cast("string")) % saltFactor).cast("int"))
+    val replicated = right
+      .withColumn("_salt", explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /**
+   * Skew-aware per-key aggregation: two-phase (salt, key) partial →
+   * key-final. Hash aggregates already combine map-side, so this is only
+   * for aggregates whose partial state is large (e.g. `collect_list` of a
+   * hot user's transactions — the statements-table nest A2 under a whale
+   * user): phase one bounds any single task's state to ~1/saltFactor of the
+   * hot key.
+   */
+  def saltedCollectList(
+      df: DataFrame, key: String, uniqueCol: String, payload: Column,
+      saltFactor: Int): DataFrame =
+    df.withColumn(
+        "_salt",
+        (TextOps.hash32(col(uniqueCol).cast("string")) % saltFactor).cast("int"))
+      .groupBy(col(key), col("_salt"))
+      .agg(collect_list(payload).as("_part"))
+      .groupBy(col(key))
+      .agg(flatten(collect_list(col("_part"))).as("items"))
+}

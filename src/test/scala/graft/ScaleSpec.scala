@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Scale
+
+/** Bucketed co-located joins and salted skew handling. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    // a stale warehouse dir from a previous JVM survives the in-memory
+    // catalog — clear both
+    for (t <- Seq("bkt_a", "bkt_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    Scale.writeBucketed(a, "bkt_a", "k", 8)
+    Scale.writeBucketed(b, "bkt_b", "k", 8)
+    // force the non-broadcast path — bucketing is about avoiding the
+    // SHUFFLE when both sides are too big to broadcast
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.bucketedJoin(spark, "bkt_a", "bkt_b", "k")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan) // co-located
+      assert(plan.contains("Bucketed: true"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
+  test("salted join spreads a hot key and preserves the join result") {
+    // 10k rows of one hot key + a few cold keys, joined to a small dim
+    val left = ((1 to 10000).map(i => (1L, i.toLong)) ++ Seq((2L, 90001L), (3L, 90002L)))
+      .toDF("k", "row_id")
+    val dim = Seq((1L, "hot"), (2L, "cold2"), (3L, "cold3")).toDF("k", "name")
+    val out = Scale.saltedJoin(left, dim, "k", "row_id", saltFactor = 8)
+    assert(out.count() == 10002)
+    assert(out.where($"k" === 1 && $"name" =!= "hot").isEmpty)
+    // salts actually spread the hot key across partitionings
+    val salts = left.withColumn("_salt",
+      (graft.ops.TextOps.hash32($"row_id".cast("string")) % 8).cast("int"))
+      .where($"k" === 1).select("_salt").distinct().count()
+    assert(salts == 8)
+  }
+
+  test("salted collect_list equals the unsalted multiset") {
+    val df = (1 to 500).map(i => ("u1", i.toLong)) .toDF("k", "v")
+    val salted = Scale.saltedCollectList(df, "k", "v", col("v"), 4)
+      .select($"k", size($"items").as("n"))
+      .as[(String, Int)].collect()
+    assert(salted.toSeq == Seq(("u1", 500)))
+  }
+}
