@@ -413,8 +413,9 @@ object FinOps {
 
   /**
    * Writes statement items as a parquet table partitioned by `userId` so the
-   * keyed historical read (S4) is partition-pruned, with dynamic partition
-   * overwrite reproducing put-item last-writer-wins upsert semantics (LF:545).
+   * keyed historical read (S4) is partition-pruned. Dynamic partition
+   * overwrite — NOTE this replaces whole USER partitions; put-item semantics
+   * for an incremental batch are [[upsertStatements]].
    *
    * Partitioning by userId alone (not userId+yearMonth) bounds the partition
    * count; at 100 TB a per-user-month directory layout would be a small-files
@@ -427,6 +428,34 @@ object FinOps {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("userId")
       .parquet(path)
+
+  /**
+   * Put-item upsert (LF:545 last-writer-wins per `(userId, yearMonth)`):
+   * merges a batch of statement items into the table, replacing same-month
+   * items and preserving the user's other months. Only the affected users'
+   * partitions are read (pruned via the collected batch key set — bounded by
+   * batch size, never by table size) and rewritten.
+   */
+  /** True when `path` holds a non-empty table (an existing-but-empty
+    * directory — e.g. a fresh temp dir — counts as missing). */
+  def tableExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  def upsertStatements(items: DataFrame, path: String, spark: SparkSession): Unit = {
+    if (!tableExists(spark, path)) { writeStatements(items, path); return }
+    val affected = items.select("userId").distinct().collect().map(_.getString(0)).toSeq
+    val keep = spark.read.parquet(path)
+      .withColumn("userId", col("userId").cast("string"))
+      .where(col("userId").isin(affected: _*))
+      .join(items.select("userId", "yearMonth").distinct(), Seq("userId", "yearMonth"), "left_anti")
+    val merged = keep.select(items.columns.map(col): _*).unionByName(items).persist()
+    merged.count() // materialize fully before overwriting the files just read
+    writeStatements(merged, path)
+    merged.unpersist()
+  }
 
   /** Partition-pruned read of one user's history, flattened to rows. The
     * equality predicate on the partition column becomes a PartitionFilter —

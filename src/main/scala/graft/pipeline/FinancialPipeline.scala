@@ -140,21 +140,16 @@ object FinancialPipeline {
     hist.count()
     val results = analyze(statement, hist, spark)
     reportPath.foreach(p => assembleReport(statement, results).write.mode("append").json(p))
-    FinOps.writeStatements(FinOps.toStatementItems(statement), statementsPath)
+    FinOps.upsertStatements(FinOps.toStatementItems(statement), statementsPath, spark)
     results
   }
 
   /** Flattened full history from the statements table (empty frame with the
     * right schema when the table does not exist yet). */
   def loadHistory(spark: SparkSession, statementsPath: String): DataFrame = {
-    val exists = {
-      val p = new org.apache.hadoop.fs.Path(statementsPath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p)
-    }
     // Partition columns come back type-inferred (numeric-looking userIds
     // become ints); restore the canonical string key.
-    if (exists)
+    if (FinOps.tableExists(spark, statementsPath))
       FinOps.explodeStatements(
         spark.read.parquet(statementsPath)
           .withColumn("userId", col("userId").cast("string")))

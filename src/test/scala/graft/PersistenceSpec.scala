@@ -25,14 +25,22 @@ class PersistenceSpec extends SparkSpec {
     assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
   }
 
-  test("S5: dynamic partition overwrite = last-writer-wins per user-month") {
+  test("S5: upsert = last-writer-wins per user-MONTH, other months preserved") {
     val dir = tmpDir("stmts_lww")
-    FinOps.writeStatements(FinOps.toStatementItems(statement), dir)
-    // re-upload user 1 with only 5 transactions → item replaced, others intact
+    FinOps.upsertStatements(FinOps.toStatementItems(statement), dir, spark)
+    // user 1 also has a January statement on file
+    val jan = statement.where($"userId" === "1")
+      .withColumn("yearMonth", lit("202501"))
+      .withColumn("date", add_months($"date", 1))
+    FinOps.upsertStatements(FinOps.toStatementItems(jan), dir, spark)
+    // re-upload user 1's December with only 5 transactions → that month is
+    // replaced; January and the other users stay intact
     val smaller = statement.where($"userId" === "1").limit(5)
-    FinOps.writeStatements(FinOps.toStatementItems(smaller), dir)
+    FinOps.upsertStatements(FinOps.toStatementItems(smaller), dir, spark)
 
-    assert(FinOps.readUserHistory(spark, dir, "1").count() == 5)
+    val u1 = FinOps.readUserHistory(spark, dir, "1")
+    assert(u1.where(FinOps.ymOfDate($"date") === "202412").count() == 5)
+    assert(u1.where(FinOps.ymOfDate($"date") === "202501").count() == 12)
     assert(FinOps.readUserHistory(spark, dir, "2").count() == 12)
     assert(FinOps.readUserHistory(spark, dir, "3").count() == 12)
   }

@@ -31,5 +31,35 @@ class StreamingSpec extends SparkSpec {
 
     val table = spark.read.parquet(stmts)
     assert(table.count() == 3) // one nested item per user-month
+
+    // ---- second batch: a January statement for user 1 arrives later; the
+    // stream must resume from the checkpoint and analyze it against the
+    // state persisted by batch one (home country + average now exist).
+    val jan = spark.read.option("header", true).schema(graft.model.Transaction.csvSchema)
+      .csv(s"$ingest/user_1_new_statement202412.csv")
+      .withColumn("YearMonth", org.apache.spark.sql.functions.lit("202501"))
+    jan.write.option("header", true).mode("overwrite").csv(s"$ingest/batch2")
+    // move the files into the watched dir as new names
+    val fs = new java.io.File(s"$ingest/batch2").listFiles.filter(_.getName.endsWith(".csv"))
+    fs.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.move(f.toPath, java.nio.file.Paths.get(s"$ingest/jan_$i.csv"))
+    }
+
+    val q2 = StatementStream.start(spark, ingest, stmts, reports, ckpt)
+    q2.awaitTermination(120000L)
+
+    // state now holds 4 user-months; user 1 has two
+    val after = spark.read.parquet(stmts)
+      .withColumn("userId", org.apache.spark.sql.functions.col("userId").cast("string"))
+    assert(after.count() == 4)
+    assert(after.where("userId = '1'").count() == 2)
+
+    // the January report saw December history: flags are now selective
+    // (only the foreign DZ transaction), not all-12-rows like the cold batch
+    val reports2 = spark.read.json(reports)
+    val janRow = reports2.where("yearMonth = '202501'").collect()
+    assert(janRow.length == 1)
+    val flagged = janRow(0).getAs[scala.collection.Seq[Any]]("flagged_transactions")
+    assert(flagged.size == 1)
   }
 }
