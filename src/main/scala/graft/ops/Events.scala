@@ -31,6 +31,51 @@ object Events {
         sum(FinOps.money(col("value"))).cast("double").as("total"))
 
   /**
+   * Point-in-time (as-of) join: for every left row, the single latest right
+   * row of the same key with `right.time <= left.time` — the join that makes
+   * feature lookups leakage-free in a training pipeline.
+   *
+   * Spark has no ASOF join operator; the naive `left.ts >= right.ts`
+   * inequality join explodes to all-pairs-per-key. This implementation is the
+   * scalable union trick: tag both sides, sort each key's rows by
+   * `(time, side, tiebreak)` in ONE partitioned window, and carry the last
+   * non-null right payload forward — one shuffle by key, linear in
+   * |left| + |right|, no custom operator needed.
+   *
+   * `rightPayload` names the right columns to surface (nulls when nothing
+   * precedes); `rightTiebreak` must make right rows totally ordered within
+   * (key, time) ties or the carried row is not deterministic.
+   */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
+      rightPayload: Seq[String], rightTiebreak: Seq[String] = Nil): DataFrame = {
+    val rpay = struct(rightPayload.map(col): _*)
+    val rpayType = right.select(rpay.as("_rpay")).schema("_rpay").dataType
+    val lpay = struct(left.columns.map(col): _*)
+    val lpayType = left.select(lpay.as("_lpay")).schema("_lpay").dataType
+    val rtie = rightTiebreak.map(c => col(c).as(s"_tie_$c"))
+    val ltie = rightTiebreak.map(c => lit(null).cast(right.select(col(c)).schema.head.dataType).as(s"_tie_$c"))
+
+    val r = right.select(
+      (Seq(col(keyCol).as("_key"), col(timeCol).as("_ts"), lit(0).as("_side"),
+        rpay.as("_rpay"), lit(null).cast(lpayType).as("_lpay")) ++ rtie): _*)
+    val l = left.select(
+      (Seq(col(keyCol).as("_key"), col(timeCol).as("_ts"), lit(1).as("_side"),
+        lit(null).cast(rpayType).as("_rpay"), lpay.as("_lpay")) ++ ltie): _*)
+
+    val order = Seq(col("_ts").asc, col("_side").asc) ++
+      rightTiebreak.map(c => col(s"_tie_$c").asc_nulls_first)
+    val w = Window.partitionBy("_key").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("_asof", last(col("_rpay"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(
+        left.columns.map(c => col(s"_lpay.$c").as(c)) ++
+          rightPayload.map(c => col(s"_asof.$c").as(c)): _*)
+  }
+
+  /**
    * Gap-based sessionization (batch): a new session starts when the gap to
    * the user's previous event exceeds `gapMinutes`. Classic two-window
    * pattern — `lag` to detect boundaries, running sum to number sessions —

@@ -20,7 +20,22 @@ object EventQueries {
     // Gap-based sessionization (30-minute inactivity gap)
     "q_ev_sessions" -> ((s, dir) =>
       Events.sessionize(Tpch.read(s, dir, "events"), 30)
-        .orderBy("user_id", "session_no"))
+        .orderBy("user_id", "session_no")),
+
+    // Point-in-time join: each purchase matched to the user's latest prior view
+    "q_ev_asof" -> ((s, dir) => {
+      val ev = Tpch.read(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event"), col("value").as("view_value"),
+          col("ts").as("view_ts"))
+      Events.asOfJoin(purchases, views, "user_id", "ts",
+          rightPayload = Seq("view_event", "view_value", "view_ts"),
+          rightTiebreak = Seq("view_event"))
+        .orderBy("event_id")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -46,6 +61,14 @@ object EventQueries {
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM n GROUP BY user_id, session_no
-        |ORDER BY user_id, session_no""".stripMargin
+        |ORDER BY user_id, session_no""".stripMargin,
+
+    "q_ev_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, event_id AS view_event, value AS view_value, ts AS view_ts
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.ts, p.value, v.view_event, v.view_value, v.view_ts
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin
   )
 }

@@ -44,6 +44,26 @@ class EventOpsSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "click", 1L, 5.00)))
   }
 
+  test("asOfJoin: latest prior right row per key, null when nothing precedes") {
+    val purchases = ev(
+      (10L, "2024-01-01 09:00:00", 1L, "purchase", 5.0),  // before any view → null
+      (11L, "2024-01-01 10:30:00", 1L, "purchase", 6.0),  // after views A,B → B
+      (12L, "2024-01-01 10:05:00", 2L, "purchase", 7.0))  // other user → C
+      .select("event_id", "user_id", "ts", "value")
+    val views = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),  // A
+      (2L, "2024-01-01 10:10:00", 1L, "view", 0.0),  // B
+      (3L, "2024-01-01 10:05:00", 2L, "view", 0.0))  // C
+      .select($"user_id", $"ts", $"event_id".as("view_event"))
+    val out = Events.asOfJoin(purchases, views, "user_id", "ts",
+        rightPayload = Seq("view_event"), rightTiebreak = Seq("view_event"))
+      .orderBy("event_id")
+      .select("event_id", "view_event")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // purchase 12 at the SAME instant as view C matches it (ts >= semantics)
+    assert(out.toSeq == Seq((10L, -1L), (11L, 2L), (12L, 3L)))
+  }
+
   test("streaming windowedAgg: watermark finalizes past windows in append mode") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String, Double)]
