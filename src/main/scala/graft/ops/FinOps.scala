@@ -212,6 +212,21 @@ object FinOps {
       keys = Seq("userId"))
   }
 
+  /**
+   * Per-statement-month variant: one previous-month breakdown per
+   * `(userId, statement yearMonth)` group, matching the reference's
+   * per-group loop when one batch carries several months for a user
+   * (each group's report uses its OWN month, LF:495-502). Implemented as a
+   * broadcast-friendly join of the distinct statement keys onto `all`.
+   */
+  def previousMonthByStatement(all: DataFrame, cur: DataFrame): DataFrame = {
+    val targets = cur.select(col("userId"), col("yearMonth").as("target_ym")).distinct()
+    all.join(targets, Seq("userId"))
+      .where(ymOfDate(col("date")) === prevYearMonth(col("target_ym")))
+      .groupBy(col("userId"), col("target_ym"), col("category"))
+      .agg(sum(money(col("amount"))).cast("double").as("total"))
+  }
+
   // -------------------------------------------------------------------------
   // F1 / J2 — high-value transactions
   // -------------------------------------------------------------------------
@@ -233,13 +248,17 @@ object FinOps {
   // -------------------------------------------------------------------------
 
   /**
-   * Per-user top-K transactions by amount (LF:310-313), deterministic via the
-   * `(amount desc, id asc)` tie-break (reference relies on stable Python sort).
-   * Window + row_number plans as a partial top-K per partition under AQE; for
-   * the global (non-grouped) case Catalyst emits TakeOrderedAndProject.
+   * Per-group top-K transactions by amount (LF:310-313), deterministic via
+   * the `(amount desc, id asc)` tie-break (reference relies on stable Python
+   * sort). The reference's scope is one (user, month) statement group; pass
+   * `partitionCols = Seq("userId", "yearMonth")` for exact multi-month-batch
+   * fidelity. Spark plans a WindowGroupLimit (partial per-partition top-K
+   * before the shuffle), so this never sorts whole groups.
    */
-  def topHighValue(df: DataFrame, k: Int = 3): DataFrame = {
-    val w = Window.partitionBy("userId")
+  def topHighValue(
+      df: DataFrame, k: Int = 3,
+      partitionCols: Seq[String] = Seq("userId")): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
       .orderBy(col("amount").desc, col("id").asc)
     df.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

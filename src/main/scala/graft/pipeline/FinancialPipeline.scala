@@ -17,8 +17,19 @@ import graft.ops.FinOps
  */
 object FinancialPipeline {
 
-  /** All per-statement analytics, each keyed by userId (and month where
-    * applicable) — the engine-side results the report is assembled from. */
+  /**
+   * All per-statement analytics — the engine-side results the report is
+   * assembled from.
+   *
+   * Multi-month-batch semantics: previous-month and top-K are computed per
+   * `(userId, statement yearMonth)` group, exactly like the reference's
+   * per-group loop. The union-scoped analytics (recurring YTD, monthly
+   * trend) see ALL of the batch's months at once, where the reference —
+   * processing groups sequentially against a not-yet-updated table — would
+   * hide a user's sibling new months from each other. That order-dependent
+   * behavior is not reproducible set-based and the set-based result is the
+   * more useful one; documented divergence.
+   */
   final case class Results(
       flagged: DataFrame,          // F2+C1+C2+C3
       spendingByCategory: DataFrame, // A5 (current month)
@@ -45,11 +56,9 @@ object FinancialPipeline {
     Results(
       flagged = FinOps.flagRisky(cur, home, avg, spark),
       spendingByCategory = FinOps.spendingByCategory(cur),
-      previousMonth = FinOps.previousMonthSpending(
-        all.join(cur.groupBy("userId").agg(max("yearMonth").as("target_ym")), "userId"),
-        col("target_ym")),
+      previousMonth = FinOps.previousMonthByStatement(all, cur),
       highValue = FinOps.highValue(cur, avg),
-      topHighValue = FinOps.topHighValue(cur, 3),
+      topHighValue = FinOps.topHighValue(cur, 3, Seq("userId", "yearMonth")),
       recurring = recProjected,
       monthly = FinOps.monthlySpending(all),
       trend = FinOps.classifyTrend(FinOps.monthlySpending(all)))

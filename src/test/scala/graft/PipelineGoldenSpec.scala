@@ -111,10 +111,35 @@ class PipelineGoldenSpec extends SparkSpec {
 
     // previous-month selection picks exactly the 202411 rows
     val prev = res.previousMonth
+      .select("userId", "category", "total")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
     val expected = FinOps.spendingByCategory(shifted(1, 0.5), Seq("userId"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
     assert(prev == expected && prev.nonEmpty)
+  }
+
+  test("golden: a batch carrying two months for one user reports per month") {
+    // user 1's December statement plus a January statement in the SAME batch
+    val jan = statement.where($"userId" === "1")
+      .withColumn("yearMonth", lit("202501"))
+      .withColumn("date", add_months($"date", 1))
+      .withColumn("id", concat($"id", lit("_jan")))
+    val batch = statement.unionByName(jan)
+    val res = FinancialPipeline.analyze(batch, emptyHist, spark)
+
+    // top-K is per statement month: user 1 gets 3 + 3, others 3
+    val topCounts = res.topHighValue.groupBy("userId", "yearMonth").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(topCounts(("1", "202412")) == 3 && topCounts(("1", "202501")) == 3)
+    assert(topCounts(("2", "202412")) == 3)
+
+    // the January group's previous month is December (present in the batch)
+    val prevJan = res.previousMonth
+      .where($"userId" === "1" && $"target_ym" === "202501")
+      .collect().map(r => r.getAs[String]("category") -> r.getAs[Double]("total")).toMap
+    assert(prevJan("Groceries") == 160.0 && prevJan.size == 5)
+    // December has no previous month in a cold start
+    assert(res.previousMonth.where($"target_ym" === "202412").isEmpty)
   }
 
   test("golden: chart data carries every series the reference renders") {
