@@ -174,6 +174,17 @@ object Dedup {
   }
 
   /**
+   * Applies a near-duplicate pair set to the corpus: removes every `id_b`
+   * (pairs are emitted with `id_a < id_b`, so the smallest id of a duplicate
+   * chain survives — deterministic, and transitively safe because any later
+   * member pairs with an earlier one through the same bucket).
+   */
+  def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    df.join(
+      pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  /**
    * 32-bit SimHash sketch per document: each token's 32-bit hash votes
    * ±count on every bit position; the sketch keeps the sign. Documents
    * within a small Hamming distance are near-duplicates. Emitted as a long.

@@ -73,17 +73,21 @@ object FinOps {
   }
 
   /** The projection/coercion half of ingest (P1 + P2), usable on any frame
-    * that has the raw reference column names. */
+    * that has the raw reference column names. Coercions are try_-variants:
+    * under ANSI mode (Spark 4 default) a plain cast/to_date THROWS on a
+    * malformed value, which would reproduce the reference's
+    * one-bad-row-kills-the-load behavior (LF:84-85); here bad values become
+    * nulls that [[validateStatement]] quarantines. */
   def normalizeStatement(raw: DataFrame): DataFrame = {
     def c(name: String): Column = col(s"`transactions.$name`")
     raw.select(
       col("UserId").cast(StringType).as("userId"),
       col("YearMonth").cast(StringType).as("yearMonth"),
       c("id").as("id"),
-      to_date(c("date"), "yyyy-MM-dd").as("date"),
+      try_to_timestamp(c("date"), lit("yyyy-MM-dd")).cast("date").as("date"),
       c("vendor").as("vendor"),
       c("category").as("category"),
-      c("amount").cast(Transaction.MoneyType).as("amount"),
+      expr("try_cast(`transactions.amount` AS decimal(12,2))").as("amount"),
       c("currency").as("currency"),
       // LF:73: recurring = str.lower() == "true"
       (lower(c("recurring")) === "true").as("recurring"),
@@ -91,6 +95,26 @@ object FinOps {
       c("location").as("location"),
       c("description").as("description")
     )
+  }
+
+  /**
+   * Ingest policing: splits a normalized statement frame into
+   * `(valid, rejects)`. The reference aborts the entire load when any row is
+   * malformed (LF:84-85) — at scale one bad row must never kill a 100 TB
+   * batch, so invalid rows are quarantined with a reason instead. A row is
+   * invalid when any required field failed coercion (nulls from
+   * [[normalizeStatement]]) or the location is not `CC-…` shaped.
+   */
+  def validateStatement(df: DataFrame): (DataFrame, DataFrame) = {
+    val reason = when(col("userId").isNull, "missing userId")
+      .when(col("yearMonth").isNull || !col("yearMonth").rlike("^\\d{6}$"), "bad yearMonth")
+      .when(col("id").isNull, "missing id")
+      .when(col("date").isNull, "unparseable date")
+      .when(col("amount").isNull, "unparseable amount")
+      .when(col("location").isNull || !col("location").rlike("^[A-Z]{2}(-|$)"), "bad location")
+    val tagged = df.withColumn("_reject_reason", reason)
+    (tagged.where(col("_reject_reason").isNull).drop("_reject_reason"),
+      tagged.where(col("_reject_reason").isNotNull))
   }
 
   // -------------------------------------------------------------------------

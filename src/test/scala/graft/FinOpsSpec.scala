@@ -106,6 +106,30 @@ class FinOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("2", "Algeria")))
   }
 
+  test("S2: validateStatement quarantines bad rows instead of aborting the load") {
+    val raw = Seq(
+      ("1", "202412", "t1", "2024-12-01", "55.00", "true", "US-CA"),
+      ("1", "202412", "t2", "not-a-date", "10.00", "true", "US-CA"),
+      ("1", "202412", "t3", "2024-12-02", "oops", "false", "US-CA"),
+      ("1", "2024xx", "t4", "2024-12-03", "10.00", "false", "US-CA"),
+      ("1", "202412", "t5", "2024-12-04", "10.00", "false", "narnia"))
+      .toDF("UserId", "YearMonth", "id0", "date0", "amount0", "rec0", "loc0")
+      .select(
+        col("UserId"), col("YearMonth"),
+        col("id0").as("transactions.id"), col("date0").as("transactions.date"),
+        lit("v").as("transactions.vendor"), lit("c").as("transactions.category"),
+        col("amount0").as("transactions.amount"), lit("USD").as("transactions.currency"),
+        col("rec0").as("transactions.recurring"), lit("t").as("transactions.type"),
+        col("loc0").as("transactions.location"), lit("d").as("transactions.description"))
+    val normalized = FinOps.normalizeStatement(raw)
+    val (valid, rejects) = FinOps.validateStatement(normalized)
+    assert(valid.select("id").as[String].collect().toSeq == Seq("t1"))
+    val reasons = rejects.select("id", "_reject_reason").as[(String, String)].collect().toMap
+    assert(reasons == Map(
+      "t2" -> "unparseable date", "t3" -> "unparseable amount",
+      "t4" -> "bad yearMonth", "t5" -> "bad location"))
+  }
+
   test("S2: ingest parses the BOM'd reference fixture with typed coercions") {
     val df = FinOps.ingestStatement(spark, "/root/reference/test_data/user_1_new_statement202412.csv")
     assert(df.count() == 12)

@@ -70,6 +70,14 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L)))
   }
 
+  test("Dedup: dropNearDuplicates keeps the smallest id of each duplicate chain") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicates(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L))
+  }
+
   test("Dedup: simhash is deterministic and identical for identical content") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta epsilon zeta"))
       .toDF("doc_id", "text")
