@@ -334,6 +334,22 @@ object FinOps {
         expr(s"(24 * _c + $monthsCol) DIV (2 * $monthsCol)").cast("double") / 100)
       .drop("_c")
 
+  /**
+   * Per-user running balance: cumulative money total ordered by
+   * `(date, id)` — the statement-view computation a real banking consumer of
+   * this engine asks for first. Exact decimal accumulation in a per-user
+   * window (ROWS frame, total order, no ties).
+   */
+  def runningBalance(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("userId")
+      .orderBy(col("date"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(
+      col("userId"), col("id"), col("date"),
+      col("amount").cast("double").as("amount"),
+      sum(money(col("amount"))).over(w).cast("double").as("balance"))
+  }
+
   // -------------------------------------------------------------------------
   // A7 — monthly spending
   // -------------------------------------------------------------------------

@@ -22,6 +22,15 @@ object EventQueries {
       Events.sessionize(Tpch.read(s, dir, "events"), 30)
         .orderBy("user_id", "session_no")),
 
+    // Exact interpolated percentiles per event type
+    "q_ev_percentiles" -> ((s, dir) =>
+      Tpch.read(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          percentile(col("value"), lit(0.5)).as("p50"),
+          percentile(col("value"), lit(0.9)).as("p90"))
+        .orderBy("event_type")),
+
     // Point-in-time join: each purchase matched to the user's latest prior view
     "q_ev_asof" -> ((s, dir) => {
       val ev = Tpch.read(s, dir, "events")
@@ -62,6 +71,10 @@ object EventQueries {
         |  CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM n GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
+
+    "q_ev_percentiles" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_ev_asof" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),

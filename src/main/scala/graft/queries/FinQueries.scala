@@ -240,6 +240,10 @@ object FinQueries {
         .orderBy("userId", "category")
     }),
 
+    // Running balance: per-user cumulative window (exact decimal)
+    "q_fin_running_balance" -> ((s, dir) =>
+      FinOps.runningBalance(tx(s, dir)).orderBy("userId", "date", "id")),
+
     // J4 — unionByName then re-aggregate (cur ∪ hist ≡ the whole table)
     "q_j4_union" -> ((s, dir) => {
       val t = tx(s, dir)
@@ -444,6 +448,13 @@ object FinQueries {
 
     "q_j4_union" ->
       s"""$cte SELECT userId, count(*) AS cnt, $moneySum AS total
-         |FROM tx GROUP BY userId ORDER BY userId""".stripMargin
+         |FROM tx GROUP BY userId ORDER BY userId""".stripMargin,
+
+    "q_fin_running_balance" ->
+      s"""$cte SELECT userId, id, date, CAST(amount AS DOUBLE) AS amount,
+         |  CAST(SUM(CAST(amount AS DECIMAL(18,2))) OVER (
+         |    PARTITION BY userId ORDER BY date, id
+         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS balance
+         |FROM tx ORDER BY userId, date, id""".stripMargin
   )
 }
