@@ -78,6 +78,21 @@ class FinOpsSpec extends SparkSpec {
       "short" -> "Not enough data", "older" -> "Stable"))
   }
 
+  test("O2: typed TrendAggregator agrees with the window-based classifier") {
+    val monthly = FinOps.monthlySpending(txRows(
+      (1 to 8).map(m => ("u1", f"2024$m%02d", m.toString, f"2024-$m%02d-10", "c", m * 10.0, false, "US-CA")) ++
+      (1 to 4).map(m => ("u2", f"2024$m%02d", s"b$m", f"2024-$m%02d-10", "c", 50.0 - m, false, "US-CA")) ++
+      Seq(("u3", "202401", "z1", "2024-01-10", "c", 5.0, false, "US-CA")): _*))
+    val fromWindow = FinOps.classifyTrend(monthly)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val fromAgg = monthly.as[(String, String, Double)]
+      .groupByKey(_._1)
+      .agg(graft.ops.TrendAggregator.toColumn.name("trend"))
+      .collect().toMap
+    assert(fromAgg == fromWindow)
+    assert(fromAgg == Map("u1" -> "Up", "u2" -> "Down", "u3" -> "Not enough data"))
+  }
+
   test("O1: top-k breaks amount ties by id ascending") {
     val df = txRows(
       ("u", "202401", "9", "2024-01-01", "c", 75.0, false, "US-CA"),
