@@ -411,8 +411,13 @@ object FinOps {
    * (`avarage_amount`, `home_counter`, `categoty`, LF:133-137); we use correct
    * names.
    */
-  def flagRisky(cur: DataFrame, home: DataFrame, avgPerUser: DataFrame, spark: SparkSession): DataFrame = {
-    val resolved = resolveCountry(cur, spark)
+  def flagRisky(cur: DataFrame, home: DataFrame, avgPerUser: DataFrame, spark: SparkSession): DataFrame =
+    flagRiskyResolved(resolveCountry(cur, spark), home, avgPerUser)
+
+  /** [[flagRisky]] over rows whose `country` is already resolved — lets a
+    * caller resolve current+historical rows in ONE pass and derive home/avg
+    * from the same frame (the flagship query does this; ~2× fewer scans). */
+  def flagRiskyResolved(resolved: DataFrame, home: DataFrame, avgPerUser: DataFrame): DataFrame = {
     val flagged = resolved
       .join(home, Seq("userId"), "left")
       .join(avgPerUser, Seq("userId"), "left")
