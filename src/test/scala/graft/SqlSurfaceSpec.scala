@@ -1,0 +1,29 @@
+package graft
+
+/** The engine's SQL entry point: views + native functions via spark.sql. */
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("registered views and native functions are usable from plain SQL") {
+    GraftCatalog.registerViews(spark, "/root/testdata/sf0.001")
+
+    // canonical transactions view
+    val totals = spark.sql(
+      """SELECT category, CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM transactions GROUP BY category ORDER BY category""".stripMargin)
+    assert(totals.count() == 3) // o_orderstatus domain
+
+    // native quantized_dot from SQL
+    val sims = spark.sql(
+      """SELECT a.vec_id, quantized_dot(a.embedding, b.embedding) AS dot
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = 0
+        |ORDER BY dot DESC LIMIT 3""".stripMargin).collect()
+    assert(sims.head.getLong(0) == 0L) // self-similarity ranks first
+    assert(sims.head.getLong(1) > 900000000000L)
+
+    // a financial analytic straight from SQL over the same view
+    val risky = spark.sql(
+      """WITH t AS (SELECT *, max(yearMonth) OVER (PARTITION BY userId) AS tym FROM transactions)
+        |SELECT count(*) FROM t WHERE yearMonth = tym""".stripMargin).collect()
+    assert(risky.head.getLong(0) > 0)
+  }
+}
