@@ -87,5 +87,5 @@ object QuantizedDot {
     null,
     "quantized_dot",
     "_FUNC_(a, b) - exact integer dot product of two float arrays under 1e6 quantization.",
-    "")
+    "", "", "", "", "", "", "built-in")
 }

@@ -51,7 +51,7 @@ object Events {
       rightPayload: Seq[String], rightTiebreak: Seq[String] = Nil): DataFrame = {
     val rpay = struct(rightPayload.map(col): _*)
     val rpayType = right.select(rpay.as("_rpay")).schema("_rpay").dataType
-    val lpay = struct(left.columns.map(col): _*)
+    val lpay = struct(left.columns.toIndexedSeq.map(col): _*)
     val lpayType = left.select(lpay.as("_lpay")).schema("_lpay").dataType
     val rtie = rightTiebreak.map(c => col(c).as(s"_tie_$c"))
     val ltie = rightTiebreak.map(c => lit(null).cast(right.select(col(c)).schema.head.dataType).as(s"_tie_$c"))
@@ -71,7 +71,7 @@ object Events {
       .withColumn("_asof", last(col("_rpay"), ignoreNulls = true).over(w))
       .where(col("_side") === 1)
       .select(
-        left.columns.map(c => col(s"_lpay.$c").as(c)) ++
+        left.columns.toIndexedSeq.map(c => col(s"_lpay.$c").as(c)) ++
           rightPayload.map(c => col(s"_asof.$c").as(c)): _*)
   }
 

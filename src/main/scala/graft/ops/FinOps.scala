@@ -515,7 +515,7 @@ object FinOps {
       .withColumn("userId", col("userId").cast("string"))
       .where(col("userId").isin(affected: _*))
       .join(items.select("userId", "yearMonth").distinct(), Seq("userId", "yearMonth"), "left_anti")
-    val merged = keep.select(items.columns.map(col): _*).unionByName(items).persist()
+    val merged = keep.select(items.columns.toIndexedSeq.map(col): _*).unionByName(items).persist()
     merged.count() // materialize fully before overwriting the files just read
     writeStatements(merged, path)
     merged.unpersist()
