@@ -242,6 +242,29 @@ object FinQueries {
         .orderBy("userId", "category")
     }),
 
+    // ROLLUP hierarchy: (userId, category) subtotals + per-user + grand
+    // total. Expressed via spark.sql — the Dataset rollup API trips Spark 4's
+    // ambiguous-self-join check on grouping columns over joined lineage.
+    "q_fin_rollup" -> ((s, dir) => {
+      tx(s, dir)
+        .select(col("userId"), col("category"), FinOps.money(col("amount")).as("m"))
+        .createOrReplaceTempView("graft_rollup_tx")
+      s.sql(
+        """SELECT userId, category, CAST(SUM(m) AS DOUBLE) AS total
+          |FROM graft_rollup_tx
+          |GROUP BY ROLLUP (userId, category)
+          |ORDER BY userId ASC NULLS FIRST, category ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // PIVOT: order-status categories to columns (explicit value set)
+    "q_fin_pivot" -> ((s, dir) =>
+      tx(s, dir)
+        .groupBy("userId")
+        .pivot("category", Seq("F", "O", "P"))
+        .agg(sum(FinOps.money(col("amount"))).cast("double"))
+        .na.fill(0d, Seq("F", "O", "P"))
+        .orderBy("userId")),
+
     // Running balance: per-user cumulative window (exact decimal)
     "q_fin_running_balance" -> ((s, dir) =>
       FinOps.runningBalance(tx(s, dir)).orderBy("userId", "date", "id")),
@@ -450,6 +473,18 @@ object FinQueries {
 
     "q_j4_union" ->
       s"""$cte SELECT userId, count(*) AS cnt, $moneySum AS total
+         |FROM tx GROUP BY userId ORDER BY userId""".stripMargin,
+
+    "q_fin_rollup" ->
+      s"""$cte SELECT userId, category, $moneySum AS total
+         |FROM tx GROUP BY ROLLUP (userId, category)
+         |ORDER BY userId ASC NULLS FIRST, category ASC NULLS FIRST""".stripMargin,
+
+    "q_fin_pivot" ->
+      s"""$cte SELECT userId,
+         |  COALESCE(CAST(SUM(CASE WHEN category = 'F' THEN CAST(amount AS DECIMAL(18,2)) END) AS DOUBLE), 0) AS F,
+         |  COALESCE(CAST(SUM(CASE WHEN category = 'O' THEN CAST(amount AS DECIMAL(18,2)) END) AS DOUBLE), 0) AS O,
+         |  COALESCE(CAST(SUM(CASE WHEN category = 'P' THEN CAST(amount AS DECIMAL(18,2)) END) AS DOUBLE), 0) AS P
          |FROM tx GROUP BY userId ORDER BY userId""".stripMargin,
 
     "q_fin_running_balance" ->
