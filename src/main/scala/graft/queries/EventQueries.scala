@@ -22,6 +22,20 @@ object EventQueries {
       Events.sessionize(Tpch.read(s, dir, "events"), 30)
         .orderBy("user_id", "session_no")),
 
+    // JSON property extraction + aggregation over the semi-structured column
+    "q_ev_props_json" -> ((s, dir) =>
+      Tpch.read(s, dir, "events")
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(col("k")).as("n"),
+          sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"))
+        .orderBy("event_type")),
+
     // Exact interpolated percentiles per event type
     "q_ev_percentiles" -> ((s, dir) =>
       Tpch.read(s, dir, "events")
@@ -71,6 +85,12 @@ object EventQueries {
         |  CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM n GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
+
+    "q_ev_props_json" ->
+      """SELECT event_type,
+        |  count(k) AS n, CAST(SUM(k) AS BIGINT) AS k_sum, min(k) AS k_min, max(k) AS k_max
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_ev_percentiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90
