@@ -466,6 +466,16 @@ object FinOps {
     df.groupBy("userId", "yearMonth")
       .agg(collect_list(struct(Transaction.nestedFields.map(col): _*)).as("transactions"))
 
+  /** [[toStatementItems]] with the reference's exact item field names —
+    * `txType` emitted as `"type"` (the DynamoDB item key, LF:458) — for
+    * byte-compatible exports to a consumer of the original format. */
+  def toStatementItemsRefCompat(df: DataFrame): DataFrame =
+    df.groupBy("userId", "yearMonth")
+      .agg(collect_list(struct(Transaction.nestedFields.map {
+        case "txType" => col("txType").as("type")
+        case f => col(f)
+      }: _*)).as("transactions"))
+
   /** Flattens statement items back to transaction rows (the reference's
     * history read concatenates each item's list — LF:40-49 — i.e. explode). */
   def explodeStatements(items: DataFrame): DataFrame =

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Events, FinOps, Similarity}
+
+/** Degenerate-input behavior: empty frames, too-short documents, single
+  * members — the inputs a 100 TB pipeline will definitely contain. */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("empty inputs produce empty (not failing) results across operators") {
+    val emptyTx = Seq.empty[(String, String, String, java.sql.Date, String, String,
+      java.math.BigDecimal, String, Boolean, String, String, String)]
+      .toDF(graft.model.Transaction.schema.fieldNames.toIndexedSeq: _*)
+    assert(FinOps.spendingByCategory(emptyTx).isEmpty)
+    assert(FinOps.homeCountry(emptyTx, spark).isEmpty)
+    assert(FinOps.classifyTrend(
+      Seq.empty[(String, String, Double)].toDF("userId", "ym", "total")).isEmpty)
+    assert(FinOps.runningBalance(emptyTx).isEmpty)
+
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(Events.sessionize(emptyEv).isEmpty)
+    assert(Events.windowedAgg(emptyEv).isEmpty)
+  }
+
+  test("asOfJoin with an empty right side yields all-null payloads") {
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L))
+      .toDF("event_id", "ts", "user_id")
+    val right = Seq.empty[(Long, java.sql.Timestamp, Long)]
+      .toDF("view_event", "ts", "user_id")
+    val out = Events.asOfJoin(left, right, "user_id", "ts", Seq("view_event"))
+    val rows = out.collect()
+    assert(rows.length == 1 && rows(0).isNullAt(rows(0).fieldIndex("view_event")))
+  }
+
+  test("near-dup pipeline is a no-op on documents too short to shingle") {
+    val docs = Seq((1L, "one two"), (2L, "three")).toDF("doc_id", "text")
+    assert(Dedup.nearDuplicates(docs, "doc_id", "text").isEmpty)
+    assert(Dedup.minhashSignatures(docs, "doc_id", "text").isEmpty)
+  }
+
+  test("similarity ops behave on a single-vector corpus") {
+    val one = Seq((5L, Array(0.6f, 0.8f), 0)).toDF("vec_id", "embedding", "label")
+    val q = one.select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val top = Similarity.bruteForceTopK(one, q, 3).collect()
+    assert(top.length == 1 && top(0).getAs[Long]("vec_id") == 5L)
+    assert(Similarity.srpNearDuplicates(one, 8, 2, 0.5).isEmpty) // no pairs
+  }
+
+  test("ref-compatible statement items use the original 'type' field name") {
+    val stmt = FinOps.ingestStatement(
+      spark, "/root/reference/test_data/user_1_new_statement202412.csv")
+    val items = FinOps.toStatementItemsRefCompat(stmt)
+    val elem = items.schema("transactions").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(elem.fieldNames.contains("type") && !elem.fieldNames.contains("txType"))
+  }
+}
