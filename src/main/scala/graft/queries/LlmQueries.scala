@@ -185,6 +185,21 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Deterministic 10% corpus sample (hash-bucketed, reproducible anywhere)
+    "q_corpus_sample" -> ((s, dir) =>
+      graft.ops.Corpus.sampleDeterministic(docs(s, dir), "doc_id", 0.10)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    // Deterministic train/val/test split + per-split token budgets
+    "q_corpus_split" -> ((s, dir) =>
+      graft.ops.Corpus.withSplit(docs(s, dir), "doc_id")
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("tokens"))
+        .orderBy("split")),
+
     // Multimodal frame fan-out: one asset row → N "frame" rows (posexplode),
     // the exact shape a real video frame extractor produces
     "q_mm_frames" -> ((s, dir) => {
@@ -366,6 +381,23 @@ object LlmQueries {
          |         JOIN norm na ON na.vec_id = p.id_a
          |         JOIN norm nb ON nb.vec_id = p.id_b)
          |SELECT id_a, id_b, cos FROM cosv WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_corpus_sample" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 1000
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_split" ->
+      """SELECT split, count(*) AS docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |FROM (SELECT text,
+        |        CASE WHEN b < 8000 THEN 'train'
+        |             WHEN b < 9000 THEN 'validation'
+        |             ELSE 'test' END AS split
+        |      FROM (SELECT text,
+        |              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+        |            FROM documents))
+        |GROUP BY split ORDER BY split""".stripMargin,
 
     "q_mm_frames" ->
       """SELECT asset_id, CAST(i - 1 AS INT) AS frame_no,
