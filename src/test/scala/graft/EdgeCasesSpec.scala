@@ -49,6 +49,25 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Similarity.srpNearDuplicates(one, 8, 2, 0.5).isEmpty) // no pairs
   }
 
+  test("corpus sampling/splits: deterministic, partitioning, subset") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i words here")).toDF("doc_id", "text")
+    val s1 = graft.ops.Corpus.sampleDeterministic(docs, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val s2 = graft.ops.Corpus.sampleDeterministic(docs, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s1 == s2 && s1.nonEmpty && s1.size < 200) // stable, non-trivial
+    val split = graft.ops.Corpus.withSplit(docs, "doc_id")
+    assert(split.count() == 200) // labels partition the corpus exactly
+    assert(split.select("split").distinct().count() == 3)
+  }
+
+  test("determinism regression: the flagship query is run-to-run identical") {
+    val q = graft.queries.FinQueries.queries("q_flag_risky")
+    val a = q(spark, "/root/testdata/sf0.001").collect().map(_.toString).toSeq
+    val b = q(spark, "/root/testdata/sf0.001").collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("ref-compatible statement items use the original 'type' field name") {
     val stmt = FinOps.ingestStatement(
       spark, "/root/reference/test_data/user_1_new_statement202412.csv")
