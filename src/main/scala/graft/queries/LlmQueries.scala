@@ -269,7 +269,7 @@ object LlmQueries {
         |votes AS (SELECT id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS v
         |          FROM th, range(32) t(j) GROUP BY id, j)
         |SELECT id AS doc_id,
-        |       SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+        |       CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q_text_tokens" ->
@@ -325,7 +325,7 @@ object LlmQueries {
     "q_sim_topk_brute" ->
       s"""WITH ${compCte("comp", "embeddings")},
          |${compCte("qcomp", "(SELECT * FROM embeddings WHERE vec_id < 3)")},
-         |dots AS (SELECT q.vec_id AS qid, c.vec_id, SUM(q.q * c.q) AS dot
+         |dots AS (SELECT q.vec_id AS qid, c.vec_id, CAST(SUM(q.q * c.q) AS BIGINT) AS dot
          |         FROM qcomp q JOIN comp c ON c.d = q.d
          |         GROUP BY q.vec_id, c.vec_id)
          |SELECT qid, rank, vec_id, dot FROM (
@@ -345,7 +345,7 @@ object LlmQueries {
          |            FROM adot) WHERE rn = 1),
          |qcell AS (SELECT vec_id AS qid, cell FROM acell WHERE vec_id < 3),
          |cand AS (SELECT qc.qid, a.vec_id FROM qcell qc JOIN acell a ON a.cell = qc.cell),
-         |dots AS (SELECT c.qid, c.vec_id, SUM(ca.q * cb.q) AS dot
+         |dots AS (SELECT c.qid, c.vec_id, CAST(SUM(ca.q * cb.q) AS BIGINT) AS dot
          |         FROM cand c
          |         JOIN comp ca ON ca.vec_id = c.qid
          |         JOIN comp cb ON cb.vec_id = c.vec_id AND cb.d = ca.d

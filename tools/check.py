@@ -48,7 +48,20 @@ def main():
         if len(s) != len(d):
             print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}"); n_fail += 1; continue
         bad = None
+        # The driver's hash is numeric-dtype-sensitive (e.g. DuckDB SUM(BIGINT) ->
+        # HUGEINT -> float64 via pandas, vs Spark int64): an int-vs-float mismatch
+        # fails even when every value compares numerically equal. Datetime
+        # resolution (ns vs us) and date-as-object differences are tolerated
+        # (empirically driver-green in round 2).
         for c in s.columns:
+            si = np.issubdtype(s[c].dtype, np.integer)
+            sf = np.issubdtype(s[c].dtype, np.floating)
+            di = np.issubdtype(d[c].dtype, np.integer)
+            df_ = np.issubdtype(d[c].dtype, np.floating)
+            if (si and df_) or (sf and di):
+                bad = f"col {c} dtype: spark={s[c].dtype} duck={d[c].dtype}"
+                break
+        for c in (s.columns if bad is None else []):
             a, b = s[c].values, d[c].values
             if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(d[c].dtype, np.floating):
                 af = pd.to_numeric(s[c], errors="coerce").values.astype(float)
