@@ -294,21 +294,43 @@ object FinOps {
 
   /**
    * Recurring-transaction YTD totals by vendor (LF:238-251) over
-   * current ∪ historical (`unionByName`, J4). "Current year" is each user's
-   * latest statement year (the reference passes the statement's year); derived
-   * with a per-user window max so the operator stays set-based.
+   * current ∪ historical (`unionByName`, J4). "Current year" is the year of
+   * each user's CURRENT statement (the reference passes the statement's own
+   * year, LF:505) — derived from `cur` only, so reprocessing an older batch
+   * against newer history still computes the batch's year, not the history's.
+   * Assumes one statement month per user in `cur` (the reference's shape);
+   * a multi-month batch should use [[recurringYtdByStatement]].
    */
   def recurringYtd(cur: DataFrame, hist: DataFrame): DataFrame = {
-    val all = cur.unionByName(hist)
-    val w = Window.partitionBy("userId")
-    all
-      .withColumn("cur_year", max(substring(col("yearMonth"), 1, 4)).over(w))
+    val curYear = cur.groupBy("userId")
+      .agg(max(substring(col("yearMonth"), 1, 4)).as("cur_year"))
+    cur.unionByName(hist)
+      .join(curYear, Seq("userId"))
       .where(year(col("date")) === col("cur_year").cast("int") && col("recurring"))
       .groupBy("userId", "vendor")
       .agg(
         sum(money(col("amount"))).cast("double").as("ytd_total"),
         // cur_year is constant within a user; min() is the deterministic pick
         min(col("cur_year")).as("cur_year"))
+  }
+
+  /**
+   * Per-statement-month variant of [[recurringYtd]]: one YTD roll-up per
+   * `(userId, statement yearMonth)` group, each scoped to its OWN statement's
+   * year — exact reference semantics (LF:505) when one batch carries several
+   * months for a user (e.g. a December and a January statement together get
+   * 2024- and 2025-scoped YTDs). Same join-on-derived-keys shape as
+   * [[previousMonthByStatement]]; the target set is batch-bounded and small,
+   * so AQE broadcasts it.
+   */
+  def recurringYtdByStatement(cur: DataFrame, hist: DataFrame): DataFrame = {
+    val targets = cur.select(col("userId"), col("yearMonth").as("target_ym")).distinct()
+    cur.unionByName(hist)
+      .join(targets, Seq("userId"))
+      .where(year(col("date")) === substring(col("target_ym"), 1, 4).cast("int") &&
+        col("recurring"))
+      .groupBy("userId", "target_ym", "vendor")
+      .agg(sum(money(col("amount"))).cast("double").as("ytd_total"))
   }
 
   // -------------------------------------------------------------------------
@@ -431,6 +453,7 @@ object FinOps {
         when(col("amount_d") > col("avg_amount"), "High Risk").otherwise("Moderate Risk"))
     flagged.select(
       col("userId"),
+      col("yearMonth"),
       col("id").as("transaction_id"),
       col("date"),
       col("vendor"),

@@ -21,14 +21,15 @@ object FinancialPipeline {
    * All per-statement analytics — the engine-side results the report is
    * assembled from.
    *
-   * Multi-month-batch semantics: previous-month and top-K are computed per
-   * `(userId, statement yearMonth)` group, exactly like the reference's
-   * per-group loop. The union-scoped analytics (recurring YTD, monthly
-   * trend) see ALL of the batch's months at once, where the reference —
-   * processing groups sequentially against a not-yet-updated table — would
-   * hide a user's sibling new months from each other. That order-dependent
-   * behavior is not reproducible set-based and the set-based result is the
-   * more useful one; documented divergence.
+   * Multi-month-batch semantics: previous-month, top-K, and recurring YTD
+   * (+ projection) are computed per `(userId, statement yearMonth)` group,
+   * exactly like the reference's per-group loop — each group scoped to its
+   * own month/year. The union-scoped analytics (monthly spending, trend) see
+   * ALL of the batch's months at once, where the reference — processing
+   * groups sequentially against a not-yet-updated table — would hide a
+   * user's sibling new months from each other. That order-dependent behavior
+   * is not reproducible set-based and the set-based result is the more
+   * useful one; documented divergence.
    */
   final case class Results(
       flagged: DataFrame,          // F2+C1+C2+C3
@@ -45,13 +46,11 @@ object FinancialPipeline {
     val home = FinOps.homeCountry(hist, spark) // A4 over history (LF:498)
     val avg = FinOps.historicalAveragePerUser(hist) // A3 over history (LF:499)
 
-    // months elapsed = month number of each user's statement month (LF:392)
-    val tgt = cur.groupBy("userId").agg(max("yearMonth").as("tym"))
-    val rec = FinOps.recurringYtd(cur, hist)
-      .join(tgt, "userId")
-      .withColumn("m_elapsed", substring(col("tym"), 5, 2).cast("int"))
-    val recProjected =
-      FinOps.projectYearEnd(rec, "ytd_total", "m_elapsed").drop("tym")
+    // Recurring YTD per (user, statement month), each scoped to its own
+    // statement's year; months elapsed = the statement month's number (LF:392).
+    val rec = FinOps.recurringYtdByStatement(cur, hist)
+      .withColumn("m_elapsed", substring(col("target_ym"), 5, 2).cast("int"))
+    val recProjected = FinOps.projectYearEnd(rec, "ytd_total", "m_elapsed")
 
     Results(
       flagged = FinOps.flagRisky(cur, home, avg, spark),
@@ -67,36 +66,54 @@ object FinancialPipeline {
   /**
    * S6 — report assembly: one row per (userId, statement month) carrying the
    * reference report's fields (LF:511-521) as typed nested columns, ready for
-   * `df.write.json`. Each component is a grouped `map_from_entries` /
-   * `collect_list` roll-up joined on the user key — small results, broadcast
-   * joins all the way down.
+   * `df.write.json`.
+   *
+   * Per-month components (category spend, previous month, recurring, top-K,
+   * flags) are grouped and joined on the FULL report key `(userId, yearMonth)`
+   * — grouping them by user alone would merge sibling months of a multi-month
+   * batch into one `map_from_entries` (duplicate-key crash under Spark's
+   * default EXCEPTION dedup policy). The union-scoped components (monthly
+   * spending map, trend) are one row per user by construction and legitimately
+   * shared across that user's month rows.
+   *
+   * No explicit broadcast hints: every roll-up here scales with the user
+   * count, so a forced build-side would OOM the driver at 10^7+ users. All
+   * joins share the report-key partitioning (one shuffle reused); AQE promotes
+   * genuinely small sides to broadcast at runtime.
    */
   def assembleReport(cur: DataFrame, results: Results): DataFrame = {
     val keys = cur.select(col("userId"), col("yearMonth")).distinct()
+    val mk = Seq("userId", "yearMonth")
 
     def mapOf(df: DataFrame, key: Column, value: Column, name: String): DataFrame =
-      df.groupBy("userId")
+      df.groupBy(mk.map(col): _*)
         .agg(map_from_entries(sort_array(collect_list(struct(key, value)))).as(name))
 
     val cat = mapOf(results.spendingByCategory, col("category"), col("total"), "spending_by_category")
-    val prev = mapOf(results.previousMonth, col("category"), col("total"), "previous_month")
-    val recur = results.recurring
-      .groupBy("userId")
+    val prev = mapOf(results.previousMonth.withColumnRenamed("target_ym", "yearMonth"),
+      col("category"), col("total"), "previous_month")
+    val recur = results.recurring.withColumnRenamed("target_ym", "yearMonth")
+      .groupBy(mk.map(col): _*)
       .agg(map_from_entries(sort_array(collect_list(
         struct(col("vendor"), struct(col("ytd_total"), col("projected")))))).as("recurring"))
     val top = results.topHighValue
-      .groupBy("userId")
+      .groupBy(mk.map(col): _*)
       .agg(sort_array(collect_list(struct(col("rank"), col("id"), col("amount").cast("double").as("amount"))))
         .as("top_high_value"))
     val flags = results.flagged
-      .groupBy("userId")
+      .groupBy(mk.map(col): _*)
       .agg(sort_array(collect_list(struct(
         col("transaction_id"), col("country"), col("risk_level"), col("amount"), col("explanation"))))
         .as("flagged_transactions"))
-    val monthly = mapOf(results.monthly, col("ym"), col("total"), "monthly_spending")
+    val monthly = results.monthly
+      .groupBy("userId")
+      .agg(map_from_entries(sort_array(collect_list(struct(col("ym"), col("total")))))
+        .as("monthly_spending"))
 
-    Seq(cat, prev, recur, top, flags, monthly, results.trend)
-      .foldLeft(keys)((acc, df) => acc.join(broadcast(df), Seq("userId"), "left"))
+    val perMonth = Seq(cat, prev, recur, top, flags)
+      .foldLeft(keys)((acc, df) => acc.join(df, mk, "left"))
+    Seq(monthly, results.trend)
+      .foldLeft(perMonth)((acc, df) => acc.join(df, Seq("userId"), "left"))
   }
 
   /**

@@ -438,7 +438,7 @@ object FinQueries {
          |hist AS (SELECT * FROM t2 WHERE yearMonth <> target_ym),
          |home AS (${homeSql("hist")}),
          |avg_t AS (${avgSql("hist")})
-         |SELECT c.userId, c.id AS transaction_id, c.date, c.vendor, c.category,
+         |SELECT c.userId, c.yearMonth, c.id AS transaction_id, c.date, c.vendor, c.category,
          |  CAST(c.amount AS DOUBLE) AS amount, c.location, i.country, h.home_country,
          |  COALESCE(a.avg_amount, 0) AS average_amount,
          |  CASE WHEN CAST(c.amount AS DOUBLE) > COALESCE(a.avg_amount, 0) THEN 'High Risk'

@@ -140,6 +140,41 @@ class PipelineGoldenSpec extends SparkSpec {
     assert(prevJan("Groceries") == 160.0 && prevJan.size == 5)
     // December has no previous month in a cold start
     assert(res.previousMonth.where($"target_ym" === "202412").isEmpty)
+
+    // recurring YTD is scoped to each statement's own year: the January
+    // statement (2025 dates) must not absorb the December (2024) totals
+    val recByMonth = res.recurring.where($"userId" === "1")
+      .groupBy("target_ym").agg(sum($"ytd_total").as("s"))
+      .collect().map(r => r.getAs[String]("target_ym") -> r.getAs[Double]("s")).toMap
+    assert(recByMonth.keySet == Set("202412", "202501"))
+    assert(recByMonth("202412") == recByMonth("202501")) // same rows, shifted
+
+    // report assembly: one row per user-month; sibling months must not merge
+    // (grouping by user alone threw 'duplicate map key' here)
+    val report = FinancialPipeline.assembleReport(batch, res).cache()
+    assert(report.count() == 4) // u1×2 months + u2 + u3
+    val repDec = report.where($"userId" === "1" && $"yearMonth" === "202412").collect()(0)
+    val repJan = report.where($"userId" === "1" && $"yearMonth" === "202501").collect()(0)
+    assert(repDec.getAs[Map[String, Double]]("spending_by_category")("Groceries") == 160.0)
+    assert(repJan.getAs[Map[String, Double]]("spending_by_category").size == 5)
+    assert(repJan.getAs[Map[String, Double]]("previous_month")("Groceries") == 160.0)
+    assert(repDec.isNullAt(repDec.fieldIndex("previous_month"))) // cold start
+    assert(repJan.getAs[scala.collection.Seq[Any]]("top_high_value").size == 3)
+  }
+
+  test("report assembly adds no broadcast hints of its own (AQE decides at runtime)") {
+    // Per-user roll-ups scale with user count: a forced build-side OOMs the
+    // driver at 10^7 users. The only hints in the final plan must be the ones
+    // already inside the Results lineage (the fixed 249-row ISO dimension).
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def nHints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    val res = FinancialPipeline.analyze(statement, emptyHist, spark)
+    val report = FinancialPipeline.assembleReport(statement, res)
+    val inherited = Seq(
+      res.spendingByCategory, res.previousMonth, res.recurring,
+      res.topHighValue, res.flagged, res.monthly, res.trend).map(nHints).sum
+    assert(nHints(report) == inherited)
   }
 
   test("golden: chart data carries every series the reference renders") {
