@@ -529,9 +529,10 @@ object FinOps {
   /**
    * Put-item upsert (LF:545 last-writer-wins per `(userId, yearMonth)`):
    * merges a batch of statement items into the table, replacing same-month
-   * items and preserving the user's other months. Only the affected users'
-   * partitions are read (pruned via the collected batch key set — bounded by
-   * batch size, never by table size) and rewritten.
+   * items and preserving the user's other months. Up to [[UpsertPruneKeyCap]]
+   * affected users, their partitions are pruned via a driver-collected key
+   * set; beyond it (backfill-sized batches) a left-semi join selects them
+   * without any driver-side materialization.
    */
   /** True when `path` holds a non-empty table (an existing-but-empty
     * directory — e.g. a fresh temp dir — counts as missing). */
@@ -541,17 +542,41 @@ object FinOps {
     fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 
-  def upsertStatements(items: DataFrame, path: String, spark: SparkSession): Unit = {
+  /** Above this many distinct users in a batch, the upsert stops collecting
+    * the key set to the driver (a million-literal IN list bloats the plan and
+    * driver heap) and switches to a left-semi join — no partition pruning,
+    * but no driver blowup either. Statement-drop batches sit far below it;
+    * backfills sit far above. */
+  val UpsertPruneKeyCap: Int = 10000
+
+  def upsertStatements(
+      items: DataFrame, path: String, spark: SparkSession,
+      pruneKeyCap: Int = UpsertPruneKeyCap): Unit = {
     if (!tableExists(spark, path)) { writeStatements(items, path); return }
-    val affected = items.select("userId").distinct().collect().map(_.getString(0)).toSeq
-    val keep = spark.read.parquet(path)
+    val keys = items.select("userId").distinct()
+    // Bounded collect: at most cap+1 keys ever reach the driver.
+    val affected = keys.limit(pruneKeyCap + 1).collect().map(_.getString(0))
+    val existing = spark.read.parquet(path)
       .withColumn("userId", col("userId").cast("string"))
-      .where(col("userId").isin(affected: _*))
+    val touched =
+      if (affected.length <= pruneKeyCap)
+        // partition-pruned: only the affected users' directories are scanned
+        existing.where(col("userId").isin(affected.toIndexedSeq: _*))
+      else
+        existing.join(keys, Seq("userId"), "left_semi")
+    val keep = touched
       .join(items.select("userId", "yearMonth").distinct(), Seq("userId", "yearMonth"), "left_anti")
-    val merged = keep.select(items.columns.toIndexedSeq.map(col): _*).unionByName(items).persist()
-    merged.count() // materialize fully before overwriting the files just read
-    writeStatements(merged, path)
-    merged.unpersist()
+    val merged = keep.select(items.columns.toIndexedSeq.map(col): _*).unionByName(items)
+    // Stage the merged frame durably before overwriting the files it reads.
+    // A persist()+count() pin is NOT safe here: a lost cached block during the
+    // overwrite recomputes from partially-rewritten partitions and silently
+    // corrupts history. Writing the staging copy first also makes a mid-write
+    // failure recoverable (rerun resumes from intact staging + items).
+    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "_upsert_staging")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    writeStatements(spark.read.parquet(tmp.toString), path)
+    fs.delete(tmp, true)
   }
 
   /** Partition-pruned read of one user's history, flattened to rows. The

@@ -45,6 +45,36 @@ class PersistenceSpec extends SparkSpec {
     assert(FinOps.readUserHistory(spark, dir, "3").count() == 12)
   }
 
+  test("S5: a batch over the key cap upserts via the semi-join path") {
+    val dir = tmpDir("stmts_cap")
+    // seed: 40 users × month 202412, one row each
+    def month(ym: String, dt: String, tag: String) = spark.range(40)
+      .select(
+        $"id".cast("string").as("userId"), lit(ym).as("yearMonth"),
+        concat($"id", lit(s"_$tag")).as("id"), lit(dt).cast("date").as("date"),
+        lit("v").as("vendor"), lit("c").as("category"),
+        lit(1.50).cast("decimal(12,2)").as("amount"), lit("USD").as("currency"),
+        lit(false).as("recurring"), lit("purchase").as("txType"),
+        lit("US-CA").as("location"), lit("d").as("description"))
+    FinOps.upsertStatements(FinOps.toStatementItems(month("202412", "2024-12-01", "a")), dir, spark)
+    // second batch: same 40 users, January — key count 40 > cap 5 forces the
+    // left-semi path; December must survive, January must land
+    FinOps.upsertStatements(
+      FinOps.toStatementItems(month("202501", "2025-01-01", "b")), dir, spark, pruneKeyCap = 5)
+    val all = FinOps.explodeStatements(
+      spark.read.parquet(dir).withColumn("userId", $"userId".cast("string")))
+    assert(all.count() == 80)
+    assert(all.groupBy("yearMonth").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      == Map("202412" -> 40L, "202501" -> 40L))
+    // replace January for all users over the cap again: last-writer-wins holds
+    FinOps.upsertStatements(
+      FinOps.toStatementItems(month("202501", "2025-01-02", "c").limit(40)), dir, spark, pruneKeyCap = 5)
+    val jan = FinOps.explodeStatements(
+      spark.read.parquet(dir).withColumn("userId", $"userId".cast("string")))
+      .where($"yearMonth" === "202501")
+    assert(jan.count() == 40 && jan.where($"id".endsWith("_c")).count() == 40)
+  }
+
   test("S4: the keyed historical read is partition-pruned") {
     val dir = tmpDir("stmts_prune")
     FinOps.writeStatements(FinOps.toStatementItems(statement), dir)
