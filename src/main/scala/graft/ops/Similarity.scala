@@ -121,6 +121,18 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** All (vector, centroid) scores — the shared substrate of [[ivfAssign]]
+    * (argmax per vector) and the query-side multi-cell probe in [[ivfTopK]].
+    * Returns `(vec_id, cid, cdot)`. `centroids` must be small (broadcast). */
+  def ivfScoreCells(
+      emb: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cIdCol: String = "cid", cVecCol: String = "cvec"): DataFrame =
+    emb
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(broadcast(centroids.select(col(cIdCol).as("cid"), col(cVecCol).as("cv"))))
+      .select(col("vec_id"), col("cid"), dotQ(col("v"), col("cv")).as("cdot"))
+
   /**
    * IVF coarse assignment: each vector goes to the centroid with the largest
    * dot product (ties → smaller centroid id). `centroids` must be small
@@ -129,36 +141,44 @@ object Similarity {
   def ivfAssign(
       emb: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      cIdCol: String = "cid", cVecCol: String = "cvec"): DataFrame = {
-    val scored = emb
-      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      .join(broadcast(centroids.select(col(cIdCol).as("cid"), col(cVecCol).as("cv"))))
-      .select(col("vec_id"), col("cid"), dotQ(col("v"), col("cv")).as("cdot"))
-    scored
+      cIdCol: String = "cid", cVecCol: String = "cvec"): DataFrame =
+    ivfScoreCells(emb, centroids, idCol, vecCol, cIdCol, cVecCol)
       .groupBy("vec_id")
       .agg(min_by(struct(col("cid"), col("cdot")), struct(negate(col("cdot")), col("cid"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cell"), col("best.cdot").as("cdot"))
-  }
 
   /**
-   * IVF top-k: probe only the query's cell and rank its members by exact
-   * integer dot product — the scale path when brute force over the full
-   * corpus is too expensive (cost ∝ cell size ≈ N/#centroids).
+   * IVF top-k: probe each query's `nprobe` best cells (by centroid dot,
+   * ties → smaller centroid id) and rank their members by exact integer dot
+   * product — the scale path when brute force over the full corpus is too
+   * expensive (cost ∝ nprobe · cell size ≈ nprobe · N/#centroids).
+   *
+   * `nprobe = 1` is the classic single-cell probe; real deployments use a
+   * few cells because true neighbors straddle cell boundaries — recall rises
+   * with nprobe while cost stays linear in it. Corpus vectors still live in
+   * exactly one cell, so the probe fan-out never duplicates candidates.
    */
   def ivfTopK(
       emb: DataFrame, centroids: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cells = ivfAssign(emb, centroids, idCol, vecCol)
       .select(col("vec_id"), col("cell"))
     val corpus = emb
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .join(cells, "vec_id")
+    // top-nprobe cells per query; same (cdot desc, cid asc) order as the
+    // argmax in ivfAssign, so nprobe=1 reproduces the single-cell assignment
+    val qw = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid").asc)
+    val probes = ivfScoreCells(
+        queries.select(col("qid").as("vec_id"), col("qvec").as("embedding")), centroids)
+      .withColumn("prn", row_number().over(qw))
+      .where(col("prn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
     val qcells = queries
       .select(col("qid"), col("qvec").as("qv"))
-      .join(
-        broadcast(ivfAssign(queries.select(col("qid").as("vec_id"), col("qvec").as("embedding")), centroids)
-          .select(col("vec_id").as("qid"), col("cell"))),
-        "qid")
+      .join(broadcast(probes), "qid")
     val scored = corpus
       .join(broadcast(qcells), "cell")
       .select(col("qid"), col("vec_id"), dotQ(col("v"), col("qv")).as("dot"))

@@ -144,6 +144,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(cells == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("Similarity: nprobe=2 recovers a neighbor straddling a cell boundary") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 0), // the centroids
+      (10L, Array(0.72f, 0.70f), 0), // query — lands in cell 0
+      (11L, Array(0.70f, 0.72f), 0), // its true neighbor — lands in cell 2
+      (12L, Array(0.95f, 0.10f), 0)) // same-cell distractor
+      .toDF("vec_id", "embedding", "label")
+    val centroids = vecs.where($"vec_id".isin(0, 2))
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val queries = vecs.where($"vec_id" === 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").as[Long].collect().toSet
+    val brute = ids(Similarity.bruteForceTopK(vecs, queries, 2))
+    assert(brute == Set(10L, 11L)) // exact top-2: self + the straddler
+    val p1 = ids(Similarity.ivfTopK(vecs, centroids, queries, 2, nprobe = 1))
+    val p2 = ids(Similarity.ivfTopK(vecs, centroids, queries, 2, nprobe = 2))
+    assert(!p1.contains(11L)) // single-cell probe misses it (recall 1/2)
+    assert(p2 == brute)       // probing the 2 best cells restores full recall
+  }
+
   test("Multimodal: asset plumbing — schema, stub features, frame fan-out") {
     val docs = Seq((1L, "Hello world payload", "srcA")).toDF("doc_id", "text", "source")
     val assets = Multimodal.asAsset($"doc_id", lit("image"), $"text", $"source")(docs)
