@@ -15,20 +15,38 @@ import org.apache.spark.sql.functions._
  */
 object Corpus {
 
-  /** Uniform bucket in [0, 10000) derived from the row's id. */
-  def hashBucket(id: Column): Column =
-    TextOps.hash32(id.cast("string")) % 10000
+  /**
+   * Uniform bucket in [0, 10000) from a domain-salted id hash.
+   *
+   * The `domain` prefix decorrelates operators that compose: sampling and
+   * splitting must be independent events per document, but with one shared
+   * unsalted hash a `rate ≤ train` sample of a split corpus would yield ONLY
+   * "train" rows (the two predicates read the same bucket), and a nested
+   * sample would select `min(r1, r2)` instead of `r1 · r2`. The `salt` makes
+   * repeated applications of the SAME operator independent too (two salted
+   * sub-samples of a corpus don't overlap more than by chance).
+   */
+  def hashBucket(domain: String, salt: String, id: Column): Column =
+    TextOps.hash32(concat(lit(s"$domain:$salt:"), id.cast("string"))) % 10000
 
-  /** Deterministic `rate` sample (rate in [0,1], 10^-4 resolution). */
-  def sampleDeterministic(df: DataFrame, idCol: String, rate: Double): DataFrame =
-    df.where(hashBucket(col(idCol)) < (rate * 10000).toInt)
+  /**
+   * Deterministic `rate` sample (rate in [0,1], 10^-4 resolution). Same-salt
+   * samples at increasing rates are nested (`rate 0.1 ⊆ rate 0.2` — stable
+   * incremental growth); different salts are independent.
+   */
+  def sampleDeterministic(
+      df: DataFrame, idCol: String, rate: Double, salt: String = ""): DataFrame =
+    df.where(hashBucket("sample", salt, col(idCol)) < (rate * 10000).toInt)
 
   /**
    * Deterministic train/validation/test split label from the id hash:
    * buckets [0, train·10⁴) → "train", then validation, remainder → "test".
+   * Domain-separated from [[sampleDeterministic]]: splitting a sampled
+   * corpus gives every label its expected share.
    */
-  def splitLabel(id: Column, train: Double = 0.8, validation: Double = 0.1): Column = {
-    val b = hashBucket(id)
+  def splitLabel(id: Column, train: Double = 0.8, validation: Double = 0.1,
+                 salt: String = ""): Column = {
+    val b = hashBucket("split", salt, id)
     when(b < (train * 10000).toInt, "train")
       .when(b < ((train + validation) * 10000).toInt, "validation")
       .otherwise("test")
@@ -36,6 +54,7 @@ object Corpus {
 
   /** Attaches the split label as a `split` column. */
   def withSplit(df: DataFrame, idCol: String,
-                train: Double = 0.8, validation: Double = 0.1): DataFrame =
-    df.withColumn("split", splitLabel(col(idCol), train, validation))
+                train: Double = 0.8, validation: Double = 0.1,
+                salt: String = ""): DataFrame =
+    df.withColumn("split", splitLabel(col(idCol), train, validation, salt))
 }

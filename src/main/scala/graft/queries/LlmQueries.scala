@@ -423,7 +423,7 @@ object LlmQueries {
 
     "q_corpus_sample" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 1000
+        |WHERE ('0x' || substr(md5('sample::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 1000
         |ORDER BY doc_id""".stripMargin,
 
     "q_corpus_split" ->
@@ -434,7 +434,7 @@ object LlmQueries {
         |             WHEN b < 9000 THEN 'validation'
         |             ELSE 'test' END AS split
         |      FROM (SELECT text,
-        |              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+        |              ('0x' || substr(md5('split::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
         |            FROM documents))
         |GROUP BY split ORDER BY split""".stripMargin,
 

@@ -49,16 +49,30 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Similarity.srpNearDuplicates(one, 8, 2, 0.5).isEmpty) // no pairs
   }
 
-  test("corpus sampling/splits: deterministic, partitioning, subset") {
+  test("corpus sampling/splits: deterministic, partitioning, subset, independent") {
     val docs = (0L until 200L).map(i => (i, s"doc $i words here")).toDF("doc_id", "text")
     val s1 = graft.ops.Corpus.sampleDeterministic(docs, "doc_id", 0.2)
       .select("doc_id").as[Long].collect().sorted.toSeq
     val s2 = graft.ops.Corpus.sampleDeterministic(docs, "doc_id", 0.2)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(s1 == s2 && s1.nonEmpty && s1.size < 200) // stable, non-trivial
+    // same-salt samples are nested (incremental-corpus stability)...
+    val s05 = graft.ops.Corpus.sampleDeterministic(docs, "doc_id", 0.05)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s05.subsetOf(s1.toSet))
+    // ...different salts are independent draws
+    val salted = graft.ops.Corpus.sampleDeterministic(docs, "doc_id", 0.2, salt = "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(salted != s1.toSet)
     val split = graft.ops.Corpus.withSplit(docs, "doc_id")
     assert(split.count() == 200) // labels partition the corpus exactly
     assert(split.select("split").distinct().count() == 3)
+    // sampling and splitting are domain-separated: a 20% sample of the split
+    // corpus still carries all three labels (a shared unsalted hash made a
+    // rate<=train sample all-'train')
+    val sampledSplit = graft.ops.Corpus.withSplit(
+      graft.ops.Corpus.sampleDeterministic(docs, "doc_id", 0.2), "doc_id")
+    assert(sampledSplit.select("split").distinct().count() == 3)
   }
 
   test("determinism regression: the flagship query is run-to-run identical") {
