@@ -27,6 +27,13 @@ import graft.pipeline.FinancialPipeline
  * `Trigger.AvailableNow` drains everything currently in the directory and
  * stops — the batch-parity mode (and what the tests use); the default
  * continuous trigger tails the directory forever.
+ *
+ * Each micro-batch is policed by [[FinOps.validateStatement]]: only valid
+ * rows reach analytics and the statements table; malformed rows (unparseable
+ * date/amount, bad location, …) land in a quarantine sink with their reject
+ * reason instead of flowing through as nulls that silently drop from grouped
+ * results. The reference aborts the whole load on one bad row (LF:84-85) —
+ * at scale one bad row must never kill a batch, and must never vanish.
  */
 object StatementStream {
 
@@ -37,7 +44,10 @@ object StatementStream {
       reportPath: String,
       checkpointDir: String,
       availableNow: Boolean = true,
-      deleteIngested: Boolean = false): StreamingQuery = {
+      deleteIngested: Boolean = false,
+      quarantinePath: Option[String] = None): StreamingQuery = {
+    val rejectsPath =
+      quarantinePath.getOrElse(statementsPath.stripSuffix("/") + "_quarantine")
     val raw = spark.readStream
       .option("header", true)
       .option("encoding", "UTF-8")
@@ -49,10 +59,11 @@ object StatementStream {
     val writer = raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val statement = FinOps.normalizeStatement(batch)
-        if (!statement.isEmpty) {
-          FinancialPipeline.runBatch(
-            statement, statementsPath, Some(reportPath), spark)
+        val (valid, rejects) = FinOps.validateStatement(FinOps.normalizeStatement(batch))
+        if (!rejects.isEmpty)
+          rejects.write.mode("append").parquet(rejectsPath)
+        if (!valid.isEmpty) {
+          FinancialPipeline.runBatch(valid, statementsPath, Some(reportPath), spark)
           ()
         }
       }

@@ -62,4 +62,42 @@ class StreamingSpec extends SparkSpec {
     val flagged = janRow(0).getAs[scala.collection.Seq[Any]]("flagged_transactions")
     assert(flagged.size == 1)
   }
+
+  test("streaming ingest quarantines malformed rows instead of dropping them") {
+    val ingest = tmpDir("ingest_q")
+    val stmts = tmpDir("stream_stmts_q") + "/table"
+    val reports = tmpDir("reports_q") + "/out"
+    val ckpt = tmpDir("ckpt_q")
+    val quarantine = tmpDir("quarantine_q") + "/rejects"
+
+    val header = "UserId,YearMonth,transactions.id,transactions.date,transactions.vendor," +
+      "transactions.category,transactions.amount,transactions.currency," +
+      "transactions.recurring,transactions.type,transactions.location,transactions.description"
+    val rows = Seq(
+      "9,202501,t1,2025-01-05,VendorA,Groceries,12.50,USD,false,purchase,US-CA,ok row",
+      "9,202501,t2,not-a-date,VendorB,Groceries,8.00,USD,false,purchase,US-CA,bad date",
+      "9,202501,t3,2025-01-06,VendorC,Groceries,oops,USD,false,purchase,US-CA,bad amount",
+      "9,202501,t4,2025-01-07,VendorD,Groceries,5.00,USD,false,purchase,narnia,bad location")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$ingest/mixed.csv"),
+      (header +: rows).mkString("\n").getBytes("UTF-8"))
+
+    val q = StatementStream.start(
+      spark, ingest, stmts, reports, ckpt, quarantinePath = Some(quarantine))
+    q.awaitTermination(120000L)
+
+    // only the valid row reached the statements table…
+    val persisted = graft.ops.FinOps.explodeStatements(
+      spark.read.parquet(stmts)
+        .withColumn("userId", org.apache.spark.sql.functions.col("userId").cast("string")))
+    assert(persisted.count() == 1)
+    assert(persisted.collect()(0).getAs[String]("id") == "t1")
+
+    // …and every malformed row is in quarantine with its reason
+    val rejects = spark.read.parquet(quarantine)
+    val reasons = rejects.collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("_reject_reason")).toMap
+    assert(reasons == Map(
+      "t2" -> "unparseable date", "t3" -> "unparseable amount", "t4" -> "bad location"))
+  }
 }
