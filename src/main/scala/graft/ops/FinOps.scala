@@ -472,6 +472,32 @@ object FinOps {
       ).as("explanation"))
   }
 
+  /**
+   * [[flagRisky]] projected to the reference's EXACT flag-record keys
+   * (LF:130-140) for byte-compatible exports to consumers of the original
+   * JSON contract — including its typos (`avarage_amount`, `home_counter`,
+   * `categoty`) and its quirk of emitting the resolved country NAME under
+   * the key `"location"`. The corrected projection ([[flagRiskyResolved]])
+   * remains the default; this mirrors [[toStatementItemsRefCompat]].
+   * `userId`/`yearMonth` lead as the report keys (the reference scopes the
+   * list per user-month group rather than carrying keys per record).
+   */
+  def flagRiskyRefCompat(
+      cur: DataFrame, home: DataFrame, avgPerUser: DataFrame,
+      spark: SparkSession): DataFrame =
+    flagRisky(cur, home, avgPerUser, spark).select(
+      col("userId"),
+      col("yearMonth"),
+      col("transaction_id"),
+      col("amount"),
+      col("average_amount").as("avarage_amount"),
+      col("country").as("location"),
+      col("risk_level"),
+      col("home_country").as("home_counter"),
+      col("category").as("categoty"),
+      col("vendor"),
+      col("date"))
+
   // -------------------------------------------------------------------------
   // A2 / S4 / S5 — persistence model
   // -------------------------------------------------------------------------

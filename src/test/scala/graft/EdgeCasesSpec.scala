@@ -82,6 +82,21 @@ class EdgeCasesSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("ref-compatible flag records carry the reference's exact (typo'd) keys") {
+    val stmt = FinOps.ingestStatement(
+      spark, "/root/reference/test_data/user_1_new_statement202412.csv")
+    val empty = stmt.where(org.apache.spark.sql.functions.lit(false))
+    val out = FinOps.flagRiskyRefCompat(
+      stmt, FinOps.homeCountry(empty, spark), FinOps.historicalAveragePerUser(empty), spark)
+    // record fields after the (userId, yearMonth) report keys = LF:130-140 keys
+    assert(out.columns.toSeq == Seq(
+      "userId", "yearMonth", "transaction_id", "amount", "avarage_amount",
+      "location", "risk_level", "home_counter", "categoty", "vendor", "date"))
+    val r = out.where(org.apache.spark.sql.functions.col("transaction_id") === "1012").collect()(0)
+    assert(r.getAs[String]("location") == "Algeria") // the resolved NAME, per LF:134
+    assert(r.getAs[String]("risk_level") == "High Risk")
+  }
+
   test("ref-compatible statement items use the original 'type' field name") {
     val stmt = FinOps.ingestStatement(
       spark, "/root/reference/test_data/user_1_new_statement202412.csv")
