@@ -57,4 +57,28 @@ class ScaleSpec extends SparkSpec {
       .as[(String, Int)].collect()
     assert(salted.toSeq == Seq(("u1", 500)))
   }
+
+  test("whale user: salted nest bounds any single partial group's state") {
+    // one whale user holds 50% of the corpus; 200 normal users share the rest
+    val whale = (1 to 10000).map(i => ("whale", i.toLong))
+    val rest = (1 to 10000).map(i => (s"u${i % 200}", 100000L + i))
+    val df = (whale ++ rest).toDF("k", "v")
+
+    val out = Scale.saltedCollectList(df, "k", "v", col("v"), saltFactor = 16)
+    // correctness: the whale's nested multiset is complete
+    val sizes = out.select($"k", size($"items").as("n")).as[(String, Int)]
+      .collect().toMap
+    assert(sizes("whale") == 10000)
+    assert(sizes.values.sum == 20000)
+
+    // state bound: phase one groups by (key, salt), so no partial group —
+    // hence no single task's aggregation state — holds more than ~1/16 of the
+    // whale (2× slack over perfect hash balance). An unsalted collect_list
+    // would put all 10000 rows in ONE group's buffer.
+    val partialMax = df
+      .withColumn("_salt", (graft.ops.TextOps.hash32($"v".cast("string")) % 16).cast("int"))
+      .groupBy("k", "_salt").count()
+      .agg(max("count")).as[Long].collect()(0)
+    assert(partialMax <= (10000 / 16) * 2, s"largest partial group = $partialMax")
+  }
 }
