@@ -57,4 +57,24 @@ object Corpus {
                 train: Double = 0.8, validation: Double = 0.1,
                 salt: String = ""): DataFrame =
     df.withColumn("split", splitLabel(col(idCol), train, validation, salt))
+
+  /**
+   * Domain-weighted corpus mixing: per-group deterministic sampling rates
+   * (e.g. keep 50% of a high-quality source, 5% of a crawl) — the standard
+   * way a pretraining mix is rebalanced without materializing per-source
+   * intermediate corpora. Thresholds are computed at PLAN time in integer
+   * buckets (`(rate·10⁴).toInt`), so Spark and any oracle agree exactly and
+   * no per-row float→int cast semantics are involved. Same hash domain as
+   * [[sampleDeterministic]]: mixing then up-rating a source keeps previously
+   * selected documents selected.
+   */
+  def sampleByGroup(
+      df: DataFrame, idCol: String, groupCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit((defaultRate * 10000).toInt)) {
+      case (acc, (k, v)) => when(col(groupCol) === k, lit((v * 10000).toInt)).otherwise(acc)
+    }
+    df.where(hashBucket("sample", salt, col(idCol)) < threshold)
+  }
 }

@@ -158,6 +158,39 @@ object TextOps {
   val qualityStopwords: Seq[String] = langMarkers.head._2
 
   /**
+   * Repetition signals (the Gopher-rules style filters for generated/spammy
+   * text): `(id, n_tokens, top_token_frac, dup_2gram_frac)` where
+   * `top_token_frac` is the most frequent token's share of the document and
+   * `dup_2gram_frac` the fraction of word bigrams that are repeats
+   * (`1 - distinct/total`). Documents with fewer than 2 tokens get a null
+   * `dup_2gram_frac`.
+   *
+   * Shape: explode + two grouped aggregates — fully codegen'd, partial
+   * aggregation map-side, no windows, no lambdas on the hot path.
+   */
+  def repetitionSignals(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+    val top = toks.select(col("id"), explode(col("_toks")).as("tok"))
+      .groupBy("id", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("_distinct"), sum(col("c")).as("_n"), max(col("c")).as("_top"))
+      .select(
+        col("id"),
+        col("_n").cast("long").as("n_tokens"),
+        (col("_top").cast("double") / col("_n")).as("top_token_frac"))
+    val grams = toks
+      .select(col("id"), explode(wordShinglesFromTokens(col("_toks"), 2)).as("g"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("_total"), countDistinct(col("g")).as("_dist"))
+      .select(
+        col("id"),
+        ((col("_total") - col("_dist")).cast("double") / col("_total")).as("dup_2gram_frac"))
+    top.join(grams, Seq("id"), "left")
+  }
+
+  /**
    * Document quality signals: length, token count, average word length,
    * stopword ratio — the standard cheap filters for pretraining corpora.
    * All divisions are single double ops (deterministic); callers threshold

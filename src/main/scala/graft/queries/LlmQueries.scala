@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftExtensions
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Corpus, Dedup, Multimodal, Pii, Similarity, TextOps}
 
 /**
  * Driver-contract queries for the LLM-training-data operators (dedup,
@@ -45,6 +45,26 @@ object LlmQueries {
     e.unionByName(e.select(
       (col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label")))
   }
+
+  /** The synthetic corpus carries no PII, so the PII query plants
+    * deterministic doc_id-derived PII into 4 of every 5 documents (email /
+    * phone+IP / SSN / card) — the detector must then find exactly what was
+    * planted. The identical construction lives in the DuckDB oracle. */
+  private def docsWithPii(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn(
+      "text",
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now")))
+        .when(col("doc_id") % 5 === 1,
+          concat(col("text"), lit(" call 555-123-4567 or visit 10.0.0."),
+            (col("doc_id") % 200).cast("string")))
+        .when(col("doc_id") % 5 === 2,
+          concat(col("text"), lit(" ssn 123-45-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .when(col("doc_id") % 5 === 3,
+          concat(col("text"), lit(" card 4111 1111 1111 1111 used")))
+        .otherwise(col("text")))
 
   // Shared oracle fragments -------------------------------------------------
 
@@ -213,6 +233,28 @@ object LlmQueries {
           count(lit(1)).as("docs"),
           sum(TextOps.tokenCount(col("text")).cast("long")).as("tokens"))
         .orderBy("split")),
+
+    // Domain-weighted mix: keep 50% of src0, 25% of src1, 5% of the rest
+    "q_corpus_mix" -> ((s, dir) =>
+      Corpus.sampleByGroup(docs(s, dir), "doc_id", "source",
+          Map("src0" -> 0.5, "src1" -> 0.25), defaultRate = 0.05)
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"))
+        .orderBy("source")),
+
+    // PII detection + redaction over deterministically planted PII
+    "q_pii_scan" -> ((s, dir) =>
+      docsWithPii(s, dir)
+        .select(
+          (col("doc_id") +: Pii.counts(col("text")) :+
+            Pii.redact(col("text")).as("redacted")): _*)
+        .orderBy("doc_id")),
+
+    // Gopher-style repetition signals (top-token share, duplicate bigrams)
+    "q_text_repetition" -> ((s, dir) =>
+      TextOps.repetitionSignals(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
 
     // Multimodal frame fan-out: one asset row → N "frame" rows (posexplode),
     // the exact shape a real video frame extractor produces
@@ -437,6 +479,51 @@ object LlmQueries {
         |              ('0x' || substr(md5('split::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
         |            FROM documents))
         |GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_corpus_mix" ->
+      """SELECT source, count(*) AS docs FROM documents
+        |WHERE ('0x' || substr(md5('sample::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 <
+        |      (CASE WHEN source = 'src0' THEN 5000
+        |             WHEN source = 'src1' THEN 2500
+        |             ELSE 500 END)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_pii_scan" -> {
+      val cnt = Pii.patterns.map { case (k, re, _) =>
+        s"CAST(len(regexp_extract_all(text, '$re')) AS INT) AS n_$k"
+      }.mkString(",\n|  ")
+      val red = Pii.patterns.foldLeft("text") { case (acc, (_, re, tok)) =>
+        s"regexp_replace($acc, '$re', '$tok', 'g')"
+      }
+      s"""WITH ptxt AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+         |       WHEN doc_id % 5 = 1 THEN text || ' call 555-123-4567 or visit 10.0.0.' || CAST(doc_id % 200 AS VARCHAR)
+         |       WHEN doc_id % 5 = 2 THEN text || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |       WHEN doc_id % 5 = 3 THEN text || ' card 4111 1111 1111 1111 used'
+         |       ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  $cnt,
+         |  $red AS redacted
+         |FROM ptxt ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(ts) AS tok FROM t) GROUP BY doc_id, tok),
+        |top AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |               CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_token_frac
+        |        FROM cnt GROUP BY doc_id),
+        |g AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
+        |      FROM (SELECT doc_id, ts,
+        |              unnest(generate_series(1, CAST(len(ts) AS BIGINT) - 1)) AS i
+        |            FROM t)),
+        |d AS (SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist FROM g GROUP BY doc_id)
+        |SELECT top.doc_id, top.n_tokens, top.top_token_frac,
+        |  CAST(d.total - d.dist AS DOUBLE) / d.total AS dup_2gram_frac
+        |FROM top LEFT JOIN d ON top.doc_id = d.doc_id
+        |ORDER BY top.doc_id""".stripMargin,
 
     "q_mm_frames" ->
       """SELECT asset_id, CAST(i - 1 AS INT) AS frame_no,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Pii, Similarity, TextOps}
 
 /** Units for the LLM-pipeline operators. */
 class LlmOpsSpec extends SparkSpec {
@@ -163,6 +163,33 @@ class LlmOpsSpec extends SparkSpec {
     val p2 = ids(Similarity.ivfTopK(vecs, centroids, queries, 2, nprobe = 2))
     assert(!p1.contains(11L)) // single-cell probe misses it (recall 1/2)
     assert(p2 == brute)       // probing the 2 best cells restores full recall
+  }
+
+  test("Pii: detection counts, ordered redaction, quarantine predicate") {
+    val df = Seq(
+      (1L, "email bob.smith+x@mail.example.org and ip 192.168.0.1"),
+      (2L, "card 4111 1111 1111 1111 phone 555-123-4567 ssn 123-45-6789"),
+      (3L, "clean text with no identifiers")).toDF("doc_id", "text")
+    val out = df.select(
+      (col("doc_id") +: Pii.counts($"text") :+
+        Pii.redact($"text").as("r") :+ Pii.hasPii($"text").as("h")): _*)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_email") == 1 && out(0).getAs[Int]("n_ipv4") == 1)
+    assert(out(0).getAs[String]("r") == "email <EMAIL> and ip <IP>")
+    assert(out(1).getAs[Int]("n_card") == 1 && out(1).getAs[Int]("n_phone") == 1 &&
+      out(1).getAs[Int]("n_ssn") == 1)
+    assert(out(1).getAs[String]("r") == "card <CARD> phone <PHONE> ssn <SSN>")
+    assert(out(1).getAs[Boolean]("h") && !out(2).getAs[Boolean]("h"))
+    assert(out(2).getAs[String]("r") == "clean text with no identifiers")
+  }
+
+  test("TextOps: repetition signals flag token and bigram repeats") {
+    val df = Seq((1L, "a a a a b"), (2L, "w x y z")).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(df, "doc_id", "text").orderBy("id").collect()
+    assert(out(0).getAs[Long]("n_tokens") == 5)
+    assert(out(0).getAs[Double]("top_token_frac") == 0.8)
+    assert(out(0).getAs[Double]("dup_2gram_frac") == 0.5) // (a a)×3 + (a b)
+    assert(out(1).getAs[Double]("dup_2gram_frac") == 0.0)
   }
 
   test("Multimodal: asset plumbing — schema, stub features, frame fan-out") {
