@@ -185,6 +185,72 @@ object Dedup {
       Seq(idCol), "left_anti")
 
   /**
+   * Connected components over a near-duplicate pair set: every document in a
+   * duplicate cluster gets the cluster's MINIMUM id as its label —
+   * `(id, cluster)`, one row per document that appears in ≥1 pair.
+   *
+   * [[dropNearDuplicates]]'s "drop every id_b" is only safe when the pair
+   * set is bucket-transitive; arbitrary pair sets (e.g. a union of pairs from
+   * different detectors) form chains `a–b, b–c` where c never pairs with a —
+   * clustering closes them so exactly one representative per component
+   * survives.
+   *
+   * Implementation: iterative min-label propagation — per round, each node
+   * takes the min of its own and its neighbors' labels; converges in
+   * O(component diameter) rounds (near-dup clusters are shallow). Each round
+   * is one equi-join + grouped min, `localCheckpoint` cuts the growing
+   * lineage, and a `limit(1)` probe detects convergence without a full
+   * count — the standard scalable shape (GraphX-free connected components).
+   */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist()
+    edges.count()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("c_dst")), "dst")
+        .groupBy("src")
+        .agg(min(col("c_dst")).as("nbr_min"))
+        .select(col("src").as("id"), col("nbr_min"))
+      val updated = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      converged = updated
+        .join(labels.withColumnRenamed("cluster", "_old"), "id")
+        .where(col("cluster") =!= col("_old"))
+        .limit(1).isEmpty
+      labels = updated
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /**
+   * Keeps exactly one document per duplicate cluster (the minimum id);
+   * documents appearing in no pair pass through untouched. The
+   * chain-closing, detector-agnostic form of [[dropNearDuplicates]].
+   */
+  def dropDuplicateClusters(
+      df: DataFrame, pairs: DataFrame, idCol: String, maxIter: Int = 20): DataFrame =
+    df.join(
+      clusters(pairs, maxIter)
+        .where(col("id") =!= col("cluster"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
+  /**
    * 32-bit SimHash sketch per document: each token's 32-bit hash votes
    * ±count on every bit position; the sketch keeps the sign. Documents
    * within a small Hamming distance are near-duplicates. Emitted as a long.

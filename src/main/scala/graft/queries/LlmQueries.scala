@@ -139,6 +139,20 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Duplicate clusters: blocked-Jaccard pairs → connected components,
+    // each doc labeled with its cluster's minimum id
+    "q_dedup_clusters" -> ((s, dir) => {
+      val d = docsWithNearDups(s, dir)
+        .withColumn("len_bucket", floor(col("n_chars") / 100))
+      val pairs = Dedup.blockedNearDuplicates(
+        d, "doc_id", "text",
+        blockCols = Seq("lang", "source", "len_bucket"),
+        shingle = 3, threshold = 0.35)
+      Dedup.clusters(pairs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // SimHash sketches (32-bit, token-count weighted)
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text")
@@ -316,6 +330,25 @@ object LlmQueries {
          |$jaccardSql
          |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $mutCte,
+         |${shingleCte("alldocs")},
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM alldocs a JOIN alldocs b
+         |           ON a.lang = b.lang AND a.source = b.source
+         |          AND floor(a.n_chars / 100) = floor(b.n_chars / 100)
+         |          AND a.doc_id < b.doc_id),
+         |$jaccardSql,
+         |p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.35),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION SELECT id_b AS src, id_a AS dst FROM p),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)
+         |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT id, tok, count(*) AS cnt

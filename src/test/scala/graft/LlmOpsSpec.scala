@@ -165,6 +165,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(p2 == brute)       // probing the 2 best cells restores full recall
   }
 
+  test("Dedup: clusters close pair chains and keep the min id per component") {
+    // chain 1–2, 2–3 (3 never pairs with 1) + separate component 10–11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cl = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L).toDF("doc_id")
+    val kept = Dedup.dropDuplicateClusters(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 10L)) // one survivor per cluster + untouched 4
+  }
+
   test("Pii: detection counts, ordered redaction, quarantine predicate") {
     val df = Seq(
       (1L, "email bob.smith+x@mail.example.org and ip 192.168.0.1"),
