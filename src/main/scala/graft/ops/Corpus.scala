@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -76,5 +77,35 @@ object Corpus {
       case (acc, (k, v)) => when(col(groupCol) === k, lit((v * 10000).toInt)).otherwise(acc)
     }
     df.where(hashBucket("sample", salt, col(idCol)) < threshold)
+  }
+
+  /**
+   * Token-budget sequence packing: assigns each document a `(bucket, seq)`
+   * training-sequence slot — consecutive documents (deterministic id order)
+   * share a sequence until its token budget is spent; a document whose first
+   * token falls past the boundary starts the next sequence (oversized
+   * documents therefore own one sequence and overflow it, the usual
+   * pack-and-overflow contract).
+   *
+   * Packing is PER BUCKET (id-hash, own domain so it composes independently
+   * with sample/split): the running-sum window partitions on `bucket`, so no
+   * global sort ever happens — 100 TB packs as `nBuckets` independent
+   * partitions in parallel, and a document's slot is stable under corpus
+   * growth within its bucket prefix.
+   */
+  def packSequences(
+      df: DataFrame, idCol: String, tokensCol: Column, budget: Long,
+      nBuckets: Int = 1024, salt: String = ""): DataFrame = {
+    require(budget > 0 && nBuckets > 0, "budget and nBuckets must be positive")
+    val w = Window.partitionBy("bucket").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(
+        "bucket",
+        (TextOps.hash32(concat(lit(s"pack:$salt:"), col(idCol).cast("string"))) % nBuckets)
+          .cast("int"))
+      .withColumn("_toks", tokensCol.cast("long"))
+      .withColumn("_cum", sum(col("_toks")).over(w))
+      .withColumn("seq", expr(s"(_cum - _toks) DIV ${budget}L"))
+      .drop("_cum", "_toks")
   }
 }

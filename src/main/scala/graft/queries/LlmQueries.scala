@@ -256,6 +256,14 @@ object LlmQueries {
         .agg(count(lit(1)).as("docs"))
         .orderBy("source")),
 
+    // Token-budget sequence packing: 8 parallel buckets, 512-token sequences
+    "q_corpus_pack" -> ((s, dir) =>
+      Corpus.packSequences(
+          docs(s, dir), "doc_id", TextOps.tokenCount(col("text")), budget = 512L,
+          nBuckets = 8)
+        .select("doc_id", "bucket", "seq")
+        .orderBy("doc_id")),
+
     // PII detection + redaction over deterministically planted PII
     "q_pii_scan" -> ((s, dir) =>
       docsWithPii(s, dir)
@@ -520,6 +528,18 @@ object LlmQueries {
         |             WHEN source = 'src1' THEN 2500
         |             ELSE 500 END)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_corpus_pack" ->
+      """WITH b AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |             CAST(('0x' || substr(md5('pack::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INT) AS bucket
+        |           FROM documents),
+        |c AS (SELECT doc_id, bucket, toks,
+        |             SUM(toks) OVER (PARTITION BY bucket ORDER BY doc_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM b)
+        |SELECT doc_id, bucket, CAST((cum - toks) // 512 AS BIGINT) AS seq
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_pii_scan" -> {
       val cnt = Pii.patterns.map { case (k, re, _) =>

@@ -75,6 +75,17 @@ class EdgeCasesSpec extends SparkSpec {
     assert(sampledSplit.select("split").distinct().count() == 3)
   }
 
+  test("corpus packing fills a token budget then rolls over, pack-and-overflow") {
+    // single bucket: docs in id order with 300/300/100/600 tokens, budget 512
+    val df = Seq((1L, 300), (2L, 300), (3L, 100), (4L, 600)).toDF("doc_id", "n")
+    val out = graft.ops.Corpus
+      .packSequences(df, "doc_id", col("n"), budget = 512L, nBuckets = 1)
+      .select("doc_id", "seq").as[(Long, Long)].collect().toMap
+    // prefix sums before each doc: 0, 300, 600, 700 → seq 0, 0, 1, 1
+    // (doc 2 overflows sequence 0 — its first token was inside the budget)
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("determinism regression: the flagship query is run-to-run identical") {
     val q = graft.queries.FinQueries.queries("q_flag_risky")
     val a = q(spark, "/root/testdata/sf0.001").collect().map(_.toString).toSeq
