@@ -1,0 +1,61 @@
+package graft
+
+/**
+ * Test-enforced plan audit: the physical-plan properties PLANS.md narrates
+ * (pushdown, pruning, broadcasts, window group limits, no cartesian blowups)
+ * asserted against the actual planner output, so a regression that silently
+ * de-optimizes a hot path fails CI instead of only showing up in a bench.
+ */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("P1: filter and projection reach the parquet scan") {
+    val p = plan("q_p1_project")
+    assert(p.contains("PushedFilters"), p)
+    assert("PushedFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(p).isDefined, p)
+    // column pruning: the wide comment column never leaves the scan
+    assert(!p.contains("l_comment"), "unpruned ReadSchema:\n" + p)
+  }
+
+  test("J1: the ISO dimension joins as a broadcast, never a shuffle") {
+    val p = plan("q_j1_country_resolve")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("O1: top-k plans a WindowGroupLimit (partial top-k before the shuffle)") {
+    val p = plan("q_o1_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("dedup candidate generation is equi-join only — no cartesian, no NLJ") {
+    for (q <- Seq("q_dedup_minhash_lsh", "q_dedup_jaccard_blocked", "q_embed_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q planned a nested loop:\n$p")
+    }
+  }
+
+  test("similarity scoring cross-products are broadcast-side only") {
+    // Scoring every (vector, centroid/query) combination IS a cross product —
+    // correct only as a BroadcastNestedLoopJoin whose build side is the small
+    // broadcast set. A non-broadcast CartesianProduct would shuffle-pair two
+    // large sides and must never appear.
+    for (q <- Seq("q_sim_topk_brute", "q_sim_ivf_nprobe")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+    }
+  }
+
+  test("flagship risk query: every window is partitioned") {
+    val p = plan("q_flag_risky")
+    // an unpartitioned window serializes the whole table through one task;
+    // Spark renders those as 'Window [...], [ordering only]' with an empty
+    // partition spec — assert none exists by checking the single-partition
+    // exchange marker it requires
+    assert(!p.contains("SinglePartition"), p)
+  }
+}
