@@ -203,12 +203,16 @@ object Dedup {
    * count — the standard scalable shape (GraphX-free connected components).
    */
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
+    // Materialize the pair set once: the symmetric edge union references it
+    // twice, and pair generation (LSH/Jaccard lineage) is the expensive part.
+    val p = pairs.persist()
+    val edges = p
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist()
     edges.count()
+    p.unpersist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
