@@ -255,6 +255,26 @@ object Dedup {
       Seq(idCol), "left_anti")
 
   /**
+   * Benchmark decontamination: exact-content overlap between a training
+   * corpus and an evaluation set — `(corpus_id, eval_id)` for every pair
+   * whose case/whitespace-normalized fingerprints collide. The join is an
+   * equi-join on the md5 fingerprint (shuffle by hash, never all-pairs);
+   * at 100 TB the eval side is typically small enough for AQE to broadcast.
+   * Near-duplicate contamination composes from [[blockedNearDuplicates]] /
+   * [[nearDuplicates]] over the unioned corpora; this is the exact tier
+   * every decontamination pass runs first.
+   */
+  def crossContamination(
+      corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    corpus
+      .select(col(idCol).as("corpus_id"), TextOps.fingerprint(col(textCol)).as("_fp"))
+      .join(
+        evalSet.select(col(idCol).as("eval_id"), TextOps.fingerprint(col(textCol)).as("_fp")),
+        "_fp")
+      .select("corpus_id", "eval_id")
+
+  /**
    * 32-bit SimHash sketch per document: each token's 32-bit hash votes
    * ±count on every bit position; the sketch keeps the sign. Documents
    * within a small Hamming distance are near-duplicates. Emitted as a long.

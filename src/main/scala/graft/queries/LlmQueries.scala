@@ -153,6 +153,16 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination: exact-fingerprint overlap between the
+    // corpus and a planted eval set (every 10th doc, re-id'd)
+    "q_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val evalSet = d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      Dedup.crossContamination(d, evalSet, "doc_id", "text")
+        .orderBy("corpus_id", "eval_id")
+    }),
+
     // SimHash sketches (32-bit, token-count weighted)
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text")
@@ -357,6 +367,15 @@ object LlmQueries {
          |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)
          |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      """WITH fp AS (SELECT doc_id,
+        |              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |            FROM documents),
+        |ev AS (SELECT doc_id + 5000000 AS eval_id, f FROM fp WHERE doc_id % 10 = 0)
+        |SELECT fp.doc_id AS corpus_id, ev.eval_id
+        |FROM fp JOIN ev ON fp.f = ev.f
+        |ORDER BY corpus_id, eval_id""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT id, tok, count(*) AS cnt
