@@ -78,4 +78,47 @@ class PropertySpec extends SparkSpec {
     val ba = FinOps.monthlySpending(b.unionByName(a))
     assert(ab.exceptAll(ba).isEmpty && ba.exceptAll(ab).isEmpty)
   }
+
+  test("property: PII redaction is idempotent and removes every detectable match") {
+    val piiGen = for {
+      base <- Gen.oneOf("lorem ipsum", "data over words", "x y z")
+      pii <- Gen.oneOf(
+        "a.user+tag@mail-host.example.org", "555-867-5309", "10.20.30.40",
+        "987-65-4321", "4111 1111 1111 1111", "nothing here")
+    } yield s"$base $pii end"
+    val df = sample(piiGen, 100).zipWithIndex.map(_.swap).toDF("id", "text")
+    val once = df.select($"id", graft.ops.Pii.redact($"text").as("r"))
+    // idempotent: replacement tokens never re-match any pattern
+    val twice = once.select($"id", graft.ops.Pii.redact($"r").as("r2"), $"r")
+    assert(twice.where($"r" =!= $"r2").isEmpty)
+    // complete: redacted text carries no detectable PII
+    assert(once.where(graft.ops.Pii.hasPii($"r")).isEmpty)
+  }
+
+  test("property: sequence packing partitions the corpus; seqs grow with id; only the last doc overflows") {
+    val docGen = for { toks <- Gen.chooseNum(1, 700) } yield toks
+    val rows = sample(docGen, 400).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("doc_id", "n")
+    val packed = graft.ops.Corpus
+      .packSequences(df, "doc_id", $"n", budget = 1000L, nBuckets = 4).cache()
+    assert(packed.count() == 400) // exact partition, nothing dropped/duplicated
+    // within a bucket, seq is nondecreasing in id order
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket").orderBy("doc_id")
+    assert(packed.withColumn("prev", lag($"seq", 1).over(w))
+      .where($"prev".isNotNull && $"seq" < $"prev").isEmpty)
+    // a sequence exceeds its budget only through its LAST document (overflow
+    // contract): total minus the last doc's tokens is always under budget
+    val bad = packed.groupBy("bucket", "seq")
+      .agg(sum($"n").as("total"), max_by($"n", $"doc_id").as("last_n"))
+      .where($"total" - $"last_n" >= 1000L)
+    assert(bad.isEmpty)
+  }
+
+  test("property: weighted mixing selects a subset, monotone in rate") {
+    val rows = (0L until 500L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val lo = graft.ops.Corpus.sampleByGroup(rows, "doc_id", "source", Map("src0" -> 0.2), 0.1)
+    val hi = graft.ops.Corpus.sampleByGroup(rows, "doc_id", "source", Map("src0" -> 0.6), 0.3)
+    assert(lo.exceptAll(rows).isEmpty) // subset of the corpus
+    assert(lo.exceptAll(hi).isEmpty)   // raising every rate only adds documents
+  }
 }
