@@ -75,6 +75,22 @@ class EdgeCasesSpec extends SparkSpec {
     assert(sampledSplit.select("split").distinct().count() == 3)
   }
 
+  test("round-3 ops behave on empty and degenerate input") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.TextOps.repetitionSignals(empty, "doc_id", "text").isEmpty)
+    assert(graft.ops.Corpus
+      .packSequences(empty.withColumn("n", lit(1)), "doc_id", col("n"), budget = 10L)
+      .isEmpty)
+    assert(graft.ops.Dedup
+      .clusters(Seq.empty[(Long, Long)].toDF("id_a", "id_b")).isEmpty)
+    assert(graft.ops.Dedup.crossContamination(empty, empty, "doc_id", "text").isEmpty)
+    assert(empty.select(graft.ops.Pii.redact($"text")).isEmpty)
+    // single-token doc: no bigrams → null dup_2gram_frac, not a crash
+    val one = Seq((1L, "word")).toDF("doc_id", "text")
+    val sig = graft.ops.TextOps.repetitionSignals(one, "doc_id", "text").collect()(0)
+    assert(sig.getAs[Long]("n_tokens") == 1L && sig.isNullAt(sig.fieldIndex("dup_2gram_frac")))
+  }
+
   test("corpus packing fills a token budget then rolls over, pack-and-overflow") {
     // single bucket: docs in id order with 300/300/100/600 tokens, budget 512
     val df = Seq((1L, 300), (2L, 300), (3L, 100), (4L, 600)).toDF("doc_id", "n")
