@@ -80,6 +80,25 @@ object Corpus {
   }
 
   /**
+   * Keeps rows whose `valueCol` lies inside the corpus's `[lo, hi]` quantile
+   * range — the standard length/quality outlier trim (e.g. drop the shortest
+   * and longest 5% before training). Exact percentiles via one global
+   * aggregate (a single tiny row) broadcast back over the corpus; the corpus
+   * itself is scanned twice but never shuffled. Spark's `percentile` matches
+   * DuckDB's `quantile_cont` interpolation exactly on integer/2-dp inputs.
+   */
+  def filterByQuantileRange(
+      df: DataFrame, valueCol: String, lo: Double, hi: Double): DataFrame = {
+    require(0 <= lo && lo <= hi && hi <= 1, s"need 0 <= lo <= hi <= 1, got [$lo, $hi]")
+    val q = df.agg(
+      expr(s"percentile($valueCol, $lo)").as("_q_lo"),
+      expr(s"percentile($valueCol, $hi)").as("_q_hi"))
+    df.join(broadcast(q))
+      .where(col(valueCol) >= col("_q_lo") && col(valueCol) <= col("_q_hi"))
+      .drop("_q_lo", "_q_hi")
+  }
+
+  /**
    * Token-budget sequence packing: assigns each document a `(bucket, seq)`
    * training-sequence slot — consecutive documents (deterministic id order)
    * share a sequence until its token budget is spent; a document whose first

@@ -266,6 +266,12 @@ object LlmQueries {
         .agg(count(lit(1)).as("docs"))
         .orderBy("source")),
 
+    // Length-outlier trim: keep the middle 50% of the corpus by n_chars
+    "q_corpus_quantile_trim" -> ((s, dir) =>
+      Corpus.filterByQuantileRange(docs(s, dir), "n_chars", 0.25, 0.75)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")),
+
     // Token-budget sequence packing: 8 parallel buckets, 512-token sequences
     "q_corpus_pack" -> ((s, dir) =>
       Corpus.packSequences(
@@ -547,6 +553,13 @@ object LlmQueries {
         |             WHEN source = 'src1' THEN 2500
         |             ELSE 500 END)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_corpus_quantile_trim" ->
+      """WITH q AS (SELECT quantile_cont(n_chars, 0.25) AS lo,
+        |                  quantile_cont(n_chars, 0.75) AS hi FROM documents)
+        |SELECT doc_id, n_chars FROM documents, q
+        |WHERE n_chars >= lo AND n_chars <= hi
+        |ORDER BY doc_id""".stripMargin,
 
     "q_corpus_pack" ->
       """WITH b AS (SELECT doc_id,
