@@ -64,6 +64,28 @@ object Dedup {
   }
 
   /**
+   * [[minhashSignatures]] via the native [[graft.expressions.MinhashSigs]]
+   * kernel — same values, computed PER ROW with no explode and NO SHUFFLE
+   * (the aggregate path moves every shingle of the corpus through an
+   * exchange; the signature is a pure per-document function, so that
+   * exchange is pure waste at scale). Requires
+   * [[graft.GraftExtensions.register]] on the session.
+   */
+  def minhashSignaturesNative(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, shingle: Int = 3): DataFrame = {
+    val sigs = df
+      .select(
+        col(idCol).as("id"),
+        call_function(
+          "minhash_sigs",
+          TextOps.tokens(col(textCol)), lit(numHashes), lit(shingle)).as("_sigs"))
+      .where(size(col("_sigs")) > 0) // < shingle tokens ⇒ no signature row
+    val wide = (0 until numHashes).map(i => element_at(col("_sigs"), i + 1).as(s"mh_$i"))
+    sigs.select((col("id") +: wide): _*)
+  }
+
+  /**
    * LSH banding over a wide signature: emits `(id, band, band_key)` rows,
    * band_key = order-fixed concatenation of the band's minhashes. One cheap
    * `bands`-way explode per document (bands ≪ numHashes rows).
@@ -166,8 +188,10 @@ object Dedup {
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 8, shingle: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingle)
+      threshold: Double = 0.5, nativeSignatures: Boolean = false): DataFrame = {
+    val sigs =
+      if (nativeSignatures) minhashSignaturesNative(df, idCol, textCol, numHashes, shingle)
+      else minhashSignatures(df, idCol, textCol, numHashes, shingle)
     val cands = candidatePairs(lshBands(sigs, numHashes, bands))
     verifyJaccard(cands, df, idCol, textCol, shingle, minJaccard = threshold)
       .where(col("jaccard") >= threshold)

@@ -121,11 +121,14 @@ object LlmQueries {
     }),
 
     // MinHash + LSH banding + Jaccard verification on planted near-dups
-    "q_dedup_minhash_lsh" -> ((s, dir) =>
+    "q_dedup_minhash_lsh" -> ((s, dir) => {
+      GraftExtensions.register(s)
       Dedup.nearDuplicates(
           docsWithNearDups(s, dir), "doc_id", "text",
-          numHashes = 16, bands = 8, shingle = 3, threshold = 0.35)
-        .orderBy("id_a", "id_b")),
+          numHashes = 16, bands = 8, shingle = 3, threshold = 0.35,
+          nativeSignatures = true) // per-row kernel: shingles never shuffle
+        .orderBy("id_a", "id_b")
+    }),
 
     // Blocked pairwise n-gram Jaccard ((lang, source, length-bucket) blocking,
     // no LSH — candidate cost ∝ block sizes, never all-pairs)

@@ -165,6 +165,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(p2 == brute)       // probing the 2 best cells restores full recall
   }
 
+  test("Dedup: native minhash signatures equal the aggregate path exactly") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words in this one here"),
+      (4L, "ab")) // fewer than 3 tokens → no signature in either path
+      .toDF("doc_id", "text")
+    val agg = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val native = Dedup.minhashSignaturesNative(docs, "doc_id", "text")
+    assert(agg.columns.toSeq == native.columns.toSeq)
+    assert(agg.exceptAll(native).isEmpty && native.exceptAll(agg).isEmpty)
+    assert(native.count() == 3)
+  }
+
   test("Dedup: clusters close pair chains and keep the min id per component") {
     // chain 1–2, 2–3 (3 never pairs with 1) + separate component 10–11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
