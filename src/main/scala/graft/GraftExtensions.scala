@@ -5,11 +5,12 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{MinhashSigs, QuantizedDot}
+import graft.expressions.{DocKernels, MinhashSigs, QuantizedDot}
 
 /**
  * Session extensions for the graft engine: registers the native expressions
- * ([[graft.expressions.QuantizedDot]], [[graft.expressions.MinhashSigs]]).
+ * ([[graft.expressions.QuantizedDot]], [[graft.expressions.MinhashSigs]],
+ * and the per-document kernels in [[graft.expressions.DocKernels]]).
  *
  * Install either at build time —
  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
@@ -18,40 +19,42 @@ import graft.expressions.{MinhashSigs, QuantizedDot}
  * what the driver-contract query entry points do.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("quantized_dot"),
-      QuantizedDot.info,
-      GraftExtensions.buildQuantizedDot))
-    ext.injectFunction((
-      FunctionIdentifier("minhash_sigs"),
-      MinhashSigs.info,
-      GraftExtensions.buildMinhashSigs))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
 }
 
 object GraftExtensions {
 
-  private val buildQuantizedDot: Seq[Expression] => Expression =
-    children => QuantizedDot(children(0), children(1))
-
-  private val buildMinhashSigs: Seq[Expression] => Expression = { children =>
-    def intLit(e: Expression, what: String): Int = e match {
-      case Literal(v: Int, IntegerType) => v
-      case other => throw new IllegalArgumentException(
-        s"minhash_sigs: $what must be an integer literal, got $other")
-    }
-    MinhashSigs(
-      children(0),
-      intLit(children(1), "numHashes"),
-      intLit(children(2), "shingle"))
+  private def intLit(e: Expression, fn: String, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an integer literal, got $other")
   }
+
+  private val functions: Seq[
+      (String, org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+        Seq[Expression] => Expression)] = Seq(
+    ("quantized_dot", QuantizedDot.info,
+      (c: Seq[Expression]) => QuantizedDot(c(0), c(1))),
+    ("minhash_sigs", MinhashSigs.info,
+      (c: Seq[Expression]) => MinhashSigs(
+        c(0),
+        intLit(c(1), "minhash_sigs", "numHashes"),
+        intLit(c(2), "minhash_sigs", "shingle"))),
+    ("simhash32", DocKernels.simhashInfo,
+      (c: Seq[Expression]) => DocKernels.Simhash32(c(0))),
+    ("min_shingle_hash", DocKernels.minShingleInfo,
+      (c: Seq[Expression]) => DocKernels.MinShingleHash(
+        c(0), intLit(c(1), "min_shingle_hash", "n"))),
+    ("repetition_stats", DocKernels.repetitionInfo,
+      (c: Seq[Expression]) => DocKernels.RepetitionStats(c(0))))
 
   /** Runtime registration on an existing session (idempotent). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "quantized_dot", buildQuantizedDot, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sigs", buildMinhashSigs, "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
 }

@@ -1,0 +1,192 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Per-document codegen'd kernels for operations that are pure functions of a
+ * single document's token array. Their aggregate formulations (explode →
+ * shuffle by doc id → grouped combine) push every token/shingle of the
+ * corpus through exchanges that compute nothing a single pass over the row
+ * couldn't — these kernels keep the whole map phase embarrassingly parallel.
+ * Each is value-identical to its aggregate counterpart (equivalence specs in
+ * `LlmOpsSpec`) and to the DuckDB oracles.
+ */
+object DocKernels {
+
+  private def tokenChecck(dt: DataType, name: String): TypeCheckResult = dt match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<string> tokens, got ${other.simpleString}")
+  }
+
+  /** `simhash32(tokens)` — 32-bit count-weighted SimHash sketch
+    * ([[graft.ops.Dedup.simhash]] semantics): every token occurrence votes
+    * ±1 per bit of its md5-derived 32-bit hash; the sketch keeps the signs. */
+  case class Simhash32(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      tokenChecck(child.dataType, prettyName)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash32"
+    override protected def nullSafeEval(a: Any): Any =
+      DocKernels.simhash(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.expressions.DocKernels.simhash($a);")
+    override protected def withNewChildInternal(newChild: Expression): Simhash32 =
+      copy(child = newChild)
+  }
+
+  /** `min_shingle_hash(tokens, n)` — minimum md5-derived 32-bit hash over
+    * the document's word `n`-shingles ([[graft.ops.TextOps.minShingleHash]]
+    * semantics); null when the document has fewer than `n` tokens. */
+  case class MinShingleHash(child: Expression, shingle: Int) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (shingle <= 0)
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires shingle > 0")
+      else tokenChecck(child.dataType, prettyName)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "min_shingle_hash"
+    override protected def nullSafeEval(a: Any): Any =
+      DocKernels.minShingle(a.asInstanceOf[ArrayData], shingle) // may be null
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val boxed = ctx.freshName("boxed")
+        s"""
+           |Object $boxed = graft.expressions.DocKernels.minShingle($a, $shingle);
+           |if ($boxed == null) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = ((java.lang.Long) $boxed).longValue();
+           |}
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): MinShingleHash =
+      copy(child = newChild)
+  }
+
+  /** `repetition_stats(tokens)` — `(n_tokens, top_token_frac,
+    * dup_2gram_frac)` ([[graft.ops.TextOps.repetitionSignals]] semantics);
+    * `dup_2gram_frac` is null for documents with fewer than 2 tokens. */
+  case class RepetitionStats(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      tokenChecck(child.dataType, prettyName)
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("top_token_frac", DoubleType, nullable = false),
+      StructField("dup_2gram_frac", DoubleType, nullable = true)))
+    override def prettyName: String = "repetition_stats"
+    override protected def nullSafeEval(a: Any): Any =
+      DocKernels.repetition(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.expressions.DocKernels.repetition($a);")
+    override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+      copy(child = newChild)
+  }
+
+  // ---- static kernels (invoked from generated code and from eval) ---------
+
+  def simhash(tokens: ArrayData): Long = {
+    val votes = new Array[Long](32)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val h = MinhashSigs.hash32(tokens.getUTF8String(t))
+        var j = 0
+        while (j < 32) {
+          if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      t += 1
+    }
+    var sketch = 0L
+    var j = 0
+    while (j < 32) {
+      if (votes(j) > 0) sketch |= (1L << j)
+      j += 1
+    }
+    sketch
+  }
+
+  def minShingle(tokens: ArrayData, shingle: Int): java.lang.Long = {
+    val n = tokens.numElements()
+    if (n < shingle) return null
+    var min = Long.MaxValue
+    val sb = new java.lang.StringBuilder
+    var start = 0
+    while (start <= n - shingle) {
+      sb.setLength(0)
+      var j = 0
+      var first = true
+      while (j < shingle) {
+        if (!tokens.isNullAt(start + j)) {
+          if (!first) sb.append(' ')
+          sb.append(tokens.getUTF8String(start + j).toString)
+          first = false
+        }
+        j += 1
+      }
+      val h = MinhashSigs.hash32(
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+      if (h < min) min = h
+      start += 1
+    }
+    java.lang.Long.valueOf(min)
+  }
+
+  def repetition(tokens: ArrayData): InternalRow = {
+    val n = tokens.numElements()
+    val counts = new java.util.HashMap[String, Integer]()
+    var t = 0
+    var nTok = 0L
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val s = tokens.getUTF8String(t).toString
+        val c = counts.get(s)
+        counts.put(s, if (c == null) 1 else c + 1)
+        nTok += 1
+      }
+      t += 1
+    }
+    var top = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next().longValue(); if (c > top) top = c }
+    val grams = new java.util.HashSet[String]()
+    var total = 0L
+    var i = 0
+    while (i < n - 1) {
+      if (!tokens.isNullAt(i) && !tokens.isNullAt(i + 1)) {
+        grams.add(tokens.getUTF8String(i).toString + " " + tokens.getUTF8String(i + 1).toString)
+        total += 1
+      }
+      i += 1
+    }
+    val row = new GenericInternalRow(3)
+    row.setLong(0, nTok)
+    row.setDouble(1, if (nTok > 0) top.toDouble / nTok else 0d)
+    if (total > 0) row.setDouble(2, (total - grams.size).toDouble / total)
+    else row.setNullAt(2)
+    row
+  }
+
+  val simhashInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[Simhash32].getName, null, "simhash32",
+    "_FUNC_(tokens) - 32-bit count-weighted SimHash sketch of a token array.",
+    "", "", "", "", "", "", "built-in")
+  val minShingleInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[MinShingleHash].getName, null, "min_shingle_hash",
+    "_FUNC_(tokens, n) - minimum 32-bit hash over the word n-shingles.",
+    "", "", "", "", "", "", "built-in")
+  val repetitionInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[RepetitionStats].getName, null, "repetition_stats",
+    "_FUNC_(tokens) - (n_tokens, top_token_frac, dup_2gram_frac) of a token array.",
+    "", "", "", "", "", "", "built-in")
+}

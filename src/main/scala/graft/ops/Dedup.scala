@@ -330,4 +330,14 @@ object Dedup {
       .agg(sum(when(col("v") > 0, pow(lit(2d), col("j")).cast("long")).otherwise(0L))
         .as("simhash"))
   }
+
+  /** [[simhash]] via the native per-row kernel
+    * ([[graft.expressions.DocKernels.Simhash32]]) — same sketch, zero
+    * shuffles (the aggregate form pays THREE: token counts, bit votes,
+    * final sketch — all for a pure per-document function). Requires
+    * [[graft.GraftExtensions.register]]. */
+  def simhashNative(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      call_function("simhash32", TextOps.tokens(col(textCol))).as("simhash"))
 }

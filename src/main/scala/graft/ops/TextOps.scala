@@ -108,6 +108,35 @@ object TextOps {
     base.join(msh, Seq("id"), "left")
   }
 
+  /** [[fingerprints]] via the native per-row kernel
+    * ([[graft.expressions.DocKernels.MinShingleHash]]) — one projection,
+    * no explode/shuffle/join; <n-token docs get a null min hash exactly
+    * like the aggregate path's left join. Requires
+    * [[graft.GraftExtensions.register]]. */
+  def fingerprintsNative(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      n: Int = 3): org.apache.spark.sql.DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      fingerprint(col(textCol)).as("fp"),
+      call_function("min_shingle_hash", tokens(col(textCol)), lit(n))
+        .as("min_shingle_hash"))
+
+  /** [[repetitionSignals]] via the native per-row kernel
+    * ([[graft.expressions.DocKernels.RepetitionStats]]) — zero shuffles
+    * instead of two grouped aggregates. Requires
+    * [[graft.GraftExtensions.register]]. */
+  def repetitionSignalsNative(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(
+        col(idCol).as("id"),
+        call_function("repetition_stats", tokens(col(textCol))).as("_r"))
+      .select(
+        col("id"),
+        col("_r.n_tokens").as("n_tokens"),
+        col("_r.top_token_frac").as("top_token_frac"),
+        col("_r.dup_2gram_frac").as("dup_2gram_frac"))
+
   /** Number of tokens of `text` that appear in `words`. Prefer
     * [[markerHitsFromTokens]] with a materialized tokens column on hot paths
     * (same split-duplication pitfall as [[wordShingles]]). */

@@ -167,10 +167,12 @@ object LlmQueries {
     }),
 
     // SimHash sketches (32-bit, token-count weighted)
-    "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhash(docs(s, dir), "doc_id", "text")
+    "q_dedup_simhash" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      Dedup.simhashNative(docs(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // Token counting: whitespace tokens + BPE-ish subword segments
     "q_text_tokens" -> ((s, dir) =>
@@ -196,10 +198,12 @@ object LlmQueries {
         .orderBy("doc_id")),
 
     // Content fingerprints: normalized md5 + min-shingle rolling hash
-    "q_text_fingerprint" -> ((s, dir) =>
-      TextOps.fingerprints(docs(s, dir), "doc_id", "text")
+    "q_text_fingerprint" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      TextOps.fingerprintsNative(docs(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // Brute-force exact top-k cosine (integer-quantized dot products)
     "q_sim_topk_brute" -> ((s, dir) => {
@@ -292,10 +296,12 @@ object LlmQueries {
         .orderBy("doc_id")),
 
     // Gopher-style repetition signals (top-token share, duplicate bigrams)
-    "q_text_repetition" -> ((s, dir) =>
-      TextOps.repetitionSignals(docs(s, dir), "doc_id", "text")
+    "q_text_repetition" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      TextOps.repetitionSignalsNative(docs(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // Multimodal frame fan-out: one asset row → N "frame" rows (posexplode),
     // the exact shape a real video frame extractor produces

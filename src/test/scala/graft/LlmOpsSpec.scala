@@ -179,6 +179,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(native.count() == 3)
   }
 
+  test("DocKernels: simhash/fingerprint/repetition kernels equal the aggregate paths") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog the quick"),
+      (2L, "a a a a b"),
+      (3L, "one two"), // < 3 tokens: null min-shingle, has bigrams
+      (4L, "solo"))    // single token: null dup_2gram_frac
+      .toDF("doc_id", "text")
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.columns.toSeq == b.columns.toSeq)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    }
+    same(Dedup.simhash(docs, "doc_id", "text"), Dedup.simhashNative(docs, "doc_id", "text"))
+    same(TextOps.fingerprints(docs, "doc_id", "text"),
+      TextOps.fingerprintsNative(docs, "doc_id", "text"))
+    same(TextOps.repetitionSignals(docs, "doc_id", "text"),
+      TextOps.repetitionSignalsNative(docs, "doc_id", "text"))
+  }
+
   test("Dedup: clusters close pair chains and keep the min id per component") {
     // chain 1–2, 2–3 (3 never pairs with 1) + separate component 10–11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
