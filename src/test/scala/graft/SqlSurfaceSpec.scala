@@ -25,5 +25,17 @@ class SqlSurfaceSpec extends SparkSpec {
       """WITH t AS (SELECT *, max(yearMonth) OVER (PARTITION BY userId) AS tym FROM transactions)
         |SELECT count(*) FROM t WHERE yearMonth = tym""".stripMargin).collect()
     assert(risky.head.getLong(0) > 0)
+
+    // the per-document kernels from SQL
+    val kernels = spark.sql(
+      """SELECT
+        |  simhash32(split('a b a', ' ')) AS sh,
+        |  min_shingle_hash(split('a b c d', ' '), 3) AS msh,
+        |  size(minhash_sigs(split('a b c d', ' '), 16, 3)) AS n_sigs,
+        |  repetition_stats(split('a a a b', ' ')).top_token_frac AS tf""".stripMargin).collect()(0)
+    assert(kernels.getLong(0) != 0L && !kernels.isNullAt(1))
+    assert(kernels.getInt(2) == 16 && kernels.getDouble(3) == 0.75)
+    // fewer tokens than the shingle size is null, not a crash
+    assert(spark.sql("SELECT min_shingle_hash(split('a b', ' '), 3)").collect()(0).isNullAt(0))
   }
 }
