@@ -49,7 +49,9 @@ object GraftExtensions {
       (c: Seq[Expression]) => DocKernels.MinShingleHash(
         c(0), intLit(c(1), "min_shingle_hash", "n"))),
     ("repetition_stats", DocKernels.repetitionInfo,
-      (c: Seq[Expression]) => DocKernels.RepetitionStats(c(0))))
+      (c: Seq[Expression]) => DocKernels.RepetitionStats(c(0))),
+    ("lang_id", DocKernels.langIdInfo,
+      (c: Seq[Expression]) => DocKernels.LangId(c(0))))
 
   /** Runtime registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

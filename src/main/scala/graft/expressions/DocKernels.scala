@@ -90,6 +90,25 @@ object DocKernels {
       copy(child = newChild)
   }
 
+  /** `lang_id(tokens)` — stopword-profile language ID
+    * ([[graft.ops.TextOps.langIdFromTokens]] semantics): most marker hits
+    * wins, ties break to the ascending language code, zero hits ⇒ "und".
+    * The composed form pays one interpreted `filter` lambda per candidate
+    * language plus an interpreted `array_sort` comparator per row. */
+  case class LangId(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      tokenChecck(child.dataType, prettyName)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "lang_id"
+    override protected def nullSafeEval(a: Any): Any =
+      DocKernels.langId(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.expressions.DocKernels.langId($a);")
+    override protected def withNewChildInternal(newChild: Expression): LangId =
+      copy(child = newChild)
+  }
+
   // ---- static kernels (invoked from generated code and from eval) ---------
 
   def simhash(tokens: ArrayData): Long = {
@@ -177,6 +196,41 @@ object DocKernels {
     row
   }
 
+  // Marker table materialized once from the single source of truth in
+  // TextOps.langMarkers (ascending language order = the tie-break order).
+  private lazy val langTable: Array[(org.apache.spark.unsafe.types.UTF8String, java.util.HashSet[String])] =
+    graft.ops.TextOps.langMarkers.sortBy(_._1).map { case (lang, words) =>
+      val set = new java.util.HashSet[String]()
+      words.foreach(set.add)
+      (org.apache.spark.unsafe.types.UTF8String.fromString(lang), set)
+    }.toArray
+
+  private val und = org.apache.spark.unsafe.types.UTF8String.fromString("und")
+
+  def langId(tokens: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val hits = new Array[Int](langTable.length)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val s = tokens.getUTF8String(t).toString
+        var l = 0
+        while (l < langTable.length) {
+          if (langTable(l)._2.contains(s)) hits(l) += 1
+          l += 1
+        }
+      }
+      t += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < langTable.length) {
+      if (hits(l) > hits(best)) best = l // strict > keeps the asc-code tie-break
+      l += 1
+    }
+    if (hits(best) == 0) und else langTable(best)._1
+  }
+
   val simhashInfo: ExpressionInfo = new ExpressionInfo(
     classOf[Simhash32].getName, null, "simhash32",
     "_FUNC_(tokens) - 32-bit count-weighted SimHash sketch of a token array.",
@@ -188,5 +242,9 @@ object DocKernels {
   val repetitionInfo: ExpressionInfo = new ExpressionInfo(
     classOf[RepetitionStats].getName, null, "repetition_stats",
     "_FUNC_(tokens) - (n_tokens, top_token_frac, dup_2gram_frac) of a token array.",
+    "", "", "", "", "", "", "built-in")
+  val langIdInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[LangId].getName, null, "lang_id",
+    "_FUNC_(tokens) - stopword-profile language code ('und' without hits).",
     "", "", "", "", "", "", "built-in")
 }

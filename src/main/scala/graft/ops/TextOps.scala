@@ -183,6 +183,12 @@ object TextOps {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** [[langId]] via the native per-row kernel
+    * ([[graft.expressions.DocKernels.LangId]]) — same argmax, no
+    * interpreted per-language filter lambdas or sort comparator. Requires
+    * [[graft.GraftExtensions.register]]. */
+  def langIdNative(tokens: Column): Column = call_function("lang_id", tokens)
+
   /** Stopwords used by the quality score (union of the English markers). */
   val qualityStopwords: Seq[String] = langMarkers.head._2
 

@@ -191,11 +191,13 @@ object LlmQueries {
         .orderBy("doc_id")),
 
     // Language-ID heuristic (stopword profiles, deterministic tie-break)
-    "q_text_langid" -> ((s, dir) =>
+    "q_text_langid" -> ((s, dir) => {
+      GraftExtensions.register(s)
       docs(s, dir)
-        .withColumn("_toks", TextOps.tokens(col("text")))
-        .select(col("doc_id"), col("lang"), TextOps.langIdFromTokens(col("_toks")).as("predicted"))
-        .orderBy("doc_id")),
+        .select(col("doc_id"), col("lang"),
+          TextOps.langIdNative(TextOps.tokens(col("text"))).as("predicted"))
+        .orderBy("doc_id")
+    }),
 
     // Content fingerprints: normalized md5 + min-shingle rolling hash
     "q_text_fingerprint" -> ((s, dir) => {

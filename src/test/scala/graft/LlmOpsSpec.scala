@@ -195,6 +195,12 @@ class LlmOpsSpec extends SparkSpec {
       TextOps.fingerprintsNative(docs, "doc_id", "text"))
     same(TextOps.repetitionSignals(docs, "doc_id", "text"),
       TextOps.repetitionSignalsNative(docs, "doc_id", "text"))
+    // lang_id kernel vs composed argmax, including the 'und' fallback
+    val langDocs = Seq("the cat sat on the mat", "el gato es un gato", "zzz qqq")
+      .toDF("text").withColumn("_toks", TextOps.tokens(col("text")))
+    same(
+      langDocs.select(TextOps.langIdFromTokens(col("_toks")).as("predicted")),
+      langDocs.select(TextOps.langIdNative(col("_toks")).as("predicted")))
   }
 
   test("Dedup: clusters close pair chains and keep the min id per component") {
