@@ -142,19 +142,7 @@ object DocKernels {
     val sb = new java.lang.StringBuilder
     var start = 0
     while (start <= n - shingle) {
-      sb.setLength(0)
-      var j = 0
-      var first = true
-      while (j < shingle) {
-        if (!tokens.isNullAt(start + j)) {
-          if (!first) sb.append(' ')
-          sb.append(tokens.getUTF8String(start + j).toString)
-          first = false
-        }
-        j += 1
-      }
-      val h = MinhashSigs.hash32(
-        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+      val h = MinhashSigs.shingleHash(tokens, start, shingle, sb)
       if (h < min) min = h
       start += 1
     }

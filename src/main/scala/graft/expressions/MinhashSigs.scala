@@ -59,11 +59,38 @@ object MinhashSigs {
 
   val Prime: Long = 2147483647L
 
+  // One digest per thread, reset per use — getInstance() per shingle would
+  // make provider lookup + allocation the dominant cost of the kernels.
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   /** First 4 md5 digest bytes as an unsigned big-endian 32-bit value —
     * exactly `conv(substring(md5(s), 1, 8), 16, 10)`. */
-  def hash32(s: UTF8String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+  def hash32(s: UTF8String): Long = hash32Bytes(s.getBytes)
+
+  def hash32Bytes(b: Array[Byte]): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(b)
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** 32-bit hash of the space-joined `shingle`-window at `start`
+    * (`concat_ws` null-skipping semantics) — THE shingle-hash definition,
+    * shared by every kernel so Spark↔oracle parity has one source of truth. */
+  def shingleHash(tokens: ArrayData, start: Int, shingle: Int, sb: java.lang.StringBuilder): Long = {
+    sb.setLength(0)
+    var j = 0
+    var first = true
+    while (j < shingle) {
+      if (!tokens.isNullAt(start + j)) { // concat_ws skips nulls
+        if (!first) sb.append(' ')
+        sb.append(tokens.getUTF8String(start + j).toString)
+        first = false
+      }
+      j += 1
+    }
+    hash32Bytes(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Static kernel, invoked from generated code and from nullSafeEval. */
@@ -74,18 +101,7 @@ object MinhashSigs {
     val sb = new java.lang.StringBuilder
     var start = 0
     while (start <= n - shingle) {
-      sb.setLength(0)
-      var j = 0
-      var first = true
-      while (j < shingle) {
-        if (!tokens.isNullAt(start + j)) { // concat_ws skips nulls
-          if (!first) sb.append(' ')
-          sb.append(tokens.getUTF8String(start + j).toString)
-          first = false
-        }
-        j += 1
-      }
-      val h = hash32(UTF8String.fromString(sb.toString))
+      val h = shingleHash(tokens, start, shingle, sb)
       var i = 0
       while (i < numHashes) {
         val v = (h * (2L * i + 1) + (98765L * i + 12345L)) % Prime

@@ -35,9 +35,14 @@ object Corpus {
    * samples at increasing rates are nested (`rate 0.1 ⊆ rate 0.2` — stable
    * incremental growth); different salts are independent.
    */
+  /** Bucket threshold for a rate: rounded, not truncated — `(0.57 · 10⁴)`
+    * is 5699.999… in binary and truncation would silently drop the last
+    * bucket of the documented 10^-4 resolution. */
+  private def buckets(rate: Double): Int = math.round(rate * 10000).toInt
+
   def sampleDeterministic(
       df: DataFrame, idCol: String, rate: Double, salt: String = ""): DataFrame =
-    df.where(hashBucket("sample", salt, col(idCol)) < (rate * 10000).toInt)
+    df.where(hashBucket("sample", salt, col(idCol)) < buckets(rate))
 
   /**
    * Deterministic train/validation/test split label from the id hash:
@@ -48,8 +53,8 @@ object Corpus {
   def splitLabel(id: Column, train: Double = 0.8, validation: Double = 0.1,
                  salt: String = ""): Column = {
     val b = hashBucket("split", salt, id)
-    when(b < (train * 10000).toInt, "train")
-      .when(b < ((train + validation) * 10000).toInt, "validation")
+    when(b < buckets(train), "train")
+      .when(b < buckets(train + validation), "validation")
       .otherwise("test")
   }
 
@@ -73,8 +78,8 @@ object Corpus {
       df: DataFrame, idCol: String, groupCol: String,
       rates: Map[String, Double], defaultRate: Double = 0.0,
       salt: String = ""): DataFrame = {
-    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit((defaultRate * 10000).toInt)) {
-      case (acc, (k, v)) => when(col(groupCol) === k, lit((v * 10000).toInt)).otherwise(acc)
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(buckets(defaultRate))) {
+      case (acc, (k, v)) => when(col(groupCol) === k, lit(buckets(v))).otherwise(acc)
     }
     df.where(hashBucket("sample", salt, col(idCol)) < threshold)
   }

@@ -262,6 +262,11 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // A silent truncation would let duplicates survive the dedup pass with
+    // multiple "representatives" per component — fail loudly instead.
+    if (!converged) throw new IllegalStateException(
+      s"Dedup.clusters did not converge within $maxIter iterations " +
+        "(a component's diameter exceeds maxIter); raise maxIter")
     labels
   }
 

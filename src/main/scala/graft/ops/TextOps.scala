@@ -210,7 +210,7 @@ object TextOps {
       .groupBy("id", "tok")
       .agg(count(lit(1)).as("c"))
       .groupBy("id")
-      .agg(count(lit(1)).as("_distinct"), sum(col("c")).as("_n"), max(col("c")).as("_top"))
+      .agg(sum(col("c")).as("_n"), max(col("c")).as("_top"))
       .select(
         col("id"),
         col("_n").cast("long").as("n_tokens"),

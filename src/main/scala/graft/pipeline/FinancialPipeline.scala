@@ -121,31 +121,46 @@ object FinancialPipeline {
    * current vs previous category spend LF:175-222, monthly bar+line
    * LF:283-308, recurring grouped bars LF:388-430, and the PDF's top-3 /
    * flagged tables LF:315-387) as one long-format DataFrame:
-   * `(userId, chart, series, label, value)`. Rendering (PNG/PDF) is
-   * presentation and stays out of the engine; everything a renderer needs is
-   * here, including pie percentages.
+   * `(userId, yearMonth, chart, series, label, value)`.
+   *
+   * `yearMonth` is the statement month the row belongs to — the report
+   * grain, matching [[assembleReport]]; without it a multi-month batch
+   * would mix sibling months' values under one vendor/category label. The
+   * user-scoped monthly-trend series (it spans ALL months by definition)
+   * carries the sentinel `"*"` and is shared across that user's documents.
+   * Rendering (PNG/PDF vs SVG/HTML) is presentation; everything a renderer
+   * needs is here, including pie percentages.
    */
+  val SharedMonth = "*"
+
   def chartData(results: Results): DataFrame = {
-    def part(df: DataFrame, chart: String, series: Column, label: Column, value: Column) =
+    def part(df: DataFrame, ym: Column, chart: String,
+             series: Column, label: Column, value: Column) =
       df.select(
-        col("userId"), lit(chart).as("chart"), series.as("series"),
-        label.as("label"), value.cast("double").as("value"))
+        col("userId"), ym.as("yearMonth"), lit(chart).as("chart"),
+        series.as("series"), label.as("label"), value.cast("double").as("value"))
 
     val curPie = {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("userId")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("userId", "yearMonth")
       results.spendingByCategory
         .withColumn("pct", col("total") / sum(col("total")).over(w) * 100)
         .select(
-          col("userId"), lit("category_pie").as("chart"), lit("current").as("series"),
-          col("category").as("label"), col("pct").as("value"))
+          col("userId"), col("yearMonth"), lit("category_pie").as("chart"),
+          lit("current").as("series"), col("category").as("label"), col("pct").as("value"))
     }
     Seq(
-      part(results.previousMonth, "category_pie_prev", lit("previous"), col("category"), col("total")),
-      part(results.monthly, "monthly_trend", lit("total"), col("ym"), col("total")),
-      part(results.recurring, "recurring_ytd", lit("ytd"), col("vendor"), col("ytd_total")),
-      part(results.recurring, "recurring_ytd", lit("projected"), col("vendor"), col("projected")),
-      part(results.topHighValue, "top_high_value", lit("amount"), col("id"), col("amount")),
-      part(results.flagged, "flagged", col("risk_level"), col("transaction_id"), col("amount"))
+      part(results.previousMonth, col("target_ym"), "category_pie_prev",
+        lit("previous"), col("category"), col("total")),
+      part(results.monthly, lit(SharedMonth), "monthly_trend",
+        lit("total"), col("ym"), col("total")),
+      part(results.recurring, col("target_ym"), "recurring_ytd",
+        lit("ytd"), col("vendor"), col("ytd_total")),
+      part(results.recurring, col("target_ym"), "recurring_ytd",
+        lit("projected"), col("vendor"), col("projected")),
+      part(results.topHighValue, col("yearMonth"), "top_high_value",
+        lit("amount"), col("id"), col("amount")),
+      part(results.flagged, col("yearMonth"), "flagged",
+        col("risk_level"), col("transaction_id"), col("amount"))
     ).foldLeft(curPie)(_ unionByName _)
   }
 

@@ -55,16 +55,24 @@ object Tpch {
     * from this frame, and Verify/Bench re-derive it dozens of times per run;
     * a real deployment materializes the canonical frame once and fans
     * analytics out from it — the memo gives the bench the same economics.
-    * MEMORY_AND_DISK so larger scale factors spill instead of OOM. Entries
-    * live as long as their session (keyed by session identity + data dir). */
+    * MEMORY_AND_DISK so larger scale factors spill instead of OOM. Weak keys
+    * on the session OBJECT: a stopped session's entries become collectable
+    * (no unbounded growth across sessions, and no identity-hash collision
+    * can ever hand a new session a frame bound to a dead context). */
   private val txMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
 
-  def ordersTx(spark: SparkSession, sfDir: String): DataFrame =
-    txMemo.getOrElseUpdate(
-      (System.identityHashCode(spark), sfDir),
+  def ordersTx(spark: SparkSession, sfDir: String): DataFrame = txMemo.synchronized {
+    var perSession = txMemo.get(spark)
+    if (perSession == null) {
+      perSession = scala.collection.mutable.Map.empty[String, DataFrame]
+      txMemo.put(spark, perSession)
+    }
+    perSession.getOrElseUpdate(
+      sfDir,
       buildOrdersTx(spark, sfDir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   private def buildOrdersTx(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

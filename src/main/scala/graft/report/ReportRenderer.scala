@@ -19,12 +19,14 @@ import org.apache.spark.sql.DataFrame
 object ReportRenderer {
 
   /** Long-format chart row (the [[graft.pipeline.FinancialPipeline.chartData]]
-    * schema). */
+    * schema). `yearMonth` is the statement month, or `"*"` for user-scoped
+    * series shared across that user's month documents. */
   final case class ChartRow(
-      userId: String, chart: String, series: String, label: String, value: Double)
+      userId: String, yearMonth: String, chart: String,
+      series: String, label: String, value: Double)
 
-  /** One user's chart rows → a standalone HTML report document. */
-  def renderUser(userId: String, rows: Seq[ChartRow]): String = {
+  /** One user-month's chart rows → a standalone HTML report document. */
+  def renderUser(userId: String, yearMonth: String, rows: Seq[ChartRow]): String = {
     val byChart = rows.groupBy(_.chart)
     def of(c: String): Seq[ChartRow] = byChart.getOrElse(c, Nil)
     val parts = Seq.newBuilder[String]
@@ -60,25 +62,44 @@ object ReportRenderer {
       flagged.map(r => Seq(r.label, r.series, f"${r.value}%.2f")),
       "Flagged transactions")
 
+    val monthLabel =
+      if (yearMonth == FinancialPipelineSharedMonth) "" else s" — $yearMonth"
     s"""<!DOCTYPE html><html><head><meta charset="utf-8">""" +
-      s"""<title>Report ${Svg.esc(userId)}</title></head>""" +
-      s"""<body><h2>Financial report — user ${Svg.esc(userId)}</h2>""" +
+      s"""<title>Report ${Svg.esc(userId)}${Svg.esc(monthLabel)}</title></head>""" +
+      s"""<body><h2>Financial report — user ${Svg.esc(userId)}${Svg.esc(monthLabel)}</h2>""" +
       parts.result().mkString("\n") + "</body></html>"
   }
 
-  /** Distributed render: chartData (long format) → one `(userId, html)` row
-    * per user. */
+  private def FinancialPipelineSharedMonth: String =
+    graft.pipeline.FinancialPipeline.SharedMonth
+
+  /** Distributed render: chartData (long format) → one `(userId, yearMonth,
+    * html)` row per user-month document. Month-scoped rows go to their own
+    * month's document; `"*"` rows (monthly trend) are shared into every
+    * document of their user — sibling months never mix (the report grain,
+    * same as `assembleReport`). */
   def renderAll(chartData: DataFrame): DataFrame = {
     val spark = chartData.sparkSession
     import spark.implicits._
+    val shared = FinancialPipelineSharedMonth
     chartData.as[ChartRow]
       .groupByKey(_.userId)
-      .mapGroups((uid, it) => (uid, renderUser(uid, it.toSeq)))
-      .toDF("userId", "html")
+      .flatMapGroups { (uid, it) =>
+        val rows = it.toSeq
+        val common = rows.filter(_.yearMonth == shared)
+        val months = rows.map(_.yearMonth).filter(_ != shared).distinct.sorted
+        if (months.isEmpty)
+          Iterator.single((uid, shared, renderUser(uid, shared, common)))
+        else months.iterator.map { ym =>
+          (uid, ym, renderUser(uid, ym, rows.filter(_.yearMonth == ym) ++ common))
+        }
+      }
+      .toDF("userId", "yearMonth", "html")
   }
 
-  /** Report file tree sink: one `userId=<u>/part-*.txt` HTML document per
-    * user under `outDir` (any Hadoop filesystem). */
+  /** Report file tree sink: one `userId=<u>/yearMonth=<m>/part-*.txt` HTML
+    * document per user-month under `outDir` (any Hadoop filesystem). */
   def write(chartData: DataFrame, outDir: String): Unit =
-    renderAll(chartData).write.partitionBy("userId").mode("overwrite").text(outDir)
+    renderAll(chartData).write
+      .partitionBy("userId", "yearMonth").mode("overwrite").text(outDir)
 }

@@ -51,13 +51,19 @@ object Svg {
       var angle = -math.Pi / 2 // 12 o'clock start, clockwise — matplotlib default shape
       data.zipWithIndex.foreach { case ((_, v), i) =>
         val sweep = v / total * 2 * math.Pi
-        val x1 = cx + r * math.cos(angle)
-        val y1 = cy + r * math.sin(angle)
-        val x2 = cx + r * math.cos(angle + sweep)
-        val y2 = cy + r * math.sin(angle + sweep)
-        val large = if (sweep > math.Pi) 1 else 0
-        slices ++=
-          s"""<path d="M $cx $cy L ${fmt(x1)} ${fmt(y1)} A ${fmt(r)} ${fmt(r)} 0 $large 1 ${fmt(x2)} ${fmt(y2)} Z" fill="${color(i)}"/>"""
+        if (sweep >= 2 * math.Pi - 1e-9) {
+          // a single slice owning ~100% degenerates the arc (start == end);
+          // draw the full disc instead
+          slices ++= s"""<circle cx="$cx" cy="$cy" r="$r" fill="${color(i)}"/>"""
+        } else if (sweep > 0) {
+          val x1 = cx + r * math.cos(angle)
+          val y1 = cy + r * math.sin(angle)
+          val x2 = cx + r * math.cos(angle + sweep)
+          val y2 = cy + r * math.sin(angle + sweep)
+          val large = if (sweep > math.Pi) 1 else 0
+          slices ++=
+            s"""<path d="M $cx $cy L ${fmt(x1)} ${fmt(y1)} A ${fmt(r)} ${fmt(r)} 0 $large 1 ${fmt(x2)} ${fmt(y2)} Z" fill="${color(i)}"/>"""
+        }
         angle += sweep
       }
     }

@@ -58,14 +58,23 @@ object StatementStream {
 
     val writer = raw.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (valid, rejects) = FinOps.validateStatement(FinOps.normalizeStatement(batch))
-        if (!rejects.isEmpty)
-          rejects.write.mode("append").parquet(rejectsPath)
-        if (!valid.isEmpty) {
-          FinancialPipeline.runBatch(valid, statementsPath, Some(reportPath), spark)
-          ()
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Parse+validate once: the valid/reject splits and runBatch would
+        // otherwise each re-read and re-parse the batch lineage.
+        val normalized = FinOps.normalizeStatement(batch).persist()
+        try {
+          val (valid, rejects) = FinOps.validateStatement(normalized)
+          if (!rejects.isEmpty)
+            // Idempotent under micro-batch replay: each batch owns a
+            // batch_id partition that a retry OVERWRITES rather than
+            // appending duplicate reject rows to the table.
+            rejects.write.mode("overwrite")
+              .parquet(s"$rejectsPath/batch_id=$batchId")
+          if (!valid.isEmpty) {
+            FinancialPipeline.runBatch(valid, statementsPath, Some(reportPath), spark)
+            ()
+          }
+        } finally normalized.unpersist()
       }
 
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()

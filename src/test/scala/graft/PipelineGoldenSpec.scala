@@ -160,6 +160,17 @@ class PipelineGoldenSpec extends SparkSpec {
     assert(repJan.getAs[Map[String, Double]]("previous_month")("Groceries") == 160.0)
     assert(repDec.isNullAt(repDec.fieldIndex("previous_month"))) // cold start
     assert(repJan.getAs[scala.collection.Seq[Any]]("top_high_value").size == 3)
+
+    // chart data and rendering follow the same grain: one document per
+    // statement month, each with its own recurring series (mixing sibling
+    // months under one vendor label was the pre-fix failure mode)
+    val charts = FinancialPipeline.chartData(res)
+    val recMonths = charts
+      .where($"chart" === "recurring_ytd" && $"userId" === "1")
+      .select("yearMonth").distinct().as[String].collect().toSet
+    assert(recMonths == Set("202412", "202501"))
+    val rendered = graft.report.ReportRenderer.renderAll(charts)
+    assert(rendered.count() == 4) // u1×2 months + u2 + u3
   }
 
   test("report assembly adds no broadcast hints of its own (AQE decides at runtime)") {

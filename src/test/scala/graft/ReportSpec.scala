@@ -42,12 +42,12 @@ class ReportSpec extends SparkSpec {
     assert(again == u1)
   }
 
-  test("report file tree: one html document per user partition") {
+  test("report file tree: one html document per user-month partition") {
     val res = FinancialPipeline.analyze(statement, statement.where(lit(false)), spark)
     val dir = tmpDir("html_reports")
     ReportRenderer.write(FinancialPipeline.chartData(res), dir)
-    val back = spark.read.text(dir + "/userId=2")
-    val doc = back.as[String].collect().mkString
+    val doc = spark.read.text(dir + "/userId=2/yearMonth=202412")
+      .as[String].collect().mkString
     assert(doc.contains("Financial report") && doc.contains("<svg "))
   }
 }
