@@ -198,6 +198,59 @@ object Dedup {
   }
 
   /**
+   * MinHash-estimated Jaccard for a pair set over wide signature frames:
+   * the fraction of agreeing minhash components (an unbiased estimator of
+   * true Jaccard, stderr ≈ 1/√numHashes). The signature-only verification
+   * tier — no text access, so it works against a persisted signature store.
+   */
+  def estimateJaccard(
+      pairs: DataFrame, sigsA: DataFrame, sigsB: DataFrame,
+      numHashes: Int = 16): DataFrame = {
+    def renamed(s: DataFrame, side: String) =
+      s.select((col("id").as(s"id_$side") +:
+        (0 until numHashes).map(i => col(s"mh_$i").as(s"${side}_mh_$i"))): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(renamed(sigsA, "a"), "id_a")
+      .join(renamed(sigsB, "b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (agree.cast("double") / numHashes).as("est_jaccard"))
+  }
+
+  /**
+   * Incremental near-dup detection: a NEW shard against a PERSISTED corpus
+   * signature store — the realistic 100 TB shape (signatures+bands of the
+   * existing corpus are computed once and stored; each arriving shard is
+   * signed, banded, and joined against the store, never re-processing the
+   * corpus). Returns `(id_a=existing, id_b=new, est_jaccard)` pairs with
+   * estimated Jaccard ≥ `threshold`, plus new-vs-new pairs within the
+   * shard. Feed the result to [[clusters]]/[[dropDuplicateClusters]] and
+   * append the surviving new signatures to the store.
+   *
+   * `existingSigs`/`newSigs` are wide signature frames ([[minhashSignatures]]
+   * / [[minhashSignaturesNative]] output: `id, mh_0..mh_{n-1}`).
+   */
+  def nearDuplicatesIncremental(
+      existingSigs: DataFrame, newSigs: DataFrame,
+      numHashes: Int = 16, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val eb = lshBands(existingSigs, numHashes, bands)
+    val nb = lshBands(newSigs, numHashes, bands)
+    // existing–new collisions (store side never self-joins again)…
+    val cross = eb.select(col("band"), col("band_key"), col("id").as("id_a"))
+      .join(nb.select(col("band"), col("band_key"), col("id").as("id_b")),
+        Seq("band", "band_key"))
+      .select("id_a", "id_b").distinct()
+    // …plus collisions within the new shard itself
+    val within = candidatePairs(nb)
+    val all = existingSigs.unionByName(newSigs)
+    estimateJaccard(cross.unionByName(within), all, all, numHashes)
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /**
    * Applies a near-duplicate pair set to the corpus: removes every `id_b`
    * (pairs are emitted with `id_a < id_b`, so the smallest id of a duplicate
    * chain survives — deterministic, and transitively safe because any later

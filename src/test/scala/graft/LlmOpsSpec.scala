@@ -203,6 +203,27 @@ class LlmOpsSpec extends SparkSpec {
       langDocs.select(TextOps.langIdNative(col("_toks")).as("predicted")))
   }
 
+  test("Dedup: incremental shard dedup finds store and within-shard dups by signature") {
+    val mk = (id: Long, text: String) => (id, text)
+    val existing = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta"),
+      mk(2L, "one two three four five six")).toDF("doc_id", "text")
+    val shard = Seq(
+      mk(10L, "alpha beta gamma delta epsilon zeta"), // exact dup of store doc 1
+      mk(11L, "totally different content in this document"),
+      mk(12L, "totally different content in this document")) // within-shard dup
+      .toDF("doc_id", "text")
+    val store = Dedup.minhashSignatures(existing, "doc_id", "text")
+    val fresh = Dedup.minhashSignatures(shard, "doc_id", "text")
+    val pairs = Dedup.nearDuplicatesIncremental(store, fresh, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 10L), (11L, 12L)))
+    // identical docs agree on every minhash component
+    val est = Dedup.nearDuplicatesIncremental(store, fresh, threshold = 0.9)
+      .select("est_jaccard").as[Double].collect()
+    assert(est.forall(_ == 1.0))
+  }
+
   test("Dedup: clusters close pair chains and keep the min id per component") {
     // chain 1–2, 2–3 (3 never pairs with 1) + separate component 10–11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
