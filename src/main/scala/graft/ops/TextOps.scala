@@ -183,6 +183,22 @@ object TextOps {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /**
+   * Corpus-wide top-k word n-grams by occurrence count (ties → gram
+   * ascending) — the vocabulary/statistics extraction pass of LM corpus
+   * prep. One explode + one grouped count (map-side partial) + a global
+   * top-k (`TakeOrdered`, never a full sort of the gram table).
+   */
+  def topNgrams(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      n: Int = 2, k: Int = 20): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+      .select(explode(wordShinglesFromTokens(col("_toks"), n)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(k)
+
   /** [[langId]] via the native per-row kernel
     * ([[graft.expressions.DocKernels.LangId]]) — same argmax, no
     * interpreted per-language filter lambdas or sort comparator. Requires

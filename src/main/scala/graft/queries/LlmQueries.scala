@@ -297,6 +297,10 @@ object LlmQueries {
             Pii.redact(col("text")).as("redacted")): _*)
         .orderBy("doc_id")),
 
+    // Corpus-wide vocabulary stats: top-20 bigrams with deterministic ties
+    "q_text_top_ngrams" -> ((s, dir) =>
+      TextOps.topNgrams(docs(s, dir), "doc_id", "text", n = 2, k = 20)),
+
     // Gopher-style repetition signals (top-token share, duplicate bigrams)
     "q_text_repetition" -> ((s, dir) => {
       GraftExtensions.register(s)
@@ -603,6 +607,14 @@ object LlmQueries {
          |  $red AS redacted
          |FROM ptxt ORDER BY doc_id""".stripMargin
     },
+
+    "q_text_top_ngrams" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |g AS (SELECT ts[i] || ' ' || ts[i + 1] AS gram
+        |      FROM (SELECT ts, unnest(generate_series(1, CAST(len(ts) AS BIGINT) - 1)) AS i
+        |            FROM t))
+        |SELECT gram, count(*) AS cnt FROM g
+        |GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin,
 
     "q_text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
