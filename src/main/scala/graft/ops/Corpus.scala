@@ -30,16 +30,16 @@ object Corpus {
   def hashBucket(domain: String, salt: String, id: Column): Column =
     TextOps.hash32(concat(lit(s"$domain:$salt:"), id.cast("string"))) % 10000
 
-  /**
-   * Deterministic `rate` sample (rate in [0,1], 10^-4 resolution). Same-salt
-   * samples at increasing rates are nested (`rate 0.1 ⊆ rate 0.2` — stable
-   * incremental growth); different salts are independent.
-   */
   /** Bucket threshold for a rate: rounded, not truncated — `(0.57 · 10⁴)`
     * is 5699.999… in binary and truncation would silently drop the last
     * bucket of the documented 10^-4 resolution. */
   private def buckets(rate: Double): Int = math.round(rate * 10000).toInt
 
+  /**
+   * Deterministic `rate` sample (rate in [0,1], 10^-4 resolution). Same-salt
+   * samples at increasing rates are nested (`rate 0.1 ⊆ rate 0.2` — stable
+   * incremental growth); different salts are independent.
+   */
   def sampleDeterministic(
       df: DataFrame, idCol: String, rate: Double, salt: String = ""): DataFrame =
     df.where(hashBucket("sample", salt, col(idCol)) < buckets(rate))
@@ -69,7 +69,7 @@ object Corpus {
    * (e.g. keep 50% of a high-quality source, 5% of a crawl) — the standard
    * way a pretraining mix is rebalanced without materializing per-source
    * intermediate corpora. Thresholds are computed at PLAN time in integer
-   * buckets (`(rate·10⁴).toInt`), so Spark and any oracle agree exactly and
+   * buckets (`round(rate·10⁴)`), so Spark and any oracle agree exactly and
    * no per-row float→int cast semantics are involved. Same hash domain as
    * [[sampleDeterministic]]: mixing then up-rating a source keeps previously
    * selected documents selected.

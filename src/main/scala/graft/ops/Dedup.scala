@@ -235,17 +235,25 @@ object Dedup {
   def nearDuplicatesIncremental(
       existingSigs: DataFrame, newSigs: DataFrame,
       numHashes: Int = 16, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
-    val eb = lshBands(existingSigs, numHashes, bands)
+      threshold: Double = 0.5,
+      existingBands: Option[DataFrame] = None): DataFrame = {
+    // Pass the PERSISTED band table via `existingBands` in production:
+    // recomputing it here scans the whole store per shard, which defeats
+    // the incremental design (kept as a default for small stores/tests).
+    val eb = existingBands.getOrElse(lshBands(existingSigs, numHashes, bands))
     val nb = lshBands(newSigs, numHashes, bands)
-    // existing–new collisions (store side never self-joins again)…
+    // existing–new collisions (store side never self-joins again). The
+    // id inequality guards replayed shards whose ids were already appended
+    // to the store: a doc must never pair with itself and be dropped as
+    // its own duplicate.
     val cross = eb.select(col("band"), col("band_key"), col("id").as("id_a"))
       .join(nb.select(col("band"), col("band_key"), col("id").as("id_b")),
         Seq("band", "band_key"))
+      .where(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b").distinct()
     // …plus collisions within the new shard itself
     val within = candidatePairs(nb)
-    val all = existingSigs.unionByName(newSigs)
+    val all = existingSigs.unionByName(newSigs).dropDuplicates("id")
     estimateJaccard(cross.unionByName(within), all, all, numHashes)
       .where(col("est_jaccard") >= threshold)
   }

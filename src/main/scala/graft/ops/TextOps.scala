@@ -190,9 +190,9 @@ object TextOps {
    * top-k (`TakeOrdered`, never a full sort of the gram table).
    */
   def topNgrams(
-      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      df: org.apache.spark.sql.DataFrame, textCol: String,
       n: Int = 2, k: Int = 20): org.apache.spark.sql.DataFrame =
-    df.select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+    df.select(tokens(col(textCol)).as("_toks"))
       .select(explode(wordShinglesFromTokens(col("_toks"), n)).as("gram"))
       .groupBy("gram")
       .agg(count(lit(1)).as("cnt"))

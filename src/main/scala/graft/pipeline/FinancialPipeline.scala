@@ -174,13 +174,18 @@ object FinancialPipeline {
       statement: DataFrame,
       statementsPath: String,
       reportPath: Option[String],
-      spark: SparkSession): Results = {
+      spark: SparkSession,
+      reportMode: String = "append"): Results = {
     // Materialize history before the upsert below rewrites the table the
     // lazy plans would otherwise re-scan.
     val hist = loadHistory(spark, statementsPath).persist()
     hist.count()
     val results = analyze(statement, hist, spark)
-    reportPath.foreach(p => assembleReport(statement, results).write.mode("append").json(p))
+    // reportMode "overwrite" + a caller-owned per-batch directory is the
+    // idempotent form (what the streaming path uses for replay safety);
+    // the default appends into one report directory across batch calls.
+    reportPath.foreach(p =>
+      assembleReport(statement, results).write.mode(reportMode).json(p))
     FinOps.upsertStatements(FinOps.toStatementItems(statement), statementsPath, spark)
     results
   }

@@ -299,7 +299,7 @@ object LlmQueries {
 
     // Corpus-wide vocabulary stats: top-20 bigrams with deterministic ties
     "q_text_top_ngrams" -> ((s, dir) =>
-      TextOps.topNgrams(docs(s, dir), "doc_id", "text", n = 2, k = 20)),
+      TextOps.topNgrams(docs(s, dir), "text", n = 2, k = 20)),
 
     // Gopher-style repetition signals (top-token share, duplicate bigrams)
     "q_text_repetition" -> ((s, dir) => {

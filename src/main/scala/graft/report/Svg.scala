@@ -51,9 +51,11 @@ object Svg {
       var angle = -math.Pi / 2 // 12 o'clock start, clockwise — matplotlib default shape
       data.zipWithIndex.foreach { case ((_, v), i) =>
         val sweep = v / total * 2 * math.Pi
-        if (sweep >= 2 * math.Pi - 1e-9) {
-          // a single slice owning ~100% degenerates the arc (start == end);
-          // draw the full disc instead
+        if (sweep >= 2 * math.Pi - 1e-3) {
+          // a slice owning ~100% degenerates the arc: with 2-dp coordinate
+          // formatting anything within ~1e-3 rad of a full turn rounds the
+          // start and end points onto each other and draws nothing — render
+          // the full disc instead (the complement is an invisible sliver)
           slices ++= s"""<circle cx="$cx" cy="$cy" r="$r" fill="${color(i)}"/>"""
         } else if (sweep > 0) {
           val x1 = cx + r * math.cos(angle)

@@ -71,7 +71,12 @@ object StatementStream {
             rejects.write.mode("overwrite")
               .parquet(s"$rejectsPath/batch_id=$batchId")
           if (!valid.isEmpty) {
-            FinancialPipeline.runBatch(valid, statementsPath, Some(reportPath), spark)
+            // Same replay contract as the quarantine write: each micro-batch
+            // owns a batch_id report partition that a retry overwrites.
+            FinancialPipeline.runBatch(
+              valid, statementsPath,
+              Some(s"${reportPath.stripSuffix("/")}/batch_id=$batchId"),
+              spark, reportMode = "overwrite")
             ()
           }
         } finally normalized.unpersist()
