@@ -199,6 +199,22 @@ object TextOps {
       .orderBy(col("cnt").desc, col("gram").asc)
       .limit(k)
 
+  /**
+   * Document frequency: for each token, the number of DISTINCT documents
+   * containing it — the substrate of IDF weighting and stopword discovery.
+   * Top-k by `(df desc, token asc)`. The IDF itself (`ln(N/df)`) is left to
+   * the caller: transcendental functions are not bit-identical across
+   * engines, integer document counts are.
+   */
+  def docFrequency(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int = 20): org.apache.spark.sql.DataFrame =
+    df.select(explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(k)
+
   /** [[langId]] via the native per-row kernel
     * ([[graft.expressions.DocKernels.LangId]]) — same argmax, no
     * interpreted per-language filter lambdas or sort comparator. Requires

@@ -301,6 +301,10 @@ object LlmQueries {
     "q_text_top_ngrams" -> ((s, dir) =>
       TextOps.topNgrams(docs(s, dir), "text", n = 2, k = 20)),
 
+    // Document frequency: tokens by number of distinct docs containing them
+    "q_text_docfreq" -> ((s, dir) =>
+      TextOps.docFrequency(docs(s, dir), "text", k = 20)),
+
     // Gopher-style repetition signals (top-token share, duplicate bigrams)
     "q_text_repetition" -> ((s, dir) => {
       GraftExtensions.register(s)
@@ -615,6 +619,11 @@ object LlmQueries {
         |            FROM t))
         |SELECT gram, count(*) AS cnt FROM g
         |GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin,
+
+    "q_text_docfreq" ->
+      """SELECT token, count(*) AS df
+        |FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS token FROM documents)
+        |GROUP BY token ORDER BY df DESC, token ASC LIMIT 20""".stripMargin,
 
     "q_text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
