@@ -198,6 +198,36 @@ object Dedup {
   }
 
   /**
+   * SimHash near-duplicate pairs: documents whose 32-bit sketches differ in
+   * at most `maxHamming` bits. Candidates come from byte-band blocking —
+   * the sketch splits into 4 bytes and docs sharing ANY byte-band collide;
+   * by pigeonhole a pair within Hamming distance 3 differs in at most 3
+   * bytes, so it always shares at least one unchanged band: the blocking is
+   * EXACT (full recall) for `maxHamming ≤ 3`, and the self-join is an
+   * equi-join on (band, band_key) — never all-pairs, the same scale shape
+   * as MinHash-LSH.
+   */
+  def simhashNearDuplicates(
+      sketches: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"byte-band blocking is exact only for maxHamming <= 3, got $maxHamming")
+    val banded = sketches.select(
+      col("id"), col("simhash"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band"),
+          shiftright(col("simhash"), 8 * j).bitwiseAND(lit(255L)).as("band_key"))): _*)).as("b"))
+      .select(col("id"), col("simhash"), col("b.band").as("band"), col("b.band_key").as("band_key"))
+    val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /**
    * MinHash-estimated Jaccard for a pair set over wide signature frames:
    * the fraction of agreeing minhash components (an unbiased estimator of
    * true Jaccard, stderr ≈ 1/√numHashes). The signature-only verification

@@ -142,6 +142,20 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // SimHash near-dup pairs: byte-band blocking (exact for Hamming ≤ 3)
+    // over a deterministic tenth of the corpus ∪ planted identical copies
+    // (the synthetic word salad crowds 32-bit sketches, so the full corpus
+    // would emit 100k+ pairs at sf0.1 — the subset keeps outputs bounded
+    // while exercising the full pipeline)
+    "q_dedup_simhash_pairs" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val d = docs(s, dir).where(col("doc_id") % 10 === 0)
+      val dd = d.select("doc_id", "text").unionByName(
+        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.simhashNearDuplicates(Dedup.simhashNative(dd, "doc_id", "text"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Duplicate clusters: blocked-Jaccard pairs → connected components,
     // each doc labeled with its cluster's minimum id
     "q_dedup_clusters" -> ((s, dir) => {
@@ -373,6 +387,28 @@ object LlmQueries {
          |$jaccardSql
          |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_simhash_pairs" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |dd AS (SELECT doc_id, text FROM base
+        |       UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM base),
+        |tok AS (SELECT id, tok, count(*) AS cnt
+        |        FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM dd)
+        |        GROUP BY id, tok),
+        |th AS (SELECT id, cnt, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+        |votes AS (SELECT id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+        |          FROM th, range(32) t(j) GROUP BY id, j),
+        |sk AS (SELECT id,
+        |         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        |       FROM votes GROUP BY id),
+        |banded AS (SELECT id, simhash, j AS band, (simhash >> CAST(8 * j AS INT)) & 255 AS band_key
+        |           FROM sk, range(4) r(j)),
+        |p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |      FROM banded a JOIN banded b
+        |        ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $mutCte,
