@@ -85,6 +85,24 @@ object Corpus {
   }
 
   /**
+   * EXACT-count per-group sampling: precisely `n` rows per group (fewer if
+   * the group is smaller), picked deterministically by ordering the group on
+   * a salted id hash — an unbiased draw that is stable across runs, engines,
+   * and parallelism. The eval-set construction primitive ("exactly 1000
+   * documents per language"). Window is partitioned per group; no global
+   * sort.
+   */
+  def sampleExactPerGroup(
+      df: DataFrame, idCol: String, groupCol: String, n: Int,
+      salt: String = ""): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(hashBucket("exact", salt, col(idCol)), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= n)
+      .drop("_rn")
+  }
+
+  /**
    * Keeps rows whose `valueCol` lies inside the corpus's `[lo, hi]` quantile
    * range — the standard length/quality outlier trim (e.g. drop the shortest
    * and longest 5% before training). Exact percentiles via one global

@@ -289,6 +289,12 @@ object LlmQueries {
         .agg(count(lit(1)).as("docs"))
         .orderBy("source")),
 
+    // Exact-count per-group sampling: precisely 3 docs per source
+    "q_corpus_sample_exact" -> ((s, dir) =>
+      Corpus.sampleExactPerGroup(docs(s, dir), "doc_id", "source", n = 3)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // Length-outlier trim: keep the middle 50% of the corpus by n_chars
     "q_corpus_quantile_trim" -> ((s, dir) =>
       Corpus.filterByQuantileRange(docs(s, dir), "n_chars", 0.25, 0.75)
@@ -608,6 +614,15 @@ object LlmQueries {
         |             WHEN source = 'src1' THEN 2500
         |             ELSE 500 END)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_corpus_sample_exact" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY ('0x' || substr(md5('exact::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000,
+        |                    doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
 
     "q_corpus_quantile_trim" ->
       """WITH q AS (SELECT quantile_cont(n_chars, 0.25) AS lo,
