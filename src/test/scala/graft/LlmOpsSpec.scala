@@ -203,6 +203,21 @@ class LlmOpsSpec extends SparkSpec {
       langDocs.select(TextOps.langIdNative(col("_toks")).as("predicted")))
   }
 
+  test("Dedup: simhash byte-band pairs are exact for Hamming <= 3") {
+    val sk = Seq(
+      (1L, 0x0AL),                                    // baseline
+      (2L, 0x0BL),                                    // 1 bit off — pair
+      (3L, 0xF0F0L), (4L, 0x0F0FL),                   // hamming 16 — never
+      (5L, 0x0AL ^ (1L << 8) ^ (1L << 16) ^ (1L << 24))) // 3 bits, one per
+                                                         // upper band — the
+                                                         // shared low band
+                                                         // still finds it
+      .toDF("id", "simhash")
+    val pairs = Dedup.simhashNearDuplicates(sk)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 1), (1L, 5L, 3)))
+  }
+
   test("Dedup: incremental shard dedup finds store and within-shard dups by signature") {
     val mk = (id: Long, text: String) => (id, text)
     val existing = Seq(
