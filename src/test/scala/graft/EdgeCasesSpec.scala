@@ -91,6 +91,18 @@ class EdgeCasesSpec extends SparkSpec {
     assert(sig.getAs[Long]("n_tokens") == 1L && sig.isNullAt(sig.fieldIndex("dup_2gram_frac")))
   }
 
+  test("exact per-group sampling: full n per big group, whole group when smaller") {
+    val df = ((1 to 10).map(i => (i.toLong, "big")) ++ Seq((100L, "tiny"), (101L, "tiny")))
+      .toDF("doc_id", "grp")
+    val out = graft.ops.Corpus.sampleExactPerGroup(df, "doc_id", "grp", n = 5)
+    val counts = out.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 5L, "tiny" -> 2L))
+    // deterministic: the same 5 ids every run
+    val again = graft.ops.Corpus.sampleExactPerGroup(df, "doc_id", "grp", n = 5)
+    assert(out.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
+  }
+
   test("corpus packing fills a token budget then rolls over, pack-and-overflow") {
     // single bucket: docs in id order with 300/300/100/600 tokens, budget 512
     val df = Seq((1L, 300), (2L, 300), (3L, 100), (4L, 600)).toDF("doc_id", "n")

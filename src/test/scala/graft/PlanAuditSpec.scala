@@ -50,6 +50,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("kernel-backed per-document queries shuffle only for the output sort") {
+    // The per-row kernels exist precisely so these pure per-document
+    // computations cost zero exchanges; the single remaining Exchange is
+    // the oracle-determinism ORDER BY (rangepartitioning).
+    for (q <- Seq("q_dedup_simhash", "q_text_fingerprint", "q_text_repetition")) {
+      val p = plan(q)
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges == 1, s"$q plans $exchanges exchanges:\n$p")
+      assert(p.contains("rangepartitioning"), p)
+    }
+  }
+
   test("flagship risk query: every window is partitioned") {
     val p = plan("q_flag_risky")
     // an unpartitioned window serializes the whole table through one task;
