@@ -33,25 +33,35 @@ object GraftExtensions {
       s"$fn: $what must be an integer literal, got $other")
   }
 
+  /** A wrong-arity SQL call must surface as a descriptive error, not an
+    * IndexOutOfBoundsException from a positional `c(i)` access. */
+  private def arity(fn: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    c => {
+      if (c.length != n) throw new IllegalArgumentException(
+        s"$fn expects $n argument(s), got ${c.length}")
+      build(c)
+    }
+
   private val functions: Seq[
       (String, org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
         Seq[Expression] => Expression)] = Seq(
     ("quantized_dot", QuantizedDot.info,
-      (c: Seq[Expression]) => QuantizedDot(c(0), c(1))),
+      arity("quantized_dot", 2)(c => QuantizedDot(c(0), c(1)))),
     ("minhash_sigs", MinhashSigs.info,
-      (c: Seq[Expression]) => MinhashSigs(
+      arity("minhash_sigs", 3)(c => MinhashSigs(
         c(0),
         intLit(c(1), "minhash_sigs", "numHashes"),
-        intLit(c(2), "minhash_sigs", "shingle"))),
+        intLit(c(2), "minhash_sigs", "shingle")))),
     ("simhash32", DocKernels.simhashInfo,
-      (c: Seq[Expression]) => DocKernels.Simhash32(c(0))),
+      arity("simhash32", 1)(c => DocKernels.Simhash32(c(0)))),
     ("min_shingle_hash", DocKernels.minShingleInfo,
-      (c: Seq[Expression]) => DocKernels.MinShingleHash(
-        c(0), intLit(c(1), "min_shingle_hash", "n"))),
+      arity("min_shingle_hash", 2)(c => DocKernels.MinShingleHash(
+        c(0), intLit(c(1), "min_shingle_hash", "n")))),
     ("repetition_stats", DocKernels.repetitionInfo,
-      (c: Seq[Expression]) => DocKernels.RepetitionStats(c(0))),
+      arity("repetition_stats", 1)(c => DocKernels.RepetitionStats(c(0)))),
     ("lang_id", DocKernels.langIdInfo,
-      (c: Seq[Expression]) => DocKernels.LangId(c(0))))
+      arity("lang_id", 1)(c => DocKernels.LangId(c(0)))))
 
   /** Runtime registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

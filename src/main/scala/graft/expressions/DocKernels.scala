@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
  */
 object DocKernels {
 
-  private def tokenChecck(dt: DataType, name: String): TypeCheckResult = dt match {
+  private def tokenCheck(dt: DataType, name: String): TypeCheckResult = dt match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$name requires array<string> tokens, got ${other.simpleString}")
@@ -29,7 +29,7 @@ object DocKernels {
     * ±1 per bit of its md5-derived 32-bit hash; the sketch keeps the signs. */
   case class Simhash32(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
-      tokenChecck(child.dataType, prettyName)
+      tokenCheck(child.dataType, prettyName)
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash32"
     override protected def nullSafeEval(a: Any): Any =
@@ -48,7 +48,7 @@ object DocKernels {
     override def checkInputDataTypes(): TypeCheckResult =
       if (shingle <= 0)
         TypeCheckResult.TypeCheckFailure(s"$prettyName requires shingle > 0")
-      else tokenChecck(child.dataType, prettyName)
+      else tokenCheck(child.dataType, prettyName)
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
     override def prettyName: String = "min_shingle_hash"
@@ -75,7 +75,7 @@ object DocKernels {
     * `dup_2gram_frac` is null for documents with fewer than 2 tokens. */
   case class RepetitionStats(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
-      tokenChecck(child.dataType, prettyName)
+      tokenCheck(child.dataType, prettyName)
     override def dataType: DataType = StructType(Seq(
       StructField("n_tokens", LongType, nullable = false),
       StructField("top_token_frac", DoubleType, nullable = false),
@@ -97,7 +97,7 @@ object DocKernels {
     * language plus an interpreted `array_sort` comparator per row. */
   case class LangId(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
-      tokenChecck(child.dataType, prettyName)
+      tokenCheck(child.dataType, prettyName)
     override def dataType: DataType = StringType
     override def prettyName: String = "lang_id"
     override protected def nullSafeEval(a: Any): Any =

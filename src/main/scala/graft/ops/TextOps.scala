@@ -124,11 +124,14 @@ object TextOps {
 
   /** [[repetitionSignals]] via the native per-row kernel
     * ([[graft.expressions.DocKernels.RepetitionStats]]) — zero shuffles
-    * instead of two grouped aggregates. Requires
-    * [[graft.GraftExtensions.register]]. */
+    * instead of two grouped aggregates. Null-text documents are filtered
+    * to match the aggregate path, whose `explode` drops them entirely
+    * (the kernel would otherwise emit a null-field row for them).
+    * Requires [[graft.GraftExtensions.register]]. */
   def repetitionSignalsNative(
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
-    df.select(
+    df.where(col(textCol).isNotNull)
+      .select(
         col(idCol).as("id"),
         call_function("repetition_stats", tokens(col(textCol))).as("_r"))
       .select(

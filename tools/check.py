@@ -54,11 +54,12 @@ def main():
         # resolution (ns vs us) and date-as-object differences are tolerated
         # (empirically driver-green in round 2).
         for c in s.columns:
-            si = np.issubdtype(s[c].dtype, np.integer)
-            sf = np.issubdtype(s[c].dtype, np.floating)
-            di = np.issubdtype(d[c].dtype, np.integer)
-            df_ = np.issubdtype(d[c].dtype, np.floating)
-            if (si and df_) or (sf and di):
+            # distinct names: do NOT shadow `sf` (the scale-factor dir) above
+            s_int = np.issubdtype(s[c].dtype, np.integer)
+            s_flt = np.issubdtype(s[c].dtype, np.floating)
+            d_int = np.issubdtype(d[c].dtype, np.integer)
+            d_flt = np.issubdtype(d[c].dtype, np.floating)
+            if (s_int and d_flt) or (s_flt and d_int):
                 bad = f"col {c} dtype: spark={s[c].dtype} duck={d[c].dtype}"
                 break
         for c in (s.columns if bad is None else []):
