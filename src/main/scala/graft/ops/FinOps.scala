@@ -575,9 +575,33 @@ object FinOps {
     * backfills sit far above. */
   val UpsertPruneKeyCap: Int = 10000
 
+  /** Staging directory used by [[upsertStatements]] for crash-safe merges. */
+  private def upsertStagingPath(path: String) =
+    new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "_upsert_staging")
+
+  /** Crash recovery for [[upsertStatements]]: a leftover staging directory
+    * means a prior upsert died mid-flight. If the staging write COMMITTED
+    * (`_SUCCESS` present), the crash happened during the final partition
+    * overwrite, so the target may hold half-rewritten user partitions; the
+    * staging copy is the authoritative state for exactly those partitions
+    * and is re-applied before anything else reads the table. If staging is
+    * uncommitted, the target was never touched (the overwrite only starts
+    * after staging commits) and the debris is just dropped. Runs on every
+    * upsert entry; returns true when a restore was applied. */
+  def recoverUpsertStaging(spark: SparkSession, path: String): Boolean = {
+    val tmp = upsertStagingPath(path)
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tmp)) return false
+    val committed = fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+    if (committed) writeStatements(spark.read.parquet(tmp.toString), path)
+    fs.delete(tmp, true)
+    committed
+  }
+
   def upsertStatements(
       items: DataFrame, path: String, spark: SparkSession,
       pruneKeyCap: Int = UpsertPruneKeyCap): Unit = {
+    recoverUpsertStaging(spark, path)
     if (!tableExists(spark, path)) { writeStatements(items, path); return }
     val keys = items.select("userId").distinct()
     // Bounded collect: at most cap+1 keys ever reach the driver.
@@ -596,9 +620,10 @@ object FinOps {
     // Stage the merged frame durably before overwriting the files it reads.
     // A persist()+count() pin is NOT safe here: a lost cached block during the
     // overwrite recomputes from partially-rewritten partitions and silently
-    // corrupts history. Writing the staging copy first also makes a mid-write
-    // failure recoverable (rerun resumes from intact staging + items).
-    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "_upsert_staging")
+    // corrupts history. A mid-overwrite failure is recovered by
+    // [[recoverUpsertStaging]] at the next upsert's entry: the committed
+    // staging copy is re-applied over the affected partitions before merging.
+    val tmp = upsertStagingPath(path)
     val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     merged.write.mode("overwrite").parquet(tmp.toString)
     writeStatements(spark.read.parquet(tmp.toString), path)

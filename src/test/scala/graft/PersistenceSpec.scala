@@ -75,6 +75,57 @@ class PersistenceSpec extends SparkSpec {
     assert(jan.count() == 40 && jan.where($"id".endsWith("_c")).count() == 40)
   }
 
+  test("S5: a crash during the final overwrite is recovered from staging") {
+    val dir = tmpDir("stmts_crash")
+    FinOps.upsertStatements(FinOps.toStatementItems(statement), dir, spark)
+
+    // Simulate a prior upsert of user 1's January that COMMITTED its staging
+    // write and then died mid-overwrite: the staging dir holds the merged
+    // state for user 1 (December + January), while the target's user-1
+    // partition was half-clobbered by the dying overwrite.
+    val jan = statement.where($"userId" === "1")
+      .withColumn("yearMonth", lit("202501"))
+      .withColumn("date", add_months($"date", 1))
+    val merged = FinOps.toStatementItems(statement.where($"userId" === "1"))
+      .unionByName(FinOps.toStatementItems(jan))
+    val stagingDir = dir.stripSuffix("/") + "_upsert_staging"
+    merged.write.mode("overwrite").parquet(stagingDir) // writes _SUCCESS
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "/userId=1"), true)
+
+    // Next upsert (any batch — here user 2's February) must first restore
+    // user 1 from staging, then apply its own merge.
+    val feb = statement.where($"userId" === "2")
+      .withColumn("yearMonth", lit("202502"))
+      .withColumn("date", add_months($"date", 2))
+    FinOps.upsertStatements(FinOps.toStatementItems(feb), dir, spark)
+
+    assert(FinOps.readUserHistory(spark, dir, "1").count() == 24) // Dec + Jan restored
+    assert(FinOps.readUserHistory(spark, dir, "2").count() == 24) // Dec + Feb merged
+    assert(FinOps.readUserHistory(spark, dir, "3").count() == 12) // untouched
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stagingDir)))
+  }
+
+  test("S5: uncommitted staging debris is dropped without touching the table") {
+    val dir = tmpDir("stmts_debris")
+    FinOps.upsertStatements(FinOps.toStatementItems(statement), dir, spark)
+    // A staging dir with data files but NO _SUCCESS marker = the staging
+    // write itself died; the target was never touched and must stay intact.
+    val stagingDir = dir.stripSuffix("/") + "_upsert_staging"
+    FinOps.toStatementItems(statement.where($"userId" === "1").limit(2))
+      .write.mode("overwrite").parquet(stagingDir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stagingDir + "/_SUCCESS"), false)
+
+    assert(!FinOps.recoverUpsertStaging(spark, dir))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stagingDir)))
+    (1 to 3).foreach { u =>
+      assert(FinOps.readUserHistory(spark, dir, u.toString).count() == 12)
+    }
+  }
+
   test("S4: the keyed historical read is partition-pruned") {
     val dir = tmpDir("stmts_prune")
     FinOps.writeStatements(FinOps.toStatementItems(statement), dir)
