@@ -55,6 +55,8 @@ object GraftExtensions {
         intLit(c(2), "minhash_sigs", "shingle")))),
     ("simhash32", DocKernels.simhashInfo,
       arity("simhash32", 1)(c => DocKernels.Simhash32(c(0)))),
+    ("simhash64", DocKernels.simhash64Info,
+      arity("simhash64", 1)(c => DocKernels.Simhash64(c(0)))),
     ("min_shingle_hash", DocKernels.minShingleInfo,
       arity("min_shingle_hash", 2)(c => DocKernels.MinShingleHash(
         c(0), intLit(c(1), "min_shingle_hash", "n")))),

@@ -41,6 +41,27 @@ object DocKernels {
       copy(child = newChild)
   }
 
+  /** `simhash64(tokens)` — 64-bit count-weighted SimHash sketch
+    * ([[graft.ops.Dedup.simhash64]] semantics): like [[Simhash32]] but the
+    * votes cover the first 8 md5 digest bytes ([[MinhashSigs.hash64]]
+    * layout). Twice the signal bits makes random sketch collisions
+    * negligible and enables 16-bit-band blocking
+    * ([[graft.ops.Dedup.simhashNearDuplicates64]]) — the corpus-scale
+    * variant of the 32-bit sketch. */
+  case class Simhash64(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      tokenCheck(child.dataType, prettyName)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+    override protected def nullSafeEval(a: Any): Any =
+      DocKernels.simhash64(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.expressions.DocKernels.simhash64($a);")
+    override protected def withNewChildInternal(newChild: Expression): Simhash64 =
+      copy(child = newChild)
+  }
+
   /** `min_shingle_hash(tokens, n)` — minimum md5-derived 32-bit hash over
     * the document's word `n`-shingles ([[graft.ops.TextOps.minShingleHash]]
     * semantics); null when the document has fewer than `n` tokens. */
@@ -135,6 +156,30 @@ object DocKernels {
     sketch
   }
 
+  def simhash64(tokens: ArrayData): Long = {
+    val votes = new Array[Long](64)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val h = MinhashSigs.hash64(tokens.getUTF8String(t))
+        var j = 0
+        while (j < 64) {
+          if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      t += 1
+    }
+    var sketch = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sketch |= (1L << j)
+      j += 1
+    }
+    sketch
+  }
+
   def minShingle(tokens: ArrayData, shingle: Int): java.lang.Long = {
     val n = tokens.numElements()
     if (n < shingle) return null
@@ -222,6 +267,10 @@ object DocKernels {
   val simhashInfo: ExpressionInfo = new ExpressionInfo(
     classOf[Simhash32].getName, null, "simhash32",
     "_FUNC_(tokens) - 32-bit count-weighted SimHash sketch of a token array.",
+    "", "", "", "", "", "", "built-in")
+  val simhash64Info: ExpressionInfo = new ExpressionInfo(
+    classOf[Simhash64].getName, null, "simhash64",
+    "_FUNC_(tokens) - 64-bit count-weighted SimHash sketch of a token array.",
     "", "", "", "", "", "", "built-in")
   val minShingleInfo: ExpressionInfo = new ExpressionInfo(
     classOf[MinShingleHash].getName, null, "min_shingle_hash",

@@ -75,6 +75,23 @@ object MinhashSigs {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** First 8 md5 digest bytes as a packed 64-bit value whose LOW half is
+    * hex chars 1-8 and HIGH half is hex chars 9-16 (each an unsigned
+    * big-endian 32-bit value): bit j (0..31) comes from
+    * `('0x'||substr(md5(s),1,8))`, bit 32+j from `substr(md5(s),9,8)`.
+    * The split-halves layout keeps both sides oracle-expressible in signed
+    * BIGINT arithmetic (a raw 8-byte value overflows DuckDB's hex cast). */
+  def hash64(s: UTF8String): Long = hash64Bytes(s.getBytes)
+
+  def hash64Bytes(b: Array[Byte]): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(b)
+    val lo = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    val hi = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) | ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    (hi << 32) | lo
+  }
+
   /** 32-bit hash of the space-joined `shingle`-window at `start`
     * (`concat_ws` null-skipping semantics) — THE shingle-hash definition,
     * shared by every kernel so Spark↔oracle parity has one source of truth. */

@@ -204,18 +204,47 @@ object Dedup {
    * by pigeonhole a pair within Hamming distance 3 differs in at most 3
    * bytes, so it always shares at least one unchanged band: the blocking is
    * EXACT (full recall) for `maxHamming ≤ 3`, and the self-join is an
-   * equi-join on (band, band_key) — never all-pairs, the same scale shape
-   * as MinHash-LSH.
+   * equi-join on (band, band_key).
+   *
+   * SCALE LIMIT: an 8-bit band has only 256 distinct keys, so each bucket
+   * holds ~N/256 documents and the candidate set grows as ~N²/64 — fine for
+   * small or pre-blocked inputs (per-shard, per-(lang, source) partitions),
+   * quadratic on a whole corpus. For corpus-scale blocking use the 64-bit
+   * sketch with 16-bit bands ([[simhashNearDuplicates64]]): 65536 keys per
+   * band cut the candidate mass by 256× and the wider sketch makes random
+   * collisions negligible.
    */
   def simhashNearDuplicates(
-      sketches: DataFrame, maxHamming: Int = 3): DataFrame = {
+      sketches: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashBandPairs(sketches, maxHamming, bandBits = 8)
+
+  /**
+   * [[simhashNearDuplicates]] over 64-bit sketches ([[simhash64]] /
+   * [[simhashNative64]]) with 16-bit bands — the corpus-scale variant.
+   * Pigeonhole again makes the blocking EXACT for `maxHamming ≤ 3` (4 bands,
+   * ≤3 flipped bits ⇒ ≥1 untouched band), but each band now has 65536 keys:
+   * bucket occupancy ~N/65536, candidate pairs ~N²/16384 — 256× fewer than
+   * the byte-banded 32-bit sketch, and the 64-bit sketch keeps the random
+   * (non-near-dup) collision rate negligible at corpus scale.
+   */
+  def simhashNearDuplicates64(
+      sketches: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashBandPairs(sketches, maxHamming, bandBits = 16)
+
+  /** Shared band-blocked Hamming pair generator: splits the sketch into 4
+    * bands of `bandBits` bits each (32-bit sketch × 8-bit bands, 64-bit
+    * sketch × 16-bit bands), collides docs on (band, band_key), verifies
+    * with `bit_count(xor)`. */
+  private def simhashBandPairs(
+      sketches: DataFrame, maxHamming: Int, bandBits: Int): DataFrame = {
     require(maxHamming <= 3,
-      s"byte-band blocking is exact only for maxHamming <= 3, got $maxHamming")
+      s"4-band blocking is exact only for maxHamming <= 3, got $maxHamming")
+    val mask = (1L << bandBits) - 1
     val banded = sketches.select(
       col("id"), col("simhash"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("band"),
-          shiftright(col("simhash"), 8 * j).bitwiseAND(lit(255L)).as("band_key"))): _*)).as("b"))
+          shiftright(col("simhash"), bandBits * j).bitwiseAND(lit(mask)).as("band_key"))): _*)).as("b"))
       .select(col("id"), col("simhash"), col("b.band").as("band"), col("b.band_key").as("band_key"))
     val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"), col("simhash").as("sh_b"))
@@ -436,4 +465,55 @@ object Dedup {
     df.select(
       col(idCol).as("id"),
       call_function("simhash32", TextOps.tokens(col(textCol))).as("simhash"))
+
+  /**
+   * 64-bit SimHash sketch per document — [[simhash]] widened to the first 8
+   * md5 digest bytes in the [[graft.expressions.MinhashSigs.hash64]]
+   * split-halves layout (bit j<32 from hex chars 1–8, bit 32+j from chars
+   * 9–16, each an unsigned 32-bit value — both halves stay oracle-
+   * expressible in signed BIGINT arithmetic). Twice the signal bits makes
+   * random sketch collisions negligible and enables the 16-bit-band
+   * blocking of [[simhashNearDuplicates64]].
+   *
+   * Aggregate formulation (explode + grouped sums, all codegen'd) — the
+   * oracle-parity reference for [[simhashNative64]]; prefer the native
+   * kernel in production, this pays three exchanges per corpus pass.
+   */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokCounts = df
+      .select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy("id", "tok")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("lo", TextOps.hash32(col("tok")))
+      .withColumn("hi", conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long"))
+    val bits = tokCounts.select(
+      col("id"), col("cnt"), col("lo"), col("hi"),
+      explode(array((0 until 64).map(lit): _*)).as("j"))
+    // Bit j of the 64-bit hash = bit j of `lo` for j<32, bit j-32 of `hi`
+    // otherwise; each half is < 2^32 so the power-of-two-division trick from
+    // [[simhash]] stays exact.
+    val half = when(col("j") < 32, col("lo")).otherwise(col("hi"))
+    val pos = when(col("j") < 32, col("j")).otherwise(col("j") - 32)
+    val pow2 = pow(lit(2d), pos).cast("long")
+    bits
+      .withColumn(
+        "vote",
+        when((half / pow2).cast("long") % 2 === 1, col("cnt")).otherwise(-col("cnt")))
+      .groupBy("id", "j")
+      .agg(sum(col("vote")).as("v"))
+      // shiftleft wraps at j=63 (1L<<63 = Long.MinValue), which IS the
+      // two's-complement value of sketch bit 63 — the sum of distinct signed
+      // bit values reconstructs the sketch exactly, no overflow possible.
+      .groupBy("id")
+      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** [[simhash64]] via the native per-row kernel
+    * ([[graft.expressions.DocKernels.Simhash64]]) — same sketch, zero
+    * shuffles. Requires [[graft.GraftExtensions.register]]. */
+  def simhashNative64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      call_function("simhash64", TextOps.tokens(col(textCol))).as("simhash"))
 }

@@ -188,6 +188,28 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // SimHash sketches, 64-bit (md5 split-halves layout) — the corpus-scale
+    // sketch behind 16-bit-band blocking
+    "q_dedup_simhash64" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      Dedup.simhashNative64(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // 64-bit SimHash near-dup pairs over the FULL corpus ∪ planted identical
+    // copies: 16-bit bands (65536 keys each) keep whole-corpus blocking
+    // sparse — the scale shape the 32-bit byte-banded variant needs
+    // subsetting for (see q_dedup_simhash_pairs)
+    "q_dedup_simhash64_pairs" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val d = docs(s, dir)
+      val dd = d.select("doc_id", "text").unionByName(
+        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.simhashNearDuplicates64(Dedup.simhashNative64(dd, "doc_id", "text"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Token counting: whitespace tokens + BPE-ish subword segments
     "q_text_tokens" -> ((s, dir) =>
       docs(s, dir)
@@ -454,6 +476,59 @@ object LlmQueries {
         |SELECT id AS doc_id,
         |       CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // 64-bit sketch: the hash is two unsigned 32-bit halves (md5 hex chars
+    // 1-8 / 9-16); the sketch halves recombine in HUGEINT with a signed
+    // correction because 1::BIGINT << 63 overflows DuckDB's checked shift.
+    "q_dedup_simhash64" ->
+      """WITH tok AS (SELECT id, tok, count(*) AS cnt
+        |             FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |             GROUP BY id, tok),
+        |th AS (SELECT id, cnt, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS lo,
+        |              ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hi FROM tok),
+        |votes AS (SELECT id, j,
+        |            SUM(CASE WHEN ((CASE WHEN j < 32 THEN lo >> j ELSE hi >> (j - 32) END) & 1) = 1
+        |                THEN cnt ELSE -cnt END) AS v
+        |          FROM th, range(64) t(j) GROUP BY id, j),
+        |halves AS (SELECT id,
+        |             SUM(CASE WHEN v > 0 AND j < 32 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS lo_sk,
+        |             SUM(CASE WHEN v > 0 AND j >= 32 THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS hi_sk
+        |           FROM votes GROUP BY id)
+        |SELECT id AS doc_id,
+        |       CAST(lo_sk + hi_sk * 4294967296
+        |            - CASE WHEN hi_sk >= 2147483648 THEN 18446744073709551616::HUGEINT ELSE 0 END
+        |            AS BIGINT) AS simhash
+        |FROM halves ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_simhash64_pairs" ->
+      """WITH dd AS (SELECT doc_id, text FROM documents
+        |       UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        |tok AS (SELECT id, tok, count(*) AS cnt
+        |        FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM dd)
+        |        GROUP BY id, tok),
+        |th AS (SELECT id, cnt, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS lo,
+        |              ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hi FROM tok),
+        |votes AS (SELECT id, j,
+        |            SUM(CASE WHEN ((CASE WHEN j < 32 THEN lo >> j ELSE hi >> (j - 32) END) & 1) = 1
+        |                THEN cnt ELSE -cnt END) AS v
+        |          FROM th, range(64) t(j) GROUP BY id, j),
+        |halves AS (SELECT id,
+        |             SUM(CASE WHEN v > 0 AND j < 32 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS lo_sk,
+        |             SUM(CASE WHEN v > 0 AND j >= 32 THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS hi_sk
+        |           FROM votes GROUP BY id),
+        |sk AS (SELECT id,
+        |         CAST(lo_sk + hi_sk * 4294967296
+        |              - CASE WHEN hi_sk >= 2147483648 THEN 18446744073709551616::HUGEINT ELSE 0 END
+        |              AS BIGINT) AS simhash
+        |       FROM halves),
+        |banded AS (SELECT id, simhash, j AS band, (simhash >> CAST(16 * j AS INT)) & 65535 AS band_key
+        |           FROM sk, range(4) r(j)),
+        |p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |      FROM banded a JOIN banded b
+        |        ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

@@ -191,6 +191,7 @@ class LlmOpsSpec extends SparkSpec {
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
     }
     same(Dedup.simhash(docs, "doc_id", "text"), Dedup.simhashNative(docs, "doc_id", "text"))
+    same(Dedup.simhash64(docs, "doc_id", "text"), Dedup.simhashNative64(docs, "doc_id", "text"))
     same(TextOps.fingerprints(docs, "doc_id", "text"),
       TextOps.fingerprintsNative(docs, "doc_id", "text"))
     same(TextOps.repetitionSignals(docs, "doc_id", "text"),
@@ -216,6 +217,23 @@ class LlmOpsSpec extends SparkSpec {
     val pairs = Dedup.simhashNearDuplicates(sk)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
     assert(pairs == Set((1L, 2L, 1), (1L, 5L, 3)))
+  }
+
+  test("Dedup: 64-bit simhash 16-bit-band pairs are exact for Hamming <= 3, sign bit included") {
+    val sk = Seq(
+      (1L, 0x0AL),
+      (2L, 0x0BL),                       // 1 bit off id 1 — pair
+      (3L, Long.MinValue | 0x0AL),       // id 1 + bit 63: negative sketch,
+                                         // shift/mask banding must still work
+      (4L, 0x0AL ^ (1L << 16) ^ (1L << 32) ^ (1L << 48)), // 3 bits, one per
+                                         // upper band — low band finds it
+      (5L, 0x7FFF_FFFF_FFFF_0000L))      // far from everything
+      .toDF("id", "simhash")
+    val pairs = Dedup.simhashNearDuplicates64(sk)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    // (3,4) collide in band 0 but sit at Hamming 4 — the verifier must drop
+    // them; (2,4) share no band AND sit at Hamming 4.
+    assert(pairs == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 2), (1L, 4L, 3)))
   }
 
   test("Dedup: incremental shard dedup finds store and within-shard dups by signature") {

@@ -37,5 +37,9 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(kernels.getInt(2) == 16 && kernels.getDouble(3) == 0.75)
     // fewer tokens than the shingle size is null, not a crash
     assert(spark.sql("SELECT min_shingle_hash(split('a b', ' '), 3)").collect()(0).isNullAt(0))
+    // 64-bit sketch: present from SQL and distinct from the 32-bit sketch
+    val sh64 = spark.sql(
+      "SELECT simhash64(split('a b a', ' ')), simhash32(split('a b a', ' '))").collect()(0)
+    assert(sh64.getLong(0) != 0L && sh64.getLong(0) != sh64.getLong(1))
   }
 }
