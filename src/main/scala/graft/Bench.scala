@@ -38,7 +38,11 @@ object Bench {
           .foreach(fn => fn(spark, warm).write.format("noop").mode("overwrite").save())
     } catch { case _: Throwable => () }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional name filter for local iteration (`runMain graft.Bench q_a ...`
+    // runs only queries matching a listed prefix); the driver passes no args.
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    val names =
+      if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -60,7 +64,8 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"ok":${ok.size},"failed":${results.size - ok.size},"sf":"$sfDir"}"""
     println(line)
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
+    // a filtered run must not clobber the full-suite record
+    if (args.isEmpty) Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
     spark.stop()
   }
 }

@@ -121,12 +121,24 @@ object Dedup {
   def verifyJaccard(
       pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
       shingle: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    val sh = TextOps.explodedShingles(df, idCol, textCol, shingle)
+    // Materialize the pair set once (it feeds the id restriction below AND
+    // the size prefilter — recomputing the LSH lineage per reference would
+    // double candidate generation) and restrict shingling to documents that
+    // appear in ≥1 candidate pair: the candidate set is bounded by the
+    // banding, the corpus is not — without the semi-join the explode+group
+    // below shingles every document of a 100 TB corpus twice for a
+    // verification that touches a small fraction of them.
+    val p = pairs.localCheckpoint()
+    val ids = p.select(col("id_a").as("_vid"))
+      .unionByName(p.select(col("id_b").as("_vid")))
+      .distinct()
+    val cand = df.join(ids, col(idCol) === col("_vid"), "left_semi")
+    val sh = TextOps.explodedShingles(cand, idCol, textCol, shingle)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     // Size prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose set
     // sizes are more than a 1/minJaccard factor apart cannot pass — prune
     // them BEFORE the (expensive) intersection join.
-    val sized = pairs
+    val sized = p
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
     val pruned =
@@ -368,17 +380,19 @@ object Dedup {
         .groupBy("src")
         .agg(min(col("c_dst")).as("nbr_min"))
         .select(col("src").as("id"), col("nbr_min"))
+      // The changed flag rides along INTO the checkpoint, so the convergence
+      // probe is a cheap scan of the already-materialized blocks — the
+      // former probe re-joined the new labels against the old ones, paying
+      // an extra shuffle per round for information the update already had.
       val updated = labels
         .join(nbrMin, Seq("id"), "left")
         .select(
           col("id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+          (coalesce(col("nbr_min"), col("cluster")) < col("cluster")).as("_changed"))
         .localCheckpoint()
-      converged = updated
-        .join(labels.withColumnRenamed("cluster", "_old"), "id")
-        .where(col("cluster") =!= col("_old"))
-        .limit(1).isEmpty
-      labels = updated
+      converged = updated.where(col("_changed")).limit(1).isEmpty
+      labels = updated.drop("_changed")
       i += 1
     }
     edges.unpersist()
