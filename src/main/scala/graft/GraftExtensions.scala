@@ -60,6 +60,11 @@ object GraftExtensions {
     ("min_shingle_hash", DocKernels.minShingleInfo,
       arity("min_shingle_hash", 2)(c => DocKernels.MinShingleHash(
         c(0), intLit(c(1), "min_shingle_hash", "n")))),
+    ("winnow_fps", DocKernels.winnowInfo,
+      arity("winnow_fps", 3)(c => DocKernels.WinnowFps(
+        c(0),
+        intLit(c(1), "winnow_fps", "n"),
+        intLit(c(2), "winnow_fps", "w")))),
     ("repetition_stats", DocKernels.repetitionInfo,
       arity("repetition_stats", 1)(c => DocKernels.RepetitionStats(c(0)))),
     ("lang_id", DocKernels.langIdInfo,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /**
@@ -88,6 +88,28 @@ object DocKernels {
          """.stripMargin
       })
     override protected def withNewChildInternal(newChild: Expression): MinShingleHash =
+      copy(child = newChild)
+  }
+
+  /** `winnow_fps(tokens, n, w)` — distinct winnowing fingerprints
+    * ([[graft.ops.TextOps.winnow]] semantics): the minimum md5-derived
+    * 32-bit hash of each sliding window of `w` consecutive word
+    * `n`-shingles, deduplicated and sorted ascending. Documents with fewer
+    * than `n + w - 1` tokens degrade to their single global min; documents
+    * with fewer than `n` tokens yield an empty array. */
+  case class WinnowFps(child: Expression, shingle: Int, window: Int) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (shingle <= 0 || window <= 0)
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires shingle > 0 and window > 0")
+      else tokenCheck(child.dataType, prettyName)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "winnow_fps"
+    override protected def nullSafeEval(a: Any): Any =
+      DocKernels.winnow(a.asInstanceOf[ArrayData], shingle, window)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.expressions.DocKernels.winnow($a, $shingle, $window);")
+    override protected def withNewChildInternal(newChild: Expression): WinnowFps =
       copy(child = newChild)
   }
 
@@ -194,6 +216,34 @@ object DocKernels {
     java.lang.Long.valueOf(min)
   }
 
+  def winnow(tokens: ArrayData, shingle: Int, window: Int): ArrayData = {
+    val m = tokens.numElements() - shingle + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    val sb = new java.lang.StringBuilder
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) { hs(i) = MinhashSigs.shingleHash(tokens, i, shingle, sb); i += 1 }
+    val fps = new java.util.TreeSet[java.lang.Long]()
+    // monotonic deque: O(m) sliding-window minimum
+    val dq = new java.util.ArrayDeque[Int]()
+    var p = 0
+    while (p < m) {
+      while (!dq.isEmpty && hs(dq.peekLast()) >= hs(p)) dq.pollLast()
+      dq.addLast(p)
+      if (dq.peekFirst() <= p - window) dq.pollFirst()
+      // record each COMPLETE window's min (windows ending at p >= window-1);
+      // short documents (m < window) record their single global min at the
+      // final position
+      if (p >= window - 1 || p == m - 1) fps.add(hs(dq.peekFirst()))
+      p += 1
+    }
+    val out = new Array[Long](fps.size())
+    val it = fps.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   def repetition(tokens: ArrayData): InternalRow = {
     val n = tokens.numElements()
     val counts = new java.util.HashMap[String, Integer]()
@@ -275,6 +325,10 @@ object DocKernels {
   val minShingleInfo: ExpressionInfo = new ExpressionInfo(
     classOf[MinShingleHash].getName, null, "min_shingle_hash",
     "_FUNC_(tokens, n) - minimum 32-bit hash over the word n-shingles.",
+    "", "", "", "", "", "", "built-in")
+  val winnowInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[WinnowFps].getName, null, "winnow_fps",
+    "_FUNC_(tokens, n, w) - distinct winnowing fingerprints (min hash per w-window of n-shingles).",
     "", "", "", "", "", "", "built-in")
   val repetitionInfo: ExpressionInfo = new ExpressionInfo(
     classOf[RepetitionStats].getName, null, "repetition_stats",

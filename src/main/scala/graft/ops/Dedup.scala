@@ -530,4 +530,36 @@ object Dedup {
     df.select(
       col(idCol).as("id"),
       call_function("simhash64", TextOps.tokens(col(textCol))).as("simhash"))
+
+  /**
+   * Containment / partial-overlap detection over winnowing fingerprints
+   * ([[TextOps.winnow]] / [[TextOps.winnowNative]] `(id, fp)` rows):
+   * candidate pairs share ≥ 1 fingerprint — an equi-join on `fp`, so
+   * documents with no common window minimum never pair — scored as
+   * `shared / min(|fps_a|, |fps_b|)`, which is ~1.0 when the smaller
+   * document's fingerprints sit inside the larger's (prefix copies,
+   * quotations, template reuse). The asymmetric denominator is exactly
+   * what Jaccard-style dedup lacks: a half-document contained in its
+   * full document scores ~1.0 here but only ~0.5 Jaccard, below every
+   * sane near-dup threshold.
+   *
+   * Scale: the fp self-join shuffles fingerprint rows (docs × fps/doc),
+   * never all-pairs. Ubiquitous fingerprints (site boilerplate) inflate
+   * join buckets — run [[TextOps]] boilerplate removal first, or prune
+   * fingerprints above a doc-frequency cap before calling this.
+   */
+  def containment(fps: DataFrame, threshold: Double): DataFrame = {
+    val counts = fps.groupBy("id").agg(count(lit(1)).as("n"))
+    val shared = fps.select(col("fp"), col("id").as("id_a"))
+      .join(fps.select(col("fp"), col("id").as("id_b")), "fp")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") / least(col("n_a"), col("n_b"))).as("containment"))
+      .where(col("containment") >= threshold)
+  }
 }

@@ -94,6 +94,54 @@ object TextOps {
     array_min(transform(wordShingles(text, n), s => hash32(s)))
 
   /**
+   * Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
+   * algorithm): hash every word `n`-shingle in position order, slide a
+   * window of `w` consecutive hashes, keep each window's minimum; the
+   * DISTINCT minima are the document's fingerprints — `(id, fp)` rows.
+   *
+   * The winnowing guarantee: any shared token run of length ≥ n + w - 1
+   * contributes at least one shared fingerprint, which turns the
+   * fingerprint equi-join into a partial-overlap/containment detector
+   * (prefix copies, quotations, template reuse) that whole-document
+   * Jaccard or MinHash misses — see [[Dedup.containment]]. Documents with
+   * fewer than `n + w - 1` tokens degrade to their single global min
+   * hash; documents with fewer than `n` tokens emit nothing.
+   *
+   * Aggregate formulation (posexplode + sliding window over id) — the
+   * oracle-parity reference; it shuffles every shingle by document.
+   * [[winnowNative]] computes the identical set per row with zero
+   * shuffles — prefer it at corpus scale.
+   */
+  def winnow(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      n: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byId = Window.partitionBy("id")
+    val sliding = Window.partitionBy("id").orderBy("p").rowsBetween(Window.currentRow, w - 1)
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+      .select(col("id"), posexplode(wordShinglesFromTokens(col("_toks"), n)).as(Seq("p", "sh")))
+      .select(col("id"), col("p"), hash32(col("sh")).as("h"))
+      .withColumn("m", count(lit(1)).over(byId))
+      .withColumn("fp", min(col("h")).over(sliding))
+      // complete windows only (0-based starts 0..m-w); a short document
+      // (m < w) keeps its single degenerate window at p = 0
+      .where(col("p") <= greatest(lit(0L), col("m") - w))
+      .select("id", "fp").distinct()
+  }
+
+  /** [[winnow]] via the native per-row kernel
+    * ([[graft.expressions.DocKernels.WinnowFps]]) — same fingerprint set,
+    * zero shuffles; the kernel emits each document's minima already
+    * distinct, so the explode needs no dedup. Requires
+    * [[graft.GraftExtensions.register]]. */
+  def winnowNative(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      n: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      explode(call_function("winnow_fps", tokens(col(textCol)), lit(n), lit(w))).as("fp"))
+
+  /**
    * Corpus fingerprints: `(id, fp, min_shingle_hash)` — normalized-content
    * md5 plus the min-shingle rolling hash, computed with codegen-friendly
    * explode/aggregate instead of per-element lambda interpretation.

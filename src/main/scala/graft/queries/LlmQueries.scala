@@ -87,6 +87,22 @@ object LlmQueries {
        |    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM $src)
        |    WHERE len(s) >= 3))""".stripMargin
 
+  /** Winnowing fingerprints (n=3-shingles, w=4 windows) over `src` (must
+    * expose doc_id, text): CTE chain ending in `fps(id, fp)` — positional
+    * shingle hashes, sliding-window min, complete windows only (short docs
+    * keep their single degenerate window at p=1). */
+  private def winnowCte(src: String): String =
+    s"""wtoks AS (SELECT doc_id AS id, string_split(text, ' ') AS s FROM $src),
+       |wshp AS (SELECT id, unnest(generate_series(1, len(s) - 2)) AS p, s, len(s) - 2 AS m
+       |         FROM wtoks WHERE len(s) >= 3),
+       |wsh AS (SELECT id, p, m,
+       |          ('0x' || substr(md5(s[p] || ' ' || s[p+1] || ' ' || s[p+2]), 1, 8))::BIGINT AS h
+       |        FROM wshp),
+       |wwin AS (SELECT id, p, m,
+       |           MIN(h) OVER (PARTITION BY id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+       |         FROM wsh),
+       |fps AS (SELECT DISTINCT id, fp FROM wwin WHERE p <= GREATEST(1, m - 3))""".stripMargin
+
   /** Jaccard verification of `cand(id_a, id_b)` against `sh`. */
   private val jaccardSql =
     """sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
@@ -207,6 +223,33 @@ object LlmQueries {
       val dd = d.select("doc_id", "text").unionByName(
         d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Dedup.simhashNearDuplicates64(Dedup.simhashNative64(dd, "doc_id", "text"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Winnowing fingerprints (min hash per 4-window of 3-shingles) — the
+    // MOSS fingerprint set, computed by the zero-shuffle per-row kernel
+    "q_text_winnow" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      TextOps.winnowNative(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "fp")
+    }),
+
+    // Containment detection: full corpus ∪ planted first-half copies
+    // (id+1000000). The half-doc shares ~all its fingerprints with its
+    // source, so containment ≈ 1.0 — while its Jaccard is only ~0.5,
+    // below every near-dup threshold: this is the overlap class MinHash
+    // misses by construction
+    "q_dedup_containment" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val d = docs(s, dir)
+      val toks = split(col("text"), " ")
+      val dd = d.select("doc_id", "text").unionByName(
+        d.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          array_join(
+            slice(toks, lit(1), ceil(size(toks) / lit(2.0)).cast("int")), " ").as("text")))
+      Dedup.containment(TextOps.winnowNative(dd, "doc_id", "text"), 0.5)
         .orderBy("id_a", "id_b")
     }),
 
@@ -529,6 +572,26 @@ object LlmQueries {
         |        ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)
         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_text_winnow" ->
+      s"""WITH ${winnowCte("documents")}
+         |SELECT id AS doc_id, fp FROM fps ORDER BY doc_id, fp""".stripMargin,
+
+    "q_dedup_containment" ->
+      s"""WITH dd AS (SELECT doc_id, text FROM documents
+         |       UNION ALL SELECT doc_id + 1000000 AS doc_id,
+         |         array_to_string(list_slice(string_split(text, ' '), 1,
+         |           CAST(ceil(len(string_split(text, ' ')) / 2.0) AS INT)), ' ') AS text
+         |       FROM documents),
+         |${winnowCte("dd")},
+         |cnt AS (SELECT id, count(*) AS n FROM fps GROUP BY id),
+         |shared AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+         |           FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+         |           GROUP BY a.id, b.id),
+         |sc AS (SELECT s.id_a, s.id_b, CAST(s.shared AS DOUBLE) / LEAST(ca.n, cb.n) AS containment
+         |       FROM shared s JOIN cnt ca ON ca.id = s.id_a JOIN cnt cb ON cb.id = s.id_b)
+         |SELECT id_a, id_b, containment FROM sc WHERE containment >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

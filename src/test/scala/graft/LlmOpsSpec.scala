@@ -236,6 +236,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 2), (1L, 4L, 3)))
   }
 
+  test("TextOps/Dedup: winnowing detects containment that Jaccard misses") {
+    val full = (1 to 24).map(i => s"tok$i").mkString(" ")
+    val half = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val other = (101 to 124).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, full), (2L, half), (3L, other)).toDF("doc_id", "text")
+    // kernel == aggregate fingerprint set (incl. a short doc's degenerate window)
+    val shortDoc = Seq((9L, "a b c d")).toDF("doc_id", "text") // 2 shingles < w=4
+    for (d <- Seq(docs, shortDoc)) {
+      val agg = TextOps.winnow(d, "doc_id", "text")
+      val nat = TextOps.winnowNative(d, "doc_id", "text")
+      assert(agg.exceptAll(nat).isEmpty && nat.exceptAll(agg).isEmpty)
+    }
+    // the prefix copy's fingerprints are a subset of its source's → 1.0
+    val pairs = Dedup.containment(TextOps.winnowNative(docs, "doc_id", "text"), 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // …while the same pair sits below any sane Jaccard near-dup threshold
+    val j = Dedup.verifyJaccard(
+      Seq((1L, 2L)).toDF("id_a", "id_b"), docs, "doc_id", "text")
+      .select("jaccard").as[Double].head()
+    assert(j < 0.5)
+  }
+
   test("Dedup: incremental shard dedup finds store and within-shard dups by signature") {
     val mk = (id: Long, text: String) => (id, text)
     val existing = Seq(

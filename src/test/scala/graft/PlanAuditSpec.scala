@@ -54,7 +54,8 @@ class PlanAuditSpec extends SparkSpec {
     // The per-row kernels exist precisely so these pure per-document
     // computations cost zero exchanges; the single remaining Exchange is
     // the oracle-determinism ORDER BY (rangepartitioning).
-    for (q <- Seq("q_dedup_simhash", "q_dedup_simhash64", "q_text_fingerprint", "q_text_repetition")) {
+    for (q <- Seq("q_dedup_simhash", "q_dedup_simhash64", "q_text_fingerprint",
+        "q_text_repetition", "q_text_winnow")) {
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).size
       assert(exchanges == 1, s"$q plans $exchanges exchanges:\n$p")

@@ -41,5 +41,10 @@ class SqlSurfaceSpec extends SparkSpec {
     val sh64 = spark.sql(
       "SELECT simhash64(split('a b a', ' ')), simhash32(split('a b a', ' '))").collect()(0)
     assert(sh64.getLong(0) != 0L && sh64.getLong(0) != sh64.getLong(1))
+    // winnowing fingerprints from SQL: 6 shingles, windows of 4 → ≤3 distinct minima
+    val wf = spark.sql(
+      "SELECT winnow_fps(split('a b c d e f g h', ' '), 3, 4) AS fps").collect()(0)
+    val fps = wf.getSeq[Long](0)
+    assert(fps.nonEmpty && fps.size <= 3 && fps == fps.sorted && fps.distinct == fps)
   }
 }
