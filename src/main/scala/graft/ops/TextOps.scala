@@ -94,6 +94,50 @@ object TextOps {
     array_min(transform(wordShingles(text, n), s => hash32(s)))
 
   /**
+   * Boilerplate line removal (the CCNet/RefinedWeb line-dedup pass):
+   * documents split into `\n` lines; a line occurring in at least
+   * `minDocFrac` of the documents sharing `groupCol` (site, source,
+   * domain) is boilerplate — navigation, footers, cookie banners — and is
+   * dropped from EVERY document of that group; the text is reassembled in
+   * original line order. Matching is exact (no normalization — normalize
+   * upstream if needed). Returns `(id, text)`, one row per input
+   * document; a document whose every line is boilerplate keeps an empty
+   * string.
+   *
+   * Scale shape: per-(group, line) doc-frequency is one hash-partitioned
+   * aggregation; the boilerplate set (lines above the threshold) is tiny
+   * relative to the corpus, so the anti-join broadcasts under AQE;
+   * reassembly is a grouped collect whose state is bounded by document
+   * size. No all-pairs anything, no driver collects.
+   */
+  def removeBoilerplate(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      groupCol: String, minDocFrac: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    require(minDocFrac > 0, "a zero threshold would drop every line of every document")
+    val lines = df.select(
+      col(idCol).as("id"), col(groupCol).as("grp"),
+      posexplode(split(col(textCol), "\n")).as(Seq("p", "line")))
+    val grpDocs = df.groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(idCol)).as("grp_docs"))
+    val boiler = lines.groupBy("grp", "line")
+      .agg(countDistinct(col("id")).as("line_docs"))
+      .join(grpDocs, "grp")
+      .where(col("line_docs").cast("double") >= col("grp_docs") * minDocFrac)
+      .select("grp", "line")
+    val rebuilt = lines
+      .join(boiler, Seq("grp", "line"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("p"), col("line")))),
+          s => s.getField("line")),
+        "\n").as("text"))
+    df.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .na.fill("", Seq("text"))
+  }
+
+  /**
    * Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
    * algorithm): hash every word `n`-shingle in position order, slide a
    * window of `w` consecutive hashes, keep each window's minimum; the

@@ -253,6 +253,21 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Boilerplate line removal: every doc gets a planted per-source
+    // boilerplate line (appears in 100% of its source's docs → dropped)
+    // plus a doc-unique footer (kept) — the output must strip exactly the
+    // shared line from every document
+    "q_text_boilerplate" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        col("doc_id"), col("source"),
+        concat(
+          col("text"), lit("\nsubscribe to "), col("source"), lit(" newsletter\ndoc-"),
+          col("doc_id").cast("string"), lit(" footer")).as("text"))
+      TextOps.removeBoilerplate(d, "doc_id", "text", "source", 0.5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Token counting: whitespace tokens + BPE-ish subword segments
     "q_text_tokens" -> ((s, dir) =>
       docs(s, dir)
@@ -592,6 +607,29 @@ object LlmQueries {
          |       FROM shared s JOIN cnt ca ON ca.id = s.id_a JOIN cnt cb ON cb.id = s.id_b)
          |SELECT id_a, id_b, containment FROM sc WHERE containment >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_text_boilerplate" ->
+      """WITH dd AS (SELECT doc_id, source,
+        |         text || chr(10) || 'subscribe to ' || source || ' newsletter'
+        |              || chr(10) || 'doc-' || CAST(doc_id AS VARCHAR) || ' footer' AS text
+        |       FROM documents),
+        |lines AS (SELECT doc_id, source,
+        |            unnest(string_split(text, chr(10))) AS ln,
+        |            unnest(generate_series(1, len(string_split(text, chr(10))))) AS p
+        |          FROM dd),
+        |grp AS (SELECT source, count(DISTINCT doc_id) AS grp_docs FROM dd GROUP BY source),
+        |lf AS (SELECT source, ln, count(DISTINCT doc_id) AS line_docs
+        |       FROM lines GROUP BY source, ln),
+        |bp AS (SELECT l.source, l.ln FROM lf l JOIN grp g ON g.source = l.source
+        |       WHERE CAST(l.line_docs AS DOUBLE) >= g.grp_docs * 0.5),
+        |kept AS (SELECT li.doc_id, li.p, li.ln FROM lines li
+        |         LEFT JOIN bp ON bp.source = li.source AND bp.ln = li.ln
+        |         WHERE bp.ln IS NULL),
+        |reb AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY p) AS text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(r.text, '') AS text
+        |FROM dd d LEFT JOIN reb r ON r.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

@@ -259,6 +259,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(j < 0.5)
   }
 
+  test("TextOps: boilerplate removal is per-group, order-preserving, and keeps emptied docs") {
+    val docs = Seq(
+      (1L, "s1", "unique one\nCOOKIE BANNER\nmore text"),
+      (2L, "s1", "COOKIE BANNER\nanother doc"),
+      (3L, "s1", "third doc\nCOOKIE BANNER"),
+      (4L, "s2", "COOKIE BANNER"), // 1/3 of s2's docs — NOT boilerplate there
+      (5L, "s2", "plain"),
+      (6L, "s2", "also plain"),
+      (7L, "s3", "SAME"), (8L, "s3", "SAME")) // all-boilerplate docs
+      .toDF("doc_id", "src", "text")
+    val out = TextOps.removeBoilerplate(docs, "doc_id", "text", "src", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "unique one\nmore text") // order survives around the cut
+    assert(out(2L) == "another doc" && out(3L) == "third doc")
+    assert(out(4L) == "COOKIE BANNER") // group isolation: common in s1 only
+    assert(out(5L) == "plain" && out(6L) == "also plain")
+    assert(out(7L) == "" && out(8L) == "") // emptied docs still present
+    assert(out.size == 8)
+  }
+
   test("Dedup: incremental shard dedup finds store and within-shard dups by signature") {
     val mk = (id: Long, text: String) => (id, text)
     val existing = Seq(
