@@ -121,6 +121,66 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /**
+   * K-means centroid training for the IVF coarse quantizer — Lloyd's
+   * iterations in map-reduce form. Seeds with the `k` lowest-id vectors
+   * (cid 0..k-1 in id order — deterministic, no RNG); each iteration
+   * assigns every vector to its best centroid by exact integer quantized
+   * dot product ([[ivfAssign]] semantics, ties → smaller cid) and
+   * recomputes each centroid as its cell's component-wise mean. Returns
+   * `(cid, cvec: array<float>)`, ready for [[ivfAssign]] / [[ivfTopK]].
+   *
+   * Engine-portable determinism — the property random-init k-means lacks:
+   * assignment compares exact integer dots; each mean is ONE double
+   * division of an exact integer component sum by an exact count followed
+   * by one float rounding. No float-summation-order dependence anywhere,
+   * so any engine or partitioning produces bit-identical centroids
+   * (oracle-checked against an unrolled SQL formulation).
+   *
+   * Scale: per iteration, one broadcast scoring pass over the corpus, one
+   * shuffle by vector id for the argmax, and one component-sum shuffle
+   * that partial-aggregates to ≤ k·dims rows per partition map-side.
+   * Centroid state is k·dims, localCheckpointed per round to cut lineage.
+   * A cell that loses all members is dropped (k may shrink) — standard
+   * Lloyd's behavior, kept deterministic.
+   */
+  def trainCentroids(
+      emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val seedW = Window.orderBy(col("_sid").asc)
+    var cents = emb
+      .select(col(idCol).as("_sid"), col(vecCol).as("cvec"))
+      .orderBy(col("_sid").asc).limit(k)
+      .withColumn("cid", row_number().over(seedW) - 1)
+      .select(col("cid"), col("cvec"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val sums = emb
+        .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+        .join(broadcast(cents.select(col("cid"), col("cvec"))))
+        .select(col("vec_id"), col("v"), col("cid"), dotQ(col("v"), col("cvec")).as("cdot"))
+        .groupBy("vec_id")
+        .agg(min_by(
+          struct(col("cid"), col("v")),
+          struct(negate(col("cdot")), col("cid"))).as("b"))
+        .select(col("b.cid").as("cell"), posexplode(quantize(col("b.v"))).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      cents = sums
+        .select(
+          col("cell").as("cid"), col("d"),
+          ((col("sx").cast("double") / col("cnt")) / lit(Scale)).cast("float").as("c"))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("d"), col("c")))),
+          s => s.getField("c")).as("cvec"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** All (vector, centroid) scores — the shared substrate of [[ivfAssign]]
     * (argmax per vector) and the query-side multi-cell probe in [[ivfTopK]].
     * Returns `(vec_id, cid, cdot)`. `centroids` must be small (broadcast). */

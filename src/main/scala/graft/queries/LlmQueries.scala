@@ -312,6 +312,18 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // K-means-trained IVF centroids: 2 deterministic Lloyd iterations over
+    // integer-quantized components — bit-identical on any engine or
+    // partitioning, so the TRAINED centroids themselves are oracle-checked
+    // (random-init k-means never could be)
+    "q_sim_kmeans" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      Similarity.trainCentroids(emb(s, dir), 8, 2)
+        .select(col("cid").cast("int").as("cid"), posexplode(col("cvec")).as(Seq("d0", "c")))
+        .select(col("cid"), (col("d0") + 1).cast("int").as("d"), col("c"))
+        .orderBy("cid", "d")
+    }),
+
     // IVF: coarse-quantize to the 8 leading vectors, probe the query's cell
     "q_sim_ivf" -> ((s, dir) => {
       GraftExtensions.register(s)
@@ -692,6 +704,29 @@ object LlmQueries {
          |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS INT) AS rank
          |  FROM dots
          |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_sim_kmeans" -> {
+      // one Lloyd iteration: score vs c{i-1} → argmax cell → component
+      // means as REAL (f$i) → re-quantized centroids (c$i) for the next round
+      def iter(i: Int, prev: String): String =
+        s"""a$i AS (SELECT c.vec_id, ct.cid, SUM(c.q * ct.q) AS cdot
+           |        FROM comp c JOIN $prev ct ON ct.d = c.d GROUP BY c.vec_id, ct.cid),
+           |m$i AS (SELECT vec_id, cid FROM (
+           |          SELECT vec_id, cid,
+           |                 row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS rn
+           |          FROM a$i) WHERE rn = 1),
+           |s$i AS (SELECT m.cid, c.d, SUM(c.q) AS sx, COUNT(*) AS cnt
+           |        FROM m$i m JOIN comp c ON c.vec_id = m.vec_id GROUP BY m.cid, c.d),
+           |f$i AS (SELECT cid, d, CAST((CAST(sx AS DOUBLE) / cnt) / 1e6 AS REAL) AS c FROM s$i),
+           |c$i AS (SELECT cid, d, CAST(floor(CAST(c AS DOUBLE) * 1e6) AS BIGINT) AS q FROM f$i)""".stripMargin
+      s"""WITH ${compCte("comp", "embeddings")},
+         |seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+         |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |c0 AS (SELECT s.cid, c.d, c.q FROM seed s JOIN comp c ON c.vec_id = s.vec_id),
+         |${iter(1, "c0")},
+         |${iter(2, "c1")}
+         |SELECT CAST(cid AS INT) AS cid, CAST(d AS INT) AS d, c FROM f2 ORDER BY cid, d""".stripMargin
+    },
 
     "q_sim_ivf" ->
       s"""WITH ${compCte("comp", "embeddings")},

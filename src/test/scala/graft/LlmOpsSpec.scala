@@ -279,6 +279,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.size == 8)
   }
 
+  test("Similarity: k-means training converges to cluster means, deterministically") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(vecs, 2, 1)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    // seeds are ids 0,1 (both in the x-cluster); after one iteration the
+    // y-cluster vectors defect to cid 1's side and the means separate
+    assert(cents.keySet == Set(0, 1))
+    assert(math.abs(cents(0)(0) - 0.95f) < 1e-5 && math.abs(cents(0)(1) - 0.05f) < 1e-5)
+    assert(math.abs(cents(1)(0) - 0.05f) < 1e-5 && math.abs(cents(1)(1) - 0.95f) < 1e-5)
+    // bit-identical across runs (the property the oracle check relies on)
+    val again = Similarity.trainCentroids(vecs, 2, 1)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    assert(again == cents)
+  }
+
   test("Dedup: incremental shard dedup finds store and within-shard dups by signature") {
     val mk = (id: Long, text: String) => (id, text)
     val existing = Seq(
