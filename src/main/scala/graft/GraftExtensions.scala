@@ -76,4 +76,14 @@ object GraftExtensions {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+
+  /** Binds `bpe_encode(tokens)` on the session to a LEARNED merge table
+    * ([[graft.ops.TextOps.learnBpeMerges]]) — the table is expression
+    * state, not a SQL literal, so it is captured at registration time;
+    * re-register to swap vocabularies. */
+  def registerBpe(spark: SparkSession, merges: Seq[(String, String)]): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_encode",
+      arity("bpe_encode", 1)(c => graft.expressions.BpeEncode(c(0), merges)),
+      "scala_udf")
 }

@@ -94,6 +94,35 @@ object TextOps {
     array_min(transform(wordShingles(text, n), s => hash32(s)))
 
   /**
+   * Learns a BPE merge table from the corpus ([[Bpe]] semantics): one
+   * distributed pass builds the word-frequency table — the working set of
+   * every real tokenizer trainer, VOCABULARY-sized (≈10^5–10^6 rows) and
+   * corpus-size-independent, which is why a 100 TB corpus still trains in
+   * memory — then the merge loop runs driver-side over it. The collect is
+   * guarded by `maxVocab`: a vocabulary above the cap fails loudly instead
+   * of silently flooding the driver (same pattern as the upsert key-cap).
+   */
+  def learnBpeMerges(
+      df: org.apache.spark.sql.DataFrame, textCol: String, numMerges: Int,
+      maxVocab: Int = 1000000): Seq[(String, String)] = {
+    val wc = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = wc.count()
+    require(n <= maxVocab,
+      s"distinct-word vocabulary ($n) exceeds maxVocab=$maxVocab; " +
+        "pre-filter the corpus or raise the cap")
+    Bpe.learn(wc.collect().map(r => (r.getString(0), r.getLong(1))), numMerges)
+  }
+
+  /** Per-document BPE subword sequence via the
+    * [[graft.expressions.BpeEncode]] kernel — a pure per-row function
+    * (zero shuffles) closing over a learned merge table. Requires
+    * [[graft.GraftExtensions.registerBpe]] with the same merges first
+    * (the merge table binds at registration; it is not SQL-literal). */
+  def bpeEncode(tokens: Column): Column =
+    call_function("bpe_encode", tokens)
+
+  /**
    * Boilerplate line removal (the CCNet/RefinedWeb line-dedup pass):
    * documents split into `\n` lines; a line occurring in at least
    * `minDocFrac` of the documents sharing `groupCol` (site, source,

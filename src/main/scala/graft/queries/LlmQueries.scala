@@ -268,6 +268,22 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Real BPE: merges learned from THIS corpus (vocabulary-sized driver
+    // loop over distributed word counts), then per-doc greedy rank
+    // encoding via the zero-shuffle kernel. BPE is not SQL-expressible, so
+    // this query has no DuckDB oracle (driver records a rows-only check);
+    // the algorithm is unit-verified against the classic Sennrich hand
+    // example in LlmOpsSpec.
+    "q_text_bpe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      GraftExtensions.registerBpe(s, TextOps.learnBpeMerges(d, "text", 64))
+      d.select(
+          col("doc_id"),
+          size(TextOps.bpeEncode(TextOps.tokens(col("text")))).as("n_bpe"),
+          size(TextOps.tokens(col("text"))).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Token counting: whitespace tokens + BPE-ish subword segments
     "q_text_tokens" -> ((s, dir) =>
       docs(s, dir)

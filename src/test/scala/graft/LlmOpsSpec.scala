@@ -297,6 +297,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(again == cents)
   }
 
+  test("Bpe: merge learning and encoding reproduce the classic hand example") {
+    // Sennrich et al.'s corpus: low×5, lower×2, newest×6, widest×3
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val df = Seq((1L, corpus)).toDF("doc_id", "text")
+    val merges = TextOps.learnBpeMerges(df, "text", 4)
+    // (e,s) and (s,t) tie at 9 → lexicographic; then the chain es→est, l+o, lo+w
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    GraftExtensions.registerBpe(spark, merges)
+    val pieces = Seq("lowest").toDF("text")
+      .select(TextOps.bpeEncode(TextOps.tokens(col("text"))).as("p"))
+      .as[Seq[String]].head()
+    assert(pieces == Seq("low", "est")) // the canonical BPE segmentation
+    // unseen characters fall back to singletons; multiple tokens concatenate
+    val odd = Seq("xyz lowest").toDF("text")
+      .select(TextOps.bpeEncode(TextOps.tokens(col("text"))).as("p"))
+      .as[Seq[String]].head()
+    assert(odd == Seq("x", "y", "z", "low", "est"))
+  }
+
   test("Dedup: incremental shard dedup finds store and within-shard dups by signature") {
     val mk = (id: Long, text: String) => (id, text)
     val existing = Seq(
