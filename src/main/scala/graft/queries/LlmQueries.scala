@@ -103,6 +103,32 @@ object LlmQueries {
        |         FROM wsh),
        |fps AS (SELECT DISTINCT id, fp FROM wwin WHERE p <= GREATEST(1, m - 3))""".stripMargin
 
+  /** One unrolled Lloyd iteration: score vs `c{i-1}` → argmax cell →
+    * component means as REAL (`f$i`) → re-quantized centroids (`c$i`). */
+  private def kmeansIterCte(i: Int, prev: String): String =
+    s"""a$i AS (SELECT c.vec_id, ct.cid, SUM(c.q * ct.q) AS cdot
+       |        FROM comp c JOIN $prev ct ON ct.d = c.d GROUP BY c.vec_id, ct.cid),
+       |m$i AS (SELECT vec_id, cid FROM (
+       |          SELECT vec_id, cid,
+       |                 row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS rn
+       |          FROM a$i) WHERE rn = 1),
+       |s$i AS (SELECT m.cid, c.d, SUM(c.q) AS sx, COUNT(*) AS cnt
+       |        FROM m$i m JOIN comp c ON c.vec_id = m.vec_id GROUP BY m.cid, c.d),
+       |f$i AS (SELECT cid, d, CAST((CAST(sx AS DOUBLE) / cnt) / 1e6 AS REAL) AS c FROM s$i),
+       |c$i AS (SELECT cid, d, CAST(floor(CAST(c AS DOUBLE) * 1e6) AS BIGINT) AS q FROM f$i)""".stripMargin
+
+  /** Two deterministic Lloyd iterations over `embeddings` seeded with the
+    * `k` lowest-id vectors — CTE chain ending in `f2` (REAL centroid
+    * components) and `c2` (re-quantized for downstream scoring); mirrors
+    * [[graft.ops.Similarity.trainCentroids]] exactly. */
+  private def kmeansCtes(k: Int): String =
+    s"""${compCte("comp", "embeddings")},
+       |seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+       |c0 AS (SELECT s.cid, c.d, c.q FROM seed s JOIN comp c ON c.vec_id = s.vec_id),
+       |${kmeansIterCte(1, "c0")},
+       |${kmeansIterCte(2, "c1")}""".stripMargin
+
   /** Jaccard verification of `cand(id_a, id_b)` against `sh`. */
   private val jaccardSql =
     """sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
@@ -338,6 +364,20 @@ object LlmQueries {
         .select(col("cid").cast("int").as("cid"), posexplode(col("cvec")).as(Seq("d0", "c")))
         .select(col("cid"), (col("d0") + 1).cast("int").as("d"), col("c"))
         .orderBy("cid", "d")
+    }),
+
+    // The full trained-ANN pipeline: k-means centroids (2 Lloyd
+    // iterations) feeding multi-cell IVF probing — train → assign →
+    // probe, end-to-end oracle-checked
+    "q_sim_ivf_trained" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = emb(s, dir)
+      val cents = Similarity.trainCentroids(e, 8, 2)
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(e, cents, queries, 5, nprobe = 2)
+        .select("qid", "rank", "vec_id", "dot")
+        .orderBy("qid", "rank")
     }),
 
     // IVF: coarse-quantize to the 8 leading vectors, probe the query's cell
@@ -721,28 +761,34 @@ object LlmQueries {
          |  FROM dots
          |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
-    "q_sim_kmeans" -> {
-      // one Lloyd iteration: score vs c{i-1} → argmax cell → component
-      // means as REAL (f$i) → re-quantized centroids (c$i) for the next round
-      def iter(i: Int, prev: String): String =
-        s"""a$i AS (SELECT c.vec_id, ct.cid, SUM(c.q * ct.q) AS cdot
-           |        FROM comp c JOIN $prev ct ON ct.d = c.d GROUP BY c.vec_id, ct.cid),
-           |m$i AS (SELECT vec_id, cid FROM (
-           |          SELECT vec_id, cid,
-           |                 row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS rn
-           |          FROM a$i) WHERE rn = 1),
-           |s$i AS (SELECT m.cid, c.d, SUM(c.q) AS sx, COUNT(*) AS cnt
-           |        FROM m$i m JOIN comp c ON c.vec_id = m.vec_id GROUP BY m.cid, c.d),
-           |f$i AS (SELECT cid, d, CAST((CAST(sx AS DOUBLE) / cnt) / 1e6 AS REAL) AS c FROM s$i),
-           |c$i AS (SELECT cid, d, CAST(floor(CAST(c AS DOUBLE) * 1e6) AS BIGINT) AS q FROM f$i)""".stripMargin
-      s"""WITH ${compCte("comp", "embeddings")},
-         |seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-         |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
-         |c0 AS (SELECT s.cid, c.d, c.q FROM seed s JOIN comp c ON c.vec_id = s.vec_id),
-         |${iter(1, "c0")},
-         |${iter(2, "c1")}
-         |SELECT CAST(cid AS INT) AS cid, CAST(d AS INT) AS d, c FROM f2 ORDER BY cid, d""".stripMargin
-    },
+    "q_sim_kmeans" ->
+      s"""WITH ${kmeansCtes(8)}
+         |SELECT CAST(cid AS INT) AS cid, CAST(d AS INT) AS d, c FROM f2 ORDER BY cid, d""".stripMargin,
+
+    "q_sim_ivf_trained" ->
+      s"""WITH ${kmeansCtes(8)},
+         |cent AS (SELECT cid, d, q FROM c2),
+         |adot AS (SELECT c.vec_id, ct.cid, SUM(c.q * ct.q) AS cdot
+         |         FROM comp c JOIN cent ct ON ct.d = c.d GROUP BY c.vec_id, ct.cid),
+         |acell AS (SELECT vec_id, cid AS cell FROM (
+         |            SELECT vec_id, cid,
+         |                   row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS rn
+         |            FROM adot) WHERE rn = 1),
+         |qprobe AS (SELECT vec_id AS qid, cid AS cell FROM (
+         |             SELECT vec_id, cid,
+         |                    row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS rn
+         |             FROM adot WHERE vec_id < 3) WHERE rn <= 2),
+         |cand AS (SELECT qp.qid, a.vec_id FROM qprobe qp JOIN acell a ON a.cell = qp.cell),
+         |dots AS (SELECT c.qid, c.vec_id, CAST(SUM(ca.q * cb.q) AS BIGINT) AS dot
+         |         FROM cand c
+         |         JOIN comp ca ON ca.vec_id = c.qid
+         |         JOIN comp cb ON cb.vec_id = c.vec_id AND cb.d = ca.d
+         |         GROUP BY c.qid, c.vec_id)
+         |SELECT qid, rank, vec_id, dot FROM (
+         |  SELECT qid, vec_id, dot,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS INT) AS rank
+         |  FROM dots
+         |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q_sim_ivf" ->
       s"""WITH ${compCte("comp", "embeddings")},
