@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.NearDupStream
+import graft.streaming.NearDupStream.{Doc, Pair}
+
+class NearDupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming near-dup emits pairs within and across batches, replay-safe") {
+    GraftExtensions.register(spark)
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Doc]
+    val q = NearDupStream.pairs(ms.toDS())
+      .writeStream.format("memory").queryName("neardup_out").outputMode("append").start()
+    try {
+      ms.addData(
+        Doc(1L, "alpha beta gamma delta"),
+        Doc(2L, "alpha beta gamma delta"), // identical sketch — pair in-batch
+        Doc(3L, "unrelated content entirely different here"))
+      q.processAllAvailable()
+      // a pair sharing several bands is emitted once per shared bucket —
+      // the documented contract is dedup downstream, hence the Set
+      val b1 = spark.table("neardup_out").as[Pair].collect().toSet
+      assert(b1 == Set(Pair(1L, 2L, 0)))
+
+      // batch 2: a cross-batch dup of doc 1/2's content, plus a replay of
+      // doc 1 itself (must neither self-pair nor duplicate state)
+      ms.addData(Doc(4L, "alpha beta gamma delta"), Doc(1L, "alpha beta gamma delta"))
+      q.processAllAvailable()
+      val b2 = spark.table("neardup_out").as[Pair].collect().toSet
+      assert(b2 == Set(Pair(1L, 2L, 0), Pair(1L, 4L, 0), Pair(2L, 4L, 0)))
+    } finally q.stop()
+  }
+}
