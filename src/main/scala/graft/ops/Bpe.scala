@@ -21,32 +21,79 @@ import scala.collection.mutable
  */
 object Bpe {
 
-  /** Learns `numMerges` merges from a word-frequency table. Stops early
-    * when no adjacent pair remains (fully merged vocabulary). */
+  /**
+   * Learns `numMerges` merges from a word-frequency table. Stops early when
+   * no adjacent pair remains (fully merged vocabulary).
+   *
+   * Incremental (the Sennrich reference implementation's shape): pair
+   * counts, a pair→words index, and a lazy max-heap are maintained across
+   * merges, so each merge touches only the words CONTAINING the merged
+   * pair — O(affected symbols) per merge instead of re-scanning the whole
+   * vocabulary, which is what makes realistic merge counts (10k–50k)
+   * tractable. Stale heap snapshots are discarded on pop by comparing to
+   * the live count; selection stays (count desc, pair lexicographic asc)
+   * — identical to the naive rescan, and iteration-order-independent.
+   */
   def learn(wordCounts: Iterable[(String, Long)], numMerges: Int): Seq[(String, String)] = {
     val words: Array[(mutable.ArrayBuffer[String], Long)] = wordCounts.iterator
       .map { case (w, c) => (mutable.ArrayBuffer(w.map(_.toString): _*), c) }
       .toArray
-    val merges = mutable.ArrayBuffer.empty[(String, String)]
-    var exhausted = false
-    while (merges.length < numMerges && !exhausted) {
-      val counts = mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (syms, c) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          counts.update(k, counts.getOrElse(k, 0L) + c)
-          i += 1
-        }
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+
+    def addWord(wi: Int, touched: mutable.Set[(String, String)]): Unit = {
+      val (syms, c) = words(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts.update(k, counts.getOrElse(k, 0L) + c)
+        index.getOrElseUpdate(k, mutable.Set.empty) += wi
+        touched += k
+        i += 1
       }
-      if (counts.isEmpty) exhausted = true
-      else {
-        val best = counts.keysIterator.reduceLeft { (x, y) =>
-          val cx = counts(x); val cy = counts(y)
-          if (cy > cx || (cy == cx && (y._1 < x._1 || (y._1 == x._1 && y._2 < x._2)))) y else x
+    }
+    def removeWord(wi: Int, touched: mutable.Set[(String, String)]): Unit = {
+      val (syms, c) = words(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        val nc = counts(k) - c
+        if (nc == 0L) counts.remove(k) else counts.update(k, nc)
+        index.get(k).foreach { s => s -= wi; if (s.isEmpty) index.remove(k) }
+        touched += k
+        i += 1
+      }
+    }
+
+    val initTouched = mutable.Set.empty[(String, String)]
+    words.indices.foreach(addWord(_, initTouched))
+
+    // max-heap of (count, pair) snapshots: best = highest count, ties to the
+    // lexicographically SMALLEST pair (so "worse" = lower count or larger pair)
+    val heap = mutable.PriorityQueue.empty[(Long, (String, String))](
+      Ordering.fromLessThan[(Long, (String, String))] { (x, y) =>
+        x._1 < y._1 ||
+          (x._1 == y._1 &&
+            (x._2._1 > y._2._1 || (x._2._1 == y._2._1 && x._2._2 > y._2._2)))
+      })
+    counts.foreach { case (k, c) => heap.enqueue((c, k)) }
+
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.length < numMerges && heap.nonEmpty) {
+      val (c, k) = heap.dequeue()
+      if (counts.get(k).contains(c)) { // fresh snapshot — the live maximum
+        merges += k
+        val affected = index.get(k).map(_.toArray).getOrElse(Array.empty)
+        val touched = mutable.Set.empty[(String, String)]
+        affected.foreach { wi =>
+          removeWord(wi, touched)
+          applyMerge(words(wi)._1, k._1, k._2)
+          addWord(wi, touched)
         }
-        merges += best
-        words.foreach { case (syms, _) => applyMerge(syms, best._1, best._2) }
+        // re-enqueue the live snapshot of every pair whose count moved —
+        // decreased pairs need one too, or their stale (higher) entries
+        // would be popped and discarded with no fresh entry left behind
+        touched.foreach(p => counts.get(p).foreach(cc => heap.enqueue((cc, p))))
       }
     }
     merges.toSeq

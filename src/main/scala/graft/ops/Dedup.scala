@@ -121,14 +121,16 @@ object Dedup {
   def verifyJaccard(
       pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
       shingle: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    // Materialize the pair set once (it feeds the id restriction below AND
-    // the size prefilter — recomputing the LSH lineage per reference would
-    // double candidate generation) and restrict shingling to documents that
+    // Cache the pair set (it feeds the id restriction below AND the size
+    // prefilter — recomputing the LSH lineage per reference would double
+    // candidate generation) and restrict shingling to documents that
     // appear in ≥1 candidate pair: the candidate set is bounded by the
     // banding, the corpus is not — without the semi-join the explode+group
     // below shingles every document of a 100 TB corpus twice for a
-    // verification that touches a small fraction of them.
-    val p = pairs.localCheckpoint()
+    // verification that touches a small fraction of them. persist (not
+    // localCheckpoint): stays lazy, survives executor loss by recompute,
+    // and the ContextCleaner reclaims it when the result is collected.
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ids = p.select(col("id_a").as("_vid"))
       .unionByName(p.select(col("id_b").as("_vid")))
       .distinct()

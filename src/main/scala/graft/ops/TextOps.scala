@@ -105,13 +105,18 @@ object TextOps {
   def learnBpeMerges(
       df: org.apache.spark.sql.DataFrame, textCol: String, numMerges: Int,
       maxVocab: Int = 1000000): Seq[(String, String)] = {
+    // persisted: the guard count and the collect would otherwise each run
+    // the full corpus tokenize+aggregate — the expensive step — once
     val wc = df.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val n = wc.count()
-    require(n <= maxVocab,
-      s"distinct-word vocabulary ($n) exceeds maxVocab=$maxVocab; " +
-        "pre-filter the corpus or raise the cap")
-    Bpe.learn(wc.collect().map(r => (r.getString(0), r.getLong(1))), numMerges)
+      .persist()
+    try {
+      val n = wc.count()
+      require(n <= maxVocab,
+        s"distinct-word vocabulary ($n) exceeds maxVocab=$maxVocab; " +
+          "pre-filter the corpus or raise the cap")
+      Bpe.learn(wc.collect().map(r => (r.getString(0), r.getLong(1))), numMerges)
+    } finally wc.unpersist()
   }
 
   /** Per-document BPE subword sequence via the
@@ -143,9 +148,13 @@ object TextOps {
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       groupCol: String, minDocFrac: Double = 0.5): org.apache.spark.sql.DataFrame = {
     require(minDocFrac > 0, "a zero threshold would drop every line of every document")
+    // cached: referenced by both the boilerplate aggregation and the
+    // reassembly anti-join — without it the corpus is split+exploded twice
+    // (lazy persist; recomputable on executor loss; ContextCleaner-reclaimed)
     val lines = df.select(
       col(idCol).as("id"), col(groupCol).as("grp"),
       posexplode(split(col(textCol), "\n")).as(Seq("p", "line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grpDocs = df.groupBy(col(groupCol).as("grp"))
       .agg(countDistinct(col(idCol)).as("grp_docs"))
     val boiler = lines.groupBy("grp", "line")

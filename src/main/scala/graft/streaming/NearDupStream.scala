@@ -82,7 +82,11 @@ object NearDupStream {
     val timeoutConf =
       if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
+    // null text would sketch to a null simhash and kill the query inside
+    // the non-nullable Banded deserializer — filter, matching the batch
+    // *Native wrappers' null-text convention
     val sketched = docs
+      .where(col("text").isNotNull)
       .withColumn("simhash", call_function("simhash64", TextOps.tokens(col("text"))))
     val banded = sketched.select(
       col("doc_id"), col("simhash"),

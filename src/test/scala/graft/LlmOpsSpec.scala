@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Pii, Similarity, TextOps}
+import graft.ops.{Bpe, Dedup, Multimodal, Pii, Similarity, TextOps}
 
 /** Units for the LLM-pipeline operators. */
 class LlmOpsSpec extends SparkSpec {
@@ -315,6 +315,44 @@ class LlmOpsSpec extends SparkSpec {
       .select(TextOps.bpeEncode(TextOps.tokens(col("text"))).as("p"))
       .as[Seq[String]].head()
     assert(odd == Seq("x", "y", "z", "low", "est"))
+  }
+
+  test("Bpe: incremental learner matches a brute-force rescan reference") {
+    import scala.collection.mutable
+    def mergeAll(s: mutable.ArrayBuffer[String], a: String, b: String): Unit = {
+      var i = 0
+      while (i < s.length - 1) {
+        if (s(i) == a && s(i + 1) == b) { s(i) = a + b; s.remove(i + 1) } else i += 1
+      }
+    }
+    // the naive algorithm: full pair-count rescan per merge
+    def brute(wc: Seq[(String, Long)], n: Int): Seq[(String, String)] = {
+      val words = wc.map { case (w, c) => (mutable.ArrayBuffer(w.map(_.toString): _*), c) }
+      val out = mutable.ArrayBuffer.empty[(String, String)]
+      var done = false
+      while (out.length < n && !done) {
+        val counts = mutable.HashMap.empty[(String, String), Long]
+        words.foreach { case (syms, c) =>
+          (0 until syms.length - 1).foreach { i =>
+            val k = (syms(i), syms(i + 1))
+            counts.update(k, counts.getOrElse(k, 0L) + c)
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val best = counts.keys.toSeq.sortBy { case (a, b) => (-counts((a, b)), a, b) }.head
+          out += best
+          words.foreach { case (syms, _) => mergeAll(syms, best._1, best._2) }
+        }
+      }
+      out.toSeq
+    }
+    // overlapping chains, repeats, ties — the shapes that break incremental updates
+    val corpus = Seq(
+      "abcabc" -> 7L, "bcbcbc" -> 5L, "aabbcc" -> 4L, "cabbage" -> 3L,
+      "abc" -> 9L, "aaaa" -> 2L, "xyxyxy" -> 6L)
+    for (n <- Seq(1, 3, 8, 25))
+      assert(Bpe.learn(corpus, n) == brute(corpus, n), s"divergence at numMerges=$n")
   }
 
   test("Dedup: incremental shard dedup finds store and within-shard dups by signature") {
