@@ -317,6 +317,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(odd == Seq("x", "y", "z", "low", "est"))
   }
 
+  test("Dedup: containment doc-frequency cap drops ubiquitous fingerprints consistently") {
+    val fps = Seq(
+      (1L, 100L), (1L, 1L), (1L, 2L),
+      (2L, 100L), (2L, 1L), (2L, 2L),
+      (3L, 100L), (3L, 9L)) // fp 100 is in every doc — boilerplate-shaped
+      .toDF("id", "fp")
+    val open = Dedup.containment(fps, 0.5)
+      .select("id_a", "id_b", "containment").as[(Long, Long, Double)].collect().toSet
+    assert(open == Set((1L, 2L, 1.0), (1L, 3L, 0.5), (2L, 3L, 0.5)))
+    // cap 2: fp 100 (df=3) leaves both the join and the denominators —
+    // only the genuinely shared pair survives
+    val capped = Dedup.containment(fps, 0.5, maxDocFreq = Some(2L))
+      .select("id_a", "id_b", "containment").as[(Long, Long, Double)].collect().toSet
+    assert(capped == Set((1L, 2L, 1.0)))
+  }
+
   test("Bpe: incremental learner matches a brute-force rescan reference") {
     import scala.collection.mutable
     def mergeAll(s: mutable.ArrayBuffer[String], a: String, b: String): Unit = {

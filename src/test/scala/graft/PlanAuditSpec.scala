@@ -32,7 +32,8 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("dedup candidate generation is equi-join only — no cartesian, no NLJ") {
-    for (q <- Seq("q_dedup_minhash_lsh", "q_dedup_jaccard_blocked", "q_embed_neardup")) {
+    for (q <- Seq("q_dedup_minhash_lsh", "q_dedup_jaccard_blocked", "q_embed_neardup",
+        "q_dedup_simhash64_pairs", "q_dedup_containment", "q_text_boilerplate")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q planned a nested loop:\n$p")
