@@ -543,6 +543,35 @@ object Dedup {
       call_function("simhash64", TextOps.tokens(col(textCol))).as("simhash"))
 
   /**
+   * Near-duplicate benchmark decontamination — the tier above
+   * [[crossContamination]]'s exact-fingerprint match: an eval document
+   * CONTAINED in a (possibly much longer) training document leaks the
+   * benchmark even though normalized-content equality and whole-document
+   * Jaccard both miss it. Winnowing fingerprints of both sides equi-join
+   * on fp (candidates ∝ shared window minima, never all-pairs); score =
+   * `shared / |eval fps|` — eval-side containment, ~1.0 when the eval
+   * text sits anywhere inside the training document. Requires
+   * [[graft.GraftExtensions.register]].
+   */
+  def overlapContamination(
+      corpus: DataFrame, evalSet: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, n: Int = 3, w: Int = 4): DataFrame = {
+    val cf = TextOps.winnowNative(corpus, idCol, textCol, n, w)
+      .select(col("fp"), col("id").as("corpus_id"))
+    val ef = TextOps.winnowNative(evalSet, idCol, textCol, n, w)
+    val en = ef.groupBy("id").agg(count(lit(1)).as("n_eval"))
+    val shared = cf
+      .join(ef.select(col("fp"), col("id").as("eval_id")), "fp")
+      .groupBy("corpus_id", "eval_id")
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(en.select(col("id").as("eval_id"), col("n_eval")), "eval_id")
+      .select(col("corpus_id"), col("eval_id"),
+        (col("shared").cast("double") / col("n_eval")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
+  /**
    * Containment / partial-overlap detection over winnowing fingerprints
    * ([[TextOps.winnow]] / [[TextOps.winnowNative]] `(id, fp)` rows):
    * candidate pairs share ≥ 1 fingerprint — an equi-join on `fp`, so

@@ -88,20 +88,21 @@ object LlmQueries {
        |    WHERE len(s) >= 3))""".stripMargin
 
   /** Winnowing fingerprints (n=3-shingles, w=4 windows) over `src` (must
-    * expose doc_id, text): CTE chain ending in `fps(id, fp)` — positional
-    * shingle hashes, sliding-window min, complete windows only (short docs
-    * keep their single degenerate window at p=1). */
-  private def winnowCte(src: String): String =
-    s"""wtoks AS (SELECT doc_id AS id, string_split(text, ' ') AS s FROM $src),
-       |wshp AS (SELECT id, unnest(generate_series(1, len(s) - 2)) AS p, s, len(s) - 2 AS m
-       |         FROM wtoks WHERE len(s) >= 3),
-       |wsh AS (SELECT id, p, m,
+    * expose doc_id, text): CTE chain ending in `${tag}fps(id, fp)` —
+    * positional shingle hashes, sliding-window min, complete windows only
+    * (short docs keep their single degenerate window at p=1). `tag`
+    * disambiguates when two corpora are winnowed in one oracle. */
+  private def winnowCte(src: String, tag: String = ""): String =
+    s"""w${tag}toks AS (SELECT doc_id AS id, string_split(text, ' ') AS s FROM $src),
+       |w${tag}shp AS (SELECT id, unnest(generate_series(1, len(s) - 2)) AS p, s, len(s) - 2 AS m
+       |         FROM w${tag}toks WHERE len(s) >= 3),
+       |w${tag}sh AS (SELECT id, p, m,
        |          ('0x' || substr(md5(s[p] || ' ' || s[p+1] || ' ' || s[p+2]), 1, 8))::BIGINT AS h
-       |        FROM wshp),
-       |wwin AS (SELECT id, p, m,
+       |        FROM w${tag}shp),
+       |w${tag}win AS (SELECT id, p, m,
        |           MIN(h) OVER (PARTITION BY id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-       |         FROM wsh),
-       |fps AS (SELECT DISTINCT id, fp FROM wwin WHERE p <= GREATEST(1, m - 3))""".stripMargin
+       |         FROM w${tag}sh),
+       |${tag}fps AS (SELECT DISTINCT id, fp FROM w${tag}win WHERE p <= GREATEST(1, m - 3))""".stripMargin
 
   /** One unrolled Lloyd iteration: score vs `c{i-1}` → argmax cell →
     * component means as REAL (`f$i`) → re-quantized centroids (`c$i`). */
@@ -250,6 +251,23 @@ object LlmQueries {
         d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Dedup.simhashNearDuplicates64(Dedup.simhashNative64(dd, "doc_id", "text"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // Overlap-tier decontamination: eval docs are planted MIDDLE spans of
+    // corpus docs (tokens n/4+1 .. n/4+⌈n/2⌉, id+5000000) — contained
+    // text that exact-fingerprint contamination (q_contamination) and
+    // whole-doc Jaccard both miss; winnowed-fp containment recovers it
+    "q_contamination_overlap" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val d = docs(s, dir)
+      val toks = split(col("text"), " ")
+      val start = (size(toks) / lit(4)).cast("int") + 1
+      val len = ((size(toks) + 1) / lit(2)).cast("int")
+      val evalSet = d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          array_join(slice(toks, start, len), " ").as("text"))
+      Dedup.overlapContamination(d, evalSet, "doc_id", "text", 0.8)
+        .orderBy("corpus_id", "eval_id")
     }),
 
     // Winnowing fingerprints (min hash per 4-window of 3-shingles) — the
@@ -659,6 +677,22 @@ object LlmQueries {
     "q_text_winnow" ->
       s"""WITH ${winnowCte("documents")}
          |SELECT id AS doc_id, fp FROM fps ORDER BY doc_id, fp""".stripMargin,
+
+    "q_contamination_overlap" ->
+      s"""WITH ev AS (SELECT doc_id + 5000000 AS doc_id,
+         |         array_to_string(list_slice(string_split(text, ' '),
+         |           (len(string_split(text, ' ')) // 4) + 1,
+         |           (len(string_split(text, ' ')) // 4) + ((len(string_split(text, ' ')) + 1) // 2)), ' ') AS text
+         |       FROM documents WHERE doc_id % 5 = 0),
+         |${winnowCte("documents", "c")},
+         |${winnowCte("ev", "e")},
+         |en AS (SELECT id, count(*) AS n_eval FROM efps GROUP BY id),
+         |shared AS (SELECT c.id AS corpus_id, e.id AS eval_id, count(*) AS shared
+         |           FROM cfps c JOIN efps e ON e.fp = c.fp GROUP BY c.id, e.id),
+         |sc AS (SELECT s.corpus_id, s.eval_id, CAST(s.shared AS DOUBLE) / en.n_eval AS containment
+         |       FROM shared s JOIN en ON en.id = s.eval_id)
+         |SELECT corpus_id, eval_id, containment FROM sc WHERE containment >= 0.8
+         |ORDER BY corpus_id, eval_id""".stripMargin,
 
     "q_dedup_containment" ->
       s"""WITH dd AS (SELECT doc_id, text FROM documents
