@@ -41,18 +41,21 @@ object Bpe {
     val counts = mutable.HashMap.empty[(String, String), Long]
     val index = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
 
-    def addWord(wi: Int, touched: mutable.Set[(String, String)]): Unit = {
+    // `touched` is a callback (not a collected set) so the initial build —
+    // which would otherwise hash every pair of the vocabulary into a set
+    // nobody reads — can pass a no-op
+    def addWord(wi: Int, touched: ((String, String)) => Unit): Unit = {
       val (syms, c) = words(wi)
       var i = 0
       while (i < syms.length - 1) {
         val k = (syms(i), syms(i + 1))
         counts.update(k, counts.getOrElse(k, 0L) + c)
         index.getOrElseUpdate(k, mutable.Set.empty) += wi
-        touched += k
+        touched(k)
         i += 1
       }
     }
-    def removeWord(wi: Int, touched: mutable.Set[(String, String)]): Unit = {
+    def removeWord(wi: Int, touched: ((String, String)) => Unit): Unit = {
       val (syms, c) = words(wi)
       var i = 0
       while (i < syms.length - 1) {
@@ -60,13 +63,12 @@ object Bpe {
         val nc = counts(k) - c
         if (nc == 0L) counts.remove(k) else counts.update(k, nc)
         index.get(k).foreach { s => s -= wi; if (s.isEmpty) index.remove(k) }
-        touched += k
+        touched(k)
         i += 1
       }
     }
 
-    val initTouched = mutable.Set.empty[(String, String)]
-    words.indices.foreach(addWord(_, initTouched))
+    words.indices.foreach(addWord(_, _ => ()))
 
     // max-heap of (count, pair) snapshots: best = highest count, ties to the
     // lexicographically SMALLEST pair (so "worse" = lower count or larger pair)
@@ -86,9 +88,9 @@ object Bpe {
         val affected = index.get(k).map(_.toArray).getOrElse(Array.empty)
         val touched = mutable.Set.empty[(String, String)]
         affected.foreach { wi =>
-          removeWord(wi, touched)
+          removeWord(wi, touched += _)
           applyMerge(words(wi)._1, k._1, k._2)
-          addWord(wi, touched)
+          addWord(wi, touched += _)
         }
         // re-enqueue the live snapshot of every pair whose count moved —
         // decreased pairs need one too, or their stale (higher) entries

@@ -558,7 +558,10 @@ object Dedup {
       threshold: Double = 0.8, n: Int = 3, w: Int = 4): DataFrame = {
     val cf = TextOps.winnowNative(corpus, idCol, textCol, n, w)
       .select(col("fp"), col("id").as("corpus_id"))
-    val ef = TextOps.winnowNative(evalSet, idCol, textCol, n, w)
+    // materialized once: ef feeds both the per-doc counts and the fp join,
+    // and the eval winnow lineage would otherwise compute twice (same
+    // multiply-referenced-lineage medicine as verifyJaccard)
+    val ef = TextOps.winnowNative(evalSet, idCol, textCol, n, w).localCheckpoint()
     val en = ef.groupBy("id").agg(count(lit(1)).as("n_eval"))
     val shared = cf
       .join(ef.select(col("fp"), col("id").as("eval_id")), "fp")
@@ -597,8 +600,11 @@ object Dedup {
       maxDocFreq: Option[Long] = None): DataFrame = {
     val base = maxDocFreq match {
       case Some(cap) =>
+        // countDistinct, not count: callers may feed (id, fp) rows that
+        // repeat a pair (e.g. unioned per-shard winnow outputs), and the
+        // documented semantics is documents-per-fingerprint
         val ubiquitous = fps.groupBy("fp")
-          .agg(count(lit(1)).as("_df"))
+          .agg(countDistinct(col("id")).as("_df"))
           .where(col("_df") > cap)
           .select("fp")
         fps.join(ubiquitous, Seq("fp"), "left_anti")

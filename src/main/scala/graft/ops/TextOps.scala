@@ -143,6 +143,12 @@ object TextOps {
    * relative to the corpus, so the anti-join broadcasts under AQE;
    * reassembly is a grouped collect whose state is bounded by document
    * size. No all-pairs anything, no driver collects.
+   *
+   * CACHE LIFETIME: the exploded lines are persisted (they feed both the
+   * frequency aggregation and the reassembly) and stay cached until the
+   * returned plan is garbage-collected and the ContextCleaner reclaims the
+   * blocks — a long-lived session calling this per shard should act on
+   * (write/collect) each result promptly rather than holding many plans.
    */
   def removeBoilerplate(
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,

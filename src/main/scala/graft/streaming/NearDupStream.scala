@@ -83,8 +83,9 @@ object NearDupStream {
       if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     // null text would sketch to a null simhash and kill the query inside
-    // the non-nullable Banded deserializer — filter, matching the batch
-    // *Native wrappers' null-text convention
+    // the non-nullable Banded deserializer — filter up front (the batch
+    // path tolerates null sketches: its null band_key rows drop in the
+    // equi-join; a typed streaming Dataset has no such slack)
     val sketched = docs
       .where(col("text").isNotNull)
       .withColumn("simhash", call_function("simhash64", TextOps.tokens(col("text"))))
