@@ -33,4 +33,19 @@ class NearDupStreamSpec extends SparkSpec {
       assert(b2 == Set(Pair(1L, 2L, 0), Pair(1L, 4L, 0), Pair(2L, 4L, 0)))
     } finally q.stop()
   }
+
+  test("state TTL: timed-out buckets are removed without emitting") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val ndState = TestGroupState.create[List[(Long, Long)]](
+      Optional.of(List((1L, 42L))), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = true)
+    val out = NearDupStream.updateGroup(3, 1000L)(0L, Iterator.empty, ndState)
+    assert(out.isEmpty && ndState.isRemoved)
+    val dState = TestGroupState.create[Boolean](
+      Optional.of(true), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = true)
+    val out2 = graft.streaming.DedupStream.updateGroup(1000L)("fp", Iterator.empty, dState)
+    assert(out2.isEmpty && dState.isRemoved)
+  }
 }
