@@ -46,5 +46,10 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT winnow_fps(split('a b c d e f g h', ' '), 3, 4) AS fps").collect()(0)
     val fps = wf.getSeq[Long](0)
     assert(fps.nonEmpty && fps.size <= 3 && fps == fps.sorted && fps.distinct == fps)
+    // bpe_encode from SQL once a merge table is bound to the session
+    GraftExtensions.registerBpe(spark, Seq(("a", "b"), ("ab", "c")))
+    val bpe = spark.sql("SELECT bpe_encode(split('abc xab', ' '))")
+      .collect()(0).getSeq[String](0)
+    assert(bpe == Seq("abc", "x", "ab"))
   }
 }
