@@ -73,6 +73,14 @@ object FinQueries {
         .withColumn("amount", col("amount").cast("double"))
         .orderBy("userId", "id")),
 
+    // Column profiling: one scan computes nulls/distinct/min/max for every
+    // requested column (the ANALYZE/data-quality surface)
+    "q_profile_orders" -> ((s, dir) =>
+      graft.ops.Profile.profile(
+        Tpch.read(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"))
+        .orderBy("col_name")),
+
     // P1 — projection + rename with a pushed-down filter
     "q_p1_project" -> ((s, dir) =>
       Tpch.read(s, dir, "lineitem")
@@ -284,6 +292,20 @@ object FinQueries {
   // -------------------------------------------------------------------------
 
   val oracleSql: Map[String, String] = Map(
+    "q_profile_orders" -> {
+      // min/max cast BEFORE aggregating (lexicographic on strings) to match
+      // the Spark side exactly
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name,
+           |  count(*) FILTER (WHERE $c IS NULL) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  min(CAST($c AS VARCHAR)) AS min_value,
+           |  max(CAST($c AS VARCHAR)) AS max_value
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
     "q_s2_ingest" ->
       """SELECT UserId AS userId, YearMonth AS yearMonth,
         |  "transactions.id" AS id,

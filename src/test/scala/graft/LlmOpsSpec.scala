@@ -333,6 +333,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(capped == Set((1L, 2L, 1.0)))
   }
 
+  test("Profile: one-pass column stats count nulls and distinct values") {
+    val df = Seq((1L, Option("a")), (2L, None), (3L, Option("b")), (4L, Option("a")))
+      .toDF("id", "v")
+    val p = graft.ops.Profile.profile(df, Seq("id", "v")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))))
+      .toMap
+    assert(p("id") == ((0L, 4L, "1", "4")))
+    assert(p("v") == ((1L, 2L, "a", "b"))) // null excluded from distinct and extremes
+  }
+
   test("Bpe: incremental learner matches a brute-force rescan reference") {
     import scala.collection.mutable
     def mergeAll(s: mutable.ArrayBuffer[String], a: String, b: String): Unit = {
