@@ -100,4 +100,61 @@ object Events {
         count(lit(1)).as("n_events"),
         sum(FinOps.money(col("value"))).cast("double").as("total_value"))
   }
+
+  /**
+   * Ordered conversion funnel: step k counts the users whose earliest
+   * step-k event occurs STRICTLY AFTER their step-(k-1) completion time —
+   * the classic product-analytics funnel, order-sensitive (a purchase
+   * before the first click does not convert the click step). Returns one
+   * row per step: `(step_no, step, users)`.
+   *
+   * One filtered-min aggregation per step (k is 3–5 in practice), each a
+   * hash-partitioned aggregate joined back on user — no per-user event
+   * sorting, no window over the whole stream, no explode. Completion
+   * times accumulate as grouping keys (functionally dependent on
+   * user_id), so each level is a plain shuffle-once aggregate.
+   */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel requires at least one step")
+    val levels = collection.mutable.ArrayBuffer[DataFrame](
+      events.where(col("event_type") === steps.head)
+        .groupBy("user_id").agg(min(col("ts")).as("t0")))
+    for (k <- 1 until steps.length) {
+      val carried = (0 until k).map(i => col(s"t$i"))
+      levels += events
+        .where(col("event_type") === steps(k))
+        .select(col("user_id"), col("ts"))
+        .join(levels.last, "user_id")
+        .where(col("ts") > col(s"t${k - 1}"))
+        .groupBy((col("user_id") +: carried): _*)
+        .agg(min(col("ts")).as(s"t$k"))
+    }
+    levels.zipWithIndex.map { case (lvl, i) =>
+      lvl.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("step_no"), lit(steps(i)).as("step"), col("users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /**
+   * Cohort retention: users grouped by the calendar `period` of their
+   * FIRST activity (their cohort); for each `(cohort, offset)`, the number
+   * of that cohort's users active `offset` periods later — the retention
+   * matrix behind every growth dashboard. Periods are `date_trunc`
+   * boundaries (engine-portable; weeks start Monday in both Spark and
+   * standard SQL).
+   *
+   * Two hash aggregates (distinct user-periods, then per-user min) and one
+   * key-partitioned join back — linear in events, never all-pairs.
+   */
+  def retention(events: DataFrame, maxOffset: Int = 8): DataFrame = {
+    val activity = events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("p"))
+      .distinct()
+    val cohorts = activity.groupBy("user_id").agg(min(col("p")).as("cohort"))
+    activity.join(cohorts, "user_id")
+      .withColumn("offset", (datediff(col("p"), col("cohort")) / lit(7)).cast("int"))
+      .where(col("offset") <= maxOffset)
+      .groupBy("cohort", "offset")
+      .agg(count_distinct(col("user_id")).as("users"))
+  }
 }

@@ -22,6 +22,17 @@ object EventQueries {
       Events.sessionize(Tpch.read(s, dir, "events"), 30)
         .orderBy("user_id", "session_no")),
 
+    // Ordered conversion funnel: view → click → purchase, strictly-after
+    // step ordering (a purchase before the first click does not convert)
+    "q_ev_funnel" -> ((s, dir) =>
+      Events.funnel(Tpch.read(s, dir, "events"), Seq("view", "click", "purchase"))
+        .orderBy("step_no")),
+
+    // Weekly cohort retention matrix (first-activity week × offset)
+    "q_ev_retention" -> ((s, dir) =>
+      Events.retention(Tpch.read(s, dir, "events"), maxOffset = 8)
+        .orderBy("cohort", "offset")),
+
     // JSON property extraction + aggregation over the semi-structured column
     "q_ev_props_json" -> ((s, dir) =>
       Tpch.read(s, dir, "events")
@@ -62,6 +73,31 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ev_funnel" ->
+      """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+        |       JOIN s0 ON s0.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY e.user_id)
+        |SELECT 1 AS step_no, 'view' AS step, count(*) AS users FROM s0
+        |UNION ALL SELECT 2, 'click', count(*) FROM s1
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s2
+        |ORDER BY step_no""".stripMargin,
+
+    "q_ev_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS p
+        |             FROM events),
+        |coh AS (SELECT user_id, min(p) AS cohort FROM act GROUP BY user_id)
+        |SELECT c.cohort, CAST(date_diff('day', c.cohort, a.p) // 7 AS INT) AS "offset",
+        |       count(DISTINCT a.user_id) AS users
+        |FROM act a JOIN coh c ON c.user_id = a.user_id
+        |WHERE date_diff('day', c.cohort, a.p) // 7 <= 8
+        |GROUP BY c.cohort, "offset"
+        |ORDER BY c.cohort, "offset"""".stripMargin,
+
     "q_ev_window_hour" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS cnt,

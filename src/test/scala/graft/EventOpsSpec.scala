@@ -31,6 +31,42 @@ class EventOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((7L, 1L, 2L, 3.0), (7L, 2L, 1L, 3.0), (8L, 1L, 1L, 4.0)))
   }
 
+  test("funnel: steps count only strictly-after completions, in order") {
+    val df = ev(
+      // user 1 converts the full funnel in order
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase", 0.0),
+      // user 2's click PRECEDES their first view — click step must not count
+      (4L, "2024-01-01 10:00:00", 2L, "click", 0.0),
+      (5L, "2024-01-01 10:01:00", 2L, "view", 0.0),
+      (6L, "2024-01-01 10:02:00", 2L, "purchase", 0.0),
+      // user 3 purchases without ever clicking — purchase step must not count
+      (7L, "2024-01-01 10:00:00", 3L, "view", 0.0),
+      (8L, "2024-01-01 10:01:00", 3L, "purchase", 0.0))
+    val out = Events.funnel(df, Seq("view", "click", "purchase"))
+      .orderBy("step_no")
+      .select("step_no", "step", "users")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(out == Seq((1, "view", 3L), (2, "click", 1L), (3, "purchase", 1L)))
+  }
+
+  test("retention: cohort is the first-activity week, offsets count active users") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0), // Mon wk0 — cohort 2024-01-01
+      (2L, "2024-01-08 10:00:00", 1L, "view", 0.0), // wk1
+      (3L, "2024-01-15 10:00:00", 1L, "view", 0.0), // wk2
+      (4L, "2024-01-08 11:00:00", 2L, "view", 0.0), // cohort 2024-01-08
+      (5L, "2024-01-15 11:00:00", 2L, "view", 0.0)) // wk1 of that cohort
+    val out = Events.retention(df)
+      .orderBy("cohort", "offset")
+      .select(col("cohort").cast("string"), col("offset"), col("users"))
+      .as[(String, Int, Long)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01", 0, 1L), ("2024-01-01", 1, 1L), ("2024-01-01", 2, 1L),
+      ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)))
+  }
+
   test("windowedAgg: tumbling hour windows with money-exact totals") {
     val df = ev(
       (1L, "2024-01-01 10:05:00", 1L, "view", 1.10),
