@@ -37,4 +37,35 @@ object Profile {
       .selectExpr(
         s"stack(${cols.length}, $stacked) AS (col_name, n_nulls, n_distinct, min_value, max_value)")
   }
+
+  /**
+   * Fixed-width histogram of a numeric column over `[lo, hi]`: `bins`
+   * equal buckets, values outside the range (and nulls) dropped, the
+   * closed upper edge clamped into the last bucket. Returns
+   * `(bin, bin_lo, bin_hi, cnt)` for NON-EMPTY buckets (dense zero-filled
+   * output is a small generate+left-join away; the sparse form is what
+   * scales — one hash aggregate, no materialized bucket table).
+   *
+   * Engine-portable determinism: the bucket width is computed at PLAN TIME
+   * in Scala (never `(hi-lo)/bins` inside SQL, where integer-division
+   * semantics differ across engines) and the per-row arithmetic is a
+   * single subtract/divide/floor chain — IEEE-identical everywhere.
+   */
+  def histogram(
+      df: DataFrame, c: String, lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(hi > lo, s"hi must exceed lo, got [$lo, $hi]")
+    val w = (hi - lo) / bins
+    val x = col(c).cast("double")
+    df.where(x.isNotNull && x >= lo && x <= hi)
+      .withColumn("bin",
+        least(lit(bins - 1), floor((x - lit(lo)) / lit(w)).cast("int")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("bin"),
+        (lit(lo) + col("bin") * lit(w)).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1) * lit(w)).as("bin_hi"),
+        col("cnt"))
+  }
 }

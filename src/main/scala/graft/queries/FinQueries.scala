@@ -81,6 +81,12 @@ object FinQueries {
         Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"))
         .orderBy("col_name")),
 
+    // Fixed-width histogram (24 × 25k buckets over order totals)
+    "q_hist_totalprice" -> ((s, dir) =>
+      graft.ops.Profile.histogram(
+        Tpch.read(s, dir, "orders"), "o_totalprice", 0.0, 600000.0, 24)
+        .orderBy("bin")),
+
     // P1 — projection + rename with a pushed-down filter
     "q_p1_project" -> ((s, dir) =>
       Tpch.read(s, dir, "lineitem")
@@ -292,6 +298,18 @@ object FinQueries {
   // -------------------------------------------------------------------------
 
   val oracleSql: Map[String, String] = Map(
+    // width 25000.0 is computed plan-side ((600000-0)/24) and embedded as a
+    // literal in both engines — never divided inside SQL
+    "q_hist_totalprice" ->
+      """WITH b AS (SELECT least(23, CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 25000.0) AS INT)) AS bin
+        |           FROM orders
+        |           WHERE o_totalprice IS NOT NULL
+        |             AND CAST(o_totalprice AS DOUBLE) >= 0.0
+        |             AND CAST(o_totalprice AS DOUBLE) <= 600000.0)
+        |SELECT bin, 0.0 + bin * 25000.0 AS bin_lo, 0.0 + (bin + 1) * 25000.0 AS bin_hi,
+        |       count(*) AS cnt
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
     "q_profile_orders" -> {
       // min/max cast BEFORE aggregating (lexicographic on strings) to match
       // the Spark side exactly

@@ -343,6 +343,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(p("v") == ((1L, 2L, "a", "b"))) // null excluded from distinct and extremes
   }
 
+  test("Profile: histogram clamps the closed upper edge and drops out-of-range") {
+    val df = Seq(0.0, 5.0, 9.99, 10.0, -0.1, 10.1).toDF("x")
+    val h = graft.ops.Profile.histogram(df, "x", 0.0, 10.0, 2)
+      .orderBy("bin")
+      .select("bin", "bin_lo", "bin_hi", "cnt")
+      .as[(Int, Double, Double, Long)].collect().toSeq
+    // 10.0 lands in the last bucket (closed upper edge); -0.1 / 10.1 drop
+    assert(h == Seq((0, 0.0, 5.0, 1L), (1, 5.0, 10.0, 3L)))
+  }
+
   test("Bpe: incremental learner matches a brute-force rescan reference") {
     import scala.collection.mutable
     def mergeAll(s: mutable.ArrayBuffer[String], a: String, b: String): Unit = {
