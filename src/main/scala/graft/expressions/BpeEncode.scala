@@ -20,8 +20,10 @@ import graft.ops.Bpe
  * [[graft.ops.TextOps.learnBpeMerges]], then closed over), riding to
  * executors as a codegen reference object — not a join, because every row
  * needs the whole table and it is vocabulary-sized, not corpus-sized.
- * Construct via [[graft.ops.TextOps.bpeEncode]]; not registered as a SQL
- * function (a merge table is not literal-expressible in a SQL call).
+ * A merge table is not literal-expressible in a SQL call, so the SQL name
+ * `bpe_encode` binds a SPECIFIC learned table at registration time via
+ * [[graft.GraftExtensions.registerBpe]]; use [[graft.ops.TextOps.bpeEncode]]
+ * after registering.
  *
  * A bounded per-executor memo caches token→pieces: corpus token
  * distributions are Zipfian, so the hit rate is high and the cache stays

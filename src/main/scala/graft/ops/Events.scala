@@ -116,9 +116,13 @@ object Events {
    */
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel requires at least one step")
+    // each level is materialized (localCheckpoint): level i is referenced by
+    // level i+1 AND its own count branch of the final union — without the
+    // cut, union branch i re-executes levels 0..i (k² aggregate work)
     val levels = collection.mutable.ArrayBuffer[DataFrame](
       events.where(col("event_type") === steps.head)
-        .groupBy("user_id").agg(min(col("ts")).as("t0")))
+        .groupBy("user_id").agg(min(col("ts")).as("t0"))
+        .localCheckpoint())
     for (k <- 1 until steps.length) {
       val carried = (0 until k).map(i => col(s"t$i"))
       levels += events
@@ -128,6 +132,7 @@ object Events {
         .where(col("ts") > col(s"t${k - 1}"))
         .groupBy((col("user_id") +: carried): _*)
         .agg(min(col("ts")).as(s"t$k"))
+        .localCheckpoint()
     }
     levels.zipWithIndex.map { case (lvl, i) =>
       lvl.agg(count(lit(1)).as("users"))
@@ -147,9 +152,12 @@ object Events {
    * key-partitioned join back — linear in events, never all-pairs.
    */
   def retention(events: DataFrame, maxOffset: Int = 8): DataFrame = {
+    // materialized: activity feeds both the cohort build and the join —
+    // without the cut the events scan + distinct runs twice
     val activity = events
       .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("p"))
       .distinct()
+      .localCheckpoint()
     val cohorts = activity.groupBy("user_id").agg(min(col("p")).as("cohort"))
     activity.join(cohorts, "user_id")
       .withColumn("offset", (datediff(col("p"), col("cohort")) / lit(7)).cast("int"))

@@ -23,6 +23,11 @@ object Profile {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile requires at least one column")
+    require(cols.distinct == cols, "profile column list contains duplicates")
+    // the stack() unpivot splices names into a SQL expression — refuse
+    // names that would break or inject into it rather than mis-parse
+    require(cols.forall(c => !c.contains("`") && !c.contains("'")),
+      "profile column names must not contain backticks or quotes")
     val aggs = cols.flatMap { c =>
       Seq(
         count(when(col(c).isNull, 1)).as(s"${c}__nulls"),

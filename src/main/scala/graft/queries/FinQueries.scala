@@ -306,7 +306,9 @@ object FinQueries {
         |           WHERE o_totalprice IS NOT NULL
         |             AND CAST(o_totalprice AS DOUBLE) >= 0.0
         |             AND CAST(o_totalprice AS DOUBLE) <= 600000.0)
-        |SELECT bin, 0.0 + bin * 25000.0 AS bin_lo, 0.0 + (bin + 1) * 25000.0 AS bin_hi,
+        |SELECT bin,
+        |       CAST(0.0 + bin * 25000.0 AS DOUBLE) AS bin_lo,
+        |       CAST(0.0 + (bin + 1) * 25000.0 AS DOUBLE) AS bin_hi,
         |       count(*) AS cnt
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 

@@ -62,6 +62,15 @@ def main():
             if (s_int and d_flt) or (s_flt and d_int):
                 bad = f"col {c} dtype: spark={s[c].dtype} duck={d[c].dtype}"
                 break
+            # DuckDB DECIMAL arithmetic (e.g. an uncast `0.0 + x * 25000.0`)
+            # lands in pandas as object-Decimal while Spark emits float64 —
+            # norm() stringifies the object side, the numeric fallback below
+            # parses it back, and the mismatch survives to the driver's
+            # type-sensitive hash. Flag numeric-vs-object too.
+            s_num, d_num = s_int or s_flt, d_int or d_flt
+            if (s_num and d[c].dtype == object) or (d_num and s[c].dtype == object):
+                bad = f"col {c} dtype: spark={s[c].dtype} duck={d[c].dtype} (numeric vs object)"
+                break
         for c in (s.columns if bad is None else []):
             a, b = s[c].values, d[c].values
             if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(d[c].dtype, np.floating):
