@@ -17,14 +17,20 @@ import org.apache.spark.sql.functions._
 object Events {
 
   /**
-   * Tumbling event-time windows: per (window, event_type) counts and money
-   * totals. A plain hash aggregate on the derived window start — one shuffle,
-   * partial aggregation map-side.
+   * Tumbling or sliding (hopping) event-time windows: per (window,
+   * event_type) counts and money totals. With `slide < duration` each
+   * event lands in `duration/slide` overlapping windows (Spark's `window`
+   * expands them before the aggregate); either way it is one hash
+   * aggregate on the derived window start — one shuffle, partial
+   * aggregation map-side, the fan-out bounded by the overlap factor.
    */
-  def windowedAgg(events: DataFrame, duration: String = "1 hour"): DataFrame =
+  def windowedAgg(
+      events: DataFrame, duration: String = "1 hour",
+      slide: Option[String] = None): DataFrame =
     events
       .groupBy(
-        window(col("ts"), duration).getField("start").as("window_start"),
+        window(col("ts"), duration, slide.getOrElse(duration))
+          .getField("start").as("window_start"),
         col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),

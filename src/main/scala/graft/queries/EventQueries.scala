@@ -22,6 +22,12 @@ object EventQueries {
       Events.sessionize(Tpch.read(s, dir, "events"), 30)
         .orderBy("user_id", "session_no")),
 
+    // Sliding (hopping) windows: 1-hour windows every 30 minutes — each
+    // event lands in exactly two overlapping windows
+    "q_ev_window_sliding" -> ((s, dir) =>
+      Events.windowedAgg(Tpch.read(s, dir, "events"), "1 hour", Some("30 minutes"))
+        .orderBy("window_start", "event_type")),
+
     // Ordered conversion funnel: view → click → purchase, strictly-after
     // step ordering (a purchase before the first click does not convert)
     "q_ev_funnel" -> ((s, dir) =>
@@ -73,6 +79,18 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // every event sits in exactly two hop windows: its 30-min grid start
+    // and that minus 30 min (epoch-aligned grid = Spark's window alignment)
+    "q_ev_window_sliding" ->
+      """WITH g AS (SELECT epoch_us(ts) - (epoch_us(ts) % 1800000000) AS g0, event_type, value
+        |           FROM events),
+        |w AS (SELECT make_timestamp(x) AS window_start, event_type, value
+        |      FROM (SELECT unnest([g0, g0 - 1800000000]) AS x, event_type, value FROM g))
+        |SELECT window_start, event_type, count(*) AS cnt,
+        |       CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM w GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
     "q_ev_funnel" ->
       """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
         |            WHERE event_type = 'view' GROUP BY user_id),
