@@ -82,6 +82,63 @@ object Events {
   }
 
   /**
+   * Interval (range) join: every `points` row matched to each `intervals`
+   * row of the same key whose `[start, end]` (inclusive both ends) contains
+   * the point's time — "which maintenance windows / sessions / promotions
+   * was this event inside?".
+   *
+   * Spark plans a raw `start <= t AND t <= end` predicate as a
+   * nested-loop/cartesian per key — quadratic the moment keys are hot. This
+   * is the standard bucketed formulation instead: time is quantized to
+   * `bucketSeconds`-wide buckets, each interval is exploded to the buckets
+   * it covers, and the join becomes a plain EQUI-join on `(keys, bucket)`
+   * followed by the exact range filter. Each point owns exactly ONE bucket,
+   * so no post-join dedup is needed; the only cost knob is interval fan-out
+   * (`span / bucketSeconds + 1` rows per interval) — pick `bucketSeconds`
+   * near the TYPICAL interval length so fan-out stays O(1) while buckets
+   * stay selective. A span wider than `maxFanout` buckets fails loudly at
+   * run time (inside the sequence bound, so the check cannot be pruned)
+   * rather than silently materializing an unbounded explode.
+   *
+   * Intervals with `end < start` are dropped (empty by the inclusive
+   * contract). `intervalPayload` names the interval columns to surface;
+   * they must not collide with point column names.
+   */
+  def rangeJoin(
+      points: DataFrame, intervals: DataFrame, pointTime: String,
+      startCol: String, endCol: String, intervalPayload: Seq[String],
+      keys: Seq[String] = Nil, bucketSeconds: Long = 3600L,
+      maxFanout: Int = 10000): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    val wUs = bucketSeconds * 1000000L
+    val ipay = struct(intervalPayload.map(col): _*)
+    val guardedEnd = when(
+      col("_b1") - col("_b0") < lit(maxFanout.toLong), col("_b1"))
+      .otherwise(raise_error(concat(
+        lit(s"rangeJoin: interval spans > $maxFanout buckets of ${bucketSeconds}s ("),
+        (col("_b1") - col("_b0")).cast("string"),
+        lit(") — widen bucketSeconds or split the interval"))).cast("long"))
+    val i = intervals
+      .where(col(endCol) >= col(startCol))
+      .select(
+        (keys.map(col) :+
+          unix_micros(col(startCol)).as("_ius") :+
+          unix_micros(col(endCol)).as("_ieus") :+
+          ipay.as("_ipay")): _*)
+      .withColumn("_b0", expr(s"_ius DIV ${wUs}L"))
+      .withColumn("_b1", expr(s"_ieus DIV ${wUs}L"))
+      .withColumn("_b", explode(sequence(col("_b0"), guardedEnd)))
+      .drop("_b0", "_b1")
+    val p = points
+      .withColumn("_pus", unix_micros(col(pointTime)))
+      .withColumn("_b", expr(s"_pus DIV ${wUs}L"))
+    p.join(i, (keys :+ "_b").toIndexedSeq)
+      .where(col("_pus") >= col("_ius") && col("_pus") <= col("_ieus"))
+      .select(points.columns.toIndexedSeq.map(col) ++
+        intervalPayload.map(c => col(s"_ipay.$c").as(c)): _*)
+  }
+
+  /**
    * Gap-based sessionization (batch): a new session starts when the gap to
    * the user's previous event exceeds `gapMinutes`. Classic two-window
    * pattern — `lag` to detect boundaries, running sum to number sessions —

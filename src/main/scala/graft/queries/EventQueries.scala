@@ -62,6 +62,23 @@ object EventQueries {
           percentile(col("value"), lit(0.9)).as("p90"))
         .orderBy("event_type")),
 
+    // Interval (range) join: each view matched to every same-user purchase
+    // window [purchase_ts, purchase_ts + 2h] containing it — bucketed
+    // equi-join, never an inequality nested loop
+    "q_ev_range_join" -> ((s, dir) => {
+      val ev = Tpch.read(s, dir, "events")
+      val windows = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      Events.rangeJoin(views, windows, "ts", "w_start", "w_end",
+          intervalPayload = Seq("purchase_id"), keys = Seq("user_id"),
+          bucketSeconds = 3600L)
+        .orderBy("purchase_id", "event_id")
+    }),
+
     // Point-in-time join: each purchase matched to the user's latest prior view
     "q_ev_asof" -> ((s, dir) => {
       val ev = Tpch.read(s, dir, "events")
@@ -149,6 +166,16 @@ object EventQueries {
     "q_ev_percentiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_ev_range_join" ->
+      """WITH w AS (SELECT user_id, event_id AS purchase_id, ts AS w_start,
+        |                  ts + INTERVAL 2 HOUR AS w_end
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')
+        |SELECT v.event_id, v.user_id, v.ts, v.value, w.purchase_id
+        |FROM v JOIN w ON w.user_id = v.user_id
+        |            AND v.ts >= w.w_start AND v.ts <= w.w_end
+        |ORDER BY w.purchase_id, v.event_id""".stripMargin,
 
     "q_ev_asof" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),

@@ -100,6 +100,46 @@ class EventOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((10L, -1L), (11L, 2L), (12L, 3L)))
   }
 
+  test("rangeJoin: inclusive endpoints, cross-bucket intervals, per-key isolation") {
+    val points = Seq(
+      (1L, "2024-01-01 10:00:00", 7L), // == interval start (inclusive)
+      (2L, "2024-01-01 11:30:00", 7L), // interior, 2nd bucket of the interval
+      (3L, "2024-01-01 12:00:00", 7L), // == interval end (inclusive)
+      (4L, "2024-01-01 12:00:01", 7L), // 1s past end — out
+      (5L, "2024-01-01 11:00:00", 8L)) // inside the window but wrong key
+      .toDF("event_id", "ts0", "user_id")
+      .select($"event_id", to_timestamp($"ts0").as("ts"), $"user_id")
+    val intervals = Seq(
+      (100L, "2024-01-01 10:00:00", "2024-01-01 12:00:00", 7L),
+      (101L, "2024-01-01 11:20:00", "2024-01-01 11:40:00", 7L), // overlaps pt 2
+      (102L, "2024-01-01 09:00:00", "2024-01-01 08:00:00", 7L)) // end < start: dropped
+      .toDF("iid", "s0", "e0", "user_id")
+      .select($"iid", to_timestamp($"s0").as("w_start"), to_timestamp($"e0").as("w_end"), $"user_id")
+    val out = Events.rangeJoin(points, intervals, "ts", "w_start", "w_end",
+        intervalPayload = Seq("iid"), keys = Seq("user_id"), bucketSeconds = 3600L)
+      .select("event_id", "iid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 100L), (2L, 100L), (3L, 100L), (2L, 101L)))
+  }
+
+  test("rangeJoin: keyless join and the bucket fan-out guard") {
+    val points = Seq((1L, "2024-01-01 10:30:00"))
+      .toDF("event_id", "ts0").select($"event_id", to_timestamp($"ts0").as("ts"))
+    val intervals = Seq((9L, "2024-01-01 10:00:00", "2024-01-01 11:00:00"))
+      .toDF("iid", "s0", "e0")
+      .select($"iid", to_timestamp($"s0").as("w_start"), to_timestamp($"e0").as("w_end"))
+    val ok = Events.rangeJoin(points, intervals, "ts", "w_start", "w_end",
+      intervalPayload = Seq("iid"), bucketSeconds = 3600L)
+    assert(ok.select("iid").as[Long].collect().toSeq == Seq(9L))
+    // a 1-hour interval spans > 2 one-second buckets → guarded explode fails loudly
+    val err = intercept[Exception] {
+      Events.rangeJoin(points, intervals, "ts", "w_start", "w_end",
+        intervalPayload = Seq("iid"), bucketSeconds = 1L, maxFanout = 2)
+        .collect()
+    }
+    assert(err.getMessage.contains("rangeJoin") ||
+      Option(err.getCause).exists(_.getMessage.contains("rangeJoin")))
+  }
+
   test("streaming windowedAgg: watermark finalizes past windows in append mode") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String, Double)]
