@@ -103,6 +103,28 @@ object Corpus {
   }
 
   /**
+   * Per-group quota cap: at most `n` rows per group, keeping the rows that
+   * rank FIRST under `rankBy` — the per-domain document cap every web-corpus
+   * recipe applies so no single site dominates the training mix (rank by
+   * quality desc and the cap keeps the best; contrast
+   * [[sampleExactPerGroup]], which draws an UNBIASED hash-ordered sample).
+   *
+   * `rankBy` must be a total order within each group (include a unique id)
+   * or the kept set is not deterministic. The `row_number <= n` filter
+   * compiles to Spark's `WindowGroupLimit`: each map task keeps only its
+   * local top-`n` per group BEFORE the shuffle, so the exchange carries
+   * O(groups · n) rows per task, not the whole corpus (plan-audited).
+   */
+  def capPerGroup(df: DataFrame, groupCol: String, n: Int, rankBy: Column*): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    require(rankBy.nonEmpty, "capPerGroup requires at least one rank column")
+    val w = Window.partitionBy(groupCol).orderBy(rankBy: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= n)
+      .drop("_rn")
+  }
+
+  /**
    * Keeps rows whose `valueCol` lies inside the corpus's `[lo, hi]` quantile
    * range — the standard length/quality outlier trim (e.g. drop the shortest
    * and longest 5% before training). Exact percentiles via one global

@@ -354,6 +354,44 @@ object TextOps {
       .orderBy(col("df").desc, col("token").asc)
       .limit(k)
 
+  /**
+   * Vocabulary coverage: learns the corpus's top-`vocabSize` tokens (by
+   * total term count, ties broken lexicographically) and scores every
+   * document's out-of-vocabulary rate against it —
+   * `(id, n_tokens, n_oov, oov_frac)`. A high OOV fraction marks boilerplate
+   * codes, exotic scripts, or mojibake that a fixed tokenizer vocabulary
+   * would shred into bytes; it is the standard cheap proxy for "how well
+   * will the tokenizer compress this document".
+   *
+   * Shape at scale: one tokenize+aggregate pass learns the vocabulary
+   * (token-count table, partial-aggregated; `TakeOrdered` for the top-k —
+   * never a full sort), which is vocabulary-sized and BROADCAST back over a
+   * second tokenize pass — the corpus is scanned twice but never shuffled
+   * by token for scoring, and per-doc counts aggregate on the id key.
+   * All counts are integers; the single float division per document is
+   * exact on both engines.
+   */
+  def vocabCoverage(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    def toks(d: org.apache.spark.sql.DataFrame) =
+      d.where(col(textCol).isNotNull)
+        .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val vocab = toks(df)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token"), lit(1L).as("_in_vocab"))
+    toks(df)
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac", col("n_oov").cast("double") / col("n_tokens"))
+  }
+
   /** [[langId]] via the native per-row kernel
     * ([[graft.expressions.DocKernels.LangId]]) — same argmax, no
     * interpreted per-language filter lambdas or sort comparator. Requires

@@ -455,6 +455,14 @@ object LlmQueries {
         .agg(count(lit(1)).as("docs"))
         .orderBy("source")),
 
+    // Per-source quota cap: keep each source's 10 longest documents
+    // (quality-ranked cap, not an unbiased draw)
+    "q_corpus_cap" -> ((s, dir) =>
+      Corpus.capPerGroup(docs(s, dir), "source", n = 10,
+          col("n_chars").desc, col("doc_id").asc)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // Exact-count per-group sampling: precisely 3 docs per source
     "q_corpus_sample_exact" -> ((s, dir) =>
       Corpus.sampleExactPerGroup(docs(s, dir), "doc_id", "source", n = 3)
@@ -490,6 +498,12 @@ object LlmQueries {
     // Document frequency: tokens by number of distinct docs containing them
     "q_text_docfreq" -> ((s, dir) =>
       TextOps.docFrequency(docs(s, dir), "text", k = 20)),
+
+    // Vocabulary coverage: per-doc OOV rate against the learned top-300
+    // token vocabulary (broadcast back over the corpus)
+    "q_text_vocab_oov" -> ((s, dir) =>
+      TextOps.vocabCoverage(docs(s, dir), "doc_id", "text", vocabSize = 300)
+        .orderBy("doc_id")),
 
     // Gopher-style repetition signals (top-token share, duplicate bigrams)
     "q_text_repetition" -> ((s, dir) => {
@@ -922,6 +936,14 @@ object LlmQueries {
         |             ELSE 500 END)
         |GROUP BY source ORDER BY source""".stripMargin,
 
+    "q_corpus_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
     "q_corpus_sample_exact" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,
@@ -982,6 +1004,16 @@ object LlmQueries {
       """SELECT token, count(*) AS df
         |FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS token FROM documents)
         |GROUP BY token ORDER BY df DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q_text_vocab_oov" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |v AS (SELECT token FROM (SELECT token, count(*) AS cnt FROM t GROUP BY token
+        |      ORDER BY cnt DESC, token ASC LIMIT 300)),
+        |j AS (SELECT t.doc_id, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM t LEFT JOIN v ON v.token = t.token)
+        |SELECT doc_id, count(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |       CAST(SUM(oov) AS DOUBLE) / count(*) AS oov_frac
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

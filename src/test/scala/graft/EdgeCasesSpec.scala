@@ -103,6 +103,29 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
   }
 
+  test("capPerGroup keeps the n best-ranked rows per group, smaller groups whole") {
+    val df = (Seq((1L, "a", 50), (2L, "a", 90), (3L, "a", 70), (4L, "a", 90)) ++
+      Seq((10L, "b", 10))).toDF("doc_id", "grp", "quality")
+    val out = graft.ops.Corpus
+      .capPerGroup(df, "grp", n = 2, col("quality").desc, col("doc_id").asc)
+      .select("doc_id").as[Long].collect().toSet
+    // quality 90 ties broken by id asc: 2 then 4; group b survives whole
+    assert(out == Set(2L, 4L, 10L))
+  }
+
+  test("vocabCoverage scores OOV against the learned top-k vocabulary") {
+    // corpus counts: the=4, cat=3, dog=2, zzz=1 → vocab(2) = {cat, the}
+    val df = Seq(
+      (1L, "the cat the cat"),
+      (2L, "the dog dog cat"),
+      (3L, "the zzz")).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.vocabCoverage(df, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_oov", "oov_frac")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 4L, 0L, 0.0), (2L, 4L, 2L, 0.5), (3L, 2L, 1L, 0.5)))
+  }
+
   test("corpus packing fills a token budget then rolls over, pack-and-overflow") {
     // single bucket: docs in id order with 300/300/100/600 tokens, budget 512
     val df = Seq((1L, 300), (2L, 300), (3L, 100), (4L, 600)).toDF("doc_id", "n")

@@ -40,6 +40,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("per-group cap plans a WindowGroupLimit; range join stays an equi-join") {
+    val cap = plan("q_corpus_cap")
+    assert(cap.contains("WindowGroupLimit"), cap)
+    val rj = plan("q_ev_range_join")
+    assert(!rj.contains("CartesianProduct"), s"range join planned a cartesian:\n$rj")
+    assert(!rj.contains("BroadcastNestedLoopJoin"), s"range join planned a nested loop:\n$rj")
+  }
+
   test("similarity scoring cross-products are broadcast-side only") {
     // Scoring every (vector, centroid/query) combination IS a cross product —
     // correct only as a BroadcastNestedLoopJoin whose build side is the small
