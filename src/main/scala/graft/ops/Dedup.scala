@@ -48,6 +48,36 @@ object Dedup {
     exact(df, md5(col(textCol)), col(idCol))
 
   /**
+   * Incremental (snapshot-over-snapshot) exact dedup: the rows of a NEW
+   * batch that are genuinely new content — not already present in the
+   * accumulated corpus (by content fingerprint, [[TextOps.fingerprint]]
+   * normalization), and first-per-fingerprint within the batch itself.
+   * This is the daily-crawl shape: the 100 TB corpus is never rescanned or
+   * re-deduplicated; only its fingerprint column joins against the
+   * (much smaller) batch.
+   *
+   * `seen` needs only a `fp` column (persist just the fingerprints, not
+   * the documents). The anti-join shuffles on the fingerprint key — at
+   * batch ≪ corpus scale AQE turns the batch side into the broadcast
+   * probe; either way no all-pairs, no full-corpus rewrite.
+   */
+  def exactIncremental(
+      batch: DataFrame, seen: DataFrame, idCol: String, textCol: String): DataFrame = {
+    require(seen.columns.contains("fp"), "seen must carry a fp fingerprint column")
+    exact(
+      batch
+        .withColumn("_fp", TextOps.fingerprint(col(textCol)))
+        .join(seen.select(col("fp").as("_fp")), Seq("_fp"), "left_anti"),
+      col("_fp"), col(idCol))
+      .drop("_fp")
+  }
+
+  /** The fingerprint column [[exactIncremental]] expects `seen` to carry —
+    * one row per already-ingested document. */
+  def seenFingerprints(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
+
+  /**
    * MinHash signatures, wide format: one row per document with columns
    * `mh_0 … mh_{numHashes-1}`. All `numHashes` permutation minima are
    * computed in a SINGLE grouped aggregation over the exploded shingles —

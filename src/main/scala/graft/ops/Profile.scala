@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -21,7 +21,24 @@ import org.apache.spark.sql.functions._
  */
 object Profile {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => countDistinct(col(c)))
+
+  /**
+   * [[profile]] with `approx_count_distinct` (HLL++, relative error `rsd`)
+   * in place of the exact distinct count — the quick-look variant for wide
+   * tables at the 100 TB end. Exact multi-column distincts make Spark plan
+   * an `Expand` that multiplies every input row by the number of profiled
+   * columns; HLL sketches aggregate each column in place (no row
+   * multiplication) and merge map-side. Estimates are engine-specific, so
+   * this variant is spec-bounded against the exact pass rather than
+   * oracle-hashed.
+   */
+  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c), rsd))
+
+  private def profileWith(
+      df: DataFrame, cols: Seq[String], distinctAgg: String => Column): DataFrame = {
     require(cols.nonEmpty, "profile requires at least one column")
     require(cols.distinct == cols, "profile column list contains duplicates")
     // the stack() unpivot splices names into a SQL expression — refuse
@@ -31,7 +48,7 @@ object Profile {
     val aggs = cols.flatMap { c =>
       Seq(
         count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
+        distinctAgg(c).as(s"${c}__distinct"),
         min(col(c).cast("string")).as(s"${c}__min"),
         max(col(c).cast("string")).as(s"${c}__max"))
     }
@@ -72,5 +89,40 @@ object Profile {
         (lit(lo) + col("bin") * lit(w)).as("bin_lo"),
         (lit(lo) + (col("bin") + 1) * lit(w)).as("bin_hi"),
         col("cnt"))
+  }
+
+  /**
+   * Equi-depth (quantile) histogram: `bins` buckets holding approximately
+   * equal row counts, with edges at the column's exact interpolated
+   * `k/bins` quantiles — the bucketing that stays informative on skewed
+   * distributions where fixed-width bins collapse into one hot bucket.
+   * Returns `(bin, cnt, x_min, x_max)` per non-empty bucket; a value equal
+   * to an edge goes to the LOWER bucket (`edge < x`, half-open buckets).
+   *
+   * Two jobs by design: the quantile aggregate first (ONE tiny row —
+   * `bins-1` doubles, driver-bounded), whose edges are then embedded as
+   * PLAN-TIME literals so the binning pass is a codegen'd comparison chain
+   * — no interpreted array lambda, no per-row join against an edge table.
+   * An unpartitioned `ntile` window would compute the same thing through a
+   * single global sort task; this shape never sorts and never shuffles
+   * more than the final `bins`-row aggregate. Spark's `percentile`
+   * interpolation matches DuckDB's `quantile_cont` exactly on 2-dp input.
+   */
+  def equiDepthHistogram(df: DataFrame, c: String, bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val nn = df.where(col(c).isNotNull).select(col(c).cast("double").as("_x"))
+    val ps = (1 until bins).map(k => k.toDouble / bins)
+    val edges = nn
+      .agg(expr(s"percentile(_x, array(${ps.mkString(", ")}))").as("e"))
+      .head.getSeq[Double](0)
+    val bin = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(col("_x") > lit(e), 1).otherwise(0)
+    }
+    nn.withColumn("bin", bin.cast("int"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(col("_x")).as("x_min"),
+        max(col("_x")).as("x_max"))
   }
 }

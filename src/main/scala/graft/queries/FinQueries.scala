@@ -87,6 +87,13 @@ object FinQueries {
         Tpch.read(s, dir, "orders"), "o_totalprice", 0.0, 600000.0, 24)
         .orderBy("bin")),
 
+    // Equi-depth histogram: 8 ~equal-count buckets with exact interpolated
+    // quantile edges embedded as plan-time literals
+    "q_hist_equidepth" -> ((s, dir) =>
+      graft.ops.Profile.equiDepthHistogram(
+        Tpch.read(s, dir, "orders"), "o_totalprice", 8)
+        .orderBy("bin")),
+
     // P1 — projection + rename with a pushed-down filter
     "q_p1_project" -> ((s, dir) =>
       Tpch.read(s, dir, "lineitem")
@@ -310,6 +317,17 @@ object FinQueries {
         |       CAST(0.0 + bin * 25000.0 AS DOUBLE) AS bin_lo,
         |       CAST(0.0 + (bin + 1) * 25000.0 AS DOUBLE) AS bin_hi,
         |       count(*) AS cnt
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q_hist_equidepth" ->
+      """WITH e AS (SELECT unnest(quantile_cont(CAST(o_totalprice AS DOUBLE),
+        |                    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])) AS edge
+        |           FROM orders WHERE o_totalprice IS NOT NULL),
+        |r AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS x
+        |      FROM orders WHERE o_totalprice IS NOT NULL),
+        |b AS (SELECT k, x, CAST(count(*) FILTER (WHERE x > edge) AS INT) AS bin
+        |      FROM r CROSS JOIN e GROUP BY k, x)
+        |SELECT bin, count(*) AS cnt, min(x) AS x_min, max(x) AS x_max
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q_profile_orders" -> {

@@ -163,6 +163,20 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental (snapshot-over-snapshot) dedup: a new batch against the
+    // accumulated corpus's fingerprint store — the daily-crawl shape where
+    // the corpus is never rescanned
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val seen = d.where(col("doc_id") % 2 === 0)
+      val batch = d.where(col("doc_id") % 2 === 1)
+        .unionByName(seen.where(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 7000000L)) // replayed content
+      Dedup.exactIncremental(batch, Dedup.seenFingerprints(seen, "text"), "doc_id", "text")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // MinHash + LSH banding + Jaccard verification on planted near-dups
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       GraftExtensions.register(s)
@@ -545,6 +559,21 @@ object LlmQueries {
         |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH fp AS (SELECT doc_id, source,
+        |              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |            FROM documents),
+        |seen AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0),
+        |batch AS (SELECT doc_id, source, f FROM fp WHERE doc_id % 2 = 1
+        |          UNION ALL
+        |          SELECT doc_id + 7000000, source, f FROM fp
+        |          WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
+        |nw AS (SELECT b.* FROM batch b ANTI JOIN seen s ON b.f = s.f)
+        |SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+        |  FROM nw)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash_lsh" ->
       s"""WITH $mutCte,

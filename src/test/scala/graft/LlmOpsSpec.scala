@@ -29,6 +29,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(2L, 9L))
   }
 
+  test("Dedup: incremental batch keeps only content unseen in the corpus, once") {
+    val corpus = Seq((1L, "old news"), (2L, "evergreen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "OLD   news"),   // normalizes to seen content → dropped
+      (11L, "fresh story"),  // new
+      (12L, "fresh story"),  // in-batch duplicate → only 11 survives
+      (13L, "another one"))  // new
+      .toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(
+        batch, Dedup.seenFingerprints(corpus, "text"), "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(11L, 13L))
+  }
+
   test("Dedup: verifyJaccard is exact on known overlaps") {
     val docs = Seq(
       (1L, "a b c d e"),   // shingles {abc, bcd, cde}
@@ -351,6 +365,41 @@ class LlmOpsSpec extends SparkSpec {
       .as[(Int, Double, Double, Long)].collect().toSeq
     // 10.0 lands in the last bucket (closed upper edge); -0.1 / 10.1 drop
     assert(h == Seq((0, 0.0, 5.0, 1L), (1, 5.0, 10.0, 3L)))
+  }
+
+  test("Profile: equi-depth histogram holds ~equal counts with edge-exclusive buckets") {
+    // 1..100: quartile edges 25.75 / 50.5 / 75.25 → 4 buckets of 25
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val h = graft.ops.Profile.equiDepthHistogram(df, "x", 4)
+      .orderBy("bin")
+      .select("bin", "cnt", "x_min", "x_max")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(h == Seq(
+      (0, 25L, 1.0, 25.0), (1, 25L, 26.0, 50.0),
+      (2, 25L, 51.0, 75.0), (3, 25L, 76.0, 100.0)))
+    // a value exactly on an edge stays in the LOWER bucket
+    val tied = Seq(1.0, 2.0, 2.0, 2.0, 3.0).toDF("x")
+    val ht = graft.ops.Profile.equiDepthHistogram(tied, "x", 2)
+      .orderBy("bin").select("bin", "cnt").as[(Int, Long)].collect().toSeq
+    assert(ht == Seq((0, 4L), (1, 1L))) // median 2.0 → the three 2.0s bin low
+  }
+
+  test("Profile: approx profile tracks exact distincts within the sketch error") {
+    val df = (1 to 2000).map(i => (i.toLong, s"v${i % 500}")).toDF("id", "v")
+    val exact = graft.ops.Profile.profile(df, Seq("id", "v")).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val approx = graft.ops.Profile.profileApprox(df, Seq("id", "v"), rsd = 0.02).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    for ((c, ex) <- exact) {
+      val ap = approx(c).toDouble
+      assert(math.abs(ap - ex) / ex < 0.1, s"$c: approx $ap vs exact $ex")
+    }
+    // and the row-shape contract (nulls/min/max) is identical to the exact pass
+    val exRest = graft.ops.Profile.profile(df, Seq("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(3), r.getString(4)))
+    val apRest = graft.ops.Profile.profileApprox(df, Seq("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(3), r.getString(4)))
+    assert(exRest.sameElements(apRest))
   }
 
   test("Bpe: incremental learner matches a brute-force rescan reference") {
