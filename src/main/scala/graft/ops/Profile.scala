@@ -108,6 +108,30 @@ object Profile {
    * more than the final `bins`-row aggregate. Spark's `percentile`
    * interpolation matches DuckDB's `quantile_cont` exactly on 2-dp input.
    */
+  /**
+   * Robust (median/MAD) outlier filter: keeps the rows whose `c` deviates
+   * from the column median by more than `k` times the median absolute
+   * deviation — the outlier test that, unlike mean/stddev z-scores, is not
+   * itself dragged by the outliers it is hunting (50% breakdown point).
+   *
+   * Two tiny quantile aggregates (median, then MAD over the deviations —
+   * the second NEEDS the first, so two passes is the true data dependency),
+   * each one driver-bounded row whose value is embedded as a plan-time
+   * literal; the final pass is a codegen'd filter over the unshuffled
+   * corpus. Exactness across engines: interpolated medians match
+   * `quantile_cont`, and subtract/abs/one multiply/compare are
+   * IEEE-identical — no stddev float summation anywhere.
+   */
+  def madOutliers(df: DataFrame, c: String, k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val x = col(c).cast("double")
+    val nn = df.where(x.isNotNull)
+    val med = nn.agg(expr(s"percentile(CAST($c AS DOUBLE), 0.5)")).head.getDouble(0)
+    val mad = nn.select(abs(x - lit(med)).as("_d"))
+      .agg(expr("percentile(_d, 0.5)")).head.getDouble(0)
+    nn.where(abs(x - lit(med)) > lit(k) * lit(mad))
+  }
+
   def equiDepthHistogram(df: DataFrame, c: String, bins: Int): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     val nn = df.where(col(c).isNotNull).select(col(c).cast("double").as("_x"))

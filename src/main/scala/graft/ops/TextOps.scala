@@ -355,6 +355,36 @@ object TextOps {
       .limit(k)
 
   /**
+   * Per-document distinctive keywords: each document's `k` tokens ranked
+   * rarest-in-the-corpus first (document frequency asc), then most frequent
+   * locally (term frequency desc), then lexicographically — TF-IDF's
+   * ordering WITHOUT the logarithm, so every ranking key is an integer and
+   * the result is bit-identical on any engine (transcendental functions are
+   * not; see [[docFrequency]]). Stopwords fall out naturally: their df is
+   * the corpus size, ranking them last.
+   *
+   * One tokenize pass feeds both aggregates; the token-keyed df table joins
+   * back on the token key (vocabulary-sized — AQE broadcasts it when small)
+   * and the final top-k is a doc-partitioned `WindowGroupLimit`, never a
+   * global sort.
+   */
+  def distinctiveTokens(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("token").agg(count_distinct(col("id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("df").asc, col("tf").desc, col("token").asc)
+    tf.join(dfreq, "token")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id").as(idCol), col("token"), col("tf"), col("df"), col("rank"))
+  }
+
+  /**
    * Vocabulary coverage: learns the corpus's top-`vocabSize` tokens (by
    * total term count, ties broken lexicographically) and scores every
    * document's out-of-vocabulary rate against it —

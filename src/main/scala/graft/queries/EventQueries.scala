@@ -62,6 +62,13 @@ object EventQueries {
           percentile(col("value"), lit(0.9)).as("p90"))
         .orderBy("event_type")),
 
+    // Robust outlier detection: events whose value deviates from the
+    // median by more than 3 MADs (median absolute deviations)
+    "q_ev_mad_outliers" -> ((s, dir) =>
+      graft.ops.Profile.madOutliers(Tpch.read(s, dir, "events"), "value", 3.0)
+        .select("event_id", "value")
+        .orderBy("event_id")),
+
     // Interval (range) join: each view matched to every same-user purchase
     // window [purchase_ts, purchase_ts + 2h] containing it — bucketed
     // equi-join, never an inequality nested loop
@@ -166,6 +173,17 @@ object EventQueries {
     "q_ev_percentiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_ev_mad_outliers" ->
+      """WITH m AS (SELECT quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+        |           FROM events WHERE value IS NOT NULL),
+        |d AS (SELECT quantile_cont(abs(CAST(value AS DOUBLE) - med), 0.5) AS mad
+        |      FROM events, m WHERE value IS NOT NULL)
+        |SELECT event_id, value
+        |FROM events, m, d
+        |WHERE value IS NOT NULL
+        |  AND abs(CAST(value AS DOUBLE) - med) > 3.0 * mad
+        |ORDER BY event_id""".stripMargin,
 
     "q_ev_range_join" ->
       """WITH w AS (SELECT user_id, event_id AS purchase_id, ts AS w_start,

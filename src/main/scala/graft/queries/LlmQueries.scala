@@ -519,6 +519,12 @@ object LlmQueries {
       TextOps.vocabCoverage(docs(s, dir), "doc_id", "text", vocabSize = 300)
         .orderBy("doc_id")),
 
+    // Distinctive keywords: each doc's 3 rarest-then-most-frequent tokens
+    // (integer-ranked TF-IDF ordering, no logarithms)
+    "q_text_keywords" -> ((s, dir) =>
+      TextOps.distinctiveTokens(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")),
+
     // Gopher-style repetition signals (top-token share, duplicate bigrams)
     "q_text_repetition" -> ((s, dir) => {
       GraftExtensions.register(s)
@@ -1033,6 +1039,17 @@ object LlmQueries {
       """SELECT token, count(*) AS df
         |FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS token FROM documents)
         |GROUP BY token ORDER BY df DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q_text_keywords" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token),
+        |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token),
+        |r AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+        |        CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY dfq.df ASC, tf.tf DESC, tf.token ASC) AS INT) AS rank
+        |      FROM tf JOIN dfq USING (token))
+        |SELECT doc_id, token, tf, df, rank FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_text_vocab_oov" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

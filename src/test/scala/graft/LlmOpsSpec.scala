@@ -367,6 +367,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(h == Seq((0, 0.0, 5.0, 1L), (1, 5.0, 10.0, 3L)))
   }
 
+  test("TextOps: distinctive keywords rank rare-then-frequent with integer keys") {
+    val df = Seq(
+      (1L, "common common rare common unique"),
+      (2L, "common rare rare"),
+      (3L, "common common")).toDF("doc_id", "text")
+    // df: common=3, rare=2, unique=1
+    val out = graft.ops.TextOps.distinctiveTokens(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "token", "rank")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, "unique", 1), (1L, "rare", 2),   // doc 1: rarest first
+      (2L, "rare", 1), (2L, "common", 2),
+      (3L, "common", 1)))                   // doc 3 has only one distinct token
+  }
+
+  test("Profile: MAD outliers flag deviation beyond k MADs, robust to the outlier itself") {
+    // median 5, deviations {4,1,0,1,4,995} → MAD 2.5; only 1000 exceeds 3*MAD
+    val df = Seq(1.0, 4.0, 5.0, 6.0, 9.0, 1000.0).toDF("x")
+    val out = graft.ops.Profile.madOutliers(df, "x", 3.0)
+      .select("x").as[Double].collect().toSeq
+    assert(out == Seq(1000.0))
+    // nulls are ignored, not treated as deviations
+    val withNull = Seq(Option(1.0), Option(2.0), None, Option(3.0)).toDF("x")
+    assert(graft.ops.Profile.madOutliers(withNull, "x", 3.0).isEmpty)
+  }
+
   test("Profile: equi-depth histogram holds ~equal counts with edge-exclusive buckets") {
     // 1..100: quartile edges 25.75 / 50.5 / 75.25 → 4 buckets of 25
     val df = (1 to 100).map(_.toDouble).toDF("x")
