@@ -78,6 +78,32 @@ object Dedup {
     corpus.select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
 
   /**
+   * Content-level snapshot diff: what a new corpus version `v2` added,
+   * removed, or retained relative to `v1`, keyed by normalized content
+   * fingerprint (NOT by document id — re-crawled content under a fresh id
+   * is "retained", which is the question dataset versioning actually
+   * asks). One row per distinct fingerprint:
+   * `(fp, id_v1, id_v2, status ∈ added|removed|retained)`, each side
+   * represented by its smallest id.
+   *
+   * Two content-keyed aggregates plus one full-outer join on the
+   * fingerprint — linear in both snapshots, no all-pairs, and the join key
+   * is the aggregate key so AQE plans it shuffle-aligned.
+   */
+  def snapshotDiff(
+      v1: DataFrame, v2: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def fps(d: DataFrame, as: String) =
+      d.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
+        .agg(min(col(idCol)).as(as))
+    fps(v1, "id_v1")
+      .join(fps(v2, "id_v2"), Seq("fp"), "full_outer")
+      .withColumn("status",
+        when(col("id_v1").isNull, "added")
+          .when(col("id_v2").isNull, "removed")
+          .otherwise("retained"))
+  }
+
+  /**
    * MinHash signatures, wide format: one row per document with columns
    * `mh_0 … mh_{numHashes-1}`. All `numHashes` permutation minima are
    * computed in a SINGLE grouped aggregation over the exploded shingles —

@@ -177,6 +177,16 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Content-level snapshot diff: v2 (doc_id >= 200) vs v1 (doc_id < 300)
+    // — added / removed / retained by normalized fingerprint
+    "q_dedup_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.snapshotDiff(
+          d.where(col("doc_id") < 300), d.where(col("doc_id") >= 200),
+          "doc_id", "text")
+        .orderBy("fp")
+    }),
+
     // MinHash + LSH banding + Jaccard verification on planted near-dups
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       GraftExtensions.register(s)
@@ -565,6 +575,19 @@ object LlmQueries {
         |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_snapshot_diff" ->
+      """WITH f AS (SELECT doc_id,
+        |             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |           FROM documents),
+        |v1 AS (SELECT fp, min(doc_id) AS id_v1 FROM f WHERE doc_id < 300 GROUP BY fp),
+        |v2 AS (SELECT fp, min(doc_id) AS id_v2 FROM f WHERE doc_id >= 200 GROUP BY fp)
+        |SELECT coalesce(v1.fp, v2.fp) AS fp, v1.id_v1, v2.id_v2,
+        |       CASE WHEN v1.fp IS NULL THEN 'added'
+        |            WHEN v2.fp IS NULL THEN 'removed'
+        |            ELSE 'retained' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.fp = v2.fp
+        |ORDER BY fp""".stripMargin,
 
     "q_dedup_incremental" ->
       """WITH fp AS (SELECT doc_id, source,

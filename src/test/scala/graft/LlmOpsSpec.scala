@@ -43,6 +43,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(11L, 13L))
   }
 
+  test("Dedup: snapshot diff classifies content as added/removed/retained by fingerprint") {
+    val v1 = Seq((1L, "kept doc"), (2L, "dropped doc")).toDF("doc_id", "text")
+    val v2 = Seq(
+      (10L, "KEPT   doc"),  // same normalized content under a new id → retained
+      (11L, "brand new"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.snapshotDiff(v1, v2, "doc_id", "text")
+      .select("status", "id_v1", "id_v2").collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(out == Set(
+      ("retained", 1L, 10L), ("removed", 2L, -1L), ("added", -1L, 11L)))
+  }
+
   test("Dedup: verifyJaccard is exact on known overlaps") {
     val docs = Seq(
       (1L, "a b c d e"),   // shingles {abc, bcd, cde}

@@ -35,6 +35,28 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("range-clustered write yields disjoint per-file key ranges for skipping") {
+    val dir = java.nio.file.Files.createTempDirectory("range_clustered").toString
+    // write order deliberately scrambled — clustering must impose the layout
+    val df = scala.util.Random.shuffle((1 to 4000).toList)
+      .map(i => (i.toLong, s"payload$i")).toDF("k", "v")
+    Scale.writeRangeClustered(df, dir, filesPerWrite = 8, $"k")
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.toString).toSeq
+    assert(files.size > 1, s"expected multiple files, got $files")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min($"k"), max($"k")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // every file covers its own slice: no overlap between consecutive ranges,
+    // which is exactly what lets parquet min/max stats skip files
+    ranges.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) => assert(hiA < loB, s"overlapping ranges: $ranges")
+      case _ =>
+    }
+    assert(spark.read.parquet(dir).count() == 4000)
+  }
+
   test("salted join spreads a hot key and preserves the join result") {
     // 10k rows of one hot key + a few cold keys, joined to a small dim
     val left = ((1 to 10000).map(i => (1L, i.toLong)) ++ Seq((2L, 90001L), (3L, 90002L)))
