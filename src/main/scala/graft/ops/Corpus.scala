@@ -103,6 +103,19 @@ object Corpus {
   }
 
   /**
+   * Deterministic training-order shuffle: attaches a stable pseudo-random
+   * `ord` column (salted id hash) — sorting by `(ord, id)` is the global
+   * document shuffle every pretraining run needs, reproducible across
+   * engines, runs, and partitioning (unlike `orderBy(rand(seed))`, whose
+   * sample depends on partition layout). Compose with
+   * [[graft.ops.Scale.writeRangeClustered]] on `ord` to materialize a
+   * sharded shuffled layout without any single-task global sort.
+   */
+  def withShuffleOrder(df: DataFrame, idCol: String, salt: String = ""): DataFrame =
+    df.withColumn(
+      "ord", TextOps.hash32(concat(lit(s"shuffle:$salt:"), col(idCol).cast("string"))))
+
+  /**
    * Per-group quota cap: at most `n` rows per group, keeping the rows that
    * rank FIRST under `rankBy` — the per-domain document cap every web-corpus
    * recipe applies so no single site dominates the training mix (rank by

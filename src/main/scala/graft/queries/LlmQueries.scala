@@ -479,6 +479,21 @@ object LlmQueries {
         .agg(count(lit(1)).as("docs"))
         .orderBy("source")),
 
+    // Deterministic training-order shuffle: stable salted-hash order column
+    "q_corpus_shuffle" -> ((s, dir) =>
+      Corpus.withShuffleOrder(docs(s, dir), "doc_id")
+        .select("doc_id", "ord")
+        .orderBy("ord", "doc_id")),
+
+    // Composite curation gate: all failed quality rules per doc, one pass
+    "q_text_curation" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      TextOps.curationGate(docs(s, dir), "doc_id", "text",
+          TextOps.CurationRules(
+            minTokens = 30, maxTopTokenFrac = 0.12, maxDupBigramFrac = 0.2))
+        .orderBy("doc_id")
+    }),
+
     // Per-source quota cap: keep each source's 10 longest documents
     // (quality-ranked cap, not an unbiased draw)
     "q_corpus_cap" -> ((s, dir) =>
@@ -993,6 +1008,31 @@ object LlmQueries {
         |             WHEN source = 'src1' THEN 2500
         |             ELSE 500 END)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_corpus_shuffle" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5('shuffle::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS ord
+        |FROM documents ORDER BY ord, doc_id""".stripMargin,
+
+    "q_text_curation" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(ts) AS tok FROM t) GROUP BY doc_id, tok),
+        |rep AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS ttf
+        |        FROM cnt GROUP BY doc_id),
+        |g AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
+        |      FROM (SELECT doc_id, ts,
+        |              unnest(generate_series(1, CAST(len(ts) AS BIGINT) - 1)) AS i FROM t)),
+        |d AS (SELECT doc_id, CAST(count(*) - count(DISTINCT g) AS DOUBLE) / count(*) AS dbf
+        |      FROM g GROUP BY doc_id),
+        |r AS (SELECT t.doc_id,
+        |        concat_ws(',',
+        |          CASE WHEN len(t.ts) < 30 THEN 'too_few_tokens' END,
+        |          CASE WHEN rep.ttf > 0.12 THEN 'top_token_frac' END,
+        |          CASE WHEN coalesce(d.dbf, 0.0) > 0.2 THEN 'dup_2gram_frac' END) AS reasons
+        |      FROM t JOIN rep ON rep.doc_id = t.doc_id
+        |      LEFT JOIN d ON d.doc_id = t.doc_id)
+        |SELECT doc_id, reasons = '' AS keep, reasons FROM r ORDER BY doc_id""".stripMargin,
 
     "q_corpus_cap" ->
       """SELECT doc_id, source, n_chars FROM (

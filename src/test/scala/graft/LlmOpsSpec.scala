@@ -382,6 +382,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(h == Seq((0, 0.0, 5.0, 1L), (1, 5.0, 10.0, 3L)))
   }
 
+  test("TextOps: curation gate reports every failed rule in fixed order") {
+    graft.GraftExtensions.register(spark)
+    val df = Seq(
+      (1L, "the of and to in is it a steady normal document with plenty of calm words here"),
+      (2L, "spam spam spam spam spam spam spam spam"), // repetitive AND short
+      (3L, "tiny"),
+      (4L, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce trece catorce quince"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextOps.curationGate(df, "doc_id", "text",
+        graft.ops.TextOps.CurationRules(
+          minTokens = 10, maxTopTokenFrac = 0.5, allowedLangs = Seq("en")))
+      .orderBy("doc_id")
+      .select("doc_id", "keep", "reasons")
+      .as[(Long, Boolean, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, true, ""),
+      // all-"spam" doc: short, one dominating token, AND no English markers
+      (2L, false, "too_few_tokens,top_token_frac,lang"),
+      // single token: trivially dominated by itself, unidentifiable language
+      (3L, false, "too_few_tokens,top_token_frac,lang"),
+      (4L, false, "lang")))                          // es-looking text
+  }
+
+  test("Corpus: shuffle order is a stable permutation key, independent of input order") {
+    val a = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val b = Seq(5L, 3L, 1L, 4L, 2L).toDF("doc_id")
+    val ordA = graft.ops.Corpus.withShuffleOrder(a, "doc_id")
+      .orderBy("ord", "doc_id").select("doc_id").as[Long].collect().toSeq
+    val ordB = graft.ops.Corpus.withShuffleOrder(b, "doc_id")
+      .orderBy("ord", "doc_id").select("doc_id").as[Long].collect().toSeq
+    assert(ordA == ordB)            // same permutation regardless of input order
+    assert(ordA != Seq(1L, 2L, 3L, 4L, 5L)) // and it actually permutes
+    // a different salt yields a different permutation
+    val salted = graft.ops.Corpus.withShuffleOrder(a, "doc_id", salt = "epoch2")
+      .orderBy("ord", "doc_id").select("doc_id").as[Long].collect().toSeq
+    assert(salted != ordA)
+  }
+
   test("TextOps: distinctive keywords rank rare-then-frequent with integer keys") {
     val df = Seq(
       (1L, "common common rare common unique"),
