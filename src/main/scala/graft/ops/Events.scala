@@ -165,6 +165,34 @@ object Events {
   }
 
   /**
+   * Most common `k`-step event-type sequences: consecutive events per user
+   * (time order, `event_id` tiebreak) form sliding length-`k` paths, counted
+   * corpus-wide and top-`topN` returned — the "what do users actually do"
+   * path-mining complement to the hypothesis-driven [[funnel]].
+   *
+   * One user-partitioned window (k-1 `lead`s share a single sort), one
+   * partial-aggregated count, and a `TakeOrdered` top-k — never a global
+   * sort of the path table.
+   */
+  def commonSequences(events: DataFrame, k: Int = 3, topN: Int = 20): DataFrame = {
+    require(k >= 2, s"sequence length must be >= 2, got $k")
+    require(topN > 0, s"topN must be positive, got $topN")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val steps = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("e0"))
+    val withNext = (1 until k).foldLeft(steps) { (d, i) =>
+      d.withColumn(s"e$i", lead(col("e0"), i).over(w))
+    }
+    withNext
+      .where((1 until k).map(i => col(s"e$i").isNotNull).reduce(_ && _))
+      .select(concat_ws(" -> ", (0 until k).map(i => col(s"e$i")): _*).as("sequence"))
+      .groupBy("sequence")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("sequence").asc)
+      .limit(topN)
+  }
+
+  /**
    * Ordered conversion funnel: step k counts the users whose earliest
    * step-k event occurs STRICTLY AFTER their step-(k-1) completion time —
    * the classic product-analytics funnel, order-sensitive (a purchase

@@ -126,7 +126,9 @@ object Profile {
     require(k > 0, s"k must be positive, got $k")
     val x = col(c).cast("double")
     val nn = df.where(x.isNotNull)
-    val med = nn.agg(expr(s"percentile(CAST($c AS DOUBLE), 0.5)")).head.getDouble(0)
+    val medRow = nn.agg(expr(s"percentile(CAST($c AS DOUBLE), 0.5)")).head
+    if (medRow.isNullAt(0)) return nn // all-null / empty input: nothing to flag
+    val med = medRow.getDouble(0)
     val mad = nn.select(abs(x - lit(med)).as("_d"))
       .agg(expr("percentile(_d, 0.5)")).head.getDouble(0)
     nn.where(abs(x - lit(med)) > lit(k) * lit(mad))
@@ -136,9 +138,15 @@ object Profile {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     val nn = df.where(col(c).isNotNull).select(col(c).cast("double").as("_x"))
     val ps = (1 until bins).map(k => k.toDouble / bins)
-    val edges = nn
+    val edgeRow = nn
       .agg(expr(s"percentile(_x, array(${ps.mkString(", ")}))").as("e"))
-      .head.getSeq[Double](0)
+      .head
+    if (edgeRow.isNullAt(0)) { // all-null / empty input: empty histogram
+      return nn.withColumn("bin", lit(0))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("cnt"), min(col("_x")).as("x_min"), max(col("_x")).as("x_max"))
+    }
+    val edges = edgeRow.getSeq[Double](0)
     val bin = edges.foldLeft(lit(0)) { (acc, e) =>
       acc + when(col("_x") > lit(e), 1).otherwise(0)
     }

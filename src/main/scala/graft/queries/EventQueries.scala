@@ -34,6 +34,10 @@ object EventQueries {
       Events.funnel(Tpch.read(s, dir, "events"), Seq("view", "click", "purchase"))
         .orderBy("step_no")),
 
+    // Path mining: the 20 most common 3-step event-type sequences
+    "q_ev_sequences" -> ((s, dir) =>
+      Events.commonSequences(Tpch.read(s, dir, "events"), k = 3, topN = 20)),
+
     // Weekly cohort retention matrix (first-activity week × offset)
     "q_ev_retention" -> ((s, dir) =>
       Events.retention(Tpch.read(s, dir, "events"), maxOffset = 8)
@@ -128,6 +132,15 @@ object EventQueries {
         |UNION ALL SELECT 2, 'click', count(*) FROM s1
         |UNION ALL SELECT 3, 'purchase', count(*) FROM s2
         |ORDER BY step_no""".stripMargin,
+
+    "q_ev_sequences" ->
+      """WITH o AS (SELECT event_type AS e0,
+        |             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+        |             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2
+        |           FROM events)
+        |SELECT e0 || ' -> ' || e1 || ' -> ' || e2 AS sequence, count(*) AS cnt
+        |FROM o WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+        |GROUP BY sequence ORDER BY cnt DESC, sequence ASC LIMIT 20""".stripMargin,
 
     "q_ev_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS p

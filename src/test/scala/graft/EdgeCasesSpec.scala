@@ -103,6 +103,15 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
   }
 
+  test("quantile-based profiling ops return empty, not crash, on empty/all-null input") {
+    val empty = Seq.empty[Option[Double]].toDF("x")
+    val allNull = Seq[Option[Double]](None, None).toDF("x")
+    for (df <- Seq(empty, allNull)) {
+      assert(graft.ops.Profile.madOutliers(df, "x", 3.0).isEmpty)
+      assert(graft.ops.Profile.equiDepthHistogram(df, "x", 4).isEmpty)
+    }
+  }
+
   test("capPerGroup keeps the n best-ranked rows per group, smaller groups whole") {
     val df = (Seq((1L, "a", 50), (2L, "a", 90), (3L, "a", 70), (4L, "a", 90)) ++
       Seq((10L, "b", 10))).toDF("doc_id", "grp", "quality")

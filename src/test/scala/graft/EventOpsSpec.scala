@@ -100,6 +100,25 @@ class EventOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((10L, -1L), (11L, 2L), (12L, 3L)))
   }
 
+  test("commonSequences counts per-user consecutive paths, never across users") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase", 0.0),
+      (4L, "2024-01-01 10:03:00", 1L, "view", 0.0),
+      // user 2: view → click only; their click must not chain into user 1
+      (5L, "2024-01-01 10:00:00", 2L, "view", 0.0),
+      (6L, "2024-01-01 10:01:00", 2L, "click", 0.0))
+    val out = Events.commonSequences(df, k = 2, topN = 10)
+      .select("sequence", "cnt").as[(String, Long)].collect().toMap
+    assert(out == Map(
+      "view -> click" -> 2L, "click -> purchase" -> 1L, "purchase -> view" -> 1L))
+    val three = Events.commonSequences(df, k = 3, topN = 10)
+      .select("sequence", "cnt").as[(String, Long)].collect().toMap
+    assert(three == Map(
+      "view -> click -> purchase" -> 1L, "click -> purchase -> view" -> 1L))
+  }
+
   test("rangeJoin: inclusive endpoints, cross-bucket intervals, per-key isolation") {
     val points = Seq(
       (1L, "2024-01-01 10:00:00", 7L), // == interval start (inclusive)
