@@ -94,13 +94,12 @@ object Corpus {
    */
   def sampleExactPerGroup(
       df: DataFrame, idCol: String, groupCol: String, n: Int,
-      salt: String = ""): DataFrame = {
-    val w = Window.partitionBy(groupCol)
-      .orderBy(hashBucket("exact", salt, col(idCol)), col(idCol))
-    df.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") <= n)
-      .drop("_rn")
-  }
+      salt: String = ""): DataFrame =
+    // an unbiased draw IS a quota cap ranked by the salted hash — one
+    // implementation of the window/row_number idiom, one WindowGroupLimit
+    // guarantee to maintain
+    capPerGroup(df, groupCol, n,
+      hashBucket("exact", salt, col(idCol)), col(idCol))
 
   /**
    * Deterministic training-order shuffle: attaches a stable pseudo-random

@@ -110,6 +110,14 @@ object Events {
       keys: Seq[String] = Nil, bucketSeconds: Long = 3600L,
       maxFanout: Int = 10000): DataFrame = {
     require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    // fail loudly on name collisions instead of silently overwriting:
+    // the op claims a _-prefixed working namespace on both sides, and
+    // payload columns must not shadow point columns in the output
+    val reserved = Seq("_pus", "_b", "_b0", "_b1", "_ius", "_ieus", "_ipay")
+    val clash = (points.columns ++ intervals.columns).toSet.intersect(reserved.toSet)
+    require(clash.isEmpty, s"rangeJoin reserves column names $reserved; input carries $clash")
+    val dup = intervalPayload.toSet.intersect(points.columns.toSet)
+    require(dup.isEmpty, s"intervalPayload collides with point columns: $dup")
     val wUs = bucketSeconds * 1000000L
     val ipay = struct(intervalPayload.map(col): _*)
     val guardedEnd = when(
@@ -184,7 +192,9 @@ object Events {
       d.withColumn(s"e$i", lead(col("e0"), i).over(w))
     }
     withNext
-      .where((1 until k).map(i => col(s"e$i").isNotNull).reduce(_ && _))
+      // e0 included: a null head would otherwise be silently skipped by
+      // concat_ws, emitting a shortened (k-1)-step path
+      .where((0 until k).map(i => col(s"e$i").isNotNull).reduce(_ && _))
       .select(concat_ws(" -> ", (0 until k).map(i => col(s"e$i")): _*).as("sequence"))
       .groupBy("sequence")
       .agg(count(lit(1)).as("cnt"))

@@ -92,23 +92,6 @@ object Profile {
   }
 
   /**
-   * Equi-depth (quantile) histogram: `bins` buckets holding approximately
-   * equal row counts, with edges at the column's exact interpolated
-   * `k/bins` quantiles — the bucketing that stays informative on skewed
-   * distributions where fixed-width bins collapse into one hot bucket.
-   * Returns `(bin, cnt, x_min, x_max)` per non-empty bucket; a value equal
-   * to an edge goes to the LOWER bucket (`edge < x`, half-open buckets).
-   *
-   * Two jobs by design: the quantile aggregate first (ONE tiny row —
-   * `bins-1` doubles, driver-bounded), whose edges are then embedded as
-   * PLAN-TIME literals so the binning pass is a codegen'd comparison chain
-   * — no interpreted array lambda, no per-row join against an edge table.
-   * An unpartitioned `ntile` window would compute the same thing through a
-   * single global sort task; this shape never sorts and never shuffles
-   * more than the final `bins`-row aggregate. Spark's `percentile`
-   * interpolation matches DuckDB's `quantile_cont` exactly on 2-dp input.
-   */
-  /**
    * Robust (median/MAD) outlier filter: keeps the rows whose `c` deviates
    * from the column median by more than `k` times the median absolute
    * deviation — the outlier test that, unlike mean/stddev z-scores, is not
@@ -126,7 +109,9 @@ object Profile {
     require(k > 0, s"k must be positive, got $k")
     val x = col(c).cast("double")
     val nn = df.where(x.isNotNull)
-    val medRow = nn.agg(expr(s"percentile(CAST($c AS DOUBLE), 0.5)")).head
+    // alias before percentile() so arbitrary column names never splice
+    // into the SQL expression (same discipline as equiDepthHistogram)
+    val medRow = nn.select(x.as("_x")).agg(expr("percentile(_x, 0.5)")).head
     if (medRow.isNullAt(0)) return nn // all-null / empty input: nothing to flag
     val med = medRow.getDouble(0)
     val mad = nn.select(abs(x - lit(med)).as("_d"))
@@ -134,6 +119,23 @@ object Profile {
     nn.where(abs(x - lit(med)) > lit(k) * lit(mad))
   }
 
+  /**
+   * Equi-depth (quantile) histogram: `bins` buckets holding approximately
+   * equal row counts, with edges at the column's exact interpolated
+   * `k/bins` quantiles — the bucketing that stays informative on skewed
+   * distributions where fixed-width bins collapse into one hot bucket.
+   * Returns `(bin, cnt, x_min, x_max)` per non-empty bucket; a value equal
+   * to an edge goes to the LOWER bucket (`edge < x`, half-open buckets).
+   *
+   * Two jobs by design: the quantile aggregate first (ONE tiny row —
+   * `bins-1` doubles, driver-bounded), whose edges are then embedded as
+   * PLAN-TIME literals so the binning pass is a codegen'd comparison chain
+   * — no interpreted array lambda, no per-row join against an edge table.
+   * An unpartitioned `ntile` window would compute the same thing through a
+   * single global sort task; this shape never sorts and never shuffles
+   * more than the final `bins`-row aggregate. Spark's `percentile`
+   * interpolation matches DuckDB's `quantile_cont` exactly on 2-dp input.
+   */
   def equiDepthHistogram(df: DataFrame, c: String, bins: Int): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     val nn = df.where(col(c).isNotNull).select(col(c).cast("double").as("_x"))

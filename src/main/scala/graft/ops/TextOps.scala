@@ -473,16 +473,23 @@ object TextOps {
   def qualitySignals(text: Column): Seq[Column] = qualitySignalsFromTokens(text, tokens(text))
 
   /** [[qualitySignals]] over a materialized tokens column (hot-path variant). */
-  def qualitySignalsFromTokens(text: Column, ts: Column): Seq[Column] = {
-    val nChars = length(text)
-    val nToks = size(ts)
+  def qualitySignalsFromTokens(text: Column, ts: Column): Seq[Column] =
     Seq(
-      nChars.as("n_chars"),
-      nToks.as("n_tokens"),
-      // tokens are single-space separated: chars minus separators, per token
-      ((nChars - (nToks - 1)).cast("double") / nToks).as("avg_word_len"),
-      (markerHitsFromTokens(ts, qualityStopwords).cast("double") / nToks).as("stopword_ratio"))
-  }
+      length(text).as("n_chars"),
+      size(ts).as("n_tokens"),
+      avgWordLen(text, ts).as("avg_word_len"),
+      stopwordRatio(ts).as("stopword_ratio"))
+
+  /** Mean word length given single-space-separated tokens: chars minus
+    * separators, per token. Shared by [[qualitySignalsFromTokens]] and
+    * [[curationGate]] so the two can never desynchronize. */
+  private[ops] def avgWordLen(text: Column, ts: Column): Column =
+    (length(text) - (size(ts) - 1)).cast("double") / size(ts)
+
+  /** Fraction of tokens that are quality stopwords (same sharing contract
+    * as [[avgWordLen]]). */
+  private[ops] def stopwordRatio(ts: Column): Column =
+    markerHitsFromTokens(ts, qualityStopwords).cast("double") / size(ts)
 
   /** Thresholds for [[curationGate]]. Defaults are permissive; set only the
     * rules a corpus needs. `allowedLangs = Nil` disables the language rule. */
@@ -515,15 +522,14 @@ object TextOps {
     val base = df.where(col(textCol).isNotNull)
       .select(col(idCol), col(textCol).as("_text"), tokens(col(textCol)).as("_toks"))
       .withColumn("_r", call_function("repetition_stats", col("_toks")))
-    val nChars = length(col("_text"))
     val nToks = size(col("_toks"))
-    val avgWordLen = (nChars - (nToks - 1)).cast("double") / nToks
-    val stopRatio = markerHitsFromTokens(col("_toks"), qualityStopwords).cast("double") / nToks
+    val wordLen = avgWordLen(col("_text"), col("_toks"))
+    val stopRatio = stopwordRatio(col("_toks"))
     val checks: Seq[(String, Column)] = Seq(
       "too_few_tokens" -> (nToks < rules.minTokens),
       "too_many_tokens" -> (nToks > rules.maxTokens),
       "avg_word_len" ->
-        (avgWordLen < rules.minAvgWordLen || avgWordLen > rules.maxAvgWordLen),
+        (wordLen < rules.minAvgWordLen || wordLen > rules.maxAvgWordLen),
       "stopword_ratio" -> (stopRatio < rules.minStopwordRatio),
       "top_token_frac" -> (col("_r.top_token_frac") > rules.maxTopTokenFrac),
       "dup_2gram_frac" ->

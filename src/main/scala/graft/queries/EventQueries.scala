@@ -139,7 +139,7 @@ object EventQueries {
         |             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2
         |           FROM events)
         |SELECT e0 || ' -> ' || e1 || ' -> ' || e2 AS sequence, count(*) AS cnt
-        |FROM o WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+        |FROM o WHERE e0 IS NOT NULL AND e1 IS NOT NULL AND e2 IS NOT NULL
         |GROUP BY sequence ORDER BY cnt DESC, sequence ASC LIMIT 20""".stripMargin,
 
     "q_ev_retention" ->

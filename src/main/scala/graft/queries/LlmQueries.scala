@@ -184,7 +184,9 @@ object LlmQueries {
       Dedup.snapshotDiff(
           d.where(col("doc_id") < 300), d.where(col("doc_id") >= 200),
           "doc_id", "text")
-        .orderBy("fp")
+        // status breaks the tie between the (at most two) null-fp rows a
+        // null-text doc would produce — fp alone is not a total order then
+        .orderBy("fp", "status")
     }),
 
     // MinHash + LSH banding + Jaccard verification on planted near-dups
@@ -602,7 +604,7 @@ object LlmQueries {
         |            WHEN v2.fp IS NULL THEN 'removed'
         |            ELSE 'retained' END AS status
         |FROM v1 FULL OUTER JOIN v2 ON v1.fp = v2.fp
-        |ORDER BY fp""".stripMargin,
+        |ORDER BY fp, status""".stripMargin,
 
     "q_dedup_incremental" ->
       """WITH fp AS (SELECT doc_id, source,
