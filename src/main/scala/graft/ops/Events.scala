@@ -173,6 +173,31 @@ object Events {
   }
 
   /**
+   * Gap-based sessionization via Spark's NATIVE `session_window` — the
+   * built-in-operator counterpart of [[sessionize]] (which hand-rolls the
+   * same thing with two windows). One hash aggregate with merging session
+   * state, no analytic window functions at all; also the only formulation
+   * that runs UNCHANGED as a watermarked streaming query
+   * ([[graft.streaming.EventStream.sessionWindowAgg]]).
+   *
+   * Boundary semantics match [[sessionize]] exactly (a gap EQUAL to
+   * `gapMinutes` still merges — verified empirically in EventOpsSpec); the
+   * one output difference is `session_end` = `last event + gap` (the
+   * window's close), not the last event's time.
+   */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(FinOps.money(col("value"))).cast("double").as("total_value"))
+      .select(
+        col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /**
    * Most common `k`-step event-type sequences: consecutive events per user
    * (time order, `event_id` tiebreak) form sliding length-`k` paths, counted
    * corpus-wide and top-`topN` returned — the "what do users actually do"

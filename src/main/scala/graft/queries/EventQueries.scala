@@ -22,6 +22,12 @@ object EventQueries {
       Events.sessionize(Tpch.read(s, dir, "events"), 30)
         .orderBy("user_id", "session_no")),
 
+    // Native session_window sessionization (same gap boundary as
+    // q_ev_sessions; end = last event + gap)
+    "q_ev_sessions_native" -> ((s, dir) =>
+      Events.sessionizeNative(Tpch.read(s, dir, "events"), 30)
+        .orderBy("user_id", "session_start")),
+
     // Sliding (hopping) windows: 1-hour windows every 30 minutes — each
     // event lands in exactly two overlapping windows
     "q_ev_window_sliding" -> ((s, dir) =>
@@ -159,6 +165,24 @@ object EventQueries {
         |  CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_ev_sessions_native" ->
+      """WITH o AS (SELECT user_id, event_id, ts, value,
+        |             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |           FROM events),
+        |s AS (SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |                     THEN 1 ELSE 0 END AS is_new
+        |      FROM o),
+        |n AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM s)
+        |SELECT user_id,
+        |  min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM n GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_ev_sessions" ->
       """WITH o AS (SELECT user_id, event_id, ts, value,

@@ -30,4 +30,55 @@ object EventStream {
       .select(
         col("window").getField("start").as("window_start"),
         col("event_type"), col("cnt"), col("total"))
+
+  /**
+   * Watermarked NATIVE session windows — the streaming form of
+   * [[graft.ops.Events.sessionizeNative]], identical aggregate expression
+   * (the point of preferring `session_window` over custom
+   * `flatMapGroupsWithState` state: batch and stream share one declarative
+   * plan, and the watermark closes sessions and evicts their state once
+   * event time passes `session end + delay`). Append mode: a session row
+   * emits exactly once, when finalized.
+   */
+  def sessionWindowAgg(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(FinOps.money(col("value"))).cast("double").as("total_value"))
+      .select(
+        col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /**
+   * Watermarked stream-stream interval join: every left event paired with
+   * the right-stream events of the same key whose time lies in
+   * `[left.ts - before, left.ts + after]` — "views within the hour before
+   * each purchase" as a CONTINUOUS query. Spark's stream-stream join keeps
+   * both sides' state only as long as the watermark + range bound allows,
+   * so state is bounded without any custom state management; the time-range
+   * predicate is exactly what makes that eviction possible (an
+   * unconstrained stream-stream join would buffer forever). Right columns
+   * are surfaced with a `r_` prefix.
+   */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      before: String = "1 hour", after: String = "0 seconds",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+    val r = right.columns.toIndexedSeq
+      .foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(
+      r,
+      col(key) === col(s"r_$key") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $before") &&
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $after"))
+  }
 }

@@ -100,6 +100,24 @@ class EventOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((10L, -1L), (11L, 2L), (12L, 3L)))
   }
 
+  test("sessionizeNative: exact-gap events merge (same boundary as sessionize), end = last+gap") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", 7L, "view", 1.0),
+      (2L, "2024-01-01 10:30:00", 7L, "view", 2.0),  // gap == 30min → still merges
+      (3L, "2024-01-01 11:00:01", 7L, "view", 4.0),  // gap 30m01s → new session
+      (4L, "2024-01-01 12:00:00", 8L, "view", 8.0))  // other user
+    val out = Events.sessionizeNative(df, 30)
+      .orderBy("user_id", "session_start")
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (7L, "2024-01-01 10:00:00.0", "2024-01-01 11:00:00.0", 2L, 3.0),
+      (7L, "2024-01-01 11:00:01.0", "2024-01-01 11:30:01.0", 1L, 4.0),
+      (8L, "2024-01-01 12:00:00.0", "2024-01-01 12:30:00.0", 1L, 8.0)))
+  }
+
   test("commonSequences counts per-user consecutive paths, never across users") {
     val df = ev(
       (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
@@ -157,6 +175,52 @@ class EventOpsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("rangeJoin") ||
       Option(err.getCause).exists(_.getMessage.contains("rangeJoin")))
+  }
+
+  test("streaming sessionWindowAgg: sessions finalize once the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, Double)]
+    val stream = ms.toDF().toDF("ts", "user_id", "value")
+    val q = EventStream.sessionWindowAgg(stream, "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("ev_sessions_out").outputMode("append").start()
+    try {
+      ms.addData((ts("2024-01-01 10:00:00"), 7L, 1.0), (ts("2024-01-01 10:10:00"), 7L, 2.0))
+      q.processAllAvailable()
+      // watermark far past session end (10:40) + delay → session emits
+      ms.addData((ts("2024-01-01 13:00:00"), 7L, 4.0))
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 15:00:00"), 7L, 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("ev_sessions_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+          r.getLong(3), r.getDouble(4)))
+      assert(rows.contains((7L, "2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 2L, 3.0)))
+      // the 15:00 session cannot be final yet
+      assert(!rows.exists(_._2.startsWith("2024-01-01 15:")))
+    } finally q.stop()
+  }
+
+  test("streaming intervalJoin: purchases pair with prior-hour views of the same user") {
+    implicit val ctx = spark.sqlContext
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val views = MemoryStream[(Timestamp, Long, Long)]
+    val joined = EventStream.intervalJoin(
+      purchases.toDF().toDF("ts", "user_id", "event_id"),
+      views.toDF().toDF("ts", "user_id", "event_id"),
+      "user_id", before = "1 hour", after = "0 seconds")
+    val q = joined
+      .select("event_id", "r_event_id")
+      .writeStream.format("memory").queryName("ev_ij_out").outputMode("append").start()
+    try {
+      views.addData(
+        (ts("2024-01-01 09:30:00"), 7L, 1L),  // 30 min before the purchase → match
+        (ts("2024-01-01 08:00:00"), 7L, 2L),  // 2h before → outside the window
+        (ts("2024-01-01 09:45:00"), 8L, 3L))  // right time, wrong user
+      purchases.addData((ts("2024-01-01 10:00:00"), 7L, 100L))
+      q.processAllAvailable()
+      val rows = spark.table("ev_ij_out").as[(Long, Long)].collect().toSet
+      assert(rows == Set((100L, 1L)))
+    } finally q.stop()
   }
 
   test("streaming windowedAgg: watermark finalizes past windows in append mode") {
