@@ -15,15 +15,17 @@ import graft.ops.FinOps
  */
 object EventStream {
 
-  /** Watermarked tumbling-window aggregation for an events stream. Use with
-    * append output mode: windows emit once finalized by the watermark. */
+  /** Watermarked tumbling (or, with `slide`, hopping) window aggregation
+    * for an events stream. Use with append output mode: windows emit once
+    * finalized by the watermark. */
   def windowedAgg(
       events: DataFrame,
       duration: String = "1 hour",
-      watermarkDelay: String = "1 hour"): DataFrame =
+      watermarkDelay: String = "1 hour",
+      slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
-      .groupBy(window(col("ts"), duration), col("event_type"))
+      .groupBy(window(col("ts"), duration, slide.getOrElse(duration)), col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),
         sum(FinOps.money(col("value"))).cast("double").as("total"))

@@ -72,6 +72,13 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("session_window and path mining stay partitioned — no single-task funnels") {
+    for (q <- Seq("q_ev_sessions_native", "q_ev_sequences")) {
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"), s"$q serializes through one task:\n$p")
+    }
+  }
+
   test("flagship risk query: every window is partitioned") {
     val p = plan("q_flag_risky")
     // an unpartitioned window serializes the whole table through one task;
