@@ -73,6 +73,9 @@ object EventStream {
       left: DataFrame, right: DataFrame, key: String,
       before: String = "1 hour", after: String = "0 seconds",
       watermarkDelay: String = "1 hour"): DataFrame = {
+    val clash = left.columns.toSet.intersect(right.columns.map("r_" + _).toSet)
+    require(clash.isEmpty,
+      s"intervalJoin surfaces right columns with a r_ prefix; left already carries $clash")
     val l = left.withWatermark("ts", watermarkDelay)
     val r = right.columns.toIndexedSeq
       .foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
