@@ -68,7 +68,9 @@ object GraftExtensions {
     ("repetition_stats", DocKernels.repetitionInfo,
       arity("repetition_stats", 1)(c => DocKernels.RepetitionStats(c(0)))),
     ("lang_id", DocKernels.langIdInfo,
-      arity("lang_id", 1)(c => DocKernels.LangId(c(0)))))
+      arity("lang_id", 1)(c => DocKernels.LangId(c(0)))),
+    ("pii_pseudonymize", graft.expressions.PiiKernels.pseudonymizeInfo,
+      arity("pii_pseudonymize", 1)(c => graft.expressions.Pseudonymize(c(0)))))
 
   /** Runtime registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

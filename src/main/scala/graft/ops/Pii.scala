@@ -50,4 +50,13 @@ object Pii {
     * quarantine predicate (`where(!hasPii(...))` keeps the clean split). */
   def hasPii(text: Column): Column =
     patterns.map { case (_, re, _) => regexp_like(text, lit(re)) }.reduce(_ || _)
+
+  /** Text with every PII match replaced by a STABLE `<KIND:hash8>` token
+    * (same value → same token everywhere): linkable pseudonyms instead of
+    * [[redact]]'s constant markers. Computed-per-match replacement is
+    * beyond `regexp_replace`, so this is the native
+    * [[graft.expressions.Pseudonymize]] kernel — requires
+    * [[graft.GraftExtensions.register]]. */
+  def pseudonymize(text: Column): Column =
+    call_function("pii_pseudonymize", text)
 }

@@ -532,6 +532,15 @@ object LlmQueries {
             Pii.redact(col("text")).as("redacted")): _*)
         .orderBy("doc_id")),
 
+    // Stable pseudonymization: every PII match → <KIND:md5-hash8>, same
+    // value → same token (linkable, unlike constant redaction)
+    "q_pii_pseudonymize" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      docsWithPii(s, dir)
+        .select(col("doc_id"), Pii.pseudonymize(col("text")).as("pseudonymized"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus-wide vocabulary stats: top-20 bigrams with deterministic ties
     "q_text_top_ngrams" -> ((s, dir) =>
       TextOps.topNgrams(docs(s, dir), "text", n = 2, k = 20)),
@@ -1090,6 +1099,29 @@ object LlmQueries {
          |  $cnt,
          |  $red AS redacted
          |FROM ptxt ORDER BY doc_id""".stripMargin
+    },
+
+    "q_pii_pseudonymize" -> {
+      // each planted doc carries AT MOST ONE match per kind, so the oracle
+      // can rebuild the kernel's per-match token from the row's first match
+      // (regexp_extract + md5); the coalesce keeps a no-match row's unused
+      // replacement string non-NULL
+      val steps = Pii.patterns.zipWithIndex.map { case ((k, re, _), i) =>
+        val src = if (i == 0) "ptxt" else s"s$i"
+        s"""s${i + 1} AS (SELECT doc_id, regexp_replace(text, '$re',
+           |  '<${k.toUpperCase}:' || substr(md5(coalesce(nullif(regexp_extract(text, '$re'), ''), 'x')), 1, 8) || '>',
+           |  'g') AS text FROM $src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ptxt AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+         |       WHEN doc_id % 5 = 1 THEN text || ' call 555-123-4567 or visit 10.0.0.' || CAST(doc_id % 200 AS VARCHAR)
+         |       WHEN doc_id % 5 = 2 THEN text || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |       WHEN doc_id % 5 = 3 THEN text || ' card 4111 1111 1111 1111 used'
+         |       ELSE text END AS text
+         |  FROM documents),
+         |$steps
+         |SELECT doc_id, text AS pseudonymized
+         |FROM s${Pii.patterns.length} ORDER BY doc_id""".stripMargin
     },
 
     "q_text_top_ngrams" ->

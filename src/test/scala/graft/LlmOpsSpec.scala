@@ -570,6 +570,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(2).getAs[String]("r") == "clean text with no identifiers")
   }
 
+  test("Pii: pseudonymization yields stable linkable tokens, distinct per value") {
+    graft.GraftExtensions.register(spark)
+    val df = Seq(
+      (1L, "contact alice@example.com or bob@example.com"),
+      (2L, "alice@example.com again from 10.0.0.1"),
+      (3L, "no identifiers here")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", Pii.pseudonymize($"text").as("p"))
+      .orderBy("doc_id").as[(Long, String)].collect().map(_._2)
+    val tok = "<EMAIL:([0-9a-f]{8})>".r
+    val doc1 = tok.findAllMatchIn(out(0)).map(_.group(1)).toSeq
+    assert(doc1.size == 2 && doc1.distinct.size == 2) // different values, different tokens
+    // the SAME email in another document gets the SAME token (linkable)
+    val doc2 = tok.findAllMatchIn(out(1)).map(_.group(1)).toSeq
+    assert(doc2 == Seq(doc1.head))
+    assert(out(1).contains("<IPV4:"))
+    assert(out(2) == "no identifiers here")
+    // pseudonymized text carries no residual detectable PII
+    assert(df.select(Pii.pseudonymize($"text").as("p"))
+      .where(Pii.hasPii($"p")).isEmpty)
+    // and the SQL surface sees the same function
+    df.createOrReplaceTempView("pii_docs")
+    val viaSql = spark.sql(
+      "SELECT pii_pseudonymize(text) AS p FROM pii_docs WHERE doc_id = 1")
+      .as[String].head
+    assert(viaSql == out(0))
+  }
+
   test("TextOps: repetition signals flag token and bigram repeats") {
     val df = Seq((1L, "a a a a b"), (2L, "w x y z")).toDF("doc_id", "text")
     val out = TextOps.repetitionSignals(df, "doc_id", "text").orderBy("id").collect()
