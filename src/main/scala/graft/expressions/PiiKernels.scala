@@ -30,7 +30,11 @@ object PiiKernels {
     * order — one shared source of truth for what counts as PII. */
   private lazy val compiled: Array[(String, Pattern)] =
     graft.ops.Pii.patterns
-      .map { case (kind, re, _) => (kind.toUpperCase, Pattern.compile(re)) }
+      // Locale.ROOT: default-locale uppercasing would mint different token
+      // kinds on e.g. a tr-TR JVM ("İPV4"), breaking the stable contract
+      .map { case (kind, re, _) =>
+        (kind.toUpperCase(java.util.Locale.ROOT), Pattern.compile(re))
+      }
       .toArray
 
   // one digest per thread, reset per use (same discipline as MinhashSigs)

@@ -186,8 +186,15 @@ object Events {
    * window's close), not the last event's time.
    */
   def sessionizeNative(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionWindowAgg(events, s"$gapMinutes minutes")
+
+  /** The shared `session_window` aggregate behind [[sessionizeNative]] and
+    * [[graft.streaming.EventStream.sessionWindowAgg]] — ONE definition of
+    * the session output (columns, money discipline), applied to a batch
+    * frame or a watermarked stream alike. */
+  private[graft] def sessionWindowAgg(events: DataFrame, gap: String): DataFrame =
     events
-      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(FinOps.money(col("value"))).cast("double").as("total_value"))

@@ -1108,8 +1108,9 @@ object LlmQueries {
       // replacement string non-NULL
       val steps = Pii.patterns.zipWithIndex.map { case ((k, re, _), i) =>
         val src = if (i == 0) "ptxt" else s"s$i"
+        val kind = k.toUpperCase(java.util.Locale.ROOT) // match the kernel's locale-free kinds
         s"""s${i + 1} AS (SELECT doc_id, regexp_replace(text, '$re',
-           |  '<${k.toUpperCase}:' || substr(md5(coalesce(nullif(regexp_extract(text, '$re'), ''), 'x')), 1, 8) || '>',
+           |  '<$kind:' || substr(md5(coalesce(nullif(regexp_extract(text, '$re'), ''), 'x')), 1, 8) || '>',
            |  'g') AS text FROM $src)""".stripMargin
       }.mkString(",\n")
       s"""WITH ptxt AS (SELECT doc_id,

@@ -46,17 +46,8 @@ object EventStream {
       events: DataFrame,
       gap: String = "30 minutes",
       watermarkDelay: String = "1 hour"): DataFrame =
-    events
-      .withWatermark("ts", watermarkDelay)
-      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(FinOps.money(col("value"))).cast("double").as("total_value"))
-      .select(
-        col("user_id"),
-        col("w.start").as("session_start"),
-        col("w.end").as("session_end"),
-        col("n_events"), col("total_value"))
+    graft.ops.Events.sessionWindowAgg(
+      events.withWatermark("ts", watermarkDelay), gap)
 
   /**
    * Watermarked stream-stream interval join: every left event paired with
@@ -73,12 +64,15 @@ object EventStream {
       left: DataFrame, right: DataFrame, key: String,
       before: String = "1 hour", after: String = "0 seconds",
       watermarkDelay: String = "1 hour"): DataFrame = {
-    val clash = left.columns.toSet.intersect(right.columns.map("r_" + _).toSet)
+    val prefixed = right.columns.map("r_" + _)
+    val clash = left.columns.toSet.intersect(prefixed.toSet)
     require(clash.isEmpty,
       s"intervalJoin surfaces right columns with a r_ prefix; left already carries $clash")
     val l = left.withWatermark("ts", watermarkDelay)
-    val r = right.columns.toIndexedSeq
-      .foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+    // ONE projection renames every right column (a withColumnRenamed fold
+    // would cascade when right itself carries an r_-prefixed name)
+    val r = right
+      .select(right.columns.toIndexedSeq.map(c => col(c).as(s"r_$c")): _*)
       .withWatermark("r_ts", watermarkDelay)
     l.join(
       r,
