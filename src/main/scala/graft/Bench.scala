@@ -28,14 +28,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm up JIT/codegen paths once so the alphabetically-first query does
-    // not absorb all first-run compilation cost (measured ~6s of skew).
+    // Optional name filter for local iteration (`runMain graft.Bench q_a ...`
+    // runs only queries matching a listed prefix); the driver passes no args.
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    val names =
+      if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
+
+    // Warm-up: run every selected query once at the smallest scale factor
+    // (unmeasured). First execution of a plan shape pays one-time costs —
+    // whole-stage codegen compilation, datasource init (the CSV reader,
+    // parquet footer machinery), JIT — and with a partial warm-up those
+    // costs bill to whichever measured query touches the shape first
+    // (round 4 showed 3–4× phantom "regressions" on exactly the
+    // alphabetically-first query per shared input: q_fin_rollup, q_sim_ivf,
+    // q_s2_ingest). Warming the full suite at sf0.001 costs a few unmeasured
+    // seconds and makes every measured time a warm time.
     try {
       val warm = "/root/testdata/sf0.001"
       if (new java.io.File(warm).isDirectory)
-        SparkEntry.queries.valuesIterator
-          .take(3)
-          .foreach(fn => fn(spark, warm).write.format("noop").mode("overwrite").save())
+        names.foreach { name =>
+          try SparkEntry.queries(name)(spark, warm)
+            .write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
       // Materialize the shared ordersTx adapter memo for the BENCH dir too:
       // it is deployment infrastructure (the canonical frame a real system
       // materializes once and fans analytics out from — see Tpch.txMemo),
@@ -44,12 +59,6 @@ object Bench {
       graft.queries.Tpch.ordersTx(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
-
-    // Optional name filter for local iteration (`runMain graft.Bench q_a ...`
-    // runs only queries matching a listed prefix); the driver passes no args.
-    val all = SparkEntry.queries.keys.toSeq.sorted
-    val names =
-      if (args.isEmpty) all else all.filter(n => args.exists(n.startsWith))
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

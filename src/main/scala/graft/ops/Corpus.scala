@@ -110,9 +110,14 @@ object Corpus {
    * [[graft.ops.Scale.writeRangeClustered]] on `ord` to materialize a
    * sharded shuffled layout without any single-task global sort.
    */
-  def withShuffleOrder(df: DataFrame, idCol: String, salt: String = ""): DataFrame =
+  def withShuffleOrder(df: DataFrame, idCol: String, salt: String = ""): DataFrame = {
+    // fail loudly rather than silently overwrite a caller's column (same
+    // reserved-namespace discipline as Events.rangeJoin)
+    require(!df.columns.contains("ord"),
+      "withShuffleOrder writes a reserved 'ord' column, but the input already has one")
     df.withColumn(
       "ord", TextOps.hash32(concat(lit(s"shuffle:$salt:"), col(idCol).cast("string"))))
+  }
 
   /**
    * Per-group quota cap: at most `n` rows per group, keeping the rows that

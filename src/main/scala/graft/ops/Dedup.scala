@@ -543,7 +543,9 @@ object Dedup {
     * final sketch — all for a pure per-document function). Requires
     * [[graft.GraftExtensions.register]]. */
   def simhashNative(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
+    // null-text docs drop entirely (explode skips null arrays in the
+    // aggregate form — keep the 'same sketch' equivalence exact)
+    df.where(col(textCol).isNotNull).select(
       col(idCol).as("id"),
       call_function("simhash32", TextOps.tokens(col(textCol))).as("simhash"))
 
@@ -594,7 +596,9 @@ object Dedup {
     * ([[graft.expressions.DocKernels.Simhash64]]) — same sketch, zero
     * shuffles. Requires [[graft.GraftExtensions.register]]. */
   def simhashNative64(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
+    // null-text docs drop entirely (explode skips null arrays in the
+    // aggregate form — keep the 'same sketch' equivalence exact)
+    df.where(col(textCol).isNotNull).select(
       col(idCol).as("id"),
       call_function("simhash64", TextOps.tokens(col(textCol))).as("simhash"))
 
@@ -654,17 +658,20 @@ object Dedup {
   def containment(
       fps: DataFrame, threshold: Double,
       maxDocFreq: Option[Long] = None): DataFrame = {
+    // Dedup (id, fp) pairs ONCE at entry: callers may feed rows that repeat
+    // a pair (e.g. unioned per-shard winnow outputs), and a repeated pair
+    // would multiply `shared` quadratically (dup_a × dup_b through the
+    // self-join) while the denominators grow only linearly — containment
+    // could exceed 1.0 and spurious pairs could cross the threshold.
+    val uniq = fps.select("id", "fp").distinct()
     val base = maxDocFreq match {
       case Some(cap) =>
-        // countDistinct, not count: callers may feed (id, fp) rows that
-        // repeat a pair (e.g. unioned per-shard winnow outputs), and the
-        // documented semantics is documents-per-fingerprint
-        val ubiquitous = fps.groupBy("fp")
-          .agg(countDistinct(col("id")).as("_df"))
+        val ubiquitous = uniq.groupBy("fp")
+          .agg(count(lit(1)).as("_df"))
           .where(col("_df") > cap)
           .select("fp")
-        fps.join(ubiquitous, Seq("fp"), "left_anti")
-      case None => fps
+        uniq.join(ubiquitous, Seq("fp"), "left_anti")
+      case None => uniq
     }
     val counts = base.groupBy("id").agg(count(lit(1)).as("n"))
     val shared = base.select(col("fp"), col("id").as("id_a"))

@@ -213,7 +213,8 @@ class LlmOpsSpec extends SparkSpec {
       (1L, "the quick brown fox jumps over the lazy dog the quick"),
       (2L, "a a a a b"),
       (3L, "one two"), // < 3 tokens: null min-shingle, has bigrams
-      (4L, "solo"))    // single token: null dup_2gram_frac
+      (4L, "solo"),    // single token: null dup_2gram_frac
+      (5L, null.asInstanceOf[String])) // null text: dropped by BOTH paths
       .toDF("doc_id", "text")
     def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
       assert(a.columns.toSeq == b.columns.toSeq)
@@ -360,6 +361,12 @@ class LlmOpsSpec extends SparkSpec {
     val capped = Dedup.containment(fps, 0.5, maxDocFreq = Some(2L))
       .select("id_a", "id_b", "containment").as[(Long, Long, Double)].collect().toSet
     assert(capped == Set((1L, 2L, 1.0)))
+    // repeated (id, fp) pairs (unioned per-shard winnow outputs) must not
+    // multiply shared counts through the self-join: scores never exceed 1.0
+    // and equal the deduped input's exactly
+    val doubled = Dedup.containment(fps.union(fps), 0.5)
+      .select("id_a", "id_b", "containment").as[(Long, Long, Double)].collect().toSet
+    assert(doubled == open)
   }
 
   test("Profile: one-pass column stats count nulls and distinct values") {
@@ -418,6 +425,11 @@ class LlmOpsSpec extends SparkSpec {
     val salted = graft.ops.Corpus.withShuffleOrder(a, "doc_id", salt = "epoch2")
       .orderBy("ord", "doc_id").select("doc_id").as[Long].collect().toSeq
     assert(salted != ordA)
+    // a pre-existing 'ord' column fails loudly instead of being overwritten
+    intercept[IllegalArgumentException] {
+      graft.ops.Corpus.withShuffleOrder(
+        graft.ops.Corpus.withShuffleOrder(a, "doc_id"), "doc_id")
+    }
   }
 
   test("TextOps: distinctive keywords rank rare-then-frequent with integer keys") {
