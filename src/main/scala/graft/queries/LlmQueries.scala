@@ -340,10 +340,10 @@ object LlmQueries {
 
     // Real BPE: merges learned from THIS corpus (vocabulary-sized driver
     // loop over distributed word counts), then per-doc greedy rank
-    // encoding via the zero-shuffle kernel. BPE is not SQL-expressible, so
-    // this query has no DuckDB oracle (driver records a rows-only check);
-    // the algorithm is unit-verified against the classic Sennrich hand
-    // example in LlmOpsSpec.
+    // encoding via the zero-shuffle kernel. The DuckDB oracle replays the
+    // same algorithm with the learning loop unrolled as SQL stages (see
+    // the oracleSql entry); the algorithm is also unit-verified against
+    // the classic Sennrich hand example in LlmOpsSpec.
     "q_text_bpe" -> ((s, dir) => {
       val d = docs(s, dir)
       GraftExtensions.registerBpe(s, TextOps.learnBpeMerges(d, "text", 64))
@@ -835,6 +835,64 @@ object LlmQueries {
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Full BPE replay in SQL — the learning loop unrolled (the same
+    // unrolled-iteration idiom as the kmeans oracle). Every word is held as
+    // DOUBLE-spaced symbols ("  a  b  "): one replace() of ' a  b ' with
+    // ' ab ' is then exactly one left-to-right non-overlapping BPE merge
+    // pass, because each match consumes only ONE of the two separator
+    // spaces on each side — under single spacing, back-to-back occurrences
+    // ("a a a a" with merge (a,a)) would lose their shared boundary space
+    // and stop merging after the first pair. Learning stage i recounts
+    // adjacent pairs, picks argmax with the (count desc, pair asc)
+    // tie-break of Bpe.learn, and applies the merge (a LEFT JOIN keeps
+    // stages past vocabulary exhaustion as no-ops, mirroring early stop).
+    // Encoding then applies the 64 learned merges ONCE EACH in rank order,
+    // which equals Bpe.encode's repeated lowest-rank-first loop: learned
+    // merge lists are bottom-up (any pair involving a compound symbol
+    // ranks strictly after the merge that created the compound), so a
+    // later merge can never resurrect an earlier one. w/b CTEs are
+    // MATERIALIZED — each is referenced twice, and inlining would nest the
+    // lineage exponentially.
+    "q_text_bpe" -> {
+      val numMerges = 64
+      val learn = (1 to numMerges).map { i =>
+        val prev = s"w${i - 1}"
+        s"""p$i AS (SELECT t[j] AS a, t[j + 1] AS b, SUM(cnt) AS c
+           |        FROM (SELECT t, unnest(range(1, len(t))) AS j, cnt
+           |              FROM (SELECT string_split(trim(s), '  ') AS t, cnt FROM $prev))
+           |        GROUP BY a, b),
+           |b$i AS MATERIALIZED (SELECT a, b FROM p$i ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+           |w$i AS MATERIALIZED (
+           |  SELECT CASE WHEN m.a IS NULL THEN s
+           |              ELSE replace(s, ' ' || m.a || '  ' || m.b || ' ',
+           |                              ' ' || m.a || m.b || ' ') END AS s, cnt
+           |  FROM $prev LEFT JOIN b$i m ON TRUE)""".stripMargin
+      }.mkString(",\n")
+      val enc = (1 to numMerges).map { i =>
+        s"""e$i AS (
+           |  SELECT doc_id, CASE WHEN m.a IS NULL THEN s
+           |              ELSE replace(s, ' ' || m.a || '  ' || m.b || ' ',
+           |                              ' ' || m.a || m.b || ' ') END AS s
+           |  FROM e${i - 1} LEFT JOIN b$i m ON TRUE)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s, cnt
+         |  FROM (SELECT w, count(*) AS cnt
+         |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |        GROUP BY w)),
+         |$learn,
+         |e0 AS (
+         |  SELECT doc_id, '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+         |$enc,
+         |np AS (SELECT doc_id, SUM(len(string_split(trim(s), '  '))) AS n_bpe
+         |       FROM e$numMerges GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(p.n_bpe AS INT) AS n_bpe,
+         |       CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens
+         |FROM documents d JOIN np p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "q_text_quality" -> {
       val stop = TextOps.qualityStopwords.map(w => s"'$w'").mkString(", ")
