@@ -467,8 +467,93 @@ object Dedup {
     // multiple "representatives" per component — fail loudly instead.
     if (!converged) throw new IllegalStateException(
       s"Dedup.clusters did not converge within $maxIter iterations " +
-        "(a component's diameter exceeds maxIter); raise maxIter")
+        "(a component's diameter exceeds maxIter); raise maxIter or use " +
+        "clustersContract (O(log n) rounds regardless of diameter)")
     labels
+  }
+
+  /**
+   * Connected components by alternating large-star / small-star contraction
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+   * 2014) — same output contract as [[clusters]]: `(id, cluster)` with the
+   * component MINIMUM id as label, one row per node appearing in ≥1 pair.
+   *
+   * Where min-label propagation needs O(component diameter) rounds — a
+   * pathological near-dup chain (doc₁~doc₂~…~docₙ from incremental crawl
+   * shards) makes that O(n) — star contraction halves the effective depth
+   * every alternation and converges in O(log n) rounds on ANY topology:
+   *
+   *  - large-star: every node links its strictly-LARGER neighbors to the
+   *    minimum of its closed neighborhood;
+   *  - small-star: every node links its smaller-or-self neighborhood to
+   *    that minimum.
+   *
+   * Both steps preserve connectivity and never increase the edge count
+   * (beyond the canonical set), and the fixed point is one star per
+   * component rooted at its minimum id, read off as the label set. Each
+   * round is two (groupBy-min + equi-join) phases over the edge list —
+   * shuffle-by-key only, no all-pairs anywhere, `localCheckpoint` per round
+   * to cut lineage. This is the whole-corpus-scale path; [[clusters]] stays
+   * the cheaper choice for the shallow clusters typical of one-shot LSH
+   * output (2–3 rounds at one join each).
+   */
+  def clustersContract(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val p = pairs.persist()
+    // All labeled nodes (parity with clusters(): every id in ≥1 pair, even
+    // self-pairs / isolated nodes that the edge canonicalization drops).
+    val nodes = p.select(col("id_a").as("id"))
+      .unionByName(p.select(col("id_b").as("id")))
+      .distinct()
+      .localCheckpoint()
+    // Canonical undirected edge list: (src, dst) with src < dst.
+    var edges = p
+      .select(least(col("id_a"), col("id_b")).as("src"),
+        greatest(col("id_a"), col("id_b")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    p.unpersist()
+    var converged = edges.limit(1).isEmpty // no edges ⇒ nothing to contract
+    var i = 0
+    while (!converged && i < maxIter) {
+      // Large-star: symmetric view; per node u, m = min(neighborhood ∪ u);
+      // attach every neighbor v > u to m. Emitted edges are canonical by
+      // construction (m ≤ u < v).
+      val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(min(col("v")).as("nbr_min"))
+        .select(col("u"), least(col("u"), col("nbr_min")).as("m"))
+      val large = sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("m").as("src"), col("v").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+      // Small-star over the canonical list: per hub `dst`, m = min of its
+      // smaller neighbors; attach those neighbors AND the hub to m.
+      val hubMin = large.groupBy("dst").agg(min(col("src")).as("m"))
+      val next = large.join(hubMin, "dst")
+        .select(col("m").as("src"), col("src").as("dst"))
+        .unionByName(hubMin.select(col("m").as("src"), col("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint()
+      // Fixed point: the canonical edge set stopped changing. Count equality
+      // plus one-sided difference proves set equality without a second
+      // except pass (both sides are already materialized checkpoints).
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).limit(1).isEmpty
+      edges = next
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"Dedup.clustersContract did not converge within $maxIter iterations " +
+        "(expected O(log n) rounds; raise maxIter)")
+    // Fixed point is a star per component rooted at the minimum id: leaves
+    // label as their root, roots (and isolated nodes) label as themselves.
+    nodes
+      .join(edges.select(col("dst").as("id"), col("src").as("c")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("c"), col("id")).as("cluster"))
   }
 
   /**

@@ -145,6 +145,31 @@ object LlmQueries {
       |        JOIN sizes na ON na.id = c.id_a
       |        JOIN sizes nb ON nb.id = c.id_b)""".stripMargin
 
+  /**
+   * Shared oracle for both connected-components queries
+   * (`q_dedup_clusters` / `q_dedup_clusters_star`): blocked-Jaccard pairs,
+   * then the transitive closure as a recursive CTE, labeling each doc with
+   * its component minimum.
+   */
+  private lazy val clustersOracleSql =
+    s"""WITH RECURSIVE $mutCte,
+       |${shingleCte("alldocs")},
+       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM alldocs a JOIN alldocs b
+       |           ON a.lang = b.lang AND a.source = b.source
+       |          AND floor(a.n_chars / 100) = floor(b.n_chars / 100)
+       |          AND a.doc_id < b.doc_id),
+       |$jaccardSql,
+       |p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.35),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |      UNION SELECT id_b AS src, id_a AS dst FROM p),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM e
+       |  UNION
+       |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)
+       |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** Quantized components (vec_id, d, q) over embedding relation `src`. */
   private def compCte(name: String, src: String): String =
     s"""$name AS (
@@ -235,6 +260,21 @@ object LlmQueries {
         blockCols = Seq("lang", "source", "len_bucket"),
         shingle = 3, threshold = 0.35)
       Dedup.clusters(pairs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Same component labels via large-star/small-star contraction — the
+    // O(log n)-round whole-corpus path; must agree with the propagation
+    // form (and the recursive-CTE oracle) label for label
+    "q_dedup_clusters_star" -> ((s, dir) => {
+      val d = docsWithNearDups(s, dir)
+        .withColumn("len_bucket", floor(col("n_chars") / 100))
+      val pairs = Dedup.blockedNearDuplicates(
+        d, "doc_id", "text",
+        blockCols = Seq("lang", "source", "len_bucket"),
+        shingle = 3, threshold = 0.35)
+      Dedup.clustersContract(pairs)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
@@ -680,24 +720,11 @@ object LlmQueries {
         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
-    "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $mutCte,
-         |${shingleCte("alldocs")},
-         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |         FROM alldocs a JOIN alldocs b
-         |           ON a.lang = b.lang AND a.source = b.source
-         |          AND floor(a.n_chars / 100) = floor(b.n_chars / 100)
-         |          AND a.doc_id < b.doc_id),
-         |$jaccardSql,
-         |p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.35),
-         |e AS (SELECT id_a AS src, id_b AS dst FROM p
-         |      UNION SELECT id_b AS src, id_a AS dst FROM p),
-         |reach(id, r) AS (
-         |  SELECT DISTINCT src, src FROM e
-         |  UNION
-         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)
-         |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_dedup_clusters" -> clustersOracleSql,
+
+    // Contraction variant computes the identical label set, so it shares
+    // the recursive-closure oracle verbatim.
+    "q_dedup_clusters_star" -> clustersOracleSql,
 
     "q_contamination" ->
       """WITH fp AS (SELECT doc_id,

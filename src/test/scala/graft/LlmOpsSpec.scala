@@ -564,6 +564,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 10L)) // one survivor per cluster + untouched 4
   }
 
+  test("Dedup: clustersContract matches propagation labels and converges on a 1000-link chain") {
+    // Same mixed graph as the propagation test: identical label contract.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cl = Dedup.clustersContract(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    // The adversarial topology for propagation: one 1000-link chain
+    // (diameter 1000 ≫ propagation's default maxIter=20). Contraction must
+    // close it within its default O(log n) round budget. Links are shuffled
+    // and reversed so convergence can't ride on input ordering.
+    val chain = (1L until 1001L).map(i => if (i % 2 == 0) (i + 1, i) else (i, i + 1))
+    val chainDf = scala.util.Random.shuffle(chain).toDF("id_a", "id_b")
+    val labels = Dedup.clustersContract(chainDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 1001)
+    assert(labels.forall(_._2 == 1L))
+
+    // Propagation on the same chain fail-louds rather than truncating —
+    // the documented envelope that clustersContract exists to lift.
+    val ex = intercept[IllegalStateException](Dedup.clusters(chainDf, maxIter = 5).collect())
+    assert(ex.getMessage.contains("clustersContract"))
+
+    // Self-pairs / isolated nodes still get a (self-labeled) row.
+    val selfCl = Dedup.clustersContract(Seq((7L, 7L)).toDF("id_a", "id_b")).collect()
+    assert(selfCl.map(r => r.getLong(0) -> r.getLong(1)).toSeq == Seq(7L -> 7L))
+  }
+
   test("Pii: detection counts, ordered redaction, quarantine predicate") {
     val df = Seq(
       (1L, "email bob.smith+x@mail.example.org and ip 192.168.0.1"),
