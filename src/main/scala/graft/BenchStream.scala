@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.queries.Tpch
+import graft.streaming.{DedupStream, EventStream, NearDupStream, SessionStream}
+
+/**
+ * Streaming benchmark main — the stateful paths the unit specs exercise
+ * logically but never under load: cross-batch exact dedup, band-bucketed
+ * near-dup, custom-state sessionization, native session windows, watermarked
+ * tumbling windows, and the stream-stream interval join.
+ *
+ * Method: the input table is re-sharded into `shards` parquet files (written
+ * sequentially so modification times ascend in event-time order where order
+ * matters) and replayed through the file source with `maxFilesPerTrigger=1`
+ * under `Trigger.AvailableNow` — a multi-micro-batch replay in which state
+ * genuinely crosses batch boundaries, unlike a single-batch smoke run.
+ * Dedup inputs are the documents table unioned with id-shifted copies (a
+ * crawl feed re-serving the same content), so the state stores see real
+ * duplicate pressure and emit real drops/pairs.
+ *
+ * Per query we report wall seconds, input rows/sec, micro-batch count, and
+ * the final state-store footprint (`stateOperators` rows/bytes from the last
+ * progress) — the number that decides whether a TTL is needed at 100 TB.
+ * TTL variants run with a horizon longer than the bench so the measurement
+ * captures the bookkeeping overhead of timeout tracking, not mass eviction
+ * (eviction semantics are spec-tested; a bench that evicts everything would
+ * flatter state size while measuring nothing).
+ *
+ * Emits ONE JSON line and writes it to `BENCH_STREAM.json` in the cwd.
+ */
+object BenchStream {
+
+  private final case class Res(
+      name: String,
+      rowsIn: Long,
+      rowsOut: Long,
+      secs: Double,
+      batches: Int,
+      stateRows: Long,
+      stateBytes: Long) {
+    def json: String = {
+      val rps = if (secs > 0) rowsIn / secs else 0d
+      f""""$name":{"rows_in":$rowsIn,"rows_out":$rowsOut,"secs":$secs%.3f,""" +
+        f""""rows_per_sec":$rps%.0f,"batches":$batches,"state_rows":$stateRows,""" +
+        s""""state_bytes":$stateBytes}"""
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftExtensions.register(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val work = Files.createTempDirectory("graft-bench-stream").toString
+    val shards = 16
+
+    // ---- inputs -----------------------------------------------------------
+    // Documents × 4 id-shifted copies: every fingerprint/band bucket takes 4
+    // claimants across the replay, so dedup state does real cross-batch work.
+    val docs = Tpch.read(spark, sfDir, "documents").select("doc_id", "text")
+    val copies = 4
+    val docFeed = (0 until copies)
+      .map(k => docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val docDir = s"$work/docs"
+    docFeed.repartition(shards).write.parquet(docDir)
+    val docRows = copies.toLong * docs.count()
+
+    // Events re-sharded in EVENT-TIME order (sequential writes → ascending
+    // modification times → the file source replays time-ordered batches, so
+    // watermarks advance instead of declaring everything late).
+    val events = Tpch.read(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val evDir = s"$work/events"
+    val tiled = events
+      .withColumn("__b", ntile(shards).over(Window.orderBy("ts", "event_id")))
+      .persist()
+    val evRows = tiled.count()
+    (1 to shards).foreach { i =>
+      tiled.where(col("__b") === i).drop("__b")
+        .coalesce(1).write.mode("append").parquet(evDir)
+    }
+    tiled.unpersist()
+
+    def docStream: DataFrame = spark.readStream
+      .schema(spark.read.parquet(docDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docDir)
+
+    def evStream: DataFrame = spark.readStream
+      .schema(spark.read.parquet(evDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(evDir)
+
+    // ---- runner -----------------------------------------------------------
+    var n = 0
+    def run(name: String, rowsIn: Long)(out: DataFrame): Res = {
+      n += 1
+      val t0 = System.nanoTime()
+      val q = out.writeStream
+        .format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt$n")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.toSeq
+      val last = progress.lastOption
+      val stateRows = last.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      val stateBytes = last.map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+      val rowsOut = progress.map(p => math.max(0L, p.sink.numOutputRows)).sum
+      val batches = progress.count(_.numInputRows > 0)
+      val r = Res(name, rowsIn, rowsOut, secs, batches, stateRows, stateBytes)
+      println(s"  ${r.json}")
+      r
+    }
+
+    val tenMin = 10L * 60 * 1000 // TTL horizon > bench wall time: overhead, not eviction
+
+    val results = Seq(
+      run("dedup_exact", docRows)(
+        DedupStream.deduped(docStream.as[DedupStream.Doc]).toDF()),
+      run("dedup_exact_ttl", docRows)(
+        DedupStream.deduped(docStream.as[DedupStream.Doc], stateTtlMs = tenMin).toDF()),
+      run("neardup_simhash", docRows)(
+        NearDupStream.pairs(docStream.as[NearDupStream.Doc]).toDF()),
+      run("neardup_simhash_ttl", docRows)(
+        NearDupStream.pairs(docStream.as[NearDupStream.Doc], stateTtlMs = tenMin).toDF()),
+      run("sessionize_state", evRows)(
+        SessionStream.sessionize(
+          evStream.select(col("user_id"), col("ts"), col("value"))
+            .as[SessionStream.Event]).toDF()),
+      run("session_window_native", evRows)(EventStream.sessionWindowAgg(evStream)),
+      run("window_tumbling", evRows)(EventStream.windowedAgg(evStream)),
+      run("interval_join", evRows)(
+        EventStream.intervalJoin(
+          evStream.where(col("event_type") === "purchase"),
+          evStream.where(col("event_type") === "view"),
+          "user_id")))
+
+    val line =
+      s"""{"metric":"stream_total","value":${results.map(_.secs).sum},"unit":"sec",""" +
+        s""""streams":${results.map(_.json).mkString("{", ",", "}")},""" +
+        s""""shards":$shards,"sf":"$sfDir"}"""
+    println(line)
+    Files.writeString(Paths.get("BENCH_STREAM.json"), line + "\n")
+    spark.stop()
+  }
+}
