@@ -44,12 +44,17 @@ object BenchStream {
       secs: Double,
       batches: Int,
       stateRows: Long,
-      stateBytes: Long) {
+      stateBytes: Long,
+      stateRemoved: Long) {
     def json: String = {
       val rps = if (secs > 0) rowsIn / secs else 0d
-      f""""$name":{"rows_in":$rowsIn,"rows_out":$rowsOut,"secs":$secs%.3f,""" +
-        f""""rows_per_sec":$rps%.0f,"batches":$batches,"state_rows":$stateRows,""" +
-        s""""state_bytes":$stateBytes}"""
+      // Locale.ROOT: the f-interpolator formats with the JVM default locale,
+      // and a comma-decimal locale would emit invalid JSON.
+      def num(fmt: String, v: Double) =
+        String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+      s""""$name":{"rows_in":$rowsIn,"rows_out":$rowsOut,"secs":${num("%.3f", secs)},""" +
+        s""""rows_per_sec":${num("%.0f", rps)},"batches":$batches,"state_rows":$stateRows,""" +
+        s""""state_bytes":$stateBytes,"state_removed":$stateRemoved}"""
     }
   }
 
@@ -61,6 +66,10 @@ object BenchStream {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // recentProgress retains only this many entries (default 100); the
+      // rows_out/batches sums below read it, so keep it above any plausible
+      // batch count or a higher shard count would silently undercount.
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .getOrCreate()
     GraftExtensions.register(spark)
     spark.sparkContext.setLogLevel("WARN")
@@ -74,8 +83,12 @@ object BenchStream {
     // claimants across the replay, so dedup state does real cross-batch work.
     val docs = Tpch.read(spark, sfDir, "documents").select("doc_id", "text")
     val copies = 4
+    // Shift copies by max(doc_id)+1 so shifted ids can never collide with
+    // real ones at any scale factor (a hardcoded stride would silently
+    // corrupt the duplicate-pressure setup once doc_ids outgrow it).
+    val shift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val docFeed = (0 until copies)
-      .map(k => docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"), col("text")))
+      .map(k => docs.select((col("doc_id") + lit(k * shift)).as("doc_id"), col("text")))
       .reduce(_ unionByName _)
     val docDir = s"$work/docs"
     docFeed.repartition(shards).write.parquet(docDir)
@@ -124,20 +137,30 @@ object BenchStream {
       val last = progress.lastOption
       val stateRows = last.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
       val stateBytes = last.map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+      // Evictions accumulate per batch — sum across the replay, not last-only.
+      val stateRemoved = progress.map(_.stateOperators.map(_.numRowsRemoved).sum).sum
       val rowsOut = progress.map(p => math.max(0L, p.sink.numOutputRows)).sum
       val batches = progress.count(_.numInputRows > 0)
-      val r = Res(name, rowsIn, rowsOut, secs, batches, stateRows, stateBytes)
+      val r = Res(name, rowsIn, rowsOut, secs, batches, stateRows, stateBytes, stateRemoved)
       println(s"  ${r.json}")
       r
     }
 
     val tenMin = 10L * 60 * 1000 // TTL horizon > bench wall time: overhead, not eviction
+    val evictMs = 500L // TTL horizon ≪ replay wall time: measures MASS eviction
 
     val results = Seq(
       run("dedup_exact", docRows)(
         DedupStream.deduped(docStream.as[DedupStream.Doc]).toDF()),
       run("dedup_exact_ttl", docRows)(
         DedupStream.deduped(docStream.as[DedupStream.Doc], stateTtlMs = tenMin).toDF()),
+      // Short horizon: state written in early batches expires under the
+      // replay itself, so this line measures eviction work (timeout scans +
+      // removals) and the post-eviction steady-state footprint — the
+      // complement of the *_ttl lines, which measure timeout BOOKKEEPING.
+      // `state_removed` > 0 is the proof eviction actually fired.
+      run("dedup_exact_ttl_evict", docRows)(
+        DedupStream.deduped(docStream.as[DedupStream.Doc], stateTtlMs = evictMs).toDF()),
       run("neardup_simhash", docRows)(
         NearDupStream.pairs(docStream.as[NearDupStream.Doc]).toDF()),
       run("neardup_simhash_ttl", docRows)(
@@ -148,7 +171,10 @@ object BenchStream {
             .as[SessionStream.Event]).toDF()),
       run("session_window_native", evRows)(EventStream.sessionWindowAgg(evStream)),
       run("window_tumbling", evRows)(EventStream.windowedAgg(evStream)),
-      run("interval_join", evRows)(
+      // rows_in = 2×evRows: the two join sides are independent file sources
+      // over the same directory, so the query genuinely ingests every event
+      // twice — rows_per_sec must reflect actual ingest, not distinct rows.
+      run("interval_join", 2 * evRows)(
         EventStream.intervalJoin(
           evStream.where(col("event_type") === "purchase"),
           evStream.where(col("event_type") === "view"),

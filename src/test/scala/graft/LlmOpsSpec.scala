@@ -592,6 +592,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(selfCl.map(r => r.getLong(0) -> r.getLong(1)).toSeq == Seq(7L -> 7L))
   }
 
+  test("Dedup: clustersAuto falls back to contraction beyond the propagation budget") {
+    // Shallow graph: resolved inside the propagation budget, same labels.
+    val shallow = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cl = Dedup.clustersAuto(shallow).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    // A 200-link chain exceeds any propagation budget we'd configure; auto
+    // must complete via contraction instead of surfacing the fail-loud.
+    val chain = (1L until 201L).map(i => (i, i + 1))
+    val chainDf = scala.util.Random.shuffle(chain).toDF("id_a", "id_b")
+    val labels = Dedup.clustersAuto(chainDf, propagationRounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 201)
+    assert(labels.forall(_._2 == 1L))
+
+    // dropDuplicateClusters rides the auto path: a deep chain can no longer
+    // hit the diameter fail-loud (the round-5 envelope it shipped with).
+    val docs = (1L to 201L).toDF("doc_id")
+    val kept = Dedup.dropDuplicateClusters(docs, chainDf, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
   test("Pii: detection counts, ordered redaction, quarantine predicate") {
     val df = Seq(
       (1L, "email bob.smith+x@mail.example.org and ip 192.168.0.1"),
