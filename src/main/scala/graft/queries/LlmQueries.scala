@@ -279,6 +279,24 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Strategy auto-selection on an adversarially DEEP pair graph:
+    // consecutive-id chains within 100-id buckets (diameter ~99 ≫ the
+    // 4-round propagation budget), so the query converges only via the
+    // contraction fallback — the path dropDuplicateClusters now defaults to.
+    // Pair generation is one equi-join (no shingles): the line measures the
+    // clustering strategies, not candidate generation.
+    "q_dedup_clusters_auto" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id")
+      val pairs = d.select(col("doc_id").as("id_a"))
+        .withColumn("id_b", col("id_a") + 1)
+        .join(d.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+        .where(floor(col("id_a") / 100) === floor(col("id_b") / 100))
+        .select("id_a", "id_b")
+      Dedup.clustersAuto(pairs, propagationRounds = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: exact-fingerprint overlap between the
     // corpus and a planted eval set (every 10th doc, re-id'd)
     "q_contamination" -> ((s, dir) => {
@@ -725,6 +743,22 @@ object LlmQueries {
     // Contraction variant computes the identical label set, so it shares
     // the recursive-closure oracle verbatim.
     "q_dedup_clusters_star" -> clustersOracleSql,
+
+    // Auto-selection runs on consecutive-id chain pairs (deep topology);
+    // the closure oracle is the same recursive-CTE shape over those pairs.
+    "q_dedup_clusters_auto" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE floor(a.doc_id / 100) = floor(b.doc_id / 100)),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b AS src, id_a AS dst FROM p),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)
+        |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q_contamination" ->
       """WITH fp AS (SELECT doc_id,
