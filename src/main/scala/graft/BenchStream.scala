@@ -121,8 +121,19 @@ object BenchStream {
       .parquet(evDir)
 
     // ---- runner -----------------------------------------------------------
+    // Completion is detected from the progress stream (cumulative
+    // numInputRows == the expected ingest), then the query is stopped
+    // explicitly. Neither awaitTermination() nor processAllAvailable() works
+    // for the *_ttl configs: `FlatMapGroupsWithStateExec.shouldRunAnotherBatch`
+    // returns true UNCONDITIONALLY under ProcessingTimeTimeout, so AvailableNow
+    // never self-terminates and the engine never raises the noNewData flag
+    // processAllAvailable() blocks on — both spin ~2 no-data batches/sec
+    // forever waiting for timers (observed: 1,500+ empty batches). The
+    // measured window is input-processing time only; `graceMs` then holds
+    // the query open (unmeasured) so short-horizon eviction timers can fire
+    // before the state metrics are read.
     var n = 0
-    def run(name: String, rowsIn: Long)(out: DataFrame): Res = {
+    def run(name: String, rowsIn: Long, graceMs: Long = 0)(out: DataFrame): Res = {
       n += 1
       val t0 = System.nanoTime()
       val q = out.writeStream
@@ -131,8 +142,17 @@ object BenchStream {
         .option("checkpointLocation", s"$work/ckpt$n")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      def ingested: Long = q.recentProgress.map(_.numInputRows).sum
+      val deadline = System.nanoTime() + 10L * 60 * 1000000000L
+      while (q.isActive && ingested < rowsIn && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      if (q.isActive && ingested < rowsIn)
+        throw new IllegalStateException(
+          s"$name: replay ingested only $ingested of $rowsIn rows before the deadline")
       val secs = (System.nanoTime() - t0) / 1e9
+      if (graceMs > 0) Thread.sleep(graceMs)
+      q.stop()
+      q.awaitTermination()
       val progress = q.recentProgress.toSeq
       val last = progress.lastOption
       val stateRows = last.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
@@ -158,8 +178,10 @@ object BenchStream {
       // replay itself, so this line measures eviction work (timeout scans +
       // removals) and the post-eviction steady-state footprint — the
       // complement of the *_ttl lines, which measure timeout BOOKKEEPING.
-      // `state_removed` > 0 is the proof eviction actually fired.
-      run("dedup_exact_ttl_evict", docRows)(
+      // `state_removed` > 0 is the proof eviction actually fired. The grace
+      // window (6× the horizon) lets the final batches' timers fire in
+      // no-data batches before the metrics are read.
+      run("dedup_exact_ttl_evict", docRows, graceMs = 6 * evictMs)(
         DedupStream.deduped(docStream.as[DedupStream.Doc], stateTtlMs = evictMs).toDF()),
       run("neardup_simhash", docRows)(
         NearDupStream.pairs(docStream.as[NearDupStream.Doc]).toDF()),
