@@ -70,7 +70,26 @@ object GraftExtensions {
     ("lang_id", DocKernels.langIdInfo,
       arity("lang_id", 1)(c => DocKernels.LangId(c(0)))),
     ("pii_pseudonymize", graft.expressions.PiiKernels.pseudonymizeInfo,
-      arity("pii_pseudonymize", 1)(c => graft.expressions.Pseudonymize(c(0)))))
+      arity("pii_pseudonymize", 1)(c => graft.expressions.Pseudonymize(c(0)))),
+    // Bridges to Spark's native Bloom-filter expressions (the pair
+    // InjectRuntimeFilter plans internally, exposed as callable functions so
+    // operators can build the sketch-prefilter shape explicitly):
+    // bloom_build(xxhash64(v), estItems, numBits) aggregates a serialized
+    // sketch; bloom_probe(sketchBinary, xxhash64(v)) is the codegen'd
+    // membership predicate.
+    ("bloom_build",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_build"),
+      arity("bloom_build", 3)(c =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          c(0), c(1), c(2)))),
+    ("bloom_probe",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_probe"),
+      arity("bloom_probe", 2)(c =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(c(0), c(1)))))
 
   /** Runtime registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -648,6 +648,52 @@ object Dedup {
       .select("corpus_id", "eval_id")
 
   /**
+   * [[crossContamination]] with a Bloom-filter pre-filter on the corpus
+   * side — the shape that matters at 100 TB, where the training corpus is
+   * the full table scan and the eval set is a few thousand documents. A
+   * Bloom filter over the eval fingerprints (built by a distributed
+   * aggregate, sized from the eval count at `fpp`) is applied to every
+   * corpus row BEFORE the shuffle, so only the ~fpp false-positive fraction
+   * plus the true matches are ever hashed into the join exchange; the
+   * equi-join then removes the false positives, making the RESULT exactly
+   * [[crossContamination]]'s. This is the same plan Spark's own
+   * InjectRuntimeFilter builds for selective joins, constructed explicitly
+   * so the pushdown is guaranteed rather than cost-model-dependent.
+   *
+   * Driver traffic is one eval-side count and the serialized sketch
+   * (`optimalNumOfBits(n, fpp)` bits ≈ 120 KB at n=100k, fpp=1%) — bounded
+   * by the eval set, never the corpus. Fails loudly past Spark's
+   * 67,108,864-bit aggregate cap (an eval set of ~7M items at 1% — far
+   * beyond any benchmark suite) rather than silently degrading.
+   *
+   * Requires [[graft.GraftExtensions.register]] (the `bloom_build` /
+   * `bloom_probe` bridges to Spark's native Bloom expressions).
+   */
+  def crossContaminationBloom(
+      corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, fpp: Double = 0.01): DataFrame = {
+    val ev = evalSet
+      .select(col(idCol).as("eval_id"), TextOps.fingerprint(col(textCol)).as("_fp"))
+      .persist()
+    try {
+      val n = ev.count()
+      if (n == 0) return crossContamination(corpus, evalSet, idCol, textCol)
+      val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+      // Bounded collect: the sketch bytes only — the literal form
+      // BloomFilterMightContain requires (a constant or scalar subquery).
+      val sketch = ev
+        .agg(call_function("bloom_build",
+          xxhash64(col("_fp")), lit(n), lit(numBits)).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      corpus
+        .select(col(idCol).as("corpus_id"), TextOps.fingerprint(col(textCol)).as("_fp"))
+        .where(call_function("bloom_probe", lit(sketch), xxhash64(col("_fp"))))
+        .join(ev, "_fp")
+        .select("corpus_id", "eval_id")
+    } finally ev.unpersist()
+  }
+
+  /**
    * 32-bit SimHash sketch per document: each token's 32-bit hash votes
    * ±count on every bit position; the sketch keeps the sign. Documents
    * within a small Hamming distance are near-duplicates. Emitted as a long.

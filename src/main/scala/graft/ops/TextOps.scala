@@ -545,4 +545,50 @@ object TextOps {
       .withColumn("keep", col("reasons") === "")
       .select(col(idCol), col("keep"), col("reasons"))
   }
+
+  /**
+   * Per-document perplexity under an add-one-smoothed unigram language model
+   * learned from `lmCorpus` — the classic CCNet-style quality signal
+   * (documents far from the training distribution score high). With the LM
+   * trained on clean text and scored over a crawl, high-perplexity documents
+   * are gibberish/boilerplate candidates; `lmCorpus` defaults to `df` itself
+   * (self-scored corpus profiling).
+   *
+   * Model: p(tok) = (count(tok) + 1) / (T + V + 1) where T = total LM
+   * tokens, V = distinct LM tokens; unseen tokens take count 0. Output per
+   * document: token count, average negative log-likelihood (nats, rounded
+   * to 4 dp), and perplexity exp(avgNll) (rounded to 2 dp). Rounding makes
+   * the doubles stable across engines and aggregation orders (ln/exp are
+   * within-ulp across libms; partial-sum order perturbs ~1e-14 relative —
+   * both far below the rounding grain).
+   *
+   * Scale shape: the LM is a token-level two-stage aggregate; scoring is an
+   * equi-join on token (AQE broadcasts when the vocabulary is small) plus
+   * one per-doc aggregate. The (T, V) totals ride a broadcast cross-join of
+   * a one-row frame — no scalar ever collects to the driver. Docs with null
+   * text have no tokens and drop from the output (same convention as
+   * [[vocabCoverage]]).
+   */
+  def unigramPerplexity(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      lmCorpus: org.apache.spark.sql.DataFrame = null): org.apache.spark.sql.DataFrame = {
+    def toks(d: org.apache.spark.sql.DataFrame) =
+      d.where(col(textCol).isNotNull)
+        .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val lm = toks(Option(lmCorpus).getOrElse(df))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val totals = lm.agg(
+      sum(col("cnt")).as("_t"), count(lit(1)).as("_v"))
+    toks(df)
+      .join(lm, Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("_lp",
+        log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
+          (col("_t") + col("_v") + lit(1L)).cast("double")))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(-avg(col("_lp")), 4).as("avg_nll"),
+        round(exp(-avg(col("_lp"))), 2).as("ppl"))
+  }
 }

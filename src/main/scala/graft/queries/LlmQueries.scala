@@ -307,6 +307,19 @@ object LlmQueries {
         .orderBy("corpus_id", "eval_id")
     }),
 
+    // Decontamination with the Bloom pre-filter applied to the corpus side
+    // BEFORE the join shuffle (the 100 TB shape: corpus scan → sketch probe
+    // → only matches+false-positives reach the exchange). Same exact result
+    // as q_contamination — the join removes the false positives.
+    "q_contamination_bloom" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val d = docs(s, dir)
+      val evalSet = d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      Dedup.crossContaminationBloom(d, evalSet, "doc_id", "text")
+        .orderBy("corpus_id", "eval_id")
+    }),
+
     // SimHash sketches (32-bit, token-count weighted)
     "q_dedup_simhash" -> ((s, dir) => {
       GraftExtensions.register(s)
@@ -613,6 +626,12 @@ object LlmQueries {
       TextOps.vocabCoverage(docs(s, dir), "doc_id", "text", vocabSize = 300)
         .orderBy("doc_id")),
 
+    // Per-doc perplexity under a self-trained add-one unigram LM — the
+    // CCNet-style distribution-distance quality signal
+    "q_text_perplexity" -> ((s, dir) =>
+      TextOps.unigramPerplexity(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Distinctive keywords: each doc's 3 rarest-then-most-frequent tokens
     // (integer-ranked TF-IDF ordering, no logarithms)
     "q_text_keywords" -> ((s, dir) =>
@@ -761,6 +780,18 @@ object LlmQueries {
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q_contamination" ->
+      """WITH fp AS (SELECT doc_id,
+        |              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |            FROM documents),
+        |ev AS (SELECT doc_id + 5000000 AS eval_id, f FROM fp WHERE doc_id % 10 = 0)
+        |SELECT fp.doc_id AS corpus_id, ev.eval_id
+        |FROM fp JOIN ev ON fp.f = ev.f
+        |ORDER BY corpus_id, eval_id""".stripMargin,
+
+    // The Bloom pre-filter is a plan-level optimization; the result is
+    // exactly the exact-contamination join (false positives are removed by
+    // the verifying equi-join), so the oracle is the same SQL.
+    "q_contamination_bloom" ->
       """WITH fp AS (SELECT doc_id,
         |              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
         |            FROM documents),
@@ -1277,6 +1308,18 @@ object LlmQueries {
         |SELECT doc_id, count(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
         |       CAST(SUM(oov) AS DOUBLE) / count(*) AS oov_frac
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_perplexity" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |lm AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tt, count(*) AS v FROM lm),
+        |sc AS (SELECT t.doc_id,
+        |         ln(CAST(lm.cnt + 1 AS DOUBLE) / CAST(tot.tt + tot.v + 1 AS DOUBLE)) AS lp
+        |       FROM t JOIN lm USING (token) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       round(-avg(lp), 4) AS avg_nll,
+        |       round(exp(-avg(lp)), 2) AS ppl
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

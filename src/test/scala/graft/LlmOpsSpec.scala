@@ -616,6 +616,63 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("Dedup: bloom-prefiltered decontamination matches the exact join, and prunes pre-shuffle") {
+    val corpus = Seq(
+      (1L, "the quick brown fox"), (2L, "held out eval text"),
+      (3L, "unrelated corpus doc"), (4L, "Held   OUT eval text")) // normalizes to doc 2
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, "held out EVAL text"), (101L, "never in corpus"))
+      .toDF("doc_id", "text")
+
+    val exact = Dedup.crossContamination(corpus, evalSet, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = Dedup.crossContaminationBloom(corpus, evalSet, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((2L, 100L), (4L, 100L)))
+    assert(bloom == exact)
+
+    // The probe must sit on the corpus scan side — BEFORE the join exchange —
+    // or the sketch saved nothing at 100 TB. A Range-backed corpus keeps the
+    // plan honest: a literal fixture collapses into a pre-evaluated
+    // LocalTableScan (ConvertToLocalRelation runs the pushed-down probe at
+    // optimize time), hiding the filter from the plan string.
+    val rangeCorpus = spark.range(0, 1000)
+      .select(col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"))
+    val rangeEval = Seq((9000L, "doc 5")).toDF("doc_id", "text")
+    val pruned = Dedup.crossContaminationBloom(rangeCorpus, rangeEval, "doc_id", "text")
+    assert(pruned.queryExecution.executedPlan.toString.contains("might_contain"))
+    assert(pruned.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 9000L)))
+
+    // Empty eval set: degenerate case returns no rows rather than building
+    // a zero-item sketch.
+    val emptyEval = evalSet.where(lit(false))
+    assert(Dedup.crossContaminationBloom(corpus, emptyEval, "doc_id", "text").isEmpty)
+  }
+
+  test("TextOps: unigram perplexity — uniform corpus scores 1:1 with hand-computed model") {
+    // Two docs over a 2-token vocabulary: a=3, b=1 → T=4, V=2.
+    // p(a)=(3+1)/7, p(b)=(1+1)/7.
+    val df = Seq((1L, "a a b"), (2L, "a")).toDF("doc_id", "text")
+    val out = TextOps.unigramPerplexity(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val pa = 4.0 / 7.0
+    val pb = 2.0 / 7.0
+    val nll1 = -(2 * math.log(pa) + math.log(pb)) / 3
+    val nll2 = -math.log(pa)
+    assert(out(0).getLong(1) == 3 && out(1).getLong(1) == 1)
+    assert(math.abs(out(0).getDouble(2) - nll1) < 5e-5)
+    assert(math.abs(out(1).getDouble(2) - nll2) < 5e-5)
+    assert(math.abs(out(0).getDouble(3) - math.exp(nll1)) < 5e-3)
+
+    // Scoring a foreign doc against an external LM: unseen tokens take the
+    // add-one floor, so an out-of-distribution doc scores strictly higher.
+    val lm = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val scored = TextOps.unigramPerplexity(
+      Seq((10L, "a a"), (11L, "z z")).toDF("doc_id", "text"), "doc_id", "text", lm)
+      .orderBy("doc_id").collect()
+    assert(scored(0).getDouble(3) < scored(1).getDouble(3))
+  }
+
   test("Pii: detection counts, ordered redaction, quarantine predicate") {
     val df = Seq(
       (1L, "email bob.smith+x@mail.example.org and ip 192.168.0.1"),
