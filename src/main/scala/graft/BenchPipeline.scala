@@ -2,34 +2,109 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.FinOps
 import graft.pipeline.FinancialPipeline
 import graft.queries.Tpch
+import graft.report.ReportRenderer
 
 /**
- * End-to-end pipeline benchmark — the full flagship DAG the per-operator
- * bench never times as a whole: canonical transactions → statement-batch
- * split → [[FinancialPipeline.runBatch]] (analyze every per-statement
- * analytic, assemble the nested report, write report JSON, upsert the new
- * statement items into the partitioned statements table) plus the chart-data
- * layer. The per-operator suite measures each analytic in isolation; this
- * measures the composed DAG — shared-subplan reuse, the report-key shuffle
- * that [[FinancialPipeline.assembleReport]] is designed to share across its
- * five roll-ups, and the real sink costs (JSON write, parquet upsert).
+ * End-to-end pipeline benchmark — times the full flagship DAG the unit and
+ * golden specs only exercise at fixture scale (36 rows): history read →
+ * analyze (all eight analytics) → report assembly → JSON report write →
+ * statements-table upsert → chart-data derivation → per-user HTML render.
+ * This is the whole of the reference's `lambda_handler` (LF:483-554) as one
+ * distributed batch, measured at the driver's scale factor.
  *
- * Method: the LAST 12 statement months at the bench scale factor form the
- * incoming batch (a multi-month batch exercises the per-(user, month)
- * scoping paths); all earlier months are seeded — untimed — into the
- * statements table first, since in production the accumulated table is
- * pre-existing state, not batch work. Timed: `runBatch` end to end, then
- * the chart-data frame to a noop sink.
+ * Setup (unmeasured, like a deployment whose statements table already
+ * exists): the canonical transaction frame is split on its maximum
+ * yearMonth — the latest month plays the freshly-ingested statement batch,
+ * everything earlier is upserted into a statements table first. The measured
+ * phases then are:
+ *
+ *  - `run_batch`  — [[FinancialPipeline.runBatch]]: history load+persist, the
+ *    eight analytics, report assembly, the JSON report write, and the
+ *    last-writer-wins upsert of the new month. The report write forces every
+ *    per-month analytic exactly once.
+ *  - `render_charts` — [[FinancialPipeline.chartData]] over the same results
+ *    plus [[ReportRenderer.write]]: the long-format chart frame re-forces the
+ *    analytics (from the persisted history) and fans out one HTML document
+ *    per user-month via `groupByKey.mapGroups`.
+ *
+ * A full pass at sf0.001 first warms codegen/datasource one-time costs so
+ * the measured numbers are warm times (same rationale as [[Bench]]).
  *
  * Emits ONE JSON line and writes it to `BENCH_PIPELINE.json` in the cwd.
  */
 object BenchPipeline {
+
+  private def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** One full pass at `sfDir`; returns (phase → secs, counters). */
+  private def pass(spark: SparkSession, sfDir: String): (Seq[(String, Double)], Map[String, Long]) = {
+    val work = Files.createTempDirectory("graft-bench-pipeline").toString
+    val statementsPath = s"$work/statements"
+    val reportPath = s"$work/reports"
+    val chartsPath = s"$work/charts"
+
+    val tx = Tpch.ordersTx(spark, sfDir)
+    // The statement batch is the latest FULL month: TPC-H orders end Aug 2
+    // 1998, so the raw max(yearMonth) holds ~2% of a month's rows — a
+    // 64-row batch against 150k history measures nothing. "Full" = at least
+    // half the peak monthly volume; latest such month wins.
+    val counts = tx.groupBy("yearMonth").count()
+    val peak = counts.agg(max("count")).head().getLong(0)
+    val batchYm = counts.where(col("count") >= peak / 2)
+      .agg(max("yearMonth")).head().getString(0)
+    val cur = tx.where(col("yearMonth") === batchYm)
+    val hist = tx.where(col("yearMonth") =!= batchYm)
+
+    // Unmeasured seed: the pre-existing statements table. (Timed anyway and
+    // reported as `seed_history` for context — it is a one-time table build,
+    // not per-batch work.)
+    val (_, tSeed) = time {
+      FinOps.upsertStatements(FinOps.toStatementItems(hist), statementsPath, spark)
+    }
+    System.err.println(f"[pipeline] $sfDir seed_history ${tSeed}%.1fs")
+
+    val (results, tBatch) = time {
+      FinancialPipeline.runBatch(cur, statementsPath, Some(reportPath), spark)
+    }
+    System.err.println(f"[pipeline] $sfDir run_batch ${tBatch}%.1fs")
+
+    // Chart rendering is scoped to the batch's users (the reference renders
+    // charts only for the statement groups it processed, LF:511-521);
+    // unscoped, every historical user gets a monthly-trend-only document.
+    val (_, tCharts) = time {
+      ReportRenderer.write(
+        FinancialPipeline.chartData(results)
+          .join(cur.select("userId").distinct(), Seq("userId"), "left_semi"),
+        chartsPath)
+    }
+    System.err.println(f"[pipeline] $sfDir render_charts ${tCharts}%.1fs")
+
+    val counters = Map(
+      "cur_rows" -> cur.count(),
+      "hist_rows" -> hist.count(),
+      "report_rows" -> spark.read.json(reportPath).count(),
+      // one partition dir per rendered user-month document
+      "chart_docs" -> spark.read.text(chartsPath)
+        .select("userId", "yearMonth").distinct().count())
+
+    // Release the per-pass persisted history so the sf0.001 warm pass leaves
+    // no block-manager residue in the measured pass (Bench.scala rationale).
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+
+    (Seq("seed_history" -> tSeed, "run_batch" -> tBatch, "render_charts" -> tCharts),
+      counters)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -42,45 +117,22 @@ object BenchPipeline {
     GraftExtensions.register(spark)
     spark.sparkContext.setLogLevel("WARN")
 
-    val work = Files.createTempDirectory("graft-bench-pipeline").toString
-    val statementsPath = s"$work/statements"
-    val reportPath = s"$work/report"
+    val warm = "/root/testdata/sf0.001"
+    if (new java.io.File(warm).isDirectory && warm != sfDir)
+      try pass(spark, warm) catch { case _: Throwable => () }
 
-    val tx = Tpch.ordersTx(spark, sfDir)
-    val months = tx.select("yearMonth").distinct()
-      .orderBy(desc("yearMonth")).limit(12)
-      .collect().map(_.getString(0)) // bounded: one row per month
-    val cutoff = months.min
-    val cur = tx.where(col("yearMonth") >= cutoff)
-    val hist = tx.where(col("yearMonth") < cutoff)
+    val (phases, counters) = pass(spark, sfDir)
 
-    // Seed the pre-existing statements table from history (untimed).
-    FinOps.upsertStatements(FinOps.toStatementItems(hist), statementsPath, spark)
-    val curRows = cur.count()
-    val histRows = hist.count()
-
-    // Timed: the whole batch DAG — analyze + report assembly + JSON report
-    // write + statement upsert (exactly the reference's lambda_handler body).
-    val t0 = System.nanoTime()
-    val results = FinancialPipeline.runBatch(
-      cur, statementsPath, Some(reportPath), spark, reportMode = "overwrite")
-    val batchSecs = (System.nanoTime() - t0) / 1e9
-
-    // Timed: the chart/report data layer (S7/S8's engine-side work).
-    val t1 = System.nanoTime()
-    FinancialPipeline.chartData(results)
-      .write.format("noop").mode("overwrite").save()
-    val chartSecs = (System.nanoTime() - t1) / 1e9
-
-    val reportRows = spark.read.json(reportPath).count()
-
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val measured = phases.collect { case (k, v) if k != "seed_history" => v }.sum
+    val phaseJson = phases.map { case (k, v) => s""""$k":${num(v)}""" }.mkString("{", ",", "}")
+    val counterJson = counters.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"pipeline_batch","value":${num(batchSecs + chartSecs)},"unit":"sec",""" +
-        s""""batch_secs":${num(batchSecs)},"chart_secs":${num(chartSecs)},""" +
-        s""""cur_rows":$curRows,"hist_rows":$histRows,"report_rows":$reportRows,""" +
-        s""""batch_months":${months.length},"sf":"$sfDir"}"""
+      s"""{"metric":"pipeline_total","value":${num(measured)},"unit":"sec",""" +
+        s""""phases":$phaseJson,"counters":$counterJson,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("BENCH_PIPELINE.json"), line + "\n")
     spark.stop()

@@ -545,8 +545,14 @@ object FinOps {
    * explosion. Within a user partition, yearMonth is a normal column and
    * parquet min/max stats still skip files on month predicates.
    */
+  /** Cluster by the partition column before a partitioned write: without it
+    * every task holding any of a user's rows opens its own file in that
+    * user's directory — N_tasks × N_users tiny files (48k observed at sf0.1,
+    * minutes of commit overhead locally; a small-files explosion and
+    * NameNode/listing pressure at 100 TB). Repartitioned, each user lands in
+    * exactly one task → exactly one file per user directory per write. */
   def writeStatements(items: DataFrame, path: String): Unit =
-    items.write
+    items.repartition(col("userId")).write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("userId")
