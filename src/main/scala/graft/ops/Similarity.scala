@@ -245,4 +245,56 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /**
+   * SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+   * arXiv:2303.09540): assign every embedding to its k-means cell
+   * ([[ivfAssign]] over [[trainCentroids]] output), then compare pairs ONLY
+   * within a cell — the clustering bound is what makes semantic dedup
+   * tractable at corpus scale: the pair search is an equi-join on the cell
+   * id costing Σ|cell|² instead of N², and with √N balanced cells that is
+   * ~N^1.5 spread across the cluster. Emits `(id_a, id_b, cos)` for pairs
+   * with exact quantized cosine ≥ `threshold` (id_a < id_b).
+   *
+   * Same-cell is the SemDeDup contract, not an approximation knob: the
+   * published method also only dedups within a cluster (true duplicates
+   * straddling a cell boundary are the quantizer's recall trade, improved
+   * by more k-means iterations, not by widening the join).
+   */
+  def semanticNearDuplicates(
+      emb: DataFrame, centroids: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = ivfAssign(emb, centroids, idCol, vecCol)
+      .select(col("vec_id"), col("cell"))
+    val sig = emb
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(cells, "vec_id")
+    val a = sig.select(col("cell"), col("vec_id").as("id_a"), col("v").as("v_a"))
+    val b = sig.select(col("cell"), col("vec_id").as("id_b"), col("v").as("v_b"))
+    a.join(b, "cell")
+      .where(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        cosine(
+          dotQ(col("v_a"), col("v_b")),
+          dotQ(col("v_a"), col("v_a")),
+          dotQ(col("v_b"), col("v_b"))).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /**
+   * Semantic deduplication: keeps one representative (the minimum id) per
+   * connected group of [[semanticNearDuplicates]] pairs. Chains are closed
+   * with [[Dedup.clustersAuto]] (propagation fast path, contraction
+   * fallback), so a long a~b~c~… similarity chain collapses to one survivor
+   * no matter its depth.
+   */
+  def semanticDedup(
+      emb: DataFrame, centroids: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Dedup.dropDuplicateClusters(
+      emb,
+      semanticNearDuplicates(emb, centroids, threshold, idCol, vecCol)
+        .select(col("id_a"), col("id_b")),
+      idCol)
 }

@@ -307,6 +307,21 @@ object LlmQueries {
         .orderBy("corpus_id", "eval_id")
     }),
 
+    // SemDeDup-style semantic dedup pairs: k-means cells bound the pair
+    // search (equi-join on cell), exact quantized cosine verifies. The
+    // quantizer is trained on the base corpus and the dedup runs over the
+    // base ∪ planted id-shifted copies (the synthetic embeddings have no
+    // organic near-dups — max in-cell cosine 0.51); identical copies land
+    // in their original's cell, so the operator must recover every plant.
+    "q_embed_semdedup" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = emb(s, dir).select("vec_id", "embedding")
+      Similarity.semanticNearDuplicates(
+        embWithDups(s, dir).select("vec_id", "embedding"),
+        Similarity.trainCentroids(e, 8, 2), threshold = 0.95)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Decontamination with the Bloom pre-filter applied to the corpus side
     // BEFORE the join shuffle (the 100 TB shape: corpus scan → sketch probe
     // → only matches+false-positives reach the exchange). Same exact result
@@ -1046,6 +1061,34 @@ object LlmQueries {
     "q_sim_kmeans" ->
       s"""WITH ${kmeansCtes(8)}
          |SELECT CAST(cid AS INT) AS cid, CAST(d AS INT) AS d, c FROM f2 ORDER BY cid, d""".stripMargin,
+
+    "q_embed_semdedup" ->
+      s"""WITH ${kmeansCtes(8)},
+         |allv AS (SELECT vec_id, embedding FROM embeddings
+         |         UNION ALL
+         |         SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),
+         |${compCte("compall", "allv")},
+         |cent AS (SELECT cid, d, q FROM c2),
+         |adot AS (SELECT c.vec_id, ct.cid, SUM(c.q * ct.q) AS cdot
+         |         FROM compall c JOIN cent ct ON ct.d = c.d GROUP BY c.vec_id, ct.cid),
+         |acell AS (SELECT vec_id, cid AS cell FROM (
+         |            SELECT vec_id, cid,
+         |                   row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS rn
+         |            FROM adot) WHERE rn = 1),
+         |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM acell a JOIN acell b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |pd AS (SELECT c.id_a, c.id_b, SUM(ca.q * cb.q) AS dot
+         |       FROM cand c
+         |       JOIN compall ca ON ca.vec_id = c.id_a
+         |       JOIN compall cb ON cb.vec_id = c.id_b AND cb.d = ca.d
+         |       GROUP BY c.id_a, c.id_b),
+         |norm AS (SELECT vec_id, SUM(q * q) AS n2 FROM compall GROUP BY vec_id),
+         |cosv AS (SELECT p.id_a, p.id_b,
+         |           CAST(p.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+         |         FROM pd p
+         |         JOIN norm na ON na.vec_id = p.id_a
+         |         JOIN norm nb ON nb.vec_id = p.id_b)
+         |SELECT id_a, id_b, cos FROM cosv WHERE cos >= 0.95 ORDER BY id_a, id_b""".stripMargin,
 
     "q_sim_ivf_trained" ->
       s"""WITH ${kmeansCtes(8)},

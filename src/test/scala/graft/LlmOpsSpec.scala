@@ -649,6 +649,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(Dedup.crossContaminationBloom(corpus, emptyEval, "doc_id", "text").isEmpty)
   }
 
+  test("Similarity: semantic dedup pairs within cells only; one survivor per similarity group") {
+    val embs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.999f, 0.01f, 0f, 0f)),  // ~v1 (cos ≈ 0.9999)
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0.01f, 0.999f, 0f, 0f)),  // ~v3
+      (5L, Array(0f, 0f, 1f, 0f)))         // singleton cell
+      .toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0, Array(1f, 0f, 0f, 0f)),
+      (1, Array(0f, 1f, 0f, 0f)),
+      (2, Array(0f, 0f, 1f, 0f)))
+      .toDF("cid", "cvec")
+
+    val pairs = Similarity.semanticNearDuplicates(embs, cents, 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+
+    val kept = Similarity.semanticDedup(embs, cents, 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
   test("TextOps: unigram perplexity — uniform corpus scores 1:1 with hand-computed model") {
     // Two docs over a 2-token vocabulary: a=3, b=1 → T=4, V=2.
     // p(a)=(3+1)/7, p(b)=(1+1)/7.
