@@ -316,9 +316,11 @@ object LlmQueries {
     "q_embed_semdedup" -> ((s, dir) => {
       GraftExtensions.register(s)
       val e = emb(s, dir).select("vec_id", "embedding")
+      // k = 32 cells: cell count should grow with the corpus (√N guidance);
+      // more cells = quadratically fewer within-cell candidate pairs.
       Similarity.semanticNearDuplicates(
         embWithDups(s, dir).select("vec_id", "embedding"),
-        Similarity.trainCentroids(e, 8, 2), threshold = 0.95)
+        Similarity.trainCentroids(e, 32, 2), threshold = 0.95)
         .orderBy("id_a", "id_b")
     }),
 
@@ -1063,7 +1065,7 @@ object LlmQueries {
          |SELECT CAST(cid AS INT) AS cid, CAST(d AS INT) AS d, c FROM f2 ORDER BY cid, d""".stripMargin,
 
     "q_embed_semdedup" ->
-      s"""WITH ${kmeansCtes(8)},
+      s"""WITH ${kmeansCtes(32)},
          |allv AS (SELECT vec_id, embedding FROM embeddings
          |         UNION ALL
          |         SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),
