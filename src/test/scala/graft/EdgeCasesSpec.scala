@@ -91,6 +91,24 @@ class EdgeCasesSpec extends SparkSpec {
     assert(sig.getAs[Long]("n_tokens") == 1L && sig.isNullAt(sig.fieldIndex("dup_2gram_frac")))
   }
 
+  test("round-6 ops behave on empty and degenerate input") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // Empty corpus AND empty eval set — the bloom path must not try to size
+    // a zero-item sketch.
+    assert(graft.ops.Dedup
+      .crossContaminationBloom(empty, empty, "doc_id", "text").isEmpty)
+    // Perplexity: empty corpus → empty output; null text drops its doc, the
+    // rest score normally.
+    assert(graft.ops.TextOps.unigramPerplexity(empty, "doc_id", "text").isEmpty)
+    val withNull = Seq((1L, "a b"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val scored = graft.ops.TextOps.unigramPerplexity(withNull, "doc_id", "text").collect()
+    assert(scored.map(_.getLong(0)).toSeq == Seq(1L))
+    // Semantic dedup with no pairs above threshold keeps everything.
+    val embs = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1f, 0f)), (1, Array(0f, 1f))).toDF("cid", "cvec")
+    assert(graft.ops.Similarity.semanticDedup(embs, cents, 0.95).count() == 2L)
+  }
+
   test("exact per-group sampling: full n per big group, whole group when smaller") {
     val df = ((1 to 10).map(i => (i.toLong, "big")) ++ Seq((100L, "tiny"), (101L, "tiny")))
       .toDF("doc_id", "grp")

@@ -48,6 +48,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!rj.contains("BroadcastNestedLoopJoin"), s"range join planned a nested loop:\n$rj")
   }
 
+  test("round-6 additions: cell-bounded semdedup, bloom probe, perplexity partial-agg") {
+    // SemDeDup's pair search must be an equi-join on the cell id — the
+    // clustering bound is the whole point; a cartesian would be N².
+    val sd = plan("q_embed_semdedup")
+    assert(!sd.contains("CartesianProduct"), s"semdedup planned a cartesian:\n$sd")
+    // The bloom probe must appear in the plan at all (a filter on the
+    // corpus side, before the verifying join).
+    val cb = plan("q_contamination_bloom")
+    assert(cb.contains("might_contain"), s"bloom probe missing from plan:\n$cb")
+    // Perplexity's LM aggregate must partial-aggregate map-side (two
+    // HashAggregate stages around its exchange), and join the LM by key —
+    // never nested-loop the vocabulary.
+    val pp = plan("q_text_perplexity")
+    assert(!pp.contains("CartesianProduct"), s"perplexity planned a cartesian:\n$pp")
+    assert(pp.contains("partial_count") || pp.contains("HashAggregate"), pp)
+  }
+
   test("similarity scoring cross-products are broadcast-side only") {
     // Scoring every (vector, centroid/query) combination IS a cross product —
     // correct only as a BroadcastNestedLoopJoin whose build side is the small

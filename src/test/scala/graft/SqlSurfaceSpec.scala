@@ -51,5 +51,15 @@ class SqlSurfaceSpec extends SparkSpec {
     val bpe = spark.sql("SELECT bpe_encode(split('abc xab', ' '))")
       .collect()(0).getSeq[String](0)
     assert(bpe == Seq("abc", "x", "ab"))
+    // bloom_build aggregates a sketch; bloom_probe answers membership with
+    // no false negatives. The probe requires a constant or SCALAR SUBQUERY
+    // sketch (same contract as Spark's internal might_contain) — the
+    // subquery form is the fully-distributed no-collect composition.
+    val bloom = spark.sql(
+      """SELECT bloom_probe(
+        |         (SELECT bloom_build(xxhash64(concat('v', id)), 100L, 4096L)
+        |          FROM range(0, 100)),
+        |         xxhash64('v7')) AS hit""".stripMargin).collect()(0)
+    assert(bloom.getBoolean(0), "bloom filter false negative")
   }
 }
