@@ -547,6 +547,50 @@ object TextOps {
   }
 
   /**
+   * Context-window chunking: splits each document into overlapping
+   * fixed-token-budget chunks — the step every training pipeline runs
+   * between curation and packing, because documents longer than the model's
+   * context must be cut and a cut mid-thought loses the boundary tokens
+   * unless consecutive chunks overlap.
+   *
+   * Chunk i covers tokens `[i·stride, i·stride + chunkTokens)` with
+   * `stride = chunkTokens − overlap`; the last chunk starts at the final
+   * stride position that still holds unseen tokens, so every token appears
+   * in ≥ 1 chunk and no two chunks are identical. A document shorter than
+   * `chunkTokens` yields itself as chunk 0. Null-text documents drop (same
+   * convention as the other tokenizing ops).
+   *
+   * Output: `(idCol, chunk_no, chunk_text, n_tokens)` — `chunk_no` is
+   * 0-based and dense. Purely per-document: one projection + one explode,
+   * NO shuffle (plan: Scan → Project → Generate), so it streams at scan
+   * speed over 100 TB.
+   */
+  def chunkDocuments(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    val ts = tokens(col(textCol))
+    // number of chunks = 1 + ceil(max(0, n - chunkTokens) / stride)
+    val n = size(ts)
+    val nChunks = lit(1) +
+      ceil((greatest(n - chunkTokens, lit(0))).cast("double") / stride).cast("int")
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), ts.as("_ts"), nChunks.as("_nc"))
+      .select(col(idCol), col("_ts"),
+        explode(sequence(lit(0), col("_nc") - 1)).as("chunk_no"))
+      .select(
+        col(idCol),
+        col("chunk_no"),
+        array_join(slice(col("_ts"), col("chunk_no") * stride + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(size(col("_ts")) - col("chunk_no") * stride, lit(chunkTokens))
+          .as("n_tokens"))
+  }
+
+  /**
    * Per-document perplexity under an add-one-smoothed unigram language model
    * learned from `lmCorpus` — the classic CCNet-style quality signal
    * (documents far from the training distribution score high). With the LM
@@ -585,6 +629,61 @@ object TextOps {
       .withColumn("_lp",
         log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
           (col("_t") + col("_v") + lit(1L)).cast("double")))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(-avg(col("_lp")), 4).as("avg_nll"),
+        round(exp(-avg(col("_lp"))), 2).as("ppl"))
+  }
+
+  /**
+   * Per-document perplexity under an add-one-smoothed BIGRAM language model
+   * — one LM order up from [[unigramPerplexity]], the strongest n-gram
+   * signal expressible with exact cross-engine parity. The first token is
+   * scored by the unigram model, every later token by its conditional:
+   * p(w|u) = (c(u w) + 1) / (c(u) + V + 1), unseen counts 0.
+   *
+   * Scale shape: bigrams ride the existing 2-shingle machinery (per-row
+   * lambda, no shuffle to FORM them); the LM is two token/shingle-level
+   * two-stage aggregates; scoring is two equi-joins (AQE broadcasts small
+   * vocabularies) plus one per-doc aggregate. Totals broadcast as a one-row
+   * cross join — no collect. Same output schema and rounding as the
+   * unigram form.
+   */
+  def bigramPerplexity(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      lmCorpus: org.apache.spark.sql.DataFrame = null): org.apache.spark.sql.DataFrame = {
+    val lmDf = Option(lmCorpus).getOrElse(df)
+    def withToks(d: org.apache.spark.sql.DataFrame) =
+      d.where(col(textCol).isNotNull)
+        .select(col(idCol), tokens(col(textCol)).as("_ts"))
+    val uni = withToks(lmDf)
+      .select(explode(col("_ts")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("_c1"))
+    val totals = uni.agg(sum(col("_c1")).as("_t"), count(lit(1)).as("_v"))
+    val biCnt = withToks(lmDf)
+      .select(explode(wordShinglesFromTokens(col("_ts"), 2)).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("_c2"))
+
+    val t = withToks(df)
+    val first = t
+      .select(col(idCol), element_at(col("_ts"), 1).as("token"))
+      .join(uni, Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        log((coalesce(col("_c1"), lit(0L)) + lit(1L)).cast("double") /
+          (col("_t") + col("_v") + lit(1L)).cast("double")).as("_lp"))
+    val rest = t
+      .select(col(idCol), explode(wordShinglesFromTokens(col("_ts"), 2)).as("sh"))
+      // tokens are space-split, so the shingle's first space is exact
+      .withColumn("token", substring_index(col("sh"), " ", 1))
+      .join(biCnt, Seq("sh"), "left")
+      .join(uni, Seq("token"), "left") // c1 of the CONDITIONING token
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        log((coalesce(col("_c2"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("_c1"), lit(0L)) + col("_v") + lit(1L)).cast("double")).as("_lp"))
+    first.unionByName(rest)
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tokens"),

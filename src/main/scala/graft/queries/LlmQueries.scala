@@ -649,6 +649,19 @@ object LlmQueries {
       TextOps.unigramPerplexity(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Bigram-LM perplexity: first token unigram-scored, the rest
+    // conditionally — one LM order up, same exact-parity construction
+    "q_text_perplexity2" -> ((s, dir) =>
+      TextOps.bigramPerplexity(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Context-window chunking: 32-token chunks, 8-token overlap — the
+    // curation → packing bridge; pure per-doc explode, no shuffle
+    "q_text_chunk" -> ((s, dir) =>
+      TextOps.chunkDocuments(docs(s, dir), "doc_id", "text",
+        chunkTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_no")),
+
     // Distinctive keywords: each doc's 3 rarest-then-most-frequent tokens
     // (integer-ranked TF-IDF ordering, no logarithms)
     "q_text_keywords" -> ((s, dir) =>
@@ -1353,6 +1366,40 @@ object LlmQueries {
         |SELECT doc_id, count(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
         |       CAST(SUM(oov) AS DOUBLE) / count(*) AS oov_frac
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_perplexity2" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |u AS (SELECT doc_id, unnest(ts) AS token FROM t),
+        |uni AS (SELECT token, count(*) AS c FROM u GROUP BY token),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt, count(*) AS v FROM uni),
+        |bg AS (SELECT doc_id, ts[i] AS prev, ts[i + 1] AS cur
+        |       FROM (SELECT doc_id, ts,
+        |               unnest(generate_series(1, CAST(len(ts) AS BIGINT) - 1)) AS i
+        |             FROM t)),
+        |bic AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY prev, cur),
+        |lp1 AS (SELECT t.doc_id,
+        |          ln(CAST(uni.c + 1 AS DOUBLE) / CAST(tot.tt + tot.v + 1 AS DOUBLE)) AS lp
+        |        FROM t JOIN uni ON uni.token = ts[1] CROSS JOIN tot),
+        |lpb AS (SELECT b.doc_id,
+        |          ln(CAST(bic.c2 + 1 AS DOUBLE) / CAST(up.c + tot.v + 1 AS DOUBLE)) AS lp
+        |        FROM bg b
+        |        JOIN bic ON bic.prev = b.prev AND bic.cur = b.cur
+        |        JOIN uni up ON up.token = b.prev
+        |        CROSS JOIN tot),
+        |lps AS (SELECT * FROM lp1 UNION ALL SELECT * FROM lpb)
+        |SELECT doc_id, count(*) AS n_tokens, round(-avg(lp), 4) AS avg_nll,
+        |       round(exp(-avg(lp)), 2) AS ppl
+        |FROM lps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |c AS (SELECT doc_id, ts,
+        |        1 + CAST(ceil(greatest(len(ts) - 32, 0) / 24.0) AS INT) AS nc FROM t),
+        |e AS (SELECT doc_id, ts, unnest(generate_series(0, nc - 1)) AS chunk_no FROM c)
+        |SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+        |       array_to_string(ts[chunk_no * 24 + 1 : chunk_no * 24 + 32], ' ') AS chunk_text,
+        |       CAST(least(len(ts) - chunk_no * 24, 32) AS INT) AS n_tokens
+        |FROM e ORDER BY doc_id, chunk_no""".stripMargin,
 
     "q_text_perplexity" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

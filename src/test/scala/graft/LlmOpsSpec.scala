@@ -672,6 +672,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 5L))
   }
 
+  test("TextOps: chunking covers every token once per stride, short docs pass through") {
+    // 10 tokens, chunk 4, overlap 1 (stride 3) → starts 0,3,6 → 3 chunks
+    val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(df, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_no").collect()
+    val doc1 = out.filter(_.getLong(0) == 1L).map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(doc1.toSeq == Seq(
+      (0, "t0 t1 t2 t3", 4), (1, "t3 t4 t5 t6", 4), (2, "t6 t7 t8 t9", 4)))
+    // short doc: itself as chunk 0
+    val doc2 = out.filter(_.getLong(0) == 2L).map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(doc2.toSeq == Seq((0, "a b", 2)))
+    // ragged tail: 11 tokens → last chunk holds the 2 unseen tokens
+    val ragged = TextOps.chunkDocuments(
+      Seq((1L, (0 until 11).map("t" + _).mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", chunkTokens = 4, overlap = 1).orderBy("chunk_no").collect()
+    assert(ragged.length == 4 && ragged.last.getString(2) == "t9 t10"
+      && ragged.last.getInt(3) == 2)
+    // chunking never shuffles: scan → project → generate, no Exchange
+    val plan = TextOps.chunkDocuments(df, "doc_id", "text", 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("TextOps: unigram perplexity — uniform corpus scores 1:1 with hand-computed model") {
     // Two docs over a 2-token vocabulary: a=3, b=1 → T=4, V=2.
     // p(a)=(3+1)/7, p(b)=(1+1)/7.
@@ -692,6 +715,26 @@ class LlmOpsSpec extends SparkSpec {
     val lm = Seq((1L, "a a a b")).toDF("doc_id", "text")
     val scored = TextOps.unigramPerplexity(
       Seq((10L, "a a"), (11L, "z z")).toDF("doc_id", "text"), "doc_id", "text", lm)
+      .orderBy("doc_id").collect()
+    assert(scored(0).getDouble(3) < scored(1).getDouble(3))
+  }
+
+  test("TextOps: bigram perplexity — conditional probabilities hand-checked; repetition scores low") {
+    // Corpus "a b a b" + "a b": uni a=3, b=3, T=6, V=2.
+    // Bigrams: (a,b)×3, (b,a)×1.
+    // Doc 1 "a b a b": lp = ln p(a) + ln p(b|a) + ln p(a|b) + ln p(b|a)
+    //   p(a) = 4/9, p(b|a) = 4/6, p(a|b) = 2/6, p(b|a) = 4/6
+    val df = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextOps.bigramPerplexity(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val nll1 = -(math.log(4.0 / 9) + 2 * math.log(4.0 / 6) + math.log(2.0 / 6)) / 4
+    assert(out(0).getLong(1) == 4)
+    assert(math.abs(out(0).getDouble(2) - nll1) < 5e-5)
+    // A repetitive in-distribution doc must score lower than an unseen-
+    // transition doc under the same LM.
+    val lm = Seq((0L, "x y x y x y")).toDF("doc_id", "text")
+    val scored = TextOps.bigramPerplexity(
+      Seq((10L, "x y x y"), (11L, "y y y y")).toDF("doc_id", "text"), "doc_id", "text", lm)
       .orderBy("doc_id").collect()
     assert(scored(0).getDouble(3) < scored(1).getDouble(3))
   }
