@@ -121,4 +121,31 @@ class PropertySpec extends SparkSpec {
     assert(lo.exceptAll(rows).isEmpty) // subset of the corpus
     assert(lo.exceptAll(hi).isEmpty)   // raising every rate only adds documents
   }
+
+  test("property: chunking covers every token, chunk sizes are exact, overlap is exact") {
+    // Random (doc length, chunk size, overlap) triples; token i is named
+    // "ti" so coverage is checkable from the reassembled chunk texts.
+    val cfgGen = for {
+      n <- Gen.chooseNum(1, 120)
+      chunk <- Gen.chooseNum(1, 40)
+      overlap <- Gen.chooseNum(0, chunk - 1)
+    } yield (n, chunk, overlap)
+    sample(cfgGen, 30).zipWithIndex.foreach { case ((n, chunk, overlap), i) =>
+      val text = (0 until n).map("t" + _).mkString(" ")
+      val out = graft.ops.TextOps
+        .chunkDocuments(Seq((i.toLong, text)).toDF("doc_id", "text"), "doc_id", "text", chunk, overlap)
+        .orderBy("chunk_no").collect()
+      val chunks = out.map(_.getString(2).split(" ").toSeq)
+      // every token appears in at least one chunk, in order
+      assert(chunks.flatten.toSet == (0 until n).map("t" + _).toSet,
+        s"n=$n chunk=$chunk overlap=$overlap lost tokens")
+      // every chunk except the last is exactly `chunk` tokens, and chunk j
+      // starts exactly at token j·stride
+      chunks.dropRight(1).foreach(c => assert(c.size == chunk))
+      chunks.zipWithIndex.foreach { case (c, j) =>
+        assert(c.head == "t" + (j * (chunk - overlap)),
+          s"n=$n chunk=$chunk overlap=$overlap: chunk $j starts at ${c.head}")
+      }
+    }
+  }
 }
