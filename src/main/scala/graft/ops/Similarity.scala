@@ -247,6 +247,138 @@ object Similarity {
   }
 
   /**
+   * L2 (Euclidean) k-means — the PQ codebook trainer. Identical protocol to
+   * [[trainCentroids]] (k lowest-id seeds, exact integer scoring, one
+   * float-rounded mean per component per round) but assigns by
+   * argmin ‖x−c‖² = argmin (c·c − 2·x·c), computed exactly from quantized
+   * dots — the metric product quantization requires (subvectors are not
+   * normalized, so max-dot assignment would degenerate toward the
+   * largest-norm centroid).
+   */
+  def trainCentroidsL2(
+      emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val seedW = Window.orderBy(col("_sid").asc)
+    var cents = emb
+      .select(col(idCol).as("_sid"), col(vecCol).as("cvec"))
+      .orderBy(col("_sid").asc).limit(k)
+      .withColumn("cid", row_number().over(seedW) - 1)
+      .select(col("cid"), col("cvec"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val withSelf = cents.select(
+        col("cid"), col("cvec"), dotQ(col("cvec"), col("cvec")).as("_cc"))
+      val sums = emb
+        .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+        .join(broadcast(withSelf))
+        .select(col("vec_id"), col("v"), col("cid"),
+          (col("_cc") - lit(2L) * dotQ(col("v"), col("cvec"))).as("_dist"))
+        .groupBy("vec_id")
+        .agg(min_by(
+          struct(col("cid"), col("v")),
+          struct(col("_dist"), col("cid"))).as("b"))
+        .select(col("b.cid").as("cell"), posexplode(quantize(col("b.v"))).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      cents = sums
+        .select(
+          col("cell").as("cid"), col("d"),
+          ((col("sx").cast("double") / col("cnt")) / lit(Scale)).cast("float").as("c"))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("d"), col("c")))),
+          s => s.getField("c")).as("cvec"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /**
+   * Product-quantization codebooks: the embedding space is split into `m`
+   * contiguous subspaces of `dims / m` components; each subspace learns its
+   * own `k`-entry L2 codebook ([[trainCentroidsL2]] over the sliced
+   * subvectors). Returns `(sub, cid, cvec)` — m·k rows, the entire "index"
+   * a 100 TB corpus is compressed against (a few KB, always broadcast).
+   *
+   * With m subspaces of k codes, each vector stores m small codes instead
+   * of `dims` floats — 64-dim float32 at m=4, k=16 compresses 256 bytes to
+   * 2, the 128× that makes exhaustive ADC scans over a whole corpus
+   * affordable.
+   */
+  def pqTrainCodebooks(
+      emb: DataFrame, dims: Int, m: Int, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"dims ($dims) must divide into m ($m) subspaces")
+    val sd = dims / m
+    (0 until m).map { s =>
+      trainCentroidsL2(
+        emb.select(col(idCol), slice(col(vecCol), s * sd + 1, sd).as(vecCol)),
+        k, iters, idCol, vecCol)
+        .select(lit(s).as("sub"), col("cid"), col("cvec"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
+   * PQ encoding: each vector's subvector maps to its L2-nearest codebook
+   * entry. Returns the compressed corpus `(vec_id, sub, code)` — m small
+   * ints per vector, the only thing [[pqAdcTopK]] ever scans.
+   */
+  def pqEncode(
+      emb: DataFrame, codebooks: DataFrame, dims: Int, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sd = dims / m
+    val subs = emb.select(
+      col(idCol).as("vec_id"),
+      posexplode(array((0 until m).map(s => slice(col(vecCol), s * sd + 1, sd)): _*))
+        .as(Seq("sub", "sv")))
+    val cb = codebooks.select(
+      col("sub"), col("cid"), col("cvec"), dotQ(col("cvec"), col("cvec")).as("_cc"))
+    subs
+      .join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"), col("cid"),
+        (col("_cc") - lit(2L) * dotQ(col("sv"), col("cvec"))).as("_dist"))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(col("cid"), struct(col("_dist"), col("cid"))).as("code"))
+  }
+
+  /**
+   * Asymmetric-distance (ADC) top-k over a PQ-compressed corpus: per query,
+   * a lookup table of per-(subspace, code) partial distances
+   * (c·c − 2·q_sub·c, exact integers) is broadcast and the compressed codes
+   * are scanned once — cost ∝ corpus codes (m small ints per vector), never
+   * the original vectors. The ranking equals ‖x̂‖² − 2·q·x̂ (x̂ = the
+   * reconstruction), i.e. true ADC order (the ‖q‖² term is constant per
+   * query). Ties break by vec_id. Compose with [[ivfAssign]] to scan only
+   * probed cells (IVF-PQ).
+   */
+  def pqAdcTopK(
+      codes: DataFrame, codebooks: DataFrame, queries: DataFrame, k: Int,
+      dims: Int, m: Int,
+      qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame = {
+    val sd = dims / m
+    val qsubs = queries.select(
+      col(qIdCol).as("qid"),
+      posexplode(array((0 until m).map(s => slice(col(qVecCol), s * sd + 1, sd)): _*))
+        .as(Seq("sub", "qv")))
+    val cb = codebooks.select(
+      col("sub"), col("cid").as("code"), col("cvec"),
+      dotQ(col("cvec"), col("cvec")).as("_cc"))
+    val lut = qsubs
+      .join(cb, "sub")
+      .select(col("qid"), col("sub"), col("code"),
+        (col("_cc") - lit(2L) * dotQ(col("qv"), col("cvec"))).as("pd"))
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
+    codes
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("pd")).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /**
    * SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
    * arXiv:2303.09540): assign every embedding to its k-means cell
    * ([[ivfAssign]] over [[trainCentroids]] output), then compare pairs ONLY

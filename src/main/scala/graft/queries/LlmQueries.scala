@@ -130,6 +130,44 @@ object LlmQueries {
        |${kmeansIterCte(1, "c0")},
        |${kmeansIterCte(2, "c1")}""".stripMargin
 
+  /** One L2 Lloyd iteration over every PQ subspace at once: `sub` rides as
+    * a column, and the `ON ct.d = c.d` join confines every dot to its own
+    * subspace because a codebook row only has `d` values inside its
+    * subspace's range. Assignment is argmin (c·c − 2·x·c) with cid
+    * tie-break — exact integers, mirrors
+    * [[graft.ops.Similarity.trainCentroidsL2]]. */
+  private def pqIterCte(i: Int, prev: String, sd: Int): String =
+    s"""qcc$i AS (SELECT sub, cid, SUM(q * q) AS cc FROM $prev GROUP BY sub, cid),
+       |qxc$i AS (SELECT c.vec_id, ct.sub, ct.cid, SUM(c.q * ct.q) AS xc
+       |          FROM comp c JOIN $prev ct ON ct.d = c.d
+       |          GROUP BY c.vec_id, ct.sub, ct.cid),
+       |qpm$i AS (SELECT vec_id, sub, cid FROM (
+       |            SELECT x.vec_id, x.sub, x.cid,
+       |                   row_number() OVER (PARTITION BY x.vec_id, x.sub
+       |                     ORDER BY cc.cc - 2 * x.xc ASC, x.cid ASC) AS rn
+       |            FROM qxc$i x JOIN qcc$i cc ON cc.sub = x.sub AND cc.cid = x.cid)
+       |          WHERE rn = 1),
+       |qps$i AS (SELECT m.sub, m.cid, c.d, SUM(c.q) AS sx, COUNT(*) AS cnt
+       |          FROM qpm$i m JOIN comp c
+       |            ON c.vec_id = m.vec_id AND CAST((c.d - 1) // $sd AS INT) = m.sub
+       |          GROUP BY m.sub, m.cid, c.d),
+       |qpf$i AS (SELECT sub, cid, d, CAST((CAST(sx AS DOUBLE) / cnt) / 1e6 AS REAL) AS c
+       |          FROM qps$i),
+       |qpc$i AS (SELECT sub, cid, d, CAST(floor(CAST(c AS DOUBLE) * 1e6) AS BIGINT) AS q
+       |          FROM qpf$i)""".stripMargin
+
+  /** PQ codebooks after two L2 Lloyd iterations (k codes per subspace of
+    * `sd` dims), seeded per subspace with the k lowest-id vectors' slices —
+    * CTE chain ending in `qpc2`. */
+  private def pqCtes(k: Int, sd: Int): String =
+    s"""${compCte("comp", "embeddings")},
+       |qseed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+       |qpc0 AS (SELECT CAST((c.d - 1) // $sd AS INT) AS sub, s.cid, c.d, c.q
+       |         FROM qseed s JOIN comp c ON c.vec_id = s.vec_id),
+       |${pqIterCte(1, "qpc0", sd)},
+       |${pqIterCte(2, "qpc1", sd)}""".stripMargin
+
   /** Jaccard verification of `cand(id_a, id_b)` against `sh`. */
   private val jaccardSql =
     """sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
@@ -509,6 +547,21 @@ object LlmQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfTopK(e, cents, queries, 5, nprobe = 2)
         .select("qid", "rank", "vec_id", "dot")
+        .orderBy("qid", "rank")
+    }),
+
+    // Product quantization end-to-end: 4 subspaces × 16 L2-trained codes,
+    // corpus compressed to (vec_id, sub, code), queries answered by ADC
+    // lookup-table scan over the codes — the compact-code ANN scale path
+    "q_sim_pq" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = emb(s, dir)
+      val cb = Similarity.pqTrainCodebooks(e, dims = 64, m = 4, k = 16, iters = 2)
+      val codes = Similarity.pqEncode(e, cb, dims = 64, m = 4)
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.pqAdcTopK(codes, cb, queries, 5, dims = 64, m = 4)
+        .select("qid", "rank", "vec_id", "adc")
         .orderBy("qid", "rank")
     }),
 
@@ -1076,6 +1129,29 @@ object LlmQueries {
     "q_sim_kmeans" ->
       s"""WITH ${kmeansCtes(8)}
          |SELECT CAST(cid AS INT) AS cid, CAST(d AS INT) AS d, c FROM f2 ORDER BY cid, d""".stripMargin,
+
+    "q_sim_pq" ->
+      s"""WITH ${pqCtes(16, 16)},
+         |ecc AS (SELECT sub, cid, SUM(q * q) AS cc FROM qpc2 GROUP BY sub, cid),
+         |exc AS (SELECT c.vec_id, ct.sub, ct.cid, SUM(c.q * ct.q) AS xc
+         |        FROM comp c JOIN qpc2 ct ON ct.d = c.d
+         |        GROUP BY c.vec_id, ct.sub, ct.cid),
+         |enc AS (SELECT vec_id, sub, cid AS code FROM (
+         |          SELECT x.vec_id, x.sub, x.cid,
+         |                 row_number() OVER (PARTITION BY x.vec_id, x.sub
+         |                   ORDER BY cc.cc - 2 * x.xc ASC, x.cid ASC) AS rn
+         |          FROM exc x JOIN ecc cc ON cc.sub = x.sub AND cc.cid = x.cid)
+         |        WHERE rn = 1),
+         |lut AS (SELECT x.vec_id AS qid, x.sub, x.cid AS code, cc.cc - 2 * x.xc AS pd
+         |        FROM exc x JOIN ecc cc ON cc.sub = x.sub AND cc.cid = x.cid
+         |        WHERE x.vec_id < 3),
+         |adc AS (SELECT l.qid, e.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adc
+         |        FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+         |        GROUP BY l.qid, e.vec_id)
+         |SELECT qid, rank, vec_id, adc FROM (
+         |  SELECT qid, vec_id, adc,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS INT) AS rank
+         |  FROM adc) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q_embed_semdedup" ->
       s"""WITH ${kmeansCtes(32)},

@@ -649,6 +649,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(Dedup.crossContaminationBloom(corpus, emptyEval, "doc_id", "text").isEmpty)
   }
 
+  test("Similarity: PQ codebooks, codes, and ADC ranking behave on a separable fixture") {
+    // 8 vectors, 2 subspaces of 2 dims; each subspace has two well-separated
+    // clusters, so 2 codes per subspace reconstruct cleanly.
+    val embs = (0 until 8).map { i =>
+      val hi = 1f + i * 0.01f
+      val a = if (i < 4) Array(hi, 0f) else Array(0f, hi)
+      val b = if (i % 2 == 0) Array(hi, 0f) else Array(0f, hi)
+      (i.toLong, a ++ b)
+    }.toDF("vec_id", "embedding")
+
+    val cb = Similarity.pqTrainCodebooks(embs, dims = 4, m = 2, k = 2, iters = 2)
+    val cbRows = cb.collect()
+    assert(cbRows.length <= 4 && cbRows.forall(_.getSeq[Float](2).length == 2))
+
+    val codes = Similarity.pqEncode(embs, cb, dims = 4, m = 2).collect()
+    assert(codes.length == 16) // 8 vectors × 2 subspaces
+    assert(codes.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 2))
+    // same-cluster vectors share codes: vectors 0 and 2 agree in BOTH
+    // subspaces (both i<4 and both even)
+    val byVec = codes.map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(byVec((0L, 0)) == byVec((2L, 0)) && byVec((0L, 1)) == byVec((2L, 1)))
+
+    // the lowest-id member of the query's code cell ranks first (ADC ties
+    // break by vec_id; vector 0 shares its codes only with vector 2)
+    val queries = embs.where(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val top = Similarity.pqAdcTopK(
+      Similarity.pqEncode(embs, cb, dims = 4, m = 2), cb, queries, 3, dims = 4, m = 2)
+      .orderBy("rank").collect()
+    assert(top.head.getLong(1) == 0L, s"self not top-1: ${top.mkString(", ")}")
+  }
+
   test("Similarity: semantic dedup pairs within cells only; one survivor per similarity group") {
     val embs = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),
