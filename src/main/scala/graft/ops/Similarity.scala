@@ -353,10 +353,11 @@ object Similarity {
    * query). Ties break by vec_id. Compose with [[ivfAssign]] to scan only
    * probed cells (IVF-PQ).
    */
-  def pqAdcTopK(
-      codes: DataFrame, codebooks: DataFrame, queries: DataFrame, k: Int,
-      dims: Int, m: Int,
-      qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame = {
+  /** Per-query ADC lookup table `(qid, sub, code, pd)` with
+    * pd = c·c − 2·q_sub·c — queries × m × k rows, always broadcast-sized. */
+  private def pqLut(
+      codebooks: DataFrame, queries: DataFrame, dims: Int, m: Int,
+      qIdCol: String, qVecCol: String): DataFrame = {
     val sd = dims / m
     val qsubs = queries.select(
       col(qIdCol).as("qid"),
@@ -365,13 +366,58 @@ object Similarity {
     val cb = codebooks.select(
       col("sub"), col("cid").as("code"), col("cvec"),
       dotQ(col("cvec"), col("cvec")).as("_cc"))
-    val lut = qsubs
+    qsubs
       .join(cb, "sub")
       .select(col("qid"), col("sub"), col("code"),
         (col("_cc") - lit(2L) * dotQ(col("qv"), col("cvec"))).as("pd"))
+  }
+
+  def pqAdcTopK(
+      codes: DataFrame, codebooks: DataFrame, queries: DataFrame, k: Int,
+      dims: Int, m: Int,
+      qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame = {
+    val lut = pqLut(codebooks, queries, dims, m, qIdCol, qVecCol)
     val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
     codes
       .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("pd")).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /**
+   * IVF-PQ — the standard production ANN composition: a coarse quantizer
+   * ([[ivfAssign]] over `coarse` centroids) shards the corpus into cells,
+   * and each query ADC-scans only its `nprobe` best cells' compact codes.
+   * At 1B vectors with √N cells and nprobe=8, a query touches ~8√N code
+   * rows of m bytes each instead of N full vectors — the two knobs
+   * (cells, nprobe) trade recall for cost independently of the PQ
+   * compression itself.
+   *
+   * This is the residual-free IVF-PQ variant (codes quantize the raw
+   * vectors, not cell residuals): exact-integer determinism everywhere,
+   * same ranking semantics as [[pqAdcTopK]] restricted to probed cells.
+   */
+  def ivfPqTopK(
+      emb: DataFrame, coarse: DataFrame, codebooks: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int, dims: Int, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cells = ivfAssign(emb, coarse, idCol, vecCol).select(col("vec_id"), col("cell"))
+    val codes = pqEncode(emb, codebooks, dims, m, idCol, vecCol).join(cells, "vec_id")
+    val qw = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid").asc)
+    val probes = ivfScoreCells(
+        queries.select(col(qIdCol).as("vec_id"), col(qVecCol).as("embedding")), coarse)
+      .withColumn("prn", row_number().over(qw))
+      .where(col("prn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    val lut = pqLut(codebooks, queries, dims, m, qIdCol, qVecCol)
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
+    codes
+      .join(broadcast(probes), "cell")
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
       .groupBy("qid", "vec_id")
       .agg(sum(col("pd")).as("adc"))
       .withColumn("rank", row_number().over(w))

@@ -118,17 +118,22 @@ object LlmQueries {
        |f$i AS (SELECT cid, d, CAST((CAST(sx AS DOUBLE) / cnt) / 1e6 AS REAL) AS c FROM s$i),
        |c$i AS (SELECT cid, d, CAST(floor(CAST(c AS DOUBLE) * 1e6) AS BIGINT) AS q FROM f$i)""".stripMargin
 
+  /** The k-means chain alone (expects a `comp` CTE in scope) — composable
+    * with other chains that share the same quantized components. */
+  private def kmeansChain(k: Int): String =
+    s"""seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+       |c0 AS (SELECT s.cid, c.d, c.q FROM seed s JOIN comp c ON c.vec_id = s.vec_id),
+       |${kmeansIterCte(1, "c0")},
+       |${kmeansIterCte(2, "c1")}""".stripMargin
+
   /** Two deterministic Lloyd iterations over `embeddings` seeded with the
     * `k` lowest-id vectors — CTE chain ending in `f2` (REAL centroid
     * components) and `c2` (re-quantized for downstream scoring); mirrors
     * [[graft.ops.Similarity.trainCentroids]] exactly. */
   private def kmeansCtes(k: Int): String =
     s"""${compCte("comp", "embeddings")},
-       |seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-       |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
-       |c0 AS (SELECT s.cid, c.d, c.q FROM seed s JOIN comp c ON c.vec_id = s.vec_id),
-       |${kmeansIterCte(1, "c0")},
-       |${kmeansIterCte(2, "c1")}""".stripMargin
+       |${kmeansChain(k)}""".stripMargin
 
   /** One L2 Lloyd iteration over every PQ subspace at once: `sub` rides as
     * a column, and the `ON ct.d = c.d` join confines every dot to its own
@@ -156,17 +161,39 @@ object LlmQueries {
        |qpc$i AS (SELECT sub, cid, d, CAST(floor(CAST(c AS DOUBLE) * 1e6) AS BIGINT) AS q
        |          FROM qpf$i)""".stripMargin
 
-  /** PQ codebooks after two L2 Lloyd iterations (k codes per subspace of
-    * `sd` dims), seeded per subspace with the k lowest-id vectors' slices —
-    * CTE chain ending in `qpc2`. */
-  private def pqCtes(k: Int, sd: Int): String =
-    s"""${compCte("comp", "embeddings")},
-       |qseed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  /** The PQ chain alone (expects a `comp` CTE in scope). */
+  private def pqChain(k: Int, sd: Int): String =
+    s"""qseed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
        |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
        |qpc0 AS (SELECT CAST((c.d - 1) // $sd AS INT) AS sub, s.cid, c.d, c.q
        |         FROM qseed s JOIN comp c ON c.vec_id = s.vec_id),
        |${pqIterCte(1, "qpc0", sd)},
        |${pqIterCte(2, "qpc1", sd)}""".stripMargin
+
+  /** PQ codebooks after two L2 Lloyd iterations (k codes per subspace of
+    * `sd` dims), seeded per subspace with the k lowest-id vectors' slices —
+    * CTE chain ending in `qpc2`. */
+  private def pqCtes(k: Int, sd: Int): String =
+    s"""${compCte("comp", "embeddings")},
+       |${pqChain(k, sd)}""".stripMargin
+
+  /** PQ encode + per-query LUT over `qpc2` codebooks (expects `comp` and
+    * the [[pqChain]] in scope): `enc(vec_id, sub, code)` and
+    * `lut(qid, sub, code, pd)` for queries `vec_id < 3`. */
+  private val pqEncodeLutCtes: String =
+    """ecc AS (SELECT sub, cid, SUM(q * q) AS cc FROM qpc2 GROUP BY sub, cid),
+      |exc AS (SELECT c.vec_id, ct.sub, ct.cid, SUM(c.q * ct.q) AS xc
+      |        FROM comp c JOIN qpc2 ct ON ct.d = c.d
+      |        GROUP BY c.vec_id, ct.sub, ct.cid),
+      |enc AS (SELECT vec_id, sub, cid AS code FROM (
+      |          SELECT x.vec_id, x.sub, x.cid,
+      |                 row_number() OVER (PARTITION BY x.vec_id, x.sub
+      |                   ORDER BY cc.cc - 2 * x.xc ASC, x.cid ASC) AS rn
+      |          FROM exc x JOIN ecc cc ON cc.sub = x.sub AND cc.cid = x.cid)
+      |        WHERE rn = 1),
+      |lut AS (SELECT x.vec_id AS qid, x.sub, x.cid AS code, cc.cc - 2 * x.xc AS pd
+      |        FROM exc x JOIN ecc cc ON cc.sub = x.sub AND cc.cid = x.cid
+      |        WHERE x.vec_id < 3)""".stripMargin
 
   /** Jaccard verification of `cand(id_a, id_b)` against `sh`. */
   private val jaccardSql =
@@ -547,6 +574,21 @@ object LlmQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfTopK(e, cents, queries, 5, nprobe = 2)
         .select("qid", "rank", "vec_id", "dot")
+        .orderBy("qid", "rank")
+    }),
+
+    // IVF-PQ: coarse cells shard the corpus, queries ADC-scan only their
+    // nprobe best cells' compact codes — the standard production ANN
+    // composition, both knobs (cells, nprobe) exercised
+    "q_sim_ivfpq" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = emb(s, dir)
+      val coarse = Similarity.trainCentroids(e, 8, 2)
+      val cb = Similarity.pqTrainCodebooks(e, dims = 64, m = 4, k = 16, iters = 2)
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfPqTopK(e, coarse, cb, queries, 5, nprobe = 2, dims = 64, m = 4)
+        .select("qid", "rank", "vec_id", "adc")
         .orderBy("qid", "rank")
     }),
 
@@ -1132,22 +1174,37 @@ object LlmQueries {
 
     "q_sim_pq" ->
       s"""WITH ${pqCtes(16, 16)},
-         |ecc AS (SELECT sub, cid, SUM(q * q) AS cc FROM qpc2 GROUP BY sub, cid),
-         |exc AS (SELECT c.vec_id, ct.sub, ct.cid, SUM(c.q * ct.q) AS xc
-         |        FROM comp c JOIN qpc2 ct ON ct.d = c.d
-         |        GROUP BY c.vec_id, ct.sub, ct.cid),
-         |enc AS (SELECT vec_id, sub, cid AS code FROM (
-         |          SELECT x.vec_id, x.sub, x.cid,
-         |                 row_number() OVER (PARTITION BY x.vec_id, x.sub
-         |                   ORDER BY cc.cc - 2 * x.xc ASC, x.cid ASC) AS rn
-         |          FROM exc x JOIN ecc cc ON cc.sub = x.sub AND cc.cid = x.cid)
-         |        WHERE rn = 1),
-         |lut AS (SELECT x.vec_id AS qid, x.sub, x.cid AS code, cc.cc - 2 * x.xc AS pd
-         |        FROM exc x JOIN ecc cc ON cc.sub = x.sub AND cc.cid = x.cid
-         |        WHERE x.vec_id < 3),
+         |$pqEncodeLutCtes,
          |adc AS (SELECT l.qid, e.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adc
          |        FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
          |        GROUP BY l.qid, e.vec_id)
+         |SELECT qid, rank, vec_id, adc FROM (
+         |  SELECT qid, vec_id, adc,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS INT) AS rank
+         |  FROM adc) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_sim_ivfpq" ->
+      s"""WITH ${compCte("comp", "embeddings")},
+         |${kmeansChain(8)},
+         |${pqChain(16, 16)},
+         |$pqEncodeLutCtes,
+         |cent AS (SELECT cid, d, q FROM c2),
+         |adot AS (SELECT c.vec_id, ct.cid, SUM(c.q * ct.q) AS cdot
+         |         FROM comp c JOIN cent ct ON ct.d = c.d GROUP BY c.vec_id, ct.cid),
+         |acell AS (SELECT vec_id, cid AS cell FROM (
+         |            SELECT vec_id, cid,
+         |                   row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS rn
+         |            FROM adot) WHERE rn = 1),
+         |qprobe AS (SELECT vec_id AS qid, cid AS cell FROM (
+         |             SELECT vec_id, cid,
+         |                    row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS rn
+         |             FROM adot WHERE vec_id < 3) WHERE rn <= 2),
+         |cand AS (SELECT qp.qid, a.vec_id FROM qprobe qp JOIN acell a ON a.cell = qp.cell),
+         |adc AS (SELECT cd.qid, cd.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adc
+         |        FROM cand cd
+         |        JOIN enc e ON e.vec_id = cd.vec_id
+         |        JOIN lut l ON l.qid = cd.qid AND l.sub = e.sub AND l.code = e.code
+         |        GROUP BY cd.qid, cd.vec_id)
          |SELECT qid, rank, vec_id, adc FROM (
          |  SELECT qid, vec_id, adc,
          |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS INT) AS rank

@@ -679,6 +679,20 @@ class LlmOpsSpec extends SparkSpec {
       Similarity.pqEncode(embs, cb, dims = 4, m = 2), cb, queries, 3, dims = 4, m = 2)
       .orderBy("rank").collect()
     assert(top.head.getLong(1) == 0L, s"self not top-1: ${top.mkString(", ")}")
+
+    // IVF-PQ with nprobe=1: every hit must live in the query's own coarse
+    // cell — the probe restriction is the whole contract.
+    val coarse = Seq((0, Array(1f, 0f, 0f, 0f)), (1, Array(0f, 1f, 0f, 0f)))
+      .toDF("cid", "cvec")
+    val hits = Similarity.ivfPqTopK(
+      embs, coarse, cb, queries, 8, nprobe = 1, dims = 4, m = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val qCell = Similarity.ivfAssign(embs.where(col("vec_id") === 0), coarse)
+      .select("cell").as[Int].head()
+    val cellMembers = Similarity.ivfAssign(embs, coarse)
+      .where(col("cell") === qCell).select("vec_id").as[Long].collect().toSet
+    assert(hits.nonEmpty && hits.subsetOf(cellMembers),
+      s"IVF-PQ leaked outside the probed cell: $hits vs $cellMembers")
   }
 
   test("Similarity: semantic dedup pairs within cells only; one survivor per similarity group") {
