@@ -311,13 +311,50 @@ object Similarity {
       emb: DataFrame, dims: Int, m: Int, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(m >= 1 && dims % m == 0, s"dims ($dims) must divide into m ($m) subspaces")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
     val sd = dims / m
-    (0 until m).map { s =>
-      trainCentroidsL2(
-        emb.select(col(idCol), slice(col(vecCol), s * sd + 1, sd).as(vecCol)),
-        k, iters, idCol, vecCol)
-        .select(lit(s).as("sub"), col("cid"), col("cvec"))
-    }.reduce(_ unionByName _)
+    // All m subspaces train through ONE chain with `sub` as a column — one
+    // corpus pass per Lloyd iteration instead of m (training a separate
+    // codebook per subspace would re-scan 100 TB m times per round). Same
+    // seeds (each subspace seeds with the k lowest-id vectors' slices),
+    // same per-(vector, subspace) L2 argmin, same float-rounded means —
+    // bit-identical to per-subspace [[trainCentroidsL2]], oracle-checked.
+    def subRows(d: DataFrame) = d.select(
+      col(idCol).as("vec_id"),
+      posexplode(array((0 until m).map(s => slice(col(vecCol), s * sd + 1, sd)): _*))
+        .as(Seq("sub", "sv")))
+    val seedW = Window.partitionBy("sub").orderBy(col("vec_id").asc)
+    var cents = subRows(emb.orderBy(col(idCol).asc).limit(k))
+      .withColumn("cid", row_number().over(seedW) - 1)
+      .select(col("sub"), col("cid"), col("sv").as("cvec"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val withSelf = cents.select(
+        col("sub"), col("cid"), col("cvec"), dotQ(col("cvec"), col("cvec")).as("_cc"))
+      val sums = subRows(emb)
+        .join(broadcast(withSelf), "sub")
+        .select(col("vec_id"), col("sub"), col("cid"),
+          (col("_cc") - lit(2L) * dotQ(col("sv"), col("cvec"))).as("_dist"), col("sv"))
+        .groupBy("vec_id", "sub")
+        .agg(min_by(
+          struct(col("cid"), col("sv")),
+          struct(col("_dist"), col("cid"))).as("b"))
+        .select(col("sub"), col("b.cid").as("cell"),
+          posexplode(quantize(col("b.sv"))).as(Seq("d", "x")))
+        .groupBy("sub", "cell", "d")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      cents = sums
+        .select(
+          col("sub"), col("cell").as("cid"), col("d"),
+          ((col("sx").cast("double") / col("cnt")) / lit(Scale)).cast("float").as("c"))
+        .groupBy("sub", "cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("d"), col("c")))),
+          s => s.getField("c")).as("cvec"))
+        .localCheckpoint()
+    }
+    cents.select(col("sub"), col("cid"), col("cvec"))
   }
 
   /**
