@@ -637,6 +637,34 @@ object TextOps {
   }
 
   /**
+   * Per-document Shannon entropy of the token distribution (nats, rounded
+   * to 4 dp): H = −Σ (c/n)·ln(c/n) over the document's own token counts.
+   * The distribution-wide repetitiveness signal — a doc stuck on a few
+   * tokens scores near 0, diverse text near ln(n_distinct) — complementing
+   * [[repetitionSignals]]' top-token/bigram point measures. One exploded
+   * two-stage aggregate per corpus pass, per-doc math on exact integer
+   * counts.
+   */
+  def tokenEntropy(
+      df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("_c")).as("n_tokens"),
+        sum(col("_c").cast("double") * log(col("_c").cast("double"))).as("_sclogc"))
+      // H = ln(n) − (Σ c·ln c)/n; 4-dp rounding absorbs partial-sum order
+      // and within-ulp libm differences (same analysis as the perplexity ops)
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        round(log(col("n_tokens").cast("double")) - col("_sclogc") / col("n_tokens"), 4)
+          .as("entropy"))
+
+  /**
    * Per-document perplexity under an add-one-smoothed BIGRAM language model
    * — one LM order up from [[unigramPerplexity]], the strongest n-gram
    * signal expressible with exact cross-engine parity. The first token is

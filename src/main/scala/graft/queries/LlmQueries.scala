@@ -744,6 +744,12 @@ object LlmQueries {
       TextOps.unigramPerplexity(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Per-doc token-distribution Shannon entropy — the distribution-wide
+    // repetitiveness signal
+    "q_text_entropy" -> ((s, dir) =>
+      TextOps.tokenEntropy(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Bigram-LM perplexity: first token unigram-scored, the rest
     // conditionally — one LM order up, same exact-parity construction
     "q_text_perplexity2" -> ((s, dir) =>
@@ -1499,6 +1505,18 @@ object LlmQueries {
         |SELECT doc_id, count(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
         |       CAST(SUM(oov) AS DOUBLE) / count(*) AS oov_frac
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_entropy" ->
+      """WITH c AS (SELECT doc_id, token, count(*) AS c
+        |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |                 FROM documents)
+        |           GROUP BY doc_id, token),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS sclogc
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |       round(ln(CAST(n_tokens AS DOUBLE)) - sclogc / n_tokens, 4) AS entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "q_text_perplexity2" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

@@ -765,6 +765,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(scored(0).getDouble(3) < scored(1).getDouble(3))
   }
 
+  test("TextOps: token entropy — uniform max, single-token zero, hand-checked mid case") {
+    val df = Seq(
+      (1L, "a b c d"),    // uniform over 4 → ln 4
+      (2L, "x x x x"),    // single token → 0
+      (3L, "a a b"))      // H = ln3 − (2 ln2)/3
+      .toDF("doc_id", "text")
+    val out = TextOps.tokenEntropy(df, "doc_id", "text").orderBy("doc_id").collect()
+    assert(math.abs(out(0).getDouble(2) - math.log(4)) < 5e-5)
+    assert(out(1).getDouble(2) == 0.0)
+    assert(math.abs(out(2).getDouble(2) - (math.log(3) - 2 * math.log(2) / 3)) < 5e-5)
+  }
+
   test("TextOps: bigram perplexity — conditional probabilities hand-checked; repetition scores low") {
     // Corpus "a b a b" + "a b": uni a=3, b=3, T=6, V=2.
     // Bigrams: (a,b)×3, (b,a)×1.
