@@ -498,6 +498,42 @@ object Similarity {
   }
 
   /**
+   * Semantic (embedding-level) decontamination: `(corpus_id, eval_id)` for
+   * every train/eval pair whose exact quantized cosine ≥ `threshold` —
+   * the leak tier that catches paraphrases and near-verbatim rewrites that
+   * exact fingerprints ([[graft.ops.Dedup.crossContamination]]) and
+   * token-overlap ([[graft.ops.Dedup.overlapContamination]]) both miss.
+   * Both sides are assigned to the same quantizer's cells and only
+   * same-cell cross pairs are scored (equi-join on cell — the eval side is
+   * small, so per-cell fan-out is |cell_train| · |cell_eval|, never N²).
+   */
+  def semanticContamination(
+      corpus: DataFrame, evalSet: DataFrame, centroids: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cv = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("v_c"))
+      .join(
+        ivfAssign(corpus, centroids, idCol, vecCol)
+          .select(col("vec_id").as("corpus_id"), col("cell")),
+        "corpus_id")
+    val ev = evalSet
+      .select(col(idCol).as("eval_id"), col(vecCol).as("v_e"))
+      .join(
+        ivfAssign(evalSet, centroids, idCol, vecCol)
+          .select(col("vec_id").as("eval_id"), col("cell")),
+        "eval_id")
+    cv.join(ev, "cell")
+      .select(
+        col("corpus_id"), col("eval_id"),
+        cosine(
+          dotQ(col("v_c"), col("v_e")),
+          dotQ(col("v_c"), col("v_c")),
+          dotQ(col("v_e"), col("v_e"))).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /**
    * Semantic deduplication: keeps one representative (the minimum id) per
    * connected group of [[semanticNearDuplicates]] pairs. Chains are closed
    * with [[Dedup.clustersAuto]] (propagation fast path, contraction

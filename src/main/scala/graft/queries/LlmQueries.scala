@@ -577,6 +577,19 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Semantic decontamination: eval embeddings (every 10th, re-id'd)
+    // matched against the corpus by cell-bounded exact cosine — the
+    // paraphrase-leak tier fingerprint decontamination misses
+    "q_contamination_semantic" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val evalSet = e.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+      Similarity.semanticContamination(
+        e, evalSet, Similarity.trainCentroids(e, 32, 2), threshold = 0.95)
+        .orderBy("corpus_id", "eval_id")
+    }),
+
     // IVF-PQ: coarse cells shard the corpus, queries ADC-scan only their
     // nprobe best cells' compact codes — the standard production ANN
     // composition, both knobs (cells, nprobe) exercised
@@ -1188,6 +1201,41 @@ object LlmQueries {
          |  SELECT qid, vec_id, adc,
          |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS INT) AS rank
          |  FROM adc) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_contamination_semantic" ->
+      s"""WITH ${kmeansCtes(32)},
+         |ev AS (SELECT vec_id + 5000000 AS vec_id, embedding
+         |       FROM embeddings WHERE vec_id % 10 = 0),
+         |${compCte("compe", "ev")},
+         |cent AS (SELECT cid, d, q FROM c2),
+         |adc_c AS (SELECT c.vec_id, ct.cid, SUM(c.q * ct.q) AS cdot
+         |          FROM comp c JOIN cent ct ON ct.d = c.d GROUP BY c.vec_id, ct.cid),
+         |cell_c AS (SELECT vec_id AS corpus_id, cid AS cell FROM (
+         |             SELECT vec_id, cid,
+         |                    row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS rn
+         |             FROM adc_c) WHERE rn = 1),
+         |adc_e AS (SELECT c.vec_id, ct.cid, SUM(c.q * ct.q) AS cdot
+         |          FROM compe c JOIN cent ct ON ct.d = c.d GROUP BY c.vec_id, ct.cid),
+         |cell_e AS (SELECT vec_id AS eval_id, cid AS cell FROM (
+         |             SELECT vec_id, cid,
+         |                    row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS rn
+         |             FROM adc_e) WHERE rn = 1),
+         |cand AS (SELECT cc.corpus_id, ce.eval_id
+         |         FROM cell_c cc JOIN cell_e ce ON ce.cell = cc.cell),
+         |pd AS (SELECT cd.corpus_id, cd.eval_id, SUM(ca.q * cb.q) AS dot
+         |       FROM cand cd
+         |       JOIN comp ca ON ca.vec_id = cd.corpus_id
+         |       JOIN compe cb ON cb.vec_id = cd.eval_id AND cb.d = ca.d
+         |       GROUP BY cd.corpus_id, cd.eval_id),
+         |nc AS (SELECT vec_id, SUM(q * q) AS n2 FROM comp GROUP BY vec_id),
+         |ne AS (SELECT vec_id, SUM(q * q) AS n2 FROM compe GROUP BY vec_id),
+         |cosv AS (SELECT p.corpus_id, p.eval_id,
+         |           CAST(p.dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+         |         FROM pd p
+         |         JOIN nc a ON a.vec_id = p.corpus_id
+         |         JOIN ne b ON b.vec_id = p.eval_id)
+         |SELECT corpus_id, eval_id, cos FROM cosv
+         |WHERE cos >= 0.95 ORDER BY corpus_id, eval_id""".stripMargin,
 
     "q_sim_ivfpq" ->
       s"""WITH ${compCte("comp", "embeddings")},

@@ -716,6 +716,17 @@ class LlmOpsSpec extends SparkSpec {
     val kept = Similarity.semanticDedup(embs, cents, 0.95)
       .select("vec_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L, 5L))
+
+    // Cross-corpus semantic contamination: an eval vector near a corpus
+    // vector (same cell) is flagged; the cross-cell near-miss is not.
+    val evalSet = Seq(
+      (100L, Array(0.999f, 0.02f, 0f, 0f)),  // ≈ v1/v2's cell 0
+      (101L, Array(0f, 0f, 0.01f, 0.999f)))  // cell of nothing similar
+      .toDF("vec_id", "embedding")
+    val flagged = Similarity.semanticContamination(embs, evalSet, cents, 0.95)
+      .select("corpus_id", "eval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged == Set((1L, 100L), (2L, 100L)), flagged.toString)
   }
 
   test("TextOps: chunking covers every token once per stride, short docs pass through") {
