@@ -1,8 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, StructField, StructType}
 
 /**
  * Similarity search over embedding columns (`array<float>`).
@@ -55,6 +58,115 @@ object Similarity {
   /** Cosine similarity from integer dot/norms (single double ops at the end). */
   def cosine(dot: Column, normSqA: Column, normSqB: Column): Column =
     dot.cast("double") / (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double")))
+
+  // ---------------------------------------------------------------------
+  // Driver-held codebook machinery — the shuffle-free encode/assign path.
+  //
+  // Centroid sets and PQ codebooks are broadcast-sized BY CONSTRUCTION
+  // (k ≈ √N cells is a few thousand rows even at 1B vectors; a PQ codebook
+  // is m·k rows of `dims/m` floats — a few KB). Holding them driver-side
+  // lets every assignment/encode be a pure PROJECTION: an argmin over
+  // per-centroid quantized dots computed per row, no broadcast-join ×
+  // k-candidates blow-up and no `groupBy(vec_id)` exchange afterwards. At
+  // 100 TB that exchange is N small rows of pure waste per encode pass —
+  // this path removes it (PlanAuditSpec pins the no-Exchange shape).
+  // ---------------------------------------------------------------------
+
+  /** Hard cap on rows collected for a driver-held centroid/codebook set —
+    * far above any sane configuration (cells ≈ √N wants scale-out long
+    * before 65536 centroids), and a fail-loud guard against accidentally
+    * passing a corpus where a codebook belongs. */
+  val MaxLocalCodebookRows: Int = 1 << 16
+
+  /** One `array<float>` literal NODE per centroid (not `dims` scalar
+    * literals) — keeps plan size ∝ k, not k·dims. */
+  private def litVec(cv: Array[Float]): Column = typedlit(cv.toSeq)
+
+  /** Driver-side mirror of `dotQ(cv, cv)` — same float→double widening,
+    * same `floor(x·10^6)` quantization, same integer sum as
+    * [[graft.expressions.QuantizedDot]], so a driver-computed ‖c‖² literal
+    * is bit-identical to the in-plan self-dot it replaces. */
+  private def qdotSelf(cv: Array[Float]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < cv.length) {
+      val q = math.floor(cv(i) * 1e6).toLong
+      acc += q * q
+      i += 1
+    }
+    acc
+  }
+
+  /** Per-row best cell by max quantized dot (ties → smaller cid), as a
+    * single projection: `array_min` over `struct(−dot, cid)` candidates —
+    * the same `(−cdot, cid)` ordering the join-based `min_by` used. */
+  private def argMaxDotStruct(v: Column, cents: Seq[(Any, Array[Float])]): Column =
+    array_min(array(cents.map { case (cid, cv) =>
+      struct(negate(dotQ(v, litVec(cv))).as("nd"), lit(cid).as("cid"))
+    }: _*))
+
+  /** Per-row best cell by min exact L2 key `c·c − 2·x·c` (ties → smaller
+    * cid), as a single projection; ‖c‖² rides as a driver-computed exact
+    * integer literal. */
+  private def argMinL2Struct(sv: Column, cents: Seq[(Any, Array[Float])]): Column =
+    array_min(array(cents.map { case (cid, cv) =>
+      struct((lit(qdotSelf(cv)) - lit(2L) * dotQ(sv, litVec(cv))).as("d"), lit(cid).as("cid"))
+    }: _*))
+
+  /** Collect a broadcast-sized centroid frame driver-side (fail-loud past
+    * [[MaxLocalCodebookRows]]). Keeps each cid at its ORIGINAL type so the
+    * projection's `cell` column matches the join-based schema exactly. */
+  private def collectCentroids(
+      centroids: DataFrame, cIdCol: String, cVecCol: String): Seq[(Any, Array[Float])] = {
+    val rows = centroids.select(col(cIdCol), col(cVecCol))
+      .limit(MaxLocalCodebookRows + 1).collect()
+    require(rows.nonEmpty, "centroid set is empty")
+    require(rows.length <= MaxLocalCodebookRows,
+      s"centroid set exceeds $MaxLocalCodebookRows rows — this is a corpus, not a codebook")
+    rows.toSeq.map(r => (r.get(0), r.getSeq[Float](1).toArray))
+  }
+
+  /** Collect PQ codebooks driver-side, grouped by subspace. */
+  private def collectCodebooks(codebooks: DataFrame): Map[Int, Seq[(Any, Array[Float])]] = {
+    val rows = codebooks.select(col("sub").cast("int"), col("cid"), col("cvec"))
+      .limit(MaxLocalCodebookRows + 1).collect()
+    require(rows.nonEmpty, "codebook set is empty")
+    require(rows.length <= MaxLocalCodebookRows,
+      s"codebook set exceeds $MaxLocalCodebookRows rows — this is a corpus, not a codebook")
+    rows.toSeq.groupBy(_.getInt(0)).map { case (s, rs) =>
+      s -> rs.map(r => (r.get(1), r.getSeq[Float](2).toArray))
+    }
+  }
+
+  /** Exact-integer Lloyd's mean from collected `(cell, d, sx, cnt)` rows:
+    * one long→double cast per sum, one double division by the exact count,
+    * one ÷10^6 and one float rounding — the identical arithmetic chain the
+    * in-plan `((sx.cast(double)/cnt)/Scale).cast(float)` performed, so the
+    * driver-iterated trainer is bit-identical to the join-based one. */
+  private def lloydMeans(rows: Seq[Row]): Seq[(Int, Array[Float])] =
+    rows.groupBy(_.getInt(0)).toSeq.map { case (cell, rs) =>
+      val comps = rs
+        .map(r => (r.getInt(1), ((r.getLong(2).toDouble / r.getLong(3)) / Scale).toFloat))
+        .sortBy(_._1).map(_._2)
+      (cell, comps.toArray)
+    }.sortBy(_._1)
+
+  /** Seed centroids: the `k` lowest-id vectors, cid 0..k−1 in id order. */
+  private def seedRows(
+      emb: DataFrame, k: Int, idCol: String, vecCol: String): Seq[(Int, Array[Float])] =
+    emb.select(col(idCol).as("_sid"), col(vecCol).as("cvec"))
+      .orderBy(col("_sid").asc).limit(k).collect()
+      .toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+
+  /** `(cid, cvec)` DataFrame from driver-held centroids. */
+  private def centroidFrame(spark: SparkSession, cents: Seq[(Int, Array[Float])]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("cvec", ArrayType(FloatType, containsNull = false), nullable = false)))
+    spark.createDataFrame(
+      cents.map { case (cid, cv) => Row(cid, cv.toSeq) }.asJava, schema)
+  }
 
   /**
    * Exact top-k neighbors for each query vector. `queries` must be small
@@ -137,10 +249,12 @@ object Similarity {
    * so any engine or partitioning produces bit-identical centroids
    * (oracle-checked against an unrolled SQL formulation).
    *
-   * Scale: per iteration, one broadcast scoring pass over the corpus, one
-   * shuffle by vector id for the argmax, and one component-sum shuffle
-   * that partial-aggregates to ≤ k·dims rows per partition map-side.
-   * Centroid state is k·dims, localCheckpointed per round to cut lineage.
+   * Scale: per iteration, ONE pass over the corpus — assignment is a pure
+   * projection against the driver-held centroids (no join, no
+   * `groupBy(vec_id)` exchange), and the only shuffle is the component-sum
+   * aggregation, partial-aggregated to ≤ k·dims rows per partition
+   * map-side. Centroid state is k·dims floats held on the driver between
+   * rounds (the same place a broadcast would put it, without the lineage).
    * A cell that loses all members is dropped (k may shrink) — standard
    * Lloyd's behavior, kept deterministic.
    */
@@ -149,36 +263,19 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val seedW = Window.orderBy(col("_sid").asc)
-    var cents = emb
-      .select(col(idCol).as("_sid"), col(vecCol).as("cvec"))
-      .orderBy(col("_sid").asc).limit(k)
-      .withColumn("cid", row_number().over(seedW) - 1)
-      .select(col("cid"), col("cvec"))
-      .localCheckpoint()
+    val spark = emb.sparkSession
+    var cents: Seq[(Int, Array[Float])] = seedRows(emb, k, idCol, vecCol)
     for (_ <- 0 until iters) {
       val sums = emb
-        .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-        .join(broadcast(cents.select(col("cid"), col("cvec"))))
-        .select(col("vec_id"), col("v"), col("cid"), dotQ(col("v"), col("cvec")).as("cdot"))
-        .groupBy("vec_id")
-        .agg(min_by(
-          struct(col("cid"), col("v")),
-          struct(negate(col("cdot")), col("cid"))).as("b"))
-        .select(col("b.cid").as("cell"), posexplode(quantize(col("b.v"))).as(Seq("d", "x")))
+        .select(
+          argMaxDotStruct(col(vecCol), cents).getField("cid").as("cell"),
+          posexplode(quantize(col(vecCol))).as(Seq("d", "x")))
         .groupBy("cell", "d")
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
-      cents = sums
-        .select(
-          col("cell").as("cid"), col("d"),
-          ((col("sx").cast("double") / col("cnt")) / lit(Scale)).cast("float").as("c"))
-        .groupBy("cid")
-        .agg(transform(
-          array_sort(collect_list(struct(col("d"), col("c")))),
-          s => s.getField("c")).as("cvec"))
-        .localCheckpoint()
+        .collect()
+      cents = lloydMeans(sums.toSeq)
     }
-    cents
+    centroidFrame(spark, cents)
   }
 
   /** All (vector, centroid) scores — the shared substrate of [[ivfAssign]]
@@ -195,10 +292,30 @@ object Similarity {
 
   /**
    * IVF coarse assignment: each vector goes to the centroid with the largest
-   * dot product (ties → smaller centroid id). `centroids` must be small
-   * (broadcast). Returns `(vec_id, cell, cdot)`.
+   * dot product (ties → smaller centroid id). `centroids` must be
+   * broadcast-sized (collected driver-side, fail-loud past
+   * [[MaxLocalCodebookRows]]). Returns `(vec_id, cell, cdot)`.
+   *
+   * This is a pure PROJECTION over the corpus — the per-row argmax runs
+   * against centroid literals, so there is no broadcast-join fan-out and
+   * no `groupBy(vec_id)` exchange (PlanAuditSpec pins no-Exchange). The
+   * join-based form survives as [[ivfAssignJoin]] for cross-checking.
    */
   def ivfAssign(
+      emb: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cIdCol: String = "cid", cVecCol: String = "cvec"): DataFrame = {
+    val cents = collectCentroids(centroids, cIdCol, cVecCol)
+    emb
+      .select(col(idCol).as("vec_id"), argMaxDotStruct(col(vecCol), cents).as("_b"))
+      .select(col("vec_id"), col("_b.cid").as("cell"), negate(col("_b.nd")).as("cdot"))
+  }
+
+  /** Join-based reference implementation of [[ivfAssign]] — same integers,
+    * same `(−cdot, cid)` tie-break, but pays a broadcast-join × k fan-out
+    * and a `groupBy(vec_id)` exchange; kept only to cross-check the
+    * projection path (LlmOpsSpec asserts bit-identical output). */
+  private[graft] def ivfAssignJoin(
       emb: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       cIdCol: String = "cid", cVecCol: String = "cvec"): DataFrame =
@@ -260,39 +377,19 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val seedW = Window.orderBy(col("_sid").asc)
-    var cents = emb
-      .select(col(idCol).as("_sid"), col(vecCol).as("cvec"))
-      .orderBy(col("_sid").asc).limit(k)
-      .withColumn("cid", row_number().over(seedW) - 1)
-      .select(col("cid"), col("cvec"))
-      .localCheckpoint()
+    val spark = emb.sparkSession
+    var cents: Seq[(Int, Array[Float])] = seedRows(emb, k, idCol, vecCol)
     for (_ <- 0 until iters) {
-      val withSelf = cents.select(
-        col("cid"), col("cvec"), dotQ(col("cvec"), col("cvec")).as("_cc"))
       val sums = emb
-        .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-        .join(broadcast(withSelf))
-        .select(col("vec_id"), col("v"), col("cid"),
-          (col("_cc") - lit(2L) * dotQ(col("v"), col("cvec"))).as("_dist"))
-        .groupBy("vec_id")
-        .agg(min_by(
-          struct(col("cid"), col("v")),
-          struct(col("_dist"), col("cid"))).as("b"))
-        .select(col("b.cid").as("cell"), posexplode(quantize(col("b.v"))).as(Seq("d", "x")))
+        .select(
+          argMinL2Struct(col(vecCol), cents).getField("cid").as("cell"),
+          posexplode(quantize(col(vecCol))).as(Seq("d", "x")))
         .groupBy("cell", "d")
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
-      cents = sums
-        .select(
-          col("cell").as("cid"), col("d"),
-          ((col("sx").cast("double") / col("cnt")) / lit(Scale)).cast("float").as("c"))
-        .groupBy("cid")
-        .agg(transform(
-          array_sort(collect_list(struct(col("d"), col("c")))),
-          s => s.getField("c")).as("cvec"))
-        .localCheckpoint()
+        .collect()
+      cents = lloydMeans(sums.toSeq)
     }
-    cents
+    centroidFrame(spark, cents)
   }
 
   /**
@@ -318,51 +415,81 @@ object Similarity {
     // corpus pass per Lloyd iteration instead of m (training a separate
     // codebook per subspace would re-scan 100 TB m times per round). Same
     // seeds (each subspace seeds with the k lowest-id vectors' slices),
-    // same per-(vector, subspace) L2 argmin, same float-rounded means —
-    // bit-identical to per-subspace [[trainCentroidsL2]], oracle-checked.
-    def subRows(d: DataFrame) = d.select(
-      col(idCol).as("vec_id"),
-      posexplode(array((0 until m).map(s => slice(col(vecCol), s * sd + 1, sd)): _*))
-        .as(Seq("sub", "sv")))
-    val seedW = Window.partitionBy("sub").orderBy(col("vec_id").asc)
-    var cents = subRows(emb.orderBy(col(idCol).asc).limit(k))
-      .withColumn("cid", row_number().over(seedW) - 1)
-      .select(col("sub"), col("cid"), col("sv").as("cvec"))
-      .localCheckpoint()
+    // same per-(vector, subspace) L2 argmin (now a projection against the
+    // driver-held codebooks — no join, no `groupBy(vec_id, sub)` exchange),
+    // same float-rounded means — bit-identical to per-subspace
+    // [[trainCentroidsL2]], oracle-checked.
+    val spark = emb.sparkSession
+    val seeds = emb.select(col(idCol).as("_sid"), col(vecCol).as("v"))
+      .orderBy(col("_sid").asc).limit(k).collect()
+    var cents: Map[Int, Seq[(Int, Array[Float])]] =
+      (0 until m).map { s =>
+        s -> seeds.toSeq.zipWithIndex.map { case (r, i) =>
+          (i, r.getSeq[Float](1).slice(s * sd, (s + 1) * sd).toArray)
+        }
+      }.toMap
     for (_ <- 0 until iters) {
-      val withSelf = cents.select(
-        col("sub"), col("cid"), col("cvec"), dotQ(col("cvec"), col("cvec")).as("_cc"))
-      val sums = subRows(emb)
-        .join(broadcast(withSelf), "sub")
-        .select(col("vec_id"), col("sub"), col("cid"),
-          (col("_cc") - lit(2L) * dotQ(col("sv"), col("cvec"))).as("_dist"), col("sv"))
-        .groupBy("vec_id", "sub")
-        .agg(min_by(
-          struct(col("cid"), col("sv")),
-          struct(col("_dist"), col("cid"))).as("b"))
-        .select(col("sub"), col("b.cid").as("cell"),
-          posexplode(quantize(col("b.sv"))).as(Seq("d", "x")))
+      val perSub = (0 until m).map { s =>
+        val sv = slice(col(vecCol), s * sd + 1, sd)
+        struct(
+          lit(s).as("sub"),
+          argMinL2Struct(sv, cents(s)).getField("cid").as("cell"),
+          quantize(sv).as("qs"))
+      }
+      val sums = emb
+        .select(explode(array(perSub: _*)).as("r"))
+        .select(col("r.sub").as("sub"), col("r.cell").as("cell"),
+          posexplode(col("r.qs")).as(Seq("d", "x")))
         .groupBy("sub", "cell", "d")
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
-      cents = sums
-        .select(
-          col("sub"), col("cell").as("cid"), col("d"),
-          ((col("sx").cast("double") / col("cnt")) / lit(Scale)).cast("float").as("c"))
-        .groupBy("sub", "cid")
-        .agg(transform(
-          array_sort(collect_list(struct(col("d"), col("c")))),
-          s => s.getField("c")).as("cvec"))
-        .localCheckpoint()
+        .collect()
+      cents = sums.toSeq.groupBy(_.getInt(0)).map { case (s, rs) =>
+        s -> lloydMeans(rs.map(r => Row(r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))))
+      }
     }
-    cents.select(col("sub"), col("cid"), col("cvec"))
+    val schema = StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("cid", IntegerType, nullable = false),
+      StructField("cvec", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val rows = cents.toSeq.sortBy(_._1).flatMap { case (s, cs) =>
+      cs.map { case (cid, cv) => Row(s, cid, cv.toSeq) }
+    }
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   /**
    * PQ encoding: each vector's subvector maps to its L2-nearest codebook
    * entry. Returns the compressed corpus `(vec_id, sub, code)` — m small
    * ints per vector, the only thing [[pqAdcTopK]] ever scans.
+   *
+   * Encoding is a pure PROJECTION: the m per-subspace argmins run against
+   * driver-held codebook literals in one pass over the scan, with no
+   * broadcast-join fan-out and no `groupBy(vec_id, sub)` exchange
+   * (PlanAuditSpec pins the scan→project→generate, no-Exchange shape).
+   * At 100 TB, encode is the full-corpus pass — an exchange of N·m small
+   * rows here is pure waste. [[pqEncodeJoin]] keeps the join-based form
+   * for cross-checking.
    */
   def pqEncode(
+      emb: DataFrame, codebooks: DataFrame, dims: Int, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"dims ($dims) must divide into m ($m) subspaces")
+    val sd = dims / m
+    val cb = collectCodebooks(codebooks)
+    (0 until m).foreach(s =>
+      require(cb.contains(s), s"codebooks missing subspace $s (have ${cb.keys.toSeq.sorted})"))
+    val codeCols = (0 until m).map { s =>
+      argMinL2Struct(slice(col(vecCol), s * sd + 1, sd), cb(s)).getField("cid")
+    }
+    emb.select(
+      col(idCol).as("vec_id"),
+      posexplode(array(codeCols: _*)).as(Seq("sub", "code")))
+  }
+
+  /** Join-based reference implementation of [[pqEncode]] — same integers,
+    * same `(dist, cid)` tie-break; kept only to cross-check the projection
+    * path (LlmOpsSpec asserts bit-identical codes). */
+  private[graft] def pqEncodeJoin(
       emb: DataFrame, codebooks: DataFrame, dims: Int, m: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val sd = dims / m

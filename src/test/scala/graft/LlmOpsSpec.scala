@@ -695,6 +695,28 @@ class LlmOpsSpec extends SparkSpec {
       s"IVF-PQ leaked outside the probed cell: $hits vs $cellMembers")
   }
 
+  test("Similarity: projection-based encode/assign is bit-identical to the join path") {
+    // 24 vectors of 8 dims with deliberate exact ties (duplicate vectors and
+    // duplicate centroids) so the (key, cid) tie-break is exercised, not
+    // just the happy path.
+    val embs = (0 until 24).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(d * 0.7 + (i % 6)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(embs, 4, 2)
+    val projA = Similarity.ivfAssign(embs, cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val joinA = Similarity.ivfAssignJoin(embs, cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(projA == joinA, s"ivfAssign diverged:\n$projA\nvs\n$joinA")
+
+    val cb = Similarity.pqTrainCodebooks(embs, dims = 8, m = 4, k = 3, iters = 2)
+    val projC = Similarity.pqEncode(embs, cb, dims = 8, m = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val joinC = Similarity.pqEncodeJoin(embs, cb, dims = 8, m = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(projC == joinC, s"pqEncode diverged:\n$projC\nvs\n$joinC")
+  }
+
   test("Similarity: semantic dedup pairs within cells only; one survivor per similarity group") {
     val embs = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),

@@ -1,5 +1,7 @@
 package graft
 
+import graft.ops.Similarity
+
 /**
  * Test-enforced plan audit: the physical-plan properties PLANS.md narrates
  * (pushdown, pruning, broadcasts, window group limits, no cartesian blowups)
@@ -63,6 +65,24 @@ class PlanAuditSpec extends SparkSpec {
     val pp = plan("q_text_perplexity")
     assert(!pp.contains("CartesianProduct"), s"perplexity planned a cartesian:\n$pp")
     assert(pp.contains("partial_count") || pp.contains("HashAggregate"), pp)
+  }
+
+  test("PQ encode and IVF assign are shuffle-free projections over the scan") {
+    // Encode/assign is the full-corpus pass of every ANN build — the per-row
+    // argmin runs against driver-held codebook literals, so the plan must be
+    // scan→project(→generate) with NO Exchange anywhere (the old join-based
+    // form paid a broadcast-join × k fan-out plus a groupBy(vec_id) shuffle).
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.trainCentroids(e, 4, 1)
+    val assignPlan = Similarity.ivfAssign(e, cents)
+      .queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("Exchange"), s"ivfAssign shuffles:\n$assignPlan")
+    assert(!assignPlan.contains("Join"), s"ivfAssign joins:\n$assignPlan")
+    val cb = Similarity.pqTrainCodebooks(e, dims = 64, m = 4, k = 4, iters = 1)
+    val encodePlan = Similarity.pqEncode(e, cb, dims = 64, m = 4)
+      .queryExecution.executedPlan.toString
+    assert(!encodePlan.contains("Exchange"), s"pqEncode shuffles:\n$encodePlan")
+    assert(!encodePlan.contains("Join"), s"pqEncode joins:\n$encodePlan")
   }
 
   test("similarity scoring cross-products are broadcast-side only") {
