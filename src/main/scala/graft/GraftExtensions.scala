@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{DocKernels, MinhashSigs, QuantizedDot}
+import graft.expressions.{DocKernels, MinhashSigs, QuantizedArgBest, QuantizedDot}
 
 /**
  * Session extensions for the graft engine: registers the native expressions
@@ -48,6 +48,8 @@ object GraftExtensions {
         Seq[Expression] => Expression)] = Seq(
     ("quantized_dot", QuantizedDot.info,
       arity("quantized_dot", 2)(c => QuantizedDot(c(0), c(1)))),
+    ("quantized_argbest", QuantizedArgBest.info,
+      arity("quantized_argbest", 3)(c => QuantizedArgBest(c(0), c(1), c(2)))),
     ("minhash_sigs", MinhashSigs.info,
       arity("minhash_sigs", 3)(c => MinhashSigs(
         c(0),

@@ -78,13 +78,9 @@ object Similarity {
     * passing a corpus where a codebook belongs. */
   val MaxLocalCodebookRows: Int = 1 << 16
 
-  /** One `array<float>` literal NODE per centroid (not `dims` scalar
-    * literals) — keeps plan size ∝ k, not k·dims. */
-  private def litVec(cv: Array[Float]): Column = typedlit(cv.toSeq)
-
   /** Driver-side mirror of `dotQ(cv, cv)` — same float→double widening,
     * same `floor(x·10^6)` quantization, same integer sum as
-    * [[graft.expressions.QuantizedDot]], so a driver-computed ‖c‖² literal
+    * [[graft.expressions.QuantizedDot]], so a driver-computed ‖c‖² bias
     * is bit-identical to the in-plan self-dot it replaces. */
   private def qdotSelf(cv: Array[Float]): Long = {
     var acc = 0L
@@ -97,25 +93,53 @@ object Similarity {
     acc
   }
 
-  /** Per-row best cell by max quantized dot (ties → smaller cid), as a
-    * single projection: `array_min` over `struct(−dot, cid)` candidates —
-    * the same `(−cdot, cid)` ordering the join-based `min_by` used. */
-  private def argMaxDotStruct(v: Column, cents: Seq[(Any, Array[Float])]): Column =
-    array_min(array(cents.map { case (cid, cv) =>
-      struct(negate(dotQ(v, litVec(cv))).as("nd"), lit(cid).as("cid"))
-    }: _*))
+  /** Driver-side `floor(x·10^6)` pre-quantization of a centroid. */
+  private def quantizeLocal(cv: Array[Float]): Seq[Long] =
+    cv.toSeq.map(f => math.floor(f * 1e6).toLong)
 
-  /** Per-row best cell by min exact L2 key `c·c − 2·x·c` (ties → smaller
-    * cid), as a single projection; ‖c‖² rides as a driver-computed exact
-    * integer literal. */
-  private def argMinL2Struct(sv: Column, cents: Seq[(Any, Array[Float])]): Column =
-    array_min(array(cents.map { case (cid, cv) =>
-      struct((lit(qdotSelf(cv)) - lit(2L) * dotQ(sv, litVec(cv))).as("d"), lit(cid).as("cid"))
-    }: _*))
+  /** Per-row best candidate INDEX via the native `quantized_argbest`
+    * kernel: argmin of `bias[c] − 2·dot(v, cents[c])`, ties → smallest
+    * index. With `bias = ‖c‖²` this is the exact L2 argmin; with
+    * `bias = 0` it is the max-dot argmax (argmin −2·dot). Candidates MUST
+    * be pre-sorted by ascending cid so index tie-break ≡ cid tie-break.
+    * The pre-quantized candidate matrix rides as one foldable literal that
+    * becomes a codegen REFERENCE object — generated source stays stable
+    * across centroid values, so retrained centroids never trigger a
+    * recompile (the composed array_min form did, at seconds per compile).
+    */
+  private def argBestIdx(v: Column, cents: Seq[(Any, Array[Float])], l2: Boolean): Column = {
+    val qcents = cents.map { case (_, cv) => quantizeLocal(cv) }
+    val bias = if (l2) cents.map { case (_, cv) => qdotSelf(cv) } else cents.map(_ => 0L)
+    call_function("quantized_argbest", v, typedlit(qcents), typedlit(bias))
+  }
+
+  /** The candidate id at a kernel-returned index, preserving the original
+    * cid column type (int for trained centroids, caller-supplied otherwise). */
+  private def cidAt(cents: Seq[(Any, Array[Float])], idx: Column): Column =
+    cents.head._1 match {
+      case _: Int => element_at(typedlit(cents.map(_._1.asInstanceOf[Int])), idx + 1)
+      case _: Long => element_at(typedlit(cents.map(_._1.asInstanceOf[Long])), idx + 1)
+      case other => throw new IllegalArgumentException(
+        s"centroid ids must be int or bigint, got ${other.getClass.getSimpleName}")
+    }
+
+  /** The candidate vector at a kernel-returned index (one float-array
+    * lookup per row — used to recover the winning dot product). */
+  private def cvecAt(cents: Seq[(Any, Array[Float])], idx: Column): Column =
+    element_at(typedlit(cents.map(_._2.toSeq)), idx + 1)
+
+  private def sortKey(cid: Any): Long = cid match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => throw new IllegalArgumentException(
+      s"centroid ids must be int or bigint, got ${other.getClass.getSimpleName}")
+  }
 
   /** Collect a broadcast-sized centroid frame driver-side (fail-loud past
-    * [[MaxLocalCodebookRows]]). Keeps each cid at its ORIGINAL type so the
-    * projection's `cell` column matches the join-based schema exactly. */
+    * [[MaxLocalCodebookRows]]), sorted by ascending cid so the kernel's
+    * smallest-index tie-break matches the smallest-cid contract. Keeps
+    * each cid at its ORIGINAL type so the projection's `cell` column
+    * matches the join-based schema exactly. */
   private def collectCentroids(
       centroids: DataFrame, cIdCol: String, cVecCol: String): Seq[(Any, Array[Float])] = {
     val rows = centroids.select(col(cIdCol), col(cVecCol))
@@ -123,7 +147,7 @@ object Similarity {
     require(rows.nonEmpty, "centroid set is empty")
     require(rows.length <= MaxLocalCodebookRows,
       s"centroid set exceeds $MaxLocalCodebookRows rows — this is a corpus, not a codebook")
-    rows.toSeq.map(r => (r.get(0), r.getSeq[Float](1).toArray))
+    rows.toSeq.map(r => (r.get(0), r.getSeq[Float](1).toArray)).sortBy(t => sortKey(t._1))
   }
 
   /** Collect PQ codebooks driver-side, grouped by subspace. */
@@ -134,7 +158,7 @@ object Similarity {
     require(rows.length <= MaxLocalCodebookRows,
       s"codebook set exceeds $MaxLocalCodebookRows rows — this is a corpus, not a codebook")
     rows.toSeq.groupBy(_.getInt(0)).map { case (s, rs) =>
-      s -> rs.map(r => (r.get(1), r.getSeq[Float](2).toArray))
+      s -> rs.map(r => (r.get(1), r.getSeq[Float](2).toArray)).sortBy(t => sortKey(t._1))
     }
   }
 
@@ -268,7 +292,7 @@ object Similarity {
     for (_ <- 0 until iters) {
       val sums = emb
         .select(
-          argMaxDotStruct(col(vecCol), cents).getField("cid").as("cell"),
+          cidAt(cents, argBestIdx(col(vecCol), cents, l2 = false)).as("cell"),
           posexplode(quantize(col(vecCol))).as(Seq("d", "x")))
         .groupBy("cell", "d")
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
@@ -307,8 +331,13 @@ object Similarity {
       cIdCol: String = "cid", cVecCol: String = "cvec"): DataFrame = {
     val cents = collectCentroids(centroids, cIdCol, cVecCol)
     emb
-      .select(col(idCol).as("vec_id"), argMaxDotStruct(col(vecCol), cents).as("_b"))
-      .select(col("vec_id"), col("_b.cid").as("cell"), negate(col("_b.nd")).as("cdot"))
+      .select(
+        col(idCol).as("vec_id"), col(vecCol).as("_v"),
+        argBestIdx(col(vecCol), cents, l2 = false).as("_i"))
+      .select(
+        col("vec_id"),
+        cidAt(cents, col("_i")).as("cell"),
+        dotQ(col("_v"), cvecAt(cents, col("_i"))).as("cdot"))
   }
 
   /** Join-based reference implementation of [[ivfAssign]] — same integers,
@@ -382,7 +411,7 @@ object Similarity {
     for (_ <- 0 until iters) {
       val sums = emb
         .select(
-          argMinL2Struct(col(vecCol), cents).getField("cid").as("cell"),
+          cidAt(cents, argBestIdx(col(vecCol), cents, l2 = true)).as("cell"),
           posexplode(quantize(col(vecCol))).as(Seq("d", "x")))
         .groupBy("cell", "d")
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
@@ -433,7 +462,7 @@ object Similarity {
         val sv = slice(col(vecCol), s * sd + 1, sd)
         struct(
           lit(s).as("sub"),
-          argMinL2Struct(sv, cents(s)).getField("cid").as("cell"),
+          cidAt(cents(s), argBestIdx(sv, cents(s), l2 = true)).as("cell"),
           quantize(sv).as("qs"))
       }
       val sums = emb
@@ -479,7 +508,8 @@ object Similarity {
     (0 until m).foreach(s =>
       require(cb.contains(s), s"codebooks missing subspace $s (have ${cb.keys.toSeq.sorted})"))
     val codeCols = (0 until m).map { s =>
-      argMinL2Struct(slice(col(vecCol), s * sd + 1, sd), cb(s)).getField("cid")
+      val sv = slice(col(vecCol), s * sd + 1, sd)
+      cidAt(cb(s), argBestIdx(sv, cb(s), l2 = true))
     }
     emb.select(
       col(idCol).as("vec_id"),
@@ -580,6 +610,132 @@ object Similarity {
     val lut = pqLut(codebooks, queries, dims, m, qIdCol, qVecCol)
     val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
     codes
+      .join(broadcast(probes), "cell")
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("pd")).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted IVF-PQ index — build once, query many.
+  //
+  // Every real 100 TB ANN deployment separates the (expensive, corpus-pass)
+  // build from the (cheap, serving-time) query: the quantizers are trained
+  // and the corpus encoded ONCE, written out, and every query afterwards
+  // touches only the compact artifacts. Layout under `indexDir`:
+  //
+  //   coarse/     (cid, cvec)          — coarse centroids, √N rows, broadcast
+  //   codebooks/  (sub, cid, cvec)     — PQ codebooks, m·k rows, broadcast
+  //   codes/cell=<cid>/ (vec_id, sub, code)
+  //               — the ONLY per-corpus artifact: m small ints per vector,
+  //                 hive-partitioned by coarse cell so a query's nprobe
+  //                 probe set becomes a PARTITION FILTER on the scan (only
+  //                 the probed cells' files are ever opened — at √N cells,
+  //                 a query reads ~nprobe/√N of the index, not all of it)
+  //   meta/       (dims, m)            — written LAST; its _SUCCESS marker
+  //                                      is the index's commit point
+  // ---------------------------------------------------------------------
+
+  /** A loaded persisted index (see layout above). */
+  final case class AnnIndex(
+      coarse: DataFrame, codebooks: DataFrame, codes: DataFrame, dims: Int, m: Int)
+
+  /**
+   * Train quantizers and persist a complete IVF-PQ index: coarse k-means
+   * ([[trainCentroids]], `coarseK` cells), PQ codebooks
+   * ([[pqTrainCodebooks]], m × pqK codes), then ONE combined corpus pass
+   * that both assigns the coarse cell and PQ-encodes every vector (cell
+   * assignment and encoding are each pure projections, so they fuse into a
+   * single scan — at 100 TB the build reads the corpus once for encoding,
+   * plus the bounded Lloyd passes for training). The codes table is
+   * clustered one-file-per-cell (`repartition(cell)` before the
+   * partitioned write — the round-6 tiny-files lesson).
+   */
+  def buildIndex(
+      emb: DataFrame, indexDir: String, dims: Int, m: Int,
+      coarseK: Int, pqK: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val coarse = trainCentroids(emb, coarseK, iters, idCol, vecCol)
+    val codebooks = pqTrainCodebooks(emb, dims, m, pqK, iters, idCol, vecCol)
+    writeIndex(emb, coarse, codebooks, indexDir, dims, m, idCol, vecCol)
+  }
+
+  /** Persist an index from already-trained quantizers (see [[buildIndex]]).
+    * Encode + assign run as ONE projection over ONE corpus scan. */
+  def writeIndex(
+      emb: DataFrame, coarse: DataFrame, codebooks: DataFrame,
+      indexDir: String, dims: Int, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(m >= 1 && dims % m == 0, s"dims ($dims) must divide into m ($m) subspaces")
+    val spark = emb.sparkSession
+    val sd = dims / m
+    val cents = collectCentroids(coarse, "cid", "cvec")
+    val books = collectCodebooks(codebooks)
+    (0 until m).foreach(s =>
+      require(books.contains(s), s"codebooks missing subspace $s (have ${books.keys.toSeq.sorted})"))
+    coarse.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/coarse")
+    codebooks.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    val codeCols = (0 until m).map { s =>
+      val sv = slice(col(vecCol), s * sd + 1, sd)
+      cidAt(books(s), argBestIdx(sv, books(s), l2 = true))
+    }
+    emb
+      .select(
+        col(idCol).as("vec_id"),
+        cidAt(cents, argBestIdx(col(vecCol), cents, l2 = false)).as("cell"),
+        posexplode(array(codeCols: _*)).as(Seq("sub", "code")))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+    // meta commits the index: written last, so a half-built dir never
+    // presents a complete-looking meta/_SUCCESS
+    import spark.implicits._
+    Seq((dims, m)).toDF("dims", "m")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  /** True iff `indexDir` holds a fully-committed index (meta written last). */
+  def indexCommitted(indexDir: String): Boolean =
+    new java.io.File(s"$indexDir/meta/_SUCCESS").exists()
+
+  /** Load a persisted index; no corpus scan, no training. */
+  def readIndex(spark: SparkSession, indexDir: String): AnnIndex = {
+    val meta = spark.read.parquet(s"$indexDir/meta").collect().head
+    AnnIndex(
+      coarse = spark.read.parquet(s"$indexDir/coarse"),
+      codebooks = spark.read.parquet(s"$indexDir/codebooks"),
+      codes = spark.read.parquet(s"$indexDir/codes"),
+      dims = meta.getAs[Int]("dims"),
+      m = meta.getAs[Int]("m"))
+  }
+
+  /**
+   * Serving-time IVF-PQ top-k over a persisted index — NO training, no
+   * full-corpus encode: probes come from the (tiny, broadcast) coarse
+   * table, the ADC lookup table from the (tiny) codebooks, and the code
+   * scan is restricted to the probed cells by a LITERAL partition filter
+   * (the probe set — queries × nprobe cell ids, bounded and small — is
+   * collected and pushed as an `IN` on the hive partition column, so
+   * non-probed cells' files are pruned at planning time, the behavior
+   * PlanAuditSpec pins). Ranking is identical to [[ivfPqTopK]] with the
+   * same quantizers.
+   */
+  def ivfPqTopKIndexed(
+      index: AnnIndex, queries: DataFrame, k: Int, nprobe: Int,
+      qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val qw = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid").asc)
+    val probes = ivfScoreCells(
+        queries.select(col(qIdCol).as("vec_id"), col(qVecCol).as("embedding")), index.coarse)
+      .withColumn("prn", row_number().over(qw))
+      .where(col("prn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    val probedCells = probes.select("cell").distinct().collect().map(_.get(0)).toSeq
+    val lut = pqLut(index.codebooks, queries, index.dims, index.m, qIdCol, qVecCol)
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
+    index.codes
+      .where(col("cell").isin(probedCells: _*))
       .join(broadcast(probes), "cell")
       .join(broadcast(lut), Seq("qid", "sub", "code"))
       .groupBy("qid", "vec_id")

@@ -28,6 +28,23 @@ object LlmQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tpch.read(s, dir, "embeddings")
 
+  /** Build-once memo for the persisted ANN index (the build-once/query-many
+    * serving shape): trains + encodes only if no committed index exists
+    * under the layout-versioned scratch dir for this scale factor, then
+    * loads it. Bench's warm-up pass pays the one-time build, so the
+    * measured `q_sim_ivfpq_persisted` line is query-only latency — exactly
+    * the number a 100 TB serving deployment cares about. */
+  private def persistedIndex(s: SparkSession, dir: String): Similarity.AnnIndex = {
+    val indexDir =
+      s"${sys.props("java.io.tmpdir")}/graft_ann_index_v1/${new java.io.File(dir).getName}"
+    if (!Similarity.indexCommitted(indexDir)) {
+      graft.GraftExtensions.register(s)
+      Similarity.buildIndex(
+        emb(s, dir), indexDir, dims = 64, m = 4, coarseK = 8, pqK = 16, iters = 2)
+    }
+    Similarity.readIndex(s, indexDir)
+  }
+
   /** documents ∪ near-dup mutation (drop first 2 tokens, id+1000000). */
   private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -194,6 +211,38 @@ object LlmQueries {
       |lut AS (SELECT x.vec_id AS qid, x.sub, x.cid AS code, cc.cc - 2 * x.xc AS pd
       |        FROM exc x JOIN ecc cc ON cc.sub = x.sub AND cc.cid = x.cid
       |        WHERE x.vec_id < 3)""".stripMargin
+
+  /** Full IVF-PQ oracle (train → assign → probe → ADC top-k). Shared
+    * VERBATIM by `q_sim_ivfpq` (in-query training) and
+    * `q_sim_ivfpq_persisted` (serving from the persisted index): the index
+    * round-trips the identical trained values, so both paths must produce
+    * the identical ranking. */
+  private lazy val ivfPqOracleSql: String =
+    s"""WITH ${compCte("comp", "embeddings")},
+       |${kmeansChain(8)},
+       |${pqChain(16, 16)},
+       |$pqEncodeLutCtes,
+       |cent AS (SELECT cid, d, q FROM c2),
+       |adot AS (SELECT c.vec_id, ct.cid, SUM(c.q * ct.q) AS cdot
+       |         FROM comp c JOIN cent ct ON ct.d = c.d GROUP BY c.vec_id, ct.cid),
+       |acell AS (SELECT vec_id, cid AS cell FROM (
+       |            SELECT vec_id, cid,
+       |                   row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS rn
+       |            FROM adot) WHERE rn = 1),
+       |qprobe AS (SELECT vec_id AS qid, cid AS cell FROM (
+       |             SELECT vec_id, cid,
+       |                    row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS rn
+       |             FROM adot WHERE vec_id < 3) WHERE rn <= 2),
+       |cand AS (SELECT qp.qid, a.vec_id FROM qprobe qp JOIN acell a ON a.cell = qp.cell),
+       |adc AS (SELECT cd.qid, cd.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adc
+       |        FROM cand cd
+       |        JOIN enc e ON e.vec_id = cd.vec_id
+       |        JOIN lut l ON l.qid = cd.qid AND l.sub = e.sub AND l.code = e.code
+       |        GROUP BY cd.qid, cd.vec_id)
+       |SELECT qid, rank, vec_id, adc FROM (
+       |  SELECT qid, vec_id, adc,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS INT) AS rank
+       |  FROM adc) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   /** Jaccard verification of `cand(id_a, id_b)` against `sh`. */
   private val jaccardSql =
@@ -601,6 +650,22 @@ object LlmQueries {
       val queries = e.where(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfPqTopK(e, coarse, cb, queries, 5, nprobe = 2, dims = 64, m = 4)
+        .select("qid", "rank", "vec_id", "adc")
+        .orderBy("qid", "rank")
+    }),
+
+    // Serving from a PERSISTED index: quantizers trained and corpus encoded
+    // once (memoized build under /tmp, paid by Bench's warm-up), every
+    // execution here only loads coarse/codebooks/codes and serves — probe
+    // cells become a literal partition filter on the hive-partitioned codes
+    // table. Same ranking contract as q_sim_ivfpq (shared oracle).
+    "q_sim_ivfpq_persisted" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = emb(s, dir)
+      val idx = persistedIndex(s, dir)
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfPqTopKIndexed(idx, queries, 5, nprobe = 2)
         .select("qid", "rank", "vec_id", "adc")
         .orderBy("qid", "rank")
     }),
@@ -1237,32 +1302,12 @@ object LlmQueries {
          |SELECT corpus_id, eval_id, cos FROM cosv
          |WHERE cos >= 0.95 ORDER BY corpus_id, eval_id""".stripMargin,
 
-    "q_sim_ivfpq" ->
-      s"""WITH ${compCte("comp", "embeddings")},
-         |${kmeansChain(8)},
-         |${pqChain(16, 16)},
-         |$pqEncodeLutCtes,
-         |cent AS (SELECT cid, d, q FROM c2),
-         |adot AS (SELECT c.vec_id, ct.cid, SUM(c.q * ct.q) AS cdot
-         |         FROM comp c JOIN cent ct ON ct.d = c.d GROUP BY c.vec_id, ct.cid),
-         |acell AS (SELECT vec_id, cid AS cell FROM (
-         |            SELECT vec_id, cid,
-         |                   row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS rn
-         |            FROM adot) WHERE rn = 1),
-         |qprobe AS (SELECT vec_id AS qid, cid AS cell FROM (
-         |             SELECT vec_id, cid,
-         |                    row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS rn
-         |             FROM adot WHERE vec_id < 3) WHERE rn <= 2),
-         |cand AS (SELECT qp.qid, a.vec_id FROM qprobe qp JOIN acell a ON a.cell = qp.cell),
-         |adc AS (SELECT cd.qid, cd.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adc
-         |        FROM cand cd
-         |        JOIN enc e ON e.vec_id = cd.vec_id
-         |        JOIN lut l ON l.qid = cd.qid AND l.sub = e.sub AND l.code = e.code
-         |        GROUP BY cd.qid, cd.vec_id)
-         |SELECT qid, rank, vec_id, adc FROM (
-         |  SELECT qid, vec_id, adc,
-         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS INT) AS rank
-         |  FROM adc) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q_sim_ivfpq" -> ivfPqOracleSql,
+
+    // The persisted index round-trips the identical trained quantizers and
+    // codes (parquet floats/ints are exact), so serving from it must
+    // reproduce q_sim_ivfpq's ranking verbatim — shared oracle.
+    "q_sim_ivfpq_persisted" -> ivfPqOracleSql,
 
     "q_embed_semdedup" ->
       s"""WITH ${kmeansCtes(32)},

@@ -695,6 +695,42 @@ class LlmOpsSpec extends SparkSpec {
       s"IVF-PQ leaked outside the probed cell: $hits vs $cellMembers")
   }
 
+  test("Similarity: persisted index round-trips and serves identically to the in-query path") {
+    val embs = (0 until 32).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(d * 0.9 + (i % 5)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = embs.where(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    try {
+      assert(!Similarity.indexCommitted(dir))
+      Similarity.buildIndex(embs, dir, dims = 8, m = 2, coarseK = 4, pqK = 3, iters = 2)
+      assert(Similarity.indexCommitted(dir))
+      val idx = Similarity.readIndex(spark, dir)
+      assert(idx.dims == 8 && idx.m == 2)
+
+      // serving from the index == the full in-query pipeline, bit for bit
+      val coarse = Similarity.trainCentroids(embs, 4, 2)
+      val cb = Similarity.pqTrainCodebooks(embs, dims = 8, m = 2, k = 3, iters = 2)
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "rank", "vec_id", "adc")
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      val served = key(Similarity.ivfPqTopKIndexed(idx, queries, 3, nprobe = 2))
+      val inQuery = key(Similarity.ivfPqTopK(
+        embs, coarse, cb, queries, 3, nprobe = 2, dims = 8, m = 2))
+      assert(served == inQuery, s"persisted serving diverged:\n$served\nvs\n$inQuery")
+
+      // the probe set must reach the codes scan as a partition filter —
+      // non-probed cells' files are pruned at planning time
+      val plan = Similarity.ivfPqTopKIndexed(idx, queries, 3, nprobe = 1)
+        .queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+        s"no partition filter on the codes scan:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("Similarity: projection-based encode/assign is bit-identical to the join path") {
     // 24 vectors of 8 dims with deliberate exact ties (duplicate vectors and
     // duplicate centroids) so the (key, cid) tie-break is exercised, not
