@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{DocKernels, MinhashSigs, QuantizedArgBest, QuantizedDot}
+import graft.expressions.{DocKernels, ImageKernels, MinhashSigs, QuantizedArgBest, QuantizedDot}
 
 /**
  * Session extensions for the graft engine: registers the native expressions
@@ -50,6 +50,10 @@ object GraftExtensions {
       arity("quantized_dot", 2)(c => QuantizedDot(c(0), c(1)))),
     ("quantized_argbest", QuantizedArgBest.info,
       arity("quantized_argbest", 3)(c => QuantizedArgBest(c(0), c(1), c(2)))),
+    ("synth_image", ImageKernels.synthInfo,
+      arity("synth_image", 1)(c => ImageKernels.SynthImage(c(0)))),
+    ("image_decode", ImageKernels.decodeInfo,
+      arity("image_decode", 1)(c => ImageKernels.ImageDecode(c(0)))),
     ("minhash_sigs", MinhashSigs.info,
       arity("minhash_sigs", 3)(c => MinhashSigs(
         c(0),

@@ -1,0 +1,146 @@
+package graft.expressions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/**
+ * Real image decode on the JDK's own codecs (`javax.imageio` reads PNG, BMP,
+ * GIF, JPEG with zero external dependencies) plus a deterministic synthetic
+ * image generator used to plant oracle-checkable fixtures.
+ *
+ * This replaces the round-≤6 `decodeStub` *for images*: the stub derived
+ * fake "dimensions" from payload bytes because the container has no codec
+ * libraries — but PNG/BMP decoding needs none. Audio/video remain stubbed
+ * ([[graft.ops.Multimodal.decodeStub]], [[graft.ops.Multimodal.sampleFrames]])
+ * since those genuinely need external codecs.
+ *
+ * Decode failure policy: an unreadable/corrupt payload decodes to NULL
+ * (never throws) — at corpus scale a bad image must not kill a 100 TB scan;
+ * callers filter or count nulls. Pixel statistics are exact integer sums in
+ * sRGB space, so any engine recomputing them from the generation parameters
+ * gets bit-identical values (the DuckDB oracle does exactly that).
+ */
+object ImageKernels {
+
+  /** Planted-image geometry/color — closed-form in the asset id, so an SQL
+    * oracle can recompute every decoded statistic without touching pixels:
+    * width = 8 + id%8, height = 8 + id%5, color = (id%256, id·7%256,
+    * id·13%256); the x=0 column is black so positional pixel reads are
+    * exercised (metadata-only "decoding" would get the sums wrong). */
+  def synthPng(id: Long): Array[Byte] = {
+    val w = (8 + math.floorMod(id, 8)).toInt
+    val h = (8 + math.floorMod(id, 5)).toInt
+    val r = math.floorMod(id, 256).toInt
+    val g = math.floorMod(id * 7, 256).toInt
+    val b = math.floorMod(id * 13, 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, if (x == 0) 0 else rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Decode any ImageIO-supported payload to exact pixel statistics;
+    * null for unreadable bytes. */
+  def decode(bytes: Array[Byte]): InternalRow =
+    try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var sr = 0L
+        var sg = 0L
+        var sb = 0L
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          sr += (p >> 16) & 0xff
+          sg += (p >> 8) & 0xff
+          sb += p & 0xff
+          i += 1
+        }
+        new GenericInternalRow(Array[Any](w, h, w.toLong * h, sr, sg, sb))
+      }
+    } catch {
+      case _: java.io.IOException => null
+    }
+
+  val decodeType: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_px", LongType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  /** `synth_image(id)` — deterministic planted PNG (test/oracle fixture). */
+  case class SynthImage(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"synth_image requires bigint, got ${other.simpleString}")
+    }
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "synth_image"
+    override protected def nullSafeEval(id: Any): Any = synthPng(id.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.ImageKernels.synthPng($c);")
+    override protected def withNewChildInternal(newChild: Expression): SynthImage =
+      copy(child = newChild)
+  }
+
+  /** `image_decode(content)` — exact pixel stats, null on unreadable bytes. */
+  case class ImageDecode(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"image_decode requires binary, got ${other.simpleString}")
+    }
+    override def dataType: DataType = decodeType
+    override def nullable: Boolean = true
+    override def prettyName: String = "image_decode"
+    override protected def nullSafeEval(bytes: Any): Any =
+      decode(bytes.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |${ev.value} = graft.expressions.ImageKernels.decode($c);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): ImageDecode =
+      copy(child = newChild)
+  }
+
+  val synthInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[SynthImage].getName,
+    null,
+    "synth_image",
+    "_FUNC_(id) - deterministic synthetic PNG payload for the given id (fixture generator).",
+    "", "", "", "", "", "", "built-in")
+
+  val decodeInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[ImageDecode].getName,
+    null,
+    "image_decode",
+    "_FUNC_(content) - decode an image payload (PNG/BMP/GIF/JPEG via javax.imageio) to exact pixel statistics; NULL if unreadable.",
+    "", "", "", "", "", "", "built-in")
+}

@@ -10,12 +10,15 @@ import org.apache.spark.sql.types._
  * extraction are per-row column transforms over the bytes.
  *
  * The Spark-side plumbing here — schema, batch shape, partition sizing — is
- * real and tested. The *codec* step is a STUB: this container has no
- * image/audio libraries, so [[decodeStub]] derives deterministic fake
- * features from the raw bytes (length, checksums, sampled bytes). A real
- * deployment replaces only the marked expressions with a codec call (a
- * Catalyst expression wrapping e.g. javax.imageio, or `mapInArrow` batches
- * into a native decoder); every surrounding operator is unchanged.
+ * real and tested. IMAGE decode is real too: [[decodeImage]] wraps the
+ * native `image_decode` kernel ([[graft.expressions.ImageKernels]]), which
+ * decodes PNG/BMP/GIF/JPEG through the JDK's own `javax.imageio` (no
+ * external dependency) to exact integer pixel statistics, NULL on
+ * unreadable bytes. Audio/video feature extraction remains a STUB
+ * ([[decodeStub]] — deterministic fake features from raw bytes) because
+ * those codecs genuinely aren't in the container; a real deployment
+ * replaces only the marked expressions, every surrounding operator is
+ * unchanged.
  *
  * Scale notes: payloads are large, so operators avoid shuffling the binary
  * column — features are extracted first and the payload is dropped or written
@@ -48,7 +51,18 @@ object Multimodal {
         length(payload.cast("binary")).cast("long").as("n_bytes")).as("meta"))
 
   /**
-   * STUB decode: deterministic pseudo-features from raw bytes.
+   * REAL image decode (`javax.imageio`, in-JDK): binary payload → exact
+   * pixel statistics `struct(width, height, n_px, sum_r, sum_g, sum_b)`,
+   * NULL for unreadable bytes (a corrupt image must never kill a 100 TB
+   * scan — callers filter or count the nulls). Runs as a native codegen'd
+   * expression, one decode per row, no UDF.
+   * Requires [[graft.GraftExtensions.register]] on the session.
+   */
+  def decodeImage(content: Column): Column =
+    call_function("image_decode", content)
+
+  /**
+   * STUB decode (audio/video): deterministic pseudo-features from raw bytes.
    * Replace the marked expressions with a real codec; the signature —
    * binary in, fixed-width feature struct out — is the production shape.
    */

@@ -865,6 +865,27 @@ object LlmQueries {
         .orderBy("asset_id", "frame_no")
     }),
 
+    // REAL image decode: deterministic PNGs planted per doc_id (solid color
+    // with a black x=0 stripe), decoded by the in-JDK javax.imageio kernel
+    // to exact pixel sums — the oracle recomputes every statistic in closed
+    // form from the generation parameters, so a decoder that only read
+    // metadata (or mis-read pixels) hash-fails
+    "q_mm_decode" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val assets = Multimodal.asAsset(
+        col("doc_id"), lit("image"),
+        call_function("synth_image", col("doc_id")), col("source"))(docs(s, dir))
+      assets
+        .select(col("asset_id"), Multimodal.decodeImage(col("content")).as("f"))
+        .select(
+          col("asset_id"),
+          col("f.width").as("width"), col("f.height").as("height"),
+          col("f.n_px").as("n_px"),
+          col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
+          col("f.sum_b").as("sum_b"))
+        .orderBy("asset_id")
+    }),
+
     // Multimodal plumbing: documents as binary assets → stub feature extract
     "q_mm_features" -> ((s, dir) => {
       val assets = Multimodal.asAsset(
@@ -1681,6 +1702,19 @@ object LlmQueries {
         |        unnest(range(1, greatest(1, length(text) // 64) + 1)) AS i
         |      FROM documents)
         |ORDER BY asset_id, frame_no""".stripMargin,
+
+    // Planted geometry/color are closed-form in doc_id (see ImageKernels
+    // .synthPng): w = 8 + id%8, h = 8 + id%5, color (id%256, id*7%256,
+    // id*13%256), x=0 column black → sum_c = c * (w-1) * h.
+    "q_mm_decode" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(8 + doc_id % 8 AS INT) AS width,
+        |  CAST(8 + doc_id % 5 AS INT) AS height,
+        |  CAST((8 + doc_id % 8) * (8 + doc_id % 5) AS BIGINT) AS n_px,
+        |  CAST((doc_id % 256) * (7 + doc_id % 8) * (8 + doc_id % 5) AS BIGINT) AS sum_r,
+        |  CAST(((doc_id * 7) % 256) * (7 + doc_id % 8) * (8 + doc_id % 5) AS BIGINT) AS sum_g,
+        |  CAST(((doc_id * 13) % 256) * (7 + doc_id % 8) * (8 + doc_id % 5) AS BIGINT) AS sum_b
+        |FROM documents ORDER BY asset_id""".stripMargin,
 
     "q_mm_features" ->
       """SELECT doc_id AS asset_id, 'image' AS modality, source,

@@ -934,4 +934,36 @@ class LlmOpsSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(assets, stride = 5, frameBytes = 4)
     assert(frames.count() == 3) // 19 bytes / stride 5 → 3 frames
   }
+
+  test("Multimodal: real image decode — exact pixel stats, codec-independent, null on garbage") {
+    import graft.expressions.ImageKernels
+    // kernel-level: planted PNG decodes to the closed-form stats
+    for (id <- Seq(0L, 1L, 17L, 255L, 1000003L)) {
+      val row = ImageKernels.decode(ImageKernels.synthPng(id))
+      val (w, h) = ((8 + id % 8).toInt, (8 + id % 5).toInt)
+      assert(row.getInt(0) == w && row.getInt(1) == h)
+      assert(row.getLong(2) == w.toLong * h)
+      assert(row.getLong(3) == (id % 256) * (w - 1) * h, s"sum_r for id=$id")
+      assert(row.getLong(4) == (id * 7 % 256) * (w - 1) * h, s"sum_g for id=$id")
+      assert(row.getLong(5) == (id * 13 % 256) * (w - 1) * h, s"sum_b for id=$id")
+    }
+    // codec independence: the same image written as BMP decodes to the
+    // same statistics (stats are a property of pixels, not the container)
+    val png = ImageKernels.synthPng(42L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    val viaPng = ImageKernels.decode(png)
+    val viaBmp = ImageKernels.decode(baos.toByteArray)
+    assert((0 to 1).forall(i => viaPng.getInt(i) == viaBmp.getInt(i)) &&
+      (2 to 5).forall(i => viaPng.getLong(i) == viaBmp.getLong(i)))
+
+    // column-level: decodeImage over planted assets; garbage bytes → null
+    val df = Seq((3L, ImageKernels.synthPng(3L)), (4L, "not an image".getBytes))
+      .toDF("asset_id", "content")
+    val out = df.select($"asset_id", Multimodal.decodeImage($"content").as("f"))
+      .orderBy("asset_id").collect()
+    assert(out(0).getStruct(1).getInt(0) == (8 + 3 % 8) && !out(0).isNullAt(1))
+    assert(out(1).isNullAt(1), "garbage payload must decode to NULL, not throw")
+  }
 }
