@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+
+/**
+ * Retrieval-QUALITY harness for the sketch/ANN family. The oracle suite
+ * proves determinism parity (every operator computes exactly what it
+ * claims); this main measures what the sketches are FOR — how much of the
+ * true result the approximate path actually retrieves, per knob setting:
+ *
+ *  - MinHash-LSH banding: candidate recall/precision against EXACT
+ *    shingle-Jaccard ground truth (full inverted index — every pair
+ *    sharing ≥1 shingle exactly verified; pairs sharing none have J = 0
+ *    and cannot reach any positive threshold).
+ *  - SimHash-64 banded blocking (Hamming ≤ 3): recall/precision against
+ *    the same exact-Jaccard truth at a high threshold (SimHash approximates
+ *    token-frequency cosine, not Jaccard — the measured gap between the
+ *    two notions is part of what this harness documents).
+ *  - IVF / PQ / IVF-PQ: recall@k against the exact [[Similarity.bruteForceTopK]]
+ *    scan, as nprobe scales (IVF) and under code compression (PQ).
+ *
+ * Corpus: the same planted near-dup corpus the bench queries use (each
+ * document unioned with an id-shifted copy missing its first two tokens).
+ * Writes ONE JSON line to stdout and `QUALITY.json` in the cwd.
+ * `QualitySpec` asserts per-knob floors on these same metrics, so a
+ * regression in banding/probing quality fails CI, not just a bench read.
+ */
+object Quality {
+
+  /** documents ∪ near-dup mutation (drop first 2 tokens, id+1000000) —
+    * mirrors the bench corpus in `LlmQueries.docsWithNearDups`. */
+  def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.queries.Tpch.read(s, dir, "documents")
+    val toks = split(col("text"), " ")
+    val mutated = d.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      array_join(slice(toks, lit(3), greatest(lit(0), size(toks) - 2)), " ").as("text"))
+    d.select("doc_id", "text").unionByName(mutated)
+  }
+
+  /** EXACT Jaccard ground truth at `threshold`: one global block → the
+    * candidate join is the full shingle inverted index, so every pair with
+    * J ≥ threshold > 0 is found and exactly verified. Quadratic in the
+    * largest shingle posting list — a measurement tool for bench-scale
+    * corpora, not a production operator (that's what the sketches are for). */
+  def jaccardTruth(docs: DataFrame, threshold: Double): DataFrame =
+    Dedup.blockedNearDuplicates(
+      docs.withColumn("_blk", lit(1)), "doc_id", "text", Seq("_blk"),
+      shingle = 3, threshold = threshold)
+      .select("id_a", "id_b")
+
+  /** MinHash-LSH candidate pairs at (numHashes, bands). */
+  def minhashCandidates(docs: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    Dedup.candidatePairs(Dedup.lshBands(
+      Dedup.minhashSignaturesNative(docs, "doc_id", "text", numHashes, shingle = 3),
+      numHashes, bands))
+
+  def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** (recall, precision) of a predicted pair set vs truth; empty sides
+    * score 1.0 (nothing to miss / nothing wrong). */
+  def recallPrecision(
+      pred: Set[(Long, Long)], truth: Set[(Long, Long)]): (Double, Double) = {
+    val hit = (pred & truth).size.toDouble
+    (if (truth.isEmpty) 1.0 else hit / truth.size,
+      if (pred.isEmpty) 1.0 else hit / pred.size)
+  }
+
+  /** qid → retrieved vec_ids from a top-k result frame. */
+  def topkMap(df: DataFrame): Map[Long, Set[Long]] =
+    df.select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  /** Mean per-query |pred ∩ truth| / |truth| (truth from the exact scan). */
+  def recallAtK(pred: Map[Long, Set[Long]], truth: Map[Long, Set[Long]]): Double = {
+    require(truth.nonEmpty, "empty ground-truth top-k")
+    truth.map { case (q, t) =>
+      (pred.getOrElse(q, Set.empty) & t).size.toDouble / t.size
+    }.sum / truth.size
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+
+    // ---- text sketches vs exact Jaccard truth --------------------------
+    val docs = docsWithNearDups(spark, sfDir).localCheckpoint()
+    val truth80 = pairSet(jaccardTruth(docs, 0.8))
+    val truth90 = pairSet(jaccardTruth(docs, 0.9))
+    val mh = for (bands <- Seq(2, 4, 8)) yield {
+      val (r, p) = recallPrecision(pairSet(minhashCandidates(docs, 16, bands)), truth80)
+      s""""h16_b$bands":{"recall":$r,"precision":$p}"""
+    }
+    val (shR, shP) = recallPrecision(
+      pairSet(Dedup.simhashNearDuplicates64(
+        Dedup.simhashNative64(docs, "doc_id", "text"), maxHamming = 3)
+        .select("id_a", "id_b")),
+      truth90)
+
+    // ---- ANN vs the exact scan -----------------------------------------
+    val e = graft.queries.Tpch.read(spark, sfDir, "embeddings").localCheckpoint()
+    val queries = e.where(col("vec_id") < 64)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact5 = topkMap(Similarity.bruteForceTopK(e, queries, 5))
+    val exact10 = topkMap(Similarity.bruteForceTopK(e, queries, 10))
+    val cents = Similarity.trainCentroids(e, 32, 2)
+    val ivf = for (np <- Seq(1, 2, 4, 8); k <- Seq(5, 10)) yield {
+      val truth = if (k == 5) exact5 else exact10
+      val r = recallAtK(topkMap(Similarity.ivfTopK(e, cents, queries, k, nprobe = np)), truth)
+      s""""ivf_nprobe${np}_at$k":$r"""
+    }
+    val pq = for (m <- Seq(4, 8)) yield {
+      val cb = Similarity.pqTrainCodebooks(e, dims = 64, m = m, k = 16, iters = 2)
+      val codes = Similarity.pqEncode(e, cb, dims = 64, m = m).localCheckpoint()
+      val full = recallAtK(
+        topkMap(Similarity.pqAdcTopK(codes, cb, queries, 10, dims = 64, m = m)), exact10)
+      val ivfpq = recallAtK(
+        topkMap(Similarity.ivfPqTopK(
+          e, cents, cb, queries, 10, nprobe = 2, dims = 64, m = m)), exact10)
+      s""""pq_m${m}_fullscan_at10":$full,"ivfpq_m${m}_nprobe2_at10":$ivfpq"""
+    }
+
+    val json =
+      s"""{"sf_dir":"$sfDir","text":{"docs":${docs.count()},"truth_pairs_j80":${truth80.size},""" +
+        s""""truth_pairs_j90":${truth90.size},"minhash_lsh":{${mh.mkString(",")}},""" +
+        s""""simhash64_h3":{"recall":$shR,"precision":$shP}},""" +
+        s""""ann":{"queries":${exact10.size},${ivf.mkString(",")},${pq.mkString(",")}}}"""
+    println(json)
+    Files.writeString(Paths.get("QUALITY.json"), json + "\n")
+    spark.stop()
+  }
+}

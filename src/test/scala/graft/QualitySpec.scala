@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+
+/**
+ * Retrieval-quality floors for the sketch/ANN family at sf0.01 — the CI
+ * counterpart of the `Quality` main (which writes QUALITY.json at sf0.1).
+ * Everything here is deterministic (planted corpus, deterministic hashes,
+ * deterministic training), so the floors are regression tripwires for code
+ * changes, not statistical tolerances; they sit comfortably below the
+ * measured values (MinHash h16_b4 measured 0.995 recall / 0.908 precision,
+ * SimHash64 0.743/0.964, IVF nprobe8 recall@10 0.794, PQ m4 full-scan
+ * 0.258 — see QUALITY.json history).
+ */
+class QualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("minhash-LSH banding: recall/precision floors and the bands s-curve") {
+    GraftExtensions.register(spark)
+    val docs = Quality.docsWithNearDups(spark, dir).localCheckpoint()
+    val truth = Quality.pairSet(Quality.jaccardTruth(docs, 0.8))
+    assert(truth.nonEmpty)
+    val byBands = Seq(2, 4, 8).map { b =>
+      b -> Quality.recallPrecision(
+        Quality.pairSet(Quality.minhashCandidates(docs, 16, b)), truth)
+    }.toMap
+    val (r4, p4) = byBands(4)
+    assert(r4 >= 0.95, s"h16_b4 recall $r4 < 0.95")
+    assert(p4 >= 0.80, s"h16_b4 precision $p4 < 0.80")
+    assert(byBands(8)._1 >= 0.99, s"h16_b8 recall ${byBands(8)._1} < 0.99")
+    // more bands = shorter band keys = more candidates: recall must be
+    // monotone in bands (the s-curve moving left)
+    assert(byBands(2)._1 <= byBands(4)._1 && byBands(4)._1 <= byBands(8)._1,
+      s"recall not monotone in bands: $byBands")
+
+    val (shR, shP) = Quality.recallPrecision(
+      Quality.pairSet(Dedup.simhashNearDuplicates64(
+        Dedup.simhashNative64(docs, "doc_id", "text"), maxHamming = 3)
+        .select("id_a", "id_b")),
+      Quality.pairSet(Quality.jaccardTruth(docs, 0.9)))
+    assert(shR >= 0.60, s"simhash64 recall $shR < 0.60")
+    assert(shP >= 0.85, s"simhash64 precision $shP < 0.85")
+  }
+
+  test("IVF recall@k floors; recall monotone in nprobe; PQ floor") {
+    GraftExtensions.register(spark)
+    val e = graft.queries.Tpch.read(spark, dir, "embeddings").localCheckpoint()
+    val queries = e.where(col("vec_id") < 64)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Quality.topkMap(Similarity.bruteForceTopK(e, queries, 10))
+    val cents = Similarity.trainCentroids(e, 32, 2)
+    val byProbe = Seq(1, 2, 8).map { np =>
+      np -> Quality.recallAtK(
+        Quality.topkMap(Similarity.ivfTopK(e, cents, queries, 10, nprobe = np)), exact)
+    }.toMap
+    assert(byProbe(1) >= 0.40, s"ivf nprobe1 recall@10 ${byProbe(1)} < 0.40")
+    assert(byProbe(2) >= 0.50, s"ivf nprobe2 recall@10 ${byProbe(2)} < 0.50")
+    assert(byProbe(8) >= 0.70, s"ivf nprobe8 recall@10 ${byProbe(8)} < 0.70")
+    // probing more cells only ever adds candidates scored by the same
+    // exact dot, so recall is monotone in nprobe — a structural law, not
+    // a tuned tolerance
+    assert(byProbe(1) <= byProbe(2) && byProbe(2) <= byProbe(8),
+      s"recall not monotone in nprobe: $byProbe")
+
+    val cb = Similarity.pqTrainCodebooks(e, dims = 64, m = 4, k = 16, iters = 2)
+    val codes = Similarity.pqEncode(e, cb, dims = 64, m = 4)
+    val pqR = Quality.recallAtK(
+      Quality.topkMap(Similarity.pqAdcTopK(codes, cb, queries, 10, dims = 64, m = 4)), exact)
+    assert(pqR >= 0.15, s"pq m4 full-scan recall@10 $pqR < 0.15")
+  }
+}
