@@ -1,0 +1,192 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/**
+ * 10× scale stress: the 2×-of-baseline contract is only ever checked at
+ * sf0.1 (~17 MB) — this main synthesizes an sf1-equivalent corpus locally
+ * and times the suite's most expensive queries at BOTH scales, writing
+ * `BENCH_SCALE10X.json` with per-query ratios so super-linear growth has a
+ * number on it instead of an assumption.
+ *
+ * Corpus construction matters: a plain id-shifted union (the BenchStream
+ * trick) makes every copy an EXACT duplicate of the original, so the true
+ * near-dup pair count grows ~quadratically with copies and every dedup
+ * timing measures the corpus's pair blowup, not the operator's scaling.
+ * The copies here are decorrelated so data grows 10× while per-group
+ * duplicate structure stays CONSTANT:
+ *  - documents: every token of copy i>0 is suffixed `_i`, so shingles
+ *    never collide across copies (planted within-copy near-dups preserved
+ *    exactly; the shingle equi-join generates no cross-copy candidates);
+ *  - embeddings: copy i is cyclically rotated by i components, so
+ *    cross-copy cosine falls to chance while within-copy geometry —
+ *    centroid structure, planted exact dups — is preserved;
+ *  - orders/customer: keys shifted by i·10⁷ (disjoint users, 10× groups).
+ *
+ * Also runs the SemDeDup cell-count experiment the √N guidance calls for:
+ * at 10× the corpus, k=32 cells means Σ|cell|² grows ~100×/k — k must
+ * track √N; the k=32 vs k=100 timings put a measured factor on that.
+ */
+object BenchScale {
+
+  private val Shift = 10000000L
+
+  private def releaseResidue(spark: SparkSession, keep: Set[Int]): Unit =
+    spark.sparkContext.getPersistentRDDs.foreach {
+      case (id, rdd) if !keep.contains(id) => rdd.unpersist(blocking = true)
+      case _ => ()
+    }
+
+  /** Decorrelated ×`copies` synthesis of the tables the stress queries
+    * read; committed via a marker file, rebuilt only if absent. */
+  def synth(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+    val marker = new java.io.File(s"$dst/_GRAFT_SYNTH_OK")
+    if (marker.exists()) return
+    new java.io.File(dst).mkdirs()
+
+    def copiesOf(base: DataFrame)(mutate: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map {
+        case 0 => base
+        case i => mutate(base, i)
+      }.reduce(_.unionByName(_))
+
+    val docs = graft.queries.Tpch.read(spark, src, "documents")
+    copiesOf(docs) { (d, i) =>
+      d.select(
+        (col("doc_id") + lit(i * Shift)).as("doc_id"),
+        array_join(
+          transform(split(col("text"), " "), t => concat(t, lit(s"_$i"))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = graft.queries.Tpch.read(spark, src, "embeddings")
+    copiesOf(emb) { (e, i) =>
+      val rot = i % 64
+      e.select(
+        (col("vec_id") + lit(i * Shift)).as("vec_id"),
+        concat(
+          slice(col("embedding"), rot + 1, 64 - rot),
+          slice(col("embedding"), 1, rot)).as("embedding"),
+        col("label"))
+    }.repartition(32).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    val orders = graft.queries.Tpch.read(spark, src, "orders")
+    copiesOf(orders) { (o, i) =>
+      o.withColumn("o_orderkey", col("o_orderkey") + lit(i * Shift))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * Shift))
+    }.repartition(32).write.mode("overwrite").parquet(s"$dst/orders.parquet")
+
+    val customer = graft.queries.Tpch.read(spark, src, "customer")
+    copiesOf(customer) { (c, i) =>
+      c.withColumn("c_custkey", col("c_custkey") + lit(i * Shift))
+    }.repartition(32).write.mode("overwrite").parquet(s"$dst/customer.parquet")
+
+    for (t <- Seq("nation", "region"))
+      graft.queries.Tpch.read(spark, src, t)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    marker.createNewFile()
+  }
+
+  /** The suite's most expensive lines (per BENCH history), spanning dedup
+    * clustering, banded candidates, semantic/embedding ops, PQ, the LM
+    * join, and a plain shuffle-heavy aggregate as a control. */
+  private val stressQueries = Seq(
+    "q_dedup_clusters", "q_dedup_clusters_star", "q_dedup_clusters_auto",
+    "q_dedup_minhash_lsh", "q_dedup_jaccard_blocked",
+    "q_embed_semdedup", "q_contamination_semantic",
+    "q_sim_ivfpq", "q_sim_pq",
+    "q_text_perplexity2", "q_j4_union")
+
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dst = sys.env.getOrElse(
+      "SPARK_GRAFT_SCALE_DIR", s"${sys.props("java.io.tmpdir")}/graft_sf10x")
+    val copies = 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+
+    synth(spark, src, dst, copies)
+
+    // Materialize the ordersTx memos and warm every plan shape at sf0.001
+    // (mirrors Bench: codegen/JIT/datasource one-time costs must not bill
+    // to the first measured query), then measure with a clean BlockManager
+    // between queries.
+    val warm = "/root/testdata/sf0.001"
+    try {
+      graft.queries.Tpch.ordersTx(spark, warm)
+        .write.format("noop").mode("overwrite").save()
+      graft.queries.Tpch.ordersTx(spark, src)
+        .write.format("noop").mode("overwrite").save()
+      graft.queries.Tpch.ordersTx(spark, dst)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+    val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    for (name <- stressQueries) {
+      try SparkEntry.queries(name)(spark, warm)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      finally releaseResidue(spark, keep)
+    }
+
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    val perQuery = stressQueries.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t1 = time(fn(spark, src).write.format("noop").mode("overwrite").save())
+      releaseResidue(spark, keep)
+      val t10 = time(fn(spark, dst).write.format("noop").mode("overwrite").save())
+      releaseResidue(spark, keep)
+      println(s"[scale10x] $name sf0.1=${num(t1)}s sf1=${num(t10)}s ratio=${num(t10 / t1)}")
+      s""""$name":{"sf01":${num(t1)},"sf1":${num(t10)},"ratio":${num(t10 / t1)}}"""
+    }
+
+    // SemDeDup √N experiment: same pipeline as q_embed_semdedup (corpus ∪
+    // planted exact dups, threshold 0.95) at 10× with k=32 vs k=100 cells,
+    // plus k=32 at 1× as the reference point.
+    def semdedup(dir: String, k: Int): Double = {
+      val e = graft.queries.Tpch.read(spark, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val withDups = e.unionByName(
+        e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val t = time {
+        Similarity.semanticDedup(
+            withDups, Similarity.trainCentroids(withDups, k, 2), 0.95)
+          .write.format("noop").mode("overwrite").save()
+      }
+      releaseResidue(spark, keep)
+      t
+    }
+    val sd32_1 = semdedup(src, 32)
+    val sd32_10 = semdedup(dst, 32)
+    val sd100_10 = semdedup(dst, 100)
+
+    val json =
+      s"""{"copies":$copies,"src":"$src","synth":"$dst","queries":{${perQuery.mkString(",")}},""" +
+        s""""semdedup_k":{"k32_sf01":${num(sd32_1)},"k32_sf1":${num(sd32_10)},""" +
+        s""""k100_sf1":${num(sd100_10)},"k32_ratio":${num(sd32_10 / sd32_1)},""" +
+        s""""k100_vs_k32_at_sf1":${num(sd100_10 / sd32_10)}}}"""
+    println(json)
+    Files.writeString(Paths.get("BENCH_SCALE10X.json"), json + "\n")
+    spark.stop()
+  }
+}
