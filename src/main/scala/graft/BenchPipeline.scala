@@ -97,11 +97,32 @@ object BenchPipeline {
       "chart_docs" -> spark.read.text(chartsPath)
         .select("userId", "yearMonth").distinct().count())
 
+    // Upsert-cost experiment (round-7): the same seed + batch through the
+    // staged double-write vs the manifest-committed single write, isolated
+    // from the analytics so the delta is the durability scheme alone.
+    // `upsert_staged` re-measures FinOps.upsertStatements of the batch into
+    // a fresh copy of the seeded table; `upsert_manifest` measures
+    // FinOps.upsertStatementsManifest into a manifest table seeded with the
+    // same history. Crash-safety analysis: ManifestStore scaladoc.
+    val stagedDir = s"$work/statements_staged"
+    val manifestDir = s"$work/statements_manifest"
+    val histItems = FinOps.toStatementItems(hist)
+    val curItems = FinOps.toStatementItems(cur)
+    val (_, tSeedStaged) = time { FinOps.upsertStatements(histItems, stagedDir, spark) }
+    val (_, tUpStaged) = time { FinOps.upsertStatements(curItems, stagedDir, spark) }
+    System.err.println(f"[pipeline] $sfDir upsert_staged ${tUpStaged}%.1fs (seed ${tSeedStaged}%.1fs)")
+    val (_, tSeedManifest) = time { FinOps.upsertStatementsManifest(histItems, manifestDir, spark) }
+    val (_, tUpManifest) = time { FinOps.upsertStatementsManifest(curItems, manifestDir, spark) }
+    System.err.println(f"[pipeline] $sfDir upsert_manifest ${tUpManifest}%.1fs (seed ${tSeedManifest}%.1fs)")
+
     // Release the per-pass persisted history so the sf0.001 warm pass leaves
     // no block-manager residue in the measured pass (Bench.scala rationale).
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
 
-    (Seq("seed_history" -> tSeed, "run_batch" -> tBatch, "render_charts" -> tCharts),
+    (Seq(
+      "seed_history" -> tSeed, "run_batch" -> tBatch, "render_charts" -> tCharts,
+      "seed_staged" -> tSeedStaged, "upsert_staged" -> tUpStaged,
+      "seed_manifest" -> tSeedManifest, "upsert_manifest" -> tUpManifest),
       counters)
   }
 
@@ -126,7 +147,11 @@ object BenchPipeline {
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val measured = phases.collect { case (k, v) if k != "seed_history" => v }.sum
+    // pipeline_total stays comparable across rounds: the per-batch DAG only
+    // (the seed phases and the upsert-scheme experiment report separately)
+    val measured = phases.collect {
+      case (k, v) if k == "run_batch" || k == "render_charts" => v
+    }.sum
     val phaseJson = phases.map { case (k, v) => s""""$k":${num(v)}""" }.mkString("{", ",", "}")
     val counterJson = counters.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

@@ -636,6 +636,23 @@ object FinOps {
     fs.delete(tmp, true)
   }
 
+  /**
+   * [[upsertStatements]] semantics over a [[ManifestStore]] table — the
+   * single-write, manifest-committed upsert path. Same last-writer-wins
+   * contract per `(userId, yearMonth)`; the merged partitions are written
+   * ONCE into a fresh generation and the manifest rename commits (the
+   * staged scheme writes them twice). Partition pruning needs no key
+   * collection or IN-list: the manifest names exactly the touched users'
+   * current directories. See ManifestStore's crash-safety argument.
+   */
+  def upsertStatementsManifest(items: DataFrame, path: String, spark: SparkSession): Unit =
+    ManifestStore.upsert(items, path, "userId", Seq("userId", "yearMonth"), spark)
+
+  /** Current state of a manifest-committed statements table (None before
+    * the first commit), canonical string userId restored. */
+  def readStatementsManifest(spark: SparkSession, path: String): Option[DataFrame] =
+    ManifestStore.currentFrame(spark, path, "userId")
+
   /** Partition-pruned read of one user's history, flattened to rows. The
     * equality predicate on the partition column becomes a PartitionFilter —
     * only that user's directory is listed and scanned. */

@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Manifest-committed partitioned table — the single-write alternative to
+ * the staged double-write in [[FinOps.upsertStatements]].
+ *
+ * Layout under `path`:
+ * {{{
+ *   data/gen=<V>/<partCol>=<value>/part-*.parquet   — immutable once written
+ *   _manifest.<zero-padded V>                        — partition → generation
+ * }}}
+ *
+ * A manifest file maps every live partition value to the generation whose
+ * directory holds its CURRENT rows. Readers resolve the highest-numbered
+ * manifest and read exactly the directories it names; writers append new
+ * generation directories (never touching existing files) and then commit by
+ * renaming a complete manifest into place.
+ *
+ * Crash-safety argument (vs the staged double-write):
+ *  - The ONLY visible-state transition is the manifest rename — on HDFS and
+ *    POSIX a rename into a NEW name is atomic, and the writer never reuses
+ *    or overwrites a manifest name (versions are strictly increasing).
+ *  - A crash anywhere before the rename leaves orphan `gen=` debris and/or
+ *    a `.tmp` manifest, both invisible to readers: the previous manifest
+ *    still names only complete directories. No recovery re-apply step
+ *    exists because no reader can ever observe a partial write — compare
+ *    [[FinOps.recoverUpsertStaging]], which must repair half-overwritten
+ *    partitions.
+ *  - A retry after a crash picks a FRESH generation number (max over both
+ *    the manifest version and all `gen=` directories on disk, +1), so debris
+ *    from the failed attempt is never appended into.
+ *  - Readers holding the previous manifest keep a consistent SNAPSHOT even
+ *    while an upsert commits (old generations are immutable) — the staged
+ *    scheme's dynamic partition overwrite invalidates concurrent lazy scans
+ *    of the rewritten partitions, which is why the pipeline must eagerly
+ *    materialize history before upserting.
+ *  - Cost of the trade: orphan/superseded generation directories accumulate
+ *    until [[vacuum]] (space, not correctness), and the manifest is a
+ *    per-partition map held driver-side at commit time — at extreme
+ *    partition counts a production system chunks it (Iceberg's manifest
+ *    list); the single-file form is right up to millions of entries.
+ *
+ * Write volume: the merged frame is written ONCE (the staged scheme writes
+ * it twice — staging copy, then partition overwrite). At 100 TB the upsert
+ * path's cost is dominated by exactly this volume.
+ */
+object ManifestStore {
+
+  final case class Manifest(version: Long, entries: Map[String, Long])
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestName(v: Long): String = f"_manifest.$v%012d"
+
+  /** Highest committed manifest, if any. */
+  def readManifest(spark: SparkSession, path: String): Option[Manifest] = {
+    val dir = new Path(path)
+    val hfs = fs(spark, path)
+    if (!hfs.exists(dir)) return None
+    val manifests = hfs.listStatus(dir)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("_manifest.") && !n.endsWith(".tmp"))
+    if (manifests.isEmpty) return None
+    val name = manifests.max // zero-padded → lexical max = numeric max
+    val version = name.stripPrefix("_manifest.").toLong
+    val in = hfs.open(new Path(dir, name))
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val entries = content.linesIterator.filter(_.nonEmpty).map { line =>
+      val i = line.lastIndexOf('\t')
+      line.substring(0, i) -> line.substring(i + 1).toLong
+    }.toMap
+    Some(Manifest(version, entries))
+  }
+
+  /** Write a complete manifest to a temp name, then commit via atomic
+    * rename to its (never-reused) final name. */
+  private def commitManifest(spark: SparkSession, path: String, m: Manifest): Unit = {
+    val hfs = fs(spark, path)
+    val tmp = new Path(path, manifestName(m.version) + ".tmp")
+    val out = hfs.create(tmp, true)
+    try {
+      val sb = new StringBuilder
+      m.entries.toSeq.sortBy(_._1).foreach { case (k, g) =>
+        sb.append(k).append('\t').append(g).append('\n')
+      }
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
+    if (!hfs.rename(tmp, new Path(path, manifestName(m.version))))
+      throw new java.io.IOException(
+        s"manifest commit rename failed for version ${m.version} under $path")
+  }
+
+  /** Next generation number: strictly above the committed version AND every
+    * `gen=` directory on disk, so debris from a crashed attempt is never
+    * appended into. */
+  private def nextGen(spark: SparkSession, path: String, m: Option[Manifest]): Long = {
+    val dataDir = new Path(s"$path/data")
+    val hfs = fs(spark, path)
+    val onDisk =
+      if (!hfs.exists(dataDir)) Seq.empty[Long]
+      else hfs.listStatus(dataDir).map(_.getPath.getName)
+        .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong).toSeq
+    (m.map(_.version).toSeq ++ onDisk :+ 0L).max + 1
+  }
+
+  /** Directories the current manifest names, restricted to `vals` (None →
+    * all live partitions). */
+  private def liveDirs(
+      path: String, m: Manifest, partCol: String, vals: Option[Seq[String]]): Seq[String] = {
+    val selected = vals.fold(m.entries)(vs => m.entries.filter { case (k, _) => vs.contains(k) })
+    selected.toSeq.sorted.map { case (v, g) => s"$path/data/gen=$g/$partCol=$v" }
+  }
+
+  /** Current table state: exactly the manifest-named directories, one scan,
+    * partition column restored, generation column dropped. None before the
+    * first commit. */
+  def currentFrame(
+      spark: SparkSession, path: String, partCol: String,
+      partVals: Option[Seq[String]] = None): Option[DataFrame] =
+    readManifest(spark, path).flatMap { m =>
+      val dirs = liveDirs(path, m, partCol, partVals)
+      if (dirs.isEmpty) None
+      else Some(
+        spark.read.option("basePath", s"$path/data").parquet(dirs: _*)
+          .drop("gen")
+          .withColumn(partCol, col(partCol).cast("string")))
+    }
+
+  /**
+   * Last-writer-wins upsert: rows of `items` replace current rows sharing
+   * the same `mergeKeys`; other rows of the touched partitions carry over.
+   * ONE write of the merged partitions into a fresh generation directory,
+   * then the manifest rename commits. Reads only the touched partitions'
+   * current directories (the manifest IS the pruning index — untouched
+   * partitions are never listed, let alone scanned).
+   */
+  def upsert(
+      items: DataFrame, path: String, partCol: String, mergeKeys: Seq[String],
+      spark: SparkSession): Unit = {
+    require(mergeKeys.contains(partCol), s"mergeKeys must include $partCol")
+    val man = readManifest(spark, path)
+    val touched = items.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val existingTouched = man.flatMap { m =>
+      currentFrame(spark, path, partCol, Some(touched.filter(m.entries.contains)))
+    }
+    val merged = existingTouched.fold(items) { ex =>
+      ex.join(items.select(mergeKeys.map(col): _*).distinct(), mergeKeys, "left_anti")
+        .select(items.columns.toIndexedSeq.map(col): _*)
+        .unionByName(items)
+    }
+    val gen = nextGen(spark, path, man)
+    merged
+      .withColumn("gen", lit(gen))
+      .repartition(col(partCol)) // one file per partition dir, not one per task
+      .write.mode("append").partitionBy("gen", partCol)
+      .parquet(s"$path/data")
+    val entries = man.map(_.entries).getOrElse(Map.empty) ++ touched.map(_ -> gen)
+    commitManifest(spark, path, Manifest(gen, entries))
+  }
+
+  /** Drop generation directories no manifest entry references (superseded
+    * or crash debris). Safe any time after readers of older manifests are
+    * done; space reclamation only — correctness never depends on it. */
+  def vacuum(spark: SparkSession, path: String): Int = {
+    val man = readManifest(spark, path)
+    val live = man.map(_.entries.values.toSet).getOrElse(Set.empty)
+    val dataDir = new Path(s"$path/data")
+    val hfs = fs(spark, path)
+    if (!hfs.exists(dataDir)) return 0
+    val dead = hfs.listStatus(dataDir).map(_.getPath)
+      .filter(p => p.getName.startsWith("gen=") &&
+        !live.contains(p.getName.stripPrefix("gen=").toLong))
+    dead.foreach(p => hfs.delete(p, true))
+    dead.length
+  }
+}

@@ -134,4 +134,76 @@ class PersistenceSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"), plan)
     assert("PartitionFilters: \\[[^\\]]*userId".r.findFirstIn(plan).isDefined, plan)
   }
+
+  test("S5-manifest: manifest upsert matches the staged upsert final state") {
+    val staged = tmpDir("stmts_m_eq_a")
+    val manif = tmpDir("stmts_m_eq_b")
+    val jan = statement.where($"userId" === "1")
+      .withColumn("yearMonth", lit("202501"))
+      .withColumn("date", add_months($"date", 1))
+    val smaller = statement.where($"userId" === "1").limit(5)
+    // identical batch sequence through both stores: seed → add month →
+    // last-writer-wins replace
+    for (batch <- Seq(statement, jan, smaller)) {
+      FinOps.upsertStatements(FinOps.toStatementItems(batch), staged, spark)
+      FinOps.upsertStatementsManifest(FinOps.toStatementItems(batch), manif, spark)
+    }
+    val a = FinOps.explodeStatements(
+      spark.read.parquet(staged).withColumn("userId", $"userId".cast("string")))
+    val b = FinOps.explodeStatements(FinOps.readStatementsManifest(spark, manif).get)
+      .select(a.columns.map(col): _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "manifest and staged upsert diverged")
+  }
+
+  test("S5-manifest: partial writes are invisible until the manifest rename; vacuum reclaims") {
+    import graft.ops.ManifestStore
+    val dir = tmpDir("stmts_m_crash")
+    FinOps.upsertStatementsManifest(FinOps.toStatementItems(statement), dir, spark)
+    val before = FinOps.explodeStatements(FinOps.readStatementsManifest(spark, dir).get)
+      .count()
+
+    // Simulate a crash AFTER the data write but BEFORE the manifest commit:
+    // a fully-written gen=99 directory plus a torn .tmp manifest. Readers
+    // must still see exactly the previous state.
+    val debris = FinOps.toStatementItems(
+      statement.withColumn("yearMonth", lit("202502")))
+    debris.withColumn("gen", lit(99L)).repartition($"userId")
+      .write.mode("append").partitionBy("gen", "userId").parquet(s"$dir/data")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_manifest.000000000099.tmp"), true).close()
+    assert(FinOps.explodeStatements(FinOps.readStatementsManifest(spark, dir).get)
+      .count() == before, "uncommitted generation leaked into reads")
+
+    // The retry must not append into the debris generation...
+    val jan = statement.where($"userId" === "1")
+      .withColumn("yearMonth", lit("202501"))
+      .withColumn("date", add_months($"date", 1))
+    FinOps.upsertStatementsManifest(FinOps.toStatementItems(jan), dir, spark)
+    val after = FinOps.explodeStatements(FinOps.readStatementsManifest(spark, dir).get)
+    assert(after.where($"yearMonth" === "202502").count() == 0, "debris rows surfaced")
+    assert(after.where($"yearMonth" === "202501").count() == 12)
+    // ...and vacuum drops the dead generations (the debris gen and the
+    // superseded ones), after which reads are unchanged.
+    assert(ManifestStore.vacuum(spark, dir) >= 1)
+    val afterVacuum = FinOps.explodeStatements(FinOps.readStatementsManifest(spark, dir).get)
+    assert(afterVacuum.exceptAll(after).isEmpty && after.exceptAll(afterVacuum).isEmpty)
+  }
+
+  test("S5-manifest: committed generations are immutable — a reader's snapshot survives an upsert") {
+    val dir = tmpDir("stmts_m_snap")
+    FinOps.upsertStatementsManifest(FinOps.toStatementItems(statement), dir, spark)
+    // lazy plan pinned to the pre-upsert manifest
+    val snapshot = FinOps.explodeStatements(FinOps.readStatementsManifest(spark, dir).get)
+    val snapCountBefore = snapshot.count()
+    // replace user 1's December with 5 rows (the staged scheme would
+    // rewrite the partition this plan reads; the manifest scheme writes a
+    // NEW generation and leaves the old directory intact)
+    FinOps.upsertStatementsManifest(
+      FinOps.toStatementItems(statement.where($"userId" === "1").limit(5)), dir, spark)
+    assert(snapshot.count() == snapCountBefore, "snapshot changed under the reader")
+    val current = FinOps.explodeStatements(FinOps.readStatementsManifest(spark, dir).get)
+    assert(current.count() == snapCountBefore - 7) // 12 → 5 for user 1's month
+  }
 }
