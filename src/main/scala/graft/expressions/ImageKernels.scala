@@ -57,7 +57,12 @@ object ImageKernels {
   }
 
   /** Decode any ImageIO-supported payload to exact pixel statistics;
-    * null for unreadable bytes. */
+    * null for unreadable bytes. Catches NonFatal, not just IOException:
+    * javax.imageio decoders throw RuntimeExceptions
+    * (ArrayIndexOutOfBounds, NegativeArraySize, IllegalArgument,
+    * CMMException) on malformed/truncated headers, and any of those
+    * escaping would kill the task — and with it the whole 100 TB scan
+    * the never-throws policy exists to protect. */
   def decode(bytes: Array[Byte]): InternalRow =
     try {
       val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
@@ -80,7 +85,7 @@ object ImageKernels {
         new GenericInternalRow(Array[Any](w, h, w.toLong * h, sr, sg, sb))
       }
     } catch {
-      case _: java.io.IOException => null
+      case scala.util.control.NonFatal(_) => null
     }
 
   val decodeType: StructType = StructType(Seq(

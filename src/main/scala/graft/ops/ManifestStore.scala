@@ -38,6 +38,15 @@ import org.apache.spark.sql.functions._
  *    scheme's dynamic partition overwrite invalidates concurrent lazy scans
  *    of the rewritten partitions, which is why the pipeline must eagerly
  *    materialize history before upserting.
+ *  - SINGLE WRITER assumed: the crash-safety argument covers one writer
+ *    crashing/retrying, not two upserting concurrently. Two concurrent
+ *    upserts can compute the same `nextGen`, append files into the same
+ *    `gen=<V>/<part>` directories, and the winner's manifest rename would
+ *    then expose the loser's rows too (duplicate/mixed partitions). A
+ *    deployment with multiple writers must serialize upserts externally
+ *    (the same contract Hive's INSERT OVERWRITE and the staged scheme
+ *    carry); making generation paths writer-unique is the extension point
+ *    if that contract ever needs relaxing.
  *  - Cost of the trade: orphan/superseded generation directories accumulate
  *    until [[vacuum]] (space, not correctness), and the manifest is a
  *    per-partition map held driver-side at commit time — at extreme
