@@ -179,12 +179,23 @@ object BenchScale {
     val sd32_1 = semdedup(src, 32)
     val sd32_10 = semdedup(dst, 32)
     val sd100_10 = semdedup(dst, 100)
+    // The SHIPPED parameterization: k derived by the max(32, ⌈√N⌉) rule
+    // (what q_embed_semdedup / Similarity.autoCentroids now do), at both
+    // scales — its ratio is the one the ≤2× scaling claim rests on.
+    def autoK(dir: String): Int = {
+      val e = graft.queries.Tpch.read(spark, dir, "embeddings")
+      Similarity.semanticCellCount(2L * e.count()) // experiment corpus = emb ∪ dups
+    }
+    val sdAuto_1 = semdedup(src, autoK(src))
+    val sdAuto_10 = semdedup(dst, autoK(dst))
 
     val json =
       s"""{"copies":$copies,"src":"$src","synth":"$dst","queries":{${perQuery.mkString(",")}},""" +
         s""""semdedup_k":{"k32_sf01":${num(sd32_1)},"k32_sf1":${num(sd32_10)},""" +
         s""""k100_sf1":${num(sd100_10)},"k32_ratio":${num(sd32_10 / sd32_1)},""" +
-        s""""k100_vs_k32_at_sf1":${num(sd100_10 / sd32_10)}}}"""
+        s""""k100_vs_k32_at_sf1":${num(sd100_10 / sd32_10)},""" +
+        s""""kauto_sf01":${num(sdAuto_1)},"kauto_sf1":${num(sdAuto_10)},""" +
+        s""""kauto_ratio":${num(sdAuto_10 / sdAuto_1)}}}"""
     println(json)
     Files.writeString(Paths.get("BENCH_SCALE10X.json"), json + "\n")
     spark.stop()

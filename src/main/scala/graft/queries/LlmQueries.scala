@@ -144,6 +144,23 @@ object LlmQueries {
        |${kmeansIterCte(1, "c0")},
        |${kmeansIterCte(2, "c1")}""".stripMargin
 
+  /** [[kmeansChain]] with the cell count DERIVED in SQL — the identical
+    * `max(32, ⌈√N⌉)` rule as [[graft.ops.Similarity.semanticCellCount]],
+    * so the oracle's quantizer scales with the corpus exactly as the
+    * Spark side's does. */
+  private def kmeansChainAutoK: String =
+    s"""seed AS (SELECT vec_id, rn - 1 AS cid FROM (
+       |           SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings)
+       |         WHERE rn <= (SELECT GREATEST(32, CAST(ceil(sqrt(count(*))) AS INT))
+       |                      FROM embeddings)),
+       |c0 AS (SELECT s.cid, c.d, c.q FROM seed s JOIN comp c ON c.vec_id = s.vec_id),
+       |${kmeansIterCte(1, "c0")},
+       |${kmeansIterCte(2, "c1")}""".stripMargin
+
+  private def kmeansCtesAutoK: String =
+    s"""${compCte("comp", "embeddings")},
+       |$kmeansChainAutoK""".stripMargin
+
   /** Two deterministic Lloyd iterations over `embeddings` seeded with the
     * `k` lowest-id vectors — CTE chain ending in `f2` (REAL centroid
     * components) and `c2` (re-quantized for downstream scoring); mirrors
@@ -430,11 +447,12 @@ object LlmQueries {
     "q_embed_semdedup" -> ((s, dir) => {
       GraftExtensions.register(s)
       val e = emb(s, dir).select("vec_id", "embedding")
-      // k = 32 cells: cell count should grow with the corpus (√N guidance);
-      // more cells = quadratically fewer within-cell candidate pairs.
+      // Cell count DERIVED from the corpus (max(32, ⌈√N⌉) — the √N rule
+      // with a measured factor behind it: fixed k=32 ran 4.18× at 10× data
+      // in BENCH_SCALE10X; the oracle derives the identical k in SQL).
       Similarity.semanticNearDuplicates(
         embWithDups(s, dir).select("vec_id", "embedding"),
-        Similarity.trainCentroids(e, 32, 2), threshold = 0.95)
+        Similarity.autoCentroids(e), threshold = 0.95)
         .orderBy("id_a", "id_b")
     }),
 
@@ -635,7 +653,7 @@ object LlmQueries {
       val evalSet = e.where(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
       Similarity.semanticContamination(
-        e, evalSet, Similarity.trainCentroids(e, 32, 2), threshold = 0.95)
+        e, evalSet, Similarity.autoCentroids(e), threshold = 0.95)
         .orderBy("corpus_id", "eval_id")
     }),
 
@@ -1289,7 +1307,7 @@ object LlmQueries {
          |  FROM adc) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q_contamination_semantic" ->
-      s"""WITH ${kmeansCtes(32)},
+      s"""WITH $kmeansCtesAutoK,
          |ev AS (SELECT vec_id + 5000000 AS vec_id, embedding
          |       FROM embeddings WHERE vec_id % 10 = 0),
          |${compCte("compe", "ev")},
@@ -1331,7 +1349,7 @@ object LlmQueries {
     "q_sim_ivfpq_persisted" -> ivfPqOracleSql,
 
     "q_embed_semdedup" ->
-      s"""WITH ${kmeansCtes(32)},
+      s"""WITH $kmeansCtesAutoK,
          |allv AS (SELECT vec_id, embedding FROM embeddings
          |         UNION ALL
          |         SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),

@@ -787,6 +787,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(flagged == Set((1L, 100L), (2L, 100L)), flagged.toString)
   }
 
+  test("Similarity: semantic cell count follows the max(32, ceil(sqrt(N))) rule") {
+    // the rule the SemDeDup queries and their SQL oracles both derive —
+    // fixed k was the measured 10×-scale quadratic (BENCH_SCALE10X r7)
+    assert(Similarity.semanticCellCount(0) == 32)
+    assert(Similarity.semanticCellCount(500) == 32)   // sf0.01: floor holds
+    assert(Similarity.semanticCellCount(1024) == 32)  // boundary: √1024 = 32
+    assert(Similarity.semanticCellCount(1025) == 33)
+    assert(Similarity.semanticCellCount(2000) == 45)  // sf0.1
+    assert(Similarity.semanticCellCount(20000) == 142) // 10× stress corpus
+    val ns = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)
+    assert(ns.map(Similarity.semanticCellCount) == ns.map(Similarity.semanticCellCount).sorted,
+      "cell count must be monotone in corpus size")
+
+    // autoCentroids trains exactly that many cells (distinct seeds ⇒ k cells)
+    val embs33 = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d + 1).toFloat / 100f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.autoCentroids(embs33, iters = 0).count() == 32L)
+  }
+
   test("TextOps: chunking covers every token once per stride, short docs pass through") {
     // 10 tokens, chunk 4, overlap 1 (stride 3) → starts 0,3,6 → 3 chunks
     val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "a b")).toDF("doc_id", "text")
