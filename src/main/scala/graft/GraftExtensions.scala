@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{DocKernels, ImageKernels, MinhashSigs, QuantizedArgBest, QuantizedDot}
+import graft.expressions.{AudioKernels, DocKernels, ImageKernels, MinhashSigs, QuantizedArgBest, QuantizedDot}
 
 /**
  * Session extensions for the graft engine: registers the native expressions
@@ -54,6 +54,10 @@ object GraftExtensions {
       arity("synth_image", 1)(c => ImageKernels.SynthImage(c(0)))),
     ("image_decode", ImageKernels.decodeInfo,
       arity("image_decode", 1)(c => ImageKernels.ImageDecode(c(0)))),
+    ("synth_wav", AudioKernels.synthInfo,
+      arity("synth_wav", 1)(c => AudioKernels.SynthWav(c(0)))),
+    ("audio_decode", AudioKernels.decodeInfo,
+      arity("audio_decode", 1)(c => AudioKernels.AudioDecode(c(0)))),
     ("minhash_sigs", MinhashSigs.info,
       arity("minhash_sigs", 3)(c => MinhashSigs(
         c(0),

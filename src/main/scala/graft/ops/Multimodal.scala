@@ -10,15 +10,21 @@ import org.apache.spark.sql.types._
  * extraction are per-row column transforms over the bytes.
  *
  * The Spark-side plumbing here — schema, batch shape, partition sizing — is
- * real and tested. IMAGE decode is real too: [[decodeImage]] wraps the
- * native `image_decode` kernel ([[graft.expressions.ImageKernels]]), which
- * decodes PNG/BMP/GIF/JPEG through the JDK's own `javax.imageio` (no
- * external dependency) to exact integer pixel statistics, NULL on
- * unreadable bytes. Audio/video feature extraction remains a STUB
- * ([[decodeStub]] — deterministic fake features from raw bytes) because
- * those codecs genuinely aren't in the container; a real deployment
- * replaces only the marked expressions, every surrounding operator is
- * unchanged.
+ * real and tested. Decode status per modality:
+ *  - IMAGE: REAL — [[decodeImage]] wraps the native `image_decode` kernel
+ *    ([[graft.expressions.ImageKernels]]): PNG/BMP/GIF/JPEG through the
+ *    JDK's own `javax.imageio` (no external dependency) to exact integer
+ *    pixel statistics, NULL on unreadable bytes.
+ *  - AUDIO: REAL — [[decodeAudio]] wraps `audio_decode`
+ *    ([[graft.expressions.AudioKernels]]): WAV/16-bit PCM through
+ *    `javax.sound.sampled` (in-JDK) to exact integer sample statistics,
+ *    NULL on unreadable or compressed payloads (MP3/AAC need external
+ *    codecs).
+ *  - VIDEO: PERMANENTLY STUBBED — no in-JDK video codec exists.
+ *    [[decodeStub]]/[[sampleFrames]] keep the production signature
+ *    (binary in, features/frames out) with deterministic fake features;
+ *    a real deployment replaces only those marked expressions, every
+ *    surrounding operator is unchanged.
  *
  * Scale notes: payloads are large, so operators avoid shuffling the binary
  * column — features are extracted first and the payload is dropped or written
@@ -62,9 +68,21 @@ object Multimodal {
     call_function("image_decode", content)
 
   /**
-   * STUB decode (audio/video): deterministic pseudo-features from raw bytes.
-   * Replace the marked expressions with a real codec; the signature —
-   * binary in, fixed-width feature struct out — is the production shape.
+   * REAL audio decode (`javax.sound.sampled`, in-JDK): 16-bit PCM payload →
+   * exact sample statistics `struct(sample_rate, channels, n_frames,
+   * sum_c0, sumsq_c0, sum_c1, sumsq_c1)` (per-channel sum and
+   * sum-of-squares — the integer core of RMS), NULL for unreadable or
+   * non-PCM bytes. Native codegen'd expression, one decode per row, no UDF.
+   * Requires [[graft.GraftExtensions.register]] on the session.
+   */
+  def decodeAudio(content: Column): Column =
+    call_function("audio_decode", content)
+
+  /**
+   * STUB decode (video only, since round 8): deterministic pseudo-features
+   * from raw bytes. Replace the marked expressions with a real codec; the
+   * signature — binary in, fixed-width feature struct out — is the
+   * production shape.
    */
   def decodeStub(content: Column): Column = {
     // --- stub expressions: a real codec replaces from here ---

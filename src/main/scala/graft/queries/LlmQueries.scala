@@ -904,6 +904,29 @@ object LlmQueries {
         .orderBy("asset_id")
     }),
 
+    // REAL audio decode: deterministic 16-bit PCM WAVs planted per doc_id
+    // (sample(ch,i) closed-form in the id), decoded by the in-JDK
+    // javax.sound.sampled kernel to exact per-channel sample sums — the
+    // oracle recomputes every statistic from the generation parameters, so
+    // a decoder that only read the WAV header (or mis-read samples)
+    // hash-fails
+    "q_mm_audio" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val assets = Multimodal.asAsset(
+        col("doc_id"), lit("audio"),
+        call_function("synth_wav", col("doc_id")), col("source"))(docs(s, dir))
+      assets
+        .select(col("asset_id"), Multimodal.decodeAudio(col("content")).as("f"))
+        .select(
+          col("asset_id"),
+          col("f.sample_rate").as("sample_rate"),
+          col("f.channels").as("channels"),
+          col("f.n_frames").as("n_frames"),
+          col("f.sum_c0").as("sum_c0"), col("f.sumsq_c0").as("sumsq_c0"),
+          col("f.sum_c1").as("sum_c1"), col("f.sumsq_c1").as("sumsq_c1"))
+        .orderBy("asset_id")
+    }),
+
     // Multimodal plumbing: documents as binary assets → stub feature extract
     "q_mm_features" -> ((s, dir) => {
       val assets = Multimodal.asAsset(
@@ -1733,6 +1756,34 @@ object LlmQueries {
         |  CAST(((doc_id * 7) % 256) * (7 + doc_id % 8) * (8 + doc_id % 5) AS BIGINT) AS sum_g,
         |  CAST(((doc_id * 13) % 256) * (7 + doc_id % 8) * (8 + doc_id % 5) AS BIGINT) AS sum_b
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // Planted WAV parameters are closed-form in doc_id (see AudioKernels
+    // .synthWav): rate 8000, channels = 1 + id%2, frames = 256 + id%128,
+    // sample(ch,i) = ((id*31 + ch*17 + i*7919) % 65536) - 32768 — the sums
+    // are recomputed sample-by-sample here, never read from the payload.
+    "q_mm_audio" ->
+      """WITH p AS (SELECT doc_id,
+        |             CAST(1 + doc_id % 2 AS INT) AS channels,
+        |             CAST(256 + doc_id % 128 AS BIGINT) AS n
+        |           FROM documents),
+        |i AS (SELECT unnest(range(0, 384)) AS i),
+        |ch AS (SELECT unnest([0, 1]) AS ch),
+        |smp AS (SELECT p.doc_id, ch.ch,
+        |          ((p.doc_id * 31 + ch.ch * 17 + i.i * 7919) % 65536) - 32768 AS v
+        |        FROM p CROSS JOIN i CROSS JOIN ch
+        |        WHERE i.i < p.n AND ch.ch < p.channels),
+        |agg AS (SELECT doc_id, ch,
+        |          CAST(SUM(v) AS BIGINT) AS sm, CAST(SUM(v * v) AS BIGINT) AS sq
+        |        FROM smp GROUP BY doc_id, ch)
+        |SELECT p.doc_id AS asset_id,
+        |  8000 AS sample_rate, p.channels, p.n AS n_frames,
+        |  MAX(CASE WHEN a.ch = 0 THEN a.sm END) AS sum_c0,
+        |  MAX(CASE WHEN a.ch = 0 THEN a.sq END) AS sumsq_c0,
+        |  COALESCE(MAX(CASE WHEN a.ch = 1 THEN a.sm END), 0) AS sum_c1,
+        |  COALESCE(MAX(CASE WHEN a.ch = 1 THEN a.sq END), 0) AS sumsq_c1
+        |FROM p JOIN agg a ON a.doc_id = p.doc_id
+        |GROUP BY p.doc_id, p.channels, p.n
+        |ORDER BY asset_id""".stripMargin,
 
     "q_mm_features" ->
       """SELECT doc_id AS asset_id, 'image' AS modality, source,

@@ -985,5 +985,58 @@ class LlmOpsSpec extends SparkSpec {
       .orderBy("asset_id").collect()
     assert(out(0).getStruct(1).getInt(0) == (8 + 3 % 8) && !out(0).isNullAt(1))
     assert(out(1).isNullAt(1), "garbage payload must decode to NULL, not throw")
+
+    // truncated container: imageio throws RuntimeExceptions (not just
+    // IOException) on malformed headers — the NonFatal catch must turn
+    // every truncation point into NULL, never a task-killing throw
+    for (cut <- Seq(2, 10, 30, png.length / 2))
+      assert(ImageKernels.decode(png.take(cut)) == null, s"truncated at $cut")
+  }
+
+  test("Multimodal: real audio decode — exact sample stats, null on garbage/truncation") {
+    import graft.expressions.AudioKernels
+    // kernel-level: planted WAV decodes to the closed-form stats
+    for (id <- Seq(0L, 1L, 17L, 255L, 1000003L)) {
+      val row = AudioKernels.decode(AudioKernels.synthWav(id))
+      assert(row != null, s"planted WAV for id=$id must decode")
+      val channels = (1 + id % 2).toInt
+      val frames = 256 + id % 128
+      assert(row.getInt(0) == 8000 && row.getInt(1) == channels)
+      assert(row.getLong(2) == frames, s"n_frames for id=$id")
+      for (ch <- 0 until channels) {
+        var sm = 0L; var sq = 0L
+        for (i <- 0L until frames) {
+          val v = math.floorMod(id * 31 + ch * 17 + i * 7919, 65536L) - 32768L
+          sm += v; sq += v * v
+        }
+        assert(row.getLong(3 + 2 * ch) == sm, s"sum ch=$ch id=$id")
+        assert(row.getLong(4 + 2 * ch) == sq, s"sumsq ch=$ch id=$id")
+      }
+      // mono reports zeros for the absent channel
+      if (channels == 1)
+        assert(row.getLong(5) == 0L && row.getLong(6) == 0L)
+    }
+
+    // corrupt-payload policy: garbage and every truncation point → NULL,
+    // never a throw (javax.sound throws checked AND runtime exceptions on
+    // malformed RIFF structure)
+    val wav = AudioKernels.synthWav(7L)
+    assert(AudioKernels.decode("not audio at all".getBytes) == null)
+    // header truncation (44-byte RIFF/fmt/data header) → unreadable → NULL
+    for (cut <- Seq(3, 11, 20, 43))
+      assert(AudioKernels.decode(wav.take(cut)) == null, s"truncated at $cut")
+    // mid-data truncation: header parses, stream is short — decoded as a
+    // partial take (fewer frames), never a throw; callers see the frame
+    // count and can gate on expected duration
+    val partial = AudioKernels.decode(wav.take(44 + (wav.length - 44) / 2))
+    assert(partial != null && partial.getLong(2) < 256 + 7 % 128)
+
+    // column-level: decodeAudio over planted assets; corrupt → null row
+    val df = Seq((5L, AudioKernels.synthWav(5L)), (6L, Array[Byte](82, 73, 70)))
+      .toDF("asset_id", "content")
+    val out = df.select($"asset_id", Multimodal.decodeAudio($"content").as("f"))
+      .orderBy("asset_id").collect()
+    assert(!out(0).isNullAt(1) && out(0).getStruct(1).getInt(1) == 2) // id 5 → stereo
+    assert(out(1).isNullAt(1), "corrupt payload must decode to NULL, not throw")
   }
 }
