@@ -189,13 +189,28 @@ object BenchScale {
     val sdAuto_1 = semdedup(src, autoK(src))
     val sdAuto_10 = semdedup(dst, autoK(dst))
 
+    // LSH occupancy-cap audit: exactly what the 64-cap drops at each scale
+    // — the counter that keeps the cap from ever being silent.
+    def lshStats(dir: String): String = {
+      val docs = Quality.docsWithNearDups(spark, dir)
+      val bands = graft.ops.Dedup.lshBands(
+        graft.ops.Dedup.minhashSignaturesNative(docs, "doc_id", "text", 16, 3), 16, 8)
+      val r = graft.ops.Dedup.lshOccupancyStats(bands, 64).collect()(0)
+      s"""{"n_buckets":${r.getLong(0)},"n_dropped_buckets":${r.getLong(1)},""" +
+        s""""dropped_rows":${r.getLong(2)},"dropped_pair_mass":${r.getLong(3)},""" +
+        s""""max_occupancy":${r.getLong(4)}}"""
+    }
+    val lsh1 = lshStats(src)
+    val lsh10 = lshStats(dst)
+
     val json =
       s"""{"copies":$copies,"src":"$src","synth":"$dst","queries":{${perQuery.mkString(",")}},""" +
         s""""semdedup_k":{"k32_sf01":${num(sd32_1)},"k32_sf1":${num(sd32_10)},""" +
         s""""k100_sf1":${num(sd100_10)},"k32_ratio":${num(sd32_10 / sd32_1)},""" +
         s""""k100_vs_k32_at_sf1":${num(sd100_10 / sd32_10)},""" +
         s""""kauto_sf01":${num(sdAuto_1)},"kauto_sf1":${num(sdAuto_10)},""" +
-        s""""kauto_ratio":${num(sdAuto_10 / sdAuto_1)}}}"""
+        s""""kauto_ratio":${num(sdAuto_10 / sdAuto_1)}},""" +
+        s""""lsh_occupancy_cap64":{"sf01":$lsh1,"sf1":$lsh10}}"""
     println(json)
     Files.writeString(Paths.get("BENCH_SCALE10X.json"), json + "\n")
     spark.stop()

@@ -54,11 +54,14 @@ object Quality {
       shingle = 3, threshold = threshold)
       .select("id_a", "id_b")
 
-  /** MinHash-LSH candidate pairs at (numHashes, bands). */
+  /** MinHash-LSH candidate pairs at (numHashes, bands) — measured WITH the
+    * shipped occupancy cap, so the recall floors pin the capped shape the
+    * dedup queries actually run (at sf0.1 max occupancy is ~41, so the cap
+    * never binds and the floors are unchanged from the uncapped r7 values). */
   def minhashCandidates(docs: DataFrame, numHashes: Int, bands: Int): DataFrame =
     Dedup.candidatePairs(Dedup.lshBands(
       Dedup.minhashSignaturesNative(docs, "doc_id", "text", numHashes, shingle = 3),
-      numHashes, bands))
+      numHashes, bands), maxOccupancy = 64)
 
   def pairSet(df: DataFrame): Set[(Long, Long)] =
     df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

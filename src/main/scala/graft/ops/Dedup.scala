@@ -178,15 +178,54 @@ object Dedup {
   /**
    * Candidate near-duplicate pairs: documents sharing at least one LSH band.
    * The self-join is an equi-join on (band, band_key) — never all-pairs.
+   *
+   * `maxOccupancy` bounds the quadratic tail: a (band, band_key) bucket
+   * holding more than that many documents contributes occupancy² candidate
+   * pairs, and fixed-band LSH's bucket occupancy grows linearly with the
+   * corpus — the 10× stress run measured 3.3× candidate-mass growth from
+   * exactly this. Buckets over the cap are dropped WHOLE (the standard
+   * stop-bucket treatment: an oversized bucket is almost always shared
+   * boilerplate whose pairs junk the verifier, and a true near-dup pair
+   * agrees on most of its signature, so it still collides in its other,
+   * sparser bands), making worst-case candidate mass O(corpus × cap ×
+   * bands) instead of quadratic. The drop is never silent — audit it with
+   * [[lshOccupancyStats]]; recall floors are pinned in QualitySpec. The
+   * occupancy count reuses the self-join's (band, band_key) hash
+   * partitioning, so the filter adds no extra exchange of the corpus.
    */
-  def candidatePairs(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("band"), col("band_key"), col("id").as("id_a"))
-    val b = bands.select(col("band"), col("band_key"), col("id").as("id_b"))
+  def candidatePairs(bands: DataFrame, maxOccupancy: Int = Int.MaxValue): DataFrame = {
+    val kept =
+      if (maxOccupancy == Int.MaxValue) bands
+      else {
+        val occ = bands.groupBy("band", "band_key")
+          .agg(count(lit(1)).as("_occ"))
+          .where(col("_occ") <= maxOccupancy)
+          .select("band", "band_key")
+        bands.join(occ, Seq("band", "band_key"))
+      }
+    val a = kept.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val b = kept.select(col("band"), col("band_key"), col("id").as("id_b"))
     a.join(b, Seq("band", "band_key"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
   }
+
+  /** Occupancy audit for the [[candidatePairs]] cap: one row —
+    * `(n_buckets, n_dropped_buckets, dropped_rows, dropped_pair_mass,
+    * max_occupancy)` — quantifying what a given cap discards (a dropped
+    * bucket of n docs forfeits n·(n−1)/2 candidate pairs). Run it
+    * alongside any capped dedup so the drop is measured, never silent. */
+  def lshOccupancyStats(bands: DataFrame, maxOccupancy: Int): DataFrame =
+    bands.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("n") > maxOccupancy, 1L).otherwise(0L)).as("n_dropped_buckets"),
+        sum(when(col("n") > maxOccupancy, col("n")).otherwise(0L)).as("dropped_rows"),
+        sum(when(col("n") > maxOccupancy, (col("n") * (col("n") - 1) / 2).cast("long"))
+          .otherwise(0L)).as("dropped_pair_mass"),
+        max(col("n")).as("max_occupancy"))
 
   /**
    * True Jaccard similarity over word shingles for a given pair set —
@@ -280,16 +319,19 @@ object Dedup {
 
   /**
    * End-to-end MinHash-LSH near-dup detection: signatures → bands → candidate
-   * pairs → Jaccard verification ≥ `threshold`.
+   * pairs → Jaccard verification ≥ `threshold`. `maxOccupancy` bounds
+   * band-bucket blowup (see [[candidatePairs]]); pass `Int.MaxValue` for
+   * the uncapped classic.
    */
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 8, shingle: Int = 3,
-      threshold: Double = 0.5, nativeSignatures: Boolean = false): DataFrame = {
+      threshold: Double = 0.5, nativeSignatures: Boolean = false,
+      maxOccupancy: Int = 64): DataFrame = {
     val sigs =
       if (nativeSignatures) minhashSignaturesNative(df, idCol, textCol, numHashes, shingle)
       else minhashSignatures(df, idCol, textCol, numHashes, shingle)
-    val cands = candidatePairs(lshBands(sigs, numHashes, bands))
+    val cands = candidatePairs(lshBands(sigs, numHashes, bands), maxOccupancy)
     verifyJaccard(cands, df, idCol, textCol, shingle, minJaccard = threshold)
       .where(col("jaccard") >= threshold)
   }

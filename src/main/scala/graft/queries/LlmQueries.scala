@@ -351,7 +351,12 @@ object LlmQueries {
       Dedup.nearDuplicates(
           docsWithNearDups(s, dir), "doc_id", "text",
           numHashes = 16, bands = 8, shingle = 3, threshold = 0.35,
-          nativeSignatures = true) // per-row kernel: shingles never shuffle
+          nativeSignatures = true, // per-row kernel: shingles never shuffle
+          // band-bucket occupancy cap: bounds fixed-band LSH's linear
+          // bucket growth (the 3.3×-at-10× line in BENCH_SCALE10X); the
+          // oracle applies the identical cap, and at ≤ sf0.1 it never
+          // binds (max occupancy ~41)
+          maxOccupancy = 64)
         .orderBy("id_a", "id_b")
     }),
 
@@ -987,8 +992,12 @@ object LlmQueries {
          |bands AS (SELECT id, i // 2 AS band,
          |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_key
          |          FROM mh GROUP BY id, i // 2),
+         |occ AS (SELECT band, band_key FROM bands
+         |        GROUP BY band, band_key HAVING count(*) <= 64),
+         |bcap AS (SELECT b.id, b.band, b.band_key FROM bands b
+         |         JOIN occ o ON o.band = b.band AND o.band_key = b.band_key),
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |         FROM bands a JOIN bands b
+         |         FROM bcap a JOIN bcap b
          |           ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
          |$jaccardSql
          |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.35

@@ -99,6 +99,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L)))
   }
 
+  test("Dedup: LSH occupancy cap drops oversized buckets whole, and counts them") {
+    // 5 docs share bucket (0,"hot"); 2 share (1,"cold"); cap 4 must drop
+    // every hot pair and keep the cold one
+    val bands = (
+      (1L to 5L).map(id => (id, 0, "hot")) ++ Seq((6L, 1, "cold"), (7L, 1, "cold"))
+    ).toDF("id", "band", "band_key")
+    val uncapped = Dedup.candidatePairs(bands)
+    assert(uncapped.count() == 10 + 1)
+    val capped = Dedup.candidatePairs(bands, maxOccupancy = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((6L, 7L)))
+    // a doc in a dropped bucket still pairs via its OTHER bands
+    val twoBands = bands.unionByName(Seq((1L, 2, "alt"), (2L, 2, "alt")).toDF("id", "band", "band_key"))
+    val capped2 = Dedup.candidatePairs(twoBands, maxOccupancy = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped2 == Set((1L, 2L), (6L, 7L)))
+    // the audit counter quantifies exactly what the cap discarded
+    val s = Dedup.lshOccupancyStats(bands, 4).collect()(0)
+    assert(s.getAs[Long]("n_buckets") == 2 && s.getAs[Long]("n_dropped_buckets") == 1)
+    assert(s.getAs[Long]("dropped_rows") == 5 && s.getAs[Long]("dropped_pair_mass") == 10)
+    assert(s.getAs[Long]("max_occupancy") == 5)
+  }
+
   test("Dedup: dropNearDuplicates keeps the smallest id of each duplicate chain") {
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
