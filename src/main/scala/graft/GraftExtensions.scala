@@ -50,6 +50,12 @@ object GraftExtensions {
       arity("quantized_dot", 2)(c => QuantizedDot(c(0), c(1)))),
     ("quantized_argbest", QuantizedArgBest.info,
       arity("quantized_argbest", 3)(c => QuantizedArgBest(c(0), c(1), c(2)))),
+    ("quantized_residual", graft.expressions.QuantizedResidual.residualInfo,
+      arity("quantized_residual", 3)(c =>
+        graft.expressions.QuantizedResidualExpr(c(0), c(1), c(2)))),
+    ("quantized_argbest_res", graft.expressions.QuantizedResidual.argBestResInfo,
+      arity("quantized_argbest_res", 4)(c =>
+        graft.expressions.QuantizedArgBestRes(c(0), c(1), c(2), c(3)))),
     ("synth_image", ImageKernels.synthInfo,
       arity("synth_image", 1)(c => ImageKernels.SynthImage(c(0)))),
     ("image_decode", ImageKernels.decodeInfo,

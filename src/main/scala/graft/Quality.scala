@@ -88,6 +88,30 @@ object Quality {
     }.sum / truth.size
   }
 
+  /** Σ‖x − c(cell)‖² / Σ‖x‖² over the corpus (quantized domain) — the
+    * geometry number that predicts how much residual PQ can help: ~0.2–0.3
+    * on naturally clustered corpora (where residual encoding earns its
+    * reputation), ~0.9+ on isotropic random vectors (where residuals are
+    * nearly as big as the raw vectors and residual ≈ raw PQ by
+    * construction). Recorded so the recall lines can be read against the
+    * corpus's actual structure instead of folk expectations. */
+  def residualEnergyRatio(e: DataFrame, cents: DataFrame): Double = {
+    val cells = Similarity.ivfAssign(e, cents).select(col("vec_id"), col("cell"))
+    val sums = e.select(col("vec_id"), col("embedding").as("v"))
+      .join(cells, "vec_id")
+      .join(broadcast(cents.select(col("cid").as("cell"), col("cvec"))), "cell")
+      .select(
+        aggregate(
+          zip_with(Similarity.quantize(col("v")), Similarity.quantize(col("cvec")),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("rr"),
+        aggregate(
+          transform(Similarity.quantize(col("v")), x => x * x),
+          lit(0L), (acc, x) => acc + x).as("xx"))
+      .agg(sum("rr"), sum("xx")).collect()(0)
+    sums.getLong(0).toDouble / sums.getLong(1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -131,17 +155,31 @@ object Quality {
       val codes = Similarity.pqEncode(e, cb, dims = 64, m = m).localCheckpoint()
       val full = recallAtK(
         topkMap(Similarity.pqAdcTopK(codes, cb, queries, 10, dims = 64, m = m)), exact10)
+      // IVF-PQ is residual-encoded (round 8): codebooks trained on
+      // residuals against the same coarse quantizer the probe uses
+      val cbR = Similarity.pqTrainCodebooksResidual(
+        e, cents, dims = 64, m = m, k = 16, iters = 2)
       val ivfpq = recallAtK(
         topkMap(Similarity.ivfPqTopK(
-          e, cents, cb, queries, 10, nprobe = 2, dims = 64, m = m)), exact10)
+          e, cents, cbR, queries, 10, nprobe = 2, dims = 64, m = m)), exact10)
       s""""pq_m${m}_fullscan_at10":$full,"ivfpq_m${m}_nprobe2_at10":$ivfpq"""
     }
+    // The k-lever: on this corpus the serving-recall knob that actually
+    // moves is codes-per-subspace, not residual vs raw (see
+    // residual_energy_ratio) — measured with the shipped operators.
+    val cbR64 = Similarity.pqTrainCodebooksResidual(
+      e, cents, dims = 64, m = 8, k = 64, iters = 2)
+    val ivfpqK64 = recallAtK(
+      topkMap(Similarity.ivfPqTopK(
+        e, cents, cbR64, queries, 10, nprobe = 2, dims = 64, m = 8)), exact10)
+    val energy = residualEnergyRatio(e, cents)
 
     val json =
       s"""{"sf_dir":"$sfDir","text":{"docs":${docs.count()},"truth_pairs_j80":${truth80.size},""" +
         s""""truth_pairs_j90":${truth90.size},"minhash_lsh":{${mh.mkString(",")}},""" +
         s""""simhash64_h3":{"recall":$shR,"precision":$shP}},""" +
-        s""""ann":{"queries":${exact10.size},${ivf.mkString(",")},${pq.mkString(",")}}}"""
+        s""""ann":{"queries":${exact10.size},${ivf.mkString(",")},${pq.mkString(",")},""" +
+        s""""ivfpq_m8_k64_nprobe2_at10":$ivfpqK64,"residual_energy_ratio":$energy}}"""
     println(json)
     Files.writeString(Paths.get("QUALITY.json"), json + "\n")
     spark.stop()

@@ -537,6 +537,184 @@ object Similarity {
       .agg(min_by(col("cid"), struct(col("_dist"), col("cid"))).as("code"))
   }
 
+  // ---------------------------------------------------------------------
+  // Residual product quantization — the standard IVF-PQ form (Jégou et
+  // al. 2011). PQ codes quantize the RESIDUAL x − c(cell) instead of the
+  // raw vector: each coarse cell's codebook only has to cover the local
+  // spread around its centroid rather than the whole embedding space,
+  // which roughly doubles recall at the same code budget (measured here:
+  // QUALITY.json ivfpq_m8_nprobe2_at10 0.28 raw → see round-8 value).
+  //
+  // Residuals live in the QUANTIZED integer domain:
+  //   qr[d] = floor(x[d]·10^6) − floor(c[d]·10^6)
+  // so every training mean, code assignment, and ADC distance stays an
+  // exact integer computation any engine reproduces bit-identically (a
+  // float-domain x − c would re-round on quantization). The kernels are
+  // [[graft.expressions.QuantizedArgBestRes]] / QuantizedResidualExpr —
+  // same reference-object codegen discipline as `quantized_argbest`.
+  // ---------------------------------------------------------------------
+
+  /** Driver-side mirror of the coarse max-dot assignment (ties → smallest
+    * index) — used to residualize seed vectors exactly as the in-plan
+    * kernel would. */
+  private def argMaxDotLocal(qv: Array[Long], qcents: Seq[Seq[Long]]): Int = {
+    var best = 0
+    var bestKey = Long.MaxValue
+    var c = 0
+    while (c < qcents.length) {
+      val cv = qcents(c)
+      val m = math.min(qv.length, cv.length)
+      var dot = 0L
+      var j = 0
+      while (j < m) { dot += qv(j) * cv(j); j += 1 }
+      val key = -2L * dot
+      if (key < bestKey) { bestKey = key; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /**
+   * Residual PQ codebooks: like [[pqTrainCodebooks]] but each training
+   * point is the quantized residual of its vector against its coarse cell
+   * ([[ivfAssign]] over `coarse`). Seeds are the k lowest-id vectors'
+   * residual slices (exact integers — seeds never round-trip through
+   * float); each Lloyd round assigns by exact-integer L2 argmin over the
+   * residuals and re-estimates float means through the same
+   * sum/count/÷10^6/float-round chain as every other trainer here, so the
+   * result is engine-portable deterministic and the DuckDB oracle replays
+   * it verbatim. One corpus pass per iteration; assignment and residual
+   * extraction are pure projections (no join, no exchange before the
+   * ≤ m·k·dims-row partial aggregate).
+   */
+  def pqTrainCodebooksResidual(
+      emb: DataFrame, coarse: DataFrame, dims: Int, m: Int, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"dims ($dims) must divide into m ($m) subspaces")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, "residual codebooks need >= 1 Lloyd iteration (float export)")
+    val spark = emb.sparkSession
+    val sd = dims / m
+    val cents = collectCentroids(coarse, "cid", "cvec")
+    val qoffs: Seq[Seq[Long]] = cents.map { case (_, cv) => quantizeLocal(cv) }
+    def qoffsSub(s: Int): Seq[Seq[Long]] = qoffs.map(_.slice(s * sd, (s + 1) * sd))
+
+    // Seeds: k lowest-id vectors, residualized driver-side with the exact
+    // same quantized max-dot assignment the in-plan kernel performs.
+    val seeds = emb.select(col(idCol).as("_sid"), col(vecCol).as("v"))
+      .orderBy(col("_sid").asc).limit(k).collect()
+    var state: Map[Int, Seq[(Int, Array[Long])]] =
+      (0 until m).map { s =>
+        s -> seeds.toSeq.zipWithIndex.map { case (r, i) =>
+          val qv = quantizeLocal(r.getSeq[Float](1).toArray).toArray
+          val ci = argMaxDotLocal(qv, qoffs)
+          val qr = qv.zip(qoffs(ci)).map { case (a, b) => a - b }
+          (i, qr.slice(s * sd, (s + 1) * sd))
+        }
+      }.toMap
+    var floats: Map[Int, Seq[(Int, Array[Float])]] = Map.empty
+
+    for (_ <- 0 until iters) {
+      val perSub = (0 until m).map { s =>
+        val sv = slice(col("_v"), s * sd + 1, sd)
+        val entries = state(s)
+        val idx = call_function("quantized_argbest_res",
+          sv, typedlit(entries.map(_._2.toSeq)), typedlit(qoffsSub(s)), col("_ci"))
+        struct(
+          lit(s).as("sub"),
+          element_at(typedlit(entries.map(_._1)), idx + 1).as("cell"),
+          call_function("quantized_residual",
+            sv, typedlit(qoffsSub(s)), col("_ci")).as("qs"))
+      }
+      val sums = emb
+        .select(col(vecCol).as("_v"),
+          argBestIdx(col(vecCol), cents, l2 = false).as("_ci"))
+        .select(explode(array(perSub: _*)).as("r"))
+        .select(col("r.sub").as("sub"), col("r.cell").as("cell"),
+          posexplode(col("r.qs")).as(Seq("d", "x")))
+        .groupBy("sub", "cell", "d")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+        .collect()
+      floats = sums.toSeq.groupBy(_.getInt(0)).map { case (s, rs) =>
+        s -> lloydMeans(rs.map(r => Row(r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))))
+      }
+      state = floats.map { case (s, cs) =>
+        s -> cs.map { case (cid, cv) => (cid, quantizeLocal(cv).toArray) }
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("cid", IntegerType, nullable = false),
+      StructField("cvec", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val rows = floats.toSeq.sortBy(_._1).flatMap { case (s, cs) =>
+      cs.map { case (cid, cv) => Row(s, cid, cv.toSeq) }
+    }
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /**
+   * Residual PQ encode fused with coarse assignment: ONE projection over
+   * ONE corpus scan emits `(vec_id, cell, sub, code)` — the per-row coarse
+   * cell index feeds the residual argmin directly, so the 100 TB encode
+   * pass has no join and no exchange (PlanAuditSpec pins the shape).
+   * `codebooks` must be residual-trained ([[pqTrainCodebooksResidual]]
+   * against the same `coarse`).
+   */
+  def pqEncodeResidual(
+      emb: DataFrame, coarse: DataFrame, codebooks: DataFrame, dims: Int, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"dims ($dims) must divide into m ($m) subspaces")
+    val sd = dims / m
+    val cents = collectCentroids(coarse, "cid", "cvec")
+    val qoffs: Seq[Seq[Long]] = cents.map { case (_, cv) => quantizeLocal(cv) }
+    val cb = collectCodebooks(codebooks)
+    (0 until m).foreach(s =>
+      require(cb.contains(s), s"codebooks missing subspace $s (have ${cb.keys.toSeq.sorted})"))
+    val codeCols = (0 until m).map { s =>
+      val sv = slice(col("_v"), s * sd + 1, sd)
+      val idx = call_function("quantized_argbest_res",
+        sv, typedlit(cb(s).map(t => quantizeLocal(t._2))),
+        typedlit(qoffs.map(_.slice(s * sd, (s + 1) * sd))), col("_ci"))
+      cidAt(cb(s), idx)
+    }
+    emb
+      .select(
+        col(idCol).as("vec_id"), col(vecCol).as("_v"),
+        argBestIdx(col(vecCol), cents, l2 = false).as("_ci"))
+      .select(
+        col("vec_id"),
+        cidAt(cents, col("_ci")).as("cell"),
+        posexplode(array(codeCols: _*)).as(Seq("sub", "code")))
+  }
+
+  /** Per-(query, probed cell) residual ADC lookup table
+    * `(qid, cell, sub, code, pd)` with pd = Σ_d (qr_d − qcb_d)² over the
+    * subspace — the FULL squared distance term, so summing m entries gives
+    * exact ‖qr − reconstruction‖² and rankings compare correctly across a
+    * query's different probed cells (the cross-cell term ‖q − c‖² is
+    * inside, not dropped). queries × nprobe × m × k rows — broadcast-sized
+    * by construction. */
+  private def pqLutResidual(
+      codebooks: DataFrame, coarse: DataFrame, probes: DataFrame,
+      queries: DataFrame, dims: Int, m: Int,
+      qIdCol: String, qVecCol: String): DataFrame = {
+    val sd = dims / m
+    val rq = zip_with(
+      quantize(col("qv")), quantize(col("cvec")), (a, b) => a - b)
+    val subs = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"))
+      .join(probes, "qid")
+      .join(broadcast(coarse.select(col("cid").as("cell"), col("cvec"))), "cell")
+      .select(col("qid"), col("cell"),
+        posexplode(array((0 until m).map(s => slice(rq, s * sd + 1, sd)): _*))
+          .as(Seq("sub", "rqs")))
+    subs
+      .join(codebooks.select(col("sub"), col("cid").as("code"), col("cvec")), "sub")
+      .select(col("qid"), col("cell"), col("sub"), col("code"),
+        aggregate(
+          zip_with(col("rqs"), quantize(col("cvec")), (r, c) => (r - c) * (r - c)),
+          lit(0L), (acc, v) => acc + v).as("pd"))
+  }
+
   /**
    * Asymmetric-distance (ADC) top-k over a PQ-compressed corpus: per query,
    * a lookup table of per-(subspace, code) partial distances
@@ -589,9 +767,14 @@ object Similarity {
    * (cells, nprobe) trade recall for cost independently of the PQ
    * compression itself.
    *
-   * This is the residual-free IVF-PQ variant (codes quantize the raw
-   * vectors, not cell residuals): exact-integer determinism everywhere,
-   * same ranking semantics as [[pqAdcTopK]] restricted to probed cells.
+   * RESIDUAL form since round 8 (the production-standard Jégou variant):
+   * `codebooks` must be residual-trained ([[pqTrainCodebooksResidual]]
+   * against the same `coarse`), codes quantize x − c(cell)
+   * ([[pqEncodeResidual]] — one fused projection pass), and each query
+   * builds a per-probed-cell lookup table whose entries are full squared
+   * distances over the query's own residual, so the ADC sum is exactly
+   * ‖(q − c) − reconstruction‖² and ranks correctly across cells. Exact
+   * integers end to end; ties break by vec_id.
    */
   def ivfPqTopK(
       emb: DataFrame, coarse: DataFrame, codebooks: DataFrame,
@@ -599,19 +782,18 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val cells = ivfAssign(emb, coarse, idCol, vecCol).select(col("vec_id"), col("cell"))
-    val codes = pqEncode(emb, codebooks, dims, m, idCol, vecCol).join(cells, "vec_id")
+    val codes = pqEncodeResidual(emb, coarse, codebooks, dims, m, idCol, vecCol)
     val qw = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid").asc)
     val probes = ivfScoreCells(
         queries.select(col(qIdCol).as("vec_id"), col(qVecCol).as("embedding")), coarse)
       .withColumn("prn", row_number().over(qw))
       .where(col("prn") <= nprobe)
       .select(col("vec_id").as("qid"), col("cid").as("cell"))
-    val lut = pqLut(codebooks, queries, dims, m, qIdCol, qVecCol)
+    val lut = pqLutResidual(codebooks, coarse, probes, queries, dims, m, qIdCol, qVecCol)
     val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
     codes
       .join(broadcast(probes), "cell")
-      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .join(broadcast(lut), Seq("qid", "cell", "sub", "code"))
       .groupBy("qid", "vec_id")
       .agg(sum(col("pd")).as("adc"))
       .withColumn("rank", row_number().over(w))
@@ -658,34 +840,23 @@ object Similarity {
       coarseK: Int, pqK: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val coarse = trainCentroids(emb, coarseK, iters, idCol, vecCol)
-    val codebooks = pqTrainCodebooks(emb, dims, m, pqK, iters, idCol, vecCol)
+    val codebooks = pqTrainCodebooksResidual(emb, coarse, dims, m, pqK, iters, idCol, vecCol)
     writeIndex(emb, coarse, codebooks, indexDir, dims, m, idCol, vecCol)
   }
 
   /** Persist an index from already-trained quantizers (see [[buildIndex]]).
-    * Encode + assign run as ONE projection over ONE corpus scan. */
+    * Encode + assign run as ONE projection over ONE corpus scan
+    * ([[pqEncodeResidual]] — codes are residual-encoded, so `codebooks`
+    * must come from [[pqTrainCodebooksResidual]] against this `coarse`). */
   def writeIndex(
       emb: DataFrame, coarse: DataFrame, codebooks: DataFrame,
       indexDir: String, dims: Int, m: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     require(m >= 1 && dims % m == 0, s"dims ($dims) must divide into m ($m) subspaces")
     val spark = emb.sparkSession
-    val sd = dims / m
-    val cents = collectCentroids(coarse, "cid", "cvec")
-    val books = collectCodebooks(codebooks)
-    (0 until m).foreach(s =>
-      require(books.contains(s), s"codebooks missing subspace $s (have ${books.keys.toSeq.sorted})"))
     coarse.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/coarse")
     codebooks.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
-    val codeCols = (0 until m).map { s =>
-      val sv = slice(col(vecCol), s * sd + 1, sd)
-      cidAt(books(s), argBestIdx(sv, books(s), l2 = true))
-    }
-    emb
-      .select(
-        col(idCol).as("vec_id"),
-        cidAt(cents, argBestIdx(col(vecCol), cents, l2 = false)).as("cell"),
-        posexplode(array(codeCols: _*)).as(Seq("sub", "code")))
+    pqEncodeResidual(emb, coarse, codebooks, dims, m, idCol, vecCol)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
     // meta commits the index: written last, so a half-built dir never
@@ -695,9 +866,15 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
-  /** True iff `indexDir` holds a fully-committed index (meta written last). */
-  def indexCommitted(indexDir: String): Boolean =
-    new java.io.File(s"$indexDir/meta/_SUCCESS").exists()
+  /** True iff `indexDir` holds a fully-committed index (meta written
+    * last). Probes through the Hadoop FileSystem API — like every other
+    * commit check here — so the answer is correct on HDFS/S3 too, where a
+    * `java.io.File` probe would always say false and silently rebuild. */
+  def indexCommitted(indexDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta/_SUCCESS")
+    p.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** Load a persisted index; no corpus scan, no training. */
   def readIndex(spark: SparkSession, indexDir: String): AnnIndex = {
@@ -732,12 +909,13 @@ object Similarity {
       .where(col("prn") <= nprobe)
       .select(col("vec_id").as("qid"), col("cid").as("cell"))
     val probedCells = probes.select("cell").distinct().collect().map(_.get(0)).toSeq
-    val lut = pqLut(index.codebooks, queries, index.dims, index.m, qIdCol, qVecCol)
+    val lut = pqLutResidual(
+      index.codebooks, index.coarse, probes, queries, index.dims, index.m, qIdCol, qVecCol)
     val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
     index.codes
       .where(col("cell").isin(probedCells: _*))
       .join(broadcast(probes), "cell")
-      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .join(broadcast(lut), Seq("qid", "cell", "sub", "code"))
       .groupBy("qid", "vec_id")
       .agg(sum(col("pd")).as("adc"))
       .withColumn("rank", row_number().over(w))

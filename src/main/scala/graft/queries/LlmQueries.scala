@@ -35,12 +35,20 @@ object LlmQueries {
     * measured `q_sim_ivfpq_persisted` line is query-only latency — exactly
     * the number a 100 TB serving deployment cares about. */
   private def persistedIndex(s: SparkSession, dir: String): Similarity.AnnIndex = {
+    // The memo key carries the layout version, EVERY build parameter, and a
+    // corpus fingerprint (count + max vec_id): a regenerated test corpus or
+    // changed knob lands on a fresh path and rebuilds, so a stale committed
+    // index can never serve old data/quantizers to the shared oracle.
+    val e = emb(s, dir)
+    val fp = e.agg(count(lit(1)), max(col("vec_id"))).collect()(0)
+    val (dims, m, coarseK, pqK, iters) = (64, 4, 8, 16, 2)
     val indexDir =
-      s"${sys.props("java.io.tmpdir")}/graft_ann_index_v1/${new java.io.File(dir).getName}"
+      s"${sys.props("java.io.tmpdir")}/graft_ann_index_v2/" +
+        s"${new java.io.File(dir).getName}_d${dims}_m${m}_c${coarseK}_k${pqK}_i${iters}" +
+        s"_n${fp.getLong(0)}_x${fp.getLong(1)}"
     if (!Similarity.indexCommitted(indexDir)) {
       graft.GraftExtensions.register(s)
-      Similarity.buildIndex(
-        emb(s, dir), indexDir, dims = 64, m = 4, coarseK = 8, pqK = 16, iters = 2)
+      Similarity.buildIndex(e, indexDir, dims, m, coarseK, pqK, iters)
     }
     Similarity.readIndex(s, indexDir)
   }
@@ -175,10 +183,10 @@ object LlmQueries {
     * subspace's range. Assignment is argmin (c·c − 2·x·c) with cid
     * tie-break — exact integers, mirrors
     * [[graft.ops.Similarity.trainCentroidsL2]]. */
-  private def pqIterCte(i: Int, prev: String, sd: Int): String =
+  private def pqIterCte(i: Int, prev: String, sd: Int, src: String = "comp"): String =
     s"""qcc$i AS (SELECT sub, cid, SUM(q * q) AS cc FROM $prev GROUP BY sub, cid),
        |qxc$i AS (SELECT c.vec_id, ct.sub, ct.cid, SUM(c.q * ct.q) AS xc
-       |          FROM comp c JOIN $prev ct ON ct.d = c.d
+       |          FROM $src c JOIN $prev ct ON ct.d = c.d
        |          GROUP BY c.vec_id, ct.sub, ct.cid),
        |qpm$i AS (SELECT vec_id, sub, cid FROM (
        |            SELECT x.vec_id, x.sub, x.cid,
@@ -187,7 +195,7 @@ object LlmQueries {
        |            FROM qxc$i x JOIN qcc$i cc ON cc.sub = x.sub AND cc.cid = x.cid)
        |          WHERE rn = 1),
        |qps$i AS (SELECT m.sub, m.cid, c.d, SUM(c.q) AS sx, COUNT(*) AS cnt
-       |          FROM qpm$i m JOIN comp c
+       |          FROM qpm$i m JOIN $src c
        |            ON c.vec_id = m.vec_id AND CAST((c.d - 1) // $sd AS INT) = m.sub
        |          GROUP BY m.sub, m.cid, c.d),
        |qpf$i AS (SELECT sub, cid, d, CAST((CAST(sx AS DOUBLE) / cnt) / 1e6 AS REAL) AS c
@@ -195,14 +203,15 @@ object LlmQueries {
        |qpc$i AS (SELECT sub, cid, d, CAST(floor(CAST(c AS DOUBLE) * 1e6) AS BIGINT) AS q
        |          FROM qpf$i)""".stripMargin
 
-  /** The PQ chain alone (expects a `comp` CTE in scope). */
-  private def pqChain(k: Int, sd: Int): String =
+  /** The PQ chain alone (expects the `src` components CTE in scope —
+    * `comp` for raw-vector training, a residual CTE for residual PQ). */
+  private def pqChain(k: Int, sd: Int, src: String = "comp"): String =
     s"""qseed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
        |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
        |qpc0 AS (SELECT CAST((c.d - 1) // $sd AS INT) AS sub, s.cid, c.d, c.q
-       |         FROM qseed s JOIN comp c ON c.vec_id = s.vec_id),
-       |${pqIterCte(1, "qpc0", sd)},
-       |${pqIterCte(2, "qpc1", sd)}""".stripMargin
+       |         FROM qseed s JOIN $src c ON c.vec_id = s.vec_id),
+       |${pqIterCte(1, "qpc0", sd, src)},
+       |${pqIterCte(2, "qpc1", sd, src)}""".stripMargin
 
   /** PQ codebooks after two L2 Lloyd iterations (k codes per subspace of
     * `sd` dims), seeded per subspace with the k lowest-id vectors' slices —
@@ -229,16 +238,18 @@ object LlmQueries {
       |        FROM exc x JOIN ecc cc ON cc.sub = x.sub AND cc.cid = x.cid
       |        WHERE x.vec_id < 3)""".stripMargin
 
-  /** Full IVF-PQ oracle (train → assign → probe → ADC top-k). Shared
-    * VERBATIM by `q_sim_ivfpq` (in-query training) and
-    * `q_sim_ivfpq_persisted` (serving from the persisted index): the index
-    * round-trips the identical trained values, so both paths must produce
-    * the identical ranking. */
+  /** Full RESIDUAL IVF-PQ oracle (train coarse → residualize → train
+    * residual codebooks → encode → probe → per-cell residual-LUT ADC
+    * top-k), mirroring [[graft.ops.Similarity.ivfPqTopK]]. Shared VERBATIM
+    * by `q_sim_ivfpq` (in-query training) and `q_sim_ivfpq_persisted`
+    * (serving from the persisted index): the index round-trips the
+    * identical trained values, so both paths must produce the identical
+    * ranking. Residuals are integer-domain (q_x − q_c), and each LUT entry
+    * is the FULL per-subspace squared distance over the query's residual
+    * against its probed cell, so summed ADC ranks exactly across cells. */
   private lazy val ivfPqOracleSql: String =
     s"""WITH ${compCte("comp", "embeddings")},
        |${kmeansChain(8)},
-       |${pqChain(16, 16)},
-       |$pqEncodeLutCtes,
        |cent AS (SELECT cid, d, q FROM c2),
        |adot AS (SELECT c.vec_id, ct.cid, SUM(c.q * ct.q) AS cdot
        |         FROM comp c JOIN cent ct ON ct.d = c.d GROUP BY c.vec_id, ct.cid),
@@ -246,15 +257,40 @@ object LlmQueries {
        |            SELECT vec_id, cid,
        |                   row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS rn
        |            FROM adot) WHERE rn = 1),
+       |rcomp AS (SELECT c.vec_id, c.d, c.q - ct.q AS q
+       |          FROM comp c
+       |          JOIN acell a ON a.vec_id = c.vec_id
+       |          JOIN cent ct ON ct.cid = a.cell AND ct.d = c.d),
+       |${pqChain(16, 16, "rcomp")},
+       |ecc AS (SELECT sub, cid, SUM(q * q) AS cc FROM qpc2 GROUP BY sub, cid),
+       |exc AS (SELECT c.vec_id, ct.sub, ct.cid, SUM(c.q * ct.q) AS xc
+       |        FROM rcomp c JOIN qpc2 ct ON ct.d = c.d
+       |        GROUP BY c.vec_id, ct.sub, ct.cid),
+       |enc AS (SELECT vec_id, sub, cid AS code FROM (
+       |          SELECT x.vec_id, x.sub, x.cid,
+       |                 row_number() OVER (PARTITION BY x.vec_id, x.sub
+       |                   ORDER BY cc.cc - 2 * x.xc ASC, x.cid ASC) AS rn
+       |          FROM exc x JOIN ecc cc ON cc.sub = x.sub AND cc.cid = x.cid)
+       |        WHERE rn = 1),
        |qprobe AS (SELECT vec_id AS qid, cid AS cell FROM (
        |             SELECT vec_id, cid,
        |                    row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS rn
        |             FROM adot WHERE vec_id < 3) WHERE rn <= 2),
-       |cand AS (SELECT qp.qid, a.vec_id FROM qprobe qp JOIN acell a ON a.cell = qp.cell),
+       |rq AS (SELECT qp.qid, qp.cell, c.d, c.q - ct.q AS q
+       |       FROM qprobe qp
+       |       JOIN comp c ON c.vec_id = qp.qid
+       |       JOIN cent ct ON ct.cid = qp.cell AND ct.d = c.d),
+       |lutr AS (SELECT r.qid, r.cell, cb.sub, cb.cid AS code,
+       |           SUM((r.q - cb.q) * (r.q - cb.q)) AS pd
+       |         FROM rq r JOIN qpc2 cb ON cb.d = r.d
+       |         GROUP BY r.qid, r.cell, cb.sub, cb.cid),
+       |cand AS (SELECT qp.qid, qp.cell, a.vec_id
+       |         FROM qprobe qp JOIN acell a ON a.cell = qp.cell),
        |adc AS (SELECT cd.qid, cd.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adc
        |        FROM cand cd
        |        JOIN enc e ON e.vec_id = cd.vec_id
-       |        JOIN lut l ON l.qid = cd.qid AND l.sub = e.sub AND l.code = e.code
+       |        JOIN lutr l ON l.qid = cd.qid AND l.cell = cd.cell
+       |         AND l.sub = e.sub AND l.code = e.code
        |        GROUP BY cd.qid, cd.vec_id)
        |SELECT qid, rank, vec_id, adc FROM (
        |  SELECT qid, vec_id, adc,
@@ -664,12 +700,15 @@ object LlmQueries {
 
     // IVF-PQ: coarse cells shard the corpus, queries ADC-scan only their
     // nprobe best cells' compact codes — the standard production ANN
-    // composition, both knobs (cells, nprobe) exercised
+    // composition, both knobs (cells, nprobe) exercised. RESIDUAL form
+    // (codes quantize x − cell centroid, the Jégou variant): measured
+    // recall lift at the same code budget, exact integers end to end.
     "q_sim_ivfpq" -> ((s, dir) => {
       GraftExtensions.register(s)
       val e = emb(s, dir)
       val coarse = Similarity.trainCentroids(e, 8, 2)
-      val cb = Similarity.pqTrainCodebooks(e, dims = 64, m = 4, k = 16, iters = 2)
+      val cb = Similarity.pqTrainCodebooksResidual(
+        e, coarse, dims = 64, m = 4, k = 16, iters = 2)
       val queries = e.where(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfPqTopK(e, coarse, cb, queries, 5, nprobe = 2, dims = 64, m = 4)

@@ -707,8 +707,9 @@ class LlmOpsSpec extends SparkSpec {
     // cell — the probe restriction is the whole contract.
     val coarse = Seq((0, Array(1f, 0f, 0f, 0f)), (1, Array(0f, 1f, 0f, 0f)))
       .toDF("cid", "cvec")
+    val cbRes = Similarity.pqTrainCodebooksResidual(embs, coarse, dims = 4, m = 2, k = 3, iters = 1)
     val hits = Similarity.ivfPqTopK(
-      embs, coarse, cb, queries, 8, nprobe = 1, dims = 4, m = 2)
+      embs, coarse, cbRes, queries, 8, nprobe = 1, dims = 4, m = 2)
       .select("vec_id").as[Long].collect().toSet
     val qCell = Similarity.ivfAssign(embs.where(col("vec_id") === 0), coarse)
       .select("cell").as[Int].head()
@@ -733,8 +734,9 @@ class LlmOpsSpec extends SparkSpec {
       assert(idx.dims == 8 && idx.m == 2)
 
       // serving from the index == the full in-query pipeline, bit for bit
+      // (residual codebooks — the form buildIndex trains since round 8)
       val coarse = Similarity.trainCentroids(embs, 4, 2)
-      val cb = Similarity.pqTrainCodebooks(embs, dims = 8, m = 2, k = 3, iters = 2)
+      val cb = Similarity.pqTrainCodebooksResidual(embs, coarse, dims = 8, m = 2, k = 3, iters = 2)
       def key(df: org.apache.spark.sql.DataFrame) =
         df.select("qid", "rank", "vec_id", "adc")
           .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet

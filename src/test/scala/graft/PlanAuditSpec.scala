@@ -83,6 +83,14 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!encodePlan.contains("Exchange"), s"pqEncode shuffles:\n$encodePlan")
     assert(!encodePlan.contains("Join"), s"pqEncode joins:\n$encodePlan")
+    // Residual encode fuses coarse assignment + per-subspace residual
+    // argmin into the SAME single projection — still no join, no exchange
+    // (the 100 TB index-build pass must stay one scan).
+    val cbR = Similarity.pqTrainCodebooksResidual(e, cents, dims = 64, m = 4, k = 4, iters = 1)
+    val resPlan = Similarity.pqEncodeResidual(e, cents, cbR, dims = 64, m = 4)
+      .queryExecution.executedPlan.toString
+    assert(!resPlan.contains("Exchange"), s"pqEncodeResidual shuffles:\n$resPlan")
+    assert(!resPlan.contains("Join"), s"pqEncodeResidual joins:\n$resPlan")
   }
 
   test("similarity scoring cross-products are broadcast-side only") {

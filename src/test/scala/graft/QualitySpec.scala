@@ -71,4 +71,36 @@ class QualitySpec extends SparkSpec {
       Quality.topkMap(Similarity.pqAdcTopK(codes, cb, queries, 10, dims = 64, m = 4)), exact)
     assert(pqR >= 0.15, s"pq m4 full-scan recall@10 $pqR < 0.15")
   }
+
+  test("residual IVF-PQ: recall floors, the k-lever, and the energy diagnostic") {
+    GraftExtensions.register(spark)
+    val e = graft.queries.Tpch.read(spark, dir, "embeddings").localCheckpoint()
+    val queries = e.where(col("vec_id") < 64)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Quality.topkMap(Similarity.bruteForceTopK(e, queries, 10))
+    val cents = Similarity.trainCentroids(e, 32, 2)
+
+    val cbR = Similarity.pqTrainCodebooksResidual(e, cents, dims = 64, m = 8, k = 16, iters = 2)
+    val r16 = Quality.recallAtK(
+      Quality.topkMap(Similarity.ivfPqTopK(
+        e, cents, cbR, queries, 10, nprobe = 2, dims = 64, m = 8)), exact)
+    info(s"residual ivfpq m8 k16 nprobe2 recall@10 = $r16")
+    assert(r16 >= 0.35, s"residual ivfpq m8 k16 recall@10 $r16 < 0.35 (measured 0.437)")
+
+    // the k-lever: more codes per subspace must not lose recall on this
+    // corpus (measured gain ~0.29 → ~0.36 at sf0.1)
+    val cbR64 = Similarity.pqTrainCodebooksResidual(e, cents, dims = 64, m = 8, k = 64, iters = 2)
+    val r64 = Quality.recallAtK(
+      Quality.topkMap(Similarity.ivfPqTopK(
+        e, cents, cbR64, queries, 10, nprobe = 2, dims = 64, m = 8)), exact)
+    info(s"residual ivfpq m8 k64 nprobe2 recall@10 = $r64")
+    assert(r64 >= r16 - 0.05, s"k=64 recall $r64 collapsed vs k=16 $r16")
+
+    // geometry diagnostic: on this isotropic corpus residuals carry most
+    // of the raw energy (~0.9) — the measured reason residual ≈ raw PQ
+    // here, and the number that flips on naturally clustered corpora
+    val energy = Quality.residualEnergyRatio(e, cents)
+    info(s"residual energy ratio = $energy")
+    assert(energy > 0.0 && energy < 1.0, s"residual energy ratio $energy out of (0,1)")
+  }
 }
