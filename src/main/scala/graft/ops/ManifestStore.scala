@@ -61,49 +61,72 @@ object ManifestStore {
 
   final case class Manifest(version: Long, entries: Map[String, Long])
 
-  private def fs(spark: SparkSession, path: String): FileSystem =
+  private[ops] def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def manifestName(v: Long): String = f"_manifest.$v%012d"
 
-  /** Highest committed manifest, if any. */
-  def readManifest(spark: SparkSession, path: String): Option[Manifest] = {
-    val dir = new Path(path)
-    val hfs = fs(spark, path)
-    if (!hfs.exists(dir)) return None
-    val manifests = hfs.listStatus(dir)
+  // -----------------------------------------------------------------------
+  // THE commit protocol — shared by this table store and the persisted ANN
+  // index ([[Similarity.writeIndex]]/appendToIndex): versioned text files
+  // `<prefix>.<zero-padded v>` written to a `.tmp` name and committed by
+  // ONE atomic rename into a never-reused final name. Everything else
+  // (data files, generation directories) is invisible debris until a
+  // manifest names it.
+  // -----------------------------------------------------------------------
+
+  /** Highest committed `<prefix>.<v>` under `dir`: `(version, content)`. */
+  private[ops] def readVersioned(
+      spark: SparkSession, dir: String, prefix: String): Option[(Long, String)] = {
+    val d = new Path(dir)
+    val hfs = fs(spark, dir)
+    if (!hfs.exists(d)) return None
+    val names = hfs.listStatus(d)
       .map(_.getPath.getName)
-      .filter(n => n.startsWith("_manifest.") && !n.endsWith(".tmp"))
-    if (manifests.isEmpty) return None
-    val name = manifests.max // zero-padded → lexical max = numeric max
-    val version = name.stripPrefix("_manifest.").toLong
-    val in = hfs.open(new Path(dir, name))
+      .filter(n => n.startsWith(prefix + ".") && !n.endsWith(".tmp"))
+    if (names.isEmpty) return None
+    val name = names.max // zero-padded → lexical max = numeric max
+    val version = name.stripPrefix(prefix + ".").toLong
+    val in = hfs.open(new Path(d, name))
     val content =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val entries = content.linesIterator.filter(_.nonEmpty).map { line =>
-      val i = line.lastIndexOf('\t')
-      line.substring(0, i) -> line.substring(i + 1).toLong
-    }.toMap
-    Some(Manifest(version, entries))
+    Some((version, content))
   }
+
+  /** Commit `content` as `<prefix>.<zero-padded version>` via tmp write +
+    * atomic rename to the (never-reused) final name. */
+  private[ops] def commitVersioned(
+      spark: SparkSession, dir: String, prefix: String,
+      version: Long, content: String): Unit = {
+    val hfs = fs(spark, dir)
+    val finalName = f"$prefix.$version%012d"
+    val tmp = new Path(dir, finalName + ".tmp")
+    val out = hfs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (!hfs.rename(tmp, new Path(dir, finalName)))
+      throw new java.io.IOException(
+        s"commit rename failed for $finalName under $dir")
+  }
+
+  /** Highest committed manifest, if any. */
+  def readManifest(spark: SparkSession, path: String): Option[Manifest] =
+    readVersioned(spark, path, "_manifest").map { case (version, content) =>
+      val entries = content.linesIterator.filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf('\t')
+        line.substring(0, i) -> line.substring(i + 1).toLong
+      }.toMap
+      Manifest(version, entries)
+    }
 
   /** Write a complete manifest to a temp name, then commit via atomic
     * rename to its (never-reused) final name. */
   private def commitManifest(spark: SparkSession, path: String, m: Manifest): Unit = {
-    val hfs = fs(spark, path)
-    val tmp = new Path(path, manifestName(m.version) + ".tmp")
-    val out = hfs.create(tmp, true)
-    try {
-      val sb = new StringBuilder
-      m.entries.toSeq.sortBy(_._1).foreach { case (k, g) =>
-        sb.append(k).append('\t').append(g).append('\n')
-      }
-      out.write(sb.toString.getBytes("UTF-8"))
-    } finally out.close()
-    if (!hfs.rename(tmp, new Path(path, manifestName(m.version))))
-      throw new java.io.IOException(
-        s"manifest commit rename failed for version ${m.version} under $path")
+    val sb = new StringBuilder
+    m.entries.toSeq.sortBy(_._1).foreach { case (k, g) =>
+      sb.append(k).append('\t').append(g).append('\n')
+    }
+    commitVersioned(spark, path, "_manifest", m.version, sb.toString)
   }
 
   /** Next generation number: strictly above the committed version AND every

@@ -801,39 +801,77 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
-  // Persisted IVF-PQ index — build once, query many.
+  // Persisted IVF-PQ index — build once, append deltas, query many.
   //
   // Every real 100 TB ANN deployment separates the (expensive, corpus-pass)
   // build from the (cheap, serving-time) query: the quantizers are trained
   // and the corpus encoded ONCE, written out, and every query afterwards
-  // touches only the compact artifacts. Layout under `indexDir`:
+  // touches only the compact artifacts. Since round 8 the index commits
+  // through the SAME protocol as [[ManifestStore]] (one atomic rename of a
+  // never-reused versioned manifest name) instead of its own bespoke
+  // meta-written-last marker — one commit story for both stores, and the
+  // rebuild-over-existing-dir hole is gone (a rebuild writes a FRESH
+  // generation and re-points the manifest; a crash mid-rebuild leaves the
+  // old manifest naming only old, untouched artifacts). Layout:
   //
-  //   coarse/     (cid, cvec)          — coarse centroids, √N rows, broadcast
-  //   codebooks/  (sub, cid, cvec)     — PQ codebooks, m·k rows, broadcast
-  //   codes/cell=<cid>/ (vec_id, sub, code)
+  //   gen=<V>/coarse/     (cid, cvec)       — coarse centroids, broadcast
+  //   gen=<V>/codebooks/  (sub, cid, cvec)  — residual PQ codebooks
+  //   gen=<V>/meta/       (dims, m)
+  //   gen=<V>/codes/cell=<cid>/ (vec_id, sub, code)
   //               — the ONLY per-corpus artifact: m small ints per vector,
   //                 hive-partitioned by coarse cell so a query's nprobe
   //                 probe set becomes a PARTITION FILTER on the scan (only
   //                 the probed cells' files are ever opened — at √N cells,
   //                 a query reads ~nprobe/√N of the index, not all of it)
-  //   meta/       (dims, m)            — written LAST; its _SUCCESS marker
-  //                                      is the index's commit point
+  //   _index.<zero-padded V>  — the commit point: lines
+  //                 `quantizers\t<gen>` + `codes\t<gen>` (one per delta);
+  //                 readers resolve the highest manifest and read exactly
+  //                 the generations it names
+  //
+  // A full build writes everything into one fresh generation; an append
+  // ([[appendToIndex]]) encodes a delta batch with the EXISTING quantizers
+  // (one projection pass) into a new generation holding only codes, and
+  // the next manifest references both. Generations are immutable once
+  // committed; crash debris (a generation no manifest names) is invisible
+  // and reclaimed by [[vacuumIndex]]. Single writer assumed — same
+  // contract, documented the same way, as [[ManifestStore.upsert]].
   // ---------------------------------------------------------------------
 
   /** A loaded persisted index (see layout above). */
   final case class AnnIndex(
       coarse: DataFrame, codebooks: DataFrame, codes: DataFrame, dims: Int, m: Int)
 
+  private def parseIndexManifest(content: String): (Long, Seq[Long]) = {
+    val lines = content.linesIterator.filter(_.nonEmpty).toSeq
+    val q = lines.collectFirst { case l if l.startsWith("quantizers\t") =>
+      l.stripPrefix("quantizers\t").toLong }
+    (q.getOrElse(throw new IllegalStateException("index manifest missing quantizers line")),
+      lines.collect { case l if l.startsWith("codes\t") => l.stripPrefix("codes\t").toLong })
+  }
+
+  /** Fresh generation number: strictly above the committed manifest version
+    * and every `gen=` directory on disk (crash debris is never reused). */
+  private def nextIndexGen(spark: SparkSession, indexDir: String): Long = {
+    val hfs = ManifestStore.fs(spark, indexDir)
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val onDisk =
+      if (!hfs.exists(dir)) Seq.empty[Long]
+      else hfs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong).toSeq
+    val committed = ManifestStore.readVersioned(spark, indexDir, "_index").map(_._1)
+    (committed.toSeq ++ onDisk :+ 0L).max + 1
+  }
+
   /**
    * Train quantizers and persist a complete IVF-PQ index: coarse k-means
-   * ([[trainCentroids]], `coarseK` cells), PQ codebooks
-   * ([[pqTrainCodebooks]], m × pqK codes), then ONE combined corpus pass
-   * that both assigns the coarse cell and PQ-encodes every vector (cell
-   * assignment and encoding are each pure projections, so they fuse into a
-   * single scan — at 100 TB the build reads the corpus once for encoding,
-   * plus the bounded Lloyd passes for training). The codes table is
-   * clustered one-file-per-cell (`repartition(cell)` before the
-   * partitioned write — the round-6 tiny-files lesson).
+   * ([[trainCentroids]], `coarseK` cells), residual PQ codebooks
+   * ([[pqTrainCodebooksResidual]], m × pqK codes), then ONE combined
+   * corpus pass that both assigns the coarse cell and PQ-encodes every
+   * vector (cell assignment and encoding fuse into a single scan — at
+   * 100 TB the build reads the corpus once for encoding, plus the bounded
+   * Lloyd passes for training). The codes table is clustered
+   * one-file-per-cell (`repartition(cell)` before the partitioned write —
+   * the round-6 tiny-files lesson).
    */
   def buildIndex(
       emb: DataFrame, indexDir: String, dims: Int, m: Int,
@@ -844,47 +882,109 @@ object Similarity {
     writeIndex(emb, coarse, codebooks, indexDir, dims, m, idCol, vecCol)
   }
 
-  /** Persist an index from already-trained quantizers (see [[buildIndex]]).
-    * Encode + assign run as ONE projection over ONE corpus scan
-    * ([[pqEncodeResidual]] — codes are residual-encoded, so `codebooks`
-    * must come from [[pqTrainCodebooksResidual]] against this `coarse`). */
+  /** Persist an index from already-trained quantizers (see [[buildIndex]])
+    * into a fresh generation, then commit via the manifest rename. Encode +
+    * assign run as ONE projection over ONE corpus scan
+    * ([[pqEncodeResidual]] — `codebooks` must come from
+    * [[pqTrainCodebooksResidual]] against this `coarse`). Rebuilding over
+    * an existing index is safe: the old generations are never touched and
+    * the old manifest stays authoritative until the new rename lands. */
   def writeIndex(
       emb: DataFrame, coarse: DataFrame, codebooks: DataFrame,
       indexDir: String, dims: Int, m: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     require(m >= 1 && dims % m == 0, s"dims ($dims) must divide into m ($m) subspaces")
     val spark = emb.sparkSession
-    coarse.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/coarse")
-    codebooks.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
-    pqEncodeResidual(emb, coarse, codebooks, dims, m, idCol, vecCol)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
-    // meta commits the index: written last, so a half-built dir never
-    // presents a complete-looking meta/_SUCCESS
+    val gen = nextIndexGen(spark, indexDir)
+    val base = s"$indexDir/gen=$gen"
+    coarse.coalesce(1).write.mode("overwrite").parquet(s"$base/coarse")
+    codebooks.coalesce(1).write.mode("overwrite").parquet(s"$base/codebooks")
     import spark.implicits._
     Seq((dims, m)).toDF("dims", "m")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
+    pqEncodeResidual(emb, coarse, codebooks, dims, m, idCol, vecCol)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$base/codes")
+    ManifestStore.commitVersioned(spark, indexDir, "_index", gen,
+      s"quantizers\t$gen\ncodes\t$gen\n")
   }
 
-  /** True iff `indexDir` holds a fully-committed index (meta written
-    * last). Probes through the Hadoop FileSystem API — like every other
-    * commit check here — so the answer is correct on HDFS/S3 too, where a
-    * `java.io.File` probe would always say false and silently rebuild. */
-  def indexCommitted(indexDir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta/_SUCCESS")
-    p.getFileSystem(
-      SparkSession.active.sparkContext.hadoopConfiguration).exists(p)
+  /**
+   * Incremental append — the continuous-ingest path: encode+assign a delta
+   * batch with the EXISTING quantizers (no retraining, one projection
+   * pass) into a new codes-only generation, and commit a manifest that
+   * references the old generations plus the new one. Serving results are
+   * identical to a full [[writeIndex]] of the concatenated corpus with the
+   * same quantizers (codes are a per-row pure function of vector +
+   * quantizers — PersistenceSpec pins the equivalence).
+   */
+  def appendToIndex(
+      delta: DataFrame, indexDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = delta.sparkSession
+    val (ver, content) = ManifestStore.readVersioned(spark, indexDir, "_index")
+      .getOrElse(throw new IllegalStateException(
+        s"no committed index under $indexDir to append to"))
+    val (qgen, codeGens) = parseIndexManifest(content)
+    // An empty delta is a no-op: committing a row-less generation would
+    // leave an uninferrable-schema parquet dir in the manifest.
+    if (delta.isEmpty) return
+    val meta = spark.read.parquet(s"$indexDir/gen=$qgen/meta").collect().head
+    val (dims, m) = (meta.getAs[Int]("dims"), meta.getAs[Int]("m"))
+    val coarse = spark.read.parquet(s"$indexDir/gen=$qgen/coarse")
+    val codebooks = spark.read.parquet(s"$indexDir/gen=$qgen/codebooks")
+    val gen = math.max(nextIndexGen(spark, indexDir), ver + 1)
+    pqEncodeResidual(delta, coarse, codebooks, dims, m, idCol, vecCol)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/gen=$gen/codes")
+    val codeLines = (codeGens :+ gen).map(g => s"codes\t$g").mkString("\n")
+    ManifestStore.commitVersioned(spark, indexDir, "_index", gen,
+      s"quantizers\t$qgen\n$codeLines\n")
   }
 
-  /** Load a persisted index; no corpus scan, no training. */
+  /** True iff `indexDir` holds a committed index (a `_index.<v>` manifest
+    * exists). Probes through the Hadoop FileSystem API — correct on
+    * HDFS/S3 too, where a `java.io.File` probe would always say false and
+    * silently rebuild. */
+  def indexCommitted(indexDir: String): Boolean =
+    ManifestStore.readVersioned(SparkSession.active, indexDir, "_index").isDefined
+
+  /** Load a persisted index: resolve the highest manifest, read exactly
+    * the generations it names. No corpus scan, no training. Concurrent
+    * with writers: committed generations are immutable, so a reader's
+    * snapshot stays consistent while a rebuild/append commits. */
   def readIndex(spark: SparkSession, indexDir: String): AnnIndex = {
-    val meta = spark.read.parquet(s"$indexDir/meta").collect().head
+    val (_, content) = ManifestStore.readVersioned(spark, indexDir, "_index")
+      .getOrElse(throw new IllegalStateException(s"no committed index under $indexDir"))
+    val (qgen, codeGens) = parseIndexManifest(content)
+    val meta = spark.read.parquet(s"$indexDir/gen=$qgen/meta").collect().head
+    val codes = codeGens.map { g =>
+      val dir = s"$indexDir/gen=$g/codes"
+      spark.read.option("basePath", dir).parquet(dir)
+    }.reduce(_.unionByName(_))
     AnnIndex(
-      coarse = spark.read.parquet(s"$indexDir/coarse"),
-      codebooks = spark.read.parquet(s"$indexDir/codebooks"),
-      codes = spark.read.parquet(s"$indexDir/codes"),
+      coarse = spark.read.parquet(s"$indexDir/gen=$qgen/coarse"),
+      codebooks = spark.read.parquet(s"$indexDir/gen=$qgen/codebooks"),
+      codes = codes,
       dims = meta.getAs[Int]("dims"),
       m = meta.getAs[Int]("m"))
+  }
+
+  /** Drop generation directories the CURRENT manifest does not reference
+    * (superseded rebuilds, crash debris). Space reclamation only —
+    * correctness never depends on it; returns the number removed. */
+  def vacuumIndex(spark: SparkSession, indexDir: String): Int = {
+    val live = ManifestStore.readVersioned(spark, indexDir, "_index")
+      .map { case (_, c) => val (q, gs) = parseIndexManifest(c); (gs :+ q).toSet }
+      .getOrElse(Set.empty)
+    val hfs = ManifestStore.fs(spark, indexDir)
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    if (!hfs.exists(dir)) return 0
+    val dead = hfs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("gen=") &&
+        !live.contains(p.getName.stripPrefix("gen=").toLong))
+    dead.foreach(p => hfs.delete(p, true))
+    dead.length
   }
 
   /**

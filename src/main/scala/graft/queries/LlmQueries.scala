@@ -43,7 +43,7 @@ object LlmQueries {
     val fp = e.agg(count(lit(1)), max(col("vec_id"))).collect()(0)
     val (dims, m, coarseK, pqK, iters) = (64, 4, 8, 16, 2)
     val indexDir =
-      s"${sys.props("java.io.tmpdir")}/graft_ann_index_v2/" +
+      s"${sys.props("java.io.tmpdir")}/graft_ann_index_v3/" +
         s"${new java.io.File(dir).getName}_d${dims}_m${m}_c${coarseK}_k${pqK}_i${iters}" +
         s"_n${fp.getLong(0)}_x${fp.getLong(1)}"
     if (!Similarity.indexCommitted(indexDir)) {

@@ -191,6 +191,71 @@ class PersistenceSpec extends SparkSpec {
     assert(afterVacuum.exceptAll(after).isEmpty && after.exceptAll(afterVacuum).isEmpty)
   }
 
+  test("ANN index: manifest commit, append == full build, crash invisibility, vacuum") {
+    import graft.ops.Similarity
+    val embs = (0 until 48).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(d * 0.7 + (i % 7)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = embs.where($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "vec_id", "adc")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+
+    // shared quantizers, trained once on the FULL corpus (the append
+    // contract: deltas are encoded with existing quantizers, no retrain)
+    val coarse = Similarity.trainCentroids(embs, 4, 2)
+    val cb = Similarity.pqTrainCodebooksResidual(embs, coarse, dims = 8, m = 2, k = 3, iters = 2)
+
+    // full build vs half-build + append: identical serving results
+    val dirFull = tmpDir("idx_full")
+    val dirInc = tmpDir("idx_inc")
+    Similarity.writeIndex(embs, coarse, cb, dirFull, dims = 8, m = 2)
+    Similarity.writeIndex(
+      embs.where($"vec_id" < 24), coarse, cb, dirInc, dims = 8, m = 2)
+    Similarity.appendToIndex(embs.where($"vec_id" >= 24), dirInc)
+    val full = key(Similarity.ivfPqTopKIndexed(
+      Similarity.readIndex(spark, dirFull), queries, 3, nprobe = 2))
+    val inc = key(Similarity.ivfPqTopKIndexed(
+      Similarity.readIndex(spark, dirInc), queries, 3, nprobe = 2))
+    assert(full == inc, s"append diverged from full build:\n$full\nvs\n$inc")
+
+    // crash mid-rebuild: a generation written WITHOUT a manifest rename is
+    // invisible — the old manifest keeps serving the old, untouched index
+    // (the round-7 meta-last scheme failed exactly this case on rebuild)
+    val before = key(Similarity.ivfPqTopKIndexed(
+      Similarity.readIndex(spark, dirFull), queries, 3, nprobe = 2))
+    val garbage = embs.select($"vec_id", transform($"embedding", x => -x).as("embedding"))
+    Similarity.pqEncodeResidual(garbage, coarse, cb, dims = 8, m = 2)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dirFull/gen=9/codes")
+    val fs = new org.apache.hadoop.fs.Path(dirFull)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(dirFull, "_index.000000000009.tmp"), true).close()
+    assert(key(Similarity.ivfPqTopKIndexed(
+      Similarity.readIndex(spark, dirFull), queries, 3, nprobe = 2)) == before,
+      "uncommitted generation leaked into serving")
+
+    // an empty delta commits nothing (no row-less generation)
+    Similarity.appendToIndex(embs.where($"vec_id" < 0), dirFull)
+    assert(key(Similarity.ivfPqTopKIndexed(
+      Similarity.readIndex(spark, dirFull), queries, 3, nprobe = 2)) == before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dirFull, "_index.000000000010")),
+      "empty delta committed a generation")
+
+    // a real retry skips PAST the debris generation (gen 9 is never reused
+    // or referenced), and vacuum then reclaims the debris
+    Similarity.appendToIndex(
+      embs.where($"vec_id" === 0L).select(($"vec_id" + 100L).as("vec_id"), $"embedding"),
+      dirFull)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dirFull, "_index.000000000010")),
+      "retry did not take the next generation past the debris")
+    val codesAfter = Similarity.readIndex(spark, dirFull).codes.count()
+    assert(codesAfter == 49L * 2, s"expected 98 code rows, got $codesAfter")
+    assert(Similarity.vacuumIndex(spark, dirFull) >= 1, "debris generation not reclaimed")
+    assert(Similarity.readIndex(spark, dirFull).codes.count() == codesAfter,
+      "vacuum changed the committed index")
+  }
+
   test("S5-manifest: committed generations are immutable — a reader's snapshot survives an upsert") {
     val dir = tmpDir("stmts_m_snap")
     FinOps.upsertStatementsManifest(FinOps.toStatementItems(statement), dir, spark)
