@@ -198,6 +198,60 @@ object ManifestStore {
     commitManifest(spark, path, Manifest(gen, entries))
   }
 
+  /**
+   * Generation compaction — the small-files/long-listing answer for a table
+   * that has absorbed many upserts. Each upsert leaves its touched
+   * partitions in a fresh `gen=` directory, so after G upserts the live
+   * table is spread across up to G generation directories: every
+   * [[currentFrame]] read lists (and at 100 TB on an object store, pays a
+   * round-trip per) each of them, and old generations can't be vacuumed
+   * while any partition still lives there. Compaction rewrites the
+   * partitions of the SMALLEST live generations (fewest live partitions
+   * first — cheapest rewrite volume per directory eliminated) into one
+   * fresh generation until at most `maxGens` remain, then commits via the
+   * same never-reused-manifest-name rename as [[upsert]]. Crash-safe for
+   * free: a crash mid-rewrite leaves an unreferenced `gen=` directory and
+   * the previous manifest intact. Readers of the old manifest keep their
+   * snapshot (their generations are immutable until [[vacuum]]).
+   *
+   * Partial by design: `maxGens` bounds rewrite volume — a nightly
+   * `compact(maxGens = 4)` amortizes consolidation instead of rewriting
+   * the whole table each time (full rewrite = `maxGens = 1`).
+   *
+   * Returns the number of partitions rewritten (0 if already compact).
+   */
+  def compact(
+      spark: SparkSession, path: String, partCol: String,
+      maxGens: Int = 1): Int = {
+    require(maxGens >= 1, "maxGens must be at least 1")
+    val man = readManifest(spark, path) match {
+      case None => return 0
+      case Some(m) => m
+    }
+    val byGen = man.entries.groupBy(_._2) // gen -> (partition -> gen)
+    if (byGen.size <= maxGens) return 0
+    // Collapse the smallest generations; keep the (maxGens - 1) largest
+    // as-is — the new consolidated generation is the maxGens-th.
+    val keep = byGen.toSeq.sortBy { case (g, parts) => (-parts.size, -g) }
+      .take(maxGens - 1).map(_._1).toSet
+    val victims = man.entries.collect {
+      case (p, g) if !keep.contains(g) => p
+    }.toSeq.sorted
+    val frame = currentFrame(spark, path, partCol, Some(victims)) match {
+      case None => return 0
+      case Some(f) => f
+    }
+    val gen = nextGen(spark, path, Some(man))
+    frame
+      .withColumn("gen", lit(gen))
+      .repartition(col(partCol))
+      .write.mode("append").partitionBy("gen", partCol)
+      .parquet(s"$path/data")
+    commitManifest(spark, path,
+      Manifest(gen, man.entries ++ victims.map(_ -> gen)))
+    victims.size
+  }
+
   /** Drop generation directories no manifest entry references (superseded
     * or crash debris). Safe any time after readers of older manifests are
     * done; space reclamation only — correctness never depends on it. */

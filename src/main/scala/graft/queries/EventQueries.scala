@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.Events
+import graft.ops.{Events, Scale}
 
 /** Driver-contract queries for the event-stream operators (batch forms of
   * the streaming computations — SURVEY §2.6 adjacency). */
@@ -109,6 +109,34 @@ object EventQueries {
           rightPayload = Seq("view_event", "view_value", "view_ts"),
           rightTiebreak = Seq("view_event"))
         .orderBy("event_id")
+    }),
+
+    // Salted skew join (Scale.saltedJoin): events joined back to a
+    // per-type aggregate dim — the classic "join the aggregate back under
+    // a hot key" shape where one event_type dominates and AQE can't split
+    // the skew because it sits in the aggregated stage's input. Salting is
+    // a partitioning trick, not a semantics change, so the oracle is the
+    // plain unsalted SQL join. Aggregates are count/max (exact integers) —
+    // no float-summation-order hazards in the hash compare.
+    "q_scale_salted_join" -> ((s, dir) => {
+      val ev = Tpch.read(s, dir, "events")
+      val dim = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_type"), max(col("event_id")).as("max_event"))
+      Scale.saltedJoin(ev, dim, "event_type", "event_id", saltFactor = 8)
+        .select("event_id", "event_type", "n_type", "max_event")
+        .orderBy("event_id")
+    }),
+
+    // Skew-aware two-phase nesting (Scale.saltedCollectList): per-type
+    // event-id lists built under a salt so no single task holds more than
+    // ~1/8 of a hot key's collect_list state; the flattened list is sorted
+    // for a deterministic compare (phase order is partition-dependent)
+    "q_scale_salted_nest" -> ((s, dir) => {
+      val ev = Tpch.read(s, dir, "events")
+      Scale.saltedCollectList(ev, "event_type", "event_id",
+          col("event_id"), saltFactor = 8)
+        .select(col("event_type"), array_sort(col("items")).as("items"))
+        .orderBy("event_type")
     })
   )
 
@@ -238,6 +266,19 @@ object EventQueries {
         |      FROM events WHERE event_type = 'view')
         |SELECT p.event_id, p.user_id, p.ts, p.value, v.view_event, v.view_value, v.view_ts
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+
+    // the unsalted join — salting must be invisible in the result
+    "q_scale_salted_join" ->
+      """WITH dim AS (SELECT event_type, count(*) AS n_type,
+        |                    max(event_id) AS max_event
+        |             FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, dim.n_type, dim.max_event
+        |FROM events e JOIN dim USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_scale_salted_nest" ->
+      """SELECT event_type, list_sort(list(event_id)) AS items
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

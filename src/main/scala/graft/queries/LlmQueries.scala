@@ -3,8 +3,11 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
 import graft.GraftExtensions
 import graft.ops.{Corpus, Dedup, Multimodal, Pii, Similarity, TextOps}
+import graft.sources.Jsonl
 
 /**
  * Driver-contract queries for the LLM-training-data operators (dedup,
@@ -51,6 +54,35 @@ object LlmQueries {
       Similarity.buildIndex(e, indexDir, dims, m, coarseK, pqK, iters)
     }
     Similarity.readIndex(s, indexDir)
+  }
+
+  /** Deterministic JSONL dump of the documents table (memoized under /tmp
+    * per corpus fingerprint): one JSON object per line, and every 97th
+    * doc's line truncated by one character — chopping the closing brace
+    * plants the real-world failure mode (a truncated crawl shard) in
+    * closed form, so the DuckDB oracle predicts exactly which rows ingest
+    * as corrupt without parsing any JSON itself. */
+  private def jsonlDump(s: SparkSession, dir: String): String = {
+    val d = docs(s, dir)
+    val fp = d.agg(count(lit(1)), max(col("doc_id"))).collect()(0)
+    val path =
+      s"${sys.props("java.io.tmpdir")}/graft_jsonl_v1/" +
+        s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
+    val done = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val hfs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(done)) {
+      d.select(
+          col("doc_id"),
+          to_json(struct(
+            col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            col("text"))).as("l"))
+        .select(
+          when(col("doc_id") % 97 === 0,
+            expr("substr(l, 1, length(l) - 1)")).otherwise(col("l"))
+            .as("value"))
+        .write.mode("overwrite").text(path)
+    }
+    path
   }
 
   /** documents ∪ near-dup mutation (drop first 2 tokens, id+1000000). */
@@ -971,6 +1003,23 @@ object LlmQueries {
         .orderBy("asset_id")
     }),
 
+    // Schema'd JSONL ingest with a corrupt-record ledger: the documents
+    // table dumped as JSONL (memoized; 1-in-97 lines truncated at the
+    // closing brace), read back with an EXPLICIT schema in PERMISSIVE
+    // mode — inference is banned at 100 TB — and summarized into the
+    // per-lang ingest-health ledger. A corrupt line parses no lang, so it
+    // lands whole in the null group; the oracle predicts the entire
+    // ledger in closed form from the truncation rule.
+    "q_jsonl_ingest" -> ((s, dir) => {
+      val schema = new StructType()
+        .add("doc_id", LongType).add("lang", StringType)
+        .add("source", StringType).add("n_chars", LongType)
+      Jsonl.ingestStats(
+          Jsonl.read(s, jsonlDump(s, dir), schema), "lang", col("n_chars"))
+        .withColumnRenamed("mass", "sum_chars")
+        .orderBy("lang")
+    }),
+
     // Multimodal plumbing: documents as binary assets → stub feature extract
     "q_mm_features" -> ((s, dir) => {
       val assets = Multimodal.asAsset(
@@ -988,6 +1037,18 @@ object LlmQueries {
   // -------------------------------------------------------------------------
 
   val oracleSql: Map[String, String] = Map(
+    // closed-form ledger from the 1-in-97 truncation rule: truncated lines
+    // ingest as corrupt (null lang group), everything else parses intact
+    "q_jsonl_ingest" ->
+      """SELECT lang, count(*) AS n_rows,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(0 AS BIGINT) AS n_corrupt
+        |FROM documents WHERE doc_id % 97 <> 0 GROUP BY lang
+        |UNION ALL
+        |SELECT CAST(NULL AS VARCHAR), count(*), CAST(NULL AS BIGINT), count(*)
+        |FROM documents WHERE doc_id % 97 = 0
+        |ORDER BY lang NULLS FIRST""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn

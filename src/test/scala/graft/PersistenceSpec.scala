@@ -271,4 +271,37 @@ class PersistenceSpec extends SparkSpec {
     val current = FinOps.explodeStatements(FinOps.readStatementsManifest(spark, dir).get)
     assert(current.count() == snapCountBefore - 7) // 12 → 5 for user 1's month
   }
+
+  test("S5-manifest: generation compaction preserves content, bounds live gens, unlocks vacuum") {
+    import graft.ops.ManifestStore
+    val dir = tmpDir("stmts_m_compact")
+    def batch(p: String, tag: String) =
+      spark.range(5).select(
+        lit(p).as("k"), concat(lit(tag + "_"), $"id").as("id"), $"id".as("v"))
+    // five upserts, each touching its own partition → five live generations
+    (1 to 5).foreach(i =>
+      ManifestStore.upsert(batch(s"p$i", s"b$i"), dir, "k", Seq("k", "id"), spark))
+    def snapshot(): Seq[(String, String, Long)] =
+      ManifestStore.currentFrame(spark, dir, "k").get
+        .select($"k", $"id", $"v").as[(String, String, Long)]
+        .collect().toSeq.sorted
+    val before = snapshot()
+    assert(ManifestStore.readManifest(spark, dir).get.entries.values.toSet.size == 5)
+
+    // partial compaction: rewrite volume bounded — smallest gens collapse,
+    // the largest survivor stays untouched, content identical
+    assert(ManifestStore.compact(spark, dir, "k", maxGens = 2) == 4)
+    assert(ManifestStore.readManifest(spark, dir).get.entries.values.toSet.size == 2)
+    assert(snapshot() == before, "partial compaction changed table content")
+
+    // full compaction → one generation; an already-compact table is a no-op
+    assert(ManifestStore.compact(spark, dir, "k") == 5)
+    assert(ManifestStore.readManifest(spark, dir).get.entries.values.toSet.size == 1)
+    assert(ManifestStore.compact(spark, dir, "k") == 0)
+
+    // every superseded generation is now dead weight vacuum can reclaim,
+    // and reads are unchanged afterwards
+    assert(ManifestStore.vacuum(spark, dir) >= 4)
+    assert(snapshot() == before, "vacuum after compaction changed table content")
+  }
 }
