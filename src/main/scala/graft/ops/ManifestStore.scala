@@ -109,15 +109,51 @@ object ManifestStore {
         s"commit rename failed for $finalName under $dir")
   }
 
+  private def parseManifest(version: Long, content: String): Manifest = {
+    val entries = content.linesIterator.filter(_.nonEmpty).map { line =>
+      val i = line.lastIndexOf('\t')
+      line.substring(0, i) -> line.substring(i + 1).toLong
+    }.toMap
+    Manifest(version, entries)
+  }
+
   /** Highest committed manifest, if any. */
   def readManifest(spark: SparkSession, path: String): Option[Manifest] =
-    readVersioned(spark, path, "_manifest").map { case (version, content) =>
-      val entries = content.linesIterator.filter(_.nonEmpty).map { line =>
-        val i = line.lastIndexOf('\t')
-        line.substring(0, i) -> line.substring(i + 1).toLong
-      }.toMap
-      Manifest(version, entries)
-    }
+    readVersioned(spark, path, "_manifest")
+      .map { case (version, content) => parseManifest(version, content) }
+
+  /** The committed manifest with the HIGHEST version ≤ `asOf`, if any —
+    * the snapshot a reader at that point in history saw. Manifest files
+    * are never overwritten or renamed away, so every commit remains
+    * addressable until [[vacuum]] physically reclaims the generations it
+    * references. */
+  def readManifestAt(spark: SparkSession, path: String, asOf: Long): Option[Manifest] = {
+    val d = new Path(path)
+    val hfs = fs(spark, path)
+    if (!hfs.exists(d)) return None
+    val names = hfs.listStatus(d).map(_.getPath.getName)
+      .filter(n => n.startsWith("_manifest.") && !n.endsWith(".tmp"))
+      .filter(_.stripPrefix("_manifest.").toLong <= asOf)
+    if (names.isEmpty) return None
+    val name = names.max
+    val in = hfs.open(new Path(d, name))
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    Some(parseManifest(name.stripPrefix("_manifest.").toLong, content))
+  }
+
+  /** All committed manifest versions under `path`, ascending — the store's
+    * commit history (each version is an addressable snapshot until
+    * [[vacuum]] reclaims what it references). */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val d = new Path(path)
+    val hfs = fs(spark, path)
+    if (!hfs.exists(d)) return Seq.empty
+    hfs.listStatus(d).map(_.getPath.getName)
+      .filter(n => n.startsWith("_manifest.") && !n.endsWith(".tmp"))
+      .map(_.stripPrefix("_manifest.").toLong).toSeq.sorted
+  }
 
   /** Write a complete manifest to a temp name, then commit via atomic
     * rename to its (never-reused) final name. */
@@ -150,20 +186,35 @@ object ManifestStore {
     selected.toSeq.sorted.map { case (v, g) => s"$path/data/gen=$g/$partCol=$v" }
   }
 
+  private def frameOf(
+      spark: SparkSession, path: String, partCol: String,
+      m: Manifest, partVals: Option[Seq[String]]): Option[DataFrame] = {
+    val dirs = liveDirs(path, m, partCol, partVals)
+    if (dirs.isEmpty) None
+    else Some(
+      spark.read.option("basePath", s"$path/data").parquet(dirs: _*)
+        .drop("gen")
+        .withColumn(partCol, col(partCol).cast("string")))
+  }
+
   /** Current table state: exactly the manifest-named directories, one scan,
     * partition column restored, generation column dropped. None before the
     * first commit. */
   def currentFrame(
       spark: SparkSession, path: String, partCol: String,
       partVals: Option[Seq[String]] = None): Option[DataFrame] =
-    readManifest(spark, path).flatMap { m =>
-      val dirs = liveDirs(path, m, partCol, partVals)
-      if (dirs.isEmpty) None
-      else Some(
-        spark.read.option("basePath", s"$path/data").parquet(dirs: _*)
-          .drop("gen")
-          .withColumn(partCol, col(partCol).cast("string")))
-    }
+    readManifest(spark, path).flatMap(frameOf(spark, path, partCol, _, partVals))
+
+  /** Time travel: the table as of commit version `asOf` (the newest commit
+    * ≤ `asOf`). Generations are immutable, so the snapshot is consistent
+    * with no locking; it stays READABLE until a [[vacuum]] with a
+    * retention horizon above it reclaims the generations it references —
+    * a deployment that serves time travel sizes `retainVersions`
+    * accordingly. */
+  def frameAt(
+      spark: SparkSession, path: String, partCol: String, asOf: Long,
+      partVals: Option[Seq[String]] = None): Option[DataFrame] =
+    readManifestAt(spark, path, asOf).flatMap(frameOf(spark, path, partCol, _, partVals))
 
   /**
    * Last-writer-wins upsert: rows of `items` replace current rows sharing
@@ -252,19 +303,32 @@ object ManifestStore {
     victims.size
   }
 
-  /** Drop generation directories no manifest entry references (superseded
-    * or crash debris). Safe any time after readers of older manifests are
-    * done; space reclamation only — correctness never depends on it. */
-  def vacuum(spark: SparkSession, path: String): Int = {
-    val man = readManifest(spark, path)
-    val live = man.map(_.entries.values.toSet).getOrElse(Set.empty)
-    val dataDir = new Path(s"$path/data")
+  /** Drop generation directories no RETAINED manifest references
+    * (superseded or crash debris), plus manifest files below the retention
+    * horizon. `retainVersions` is the time-travel window: the newest N
+    * committed manifests — and every generation any of them names — stay
+    * readable; snapshots older than that are reclaimed. Safe any time
+    * after readers of below-horizon manifests are done; space reclamation
+    * only — correctness never depends on it. Returns the number of
+    * generation directories deleted. */
+  def vacuum(spark: SparkSession, path: String, retainVersions: Int = 1): Int = {
+    require(retainVersions >= 1, "must retain at least the current manifest")
+    val vs = versions(spark, path)
+    if (vs.isEmpty) return 0
+    val retained = vs.takeRight(retainVersions)
+    val live = retained
+      .flatMap(v => readManifestAt(spark, path, v))
+      .flatMap(_.entries.values).toSet
     val hfs = fs(spark, path)
-    if (!hfs.exists(dataDir)) return 0
-    val dead = hfs.listStatus(dataDir).map(_.getPath)
-      .filter(p => p.getName.startsWith("gen=") &&
-        !live.contains(p.getName.stripPrefix("gen=").toLong))
+    val dataDir = new Path(s"$path/data")
+    val dead =
+      if (!hfs.exists(dataDir)) Array.empty[Path]
+      else hfs.listStatus(dataDir).map(_.getPath)
+        .filter(p => p.getName.startsWith("gen=") &&
+          !live.contains(p.getName.stripPrefix("gen=").toLong))
     dead.foreach(p => hfs.delete(p, true))
+    vs.dropRight(retainVersions).foreach(v =>
+      hfs.delete(new Path(path, manifestName(v)), false))
     dead.length
   }
 }

@@ -304,4 +304,38 @@ class PersistenceSpec extends SparkSpec {
     assert(ManifestStore.vacuum(spark, dir) >= 4)
     assert(snapshot() == before, "vacuum after compaction changed table content")
   }
+
+  test("S5-manifest: time travel — every commit is an addressable snapshot until vacuumed past") {
+    import graft.ops.ManifestStore
+    val dir = tmpDir("stmts_m_tt")
+    def batch(p: String, v: Long) =
+      spark.range(3).select(
+        lit(p).as("k"), concat(lit("i"), $"id").as("id"), lit(v).as("v"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, String, Long)] =
+      df.select($"k", $"id", $"v").as[(String, String, Long)].collect().toSeq.sorted
+    ManifestStore.upsert(batch("p1", 1), dir, "k", Seq("k", "id"), spark)
+    ManifestStore.upsert(batch("p2", 2), dir, "k", Seq("k", "id"), spark)
+    ManifestStore.upsert(batch("p1", 3), dir, "k", Seq("k", "id"), spark) // replaces p1
+    assert(ManifestStore.versions(spark, dir) == Seq(1L, 2L, 3L))
+
+    val expectV1 = (0 until 3).map(i => ("p1", s"i$i", 1L)).sorted
+    val expectV2 = (expectV1 ++ (0 until 3).map(i => ("p2", s"i$i", 2L))).sorted
+    val expectV3 = ((0 until 3).map(i => ("p1", s"i$i", 3L)) ++
+      (0 until 3).map(i => ("p2", s"i$i", 2L))).sorted
+    assert(rows(ManifestStore.frameAt(spark, dir, "k", 1).get) == expectV1)
+    assert(rows(ManifestStore.frameAt(spark, dir, "k", 2).get) == expectV2)
+    assert(rows(ManifestStore.currentFrame(spark, dir, "k").get) == expectV3)
+
+    // retention-aware vacuum: the newest 2 snapshots survive (every
+    // generation either of them names stays), snapshot 1 is reclaimed
+    ManifestStore.vacuum(spark, dir, retainVersions = 2)
+    assert(ManifestStore.frameAt(spark, dir, "k", 1).isEmpty, "below-horizon snapshot survived")
+    assert(rows(ManifestStore.frameAt(spark, dir, "k", 2).get) == expectV2)
+    assert(rows(ManifestStore.currentFrame(spark, dir, "k").get) == expectV3)
+
+    // full vacuum: only the current snapshot remains; content unchanged
+    assert(ManifestStore.vacuum(spark, dir) >= 1)
+    assert(ManifestStore.frameAt(spark, dir, "k", 2).isEmpty)
+    assert(rows(ManifestStore.currentFrame(spark, dir, "k").get) == expectV3)
+  }
 }
