@@ -110,6 +110,25 @@ object Profile {
   }
 
   /**
+   * Key-occupancy skew profile — the pre-flight diagnostic behind the
+   * [[Scale]] decisions: whether a join/aggregation key needs salting
+   * (`max_cnt`/`p99_cnt` ≫ `p50_cnt`), what salt factor bounds the hot
+   * key, and whether bucketing would balance. One row: distinct keys, row
+   * count, and the max / median / p99 per-key occupancy. Two hash
+   * aggregates, the second over one row per distinct key — at 100 TB this
+   * is the cheap question to ask BEFORE a skewed shuffle wedges the job,
+   * not after.
+   */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum("cnt").as("n_rows"),
+        max("cnt").as("max_cnt"),
+        expr("percentile(cnt, 0.5)").as("p50_cnt"),
+        expr("percentile(cnt, 0.99)").as("p99_cnt"))
+
+  /**
    * Robust (median/MAD) outlier filter: keeps the rows whose `c` deviates
    * from the column median by more than `k` times the median absolute
    * deviation — the outlier test that, unlike mean/stddev z-scores, is not

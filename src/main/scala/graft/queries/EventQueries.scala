@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Events, Scale}
+import graft.ops.{Events, Profile, Scale}
 
 /** Driver-contract queries for the event-stream operators (batch forms of
   * the streaming computations — SURVEY §2.6 adjacency). */
@@ -126,6 +126,27 @@ object EventQueries {
         .select("event_id", "event_type", "n_type", "max_event")
         .orderBy("event_id")
     }),
+
+    // Native Misra-Gries heavy hitters (freq_items TypedImperativeAggregate):
+    // k=16 over a bounded event-type domain → the sketch is provably exact
+    // (no decrement can ever fire with distinct <= k), so the plain
+    // group-count oracle must match bit-for-bit; the k < domain
+    // approximation regime (undercount <= n/(k+1), guaranteed presence of
+    // heavy items) is law-tested in FreqSketchSpec
+    "q_profile_heavyhitters" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      Tpch.read(s, dir, "events")
+        .agg(call_function("freq_items", col("event_type"), lit(16)).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item").as("item"), col("h.count").as("cnt"))
+        .orderBy(desc("cnt"), asc("item"))
+    }),
+
+    // Key-occupancy skew profile: the pre-flight diagnostic for the Scale
+    // salting/bucketing decisions (one row, exact percentiles over per-key
+    // counts)
+    "q_profile_skew" -> ((s, dir) =>
+      Profile.keySkew(Tpch.read(s, dir, "events"), "user_id")),
 
     // Skew-aware two-phase nesting (Scale.saltedCollectList): per-type
     // event-id lists built under a salt so no single task holds more than
@@ -279,6 +300,20 @@ object EventQueries {
 
     "q_scale_salted_nest" ->
       """SELECT event_type, list_sort(list(event_id)) AS items
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // exact because distinct(event_type) <= k — see the query comment
+    "q_profile_heavyhitters" ->
+      """SELECT event_type AS item, count(*) AS cnt FROM events
+        |WHERE event_type IS NOT NULL
+        |GROUP BY event_type ORDER BY cnt DESC, item""".stripMargin,
+
+    "q_profile_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |       max(cnt) AS max_cnt,
+        |       quantile_cont(cnt, 0.5) AS p50_cnt,
+        |       quantile_cont(cnt, 0.99) AS p99_cnt
+        |FROM c""".stripMargin
   )
 }

@@ -141,4 +141,18 @@ class PlanAuditSpec extends SparkSpec {
     // exchange marker it requires
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("freq_items sketches partially before the exchange (O(k) shuffle volume)") {
+    val p = plan("q_profile_heavyhitters")
+    // the sketch is an object (not unsafe-row) aggregate; the partial mode
+    // must appear BELOW the exchange so only k-sized buffers shuffle
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("partial_freq_items|partial.*freq_items|freq_items".r.findFirstIn(p).isDefined, p)
+    val lines = p.linesIterator.toSeq
+    val exchange = lines.indexWhere(_.contains("Exchange"))
+    val partial = lines.lastIndexWhere(l =>
+      l.contains("ObjectHashAggregate") && l.contains("partial"))
+    assert(exchange >= 0 && partial > exchange,
+      s"no partial sketch below the exchange:\n$p")
+  }
 }
