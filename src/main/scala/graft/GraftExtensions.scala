@@ -56,6 +56,8 @@ object GraftExtensions {
     ("quantized_argbest_res", graft.expressions.QuantizedResidual.argBestResInfo,
       arity("quantized_argbest_res", 4)(c =>
         graft.expressions.QuantizedArgBestRes(c(0), c(1), c(2), c(3)))),
+    ("zorder_key", graft.expressions.ZOrder.info,
+      arity("zorder_key", 4)(c => graft.expressions.ZOrderKey(c(0), c(1), c(2), c(3)))),
     ("freq_items", graft.expressions.FreqSketch.info,
       arity("freq_items", 2)(c => graft.expressions.FreqSketch.FreqItems(
         c(0), intLit(c(1), "freq_items", "k")))),

@@ -57,6 +57,47 @@ object Scale {
   }
 
   /**
+   * Z-ordered parquet write: rows are clustered by the Morton interleave of
+   * the two columns' quantile-bucket ranks, so every output file covers a
+   * narrow RECTANGLE in (colA, colB) space and parquet min/max skipping
+   * prunes files for selective predicates on EITHER column —
+   * [[writeRangeClustered]] can only serve one. The cut points are computed
+   * driver-side in one `approxQuantile` pass (equi-populated buckets: skew
+   * in either column still spreads over the full grid) and ride into the
+   * codegen'd [[graft.expressions.ZOrderKey]] kernel as reference objects;
+   * the write itself is one range-repartition + within-partition sort on
+   * the key, which is then dropped — the data files carry only real
+   * columns, whose footer stats do the skipping. The layout trade: each
+   * single column's per-file range is √(files)-coarser than a dedicated
+   * sort, in exchange for the second dimension pruning at all — the Delta
+   * `OPTIMIZE ZORDER` / Iceberg sort-order trade, and the right one for a
+   * corpus read selectively by more than one axis (source AND date, lang
+   * AND quality…). ScaleSpec measures the file-skipping win directly from
+   * the written files' stats.
+   */
+  def writeZOrdered(
+      df: DataFrame, path: String, filesPerWrite: Int,
+      colA: String, colB: String, buckets: Int = 4096): Unit = {
+    require(filesPerWrite > 0, s"filesPerWrite must be positive, got $filesPerWrite")
+    require(buckets >= 2 && buckets <= 65536,
+      s"buckets must be in [2, 65536], got $buckets")
+    val qs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val Seq(cutsA, cutsB) =
+      Seq(colA, colB).map(c =>
+        df.select(col(c).cast("double").as(c)).stat
+          .approxQuantile(c, qs, 1.0 / (4 * buckets)))
+    graft.GraftExtensions.register(df.sparkSession)
+    df.withColumn("_zkey",
+        call_function("zorder_key",
+          col(colA).cast("double"), col(colB).cast("double"),
+          lit(cutsA), lit(cutsB)))
+      .repartitionByRange(filesPerWrite, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /**
    * Salted inner equi-join for a skewed key distribution: the (large, skewed)
    * left side gets a random-but-deterministic salt derived from a uniqueness
    * column; the right side is replicated `saltFactor` times. The hot key's

@@ -57,6 +57,54 @@ class ScaleSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 4000)
   }
 
+  test("z-ordered layout prunes files on BOTH columns; single-column clustering only on one") {
+    // two independent uniform dimensions: y is a bit-reversal-style
+    // permutation of x, so sorting by x scrambles y completely
+    val n = 20000
+    val df = scala.util.Random.shuffle((0 until n).toList)
+      .map(i => (i.toLong, ((i.toLong * 7919L) % n), s"p$i")).toDF("x", "y", "v")
+
+    val zDir = tmpDir("zorder")
+    val rDir = tmpDir("range1d")
+    Scale.writeZOrdered(df, zDir, filesPerWrite = 16, "x", "y", buckets = 256)
+    Scale.writeRangeClustered(df, rDir, filesPerWrite = 16, $"x")
+
+    def parquetFiles(dir: String): Seq[String] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+
+    // files a min/max-pruning reader must scan for a predicate lo<=c<=hi —
+    // computed from the files' actual stats, the same facts parquet footers
+    // carry at 100 TB
+    def filesTouched(dir: String, c: String, lo: Long, hi: Long): Int =
+      parquetFiles(dir).count { f =>
+        val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head
+        r.getLong(0) <= hi && r.getLong(1) >= lo
+      }
+
+    val zf = parquetFiles(zDir)
+    assert(zf.size > 8, s"expected ~16 z-order files, got ${zf.size}")
+
+    // 1%-selectivity predicate on each axis
+    val zX = filesTouched(zDir, "x", 5000, 5200)
+    val zY = filesTouched(zDir, "y", 5000, 5200)
+    val rX = filesTouched(rDir, "x", 5000, 5200)
+    val rY = filesTouched(rDir, "y", 5000, 5200)
+
+    // the 1-D layout is perfect on its own column and useless on the other
+    assert(rX <= 2, s"range-clustered x predicate touched $rX files")
+    assert(rY >= 14, s"independent y should defeat 1-D clustering, touched $rY")
+    // z-order prunes meaningfully on BOTH axes — each file is a rectangle
+    assert(zX <= zf.size / 2, s"z-order x predicate touched $zX of ${zf.size}")
+    assert(zY <= zf.size / 2, s"z-order y predicate touched $zY of ${zf.size}")
+    assert(zY < rY, "z-order must beat 1-D clustering on the second column")
+
+    // layout changes bytes on disk, never content
+    assert(spark.read.parquet(zDir).count() == n)
+    assert(spark.read.parquet(zDir).agg(sum($"x"), sum($"y")).head ==
+      spark.read.parquet(rDir).agg(sum($"x"), sum($"y")).head)
+  }
+
   test("salted join spreads a hot key and preserves the join result") {
     // 10k rows of one hot key + a few cold keys, joined to a small dim
     val left = ((1 to 10000).map(i => (1L, i.toLong)) ++ Seq((2L, 90001L), (3L, 90002L)))
