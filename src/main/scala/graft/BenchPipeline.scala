@@ -132,6 +132,15 @@ object BenchPipeline {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing starts from here and merges down (parallelismFirst
+      // keeps small stages wide): big shuffles keep up to 8x the reduce
+      // parallelism instead of 10x-fatter partitions that spill
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // without this, persisted frames (the clustering loops' edge cache)
+      // materialize at the UNcoalesced initial width — 256-task stages per
+      // iteration on tiny cached data (measured 4.3s -> 7.2s on
+      // q_dedup_clusters at sf0.1); with it AQE re-plans below the cache
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -118,6 +118,19 @@ object BenchScale {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Scale-adaptive shuffle width: AQE coalescing STARTS from this many
+      // partitions and merges down to its advisory size, so a 10× corpus
+      // keeps 10× the reduce parallelism (bounded spill per task) while
+      // small stages still collapse to a handful of tasks. With only the
+      // fixed 32, every shuffle partition carries 10× the rows at sf1 —
+      // exactly the regime where sort/agg spill turns linear growth into
+      // the superlinear stress ratios this bench exists to catch.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // without this, persisted frames (the clustering loops' edge cache)
+      // materialize at the UNcoalesced initial width — 256-task stages per
+      // iteration on tiny cached data (measured 4.3s -> 7.2s on
+      // q_dedup_clusters at sf0.1); with it AQE re-plans below the cache
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
