@@ -30,4 +30,22 @@ object GraftCatalog {
   def registerHistory(spark: SparkSession, statementsPath: String): Unit =
     graft.pipeline.FinancialPipeline.loadHistory(spark, statementsPath)
       .createOrReplaceTempView("history")
+
+  /** Registers a manifest-committed table ([[graft.ops.ManifestStore]]) as
+    * a temp view — current snapshot, or a time-travel snapshot when `asOf`
+    * is given. The view captures the manifest resolved AT REGISTRATION:
+    * a later upsert does not shift the view mid-query-session (re-register
+    * to advance), which is exactly the snapshot-isolation contract the
+    * immutable generations provide. No data is copied — the view is the
+    * manifest-named parquet directories. */
+  def registerManifestTable(
+      spark: SparkSession, path: String, partCol: String, viewName: String,
+      asOf: Option[Long] = None): Boolean = {
+    val frame = asOf match {
+      case Some(v) => graft.ops.ManifestStore.frameAt(spark, path, partCol, v)
+      case None => graft.ops.ManifestStore.currentFrame(spark, path, partCol)
+    }
+    frame.foreach(_.createOrReplaceTempView(viewName))
+    frame.isDefined
+  }
 }

@@ -51,4 +51,38 @@ class FreqSketchSpec extends SparkSpec {
     val rows = Seq(Some("x"), None, Some("x"), None, Some("y"))
     assert(topItems(rows.toDF("s"), "s", 4).toSet == Set(("x", 2L), ("y", 1L)))
   }
+
+  test("per-group sketches: one independent k-bounded sketch per group key") {
+    val df = ((1 to 30).map(i => ("g1", s"v${i % 3}")) ++
+      (1 to 20).map(_ => ("g2", "only"))).toDF("g", "s").repartition(6)
+    val got = df.groupBy("g")
+      .agg(call_function("freq_items", col("s"), lit(8)).as("hh"))
+      .select($"g", explode($"hh").as("h"))
+      .select($"g", $"h.item", $"h.count".as("cnt"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("g1", "v0", 10L), ("g1", "v1", 10L), ("g1", "v2", 10L),
+      ("g2", "only", 20L)))
+  }
+
+  test("streaming: the sketch aggregates incrementally across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = ms.toDS().toDF("s")
+      .agg(call_function("freq_items", col("s"), lit(8)).as("hh"))
+      .select(explode($"hh").as("h"))
+      .select($"h.item", $"h.count".as("cnt"))
+      .writeStream.format("memory").queryName("hh_stream").outputMode("complete").start()
+    try {
+      ms.addData("a", "b", "a")
+      q.processAllAvailable()
+      assert(spark.table("hh_stream").as[(String, Long)].collect().toSet ==
+        Set(("a", 2L), ("b", 1L)))
+      ms.addData("b", "c", "b")
+      q.processAllAvailable()
+      // cumulative: batch-2 counts merge into the running sketch state
+      assert(spark.table("hh_stream").as[(String, Long)].collect().toSet ==
+        Set(("a", 2L), ("b", 3L), ("c", 1L)))
+    } finally q.stop()
+  }
 }

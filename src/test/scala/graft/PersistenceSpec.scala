@@ -338,4 +338,31 @@ class PersistenceSpec extends SparkSpec {
     assert(ManifestStore.frameAt(spark, dir, "k", 2).isEmpty)
     assert(rows(ManifestStore.currentFrame(spark, dir, "k").get) == expectV3)
   }
+
+  test("S5-manifest: SQL surface — manifest table registers as a (snapshot) view") {
+    import graft.ops.ManifestStore
+    val dir = tmpDir("stmts_m_view")
+    def batch(p: String, v: Long) =
+      spark.range(2).select(
+        lit(p).as("k"), concat(lit("i"), $"id").as("id"), lit(v).as("v"))
+    ManifestStore.upsert(batch("p1", 1), dir, "k", Seq("k", "id"), spark)
+    ManifestStore.upsert(batch("p1", 2), dir, "k", Seq("k", "id"), spark) // replaces
+
+    assert(GraftCatalog.registerManifestTable(spark, dir, "k", "mview"))
+    assert(spark.sql("SELECT sum(v) FROM mview").as[Long].head() == 4L) // 2 rows at v=2
+
+    // time-travel view: the v=1 snapshot, addressable side by side
+    assert(GraftCatalog.registerManifestTable(spark, dir, "k", "mview_v1", asOf = Some(1L)))
+    assert(spark.sql("SELECT sum(v) FROM mview_v1").as[Long].head() == 2L)
+
+    // a registered view is a SNAPSHOT: a later upsert doesn't shift it...
+    ManifestStore.upsert(batch("p2", 9), dir, "k", Seq("k", "id"), spark)
+    assert(spark.sql("SELECT sum(v) FROM mview").as[Long].head() == 4L)
+    // ...until re-registered
+    assert(GraftCatalog.registerManifestTable(spark, dir, "k", "mview"))
+    assert(spark.sql("SELECT sum(v) FROM mview").as[Long].head() == 22L)
+
+    // registering a nonexistent table is a clean false, no view created
+    assert(!GraftCatalog.registerManifestTable(spark, tmpDir("empty_m"), "k", "mnone"))
+  }
 }
