@@ -297,14 +297,27 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, blockCols: Seq[String],
       shingle: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0, "a zero threshold would require the full pair cross product")
-    val bc = blockCols.map(col)
     val sh = TextOps.explodedShingles(df, idCol, textCol, shingle, blockCols)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = sh.select((bc :+ col("id").as("id_a") :+ col("sh")): _*)
-      .join(
-        sh.select((bc :+ col("id").as("id_b") :+ col("sh")): _*),
-        blockCols :+ "sh")
-      .where(col("id_a") < col("id_b"))
+    // Inverted-index candidate generation: ONE shuffle of the exploded
+    // shingles builds a sorted posting list per (block…, shingle), and the
+    // in-posting pair Generate emits each co-occurrence directly — where
+    // the former shingle-to-shingle self-join shuffled AND sorted the full
+    // shingle mass twice (the two join sides differ only by an alias, but
+    // project different output columns below the exchange, so neither
+    // planner nor AQE can reuse the stage). Pair mass is identical —
+    // Σ|posting|²/2 either way — but it now materializes from a Generate
+    // instead of a sort-merge. Memory bound: one posting list must fit a
+    // task (ids are unique per posting thanks to array_distinct'd
+    // shingles; blocks bound posting width the same way they bound the
+    // former join's bucket width).
+    val posting = sh.groupBy((blockCols :+ "sh").map(col): _*)
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    val inter = posting
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
     inter

@@ -142,6 +142,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("blocked Jaccard generates candidates from postings, not a shingle self-join") {
+    val p = plan("q_dedup_jaccard_blocked")
+    // inverted-index form: the shingle mass is shuffled ONCE into posting
+    // lists and pairs come from a Generate — a sort-merge self-join would
+    // shuffle and sort the full shingle explosion twice
+    assert(!p.contains("SortMergeJoin"), s"shingle self-join came back:\n$p")
+    assert(p.contains("Generate"), p)
+  }
+
   test("freq_items sketches partially before the exchange (O(k) shuffle volume)") {
     val p = plan("q_profile_heavyhitters")
     // the sketch is an object (not unsafe-row) aggregate; the partial mode
