@@ -401,12 +401,21 @@ object Dedup {
         struct(lit(j).as("band"),
           shiftright(col("simhash"), bandBits * j).bitwiseAND(lit(mask)).as("band_key"))): _*)).as("b"))
       .select(col("id"), col("simhash"), col("b.band").as("band"), col("b.band_key").as("band_key"))
-    val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band", "band_key"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
+    // Posting-list pair generation (same shape as [[candidatePairs]]): one
+    // shuffle of the band rows, pairs from an in-posting Generate, sketch
+    // payload riding in the posting struct. sort_array orders by the
+    // struct's first field — the unique-per-bucket id — so id_a < id_b
+    // holds by construction. Posting width is the band-key bucket size:
+    // fine for 16-bit bands (65536 keys/band), and the 8-bit path keeps
+    // its documented whole-corpus quadratic warning either way.
+    banded.groupBy("band", "band_key")
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("ps"))
+      .where(size(col("ps")) > 1)
+      .select(posexplode(col("ps")).as(Seq("i", "pa")), col("ps"))
+      .select(col("pa"),
+        explode(expr("slice(ps, i + 2, size(ps) - i - 1)")).as("pb"))
+      .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"),
+        bit_count(col("pa.simhash").bitwiseXOR(col("pb.simhash"))).cast("int").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
