@@ -206,8 +206,14 @@ object Dedup {
     // posting must fit a task — the cap guarantees that when set; the
     // uncapped classic inherits the hot-bucket hazard it always had, now
     // as task memory rather than join blowup (use the cap at scale).
+    // array_distinct guards the one behavior the old self-join got for free
+    // from its `id_a < id_b` predicate: a duplicated (band, band_key, id)
+    // input row must not turn into a self-pair. Callers produce unique rows
+    // by construction (one row per doc per band), so this is O(posting)
+    // insurance, not a load-bearing dedup; it also makes the occupancy cap
+    // count DOCUMENTS, never raw rows.
     bands.groupBy("band", "band_key")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .agg(array_distinct(sort_array(collect_list(col("id")))).as("ids"))
       .where(size(col("ids")) > 1 && size(col("ids")) <= maxOccupancy)
       .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
       .select(col("id_a"),
@@ -409,7 +415,7 @@ object Dedup {
     // fine for 16-bit bands (65536 keys/band), and the 8-bit path keeps
     // its documented whole-corpus quadratic warning either way.
     banded.groupBy("band", "band_key")
-      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("ps"))
+      .agg(array_distinct(sort_array(collect_list(struct(col("id"), col("simhash"))))).as("ps"))
       .where(size(col("ps")) > 1)
       .select(posexplode(col("ps")).as(Seq("i", "pa")), col("ps"))
       .select(col("pa"),

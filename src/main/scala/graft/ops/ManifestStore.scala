@@ -309,8 +309,11 @@ object ManifestStore {
     * committed manifests — and every generation any of them names — stay
     * readable; snapshots older than that are reclaimed. Safe any time
     * after readers of below-horizon manifests are done; space reclamation
-    * only — correctness never depends on it. Returns the number of
-    * generation directories deleted. */
+    * only — correctness never depends on it. Vacuum IS a writer operation
+    * under the single-writer contract: run concurrently with an in-flight
+    * [[upsert]]/[[compact]] it would delete that writer's not-yet-committed
+    * generation directory (unreferenced by any manifest until the commit
+    * rename). Returns the number of generation directories deleted. */
   def vacuum(spark: SparkSession, path: String, retainVersions: Int = 1): Int = {
     require(retainVersions >= 1, "must retain at least the current manifest")
     val vs = versions(spark, path)

@@ -148,4 +148,50 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: LSH posting-list pairs equal the reference bucket pairing (capped + uncapped, dup-tolerant)") {
+    // Random (band, band_key, id) rows with DELIBERATE duplicates — a
+    // duplicated input row must never become a self-pair, and the occupancy
+    // cap must count distinct documents. Reference computed in Scala.
+    val rowGen = for {
+      band <- Gen.chooseNum(0, 3)
+      key <- Gen.chooseNum(0L, 5L)
+      id <- Gen.chooseNum(1L, 40L)
+    } yield (band, key, id)
+    val rows = sample(rowGen, 400) // 96 buckets × 400 rows → dense + duplicated
+    val bands = rows.toDF("band", "band_key", "id")
+    def reference(cap: Int): Set[(Long, Long)] =
+      rows.distinct.groupBy(r => (r._1, r._2)).values
+        .map(_.map(_._3).distinct.sorted)
+        .filter(ids => ids.size > 1 && ids.size <= cap)
+        .flatMap(ids => ids.combinations(2).map(p => (p(0), p(1))))
+        .toSet
+    for (cap <- Seq(Int.MaxValue, 4)) {
+      val got = graft.ops.Dedup.candidatePairs(bands, maxOccupancy = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == reference(cap), s"cap=$cap")
+      assert(got.forall { case (a, b) => a < b }, s"cap=$cap emitted unordered or self pair")
+    }
+  }
+
+  test("property: simhash band pairing equals brute-force Hamming <= 3") {
+    // Sketches drawn as <=3-bit flips of a small base pool, so true
+    // near-pairs are dense; 16-bit banding is pigeonhole-exact at Hamming
+    // <= 3, so the blocked result must equal the full quadratic scan.
+    val base = sample(Gen.chooseNum(Long.MinValue, Long.MaxValue), 12)
+    val skGen = for {
+      b <- Gen.oneOf(base)
+      nFlips <- Gen.chooseNum(0, 4) // the 4-flip tail stays out of range
+      flips <- Gen.listOfN(nFlips, Gen.chooseNum(0, 63))
+    } yield flips.distinct.foldLeft(b)((acc, bit) => acc ^ (1L << bit))
+    val sks = sample(skGen, 150).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val truth = (for {
+      (a, i) <- sks.zipWithIndex; (b, j) <- sks.zipWithIndex if i < j
+      h = java.lang.Long.bitCount(a._2 ^ b._2) if h <= 3
+    } yield (math.min(a._1, b._1), math.max(a._1, b._1), h)).toSet
+    val got = graft.ops.Dedup
+      .simhashNearDuplicates64(sks.toDF("id", "simhash"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == truth)
+  }
 }
