@@ -151,6 +151,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate"), p)
   }
 
+  test("LSH and simhash band pairing generate from postings — one exchange, no self-join") {
+    import spark.implicits._
+    val bands = Seq((0, 1L, 10L), (0, 1L, 11L), (1, 2L, 10L))
+      .toDF("band", "band_key", "id")
+    val lsh = graft.ops.Dedup.candidatePairs(bands, maxOccupancy = 8)
+      .queryExecution.executedPlan.toString
+    assert(!lsh.contains("SortMergeJoin") && !lsh.contains("BroadcastHashJoin"),
+      s"band self-join came back:\n$lsh")
+    assert(lsh.contains("Generate"), lsh)
+    assert(lsh.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"posting aggregation should shuffle the band mass once (+1 for distinct):\n$lsh")
+    val sim = graft.ops.Dedup
+      .simhashNearDuplicates64(Seq((1L, 7L), (2L, 7L)).toDF("id", "simhash"))
+      .queryExecution.executedPlan.toString
+    assert(!sim.contains("SortMergeJoin") && !sim.contains("BroadcastHashJoin"),
+      s"simhash band self-join came back:\n$sim")
+    assert(sim.contains("Generate"), sim)
+  }
+
   test("freq_items sketches partially before the exchange (O(k) shuffle volume)") {
     val p = plan("q_profile_heavyhitters")
     // the sketch is an object (not unsafe-row) aggregate; the partial mode
