@@ -32,13 +32,23 @@ object Tpch {
     if (table == "events") readEvents(spark, sfDir) else
       spark.read.parquet(s"$sfDir/$table.parquet")
 
-  /** The events table stores ns-precision timestamps, which Spark 4 refuses
-    * to read as TimestampType; read them as raw longs and truncate to µs with
-    * integer division (ns epochs exceed 2^53 — never via doubles). */
+  /** The events table's `ts` physical type has varied across testdata
+    * generations: ns-precision timestamps (which Spark 4 refuses to read as
+    * TimestampType — read as raw longs under `nanosAsLong` and truncate to µs
+    * with integer division; ns epochs exceed 2^53, never via doubles) or
+    * plain µs timestamps (arrive as TIMESTAMP_NTZ — cast to session-local
+    * TimestampType, value-identical under the UTC session TZ every entry
+    * point pins). Dispatch on the observed schema so both generations read
+    * to the same canonical column type. */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /**
