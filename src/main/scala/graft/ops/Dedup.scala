@@ -663,26 +663,142 @@ object Dedup {
   }
 
   /**
-   * Strategy-selecting connected components: min-label propagation for the
-   * shallow clusters typical of one-shot LSH output (one join per round,
-   * cheapest when diameter is 2–3), falling back to large-star/small-star
-   * contraction ([[clustersContract]], O(log n) rounds on ANY topology) if
-   * propagation has not converged within `propagationRounds`. A caller with
-   * unknown chain depth — the incremental-crawl case where doc₁~doc₂~…~docₙ
-   * chains grow across shards — can never hit a diameter fail-loud: the
-   * fallback always terminates. The pair set is persisted across the two
-   * attempts so the (expensive) candidate-generation lineage is computed
-   * once, not once per strategy.
+   * Connected components with per-partition union-find pre-contraction —
+   * same output contract as [[clusters]]/[[clustersContract]]: `(id,
+   * cluster)` labeled with the component MINIMUM id, one row per node
+   * appearing in ≥1 pair. Requires integral id columns (cast to long
+   * internally; labels cast back).
+   *
+   * The iterative algorithms touch the FULL edge mass once per round —
+   * O(rounds) shuffles of the largest frame in the job. This path touches it
+   * exactly once: edges range-partition by `src`, and each partition runs an
+   * in-memory min-rooted union-find (the genuinely per-partition imperative
+   * case `mapPartitions` exists for). Every edge has both endpoints unioned
+   * locally, so all surviving structure lives in nodes that appear in
+   * MULTIPLE partitions: their per-partition roots must be glued, and that
+   * contracted root graph — bounded by the number of cross-partition node
+   * occurrences, typically orders of magnitude below |E| — goes to
+   * [[clustersContract]] (O(log n) rounds on frames that are now tiny).
+   * Labels read back through two small joins.
+   *
+   * Why RANGE partitioning: near-dup chains from incremental crawl shards
+   * link numerically ADJACENT ids (docₙ ~ docₙ₊₁); range placement puts whole
+   * chain segments in one partition where the union-find collapses them to
+   * depth 1, leaving ≤ one cross-partition link per boundary. For unordered
+   * topologies it is no worse than hash. Correctness never depends on the
+   * placement — any partitioning yields the same labels — so RangePartitioner
+   * sampling variance cannot perturb results.
+   *
+   * Per-partition memory is O(nodes in partition) hashmap entries; at fixed
+   * executor memory the knob is shuffle width (more partitions → smaller
+   * local graphs → more glue edges), degrading toward [[clustersContract]]'s
+   * profile, never past it.
+   */
+  def clustersLocal(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val idType = pairs.schema("id_a").dataType
+    val p = pairs.persist()
+    val nodes = p.select(col("id_a").cast("long").as("id"))
+      .unionByName(p.select(col("id_b").cast("long").as("id")))
+      .distinct()
+      .localCheckpoint()
+    val edges = p
+      .select(least(col("id_a"), col("id_b")).cast("long").as("src"),
+        greatest(col("id_a"), col("id_b")).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // (id → local component min) per (node, partition) occurrence.
+    val mapping = edges
+      .repartitionByRange(parts, col("src"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        // Min-rooted union-find: the representative is always the set's
+        // minimum element, so roots read off as local component minima with
+        // no second pass. Path compression keeps chains amortized-constant.
+        val parent = new java.util.HashMap[Long, java.lang.Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var px = parent.get(x)
+          while (px != null && px.longValue != x) { x = px.longValue; px = parent.get(x) }
+          var y = x0
+          while (y != x) { val n = parent.get(y).longValue; parent.put(y, x); y = n }
+          x
+        }
+        def union(a: Long, b: Long): Unit = {
+          if (parent.get(a) == null) parent.put(a, a)
+          if (parent.get(b) == null) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        it.foreach { case (s, d) => union(s, d) }
+        val out = Vector.newBuilder[(Long, Long)]
+        val keys = parent.keySet().iterator()
+        // find() only rewrites values of existing keys (path compression) —
+        // no structural modification, so iterating keySet is safe.
+        while (keys.hasNext) { val k = keys.next(); out += ((k, find(k))) }
+        out.result().iterator
+      }
+      .toDF("id", "root")
+    val byId = mapping.groupBy("id")
+      .agg(min(col("root")).as("root"), collect_set(col("root")).as("roots"))
+      .localCheckpoint()
+    p.unpersist()
+    // Glue graph: for each multi-partition node, star its roots to their min.
+    val glue = byId
+      .where(size(col("roots")) > 1)
+      .select(col("root").as("id_a"), explode(col("roots")).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+    val rootLabels = clustersContract(glue, maxIter)
+      .select(col("id").as("root"), col("cluster").as("root_cluster"))
+    val labels = byId.select(col("id"), col("root"))
+      .join(rootLabels, Seq("root"), "left")
+      .select(col("id"), coalesce(col("root_cluster"), col("root")).as("cluster"))
+    val out = nodes
+      .join(labels, Seq("id"), "left")
+      .select(col("id").cast(idType).as("id"),
+        coalesce(col("cluster"), col("id")).cast(idType).as("cluster"))
+      .localCheckpoint()
+    releaseCheckpoint(nodes)
+    releaseCheckpoint(byId)
+    out
+  }
+
+  /** Integral types [[clustersLocal]] accepts; anything else (string content
+    * hashes as ids) routes to the order-generic strategies. */
+  private def integralIds(pairs: DataFrame): Boolean = {
+    import org.apache.spark.sql.types._
+    Seq("id_a", "id_b").forall(c => pairs.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+  }
+
+  /**
+   * Strategy-selecting connected components. Integral ids — the common case —
+   * take [[clustersLocal]]: one pass over the full edge mass, iteration only
+   * on the contracted cross-partition root graph; safe on ANY topology (no
+   * diameter fail-loud exists on this path). Non-integral ids fall back to
+   * min-label propagation ([[clusters]], cheapest at diameter 2–3) with
+   * large-star/small-star contraction ([[clustersContract]]) as the
+   * always-terminating fallback beyond `propagationRounds`. The pair set is
+   * persisted across attempts so the (expensive) candidate-generation
+   * lineage is computed once, not once per strategy.
    */
   def clustersAuto(
       pairs: DataFrame, propagationRounds: Int = 8, maxIter: Int = 30): DataFrame = {
     val p = pairs.persist()
     try {
-      try clusters(p, propagationRounds)
-      catch {
-        case _: IllegalStateException => clustersContract(p, maxIter)
+      if (integralIds(p)) clustersLocal(p, maxIter)
+      else {
+        try clusters(p, propagationRounds)
+        catch {
+          case _: IllegalStateException => clustersContract(p, maxIter)
+        }
       }
-    } finally p.unpersist() // both strategies return materialized checkpoints
+    } finally p.unpersist() // all strategies return materialized checkpoints
   }
 
   /**
