@@ -151,12 +151,14 @@ object EventQueries {
     // Skew-aware two-phase nesting (Scale.saltedCollectList): per-type
     // event-id lists built under a salt so no single task holds more than
     // ~1/8 of a hot key's collect_list state; the flattened list is sorted
-    // for a deterministic compare (phase order is partition-dependent)
+    // and serialized to a CSV string so the driver's row comparator (which
+    // cannot sort raw array cells) can hash it against the oracle
     "q_scale_salted_nest" -> ((s, dir) => {
       val ev = Tpch.read(s, dir, "events")
       Scale.saltedCollectList(ev, "event_type", "event_id",
           col("event_id"), saltFactor = 8)
-        .select(col("event_type"), array_sort(col("items")).as("items"))
+        .select(col("event_type"),
+          array_join(array_sort(col("items")), ",").as("items"))
         .orderBy("event_type")
     })
   )
@@ -299,7 +301,8 @@ object EventQueries {
         |ORDER BY e.event_id""".stripMargin,
 
     "q_scale_salted_nest" ->
-      """SELECT event_type, list_sort(list(event_id)) AS items
+      """SELECT event_type,
+        |       array_to_string(list_sort(list(event_id)), ',') AS items
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // exact because distinct(event_type) <= k — see the query comment
