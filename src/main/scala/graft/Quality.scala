@@ -182,13 +182,24 @@ object Quality {
       topkMap(Similarity.ivfPqTopK(
         e, cents, cbR64, queries, 10, nprobe = 2, dims = 64, m = 8)), exact10)
     val energy = residualEnergyRatio(e, cents)
+    // Exact re-rank (round 9): ADC only shortlists, the raw vectors decide
+    // — recall should sit at/near the exact-scan ceiling of the same
+    // nprobe (ivf_nprobe2_at10) even with the WEAK m=8/k=16 codebooks,
+    // because the shortlist only has to CONTAIN the true top-10.
+    val cbR16 = Similarity.pqTrainCodebooksResidual(
+      e, cents, dims = 64, m = 8, k = 16, iters = 2)
+    val rerank = recallAtK(
+      topkMap(Similarity.ivfPqTopKRerank(
+        e, cents, cbR16, queries, 10, nprobe = 2, shortlist = 256,
+        dims = 64, m = 8)), exact10)
 
     val json =
       s"""{"sf_dir":"$sfDir","text":{"docs":${docs.count()},"truth_pairs_j80":${truth80.size},""" +
         s""""truth_pairs_j90":${truth90.size},"minhash_lsh":{${mh.mkString(",")}},""" +
         s""""simhash64_h3":{"recall":$shR,"precision":$shP}},""" +
         s""""ann":{"queries":${exact10.size},${ivf.mkString(",")},${pq.mkString(",")},""" +
-        s""""ivfpq_m8_k64_nprobe2_at10":$ivfpqK64,"residual_energy_ratio":$energy}}"""
+        s""""ivfpq_m8_k64_nprobe2_at10":$ivfpqK64,"ivfpq_rerank_at10":$rerank,""" +
+        s""""residual_energy_ratio":$energy}}"""
     println(json)
     Files.writeString(Paths.get("QUALITY.json"), json + "\n")
     spark.stop()

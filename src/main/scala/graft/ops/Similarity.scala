@@ -818,11 +818,19 @@ object Similarity {
   //   gen=<V>/codebooks/  (sub, cid, cvec)  — residual PQ codebooks
   //   gen=<V>/meta/       (dims, m)
   //   gen=<V>/codes/cell=<cid>/ (vec_id, sub, code)
-  //               — the ONLY per-corpus artifact: m small ints per vector,
-  //                 hive-partitioned by coarse cell so a query's nprobe
-  //                 probe set becomes a PARTITION FILTER on the scan (only
-  //                 the probed cells' files are ever opened — at √N cells,
-  //                 a query reads ~nprobe/√N of the index, not all of it)
+  //               — m small ints per vector, hive-partitioned by coarse
+  //                 cell so a query's nprobe probe set becomes a PARTITION
+  //                 FILTER on the scan (only the probed cells' files are
+  //                 ever opened — at √N cells, a query reads ~nprobe/√N of
+  //                 the index, not all of it)
+  //   gen=<V>/vectors/cell=<cid>/ (vec_id, embedding)
+  //               — the RAW vectors, same cell partitioning: the exact
+  //                 re-rank stage ([[ivfPqTopKIndexedRerank]]) reads only
+  //                 the probed cells' vectors for its ADC shortlist, which
+  //                 is what makes the index self-contained for serving
+  //                 (no side access to the original corpus table). Storage
+  //                 is the corpus's own vector mass, reorganized — the
+  //                 standard Faiss-style IVF-with-refine layout.
   //   _index.<zero-padded V>  — the commit point: lines
   //                 `quantizers\t<gen>` + `codes\t<gen>` (one per delta);
   //                 readers resolve the highest manifest and read exactly
@@ -837,9 +845,11 @@ object Similarity {
   // contract, documented the same way, as [[ManifestStore.upsert]].
   // ---------------------------------------------------------------------
 
-  /** A loaded persisted index (see layout above). */
+  /** A loaded persisted index (see layout above). `vectors` carries the
+    * raw per-cell vectors backing the exact re-rank stage. */
   final case class AnnIndex(
-      coarse: DataFrame, codebooks: DataFrame, codes: DataFrame, dims: Int, m: Int)
+      coarse: DataFrame, codebooks: DataFrame, codes: DataFrame,
+      vectors: DataFrame, dims: Int, m: Int)
 
   private def parseIndexManifest(content: String): (Long, Seq[Long]) = {
     val lines = content.linesIterator.filter(_.nonEmpty).toSeq
@@ -905,8 +915,26 @@ object Similarity {
     pqEncodeResidual(emb, coarse, codebooks, dims, m, idCol, vecCol)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$base/codes")
+    writeIndexVectors(emb, coarse, s"$base/vectors", idCol, vecCol)
     ManifestStore.commitVersioned(spark, indexDir, "_index", gen,
       s"quantizers\t$gen\ncodes\t$gen\n")
+  }
+
+  /** Raw vectors clustered by coarse cell (the re-rank artifact): cell
+    * assignment is the same shuffle-free argmax projection the encode pass
+    * uses, fused with the vector itself into ONE corpus scan — no join, no
+    * exchange before the partitioned write's own clustering. */
+  private def writeIndexVectors(
+      emb: DataFrame, coarse: DataFrame, dir: String,
+      idCol: String, vecCol: String): Unit = {
+    val cents = collectCentroids(coarse, "cid", "cvec")
+    emb
+      .select(
+        col(idCol).as("vec_id"),
+        cidAt(cents, argBestIdx(col(vecCol), cents, l2 = false)).as("cell"),
+        col(vecCol).as("embedding"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
   }
 
   /**
@@ -937,6 +965,7 @@ object Similarity {
     pqEncodeResidual(delta, coarse, codebooks, dims, m, idCol, vecCol)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/gen=$gen/codes")
+    writeIndexVectors(delta, coarse, s"$indexDir/gen=$gen/vectors", idCol, vecCol)
     val codeLines = (codeGens :+ gen).map(g => s"codes\t$g").mkString("\n")
     ManifestStore.commitVersioned(spark, indexDir, "_index", gen,
       s"quantizers\t$qgen\n$codeLines\n")
@@ -958,14 +987,15 @@ object Similarity {
       .getOrElse(throw new IllegalStateException(s"no committed index under $indexDir"))
     val (qgen, codeGens) = parseIndexManifest(content)
     val meta = spark.read.parquet(s"$indexDir/gen=$qgen/meta").collect().head
-    val codes = codeGens.map { g =>
-      val dir = s"$indexDir/gen=$g/codes"
+    def gens(artifact: String): DataFrame = codeGens.map { g =>
+      val dir = s"$indexDir/gen=$g/$artifact"
       spark.read.option("basePath", dir).parquet(dir)
     }.reduce(_.unionByName(_))
     AnnIndex(
       coarse = spark.read.parquet(s"$indexDir/gen=$qgen/coarse"),
       codebooks = spark.read.parquet(s"$indexDir/gen=$qgen/codebooks"),
-      codes = codes,
+      codes = gens("codes"),
+      vectors = gens("vectors"),
       dims = meta.getAs[Int]("dims"),
       m = meta.getAs[Int]("m"))
   }
@@ -1001,6 +1031,17 @@ object Similarity {
   def ivfPqTopKIndexed(
       index: AnnIndex, queries: DataFrame, k: Int, nprobe: Int,
       qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame = {
+    val (adc, _) = adcScoresIndexed(index, queries, nprobe, qIdCol, qVecCol)
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
+    adc.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Shared serving-time ADC core: `(qid, vec_id, adc)` over the probed
+    * cells plus the collected probe-cell set (for reuse as a partition
+    * filter on the sibling `vectors` artifact). */
+  private def adcScoresIndexed(
+      index: AnnIndex, queries: DataFrame, nprobe: Int,
+      qIdCol: String, qVecCol: String): (DataFrame, Seq[Any]) = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val qw = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid").asc)
     val probes = ivfScoreCells(
@@ -1011,15 +1052,78 @@ object Similarity {
     val probedCells = probes.select("cell").distinct().collect().map(_.get(0)).toSeq
     val lut = pqLutResidual(
       index.codebooks, index.coarse, probes, queries, index.dims, index.m, qIdCol, qVecCol)
-    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
-    index.codes
+    val adc = index.codes
       .where(col("cell").isin(probedCells: _*))
       .join(broadcast(probes), "cell")
       .join(broadcast(lut), Seq("qid", "cell", "sub", "code"))
       .groupBy("qid", "vec_id")
       .agg(sum(col("pd")).as("adc"))
+    (adc, probedCells)
+  }
+
+  /** Exact re-rank of a per-query shortlist: score every `(qid, vec_id)`
+    * shortlist row by the exact integer dot product against the raw
+    * vectors and keep the top `k` (dot desc, vec_id tie-break — the same
+    * ranking contract as [[bruteForceTopK]]/[[ivfTopK]]). The shortlist is
+    * queries × R rows — broadcast-sized by construction — so the vector
+    * scan joins against a broadcast hash set and never shuffles. */
+  private def rerankExact(
+      shortlist: DataFrame, vectors: DataFrame, queries: DataFrame, k: Int,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id").asc)
+    vectors
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(broadcast(shortlist.select(col("qid"), col("vec_id"))), "vec_id")
+      .join(broadcast(queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"))), "qid")
+      .select(col("qid"), col("vec_id"), dotQ(col("v"), col("qv")).as("dot"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /**
+   * IVF-PQ serving with an exact re-rank stage — the standard production
+   * recall fix: the compressed-code ADC scan retrieves a SHORTLIST of
+   * `shortlist` ≫ k candidates per query (cheap — codes only), and the
+   * final ranking exact-scores just those candidates against the raw
+   * vectors the index already stores per cell. Recall approaches the
+   * exact-scan ceiling of the same nprobe (the ADC shortlist only has to
+   * CONTAIN the true top-k, not rank it), while the expensive full-vector
+   * arithmetic touches `shortlist` rows per query instead of every probed
+   * cell's full mass. Cost knobs: `nprobe` bounds which cells are read at
+   * all (partition filter on BOTH artifacts), `shortlist` bounds the
+   * exact-scored row count. Output ranks by exact dot (desc, vec_id
+   * tie-break) — directly comparable to [[ivfTopK]]/[[bruteForceTopK]].
+   */
+  def ivfPqTopKIndexedRerank(
+      index: AnnIndex, queries: DataFrame, k: Int, nprobe: Int, shortlist: Int,
+      qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val (adc, probedCells) = adcScoresIndexed(index, queries, nprobe, qIdCol, qVecCol)
+    val sw = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
+    val sl = adc
+      .withColumn("srn", row_number().over(sw))
+      .where(col("srn") <= shortlist)
+      .select("qid", "vec_id")
+    rerankExact(
+      sl, index.vectors.where(col("cell").isin(probedCells: _*)), queries, k,
+      "vec_id", "embedding", qIdCol, qVecCol)
+  }
+
+  /** In-query (non-persisted) IVF-PQ with exact re-rank — the same
+    * two-stage ranking as [[ivfPqTopKIndexedRerank]] with the shortlist
+    * coming from [[ivfPqTopK]] and the exact stage scoring against the
+    * corpus frame itself; the measurement path for the quality harness. */
+  def ivfPqTopKRerank(
+      emb: DataFrame, coarse: DataFrame, codebooks: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int, shortlist: Int, dims: Int, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val sl = ivfPqTopK(
+        emb, coarse, codebooks, queries, shortlist, nprobe, dims, m,
+        idCol, vecCol, qIdCol, qVecCol)
+      .select("qid", "vec_id")
+    rerankExact(sl, emb, queries, k, idCol, vecCol, qIdCol, qVecCol)
   }
 
   /**

@@ -46,7 +46,7 @@ object LlmQueries {
     val fp = e.agg(count(lit(1)), max(col("vec_id"))).collect()(0)
     val (dims, m, coarseK, pqK, iters) = (64, 4, 8, 16, 2)
     val indexDir =
-      s"${sys.props("java.io.tmpdir")}/graft_ann_index_v3/" +
+      s"${sys.props("java.io.tmpdir")}/graft_ann_index_v4/" +
         s"${new java.io.File(dir).getName}_d${dims}_m${m}_c${coarseK}_k${pqK}_i${iters}" +
         s"_n${fp.getLong(0)}_x${fp.getLong(1)}"
     if (!Similarity.indexCommitted(indexDir)) {
@@ -279,8 +279,10 @@ object LlmQueries {
     * ranking. Residuals are integer-domain (q_x − q_c), and each LUT entry
     * is the FULL per-subspace squared distance over the query's residual
     * against its probed cell, so summed ADC ranks exactly across cells. */
-  private lazy val ivfPqOracleSql: String =
-    s"""WITH ${compCte("comp", "embeddings")},
+  /** CTE chain ending in `adc(qid, vec_id, adc)` — the shared core of the
+    * three IVF-PQ oracles (plain, persisted, re-rank). */
+  private lazy val ivfPqAdcCtes: String =
+    s"""${compCte("comp", "embeddings")},
        |${kmeansChain(8)},
        |cent AS (SELECT cid, d, q FROM c2),
        |adot AS (SELECT c.vec_id, ct.cid, SUM(c.q * ct.q) AS cdot
@@ -323,11 +325,35 @@ object LlmQueries {
        |        JOIN enc e ON e.vec_id = cd.vec_id
        |        JOIN lutr l ON l.qid = cd.qid AND l.cell = cd.cell
        |         AND l.sub = e.sub AND l.code = e.code
-       |        GROUP BY cd.qid, cd.vec_id)
+       |        GROUP BY cd.qid, cd.vec_id)""".stripMargin
+
+  private lazy val ivfPqOracleSql: String =
+    s"""WITH $ivfPqAdcCtes
        |SELECT qid, rank, vec_id, adc FROM (
        |  SELECT qid, vec_id, adc,
        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS INT) AS rank
        |  FROM adc) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** Re-rank oracle: ADC shortlist (top 32 per query by adc asc, vec_id
+    * tie-break), then EXACT integer-dot re-scoring of just that shortlist
+    * — mirrors [[graft.ops.Similarity.ivfPqTopKIndexedRerank]] (shortlist
+    * containment is what lifts recall; the final ranking is by exact dot
+    * desc with vec_id tie-break, the [[bruteForceTopK]] contract). */
+  private lazy val ivfPqRerankOracleSql: String =
+    s"""WITH $ivfPqAdcCtes,
+       |sl AS (SELECT qid, vec_id FROM (
+       |         SELECT qid, vec_id,
+       |                row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS srn
+       |         FROM adc) WHERE srn <= 32),
+       |ex AS (SELECT s.qid, s.vec_id, CAST(SUM(cq.q * cc.q) AS BIGINT) AS dot
+       |       FROM sl s
+       |       JOIN comp cq ON cq.vec_id = s.qid
+       |       JOIN comp cc ON cc.vec_id = s.vec_id AND cc.d = cq.d
+       |       GROUP BY s.qid, s.vec_id)
+       |SELECT qid, rank, vec_id, dot FROM (
+       |  SELECT qid, vec_id, dot,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS INT) AS rank
+       |  FROM ex) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   /** Jaccard verification of `cand(id_a, id_b)` against `sh`. */
   private val jaccardSql =
@@ -761,6 +787,21 @@ object LlmQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfPqTopKIndexed(idx, queries, 5, nprobe = 2)
         .select("qid", "rank", "vec_id", "adc")
+        .orderBy("qid", "rank")
+    }),
+
+    // Serving with the exact re-rank stage: the ADC scan only has to get
+    // the true neighbors INTO a 32-candidate shortlist; the final ranking
+    // exact-scores that shortlist against the raw vectors persisted per
+    // cell — recall at the exact nprobe ceiling, cost ∝ shortlist
+    "q_sim_ivfpq_rerank" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = emb(s, dir)
+      val idx = persistedIndex(s, dir)
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfPqTopKIndexedRerank(idx, queries, 5, nprobe = 2, shortlist = 32)
+        .select("qid", "rank", "vec_id", "dot")
         .orderBy("qid", "rank")
     }),
 
@@ -1479,6 +1520,7 @@ object LlmQueries {
     // codes (parquet floats/ints are exact), so serving from it must
     // reproduce q_sim_ivfpq's ranking verbatim — shared oracle.
     "q_sim_ivfpq_persisted" -> ivfPqOracleSql,
+    "q_sim_ivfpq_rerank" -> ivfPqRerankOracleSql,
 
     "q_embed_semdedup" ->
       s"""WITH $kmeansCtesAutoK,

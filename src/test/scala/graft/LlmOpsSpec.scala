@@ -745,6 +745,18 @@ class LlmOpsSpec extends SparkSpec {
         embs, coarse, cb, queries, 3, nprobe = 2, dims = 8, m = 2))
       assert(served == inQuery, s"persisted serving diverged:\n$served\nvs\n$inQuery")
 
+      // the re-rank stage serves from the index's own raw-vector artifact
+      // — must equal the in-query two-stage ranking bit for bit
+      def keyDot(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "rank", "vec_id", "dot")
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      val servedRr = keyDot(
+        Similarity.ivfPqTopKIndexedRerank(idx, queries, 3, nprobe = 2, shortlist = 8))
+      val inQueryRr = keyDot(Similarity.ivfPqTopKRerank(
+        embs, coarse, cb, queries, 3, nprobe = 2, shortlist = 8, dims = 8, m = 2))
+      assert(servedRr == inQueryRr,
+        s"indexed re-rank diverged:\n$servedRr\nvs\n$inQueryRr")
+
       // the probe set must reach the codes scan as a partition filter —
       // non-probed cells' files are pruned at planning time
       val plan = Similarity.ivfPqTopKIndexed(idx, queries, 3, nprobe = 1)
