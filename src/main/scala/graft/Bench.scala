@@ -56,6 +56,21 @@ object Bench {
       try src.mkString.split(" ")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1d }
 
+  /** The calibration spin's wall time on THIS machine when idle —
+    * measured 1.281–1.283s across the clean round-8 runs (PLANS.md). The
+    * contention gate compares the run's own stamps against this constant,
+    * NOT against committed-round medians: round 8 proved a fully-contended
+    * run self-certifies against medians when the committed history is
+    * itself load-inflated, while the idle spin constant can't be gamed by
+    * a polluted history. */
+  val IdleCalibSec: Double = 1.28
+
+  /** A run is CONTENDED when either calibration stamp stretched >1.2×
+    * beyond the idle constant — ambient CPU pressure was eating measured
+    * time, and the totals must not stand as the round's clean number. */
+  def isContended(calibStart: Double, calibEnd: Double): Boolean =
+    math.max(calibStart, calibEnd) > IdleCalibSec * 1.2
+
   /** Fixed single-threaded CPU spin (constant work: 6×10^8 xorshift64
     * steps). Its wall time on an idle machine is a machine constant;
     * under CPU pressure it stretches proportionally — so comparing the
@@ -208,26 +223,48 @@ object Bench {
     val loadEnd = loadavg()
     val calibEnd = calibrate()
 
-    val ok = results.filter(_._3.isEmpty)
+    // Contention gate (round 9): when the run's own calibration stamps
+    // prove ambient load, flag the record machine-detectably AND give the
+    // slowest decile one more shot (min kept) — those queries carry the
+    // most absolute inflation. The flag survives even if the re-measure
+    // helps: a contended run is never this round's clean number.
+    val contended = isContended(calibStart, calibEnd)
+    val results2 =
+      if (!contended) results
+      else {
+        val slowest = results.filter(r => r._3.isEmpty && r._2 > 0.2)
+          .sortBy(-_._2).take(math.max(1, results.size / 10))
+          .map(_._1).toSet
+        results.map {
+          case (name, t, None, rq) if slowest.contains(name) =>
+            val (t2, e2) = measure(name)
+            val best = if (e2.isEmpty && t2 < t) t2 else t
+            (name, best, Option.empty[String], rq.orElse(Some((t, t2))))
+          case other => other
+        }
+      }
+
+    val ok = results2.filter(_._3.isEmpty)
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale would emit invalid JSON.
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results
+    val qs = results2
       .map { case (k, v, _, _) => "\"" + k + "\":" + (if (v < 0) "-1" else num(v)) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e), _) =>
+    val errs = results2.collect { case (k, _, Some(e), _) =>
       "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
     }.mkString("{", ",", "}")
-    val requal = results.collect { case (k, _, _, Some((t1, t2))) =>
+    val requal = results2.collect { case (k, _, _, Some((t1, t2))) =>
       "\"" + k + "\":[" + num(t1) + "," + num(t2) + "]"
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +
-        s""""ok":${ok.size},"failed":${results.size - ok.size},"sf":"$sfDir",""" +
+        s""""ok":${ok.size},"failed":${results2.size - ok.size},"sf":"$sfDir",""" +
         s""""loadavg":[${num(loadStart)},${num(loadEnd)}],""" +
         s""""calib_sec":[${num(calibStart)},${num(calibEnd)}],""" +
+        s""""idle_calib_sec":${num(IdleCalibSec)},"contended":$contended,""" +
         s""""requalified":$requal}"""
     println(line)
     // a filtered run must not clobber the full-suite record
