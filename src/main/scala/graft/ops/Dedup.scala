@@ -746,34 +746,50 @@ object Dedup {
       .agg(min(col("root")).as("root"), collect_set(col("root")).as("roots"))
       .localCheckpoint()
     p.unpersist()
-    // Glue graph: for each multi-partition node, star its roots to their min.
-    val glue = byId
-      .where(size(col("roots")) > 1)
-      .select(col("root").as("id_a"), explode(col("roots")).as("id_b"))
-      .where(col("id_a") =!= col("id_b"))
-    val rootLabels = clustersContract(glue, maxIter)
-      .select(col("id").as("root"), col("cluster").as("root_cluster"))
-    val labels = byId.select(col("id"), col("root"))
-      .join(rootLabels, Seq("root"), "left")
-      .select(col("id"), coalesce(col("root_cluster"), col("root")).as("cluster"))
-    val out = nodes
-      .join(labels, Seq("id"), "left")
-      .select(col("id").cast(idType).as("id"),
-        coalesce(col("cluster"), col("id")).cast(idType).as("cluster"))
-      .localCheckpoint()
-    releaseCheckpoint(nodes)
-    releaseCheckpoint(byId)
-    out
+    // From here on nodes/byId checkpoints are live; release them on EVERY
+    // exit — clustersContract's maxIter fail-loud must not leak them to the
+    // caller (clusters()/clustersContract() release on that path too).
+    try {
+      // Glue graph: for each multi-partition node, star its roots to their min.
+      val glue = byId
+        .where(size(col("roots")) > 1)
+        .select(col("root").as("id_a"), explode(col("roots")).as("id_b"))
+        .where(col("id_a") =!= col("id_b"))
+      val rootLabels = clustersContract(glue, maxIter)
+        .select(col("id").as("root"), col("cluster").as("root_cluster"))
+      val labels = byId.select(col("id"), col("root"))
+        .join(rootLabels, Seq("root"), "left")
+        .select(col("id"), coalesce(col("root_cluster"), col("root")).as("cluster"))
+      val out = nodes
+        .join(labels, Seq("id"), "left")
+        .select(col("id").cast(idType).as("id"),
+          coalesce(col("cluster"), col("id")).cast(idType).as("cluster"))
+        .localCheckpoint()
+      // rootLabels' analyzed plan bottoms out in clustersContract's
+      // internal checkpoint LogicalRDDs — release them too, or the
+      // contraction's final-round blocks stay resident for the
+      // application lifetime (the round-5 bench residue failure mode).
+      releaseCheckpoint(rootLabels)
+      out
+    } finally {
+      releaseCheckpoint(nodes)
+      releaseCheckpoint(byId)
+    }
   }
 
   /** Integral types [[clustersLocal]] accepts; anything else (string content
-    * hashes as ids) routes to the order-generic strategies. */
+    * hashes as ids) routes to the order-generic strategies. The two columns
+    * must also share ONE type: clustersLocal casts labels back to id_a's
+    * type, and a mixed-width pair set (int id_a, long id_b) would silently
+    * truncate id_b-derived labels — mixed widths route to the generic path,
+    * whose least/greatest comparisons widen under Catalyst coercion. */
   private def integralIds(pairs: DataFrame): Boolean = {
     import org.apache.spark.sql.types._
-    Seq("id_a", "id_b").forall(c => pairs.schema(c).dataType match {
+    val integral = Seq("id_a", "id_b").forall(c => pairs.schema(c).dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     })
+    integral && pairs.schema("id_a").dataType == pairs.schema("id_b").dataType
   }
 
   /**

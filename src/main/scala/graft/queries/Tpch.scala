@@ -43,11 +43,19 @@ object Tpch {
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _ =>
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case TimestampNTZType | TimestampType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        // fail loud: a string/double ts from an unexpected regeneration
+        // would otherwise cast silently (possibly to nulls) and shift
+        // every event-time semantic downstream
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other — expected " +
+            "ns-as-long (legacy nanos) or a timestamp type")
     }
   }
 
