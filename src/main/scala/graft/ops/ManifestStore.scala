@@ -38,15 +38,17 @@ import org.apache.spark.sql.functions._
  *    scheme's dynamic partition overwrite invalidates concurrent lazy scans
  *    of the rewritten partitions, which is why the pipeline must eagerly
  *    materialize history before upserting.
- *  - SINGLE WRITER assumed: the crash-safety argument covers one writer
- *    crashing/retrying, not two upserting concurrently. Two concurrent
- *    upserts can compute the same `nextGen`, append files into the same
- *    `gen=<V>/<part>` directories, and the winner's manifest rename would
- *    then expose the loser's rows too (duplicate/mixed partitions). A
- *    deployment with multiple writers must serialize upserts externally
- *    (the same contract Hive's INSERT OVERWRITE and the staged scheme
- *    carry); making generation paths writer-unique is the extension point
- *    if that contract ever needs relaxing.
+ *  - SINGLE WRITER supported: the crash-safety argument covers one writer
+ *    crashing/retrying; a deployment with multiple writers must still
+ *    serialize upserts externally (the same contract Hive's INSERT
+ *    OVERWRITE and the staged scheme carry). Since round 9 a violation is
+ *    NON-CORRUPTING rather than silently corrupting: generation ids carry
+ *    a per-writer random token (`gen=<V>-<token>`), so two concurrent
+ *    upserts write into structurally disjoint directories and race only
+ *    on the manifest rename — rename-to-existing fails on HDFS/POSIX, so
+ *    exactly one writer wins, the loser throws, and its token-unique
+ *    debris (referenced by no manifest) is invisible and vacuumable. The
+ *    winner's manifest cannot name a loser's files.
  *  - Cost of the trade: orphan/superseded generation directories accumulate
  *    until [[vacuum]] (space, not correctness), and the manifest is a
  *    per-partition map held driver-side at commit time — at extreme
@@ -59,7 +61,10 @@ import org.apache.spark.sql.functions._
  */
 object ManifestStore {
 
-  final case class Manifest(version: Long, entries: Map[String, Long])
+  /** `entries` maps each live partition value to its generation ID — the
+    * `gen=` directory name suffix. Historically a bare number; since round
+    * 9 writers mint `<V>-<token>` ids (both forms parse and read). */
+  final case class Manifest(version: Long, entries: Map[String, String])
 
   private[ops] def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -112,10 +117,20 @@ object ManifestStore {
   private def parseManifest(version: Long, content: String): Manifest = {
     val entries = content.linesIterator.filter(_.nonEmpty).map { line =>
       val i = line.lastIndexOf('\t')
-      line.substring(0, i) -> line.substring(i + 1).toLong
+      line.substring(0, i) -> line.substring(i + 1)
     }.toMap
     Manifest(version, entries)
   }
+
+  /** Numeric component of a generation id (`"7"` and `"7-ab12cd34"` → 7). */
+  private def genNumber(genId: String): Long =
+    genId.takeWhile(_.isDigit).toLong
+
+  /** Fresh writer-unique generation id: the next version number plus a
+    * random per-writer token, so no two writers — even ones that read the
+    * same manifest concurrently — can ever produce the same directory. */
+  private def newGenId(version: Long): String =
+    s"$version-${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}"
 
   /** Highest committed manifest, if any. */
   def readManifest(spark: SparkSession, path: String): Option[Manifest] =
@@ -167,14 +182,16 @@ object ManifestStore {
 
   /** Next generation number: strictly above the committed version AND every
     * `gen=` directory on disk, so debris from a crashed attempt is never
-    * appended into. */
+    * appended into. (The token suffix already guarantees directory
+    * uniqueness; the strictly-increasing number keeps manifest versions
+    * monotone and generation history readable.) */
   private def nextGen(spark: SparkSession, path: String, m: Option[Manifest]): Long = {
     val dataDir = new Path(s"$path/data")
     val hfs = fs(spark, path)
     val onDisk =
       if (!hfs.exists(dataDir)) Seq.empty[Long]
       else hfs.listStatus(dataDir).map(_.getPath.getName)
-        .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong).toSeq
+        .filter(_.startsWith("gen=")).map(n => genNumber(n.stripPrefix("gen="))).toSeq
     (m.map(_.version).toSeq ++ onDisk :+ 0L).max + 1
   }
 
@@ -240,12 +257,13 @@ object ManifestStore {
         .unionByName(items)
     }
     val gen = nextGen(spark, path, man)
+    val genId = newGenId(gen)
     merged
-      .withColumn("gen", lit(gen))
+      .withColumn("gen", lit(genId))
       .repartition(col(partCol)) // one file per partition dir, not one per task
       .write.mode("append").partitionBy("gen", partCol)
       .parquet(s"$path/data")
-    val entries = man.map(_.entries).getOrElse(Map.empty) ++ touched.map(_ -> gen)
+    val entries = man.map(_.entries).getOrElse(Map.empty) ++ touched.map(_ -> genId)
     commitManifest(spark, path, Manifest(gen, entries))
   }
 
@@ -282,8 +300,10 @@ object ManifestStore {
     val byGen = man.entries.groupBy(_._2) // gen -> (partition -> gen)
     if (byGen.size <= maxGens) return 0
     // Collapse the smallest generations; keep the (maxGens - 1) largest
-    // as-is — the new consolidated generation is the maxGens-th.
-    val keep = byGen.toSeq.sortBy { case (g, parts) => (-parts.size, -g) }
+    // as-is — the new consolidated generation is the maxGens-th. Ties
+    // break on the newer (higher-numbered) generation staying put.
+    val keep = byGen.toSeq
+      .sortBy { case (g, parts) => (-parts.size, -genNumber(g), g) }
       .take(maxGens - 1).map(_._1).toSet
     val victims = man.entries.collect {
       case (p, g) if !keep.contains(g) => p
@@ -293,13 +313,14 @@ object ManifestStore {
       case Some(f) => f
     }
     val gen = nextGen(spark, path, Some(man))
+    val genId = newGenId(gen)
     frame
-      .withColumn("gen", lit(gen))
+      .withColumn("gen", lit(genId))
       .repartition(col(partCol))
       .write.mode("append").partitionBy("gen", partCol)
       .parquet(s"$path/data")
     commitManifest(spark, path,
-      Manifest(gen, man.entries ++ victims.map(_ -> gen)))
+      Manifest(gen, man.entries ++ victims.map(_ -> genId)))
     victims.size
   }
 
@@ -328,7 +349,7 @@ object ManifestStore {
       if (!hfs.exists(dataDir)) Array.empty[Path]
       else hfs.listStatus(dataDir).map(_.getPath)
         .filter(p => p.getName.startsWith("gen=") &&
-          !live.contains(p.getName.stripPrefix("gen=").toLong))
+          !live.contains(p.getName.stripPrefix("gen=")))
     dead.foreach(p => hfs.delete(p, true))
     vs.dropRight(retainVersions).foreach(v =>
       hfs.delete(new Path(path, manifestName(v)), false))

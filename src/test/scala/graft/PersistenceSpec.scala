@@ -305,6 +305,52 @@ class PersistenceSpec extends SparkSpec {
     assert(snapshot() == before, "vacuum after compaction changed table content")
   }
 
+  test("S5-manifest: a racing concurrent writer cannot corrupt the winner's commit") {
+    import graft.ops.ManifestStore
+    val dir = tmpDir("stmts_m_race")
+    def batch(tag: String) =
+      spark.range(4).select(
+        lit("p1").as("k"), concat(lit(tag + "_"), $"id").as("id"), $"id".as("v"))
+    ManifestStore.upsert(batch("seed"), dir, "k", Seq("k", "id"), spark) // version 1
+
+    // Writer A wins version 2 through the real path.
+    ManifestStore.upsert(batch("winner"), dir, "k", Seq("k", "id"), spark)
+
+    // Writer B raced: it read the version-1 manifest BEFORE A committed, so
+    // it computed the same next version (2) — but its generation directory
+    // carries ITS writer token, structurally disjoint from A's. Emulate its
+    // interleaved execution: the data write lands (token-unique dir), then
+    // its manifest rename targets the name A already committed.
+    val loserGen = "2-deadbeef"
+    batch("loser").withColumn("gen", lit(loserGen)).repartition($"k")
+      .write.mode("append").partitionBy("gen", "k").parquet(s"$dir/data")
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_manifest.000000000002.tmp")
+    val out = hfs.create(tmp, true)
+    try out.write(s"p1\t$loserGen\n".getBytes("UTF-8")) finally out.close()
+    val renamed = hfs.rename(tmp, new org.apache.hadoop.fs.Path(dir, "_manifest.000000000002"))
+    assert(!renamed, "rename onto an existing manifest name must fail — exactly one writer wins")
+
+    // Readers see the winner's merge (seed rows carry over on their own
+    // merge keys) and NOTHING of the loser — its token dir is invisible.
+    val ids = ManifestStore.currentFrame(spark, dir, "k").get
+      .select($"id").as[String].collect().toSet
+    val expected = (0 until 4).flatMap(i => Seq(s"seed_$i", s"winner_$i")).toSet
+    assert(ids == expected, s"loser rows leaked into reads: $ids")
+    // The winner's manifest is structurally unable to name the loser's dir.
+    val m = ManifestStore.readManifest(spark, dir).get
+    assert(m.version == 2 && !m.entries.values.toSet.contains(loserGen), m.toString)
+
+    // The loser's debris is unreferenced → vacuum reclaims it; reads unchanged.
+    assert(ManifestStore.vacuum(spark, dir) >= 1)
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$dir/data/gen=$loserGen")),
+      "loser generation survived vacuum")
+    val after = ManifestStore.currentFrame(spark, dir, "k").get
+      .select($"id").as[String].collect().toSet
+    assert(after == ids, "vacuum changed reader-visible state")
+  }
+
   test("S5-manifest: time travel — every commit is an addressable snapshot until vacuumed past") {
     import graft.ops.ManifestStore
     val dir = tmpDir("stmts_m_tt")
