@@ -1000,6 +1000,56 @@ object Similarity {
       m = meta.getAs[Int]("m"))
   }
 
+  /**
+   * Index-generation compaction — the continuous-ingest counterpart of
+   * [[ManifestStore.compact]]: every [[appendToIndex]] adds a codes-only
+   * generation, so after many small deltas a query's probed-cell read
+   * lists (and on an object store pays a round-trip per) each generation's
+   * partition directory. Compaction rewrites the SMALLEST code generations
+   * (by on-disk bytes — cheapest rewrite volume per directory eliminated)
+   * into one consolidated generation until at most `maxGens` code
+   * generations remain, then commits through the same atomic
+   * never-reused-manifest-name rename. The quantizers generation is never
+   * a victim (it also anchors coarse/codebooks/meta); serving results are
+   * identical before and after (codes are content, not order, and the
+   * rewrite unions then re-clusters by cell). A crash mid-rewrite leaves
+   * an unreferenced generation — invisible, vacuumable.
+   *
+   * Returns the number of generations eliminated (0 if already compact).
+   */
+  def compactIndex(spark: SparkSession, indexDir: String, maxGens: Int = 1): Int = {
+    require(maxGens >= 1, "maxGens must be at least 1")
+    val (ver, content) = ManifestStore.readVersioned(spark, indexDir, "_index")
+      .getOrElse(return 0)
+    val (qgen, codeGens) = parseIndexManifest(content)
+    if (codeGens.size <= maxGens) return 0
+    val hfs = ManifestStore.fs(spark, indexDir)
+    def sizeOf(g: Long): Long =
+      hfs.getContentSummary(new org.apache.hadoop.fs.Path(s"$indexDir/gen=$g/codes")).getLength
+    // keep the quantizers gen (if it holds codes) plus the largest others
+    // up to the budget; everything else merges into one fresh generation
+    val others = codeGens.filterNot(_ == qgen)
+    val quota = math.max(0, maxGens - (if (codeGens.contains(qgen)) 1 else 0) - 1)
+    val keep = others.sortBy(g => (-sizeOf(g), -g)).take(quota)
+    val victims = others.filterNot(keep.contains)
+    if (victims.size <= 1) return 0 // rewriting one gen eliminates nothing
+    val gen = math.max(nextIndexGen(spark, indexDir), ver + 1)
+    def merge(artifact: String): Unit =
+      victims.map { g =>
+        val dir = s"$indexDir/gen=$g/$artifact"
+        spark.read.option("basePath", dir).parquet(dir)
+      }.reduce(_.unionByName(_))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/gen=$gen/$artifact")
+    merge("codes")
+    merge("vectors")
+    val live = (codeGens.filter(g => g == qgen || keep.contains(g)) :+ gen)
+    ManifestStore.commitVersioned(spark, indexDir, "_index", gen,
+      s"quantizers\t$qgen\n" + live.map(g => s"codes\t$g").mkString("\n") + "\n")
+    victims.size
+  }
+
   /** Drop generation directories the CURRENT manifest does not reference
     * (superseded rebuilds, crash debris). Space reclamation only —
     * correctness never depends on it; returns the number removed. */

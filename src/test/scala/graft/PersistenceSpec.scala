@@ -254,6 +254,49 @@ class PersistenceSpec extends SparkSpec {
     assert(Similarity.vacuumIndex(spark, dirFull) >= 1, "debris generation not reclaimed")
     assert(Similarity.readIndex(spark, dirFull).codes.count() == codesAfter,
       "vacuum changed the committed index")
+
+    // --- generation compaction: many small appends -> bounded gen count,
+    // identical serving (ADC and exact re-rank), victims vacuumable ------
+    (0 until 3).foreach { b =>
+      Similarity.appendToIndex(
+        embs.where($"vec_id" % 3 === b)
+          .select(($"vec_id" + 200L + b).as("vec_id"), $"embedding"),
+        dirInc)
+    }
+    def manifestCodeGens(dir: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val names = fs.listStatus(p).map(_.getPath.getName)
+        .filter(n => n.startsWith("_index.") && !n.endsWith(".tmp"))
+      val in = fs.open(new org.apache.hadoop.fs.Path(p, names.max))
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      content.linesIterator.filter(_.startsWith("codes\t")).toSeq
+    }
+    assert(manifestCodeGens(dirInc).size == 5, "expected 5 code generations pre-compaction")
+    val preCompact = key(Similarity.ivfPqTopKIndexed(
+      Similarity.readIndex(spark, dirInc), queries, 3, nprobe = 2))
+    val preCompactRr = Similarity.ivfPqTopKIndexedRerank(
+        Similarity.readIndex(spark, dirInc), queries, 3, nprobe = 2, shortlist = 8)
+      .select("qid", "rank", "vec_id", "dot")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val preCodes = Similarity.readIndex(spark, dirInc).codes.count()
+    assert(Similarity.compactIndex(spark, dirInc, maxGens = 2) >= 2)
+    assert(manifestCodeGens(dirInc).size <= 2, s"gen count not bounded: ${manifestCodeGens(dirInc)}")
+    assert(Similarity.readIndex(spark, dirInc).codes.count() == preCodes,
+      "compaction changed code mass")
+    assert(key(Similarity.ivfPqTopKIndexed(
+      Similarity.readIndex(spark, dirInc), queries, 3, nprobe = 2)) == preCompact,
+      "compaction changed ADC serving results")
+    assert(Similarity.ivfPqTopKIndexedRerank(
+        Similarity.readIndex(spark, dirInc), queries, 3, nprobe = 2, shortlist = 8)
+      .select("qid", "rank", "vec_id", "dot")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      == preCompactRr, "compaction changed re-rank serving results")
+    assert(Similarity.compactIndex(spark, dirInc, maxGens = 2) == 0,
+      "already-compact index must be a no-op")
+    assert(Similarity.vacuumIndex(spark, dirInc) >= 2, "victim generations not reclaimed")
+    assert(key(Similarity.ivfPqTopKIndexed(
+      Similarity.readIndex(spark, dirInc), queries, 3, nprobe = 2)) == preCompact,
+      "vacuum after compaction changed serving")
   }
 
   test("S5-manifest: committed generations are immutable — a reader's snapshot survives an upsert") {
