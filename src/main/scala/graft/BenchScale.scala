@@ -202,6 +202,34 @@ object BenchScale {
     val sdAuto_1 = semdedup(src, autoK(src))
     val sdAuto_10 = semdedup(dst, autoK(dst))
 
+    // MinHash-LSH stage split (round 9): the 10× ratio on
+    // q_dedup_minhash_lsh has hovered at ~3× — before turning any banding
+    // knob, measure WHERE the time goes: posting-list candidate GENERATION
+    // (shuffle of band mass) vs Jaccard VERIFICATION (cost ∝ candidate
+    // pairs — on this planted corpus ~every doc sits in a pair, so
+    // verification is structurally ~linear in corpus, not a plan defect).
+    def minhashSplit(dir: String): String = {
+      val docs = Quality.docsWithNearDups(spark, dir)
+      val bands = graft.ops.Dedup.lshBands(
+        graft.ops.Dedup.minhashSignaturesNative(docs, "doc_id", "text", 16, 3), 16, 8)
+      var cand: DataFrame = null
+      // localCheckpoint is eager: tGen covers signature + banding + the
+      // one posting-list shuffle + pair materialization, nothing else
+      val tGen = time {
+        cand = graft.ops.Dedup.candidatePairs(bands, maxOccupancy = 64).localCheckpoint()
+      }
+      val nCand = cand.count()
+      val tVer = time {
+        graft.ops.Dedup.verifyJaccard(cand, docs, "doc_id", "text", 3, minJaccard = 0.35)
+          .where(col("jaccard") >= 0.35)
+          .write.format("noop").mode("overwrite").save()
+      }
+      releaseResidue(spark, keep)
+      s"""{"gen_sec":${num(tGen)},"verify_sec":${num(tVer)},"candidates":$nCand}"""
+    }
+    val mhSplit1 = minhashSplit(src)
+    val mhSplit10 = minhashSplit(dst)
+
     // LSH occupancy-cap audit: exactly what the 64-cap drops at each scale
     // — the counter that keeps the cap from ever being silent.
     def lshStats(dir: String): String = {
@@ -223,7 +251,8 @@ object BenchScale {
         s""""k100_vs_k32_at_sf1":${num(sd100_10 / sd32_10)},""" +
         s""""kauto_sf01":${num(sdAuto_1)},"kauto_sf1":${num(sdAuto_10)},""" +
         s""""kauto_ratio":${num(sdAuto_10 / sdAuto_1)}},""" +
-        s""""lsh_occupancy_cap64":{"sf01":$lsh1,"sf1":$lsh10}}"""
+        s""""lsh_occupancy_cap64":{"sf01":$lsh1,"sf1":$lsh10},""" +
+        s""""minhash_split":{"sf01":$mhSplit1,"sf1":$mhSplit10}}"""
     println(json)
     Files.writeString(Paths.get("BENCH_SCALE10X.json"), json + "\n")
     spark.stop()
