@@ -838,11 +838,15 @@ object Similarity {
   //
   // A full build writes everything into one fresh generation; an append
   // ([[appendToIndex]]) encodes a delta batch with the EXISTING quantizers
-  // (one projection pass) into a new generation holding only codes, and
-  // the next manifest references both. Generations are immutable once
-  // committed; crash debris (a generation no manifest names) is invisible
-  // and reclaimed by [[vacuumIndex]]. Single writer assumed — same
-  // contract, documented the same way, as [[ManifestStore.upsert]].
+  // (one projection pass) into a new generation holding only codes +
+  // vectors, and the next manifest references both. Generations are
+  // immutable once committed; crash debris (a generation no manifest
+  // names) is invisible and reclaimed by [[vacuumIndex]]. Single writer
+  // supported — same contract as [[ManifestStore.upsert]], and since
+  // round 9 the same insurance: generation directories carry a per-writer
+  // token (`gen=<V>-<token>`), so racing writers write disjoint
+  // directories and collide only on the manifest rename, where exactly
+  // one wins and the loser's debris is unreferenced and vacuumable.
   // ---------------------------------------------------------------------
 
   /** A loaded persisted index (see layout above). `vectors` carries the
@@ -851,13 +855,25 @@ object Similarity {
       coarse: DataFrame, codebooks: DataFrame, codes: DataFrame,
       vectors: DataFrame, dims: Int, m: Int)
 
-  private def parseIndexManifest(content: String): (Long, Seq[Long]) = {
+  /** Generation IDs are directory-name suffixes: historically bare numbers,
+    * since round 9 writers mint `<V>-<token>` (both forms parse and read).
+    * The token makes concurrent writers' directories structurally disjoint
+    * — they race only on the manifest rename, where exactly one wins, so a
+    * single-writer-contract violation is non-corrupting (same argument,
+    * same mechanism as [[ManifestStore]]). */
+  private def parseIndexManifest(content: String): (String, Seq[String]) = {
     val lines = content.linesIterator.filter(_.nonEmpty).toSeq
     val q = lines.collectFirst { case l if l.startsWith("quantizers\t") =>
-      l.stripPrefix("quantizers\t").toLong }
+      l.stripPrefix("quantizers\t") }
     (q.getOrElse(throw new IllegalStateException("index manifest missing quantizers line")),
-      lines.collect { case l if l.startsWith("codes\t") => l.stripPrefix("codes\t").toLong })
+      lines.collect { case l if l.startsWith("codes\t") => l.stripPrefix("codes\t") })
   }
+
+  private def indexGenNumber(genId: String): Long =
+    genId.takeWhile(_.isDigit).toLong
+
+  private def newIndexGenId(version: Long): String =
+    s"$version-${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}"
 
   /** Fresh generation number: strictly above the committed manifest version
     * and every `gen=` directory on disk (crash debris is never reused). */
@@ -867,7 +883,7 @@ object Similarity {
     val onDisk =
       if (!hfs.exists(dir)) Seq.empty[Long]
       else hfs.listStatus(dir).map(_.getPath.getName)
-        .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong).toSeq
+        .filter(_.startsWith("gen=")).map(n => indexGenNumber(n.stripPrefix("gen="))).toSeq
     val committed = ManifestStore.readVersioned(spark, indexDir, "_index").map(_._1)
     (committed.toSeq ++ onDisk :+ 0L).max + 1
   }
@@ -906,7 +922,8 @@ object Similarity {
     require(m >= 1 && dims % m == 0, s"dims ($dims) must divide into m ($m) subspaces")
     val spark = emb.sparkSession
     val gen = nextIndexGen(spark, indexDir)
-    val base = s"$indexDir/gen=$gen"
+    val genId = newIndexGenId(gen)
+    val base = s"$indexDir/gen=$genId"
     coarse.coalesce(1).write.mode("overwrite").parquet(s"$base/coarse")
     codebooks.coalesce(1).write.mode("overwrite").parquet(s"$base/codebooks")
     import spark.implicits._
@@ -917,7 +934,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$base/codes")
     writeIndexVectors(emb, coarse, s"$base/vectors", idCol, vecCol)
     ManifestStore.commitVersioned(spark, indexDir, "_index", gen,
-      s"quantizers\t$gen\ncodes\t$gen\n")
+      s"quantizers\t$genId\ncodes\t$genId\n")
   }
 
   /** Raw vectors clustered by coarse cell (the re-rank artifact): cell
@@ -962,11 +979,12 @@ object Similarity {
     val coarse = spark.read.parquet(s"$indexDir/gen=$qgen/coarse")
     val codebooks = spark.read.parquet(s"$indexDir/gen=$qgen/codebooks")
     val gen = math.max(nextIndexGen(spark, indexDir), ver + 1)
+    val genId = newIndexGenId(gen)
     pqEncodeResidual(delta, coarse, codebooks, dims, m, idCol, vecCol)
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/gen=$gen/codes")
-    writeIndexVectors(delta, coarse, s"$indexDir/gen=$gen/vectors", idCol, vecCol)
-    val codeLines = (codeGens :+ gen).map(g => s"codes\t$g").mkString("\n")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/gen=$genId/codes")
+    writeIndexVectors(delta, coarse, s"$indexDir/gen=$genId/vectors", idCol, vecCol)
+    val codeLines = (codeGens :+ genId).map(g => s"codes\t$g").mkString("\n")
     ManifestStore.commitVersioned(spark, indexDir, "_index", gen,
       s"quantizers\t$qgen\n$codeLines\n")
   }
@@ -1024,16 +1042,17 @@ object Similarity {
     val (qgen, codeGens) = parseIndexManifest(content)
     if (codeGens.size <= maxGens) return 0
     val hfs = ManifestStore.fs(spark, indexDir)
-    def sizeOf(g: Long): Long =
+    def sizeOf(g: String): Long =
       hfs.getContentSummary(new org.apache.hadoop.fs.Path(s"$indexDir/gen=$g/codes")).getLength
     // keep the quantizers gen (if it holds codes) plus the largest others
     // up to the budget; everything else merges into one fresh generation
     val others = codeGens.filterNot(_ == qgen)
     val quota = math.max(0, maxGens - (if (codeGens.contains(qgen)) 1 else 0) - 1)
-    val keep = others.sortBy(g => (-sizeOf(g), -g)).take(quota)
+    val keep = others.sortBy(g => (-sizeOf(g), -indexGenNumber(g), g)).take(quota)
     val victims = others.filterNot(keep.contains)
     if (victims.size <= 1) return 0 // rewriting one gen eliminates nothing
     val gen = math.max(nextIndexGen(spark, indexDir), ver + 1)
+    val genId = newIndexGenId(gen)
     def merge(artifact: String): Unit =
       victims.map { g =>
         val dir = s"$indexDir/gen=$g/$artifact"
@@ -1041,10 +1060,10 @@ object Similarity {
       }.reduce(_.unionByName(_))
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$indexDir/gen=$gen/$artifact")
+        .parquet(s"$indexDir/gen=$genId/$artifact")
     merge("codes")
     merge("vectors")
-    val live = (codeGens.filter(g => g == qgen || keep.contains(g)) :+ gen)
+    val live = (codeGens.filter(g => g == qgen || keep.contains(g)) :+ genId)
     ManifestStore.commitVersioned(spark, indexDir, "_index", gen,
       s"quantizers\t$qgen\n" + live.map(g => s"codes\t$g").mkString("\n") + "\n")
     victims.size
@@ -1056,13 +1075,13 @@ object Similarity {
   def vacuumIndex(spark: SparkSession, indexDir: String): Int = {
     val live = ManifestStore.readVersioned(spark, indexDir, "_index")
       .map { case (_, c) => val (q, gs) = parseIndexManifest(c); (gs :+ q).toSet }
-      .getOrElse(Set.empty)
+      .getOrElse(Set.empty[String])
     val hfs = ManifestStore.fs(spark, indexDir)
     val dir = new org.apache.hadoop.fs.Path(indexDir)
     if (!hfs.exists(dir)) return 0
     val dead = hfs.listStatus(dir).map(_.getPath)
       .filter(p => p.getName.startsWith("gen=") &&
-        !live.contains(p.getName.stripPrefix("gen=").toLong))
+        !live.contains(p.getName.stripPrefix("gen=")))
     dead.foreach(p => hfs.delete(p, true))
     dead.length
   }
