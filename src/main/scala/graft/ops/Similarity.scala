@@ -850,10 +850,15 @@ object Similarity {
   // ---------------------------------------------------------------------
 
   /** A loaded persisted index (see layout above). `vectors` carries the
-    * raw per-cell vectors backing the exact re-rank stage. */
-  final case class AnnIndex(
-      coarse: DataFrame, codebooks: DataFrame, codes: DataFrame,
-      vectors: DataFrame, dims: Int, m: Int)
+    * raw per-cell vectors backing the exact re-rank stage — constructed
+    * LAZILY: building the frame lists the generations' vector directories
+    * and reads parquet footers for schema, a cost ADC-only serving
+    * ([[ivfPqTopKIndexed]]) must not pay for an artifact it never scans. */
+  final class AnnIndex(
+      val coarse: DataFrame, val codebooks: DataFrame, val codes: DataFrame,
+      vectorsThunk: () => DataFrame, val dims: Int, val m: Int) {
+    lazy val vectors: DataFrame = vectorsThunk()
+  }
 
   /** Generation IDs are directory-name suffixes: historically bare numbers,
     * since round 9 writers mint `<V>-<token>` (both forms parse and read).
@@ -1009,11 +1014,11 @@ object Similarity {
       val dir = s"$indexDir/gen=$g/$artifact"
       spark.read.option("basePath", dir).parquet(dir)
     }.reduce(_.unionByName(_))
-    AnnIndex(
+    new AnnIndex(
       coarse = spark.read.parquet(s"$indexDir/gen=$qgen/coarse"),
       codebooks = spark.read.parquet(s"$indexDir/gen=$qgen/codebooks"),
       codes = gens("codes"),
-      vectors = gens("vectors"),
+      vectorsThunk = () => gens("vectors"),
       dims = meta.getAs[Int]("dims"),
       m = meta.getAs[Int]("m"))
   }
