@@ -61,6 +61,11 @@ object GraftExtensions {
     ("freq_items", graft.expressions.FreqSketch.info,
       arity("freq_items", 2)(c => graft.expressions.FreqSketch.FreqItems(
         c(0), intLit(c(1), "freq_items", "k")))),
+    ("cms_sketch", graft.expressions.CmsSketch.info,
+      arity("cms_sketch", 3)(c => graft.expressions.CmsSketch.Cms(
+        c(0),
+        intLit(c(1), "cms_sketch", "d"),
+        intLit(c(2), "cms_sketch", "w")))),
     ("synth_image", ImageKernels.synthInfo,
       arity("synth_image", 1)(c => ImageKernels.SynthImage(c(0)))),
     ("image_decode", ImageKernels.decodeInfo,

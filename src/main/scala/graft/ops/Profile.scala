@@ -110,6 +110,33 @@ object Profile {
   }
 
   /**
+   * Count-Min point-frequency estimates ([[graft.expressions.CmsSketch]]):
+   * ONE O(d·w)-shuffle pass builds the sketch, then each key in `keys` is
+   * estimated from the counter matrix with the md5-affine bucket family —
+   * `est = min_i counters[i][bucket_i(key)]`, never below the true count,
+   * above it by ≤ εN w.h.p. at w = ⌈e/ε⌉. The sketch rides as a one-row
+   * broadcast; estimation is codegen'd built-ins (md5/conv/element_at), so
+   * probing any number of keys never rescans the corpus. The scale story
+   * vs `groupBy(key).count()`: the sketch pass shuffles d·w longs per
+   * partition regardless of key cardinality, and `keys` is typically a
+   * small probe set (rate-limit suspects, join-skew candidates), not the
+   * full domain.
+   */
+  def cmsEstimates(
+      df: DataFrame, keyCol: String, keys: DataFrame, d: Int, w: Int): DataFrame = {
+    val sketch = df.agg(
+      call_function("cms_sketch", col(keyCol), lit(d), lit(w)).as("_sk"))
+    val h = conv(substring(md5(col("item").cast("binary")), 1, 8), 16, 10).cast("long")
+    val est = (0 until d).map { i =>
+      val bkt = (h * lit(2L * i + 1) + lit(98765L * i + 12345L)) % lit(2147483647L) % lit(w)
+      element_at(element_at(col("_sk"), i + 1), (bkt + 1).cast("int"))
+    }.reduce(least(_, _))
+    keys.select(col(keyCol).as("item"))
+      .crossJoin(broadcast(sketch))
+      .select(col("item"), est.as("est"))
+  }
+
+  /**
    * Key-occupancy skew profile — the pre-flight diagnostic behind the
    * [[Scale]] decisions: whether a join/aggregation key needs salting
    * (`max_cnt`/`p99_cnt` ≫ `p50_cnt`), what salt factor bounds the hot

@@ -148,6 +148,20 @@ object EventQueries {
     "q_profile_skew" -> ((s, dir) =>
       Profile.keySkew(Tpch.read(s, dir, "events"), "user_id")),
 
+    // Count-Min point-frequency estimates (cms_sketch aggregate): the
+    // sketch's counter matrix is a pure function of the input MULTISET
+    // (merge = elementwise addition), so the DuckDB oracle replays the
+    // d=4 × w=32 sketch bit-for-bit — estimates INCLUDING collision
+    // overcounts must match exactly, not just approximately
+    "q_profile_cms" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      val ev = Tpch.read(s, dir, "events")
+      val keys = ev.where(col("event_type").isNotNull)
+        .select("event_type").distinct()
+      Profile.cmsEstimates(ev, "event_type", keys, d = 4, w = 32)
+        .orderBy("item")
+    }),
+
     // Skew-aware two-phase nesting (Scale.saltedCollectList): per-type
     // event-id lists built under a salt so no single task holds more than
     // ~1/8 of a hot key's collect_list state; the flattened list is sorted
@@ -304,6 +318,23 @@ object EventQueries {
       """SELECT event_type,
         |       array_to_string(list_sort(list(event_id)), ',') AS items
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // full sketch replay: per-row buckets from the shared md5-affine hash
+    // family, per-cell totals, then min across rows — the exact CMS
+    // semantics including collisions
+    "q_profile_cms" ->
+      """WITH ev AS (SELECT event_type FROM events WHERE event_type IS NOT NULL),
+        |h AS (SELECT event_type,
+        |             ('0x' || substr(md5(event_type), 1, 8))::BIGINT AS h32,
+        |             count(*) AS cnt
+        |      FROM ev GROUP BY event_type),
+        |b AS (SELECT i, event_type, cnt,
+        |             ((h32 * (2*i + 1) + (98765*i + 12345)) % 2147483647) % 32 AS bkt
+        |      FROM h, range(4) t(i)),
+        |cell AS (SELECT i, bkt, SUM(cnt) AS total FROM b GROUP BY i, bkt)
+        |SELECT b.event_type AS item, CAST(MIN(cell.total) AS BIGINT) AS est
+        |FROM b JOIN cell ON cell.i = b.i AND cell.bkt = b.bkt
+        |GROUP BY b.event_type ORDER BY item""".stripMargin,
 
     // exact because distinct(event_type) <= k — see the query comment
     "q_profile_heavyhitters" ->

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.{CmsSketch, MinhashSigs}
+import graft.ops.Profile
+
+/**
+ * Count-Min sketch laws ([[graft.expressions.CmsSketch]]):
+ *  - the counter matrix equals a sequential reference computation of the
+ *    same multiset (bit-for-bit — the merge is elementwise addition, so
+ *    the distributed result is a pure function of the input multiset);
+ *  - partition layout cannot perturb it (1 vs 7 partitions, identical);
+ *  - estimates never undercount, and on a high-collision configuration
+ *    (w far below distinct keys) the mean overcount obeys the expected
+ *    N/w collision mass per row.
+ */
+class CmsSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Sequential reference: same hash family, same bucket math. */
+  private def reference(items: Seq[String], d: Int, w: Int): Array[Array[Long]] = {
+    val m = Array.fill(d, w)(0L)
+    items.foreach { s =>
+      val h = MinhashSigs.hash32(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      (0 until d).foreach(i => m(i)(CmsSketch.bucket(h, i, w)) += 1L)
+    }
+    m
+  }
+
+  private def sketchOf(df: org.apache.spark.sql.DataFrame, c: String, d: Int, w: Int) = {
+    GraftExtensions.register(spark)
+    df.agg(call_function("cms_sketch", col(c), lit(d), lit(w)).as("sk"))
+      .collect()(0).getSeq[scala.collection.Seq[Long]](0)
+      .map(_.toArray).toArray
+  }
+
+  test("sketch content equals the sequential reference and is partition-invariant") {
+    val items = (0 until 3000).map(i => s"key_${i % 97}") ++
+      (0 until 500).map(i => s"rare_$i")
+    val df = items.toDF("k")
+    val ref = reference(items, d = 4, w = 64)
+    val s1 = sketchOf(df.repartition(1), "k", 4, 64)
+    val s7 = sketchOf(df.repartition(7), "k", 4, 64)
+    assert(s1.map(_.toSeq).toSeq == ref.map(_.toSeq).toSeq, "sketch diverged from reference")
+    assert(s7.map(_.toSeq).toSeq == ref.map(_.toSeq).toSeq, "sketch is partition-dependent")
+    // null inputs are skipped, not counted
+    val withNulls = df.unionByName(Seq.fill(50)(null: String).toDF("k"))
+    assert(sketchOf(withNulls, "k", 4, 64).map(_.toSeq).toSeq == ref.map(_.toSeq).toSeq,
+      "nulls leaked into the counters")
+  }
+
+  test("estimates never undercount; collision overcount stays near N/w per row") {
+    // adversarial width: 2000 distinct keys into w=32 buckets — every
+    // bucket collides heavily, the regime where the min-over-rows earns
+    // its keep
+    val n = 6000
+    val items = (0 until n).map(i => s"u${i % 2000}")
+    val df = items.toDF("k")
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val keys = truth.keys.toSeq.toDF("k")
+    val est = Profile.cmsEstimates(df, "k", keys, d = 4, w = 32)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == truth.keySet)
+    truth.foreach { case (k, t) =>
+      assert(est(k) >= t, s"CMS undercounted $k: ${est(k)} < $t")
+    }
+    val meanOver = truth.map { case (k, t) => (est(k) - t).toDouble }.sum / truth.size
+    // each row's expected collision mass is ~(N - true)/w ≈ 187; min over
+    // 4 rows sits well under one row's mean — allow 2× headroom, this is
+    // deterministic data so the assertion is stable
+    assert(meanOver <= 2.0 * n / 32,
+      s"mean overcount $meanOver exceeds 2N/w=${2.0 * n / 32}")
+    info(f"mean overcount $meanOver%.1f vs single-row expectation ${n / 32.0}%.1f")
+  }
+}

@@ -213,4 +213,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchange >= 0 && partial > exchange,
       s"no partial sketch below the exchange:\n$p")
   }
+
+  test("cms_sketch aggregates partially before the exchange (O(d*w) shuffle volume)") {
+    // same shape contract as freq_items: the counter matrix combines
+    // map-side, so the exchange ships d*w-long buffers per partition, one
+    // record per distinct key never shuffles
+    val p = plan("q_profile_cms")
+    assert(p.contains("ObjectHashAggregate"), p)
+    val lines = p.linesIterator.toSeq
+    val exchange = lines.indexWhere(_.contains("Exchange"))
+    val partial = lines.lastIndexWhere(l =>
+      l.contains("ObjectHashAggregate") && l.contains("partial"))
+    assert(exchange >= 0 && partial > exchange,
+      s"no partial sketch below the exchange:\n$p")
+  }
 }
