@@ -73,4 +73,40 @@ class CmsSketchSpec extends SparkSpec {
       s"mean overcount $meanOver exceeds 2N/w=${2.0 * n / 32}")
     info(f"mean overcount $meanOver%.1f vs single-row expectation ${n / 32.0}%.1f")
   }
+
+  test("per-group sketches: one independent matrix per group key") {
+    GraftExtensions.register(spark)
+    val df = ((1 to 30).map(i => ("g1", s"v${i % 3}")) ++
+      (1 to 20).map(_ => ("g2", "only"))).toDF("g", "k").repartition(6)
+    val got = df.groupBy("g")
+      .agg(call_function("cms_sketch", col("k"), lit(2), lit(16)).as("sk"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[scala.collection.Seq[Long]](1).map(_.toArray).toArray).toMap
+    val refG1 = reference((1 to 30).map(i => s"v${i % 3}"), 2, 16)
+    val refG2 = reference(Seq.fill(20)("only"), 2, 16)
+    assert(got("g1").map(_.toSeq).toSeq == refG1.map(_.toSeq).toSeq)
+    assert(got("g2").map(_.toSeq).toSeq == refG2.map(_.toSeq).toSeq)
+  }
+
+  test("streaming: the sketch aggregates incrementally across micro-batches") {
+    GraftExtensions.register(spark)
+    implicit val ctx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = ms.toDS().toDF("k")
+      .agg(call_function("cms_sketch", col("k"), lit(2), lit(16)).as("sk"))
+      .writeStream.format("memory").queryName("cms_stream").outputMode("complete").start()
+    def current(): Seq[Seq[Long]] =
+      spark.table("cms_stream").collect()(0)
+        .getSeq[scala.collection.Seq[Long]](0).map(_.toSeq).toSeq
+    try {
+      ms.addData("a", "b", "a")
+      q.processAllAvailable()
+      assert(current() == reference(Seq("a", "b", "a"), 2, 16).map(_.toSeq).toSeq)
+      ms.addData("b", "c", "b")
+      q.processAllAvailable()
+      // cumulative: batch-2 counts add into the running counter state
+      assert(current() ==
+        reference(Seq("a", "b", "a", "b", "c", "b"), 2, 16).map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
 }
