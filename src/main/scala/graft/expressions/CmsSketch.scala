@@ -46,7 +46,11 @@ object CmsSketch {
 
   val Prime: Long = MinhashSigs.Prime // 2147483647
   val MaxDepth = 16
-  val MaxWidth = 1 << 20 // 16 MB of longs per buffer at the cap
+  // Every PARTIAL aggregate ships its full d×w matrix through the
+  // exchange; at the cap that is 16 × 65536 × 8 B = 8 MB per partition —
+  // already generous (w = 65536 gives ε ≈ 4·10⁻⁵), while an unbounded
+  // width would let one aggregate allocate executor-memory-sized buffers.
+  val MaxWidth = 1 << 16
 
   val resultType: DataType =
     ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
