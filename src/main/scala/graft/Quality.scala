@@ -192,6 +192,13 @@ object Quality {
       topkMap(Similarity.ivfPqTopKRerank(
         e, cents, cbR16, queries, 10, nprobe = 2, shortlist = 256,
         dims = 64, m = 8)), exact10)
+    // the full knob story: with re-rank absorbing the quantization error,
+    // recall tracks the nprobe ceiling — raising nprobe is now the ONLY
+    // lever left, and it buys exactly what the exact scan would
+    val rerank8 = recallAtK(
+      topkMap(Similarity.ivfPqTopKRerank(
+        e, cents, cbR16, queries, 10, nprobe = 8, shortlist = 1024,
+        dims = 64, m = 8)), exact10)
 
     val json =
       s"""{"sf_dir":"$sfDir","text":{"docs":${docs.count()},"truth_pairs_j80":${truth80.size},""" +
@@ -199,6 +206,7 @@ object Quality {
         s""""simhash64_h3":{"recall":$shR,"precision":$shP}},""" +
         s""""ann":{"queries":${exact10.size},${ivf.mkString(",")},${pq.mkString(",")},""" +
         s""""ivfpq_m8_k64_nprobe2_at10":$ivfpqK64,"ivfpq_rerank_at10":$rerank,""" +
+        s""""ivfpq_rerank_nprobe8_at10":$rerank8,""" +
         s""""residual_energy_ratio":$energy}}"""
     println(json)
     Files.writeString(Paths.get("QUALITY.json"), json + "\n")

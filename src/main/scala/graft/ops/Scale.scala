@@ -136,4 +136,30 @@ object Scale {
       .agg(collect_list(payload).as("_part"))
       .groupBy(col(key))
       .agg(flatten(collect_list(col("_part"))).as("items"))
+
+  /**
+   * MEASURED salting decision — the missing step between
+   * [[graft.ops.Profile.keySkew]] (the diagnostic) and
+   * [[saltedJoin]]/[[saltedCollectList]] (the remedies): one cheap skew
+   * pass, then the salt factor the measurement implies. A hot key whose
+   * occupancy is within `threshold`× the median needs no salting (factor
+   * 1 — salting uniform data only adds a second aggregation phase);
+   * beyond that, the factor is max_cnt/p50_cnt rounded up — enough salt
+   * lanes that the hot key's per-lane share sinks to ~the median key's
+   * task size — capped at `cap` (each lane replicates the join's build
+   * side / adds partial-aggregate state, so unbounded factors are their
+   * own skew problem). Deterministic given the data; at 100 TB this is
+   * the pre-flight that stops a whale key from wedging the shuffle
+   * WITHOUT hand-tuning a constant per pipeline.
+   */
+  def autoSaltFactor(
+      df: DataFrame, key: String, threshold: Double = 4.0, cap: Int = 64): Int = {
+    require(threshold >= 1.0, s"threshold must be >= 1, got $threshold")
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val r = Profile.keySkew(df, key).select("max_cnt", "p50_cnt").collect()(0)
+    val maxCnt = r.getLong(0).toDouble
+    val p50 = math.max(1.0, r.getDouble(1))
+    if (maxCnt <= threshold * p50) 1
+    else math.min(cap.toLong, math.ceil(maxCnt / p50).toLong).toInt
+  }
 }
