@@ -216,7 +216,10 @@ object Bench {
           if t > 0.2 && medians.get(name).exists(m => t > 1.5 * m) =>
         val (t2, e2) = measure(name)
         val best = if (e2.isEmpty && t2 < t) t2 else t
-        (name, best, Option.empty[String], Some((t, t2)))
+        // record the pair only when the re-measure succeeded — a failed
+        // retry would write its -1 sentinel as if it were seconds
+        val pair = if (e2.isEmpty) Some((t, t2)) else Option.empty[(Double, Double)]
+        (name, best, Option.empty[String], pair)
       case (name, t, e) => (name, t, e, Option.empty[(Double, Double)])
     }
 
@@ -239,7 +242,11 @@ object Bench {
           case (name, t, None, rq) if slowest.contains(name) =>
             val (t2, e2) = measure(name)
             val best = if (e2.isEmpty && t2 < t) t2 else t
-            (name, best, Option.empty[String], rq.orElse(Some((t, t2))))
+            // the audit pair must describe the FINAL re-measure (the one
+            // whose min is reported), not a stale median-pass pair; and a
+            // failed retry must not record its -1 sentinel as seconds
+            val pair = if (e2.isEmpty) Some((t, t2)) else rq
+            (name, best, Option.empty[String], pair)
           case other => other
         }
       }

@@ -124,6 +124,7 @@ object Profile {
    */
   def cmsEstimates(
       df: DataFrame, keyCol: String, keys: DataFrame, d: Int, w: Int): DataFrame = {
+    graft.GraftExtensions.register(df.sparkSession) // cms_sketch is a graft-native fn
     val sketch = df.agg(
       call_function("cms_sketch", col(keyCol), lit(d), lit(w)).as("_sk"))
     val h = conv(substring(md5(col("item").cast("binary")), 1, 8), 16, 10).cast("long")

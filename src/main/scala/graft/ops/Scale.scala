@@ -157,6 +157,7 @@ object Scale {
     require(threshold >= 1.0, s"threshold must be >= 1, got $threshold")
     require(cap >= 1, s"cap must be >= 1, got $cap")
     val r = Profile.keySkew(df, key).select("max_cnt", "p50_cnt").collect()(0)
+    if (r.isNullAt(0) || r.isNullAt(1)) return 1 // empty frame: nothing to salt
     val maxCnt = r.getLong(0).toDouble
     val p50 = math.max(1.0, r.getDouble(1))
     if (maxCnt <= threshold * p50) 1

@@ -976,6 +976,7 @@ object Similarity {
       .getOrElse(throw new IllegalStateException(
         s"no committed index under $indexDir to append to"))
     val (qgen, codeGens) = parseIndexManifest(content)
+    requireVectorsArtifact(spark, indexDir, codeGens, "appendToIndex")
     // An empty delta is a no-op: committing a row-less generation would
     // leave an uninferrable-schema parquet dir in the manifest.
     if (delta.isEmpty) return
@@ -992,6 +993,23 @@ object Similarity {
     val codeLines = (codeGens :+ genId).map(g => s"codes\t$g").mkString("\n")
     ManifestStore.commitVersioned(spark, indexDir, "_index", gen,
       s"quantizers\t$qgen\n$codeLines\n")
+  }
+
+  /** Fail-loud guard for the round-9 layout: every committed code
+    * generation must carry the raw-vector artifact. A pre-round-9 index
+    * (codes-only generations) would otherwise accept the operation and
+    * break LATER — readIndex's vectors union, the re-rank path and
+    * compaction all throw PATH_NOT_FOUND at first use, far from the
+    * cause. Rebuild such an index with [[writeIndex]] first. */
+  private def requireVectorsArtifact(
+      spark: SparkSession, indexDir: String, codeGens: Seq[String], op: String): Unit = {
+    val hfs = ManifestStore.fs(spark, indexDir)
+    val missing = codeGens.filterNot(g =>
+      hfs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/gen=$g/vectors")))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"$op: index at $indexDir has generations without the vectors artifact " +
+        s"(${missing.mkString(", ")}) — a pre-vectors-layout index; rebuild with " +
+        "writeIndex before appending/compacting")
   }
 
   /** True iff `indexDir` holds a committed index (a `_index.<v>` manifest
@@ -1030,15 +1048,21 @@ object Similarity {
    * lists (and on an object store pays a round-trip per) each generation's
    * partition directory. Compaction rewrites the SMALLEST code generations
    * (by on-disk bytes — cheapest rewrite volume per directory eliminated)
-   * into one consolidated generation until at most `maxGens` code
-   * generations remain, then commits through the same atomic
-   * never-reused-manifest-name rename. The quantizers generation is never
-   * a victim (it also anchors coarse/codebooks/meta); serving results are
-   * identical before and after (codes are content, not order, and the
-   * rewrite unions then re-clusters by cell). A crash mid-rewrite leaves
-   * an unreferenced generation — invisible, vacuumable.
+   * into one consolidated generation, then commits through the same
+   * atomic never-reused-manifest-name rename. The quantizers generation
+   * is never a victim (it also anchors coarse/codebooks/meta), so the
+   * REACHABLE floor is 2 code generations when the quantizers gen holds
+   * codes (the full-build case): `maxGens = 1` compacts as far as the
+   * layout allows — down to {quantizers gen, one merged gen} — and then
+   * reports 0, it does NOT rewrite the quantizers gen's codes. Serving
+   * results are identical before and after (codes are content, not
+   * order, and the rewrite unions then re-clusters by cell). A crash
+   * mid-rewrite leaves an unreferenced generation — invisible,
+   * vacuumable.
    *
-   * Returns the number of generations eliminated (0 if already compact).
+   * Returns the number of generations eliminated (0 when no merge can
+   * reduce the count further — "as compact as the layout permits", which
+   * callers must NOT read as `codeGens.size <= maxGens`).
    */
   def compactIndex(spark: SparkSession, indexDir: String, maxGens: Int = 1): Int = {
     require(maxGens >= 1, "maxGens must be at least 1")
@@ -1046,16 +1070,22 @@ object Similarity {
       .getOrElse(return 0)
     val (qgen, codeGens) = parseIndexManifest(content)
     if (codeGens.size <= maxGens) return 0
+    requireVectorsArtifact(spark, indexDir, codeGens, "compactIndex")
     val hfs = ManifestStore.fs(spark, indexDir)
-    def sizeOf(g: String): Long =
-      hfs.getContentSummary(new org.apache.hadoop.fs.Path(s"$indexDir/gen=$g/codes")).getLength
+    // one namespace walk per generation, NOT one per sort comparison
+    // (sortBy re-evaluates its key function each compare; getContentSummary
+    // is a recursive listing — an object-store round-trip storm at scale)
+    val sizes: Map[String, Long] = codeGens.filterNot(_ == qgen).map { g =>
+      g -> hfs.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$indexDir/gen=$g/codes")).getLength
+    }.toMap
     // keep the quantizers gen (if it holds codes) plus the largest others
     // up to the budget; everything else merges into one fresh generation
     val others = codeGens.filterNot(_ == qgen)
     val quota = math.max(0, maxGens - (if (codeGens.contains(qgen)) 1 else 0) - 1)
-    val keep = others.sortBy(g => (-sizeOf(g), -indexGenNumber(g), g)).take(quota)
+    val keep = others.sortBy(g => (-sizes(g), -indexGenNumber(g), g)).take(quota)
     val victims = others.filterNot(keep.contains)
-    if (victims.size <= 1) return 0 // rewriting one gen eliminates nothing
+    if (victims.size <= 1) return 0 // merging one gen can't reduce the count
     val gen = math.max(nextIndexGen(spark, indexDir), ver + 1)
     val genId = newIndexGenId(gen)
     def merge(artifact: String): Unit =

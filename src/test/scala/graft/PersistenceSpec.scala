@@ -297,6 +297,17 @@ class PersistenceSpec extends SparkSpec {
     assert(key(Similarity.ivfPqTopKIndexed(
       Similarity.readIndex(spark, dirInc), queries, 3, nprobe = 2)) == preCompact,
       "vacuum after compaction changed serving")
+
+    // legacy layout (a generation without the vectors artifact): append and
+    // compact must fail LOUD at the operation, not PATH_NOT_FOUND at first
+    // re-rank use far from the cause
+    val legacyGen = manifestCodeGens(dirInc).head.stripPrefix("codes\t")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dirInc/gen=$legacyGen/vectors"), true)
+    val eApp = intercept[IllegalStateException](
+      Similarity.appendToIndex(
+        embs.where($"vec_id" === 1L).select(($"vec_id" + 900L).as("vec_id"), $"embedding"),
+        dirInc))
+    assert(eApp.getMessage.contains("vectors artifact"), eApp.getMessage)
   }
 
   test("S5-manifest: committed generations are immutable — a reader's snapshot survives an upsert") {

@@ -101,26 +101,21 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast (probes, LUT, shortlist, queries are all bounded-small) —
     // a SortMergeJoin would shuffle corpus-scale mass for a per-query
     // candidate set.
-    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-      .select(org.apache.spark.sql.functions.col("vec_id"),
-        org.apache.spark.sql.functions.col("embedding"))
-    val idxDir = java.nio.file.Files.createTempDirectory("graft_plan_idx").toString
-    try {
-      Similarity.buildIndex(e, idxDir, dims = 64, m = 4, coarseK = 4, pqK = 4, iters = 1)
-      val idx = Similarity.readIndex(spark, idxDir)
-      val queries = e.where(org.apache.spark.sql.functions.col("vec_id") < 2)
-        .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
-          org.apache.spark.sql.functions.col("embedding").as("qvec"))
-      val p = Similarity.ivfPqTopKIndexedRerank(idx, queries, 3, nprobe = 2, shortlist = 16)
-        .queryExecution.executedPlan.toString
-      val cellFilters = "PartitionFilters: \\[[^\\]]*cell".r.findAllIn(p).size
-      assert(cellFilters >= 2,
-        s"expected probe-cell partition filters on codes AND vectors scans, found $cellFilters:\n$p")
-      assert(!p.contains("SortMergeJoin"), s"re-rank planned a shuffle join:\n$p")
-      assert(!p.contains("CartesianProduct"), s"re-rank planned a cartesian:\n$p")
-    } finally {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
-    }
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val idxDir = tmpDir("graft_plan_idx")
+    Similarity.buildIndex(e, idxDir, dims = 64, m = 4, coarseK = 4, pqK = 4, iters = 1)
+    val idx = Similarity.readIndex(spark, idxDir)
+    val queries = e.where(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val p = Similarity.ivfPqTopKIndexedRerank(idx, queries, 3, nprobe = 2, shortlist = 16)
+      .queryExecution.executedPlan.toString
+    val cellFilters = "PartitionFilters: \\[[^\\]]*cell".r.findAllIn(p).size
+    assert(cellFilters >= 2,
+      s"expected probe-cell partition filters on codes AND vectors scans, found $cellFilters:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"re-rank planned a shuffle join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"re-rank planned a cartesian:\n$p")
   }
 
   test("similarity scoring cross-products are broadcast-side only") {
