@@ -1080,4 +1080,73 @@ object Dedup {
         (col("shared").cast("double") / least(col("n_a"), col("n_b"))).as("containment"))
       .where(col("containment") >= threshold)
   }
+
+  /**
+   * Exact-substring (span-level) deduplication — the Lee et al. 2021
+   * ("Deduplicating Training Data Makes Language Models Better",
+   * arXiv:2107.06499) ExactSubstr operation, re-expressed relationally:
+   * document-LEVEL dedup keeps near-identical pages apart, but memorized
+   * boilerplate — license headers, navigation chrome, templated
+   * paragraphs — recurs INSIDE otherwise-distinct documents, and span
+   * dedup is what removes it. Every `n`-token window whose exact content
+   * occurs more than once in the corpus (across documents or repeated
+   * within one) is boilerplate by definition here; all tokens covered by
+   * any duplicated window are cut from every document, and the text is
+   * rebuilt from the survivors.
+   *
+   * The reference implementation uses a corpus-wide suffix array — a
+   * sequential construction that does not distribute. The relational
+   * form: window-hash → global occurrence count → covered-position marks
+   * → anti-join rebuild. Cost is one shuffle of the window-hash mass
+   * (tokens × 1 rows — each position starts one window), one of the
+   * duplicated positions, and the rebuild's per-document aggregation; no
+   * self-join ever materializes pairs of occurrences, so a window
+   * occurring k times costs k rows, not k². Window hashes are the
+   * engine-standard md5-derived 32-bit values over the space-joined
+   * window ([[TextOps.hash32]] semantics) — deterministic, and exactly
+   * replayable by the DuckDB oracle.
+   *
+   * Removal is aggressive by contract (EVERY occurrence is cut, no
+   * canonical survivor): the keep-one variant needs a global
+   * (doc, position) tie-break whose interaction with overlapping spans is
+   * a curation-policy decision, not an engine primitive. Hash collisions
+   * (32-bit) can spuriously merge distinct windows at ~N²/2³² odds — the
+   * standard trade, same as the fingerprint operators.
+   *
+   * Returns `(id, text_clean, n_tokens, n_kept)` for documents with ≥1
+   * surviving token (fully-boilerplate documents drop out — which IS the
+   * curation signal).
+   */
+  def exactSubstringDedup(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"window length must be >= 1, got $n")
+    val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+    val m = size(col("t"))
+    // one window per starting position p (1-based); sequence(1, 0) would
+    // yield a DESCENDING [1, 0] — guard short docs to an empty window set
+    val winExpr = when(m >= n,
+      transform(sequence(lit(1), m - n + 1), p =>
+        struct(p.as("p"),
+          conv(substring(md5(array_join(slice(col("t"), p, lit(n)), " ").cast("binary")), 1, 8),
+            16, 10).cast("long").as("h"))))
+      .otherwise(array().cast("array<struct<p:int,h:bigint>>"))
+    val wins = toks.select(col("id"), explode(winExpr).as("w"))
+      .select(col("id"), col("w.p").as("p"), col("w.h").as("h"))
+    // duplicated = total occurrence count > 1 (within- or cross-document)
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("c")).where(col("c") > 1).select("h")
+    val cut = wins.join(dup, "h")
+      .select(col("id"), explode(sequence(col("p"), col("p") + lit(n - 1))).as("pos"))
+      .distinct()
+    val tok = toks.select(col("id"), posexplode(col("t")).as(Seq("pos0", "tok")))
+      .select(col("id"), (col("pos0") + 1).as("pos"), col("tok"))
+    tok.join(cut, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(
+        array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))), s => s("tok")),
+          " ").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+      .join(toks.select(col("id"), m.cast("long").as("n_tokens")), "id")
+      .select("id", "text_clean", "n_tokens", "n_kept")
+  }
 }

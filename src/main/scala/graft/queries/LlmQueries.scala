@@ -642,6 +642,19 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Exact-substring (span) dedup, Lee et al. 2021 ExactSubstr: every
+    // 10-token window occurring more than once in the corpus (the planted
+    // mutants share all windows past their first 2 tokens with their
+    // source) is cut from every document; text rebuilt from survivors.
+    // The whole chain — window hashes, duplication counts, covered
+    // positions, rebuild — is replayed by the oracle, so the cleaned
+    // strings must match byte-for-byte
+    "q_dedup_exact_substring" -> ((s, dir) => {
+      Dedup.exactSubstringDedup(docsWithNearDups(s, dir), "doc_id", "text", n = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Boilerplate line removal: every doc gets a planted per-source
     // boilerplate line (appears in 100% of its source's docs → dropped)
     // plus a doc-unique footer (kept) — the output must strip exactly the
@@ -1320,6 +1333,31 @@ object LlmQueries {
          |       FROM shared s JOIN cnt ca ON ca.id = s.id_a JOIN cnt cb ON cb.id = s.id_b)
          |SELECT id_a, id_b, containment FROM sc WHERE containment >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // span dedup oracle: full replay — window md5 hashes, global
+    // duplication counts, covered positions, survivor rebuild
+    "q_dedup_exact_substring" ->
+      s"""WITH $mutCte,
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM alldocs),
+         |wpos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 9)) AS p
+         |         FROM toks WHERE len(t) >= 10),
+         |win AS (SELECT doc_id, p,
+         |               ('0x' || substr(md5(array_to_string(t[p:p+9], ' ')), 1, 8))::BIGINT AS h
+         |        FROM wpos),
+         |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1),
+         |cut AS (SELECT DISTINCT doc_id, pos FROM (
+         |          SELECT w.doc_id, unnest(generate_series(w.p, w.p + 9)) AS pos
+         |          FROM win w JOIN dup USING (h))),
+         |tok AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok FROM toks),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+         |         LEFT JOIN cut c ON c.doc_id = t.doc_id AND c.pos = t.pos
+         |         WHERE c.pos IS NULL),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+         |               count(*) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT a.doc_id, a.text_clean, CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |       CAST(a.n_kept AS BIGINT) AS n_kept
+         |FROM agg a JOIN toks t ON t.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin,
 
     "q_text_boilerplate" ->
       """WITH dd AS (SELECT doc_id, source,

@@ -1076,4 +1076,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(!out(0).isNullAt(1) && out(0).getStruct(1).getInt(1) == 2) // id 5 → stereo
     assert(out(1).isNullAt(1), "corrupt payload must decode to NULL, not throw")
   }
+
+  test("Dedup: exact-substring span dedup cuts every duplicated window occurrence") {
+    // n=3 windows, hand-computable: a and b share the span "s1 s2 s3"
+    // (cross-doc dup), d repeats its own 3-window internally (within-doc
+    // dup, fully covered -> drops out), c is unique, e is shorter than a
+    // window (untouched even though its tokens appear inside others' spans)
+    val docs = Seq(
+      (1L, "x1 x2 s1 s2 s3 x3"),
+      (2L, "y1 s1 s2 s3 y2 y3"),
+      (3L, "z1 z2 z3 z4"),
+      (4L, "w1 w2 w3 w1 w2 w3"),
+      (5L, "s1 s2")).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringDedup(docs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, "x1 x2 x3", 6L, 3L),   // span at p=3 cut
+      (2L, "y1 y2 y3", 6L, 3L),   // same span at p=2 cut
+      (3L, "z1 z2 z3 z4", 4L, 4L), // unique windows survive whole
+      (5L, "s1 s2", 2L, 2L)),     // sub-window doc untouched; doc 4 fully cut
+      s"unexpected span-dedup output: $out")
+  }
 }
