@@ -1137,16 +1137,19 @@ object Dedup {
     val cut = wins.join(dup, "h")
       .select(col("id"), explode(sequence(col("p"), col("p") + lit(n - 1))).as("pos"))
       .distinct()
-    val tok = toks.select(col("id"), posexplode(col("t")).as(Seq("pos0", "tok")))
-      .select(col("id"), (col("pos0") + 1).as("pos"), col("tok"))
+    // n_tokens rides the exploded rows (constant per id) so the rebuild
+    // needs no third corpus scan to re-derive it via a join
+    val tok = toks
+      .select(col("id"), m.cast("long").as("n_tokens"),
+        posexplode(col("t")).as(Seq("pos0", "tok")))
+      .select(col("id"), col("n_tokens"), (col("pos0") + 1).as("pos"), col("tok"))
     tok.join(cut, Seq("id", "pos"), "left_anti")
-      .groupBy("id")
+      .groupBy("id", "n_tokens")
       .agg(
         array_join(
           transform(sort_array(collect_list(struct(col("pos"), col("tok")))), s => s("tok")),
           " ").as("text_clean"),
         count(lit(1)).as("n_kept"))
-      .join(toks.select(col("id"), m.cast("long").as("n_tokens")), "id")
       .select("id", "text_clean", "n_tokens", "n_kept")
   }
 }
