@@ -98,7 +98,7 @@ object BenchScale {
     * join, and a plain shuffle-heavy aggregate as a control. */
   private val stressQueries = Seq(
     "q_dedup_clusters", "q_dedup_clusters_star", "q_dedup_clusters_auto",
-    "q_dedup_minhash_lsh", "q_dedup_jaccard_blocked",
+    "q_dedup_minhash_lsh", "q_dedup_jaccard_blocked", "q_dedup_exact_substring",
     "q_embed_semdedup", "q_contamination_semantic",
     "q_sim_ivfpq", "q_sim_pq",
     "q_text_perplexity2", "q_j4_union")
