@@ -138,6 +138,23 @@ object Profile {
   }
 
   /**
+   * Merge per-shard Count-Min sketches WITHOUT rescanning any shard — the
+   * continuous-ingest form: each ingest batch stores its own
+   * `cms_sketch` matrix (a few KB), and corpus-wide point estimates come
+   * from folding the stored matrices elementwise (CMS merge IS addition,
+   * so merged-then-estimate ≡ sketch-of-union exactly, spec-pinned). One
+   * row out; cost ∝ number of shards, independent of corpus size.
+   */
+  def cmsMergeAll(sketches: DataFrame, sketchCol: String): DataFrame =
+    sketches.agg(
+      aggregate(
+        collect_list(col(sketchCol)),
+        lit(null).cast(sketches.schema(sketchCol).dataType),
+        (acc, x) => when(acc.isNull, x).otherwise(
+          zip_with(acc, x, (ra, rb) => zip_with(ra, rb, (a, b) => a + b))))
+        .as(sketchCol))
+
+  /**
    * Key-occupancy skew profile — the pre-flight diagnostic behind the
    * [[Scale]] decisions: whether a join/aggregation key needs salting
    * (`max_cnt`/`p99_cnt` ≫ `p50_cnt`), what salt factor bounds the hot

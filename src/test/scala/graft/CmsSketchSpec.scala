@@ -74,6 +74,24 @@ class CmsSketchSpec extends SparkSpec {
     info(f"mean overcount $meanOver%.1f vs single-row expectation ${n / 32.0}%.1f")
   }
 
+  test("sharded sketches merge to exactly the whole-corpus sketch (no rescan)") {
+    GraftExtensions.register(spark)
+    val shards = Seq(
+      (0 until 500).map(i => s"a${i % 13}"),
+      (0 until 300).map(i => s"b${i % 7}"),
+      (0 until 200).map(_ => "hot"))
+    // per-shard sketch tables (what continuous ingest would persist)...
+    val perShard = shards.map(items =>
+      items.toDF("k").agg(call_function("cms_sketch", col("k"), lit(3), lit(32)).as("sk")))
+      .reduce(_.unionByName(_))
+    // ...folded WITHOUT touching any shard's rows again
+    val merged = Profile.cmsMergeAll(perShard, "sk")
+      .collect()(0).getSeq[scala.collection.Seq[Long]](0).map(_.toSeq).toSeq
+    // CMS merge is addition: merged == the sketch of the concatenated corpus
+    assert(merged == reference(shards.flatten, 3, 32).map(_.toSeq).toSeq,
+      "merged shard sketches diverged from the whole-corpus sketch")
+  }
+
   test("per-group sketches: one independent matrix per group key") {
     GraftExtensions.register(spark)
     val df = ((1 to 30).map(i => ("g1", s"v${i % 3}")) ++

@@ -209,6 +209,15 @@ class PlanAuditSpec extends SparkSpec {
       s"no partial sketch below the exchange:\n$p")
   }
 
+  test("span dedup: equi-joins only — no occurrence-pair blowup") {
+    // the operator's scale claim is that k occurrences of a window cost k
+    // rows, never k² — so the plan must contain no cartesian and no
+    // nested-loop join anywhere (duplication is a groupBy + equi-joins)
+    val p = plan("q_dedup_exact_substring")
+    assert(!p.contains("CartesianProduct"), s"span dedup planned a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"span dedup planned an NLJ:\n$p")
+  }
+
   test("cms_sketch aggregates partially before the exchange (O(d*w) shuffle volume)") {
     // same shape contract as freq_items: the counter matrix combines
     // map-side, so the exchange ships d*w-long buffers per partition, one
