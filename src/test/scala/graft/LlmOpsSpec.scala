@@ -1096,5 +1096,21 @@ class LlmOpsSpec extends SparkSpec {
       (3L, "z1 z2 z3 z4", 4L, 4L), // unique windows survive whole
       (5L, "s1 s2", 2L, 2L)),     // sub-window doc untouched; doc 4 fully cut
       s"unexpected span-dedup output: $out")
+
+    // identical twin docs: EVERY window duplicated -> both drop out
+    // entirely, and uninvolved docs are untouched
+    val twins = Seq(
+      (1L, "t1 t2 t3 t4 t5"), (2L, "t1 t2 t3 t4 t5"), (3L, "u1 u2 u3 u4")
+    ).toDF("doc_id", "text")
+    val twinOut = Dedup.exactSubstringDedup(twins, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(twinOut == Set((3L, "u1 u2 u3 u4")), s"twin handling wrong: $twinOut")
+
+    // n=1 degenerates to token-level dedup: any token occurring twice
+    // anywhere is cut everywhere
+    val tokLevel = Dedup.exactSubstringDedup(
+      Seq((1L, "a b c"), (2L, "b d")).toDF("doc_id", "text"), "doc_id", "text", n = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(tokLevel == Set((1L, "a c"), (2L, "d")), s"n=1 semantics wrong: $tokLevel")
   }
 }
