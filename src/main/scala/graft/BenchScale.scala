@@ -110,6 +110,12 @@ object BenchScale {
   }
 
   def main(args: Array[String]): Unit = {
+    // Optional name-prefix filter for local iteration (mirrors Bench/Verify);
+    // a filtered run skips the experiments and does NOT write the record.
+    val selected =
+      if (args.isEmpty) stressQueries
+      else stressQueries.filter(n => args.exists(n.startsWith))
+    val fullRun = args.isEmpty
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dst = sys.env.getOrElse(
       "SPARK_GRAFT_SCALE_DIR", s"${sys.props("java.io.tmpdir")}/graft_sf10x")
@@ -153,7 +159,7 @@ object BenchScale {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
-    for (name <- stressQueries) {
+    for (name <- selected) {
       try SparkEntry.queries(name)(spark, warm)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -163,7 +169,7 @@ object BenchScale {
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-    val perQuery = stressQueries.map { name =>
+    val perQuery = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val t1 = time(fn(spark, src).write.format("noop").mode("overwrite").save())
       releaseResidue(spark, keep)
@@ -172,6 +178,8 @@ object BenchScale {
       println(s"[scale10x] $name sf0.1=${num(t1)}s sf1=${num(t10)}s ratio=${num(t10 / t1)}")
       s""""$name":{"sf01":${num(t1)},"sf1":${num(t10)},"ratio":${num(t10 / t1)}}"""
     }
+
+    if (!fullRun) { spark.stop(); return }
 
     // SemDeDup √N experiment: same pipeline as q_embed_semdedup (corpus ∪
     // planted exact dups, threshold 0.95) at 10× with k=32 vs k=100 cells,

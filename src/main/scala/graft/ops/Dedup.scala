@@ -1096,12 +1096,16 @@ object Dedup {
    *
    * The reference implementation uses a corpus-wide suffix array — a
    * sequential construction that does not distribute. The relational
-   * form: window-hash → global occurrence count → covered-position marks
-   * → anti-join rebuild. Cost is one shuffle of the window-hash mass
-   * (tokens × 1 rows — each position starts one window), one of the
-   * duplicated positions, and the rebuild's per-document aggregation; no
-   * self-join ever materializes pairs of occurrences, so a window
-   * occurring k times costs k rows, not k². Window hashes are the
+   * form: window-hash → global occurrence count → per-doc island merge of
+   * duplicated window starts → covered-position marks → anti-join rebuild.
+   * Cost is one shuffle of the window-hash mass (tokens × 1 rows — each
+   * position starts one window), one of the duplicated window STARTS
+   * (1 row per occurrence — overlapping windows coalesce into [start, end]
+   * islands per document before any position is generated, so the
+   * covered-position mass is O(covered tokens), never n× it), and the
+   * rebuild's per-document aggregation; no self-join ever materializes
+   * pairs of occurrences, so a window occurring k times costs k rows,
+   * not k². Window hashes are the
    * engine-standard md5-derived 32-bit values over the space-joined
    * window ([[TextOps.hash32]] semantics) — deterministic, and exactly
    * replayable by the DuckDB oracle.
@@ -1134,9 +1138,28 @@ object Dedup {
       .select(col("id"), col("w.p").as("p"), col("w.h").as("h"))
     // duplicated = total occurrence count > 1 (within- or cross-document)
     val dup = wins.groupBy("h").agg(count(lit(1)).as("c")).where(col("c") > 1).select("h")
+    // Coalesce duplicated windows into per-document [start, end] islands
+    // BEFORE generating covered positions. Overlapping/adjacent windows are
+    // the common case (a duplicated run of length L starts L-n+1 windows,
+    // every one of them duplicated), so exploding each window's n positions
+    // and `distinct()`-ing — the round-9 plan — shuffles ~n× the duplicated
+    // -window mass only to collapse it again. Gap-and-island instead: one
+    // exchange of the duplicated window STARTS (1 row per occurrence, not
+    // n), a per-doc sort, islands split where the next start clears the
+    // previous window's coverage (p - prev_p > n), then positions are
+    // generated from the merged ranges — disjoint by construction, so no
+    // distinct. At ExactSubstr's canonical n=50 on a boilerplate-heavy
+    // corpus this is the difference between shuffling 50× the dup mass and
+    // shuffling it once.
+    val byDoc = Window.partitionBy("id").orderBy("p")
     val cut = wins.join(dup, "h")
-      .select(col("id"), explode(sequence(col("p"), col("p") + lit(n - 1))).as("pos"))
-      .distinct()
+      .select(col("id"), col("p"))
+      .withColumn("_new",
+        when(col("p") - lag("p", 1).over(byDoc) > n, 1).otherwise(0))
+      .withColumn("_island", sum("_new").over(byDoc))
+      .groupBy("id", "_island")
+      .agg(min("p").as("_start"), (max("p") + lit(n - 1)).as("_end"))
+      .select(col("id"), explode(sequence(col("_start"), col("_end"))).as("pos"))
     // n_tokens rides the exploded rows (constant per id) so the rebuild
     // needs no third corpus scan to re-derive it via a join
     val tok = toks
