@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -45,10 +45,17 @@ import org.apache.spark.sql.functions._
  *    NON-CORRUPTING rather than silently corrupting: generation ids carry
  *    a per-writer random token (`gen=<V>-<token>`), so two concurrent
  *    upserts write into structurally disjoint directories and race only
- *    on the manifest rename — rename-to-existing fails on HDFS/POSIX, so
- *    exactly one writer wins, the loser throws, and its token-unique
- *    debris (referenced by no manifest) is invisible and vacuumable. The
- *    winner's manifest cannot name a loser's files.
+ *    on the manifest commit — whose store-dependent primitive is the
+ *    pluggable [[CommitProtocol]]: `AtomicRename` (HDFS/POSIX-like
+ *    stores — FileContext rename WITHOUT overwrite, which fails on an
+ *    existing destination; the plain `FileSystem.rename` would silently
+ *    REPLACE on vanilla LocalFileSystem/POSIX) or `VersionedReadRepair`
+ *    (S3-class stores with no atomic fail-if-exists rename —
+ *    writer-unique manifest names, deterministic min-token winner at
+ *    read time, loser self-aborts). Under both, at most one writer
+ *    acknowledges a version, the loser throws, and its token-unique
+ *    debris (referenced by no winning manifest) is invisible and
+ *    vacuumable. The winner's manifest cannot name a loser's files.
  *  - Cost of the trade: orphan/superseded generation directories accumulate
  *    until [[vacuum]] (space, not correctness), and the manifest is a
  *    per-partition map held driver-side at commit time — at extreme
@@ -66,52 +73,192 @@ object ManifestStore {
     * 9 writers mint `<V>-<token>` ids (both forms parse and read). */
   final case class Manifest(version: Long, entries: Map[String, String])
 
-  private[ops] def fs(spark: SparkSession, path: String): FileSystem =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /**
+   * Commit-primitive strategy for the versioned-file protocol — the one
+   * store-dependent step. Everything else (immutable generation
+   * directories, never-reused version numbers, debris-until-named) is
+   * store-agnostic.
+   */
+  sealed trait CommitProtocol
+  object CommitProtocol {
+    /**
+     * HDFS / POSIX-like stores: tmp write + rename that FAILS if the
+     * destination exists. Implemented via `FileContext.rename` WITHOUT
+     * `Options.Rename.OVERWRITE` — the `FileSystem.rename` API is NOT a
+     * safe primitive here: vanilla Hadoop `LocalFileSystem`/POSIX
+     * `rename(2)` silently REPLACE an existing destination, so a racing
+     * loser would overwrite the winner's same-version manifest. On HDFS
+     * the no-overwrite check is atomic in the NameNode; on local
+     * filesystems FileContext enforces it with a check that closes the
+     * silent-overwrite hole (a vanishing TOCTOU window remains — use
+     * [[VersionedReadRepair]] where true multi-writer safety matters).
+     * For schemes with no `AbstractFileSystem` binding the fall-back is an
+     * explicit exists-check before `FileSystem.rename` (same contract,
+     * wider window).
+     */
+    case object AtomicRename extends CommitProtocol
 
-  private def manifestName(v: Long): String = f"_manifest.$v%012d"
+    /**
+     * Object stores with NO atomic fail-if-exists rename (S3: rename =
+     * copy+delete, destinations silently replaced): version-file names are
+     * made WRITER-UNIQUE (`<prefix>.<v>.<token>`), so no two writers ever
+     * contend on one name — the only atomicity required is "a completed
+     * PUT/rename appears as a whole object", which S3 and every POSIX-like
+     * store provide. Duplicate files for one version are RESOLVED AT READ
+     * TIME: the deterministic winner is the lexically smallest token.
+     * After its (uncontended) rename a writer lists the version's files;
+     * if ANY other writer's file is visible it aborts — deletes its own
+     * file and throws — so at most one writer ACKNOWLEDGES each version
+     * (two true-simultaneous racers can BOTH abort: no commit at that
+     * version, both throw, retry-able; never a half state). Remaining
+     * window, stated honestly: a writer that CRASHES between its rename
+     * and its visibility check leaves a same-version file that can shadow
+     * a concurrently-acknowledged winner if its token sorts lower — the
+     * store gives no primitive to close this without a conditional PUT
+     * (S3 `If-None-Match`), which the Hadoop FS API does not yet expose.
+     * Every resolvable state remains CONSISTENT (each candidate manifest
+     * names only complete, immutable generations derived from the prior
+     * version); the hazard is lost-update between two concurrent writers,
+     * which the store's single-writer contract already excludes — this
+     * tier exists to make a violation non-corrupting on S3, exactly as
+     * [[AtomicRename]] does on HDFS. [[vacuum]] reclaims non-winner
+     * duplicates.
+     */
+    case object VersionedReadRepair extends CommitProtocol
+
+    /** Session-level switch: `spark.graft.commit.protocol` =
+      * `rename` (default — HDFS/POSIX) | `read-repair` (S3-class stores). */
+    def fromConf(spark: SparkSession): CommitProtocol =
+      spark.conf.get("spark.graft.commit.protocol", "rename") match {
+        case "rename"      => AtomicRename
+        case "read-repair" => VersionedReadRepair
+        case other => throw new IllegalArgumentException(
+          s"spark.graft.commit.protocol must be rename|read-repair, got $other")
+      }
+  }
+
+  private[graft] def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   // -----------------------------------------------------------------------
   // THE commit protocol — shared by this table store and the persisted ANN
   // index ([[Similarity.writeIndex]]/appendToIndex): versioned text files
-  // `<prefix>.<zero-padded v>` written to a `.tmp` name and committed by
-  // ONE atomic rename into a never-reused final name. Everything else
+  // `<prefix>.<zero-padded v>[.<writer token>]` written to a `.tmp` name
+  // and committed by the [[CommitProtocol]] in force. Everything else
   // (data files, generation directories) is invisible debris until a
   // manifest names it.
   // -----------------------------------------------------------------------
 
-  /** Highest committed `<prefix>.<v>` under `dir`: `(version, content)`. */
-  private[ops] def readVersioned(
-      spark: SparkSession, dir: String, prefix: String): Option[(Long, String)] = {
-    val d = new Path(dir)
-    val hfs = fs(spark, dir)
-    if (!hfs.exists(d)) return None
-    val names = hfs.listStatus(d)
-      .map(_.getPath.getName)
-      .filter(n => n.startsWith(prefix + ".") && !n.endsWith(".tmp"))
-    if (names.isEmpty) return None
-    val name = names.max // zero-padded → lexical max = numeric max
-    val version = name.stripPrefix(prefix + ".").toLong
-    val in = hfs.open(new Path(d, name))
-    val content =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    Some((version, content))
+  /** Parse a committed version-file name: `(version, writerToken)` —
+    * token is "" for the rename-form `<prefix>.<v>`. `.tmp` and foreign
+    * names → None. */
+  private[graft] def parseVersioned(name: String, prefix: String): Option[(Long, String)] = {
+    if (!name.startsWith(prefix + ".") || name.endsWith(".tmp")) return None
+    val rest = name.stripPrefix(prefix + ".")
+    val dot = rest.indexOf('.')
+    val (v, tok) = if (dot < 0) (rest, "") else (rest.substring(0, dot), rest.substring(dot + 1))
+    if (v.nonEmpty && v.forall(_.isDigit)) Some((v.toLong, tok)) else None
   }
 
-  /** Commit `content` as `<prefix>.<zero-padded version>` via tmp write +
-    * atomic rename to the (never-reused) final name. */
-  private[ops] def commitVersioned(
+  /** All committed version files under `dir`: `(version, token, fileName)`.
+    * The committed content of version v is its lexically-SMALLEST-token
+    * file (rename-form "" sorts first) — deterministic under
+    * [[CommitProtocol.VersionedReadRepair]]'s duplicate-tolerant reads,
+    * and trivially unique under [[CommitProtocol.AtomicRename]]. */
+  private[graft] def listVersioned(
+      spark: SparkSession, dir: String, prefix: String): Seq[(Long, String, String)] = {
+    val d = new Path(dir)
+    val hfs = fs(spark, dir)
+    if (!hfs.exists(d)) return Seq.empty
+    hfs.listStatus(d).toSeq
+      .flatMap(st => parseVersioned(st.getPath.getName, prefix)
+        .map { case (v, tok) => (v, tok, st.getPath.getName) })
+  }
+
+  private def readFile(spark: SparkSession, dir: String, name: String): String = {
+    val in = fs(spark, dir).open(new Path(dir, name))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Highest committed `<prefix>.<v>` under `dir`: `(version, content)`. */
+  private[graft] def readVersioned(
+      spark: SparkSession, dir: String, prefix: String): Option[(Long, String)] = {
+    val files = listVersioned(spark, dir, prefix)
+    if (files.isEmpty) return None
+    val vmax = files.map(_._1).max
+    val name = files.filter(_._1 == vmax).minBy(_._2)._3
+    Some((vmax, readFile(spark, dir, name)))
+  }
+
+  private def writerToken(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
+  /** Commit `content` as version `version` of `<prefix>` under `dir`,
+    * using the [[CommitProtocol]] selected by `spark.graft.commit.protocol`.
+    * Throws (never silently loses a prior commit) when another writer
+    * already holds the version. */
+  private[graft] def commitVersioned(
       spark: SparkSession, dir: String, prefix: String,
-      version: Long, content: String): Unit = {
+      version: Long, content: String): Unit =
+    commitVersioned(spark, dir, prefix, version, content, CommitProtocol.fromConf(spark))
+
+  private[graft] def commitVersioned(
+      spark: SparkSession, dir: String, prefix: String,
+      version: Long, content: String, protocol: CommitProtocol): Unit = {
     val hfs = fs(spark, dir)
     val finalName = f"$prefix.$version%012d"
-    val tmp = new Path(dir, finalName + ".tmp")
+    val token = writerToken()
+    // tmp name is writer-unique under BOTH protocols: two racing writers
+    // must never clobber each other's in-flight bytes
+    val tmp = new Path(dir, s"$finalName.$token.tmp")
     val out = hfs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    if (!hfs.rename(tmp, new Path(dir, finalName)))
-      throw new java.io.IOException(
-        s"commit rename failed for $finalName under $dir")
+    protocol match {
+      case CommitProtocol.AtomicRename =>
+        val dst = hfs.makeQualified(new Path(dir, finalName))
+        val src = hfs.makeQualified(tmp)
+        val fc =
+          try Some(FileContext.getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration))
+          catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
+        fc match {
+          case Some(c) =>
+            // no Options.Rename.OVERWRITE → FileAlreadyExistsException if
+            // dst exists (atomic on HDFS; enforced-check on local FS —
+            // FileSystem.rename would silently REPLACE there)
+            try c.rename(src, dst)
+            catch { case e: java.io.IOException =>
+              hfs.delete(tmp, false)
+              throw new java.io.IOException(
+                s"commit rename failed for $finalName under $dir — " +
+                  s"a concurrent writer likely committed this version first", e)
+            }
+          case None =>
+            // scheme without an AbstractFileSystem binding: explicit
+            // exists-check (wider race window; prefer read-repair there)
+            if (hfs.exists(dst) || !hfs.rename(tmp, dst)) {
+              hfs.delete(tmp, false)
+              throw new java.io.IOException(
+                s"commit rename failed for $finalName under $dir — " +
+                  s"destination already committed by a concurrent writer")
+            }
+        }
+      case CommitProtocol.VersionedReadRepair =>
+        // rename to a writer-UNIQUE final name (uncontended — safe even
+        // where rename is copy+delete), then check who else is visible
+        val mine = new Path(dir, s"$finalName.$token")
+        if (!hfs.rename(tmp, mine))
+          throw new java.io.IOException(
+            s"commit rename failed for ${mine.getName} under $dir")
+        val others = listVersioned(spark, dir, prefix)
+          .filter { case (v, tok, _) => v == version && tok != token }
+        if (others.nonEmpty) {
+          hfs.delete(mine, false)
+          throw new java.io.IOException(
+            s"lost the version-$version commit race under $dir to " +
+              s"${others.map(_._3).sorted.mkString(", ")}")
+        }
+    }
   }
 
   private def parseManifest(version: Long, content: String): Manifest = {
@@ -143,32 +290,18 @@ object ManifestStore {
     * addressable until [[vacuum]] physically reclaims the generations it
     * references. */
   def readManifestAt(spark: SparkSession, path: String, asOf: Long): Option[Manifest] = {
-    val d = new Path(path)
-    val hfs = fs(spark, path)
-    if (!hfs.exists(d)) return None
-    val names = hfs.listStatus(d).map(_.getPath.getName)
-      .filter(n => n.startsWith("_manifest.") && !n.endsWith(".tmp"))
-      .filter(_.stripPrefix("_manifest.").toLong <= asOf)
-    if (names.isEmpty) return None
-    val name = names.max
-    val in = hfs.open(new Path(d, name))
-    val content =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    Some(parseManifest(name.stripPrefix("_manifest.").toLong, content))
+    val files = listVersioned(spark, path, "_manifest").filter(_._1 <= asOf)
+    if (files.isEmpty) return None
+    val v = files.map(_._1).max
+    val name = files.filter(_._1 == v).minBy(_._2)._3
+    Some(parseManifest(v, readFile(spark, path, name)))
   }
 
   /** All committed manifest versions under `path`, ascending — the store's
     * commit history (each version is an addressable snapshot until
     * [[vacuum]] reclaims what it references). */
-  def versions(spark: SparkSession, path: String): Seq[Long] = {
-    val d = new Path(path)
-    val hfs = fs(spark, path)
-    if (!hfs.exists(d)) return Seq.empty
-    hfs.listStatus(d).map(_.getPath.getName)
-      .filter(n => n.startsWith("_manifest.") && !n.endsWith(".tmp"))
-      .map(_.stripPrefix("_manifest.").toLong).toSeq.sorted
-  }
+  def versions(spark: SparkSession, path: String): Seq[Long] =
+    listVersioned(spark, path, "_manifest").map(_._1).distinct.sorted
 
   /** Write a complete manifest to a temp name, then commit via atomic
     * rename to its (never-reused) final name. */
@@ -351,8 +484,17 @@ object ManifestStore {
         .filter(p => p.getName.startsWith("gen=") &&
           !live.contains(p.getName.stripPrefix("gen=")))
     dead.foreach(p => hfs.delete(p, true))
-    vs.dropRight(retainVersions).foreach(v =>
-      hfs.delete(new Path(path, manifestName(v)), false))
+    val belowHorizon = vs.dropRight(retainVersions).toSet
+    val manifestFiles = listVersioned(spark, path, "_manifest")
+    val winners = manifestFiles.groupBy(_._1)
+      .map { case (v, fs) => v -> fs.minBy(_._2)._3 }
+    manifestFiles.foreach { case (v, _, name) =>
+      // below-horizon versions go entirely; retained versions keep ONLY the
+      // deterministic winner — crash debris from a read-repair loser (same
+      // version, higher token) is resolution-irrelevant and reclaimed here
+      if (belowHorizon.contains(v) || !winners.get(v).contains(name))
+        hfs.delete(new Path(path, name), false)
+    }
     dead.length
   }
 }

@@ -807,8 +807,11 @@ object Similarity {
   // build from the (cheap, serving-time) query: the quantizers are trained
   // and the corpus encoded ONCE, written out, and every query afterwards
   // touches only the compact artifacts. Since round 8 the index commits
-  // through the SAME protocol as [[ManifestStore]] (one atomic rename of a
-  // never-reused versioned manifest name) instead of its own bespoke
+  // through the SAME protocol as [[ManifestStore]] (a never-reused
+  // versioned manifest name committed by the store-appropriate
+  // [[ManifestStore.CommitProtocol]] — fail-if-exists rename on
+  // HDFS/POSIX-like stores, writer-unique-name read-repair on S3-class
+  // stores) instead of its own bespoke
   // meta-written-last marker — one commit story for both stores, and the
   // rebuild-over-existing-dir hole is gone (a rebuild writes a FRESH
   // generation and re-points the manifest; a crash mid-rebuild leaves the
@@ -845,8 +848,9 @@ object Similarity {
   // supported — same contract as [[ManifestStore.upsert]], and since
   // round 9 the same insurance: generation directories carry a per-writer
   // token (`gen=<V>-<token>`), so racing writers write disjoint
-  // directories and collide only on the manifest rename, where exactly
-  // one wins and the loser's debris is unreferenced and vacuumable.
+  // directories and collide only on the manifest commit, where the
+  // [[ManifestStore.CommitProtocol]] in force lets at most one writer
+  // acknowledge and the loser's debris is unreferenced and vacuumable.
   // ---------------------------------------------------------------------
 
   /** A loaded persisted index (see layout above). `vectors` carries the
@@ -863,9 +867,10 @@ object Similarity {
   /** Generation IDs are directory-name suffixes: historically bare numbers,
     * since round 9 writers mint `<V>-<token>` (both forms parse and read).
     * The token makes concurrent writers' directories structurally disjoint
-    * — they race only on the manifest rename, where exactly one wins, so a
-    * single-writer-contract violation is non-corrupting (same argument,
-    * same mechanism as [[ManifestStore]]). */
+    * — they race only on the manifest commit, where the commit protocol
+    * lets at most one writer acknowledge, so a single-writer-contract
+    * violation is non-corrupting (same argument, same mechanism as
+    * [[ManifestStore]]). */
   private def parseIndexManifest(content: String): (String, Seq[String]) = {
     val lines = content.linesIterator.filter(_.nonEmpty).toSeq
     val q = lines.collectFirst { case l if l.startsWith("quantizers\t") =>
@@ -976,10 +981,12 @@ object Similarity {
       .getOrElse(throw new IllegalStateException(
         s"no committed index under $indexDir to append to"))
     val (qgen, codeGens) = parseIndexManifest(content)
-    requireVectorsArtifact(spark, indexDir, codeGens, "appendToIndex")
     // An empty delta is a no-op: committing a row-less generation would
-    // leave an uninferrable-schema parquet dir in the manifest.
+    // leave an uninferrable-schema parquet dir in the manifest. Checked
+    // BEFORE the vectors-artifact guard so the documented no-op contract
+    // holds even on a pre-vectors-layout (codes-only) index.
     if (delta.isEmpty) return
+    requireVectorsArtifact(spark, indexDir, codeGens, "appendToIndex")
     val meta = spark.read.parquet(s"$indexDir/gen=$qgen/meta").collect().head
     val (dims, m) = (meta.getAs[Int]("dims"), meta.getAs[Int]("m"))
     val coarse = spark.read.parquet(s"$indexDir/gen=$qgen/coarse")
