@@ -62,8 +62,14 @@ object Bench {
     * NOT against committed-round medians: round 8 proved a fully-contended
     * run self-certifies against medians when the committed history is
     * itself load-inflated, while the idle spin constant can't be gamed by
-    * a polluted history. */
-  val IdleCalibSec: Double = 1.28
+    * a polluted history. The 1.28 default is THIS machine's; on any other
+    * host override with `GRAFT_IDLE_CALIB_SEC` (env) or
+    * `-Dgraft.idle.calib.sec` — a start stamp far BELOW the constant
+    * (faster machine: gate never fires) is warned about at run time. */
+  val IdleCalibSec: Double =
+    sys.env.get("GRAFT_IDLE_CALIB_SEC")
+      .orElse(sys.props.get("graft.idle.calib.sec"))
+      .map(_.toDouble).getOrElse(1.28)
 
   /** A run is CONTENDED when either calibration stamp stretched >1.2×
     * beyond the idle constant — ambient CPU pressure was eating measured
@@ -71,20 +77,64 @@ object Bench {
   def isContended(calibStart: Double, calibEnd: Double): Boolean =
     math.max(calibStart, calibEnd) > IdleCalibSec * 1.2
 
-  /** Fixed single-threaded CPU spin (constant work: 6×10^8 xorshift64
-    * steps). Its wall time on an idle machine is a machine constant;
-    * under CPU pressure it stretches proportionally — so comparing the
-    * start/end stamps against each other (and across rounds) qualifies
-    * the record without needing any external load metric. */
-  private def calibrate(): Double = {
+  /** Single-threaded CPU spin of `steps` xorshift64 iterations (default
+    * 6×10^8 ≈ the 1.28s machine constant). Its wall time on an idle
+    * machine is a machine constant; under CPU pressure it stretches
+    * proportionally — so comparing stamps against the idle constant
+    * qualifies the record without any external load metric. */
+  private def calibrate(steps: Long = FullSpinSteps): Double = {
     val t0 = System.nanoTime()
     var x = 0x9E3779B97F4A7C15L
     var i = 0L
-    while (i < 600000000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    while (i < steps) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
     val secs = (System.nanoTime() - t0) / 1e9
     if (x == 0L) Console.err.println("calibration sink") // defeat DCE
     secs
   }
+
+  private val FullSpinSteps = 600000000L
+
+  // Mid-run probes (round 10): endpoint stamps are provably blind to
+  // TRANSIENT load — the round-9 driver run carried clean 1.302/1.317
+  // stamps while a mid-run spike stretched q_fin_pivot 0.71→4.10s. A
+  // quarter-length spin (~0.32s idle) runs every `ProbeEvery` measured
+  // queries, OUTSIDE the timed windows; any probe stretching >1.2× its
+  // idle share flags the run contended exactly like an endpoint stamp.
+  private val ProbeEvery = 10
+  private val ProbeSteps = FullSpinSteps / 4
+  private def probeIdleSec: Double = IdleCalibSec / 4
+  private def probeContended(probes: Seq[Double]): Boolean =
+    probes.exists(_ > probeIdleSec * 1.2)
+
+  // Parallel stamps (round 10): a SINGLE-threaded spin is structurally
+  // blind to steady multi-core pressure — ambient load occupying 2-3 of
+  // 32 cores leaves a 1-thread probe unqueued (stretch ~1.05×) while the
+  // suite's 32-thread stages lose cores and memory bandwidth and run
+  // 15-30% slow (measured this round: probes 1.03-1.10× clean while the
+  // suite carried a ~25% tax vs its idle-machine record). An 8-thread
+  // quarter spin must SHARE the machine the way Spark does; on an idle
+  // box its wall time equals the single-thread quarter spin (cores are
+  // free), under multi-core load it stretches where the 1-thread probe
+  // cannot. Threshold 1.3× — looser than the serial gate, parallel wall
+  // times carry more scheduler variance.
+  private val ParThreads = 8
+  private def calibrateParallel(): Double = {
+    val t0 = System.nanoTime()
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val ts = (0 until ParThreads).map { t =>
+      new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var i = 0L
+        while (i < ProbeSteps) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        sink.addAndGet(x) // defeat DCE
+      })
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+  private def parContended(parStart: Double, parEnd: Double): Boolean =
+    math.max(parStart, parEnd) > probeIdleSec * 1.3
 
   /** Per-query trailing medians over the committed round records
     * (`BENCH_r*.json` in cwd, last `window` rounds that contain the
@@ -193,6 +243,12 @@ object Bench {
 
     val loadStart = loadavg()
     val calibStart = calibrate()
+    val calibParStart = calibrateParallel()
+    if (calibStart < IdleCalibSec * 0.7)
+      Console.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] start stamp %.3fs is far below the idle constant %.3fs — " +
+          "is this the calibrated machine? Override GRAFT_IDLE_CALIB_SEC.",
+        Double.box(calibStart), Double.box(IdleCalibSec)))
     val medians = trailingMedians()
 
     def measure(name: String): (Double, Option[String]) = {
@@ -206,7 +262,16 @@ object Bench {
       (outcome.fold(secs)(_ => -1d), outcome)
     }
 
-    val firstPass = names.map { name => val (t, e) = measure(name); (name, t, e) }
+    // quarter-spin probes between every ProbeEvery-th measured query —
+    // outside the timed windows, so query seconds are unaffected; a
+    // transient load spike endpoint stamps can't see lands on a probe
+    val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val firstPass = names.zipWithIndex.map { case (name, i) =>
+      val (t, e) = measure(name)
+      if ((i + 1) % ProbeEvery == 0 && i + 1 < names.size)
+        probes += calibrate(ProbeSteps)
+      (name, t, e)
+    }
 
     // Requalify outliers: a time >1.5× the query's trailing-round median
     // (and above a 0.2s noise floor) is re-measured once, min kept — an
@@ -225,13 +290,16 @@ object Bench {
 
     val loadEnd = loadavg()
     val calibEnd = calibrate()
+    val calibParEnd = calibrateParallel()
 
-    // Contention gate (round 9): when the run's own calibration stamps
-    // prove ambient load, flag the record machine-detectably AND give the
-    // slowest decile one more shot (min kept) — those queries carry the
-    // most absolute inflation. The flag survives even if the re-measure
-    // helps: a contended run is never this round's clean number.
-    val contended = isContended(calibStart, calibEnd)
+    // Contention gate (round 9; mid-run probes round 10): when the run's
+    // own calibration stamps OR any mid-run probe prove ambient load, flag
+    // the record machine-detectably AND give the slowest decile one more
+    // shot (min kept) — those queries carry the most absolute inflation.
+    // The flag survives even if the re-measure helps: a contended run is
+    // never this round's clean number.
+    val contended = isContended(calibStart, calibEnd) || probeContended(probes.toSeq) ||
+      parContended(calibParStart, calibParEnd)
     val results2 =
       if (!contended) results
       else {
@@ -271,6 +339,9 @@ object Bench {
         s""""ok":${ok.size},"failed":${results2.size - ok.size},"sf":"$sfDir",""" +
         s""""loadavg":[${num(loadStart)},${num(loadEnd)}],""" +
         s""""calib_sec":[${num(calibStart)},${num(calibEnd)}],""" +
+        s""""calib_par_sec":[${num(calibParStart)},${num(calibParEnd)}],""" +
+        s""""calib_probes":[${probes.map(num).mkString(",")}],""" +
+        s""""probe_idle_sec":${num(probeIdleSec)},""" +
         s""""idle_calib_sec":${num(IdleCalibSec)},"contended":$contended,""" +
         s""""requalified":$requal}"""
     println(line)
