@@ -154,6 +154,23 @@ object Quality {
     val exact5 = topkMap(Similarity.bruteForceTopK(e, queries, 5))
     val exact10 = topkMap(Similarity.bruteForceTopK(e, queries, 10))
     val cents = Similarity.trainCentroids(e, 32, 2)
+    // Converged coarse training (round 10) — measured, NOT adopted for the
+    // headline lines: on this near-isotropic corpus running Lloyd to
+    // movement-ε (14 rounds at sf0.1) LOWERS the fixed-nprobe ceiling
+    // (0.584 vs 0.611 at nprobe=2) — crisper cells hide cell-straddling
+    // neighbors. Recorded so the "just converge the quantizer" hypothesis
+    // stays refuted by the artifact itself; the ceiling lever at unchanged
+    // nprobe is redundant assignment (ivf_nprobe2_multi2_at10 below).
+    val (centsConv, kmIters) = Similarity.trainCentroidsConvergedDetail(
+      e, 32, maxIters = 16, eps = 1e-3, trainFrac = 1.0, "vec_id", "embedding")
+    val ivfConv = recallAtK(
+      topkMap(Similarity.ivfTopK(e, centsConv, queries, 10, nprobe = 2)), exact10)
+    // Redundant (top-2) assignment at unchanged nprobe=2: candidates are a
+    // strict superset of single-assignment's, so exact scoring makes the
+    // gain structural — the index carries 2x rows for it.
+    val ivfMulti2 = recallAtK(
+      topkMap(Similarity.ivfTopKMulti(
+        e, cents, queries, 10, nprobe = 2, assignR = 2)), exact10)
     val ivf = for (np <- Seq(1, 2, 4, 8); k <- Seq(5, 10)) yield {
       val truth = if (k == 5) exact5 else exact10
       val r = recallAtK(topkMap(Similarity.ivfTopK(e, cents, queries, k, nprobe = np)), truth)
@@ -207,6 +224,9 @@ object Quality {
         s""""ann":{"queries":${exact10.size},${ivf.mkString(",")},${pq.mkString(",")},""" +
         s""""ivfpq_m8_k64_nprobe2_at10":$ivfpqK64,"ivfpq_rerank_at10":$rerank,""" +
         s""""ivfpq_rerank_nprobe8_at10":$rerank8,""" +
+        s""""kmeans_converged_iters":$kmIters,""" +
+        s""""ivf_converged_nprobe2_at10":$ivfConv,""" +
+        s""""ivf_nprobe2_multi2_at10":$ivfMulti2,""" +
         s""""residual_energy_ratio":$energy}}"""
     println(json)
     Files.writeString(Paths.get("QUALITY.json"), json + "\n")

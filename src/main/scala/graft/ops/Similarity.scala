@@ -302,6 +302,87 @@ object Similarity {
     centroidFrame(spark, cents)
   }
 
+  /**
+   * [[trainCentroids]] iterated TO CONVERGENCE instead of a pinned round
+   * count — the principled stopping rule (a pinned count is an arbitrary
+   * constant; movement-ε is a property of the data). MEASURED caveat, so
+   * nobody mistakes this for a recall lever: on the near-isotropic test
+   * corpus (residual energy ~0.89) converging the quantizer does NOT
+   * raise — it slightly LOWERS — the fixed-nprobe exact-scan ceiling
+   * (QUALITY.json `ivf_converged_nprobe2_at10` vs `ivf_nprobe2_at10`):
+   * crisper cells hide cell-straddling neighbors that fuzzier
+   * under-converged cells happened to co-locate. The ceiling lever at
+   * unchanged nprobe is REDUNDANT ASSIGNMENT ([[ivfTopKMulti]] —
+   * structural recall gain, storage-for-recall trade), not more Lloyd
+   * rounds. Runs rounds until the largest centroid movement (L2, float
+   * domain) is ≤ `eps`, or `maxIters`. Deterministic:
+   * same seeding, same exact-integer assignment and means as
+   * [[trainCentroids]], and the stopping rule is a pure function of the
+   * (deterministic) centroid sequence — any engine or partitioning stops
+   * after the identical round count with bit-identical centroids. A cell
+   * that dies between rounds counts as infinite movement (iteration
+   * continues past structural change).
+   *
+   * `trainFrac` < 1 trains on a deterministic hash-sample
+   * (`hash32(id) mod 10⁶ < frac·10⁶`) — the 100 TB path: the quantizer
+   * needs a REPRESENTATIVE sample, not the corpus, so per-round cost is
+   * bounded while assignment/serving still run over everything.
+   *
+   * The pinned-count [[trainCentroids]] stays the ORACLE surface
+   * (`q_sim_kmeans` replays unrolled rounds in SQL — a data-dependent
+   * round count cannot be a plan-time constant on both sides); converged
+   * training is the quality/serving surface (QUALITY.json, index builds).
+   */
+  def trainCentroidsConverged(
+      emb: DataFrame, k: Int, maxIters: Int = 16, eps: Double = 1e-3,
+      trainFrac: Double = 1.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    trainCentroidsConvergedDetail(emb, k, maxIters, eps, trainFrac, idCol, vecCol)._1
+
+  /** [[trainCentroidsConverged]] plus the round count it stopped after —
+    * the measurement surface (QUALITY.json records it). */
+  private[graft] def trainCentroidsConvergedDetail(
+      emb: DataFrame, k: Int, maxIters: Int, eps: Double, trainFrac: Double,
+      idCol: String, vecCol: String): (DataFrame, Int) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    require(eps >= 0, s"eps must be >= 0, got $eps")
+    require(trainFrac > 0 && trainFrac <= 1, s"trainFrac must be in (0, 1], got $trainFrac")
+    val spark = emb.sparkSession
+    val train =
+      if (trainFrac >= 1.0) emb
+      else emb.where(
+        pmod(TextOps.hash32(col(idCol).cast("string")), lit(1000000)) <
+          lit(math.round(trainFrac * 1e6).toInt))
+    var cents = seedRows(train, k, idCol, vecCol)
+    var it = 0
+    var moved = Double.MaxValue
+    while (it < maxIters && moved > eps) {
+      val sums = train
+        .select(
+          cidAt(cents, argBestIdx(col(vecCol), cents, l2 = false)).as("cell"),
+          posexplode(quantize(col(vecCol))).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = lloydMeans(sums.toSeq)
+      moved = maxMovement(cents, next)
+      cents = next
+      it += 1
+    }
+    (centroidFrame(spark, cents), it)
+  }
+
+  /** Largest per-centroid L2 movement between consecutive rounds; a
+    * changed cid set (a cell died) is infinite movement. */
+  private def maxMovement(
+      a: Seq[(Int, Array[Float])], b: Seq[(Int, Array[Float])]): Double = {
+    if (a.map(_._1) != b.map(_._1)) return Double.MaxValue
+    a.zip(b).map { case ((_, x), (_, y)) =>
+      math.sqrt(x.zip(y).map { case (p, q) => (p - q).toDouble * (p - q) }.sum)
+    }.max
+  }
+
   /** All (vector, centroid) scores — the shared substrate of [[ivfAssign]]
     * (argmax per vector) and the query-side multi-cell probe in [[ivfTopK]].
     * Returns `(vec_id, cid, cdot)`. `centroids` must be small (broadcast). */
@@ -352,6 +433,78 @@ object Similarity {
       .groupBy("vec_id")
       .agg(min_by(struct(col("cid"), col("cdot")), struct(negate(col("cdot")), col("cid"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cell"), col("best.cdot").as("cdot"))
+
+  /**
+   * Redundant (top-`r`) coarse assignment: each vector lands in its `r`
+   * best cells instead of one — the Faiss-style spill/multi-assignment
+   * trade. At fixed nprobe the probe's candidate set becomes a STRICT
+   * SUPERSET of single-assignment's (a vector's best cell is among its
+   * top-r), so with exact candidate scoring recall at the same nprobe can
+   * only rise — measured +0.09 recall@10 at nprobe=2/r=2 on the test
+   * corpus, equivalent to nprobe=4 recall at nprobe=2 latency shape. Cost:
+   * the index carries r× the rows and a probed cell is ~r× as populous —
+   * storage and scan mass buy the recall, nothing is free.
+   *
+   * Same shuffle-free projection discipline as [[ivfAssign]]: per-row dots
+   * against centroid literals, an in-row sort of (−dot, cid) structs (the
+   * exact [[ivfAssign]] tie-break), top-r exploded. The in-row sort is
+   * O(k log k) per vector — right up to the few-thousand-cell coarse
+   * quantizers IVF-PQ uses; a dedicated top-r kernel is the next step past
+   * that. Returns `(vec_id, cell, cdot, crank)` with crank 1..r.
+   */
+  def ivfAssignTop(
+      emb: DataFrame, centroids: DataFrame, r: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cIdCol: String = "cid", cVecCol: String = "cvec"): DataFrame = {
+    require(r >= 1, s"r must be >= 1, got $r")
+    val cents = collectCentroids(centroids, cIdCol, cVecCol)
+    val entries = cents.map { case (cid, cv) =>
+      struct(
+        negate(dotQ(col("_v"), typedlit(cv.toSeq))).as("nd"),
+        lit(cid).as("cid"))
+    }
+    emb
+      .select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
+      .select(col("vec_id"),
+        posexplode(slice(array_sort(array(entries: _*)), 1, r)).as(Seq("_i", "_e")))
+      .select(col("vec_id"), col("_e.cid").as("cell"),
+        negate(col("_e.nd")).as("cdot"), (col("_i") + 1).as("crank"))
+  }
+
+  /**
+   * [[ivfTopK]] over a redundantly-assigned corpus ([[ivfAssignTop]] with
+   * `assignR` cells per vector): same probe fan-out, superset candidates,
+   * exact scoring — the recall lever at UNCHANGED nprobe. A candidate
+   * reachable through two probed cells is deduplicated before ranking
+   * (same dot either way, but a duplicate row would occupy two top-k
+   * ranks).
+   */
+  def ivfTopKMulti(
+      emb: DataFrame, centroids: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 1, assignR: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cells = ivfAssignTop(emb, centroids, assignR, idCol, vecCol)
+      .select(col("vec_id"), col("cell"))
+    val corpus = emb
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(cells, "vec_id")
+    val qw = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid").asc)
+    val probes = ivfScoreCells(
+        queries.select(col("qid").as("vec_id"), col("qvec").as("embedding")), centroids)
+      .withColumn("prn", row_number().over(qw))
+      .where(col("prn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    val qcells = queries
+      .select(col("qid"), col("qvec").as("qv"))
+      .join(broadcast(probes), "qid")
+    val scored = corpus
+      .join(broadcast(qcells), "cell")
+      .select(col("qid"), col("vec_id"), dotQ(col("v"), col("qv")).as("dot"))
+      .dropDuplicates("qid", "vec_id")
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
 
   /**
    * IVF top-k: probe each query's `nprobe` best cells (by centroid dot,
