@@ -420,12 +420,28 @@ object ManifestStore {
    * `compact(maxGens = 4)` amortizes consolidation instead of rewriting
    * the whole table each time (full rewrite = `maxGens = 1`).
    *
+   * `clusterBy` makes the consolidation rewrite ALSO a re-clustering pass
+   * — the natural point for it, since upserted generations accumulate in
+   * ingest order and erode the file-skipping a clustered initial write
+   * bought ([[Scale.writeRangeClustered]]/[[Scale.writeZOrdered]]
+   * semantics): one column range-clusters, two columns Z-order via the
+   * same Morton-key kernel ([[Scale.withZOrderKey]]). Rows are
+   * range-partitioned on (partCol, cluster key) and sorted within tasks,
+   * so every rewritten file sits in one partition directory and covers a
+   * narrow cluster-key range — parquet footer min/max then skips files
+   * for selective reads, verified by ScaleSpec after an upsert storm +
+   * compact. Commit protocol, crash-safety and snapshot behavior are
+   * identical to the unclustered form (clustering changes bytes-on-disk
+   * layout, never content or visibility).
+   *
    * Returns the number of partitions rewritten (0 if already compact).
    */
   def compact(
       spark: SparkSession, path: String, partCol: String,
-      maxGens: Int = 1): Int = {
+      maxGens: Int = 1, clusterBy: Seq[String] = Nil): Int = {
     require(maxGens >= 1, "maxGens must be at least 1")
+    require(clusterBy.size <= 2,
+      s"clusterBy supports 1 (range) or 2 (z-order) columns, got ${clusterBy.size}")
     val man = readManifest(spark, path) match {
       case None => return 0
       case Some(m) => m
@@ -447,9 +463,21 @@ object ManifestStore {
     }
     val gen = nextGen(spark, path, Some(man))
     val genId = newGenId(gen)
-    frame
-      .withColumn("gen", lit(genId))
-      .repartition(col(partCol))
+    val clustered = clusterBy match {
+      case Nil =>
+        frame.withColumn("gen", lit(genId)).repartition(col(partCol))
+      case Seq(c) =>
+        frame.withColumn("gen", lit(genId))
+          .repartitionByRange(col(partCol), col(c))
+          .sortWithinPartitions(col(partCol), col(c))
+      case Seq(a, b) =>
+        Scale.withZOrderKey(frame, a, b, "_zkey")
+          .withColumn("gen", lit(genId))
+          .repartitionByRange(col(partCol), col("_zkey"))
+          .sortWithinPartitions(col(partCol), col("_zkey"))
+          .drop("_zkey")
+    }
+    clustered
       .write.mode("append").partitionBy("gen", partCol)
       .parquet(s"$path/data")
     commitManifest(spark, path,

@@ -79,6 +79,23 @@ object Scale {
       df: DataFrame, path: String, filesPerWrite: Int,
       colA: String, colB: String, buckets: Int = 4096): Unit = {
     require(filesPerWrite > 0, s"filesPerWrite must be positive, got $filesPerWrite")
+    withZOrderKey(df, colA, colB, "_zkey", buckets)
+      .repartitionByRange(filesPerWrite, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** `df` plus the Morton interleave key of (`colA`, `colB`) quantile-
+    * bucket ranks as `keyCol` — the clustering column [[writeZOrdered]]
+    * sorts by, exposed so OTHER writers (notably
+    * [[ManifestStore.compact]]'s re-clustering rewrite) can impose the
+    * same layout inside their own commit protocol. One driver-side
+    * `approxQuantile` pass for the cut points; the per-row key is the
+    * codegen'd [[graft.expressions.ZOrderKey]] kernel. */
+  def withZOrderKey(
+      df: DataFrame, colA: String, colB: String, keyCol: String,
+      buckets: Int = 4096): DataFrame = {
     require(buckets >= 2 && buckets <= 65536,
       s"buckets must be in [2, 65536], got $buckets")
     val qs = (1 until buckets).map(_.toDouble / buckets).toArray
@@ -87,14 +104,10 @@ object Scale {
         df.select(col(c).cast("double").as(c)).stat
           .approxQuantile(c, qs, 1.0 / (4 * buckets)))
     graft.GraftExtensions.register(df.sparkSession)
-    df.withColumn("_zkey",
-        call_function("zorder_key",
-          col(colA).cast("double"), col(colB).cast("double"),
-          lit(cutsA), lit(cutsB)))
-      .repartitionByRange(filesPerWrite, col("_zkey"))
-      .sortWithinPartitions("_zkey")
-      .drop("_zkey")
-      .write.mode("overwrite").parquet(path)
+    df.withColumn(keyCol,
+      call_function("zorder_key",
+        col(colA).cast("double"), col(colB).cast("double"),
+        lit(cutsA), lit(cutsB)))
   }
 
   /**
@@ -138,21 +151,82 @@ object Scale {
       .agg(flatten(collect_list(col("_part"))).as("items"))
 
   /**
-   * MEASURED salting decision — the missing step between
-   * [[graft.ops.Profile.keySkew]] (the diagnostic) and
-   * [[saltedJoin]]/[[saltedCollectList]] (the remedies): one cheap skew
+   * MEASURED salting decision — the missing step between skew measurement
+   * and [[saltedJoin]]/[[saltedCollectList]] (the remedies): one cheap
    * pass, then the salt factor the measurement implies. A hot key whose
-   * occupancy is within `threshold`× the median needs no salting (factor
-   * 1 — salting uniform data only adds a second aggregation phase);
-   * beyond that, the factor is max_cnt/p50_cnt rounded up — enough salt
-   * lanes that the hot key's per-lane share sinks to ~the median key's
-   * task size — capped at `cap` (each lane replicates the join's build
-   * side / adds partial-aggregate state, so unbounded factors are their
-   * own skew problem). Deterministic given the data; at 100 TB this is
-   * the pre-flight that stops a whale key from wedging the shuffle
-   * WITHOUT hand-tuning a constant per pipeline.
+   * occupancy is within `threshold`× the bulk's typical occupancy needs no
+   * salting (factor 1 — salting uniform data only adds a second
+   * aggregation phase); beyond that, the factor is hot/typical rounded up
+   * — enough salt lanes that the hot key's per-lane share sinks to ~a
+   * typical key's task size — capped at `cap` (each lane replicates the
+   * join's build side / adds partial-aggregate state, so unbounded
+   * factors are their own skew problem).
+   *
+   * SKETCH-DRIVEN (round 10): the round-9 form consulted
+   * [[Profile.keySkew]] — an exact `groupBy(key).count()`, i.e. a FULL
+   * SHUFFLE of the key column to decide whether to shuffle, self-defeating
+   * at 100 TB. The decision now costs one shuffle-free aggregation pass
+   * (partial-combined map-side; only constant-size buffers reach the
+   * driver): row count + HyperLogLog distinct + Misra-Gries heavy-hitter
+   * candidates (`freq_items` — WHO is hot, counts never overcount) + a
+   * Count-Min matrix (`cms_sketch` — HOW hot, estimates never undercount).
+   * The hot key's lane count divides its CMS estimate by the TRIMMED mean
+   * occupancy (total minus MG heavy mass, over distinct minus heavy keys)
+   * — the bulk's typical key, the same quantity the exact path's p50
+   * measures, without ever materializing per-key counts. Sketch error
+   * (HLL ~2–5% on distinct, CMS +εN, MG −n/(k+1)) moves the factor by at
+   * most a lane or two; ScaleSpec pins decision parity against
+   * [[autoSaltFactorExact]], which remains the explicit opt-in for exact
+   * lane counts.
    */
   def autoSaltFactor(
+      df: DataFrame, key: String, threshold: Double = 4.0, cap: Int = 64,
+      hhK: Int = 16, cmsDepth: Int = 8, cmsWidth: Int = 8192): Int = {
+    require(threshold >= 1.0, s"threshold must be >= 1, got $threshold")
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    graft.GraftExtensions.register(df.sparkSession)
+    val ks = col(key).cast("string")
+    val row = df.agg(
+      count(ks).as("n"),
+      approx_count_distinct(ks).as("nd"),
+      call_function("freq_items", ks, lit(hhK)).as("hh"),
+      call_function("cms_sketch", ks, lit(cmsDepth), lit(cmsWidth)).as("sk"))
+      .collect()(0)
+    val n = row.getLong(0)
+    if (n == 0L) return 1 // empty frame: nothing to salt
+    val nd = math.max(1L, row.getLong(1))
+    val hh = row.getSeq[org.apache.spark.sql.Row](2)
+    // Row.getSeq yields mutable ArraySeqs — index via collection.Seq
+    val sk = row.getSeq[scala.collection.Seq[Long]](3)
+    // driver-side CMS point estimate — the same md5-affine bucket family
+    // the kernel fills (graft.expressions.CmsSketch.bucket), so estimates
+    // are exactly what Profile.cmsEstimates would return
+    def est(item: String): Long = {
+      val h = graft.expressions.MinhashSigs.hash32Bytes(item.getBytes("UTF-8"))
+      (0 until cmsDepth)
+        .map(i => sk(i)(graft.expressions.CmsSketch.bucket(h, i, cmsWidth))).min
+    }
+    val mean0 = n.toDouble / nd
+    val heavy = hh.map(r => (r.getLong(1), est(r.getString(0))))
+      .filter { case (_, cmsEst) => cmsEst > threshold * mean0 }
+    if (heavy.isEmpty) return 1
+    val maxEst = heavy.map(_._2).max
+    // trimmed mean: the bulk's typical occupancy with the heavy mass
+    // removed (MG counts never overcount, so the trim never overshoots)
+    val restRows = math.max(0L, n - heavy.map(_._1).sum)
+    val restKeys = math.max(1L, nd - heavy.size)
+    val typical = math.max(1.0, restRows.toDouble / restKeys)
+    if (maxEst <= threshold * typical) 1
+    else math.min(cap.toLong, math.ceil(maxEst / typical).toLong).toInt
+  }
+
+  /**
+   * Exact-measurement variant of [[autoSaltFactor]]: max/p50 per-key
+   * occupancy from [[Profile.keySkew]] — a full key shuffle, the price of
+   * exact lane counts. The explicit opt-in when the frame is small or an
+   * exact factor matters more than the pass.
+   */
+  def autoSaltFactorExact(
       df: DataFrame, key: String, threshold: Double = 4.0, cap: Int = 64): Int = {
     require(threshold >= 1.0, s"threshold must be >= 1, got $threshold")
     require(cap >= 1, s"cap must be >= 1, got $cap")

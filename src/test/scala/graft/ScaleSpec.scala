@@ -163,16 +163,16 @@ class ScaleSpec extends SparkSpec {
     assert(partialMax <= (10000 / 16) * 2, s"largest partial group = $partialMax")
   }
 
-  test("autoSaltFactor: measured decision — 1 on uniform keys, max/p50 lanes on a whale, capped") {
+  test("autoSaltFactor: sketch-driven decision — 1 on uniform keys, ~hot/typical lanes on a whale, capped") {
     // uniform occupancy: salting would only add a useless second phase
     val uniform = (1 to 2000).map(i => (s"u${i % 100}", i.toLong)).toDF("k", "v")
     assert(Scale.autoSaltFactor(uniform, "k") == 1)
 
-    // whale at 100x the median: factor ≈ max/p50, NOT the default constant
+    // whale at 100x the median: factor ≈ hot/typical, NOT the default constant
     val whale = ((1 to 5000).map(i => ("whale", i.toLong)) ++
       (1 to 5000).map(i => (s"u${i % 100}", 100000L + i))).toDF("k", "v")
     val f = Scale.autoSaltFactor(whale, "k")
-    assert(f >= 50 && f <= 64, s"expected ~max/p50=100 capped at 64, got $f")
+    assert(f >= 50 && f <= 64, s"expected ~hot/typical=100 capped at 64, got $f")
 
     // the cap bounds build-side replication no matter how extreme the skew
     assert(Scale.autoSaltFactor(whale, "k", cap = 8) == 8)
@@ -182,5 +182,132 @@ class ScaleSpec extends SparkSpec {
     val sizes = Scale.saltedCollectList(whale, "k", "v", col("v"), f)
       .select($"k", size($"items").as("n")).as[(String, Int)].collect().toMap
     assert(sizes("whale") == 5000 && sizes.values.sum == 10000)
+  }
+
+  test("autoSaltFactor: sketch decision parity with the exact opt-in path") {
+    // The sketch path must AGREE with autoSaltFactorExact (full key
+    // shuffle) on the decisions that matter — salt-or-not, and the lane
+    // count within sketch-error tolerance (HLL distinct ~2-5%, CMS never
+    // under, MG never over: a lane or two of drift, never a regime flip).
+
+    // uniform: both say don't salt
+    val uniform = (1 to 2000).map(i => (s"u${i % 100}", i.toLong)).toDF("k", "v")
+    assert(Scale.autoSaltFactorExact(uniform, "k") == 1)
+    assert(Scale.autoSaltFactor(uniform, "k") == 1)
+
+    // moderate whale (20x the bulk): exact gives ceil(1000/50) = 20 lanes;
+    // the sketch must land within +-2
+    val whale20 = ((1 to 1000).map(i => ("whale", i.toLong)) ++
+      (1 to 5000).map(i => (s"u${i % 100}", 100000L + i))).toDF("k", "v")
+    val fe = Scale.autoSaltFactorExact(whale20, "k")
+    val fs = Scale.autoSaltFactor(whale20, "k")
+    info(s"whale20: exact=$fe sketch=$fs")
+    assert(fe == 20, s"exact path moved: $fe")
+    assert(math.abs(fs - fe) <= 2, s"sketch factor $fs drifted from exact $fe")
+
+    // extreme whale: both hit the cap — identical decision
+    val whale100 = ((1 to 5000).map(i => ("whale", i.toLong)) ++
+      (1 to 5000).map(i => (s"u${i % 100}", 100000L + i))).toDF("k", "v")
+    assert(Scale.autoSaltFactorExact(whale100, "k") == 64)
+    assert(Scale.autoSaltFactor(whale100, "k") == 64)
+  }
+
+  test("manifest compaction re-clusters: file skipping holds after an upsert storm + compact") {
+    import graft.ops.ManifestStore
+    // An upsert storm leaves each shard's rows in INGEST order — every
+    // file spans the full key range, so min/max pruning is useless. The
+    // compaction rewrite is the natural re-clustering point: afterwards a
+    // selective read must touch a fraction of each shard's rows (by the
+    // same footer stats a 100 TB reader prunes with).
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    val priorCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "24")
+    // AQE would (correctly, at real scale) coalesce this toy shuffle to one
+    // task; pin the width so the test can observe per-file ranges at all
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      def storm(dir: String): Unit = {
+        val rnd = new scala.util.Random(11)
+        for (shard <- Seq("s0", "s1"); half <- 0 until 2) {
+          // each batch sprays x uniformly over the full [0, 16000) range
+          val rows = rnd.shuffle((0 until 4000).toList).map { i =>
+            val x = (i * 4 + half * 2 + (if (shard == "s0") 0 else 1)).toLong % 16000
+            (shard, s"${shard}_${half}_$i", x, (x * 4409L) % 16000L)
+          }
+          ManifestStore.upsert(
+            rows.toDF("k", "id", "x", "y"), dir, "k", Seq("k", "id"), spark)
+        }
+      }
+      def liveFiles(dir: String, shard: String): Seq[String] = {
+        val m = ManifestStore.readManifest(spark, dir).get
+        val g = m.entries(shard)
+        new java.io.File(s"$dir/data/gen=$g/k=$shard").listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+      }
+      // fraction of a shard's ROWS a min/max-pruning reader must scan for
+      // a 2%-selectivity predicate on `c` — the footer-stats fact
+      def rowsTouched(dir: String, shard: String, c: String, lo: Long, hi: Long): Double = {
+        val per = liveFiles(dir, shard).map { f =>
+          val r = spark.read.parquet(f)
+            .agg(min(col(c)), max(col(c)), count(lit(1))).head
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+        val touched = per.filter { case (mn, mx, _) => mn <= hi && mx >= lo }
+        touched.map(_._3).sum.toDouble / per.map(_._3).sum
+      }
+      def snapshot(dir: String): Set[(String, String, Long, Long)] =
+        ManifestStore.currentFrame(spark, dir, "k").get
+          .select($"k", $"id", $"x", $"y").as[(String, String, Long, Long)]
+          .collect().toSet
+
+      // range re-clustering on x
+      val rDir = tmpDir("ms_rcompact")
+      storm(rDir)
+      val before = snapshot(rDir)
+      assert(ManifestStore.compact(spark, rDir, "k", maxGens = 1, clusterBy = Seq("x")) == 2)
+      assert(snapshot(rDir) == before, "re-clustering compact changed content")
+      for (shard <- Seq("s0", "s1")) {
+        assert(liveFiles(rDir, shard).size >= 3,
+          s"$shard: too few files to demonstrate skipping")
+        val frac = rowsTouched(rDir, shard, "x", 4000, 4320)
+        assert(frac <= 0.45, s"$shard: x-slice touched ${frac * 100}%% of rows after compact")
+      }
+
+      // z-order re-clustering on (x, y): both axes must prune
+      val zDir = tmpDir("ms_zcompact")
+      storm(zDir)
+      val zBefore = snapshot(zDir)
+      assert(ManifestStore.compact(spark, zDir, "k", maxGens = 1, clusterBy = Seq("x", "y")) == 2)
+      assert(snapshot(zDir) == zBefore, "z-order compact changed content")
+      for (shard <- Seq("s0", "s1")) {
+        val fx = rowsTouched(zDir, shard, "x", 4000, 4320)
+        val fy = rowsTouched(zDir, shard, "y", 4000, 4320)
+        assert(fx <= 0.65 && fy <= 0.65,
+          s"$shard: z-order compact prunes neither axis (x $fx, y $fy)")
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prior)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", priorCoalesce)
+    }
+  }
+
+  test("autoSaltFactor: the sketch decision plans without a key exchange") {
+    // the POINT of the sketch path: deciding whether to shuffle must not
+    // itself shuffle the key column — the aggregation combines map-side
+    // and ships constant-size buffers (count/HLL/MG/CMS), never key rows.
+    // Pin the shape: the decision plan's exchange is a single-partition
+    // gather of partial buffers, not a hashpartitioning on the key.
+    graft.GraftExtensions.register(spark)
+    val df = (1 to 2000).map(i => (s"u${i % 100}", i.toLong)).toDF("k", "v")
+    val ks = col("k").cast("string")
+    val plan = df.agg(
+      count(ks).as("n"),
+      approx_count_distinct(ks).as("nd"),
+      call_function("freq_items", ks, lit(16)).as("hh"),
+      call_function("cms_sketch", ks, lit(8), lit(8192)).as("sk"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(k"),
+      s"salting decision shuffles the key column:\n$plan")
+    assert(plan.contains("partial"), s"no map-side partial aggregation:\n$plan")
   }
 }
