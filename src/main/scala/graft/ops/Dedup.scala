@@ -1124,7 +1124,20 @@ object Dedup {
   def exactSubstringDedup(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"window length must be >= 1, got $n")
-    val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+    val toks = spanTokens(df, idCol, textCol)
+    val wins = spanWins(toks, n)
+    // duplicated = total occurrence count > 1 (within- or cross-document)
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("c")).where(col("c") > 1).select("h")
+    spanCutRebuild(toks, wins.join(dup, "h").select(col("id"), col("p")), n)
+  }
+
+  /** `(id, t: array<string>)` token frames for the span-dedup family. */
+  private def spanTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+
+  /** One row per n-token window start: `(id, p, h)` — p 1-based, h the
+    * engine-standard md5-derived 32-bit hash of the space-joined window. */
+  private def spanWins(toks: DataFrame, n: Int): DataFrame = {
     val m = size(col("t"))
     // one window per starting position p (1-based); sequence(1, 0) would
     // yield a DESCENDING [1, 0] — guard short docs to an empty window set
@@ -1134,26 +1147,29 @@ object Dedup {
           conv(substring(md5(array_join(slice(col("t"), p, lit(n)), " ").cast("binary")), 1, 8),
             16, 10).cast("long").as("h"))))
       .otherwise(array().cast("array<struct<p:int,h:bigint>>"))
-    val wins = toks.select(col("id"), explode(winExpr).as("w"))
+    toks.select(col("id"), explode(winExpr).as("w"))
       .select(col("id"), col("w.p").as("p"), col("w.h").as("h"))
-    // duplicated = total occurrence count > 1 (within- or cross-document)
-    val dup = wins.groupBy("h").agg(count(lit(1)).as("c")).where(col("c") > 1).select("h")
-    // Coalesce duplicated windows into per-document [start, end] islands
-    // BEFORE generating covered positions. Overlapping/adjacent windows are
-    // the common case (a duplicated run of length L starts L-n+1 windows,
-    // every one of them duplicated), so exploding each window's n positions
-    // and `distinct()`-ing — the round-9 plan — shuffles ~n× the duplicated
-    // -window mass only to collapse it again. Gap-and-island instead: one
-    // exchange of the duplicated window STARTS (1 row per occurrence, not
-    // n), a per-doc sort, islands split where the next start clears the
-    // previous window's coverage (p - prev_p > n), then positions are
-    // generated from the merged ranges — disjoint by construction, so no
-    // distinct. At ExactSubstr's canonical n=50 on a boilerplate-heavy
-    // corpus this is the difference between shuffling 50× the dup mass and
-    // shuffling it once.
+  }
+
+  /** Shared cut + rebuild: `dupStarts` is `(id, p)` — the duplicated
+    * window occurrences to remove from each document.
+    *
+    * Coalesces duplicated windows into per-document [start, end] islands
+    * BEFORE generating covered positions. Overlapping/adjacent windows are
+    * the common case (a duplicated run of length L starts L-n+1 windows,
+    * every one of them duplicated), so exploding each window's n positions
+    * and `distinct()`-ing — the round-9 plan — shuffled ~n× the duplicated
+    * -window mass only to collapse it again. Gap-and-island instead: one
+    * exchange of the duplicated window STARTS (1 row per occurrence, not
+    * n), a per-doc sort, islands split where the next start clears the
+    * previous window's coverage (p - prev_p > n), then positions are
+    * generated from the merged ranges — disjoint by construction, so no
+    * distinct. At ExactSubstr's canonical n=50 on a boilerplate-heavy
+    * corpus this is the difference between shuffling 50× the dup mass and
+    * shuffling it once. */
+  private def spanCutRebuild(toks: DataFrame, dupStarts: DataFrame, n: Int): DataFrame = {
     val byDoc = Window.partitionBy("id").orderBy("p")
-    val cut = wins.join(dup, "h")
-      .select(col("id"), col("p"))
+    val cut = dupStarts
       .withColumn("_new",
         when(col("p") - lag("p", 1).over(byDoc) > n, 1).otherwise(0))
       .withColumn("_island", sum("_new").over(byDoc))
@@ -1163,7 +1179,7 @@ object Dedup {
     // n_tokens rides the exploded rows (constant per id) so the rebuild
     // needs no third corpus scan to re-derive it via a join
     val tok = toks
-      .select(col("id"), m.cast("long").as("n_tokens"),
+      .select(col("id"), size(col("t")).cast("long").as("n_tokens"),
         posexplode(col("t")).as(Seq("pos0", "tok")))
       .select(col("id"), col("n_tokens"), (col("pos0") + 1).as("pos"), col("tok"))
     tok.join(cut, Seq("id", "pos"), "left_anti")
@@ -1174,5 +1190,56 @@ object Dedup {
           " ").as("text_clean"),
         count(lit(1)).as("n_kept"))
       .select("id", "text_clean", "n_tokens", "n_kept")
+  }
+
+  /**
+   * The window-hash store behind [[exactSubstringDedupIncremental]]: one
+   * row per distinct `n`-token window hash with its total occurrence
+   * count, `(h, c)`. The continuous-ingest contract mirrors
+   * [[seenFingerprints]]: persist the counts at ingest time and MAINTAIN
+   * them by addition — counts of the next batch's windows sum onto the
+   * stored rows (`union → groupBy(h).sum(c)`, or a [[ManifestStore]]
+   * upsert keyed on a hash prefix) — so the accumulated corpus is NEVER
+   * re-tokenized or rescanned. The store is two longs per distinct window
+   * — the corpus's token mass compressed to its distinct-window skeleton.
+   */
+  def substringWindowCounts(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"window length must be >= 1, got $n")
+    spanWins(spanTokens(df, idCol, textCol), n)
+      .groupBy("h").agg(count(lit(1)).as("c"))
+  }
+
+  /**
+   * Incremental (batch-over-store) exact-substring dedup — the continuous
+   * -ingest form of [[exactSubstringDedup]], the way [[exactIncremental]]
+   * extends [[exact]]: a window in the NEW batch is boilerplate when its
+   * total occurrence count across store ∪ batch exceeds one, i.e.
+   * `c_batch(h) + c_seen(h) > 1`. Exactly the batch operator's decision
+   * over the concatenated corpus — LlmOpsSpec pins
+   * `incremental(batch, counts(corpus)) ≡ batch(corpus ∪ batch) ↾ batch`
+   * — without touching corpus text: cost is the batch's own window mass
+   * plus ONE equi-join against the `(h, c)` store (batch ≪ store → AQE
+   * broadcasts the batch side; either way no corpus rescan, no pairs).
+   *
+   * Same aggressive-removal contract as the batch form, applied to the
+   * batch's documents only: stored documents were themselves cut at their
+   * own ingest time against the store as of then — the streaming
+   * approximation; a window first duplicated by a LATER batch is cut from
+   * that batch onward, not retroactively.
+   */
+  def exactSubstringDedupIncremental(
+      batch: DataFrame, seen: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"window length must be >= 1, got $n")
+    require(seen.columns.contains("h") && seen.columns.contains("c"),
+      "seen must carry (h, c) window-hash counts — see substringWindowCounts")
+    val toks = spanTokens(batch, idCol, textCol)
+    val wins = spanWins(toks, n)
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("_cb"))
+      .join(seen.select(col("h"), col("c").as("_cs")), Seq("h"), "left")
+      .where(col("_cb") + coalesce(col("_cs"), lit(0L)) > 1)
+      .select("h")
+    spanCutRebuild(toks, wins.join(dup, "h").select(col("id"), col("p")), n)
   }
 }

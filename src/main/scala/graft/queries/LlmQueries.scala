@@ -655,6 +655,22 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental span dedup — the continuous-ingest form: even doc_ids
+    // are the ingested store (held only as (h, c) window counts — never
+    // re-tokenized), odd doc_ids are the arriving batch; a batch window
+    // duplicated against store ∪ batch is cut. The oracle replays the
+    // union's duplication counts and rebuilds the batch documents only —
+    // pinning incremental ≡ batch-over-union restricted to the batch.
+    "q_dedup_exact_substring_inc" -> ((s, dir) => {
+      val all = docsWithNearDups(s, dir)
+      val seen = Dedup.substringWindowCounts(
+        all.where(col("doc_id") % 2 === 0), "doc_id", "text", n = 10)
+      Dedup.exactSubstringDedupIncremental(
+        all.where(col("doc_id") % 2 =!= 0), seen, "doc_id", "text", n = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Boilerplate line removal: every doc gets a planted per-source
     // boilerplate line (appears in 100% of its source's docs → dropped)
     // plus a doc-unique footer (kept) — the output must strip exactly the
@@ -1349,6 +1365,33 @@ object LlmQueries {
          |          SELECT w.doc_id, unnest(generate_series(w.p, w.p + 9)) AS pos
          |          FROM win w JOIN dup USING (h))),
          |tok AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok FROM toks),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+         |         LEFT JOIN cut c ON c.doc_id = t.doc_id AND c.pos = t.pos
+         |         WHERE c.pos IS NULL),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+         |               count(*) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT a.doc_id, a.text_clean, CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |       CAST(a.n_kept AS BIGINT) AS n_kept
+         |FROM agg a JOIN toks t ON t.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin,
+
+    // incremental span dedup oracle: duplication counted over the FULL
+    // union (store windows + batch windows — exactly c_seen + c_batch),
+    // cut and rebuild restricted to the batch (odd doc_ids)
+    "q_dedup_exact_substring_inc" ->
+      s"""WITH $mutCte,
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM alldocs),
+         |wpos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 9)) AS p
+         |         FROM toks WHERE len(t) >= 10),
+         |win AS (SELECT doc_id, p,
+         |               ('0x' || substr(md5(array_to_string(t[p:p+9], ' ')), 1, 8))::BIGINT AS h
+         |        FROM wpos),
+         |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1),
+         |cut AS (SELECT DISTINCT doc_id, pos FROM (
+         |          SELECT w.doc_id, unnest(generate_series(w.p, w.p + 9)) AS pos
+         |          FROM win w JOIN dup USING (h) WHERE w.doc_id % 2 <> 0)),
+         |tok AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+         |        FROM toks WHERE doc_id % 2 <> 0),
          |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
          |         LEFT JOIN cut c ON c.doc_id = t.doc_id AND c.pos = t.pos
          |         WHERE c.pos IS NULL),

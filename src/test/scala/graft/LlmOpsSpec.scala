@@ -1113,4 +1113,48 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(tokLevel == Set((1L, "a c"), (2L, "d")), s"n=1 semantics wrong: $tokLevel")
   }
+
+  test("Dedup: incremental span dedup == batch span dedup over the union, restricted to the batch") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+    val corpus = Seq(
+      (2L, "x1 x2 s1 s2 s3 x3"),     // shares the s-span with batch doc 1
+      (4L, "w1 w2 w3 w4 w5"),
+      (6L, "r1 r2 r3 r1 r2 r3")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "y1 s1 s2 s3 y2 y3"),     // cross-BATCH-vs-STORE dup -> cut
+      (3L, "z1 z2 z3 z4"),           // unique -> untouched
+      (5L, "q1 q2 q3 q1 q2 q3"),     // within-batch-doc dup -> fully cut
+      (7L, "y1 s1 s2"),              // sub-window spans only -> untouched
+      (9L, "z1 z2 z3 z9")).toDF("doc_id", "text") // shares window z1z2z3 with 3
+    val seen = Dedup.substringWindowCounts(corpus, "doc_id", "text", n = 3)
+    val inc = rows(Dedup.exactSubstringDedupIncremental(batch, seen, "doc_id", "text", n = 3))
+
+    // the law: identical to running the batch operator over store ∪ batch
+    // and keeping the batch's documents
+    val full = rows(Dedup.exactSubstringDedup(
+      corpus.unionByName(batch), "doc_id", "text", n = 3)
+      .where($"id" % 2 =!= 0))
+    assert(inc == full, s"incremental $inc != batch-over-union $full")
+    // spot-check the semantics: doc 1 loses the s-span against the STORE
+    // and its y1-s1-s2 window against batch doc 7 (positions 1-4 cut), doc
+    // 5 self-destructs within-batch, docs 3 and 9 lose their shared
+    // window, and doc 7 (one window, duplicated) drops out entirely
+    val byId = inc.map(t => t._1 -> t._2).toMap
+    assert(byId(1L) == "y2 y3", byId.toString)
+    assert(!byId.contains(5L), "within-batch duplicated doc must drop out")
+    assert(!byId.contains(7L), "fully-covered batch doc must drop out")
+    assert(byId(3L) == "z4" && byId(9L) == "z9", byId.toString)
+
+    // store maintenance is ADDITION: counts(corpus) ++ counts(batch)
+    // summed == counts(corpus ∪ batch) — the never-rescan contract
+    val summed = seen.unionByName(Dedup.substringWindowCounts(batch, "doc_id", "text", n = 3))
+      .groupBy("h").agg(sum("c").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Dedup.substringWindowCounts(
+      corpus.unionByName(batch), "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(summed == direct, "window-count store is not additive")
+  }
 }
