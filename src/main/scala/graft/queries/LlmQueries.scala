@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 import graft.GraftExtensions
-import graft.ops.{Corpus, Dedup, Multimodal, Pii, Similarity, TextOps}
+import graft.ops.{Corpus, Dedup, Multimodal, Pii, Retrieval, Similarity, TextOps}
 import graft.sources.Jsonl
 
 /**
@@ -401,6 +401,34 @@ object LlmQueries {
        |  SELECT vec_id, d, CAST(floor(x * 1e6) AS BIGINT) AS q
        |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
        |        FROM $src))""".stripMargin
+
+  /** BM25 CTE chain over `documents` for a `(qid, qtext)` relation `qsrc`:
+    * replays [[graft.ops.Retrieval]] exactly — same postings build (dl rides
+    * the explode), same Lucene idf, same left-associated double arithmetic,
+    * same 4-dp round-then-rank. Yields `bmranked(qid, doc_id, score, rank)`. */
+  private def bm25Ctes(qsrc: String): String =
+    s"""bq AS ($qsrc),
+       |bqt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS token FROM bq),
+       |bp AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+       |       FROM (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |               unnest(string_split(text, ' ')) AS token
+       |             FROM documents WHERE text IS NOT NULL)
+       |       GROUP BY doc_id, token),
+       |bstat AS (SELECT count(*) AS n_docs,
+       |            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+       |          FROM documents WHERE text IS NOT NULL),
+       |bdf AS (SELECT token, count(*) AS df FROM bp GROUP BY token),
+       |bsc AS (SELECT t.qid, p.doc_id,
+       |          ln(1.0 + (CAST(s.n_docs AS DOUBLE) - f.df + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+       |          * (CAST(p.tf AS DOUBLE) * (1.2 + 1.0))
+       |          / (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+       |              + 0.75 * CAST(p.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE)
+       |                / CAST(s.total_tokens AS DOUBLE))) AS sc
+       |        FROM bp p JOIN bdf f USING (token) JOIN bqt t USING (token) CROSS JOIN bstat s),
+       |bagg AS (SELECT qid, doc_id, round(sum(sc), 4) AS score FROM bsc GROUP BY qid, doc_id),
+       |bmranked AS (SELECT qid, doc_id, score,
+       |               CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+       |             FROM bagg)""".stripMargin
 
   // -------------------------------------------------------------------------
 
@@ -1101,6 +1129,37 @@ object LlmQueries {
           col("features.width").as("width"),
           col("features.height").as("height"))
         .orderBy("asset_id")
+    }),
+
+    // BM25 lexical retrieval: three fixed keyword queries (one with the
+    // corpus's only rare term "dup", one with an out-of-vocabulary term that
+    // must contribute nothing) against the one-shuffle postings index
+    "q_ret_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, "spark dup"), (1L, "hash join merge"),
+        (2L, "window sort dup quantum")).toDF("qid", "qtext")
+      Retrieval.bm25(docs(s, dir), "doc_id", "text", queries, k = 10)
+        .orderBy("qid", "rank")
+    }),
+
+    // Hybrid retrieval: BM25 keyword ranking fused with exact-cosine vector
+    // ranking by reciprocal rank fusion — query text is the first 4 tokens
+    // of each query document, the query vector its embedding (doc_id ≡
+    // vec_id in the test corpus)
+    "q_ret_hybrid_rrf" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val d = docs(s, dir)
+      val textQueries = d.where(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
+      val vecQueries = emb(s, dir).where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val lex = Retrieval.bm25(d, "doc_id", "text", textQueries, k = 10)
+      val vec = Similarity.bruteForceTopK(emb(s, dir), vecQueries, 10)
+        .select(col("qid"), col("rank"), col("vec_id").as("doc_id"))
+      Retrieval.rrfFuse(Seq(lex.select("qid", "rank", "doc_id"), vec), k = 10)
+        .orderBy("qid", "rank")
     })
   )
 
@@ -2023,6 +2082,38 @@ object LlmQueries {
         |  md5(text) AS digest,
         |  (ascii(substr(text, 1, 1)) + 1) * 16 AS width,
         |  (ascii(substr(text, 2, 1)) + 1) * 16 AS height
-        |FROM documents ORDER BY asset_id""".stripMargin
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "q_ret_bm25" ->
+      s"""WITH ${bm25Ctes(
+           "SELECT * FROM (VALUES (0, 'spark dup'), (1, 'hash join merge'), " +
+             "(2, 'window sort dup quantum')) AS v(qid, qtext)")}
+         |SELECT CAST(qid AS BIGINT) AS qid, rank, doc_id, score
+         |FROM bmranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "q_ret_hybrid_rrf" ->
+      s"""WITH ${compCte("comp", "embeddings")},
+         |${compCte("qcomp", "(SELECT * FROM embeddings WHERE vec_id < 3)")},
+         |vdots AS (SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+         |            CAST(SUM(q.q * c.q) AS BIGINT) AS dot
+         |          FROM qcomp q JOIN comp c ON c.d = q.d
+         |          GROUP BY q.vec_id, c.vec_id),
+         |vtop AS (SELECT qid, doc_id, rank FROM (
+         |           SELECT qid, doc_id,
+         |             CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, doc_id ASC) AS INT) AS rank
+         |           FROM vdots) WHERE rank <= 10),
+         |${bm25Ctes(
+           "SELECT doc_id AS qid, array_to_string(string_split(text, ' ')[1:4], ' ') AS qtext " +
+             "FROM documents WHERE doc_id < 3")},
+         |btop AS (SELECT qid, doc_id, rank FROM bmranked WHERE rank <= 10),
+         |contrib AS (SELECT qid, doc_id, CAST(1 AS DOUBLE) / (60 + rank) AS c FROM btop
+         |            UNION ALL
+         |            SELECT qid, doc_id, CAST(1 AS DOUBLE) / (60 + rank) FROM vtop),
+         |fused AS (SELECT qid, doc_id, round(sum(c), 6) AS rrf
+         |          FROM contrib GROUP BY qid, doc_id)
+         |SELECT qid, rank, doc_id, rrf FROM (
+         |  SELECT qid, doc_id, rrf,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+         |  FROM fused) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   )
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Retrieval
+
+/** BM25 + RRF semantics: hand-computed scores on a tiny corpus, OOV and
+  * query-dedup conventions, rank properties, fusion laws, and the
+  * WindowGroupLimit / broadcast plan shape. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 docs: "a" everywhere (df=3), "b" in two, "rare" in one long doc
+  private def corpus = Seq(
+    (1L, "a b"),
+    (2L, "a b b"),
+    (3L, "a rare rare rare")).toDF("doc_id", "text")
+
+  private def q(s: String) = Seq((0L, s)).toDF("qid", "qtext")
+
+  /** Reference BM25 (same formula as the operator, computed in plain Scala). */
+  private def ref(tf: Long, df: Long, dl: Long, nDocs: Long, totalTokens: Long): Double = {
+    val idf = math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df.toDouble + 0.5))
+    val avg = totalTokens.toDouble / nDocs.toDouble
+    idf * (tf.toDouble * (Retrieval.K1 + 1.0)) /
+      (tf.toDouble + Retrieval.K1 * ((1.0 - Retrieval.B) + Retrieval.B * dl.toDouble / avg))
+  }
+
+  test("bm25 matches the hand-computed formula (tf saturation + length norm)") {
+    val out = Retrieval.bm25(corpus, "doc_id", "text", q("rare b"), k = 3)
+      .orderBy("rank").collect()
+    // total tokens = 2 + 3 + 4 = 9, N = 3
+    val sRare = ref(3, 1, 4, 3, 9) // doc 3: rare tf=3, dl=4
+    val sB1 = ref(1, 2, 2, 3, 9)   // doc 1: b tf=1, dl=2
+    val sB2 = ref(2, 2, 3, 3, 9)   // doc 2: b tf=2, dl=3
+    assert(out.map(_.getLong(2)).toSeq == Seq(3L, 2L, 1L))
+    val got = out.map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(got(3L) == math.rint(sRare * 1e4) / 1e4 ||
+      math.abs(got(3L) - sRare) < 1e-4)
+    assert(math.abs(got(2L) - sB2) < 1e-4)
+    assert(math.abs(got(1L) - sB1) < 1e-4)
+    // higher tf of the same term scores higher (saturating, still monotone)
+    assert(got(2L) > got(1L))
+  }
+
+  test("out-of-vocabulary query terms contribute nothing; all-OOV query returns empty") {
+    val withOov = Retrieval.bm25(corpus, "doc_id", "text", q("rare zzz"), k = 3)
+      .orderBy("rank").collect()
+    val without = Retrieval.bm25(corpus, "doc_id", "text", q("rare"), k = 3)
+      .orderBy("rank").collect()
+    assert(withOov.map(r => (r.getLong(2), r.getDouble(3))).toSeq ==
+      without.map(r => (r.getLong(2), r.getDouble(3))).toSeq)
+    assert(Retrieval.bm25(corpus, "doc_id", "text", q("zzz yyy"), k = 3).count() == 0)
+  }
+
+  test("query terms are deduplicated (query-side tf is ignored)") {
+    val once = Retrieval.bm25(corpus, "doc_id", "text", q("b"), k = 3).collect()
+    val thrice = Retrieval.bm25(corpus, "doc_id", "text", q("b b b"), k = 3).collect()
+    assert(once.map(_.toSeq).toSet == thrice.map(_.toSeq).toSet)
+  }
+
+  test("ranks are dense 1..k per query, ties break on ascending doc_id") {
+    val tie = Seq((10L, "x"), (11L, "x")).toDF("doc_id", "text")
+    val out = Retrieval.bm25(tie, "doc_id", "text", q("x"), k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 2))
+    assert(out.map(_.getLong(2)).toSeq == Seq(10L, 11L)) // equal scores → id asc
+  }
+
+  test("rrfFuse: known values, doc in both lists outranks single-list docs") {
+    val a = Seq((0L, 100L, 1), (0L, 101L, 2)).toDF("qid", "doc_id", "rank")
+    val b = Seq((0L, 100L, 2), (0L, 102L, 1)).toDF("qid", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 3).orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(100L, 102L, 101L))
+    val expect100 = math.rint((1.0 / 61 + 1.0 / 62) * 1e6) / 1e6
+    assert(out.head.getDouble(3) == expect100)
+    // single-list docs at the same rank tie exactly and break by doc_id:
+    // 102 (rank 1 in b, 1/61) > 101 (rank 2 in a, 1/62)
+    assert(out(1).getDouble(3) > out(2).getDouble(3))
+  }
+
+  test("rrfFuse of a list with itself doubles every contribution (rank order preserved)") {
+    val a = Seq((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3)).toDF("qid", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, a), k = 3).orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.head.getDouble(3) == math.rint(2.0 / 61 * 1e6) / 1e6)
+  }
+
+  test("plan shape: per-query top-k is a WindowGroupLimit, query side broadcasts") {
+    val p = Retrieval.bm25(corpus, "doc_id", "text", q("a b"), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    // the only nested-loop join is the one-row stats broadcast cross join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+}
