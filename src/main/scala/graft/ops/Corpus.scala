@@ -189,4 +189,109 @@ object Corpus {
       .withColumn("seq", expr(s"(_cum - _toks) DIV ${budget}L"))
       .drop("_cum", "_toks")
   }
+
+  /**
+   * Deterministic sample of documents totalling at most `budget` tokens:
+   * the corpus is ordered by a salted id hash (an unbiased shuffle, stable
+   * across runs/engines/partitioning) and the longest prefix whose
+   * cumulative token count fits the budget is kept — "give me 10B tokens of
+   * this corpus", the budgeted counterpart of [[sampleDeterministic]]'s
+   * fixed-rate form. The document straddling the boundary (and everything
+   * after it) is dropped: prefix semantics, not bin packing.
+   *
+   * Scale shape: NO global sort. The global hash order is decomposed as
+   * (bucket, hash, id) with `bucket = hash % nBuckets`; per-bucket token
+   * totals (≤ `nBuckets` rows) take an exclusive prefix sum on the driver-
+   * sized frame and broadcast back, and the running sum inside each bucket
+   * is a PARTITIONED window — 100 TB cumulates as `nBuckets` independent
+   * streams. Rows keep their input columns.
+   */
+  def sampleToTokenBudget(
+      df: DataFrame, idCol: String, tokensCol: Column, budget: Long,
+      nBuckets: Int = 64, salt: String = ""): DataFrame = {
+    require(budget > 0 && nBuckets > 0, "budget and nBuckets must be positive")
+    val keyed = df
+      .withColumn("_h",
+        TextOps.hash32(concat(lit(s"budget:$salt:"), col(idCol).cast("string"))))
+      .withColumn("_bk", (col("_h") % nBuckets).cast("int"))
+      .withColumn("_tk", tokensCol.cast("long"))
+    val wB = Window.orderBy(col("_bk")).rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = keyed.groupBy("_bk").agg(sum(col("_tk")).as("_bt"))
+      // the window sorts ≤ nBuckets rows — a driver-sized frame, not the corpus
+      .withColumn("_before", coalesce(sum(col("_bt")).over(wB), lit(0L)))
+      .drop("_bt")
+    val wIn = Window.partitionBy("_bk").orderBy(col("_h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed.join(broadcast(prefix), Seq("_bk"))
+      .withColumn("_cum", col("_before") + sum(col("_tk")).over(wIn))
+      .where(col("_cum") <= budget)
+      .drop("_h", "_bk", "_tk", "_before", "_cum")
+  }
+
+  /**
+   * DSIR log-importance weights (Data Selection via Importance Resampling,
+   * Xie et al. 2023): score every raw document by how much more likely its
+   * tokens are under a TARGET distribution (e.g. a curated high-quality set)
+   * than under the raw-corpus distribution, using hashed unigram features —
+   * the published, classifier-free way to select pretraining data that
+   * "looks like" a target domain.
+   *
+   * Features: token → bucket `hash32(token) % nBuckets` (md5-derived, engine
+   * portable). Both distributions are add-one-smoothed over the bucket
+   * space: `p(b) = (c(b) + 1) / (T + nBuckets)`. A document's weight is
+   * `logw = Σ_tokens [ln p_target(b) − ln p_raw(b)]`, rounded to 4 dp (the
+   * [[TextOps.unigramPerplexity]] double-stability analysis applies).
+   *
+   * Scale shape: the two bucket models are token-level aggregates whose
+   * RESULTS are at most `nBuckets` rows — the model joins back to the raw
+   * tokens as a broadcast, so scoring never shuffles token mass; the only
+   * exchange is the per-document sum. Output: `(id, n_tokens, logw)`; docs
+   * with null text drop (no tokens to score).
+   */
+  def dsirLogWeights(
+      raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int = 256): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    def bucketed(d: DataFrame) =
+      d.where(col(textCol).isNotNull)
+        .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("_tok"))
+        .select(col(idCol), (TextOps.hash32(col("_tok")) % nBuckets).cast("int").as("b"))
+    val tCnt = bucketed(target).groupBy("b").agg(count(lit(1)).as("ct"))
+    val rCnt = bucketed(raw).groupBy("b").agg(count(lit(1)).as("cr"))
+    // full outer: a bucket seen only on one side keeps its mass in BOTH
+    // totals (smoothing covers the absent side)
+    val model = tCnt.join(rCnt, Seq("b"), "full_outer")
+      .select(col("b"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val totals = model.agg(
+      sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    bucketed(raw)
+      // every raw bucket is in the model by construction → inner is total
+      .join(broadcast(model), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        (log((col("ct") + lit(1L)).cast("double") /
+            (col("tt") + lit(nBuckets)).cast("double")) -
+          log((col("cr") + lit(1L)).cast("double") /
+            (col("tr") + lit(nBuckets)).cast("double"))).as("_lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), round(sum(col("_lp")), 4).as("logw"))
+  }
+
+  /**
+   * DSIR selection: the `m` raw documents with the highest importance
+   * weights (ties → ascending id) — the deterministic top-m variant of the
+   * paper's Gumbel resampling (same expectation, reproducible). Global
+   * top-m compiles to `TakeOrderedAndProject`: every partition forwards at
+   * most `m` rows, nothing resembling a global sort runs.
+   */
+  def dsirSelect(
+      raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      m: Int, nBuckets: Int = 256): DataFrame = {
+    require(m > 0, s"m must be positive, got $m")
+    dsirLogWeights(raw, target, idCol, textCol, nBuckets)
+      .orderBy(col("logw").desc, col(idCol).asc)
+      .limit(m)
+  }
 }

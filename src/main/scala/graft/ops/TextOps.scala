@@ -665,6 +665,35 @@ object TextOps {
           .as("entropy"))
 
   /**
+   * CCNet-style perplexity bucketing: scores every document with the
+   * add-one unigram LM ([[unigramPerplexity]]) and labels it `head` /
+   * `middle` / `tail` by the corpus-level perplexity tertiles — the
+   * published recipe (Wenzek et al. 2020) keeps `head` (closest to the LM's
+   * training distribution), samples `middle`, and drops `tail`.
+   *
+   * The tertile edges are exact interpolated percentiles computed by ONE
+   * tiny global aggregate broadcast back over the scored frame (the
+   * [[graft.ops.Corpus.filterByQuantileRange]] shape) — the corpus is never
+   * globally sorted. Cut points use `<=` on the 2-dp-rounded ppl, so the
+   * labeling is reproducible across engines.
+   */
+  def perplexityBuckets(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      lo: Double = 1.0 / 3, hi: Double = 2.0 / 3,
+      lmCorpus: org.apache.spark.sql.DataFrame = null): org.apache.spark.sql.DataFrame = {
+    require(0 < lo && lo < hi && hi < 1, s"need 0 < lo < hi < 1, got [$lo, $hi]")
+    val ppl = unigramPerplexity(df, idCol, textCol, lmCorpus)
+    val edges = ppl.agg(
+      expr(s"percentile(ppl, $lo)").as("_q_lo"),
+      expr(s"percentile(ppl, $hi)").as("_q_hi"))
+    ppl.join(broadcast(edges))
+      .select(col(idCol), col("n_tokens"), col("ppl"),
+        when(col("ppl") <= col("_q_lo"), "head")
+          .when(col("ppl") <= col("_q_hi"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /**
    * Per-document perplexity under an add-one-smoothed BIGRAM language model
    * — one LM order up from [[unigramPerplexity]], the strongest n-gram
    * signal expressible with exact cross-engine parity. The first token is

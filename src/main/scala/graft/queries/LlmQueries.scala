@@ -1160,7 +1160,34 @@ object LlmQueries {
         .select(col("qid"), col("rank"), col("vec_id").as("doc_id"))
       Retrieval.rrfFuse(Seq(lex.select("qid", "rank", "doc_id"), vec), k = 10)
         .orderBy("qid", "rank")
-    })
+    }),
+
+    // DSIR importance weights: every document scored by hashed-unigram
+    // log-likelihood ratio against the English subset as the target
+    // distribution — documents distributionally closest to the target get
+    // the highest weights
+    "q_corpus_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.dsirLogWeights(d, d.where(col("lang") === "en"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // CCNet perplexity bucketing: head/middle/tail by the corpus-level
+    // perplexity tertiles (exact interpolated percentiles as broadcast
+    // one-row edges)
+    "q_text_ppl_buckets" -> ((s, dir) =>
+      TextOps.perplexityBuckets(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Token-budget sampling: the hash-shuffled prefix of the corpus whose
+    // cumulative token count fits a 15000-token budget — decomposed as
+    // bucket prefix sums + partitioned windows, never a global sort
+    "q_corpus_token_budget" -> ((s, dir) =>
+      Corpus.sampleToTokenBudget(
+          docs(s, dir).select("doc_id", "text", "lang", "source", "n_chars"),
+          "doc_id", size(split(col("text"), " ")), budget = 15000L)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"))
   )
 
   // -------------------------------------------------------------------------
@@ -2114,6 +2141,53 @@ object LlmQueries {
          |SELECT qid, rank, doc_id, rrf FROM (
          |  SELECT qid, doc_id, rrf,
          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
-         |  FROM fused) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+         |  FROM fused) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "q_corpus_dsir" ->
+      """WITH tb AS (SELECT doc_id, lang,
+        |              CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS INT) AS b
+        |            FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |                  FROM documents WHERE text IS NOT NULL)),
+        |tcnt AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY b),
+        |rcnt AS (SELECT b, count(*) AS cr FROM tb GROUP BY b),
+        |model AS (SELECT COALESCE(t.b, r.b) AS b,
+        |            COALESCE(t.ct, 0) AS ct, COALESCE(r.cr, 0) AS cr
+        |          FROM tcnt t FULL JOIN rcnt r ON r.b = t.b),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr
+        |        FROM model),
+        |lp AS (SELECT tb.doc_id,
+        |         ln(CAST(m.ct + 1 AS DOUBLE) / CAST(tot.tt + 256 AS DOUBLE))
+        |         - ln(CAST(m.cr + 1 AS DOUBLE) / CAST(tot.tr + 256 AS DOUBLE)) AS lp
+        |       FROM tb JOIN model m USING (b) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens, round(sum(lp), 4) AS logw
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_ppl_buckets" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |lm AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tt, count(*) AS v FROM lm),
+         |sc AS (SELECT t.doc_id,
+         |         ln(CAST(lm.cnt + 1 AS DOUBLE) / CAST(tot.tt + tot.v + 1 AS DOUBLE)) AS lp
+         |       FROM t JOIN lm USING (token) CROSS JOIN tot),
+         |p AS (SELECT doc_id, count(*) AS n_tokens, round(exp(-avg(lp)), 2) AS ppl
+         |      FROM sc GROUP BY doc_id),
+         |q AS (SELECT quantile_cont(ppl, ${1.0 / 3}) AS qlo,
+         |             quantile_cont(ppl, ${2.0 / 3}) AS qhi FROM p)
+         |SELECT doc_id, n_tokens, ppl,
+         |       CASE WHEN ppl <= qlo THEN 'head'
+         |            WHEN ppl <= qhi THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM p CROSS JOIN q ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_token_budget" ->
+      """WITH k AS (SELECT doc_id, lang, source, n_chars,
+        |             ('0x' || substr(md5('budget::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h,
+        |             len(string_split(text, ' ')) AS tk
+        |           FROM documents),
+        |c AS (SELECT *, sum(tk) OVER (ORDER BY h % 64, h, doc_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM k)
+        |SELECT doc_id, lang, source, n_chars FROM c WHERE cum <= 15000
+        |ORDER BY doc_id""".stripMargin
   )
 }

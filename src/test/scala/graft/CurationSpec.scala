@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Corpus, TextOps}
+
+/** DSIR importance weighting, CCNet perplexity bucketing, and token-budget
+  * sampling: hand-computed values, ordering laws, and scale-shape plan pins. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dsirLogWeights: target-like documents outweigh off-target ones, exact values") {
+    // "good" and "bad" land in distinct hash buckets (194 vs 152 of 256)
+    val raw = Seq((1L, "good"), (2L, "bad")).toDF("doc_id", "text")
+    val target = raw.where($"doc_id" === 1L)
+    val out = Corpus.dsirLogWeights(raw, target, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // target: ct(good)=1, tt=1; raw: cr(good)=cr(bad)=1, tr=2; B=256
+    val w1 = math.log(2.0 / 257) - math.log(2.0 / 258)
+    val w2 = math.log(1.0 / 257) - math.log(2.0 / 258)
+    assert(math.abs(out(0).getDouble(2) - w1) < 1e-4)
+    assert(math.abs(out(1).getDouble(2) - w2) < 1e-4)
+    assert(out(0).getDouble(2) > out(1).getDouble(2))
+  }
+
+  test("dsirLogWeights: at equal length, more target-like → higher; dsirSelect top-m") {
+    // equal-length docs isolate the per-token ratio (with a tiny target
+    // corpus the smoothing term penalizes LONGER docs of any content, so
+    // cross-length comparisons are not a law — see the ct+1 / tt+B form)
+    val raw = Seq(
+      (1L, "good good"), (2L, "good bad"), (3L, "bad bad")).toDF("doc_id", "text")
+    val target = Seq((9L, "good good")).toDF("doc_id", "text")
+    val w = Corpus.dsirLogWeights(raw, target, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(2L) && w(2L) > w(3L))
+    val sel = Corpus.dsirSelect(raw, target, "doc_id", "text", m = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel == Set(1L, 2L))
+  }
+
+  test("perplexityBuckets: tertile labels partition the corpus, ordered by ppl") {
+    // doc i = token w_i repeated i times → ppl_i = (T+V+1)/(i+1), all
+    // distinct, so the tertiles are exactly 10/10/10
+    val docs = (1L to 30L)
+      .map(i => (i, (("w" + i + " ") * i.toInt).trim))
+      .toDF("doc_id", "text")
+    val out = TextOps.perplexityBuckets(docs, "doc_id", "text").collect()
+    assert(out.length == 30)
+    val byBucket = out.groupBy(_.getString(3)).map { case (k, v) =>
+      k -> v.map(_.getDouble(2))
+    }
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // every head ppl <= every middle ppl <= every tail ppl
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    assert(byBucket.values.forall(_.length == 10))
+  }
+
+  test("sampleToTokenBudget: budget respected, selection is the hash-order prefix") {
+    val docs = (1L to 50L).map(i => (i, i.toString, 1 + (i % 7))).toDF("doc_id", "text", "n")
+    val budget = 60L
+    val sel = Corpus.sampleToTokenBudget(docs, "doc_id", col("n"), budget)
+      .collect().map(_.getLong(0)).toSet
+    // reference: same salted hash, same (bucket, hash, id) global order
+    val ordered = docs.select(
+        col("doc_id"), col("n"),
+        TextOps.hash32(concat(lit("budget::"), col("doc_id").cast("string"))).as("h"))
+      .collect().map(r => (r.getLong(2) % 64, r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._1, t._2, t._3))
+    var cum = 0L
+    val expect = scala.collection.mutable.Set[Long]()
+    ordered.foreach { case (_, _, id, n) =>
+      cum += n
+      if (cum <= budget) expect += id
+    }
+    assert(sel == expect.toSet)
+    assert(sel.nonEmpty && sel.size < 50)
+  }
+
+  test("sampleToTokenBudget: monotone in budget (smaller budget ⊆ larger)") {
+    val docs = (1L to 40L).map(i => (i, 2L + i % 5)).toDF("doc_id", "n")
+    val small = Corpus.sampleToTokenBudget(docs, "doc_id", col("n"), 30L)
+      .collect().map(_.getLong(0)).toSet
+    val large = Corpus.sampleToTokenBudget(docs, "doc_id", col("n"), 90L)
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large) && small.size < large.size)
+  }
+
+  test("plan shape: token-budget sampling never range-partitions the corpus") {
+    val docs = (1L to 40L).map(i => (i, 2L)).toDF("doc_id", "n")
+    val p = Corpus.sampleToTokenBudget(docs, "doc_id", col("n"), 30L)
+      .queryExecution.executedPlan.toString
+    // a global ORDER BY would show up as a range-partitioning exchange over
+    // the corpus; the decomposed plan only hash-partitions (bucket windows)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+}
