@@ -211,6 +211,89 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Fail-loud bound on per-query candidate-set size in [[mmrRerank]]: the
+    * greedy loop is O(k·|C|) per query and holds one query's candidates in
+    * memory — the contract is k-bounded ANN/BM25 shortlists, not corpora. */
+  val MaxMmrCandidates: Int = 4096
+
+  /**
+   * Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+   * from each query's candidate shortlist, greedily pick the document
+   * maximizing `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` — relevance
+   * traded against redundancy with what is already selected, the standard
+   * diversity pass over an ANN/BM25 shortlist. The max over an empty
+   * selection is 0, so the first pick maximizes `λ·rel` (ties → smallest
+   * doc id, as everywhere).
+   *
+   * `candidates` columns: `(qid, doc_id, rel, embedding)` with `rel` an
+   * integer relevance (e.g. the quantized dot from [[bruteForceTopK]]).
+   * Pairwise similarities are the same `floor(x·10⁶)` quantized integer
+   * dots as every other scorer here, computed inside the group — so with
+   * exact-integer `rel` the whole greedy trace is deterministic IEEE
+   * arithmetic, reproducible on any engine (the oracle replays it as k
+   * unrolled selection rounds).
+   *
+   * Scale shape: candidate sets are k-bounded by construction (guarded at
+   * [[MaxMmrCandidates]]); the greedy runs per query inside `flatMapGroups`
+   * — the legitimately imperative case, one group = one shortlist, never a
+   * corpus. Output: `(qid, rank, doc_id, mmr)`, `rank ∈ [1, k]`.
+   */
+  def mmrRerank(candidates: DataFrame, k: Int, lambda: Double = 0.5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(0 <= lambda && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    candidates
+      .select(col("qid").cast("long"), col("doc_id").cast("long"),
+        col("rel").cast("long"), col("embedding"))
+      .as[(Long, Long, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Array[Float])]) =>
+        val cs = it.toArray.sortBy(_._2)
+        require(cs.length <= MaxMmrCandidates,
+          s"mmrRerank got ${cs.length} candidates for query $qid " +
+            s"(max $MaxMmrCandidates) — pass a top-k shortlist, not a corpus")
+        val qv = cs.map(_._4.map(f => math.floor(f * Scale).toLong))
+        def dot(a: Int, b: Int): Long = {
+          var acc = 0L
+          var i = 0
+          val (x, y) = (qv(a), qv(b))
+          val n = math.min(x.length, y.length)
+          while (i < n) { acc += x(i) * y(i); i += 1 }
+          acc
+        }
+        val selected = scala.collection.mutable.ArrayBuffer[Int]()
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
+        val picked = new Array[Boolean](cs.length)
+        var rank = 1
+        while (rank <= math.min(k, cs.length)) {
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cs.length) {
+            if (!picked(i)) {
+              var maxSim = 0L // max over the empty selection is 0 by contract
+              var first = true
+              selected.foreach { s =>
+                val d = dot(i, s)
+                if (first || d > maxSim) { maxSim = d; first = false }
+              }
+              val score = lambda * cs(i)._3.toDouble - (1 - lambda) * maxSim.toDouble
+              // strict > keeps the smallest doc_id on ties (cs is id-sorted)
+              if (score > bestScore) { bestScore = score; best = i }
+            }
+            i += 1
+          }
+          picked(best) = true
+          selected += best
+          out += ((qid, rank, cs(best)._2, bestScore))
+          rank += 1
+        }
+        out.iterator
+      }
+      .toDF("qid", "rank", "doc_id", "mmr")
+  }
+
   /**
    * Sign-random-projection bit signature (`nBits` ≤ 30): bit j is the sign of
    * the dot product with a deterministic pseudo-random integer hyperplane

@@ -430,6 +430,38 @@ object LlmQueries {
        |               CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INT) AS rank
        |             FROM bagg)""".stripMargin
 
+  /** Unrolled MMR greedy over CTEs `mcand(qid, doc_id, rel)` and
+    * `msims(qid, ia, ib, dot)`: k selection rounds, each picking the
+    * remaining candidate maximizing `λ·rel − (1−λ)·max_{sel} sim` with
+    * λ = 0.5 (halves of exact integers — exact doubles on both engines),
+    * ties → ascending doc id. Yields `selall<k>(qid, doc_id, rank, mmr)` —
+    * the same replay-the-whole-trace oracle style as the k-means CTEs. */
+  private def mmrCtes(k: Int): String = {
+    val steps = (2 to k).map { n =>
+      s"""rem$n AS (SELECT c.* FROM mcand c
+         |  LEFT JOIN selall${n - 1} s ON s.qid = c.qid AND s.doc_id = c.doc_id
+         |  WHERE s.doc_id IS NULL),
+         |sc$n AS (SELECT r.qid, r.doc_id,
+         |    0.5 * CAST(r.rel AS DOUBLE) - 0.5 * CAST(max(si.dot) AS DOUBLE) AS mmr
+         |  FROM rem$n r
+         |  JOIN msims si ON si.qid = r.qid AND si.ia = r.doc_id
+         |  JOIN selall${n - 1} s ON s.qid = si.qid AND s.doc_id = si.ib
+         |  GROUP BY r.qid, r.doc_id, r.rel),
+         |pick$n AS (SELECT qid, doc_id, mmr FROM (
+         |    SELECT qid, doc_id, mmr,
+         |      row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, doc_id ASC) AS rn
+         |    FROM sc$n) WHERE rn = 1),
+         |selall$n AS (SELECT * FROM selall${n - 1}
+         |  UNION ALL SELECT qid, doc_id, $n AS rank, mmr FROM pick$n)""".stripMargin
+    }.mkString(",\n")
+    s"""pick1 AS (SELECT qid, doc_id, 0.5 * CAST(rel AS DOUBLE) AS mmr FROM (
+       |    SELECT qid, doc_id, rel,
+       |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id ASC) AS rn
+       |    FROM mcand) WHERE rn = 1),
+       |selall1 AS (SELECT qid, doc_id, 1 AS rank, mmr FROM pick1),
+       |$steps""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1187,7 +1219,21 @@ object LlmQueries {
           docs(s, dir).select("doc_id", "text", "lang", "source", "n_chars"),
           "doc_id", size(split(col("text"), " ")), budget = 15000L)
         .select("doc_id", "lang", "source", "n_chars")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // MMR diversity re-ranking: each query's brute-force top-15 shortlist
+    // greedily re-ranked to top-5 by relevance-minus-redundancy — the
+    // oracle replays all 5 greedy selection rounds as unrolled CTEs
+    "q_ret_mmr" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = emb(s, dir)
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cand = Similarity.bruteForceTopK(e, queries, 15)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("dot").as("rel"))
+        .join(e.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      Similarity.mmrRerank(cand, k = 5).orderBy("qid", "rank")
+    })
   )
 
   // -------------------------------------------------------------------------
@@ -2188,6 +2234,27 @@ object LlmQueries {
         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |      FROM k)
         |SELECT doc_id, lang, source, n_chars FROM c WHERE cum <= 15000
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_ret_mmr" ->
+      s"""WITH ${compCte("comp", "embeddings")},
+         |${compCte("qcomp", "(SELECT * FROM embeddings WHERE vec_id < 3)")},
+         |mdots AS (SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+         |            CAST(SUM(q.q * c.q) AS BIGINT) AS rel
+         |          FROM qcomp q JOIN comp c ON c.d = q.d
+         |          GROUP BY q.vec_id, c.vec_id),
+         |mcand AS (SELECT qid, doc_id, rel FROM (
+         |            SELECT qid, doc_id, rel,
+         |              row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id ASC) AS rn
+         |            FROM mdots) WHERE rn <= 15),
+         |msims AS (SELECT a.qid, a.doc_id AS ia, b.doc_id AS ib,
+         |            CAST(SUM(ca.q * cb.q) AS BIGINT) AS dot
+         |          FROM mcand a
+         |          JOIN mcand b ON b.qid = a.qid AND b.doc_id <> a.doc_id
+         |          JOIN comp ca ON ca.vec_id = a.doc_id
+         |          JOIN comp cb ON cb.vec_id = b.doc_id AND cb.d = ca.d
+         |          GROUP BY a.qid, a.doc_id, b.doc_id),
+         |${mmrCtes(5)}
+         |SELECT qid, rank, doc_id, mmr FROM selall5 ORDER BY qid, rank""".stripMargin
   )
 }

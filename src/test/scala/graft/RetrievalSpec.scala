@@ -86,6 +86,41 @@ class RetrievalSpec extends SparkSpec {
     assert(out.head.getDouble(3) == math.rint(2.0 / 61 * 1e6) / 1e6)
   }
 
+  // MMR candidates: d1/d2 identical vectors (redundant pair), d3 diverse.
+  // Components are exact binary floats so quantized dots are closed-form:
+  // sim(1,2) = 500000² + 125000² = 265_625_000_000, sim(*,3) = 62_500_000_000.
+  private def mmrCands = Seq(
+    (0L, 1L, 500000000000L, Array(0.5f, 0.125f)),
+    (0L, 2L, 500000000000L, Array(0.5f, 0.125f)),
+    (0L, 3L, 200000000000L, Array(0.0f, 0.5f)))
+    .toDF("qid", "doc_id", "rel", "embedding")
+
+  test("mmrRerank: diversity beats redundancy at low lambda, exact greedy trace") {
+    val out = graft.ops.Similarity.mmrRerank(mmrCands, k = 3, lambda = 0.3)
+      .orderBy("rank").collect()
+    // pick 1: rel tie 5e11 → doc 1; pick 2: doc 2 scores
+    // 0.3·5e11 − 0.7·2.65625e11 < doc 3's 0.3·2e11 − 0.7·6.25e10 → doc 3
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 3L, 2L))
+    assert(out(0).getDouble(3) == 0.3 * 5e11)
+    assert(out(1).getDouble(3) == 0.3 * 2e11 - 0.7 * 6.25e10)
+    assert(out(2).getDouble(3) == 0.3 * 5e11 - 0.7 * 2.65625e11)
+  }
+
+  test("mmrRerank: lambda = 1 reduces to pure relevance order") {
+    val out = graft.ops.Similarity.mmrRerank(mmrCands, k = 3, lambda = 1.0)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(5e11, 5e11, 2e11))
+  }
+
+  test("mmrRerank: k beyond the candidate count returns every candidate once") {
+    val out = graft.ops.Similarity.mmrRerank(mmrCands, k = 10, lambda = 0.5)
+      .collect()
+    assert(out.length == 3)
+    assert(out.map(_.getLong(2)).toSet == Set(1L, 2L, 3L))
+    assert(out.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3))
+  }
+
   test("plan shape: per-query top-k is a WindowGroupLimit, query side broadcasts") {
     val p = Retrieval.bm25(corpus, "doc_id", "text", q("a b"), k = 2)
       .queryExecution.executedPlan.toString
