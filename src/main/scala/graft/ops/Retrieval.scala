@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -85,13 +85,19 @@ object Retrieval {
    */
   def bm25TopK(
       postings: DataFrame, stats: DataFrame, queries: DataFrame, k: Int,
-      k1: Double = K1, b: Double = B): DataFrame = {
+      k1: Double = K1, b: Double = B): DataFrame =
+    bm25Score(postings, docFreq(postings), stats, queries, k, k1, b)
+
+  /** Scoring core shared by the direct and persisted-index paths: `dfreq`
+    * is the per-token document-frequency table (derived or precomputed). */
+  private def bm25Score(
+      postings: DataFrame, dfreq: DataFrame, stats: DataFrame,
+      queries: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val qterms = queries.select(
       col("qid"),
       explode(array_distinct(TextOps.tokens(col("qtext")))).as("token"))
-    val termStats = docFreq(postings)
-      .join(broadcast(qterms), Seq("token"))
+    val termStats = dfreq.join(broadcast(qterms), Seq("token"))
     val scored = postings
       .join(broadcast(termStats), Seq("token"))
       .crossJoin(broadcast(stats))
@@ -151,5 +157,207 @@ object Retrieval {
       .withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= k)
       .select("qid", "rank", "doc_id", "rrf")
+  }
+
+  // -------------------------------------------------------------------------
+  // Persisted lexical index — build-once/query-many with incremental append,
+  // committed through ManifestStore.CommitProtocol (the same pluggable
+  // HDFS-atomic-rename / S3-read-repair tiers as the table upserts and the
+  // ANN index). Layout: gen=<V>-<token>/{postings, tokenstats, corpusstats};
+  // the `_lex.<v>` manifest lists live segment generations (`seg\t<genId>`).
+  //
+  // Segments are DOC-DISJOINT by contract (append takes NEW documents, the
+  // same contract as Similarity.appendToIndex) — that is what makes the
+  // per-segment document-frequency partials and corpus stats additive, so
+  // serving merges vocabulary-sized frames, never rescans the corpus.
+  // Postings are range-clustered and sorted by token inside each segment:
+  // parquet footer min/max lets a query's term filter skip every file whose
+  // token range can't match.
+  // -------------------------------------------------------------------------
+
+  /** A loaded lexical index: unioned postings plus the merged (additive)
+    * document-frequency and corpus-stats frames. */
+  final class LexIndex(
+      val postings: DataFrame, val docFreq: DataFrame, val stats: DataFrame)
+
+  /** Fail-loud bound on distinct terms per query batch in
+    * [[bm25TopKIndexed]]: the term set is collected to push a literal
+    * file-skipping filter — the contract is interactive query batches,
+    * not a corpus join. */
+  val MaxQueryTerms: Int = 4096
+
+  private def lexGenNumber(genId: String): Long = genId.takeWhile(_.isDigit).toLong
+
+  private def newLexGenId(version: Long): String =
+    s"$version-${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}"
+
+  /** Fresh generation number: strictly above the committed manifest version
+    * and every `gen=` directory on disk (crash debris is never reused). */
+  private def nextLexGen(spark: SparkSession, indexDir: String): Long = {
+    val hfs = ManifestStore.fs(spark, indexDir)
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val onDisk =
+      if (!hfs.exists(dir)) Seq.empty[Long]
+      else hfs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith("gen=")).map(n => lexGenNumber(n.stripPrefix("gen="))).toSeq
+    val committed = ManifestStore.readVersioned(spark, indexDir, "_lex").map(_._1)
+    (committed.toSeq ++ onDisk :+ 0L).max + 1
+  }
+
+  private def parseLexManifest(content: String): Seq[String] =
+    content.linesIterator.filter(_.nonEmpty)
+      .collect { case l if l.startsWith("seg\t") => l.stripPrefix("seg\t") }.toSeq
+
+  /** One segment's three artifacts. The doc-frequency partial is derived by
+    * re-reading the just-written postings (cheaper than re-tokenizing the
+    * corpus, and it audits that the written bytes are readable). */
+  private def writeSegment(
+      df: DataFrame, idCol: String, textCol: String, base: String): Unit = {
+    val spark = df.sparkSession
+    bm25Postings(df, idCol, textCol)
+      .repartitionByRange(col("token"))
+      .sortWithinPartitions("token")
+      .write.mode("overwrite").parquet(s"$base/postings")
+    val written = spark.read.parquet(s"$base/postings")
+    docFreq(written).coalesce(1).write.mode("overwrite").parquet(s"$base/tokenstats")
+    bm25Stats(df, textCol).coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/corpusstats")
+  }
+
+  /** Build and commit a lexical index over `df`. Rebuilding over an existing
+    * index is safe: old generations are untouched and the old manifest
+    * stays authoritative until the new commit lands. */
+  def writeLexIndex(
+      df: DataFrame, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = df.sparkSession
+    val gen = nextLexGen(spark, indexDir)
+    val genId = newLexGenId(gen)
+    writeSegment(df, idCol, textCol, s"$indexDir/gen=$genId")
+    ManifestStore.commitVersioned(spark, indexDir, "_lex", gen, s"seg\t$genId\n")
+  }
+
+  /** Incremental append of a NEW-document batch as one more segment —
+    * serving over the appended index equals [[bm25]] over the concatenated
+    * corpus (spec-pinned). An empty delta is a no-op. */
+  def appendToLexIndex(
+      delta: DataFrame, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = delta.sparkSession
+    val (ver, content) = ManifestStore.readVersioned(spark, indexDir, "_lex")
+      .getOrElse(throw new IllegalStateException(
+        s"no committed lexical index under $indexDir to append to"))
+    if (delta.isEmpty) return
+    val segs = parseLexManifest(content)
+    val gen = math.max(nextLexGen(spark, indexDir), ver + 1)
+    val genId = newLexGenId(gen)
+    writeSegment(delta, idCol, textCol, s"$indexDir/gen=$genId")
+    ManifestStore.commitVersioned(spark, indexDir, "_lex", gen,
+      (segs :+ genId).map(g => s"seg\t$g").mkString("", "\n", "\n"))
+  }
+
+  /** True iff `indexDir` holds a committed lexical index. */
+  def lexIndexCommitted(indexDir: String): Boolean =
+    ManifestStore.readVersioned(SparkSession.active, indexDir, "_lex").isDefined
+
+  /** Load the committed index: postings union over live segments; df and
+    * corpus stats fold the per-segment partials (vocabulary-sized work —
+    * the corpus is never rescanned at load or serve time). */
+  def readLexIndex(spark: SparkSession, indexDir: String): LexIndex = {
+    val (_, content) = ManifestStore.readVersioned(spark, indexDir, "_lex")
+      .getOrElse(throw new IllegalStateException(
+        s"no committed lexical index under $indexDir"))
+    val segs = parseLexManifest(content)
+    def gens(artifact: String): DataFrame =
+      segs.map(g => spark.read.parquet(s"$indexDir/gen=$g/$artifact"))
+        .reduce(_.unionByName(_))
+    new LexIndex(
+      postings = gens("postings"),
+      docFreq = gens("tokenstats").groupBy("token").agg(sum(col("df")).as("df")),
+      stats = gens("corpusstats").agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).as("total_tokens")))
+  }
+
+  /**
+   * Serving-time BM25 over a persisted index. The query batch's distinct
+   * terms (bounded by [[MaxQueryTerms]], fail-loud) are collected and pushed
+   * as a LITERAL `token IN (...)` filter on the postings scan — with
+   * segments token-range-clustered, parquet footer stats prune every file
+   * whose range can't contain a query term, the lexical analog of the ANN
+   * index's probed-cell partition filter. Ranking is identical to [[bm25]]
+   * over the same corpus.
+   */
+  def bm25TopKIndexed(
+      index: LexIndex, queries: DataFrame, k: Int,
+      k1: Double = K1, b: Double = B): DataFrame = {
+    val terms = queries
+      .select(explode(array_distinct(TextOps.tokens(col("qtext")))).as("t"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    require(terms.size <= MaxQueryTerms,
+      s"bm25TopKIndexed got ${terms.size} distinct query terms " +
+        s"(max $MaxQueryTerms) — pass an interactive query batch, not a corpus")
+    bm25Score(
+      index.postings.where(col("token").isin(terms: _*)),
+      index.docFreq.where(col("token").isin(terms: _*)),
+      index.stats, queries, k, k1, b)
+  }
+
+  /**
+   * Segment compaction (the [[graft.ops.Similarity.compactIndex]] policy):
+   * when more than `maxGens` segments are live, the SMALLEST ones (by
+   * postings bytes — cheapest rewrite volume per directory eliminated)
+   * merge into one fresh segment, re-clustered by token, committed under
+   * the same protocol. Doc-disjointness makes every merge a plain union +
+   * partial-sum fold. Serving is identical before and after. Returns the
+   * number of segments merged (0 if no merge can reduce the count).
+   */
+  def compactLexIndex(spark: SparkSession, indexDir: String, maxGens: Int = 1): Int = {
+    require(maxGens >= 1, "maxGens must be at least 1")
+    val (ver, content) = ManifestStore.readVersioned(spark, indexDir, "_lex")
+      .getOrElse(return 0)
+    val segs = parseLexManifest(content)
+    if (segs.size <= maxGens) return 0
+    val hfs = ManifestStore.fs(spark, indexDir)
+    val sizes: Map[String, Long] = segs.map { g =>
+      g -> hfs.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$indexDir/gen=$g/postings")).getLength
+    }.toMap
+    val keep = segs.sortBy(g => (-sizes(g), -lexGenNumber(g), g)).take(maxGens - 1)
+    val victims = segs.filterNot(keep.contains)
+    if (victims.size <= 1) return 0
+    val gen = math.max(nextLexGen(spark, indexDir), ver + 1)
+    val genId = newLexGenId(gen)
+    val base = s"$indexDir/gen=$genId"
+    def unioned(artifact: String): DataFrame =
+      victims.map(g => spark.read.parquet(s"$indexDir/gen=$g/$artifact"))
+        .reduce(_.unionByName(_))
+    unioned("postings")
+      .repartitionByRange(col("token")).sortWithinPartitions("token")
+      .write.mode("overwrite").parquet(s"$base/postings")
+    unioned("tokenstats").groupBy("token").agg(sum(col("df")).as("df"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/tokenstats")
+    unioned("corpusstats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_tokens")).as("total_tokens"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/corpusstats")
+    ManifestStore.commitVersioned(spark, indexDir, "_lex", gen,
+      (keep :+ genId).map(g => s"seg\t$g").mkString("", "\n", "\n"))
+    victims.size
+  }
+
+  /** Drop generation directories the current manifest does not reference
+    * (superseded rebuilds, crash debris). Space only; returns count. */
+  def vacuumLexIndex(spark: SparkSession, indexDir: String): Int = {
+    val live = ManifestStore.readVersioned(spark, indexDir, "_lex")
+      .map { case (_, c) => parseLexManifest(c).toSet }
+      .getOrElse(Set.empty[String])
+    val hfs = ManifestStore.fs(spark, indexDir)
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    if (!hfs.exists(dir)) return 0
+    val dead = hfs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("gen=") &&
+        !live.contains(p.getName.stripPrefix("gen=")))
+    dead.foreach(p => hfs.delete(p, true))
+    dead.length
   }
 }

@@ -85,6 +85,20 @@ object LlmQueries {
     path
   }
 
+  /** Build-once memo for the persisted lexical (BM25) index — same
+    * layout-versioned, corpus-fingerprinted scratch path discipline as
+    * [[persistedIndex]]: bench's warm-up pays the one-time build, the
+    * measured line is serving-only latency. */
+  private def lexIndexDir(s: SparkSession, dir: String): String = {
+    val d = docs(s, dir)
+    val fp = d.agg(count(lit(1)), max(col("doc_id"))).collect()(0)
+    val path =
+      s"${sys.props("java.io.tmpdir")}/graft_lex_index_v1/" +
+        s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
+    if (!Retrieval.lexIndexCommitted(path)) Retrieval.writeLexIndex(d, path)
+    path
+  }
+
   /** documents ∪ near-dup mutation (drop first 2 tokens, id+1000000). */
   private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -1221,6 +1235,20 @@ object LlmQueries {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // Serving-time BM25 over the PERSISTED lexical index (manifest-committed
+    // segments, token-range-clustered postings, literal term filter for
+    // file skipping) — must rank identically to the direct q_ret_bm25, so
+    // the two queries share one oracle
+    "q_ret_bm25_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, "spark dup"), (1L, "hash join merge"),
+        (2L, "window sort dup quantum")).toDF("qid", "qtext")
+      Retrieval.bm25TopKIndexed(
+          Retrieval.readLexIndex(s, lexIndexDir(s, dir)), queries, k = 10)
+        .orderBy("qid", "rank")
+    }),
+
     // MMR diversity re-ranking: each query's brute-force top-15 shortlist
     // greedily re-ranked to top-5 by relevance-minus-redundancy — the
     // oracle replays all 5 greedy selection rounds as unrolled CTEs
@@ -1235,6 +1263,15 @@ object LlmQueries {
       Similarity.mmrRerank(cand, k = 5).orderBy("qid", "rank")
     })
   )
+
+  /** Shared by `q_ret_bm25` (direct) and `q_ret_bm25_indexed` (persisted
+    * segments): the index is a physical layout, not a semantics change. */
+  private lazy val bm25FixedQueriesOracle: String =
+    s"""WITH ${bm25Ctes(
+         "SELECT * FROM (VALUES (0, 'spark dup'), (1, 'hash join merge'), " +
+           "(2, 'window sort dup quantum')) AS v(qid, qtext)")}
+       |SELECT CAST(qid AS BIGINT) AS qid, rank, doc_id, score
+       |FROM bmranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   // -------------------------------------------------------------------------
 
@@ -2157,12 +2194,10 @@ object LlmQueries {
         |  (ascii(substr(text, 2, 1)) + 1) * 16 AS height
         |FROM documents ORDER BY asset_id""".stripMargin,
 
-    "q_ret_bm25" ->
-      s"""WITH ${bm25Ctes(
-           "SELECT * FROM (VALUES (0, 'spark dup'), (1, 'hash join merge'), " +
-             "(2, 'window sort dup quantum')) AS v(qid, qtext)")}
-         |SELECT CAST(qid AS BIGINT) AS qid, rank, doc_id, score
-         |FROM bmranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_ret_bm25" -> bm25FixedQueriesOracle,
+
+    // the persisted-index path must serve IDENTICAL rankings — one oracle
+    "q_ret_bm25_indexed" -> bm25FixedQueriesOracle,
 
     "q_ret_hybrid_rrf" ->
       s"""WITH ${compCte("comp", "embeddings")},
