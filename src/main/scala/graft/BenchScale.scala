@@ -101,7 +101,11 @@ object BenchScale {
     "q_dedup_minhash_lsh", "q_dedup_jaccard_blocked", "q_dedup_exact_substring",
     "q_embed_semdedup", "q_contamination_semantic",
     "q_sim_ivfpq", "q_sim_pq",
-    "q_text_perplexity2", "q_j4_union")
+    "q_text_perplexity2", "q_j4_union",
+    // round-10 retrieval/curation additions whose query inputs derive from
+    // the corpus itself (literal-term queries like q_ret_bm25 would match
+    // nothing against the suffix-mutated 10× vocabulary):
+    "q_ret_hybrid_rrf", "q_corpus_dsir", "q_corpus_token_budget")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()
