@@ -216,6 +216,13 @@ object Quality {
       topkMap(Similarity.ivfPqTopKRerank(
         e, cents, cbR16, queries, 10, nprobe = 8, shortlist = 1024,
         dims = 64, m = 8)), exact10)
+    // SQ8 (round 10): per-dimension 8-bit codes, full scan — the
+    // 4×-compression tier should sit far above PQ's 128×-compressed recall
+    // and near the exact scan
+    val sqBounds = Similarity.sqTrainBounds(e)
+    val sq8 = recallAtK(
+      topkMap(Similarity.sqTopK(
+        Similarity.sqEncode(e, sqBounds), sqBounds, queries, 10)), exact10)
 
     val json =
       s"""{"sf_dir":"$sfDir","text":{"docs":${docs.count()},"truth_pairs_j80":${truth80.size},""" +
@@ -223,7 +230,7 @@ object Quality {
         s""""simhash64_h3":{"recall":$shR,"precision":$shP}},""" +
         s""""ann":{"queries":${exact10.size},${ivf.mkString(",")},${pq.mkString(",")},""" +
         s""""ivfpq_m8_k64_nprobe2_at10":$ivfpqK64,"ivfpq_rerank_at10":$rerank,""" +
-        s""""ivfpq_rerank_nprobe8_at10":$rerank8,""" +
+        s""""ivfpq_rerank_nprobe8_at10":$rerank8,"sq8_fullscan_at10":$sq8,""" +
         s""""kmeans_converged_iters":$kmIters,""" +
         s""""ivf_converged_nprobe2_at10":$ivfConv,""" +
         s""""ivf_nprobe2_multi2_at10":$ivfMulti2,""" +

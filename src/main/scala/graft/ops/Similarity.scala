@@ -211,6 +211,96 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  // -------------------------------------------------------------------------
+  // SQ8 scalar quantization — the third compression tier alongside PQ and
+  // residual IVF-PQ (the classic Faiss/Lucene `SQ8` codec): every dimension
+  // is independently linear-quantized to an 8-bit code against per-dimension
+  // corpus [min, max] bounds. 4× compression (1 byte/dim vs float32) with
+  // far higher fidelity than PQ's 128× — the tier to reach for when PQ
+  // recall is not enough but raw vectors don't fit.
+  //
+  // Everything stays in the exact integer domain: bounds are min/max of the
+  // floor(x·10⁶) quantized components, codes are floor-divisions of
+  // integers, and the asymmetric score is the integer
+  //   Σ_d qq[d] · (255·mn[d] + code[d]·(mx[d] − mn[d]))
+  // — i.e. 255× the dot of the query against the dequantized corpus vector,
+  // scale-invariant for ranking and bit-identical on any engine.
+  // -------------------------------------------------------------------------
+
+  /** Per-dimension [min, max] of the quantized component domain over the
+    * corpus — the SQ8 "trainer" (one aggregate pass; `dims` rows). */
+  def sqTrainBounds(
+      emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    emb.select(posexplode(quantize(col(vecCol))).as(Seq("d", "q")))
+      .groupBy("d").agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
+
+  /** Collected (mn, mx) bound arrays indexed by dimension — broadcast-sized
+    * by construction (`dims` rows), guarded like every driver-held codebook. */
+  private def collectBounds(bounds: DataFrame): (Array[Long], Array[Long]) = {
+    val rows = bounds.orderBy("d").collect()
+    require(rows.length <= MaxLocalCodebookRows,
+      s"sqEncode bounds has ${rows.length} rows — pass per-dimension bounds, not a corpus")
+    (rows.map(_.getAs[Long]("mn")), rows.map(_.getAs[Long]("mx")))
+  }
+
+  /** SQ8 encode: `(vec_id, codes array<long> ∈ [0,255])` — a shuffle-free
+    * projection against the driver-held bounds (a degenerate dimension,
+    * mx = mn, codes as 0 and contributes the exact constant at scoring).
+    * The floor(double-division) is exact here: numerators stay ≤ 5.1·10⁸,
+    * far inside the 2⁵³ integer-exact double range, and the true quotient
+    * is never within half-an-ulp of an integer it isn't equal to. */
+  def sqEncode(
+      emb: DataFrame, bounds: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (mn, mx) = collectBounds(bounds)
+    val mnLit = array(mn.map(lit(_)): _*)
+    val spanLit = array(mn.indices.map(i => lit(mx(i) - mn(i))): _*)
+    emb.select(
+      col(idCol).as("vec_id"),
+      transform(quantize(col(vecCol)), (q, i) => {
+        val span = element_at(spanLit, i + 1)
+        when(span === 0L, lit(0L))
+          .otherwise(floor((q - element_at(mnLit, i + 1)).cast("double") * 255.0 /
+            span.cast("double")).cast("long"))
+      }).as("codes"))
+  }
+
+  /**
+   * Asymmetric SQ8 top-k: the full-precision query scores every corpus
+   * code word by the exact integer `Σ qq·(255·mn + code·span)` — 255× the
+   * quantized-dot against the dequantized vector, so ranking matches a
+   * dequantize-then-dot serving path exactly while never materializing
+   * floats. Same broadcast-queries / corpus-single-pass / per-query
+   * TakeOrdered shape as [[bruteForceTopK]]; `codes` comes from
+   * [[sqEncode]] (persist it — build once, serve many).
+   */
+  def sqTopK(
+      codes: DataFrame, bounds: DataFrame, queries: DataFrame, k: Int,
+      qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val (mn, mx) = collectBounds(bounds)
+    val baseLit = array(mn.map(m => lit(255L * m)): _*)
+    val spanLit = array(mn.indices.map(i => lit(mx(i) - mn(i))): _*)
+    // Σ qq·(255·mn + code·span) split as Σ qq·code·span + Σ qq·255·mn —
+    // both exact integer folds (magnitudes bounded well inside int64)
+    val scored = codes
+      .join(broadcast(queries.select(col(qIdCol).as("qid"), quantize(col(qVecCol)).as("qq"))))
+      .select(col("qid"), col("vec_id"),
+        (aggregate(
+          zip_with(
+            zip_with(col("qq"), col("codes"), (q, c) => q * c),
+            spanLit, (qc, s) => qc * s),
+          lit(0L), (acc, v) => acc + v) +
+          aggregate(
+            zip_with(col("qq"), baseLit, (q, b) => q * b),
+            lit(0L), (acc, v) => acc + v)).as("sdot"))
+    val w = Window.partitionBy("qid").orderBy(col("sdot").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "sdot")
+  }
+
   /** Fail-loud bound on per-query candidate-set size in [[mmrRerank]]: the
     * greedy loop is O(k·|C|) per query and holds one query's candidates in
     * memory — the contract is k-bounded ANN/BM25 shortlists, not corpora. */

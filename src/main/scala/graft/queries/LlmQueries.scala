@@ -820,6 +820,19 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // SQ8 scalar quantization: per-dimension 8-bit codes against corpus
+    // [min,max] bounds, asymmetric integer scoring (255× the dequantized
+    // dot) — the 4×-compression tier between raw vectors and PQ
+    "q_sim_sq8" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = emb(s, dir)
+      val bounds = Similarity.sqTrainBounds(e)
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.sqTopK(Similarity.sqEncode(e, bounds), bounds, queries, 5)
+        .orderBy("qid", "rank")
+    }),
+
     // K-means-trained IVF centroids: 2 deterministic Lloyd iterations over
     // integer-quantized components — bit-identical on any engine or
     // partitioning, so the TRAINED centroids themselves are oracle-checked
@@ -1713,6 +1726,25 @@ object LlmQueries {
          |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS INT) AS rank
          |  FROM dots
          |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_sim_sq8" ->
+      s"""WITH ${compCte("comp", "embeddings")},
+         |${compCte("qcomp", "(SELECT * FROM embeddings WHERE vec_id < 3)")},
+         |sqb AS (SELECT d, min(q) AS mn, max(q) AS mx FROM comp GROUP BY d),
+         |sqc AS (SELECT c.vec_id, c.d,
+         |          CASE WHEN b.mx = b.mn THEN 0
+         |               ELSE CAST(floor(CAST(c.q - b.mn AS DOUBLE) * 255.0
+         |                                / CAST(b.mx - b.mn AS DOUBLE)) AS BIGINT)
+         |          END AS code, b.mn, b.mx
+         |        FROM comp c JOIN sqb b USING (d)),
+         |sqsc AS (SELECT q.vec_id AS qid, c.vec_id,
+         |           CAST(SUM(q.q * (255 * c.mn + c.code * (c.mx - c.mn))) AS BIGINT) AS sdot
+         |         FROM qcomp q JOIN sqc c ON c.d = q.d
+         |         GROUP BY q.vec_id, c.vec_id)
+         |SELECT qid, rank, vec_id, sdot FROM (
+         |  SELECT qid, vec_id, sdot,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sdot DESC, vec_id ASC) AS INT) AS rank
+         |  FROM sqsc) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q_sim_kmeans" ->
       s"""WITH ${kmeansCtes(8)}

@@ -70,6 +70,17 @@ class QualitySpec extends SparkSpec {
     val pqR = Quality.recallAtK(
       Quality.topkMap(Similarity.pqAdcTopK(codes, cb, queries, 10, dims = 64, m = 4)), exact)
     assert(pqR >= 0.15, s"pq m4 full-scan recall@10 $pqR < 0.15")
+
+    // SQ8 (round 10): 8 bits per DIMENSION (4× compression) must rank far
+    // above PQ's 4-bits-per-16-dims (128×) and essentially at the exact
+    // scan — per-dimension max quantization error is span/255 ≈ 0.4% of
+    // the component range
+    val sqBounds = Similarity.sqTrainBounds(e)
+    val sqR = Quality.recallAtK(
+      Quality.topkMap(Similarity.sqTopK(
+        Similarity.sqEncode(e, sqBounds), sqBounds, queries, 10)), exact)
+    assert(sqR >= 0.95, s"sq8 full-scan recall@10 $sqR < 0.95")
+    assert(sqR > pqR, s"sq8 ($sqR) should beat pq m4 ($pqR)")
   }
 
   test("residual IVF-PQ: recall floors, the k-lever, and the energy diagnostic") {
