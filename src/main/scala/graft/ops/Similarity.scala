@@ -594,6 +594,26 @@ object Similarity {
         dotQ(col("_v"), cvecAt(cents, col("_i"))).as("cdot"))
   }
 
+  /**
+   * Cluster-stratified diverse sampling: exactly `perCell` vectors drawn
+   * deterministically from EACH coarse cell (fewer if the cell is smaller)
+   * — the diversity-preserving downsample (cluster-balanced sampling) that
+   * keeps every region of embedding space represented where a uniform
+   * sample would mirror the corpus's density skew. The draw inside each
+   * cell is [[graft.ops.Corpus.sampleExactPerGroup]]'s salted-hash order:
+   * unbiased, stable across runs/engines/partitioning.
+   *
+   * Scale shape: assignment is the shuffle-free [[ivfAssign]] projection;
+   * the per-cell cap compiles to `WindowGroupLimit` (map-side pruning to
+   * `perCell` rows per cell before the exchange).
+   */
+  def diverseSample(
+      emb: DataFrame, centroids: DataFrame, perCell: Int, salt: String = "",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Corpus.sampleExactPerGroup(
+      ivfAssign(emb, centroids, idCol, vecCol).select("vec_id", "cell"),
+      "vec_id", "cell", perCell, salt)
+
   /** Join-based reference implementation of [[ivfAssign]] — same integers,
     * same `(−cdot, cid)` tie-break, but pays a broadcast-join × k fan-out
     * and a `groupBy(vec_id)` exchange; kept only to cross-check the

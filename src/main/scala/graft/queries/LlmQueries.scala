@@ -820,6 +820,18 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Cluster-stratified diverse sampling: exactly 20 vectors per k-means
+    // cell, drawn by salted hash — density-skew-free coverage of the
+    // embedding space
+    "q_corpus_diverse_sample" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = emb(s, dir)
+      val cents = Similarity.trainCentroids(e, 8, 2)
+      Similarity.diverseSample(e, cents, perCell = 20)
+        .select(col("vec_id"), col("cell").cast("int").as("cell"))
+        .orderBy("vec_id")
+    }),
+
     // SQ8 scalar quantization: per-dimension 8-bit codes against corpus
     // [min,max] bounds, asymmetric integer scoring (255× the dequantized
     // dot) — the 4×-compression tier between raw vectors and PQ
@@ -1726,6 +1738,23 @@ object LlmQueries {
          |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS INT) AS rank
          |  FROM dots
          |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_corpus_diverse_sample" ->
+      s"""WITH ${kmeansCtes(8)},
+         |cent AS (SELECT cid, d, q FROM c2),
+         |adot AS (SELECT c.vec_id, ct.cid, SUM(c.q * ct.q) AS cdot
+         |         FROM comp c JOIN cent ct ON ct.d = c.d GROUP BY c.vec_id, ct.cid),
+         |acell AS (SELECT vec_id, cid AS cell FROM (
+         |            SELECT vec_id, cid,
+         |                   row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS rn
+         |            FROM adot) WHERE rn = 1),
+         |ranked AS (SELECT vec_id, cell,
+         |             row_number() OVER (PARTITION BY cell ORDER BY
+         |               ('0x' || substr(md5('exact::' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10000,
+         |               vec_id) AS rn
+         |           FROM acell)
+         |SELECT vec_id, CAST(cell AS INT) AS cell FROM ranked
+         |WHERE rn <= 20 ORDER BY vec_id""".stripMargin,
 
     "q_sim_sq8" ->
       s"""WITH ${compCte("comp", "embeddings")},

@@ -86,6 +86,24 @@ class CurationSpec extends SparkSpec {
     assert(small.subsetOf(large) && small.size < large.size)
   }
 
+  test("diverseSample: min(cellSize, perCell) per cell, deterministic draw") {
+    GraftExtensions.register(spark)
+    val e = graft.queries.Tpch.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = graft.ops.Similarity.trainCentroids(e, 4, 2)
+    val assigned = graft.ops.Similarity.ivfAssign(e, cents)
+      .groupBy("cell").count().collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    val sample = graft.ops.Similarity.diverseSample(e, cents, perCell = 5)
+    val perCell = sample.groupBy("cell").count().collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    assert(perCell.keySet == assigned.keySet)
+    perCell.foreach { case (cell, n) =>
+      assert(n == math.min(assigned(cell), 5L), s"cell $cell: $n")
+    }
+    val again = graft.ops.Similarity.diverseSample(e, cents, perCell = 5)
+    assert(sample.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
+  }
+
   test("plan shape: token-budget sampling never range-partitions the corpus") {
     val docs = (1L to 40L).map(i => (i, 2L)).toDF("doc_id", "n")
     val p = Corpus.sampleToTokenBudget(docs, "doc_id", col("n"), 30L)
