@@ -45,6 +45,37 @@ object Corpus {
     df.where(hashBucket("sample", salt, col(idCol)) < buckets(rate))
 
   /**
+   * Deterministic weighted sampling WITHOUT replacement, inclusion
+   * probability proportional to `weightCol` — Efraimidis-Spirakis A-ES:
+   * each row draws a uniform `u` from its salted id hash and is ranked by
+   * `priority = ln(u) / weight` (the log form of `u^(1/w)`; larger weight
+   * pulls the negative priority toward 0), and the global top-`k`
+   * priorities win. The quality-weighted subsample of corpus curation
+   * ("sample 1M documents proportional to quality score") with the same
+   * reproducibility contract as [[sampleDeterministic]]: the draw is a
+   * pure function of (id, salt), so reruns and engines agree, and
+   * different salts give independent samples.
+   *
+   * Rows with null/non-positive weight are excluded (a zero weight has
+   * zero inclusion probability; A-ES divides by it). The priority is
+   * rounded to 8 dp with an id tie-break so a 1-ulp cross-engine `ln`
+   * discrepancy can never reorder the selection boundary. Top-k is a
+   * `TakeOrdered` (per-partition heads merged on the driver), never a
+   * global sort — the 100 TB shape.
+   */
+  def sampleWeighted(
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = TextOps.hash32(concat(lit(s"wsample:$salt:"), col(idCol).cast("string")))
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
+    df.where(col(weightCol).isNotNull && col(weightCol).cast("double") > 0)
+      .withColumn("priority", round(log(u) / col(weightCol).cast("double"), 8))
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
    * Deterministic train/validation/test split label from the id hash:
    * buckets [0, train·10⁴) → "train", then validation, remainder → "test".
    * Domain-separated from [[sampleDeterministic]]: splitting a sampled

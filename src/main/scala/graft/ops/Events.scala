@@ -284,6 +284,112 @@ object Events {
    * Two hash aggregates (distinct user-periods, then per-user min) and one
    * key-partitioned join back — linear in events, never all-pairs.
    */
+  /**
+   * DENSE per-key bucket counts: for every key, one row per `bucketSeconds`
+   * bucket between that key's first and last event — zero-filled, so
+   * rate-over-time statistics ([[rateSpikes]], [[countAnomalies]]) see the
+   * quiet buckets too (a sparse `groupBy` silently skips them, and "3× the
+   * trailing average" is meaningless when the trailing zeros are missing).
+   * Buckets are epoch-second longs (`floor(epoch/bs)·bs`) — pure integer
+   * arithmetic, engine-portable to the bit.
+   *
+   * Shape at scale: one grouped count (map-side partial), a per-key
+   * min/max aggregate, a `sequence` explode of the key's bucket range, and
+   * one key+bucket join. The explode is bounded by `range/bucketSeconds`
+   * per key (guarded by `maxBucketsPerKey` — fail loud rather than
+   * generate an unbounded series from one misdated event).
+   */
+  def bucketCounts(
+      events: DataFrame, keyCol: String, tsCol: String,
+      bucketSeconds: Long = 3600L,
+      maxBucketsPerKey: Long = 100000L): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    // bucket = sec − (sec mod bs): pure INTEGER arithmetic (a double
+    // divide-then-floor is exact here too, but why reason about ulps)
+    val sec = unix_timestamp(col(tsCol))
+    val bkt = sec - pmod(sec, lit(bucketSeconds))
+    val counted = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"), bkt.as("bucket"))
+      .groupBy("key", "bucket").agg(count(lit(1)).as("cnt"))
+    val spans = counted.groupBy("key")
+      .agg(min("bucket").as("_lo"), max("bucket").as("_hi"))
+      // the guard rides the per-key row path — it fails on the executor
+      // with the offending key visible, before any explode happens
+      .where(when(
+          (col("_hi") - col("_lo")) / lit(bucketSeconds) + 1 <= maxBucketsPerKey,
+          lit(true))
+        .otherwise(raise_error(concat(
+          lit("bucketCounts: key "), col("key").cast("string"),
+          lit(s" spans more than $maxBucketsPerKey buckets")))))
+    spans
+      .select(col("key"),
+        explode(sequence(col("_lo"), col("_hi"), lit(bucketSeconds))).as("bucket"))
+      .join(counted, Seq("key", "bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+  }
+
+  /**
+   * Trailing-window rate-spike detection over the DENSE bucket series:
+   * flag `(key, bucket)` where the bucket's count exceeds `factor`× the
+   * trailing-`trailing`-bucket average, with at least `minCount` events.
+   * The comparison is the cross-multiplied integer form
+   * `cnt · m > factor · s` (m = trailing buckets available, s = their
+   * sum) — no float division anywhere, so the flag is bit-identical on
+   * any engine. Zero-filled buckets make the trailing average honest
+   * (a burst after silence IS a spike).
+   *
+   * One window pass over the dense series (partitioned by key, ordered by
+   * bucket — the sort is per key, never global). Emits the flagged rows
+   * with their evidence: `(key, bucket, cnt, trail_n, trail_sum)`.
+   */
+  def rateSpikes(
+      events: DataFrame, keyCol: String, tsCol: String,
+      bucketSeconds: Long = 3600L, trailing: Int = 6,
+      factor: Long = 3L, minCount: Long = 5L): DataFrame = {
+    require(trailing >= 1, s"trailing must be >= 1, got $trailing")
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val w = Window.partitionBy("key").orderBy("bucket")
+      .rowsBetween(-trailing, -1)
+    bucketCounts(events, keyCol, tsCol, bucketSeconds)
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .withColumn("trail_sum", sum("cnt").over(w))
+      .where(col("trail_n") >= 1 &&
+        col("cnt") >= minCount &&
+        col("cnt") * col("trail_n") > lit(factor) * col("trail_sum"))
+  }
+
+  /**
+   * Per-key count anomalies by a z-test over the key's OWN dense bucket
+   * history, computed entirely in integers: with n buckets, S = Σcnt,
+   * Q = Σcnt², bucket x is anomalous iff
+   * `(n·x − S)² > k² · (n·Q − S²)` — the cross-multiplied form of
+   * `|x − μ| > k·σ` (μ = S/n, σ² = (n·Q − S²)/n²), exact on any engine
+   * because no division or square root ever happens. Overflow bound:
+   * `n·max(cnt)` must stay below ~3·10⁹ (long math) — comfortably true for
+   * per-key telemetry series; a series outside that regime should be
+   * bucketed coarser first.
+   *
+   * Two aggregates over the dense series (per-key moments joined back) —
+   * the corpus is scanned once, moments are one row per key. Emits
+   * anomalous rows with their integer evidence:
+   * `(key, bucket, cnt, n_buckets, sum_cnt, sumsq_cnt)`.
+   */
+  def countAnomalies(
+      events: DataFrame, keyCol: String, tsCol: String,
+      bucketSeconds: Long = 3600L, k: Long = 3L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dense = bucketCounts(events, keyCol, tsCol, bucketSeconds)
+    val moments = dense.groupBy("key").agg(
+      count(lit(1)).as("n_buckets"),
+      sum("cnt").as("sum_cnt"),
+      sum(col("cnt") * col("cnt")).as("sumsq_cnt"))
+    val dev = col("n_buckets") * col("cnt") - col("sum_cnt")
+    dense.join(moments, "key")
+      .where(dev * dev > lit(k * k) *
+        (col("n_buckets") * col("sumsq_cnt") - col("sum_cnt") * col("sum_cnt")))
+  }
+
   def retention(events: DataFrame, maxOffset: Int = 8): DataFrame = {
     // materialized: activity feeds both the cohort build and the join —
     // without the cut the events scan + distinct runs twice

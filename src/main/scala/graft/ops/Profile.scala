@@ -155,6 +155,125 @@ object Profile {
         .as(sketchCol))
 
   /**
+   * Equi-join OUTPUT-SIZE estimate from two Count-Min sketches — the
+   * AMS-style inner-product estimator: with per-side counter matrices
+   * A and B built by the SAME hash family ([[graft.expressions.CmsSketch]]),
+   * row i's inner product `Σ_j A[i][j]·B[i][j]` counts every matching-key
+   * pair exactly PLUS non-negative collision mass, so
+   * `est = min_i Σ_j A[i][j]·B[i][j]` NEVER undercounts the true join
+   * cardinality `Σ_k cnt_L(k)·cnt_R(k)` and overshoots by ≤ N_L·N_R/w per
+   * row in expectation (Alon-Matias-Szegedy / Cormode-Muthukrishnan).
+   *
+   * This is the pre-shuffle planning question at 100 TB: BEFORE paying a
+   * sort-merge shuffle of both sides, two one-pass O(d·w) sketches (built
+   * map-side, merged by addition, a few KB each) bound the join's output —
+   * feeding the broadcast / salt / plain-shuffle decision the same way
+   * [[keySkew]] feeds the per-key occupancy one. The estimate is a pure
+   * function of the two input MULTISETS (no sampling, no RNG), so the
+   * DuckDB oracle replays both matrices and the min-of-inner-products
+   * bit-for-bit. One row out: `est_join_rows`.
+   */
+  def cmsJoinSize(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      d: Int = 4, w: Int = 256): DataFrame = {
+    graft.GraftExtensions.register(left.sparkSession)
+    val a = left.where(col(leftKey).isNotNull)
+      .agg(call_function("cms_sketch", col(leftKey).cast("string"), lit(d), lit(w)).as("_a"))
+    val b = right.where(col(rightKey).isNotNull)
+      .agg(call_function("cms_sketch", col(rightKey).cast("string"), lit(d), lit(w)).as("_b"))
+    val rowIp = (0 until d).map { i =>
+      aggregate(
+        zip_with(
+          element_at(col("_a"), i + 1), element_at(col("_b"), i + 1),
+          (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+    }.reduce(least(_, _))
+    a.crossJoin(b).select(coalesce(rowIp, lit(0L)).as("est_join_rows"))
+  }
+
+  /**
+   * Exact equi-join output size WITHOUT materializing the join:
+   * `Σ_k cnt_L(k)·cnt_R(k)` over the per-key count tables — two hash
+   * aggregates plus a join of (distinct-key)-sized frames, never the
+   * joined row set itself. The ground truth [[cmsJoinSize]] approximates;
+   * cheap enough to run exactly when the key domains are modest, which is
+   * exactly when the sketch's collision bound is loosest.
+   */
+  def joinSizeExact(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val a = left.where(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("_k")).agg(count(lit(1)).as("_cl"))
+    val b = right.where(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("_k")).agg(count(lit(1)).as("_cr"))
+    a.join(b, "_k")
+      .agg(coalesce(sum(col("_cl") * col("_cr")), lit(0L)).as("exact_join_rows"))
+  }
+
+  /**
+   * Per-key distribution-drift contributions between a REFERENCE slice and
+   * a CURRENT slice of a categorical column — the monitoring primitive for
+   * "did this ingest batch / crawl snapshot / filtered corpus shift?".
+   * For each key in either slice, with `p` = key share of `ref` and `q` =
+   * key share of `cur` (shares of non-null rows):
+   *
+   *  - `psi` — Population-Stability-Index term `(p'-q')·ln(p'/q')` with
+   *    both shares floored at `eps` (the standard guard that keeps a key
+   *    present on only one side finite); Σ psi ≥ 0, with the usual
+   *    industry reading ≲0.1 stable / ≳0.25 shifted.
+   *  - `jsd` — Jensen-Shannon term `½·[p·ln(p/m) + q·ln(q/m)]`,
+   *    `m = (p+q)/2`, `0·ln0 = 0`; Σ jsd ∈ [0, ln 2], symmetric, finite
+   *    without smoothing.
+   *
+   * Shape at scale: one `groupBy(key).count` per side (map-side partial),
+   * a full-outer join of the two (distinct-key)-sized count tables, and
+   * two one-row totals broadcast in — the corpus itself is scanned once
+   * per side and never shuffled by row. Pure count arithmetic + `ln`, so
+   * the oracle replays it exactly (contributions rounded at the query
+   * layer, never here — [[drift]] sums the unrounded terms).
+   */
+  def driftByKey(
+      ref: DataFrame, cur: DataFrame, keyCol: String,
+      eps: Double = 1e-6): DataFrame = {
+    require(eps > 0 && eps < 1e-2, s"eps must be in (0, 0.01), got $eps")
+    val r = ref.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("ref_cnt"))
+    val c = cur.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cur_cnt"))
+    val rt = r.agg(sum("ref_cnt").as("_rt"))
+    val ct = c.agg(sum("cur_cnt").as("_ct"))
+    val joined = r.join(c, Seq("key"), "full_outer")
+      .na.fill(0L, Seq("ref_cnt", "cur_cnt"))
+      .crossJoin(broadcast(rt)).crossJoin(broadcast(ct))
+    val p = col("ref_cnt").cast("double") / col("_rt").cast("double")
+    val q = col("cur_cnt").cast("double") / col("_ct").cast("double")
+    val pS = greatest(p, lit(eps))
+    val qS = greatest(q, lit(eps))
+    val m = (p + q) / lit(2.0)
+    val jsd =
+      (when(p > 0, p * log(p / m)).otherwise(lit(0.0)) +
+        when(q > 0, q * log(q / m)).otherwise(lit(0.0))) / lit(2.0)
+    joined.select(
+      col("key"), col("ref_cnt"), col("cur_cnt"),
+      ((pS - qS) * log(pS / qS)).as("psi"),
+      jsd.as("jsd"))
+  }
+
+  /** Corpus-level drift summary: key counts per side plus the summed PSI
+    * and Jensen-Shannon divergence over [[driftByKey]]'s unrounded
+    * contributions. One row. */
+  def drift(
+      ref: DataFrame, cur: DataFrame, keyCol: String,
+      eps: Double = 1e-6): DataFrame =
+    driftByKey(ref, cur, keyCol, eps).agg(
+      count(when(col("ref_cnt") > 0, 1)).as("n_keys_ref"),
+      count(when(col("cur_cnt") > 0, 1)).as("n_keys_cur"),
+      count(lit(1)).as("n_keys_union"),
+      sum("psi").as("psi"),
+      sum("jsd").as("jsd"))
+
+  /**
    * Key-occupancy skew profile — the pre-flight diagnostic behind the
    * [[Scale]] decisions: whether a join/aggregation key needs salting
    * (`max_cnt`/`p99_cnt` ≫ `p50_cnt`), what salt factor bounds the hot

@@ -339,6 +339,64 @@ object TextOps {
       .limit(k)
 
   /**
+   * Corpus-wide collocations by pointwise mutual information: adjacent
+   * token pairs occurring at least `minCount` times, ranked by
+   * `pmi = ln( P(w1 w2) / (P(w1)·P(w2)) )` — the classic measure of "these
+   * two words co-occur far more than chance", surfacing multi-word
+   * entities and frozen phrases that frequency ranking ([[topNgrams]])
+   * buries under stopword pairs. `P(w1 w2)` is the pair's share of all
+   * adjacent pairs; `P(w)` a token's share of all tokens.
+   *
+   * Shape at scale: one tokenize pass feeds a unigram count and an
+   * adjacent-pair count (both map-side partial aggregates over exploded
+   * rows); the pair table — already cut to `pair_cnt ≥ minCount` BEFORE
+   * any join — joins the vocabulary-sized unigram table twice (AQE
+   * broadcasts it), the two one-row totals ride in as broadcast cross
+   * joins, and the top-k is a `TakeOrdered`, never a global sort.
+   *
+   * The PMI value is rounded to 6 dp INSIDE the operator and ties break on
+   * `(w1, w2)`: the ranking must be reproducible across engines, and a
+   * 1-ulp `ln` discrepancy (libm is not bit-standardized) on unrounded
+   * scores could otherwise reorder the cut boundary.
+   */
+  def pmiCollocations(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long = 5, k: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k > 0, s"k must be positive, got $k")
+    val toks = df.where(col(textCol).isNotNull)
+      .select(tokens(col(textCol)).as("_toks"))
+    val uni = toks.select(explode(col("_toks")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    val uniTot = uni.agg(sum("cnt").cast("double").as("_u"))
+    val pairTot = toks
+      .agg(sum(greatest(size(col("_toks")) - 1, lit(0))).cast("double").as("_b"))
+    val pairs = toks.select(explode(
+        when(size(col("_toks")) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(
+            sequence(lit(1), size(col("_toks")) - 1),
+            i => struct(
+              element_at(col("_toks"), i).as("w1"),
+              element_at(col("_toks"), i + 1).as("w2"))))).as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_cnt"))
+      .where(col("pair_cnt") >= minCount)
+    val u1 = uni.select(col("t").as("w1"), col("cnt").as("_c1"))
+    val u2 = uni.select(col("t").as("w2"), col("cnt").as("_c2"))
+    pairs.join(u1, "w1").join(u2, "w2")
+      .crossJoin(broadcast(uniTot)).crossJoin(broadcast(pairTot))
+      .select(
+        col("w1"), col("w2"), col("pair_cnt"),
+        round(
+          log((col("pair_cnt").cast("double") / col("_b")) /
+            ((col("_c1").cast("double") / col("_u")) *
+              (col("_c2").cast("double") / col("_u")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /**
    * Document frequency: for each token, the number of DISTINCT documents
    * containing it — the substrate of IDF weighting and stopword discovery.
    * Top-k by `(df desc, token asc)`. The IDF itself (`ln(N/df)`) is left to

@@ -111,6 +111,21 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // Trailing-window rate-spike detection over the DENSE per-user daily
+    // series: cross-multiplied integer comparison (cnt·m > 3·trail_sum),
+    // zero-filled quiet days included — bit-exact on any engine
+    "q_ev_rate_spikes" -> ((s, dir) =>
+      Events.rateSpikes(Tpch.read(s, dir, "events"), "user_id", "ts",
+          bucketSeconds = 86400L, trailing = 6, factor = 3L, minCount = 5L)
+        .orderBy("key", "bucket")),
+
+    // Integer z-test anomalies over each type's dense hourly history:
+    // (n·x − S)² > 9·(n·Q − S²) — no division, no sqrt, no floats
+    "q_ev_count_anomalies" -> ((s, dir) =>
+      Events.countAnomalies(Tpch.read(s, dir, "events"), "event_type", "ts",
+          bucketSeconds = 3600L, k = 3L)
+        .orderBy("key", "bucket")),
+
     // Salted skew join (Scale.saltedJoin): events joined back to a
     // per-type aggregate dim — the classic "join the aggregate back under
     // a hot key" shape where one event_type dominates and AQE can't split
@@ -160,6 +175,33 @@ object EventQueries {
         .select("event_type").distinct()
       Profile.cmsEstimates(ev, "event_type", keys, d = 4, w = 32)
         .orderBy("item")
+    }),
+
+    // Join-size estimation from two Count-Min sketches (AMS inner product,
+    // min over rows) next to the exact per-key-count answer — the
+    // pre-shuffle broadcast/salt decision input. Both numbers are pure
+    // functions of the input multisets, so the oracle replays the d=4×w=64
+    // matrices and the min-of-inner-products bit-for-bit, collisions
+    // included
+    "q_profile_joinsize" -> ((s, dir) => {
+      val orders = Tpch.read(s, dir, "orders")
+      val cust = Tpch.read(s, dir, "customer")
+      Profile.cmsJoinSize(orders, "o_custkey", cust, "c_custkey", d = 4, w = 64)
+        .crossJoin(Profile.joinSizeExact(orders, "o_custkey", cust, "c_custkey"))
+    }),
+
+    // Distribution drift between two slices of the stream (even vs odd
+    // event ids): per-key PSI and Jensen-Shannon contributions over the
+    // event-type distribution — count arithmetic + ln, rounded at the
+    // query layer only
+    "q_profile_drift" -> ((s, dir) => {
+      val ev = Tpch.read(s, dir, "events")
+      Profile.driftByKey(
+          ev.where(col("event_id") % 2 === 0),
+          ev.where(col("event_id") % 2 === 1), "event_type")
+        .select(col("key"), col("ref_cnt"), col("cur_cnt"),
+          round(col("psi"), 6).as("psi"), round(col("jsd"), 6).as("jsd"))
+        .orderBy("key")
     }),
 
     // Skew-aware two-phase nesting (Scale.saltedCollectList): per-type
@@ -348,6 +390,99 @@ object EventQueries {
         |       max(cnt) AS max_cnt,
         |       quantile_cont(cnt, 0.5) AS p50_cnt,
         |       quantile_cont(cnt, 0.99) AS p99_cnt
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    "q_ev_rate_spikes" ->
+      """WITH e AS (SELECT user_id AS key,
+        |             (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % 86400) AS bucket
+        |           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT key, bucket, count(*) AS cnt FROM e GROUP BY key, bucket),
+        |s AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi FROM c GROUP BY key),
+        |d AS (SELECT s.key, g.bucket
+        |      FROM s, UNNEST(generate_series(lo, hi, 86400)) AS g(bucket)),
+        |dc AS (SELECT d.key, d.bucket, COALESCE(c.cnt, 0) AS cnt
+        |       FROM d LEFT JOIN c ON c.key = d.key AND c.bucket = d.bucket),
+        |w AS (SELECT key, bucket, cnt,
+        |        count(*) OVER (PARTITION BY key ORDER BY bucket
+        |                       ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS trail_n,
+        |        SUM(cnt) OVER (PARTITION BY key ORDER BY bucket
+        |                       ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS trail_sum
+        |      FROM dc)
+        |SELECT key, bucket, cnt, trail_n, CAST(trail_sum AS BIGINT) AS trail_sum
+        |FROM w
+        |WHERE trail_n >= 1 AND cnt >= 5 AND cnt * trail_n > 3 * trail_sum
+        |ORDER BY key, bucket""".stripMargin,
+
+    "q_ev_count_anomalies" ->
+      """WITH e AS (SELECT event_type AS key,
+        |             (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % 3600) AS bucket
+        |           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT key, bucket, count(*) AS cnt FROM e GROUP BY key, bucket),
+        |s AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi FROM c GROUP BY key),
+        |d AS (SELECT s.key, g.bucket
+        |      FROM s, UNNEST(generate_series(lo, hi, 3600)) AS g(bucket)),
+        |dc AS (SELECT d.key, d.bucket, COALESCE(c.cnt, 0) AS cnt
+        |       FROM d LEFT JOIN c ON c.key = d.key AND c.bucket = d.bucket),
+        |m AS (SELECT key, count(*) AS n_buckets, CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
+        |             CAST(SUM(cnt * cnt) AS BIGINT) AS sumsq_cnt
+        |      FROM dc GROUP BY key)
+        |SELECT dc.key, dc.bucket, dc.cnt, m.n_buckets, m.sum_cnt, m.sumsq_cnt
+        |FROM dc JOIN m ON m.key = dc.key
+        |WHERE (m.n_buckets * dc.cnt - m.sum_cnt) * (m.n_buckets * dc.cnt - m.sum_cnt)
+        |      > 9 * (m.n_buckets * m.sumsq_cnt - m.sum_cnt * m.sum_cnt)
+        |ORDER BY dc.key, dc.bucket""".stripMargin,
+
+    // both CMS matrices replayed with the shared md5-affine family; the
+    // estimate is min over rows of the counter inner product, the exact
+    // answer the sum over matching keys of the count product
+    "q_profile_joinsize" ->
+      """WITH la AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+        |            WHERE o_custkey IS NOT NULL),
+        |rb AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer
+        |       WHERE c_custkey IS NOT NULL),
+        |ha AS (SELECT k, ('0x' || substr(md5(k), 1, 8))::BIGINT AS h32, count(*) AS cnt
+        |       FROM la GROUP BY k),
+        |hb AS (SELECT k, ('0x' || substr(md5(k), 1, 8))::BIGINT AS h32, count(*) AS cnt
+        |       FROM rb GROUP BY k),
+        |ca AS (SELECT i, ((h32 * (2*i + 1) + (98765*i + 12345)) % 2147483647) % 64 AS bkt,
+        |              SUM(cnt) AS v
+        |       FROM ha, range(4) t(i) GROUP BY i, bkt),
+        |cb AS (SELECT i, ((h32 * (2*i + 1) + (98765*i + 12345)) % 2147483647) % 64 AS bkt,
+        |              SUM(cnt) AS v
+        |       FROM hb, range(4) t(i) GROUP BY i, bkt),
+        |ip AS (SELECT t.i, COALESCE(SUM(ca.v * cb.v), 0) AS p
+        |       FROM range(4) t(i)
+        |       LEFT JOIN ca ON ca.i = t.i
+        |       LEFT JOIN cb ON cb.i = t.i AND cb.bkt = ca.bkt
+        |       GROUP BY t.i),
+        |ex AS (SELECT COALESCE(SUM(a.cnt * b.cnt), 0) AS x
+        |       FROM ha a JOIN hb b ON b.k = a.k)
+        |SELECT (SELECT CAST(MIN(p) AS BIGINT) FROM ip) AS est_join_rows,
+        |       CAST(ex.x AS BIGINT) AS exact_join_rows
+        |FROM ex""".stripMargin,
+
+    "q_profile_drift" ->
+      """WITH r AS (SELECT event_type AS key, count(*) AS ref_cnt FROM events
+        |           WHERE event_id % 2 = 0 AND event_type IS NOT NULL
+        |           GROUP BY event_type),
+        |c AS (SELECT event_type AS key, count(*) AS cur_cnt FROM events
+        |      WHERE event_id % 2 = 1 AND event_type IS NOT NULL
+        |      GROUP BY event_type),
+        |j AS (SELECT COALESCE(r.key, c.key) AS key,
+        |             COALESCE(ref_cnt, 0) AS ref_cnt,
+        |             COALESCE(cur_cnt, 0) AS cur_cnt
+        |      FROM r FULL OUTER JOIN c ON c.key = r.key),
+        |t AS (SELECT (SELECT SUM(ref_cnt) FROM r) AS rt,
+        |             (SELECT SUM(cur_cnt) FROM c) AS ct),
+        |s AS (SELECT key, ref_cnt, cur_cnt,
+        |             CAST(ref_cnt AS DOUBLE) / CAST(rt AS DOUBLE) AS p,
+        |             CAST(cur_cnt AS DOUBLE) / CAST(ct AS DOUBLE) AS q
+        |      FROM j, t)
+        |SELECT key, ref_cnt, cur_cnt,
+        |  round((greatest(p, 1e-6) - greatest(q, 1e-6))
+        |        * ln(greatest(p, 1e-6) / greatest(q, 1e-6)), 6) AS psi,
+        |  round((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END
+        |       + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END) / 2, 6) AS jsd
+        |FROM s ORDER BY key""".stripMargin
   )
 }

@@ -479,6 +479,19 @@ object LlmQueries {
   // -------------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    // PMI collocations: adjacent-pair association strength over the corpus
+    // (min pair count 5, top 30 by rounded-PMI with (w1, w2) tie-break)
+    "q_text_collocations" -> ((s, dir) =>
+      TextOps.pmiCollocations(docs(s, dir), "text", minCount = 5, k = 30)),
+
+    // Deterministic weighted sampling (Efraimidis-Spirakis A-ES): 25 docs
+    // drawn with inclusion probability proportional to length — the
+    // quality-weighted subsample, reproducible from (id, salt) alone
+    "q_corpus_weighted_sample" -> ((s, dir) =>
+      Corpus.sampleWeighted(
+          docs(s, dir).select("doc_id", "n_chars"), "doc_id", "n_chars", k = 25)
+        .orderBy("doc_id")),
+
     // Exact dedup: corpus unioned with itself → one survivor per content hash
     "q_dedup_exact" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -1301,6 +1314,42 @@ object LlmQueries {
   // -------------------------------------------------------------------------
 
   val oracleSql: Map[String, String] = Map(
+    // unigram + adjacent-pair counts replayed, PMI with the same
+    // floating-op association order as the operator, rounded before ranking
+    "q_text_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents
+        |              WHERE text IS NOT NULL),
+        |uni AS (SELECT t, count(*) AS cnt
+        |        FROM (SELECT unnest(l) AS t FROM toks) GROUP BY t),
+        |ut AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS u FROM uni),
+        |bt AS (SELECT CAST(SUM(greatest(len(l) - 1, 0)) AS DOUBLE) AS b FROM toks),
+        |pr AS (SELECT l[i] AS w1, l[i + 1] AS w2
+        |       FROM toks, UNNEST(generate_series(1, len(l) - 1)) AS g(i)),
+        |pairs AS (SELECT w1, w2, count(*) AS pair_cnt FROM pr
+        |          GROUP BY w1, w2 HAVING count(*) >= 5)
+        |SELECT p.w1, p.w2, p.pair_cnt,
+        |       round(ln((CAST(p.pair_cnt AS DOUBLE) / bt.b)
+        |                / ((CAST(u1.cnt AS DOUBLE) / ut.u)
+        |                   * (CAST(u2.cnt AS DOUBLE) / ut.u))), 6) AS pmi
+        |FROM pairs p
+        |JOIN uni u1 ON u1.t = p.w1
+        |JOIN uni u2 ON u2.t = p.w2, ut, bt
+        |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 30""".stripMargin,
+
+    // same salted-hash uniform, same ln/divide order, same 8-dp rounding
+    // and id tie-break as Corpus.sampleWeighted
+    "q_corpus_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5('wsample::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0),
+        |p AS (SELECT doc_id, n_chars,
+        |    round(ln((CAST(h AS DOUBLE) + 0.5) / 4294967296.0)
+        |          / CAST(n_chars AS DOUBLE), 8) AS priority
+        |  FROM w),
+        |top AS (SELECT * FROM p ORDER BY priority DESC, doc_id ASC LIMIT 25)
+        |SELECT doc_id, n_chars, priority FROM top ORDER BY doc_id""".stripMargin,
+
     // closed-form ledger from the 1-in-97 truncation rule: truncated lines
     // ingest as corrupt (null lang group), everything else parses intact
     "q_jsonl_ingest" ->

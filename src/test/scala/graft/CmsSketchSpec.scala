@@ -106,6 +106,37 @@ class CmsSketchSpec extends SparkSpec {
     assert(got("g2").map(_.toSeq).toSeq == refG2.map(_.toSeq).toSeq)
   }
 
+  test("cmsJoinSize: one-sided error — never below the exact join size, exact when collision-free") {
+    val lKeys = (0 until 400).map(i => s"k${i % 11}")
+    val rKeys = (0 until 150).map(i => s"k${i % 7}")
+    val l = lKeys.toDF("lk")
+    val r = rKeys.toDF("rk")
+    val lm = lKeys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rm = rKeys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val truth = lm.map { case (k, c) => c * rm.getOrElse(k, 0L) }.sum
+    assert(Profile.joinSizeExact(l, "lk", r, "rk").collect()(0).getLong(0) == truth)
+    // narrow sketch: collisions inflate but NEVER deflate
+    val estNarrow = Profile.cmsJoinSize(l, "lk", r, "rk", d = 4, w = 4)
+      .collect()(0).getLong(0)
+    assert(estNarrow >= truth, s"inner-product estimate undercut: $estNarrow < $truth")
+    // wide sketch over 11 distinct keys: this fixed hash family maps them
+    // collision-free at w=4096 (deterministic — md5-affine, fixed keys),
+    // so the estimate IS the exact join size
+    val estWide = Profile.cmsJoinSize(l, "lk", r, "rk", d = 4, w = 4096)
+      .collect()(0).getLong(0)
+    assert(estWide == truth, s"collision-free estimate off: $estWide != $truth")
+    // disjoint key domains: estimate can only carry collision mass; with a
+    // wide sketch it is zero
+    val disjoint = Seq("x1", "x2", "x3").toDF("rk")
+    assert(Profile.cmsJoinSize(l, "lk", disjoint, "rk", d = 4, w = 4096)
+      .collect()(0).getLong(0) == 0L)
+    assert(Profile.joinSizeExact(l, "lk", disjoint, "rk").collect()(0).getLong(0) == 0L)
+    // nulls never contribute to either side
+    val withNulls = (lKeys :+ (null: String)).toDF("lk")
+    assert(Profile.cmsJoinSize(withNulls, "lk", r, "rk", d = 4, w = 4096)
+      .collect()(0).getLong(0) == truth)
+  }
+
   test("streaming: the sketch aggregates incrementally across micro-batches") {
     GraftExtensions.register(spark)
     implicit val ctx = spark.sqlContext

@@ -243,4 +243,61 @@ class EventOpsSpec extends SparkSpec {
       assert(!rows.exists(_._1.startsWith("2024-01-01 13:")))
     } finally q.stop()
   }
+
+  // 2024-01-01T00:00:00Z — an exact hour/day bucket boundary by construction
+  // (timestamps built from epoch, so JVM default timezone is irrelevant)
+  private val Base = 1704067200L
+
+  private def evAt(key: String, hour: Int, n: Int): Seq[(String, Timestamp)] =
+    (0 until n).map(i => key -> new Timestamp((Base + hour * 3600L + i % 60) * 1000))
+
+  test("bucketCounts: dense zero-filled series per key, span-bounded") {
+    // key a: events in hours 0 and 3 → 4 dense buckets incl. empty 1, 2
+    val df = (evAt("a", 0, 2) ++ evAt("a", 3, 1) ++ evAt("b", 5, 4)).toDF("k", "ts")
+    val got = Events.bucketCounts(df, "k", "ts", 3600L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == Seq(
+      ("a", Base, 2L), ("a", Base + 3600, 0L), ("a", Base + 7200, 0L),
+      ("a", Base + 10800, 1L), ("b", Base + 5 * 3600, 4L)).sorted)
+    // the span guard fails loud instead of exploding an unbounded series
+    val wild = (evAt("c", 0, 1) :+
+      ("c" -> new Timestamp((Base + 220898000L) * 1000))).toDF("k", "ts")
+    intercept[Exception] {
+      Events.bucketCounts(wild, "k", "ts", 3600L, maxBucketsPerKey = 1000L).collect()
+    }
+  }
+
+  test("rateSpikes: integer cross-multiplied trailing comparison, zero-filled trail counts") {
+    // quiet days then a burst: day counts 1,1,0,0,0,0,12 → trailing-6 sum
+    // is 2 ONLY because the dense series zero-fills days 2-5; 12·6 > 3·2
+    // → spike. A steady key at 6,6 must not fire (6·1 > 3·6 is false).
+    val day = 86400L
+    def at(d: Int, n: Int) = (0 until n).map(i =>
+      "u" -> new Timestamp((Base + d * day + i) * 1000))
+    val df = (at(0, 1) ++ at(1, 1) ++ at(6, 12) ++
+      (0 until 6).map(i => "v" -> new Timestamp((Base + i) * 1000)) ++
+      (0 until 6).map(i => "v" -> new Timestamp((Base + day + i) * 1000))).toDF("k", "ts")
+    val got = Events.rateSpikes(df, "k", "ts", day, trailing = 6, factor = 3L, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("u", Base + 6 * day, 12L, 6L, 2L)), got.mkString(", "))
+  }
+
+  test("countAnomalies: exact integer z-test against the key's own history") {
+    // eleven quiet hours of 2 plus one hour of 40: a lone outlier among
+    // n−1 constants has z = √(n−1) — n=12 gives z=√11 ≈ 3.32 > 3, strictly
+    // flagged, while n=10 would sit EXACTLY on the k=3 boundary (strict
+    // inequality: not anomalous). The quiet hours have z < 1.
+    val df = ((0 until 11).flatMap(h => evAt("a", h, 2)) ++ evAt("a", 11, 40)).toDF("k", "ts")
+    val got = Events.countAnomalies(df, "k", "ts", 3600L, k = 3L)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 40L)), got.mkString(", "))
+    // the exact-boundary case: nine 2s and one outlier → z = 3 exactly,
+    // strict comparison keeps it OUT (bit-exact integer equality, no ulps)
+    val boundary = ((0 until 9).flatMap(h => evAt("b", h, 2)) ++ evAt("b", 9, 40)).toDF("k", "ts")
+    assert(Events.countAnomalies(boundary, "k", "ts", 3600L, k = 3L).count() == 0)
+    // uniform series: nothing is anomalous (dev = 0 for every bucket)
+    val flat = (0 until 8).flatMap(h => evAt("c", h, 3)).toDF("k", "ts")
+    assert(Events.countAnomalies(flat, "k", "ts", 3600L, k = 3L).count() == 0)
+  }
 }

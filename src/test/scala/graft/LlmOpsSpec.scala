@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Bpe, Dedup, Multimodal, Pii, Similarity, TextOps}
+import graft.ops.{Bpe, Corpus, Dedup, Multimodal, Pii, Profile, Similarity, TextOps}
 
 /** Units for the LLM-pipeline operators. */
 class LlmOpsSpec extends SparkSpec {
@@ -1156,5 +1156,61 @@ class LlmOpsSpec extends SparkSpec {
       corpus.unionByName(batch), "doc_id", "text", n = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(summed == direct, "window-count store is not additive")
+  }
+
+  test("Profile.drift: identical slices score zero; disjoint slices saturate JSD at ln 2") {
+    import spark.implicits._
+    val a = Seq("x", "x", "y", "z").toDF("k")
+    val same = Profile.drift(a, a, "k").collect()(0)
+    assert(same.getAs[Long]("n_keys_union") == 3)
+    assert(math.abs(same.getAs[Double]("psi")) < 1e-12)
+    assert(math.abs(same.getAs[Double]("jsd")) < 1e-12)
+    // disjoint key sets: JSD hits its ln 2 ceiling exactly; PSI is positive
+    // and every union key appears (full-outer completeness)
+    val b = Seq("q", "q", "r").toDF("k")
+    val dis = Profile.drift(a, b, "k").collect()(0)
+    assert(dis.getAs[Long]("n_keys_ref") == 3 && dis.getAs[Long]("n_keys_cur") == 2)
+    assert(dis.getAs[Long]("n_keys_union") == 5)
+    assert(math.abs(dis.getAs[Double]("jsd") - math.log(2)) < 1e-9)
+    assert(dis.getAs[Double]("psi") > 0)
+    // hand-checked shifted case: ref {x:3, y:1}, cur {x:1, y:3}
+    val ref = Seq("x", "x", "x", "y").toDF("k")
+    val cur = Seq("x", "y", "y", "y").toDF("k")
+    val psi = 2 * (0.75 - 0.25) * math.log(0.75 / 0.25) // symmetric pair of terms
+    assert(math.abs(Profile.drift(ref, cur, "k").collect()(0).getAs[Double]("psi") - psi) < 1e-12)
+  }
+
+  test("TextOps.pmiCollocations: hand-checked PMI, minCount cut, deterministic tie order") {
+    import spark.implicits._
+    val docs = Seq("new york is big", "new york is old").toDF("text")
+    val got = TextOps.pmiCollocations(docs, "text", minCount = 2, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // U = 8 tokens, B = 6 pairs; both surviving pairs have count 2 with
+    // component counts 2 and 2 → pmi = ln((2/6) / ((2/8)·(2/8))) rounded 6dp
+    val expected = BigDecimal(math.log((2.0 / 6) / ((2.0 / 8) * (2.0 / 8))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.length == 2, got.mkString(", "))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq(("new", "york"), ("york", "is")),
+      "tie must break on (w1, w2) ascending")
+    assert(got.forall(t => t._3 == 2L && math.abs(t._4 - expected) < 1e-9))
+  }
+
+  test("Corpus.sampleWeighted: size k, reproducible, weight-dominant row wins, bad weights excluded") {
+    import spark.implicits._
+    val base = (1 to 100).map(i => (i.toLong, 1.0)) :+ (999L, 1e12)
+    val df = base.toDF("id", "w")
+    val s1 = Corpus.sampleWeighted(df, "id", "w", k = 10).collect().map(_.getLong(0)).toSet
+    val s2 = Corpus.sampleWeighted(df, "id", "w", k = 10).collect().map(_.getLong(0)).toSet
+    assert(s1.size == 10 && s1 == s2, "weighted sample must be deterministic")
+    assert(s1.contains(999L), "a weight 12 orders of magnitude above the rest must be drawn")
+    // a different salt draws an independent sample (almost surely different)
+    val s3 = Corpus.sampleWeighted(df, "id", "w", k = 10, salt = "b")
+      .collect().map(_.getLong(0)).toSet
+    assert(s3 != s1)
+    // null / zero / negative weights are never drawn, even with k > n
+    val bad = Seq((1L, Some(2.0)), (2L, Some(0.0)), (3L, Some(-1.0)), (4L, None))
+      .toDF("id", "w")
+    assert(Corpus.sampleWeighted(bad, "id", "w", k = 10)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 }
