@@ -308,10 +308,14 @@ object Events {
     // divide-then-floor is exact here too, but why reason about ulps)
     val sec = unix_timestamp(col(tsCol))
     val bkt = sec - pmod(sec, lit(bucketSeconds))
+    // materialized: the (key, bucket)-sized count table feeds both the
+    // span aggregate and the dense join — without the cut the events scan
+    // runs twice (the retention discipline)
     val counted = events
       .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol).as("key"), bkt.as("bucket"))
       .groupBy("key", "bucket").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val spans = counted.groupBy("key")
       .agg(min("bucket").as("_lo"), max("bucket").as("_hi"))
       // the guard rides the per-key row path — it fails on the executor
@@ -379,7 +383,10 @@ object Events {
       events: DataFrame, keyCol: String, tsCol: String,
       bucketSeconds: Long = 3600L, k: Long = 3L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // materialized: the dense series feeds both the moment aggregate and
+    // the flagging join
     val dense = bucketCounts(events, keyCol, tsCol, bucketSeconds)
+      .localCheckpoint()
     val moments = dense.groupBy("key").agg(
       count(lit(1)).as("n_buckets"),
       sum("cnt").as("sum_cnt"),

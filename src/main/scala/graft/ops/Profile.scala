@@ -237,10 +237,15 @@ object Profile {
       ref: DataFrame, cur: DataFrame, keyCol: String,
       eps: Double = 1e-6): DataFrame = {
     require(eps > 0 && eps < 1e-2, s"eps must be in (0, 0.01), got $eps")
+    // materialized (the Events.retention discipline): each count table
+    // feeds BOTH its broadcast total and the join — without the cut the
+    // corpus scan behind it runs twice
     val r = ref.where(col(keyCol).isNotNull)
       .groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("ref_cnt"))
+      .localCheckpoint()
     val c = cur.where(col(keyCol).isNotNull)
       .groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cur_cnt"))
+      .localCheckpoint()
     val rt = r.agg(sum("ref_cnt").as("_rt"))
     val ct = c.agg(sum("cur_cnt").as("_ct"))
     val joined = r.join(c, Seq("key"), "full_outer")

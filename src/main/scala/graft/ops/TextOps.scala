@@ -347,12 +347,15 @@ object TextOps {
    * buries under stopword pairs. `P(w1 w2)` is the pair's share of all
    * adjacent pairs; `P(w)` a token's share of all tokens.
    *
-   * Shape at scale: one tokenize pass feeds a unigram count and an
-   * adjacent-pair count (both map-side partial aggregates over exploded
-   * rows); the pair table — already cut to `pair_cnt ≥ minCount` BEFORE
-   * any join — joins the vocabulary-sized unigram table twice (AQE
-   * broadcasts it), the two one-row totals ride in as broadcast cross
-   * joins, and the top-k is a `TakeOrdered`, never a global sort.
+   * Shape at scale: the corpus is tokenized exactly TWICE — once into the
+   * vocabulary-sized unigram count table, once into the bigram-vocabulary
+   * pair count table — and both are materialized (`localCheckpoint`, the
+   * [[graft.ops.Events.retention]] discipline) because each feeds two
+   * consumers (its broadcast total and the join/filter); without the cut
+   * Spark re-runs the corpus scan for every consumer. The pair table is
+   * cut to `pair_cnt ≥ minCount` BEFORE any join, joins the unigram table
+   * twice (AQE broadcasts it), the totals ride in as one-row broadcast
+   * cross joins, and the top-k is a `TakeOrdered`, never a global sort.
    *
    * The PMI value is rounded to 6 dp INSIDE the operator and ties break on
    * `(w1, w2)`: the ranking must be reproducible across engines, and a
@@ -368,10 +371,9 @@ object TextOps {
       .select(tokens(col(textCol)).as("_toks"))
     val uni = toks.select(explode(col("_toks")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val uniTot = uni.agg(sum("cnt").cast("double").as("_u"))
-    val pairTot = toks
-      .agg(sum(greatest(size(col("_toks")) - 1, lit(0))).cast("double").as("_b"))
-    val pairs = toks.select(explode(
+    val pairsAll = toks.select(explode(
         when(size(col("_toks")) < 2,
           array().cast("array<struct<w1:string,w2:string>>"))
           .otherwise(transform(
@@ -381,7 +383,11 @@ object TextOps {
               element_at(col("_toks"), i + 1).as("w2"))))).as("pr"))
       .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("pair_cnt"))
-      .where(col("pair_cnt") >= minCount)
+      .localCheckpoint()
+    // total adjacent pairs = Σ pair_cnt over the UNfiltered table — read
+    // from the materialized counts, never a third corpus pass
+    val pairTot = pairsAll.agg(sum("pair_cnt").cast("double").as("_b"))
+    val pairs = pairsAll.where(col("pair_cnt") >= minCount)
     val u1 = uni.select(col("t").as("w1"), col("cnt").as("_c1"))
     val u2 = uni.select(col("t").as("w2"), col("cnt").as("_c2"))
     pairs.join(u1, "w1").join(u2, "w2")

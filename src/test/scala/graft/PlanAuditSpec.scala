@@ -231,4 +231,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchange >= 0 && partial > exchange,
       s"no partial sketch below the exchange:\n$p")
   }
+
+  test("round-10 monitoring ops: no cartesians; weighted sample is an unshuffled TakeOrdered") {
+    // one-row total/sketch attaches legitimately plan as broadcast NLJs;
+    // what must never appear is a row-level cartesian
+    for (q <- Seq("q_text_collocations", "q_profile_drift", "q_profile_joinsize",
+        "q_ev_rate_spikes", "q_ev_count_anomalies")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+    }
+    // A-ES top-k: per-partition heads merged on the driver — a global sort
+    // of the corpus (Exchange rangepartitioning) must never appear
+    val ws = plan("q_corpus_weighted_sample")
+    assert(ws.contains("TakeOrderedAndProject"), ws)
+    assert(!ws.contains("Exchange"), s"weighted sample shuffled:\n$ws")
+  }
 }
