@@ -298,6 +298,46 @@ object Profile {
         expr("percentile(cnt, 0.99)").as("p99_cnt"))
 
   /**
+   * Quantile estimation over a FIXED-SIZE deterministic sample — the
+   * 100 TB complement to the exact `percentile` aggregate: take the `k`
+   * rows with the smallest salted id hash (a uniform without-replacement
+   * sample that is a pure function of (ids, salt) — rerun-, partition-
+   * and engine-stable, unlike `TABLESAMPLE`/`rand()`), then exact
+   * interpolated quantiles of the sample. Rank error is the classic
+   * bottom-k bound O(1/√k); k = 10⁴ gives ~1% rank accuracy for ANY
+   * corpus size.
+   *
+   * Shape: the bottom-k is a `TakeOrderedAndProject` (per-partition heads
+   * merged on the driver — no shuffle, no global sort), the quantile a
+   * one-row aggregate over k rows. Contrast `percentile` over the full
+   * column, whose buffer holds every distinct value, and
+   * `approx_percentile`, whose GK sketch is engine-specific: this
+   * estimator is exactly replayable in the oracle. Output one row per
+   * requested probability: `(n_sampled, p, value)`.
+   */
+  def hashSampleQuantiles(
+      df: DataFrame, idCol: String, c: String, k: Int,
+      probs: Seq[Double], salt: String = ""): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"probs must be non-empty, each in [0, 1]: $probs")
+    val h = TextOps.hash32(concat(lit(s"qsample:$salt:"), col(idCol).cast("string")))
+    val sample = df.where(col(c).isNotNull)
+      .select(col(idCol).as("_id"), col(c).cast("double").as("_x"), h.as("_h"))
+      .orderBy(col("_h").asc, col("_id").asc)
+      .limit(k)
+    sample
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        expr(s"percentile(_x, array(${probs.mkString(", ")}))").as("_qs"))
+      .select(col("n_sampled"), posexplode(col("_qs")).as(Seq("_i", "value")))
+      .select(
+        col("n_sampled"),
+        element_at(typedlit(probs), col("_i").cast("int") + 1).as("p"),
+        col("value"))
+  }
+
+  /**
    * Robust (median/MAD) outlier filter: keeps the rows whose `c` deviates
    * from the column median by more than `k` times the median absolute
    * deviation — the outlier test that, unlike mean/stddev z-scores, is not

@@ -111,6 +111,14 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // Quantiles over a deterministic bottom-k hash sample (k=500): the
+    // fixed-memory, shuffle-free alternative to full-column percentile —
+    // sample membership and interpolation replay exactly in the oracle
+    "q_profile_quantile_sample" -> ((s, dir) =>
+      Profile.hashSampleQuantiles(Tpch.read(s, dir, "events"), "event_id", "value",
+          k = 500, probs = Seq(0.25, 0.5, 0.75, 0.9))
+        .orderBy("p")),
+
     // Trailing-window rate-spike detection over the DENSE per-user daily
     // series: cross-multiplied integer comparison (cnt·m > 3·trail_sum),
     // zero-filled quiet days included — bit-exact on any engine
@@ -391,6 +399,17 @@ object EventQueries {
         |       quantile_cont(cnt, 0.5) AS p50_cnt,
         |       quantile_cont(cnt, 0.99) AS p99_cnt
         |FROM c""".stripMargin,
+
+    "q_profile_quantile_sample" ->
+      """WITH b AS (SELECT CAST(value AS DOUBLE) AS x
+        |           FROM (SELECT value, event_id,
+        |                   ('0x' || substr(md5('qsample::' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |                 FROM events WHERE value IS NOT NULL
+        |                 ORDER BY h, event_id LIMIT 500)),
+        |q AS (SELECT count(*) AS n_sampled,
+        |             quantile_cont(x, [0.25, 0.5, 0.75, 0.9]) AS qs FROM b)
+        |SELECT n_sampled, UNNEST([0.25, 0.5, 0.75, 0.9]) AS p, UNNEST(qs) AS value
+        |FROM q ORDER BY p""".stripMargin,
 
     "q_ev_rate_spikes" ->
       """WITH e AS (SELECT user_id AS key,

@@ -492,6 +492,16 @@ object LlmQueries {
           docs(s, dir).select("doc_id", "n_chars"), "doc_id", "n_chars", k = 25)
         .orderBy("doc_id")),
 
+    // Fuzzy (edit-distance) duplicate pairs over customer names — prefix-
+    // filtered q-gram candidates, banded-DP verify; the oracle is the
+    // direct quadratic levenshtein join, so every planted AND natural
+    // within-distance pair must surface with its exact distance
+    "q_dedup_fuzzy" -> ((s, dir) =>
+      Dedup.editDistancePairs(
+          Tpch.read(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1, q = 3)
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")),
+
     // Exact dedup: corpus unioned with itself → one survivor per content hash
     "q_dedup_exact" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -1314,6 +1324,17 @@ object LlmQueries {
   // -------------------------------------------------------------------------
 
   val oracleSql: Map[String, String] = Map(
+    // ground truth by brute force: the prefix filter is a pure candidate-
+    // generation optimization and must be invisible in the result
+    "q_dedup_fuzzy" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b ON b.c_custkey > a.c_custkey
+        |WHERE a.c_name IS NOT NULL AND b.c_name IS NOT NULL
+        |  AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // unigram + adjacent-pair counts replayed, PMI with the same
     // floating-op association order as the operator, rounded before ranking
     "q_text_collocations" ->

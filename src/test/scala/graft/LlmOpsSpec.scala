@@ -1158,6 +1158,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(summed == direct, "window-count store is not additive")
   }
 
+  test("Dedup.editDistancePairs: brute-force parity, multiset grams, threshold cut") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Seq(
+      1L -> "acme corp", 2L -> "acme corp.", 3L -> "acme corp", 4L -> "acme inc",
+      5L -> "aaaa", 6L -> "aaab", 7L -> "aaaaa", 8L -> "zeta",
+      9L -> "completely different")
+    def truth(d: Int) = (for {
+      (i, a) <- names; (j, b) <- names if i < j && lev(a, b) <= d
+    } yield (i, j, lev(a, b))).toSet
+    val df = names.toDF("id", "name")
+    def run(d: Int) = Dedup.editDistancePairs(df, "id", "name", maxDist = d, q = 3)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // d=1: exact dups (0), substitution, trailing '.', single insert — and
+    // nothing beyond; the prefix filter must be invisible in the result
+    assert(run(1) == truth(1), s"got ${run(1)}, want ${truth(1)}")
+    assert(truth(1).contains((1L, 3L, 0)) && truth(1).contains((5L, 6L, 1)) &&
+      truth(1).contains((5L, 7L, 1))) // the test corpus exercises all three edit kinds
+    // widening the threshold widens the prefix (q·d+1) and the result
+    assert(run(2) == truth(2))
+    assert(run(2).contains((6L, 7L, 2)), "aaab↔aaaaa enters only at d=2")
+  }
+
   test("Profile.drift: identical slices score zero; disjoint slices saturate JSD at ln 2") {
     import spark.implicits._
     val a = Seq("x", "x", "y", "z").toDF("k")
@@ -1193,6 +1223,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2)).toSeq == Seq(("new", "york"), ("york", "is")),
       "tie must break on (w1, w2) ascending")
     assert(got.forall(t => t._3 == 2L && math.abs(t._4 - expected) < 1e-9))
+  }
+
+  test("Profile.hashSampleQuantiles: deterministic, partition-invariant, exact when k >= n") {
+    import spark.implicits._
+    val df = (0 until 10000).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val r1 = Profile.hashSampleQuantiles(df, "id", "x", k = 2000, probs = Seq(0.5))
+      .collect()(0)
+    assert(r1.getAs[Long]("n_sampled") == 2000L)
+    val med = r1.getAs[Double]("value")
+    assert(math.abs(med - 4999.5) < 500, s"median estimate off: $med") // ~4.5 sigma slack
+    // partition layout cannot change the sample (hash membership, not scan order)
+    val r7 = Profile.hashSampleQuantiles(df.repartition(7), "id", "x",
+      k = 2000, probs = Seq(0.5)).collect()(0)
+    assert(r7.getAs[Double]("value") == med)
+    // k >= n: the sample IS the column — exact interpolated median
+    val ex = Profile.hashSampleQuantiles(df, "id", "x", k = 20000, probs = Seq(0.5))
+      .collect()(0)
+    assert(ex.getAs[Long]("n_sampled") == 10000L && ex.getAs[Double]("value") == 4999.5)
+    // a different salt draws a different sample
+    val s2 = Profile.hashSampleQuantiles(df, "id", "x", k = 2000, probs = Seq(0.5),
+      salt = "b").collect()(0)
+    assert(s2.getAs[Double]("value") != med)
   }
 
   test("Corpus.sampleWeighted: size k, reproducible, weight-dominant row wins, bad weights excluded") {
