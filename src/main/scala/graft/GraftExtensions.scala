@@ -70,6 +70,8 @@ object GraftExtensions {
       arity("synth_image", 1)(c => ImageKernels.SynthImage(c(0)))),
     ("image_decode", ImageKernels.decodeInfo,
       arity("image_decode", 1)(c => ImageKernels.ImageDecode(c(0)))),
+    ("image_ahash", ImageKernels.aHashInfo,
+      arity("image_ahash", 1)(c => ImageKernels.ImageAHash(c(0)))),
     ("synth_wav", AudioKernels.synthInfo,
       arity("synth_wav", 1)(c => AudioKernels.SynthWav(c(0)))),
     ("audio_decode", AudioKernels.decodeInfo,

@@ -88,6 +88,72 @@ object ImageKernels {
       case scala.util.control.NonFatal(_) => null
     }
 
+  /**
+   * 64-bit average-hash (aHash) perceptual fingerprint: the decoded image
+   * is block-averaged onto an 8×8 luminance grid (cell (cy, cx) covers
+   * pixel columns [cx·w/8, (cx+1)·w/8) — integer division, exact for any
+   * geometry), and bit `cy·8 + cx` is set iff the cell's mean luminance
+   * (l = r+g+b) is at least the whole-image mean — compared CROSS-
+   * MULTIPLIED (`cell_sum·total_px >= total_sum·cell_px`), so no float
+   * division ever happens and the bit pattern replays exactly from the
+   * planted-image closed form in the SQL oracle. Cells with zero pixels
+   * (w or h below 8) contribute a 0 bit. Null for unreadable bytes.
+   *
+   * Near-identical images (re-encodes, small edits, resizes that preserve
+   * the 8×8 structure) land within a few bits — pair them with the
+   * simhash64 band machinery ([[graft.ops.Dedup.simhashNearDuplicates64]]).
+   */
+  def aHash64(bytes: Array[Byte]): java.lang.Long =
+    try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var totalSum = 0L
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          totalSum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          i += 1
+        }
+        val totalPx = w.toLong * h
+        var hash = 0L
+        var cy = 0
+        while (cy < 8) {
+          val y0 = cy * h / 8
+          val y1 = (cy + 1) * h / 8
+          var cx = 0
+          while (cx < 8) {
+            val x0 = cx * w / 8
+            val x1 = (cx + 1) * w / 8
+            val cellPx = (x1 - x0).toLong * (y1 - y0)
+            if (cellPx > 0) {
+              var cellSum = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val p = px(y * w + x)
+                  cellSum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              if (cellSum * totalPx >= totalSum * cellPx)
+                hash |= 1L << (cy * 8 + cx)
+            }
+            cx += 1
+          }
+          cy += 1
+        }
+        java.lang.Long.valueOf(hash)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+
   val decodeType: StructType = StructType(Seq(
     StructField("width", IntegerType),
     StructField("height", IntegerType),
@@ -147,5 +213,36 @@ object ImageKernels {
     null,
     "image_decode",
     "_FUNC_(content) - decode an image payload (PNG/BMP/GIF/JPEG via javax.imageio) to exact pixel statistics; NULL if unreadable.",
+    "", "", "", "", "", "", "built-in")
+
+  /** `image_ahash(content)` — 64-bit average-hash perceptual fingerprint,
+    * null on unreadable bytes. */
+  case class ImageAHash(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"image_ahash requires binary, got ${other.simpleString}")
+    }
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "image_ahash"
+    override protected def nullSafeEval(bytes: Any): Any =
+      aHash64(bytes.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |java.lang.Long ${ev.value}_h = graft.expressions.ImageKernels.aHash64($c);
+           |${ev.isNull} = ${ev.value}_h == null;
+           |${ev.value} = ${ev.isNull} ? -1L : ${ev.value}_h.longValue();
+         """.stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): ImageAHash =
+      copy(child = newChild)
+  }
+
+  val aHashInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[ImageAHash].getName,
+    null,
+    "image_ahash",
+    "_FUNC_(content) - 64-bit average-hash perceptual fingerprint of an image payload (8x8 block-averaged luminance vs global mean, integer-exact); NULL if unreadable.",
     "", "", "", "", "", "", "built-in")
 }

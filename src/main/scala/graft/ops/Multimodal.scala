@@ -67,6 +67,31 @@ object Multimodal {
   def decodeImage(content: Column): Column =
     call_function("image_decode", content)
 
+  /** 64-bit average-hash perceptual fingerprint of an image payload
+    * ([[graft.expressions.ImageKernels.aHash64]] — integer-exact 8×8
+    * block-average vs global mean), NULL for unreadable bytes. */
+  def imageAHash(content: Column): Column =
+    call_function("image_ahash", content)
+
+  /**
+   * Image NEAR-DUPLICATE pairs: perceptual aHash per asset, then the
+   * simhash64 band machinery ([[Dedup.simhashNearDuplicates64]] — 4×16-bit
+   * band blocking, exact for `maxHamming ≤ 3`) over the hash column. The
+   * cross-modality composition the dedup family was built for: ONE decode
+   * pass computes the 8-byte fingerprint, the pair search never touches
+   * pixel data again — at 100 TB of images the banded join moves 64 bits
+   * per asset, not payloads. Returns `(id_a, id_b, hamming)`.
+   */
+  def imageNearDuplicates(
+      assets: DataFrame, idCol: String, contentCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    graft.GraftExtensions.register(assets.sparkSession)
+    val sketches = assets
+      .select(col(idCol).as("id"), imageAHash(col(contentCol)).as("simhash"))
+      .where(col("simhash").isNotNull)
+    Dedup.simhashNearDuplicates64(sketches, maxHamming)
+  }
+
   /**
    * REAL audio decode (`javax.sound.sampled`, in-JDK): 16-bit PCM payload →
    * exact sample statistics `struct(sample_rate, channels, n_frames,

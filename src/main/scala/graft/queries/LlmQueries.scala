@@ -1156,6 +1156,20 @@ object LlmQueries {
     // to exact pixel sums — the oracle recomputes every statistic in closed
     // form from the generation parameters, so a decoder that only read
     // metadata (or mis-read pixels) hash-fails
+    // Perceptual hash (aHash64) of every planted image: 8×8 block-average
+    // luminance vs global mean, bits compared CROSS-MULTIPLIED — the
+    // oracle recomputes all 64 bits from the planted geometry closed form,
+    // so a kernel that mis-tiled cells or divided in floats would mismatch
+    "q_mm_phash" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val assets = Multimodal.asAsset(
+        col("doc_id"), lit("image"),
+        call_function("synth_image", col("doc_id")), col("source"))(docs(s, dir))
+      assets
+        .select(col("asset_id"), Multimodal.imageAHash(col("content")).as("phash"))
+        .orderBy("asset_id")
+    }),
+
     "q_mm_decode" -> ((s, dir) => {
       GraftExtensions.register(s)
       val assets = Multimodal.asAsset(
@@ -2279,6 +2293,29 @@ object LlmQueries {
     // Planted geometry/color are closed-form in doc_id (see ImageKernels
     // .synthPng): w = 8 + id%8, h = 8 + id%5, color (id%256, id*7%256,
     // id*13%256), x=0 column black → sum_c = c * (w-1) * h.
+    // full 64-bit replay from the planted closed form: per cell, luminance
+    // sum = L·(cell_px − black_column_share), bit = cross-multiplied
+    // mean comparison, hash assembled with bit_or (bit 63 as min-long —
+    // DuckDB's << refuses the sign bit)
+    "q_mm_phash" ->
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+        |                  (doc_id % 256) + ((doc_id * 7) % 256) + ((doc_id * 13) % 256) AS L
+        |           FROM documents),
+        |cells AS (SELECT doc_id, w, h, L, cy.i AS cy, cx.i AS cx,
+        |                 (cx.i * w) // 8 AS x0, ((cx.i + 1) * w) // 8 AS x1,
+        |                 (cy.i * h) // 8 AS y0, ((cy.i + 1) * h) // 8 AS y1
+        |          FROM p, range(8) cy(i), range(8) cx(i)),
+        |bits AS (SELECT doc_id,
+        |           CASE WHEN (L * ((x1 - x0) * (y1 - y0)
+        |                           - CASE WHEN cx = 0 THEN (y1 - y0) ELSE 0 END)) * (w * h)
+        |                     >= (L * (w * h - h)) * ((x1 - x0) * (y1 - y0))
+        |                THEN CASE WHEN cy * 8 + cx = 63 THEN -9223372036854775808
+        |                          ELSE (CAST(1 AS BIGINT) << CAST(cy * 8 + cx AS INT)) END
+        |                ELSE 0 END AS bv
+        |         FROM cells)
+        |SELECT doc_id AS asset_id, bit_or(bv) AS phash
+        |FROM bits GROUP BY doc_id ORDER BY asset_id""".stripMargin,
+
     "q_mm_decode" ->
       """SELECT doc_id AS asset_id,
         |  CAST(8 + doc_id % 8 AS INT) AS width,

@@ -1158,6 +1158,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(summed == direct, "window-count store is not additive")
   }
 
+  test("Multimodal.imageNearDuplicates: perceptual-hash pairs via the simhash band machinery") {
+    import spark.implicits._
+    def png(f: (Int, Int) => Int, w: Int = 64, h: Int = 64): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = f(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val gradient = png((x, _) => x * 4)
+    val gradientTweaked = png((x, y) => if (x == 10 && y == 10) 255 else x * 4)
+    val inverse = png((x, _) => 255 - x * 4)
+    val assets = Seq(
+      (1L, gradient), (2L, gradient), (3L, gradientTweaked),
+      (4L, inverse), (5L, Array[Byte](1, 2, 3))).toDF("id", "content")
+    val pairs = graft.ops.Multimodal.imageNearDuplicates(assets, "id", "content", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // identical pixels → hamming 0; a one-pixel tweak stays within the
+    // band threshold; the inverted gradient (mirrored bits) never pairs;
+    // undecodable bytes drop out instead of crashing the scan
+    assert(pairs.contains((1L, 2L, 0)), pairs.toString)
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L), "near-identical image missed")
+    assert(pairs.forall(p => p._1 != 4L && p._2 != 4L), "inverse gradient must not pair")
+    assert(pairs.forall(p => p._1 != 5L && p._2 != 5L), "garbage bytes must be excluded")
+    // the hash itself is deterministic and re-encode-stable (same pixels,
+    // fresh PNG encode → identical 64-bit fingerprint)
+    GraftExtensions.register(spark)
+    val hs = Seq((1L, gradient), (2L, png((x, _) => x * 4))).toDF("id", "content")
+      .select(call_function("image_ahash", col("content")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))
+  }
+
   test("Dedup.editDistancePairs: brute-force parity, multiset grams, threshold cut") {
     import spark.implicits._
     def lev(a: String, b: String): Int = {
