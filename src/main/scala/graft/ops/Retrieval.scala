@@ -42,6 +42,44 @@ object Retrieval {
   val RrfK: Int = 60
 
   /**
+   * Exact PHRASE search: documents containing the token sequence `phrase`
+   * contiguously, with occurrence counts — the positional-query capability
+   * BM25's bag-of-words postings cannot answer. Returns
+   * `(<idCol>, n_occurrences)`.
+   *
+   * Relational positional intersection, ONE corpus pass and ONE shuffle:
+   * tokenize with positions, keep ONLY rows whose token appears in the
+   * phrase (the selectivity rides the explode — for a 3-term phrase over a
+   * web corpus that is a tiny fraction of the token mass), fan each kept
+   * occurrence to every phrase slot j its token fills (a duplicated term
+   * like the "a" in "a a the" fills TWO slots — the literal slot map is a
+   * broadcast `typedlit`), and group by the implied phrase START
+   * `(id, p − j)`: a start where all m distinct slots are present is a
+   * match. No per-document arrays, no self-join per phrase term (the
+   * classic m-way positional-postings join), no window functions.
+   */
+  def phraseSearch(
+      df: DataFrame, idCol: String, textCol: String, phrase: String): DataFrame = {
+    val terms = phrase.split(" ").toIndexedSeq
+    require(terms.nonEmpty && terms.forall(_.nonEmpty),
+      s"phrase must be non-empty space-separated tokens, got '$phrase'")
+    val m = terms.size
+    val slotsByTerm: Map[String, Seq[Int]] =
+      terms.zipWithIndex.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSeq }
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("p", "t")))
+      .where(col("t").isin(terms.distinct: _*))
+      .select(col("id"), col("p"),
+        explode(element_at(typedlit(slotsByTerm), col("t"))).as("j"))
+      .groupBy(col("id"), (col("p") - col("j")).as("base"))
+      .agg(count_distinct(col("j")).as("nj"))
+      .where(col("nj") === m)
+      .groupBy("id").agg(count(lit(1)).as("n_occurrences"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /**
    * Postings frame: one row per (document, distinct token) with the term
    * frequency `tf` and the document token length `dl`. ONE shuffle: `dl` is
    * computed on the unexploded row and carried through the explode, so no

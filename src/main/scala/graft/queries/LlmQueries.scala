@@ -479,6 +479,12 @@ object LlmQueries {
   // -------------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    // Exact phrase search ("a a the" — the duplicated-term slot case):
+    // positional intersection by implied phrase start, one corpus pass
+    "q_ret_phrase" -> ((s, dir) =>
+      Retrieval.phraseSearch(docs(s, dir), "doc_id", "text", "a a the")
+        .orderBy("doc_id")),
+
     // PMI collocations: adjacent-pair association strength over the corpus
     // (min pair count 5, top 30 by rounded-PMI with (w1, w2) tie-break)
     "q_text_collocations" -> ((s, dir) =>
@@ -1348,6 +1354,22 @@ object LlmQueries {
         |  AND abs(length(a.c_name) - length(b.c_name)) <= 1
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the same slot-fanout algorithm in SQL: every occurrence of a phrase
+    // term votes for each start it could witness; a start with all three
+    // distinct slots present is a hit
+    "q_ret_phrase" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |              WHERE text IS NOT NULL),
+        |pos AS (SELECT doc_id, g.i AS p, l[g.i] AS t
+        |        FROM toks, UNNEST(generate_series(1, len(l))) g(i)),
+        |ph AS (SELECT * FROM (VALUES (0, 'a'), (1, 'a'), (2, 'the')) v(j, t)),
+        |fan AS (SELECT pos.doc_id, pos.p - ph.j AS base, ph.j
+        |        FROM pos JOIN ph ON ph.t = pos.t),
+        |hit AS (SELECT doc_id, base FROM fan GROUP BY doc_id, base
+        |        HAVING count(DISTINCT j) = 3)
+        |SELECT doc_id, count(*) AS n_occurrences FROM hit
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // unigram + adjacent-pair counts replayed, PMI with the same
     // floating-op association order as the operator, rounded before ranking

@@ -130,4 +130,21 @@ class RetrievalSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("phraseSearch: contiguity, overlap, duplicated phrase terms, absent phrase") {
+    val docs = Seq(
+      (1L, "x a a the y"),        // one hit
+      (2L, "a a a the"),          // 'a a the' starts only at position 1
+      (3L, "a a the z a a the"),  // two hits
+      (4L, "a the a"),            // all terms present, never contiguous
+      (5L, "completely unrelated")).toDF("doc_id", "text")
+    def run(ph: String) = Retrieval.phraseSearch(docs, "doc_id", "text", ph)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(run("a a the") == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+    // overlapping matches each count: "a a a" holds "a a" at two starts
+    assert(run("a a") == Map(2L -> 2L, 3L -> 2L, 1L -> 1L))
+    // single-term phrase degenerates to term occurrence counts
+    assert(run("a") == Map(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 2L))
+    assert(run("never here") == Map.empty)
+  }
 }
