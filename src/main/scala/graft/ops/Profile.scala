@@ -246,6 +246,19 @@ object Profile {
     val c = cur.where(col(keyCol).isNotNull)
       .groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cur_cnt"))
       .localCheckpoint()
+    driftByKeyFromCounts(r, c, eps)
+  }
+
+  /**
+   * [[driftByKey]] over PRE-AGGREGATED count tables
+   * (`(key, ref_cnt)` / `(key, cur_cnt)`) — the form a monitor that holds
+   * a fixed reference distribution calls per batch
+   * ([[graft.streaming.DriftStream]]): the reference is counted ONCE at
+   * construction, never re-aggregated per micro-batch.
+   */
+  def driftByKeyFromCounts(
+      r: DataFrame, c: DataFrame, eps: Double = 1e-6): DataFrame = {
+    require(eps > 0 && eps < 1e-2, s"eps must be in (0, 0.01), got $eps")
     val rt = r.agg(sum("ref_cnt").as("_rt"))
     val ct = c.agg(sum("cur_cnt").as("_ct"))
     val joined = r.join(c, Seq("key"), "full_outer")
@@ -296,6 +309,28 @@ object Profile {
         max("cnt").as("max_cnt"),
         expr("percentile(cnt, 0.5)").as("p50_cnt"),
         expr("percentile(cnt, 0.99)").as("p99_cnt"))
+
+  /**
+   * Per-shard HyperLogLog distinct-count ledger — the cardinality twin of
+   * the Count-Min ledger ([[cmsMergeAll]]): each ingest batch/shard stores
+   * ONE Datasketches HLL sketch (a few KB binary, Spark's native
+   * `hll_sketch_agg`), and corpus-wide distinct counts come from folding
+   * the stored sketches (`hll_union_agg`) — cost ∝ shards, the corpus is
+   * NEVER rescanned. Union-then-estimate equals sketch-of-union exactly
+   * (the sketch is a pure function of the observed hash set; spec-pinned),
+   * so incremental maintenance is lossless. Estimates are
+   * library-specific, hence spec-bounded against exact counts rather than
+   * oracle-hashed (same stance as [[profileApprox]]).
+   */
+  def hllShardSketch(df: DataFrame, keyCol: String, lgK: Int = 12): DataFrame =
+    df.where(col(keyCol).isNotNull)
+      .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("hll"))
+
+  /** Fold stored shard sketches and estimate the union's cardinality. */
+  def hllMergedEstimate(sketches: DataFrame, sketchCol: String): DataFrame =
+    sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(true)))
+        .as("n_distinct_est"))
 
   /**
    * Quantile estimation over a FIXED-SIZE deterministic sample — the

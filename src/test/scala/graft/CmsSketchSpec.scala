@@ -106,6 +106,32 @@ class CmsSketchSpec extends SparkSpec {
     assert(got("g2").map(_.toSeq).toSeq == refG2.map(_.toSeq).toSeq)
   }
 
+  test("HLL shard ledger: merged shard sketches == whole-corpus sketch; estimate near exact") {
+    val shards: Seq[Seq[String]] = Seq(
+      (0 until 4000).map(i => s"u${i % 900}"),
+      (0 until 3000).map(i => s"u${300 + i % 900}"),
+      (0 until 1000).map(i => s"v$i"))
+    val sketches = shards.map(sh => Profile.hllShardSketch(sh.toDF("k"), "k"))
+      .reduce(_ unionByName _)
+      .localCheckpoint()
+    val merged = Profile.hllMergedEstimate(sketches, "hll")
+      .collect()(0).getLong(0)
+    // union-then-estimate == sketch-of-union (lossless incremental merge)
+    val whole = Profile.hllMergedEstimate(
+      Profile.hllShardSketch(shards.flatten.toDF("k"), "k"), "hll")
+      .collect()(0).getLong(0)
+    assert(merged == whole, s"shard-merged $merged != whole-corpus $whole")
+    val exact = shards.flatten.distinct.size.toDouble
+    assert(math.abs(merged - exact) / exact < 0.05,
+      s"estimate $merged vs exact $exact exceeds 5%")
+    // null keys never enter the sketch
+    val withNull = Profile.hllMergedEstimate(
+      Profile.hllShardSketch(
+        (shards.flatten :+ (null: String)).toDF("k"), "k"), "hll")
+      .collect()(0).getLong(0)
+    assert(withNull == whole)
+  }
+
   test("cmsJoinSize: one-sided error — never below the exact join size, exact when collision-free") {
     val lKeys = (0 until 400).map(i => s"k${i % 11}")
     val rKeys = (0 until 150).map(i => s"k${i % 7}")
