@@ -76,6 +76,8 @@ object GraftExtensions {
       arity("synth_wav", 1)(c => AudioKernels.SynthWav(c(0)))),
     ("audio_decode", AudioKernels.decodeInfo,
       arity("audio_decode", 1)(c => AudioKernels.AudioDecode(c(0)))),
+    ("audio_fingerprint", AudioKernels.fingerprintInfo,
+      arity("audio_fingerprint", 1)(c => AudioKernels.AudioFingerprint(c(0)))),
     ("minhash_sigs", MinhashSigs.info,
       arity("minhash_sigs", 3)(c => MinhashSigs(
         c(0),

@@ -120,6 +120,74 @@ object AudioKernels {
       case scala.util.control.NonFatal(_) => null
     }
 
+  /**
+   * 64-bit energy-profile audio fingerprint: frames are assigned to 64
+   * windows by `w = i·64 / frames` (integer division — an ASSIGNMENT rule,
+   * so SQL replays it without boundary arithmetic), and bit `w` is set iff
+   * the window's total sample energy (Σ s² over frames and channels,
+   * exact integers) is at least the track's mean energy per frame —
+   * compared CROSS-MULTIPLIED (`e_w·F >= E·f_w`, channel counts cancel),
+   * so no float division anywhere and the planted-WAV closed form replays
+   * every bit in the oracle. Null for unreadable/non-PCM bytes; tracks
+   * shorter than 64 frames hash on their occupied windows only (empty
+   * windows contribute 0 bits). Re-encode-stable for lossless PCM: the
+   * fingerprint is a pure function of the decoded sample matrix.
+   */
+  def fingerprint64(bytes: Array[Byte]): java.lang.Long =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val ok = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels >= 1 && fmt.getChannels <= 2
+        if (!ok) null
+        else {
+          val channels = fmt.getChannels
+          val frameSize = fmt.getFrameSize
+          val data = ais.readAllBytes()
+          val frames = data.length / frameSize
+          if (frames == 0) null
+          else {
+            val e = new Array[Long](64)
+            val f = new Array[Long](64)
+            var total = 0L
+            var i = 0
+            while (i < frames) {
+              val w = ((i.toLong * 64) / frames).toInt
+              var ch = 0
+              var sq = 0L
+              while (ch < channels) {
+                val off = i * frameSize + ch * 2
+                val v: Long =
+                  if (fmt.isBigEndian) ((data(off) << 8) | (data(off + 1) & 0xff)).toShort.toLong
+                  else ((data(off + 1) << 8) | (data(off) & 0xff)).toShort.toLong
+                sq += v * v
+                ch += 1
+              }
+              e(w) += sq
+              f(w) += 1
+              total += sq
+              i += 1
+            }
+            var hash = 0L
+            var w = 0
+            while (w < 64) {
+              // BigInt: e_w·F overflows a long past ~2^19 frames (real
+              // tracks easily exceed that); 64 arbitrary-precision
+              // compares per track are noise next to the decode
+              if (f(w) > 0 && BigInt(e(w)) * frames >= BigInt(total) * f(w))
+                hash |= 1L << w
+              w += 1
+            }
+            java.lang.Long.valueOf(hash)
+          }
+        }
+      } finally ais.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+
   /** `synth_wav(id)` — deterministic planted WAV (test/oracle fixture). */
   case class SynthWav(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -171,5 +239,36 @@ object AudioKernels {
     null,
     "audio_decode",
     "_FUNC_(content) - decode a 16-bit PCM audio payload (WAV via javax.sound.sampled) to exact sample statistics; NULL if unreadable.",
+    "", "", "", "", "", "", "built-in")
+
+  /** `audio_fingerprint(content)` — 64-bit energy-profile fingerprint,
+    * null on unreadable bytes. */
+  case class AudioFingerprint(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"audio_fingerprint requires binary, got ${other.simpleString}")
+    }
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "audio_fingerprint"
+    override protected def nullSafeEval(bytes: Any): Any =
+      fingerprint64(bytes.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |java.lang.Long ${ev.value}_h = graft.expressions.AudioKernels.fingerprint64($c);
+           |${ev.isNull} = ${ev.value}_h == null;
+           |${ev.value} = ${ev.isNull} ? -1L : ${ev.value}_h.longValue();
+         """.stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): AudioFingerprint =
+      copy(child = newChild)
+  }
+
+  val fingerprintInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[AudioFingerprint].getName,
+    null,
+    "audio_fingerprint",
+    "_FUNC_(content) - 64-bit energy-profile audio fingerprint (64 windows vs mean frame energy, integer-exact); NULL if unreadable.",
     "", "", "", "", "", "", "built-in")
 }

@@ -92,6 +92,25 @@ object Multimodal {
     Dedup.simhashNearDuplicates64(sketches, maxHamming)
   }
 
+  /** 64-bit energy-profile audio fingerprint
+    * ([[graft.expressions.AudioKernels.fingerprint64]]), NULL for
+    * unreadable bytes. */
+  def audioFingerprint(content: Column): Column =
+    call_function("audio_fingerprint", content)
+
+  /** Audio near-duplicate pairs — identical composition to
+    * [[imageNearDuplicates]]: one decode pass to an 8-byte fingerprint,
+    * then the simhash64 band machinery. */
+  def audioNearDuplicates(
+      assets: DataFrame, idCol: String, contentCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    graft.GraftExtensions.register(assets.sparkSession)
+    val sketches = assets
+      .select(col(idCol).as("id"), audioFingerprint(col(contentCol)).as("simhash"))
+      .where(col("simhash").isNotNull)
+    Dedup.simhashNearDuplicates64(sketches, maxHamming)
+  }
+
   /**
    * REAL audio decode (`javax.sound.sampled`, in-JDK): 16-bit PCM payload →
    * exact sample statistics `struct(sample_rate, channels, n_frames,

@@ -1176,6 +1176,20 @@ object LlmQueries {
         .orderBy("asset_id")
     }),
 
+    // Energy-profile audio fingerprint of every planted WAV: 64 windows
+    // (frame w-assignment i·64/F, integer division) vs mean frame energy,
+    // cross-multiplied — the oracle recomputes each of the ~320 samples
+    // per track from the generation closed form and replays all 64 bits
+    "q_mm_audio_fp" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val assets = Multimodal.asAsset(
+        col("doc_id"), lit("audio"),
+        call_function("synth_wav", col("doc_id")), col("source"))(docs(s, dir))
+      assets
+        .select(col("asset_id"), Multimodal.audioFingerprint(col("content")).as("afp"))
+        .orderBy("asset_id")
+    }),
+
     "q_mm_decode" -> ((s, dir) => {
       GraftExtensions.register(s)
       val assets = Multimodal.asAsset(
@@ -2315,6 +2329,34 @@ object LlmQueries {
     // Planted geometry/color are closed-form in doc_id (see ImageKernels
     // .synthPng): w = 8 + id%8, h = 8 + id%5, color (id%256, id*7%256,
     // id*13%256), x=0 column black → sum_c = c * (w-1) * h.
+    // per-sample closed-form replay: sample(ch,i) = ((id·31 + ch·17 +
+    // i·7919) mod 65536) − 32768; window by i·64//F; bit by the
+    // cross-multiplied energy comparison (bit 63 as min-long)
+    "q_mm_audio_fp" ->
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS nch, 256 + doc_id % 128 AS F
+        |           FROM documents),
+        |fr AS (SELECT doc_id, nch, F, g.i AS i
+        |       FROM p, UNNEST(generate_series(0, F - 1)) g(i)),
+        |sq AS (SELECT doc_id, F, (i * 64) // F AS w,
+        |         (((doc_id * 31 + i * 7919) % 65536) - 32768)
+        |           * (((doc_id * 31 + i * 7919) % 65536) - 32768)
+        |         + CASE WHEN nch = 2 THEN
+        |             (((doc_id * 31 + 17 + i * 7919) % 65536) - 32768)
+        |               * (((doc_id * 31 + 17 + i * 7919) % 65536) - 32768)
+        |           ELSE 0 END AS e
+        |       FROM fr),
+        |win AS (SELECT doc_id, F, w, SUM(e) AS ew, count(*) AS fw
+        |        FROM sq GROUP BY doc_id, F, w),
+        |tot AS (SELECT doc_id, SUM(ew) AS et FROM win GROUP BY doc_id),
+        |bits AS (SELECT win.doc_id,
+        |           CASE WHEN win.ew * win.F >= tot.et * win.fw
+        |                THEN CASE WHEN win.w = 63 THEN -9223372036854775808
+        |                          ELSE (CAST(1 AS BIGINT) << CAST(win.w AS INT)) END
+        |                ELSE 0 END AS bv
+        |         FROM win JOIN tot ON tot.doc_id = win.doc_id)
+        |SELECT doc_id AS asset_id, bit_or(bv) AS afp
+        |FROM bits GROUP BY doc_id ORDER BY asset_id""".stripMargin,
+
     // full 64-bit replay from the planted closed form: per cell, luminance
     // sum = L·(cell_px − black_column_share), bit = cross-multiplied
     // mean comparison, hash assembled with bit_or (bit 63 as min-long —

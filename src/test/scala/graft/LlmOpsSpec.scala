@@ -1195,6 +1195,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(hs(0) == hs(1))
   }
 
+  test("Multimodal.audioNearDuplicates: energy-fingerprint pairs, garbage excluded") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val wav1 = graft.expressions.AudioKernels.synthWav(1L)
+    val wav9 = graft.expressions.AudioKernels.synthWav(9L)
+    val assets = Seq(
+      (1L, wav1), (2L, wav1), (3L, wav9), (4L, Array[Byte](9, 9, 9))).toDF("id", "content")
+    val pairs = graft.ops.Multimodal.audioNearDuplicates(assets, "id", "content", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 0)), s"identical payloads must pair: $pairs")
+    assert(pairs.forall(p => p._1 != 4L && p._2 != 4L), "garbage bytes must be excluded")
+    // the two planted tracks have pseudo-random energy profiles — their
+    // fingerprints sit far apart (deterministic fixture, stable assertion)
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L), pairs.toString)
+    // fingerprint is a pure function of the decoded samples: re-reading
+    // the same payload yields the same 64 bits
+    val hs = Seq((1L, wav1), (2L, wav1)).toDF("id", "content")
+      .select(call_function("audio_fingerprint", col("content")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))
+  }
+
   test("Dedup.editDistancePairs: brute-force parity, multiset grams, threshold cut") {
     import spark.implicits._
     def lev(a: String, b: String): Int = {
