@@ -111,6 +111,41 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // Referential-integrity audit with PLANTED orphans (parent thinned to
+    // custkeys not divisible by 10): exact orphan row/key counts
+    "q_val_ref_integrity" -> ((s, dir) =>
+      graft.ops.Validate.refIntegrity(
+        Tpch.read(s, dir, "orders"), "o_custkey",
+        Tpch.read(s, dir, "customer").where(col("c_custkey") % 10 =!= 0), "c_custkey")),
+
+    // One-pass constraint report: four contracts, one aggregate, exact
+    // violation counts (an unevaluable predicate counts as violated)
+    "q_val_constraints" -> ((s, dir) =>
+      graft.ops.Validate.constraintReport(Tpch.read(s, dir, "events"), Seq(
+          "value_positive" -> (col("value") > 0),
+          "value_le_100" -> (col("value") <= 100),
+          "props_not_null" -> col("props").isNotNull,
+          "user_positive" -> (col("user_id") > 0)))
+        .orderBy("constraint")),
+
+    // Winsorization to the exact interpolated [p05, p95] range
+    "q_val_winsorize" -> ((s, dir) =>
+      graft.ops.Validate.winsorize(
+          Tpch.read(s, dir, "events").select("event_id", "value"),
+          "value", 0.05, 0.95)
+        .orderBy("event_id")),
+
+    // Group-median imputation: values nulled on a deterministic stripe
+    // (event_id % 13 = 0), refilled with their event type's exact median
+    "q_val_impute" -> ((s, dir) =>
+      graft.ops.Validate.imputeByGroupMedian(
+          Tpch.read(s, dir, "events")
+            .select(col("event_id"), col("event_type"),
+              when(col("event_id") % 13 === 0, lit(null)).otherwise(col("value")).as("value")),
+          "value", "event_type")
+        .select("event_id", "event_type", "value", "value_f")
+        .orderBy("event_id")),
+
     // Quantiles over a deterministic bottom-k hash sample (k=500): the
     // fixed-memory, shuffle-free alternative to full-column percentile —
     // sample membership and interpolation replay exactly in the oracle
@@ -399,6 +434,49 @@ object EventQueries {
         |       quantile_cont(cnt, 0.5) AS p50_cnt,
         |       quantile_cont(cnt, 0.99) AS p99_cnt
         |FROM c""".stripMargin,
+
+    "q_val_ref_integrity" ->
+      """WITH par AS (SELECT DISTINCT c_custkey FROM customer
+        |             WHERE c_custkey % 10 <> 0 AND c_custkey IS NOT NULL),
+        |orph AS (SELECT o.o_custkey FROM orders o
+        |         LEFT JOIN par p ON p.c_custkey = o.o_custkey
+        |         WHERE o.o_custkey IS NOT NULL AND p.c_custkey IS NULL)
+        |SELECT (SELECT count(*) FROM orders) AS n_child,
+        |       (SELECT count(*) FROM orph) AS n_orphan_rows,
+        |       (SELECT count(DISTINCT o_custkey) FROM orph) AS n_orphan_keys""".stripMargin,
+
+    "q_val_constraints" ->
+      """WITH t AS (SELECT count(*) AS n_rows,
+        |  count(*) FILTER (WHERE NOT COALESCE(value > 0, FALSE)) AS v1,
+        |  count(*) FILTER (WHERE NOT COALESCE(value <= 100, FALSE)) AS v2,
+        |  count(*) FILTER (WHERE props IS NULL) AS v3,
+        |  count(*) FILTER (WHERE NOT COALESCE(user_id > 0, FALSE)) AS v4
+        |  FROM events)
+        |SELECT 'props_not_null' AS "constraint", n_rows, v3 AS n_violations FROM t
+        |UNION ALL SELECT 'user_positive', n_rows, v4 FROM t
+        |UNION ALL SELECT 'value_le_100', n_rows, v2 FROM t
+        |UNION ALL SELECT 'value_positive', n_rows, v1 FROM t
+        |ORDER BY "constraint"""".stripMargin,
+
+    "q_val_winsorize" ->
+      """WITH q AS (SELECT quantile_cont(CAST(value AS DOUBLE), 0.05) AS lo,
+        |                  quantile_cont(CAST(value AS DOUBLE), 0.95) AS hi
+        |           FROM events WHERE value IS NOT NULL)
+        |SELECT event_id, value,
+        |       least(greatest(CAST(value AS DOUBLE), q.lo), q.hi) AS value_w
+        |FROM events, q ORDER BY event_id""".stripMargin,
+
+    "q_val_impute" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |             CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+        |           FROM events),
+        |m AS (SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+        |      FROM e WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |      GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       COALESCE(CAST(e.value AS DOUBLE), m.med) AS value_f
+        |FROM e LEFT JOIN m ON m.event_type = e.event_type
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_profile_quantile_sample" ->
       """WITH b AS (SELECT CAST(value AS DOUBLE) AS x
