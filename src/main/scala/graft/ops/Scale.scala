@@ -179,6 +179,66 @@ object Scale {
    * [[autoSaltFactorExact]], which remains the explicit opt-in for exact
    * lane counts.
    */
+  /**
+   * Pre-flight JOIN STRATEGY advisor — the sketches' capstone: one
+   * diagnostic row telling a pipeline how to run an equi-join BEFORE
+   * paying its shuffle, from exact per-side statistics plus the Count-Min
+   * join-cardinality estimate ([[Profile.cmsJoinSize]]):
+   * `(n_left, keys_left, max_left, n_right, keys_right, max_right,
+   * est_join_rows, recommendation, salt_factor)`.
+   *
+   * Decision ladder (every input exact integers or IEEE-identical
+   * arithmetic on them, so the recommendation replays bit-for-bit in the
+   * oracle): a side at or under `broadcastRows` → `broadcast_right` /
+   * `broadcast_left` (right preferred — build side); else if either
+   * side's hottest key exceeds `skewThreshold` × its mean key occupancy →
+   * `salted_shuffle` with `salt_factor = min(saltCap, ceil(maxRatio))`
+   * (the [[saltedJoin]] lane count); else `shuffle`. The per-side stats
+   * are the [[Profile.keySkew]] shape (grouped count then a 3-number
+   * roll-up — the cheap question to ask at 100 TB before a skewed
+   * exchange wedges the job); [[autoSaltFactor]] remains the
+   * sketch-only single-pass variant when even the grouped count is too
+   * expensive.
+   */
+  def joinAdvisor(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      broadcastRows: Long = 1000000L, skewThreshold: Double = 4.0,
+      saltCap: Int = 64, cmsD: Int = 2, cmsW: Int = 128): DataFrame = {
+    require(broadcastRows >= 0, s"broadcastRows must be >= 0, got $broadcastRows")
+    require(skewThreshold >= 1.0, s"skewThreshold must be >= 1, got $skewThreshold")
+    require(saltCap >= 1, s"saltCap must be >= 1, got $saltCap")
+    def side(df: DataFrame, k: String, pre: String) =
+      df.where(col(k).isNotNull)
+        .groupBy(col(k).as("_k")).agg(count(lit(1)).as("_c"))
+        .agg(
+          coalesce(sum("_c"), lit(0L)).as(s"n_$pre"),
+          count(lit(1)).as(s"keys_$pre"),
+          coalesce(max("_c"), lit(0L)).as(s"max_$pre"))
+    val stats = side(left, leftKey, "left")
+      .crossJoin(side(right, rightKey, "right"))
+      .crossJoin(Profile.cmsJoinSize(left, leftKey, right, rightKey, cmsD, cmsW))
+    val ratioL = col("max_left").cast("double") *
+      greatest(col("keys_left"), lit(1L)).cast("double") / // cross-multiplied mean
+      greatest(col("n_left"), lit(1L)).cast("double")
+    val ratioR = col("max_right").cast("double") *
+      greatest(col("keys_right"), lit(1L)).cast("double") /
+      greatest(col("n_right"), lit(1L)).cast("double")
+    val maxRatio = greatest(ratioL, ratioR)
+    val rec = when(col("n_right") <= broadcastRows, "broadcast_right")
+      .when(col("n_left") <= broadcastRows, "broadcast_left")
+      .when(maxRatio >= skewThreshold, "salted_shuffle")
+      .otherwise("shuffle")
+    stats.select(
+      col("n_left"), col("keys_left"), col("max_left"),
+      col("n_right"), col("keys_right"), col("max_right"),
+      col("est_join_rows"),
+      rec.as("recommendation"),
+      when(rec === "salted_shuffle",
+        least(lit(saltCap.toLong), ceil(maxRatio)))
+        .otherwise(lit(1L)).cast("int").as("salt_factor"))
+  }
+
   def autoSaltFactor(
       df: DataFrame, key: String, threshold: Double = 4.0, cap: Int = 64,
       hhK: Int = 16, cmsDepth: Int = 8, cmsWidth: Int = 8192): Int = {

@@ -111,6 +111,31 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // Join-strategy advisor over three regimes: a small dimension
+    // (broadcast), a uniform key (plain shuffle at a forced-low broadcast
+    // cutoff), and a planted 50%-hot key (salted, factor capped). Exact
+    // per-side stats + the CMS join-size estimate; every number and the
+    // recommendation string replay bit-exact in the oracle
+    "q_scale_advisor" -> ((s, dir) => {
+      val orders = Tpch.read(s, dir, "orders")
+      val cust = Tpch.read(s, dir, "customer")
+      val ev = Tpch.read(s, dir, "events")
+      val users = ev.select("user_id").distinct()
+      val skewed = ev.select(
+        when(col("event_id") % 2 === 0, lit("hot"))
+          .otherwise(col("user_id").cast("string")).as("skey"))
+      val skeys = skewed.select("skey").distinct()
+      Scale.joinAdvisor(orders, "o_custkey", cust, "c_custkey")
+        .withColumn("scenario", lit("a_dim"))
+        .unionByName(
+          Scale.joinAdvisor(ev, "user_id", users, "user_id", broadcastRows = 100)
+            .withColumn("scenario", lit("b_uniform")))
+        .unionByName(
+          Scale.joinAdvisor(skewed, "skey", skeys, "skey", broadcastRows = 100)
+            .withColumn("scenario", lit("c_skewed")))
+        .orderBy("scenario")
+    }),
+
     // Referential-integrity audit with PLANTED orphans (parent thinned to
     // custkeys not divisible by 10): exact orphan row/key counts
     "q_val_ref_integrity" -> ((s, dir) =>
@@ -434,6 +459,77 @@ object EventQueries {
         |       quantile_cont(cnt, 0.5) AS p50_cnt,
         |       quantile_cont(cnt, 0.99) AS p99_cnt
         |FROM c""".stripMargin,
+
+    // per-scenario exact stats + d=2 x w=128 CMS inner-product replays +
+    // the decision ladder with the operator's exact float-op order
+    "q_scale_advisor" ->
+      """WITH
+        |la AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders WHERE o_custkey IS NOT NULL),
+        |ra AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer WHERE c_custkey IS NOT NULL),
+        |lb AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE user_id IS NOT NULL),
+        |rb AS (SELECT DISTINCT k FROM lb),
+        |lc AS (SELECT CASE WHEN event_id % 2 = 0 THEN 'hot'
+        |                   ELSE CAST(user_id AS VARCHAR) END AS k FROM events),
+        |rc AS (SELECT DISTINCT k FROM lc),
+        |ha_a AS (SELECT k, ('0x' || substr(md5(k), 1, 8))::BIGINT AS h32, count(*) AS cnt FROM la GROUP BY k),
+        |hb_a AS (SELECT k, ('0x' || substr(md5(k), 1, 8))::BIGINT AS h32, count(*) AS cnt FROM ra GROUP BY k),
+        |ha_b AS (SELECT k, ('0x' || substr(md5(k), 1, 8))::BIGINT AS h32, count(*) AS cnt FROM lb GROUP BY k),
+        |hb_b AS (SELECT k, ('0x' || substr(md5(k), 1, 8))::BIGINT AS h32, count(*) AS cnt FROM rb GROUP BY k),
+        |ha_c AS (SELECT k, ('0x' || substr(md5(k), 1, 8))::BIGINT AS h32, count(*) AS cnt FROM lc GROUP BY k),
+        |hb_c AS (SELECT k, ('0x' || substr(md5(k), 1, 8))::BIGINT AS h32, count(*) AS cnt FROM rc GROUP BY k),
+        |ca_a AS (SELECT i, ((h32 * (2*i + 1) + (98765*i + 12345)) % 2147483647) % 128 AS bkt, SUM(cnt) AS v FROM ha_a, range(2) t(i) GROUP BY i, bkt),
+        |cb_a AS (SELECT i, ((h32 * (2*i + 1) + (98765*i + 12345)) % 2147483647) % 128 AS bkt, SUM(cnt) AS v FROM hb_a, range(2) t(i) GROUP BY i, bkt),
+        |ca_b AS (SELECT i, ((h32 * (2*i + 1) + (98765*i + 12345)) % 2147483647) % 128 AS bkt, SUM(cnt) AS v FROM ha_b, range(2) t(i) GROUP BY i, bkt),
+        |cb_b AS (SELECT i, ((h32 * (2*i + 1) + (98765*i + 12345)) % 2147483647) % 128 AS bkt, SUM(cnt) AS v FROM hb_b, range(2) t(i) GROUP BY i, bkt),
+        |ca_c AS (SELECT i, ((h32 * (2*i + 1) + (98765*i + 12345)) % 2147483647) % 128 AS bkt, SUM(cnt) AS v FROM ha_c, range(2) t(i) GROUP BY i, bkt),
+        |cb_c AS (SELECT i, ((h32 * (2*i + 1) + (98765*i + 12345)) % 2147483647) % 128 AS bkt, SUM(cnt) AS v FROM hb_c, range(2) t(i) GROUP BY i, bkt),
+        |ip_a AS (SELECT t.i, COALESCE(SUM(ca_a.v * cb_a.v), 0) AS p FROM range(2) t(i)
+        |         LEFT JOIN ca_a ON ca_a.i = t.i
+        |         LEFT JOIN cb_a ON cb_a.i = t.i AND cb_a.bkt = ca_a.bkt GROUP BY t.i),
+        |ip_b AS (SELECT t.i, COALESCE(SUM(ca_b.v * cb_b.v), 0) AS p FROM range(2) t(i)
+        |         LEFT JOIN ca_b ON ca_b.i = t.i
+        |         LEFT JOIN cb_b ON cb_b.i = t.i AND cb_b.bkt = ca_b.bkt GROUP BY t.i),
+        |ip_c AS (SELECT t.i, COALESCE(SUM(ca_c.v * cb_c.v), 0) AS p FROM range(2) t(i)
+        |         LEFT JOIN ca_c ON ca_c.i = t.i
+        |         LEFT JOIN cb_c ON cb_c.i = t.i AND cb_c.bkt = ca_c.bkt GROUP BY t.i),
+        |rows_ AS (
+        |  SELECT 'a_dim' AS scenario,
+        |    (SELECT count(*) FROM la) AS n_left,
+        |    (SELECT count(*) FROM ha_a) AS keys_left,
+        |    (SELECT max(cnt) FROM ha_a) AS max_left,
+        |    (SELECT count(*) FROM ra) AS n_right,
+        |    (SELECT count(*) FROM hb_a) AS keys_right,
+        |    (SELECT max(cnt) FROM hb_a) AS max_right,
+        |    (SELECT CAST(MIN(p) AS BIGINT) FROM ip_a) AS est_join_rows,
+        |    1000000 AS bc
+        |  UNION ALL SELECT 'b_uniform',
+        |    (SELECT count(*) FROM lb), (SELECT count(*) FROM ha_b),
+        |    (SELECT max(cnt) FROM ha_b),
+        |    (SELECT count(*) FROM rb), (SELECT count(*) FROM hb_b),
+        |    (SELECT max(cnt) FROM hb_b),
+        |    (SELECT CAST(MIN(p) AS BIGINT) FROM ip_b), 100
+        |  UNION ALL SELECT 'c_skewed',
+        |    (SELECT count(*) FROM lc), (SELECT count(*) FROM ha_c),
+        |    (SELECT max(cnt) FROM ha_c),
+        |    (SELECT count(*) FROM rc), (SELECT count(*) FROM hb_c),
+        |    (SELECT max(cnt) FROM hb_c),
+        |    (SELECT CAST(MIN(p) AS BIGINT) FROM ip_c), 100),
+        |calc AS (SELECT *,
+        |    CAST(max_left AS DOUBLE) * CAST(greatest(keys_left, 1) AS DOUBLE)
+        |      / CAST(greatest(n_left, 1) AS DOUBLE) AS rl,
+        |    CAST(max_right AS DOUBLE) * CAST(greatest(keys_right, 1) AS DOUBLE)
+        |      / CAST(greatest(n_right, 1) AS DOUBLE) AS rr
+        |  FROM rows_)
+        |SELECT scenario, n_left, keys_left, max_left, n_right, keys_right, max_right,
+        |  est_join_rows,
+        |  CASE WHEN n_right <= bc THEN 'broadcast_right'
+        |       WHEN n_left <= bc THEN 'broadcast_left'
+        |       WHEN greatest(rl, rr) >= 4.0 THEN 'salted_shuffle'
+        |       ELSE 'shuffle' END AS recommendation,
+        |  CAST(CASE WHEN n_right > bc AND n_left > bc AND greatest(rl, rr) >= 4.0
+        |            THEN least(64, CAST(ceil(greatest(rl, rr)) AS BIGINT))
+        |            ELSE 1 END AS INT) AS salt_factor
+        |FROM calc ORDER BY scenario""".stripMargin,
 
     "q_val_ref_integrity" ->
       """WITH par AS (SELECT DISTINCT c_custkey FROM customer

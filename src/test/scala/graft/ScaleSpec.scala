@@ -310,4 +310,22 @@ class ScaleSpec extends SparkSpec {
       s"salting decision shuffles the key column:\n$plan")
     assert(plan.contains("partial"), s"no map-side partial aggregation:\n$plan")
   }
+
+  test("joinAdvisor: broadcast_left branch, empty-side safety, est never undercounts") {
+    import spark.implicits._
+    val small = (1 to 5).map(i => i.toLong).toDF("k")
+    val big = (1 to 500).flatMap(i => Seq.fill(3)(i.toLong)).toDF("k")
+    // right exceeds the cutoff, left fits -> broadcast_left
+    val r = Scale.joinAdvisor(small, "k", big, "k", broadcastRows = 100).collect()(0)
+    assert(r.getAs[String]("recommendation") == "broadcast_left", r.toString)
+    assert(r.getAs[Int]("salt_factor") == 1)
+    // CMS inner product is one-sided: never below the exact join size
+    val exact = 5L * 3L
+    assert(r.getAs[Long]("est_join_rows") >= exact)
+    // an empty side recommends a (trivial) broadcast and never divides by 0
+    val empty = Seq.empty[Long].toDF("k")
+    val e = Scale.joinAdvisor(big, "k", empty, "k", broadcastRows = 100).collect()(0)
+    assert(e.getAs[Long]("n_right") == 0L &&
+      e.getAs[String]("recommendation") == "broadcast_right")
+  }
 }
