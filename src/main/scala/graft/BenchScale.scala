@@ -45,7 +45,10 @@ object BenchScale {
   /** Decorrelated ×`copies` synthesis of the tables the stress queries
     * read; committed via a marker file, rebuilt only if absent. */
   def synth(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
-    val marker = new java.io.File(s"$dst/_GRAFT_SYNTH_OK")
+    // v2: customer names decorrelated per copy (the fuzzy-dedup stress
+    // would otherwise measure a quadratic cross-copy exact-dup blowup,
+    // not the operator) — bumping the marker rebuilds stale synth dirs
+    val marker = new java.io.File(s"$dst/_GRAFT_SYNTH_OK_v2")
     if (marker.exists()) return
     new java.io.File(dst).mkdirs()
 
@@ -84,6 +87,12 @@ object BenchScale {
     val customer = graft.queries.Tpch.read(spark, src, "customer")
     copiesOf(customer) { (c, i) =>
       c.withColumn("c_custkey", col("c_custkey") + lit(i * Shift))
+        // names get a per-copy DOUBLED-digit suffix: appending one shared
+        // string preserves within-copy pairwise distances exactly, and
+        // any cross-copy pair differs by >= 2 edits ("_ii" vs "_jj", or
+        // 3 inserts vs the unsuffixed copy 0) — beyond the maxDist=1
+        // stress query, so pair structure stays constant at 10×
+        .withColumn("c_name", concat(col("c_name"), lit(s"_$i$i")))
     }.repartition(32).write.mode("overwrite").parquet(s"$dst/customer.parquet")
 
     for (t <- Seq("nation", "region"))
@@ -105,7 +114,11 @@ object BenchScale {
     // round-10 retrieval/curation additions whose query inputs derive from
     // the corpus itself (literal-term queries like q_ret_bm25 would match
     // nothing against the suffix-mutated 10× vocabulary):
-    "q_ret_hybrid_rrf", "q_corpus_dsir", "q_corpus_token_budget")
+    "q_ret_hybrid_rrf", "q_corpus_dsir", "q_corpus_token_budget",
+    // late-round-10 additions: prefix/deletion-blocked fuzzy pairs (the
+    // candidate machinery under 10× the strings) and the perceptual-hash
+    // kernel (10× real PNG decodes — pure per-row compute control)
+    "q_dedup_fuzzy", "q_mm_phash")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()

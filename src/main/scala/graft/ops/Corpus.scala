@@ -237,6 +237,36 @@ object Corpus {
    * is a PARTITIONED window — 100 TB cumulates as `nBuckets` independent
    * streams. Rows keep their input columns.
    */
+  /**
+   * Training-EXAMPLE assembly on top of [[packSequences]]: the documents
+   * of each (bucket, seq) pack become one example row —
+   * `(bucket, seq, n_docs, n_tokens, doc_ids, part_lens)` with the member
+   * ids and their token lengths serialized as id-ordered CSV strings (the
+   * boundary/attention-mask information a trainer needs to avoid
+   * cross-document attention; CSV so engines and the driver's row
+   * comparator hash them identically — the `q_scale_salted_nest`
+   * convention). Assembly is ONE grouped `collect_list` per pack; pack
+   * sizes are budget-bounded by construction, so no group can exceed
+   * `budget / min_doc_tokens` members — the collect is task-safe at any
+   * corpus size.
+   */
+  def packedExamples(
+      df: DataFrame, idCol: String, tokensCol: Column, budget: Long,
+      nBuckets: Int = 1024, salt: String = ""): DataFrame =
+    packSequences(df.withColumn("_n", tokensCol.cast("long")), idCol, col("_n"),
+        budget, nBuckets, salt)
+      .groupBy("bucket", "seq")
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("_n").as("n"))))
+        .as("_parts"))
+      .select(
+        col("bucket"), col("seq"),
+        size(col("_parts")).as("n_docs"),
+        aggregate(col("_parts"), lit(0L), (a, p) => a + p.getField("n")).as("n_tokens"),
+        array_join(transform(col("_parts"), p => p.getField("id").cast("string")), ",")
+          .as("doc_ids"),
+        array_join(transform(col("_parts"), p => p.getField("n").cast("string")), ",")
+          .as("part_lens"))
+
   def sampleToTokenBudget(
       df: DataFrame, idCol: String, tokensCol: Column, budget: Long,
       nBuckets: Int = 64, salt: String = ""): DataFrame = {

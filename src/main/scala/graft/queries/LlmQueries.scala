@@ -1077,6 +1077,14 @@ object LlmQueries {
         .select("doc_id", "bucket", "seq")
         .orderBy("doc_id")),
 
+    // Training-example assembly: each (bucket, seq) pack as one row with
+    // id-ordered member/boundary CSVs — what a trainer consumes
+    "q_corpus_pack_examples" -> ((s, dir) =>
+      Corpus.packedExamples(
+          docs(s, dir), "doc_id", TextOps.tokenCount(col("text")), budget = 512L,
+          nBuckets = 8)
+        .orderBy("bucket", "seq")),
+
     // PII detection + redaction over deterministically planted PII
     "q_pii_scan" -> ((s, dir) =>
       docsWithPii(s, dir)
@@ -2164,6 +2172,24 @@ object LlmQueries {
         |      FROM b)
         |SELECT doc_id, bucket, CAST((cum - toks) // 512 AS BIGINT) AS seq
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_pack_examples" ->
+      """WITH b AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |             CAST(('0x' || substr(md5('pack::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INT) AS bucket
+        |           FROM documents),
+        |c AS (SELECT doc_id, bucket, toks,
+        |             SUM(toks) OVER (PARTITION BY bucket ORDER BY doc_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM b),
+        |p AS (SELECT doc_id, bucket, toks, CAST((cum - toks) // 512 AS BIGINT) AS seq
+        |      FROM c)
+        |SELECT bucket, seq,
+        |       CAST(count(*) AS INT) AS n_docs,
+        |       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+        |       string_agg(CAST(toks AS VARCHAR), ',' ORDER BY doc_id) AS part_lens
+        |FROM p GROUP BY bucket, seq ORDER BY bucket, seq""".stripMargin,
 
     "q_pii_scan" -> {
       val cnt = Pii.patterns.map { case (k, re, _) =>

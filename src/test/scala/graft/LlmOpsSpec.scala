@@ -1247,6 +1247,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(run(2).contains((6L, 7L, 2)), "aaab↔aaaaa enters only at d=2")
   }
 
+  test("Corpus.packedExamples: budget-bounded packs, ordered boundaries, oversize doc alone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e"), (3L, "f g h i j k l m n o"), // 10 tokens > budget
+      (4L, "p q"), (5L, "r")).toDF("doc_id", "text")
+    val got = Corpus.packedExamples(docs, "doc_id",
+        TextOps.tokenCount(col("text")), budget = 6L, nBuckets = 1)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getString(4), r.getString(5))).sortBy(_._1)
+    // one bucket, id order: cum 3,5,15,17,18 → seqs 0,0,0(start 5<6? (5)//6=0... )
+    // seq = (cum - n) DIV 6: doc1 (0)→0, doc2 (3)→0, doc3 (5)→0, doc4 (15)→2, doc5 (17)→2
+    assert(got.map(g => (g._1, g._4)).toSeq ==
+      Seq((0L, "1,2,3"), (2L, "4,5")), got.mkString("; "))
+    // pack (0,0) holds docs 1,2,3: the 10-token doc joins because its
+    // START (5) is under budget — packSequences' documented greedy
+    // semantics (packs overflow by at most one document, never split one)
+    val first = got.head
+    assert(first._2 == 3 && first._3 == 15L && first._5 == "3,2,10")
+    // every doc appears exactly once across all packs
+    assert(got.map(_._4.split(",").length).sum == 5)
+  }
+
   test("Profile.drift: identical slices score zero; disjoint slices saturate JSD at ln 2") {
     import spark.implicits._
     val a = Seq("x", "x", "y", "z").toDF("k")
