@@ -73,7 +73,10 @@ object Validate {
    * that, unlike row DELETION ([[Profile.madOutliers]] flags for that),
    * keeps the row count and every other column intact. Nulls pass
    * through. Two-job shape like [[Profile.equiDepthHistogram]]: one tiny
-   * quantile aggregate whose two numbers embed as plan-time literals, then
+   * quantile aggregate (exact `percentile` — its buffer holds the
+   * column's distinct values; at the 100 TB end clamp to
+   * [[Profile.hashSampleQuantiles]] bounds instead) whose two numbers
+   * embed as plan-time literals, then
    * a codegen'd `greatest/least` projection over the unshuffled corpus.
    * Adds `<c>_w` beside the original column.
    */
