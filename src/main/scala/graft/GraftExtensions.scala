@@ -99,6 +99,8 @@ object GraftExtensions {
       arity("repetition_stats", 1)(c => DocKernels.RepetitionStats(c(0)))),
     ("lang_id", DocKernels.langIdInfo,
       arity("lang_id", 1)(c => DocKernels.LangId(c(0)))),
+    ("text_normalize", DocKernels.normalizeInfo,
+      arity("text_normalize", 1)(c => DocKernels.TextNormalize(c(0)))),
     ("pii_pseudonymize", graft.expressions.PiiKernels.pseudonymizeInfo,
       arity("pii_pseudonymize", 1)(c => graft.expressions.Pseudonymize(c(0)))),
     // Bridges to Spark's native Bloom-filter expressions (the pair

@@ -338,4 +338,45 @@ object DocKernels {
     classOf[LangId].getName, null, "lang_id",
     "_FUNC_(tokens) - stopword-profile language code ('und' without hits).",
     "", "", "", "", "", "", "built-in")
+
+  /**
+   * Canonical text normalization for dedup/fingerprint keys: Unicode NFC
+   * (composed/decomposed spellings of the same grapheme — "Café" vs
+   * "Cafe" + combining acute — become one byte sequence), then ROOT-locale
+   * lowercasing, then ASCII-whitespace-run collapse and trim. Exactly the
+   * preprocessing exact-dedup needs so visually identical strings can't
+   * escape each other's content hash. The lower/NFC pieces match DuckDB's
+   * `lower(nfc_normalize(…))` on the common plane (spec + oracle pin the
+   * planted cases); locale-contextual corners (final sigma, Turkish dots)
+   * are inherently library-specific — don't build contracts on them.
+   */
+  def normalizeText(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val nfc = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC)
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      nfc.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim)
+  }
+
+  /** `text_normalize(str)` — NFC + lowercase + whitespace collapse. */
+  case class TextNormalize(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"text_normalize requires string, got ${other.simpleString}")
+    }
+    override def dataType: DataType = StringType
+    override def prettyName: String = "text_normalize"
+    override protected def nullSafeEval(a: Any): Any =
+      normalizeText(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.expressions.DocKernels.normalizeText($a);")
+    override protected def withNewChildInternal(newChild: Expression): TextNormalize =
+      copy(child = newChild)
+  }
+
+  val normalizeInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[TextNormalize].getName, null, "text_normalize",
+    "_FUNC_(str) - Unicode NFC + ROOT lowercase + whitespace-run collapse + trim.",
+    "", "", "", "", "", "", "built-in")
 }

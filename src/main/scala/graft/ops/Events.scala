@@ -55,6 +55,41 @@ object Events {
   def asOfJoin(
       left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
       rightPayload: Seq[String], rightTiebreak: Seq[String] = Nil): DataFrame = {
+    val carried = asOfCarried(left, right, keyCol, timeCol, rightPayload, rightTiebreak)
+    carried.select(
+      left.columns.toIndexedSeq.map(c => col(s"_lpay.$c").as(c)) ++
+        rightPayload.map(c => col(s"_asof.$c").as(c)): _*)
+  }
+
+  /**
+   * [[asOfJoin]] with a STALENESS bound — the feature-store TTL semantic:
+   * the carried right row only surfaces when it is at most
+   * `withinSeconds` old at the left row's time; older matches null out
+   * exactly like no-match (a model must not train on a feature that
+   * would have been expired at serving time). The comparison is exact
+   * integer MICROseconds (`unix_micros`) — no truncate-then-subtract
+   * second rounding, so boundary rows replay identically in the oracle.
+   * Same one-shuffle union-and-carry plan as the unbounded form.
+   */
+  def asOfJoinWithin(
+      left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
+      withinSeconds: Long, rightPayload: Seq[String],
+      rightTiebreak: Seq[String] = Nil): DataFrame = {
+    require(withinSeconds >= 0, s"withinSeconds must be >= 0, got $withinSeconds")
+    val carried = asOfCarried(left, right, keyCol, timeCol, rightPayload, rightTiebreak)
+    val fresh = col("_asof_ts").isNotNull &&
+      unix_micros(col("_ts")) - unix_micros(col("_asof_ts")) <= withinSeconds * 1000000L
+    carried.select(
+      left.columns.toIndexedSeq.map(c => col(s"_lpay.$c").as(c)) ++
+        rightPayload.map(c => when(fresh, col(s"_asof.$c")).otherwise(lit(null)).as(c)): _*)
+  }
+
+  /** Shared as-of core: union-tag both sides, one per-key window pass
+    * carrying the latest right payload AND its timestamp; returns left
+    * rows with `_lpay`, `_asof`, `_asof_ts`, `_ts` available. */
+  private def asOfCarried(
+      left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
+      rightPayload: Seq[String], rightTiebreak: Seq[String]): DataFrame = {
     val rpay = struct(rightPayload.map(col): _*)
     val rpayType = right.select(rpay.as("_rpay")).schema("_rpay").dataType
     val lpay = struct(left.columns.toIndexedSeq.map(col): _*)
@@ -75,10 +110,9 @@ object Events {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r.unionByName(l)
       .withColumn("_asof", last(col("_rpay"), ignoreNulls = true).over(w))
+      .withColumn("_asof_ts",
+        last(when(col("_side") === 0, col("_ts")), ignoreNulls = true).over(w))
       .where(col("_side") === 1)
-      .select(
-        left.columns.toIndexedSeq.map(c => col(s"_lpay.$c").as(c)) ++
-          rightPayload.map(c => col(s"_asof.$c").as(c)): _*)
   }
 
   /**

@@ -264,8 +264,14 @@ object Profile {
     val joined = r.join(c, Seq("key"), "full_outer")
       .na.fill(0L, Seq("ref_cnt", "cur_cnt"))
       .crossJoin(broadcast(rt)).crossJoin(broadcast(ct))
-    val p = col("ref_cnt").cast("double") / col("_rt").cast("double")
-    val q = col("cur_cnt").cast("double") / col("_ct").cast("double")
+    // an EMPTY side (no rows, or all-null keys → null total) is the
+    // degenerate all-mass-elsewhere distribution: its shares are 0.0
+    // everywhere, so every surviving key scores the maximal eps-floored
+    // PSI term instead of poisoning the sums with nulls/NaNs
+    val p = when(col("_rt").isNotNull && col("_rt") > 0,
+      col("ref_cnt").cast("double") / col("_rt").cast("double")).otherwise(lit(0.0))
+    val q = when(col("_ct").isNotNull && col("_ct") > 0,
+      col("cur_cnt").cast("double") / col("_ct").cast("double")).otherwise(lit(0.0))
     val pS = greatest(p, lit(eps))
     val qS = greatest(q, lit(eps))
     val m = (p + q) / lit(2.0)

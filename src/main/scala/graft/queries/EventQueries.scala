@@ -194,6 +194,22 @@ object EventQueries {
           bucketSeconds = 3600L, k = 3L)
         .orderBy("key", "bucket")),
 
+    // TTL-bounded as-of join: the carried prior view only counts when at
+    // most 1h old at purchase time (exact integer microsecond staleness)
+    "q_ev_asof_ttl" -> ((s, dir) => {
+      val ev = Tpch.read(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event"), col("ts").as("view_ts"))
+      Events.asOfJoinWithin(purchases, views, "user_id", "ts",
+          withinSeconds = 3600L,
+          rightPayload = Seq("view_event", "view_ts"),
+          rightTiebreak = Seq("view_event"))
+        .orderBy("event_id")
+    }),
+
     // Salted skew join (Scale.saltedJoin): events joined back to a
     // per-type aggregate dim — the classic "join the aggregate back under
     // a hot key" shape where one event_type dominates and AQE can't split
@@ -412,6 +428,21 @@ object EventQueries {
         |v AS (SELECT user_id, ts, event_id AS view_event, value AS view_value, ts AS view_ts
         |      FROM events WHERE event_type = 'view')
         |SELECT p.event_id, p.user_id, p.ts, p.value, v.view_event, v.view_value, v.view_ts
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_ev_asof_ttl" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, event_id AS view_event, ts AS view_ts
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  CASE WHEN v.ts IS NOT NULL
+        |            AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
+        |       THEN v.view_event END AS view_event,
+        |  CASE WHEN v.ts IS NOT NULL
+        |            AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
+        |       THEN v.view_ts END AS view_ts
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.event_id""".stripMargin,
 

@@ -485,6 +485,19 @@ object LlmQueries {
       Retrieval.phraseSearch(docs(s, dir), "doc_id", "text", "a a the")
         .orderBy("doc_id")),
 
+    // Canonical normalization (NFC + lowercase + whitespace collapse) over
+    // text with PLANTED unicode: a composed é, a DEcomposed e+U+0301, an
+    // uppercase Ü and a tab — without real NFC the two Cafés normalize to
+    // different bytes and the hash mismatches
+    "q_text_normalize" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      docs(s, dir).select(col("doc_id"),
+          call_function("text_normalize",
+            concat(col("text"),
+              lit("  Café Café ÜBER	mix  "))).as("norm"))
+        .orderBy("doc_id")
+    }),
+
     // PMI collocations: adjacent-pair association strength over the corpus
     // (min pair count 5, top 30 by rounded-PMI with (w1, w2) tie-break)
     "q_text_collocations" -> ((s, dir) =>
@@ -1392,6 +1405,13 @@ object LlmQueries {
         |        HAVING count(DISTINCT j) = 3)
         |SELECT doc_id, count(*) AS n_occurrences FROM hit
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    lower(nfc_normalize(text || '  Café Café ÜBER	mix  ')),
+        |    '\s+', ' ', 'g')) AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // unigram + adjacent-pair counts replayed, PMI with the same
     // floating-op association order as the operator, rounded before ranking

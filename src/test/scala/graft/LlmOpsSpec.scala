@@ -1247,6 +1247,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(run(2).contains((6L, 7L, 2)), "aaab↔aaaaa enters only at d=2")
   }
 
+  test("text_normalize: NFC unifies composed/decomposed, casefolds, collapses whitespace") {
+    import graft.expressions.DocKernels
+    def n(s: String): String = DocKernels.normalizeText(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+    assert(n("Café") == n("Café"), "NFC must unify the two Café spellings")
+    assert(n("Café") == "café")
+    assert(n("  A\t\tB\n C ") == "a b c")
+    assert(n("") == "")
+    // the expression path agrees with the kernel and passes nulls through
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val got = Seq(Some("Café  X"), None).toDF("t")
+      .select(call_function("text_normalize", col("t"))).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getString(0))
+    assert(got.toSeq == Seq("café x", null))
+  }
+
   test("Corpus.packedExamples: budget-bounded packs, ordered boundaries, oversize doc alone") {
     import spark.implicits._
     val docs = Seq(
@@ -1289,6 +1306,14 @@ class LlmOpsSpec extends SparkSpec {
     val cur = Seq("x", "y", "y", "y").toDF("k")
     val psi = 2 * (0.75 - 0.25) * math.log(0.75 / 0.25) // symmetric pair of terms
     assert(math.abs(Profile.drift(ref, cur, "k").collect()(0).getAs[Double]("psi") - psi) < 1e-12)
+    // an EMPTY current side: degenerate zero-share distribution — finite
+    // maximal scores, never null/NaN poisoning
+    val e = Profile.drift(a, Seq.empty[String].toDF("k"), "k").collect()(0)
+    assert(e.getAs[Long]("n_keys_cur") == 0 && e.getAs[Long]("n_keys_union") == 3)
+    val psiE = e.getAs[Double]("psi")
+    val jsdE = e.getAs[Double]("jsd")
+    assert(!psiE.isNaN && !psiE.isInfinite && psiE > 0, s"psi=$psiE")
+    assert(math.abs(jsdE - 0.5 * math.log(2)) < 1e-9, s"jsd=$jsdE") // ½·Σp·ln2
   }
 
   test("TextOps.pmiCollocations: hand-checked PMI, minCount cut, deterministic tie order") {
