@@ -485,6 +485,33 @@ object ManifestStore {
     victims.size
   }
 
+  /** One-call table health report for the ops runbook: committed version,
+    * retained manifest files, live partitions, the DISTINCT generations
+    * they live in (the [[compact]] pressure number — reads pay a listing
+    * per live generation), and debris directories no manifest references
+    * (the [[vacuum]] reclaim number). Driver-side listings only — never
+    * reads data files. */
+  final case class TableStats(
+      version: Long, nManifestFiles: Int, livePartitions: Int,
+      liveGenerations: Int, debrisGenerations: Int)
+
+  def stats(spark: SparkSession, path: String): Option[TableStats] =
+    readManifest(spark, path).map { m =>
+      val live = m.entries.values.toSet
+      val hfs = fs(spark, path)
+      val dataDir = new Path(s"$path/data")
+      val onDisk =
+        if (!hfs.exists(dataDir)) Set.empty[String]
+        else hfs.listStatus(dataDir).map(_.getPath.getName)
+          .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=")).toSet
+      TableStats(
+        version = m.version,
+        nManifestFiles = listVersioned(spark, path, "_manifest").size,
+        livePartitions = m.entries.size,
+        liveGenerations = live.size,
+        debrisGenerations = (onDisk -- live).size)
+    }
+
   /** Drop generation directories no RETAINED manifest references
     * (superseded or crash debris), plus manifest files below the retention
     * horizon. `retainVersions` is the time-travel window: the newest N

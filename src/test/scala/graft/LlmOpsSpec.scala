@@ -1247,6 +1247,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(run(2).contains((6L, 7L, 2)), "aaab↔aaaaa enters only at d=2")
   }
 
+  test("entity resolution end-to-end: normalize -> fuzzy pairs -> clusters -> canonical survivors") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val vendors = Seq(
+      (1L, "Acme Corp"), (2L, "acme  corp"), (3L, "Acme Corp."),
+      (4L, "Globex Inc"), (5L, "globex inc"), (6L, "Wildly Different LLC"))
+      .toDF("id", "name")
+    val normed = vendors.select(col("id"),
+      call_function("text_normalize", col("name")).as("name"))
+    val pairs = Dedup.editDistancePairs(normed, "id", "name", maxDist = 1)
+      .select("id_a", "id_b")
+    val clusters = Dedup.clustersAuto(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {1,2,3} merge (case/whitespace via normalize, trailing '.' via edit
+    // distance), {4,5} merge, 6 touches no pair and stays out of the map
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L),
+      clusters.toString)
+    // canonical survivors: one representative per entity + the singleton
+    val survivors = Dedup.dropDuplicateClusters(vendors, pairs, "id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 4L, 6L), survivors.toString)
+  }
+
   test("text_normalize: NFC unifies composed/decomposed, casefolds, collapses whitespace") {
     import graft.expressions.DocKernels
     def n(s: String): String = DocKernels.normalizeText(

@@ -465,4 +465,27 @@ class PersistenceSpec extends SparkSpec {
     // registering a nonexistent table is a clean false, no view created
     assert(!GraftCatalog.registerManifestTable(spark, tmpDir("empty_m"), "k", "mnone"))
   }
+
+  test("S5-manifest: stats reports versions, live spread, and debris; tracks compact/vacuum") {
+    import graft.ops.ManifestStore
+    val dir = tmpDir("stmts_m_stats")
+    def batch(p: String) = spark.range(2).select(
+      lit(p).as("k"), concat(lit("i"), $"id").as("id"), lit(1L).as("v"))
+    assert(ManifestStore.stats(spark, dir).isEmpty, "no commit -> no stats")
+    ManifestStore.upsert(batch("p1"), dir, "k", Seq("k", "id"), spark)
+    ManifestStore.upsert(batch("p2"), dir, "k", Seq("k", "id"), spark)
+    ManifestStore.upsert(batch("p3"), dir, "k", Seq("k", "id"), spark)
+    val s1 = ManifestStore.stats(spark, dir).get
+    assert(s1.version == 3 && s1.livePartitions == 3 && s1.liveGenerations == 3)
+    assert(s1.nManifestFiles == 3 && s1.debrisGenerations == 0)
+    // compaction collapses the live spread; superseded gens become debris
+    ManifestStore.compact(spark, dir, "k", maxGens = 1)
+    val s2 = ManifestStore.stats(spark, dir).get
+    assert(s2.liveGenerations == 1 && s2.livePartitions == 3)
+    assert(s2.debrisGenerations == 3, s2.toString)
+    // vacuum reclaims the debris and below-horizon manifests
+    ManifestStore.vacuum(spark, dir)
+    val s3 = ManifestStore.stats(spark, dir).get
+    assert(s3.debrisGenerations == 0 && s3.nManifestFiles == 1 && s3.liveGenerations == 1)
+  }
 }
