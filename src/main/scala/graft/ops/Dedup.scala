@@ -1076,7 +1076,24 @@ object Dedup {
         row_number().over(Window.partitionBy("id").orderBy(col("_f"), col("tok"))))
       .where(col("_rk") <= prefixLen)
       .select(lit(0).as("band"), col("tok").as("band_key"), col("id"))
+    // SHORT-STRING completeness: the prefix theorem needs a required
+    // overlap t = max(|A|,|B|) - q*d >= 1; when BOTH strings carry at most
+    // q*d tokens (length <= q*(d-1)+1) a within-distance pair may share NO
+    // gram at all and the prefix join misses it (caught by the
+    // brute-force property test). Those pairs are recovered through
+    // generalized deletion neighborhoods (up to d deletions - tiny sets
+    // at these lengths); short-vs-LONG pairs keep t >= 1 and stay with
+    // the prefix join.
+    val shortLen = q * (maxDist - 1) + 1
+    val shorts = rows.where(length(col("s")) <= shortLen)
+    val shortVariants = (1 to maxDist).foldLeft(array(col("s"))) { (vs, _) =>
+      array_distinct(concat(vs, flatten(transform(vs, v => delOnce(v)))))
+    }
+    val shortBands = shorts.select(
+      lit(0).as("band"), explode(shortVariants).as("band_key"), col("id"))
     val pairs = candidatePairs(prefixes, maxOccupancy)
+      .unionByName(candidatePairs(shortBands, maxOccupancy))
+      .distinct()
     pairs
       .join(rows.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
       .join(rows.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
@@ -1100,6 +1117,14 @@ object Dedup {
    * this operator targets; for d >= 2 the neighborhood explodes
    * combinatorially and the gram-prefix filter takes over.
    */
+  /** All single-character deletions of `c` (the string itself excluded);
+    * the empty string has none. Guarded: sequence(1, 0) would generate a
+    * DESCENDING range. */
+  private def delOnce(c: Column): Column =
+    when(length(c) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(c)),
+        i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c)))))
+
   private def editDistancePairsDel1(
       df: DataFrame, idCol: String, strCol: String,
       maxDist: Int, maxOccupancy: Int): DataFrame = {

@@ -194,4 +194,68 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == truth)
   }
+
+  test("property: editDistancePairs equals brute-force levenshtein for d=1 and d=2") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // small alphabet + short strings → dense distance structure, both
+    // blocking paths (deletion neighborhoods at d=1, gram prefixes at
+    // d=2) exercised against the same ground truth
+    val strGen = for {
+      n <- Gen.chooseNum(0, 8)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val strs = sample(strGen, 120).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = strs.toDF("id", "s")
+    for (d <- Seq(1, 2)) {
+      val truth = (for {
+        (i, a) <- strs; (j, b) <- strs
+        if i < j && lev(a, b) <= d
+      } yield (i, j, lev(a, b))).toSet
+      val got = graft.ops.Dedup.editDistancePairs(df, "id", "s", maxDist = d)
+        .select("id_a", "id_b", "dist")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == truth,
+        s"d=$d: missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+    }
+  }
+
+  test("property: phraseSearch counts equal brute-force sliding-window counts") {
+    val docGen = for {
+      n <- Gen.chooseNum(0, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield ws.mkString(" ")
+    val docs = sample(docGen, 80).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    for (phrase <- Seq("a", "a b", "a a", "b c a")) {
+      val pt = phrase.split(" ").toSeq
+      val truth = docs.flatMap { case (id, t) =>
+        val toks = t.split(" ", -1).toSeq
+        val n = toks.sliding(pt.size).count(_ == pt)
+        if (n > 0) Some(id -> n.toLong) else None
+      }.toMap
+      val got = graft.ops.Retrieval.phraseSearch(df, "doc_id", "text", phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == truth, s"phrase '$phrase': got $got want $truth")
+    }
+  }
+
+  test("property: drift sums are non-negative, JSD <= ln 2, and symmetric in JSD") {
+    import graft.ops.Profile
+    val keyGen = Gen.oneOf("a", "b", "c", "d", "e")
+    val xs = sample(keyGen, 200).toDF("k")
+    val ys = sample(Gen.oneOf("c", "d", "e", "f"), 150).toDF("k")
+    val f = Profile.drift(xs, ys, "k").collect()(0)
+    val g = Profile.drift(ys, xs, "k").collect()(0)
+    assert(f.getAs[Double]("psi") >= 0 && g.getAs[Double]("psi") >= 0)
+    assert(f.getAs[Double]("jsd") >= 0 && f.getAs[Double]("jsd") <= math.log(2) + 1e-12)
+    assert(math.abs(f.getAs[Double]("jsd") - g.getAs[Double]("jsd")) < 1e-12,
+      "JSD must be symmetric")
+  }
 }
