@@ -246,6 +246,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: cmsJoinSize never undercounts the exact size on random multisets") {
+    import graft.ops.Profile
+    val keyGen = Gen.chooseNum(0, 40).map(i => s"k$i")
+    for ((nl, nr, w) <- Seq((300, 200, 8), (500, 100, 64), (100, 100, 512))) {
+      val ls = sample(keyGen, nl)
+      val rs = sample(keyGen, nr)
+      val lm = ls.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val rm = rs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val truth = lm.map { case (k, c) => c * rm.getOrElse(k, 0L) }.sum
+      val exact = Profile.joinSizeExact(ls.toDF("k"), "k", rs.toDF("k"), "k")
+        .collect()(0).getLong(0)
+      assert(exact == truth)
+      val est = Profile.cmsJoinSize(ls.toDF("k"), "k", rs.toDF("k"), "k", d = 4, w = w)
+        .collect()(0).getLong(0)
+      assert(est >= truth, s"w=$w undercut: $est < $truth")
+    }
+  }
+
+  test("property: countAnomalies equals the brute-force integer z-test over random series") {
+    import graft.ops.Events
+    val evGen = for {
+      key <- Gen.oneOf("a", "b", "c")
+      h <- Gen.chooseNum(0, 19) // 20 hourly buckets
+      burst <- Gen.chooseNum(1, 3)
+    } yield (key, h, burst)
+    val base = 1704067200L
+    val rows = sample(evGen, 400).flatMap { case (k, h, n) =>
+      Seq.fill(n)((k, new java.sql.Timestamp((base + h * 3600L) * 1000)))
+    }
+    val got = Events.countAnomalies(rows.toDF("k", "ts"), "k", "ts", 3600L, k = 2L)
+      .select("key", "bucket").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // brute force: dense per-key series over the key's own span
+    val truth = rows.groupBy(_._1).flatMap { case (key, evs) =>
+      val counts = evs.groupBy(e => base + ((e._2.getTime / 1000 - base) / 3600) * 3600)
+        .view.mapValues(_.size.toLong).toMap
+      val lo = counts.keys.min; val hi = counts.keys.max
+      val dense = (lo to hi by 3600L).map(b => b -> counts.getOrElse(b, 0L))
+      val n = dense.size.toLong
+      val s = dense.map(_._2).sum
+      val q = dense.map(x => x._2 * x._2).sum
+      dense.collect { case (b, x) if {
+        val dev = n * x - s; dev * dev > 4L * (n * q - s * s)
+      } => (key, b) }
+    }.toSet
+    assert(got == truth, s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+  }
+
   test("property: drift sums are non-negative, JSD <= ln 2, and symmetric in JSD") {
     import graft.ops.Profile
     val keyGen = Gen.oneOf("a", "b", "c", "d", "e")
