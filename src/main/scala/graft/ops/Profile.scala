@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -337,6 +338,60 @@ object Profile {
     sketches.agg(
       hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(true)))
         .as("n_distinct_est"))
+
+  /**
+   * DDSketch-style log-bucket histogram of a POSITIVE column: bucket
+   * `⌊ln(x)/ln(γ)⌋` with `γ = (1+α)/(1−α)`, so every value in a bucket is
+   * within RELATIVE error `α` of the bucket's midpoint estimate
+   * `2γ^(b+1)/(γ+1)` (floor-indexed buckets cover [γ^b, γ^(b+1))). Unlike rank-error sketches (GK/KLL — merge-order
+   * dependent, engine-specific), this structure is a plain (bucket, count)
+   * table: MERGE IS ADDITION (shard histograms fold losslessly, the
+   * [[cmsMergeAll]]/[[hllShardSketch]] ledger discipline), the content is
+   * a pure function of the input multiset, and the oracle replays it.
+   * Memory is O(ln(max/min)/ln γ) buckets — ~1400 buckets span 9 decades
+   * at α=1% — regardless of corpus size. Non-positive and null values are
+   * excluded (DDSketch's domain; count them via [[Validate.constraintReport]]
+   * if the contract forbids them).
+   */
+  def ddHistogram(df: DataFrame, c: String, alpha: Double = 0.01): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    val gamma = (1 + alpha) / (1 - alpha)
+    val x = col(c).cast("double")
+    df.where(x.isNotNull && x > 0)
+      .select(floor(log(x) / lit(math.log(gamma))).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * Quantile estimates from a [[ddHistogram]] (or a fold of shard
+   * histograms): for each `p`, the midpoint estimate of the bucket holding
+   * the `⌊p·(n−1)⌋`-th value (0-indexed) — guaranteed within relative
+   * error `α` of the true quantile VALUE. The histogram is bucket-count
+   * sized, so the cumulative walk is a window over ~10³ rows; output one
+   * row per probability: `(p, n, est)` with `est` rounded to 6 dp (the
+   * γ-power arithmetic is IEEE-reproducible; rounding absorbs the last
+   * ulp for the oracle hash).
+   */
+  def ddQuantiles(
+      hist: DataFrame, alpha: Double, probs: Seq[Double]): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"probs must be non-empty, each in [0, 1]: $probs")
+    val gamma = (1 + alpha) / (1 - alpha)
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("_cum", sum("cnt").over(w))
+      .crossJoin(broadcast(hist.agg(sum("cnt").as("_n"))))
+    val ps = posexplode(typedlit(probs))
+    cum.select(col("bucket"), col("_cum"), col("_n"))
+      .select(col("bucket"), col("_cum"), col("_n"), ps.as(Seq("_i", "p")))
+      .where(col("_cum") > floor(col("p") * (col("_n") - 1)))
+      .groupBy("p").agg(
+        min("bucket").as("_b"),
+        max("_n").as("n"))
+      .select(col("p"), col("n"),
+        round(lit(2.0) * pow(lit(gamma), col("_b") + 1) / lit(gamma + 1), 6).as("est"))
+  }
 
   /**
    * Quantile estimation over a FIXED-SIZE deterministic sample — the

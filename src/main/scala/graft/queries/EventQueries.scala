@@ -171,6 +171,14 @@ object EventQueries {
         .select("event_id", "event_type", "value", "value_f")
         .orderBy("event_id")),
 
+    // DDSketch-style log-bucket quantiles (alpha=1% relative VALUE error,
+    // merge-by-addition histogram): bucket math and midpoint estimates
+    // replay in the oracle
+    "q_profile_ddsketch" -> ((s, dir) => {
+      val h = Profile.ddHistogram(Tpch.read(s, dir, "events"), "value", 0.01)
+      Profile.ddQuantiles(h, 0.01, Seq(0.5, 0.9, 0.99)).orderBy("p")
+    }),
+
     // Quantiles over a deterministic bottom-k hash sample (k=500): the
     // fixed-memory, shuffle-free alternative to full-column percentile —
     // sample membership and interpolation replay exactly in the oracle
@@ -604,6 +612,23 @@ object EventQueries {
         |       COALESCE(CAST(e.value AS DOUBLE), m.med) AS value_f
         |FROM e LEFT JOIN m ON m.event_type = e.event_type
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_profile_ddsketch" ->
+      """WITH h AS (SELECT CAST(floor(ln(CAST(value AS DOUBLE))
+        |                          / ln((1.0 + 0.01) / (1.0 - 0.01))) AS BIGINT) AS bucket,
+        |                  count(*) AS cnt
+        |           FROM events WHERE value IS NOT NULL AND value > 0
+        |           GROUP BY bucket),
+        |c AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket
+        |                    ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+        |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+        |p AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS p),
+        |b AS (SELECT p.p, MIN(c.bucket) AS mb
+        |      FROM p, c, n WHERE c.cum > floor(p.p * (n.n - 1)) GROUP BY p.p)
+        |SELECT b.p, n.n,
+        |       round(2.0 * pow((1.0 + 0.01) / (1.0 - 0.01), mb + 1)
+        |             / ((1.0 + 0.01) / (1.0 - 0.01) + 1), 6) AS est
+        |FROM b, n ORDER BY b.p""".stripMargin,
 
     "q_profile_quantile_sample" ->
       """WITH b AS (SELECT CAST(value AS DOUBLE) AS x

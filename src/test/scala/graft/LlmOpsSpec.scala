@@ -1354,6 +1354,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.forall(t => t._3 == 2L && math.abs(t._4 - expected) < 1e-9))
   }
 
+  test("Profile.ddHistogram/ddQuantiles: alpha value-error bound, lossless shard fold") {
+    import spark.implicits._
+    val vals = (1 to 20000).map(i => i.toDouble / 7.0)
+    val df = vals.toDF("x")
+    val hist = Profile.ddHistogram(df, "x", alpha = 0.01)
+    val got = Profile.ddQuantiles(hist, 0.01, Seq(0.5, 0.99))
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val sorted = vals.sorted
+    for (p <- Seq(0.5, 0.99)) {
+      val (n, est) = got(p)
+      assert(n == 20000L)
+      val truth = sorted(math.floor(p * (n - 1)).toInt)
+      assert(math.abs(est / truth - 1) <= 0.0101,
+        s"p=$p est=$est truth=$truth exceeds the alpha bound")
+    }
+    // merge IS addition: per-shard histograms folded == whole-corpus histogram
+    val folded = (0 until 3).map(r =>
+        Profile.ddHistogram(vals.zipWithIndex.collect {
+          case (v, i) if i % 3 == r => v
+        }.toDF("x"), "x", alpha = 0.01))
+      .reduce(_ unionByName _)
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+    val a = hist.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = folded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, "shard fold diverged from the whole-corpus histogram")
+    // zero/negative/null excluded
+    assert(Profile.ddHistogram(Seq(-1.0, 0.0, 2.0).toDF("x"), "x")
+      .agg(sum("cnt")).collect()(0).getLong(0) == 1L)
+  }
+
   test("Profile.hashSampleQuantiles: deterministic, partition-invariant, exact when k >= n") {
     import spark.implicits._
     val df = (0 until 10000).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
