@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+
+import graft.ops.{Dedup, ManifestStore, TextOps}
+
+/**
+ * The composed TRAINING-DATA INGEST pipeline — every streaming guard this
+ * library provides, wired in the order a production corpus feed runs them,
+ * each stage the SAME implementation its batch/spec-verified form uses:
+ *
+ *  1. DRIFT ([[DriftStream.DriftMonitor]] → [[graft.ops.Profile.drift]]
+ *     math): the batch's categorical mix is scored against a fixed
+ *     reference; drifting batches are REPORTED, never dropped — gating on
+ *     drift is a policy for the operator reading the ledger.
+ *  2. RATE LIMIT ([[RateLimitStream.CmsRateLimiter]]): per-key admission
+ *     caps (domain/licence/source) with one O(d·w) matrix as the only
+ *     state; the cap is never exceeded, collisions only throttle early.
+ *  3. EXACT DEDUP ([[Dedup.exactIncremental]] against a fingerprint
+ *     store): within-batch and cross-batch duplicates drop; the store
+ *     grows by addition and is never rescanned.
+ *  4. UPSERT ([[ManifestStore.upsert]]): survivors land in the
+ *     manifest-committed table — atomic visibility, crash debris
+ *     invisible, snapshot isolation for concurrent readers.
+ *
+ * Per batch one ledger row goes to `onReport`:
+ * `(batchId, nIn, psi, drifted, nAdmitted, nFresh)`; `nIn − nAdmitted`
+ * is the rate-limit rejection count and `nAdmitted − nFresh` the
+ * duplicate count. State: the reference count table, the CMS matrix, and
+ * the fingerprint store (content-hash-sized — the one genuinely growing
+ * piece, exactly the piece a deployment would persist via the manifest
+ * protocol between runs).
+ */
+object IngestPipeline {
+
+  final case class BatchReport(
+      batchId: Long, nIn: Long, psi: Double, drifted: Boolean,
+      nAdmitted: Long, nFresh: Long)
+
+  /**
+   * Wire the pipeline. `docs` must carry `idCol`, `textCol`, `keyCol`
+   * (the rate-limit key) and `partCol` (the table partition column);
+   * `ref` is the drift reference for `keyCol`'s distribution.
+   */
+  def attach(
+      docs: DataFrame, idCol: String, textCol: String, keyCol: String,
+      partCol: String, tablePath: String, ref: DataFrame,
+      cap: Long, psiThreshold: Double = 0.25,
+      seed: Option[DataFrame] = None)(
+      onReport: BatchReport => Unit): DataStreamWriter[Row] = {
+    val spark = docs.sparkSession
+    val monitor = new DriftStream.DriftMonitor(ref, keyCol)
+    val limiter = new RateLimitStream.CmsRateLimiter(keyCol, idCol, cap)
+    // fingerprint store: starts from the optional seed corpus, grows by
+    // addition; checkpointed so no batch's lineage re-reads a predecessor
+    var seenFps: DataFrame = seed
+      .map(s => Dedup.seenFingerprints(s, textCol))
+      .getOrElse(spark.emptyDataFrame.select(lit("").as("fp")).where(lit(false)))
+      .localCheckpoint()
+
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val pinned = batch.localCheckpoint()
+      try {
+        val nIn = pinned.count()
+        val (_, _, psi, _) = monitor.score(pinned)
+        val admitted = limiter.admit(pinned)
+        val nAdmitted = admitted.count()
+        val fresh = Dedup.exactIncremental(admitted, seenFps, idCol, textCol)
+          .localCheckpoint()
+        val nFresh = fresh.count()
+        if (nFresh > 0) {
+          ManifestStore.upsert(fresh, tablePath, partCol, Seq(partCol, idCol), spark)
+          seenFps = seenFps
+            .unionByName(Dedup.seenFingerprints(fresh, textCol))
+            .distinct()
+            .localCheckpoint()
+        }
+        onReport(BatchReport(id, nIn, psi, psi > psiThreshold, nAdmitted, nFresh))
+      } finally pinned.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    }
+  }
+
+  /** [[attach]] + start. */
+  def start(
+      docs: DataFrame, idCol: String, textCol: String, keyCol: String,
+      partCol: String, tablePath: String, ref: DataFrame,
+      cap: Long, psiThreshold: Double = 0.25,
+      seed: Option[DataFrame] = None)(
+      onReport: BatchReport => Unit): StreamingQuery =
+    attach(docs, idCol, textCol, keyCol, partCol, tablePath, ref,
+      cap, psiThreshold, seed)(onReport).start()
+}

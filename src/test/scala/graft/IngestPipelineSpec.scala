@@ -1,0 +1,59 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.ops.ManifestStore
+import graft.streaming.IngestPipeline
+
+/**
+ * The composed ingest pipeline end-to-end ([[graft.streaming.IngestPipeline]]):
+ * drift scored per batch, per-source caps enforced, within- and cross-batch
+ * content duplicates dropped, survivors landing in the manifest-committed
+ * table — with the ledger accounting for every row's fate.
+ */
+class IngestPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming ingest: drift + rate limit + dedup + manifest upsert compose") {
+    implicit val ctx = spark.sqlContext
+    val dir = tmpDir("ingest_pipe")
+    val ref = (Seq.fill(2)("a") ++ Seq.fill(2)("b")).toDF("source")
+    val reports = mutable.Buffer.empty[IngestPipeline.BatchReport]
+    val ms = MemoryStream[(Long, String, String)]
+    val q = IngestPipeline.start(
+      ms.toDS().toDF("id", "text", "source"),
+      idCol = "id", textCol = "text", keyCol = "source", partCol = "source",
+      tablePath = dir, ref = ref, cap = 3L)(reports += _)
+    try {
+      // batch 0: within-batch content dup (doc 3 repeats doc 1's text
+      // under another source), everything under the cap, mix ~reference
+      ms.addData((1L, "alpha", "a"), (2L, "beta", "a"), (3L, "alpha", "b"))
+      q.processAllAvailable()
+      // batch 1: a cross-batch dup (doc 4 = "alpha"), a 5-row burst from a
+      // NEW source c (cap admits 3), mix far from reference
+      ms.addData((4L, "alpha", "a"), (5L, "g1", "c"), (6L, "g2", "c"),
+        (7L, "g3", "c"), (8L, "g4", "c"), (9L, "g5", "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(reports.size == 2, reports.toString)
+    val r0 = reports(0)
+    assert((r0.nIn, r0.nAdmitted, r0.nFresh) == ((3L, 3L, 2L)), r0.toString)
+    assert(!r0.drifted, s"near-reference mix must not flag: $r0")
+    val r1 = reports(1)
+    // 6 in; doc 4 + three of c admitted (the cap rejects g4, g5);
+    // doc 4's content is already in the store -> 3 fresh
+    assert((r1.nIn, r1.nAdmitted, r1.nFresh) == ((6L, 4L, 3L)), r1.toString)
+    assert(r1.drifted, s"a new-source burst must flag drift: $r1")
+
+    // the table holds exactly the fresh survivors, atomically committed
+    val table = ManifestStore.currentFrame(spark, dir, "source").get
+      .select("id").as[Long].collect().toSet
+    assert(table == Set(1L, 2L, 5L, 6L, 7L), table.toString)
+    // partition b never materialized (its only row deduped away)
+    val m = ManifestStore.readManifest(spark, dir).get
+    assert(m.entries.keySet == Set("a", "c"), m.entries.toString)
+  }
+}
