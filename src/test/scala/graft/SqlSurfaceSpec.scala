@@ -61,5 +61,15 @@ class SqlSurfaceSpec extends SparkSpec {
         |          FROM range(0, 100)),
         |         xxhash64('v7')) AS hit""".stripMargin).collect()(0)
     assert(bloom.getBoolean(0), "bloom filter false negative")
+    // round-10 kernels from SQL: perceptual hashes over the planted
+    // fixtures and NFC normalization
+    val r10 = spark.sql(
+      """SELECT image_ahash(synth_image(CAST(5 AS BIGINT))) AS ih,
+        |       audio_fingerprint(synth_wav(CAST(5 AS BIGINT))) AS af,
+        |       image_ahash(CAST('junk' AS BINARY)) AS bad,
+        |       text_normalize('  A		b ') AS tn""".stripMargin).collect()(0)
+    assert(!r10.isNullAt(0) && !r10.isNullAt(1))
+    assert(r10.isNullAt(2), "garbage bytes must hash to NULL")
+    assert(r10.getString(3) == "a b")
   }
 }
