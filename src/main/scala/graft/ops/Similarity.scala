@@ -1376,6 +1376,15 @@ object Similarity {
     * the generations it names. No corpus scan, no training. Concurrent
     * with writers: committed generations are immutable, so a reader's
     * snapshot stays consistent while a rebuild/append commits. */
+  /** Committed index version and code-generation count — the ops signals
+    * (generation count is the [[compactIndex]] trigger). Listings only. */
+  def indexStatus(spark: SparkSession, indexDir: String): (Long, Int) = {
+    val (ver, content) = ManifestStore.readVersioned(spark, indexDir, "_index")
+      .getOrElse(throw new IllegalStateException(s"no committed index under $indexDir"))
+    val (_, codeGens) = parseIndexManifest(content)
+    (ver, codeGens.size)
+  }
+
   def readIndex(spark: SparkSession, indexDir: String): AnnIndex = {
     val (_, content) = ManifestStore.readVersioned(spark, indexDir, "_index")
       .getOrElse(throw new IllegalStateException(s"no committed index under $indexDir"))

@@ -1,0 +1,67 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.ops.Similarity
+import graft.streaming.VectorIngestStream
+
+/**
+ * Continuous vector-index ingest ([[graft.streaming.VectorIngestStream]]):
+ * streamed batches land as committed index generations; serving between
+ * batches always sees a complete snapshot, and the final streamed index
+ * serves IDENTICALLY to a one-shot batch build of the same corpus (the
+ * appendToIndex equivalence, now across micro-batches).
+ */
+class VectorIngestStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed appends == batch build; per-batch reports track version and generations") {
+    implicit val ctx = spark.sqlContext
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(8)(d => math.cos(d * 0.7 + (i % 7)).toFloat)
+    val all = (0 until 48).map(i => (i.toLong, vec(i)))
+    val embs = all.toDF("vec_id", "embedding")
+    val queries = embs.where($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def serve(dir: String) = Similarity.ivfPqTopKIndexed(
+        Similarity.readIndex(spark, dir), queries, 3, nprobe = 2)
+      .select("qid", "rank", "vec_id", "adc")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+
+    // frozen quantizers trained once on the full corpus (the append contract)
+    val coarse = Similarity.trainCentroids(embs, 4, 2)
+    val cb = Similarity.pqTrainCodebooksResidual(embs, coarse, dims = 8, m = 2, k = 3, iters = 2)
+    val dirBatch = tmpDir("vidx_batch")
+    val dirStream = tmpDir("vidx_stream")
+    Similarity.writeIndex(embs, coarse, cb, dirBatch, dims = 8, m = 2)
+    // the streamed index starts from the first 16 vectors
+    Similarity.writeIndex(
+      embs.where($"vec_id" < 16), coarse, cb, dirStream, dims = 8, m = 2)
+
+    val reports = mutable.Buffer.empty[VectorIngestStream.BatchReport]
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = VectorIngestStream.start(
+      ms.toDS().toDF("vec_id", "embedding"), dirStream)(reports += _)
+    try {
+      ms.addData(all.slice(16, 32): _*)
+      q.processAllAvailable()
+      // serving between batches: committed snapshot, no partial state
+      assert(serve(dirStream).nonEmpty)
+      ms.addData(all.slice(32, 48): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(reports.map(_.nVectors).toSeq == Seq(16L, 16L), reports.toString)
+    assert(reports(1).indexVersion > reports(0).indexVersion)
+    assert(reports(1).codeGenerations == 3, reports.toString) // build + 2 appends
+    assert(serve(dirStream) == serve(dirBatch),
+      "streamed index diverged from the one-shot batch build")
+    // compaction merges the streamed append generations without changing
+    // serving (the quantizer generation keeps its own codes — floor of 2)
+    assert(Similarity.compactIndex(spark, dirStream, maxGens = 1) > 0)
+    assert(Similarity.indexStatus(spark, dirStream)._2 == 2)
+    assert(serve(dirStream) == serve(dirBatch))
+  }
+}
