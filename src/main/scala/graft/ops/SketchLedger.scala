@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Generic persisted SKETCH LEDGER — the third face of the versioned-commit
+ * protocol ([[ManifestStore.commitVersioned]]), after the statements table
+ * and the ANN/lexical indexes: every mergeable summary in this library
+ * (Count-Min matrices — [[Profile.cmsMergeAll]]; HLL binaries —
+ * [[Profile.hllMergedEstimate]]; DD log-histograms — [[Profile.ddQuantiles]]
+ * over a bucket-count fold; Misra-Gries heavy-hitter arrays) can be
+ * maintained as an append-only sequence of tiny per-batch sketch frames,
+ * committed atomically and folded at read time — corpus-wide statistics at
+ * cost ∝ batches, with NO batch ever rescanned and no reader ever seeing a
+ * half-appended state.
+ *
+ * Layout under `dir`: `gen=<V>-<token>/` parquet (one small frame per
+ * append) + `_sketch.<V>[.<writer token>]` manifests naming the live
+ * generations. Crash debris (a written generation whose commit never
+ * landed) is invisible; a concurrent-append loser throws rather than
+ * silently losing the winner's batch — the [[ManifestStore.CommitProtocol]]
+ * guarantees, unchanged.
+ *
+ * The fold itself stays with the caller (each sketch family has its own
+ * merge: elementwise addition, `hll_union_agg`, bucket-count sum) — the
+ * ledger is deliberately schema-agnostic.
+ */
+object SketchLedger {
+
+  private val Prefix = "_sketch"
+
+  private def genNumber(genId: String): Long = genId.takeWhile(_.isDigit).toLong
+
+  private def newGenId(version: Long): String =
+    s"$version-${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}"
+
+  private def nextGen(spark: SparkSession, dir: String): Long = {
+    val hfs = ManifestStore.fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val onDisk =
+      if (!hfs.exists(p)) Seq.empty[Long]
+      else hfs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("gen=")).map(n => genNumber(n.stripPrefix("gen="))).toSeq
+    val committed = ManifestStore.readVersioned(spark, dir, Prefix).map(_._1)
+    (committed.toSeq ++ onDisk :+ 0L).max + 1
+  }
+
+  private def parseManifest(content: String): Seq[String] =
+    content.linesIterator.filter(_.nonEmpty)
+      .collect { case l if l.startsWith("gen\t") => l.stripPrefix("gen\t") }.toSeq
+
+  /** Append one sketch frame (typically one row, a few KB) as a new
+    * committed generation; returns the committed version. The first append
+    * creates the ledger. */
+  def append(sketch: DataFrame, dir: String): Long = {
+    val spark = sketch.sparkSession
+    val prior = ManifestStore.readVersioned(spark, dir, Prefix)
+    val gens = prior.map { case (_, c) => parseManifest(c) }.getOrElse(Seq.empty)
+    val gen = math.max(nextGen(spark, dir), prior.map(_._1 + 1).getOrElse(1L))
+    val genId = newGenId(gen)
+    sketch.coalesce(1).write.mode("overwrite").parquet(s"$dir/gen=$genId")
+    ManifestStore.commitVersioned(spark, dir, Prefix, gen,
+      (gens :+ genId).map(g => s"gen\t$g").mkString("", "\n", "\n"))
+    gen
+  }
+
+  /** All committed sketch frames, unioned — hand the result to the
+    * family's fold. None before the first commit. */
+  def read(spark: SparkSession, dir: String): Option[DataFrame] =
+    ManifestStore.readVersioned(spark, dir, Prefix).map { case (_, content) =>
+      parseManifest(content)
+        .map(g => spark.read.parquet(s"$dir/gen=$g"))
+        .reduce(_.unionByName(_))
+    }
+
+  /** Committed version and generation count (the compaction-pressure
+    * signal — a deployment folding thousands of generations re-appends
+    * the fold as one frame and vacuums). */
+  def status(spark: SparkSession, dir: String): Option[(Long, Int)] =
+    ManifestStore.readVersioned(spark, dir, Prefix)
+      .map { case (v, c) => (v, parseManifest(c).size) }
+
+  /** Replace all live generations with the single `folded` frame (the
+    * caller's fold of [[read]]) — compaction for a long-lived ledger.
+    * Old generations become debris for [[vacuum]]. */
+  def compact(folded: DataFrame, dir: String): Long = {
+    val spark = folded.sparkSession
+    val (ver, _) = ManifestStore.readVersioned(spark, dir, Prefix)
+      .getOrElse(throw new IllegalStateException(s"no committed ledger under $dir"))
+    val gen = math.max(nextGen(spark, dir), ver + 1)
+    val genId = newGenId(gen)
+    folded.coalesce(1).write.mode("overwrite").parquet(s"$dir/gen=$genId")
+    ManifestStore.commitVersioned(spark, dir, Prefix, gen, s"gen\t$genId\n")
+    gen
+  }
+
+  /** Drop generation directories the CURRENT manifest doesn't name and
+    * manifest files below the latest version. Returns directories deleted. */
+  def vacuum(spark: SparkSession, dir: String): Int = {
+    val live = ManifestStore.readVersioned(spark, dir, Prefix)
+      .map { case (_, c) => parseManifest(c).toSet }.getOrElse(return 0)
+    val hfs = ManifestStore.fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val dead = hfs.listStatus(p).map(_.getPath)
+      .filter(x => x.getName.startsWith("gen=") &&
+        !live.contains(x.getName.stripPrefix("gen=")))
+    dead.foreach(d => hfs.delete(d, true))
+    // reclaim superseded manifests (keep every file of the newest version —
+    // read-repair winners resolve at read time)
+    val files = ManifestStore.listVersioned(spark, dir, Prefix)
+    val vmax = files.map(_._1).max
+    files.filter(_._1 < vmax).foreach { case (_, _, name) =>
+      hfs.delete(new org.apache.hadoop.fs.Path(dir, name), false)
+    }
+    dead.length
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.{CmsSketch, MinhashSigs}
+import graft.ops.{Profile, SketchLedger}
+
+/**
+ * Persisted sketch ledger ([[graft.ops.SketchLedger]]): per-batch sketch
+ * frames appended under the versioned-commit protocol fold to exactly the
+ * whole-corpus sketch; crash debris stays invisible; compaction + vacuum
+ * preserve the fold while collapsing generations.
+ */
+class SketchLedgerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reference(items: Seq[String], d: Int, w: Int): Seq[Seq[Long]] = {
+    val m = Array.fill(d, w)(0L)
+    items.foreach { s =>
+      val h = MinhashSigs.hash32(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      (0 until d).foreach(i => m(i)(CmsSketch.bucket(h, i, w)) += 1L)
+    }
+    m.map(_.toSeq).toSeq
+  }
+
+  private def cmsRow(items: Seq[String]) = {
+    GraftExtensions.register(spark)
+    items.toDF("k").agg(call_function("cms_sketch", col("k"), lit(3), lit(32)).as("sk"))
+  }
+
+  private def folded(dir: String): Seq[Seq[Long]] =
+    Profile.cmsMergeAll(SketchLedger.read(spark, dir).get, "sk")
+      .collect()(0).getSeq[scala.collection.Seq[Long]](0).map(_.toSeq).toSeq
+
+  test("appended CMS batches fold to the whole-corpus sketch; debris invisible; compact+vacuum") {
+    val dir = tmpDir("sketch_ledger")
+    val batches = Seq(
+      (0 until 400).map(i => s"a${i % 13}"),
+      (0 until 250).map(i => s"b${i % 7}"),
+      (0 until 150).map(_ => "hot"))
+    assert(SketchLedger.read(spark, dir).isEmpty && SketchLedger.status(spark, dir).isEmpty)
+    batches.foreach(b => SketchLedger.append(cmsRow(b), dir))
+    assert(SketchLedger.status(spark, dir).contains((3L, 3)))
+    val whole = reference(batches.flatten, 3, 32)
+    assert(folded(dir) == whole, "ledger fold diverged from the whole-corpus sketch")
+
+    // crash debris: a generation written WITHOUT a commit never surfaces
+    cmsRow(Seq.fill(99)("garbage")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/gen=9-deadbeef")
+    assert(folded(dir) == whole, "uncommitted generation leaked into the fold")
+
+    // compact to one generation (the caller's fold re-appended), vacuum
+    // reclaims victims AND the debris; the fold is unchanged throughout
+    SketchLedger.compact(Profile.cmsMergeAll(SketchLedger.read(spark, dir).get, "sk"), dir)
+    assert(SketchLedger.status(spark, dir).map(_._2).contains(1))
+    assert(SketchLedger.vacuum(spark, dir) >= 4) // 3 victims + 1 debris dir
+    assert(folded(dir) == whole)
+
+    // the ledger is schema-agnostic: HLL binaries ride the same store
+    val hdir = tmpDir("hll_ledger")
+    batches.foreach(b => SketchLedger.append(Profile.hllShardSketch(b.toDF("k"), "k"), hdir))
+    val est = Profile.hllMergedEstimate(SketchLedger.read(spark, hdir).get, "hll")
+      .collect()(0).getLong(0)
+    val exact = batches.flatten.distinct.size.toDouble
+    assert(math.abs(est - exact) / exact < 0.05, s"est $est vs exact $exact")
+  }
+}
