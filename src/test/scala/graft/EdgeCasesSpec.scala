@@ -130,6 +130,35 @@ class EdgeCasesSpec extends SparkSpec {
     }
   }
 
+  test("round-10 ops behave on empty and degenerate input") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyVals = Seq.empty[Option[Double]].toDF("x")
+    // phrase search over nothing / an absent phrase: empty, not a crash
+    assert(graft.ops.Retrieval.phraseSearch(emptyDocs, "doc_id", "text", "a b").isEmpty)
+    // fuzzy pairs: empty corpus and maxDist = 0 (exact-equality tier)
+    assert(graft.ops.Dedup.editDistancePairs(emptyDocs, "doc_id", "text").isEmpty)
+    val eq = graft.ops.Dedup.editDistancePairs(
+        Seq((1L, "same"), (2L, "same"), (3L, "diff")).toDF("id", "s"),
+        "id", "s", maxDist = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(eq == Set((1L, 2L)))
+    // DD histogram/quantiles: empty and all-non-positive input -> empty
+    assert(graft.ops.Profile.ddHistogram(emptyVals, "x").isEmpty)
+    val nonPos = Seq(-3.0, 0.0).toDF("x")
+    assert(graft.ops.Profile.ddQuantiles(
+      graft.ops.Profile.ddHistogram(nonPos, "x"), 0.01, Seq(0.5)).isEmpty)
+    // winsorize/impute on empty: pass-through schemas, zero rows
+    assert(graft.ops.Validate.winsorize(emptyVals, "x").isEmpty)
+    assert(graft.ops.Validate.imputeByGroupMedian(
+      Seq.empty[(Long, String, Option[Double])].toDF("id", "g", "v"), "v", "g").isEmpty)
+    // packedExamples on empty corpus: zero packs
+    assert(graft.ops.Corpus.packedExamples(
+      emptyDocs, "doc_id", lit(1L), budget = 10L).isEmpty)
+    // weighted sample with k exceeding the corpus returns the whole corpus
+    val tiny = Seq((1L, 2.0), (2L, 5.0)).toDF("id", "w")
+    assert(graft.ops.Corpus.sampleWeighted(tiny, "id", "w", k = 10).count() == 2)
+  }
+
   test("capPerGroup keeps the n best-ranked rows per group, smaller groups whole") {
     val df = (Seq((1L, "a", 50), (2L, "a", 90), (3L, "a", 70), (4L, "a", 90)) ++
       Seq((10L, "b", 10))).toDF("doc_id", "grp", "quality")
