@@ -72,6 +72,11 @@ object GraftExtensions {
       arity("image_decode", 1)(c => ImageKernels.ImageDecode(c(0)))),
     ("image_ahash", ImageKernels.aHashInfo,
       arity("image_ahash", 1)(c => ImageKernels.ImageAHash(c(0)))),
+    ("image_resize", ImageKernels.resizeInfo,
+      arity("image_resize", 3)(c => ImageKernels.ImageResize(
+        c(0),
+        intLit(c(1), "image_resize", "tw"),
+        intLit(c(2), "image_resize", "th")))),
     ("synth_wav", AudioKernels.synthInfo,
       arity("synth_wav", 1)(c => AudioKernels.SynthWav(c(0)))),
     ("audio_decode", AudioKernels.decodeInfo,

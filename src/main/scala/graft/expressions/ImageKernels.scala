@@ -154,6 +154,66 @@ object ImageKernels {
       case scala.util.control.NonFatal(_) => null
     }
 
+  /**
+   * REAL downscale by integer block averaging: output pixel (ox, oy)
+   * covers source block [ox·w/tw, (ox+1)·w/tw) × [oy·h/th, (oy+1)·h/th)
+   * (floor indexing — the [[aHash64]] grid), each channel the FLOOR of the
+   * block's integer mean. Deterministic to the bit on any JVM (no AWT
+   * scaler, no float filter kernels), so the decoded statistics of a
+   * resized planted image replay closed-form in the SQL oracle. Returns a
+   * PNG re-encode; null for unreadable bytes or an UPSCALE request (this
+   * is the thumbnail/feature-prep kernel — upsampling is a modeling
+   * choice, not a data-prep default).
+   */
+  def resizePng(bytes: Array[Byte], tw: Int, th: Int): Array[Byte] =
+    try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        if (tw < 1 || th < 1 || tw > w || th > h) null
+        else {
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          val out = new java.awt.image.BufferedImage(
+            tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var oy = 0
+          while (oy < th) {
+            val y0 = oy * h / th
+            val y1 = (oy + 1) * h / th
+            var ox = 0
+            while (ox < tw) {
+              val x0 = ox * w / tw
+              val x1 = (ox + 1) * w / tw
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val p = px(y * w + x)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = (x1 - x0).toLong * (y1 - y0)
+              out.setRGB(ox, oy,
+                (((sr / n).toInt & 0xff) << 16) |
+                  (((sg / n).toInt & 0xff) << 8) |
+                  ((sb / n).toInt & 0xff))
+              ox += 1
+            }
+            oy += 1
+          }
+          val baos = new ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", baos)
+          baos.toByteArray
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+
   val decodeType: StructType = StructType(Seq(
     StructField("width", IntegerType),
     StructField("height", IntegerType),
@@ -238,6 +298,40 @@ object ImageKernels {
     override protected def withNewChildInternal(newChild: Expression): ImageAHash =
       copy(child = newChild)
   }
+
+  /** `image_resize(content, tw, th)` — integer block-average downscale to
+    * a PNG; null on unreadable bytes or upscale. tw/th are plan-time
+    * literals (a data-dependent output geometry has no stable schema
+    * story). */
+  case class ImageResize(child: Expression, tw: Int, th: Int) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType if tw >= 1 && th >= 1 => TypeCheckResult.TypeCheckSuccess
+      case BinaryType => TypeCheckResult.TypeCheckFailure(
+        s"image_resize target must be >= 1x1, got ${tw}x$th")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"image_resize requires binary, got ${other.simpleString}")
+    }
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def prettyName: String = "image_resize"
+    override protected def nullSafeEval(bytes: Any): Any =
+      resizePng(bytes.asInstanceOf[Array[Byte]], tw, th)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |${ev.value} = graft.expressions.ImageKernels.resizePng($c, $tw, $th);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): ImageResize =
+      copy(child = newChild)
+  }
+
+  val resizeInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[ImageResize].getName,
+    null,
+    "image_resize",
+    "_FUNC_(content, tw, th) - integer block-average downscale to a tw x th PNG; NULL if unreadable or an upscale.",
+    "", "", "", "", "", "", "built-in")
 
   val aHashInfo: ExpressionInfo = new ExpressionInfo(
     classOf[ImageAHash].getName,

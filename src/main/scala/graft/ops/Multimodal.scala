@@ -92,6 +92,13 @@ object Multimodal {
     Dedup.simhashNearDuplicates64(sketches, maxHamming)
   }
 
+  /** REAL integer block-average downscale to `tw`×`th`
+    * ([[graft.expressions.ImageKernels.resizePng]]) — the thumbnail /
+    * feature-prep resize the brief's multimodal list names; NULL for
+    * unreadable bytes or an upscale request. */
+  def resizeImage(content: Column, tw: Int, th: Int): Column =
+    call_function("image_resize", content, lit(tw), lit(th))
+
   /** 64-bit energy-profile audio fingerprint
     * ([[graft.expressions.AudioKernels.fingerprint64]]), NULL for
     * unreadable bytes. */

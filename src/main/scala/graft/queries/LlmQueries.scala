@@ -1183,6 +1183,26 @@ object LlmQueries {
     // to exact pixel sums — the oracle recomputes every statistic in closed
     // form from the generation parameters, so a decoder that only read
     // metadata (or mis-read pixels) hash-fails
+    // REAL resize: every planted image block-averaged down to 4×4 and
+    // RE-DECODED — the oracle recomputes all 16 output pixels (floored
+    // integer block means, black-column handling) from the closed form,
+    // so a resize that mis-tiled, float-rounded, or read metadata only
+    // would mismatch
+    "q_mm_resize" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val assets = Multimodal.asAsset(
+        col("doc_id"), lit("image"),
+        call_function("synth_image", col("doc_id")), col("source"))(docs(s, dir))
+      assets
+        .select(col("asset_id"),
+          Multimodal.decodeImage(Multimodal.resizeImage(col("content"), 4, 4)).as("f"))
+        .select(col("asset_id"),
+          col("f.width").as("width"), col("f.height").as("height"),
+          col("f.n_px").as("n_px"), col("f.sum_r").as("sum_r"),
+          col("f.sum_g").as("sum_g"), col("f.sum_b").as("sum_b"))
+        .orderBy("asset_id")
+    }),
+
     // Perceptual hash (aHash64) of every planted image: 8×8 block-average
     // luminance vs global mean, bits compared CROSS-MULTIPLIED — the
     // oracle recomputes all 64 bits from the planted geometry closed form,
@@ -2402,6 +2422,34 @@ object LlmQueries {
         |         FROM win JOIN tot ON tot.doc_id = win.doc_id)
         |SELECT doc_id AS asset_id, bit_or(bv) AS afp
         |FROM bits GROUP BY doc_id ORDER BY asset_id""".stripMargin,
+
+    "q_mm_resize" ->
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+        |                  doc_id % 256 AS r, (doc_id * 7) % 256 AS g,
+        |                  (doc_id * 13) % 256 AS b
+        |           FROM documents),
+        |cells AS (SELECT doc_id, r, g, b, cx.i AS cx,
+        |                 (cx.i * w) // 4 AS x0, ((cx.i + 1) * w) // 4 AS x1,
+        |                 (cy.i * h) // 4 AS y0, ((cy.i + 1) * h) // 4 AS y1
+        |          FROM p, range(4) cy(i), range(4) cx(i)),
+        |outs AS (SELECT doc_id,
+        |           (r * ((x1 - x0) * (y1 - y0)
+        |                 - CASE WHEN cx = 0 THEN (y1 - y0) ELSE 0 END))
+        |             // ((x1 - x0) * (y1 - y0)) AS pr,
+        |           (g * ((x1 - x0) * (y1 - y0)
+        |                 - CASE WHEN cx = 0 THEN (y1 - y0) ELSE 0 END))
+        |             // ((x1 - x0) * (y1 - y0)) AS pg,
+        |           (b * ((x1 - x0) * (y1 - y0)
+        |                 - CASE WHEN cx = 0 THEN (y1 - y0) ELSE 0 END))
+        |             // ((x1 - x0) * (y1 - y0)) AS pb
+        |         FROM cells)
+        |SELECT doc_id AS asset_id,
+        |       CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+        |       CAST(16 AS BIGINT) AS n_px,
+        |       CAST(SUM(pr) AS BIGINT) AS sum_r,
+        |       CAST(SUM(pg) AS BIGINT) AS sum_g,
+        |       CAST(SUM(pb) AS BIGINT) AS sum_b
+        |FROM outs GROUP BY doc_id ORDER BY asset_id""".stripMargin,
 
     // full 64-bit replay from the planted closed form: per cell, luminance
     // sum = L·(cell_px − black_column_share), bit = cross-multiplied

@@ -1195,6 +1195,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(hs(0) == hs(1))
   }
 
+  test("Multimodal.resizeImage: exact block means, upscale and garbage null") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // 4x2 image, distinct pixel values -> 2x1 resize averages each half
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val vals = Seq(Seq(10, 20, 30, 40), Seq(50, 60, 70, 80))
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val v = vals(y)(x); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val df = Seq((1L, baos.toByteArray), (2L, Array[Byte](1, 2))).toDF("id", "content")
+    val decoded = df.select(col("id"),
+        graft.ops.Multimodal.decodeImage(
+          graft.ops.Multimodal.resizeImage(col("content"), 2, 1)).as("f"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // left block mean = (10+20+50+60)/4 = 35; right = (30+40+70+80)/4 = 55
+    val f = decoded(1L).get.asInstanceOf[org.apache.spark.sql.Row]
+    assert((f.getInt(0), f.getInt(1), f.getLong(2)) == ((2, 1, 2L)))
+    assert(f.getLong(3) == 90L && f.getLong(4) == 90L && f.getLong(5) == 90L) // 35+55 per channel
+    assert(decoded(2L).isEmpty, "garbage bytes must resize to NULL")
+    // an upscale request is null, not an invented interpolation
+    assert(df.where(col("id") === 1)
+      .select(graft.ops.Multimodal.resizeImage(col("content"), 8, 8))
+      .collect()(0).isNullAt(0))
+  }
+
   test("Multimodal.audioNearDuplicates: energy-fingerprint pairs, garbage excluded") {
     import spark.implicits._
     GraftExtensions.register(spark)
