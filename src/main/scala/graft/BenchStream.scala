@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.queries.Tpch
-import graft.streaming.{DedupStream, EventStream, NearDupStream, SessionStream}
+import graft.streaming.{DedupStream, DriftStream, EventStream, NearDupStream, SessionStream, TopKStream}
 
 /**
  * Streaming benchmark main — the stateful paths the unit specs exercise
@@ -133,15 +133,11 @@ object BenchStream {
     // the query open (unmeasured) so short-horizon eviction timers can fire
     // before the state metrics are read.
     var n = 0
-    def run(name: String, rowsIn: Long, graceMs: Long = 0)(out: DataFrame): Res = {
+    def measure(name: String, rowsIn: Long, graceMs: Long = 0)(
+        mk: String => org.apache.spark.sql.streaming.StreamingQuery): Res = {
       n += 1
       val t0 = System.nanoTime()
-      val q = out.writeStream
-        .format("noop")
-        .outputMode("append")
-        .option("checkpointLocation", s"$work/ckpt$n")
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val q = mk(s"$work/ckpt$n")
       def ingested: Long = q.recentProgress.map(_.numInputRows).sum
       val deadline = System.nanoTime() + 10L * 60 * 1000000000L
       while (q.isActive && ingested < rowsIn && System.nanoTime() < deadline)
@@ -165,6 +161,10 @@ object BenchStream {
       println(s"  ${r.json}")
       r
     }
+    def run(name: String, rowsIn: Long, graceMs: Long = 0)(out: DataFrame): Res =
+      measure(name, rowsIn, graceMs)(ckpt =>
+        out.writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start())
 
     val tenMin = 10L * 60 * 1000 // TTL horizon > bench wall time: overhead, not eviction
     val evictMs = 500L // TTL horizon ≪ replay wall time: measures MASS eviction
@@ -200,7 +200,32 @@ object BenchStream {
         EventStream.intervalJoin(
           evStream.where(col("event_type") === "purchase"),
           evStream.where(col("event_type") === "view"),
-          "user_id")))
+          "user_id")),
+      // ---- round-10 streaming ops under load ----------------------------
+      // Misra-Gries standings: bounded keyed state (buckets x k), Update
+      // mode re-emission per touched bucket
+      measure("heavy_hitters", evRows)(ckpt =>
+        TopKStream.heavyHitters(evStream, "event_type", k = 16, buckets = 8)
+          .toDF().writeStream.format("noop").outputMode("update")
+          .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()),
+      // PSI drift scoring per micro-batch against a fixed reference (a
+      // driver-held count table): measures the per-batch aggregate tax
+      measure("drift_monitor", evRows)(ckpt =>
+        DriftStream.attach(
+            evStream, "event_type",
+            events.select("event_type"))((_, _, _, _, _, _) => ())((_, _) => ())
+          .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()),
+      // the composed ingest pipeline end-to-end (drift + CMS rate limit +
+      // incremental dedup + manifest upsert); cap sized to admit everything
+      // so the line measures machinery, not rejection short-circuits
+      measure("ingest_pipeline", docRows)(ckpt =>
+        graft.streaming.IngestPipeline.attach(
+            docStream.withColumn("source", (col("doc_id") % 5).cast("string")),
+            idCol = "doc_id", textCol = "text", keyCol = "source",
+            partCol = "source", tablePath = s"$work/ingest_table",
+            ref = docFeed.select((col("doc_id") % 5).cast("string").as("source")),
+            cap = docRows + 1)(_ => ())
+          .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()))
 
     val line =
       s"""{"metric":"stream_total","value":${results.map(_.secs).sum},"unit":"sec",""" +
