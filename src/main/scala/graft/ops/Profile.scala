@@ -453,11 +453,11 @@ object Profile {
     val nn = df.where(x.isNotNull)
     // alias before percentile() so arbitrary column names never splice
     // into the SQL expression (same discipline as equiDepthHistogram)
-    val medRow = nn.select(x.as("_x")).agg(expr("percentile(_x, 0.5)")).head
+    val medRow = nn.select(x.as("_x")).agg(expr("percentile(_x, 0.5)")).head()
     if (medRow.isNullAt(0)) return nn // all-null / empty input: nothing to flag
     val med = medRow.getDouble(0)
     val mad = nn.select(abs(x - lit(med)).as("_d"))
-      .agg(expr("percentile(_d, 0.5)")).head.getDouble(0)
+      .agg(expr("percentile(_d, 0.5)")).head().getDouble(0)
     nn.where(abs(x - lit(med)) > lit(k) * lit(mad))
   }
 
@@ -484,7 +484,7 @@ object Profile {
     val ps = (1 until bins).map(k => k.toDouble / bins)
     val edgeRow = nn
       .agg(expr(s"percentile(_x, array(${ps.mkString(", ")}))").as("e"))
-      .head
+      .head()
     if (edgeRow.isNullAt(0)) { // all-null / empty input: empty histogram
       return nn.withColumn("bin", lit(0))
         .groupBy("bin")

@@ -253,7 +253,7 @@ object Similarity {
       emb: DataFrame, bounds: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val (mn, mx) = collectBounds(bounds)
-    val mnLit = array(mn.map(lit(_)): _*)
+    val mnLit = array(mn.toIndexedSeq.map(lit(_)): _*)
     val spanLit = array(mn.indices.map(i => lit(mx(i) - mn(i))): _*)
     emb.select(
       col(idCol).as("vec_id"),
@@ -279,7 +279,7 @@ object Similarity {
       qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val (mn, mx) = collectBounds(bounds)
-    val baseLit = array(mn.map(m => lit(255L * m)): _*)
+    val baseLit = array(mn.toIndexedSeq.map(m => lit(255L * m)): _*)
     val spanLit = array(mn.indices.map(i => lit(mx(i) - mn(i))): _*)
     // Σ qq·(255·mn + code·span) split as Σ qq·code·span + Σ qq·255·mn —
     // both exact integer folds (magnitudes bounded well inside int64)

@@ -85,7 +85,7 @@ object Validate {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
     val x = col(c).cast("double")
     val row = df.where(x.isNotNull).select(x.as("_x"))
-      .agg(expr(s"percentile(_x, array($pLo, $pHi))")).head
+      .agg(expr(s"percentile(_x, array($pLo, $pHi))")).head()
     if (row.isNullAt(0)) return df.withColumn(s"${c}_w", x) // all-null input
     val Seq(lo, hi) = row.getSeq[Double](0).toSeq
     df.withColumn(s"${c}_w", least(greatest(x, lit(lo)), lit(hi)))
