@@ -170,6 +170,26 @@ object Retrieval {
       queries, k, k1, b)
 
   /**
+   * PHRASE-CONSTRAINED BM25: rank only documents containing `phrase`
+   * contiguously ([[phraseSearch]]), scored with FULL-corpus statistics —
+   * idf and avgdl come from the whole collection, because a filter
+   * narrows the candidate set but must never redefine term rarity (the
+   * filter-vs-scoring split every production engine makes). The phrase
+   * hit set cuts the postings by a semi-join BEFORE any scoring work, so
+   * a selective phrase makes the query CHEAPER than unconstrained BM25,
+   * never a post-filter over a full ranking.
+   */
+  def bm25Phrase(
+      df: DataFrame, idCol: String, textCol: String, queries: DataFrame,
+      phrase: String, k: Int, k1: Double = K1, b: Double = B): DataFrame = {
+    val postings = bm25Postings(df, idCol, textCol)
+    val hits = phraseSearch(df, idCol, textCol, phrase)
+      .select(col(idCol).as("doc_id"))
+    bm25Score(postings.join(hits, Seq("doc_id"), "left_semi"),
+      docFreq(postings), bm25Stats(df, textCol), queries, k, k1, b)
+  }
+
+  /**
    * Reciprocal rank fusion of N ranked lists (each `(qid, doc_id, rank)`):
    * `rrf = Σ_lists 1/(rrfK + rank)`, documents absent from a list simply
    * contribute nothing — the standard way to combine lexical and vector

@@ -1312,6 +1312,16 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Phrase-constrained BM25: only documents containing "a a the"
+    // contiguously are ranked, but idf/avgdl stay full-corpus — the
+    // filter-vs-scoring split, both halves replayed in the oracle
+    "q_ret_phrase_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq((0L, "table value"), (1L, "spark window")).toDF("qid", "qtext")
+      Retrieval.bm25Phrase(docs(s, dir), "doc_id", "text", queries, "a a the", k = 10)
+        .orderBy("qid", "rank")
+    }),
+
     // Hybrid retrieval: BM25 keyword ranking fused with exact-cosine vector
     // ranking by reciprocal rank fusion — query text is the first 4 tokens
     // of each query document, the query vector its embedding (doc_id ≡
@@ -2521,6 +2531,29 @@ object LlmQueries {
         |FROM documents ORDER BY asset_id""".stripMargin,
 
     "q_ret_bm25" -> bm25FixedQueriesOracle,
+
+    // BM25 scores from the FULL corpus; the phrase hit set filters the
+    // scored docs; ranks recomputed within the filtered set
+    "q_ret_phrase_bm25" ->
+      s"""WITH ${bm25Ctes(
+           "SELECT * FROM (VALUES (0, 'table value'), (1, 'spark window')) AS v(qid, qtext)")},
+        |ptoks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |          WHERE text IS NOT NULL),
+        |ppos AS (SELECT doc_id, g.i AS p, l[g.i] AS t
+        |         FROM ptoks, UNNEST(generate_series(1, len(l))) g(i)),
+        |pph AS (SELECT * FROM (VALUES (0, 'a'), (1, 'a'), (2, 'the')) v(j, t)),
+        |pfan AS (SELECT ppos.doc_id, ppos.p - pph.j AS base, pph.j
+        |         FROM ppos JOIN pph ON pph.t = ppos.t),
+        |phit AS (SELECT DISTINCT doc_id FROM (
+        |           SELECT doc_id, base FROM pfan GROUP BY doc_id, base
+        |           HAVING count(DISTINCT j) = 3)),
+        |fagg AS (SELECT a.* FROM bagg a JOIN phit USING (doc_id)),
+        |franked AS (SELECT qid, doc_id, score,
+        |              CAST(row_number() OVER (PARTITION BY qid
+        |                   ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+        |            FROM fagg)
+        |SELECT CAST(qid AS BIGINT) AS qid, rank, doc_id, score
+        |FROM franked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     // the persisted-index path must serve IDENTICAL rankings — one oracle
     "q_ret_bm25_indexed" -> bm25FixedQueriesOracle,
