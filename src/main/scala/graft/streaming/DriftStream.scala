@@ -29,6 +29,16 @@ import graft.ops.Profile
  */
 object DriftStream {
 
+  /** Unpersist a localCheckpoint's blocks (the round-5 block-manager
+    * residue lesson — per-batch checkpoints must not accumulate for the
+    * life of an unbounded stream). */
+  private[streaming] def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** One reference-scored monitor instance. Reusable across batches and
     * streams (the reference table is immutable). */
   final class DriftMonitor(ref: DataFrame, keyCol: String, eps: Double = 1e-6) {
@@ -41,12 +51,14 @@ object DriftStream {
       val c = batch.where(col(keyCol).isNotNull)
         .groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cur_cnt"))
         .localCheckpoint()
-      val row = Profile.driftByKeyFromCounts(refCounts, c, eps).agg(
-        coalesce(sum("cur_cnt"), lit(0L)).as("n_rows"),
-        count(when(col("cur_cnt") > 0, 1)).as("n_keys"),
-        coalesce(sum("psi"), lit(0.0)).as("psi"),
-        coalesce(sum("jsd"), lit(0.0)).as("jsd")).collect()(0)
-      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+      try {
+        val row = Profile.driftByKeyFromCounts(refCounts, c, eps).agg(
+          coalesce(sum("cur_cnt"), lit(0L)).as("n_rows"),
+          count(when(col("cur_cnt") > 0, 1)).as("n_keys"),
+          coalesce(sum("psi"), lit(0.0)).as("psi"),
+          coalesce(sum("jsd"), lit(0.0)).as("jsd")).collect()(0)
+        (row.getLong(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+      } finally DriftStream.release(c) // per-batch checkpoint must not outlive the score
     }
   }
 
@@ -66,11 +78,7 @@ object DriftStream {
         val (nRows, nKeys, psi, jsd) = monitor.score(pinned)
         onScore(id, nRows, nKeys, psi, jsd, psi > psiThreshold)
         sink(pinned, id)
-      } finally pinned.queryExecution.analyzed.foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
+      } finally release(pinned)
     }
   }
 

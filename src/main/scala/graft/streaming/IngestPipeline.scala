@@ -62,26 +62,35 @@ object IngestPipeline {
 
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val pinned = batch.localCheckpoint()
+      // every per-batch checkpoint is released before the batch ends, and
+      // a superseded fingerprint store as soon as its successor is
+      // materialized — on an unbounded stream leaked checkpoint blocks
+      // squeeze execution memory for every later batch (the round-5
+      // block-manager-residue lesson, enforced by IngestPipelineSpec)
+      var admitted: DataFrame = null
+      var fresh: DataFrame = null
       try {
         val nIn = pinned.count()
         val (_, _, psi, _) = monitor.score(pinned)
-        val admitted = limiter.admit(pinned)
+        admitted = limiter.admit(pinned)
         val nAdmitted = admitted.count()
-        val fresh = Dedup.exactIncremental(admitted, seenFps, idCol, textCol)
+        fresh = Dedup.exactIncremental(admitted, seenFps, idCol, textCol)
           .localCheckpoint()
         val nFresh = fresh.count()
         if (nFresh > 0) {
           ManifestStore.upsert(fresh, tablePath, partCol, Seq(partCol, idCol), spark)
-          seenFps = seenFps
+          val grown = seenFps
             .unionByName(Dedup.seenFingerprints(fresh, textCol))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint() // eager: safe to drop the predecessor now
+          DriftStream.release(seenFps)
+          seenFps = grown
         }
         onReport(BatchReport(id, nIn, psi, psi > psiThreshold, nAdmitted, nFresh))
-      } finally pinned.queryExecution.analyzed.foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => ()
+      } finally {
+        if (fresh != null) DriftStream.release(fresh)
+        if (admitted != null) DriftStream.release(admitted)
+        DriftStream.release(pinned)
       }
     }
   }

@@ -20,6 +20,7 @@ class IngestPipelineSpec extends SparkSpec {
     implicit val ctx = spark.sqlContext
     val dir = tmpDir("ingest_pipe")
     val ref = (Seq.fill(2)("a") ++ Seq.fill(2)("b")).toDF("source")
+    val residentBefore = spark.sparkContext.getPersistentRDDs.size
     val reports = mutable.Buffer.empty[IngestPipeline.BatchReport]
     val ms = MemoryStream[(Long, String, String)]
     val q = IngestPipeline.start(
@@ -55,5 +56,12 @@ class IngestPipelineSpec extends SparkSpec {
     // partition b never materialized (its only row deduped away)
     val m = ManifestStore.readManifest(spark, dir).get
     assert(m.entries.keySet == Set("a", "c"), m.entries.toString)
+    // per-batch checkpoints are RELEASED: only the long-lived state (the
+    // fingerprint store + the monitor's reference counts) may remain
+    // resident after the stream stops — a leak here grows per batch and
+    // squeezes execution memory on an unbounded stream
+    val residentAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(residentAfter <= residentBefore + 2,
+      s"checkpoint residue: $residentBefore resident before, $residentAfter after")
   }
 }
