@@ -29,7 +29,15 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        # testdata ships single-file parquet; synthesized scale dirs
+        # (BenchScale) are spark-written DIRECTORIES of part files
+        import os
+        src = f"{sf}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        if not glob.glob(src):
+            continue  # table absent at this scale point (partial synth)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
