@@ -224,6 +224,16 @@ object Quality {
       topkMap(Similarity.sqTopK(
         Similarity.sqEncode(e, sqBounds), sqBounds, queries, 10)), exact10)
 
+    // ---- fuzzy-dedup blocking efficiency (round 10) --------------------
+    // candidates admitted per true pair on the adversarial synthetic names
+    // (near-identical digit tails) - the corpus where weak blocking drowns
+    val cust = graft.queries.Tpch.read(spark, sfDir, "customer")
+    val fuzzyRow = Dedup.editDistanceBlockingStats(cust, "c_custkey", "c_name", maxDist = 1)
+      .collect()(0)
+    val fuzzy =
+      s""""fuzzy_d1":{"candidates":${fuzzyRow.getLong(0)},"pairs":${fuzzyRow.getLong(1)},""" +
+        s""""efficiency":${fuzzyRow.getDouble(2)}}"""
+
     val json =
       s"""{"sf_dir":"$sfDir","text":{"docs":${docs.count()},"truth_pairs_j80":${truth80.size},""" +
         s""""truth_pairs_j90":${truth90.size},"minhash_lsh":{${mh.mkString(",")}},""" +
@@ -234,7 +244,7 @@ object Quality {
         s""""kmeans_converged_iters":$kmIters,""" +
         s""""ivf_converged_nprobe2_at10":$ivfConv,""" +
         s""""ivf_nprobe2_multi2_at10":$ivfMulti2,""" +
-        s""""residual_energy_ratio":$energy}}"""
+        s""""residual_energy_ratio":$energy},$fuzzy}"""
     println(json)
     Files.writeString(Paths.get("QUALITY.json"), json + "\n")
     spark.stop()

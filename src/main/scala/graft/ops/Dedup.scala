@@ -1047,10 +1047,19 @@ object Dedup {
   def editDistancePairs(
       df: DataFrame, idCol: String, strCol: String,
       maxDist: Int = 1, q: Int = 3,
-      maxOccupancy: Int = Int.MaxValue): DataFrame = {
+      maxOccupancy: Int = Int.MaxValue): DataFrame =
+    verifyEditDistance(
+      editDistanceCandidates(df, idCol, strCol, maxDist, q, maxOccupancy), maxDist)
+
+  /** Candidate generation for [[editDistancePairs]]: `(id_a, id_b, s_a,
+    * s_b)` with id_a < id_b — deletion-neighborhood blocking at d ≤ 1,
+    * gram-prefix + short-string recovery beyond. */
+  private def editDistanceCandidates(
+      df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, q: Int, maxOccupancy: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(q >= 2, s"q must be >= 2, got $q")
-    if (maxDist <= 1) return editDistancePairsDel1(df, idCol, strCol, maxDist, maxOccupancy)
+    if (maxDist <= 1) return editDistanceCandidatesDel1(df, idCol, strCol, maxOccupancy)
     val prefixLen = q * maxDist + 1
     val pad = "\u0001" * (q - 1)
     val rows = df.where(col(strCol).isNotNull)
@@ -1091,16 +1100,44 @@ object Dedup {
     }
     val shortBands = shorts.select(
       lit(0).as("band"), explode(shortVariants).as("band_key"), col("id"))
-    val pairs = candidatePairs(prefixes, maxOccupancy)
+    candidatePairs(prefixes, maxOccupancy)
       .unionByName(candidatePairs(shortBands, maxOccupancy))
       .distinct()
-    pairs
       .join(rows.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
       .join(rows.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+      .select("id_a", "id_b", "s_a", "s_b")
+  }
+
+  /** Banded-DP verification over a candidate frame `(id_a, id_b, s_a,
+    * s_b)` — shared by both blocking strategies. */
+  private def verifyEditDistance(cands: DataFrame, maxDist: Int): DataFrame =
+    cands
       .where(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
       .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
       .where(col("dist") >= 0 && col("dist") <= maxDist)
       .select("id_a", "id_b", "s_a", "s_b", "dist")
+
+  /**
+   * Blocking diagnostics for [[editDistancePairs]] — the "no silent caps"
+   * companion ([[lshOccupancyStats]] discipline): one row
+   * `(n_candidates, n_pairs, efficiency)` quantifying how much
+   * levenshtein work the candidate generation admits per true pair.
+   * Efficiency near 1 means the blocking is doing the work; a collapse
+   * toward 0 on a new corpus is the signal to raise `q`, lower
+   * `maxOccupancy`, or pre-normalize keys.
+   */
+  def editDistanceBlockingStats(
+      df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1, q: Int = 3,
+      maxOccupancy: Int = Int.MaxValue): DataFrame = {
+    val cands = editDistanceCandidates(df, idCol, strCol, maxDist, q, maxOccupancy)
+      .localCheckpoint() // feeds both counts — one generation pass
+    val verified = verifyEditDistance(cands, maxDist)
+    cands.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(broadcast(verified.agg(count(lit(1)).as("n_pairs"))))
+      .select(col("n_candidates"), col("n_pairs"),
+        round(col("n_pairs").cast("double") /
+          greatest(col("n_candidates"), lit(1L)).cast("double"), 6).as("efficiency"))
   }
 
   /**
@@ -1125,9 +1162,9 @@ object Dedup {
       .otherwise(transform(sequence(lit(1), length(c)),
         i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c)))))
 
-  private def editDistancePairsDel1(
+  private def editDistanceCandidatesDel1(
       df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int, maxOccupancy: Int): DataFrame = {
+      maxOccupancy: Int): DataFrame = {
     val rows = df.where(col(strCol).isNotNull)
       .select(col(idCol).as("id"), col(strCol).as("s"))
     // {s} ++ one-char deletions; sequence(1, 0) would generate DESCENDING
@@ -1146,7 +1183,7 @@ object Dedup {
     // carrying the payload through the explode is cheaper than two
     // shuffles of the candidate set). sort_array orders by the leading
     // struct field -> id_a < id_b, as in candidatePairs.
-    val verified = bands
+    val cands = bands
       .groupBy("band_key")
       .agg(array_distinct(sort_array(collect_list(struct(col("id"), col("s"))))).as("xs"))
       .where(size(col("xs")) > 1 && size(col("xs")) <= maxOccupancy)
@@ -1157,11 +1194,7 @@ object Dedup {
         col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.s").as("s_a"), col("b.s").as("s_b"))
       .distinct()
-    verified
-      .where(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
-      .where(col("dist") >= 0 && col("dist") <= maxDist)
-      .select("id_a", "id_b", "s_a", "s_b", "dist")
+    cands
   }
 
   def overlapContamination(
