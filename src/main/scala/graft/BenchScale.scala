@@ -45,10 +45,9 @@ object BenchScale {
   /** Decorrelated ×`copies` synthesis of the tables the stress queries
     * read; committed via a marker file, rebuilt only if absent. */
   def synth(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
-    // v2: customer names decorrelated per copy (the fuzzy-dedup stress
-    // would otherwise measure a quadratic cross-copy exact-dup blowup,
-    // not the operator) — bumping the marker rebuilds stale synth dirs
-    val marker = new java.io.File(s"$dst/_GRAFT_SYNTH_OK_v2")
+    // v3: adds events (v2 decorrelated customer names) — bumping the
+    // marker rebuilds stale synth dirs
+    val marker = new java.io.File(s"$dst/_GRAFT_SYNTH_OK_v3")
     if (marker.exists()) return
     new java.io.File(dst).mkdirs()
 
@@ -94,6 +93,15 @@ object BenchScale {
         // stress query, so pair structure stays constant at 10×
         .withColumn("c_name", concat(col("c_name"), lit(s"_$i$i")))
     }.repartition(32).write.mode("overwrite").parquet(s"$dst/customer.parquet")
+
+    // events: users and event ids shift per copy, timestamps unchanged —
+    // per-user dense series and per-type hourly mixes replicate intact,
+    // so the dense-series/anomaly/advisor oracles stay meaningful at 10×
+    val events = graft.queries.Tpch.read(spark, src, "events")
+    copiesOf(events) { (e, i) =>
+      e.withColumn("event_id", col("event_id") + lit(i * Shift))
+        .withColumn("user_id", col("user_id") + lit(i * Shift))
+    }.repartition(32).write.mode("overwrite").parquet(s"$dst/events.parquet")
 
     for (t <- Seq("nation", "region"))
       graft.queries.Tpch.read(spark, src, t)
