@@ -393,6 +393,48 @@ object Profile {
         round(lit(2.0) * pow(lit(gamma), col("_b") + 1) / lit(gamma + 1), 6).as("est"))
   }
 
+  /** Per-GROUP [[ddHistogram]]: `(grp, bucket, cnt)` — the grouped tier
+    * of the mergeable-quantile ledger. Memory per group is the bucket
+    * span, never the value multiset, which is what lets a hot group hold
+    * billions of rows without an exact-percentile buffer explosion. */
+  def ddHistogramByGroup(
+      df: DataFrame, groupCol: String, c: String, alpha: Double = 0.01): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    val gamma = (1 + alpha) / (1 - alpha)
+    val x = col(c).cast("double")
+    df.where(x.isNotNull && x > 0 && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        floor(log(x) / lit(math.log(gamma))).cast("long").as("bucket"))
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group quantile estimates from a [[ddHistogramByGroup]] — same
+    * α-relative-value guarantee, the cumulative walk now a window
+    * PARTITIONED by group (never a global sort). One row per
+    * (group, probability): `(grp, p, n, est)`. */
+  def ddQuantilesByGroup(
+      hist: DataFrame, alpha: Double, probs: Seq[Double]): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"probs must be non-empty, each in [0, 1]: $probs")
+    val gamma = (1 + alpha) / (1 - alpha)
+    val w = Window.partitionBy("grp").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy("grp")
+    val cum = hist
+      .withColumn("_cum", sum("cnt").over(w))
+      .withColumn("_n", sum("cnt").over(wTot))
+    cum
+      .select(col("grp"), col("bucket"), col("_cum"), col("_n"),
+        posexplode(typedlit(probs)).as(Seq("_i", "p")))
+      .where(col("_cum") > floor(col("p") * (col("_n") - 1)))
+      .groupBy("grp", "p").agg(
+        min("bucket").as("_b"),
+        max("_n").as("n"))
+      .select(col("grp"), col("p"), col("n"),
+        round(lit(2.0) * pow(lit(gamma), col("_b") + 1) / lit(gamma + 1), 6).as("est"))
+  }
+
   /**
    * Quantile estimation over a FIXED-SIZE deterministic sample — the
    * 100 TB complement to the exact `percentile` aggregate: take the `k`

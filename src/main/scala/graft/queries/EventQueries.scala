@@ -179,6 +179,14 @@ object EventQueries {
       Profile.ddQuantiles(h, 0.01, Seq(0.5, 0.9, 0.99)).orderBy("p")
     }),
 
+    // Per-group DD quantiles: same alpha guarantee, cumulative walk
+    // partitioned by event type — the memory-bounded grouped-quantile tier
+    "q_profile_ddsketch_group" -> ((s, dir) => {
+      val h = Profile.ddHistogramByGroup(
+        Tpch.read(s, dir, "events"), "event_type", "value", 0.01)
+      Profile.ddQuantilesByGroup(h, 0.01, Seq(0.5, 0.9)).orderBy("grp", "p")
+    }),
+
     // Quantiles over a deterministic bottom-k hash sample (k=500): the
     // fixed-memory, shuffle-free alternative to full-column percentile —
     // sample membership and interpolation replay exactly in the oracle
@@ -612,6 +620,26 @@ object EventQueries {
         |       COALESCE(CAST(e.value AS DOUBLE), m.med) AS value_f
         |FROM e LEFT JOIN m ON m.event_type = e.event_type
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_profile_ddsketch_group" ->
+      """WITH h AS (SELECT event_type AS grp,
+        |                  CAST(floor(ln(CAST(value AS DOUBLE))
+        |                       / ln((1.0 + 0.01) / (1.0 - 0.01))) AS BIGINT) AS bucket,
+        |                  count(*) AS cnt
+        |           FROM events
+        |           WHERE value IS NOT NULL AND value > 0 AND event_type IS NOT NULL
+        |           GROUP BY grp, bucket),
+        |c AS (SELECT grp, bucket,
+        |             SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket
+        |                            ROWS UNBOUNDED PRECEDING) AS cum,
+        |             SUM(cnt) OVER (PARTITION BY grp) AS n FROM h),
+        |p AS (SELECT UNNEST([0.5, 0.9]) AS p),
+        |b AS (SELECT c.grp, p.p, MIN(c.bucket) AS mb, MAX(c.n) AS n
+        |      FROM p, c WHERE c.cum > floor(p.p * (c.n - 1)) GROUP BY c.grp, p.p)
+        |SELECT grp, p, CAST(n AS BIGINT) AS n,
+        |       round(2.0 * pow((1.0 + 0.01) / (1.0 - 0.01), mb + 1)
+        |             / ((1.0 + 0.01) / (1.0 - 0.01) + 1), 6) AS est
+        |FROM b ORDER BY grp, p""".stripMargin,
 
     "q_profile_ddsketch" ->
       """WITH h AS (SELECT CAST(floor(ln(CAST(value AS DOUBLE))
