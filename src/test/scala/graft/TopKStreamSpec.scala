@@ -39,6 +39,36 @@ class TopKStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: state survives a stop/restart from the checkpoint") {
+    implicit val ctx = spark.sqlContext
+    val ckpt = tmpDir("topk_ckpt")
+    val ms = MemoryStream[String]
+    // memory sinks refuse checkpoint recovery; foreachBatch supports it
+    // (the production wiring) — emissions fold into a driver-held map
+    val emitted = scala.collection.mutable.Map.empty[String, Long]
+    def start() = TopKStream.heavyHitters(ms.toDS().toDF("item"), "item", k = 8, buckets = 4)
+      .toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => emitted.update(r.getString(1), r.getLong(2)))
+      }
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      ms.addData(Seq.fill(4)("a") ++ Seq.fill(2)("b"): _*)
+      q1.processAllAvailable()
+      assert(emitted.toMap == Map("a" -> 4L, "b" -> 2L))
+    } finally q1.stop()
+    // a NEW query instance over the same checkpoint resumes the Misra-Gries
+    // state — counts accumulate across the restart, nothing resets
+    val q2 = start()
+    try {
+      ms.addData("a", "c")
+      q2.processAllAvailable()
+      assert(emitted.toMap == Map("a" -> 5L, "b" -> 2L, "c" -> 1L),
+        s"state lost across restart: $emitted")
+    } finally q2.stop()
+  }
+
   test("updateBucket: deterministic merge-with-prune, bounded state, one-sided error") {
     def runBatch(
         prior: Option[Map[String, Long]],
