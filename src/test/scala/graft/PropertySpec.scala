@@ -293,6 +293,70 @@ class PropertySpec extends SparkSpec {
     assert(got == truth, s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
   }
 
+  test("property: asOfJoinWithin equals brute-force latest-prior-within-TTL") {
+    import graft.ops.Events
+    val base = 1704067200L
+    val evGen = for {
+      user <- Gen.chooseNum(1, 5)
+      sec <- Gen.chooseNum(0, 5000)
+    } yield (user.toLong, sec.toLong)
+    val lefts = sample(evGen, 80).zipWithIndex
+      .map { case ((u, t), i) => (i.toLong, u, new java.sql.Timestamp((base + t) * 1000)) }
+    val rights = sample(evGen, 120).zipWithIndex
+      .map { case ((u, t), i) => (1000L + i, u, new java.sql.Timestamp((base + t) * 1000)) }
+    val l = lefts.toDF("event_id", "user_id", "ts")
+    val r = rights.map { case (id, u, ts) => (u, ts, id) }.toDF("user_id", "ts", "rid")
+    val ttl = 600L
+    val got = Events.asOfJoinWithin(l, r, "user_id", "ts", ttl,
+        rightPayload = Seq("rid"), rightTiebreak = Seq("rid"))
+      .collect().map(x => x.getLong(0) -> Option(x.get(3)).map(_.asInstanceOf[Long])).toMap
+    val truth = lefts.map { case (id, u, t) =>
+      val cands = rights.filter(x => x._2 == u && !x._3.after(t))
+      // latest prior; ts ties break on the LARGEST rid (the carry takes
+      // the last row in (ts, tiebreak asc) order)
+      val best = cands.sortBy(x => (x._3.getTime, x._1)).lastOption
+      id -> best.filter(b => t.getTime - b._3.getTime <= ttl * 1000).map(_._1)
+    }.toMap
+    assert(got == truth,
+      s"diff=${truth.collect { case (k, v) if got.get(k).flatten != v => (k, v, got.get(k)) }.take(5)}")
+  }
+
+  test("property: packedExamples partitions the corpus with budget-bounded pack starts") {
+    import graft.ops.Corpus
+    val docGen = for { n <- Gen.chooseNum(1, 30) } yield n
+    val docs = sample(docGen, 150).zipWithIndex.map { case (n, i) => (i.toLong, n.toLong) }
+    val df = docs.toDF("doc_id", "n")
+    val got = Corpus.packedExamples(df, "doc_id", col("n"), budget = 64L, nBuckets = 4)
+      .collect()
+    val members = got.flatMap(_.getString(4).split(",").map(_.toLong))
+    assert(members.length == docs.size && members.toSet == docs.map(_._1).toSet,
+      "every doc must land in exactly one pack")
+    // budget semantics: within a pack, every member's START offset is
+    // under budget (the last doc may overflow past it, never start past it)
+    got.foreach { r =>
+      val lens = r.getString(5).split(",").map(_.toLong)
+      val starts = lens.scanLeft(0L)(_ + _).dropRight(1)
+      assert(starts.forall(_ < 64L), s"pack starts past budget: ${r.toString}")
+    }
+  }
+
+  test("property: ddQuantiles stay within alpha relative error on random positive data") {
+    import graft.ops.Profile
+    val vGen = Gen.chooseNum(1, 5000000).map(_ / 100.0) // 0.01 .. 50000, 5 decades
+    for (alpha <- Seq(0.01, 0.05)) {
+      val vals = sample(vGen, 3000)
+      val hist = Profile.ddHistogram(vals.toDF("x"), "x", alpha)
+      val got = Profile.ddQuantiles(hist, alpha, Seq(0.25, 0.5, 0.75, 0.99))
+        .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+      val sorted = vals.sorted
+      got.foreach { case (p, est) =>
+        val truth = sorted(math.floor(p * (vals.size - 1)).toInt)
+        assert(math.abs(est / truth - 1) <= alpha + 1e-6,
+          s"alpha=$alpha p=$p est=$est truth=$truth")
+      }
+    }
+  }
+
   test("property: drift sums are non-negative, JSD <= ln 2, and symmetric in JSD") {
     import graft.ops.Profile
     val keyGen = Gen.oneOf("a", "b", "c", "d", "e")
