@@ -126,7 +126,10 @@ object BenchScale {
     // late-round-10 additions: prefix/deletion-blocked fuzzy pairs (the
     // candidate machinery under 10× the strings) and the perceptual-hash
     // kernel (10× real PNG decodes — pure per-row compute control)
-    "q_dedup_fuzzy", "q_mm_phash")
+    "q_dedup_fuzzy", "q_mm_phash",
+    // event-family scaling (synth v3 carries events): the union-and-carry
+    // as-of plan, window sessionization, and the median-join imputation
+    "q_ev_asof", "q_ev_sessions", "q_val_impute")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()
