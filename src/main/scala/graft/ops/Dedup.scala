@@ -1064,6 +1064,7 @@ object Dedup {
     val pad = "\u0001" * (q - 1)
     val rows = df.where(col(strCol).isNotNull)
       .select(col(idCol).as("id"), col(strCol).as("s"))
+      .localCheckpoint() // fans into tokens, shorts, and both verify joins
     // occurrence indexing is ROW-LOCAL (occ of gram i = 1 + equal grams
     // before position i): O(L^2) per string but ZERO shuffles - the right
     // trade for the short-string domain (names, vendors) this operator
@@ -1079,6 +1080,7 @@ object Dedup {
           element_at(col("_g"), i),
           (size(filter(slice(col("_g"), lit(1), i - 1),
             x => x === element_at(col("_g"), i))) + 1).cast("string")))).as("tok"))
+      .localCheckpoint() // O(L^2) tokenize pass runs ONCE, not per consumer
     val freq = tokens.groupBy("tok").agg(count(lit(1)).as("_f"))
     val prefixes = tokens.join(freq, "tok")
       .withColumn("_rk",

@@ -183,14 +183,21 @@ object Profile {
       .agg(call_function("cms_sketch", col(leftKey).cast("string"), lit(d), lit(w)).as("_a"))
     val b = right.where(col(rightKey).isNotNull)
       .agg(call_function("cms_sketch", col(rightKey).cast("string"), lit(d), lit(w)).as("_b"))
+    // counter products reach N_L·N_R per cell — long·long wraps past 2^63
+    // and would break the never-undercounts bound, so the inner product
+    // accumulates in decimal(38,0): (19,0)·(19,0) → (38,0) exact (each
+    // counter fits a long, hence 19 digits). The final min casts back to
+    // long, mirroring the oracle's HUGEINT-then-CAST-AS-BIGINT arithmetic.
+    val dec = "decimal(19,0)"
     val rowIp = (0 until d).map { i =>
       aggregate(
         zip_with(
           element_at(col("_a"), i + 1), element_at(col("_b"), i + 1),
-          (x, y) => x * y),
-        lit(0L), (acc, v) => acc + v)
+          (x, y) => x.cast(dec) * y.cast(dec)),
+        lit(0).cast("decimal(38,0)"), (acc, v) => acc + v)
     }.reduce(least(_, _))
-    a.crossJoin(b).select(coalesce(rowIp, lit(0L)).as("est_join_rows"))
+    a.crossJoin(b).select(
+      coalesce(rowIp, lit(0).cast("decimal(38,0)")).cast("long").as("est_join_rows"))
   }
 
   /**

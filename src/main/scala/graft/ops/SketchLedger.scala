@@ -29,21 +29,8 @@ object SketchLedger {
 
   private val Prefix = "_sketch"
 
-  private def genNumber(genId: String): Long = genId.takeWhile(_.isDigit).toLong
-
   private def newGenId(version: Long): String =
     s"$version-${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}"
-
-  private def nextGen(spark: SparkSession, dir: String): Long = {
-    val hfs = ManifestStore.fs(spark, dir)
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val onDisk =
-      if (!hfs.exists(p)) Seq.empty[Long]
-      else hfs.listStatus(p).map(_.getPath.getName)
-        .filter(_.startsWith("gen=")).map(n => genNumber(n.stripPrefix("gen="))).toSeq
-    val committed = ManifestStore.readVersioned(spark, dir, Prefix).map(_._1)
-    (committed.toSeq ++ onDisk :+ 0L).max + 1
-  }
 
   private def parseManifest(content: String): Seq[String] =
     content.linesIterator.filter(_.nonEmpty)
@@ -56,7 +43,12 @@ object SketchLedger {
     val spark = sketch.sparkSession
     val prior = ManifestStore.readVersioned(spark, dir, Prefix)
     val gens = prior.map { case (_, c) => parseManifest(c) }.getOrElse(Seq.empty)
-    val gen = math.max(nextGen(spark, dir), prior.map(_._1 + 1).getOrElse(1L))
+    // Version derives from the manifest we READ, never from on-disk gen dirs:
+    // a stale appender must collide on prior.version + 1 and throw (the
+    // documented loser-throws contract) instead of bumping past a concurrent
+    // winner and committing a manifest that omits the winner's frame. The
+    // UUID suffix keeps same-version crash-debris directories collision-free.
+    val gen = prior.map(_._1 + 1).getOrElse(1L)
     val genId = newGenId(gen)
     sketch.coalesce(1).write.mode("overwrite").parquet(s"$dir/gen=$genId")
     ManifestStore.commitVersioned(spark, dir, Prefix, gen,
@@ -87,7 +79,7 @@ object SketchLedger {
     val spark = folded.sparkSession
     val (ver, _) = ManifestStore.readVersioned(spark, dir, Prefix)
       .getOrElse(throw new IllegalStateException(s"no committed ledger under $dir"))
-    val gen = math.max(nextGen(spark, dir), ver + 1)
+    val gen = ver + 1 // same read-version CAS discipline as append
     val genId = newGenId(gen)
     folded.coalesce(1).write.mode("overwrite").parquet(s"$dir/gen=$genId")
     ManifestStore.commitVersioned(spark, dir, Prefix, gen, s"gen\t$genId\n")

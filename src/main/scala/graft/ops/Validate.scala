@@ -88,7 +88,10 @@ object Validate {
       .agg(expr(s"percentile(_x, array($pLo, $pHi))")).head()
     if (row.isNullAt(0)) return df.withColumn(s"${c}_w", x) // all-null input
     val Seq(lo, hi) = row.getSeq[Double](0).toSeq
-    df.withColumn(s"${c}_w", least(greatest(x, lit(lo)), lit(hi)))
+    // greatest/least SKIP nulls (SQL semantics), so an unguarded clamp would
+    // silently impute null inputs with `lo`; gate on isNotNull to pass nulls.
+    df.withColumn(s"${c}_w",
+      when(x.isNotNull, least(greatest(x, lit(lo)), lit(hi))))
   }
 
   /**

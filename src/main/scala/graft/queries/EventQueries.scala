@@ -515,8 +515,9 @@ object EventQueries {
         |ra AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer WHERE c_custkey IS NOT NULL),
         |lb AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE user_id IS NOT NULL),
         |rb AS (SELECT DISTINCT k FROM lb),
-        |lc AS (SELECT CASE WHEN event_id % 2 = 0 THEN 'hot'
-        |                   ELSE CAST(user_id AS VARCHAR) END AS k FROM events),
+        |lc AS (SELECT k FROM (SELECT CASE WHEN event_id % 2 = 0 THEN 'hot'
+        |                      ELSE CAST(user_id AS VARCHAR) END AS k FROM events)
+        |       WHERE k IS NOT NULL),
         |rc AS (SELECT DISTINCT k FROM lc),
         |ha_a AS (SELECT k, ('0x' || substr(md5(k), 1, 8))::BIGINT AS h32, count(*) AS cnt FROM la GROUP BY k),
         |hb_a AS (SELECT k, ('0x' || substr(md5(k), 1, 8))::BIGINT AS h32, count(*) AS cnt FROM ra GROUP BY k),

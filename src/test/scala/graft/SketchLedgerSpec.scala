@@ -49,12 +49,21 @@ class SketchLedgerSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/gen=9-deadbeef")
     assert(folded(dir) == whole, "uncommitted generation leaked into the fold")
 
+    // version derives from the READ manifest, never on-disk gen numbers: a
+    // high-numbered debris dir must not let an appender bump PAST a
+    // concurrent winner's version (it would commit a manifest omitting the
+    // winner's frame) — the next append is exactly prior+1 = 4
+    val v4 = SketchLedger.append(cmsRow(Seq("tail")), dir)
+    assert(v4 == 4L, s"append must commit at prior+1, got $v4")
+    val whole2 = reference(batches.flatten :+ "tail", 3, 32)
+    assert(folded(dir) == whole2)
+
     // compact to one generation (the caller's fold re-appended), vacuum
     // reclaims victims AND the debris; the fold is unchanged throughout
     SketchLedger.compact(Profile.cmsMergeAll(SketchLedger.read(spark, dir).get, "sk"), dir)
     assert(SketchLedger.status(spark, dir).map(_._2).contains(1))
-    assert(SketchLedger.vacuum(spark, dir) >= 4) // 3 victims + 1 debris dir
-    assert(folded(dir) == whole)
+    assert(SketchLedger.vacuum(spark, dir) >= 5) // 4 victims + 1 debris dir
+    assert(folded(dir) == whole2)
 
     // the ledger is schema-agnostic: HLL binaries ride the same store
     val hdir = tmpDir("hll_ledger")

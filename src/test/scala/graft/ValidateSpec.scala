@@ -37,6 +37,14 @@ class ValidateSpec extends SparkSpec {
     assert(w(1L) == 10.9 && w(5L) == 10.9 && w(50L) == 50.0)
     assert(math.abs(w(100L) - 90.1) < 1e-9)
 
+    // nulls pass through as documented — greatest/least skip nulls, so an
+    // unguarded clamp would impute null with the LOW quantile
+    val withNull = (1 to 100).map(i => (i.toLong, Some(i.toDouble))) :+ ((101L, None))
+    val wn = Validate.winsorize(withNull.toDF("id", "x"), "x", 0.10, 0.90)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(wn(101L).isEmpty, "null input must stay null, not clamp to lo")
+    assert(wn(50L).nonEmpty)
+
     val ev = Seq(
       (1L, "a", Some(1.0)), (2L, "a", Some(3.0)), (3L, "a", None),
       (4L, "b", None), (5L, "b", None)).toDF("id", "g", "v")
