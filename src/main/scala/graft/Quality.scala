@@ -216,6 +216,19 @@ object Quality {
       topkMap(Similarity.ivfPqTopKRerank(
         e, cents, cbR16, queries, 10, nprobe = 8, shortlist = 1024,
         dims = 64, m = 8)), exact10)
+    // Redundant assignment WIRED INTO the persisted index (round 11): an
+    // assign_r=2 index serves ivfPqTopKIndexedRerank at unchanged nprobe=2
+    // with the superset candidate set — recall should land at the
+    // ivf_nprobe2_multi2_at10 ceiling (re-rank absorbs quantization error,
+    // leaving the multi-assignment probe reach as the binding constraint).
+    // This is the build-once/query-many deployment shape, measured on the
+    // real artifact (build → commit → read → serve), not the in-query path.
+    val idxDir = Files.createTempDirectory("graft_quality_idx").toString
+    Similarity.writeIndex(e, cents, cbR16, idxDir, dims = 64, m = 8, assignR = 2)
+    val rerankMulti2 = recallAtK(
+      topkMap(Similarity.ivfPqTopKIndexedRerank(
+        Similarity.readIndex(spark, idxDir), queries, 10, nprobe = 2,
+        shortlist = 256)), exact10)
     // SQ8 (round 10): per-dimension 8-bit codes, full scan — the
     // 4×-compression tier should sit far above PQ's 128×-compressed recall
     // and near the exact scan
@@ -240,7 +253,8 @@ object Quality {
         s""""simhash64_h3":{"recall":$shR,"precision":$shP}},""" +
         s""""ann":{"queries":${exact10.size},${ivf.mkString(",")},${pq.mkString(",")},""" +
         s""""ivfpq_m8_k64_nprobe2_at10":$ivfpqK64,"ivfpq_rerank_at10":$rerank,""" +
-        s""""ivfpq_rerank_nprobe8_at10":$rerank8,"sq8_fullscan_at10":$sq8,""" +
+        s""""ivfpq_rerank_nprobe8_at10":$rerank8,""" +
+        s""""ivfpq_rerank_multi2_at10":$rerankMulti2,"sq8_fullscan_at10":$sq8,""" +
         s""""kmeans_converged_iters":$kmIters,""" +
         s""""ivf_converged_nprobe2_at10":$ivfConv,""" +
         s""""ivf_nprobe2_multi2_at10":$ivfMulti2,""" +

@@ -1033,6 +1033,56 @@ object Similarity {
         posexplode(array(codeCols: _*)).as(Seq("sub", "code")))
   }
 
+  /**
+   * Residual PQ encode with REDUNDANT (top-`r`) coarse assignment — the
+   * persisted-index form of [[ivfAssignTop]]'s recall lever: every vector
+   * is encoded into each of its `r` best cells, with the residual taken
+   * against THAT cell's centroid (so each copy's ADC distance is exact for
+   * its own cell). At fixed nprobe the probe's candidate set becomes a
+   * strict superset of single-assignment's; serving dedups copies by
+   * keeping the minimum per-cell ADC ([[adcScoresIndexed]]). Still ONE
+   * projection over ONE corpus scan — the top-r cell ranking is an in-row
+   * sort of (−dot, cid) structs (the exact [[ivfAssign]] tie-break), then
+   * the per-assignment residual argmin runs against the same centroid
+   * literals. `r = 1` delegates to [[pqEncodeResidual]] (bit-identical,
+   * plan-pinned single-assignment shape).
+   */
+  def pqEncodeResidualTop(
+      emb: DataFrame, coarse: DataFrame, codebooks: DataFrame, dims: Int, m: Int,
+      r: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(r >= 1, s"r must be >= 1, got $r")
+    if (r == 1) return pqEncodeResidual(emb, coarse, codebooks, dims, m, idCol, vecCol)
+    require(m >= 1 && dims % m == 0, s"dims ($dims) must divide into m ($m) subspaces")
+    val sd = dims / m
+    val cents = collectCentroids(coarse, "cid", "cvec")
+    val qoffs: Seq[Seq[Long]] = cents.map { case (_, cv) => quantizeLocal(cv) }
+    val cb = collectCodebooks(codebooks)
+    (0 until m).foreach(s =>
+      require(cb.contains(s), s"codebooks missing subspace $s (have ${cb.keys.toSeq.sorted})"))
+    val entries = cents.zipWithIndex.map { case ((cid, cv), i) =>
+      struct(
+        negate(dotQ(col("_v"), typedlit(cv.toSeq))).as("nd"),
+        lit(cid).as("cid"),
+        lit(i).as("idx"))
+    }
+    val codeCols = (0 until m).map { s =>
+      val sv = slice(col("_v"), s * sd + 1, sd)
+      val idx = call_function("quantized_argbest_res",
+        sv, typedlit(cb(s).map(t => quantizeLocal(t._2))),
+        typedlit(qoffs.map(_.slice(s * sd, (s + 1) * sd))), col("_ci"))
+      cidAt(cb(s), idx)
+    }
+    emb
+      .select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
+      .select(col("vec_id"), col("_v"),
+        explode(slice(array_sort(array(entries: _*)), 1, r)).as("_e"))
+      .select(col("vec_id"), col("_v"),
+        col("_e.cid").as("cell"), col("_e.idx").as("_ci"))
+      .select(
+        col("vec_id"), col("cell"),
+        posexplode(array(codeCols: _*)).as(Seq("sub", "code")))
+  }
+
   /** Per-(query, probed cell) residual ADC lookup table
     * `(qid, cell, sub, code, pd)` with pd = Σ_d (qr_d − qcb_d)² over the
     * subspace — the FULL squared distance term, so summing m entries gives
@@ -1206,7 +1256,8 @@ object Similarity {
     * ([[ivfPqTopKIndexed]]) must not pay for an artifact it never scans. */
   final class AnnIndex(
       val coarse: DataFrame, val codebooks: DataFrame, val codes: DataFrame,
-      vectorsThunk: () => DataFrame, val dims: Int, val m: Int) {
+      vectorsThunk: () => DataFrame, val dims: Int, val m: Int,
+      val assignR: Int = 1) {
     lazy val vectors: DataFrame = vectorsThunk()
   }
 
@@ -1258,10 +1309,11 @@ object Similarity {
   def buildIndex(
       emb: DataFrame, indexDir: String, dims: Int, m: Int,
       coarseK: Int, pqK: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      assignR: Int = 1): Unit = {
     val coarse = trainCentroids(emb, coarseK, iters, idCol, vecCol)
     val codebooks = pqTrainCodebooksResidual(emb, coarse, dims, m, pqK, iters, idCol, vecCol)
-    writeIndex(emb, coarse, codebooks, indexDir, dims, m, idCol, vecCol)
+    writeIndex(emb, coarse, codebooks, indexDir, dims, m, idCol, vecCol, assignR)
   }
 
   /** Persist an index from already-trained quantizers (see [[buildIndex]])
@@ -1274,8 +1326,10 @@ object Similarity {
   def writeIndex(
       emb: DataFrame, coarse: DataFrame, codebooks: DataFrame,
       indexDir: String, dims: Int, m: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      assignR: Int = 1): Unit = {
     require(m >= 1 && dims % m == 0, s"dims ($dims) must divide into m ($m) subspaces")
+    require(assignR >= 1, s"assignR must be >= 1, got $assignR")
     val spark = emb.sparkSession
     val gen = nextIndexGen(spark, indexDir)
     val genId = newIndexGenId(gen)
@@ -1283,12 +1337,15 @@ object Similarity {
     coarse.coalesce(1).write.mode("overwrite").parquet(s"$base/coarse")
     codebooks.coalesce(1).write.mode("overwrite").parquet(s"$base/codebooks")
     import spark.implicits._
-    Seq((dims, m)).toDF("dims", "m")
+    // assign_r is an INDEX property, not a query knob: appends must encode
+    // deltas with the same redundancy and serving must dedup copies, so it
+    // rides the meta artifact next to dims/m
+    Seq((dims, m, assignR)).toDF("dims", "m", "assign_r")
       .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
-    pqEncodeResidual(emb, coarse, codebooks, dims, m, idCol, vecCol)
+    pqEncodeResidualTop(emb, coarse, codebooks, dims, m, assignR, idCol, vecCol)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$base/codes")
-    writeIndexVectors(emb, coarse, s"$base/vectors", idCol, vecCol)
+    writeIndexVectors(emb, coarse, s"$base/vectors", idCol, vecCol, assignR)
     ManifestStore.commitVersioned(spark, indexDir, "_index", gen,
       s"quantizers\t$genId\ncodes\t$genId\n")
   }
@@ -1299,13 +1356,29 @@ object Similarity {
     * exchange before the partitioned write's own clustering. */
   private def writeIndexVectors(
       emb: DataFrame, coarse: DataFrame, dir: String,
-      idCol: String, vecCol: String): Unit = {
+      idCol: String, vecCol: String, assignR: Int = 1): Unit = {
     val cents = collectCentroids(coarse, "cid", "cvec")
-    emb
-      .select(
-        col(idCol).as("vec_id"),
-        cidAt(cents, argBestIdx(col(vecCol), cents, l2 = false)).as("cell"),
-        col(vecCol).as("embedding"))
+    val assigned =
+      if (assignR == 1)
+        emb.select(
+          col(idCol).as("vec_id"),
+          cidAt(cents, argBestIdx(col(vecCol), cents, l2 = false)).as("cell"),
+          col(vecCol).as("embedding"))
+      else {
+        // top-r copies so the re-rank stage's probed-cell partition filter
+        // can reach a vector through ANY of its cells (serving dedups)
+        val entries = cents.map { case (cid, cv) =>
+          struct(
+            negate(dotQ(col("_v"), typedlit(cv.toSeq))).as("nd"),
+            lit(cid).as("cid"))
+        }
+        emb
+          .select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
+          .select(col("vec_id"), col("_v").as("embedding"),
+            explode(slice(array_sort(array(entries: _*)), 1, assignR)).as("_e"))
+          .select(col("vec_id"), col("_e.cid").as("cell"), col("embedding"))
+      }
+    assigned
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
   }
@@ -1335,14 +1408,19 @@ object Similarity {
     requireVectorsArtifact(spark, indexDir, codeGens, "appendToIndex")
     val meta = spark.read.parquet(s"$indexDir/gen=$qgen/meta").collect().head
     val (dims, m) = (meta.getAs[Int]("dims"), meta.getAs[Int]("m"))
+    // deltas must carry the index's own redundancy or serving would see a
+    // mixed-multiplicity corpus (old vectors reachable via r cells, new
+    // via 1) — assign_r is read from meta, never a caller knob here
+    val assignR = if (meta.schema.fieldNames.contains("assign_r"))
+      meta.getAs[Int]("assign_r") else 1
     val coarse = spark.read.parquet(s"$indexDir/gen=$qgen/coarse")
     val codebooks = spark.read.parquet(s"$indexDir/gen=$qgen/codebooks")
     val gen = math.max(nextIndexGen(spark, indexDir), ver + 1)
     val genId = newIndexGenId(gen)
-    pqEncodeResidual(delta, coarse, codebooks, dims, m, idCol, vecCol)
+    pqEncodeResidualTop(delta, coarse, codebooks, dims, m, assignR, idCol, vecCol)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/gen=$genId/codes")
-    writeIndexVectors(delta, coarse, s"$indexDir/gen=$genId/vectors", idCol, vecCol)
+    writeIndexVectors(delta, coarse, s"$indexDir/gen=$genId/vectors", idCol, vecCol, assignR)
     val codeLines = (codeGens :+ genId).map(g => s"codes\t$g").mkString("\n")
     ManifestStore.commitVersioned(spark, indexDir, "_index", gen,
       s"quantizers\t$qgen\n$codeLines\n")
@@ -1400,7 +1478,10 @@ object Similarity {
       codes = gens("codes"),
       vectorsThunk = () => gens("vectors"),
       dims = meta.getAs[Int]("dims"),
-      m = meta.getAs[Int]("m"))
+      m = meta.getAs[Int]("m"),
+      // pre-assign_r indexes (rounds 8-10) are single-assignment
+      assignR = if (meta.schema.fieldNames.contains("assign_r"))
+        meta.getAs[Int]("assign_r") else 1)
   }
 
   /**
@@ -1518,12 +1599,27 @@ object Similarity {
     val probedCells = probes.select("cell").distinct().collect().map(_.get(0)).toSeq
     val lut = pqLutResidual(
       index.codebooks, index.coarse, probes, queries, index.dims, index.m, qIdCol, qVecCol)
-    val adc = index.codes
+    val joined = index.codes
       .where(col("cell").isin(probedCells: _*))
       .join(broadcast(probes), "cell")
       .join(broadcast(lut), Seq("qid", "cell", "sub", "code"))
-      .groupBy("qid", "vec_id")
-      .agg(sum(col("pd")).as("adc"))
+    // On a redundantly-assigned index (assign_r > 1) a candidate can be
+    // reached through several probed cells, each copy with its own exact
+    // per-cell ADC — keep the BEST copy (min distance, the Faiss dedup
+    // rule). Summing across copies would corrupt the distance; the extra
+    // per-cell grouping level exchanges only candidate×cell rows. The
+    // single-assignment index keeps the one-level plan-pinned aggregate.
+    val adc =
+      if (index.assignR > 1)
+        joined
+          .groupBy("qid", "vec_id", "cell")
+          .agg(sum(col("pd")).as("_adc_c"))
+          .groupBy("qid", "vec_id")
+          .agg(min(col("_adc_c")).as("adc"))
+      else
+        joined
+          .groupBy("qid", "vec_id")
+          .agg(sum(col("pd")).as("adc"))
     (adc, probedCells)
   }
 
@@ -1535,13 +1631,18 @@ object Similarity {
     * scan joins against a broadcast hash set and never shuffles. */
   private def rerankExact(
       shortlist: DataFrame, vectors: DataFrame, queries: DataFrame, k: Int,
-      idCol: String, vecCol: String, qIdCol: String, qVecCol: String): DataFrame = {
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      dedupCopies: Boolean = false): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id").asc)
-    vectors
+    val scored = vectors
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .join(broadcast(shortlist.select(col("qid"), col("vec_id"))), "vec_id")
       .join(broadcast(queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"))), "qid")
       .select(col("qid"), col("vec_id"), dotQ(col("v"), col("qv")).as("dot"))
+    // a redundantly-assigned vectors artifact stores a vector once per
+    // cell; copies score the same exact dot, but two identical rows would
+    // occupy two top-k ranks — dedup the (shortlist-bounded) scored set
+    (if (dedupCopies) scored.dropDuplicates("qid", "vec_id") else scored)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
@@ -1572,7 +1673,7 @@ object Similarity {
       .select("qid", "vec_id")
     rerankExact(
       sl, index.vectors.where(col("cell").isin(probedCells: _*)), queries, k,
-      "vec_id", "embedding", qIdCol, qVecCol)
+      "vec_id", "embedding", qIdCol, qVecCol, dedupCopies = index.assignR > 1)
   }
 
   /** In-query (non-persisted) IVF-PQ with exact re-rank — the same

@@ -310,6 +310,66 @@ class PersistenceSpec extends SparkSpec {
     assert(eApp.getMessage.contains("vectors artifact"), eApp.getMessage)
   }
 
+  test("ANN index with assign_r=2: multiplicity, meta round-trip, append parity, serving dedup, brute-force ceiling") {
+    import graft.ops.Similarity
+    val embs = (0 until 48).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(d * 0.7 + (i % 7)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = embs.where($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val coarse = Similarity.trainCentroids(embs, 4, 2)
+    val cb = Similarity.pqTrainCodebooksResidual(embs, coarse, dims = 8, m = 2, k = 3, iters = 2)
+
+    val dir2 = tmpDir("idx_r2")
+    Similarity.writeIndex(embs, coarse, cb, dir2, dims = 8, m = 2, assignR = 2)
+    val idx = Similarity.readIndex(spark, dir2)
+    assert(idx.assignR == 2, "assign_r did not round-trip through meta")
+    assert(idx.codes.count() == 48L * 2 * 2, "r=2 index must carry 2x code rows (x m subs)")
+    assert(idx.vectors.count() == 48L * 2, "r=2 index must carry 2x vector rows")
+    // each vector's 2 cells are DISTINCT (top-2 of the sort, not a dup)
+    val perVec = idx.vectors.groupBy("vec_id")
+      .agg(count_distinct(col("cell")).as("nc")).collect()
+    assert(perVec.forall(_.getLong(1) == 2L), "copies must land in distinct cells")
+
+    // serving dedups copies: exactly k rows per query, distinct vec_ids,
+    // contiguous ranks — for BOTH the ADC and the re-rank path
+    def wellFormed(df: org.apache.spark.sql.DataFrame, k: Int): Unit = {
+      val rows = df.select("qid", "rank", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      rows.groupBy(_._1).foreach { case (q, rs) =>
+        assert(rs.map(_._3).distinct.length == rs.length, s"q$q: duplicate vec_ids")
+        assert(rs.map(_._2).sorted.toSeq == (1 to rs.length), s"q$q: ranks not contiguous")
+        assert(rs.length == k, s"q$q: ${rs.length} rows, expected $k")
+      }
+    }
+    wellFormed(Similarity.ivfPqTopKIndexed(idx, queries, 3, nprobe = 2), 3)
+    wellFormed(Similarity.ivfPqTopKIndexedRerank(idx, queries, 3, nprobe = 2, shortlist = 16), 3)
+
+    // append reads assign_r from meta — half-build + append == full build
+    val dirInc2 = tmpDir("idx_r2_inc")
+    Similarity.writeIndex(
+      embs.where($"vec_id" < 24), coarse, cb, dirInc2, dims = 8, m = 2, assignR = 2)
+    Similarity.appendToIndex(embs.where($"vec_id" >= 24), dirInc2)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "vec_id", "adc")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(key(Similarity.ivfPqTopKIndexed(
+        Similarity.readIndex(spark, dirInc2), queries, 3, nprobe = 2))
+      == key(Similarity.ivfPqTopKIndexed(idx, queries, 3, nprobe = 2)),
+      "r=2 append diverged from r=2 full build")
+
+    // full-probe + covering shortlist: the two-stage indexed ranking must
+    // equal the exact brute-force scan bit-for-bit (same dot, same
+    // tie-break) — copies and dedup cannot leak into the final ranking
+    def rkey(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "vec_id", "dot")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(
+      rkey(Similarity.ivfPqTopKIndexedRerank(idx, queries, 3, nprobe = 4, shortlist = 200))
+        == rkey(Similarity.bruteForceTopK(embs, queries, 3)),
+      "full-probe r=2 re-rank diverged from brute force")
+  }
+
   test("S5-manifest: committed generations are immutable — a reader's snapshot survives an upsert") {
     val dir = tmpDir("stmts_m_snap")
     FinOps.upsertStatementsManifest(FinOps.toStatementItems(statement), dir, spark)

@@ -222,4 +222,48 @@ class QualitySpec extends SparkSpec {
     assert(rMulti >= rSingle + 0.04,
       s"multi-assignment gain collapsed: $rSingle -> $rMulti (measured ~+0.09)")
   }
+
+  test("persisted assign_r=2 index: indexed re-rank reaches the multi-assignment ceiling") {
+    GraftExtensions.register(spark)
+    val e = graft.queries.Tpch.read(spark, dir, "embeddings").localCheckpoint()
+    val queries = e.where(col("vec_id") < 64)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Quality.topkMap(Similarity.bruteForceTopK(e, queries, 10))
+    val cents = Similarity.trainCentroids(e, 32, 2)
+    val cbR = Similarity.pqTrainCodebooksResidual(e, cents, dims = 64, m = 8, k = 16, iters = 2)
+
+    val d1 = tmpDir("q_idx_r1")
+    val d2 = tmpDir("q_idx_r2")
+    Similarity.writeIndex(e, cents, cbR, d1, dims = 64, m = 8, assignR = 1)
+    Similarity.writeIndex(e, cents, cbR, d2, dims = 64, m = 8, assignR = 2)
+
+    def served(idxDir: String): Map[Long, Set[Long]] = Quality.topkMap(
+      Similarity.ivfPqTopKIndexedRerank(
+        Similarity.readIndex(spark, idxDir), queries, 10, nprobe = 2, shortlist = 256))
+
+    // r=1 identity on the INDEXED path: the in-query two-stage ranking and
+    // the persisted-index one share quantizers, so recall is identical
+    val r1 = Quality.recallAtK(served(d1), exact)
+    val inQuery = Quality.recallAtK(Quality.topkMap(
+      Similarity.ivfPqTopKRerank(
+        e, cents, cbR, queries, 10, nprobe = 2, shortlist = 256,
+        dims = 64, m = 8)), exact)
+    assert(r1 == inQuery, s"persisted r=1 serving ($r1) != in-query re-rank ($inQuery)")
+
+    // STRUCTURAL ceiling law: with a shortlist covering every probed
+    // candidate, the r=2 indexed re-rank equals the exact scan over the
+    // multi-assigned candidate set — ivfTopKMulti at the same knobs
+    val r2Served = served(d2)
+    val ceiling = Quality.topkMap(Similarity.ivfTopKMulti(
+      e, cents, queries, 10, nprobe = 2, assignR = 2))
+    assert(r2Served == ceiling,
+      "r=2 indexed re-rank diverged from the exact multi-assignment scan")
+
+    // and the measured gain the round-10 verdict asked to wire in: the
+    // build-once/query-many shape now carries the ~0.70-at-nprobe2 recall
+    val r2 = Quality.recallAtK(r2Served, exact)
+    info(s"indexed re-rank recall@10 at nprobe=2: r1 $r1 -> r2 $r2")
+    assert(r2 >= r1 + 0.04, s"persisted multi-assignment gain collapsed: $r1 -> $r2")
+    assert(r2 >= 0.60, s"persisted r=2 recall@10 $r2 < 0.60 (measured ~0.70)")
+  }
 }
