@@ -401,6 +401,54 @@ object ManifestStore {
   }
 
   /**
+   * Row-level DELETE: rows of the current table matching `keys` on
+   * `mergeKeys` are removed — the takedown/right-to-be-forgotten path for
+   * the partitioned table. Same shape and cost as [[upsert]]: only the
+   * TOUCHED partitions (those named by `keys`' `partCol` values — the
+   * manifest prunes everything else) are rewritten, minus the matching
+   * rows, into one fresh generation, and the manifest commit flips
+   * atomically. Removal is PHYSICAL immediately for the current snapshot
+   * (unlike the serve-time-tombstone indexes, a partition-grain rewrite is
+   * exactly what this store's upsert already pays); the deleted rows'
+   * bytes persist only in superseded generations until [[vacuum]].
+   * A partition whose every row is deleted drops out of the manifest
+   * entirely. Deleting keys not in the table is a no-op. Returns the
+   * number of partitions rewritten.
+   */
+  def delete(
+      keys: DataFrame, path: String, partCol: String, mergeKeys: Seq[String],
+      spark: SparkSession): Int = {
+    require(mergeKeys.contains(partCol), s"mergeKeys must include $partCol")
+    val man = readManifest(spark, path) match {
+      case None => return 0
+      case Some(m) => m
+    }
+    val touched = keys.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.filter(man.entries.contains)
+    if (touched.isEmpty) return 0
+    val existing = currentFrame(spark, path, partCol, Some(touched)) match {
+      case None => return 0
+      case Some(f) => f
+    }
+    val remaining = existing
+      .join(keys.select(mergeKeys.map(col): _*).distinct(), mergeKeys, "left_anti")
+      .localCheckpoint() // consumed twice: the write + the still-live scan
+    val gen = nextGen(spark, path, Some(man))
+    val genId = newGenId(gen)
+    remaining
+      .withColumn("gen", lit(genId))
+      .repartition(col(partCol))
+      .write.mode("append").partitionBy("gen", partCol)
+      .parquet(s"$path/data")
+    val stillLive = remaining.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val entries = (man.entries -- touched) ++
+      touched.filter(stillLive.contains).map(_ -> genId)
+    commitManifest(spark, path, Manifest(gen, entries))
+    touched.size
+  }
+
+  /**
    * Generation compaction — the small-files/long-listing answer for a table
    * that has absorbed many upserts. Each upsert leaves its touched
    * partitions in a fresh `gen=` directory, so after G upserts the live

@@ -262,13 +262,20 @@ object Retrieval {
     (committed.toSeq ++ onDisk :+ 0L).max + 1
   }
 
-  private def parseLexManifest(content: String): Seq[String] =
-    content.linesIterator.filter(_.nonEmpty)
-      .collect { case l if l.startsWith("seg\t") => l.stripPrefix("seg\t") }.toSeq
+  private def parseLexManifest(content: String): (Seq[String], Seq[String]) = {
+    val lines = content.linesIterator.filter(_.nonEmpty).toSeq
+    (lines.collect { case l if l.startsWith("seg\t") => l.stripPrefix("seg\t") },
+      lines.collect { case l if l.startsWith("del\t") => l.stripPrefix("del\t") })
+  }
 
-  /** One segment's three artifacts. The doc-frequency partial is derived by
+  /** One segment's four artifacts. The doc-frequency partial is derived by
     * re-reading the just-written postings (cheaper than re-tokenizing the
-    * corpus, and it audits that the written bytes are readable). */
+    * corpus, and it audits that the written bytes are readable). `doclens`
+    * (Lucene's norms analog: one `(doc_id, dl)` row per document,
+    * INCLUDING zero-token docs the postings explode drops) exists for the
+    * delete path — tombstone stat adjustment must know exactly what each
+    * deleted doc contributed to `n_docs`/`total_tokens`, which postings
+    * alone cannot say for an empty document. */
   private def writeSegment(
       df: DataFrame, idCol: String, textCol: String, base: String): Unit = {
     val spark = df.sparkSession
@@ -280,6 +287,10 @@ object Retrieval {
     docFreq(written).coalesce(1).write.mode("overwrite").parquet(s"$base/tokenstats")
     bm25Stats(df, textCol).coalesce(1).write.mode("overwrite")
       .parquet(s"$base/corpusstats")
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$base/doclens")
   }
 
   /** Build and commit a lexical index over `df`. Rebuilding over an existing
@@ -295,6 +306,130 @@ object Retrieval {
     ManifestStore.commitVersioned(spark, indexDir, "_lex", gen, s"seg\t$genId\n")
   }
 
+  /** Every live segment must carry the `doclens` artifact before a
+    * delete/purge can account stats exactly — a pre-round-11 index
+    * (postings-only segments) fails LOUD here instead of PATH_NOT_FOUND
+    * deep inside the stat adjustment. Rebuild with [[writeLexIndex]] or
+    * compact first. */
+  private def requireDoclens(
+      spark: SparkSession, indexDir: String, segs: Seq[String], op: String): Unit = {
+    val hfs = ManifestStore.fs(spark, indexDir)
+    val missing = segs.filterNot(g =>
+      hfs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/gen=$g/doclens")))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"$op: lexical index at $indexDir has segments without the doclens artifact " +
+        s"(${missing.mkString(", ")}) — a pre-doclens-layout index; rebuild with " +
+        "writeLexIndex before deleting")
+  }
+
+  private def segUnion(
+      spark: SparkSession, indexDir: String, segs: Seq[String],
+      artifact: String): DataFrame =
+    segs.map(g => spark.read.parquet(s"$indexDir/gen=$g/$artifact"))
+      .reduce(_.unionByName(_))
+
+  private def liveTombstones(
+      spark: SparkSession, indexDir: String, delGens: Seq[String]): Option[DataFrame] =
+    if (delGens.isEmpty) None
+    else Some(delGens
+      .map(g => spark.read.parquet(s"$indexDir/gen=$g/tombstones"))
+      .reduce(_.unionByName(_)).distinct())
+
+  /**
+   * Tombstone DELETE from the lexical index — the takedown path without a
+   * corpus re-tokenize or index rebuild: commit the doc ids as a tiny
+   * `del` generation holding three artifacts —
+   *
+   *  - `tombstones/` — the id list, anti-joined into the postings scan at
+   *    read time (the deleted docs can never be retrieved again);
+   *  - `tokenstats/` — NEGATIVE per-token df partials (each deleted doc's
+   *    df contribution, read off the live postings themselves), so the
+   *    read-time df fold yields exactly the remaining corpus's df;
+   *  - `corpusstats/` — negative `(n_docs, total_tokens)` from the
+   *    `doclens` artifact (exact even for zero-token documents).
+   *
+   * After this commit, [[bm25TopKIndexed]] over the index scores
+   * IDENTICALLY to [[bm25]] over the corpus minus the deleted docs —
+   * df, N and avgdl all adjust, not just the retrievable set (spec-pinned
+   * parity). Stat partials are computed against the SERVING view (live
+   * postings minus prior tombstones), so re-deleting an id or deleting an
+   * unknown id contributes zero — idempotent by construction. Physical
+   * removal is [[purgeLexTombstones]]'s job.
+   *
+   * Note the append/delete ordering contract: a tombstone hides the id in
+   * EVERY segment, so re-adding a deleted document requires a purge first
+   * (the same contract the ANN index's [[graft.ops.Similarity.deleteFromIndex]]
+   * carries).
+   */
+  def deleteFromLexIndex(ids: DataFrame, indexDir: String): Unit = {
+    val spark = ids.sparkSession
+    val (ver, content) = ManifestStore.readVersioned(spark, indexDir, "_lex")
+      .getOrElse(throw new IllegalStateException(
+        s"no committed lexical index under $indexDir to delete from"))
+    val (segs, delGens) = parseLexManifest(content)
+    val dels = ids.select(col("doc_id")).distinct().localCheckpoint()
+    if (dels.isEmpty) return
+    requireDoclens(spark, indexDir, segs, "deleteFromLexIndex")
+    val prior = liveTombstones(spark, indexDir, delGens)
+    def live(artifact: String): DataFrame = {
+      val all = segUnion(spark, indexDir, segs, artifact)
+      prior.fold(all)(t => all.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    }
+    val gen = math.max(nextLexGen(spark, indexDir), ver + 1)
+    val genId = newLexGenId(gen)
+    val base = s"$indexDir/gen=$genId"
+    dels.coalesce(1).write.mode("overwrite").parquet(s"$base/tombstones")
+    live("postings").join(broadcast(dels), Seq("doc_id"), "left_semi")
+      .groupBy("token").agg(negate(count(lit(1))).as("df"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/tokenstats")
+    live("doclens").join(broadcast(dels), Seq("doc_id"), "left_semi")
+      .agg(
+        negate(count(lit(1))).as("n_docs"),
+        negate(coalesce(sum(col("dl")), lit(0L))).as("total_tokens"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/corpusstats")
+    ManifestStore.commitVersioned(spark, indexDir, "_lex", gen,
+      (segs.map(g => s"seg\t$g") ++ (delGens :+ genId).map(g => s"del\t$g"))
+        .mkString("", "\n", "\n"))
+  }
+
+  /**
+   * Physical tombstone purge: rewrite all live segments minus tombstoned
+   * docs into ONE consolidated segment (token-range-reclustered, stats
+   * recomputed from the surviving rows), commit a manifest with no `del`
+   * lines — after this plus [[vacuumLexIndex]] no byte of a deleted
+   * document remains. Full-compaction cost, paid when the tombstone debt
+   * is collected, not per delete. Serving identical before/after.
+   * Returns the number of tombstoned ids retired.
+   */
+  def purgeLexTombstones(spark: SparkSession, indexDir: String): Long = {
+    val (ver, content) = ManifestStore.readVersioned(spark, indexDir, "_lex")
+      .getOrElse(throw new IllegalStateException(
+        s"no committed lexical index under $indexDir"))
+    val (segs, delGens) = parseLexManifest(content)
+    if (delGens.isEmpty) return 0L
+    requireDoclens(spark, indexDir, segs, "purgeLexTombstones")
+    val ts = liveTombstones(spark, indexDir, delGens).get.localCheckpoint()
+    val nTs = ts.count()
+    val gen = math.max(nextLexGen(spark, indexDir), ver + 1)
+    val genId = newLexGenId(gen)
+    val base = s"$indexDir/gen=$genId"
+    segUnion(spark, indexDir, segs, "postings")
+      .join(broadcast(ts), Seq("doc_id"), "left_anti")
+      .repartitionByRange(col("token")).sortWithinPartitions("token")
+      .write.mode("overwrite").parquet(s"$base/postings")
+    docFreq(spark.read.parquet(s"$base/postings"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/tokenstats")
+    segUnion(spark, indexDir, segs, "doclens")
+      .join(broadcast(ts), Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$base/doclens")
+    spark.read.parquet(s"$base/doclens")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/corpusstats")
+    ManifestStore.commitVersioned(spark, indexDir, "_lex", gen, s"seg\t$genId\n")
+    nTs
+  }
+
   /** Incremental append of a NEW-document batch as one more segment —
     * serving over the appended index equals [[bm25]] over the concatenated
     * corpus (spec-pinned). An empty delta is a no-op. */
@@ -306,12 +441,13 @@ object Retrieval {
       .getOrElse(throw new IllegalStateException(
         s"no committed lexical index under $indexDir to append to"))
     if (delta.isEmpty) return
-    val segs = parseLexManifest(content)
+    val (segs, delGens) = parseLexManifest(content)
     val gen = math.max(nextLexGen(spark, indexDir), ver + 1)
     val genId = newLexGenId(gen)
     writeSegment(delta, idCol, textCol, s"$indexDir/gen=$genId")
     ManifestStore.commitVersioned(spark, indexDir, "_lex", gen,
-      (segs :+ genId).map(g => s"seg\t$g").mkString("", "\n", "\n"))
+      ((segs :+ genId).map(g => s"seg\t$g") ++ delGens.map(g => s"del\t$g"))
+        .mkString("", "\n", "\n"))
   }
 
   /** True iff `indexDir` holds a committed lexical index. */
@@ -325,14 +461,24 @@ object Retrieval {
     val (_, content) = ManifestStore.readVersioned(spark, indexDir, "_lex")
       .getOrElse(throw new IllegalStateException(
         s"no committed lexical index under $indexDir"))
-    val segs = parseLexManifest(content)
-    def gens(artifact: String): DataFrame =
-      segs.map(g => spark.read.parquet(s"$indexDir/gen=$g/$artifact"))
-        .reduce(_.unionByName(_))
+    val (segs, delGens) = parseLexManifest(content)
+    val ts = liveTombstones(spark, indexDir, delGens)
+    // del generations carry NEGATIVE df/corpus partials, so the same folds
+    // that merge segments also apply deletions — df, N and avgdl all score
+    // as if the deleted docs were never indexed; the postings anti-join
+    // removes them from the retrievable set
+    // tombstone gens always carry both stat partials (written by
+    // deleteFromLexIndex before its commit), so they fold alongside segs
+    def statUnion(artifact: String): DataFrame =
+      segUnion(spark, indexDir, segs ++ delGens, artifact)
     new LexIndex(
-      postings = gens("postings"),
-      docFreq = gens("tokenstats").groupBy("token").agg(sum(col("df")).as("df")),
-      stats = gens("corpusstats").agg(
+      postings = ts.fold(segUnion(spark, indexDir, segs, "postings"))(t =>
+        segUnion(spark, indexDir, segs, "postings")
+          .join(broadcast(t), Seq("doc_id"), "left_anti")),
+      docFreq = statUnion("tokenstats")
+        .groupBy("token").agg(sum(col("df")).as("df"))
+        .where(col("df") > 0),
+      stats = statUnion("corpusstats").agg(
         sum(col("n_docs")).as("n_docs"),
         sum(col("total_tokens")).as("total_tokens")))
   }
@@ -374,7 +520,10 @@ object Retrieval {
     require(maxGens >= 1, "maxGens must be at least 1")
     val (ver, content) = ManifestStore.readVersioned(spark, indexDir, "_lex")
       .getOrElse(return 0)
-    val segs = parseLexManifest(content)
+    // del generations are never compaction victims (they're tiny and their
+    // negative partials must keep folding against the UNCHANGED segment
+    // stats) — [[purgeLexTombstones]] is the consolidation that retires them
+    val (segs, delGens) = parseLexManifest(content)
     if (segs.size <= maxGens) return 0
     val hfs = ManifestStore.fs(spark, indexDir)
     val sizes: Map[String, Long] = segs.map { g =>
@@ -398,8 +547,15 @@ object Retrieval {
     unioned("corpusstats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_tokens")).as("total_tokens"))
       .coalesce(1).write.mode("overwrite").parquet(s"$base/corpusstats")
+    // doclens merges when every victim carries it; a legacy mix leaves the
+    // merged segment doclens-less (delete/purge then fail loud, as before)
+    val hfsD = ManifestStore.fs(spark, indexDir)
+    if (victims.forall(g =>
+        hfsD.exists(new org.apache.hadoop.fs.Path(s"$indexDir/gen=$g/doclens"))))
+      unioned("doclens").write.mode("overwrite").parquet(s"$base/doclens")
     ManifestStore.commitVersioned(spark, indexDir, "_lex", gen,
-      (keep :+ genId).map(g => s"seg\t$g").mkString("", "\n", "\n"))
+      ((keep :+ genId).map(g => s"seg\t$g") ++ delGens.map(g => s"del\t$g"))
+        .mkString("", "\n", "\n"))
     victims.size
   }
 
@@ -407,7 +563,7 @@ object Retrieval {
     * (superseded rebuilds, crash debris). Space only; returns count. */
   def vacuumLexIndex(spark: SparkSession, indexDir: String): Int = {
     val live = ManifestStore.readVersioned(spark, indexDir, "_lex")
-      .map { case (_, c) => parseLexManifest(c).toSet }
+      .map { case (_, c) => val (s, d) = parseLexManifest(c); (s ++ d).toSet }
       .getOrElse(Set.empty[String])
     val hfs = ManifestStore.fs(spark, indexDir)
     val dir = new org.apache.hadoop.fs.Path(indexDir)

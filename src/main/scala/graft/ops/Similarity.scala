@@ -1268,12 +1268,13 @@ object Similarity {
     * lets at most one writer acknowledge, so a single-writer-contract
     * violation is non-corrupting (same argument, same mechanism as
     * [[ManifestStore]]). */
-  private def parseIndexManifest(content: String): (String, Seq[String]) = {
+  private def parseIndexManifest(content: String): (String, Seq[String], Seq[String]) = {
     val lines = content.linesIterator.filter(_.nonEmpty).toSeq
     val q = lines.collectFirst { case l if l.startsWith("quantizers\t") =>
       l.stripPrefix("quantizers\t") }
     (q.getOrElse(throw new IllegalStateException("index manifest missing quantizers line")),
-      lines.collect { case l if l.startsWith("codes\t") => l.stripPrefix("codes\t") })
+      lines.collect { case l if l.startsWith("codes\t") => l.stripPrefix("codes\t") },
+      lines.collect { case l if l.startsWith("dels\t") => l.stripPrefix("dels\t") })
   }
 
   private def indexGenNumber(genId: String): Long =
@@ -1399,7 +1400,7 @@ object Similarity {
     val (ver, content) = ManifestStore.readVersioned(spark, indexDir, "_index")
       .getOrElse(throw new IllegalStateException(
         s"no committed index under $indexDir to append to"))
-    val (qgen, codeGens) = parseIndexManifest(content)
+    val (qgen, codeGens, delGens) = parseIndexManifest(content)
     // An empty delta is a no-op: committing a row-less generation would
     // leave an uninferrable-schema parquet dir in the manifest. Checked
     // BEFORE the vectors-artifact guard so the documented no-op contract
@@ -1421,9 +1422,98 @@ object Similarity {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/gen=$genId/codes")
     writeIndexVectors(delta, coarse, s"$indexDir/gen=$genId/vectors", idCol, vecCol, assignR)
-    val codeLines = (codeGens :+ genId).map(g => s"codes\t$g").mkString("\n")
+    val codeLines = (codeGens :+ genId).map(g => s"codes\t$g") ++
+      delGens.map(g => s"dels\t$g")
     ManifestStore.commitVersioned(spark, indexDir, "_index", gen,
-      s"quantizers\t$qgen\n$codeLines\n")
+      s"quantizers\t$qgen\n" + codeLines.mkString("\n") + "\n")
+  }
+
+  /**
+   * Tombstone DELETE — the takedown/right-to-be-forgotten path the
+   * append-only index was missing: commit the ids as a tiny `tombstones`
+   * generation under the same CAS'd manifest protocol, and every
+   * subsequent [[readIndex]] anti-joins them out of BOTH served artifacts
+   * (codes and raw vectors) — the deleted documents vanish from all
+   * serving paths IMMEDIATELY, at the cost of one id-list write instead of
+   * the full-index rebuild a 100 TB corpus can't afford. Physical removal
+   * is deferred: [[compactIndex]] drops tombstoned rows from whatever it
+   * rewrites, and [[purgeIndexTombstones]] is the complete physical drop
+   * that also retires the tombstone list. Deleting ids not in the index is
+   * a harmless no-op (the anti-join matches nothing); an empty id frame
+   * commits nothing.
+   *
+   * `ids` must have a `vec_id` column; takedown batches are id LISTS
+   * (bounded, broadcast-sized) — the serve-time anti-join builds a
+   * broadcast hash set of them, so serving cost is unchanged.
+   */
+  def deleteFromIndex(ids: DataFrame, indexDir: String): Unit = {
+    val spark = ids.sparkSession
+    val (ver, content) = ManifestStore.readVersioned(spark, indexDir, "_index")
+      .getOrElse(throw new IllegalStateException(
+        s"no committed index under $indexDir to delete from"))
+    val (qgen, codeGens, delGens) = parseIndexManifest(content)
+    val dels = ids.select(col("vec_id")).distinct()
+    if (dels.isEmpty) return
+    val gen = math.max(nextIndexGen(spark, indexDir), ver + 1)
+    val genId = newIndexGenId(gen)
+    dels.coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/gen=$genId/tombstones")
+    ManifestStore.commitVersioned(spark, indexDir, "_index", gen,
+      s"quantizers\t$qgen\n" + (codeGens.map(g => s"codes\t$g") ++
+        (delGens :+ genId).map(g => s"dels\t$g")).mkString("\n") + "\n")
+  }
+
+  /**
+   * Physical tombstone purge: rewrite ALL live code generations minus the
+   * tombstoned ids into ONE consolidated generation and commit a manifest
+   * with no `dels` lines — after this (plus [[vacuumIndex]]) no byte of a
+   * deleted document remains on disk, the state a compliance deletion
+   * ultimately requires. The quantizer artifacts stay in their original
+   * generation (they are trained aggregates, not per-document data); only
+   * the codes/vectors mass is rewritten — the cost of a full compaction,
+   * paid when the tombstone debt is collected, not per delete. Serving
+   * results are identical before and after (the serve-time anti-join
+   * already hid the rows). Returns the number of tombstoned ids retired
+   * (0 when the index carries no tombstones).
+   */
+  def purgeIndexTombstones(spark: SparkSession, indexDir: String): Long = {
+    val (ver, content) = ManifestStore.readVersioned(spark, indexDir, "_index")
+      .getOrElse(throw new IllegalStateException(s"no committed index under $indexDir"))
+    val (qgen, codeGens, delGens) = parseIndexManifest(content)
+    if (delGens.isEmpty) return 0L
+    requireVectorsArtifact(spark, indexDir, codeGens, "purgeIndexTombstones")
+    val ts = delGens
+      .map(g => spark.read.parquet(s"$indexDir/gen=$g/tombstones"))
+      .reduce(_.unionByName(_)).distinct().localCheckpoint()
+    val nTs = ts.count()
+    val gen = math.max(nextIndexGen(spark, indexDir), ver + 1)
+    val genId = newIndexGenId(gen)
+    def rewrite(artifact: String): Unit =
+      codeGens.map { g =>
+        val dir = s"$indexDir/gen=$g/$artifact"
+        spark.read.option("basePath", dir).parquet(dir)
+      }.reduce(_.unionByName(_))
+        .join(broadcast(ts), Seq("vec_id"), "left_anti")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/gen=$genId/$artifact")
+    rewrite("codes")
+    rewrite("vectors")
+    ManifestStore.commitVersioned(spark, indexDir, "_index", gen,
+      s"quantizers\t$qgen\ncodes\t$genId\n")
+    // the quantizers generation survives for its trained artifacts; if it
+    // also held codes, those (now unreferenced) subdirectories still carry
+    // the deleted documents' bytes — drop them NOW, after the commit, so
+    // the purge is physically complete without waiting for a vacuum.
+    // Purge is a vacuum-class operation: manifests below the new version
+    // stop resolving for the rewritten generations (same trade
+    // [[ManifestStore.vacuum]] documents for its retention horizon).
+    if (codeGens.contains(qgen)) {
+      val hfs = ManifestStore.fs(spark, indexDir)
+      hfs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/gen=$qgen/codes"), true)
+      hfs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/gen=$qgen/vectors"), true)
+    }
+    nTs
   }
 
   /** Fail-loud guard for the round-9 layout: every committed code
@@ -1459,19 +1549,32 @@ object Similarity {
   def indexStatus(spark: SparkSession, indexDir: String): (Long, Int) = {
     val (ver, content) = ManifestStore.readVersioned(spark, indexDir, "_index")
       .getOrElse(throw new IllegalStateException(s"no committed index under $indexDir"))
-    val (_, codeGens) = parseIndexManifest(content)
+    val (_, codeGens, _) = parseIndexManifest(content)
     (ver, codeGens.size)
   }
 
   def readIndex(spark: SparkSession, indexDir: String): AnnIndex = {
     val (_, content) = ManifestStore.readVersioned(spark, indexDir, "_index")
       .getOrElse(throw new IllegalStateException(s"no committed index under $indexDir"))
-    val (qgen, codeGens) = parseIndexManifest(content)
+    val (qgen, codeGens, delGens) = parseIndexManifest(content)
     val meta = spark.read.parquet(s"$indexDir/gen=$qgen/meta").collect().head
-    def gens(artifact: String): DataFrame = codeGens.map { g =>
-      val dir = s"$indexDir/gen=$g/$artifact"
-      spark.read.option("basePath", dir).parquet(dir)
-    }.reduce(_.unionByName(_))
+    // live tombstones fold to ONE distinct-id frame (takedown batches are
+    // id lists — broadcast-sized) anti-joined into BOTH served artifacts,
+    // so every serving path sees the post-delete corpus without any
+    // generation having been rewritten
+    val tombstones: Option[DataFrame] =
+      if (delGens.isEmpty) None
+      else Some(delGens
+        .map(g => spark.read.parquet(s"$indexDir/gen=$g/tombstones"))
+        .reduce(_.unionByName(_)).distinct())
+    def gens(artifact: String): DataFrame = {
+      val all = codeGens.map { g =>
+        val dir = s"$indexDir/gen=$g/$artifact"
+        spark.read.option("basePath", dir).parquet(dir)
+      }.reduce(_.unionByName(_))
+      tombstones.fold(all)(ts =>
+        all.join(broadcast(ts), Seq("vec_id"), "left_anti"))
+    }
     new AnnIndex(
       coarse = spark.read.parquet(s"$indexDir/gen=$qgen/coarse"),
       codebooks = spark.read.parquet(s"$indexDir/gen=$qgen/codebooks"),
@@ -1511,7 +1614,7 @@ object Similarity {
     require(maxGens >= 1, "maxGens must be at least 1")
     val (ver, content) = ManifestStore.readVersioned(spark, indexDir, "_index")
       .getOrElse(return 0)
-    val (qgen, codeGens) = parseIndexManifest(content)
+    val (qgen, codeGens, delGens) = parseIndexManifest(content)
     if (codeGens.size <= maxGens) return 0
     requireVectorsArtifact(spark, indexDir, codeGens, "compactIndex")
     val hfs = ManifestStore.fs(spark, indexDir)
@@ -1531,19 +1634,31 @@ object Similarity {
     if (victims.size <= 1) return 0 // merging one gen can't reduce the count
     val gen = math.max(nextIndexGen(spark, indexDir), ver + 1)
     val genId = newIndexGenId(gen)
-    def merge(artifact: String): Unit =
-      victims.map { g =>
+    // merged output physically drops tombstoned rows (the serve-time
+    // anti-join already hides them, so content is unchanged); the del
+    // lines stay live because the KEPT generations may still hold
+    // tombstoned rows — [[purgeIndexTombstones]] is the full physical drop
+    val ts: Option[DataFrame] =
+      if (delGens.isEmpty) None
+      else Some(delGens
+        .map(g => spark.read.parquet(s"$indexDir/gen=$g/tombstones"))
+        .reduce(_.unionByName(_)).distinct())
+    def merge(artifact: String): Unit = {
+      val unioned = victims.map { g =>
         val dir = s"$indexDir/gen=$g/$artifact"
         spark.read.option("basePath", dir).parquet(dir)
       }.reduce(_.unionByName(_))
+      ts.fold(unioned)(t => unioned.join(broadcast(t), Seq("vec_id"), "left_anti"))
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$indexDir/gen=$genId/$artifact")
+    }
     merge("codes")
     merge("vectors")
     val live = (codeGens.filter(g => g == qgen || keep.contains(g)) :+ genId)
     ManifestStore.commitVersioned(spark, indexDir, "_index", gen,
-      s"quantizers\t$qgen\n" + live.map(g => s"codes\t$g").mkString("\n") + "\n")
+      s"quantizers\t$qgen\n" + (live.map(g => s"codes\t$g") ++
+        delGens.map(g => s"dels\t$g")).mkString("\n") + "\n")
     victims.size
   }
 
@@ -1552,7 +1667,8 @@ object Similarity {
     * correctness never depends on it; returns the number removed. */
   def vacuumIndex(spark: SparkSession, indexDir: String): Int = {
     val live = ManifestStore.readVersioned(spark, indexDir, "_index")
-      .map { case (_, c) => val (q, gs) = parseIndexManifest(c); (gs :+ q).toSet }
+      .map { case (_, c) =>
+        val (q, gs, ds) = parseIndexManifest(c); (gs ++ ds :+ q).toSet }
       .getOrElse(Set.empty[String])
     val hfs = ManifestStore.fs(spark, indexDir)
     val dir = new org.apache.hadoop.fs.Path(indexDir)
