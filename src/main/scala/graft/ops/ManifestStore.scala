@@ -114,8 +114,11 @@ object ManifestStore {
      * window, stated honestly: a writer that CRASHES between its rename
      * and its visibility check leaves a same-version file that can shadow
      * a concurrently-acknowledged winner if its token sorts lower — the
-     * store gives no primitive to close this without a conditional PUT
-     * (S3 `If-None-Match`), which the Hadoop FS API does not yet expose.
+     * store gives no RENAME-class primitive to close this; a store-native
+     * conditional PUT does, and since round 11 that is the
+     * [[ConditionalPut]] tier (register an S3 `If-None-Match` client via
+     * [[ManifestStore.registerCommitStore]]). This tier remains for
+     * S3-class stores without such a client.
      * Every resolvable state remains CONSISTENT (each candidate manifest
      * names only complete, immutable generations derived from the prior
      * version); the hazard is lost-update between two concurrent writers,
@@ -126,16 +129,83 @@ object ManifestStore {
      */
     case object VersionedReadRepair extends CommitProtocol
 
+    /**
+     * Store-native conditional-PUT tier — closes the residual crash window
+     * [[VersionedReadRepair]] documents: when the store can atomically
+     * "create this object iff absent" (S3 `If-None-Match: *`, GCS
+     * `ifGenerationMatch=0`, HDFS create-exclusive), the commit IS that
+     * one call. A writer either completed the put (committed, visible,
+     * version taken) or it didn't (nothing visible) — there is NO
+     * intermediate state a crash can leave, so the crashed-writer-shadows-
+     * a-winner hazard of the read-repair tier cannot arise. The protocol
+     * logic needs nothing else from the store: losers get `false` and
+     * throw, no tmp files, no visibility check, no read-time resolution.
+     */
+    final case class ConditionalPut(store: CommitStore) extends CommitProtocol
+
     /** Session-level switch: `spark.graft.commit.protocol` =
-      * `rename` (default — HDFS/POSIX) | `read-repair` (S3-class stores). */
+      * `rename` (default — HDFS/POSIX) | `read-repair` (S3-class stores
+      * without a registered conditional-put client) | `conditional-put`
+      * (uses the [[ManifestStore.registerCommitStore registered]]
+      * [[CommitStore]], falling back to [[CommitStore.HadoopCreateExclusive]]). */
     def fromConf(spark: SparkSession): CommitProtocol =
       spark.conf.get("spark.graft.commit.protocol", "rename") match {
-        case "rename"      => AtomicRename
-        case "read-repair" => VersionedReadRepair
+        case "rename"          => AtomicRename
+        case "read-repair"     => VersionedReadRepair
+        case "conditional-put" => ConditionalPut(currentCommitStore)
         case other => throw new IllegalArgumentException(
-          s"spark.graft.commit.protocol must be rename|read-repair, got $other")
+          s"spark.graft.commit.protocol must be rename|read-repair|conditional-put, got $other")
       }
   }
+
+  /**
+   * The narrow store SPI behind [[CommitProtocol.ConditionalPut]] — ONE
+   * method, so a real S3 client (`PutObject` with `If-None-Match: *`) can
+   * drop in without touching any protocol logic. Implementations must make
+   * the create-iff-absent decision ATOMIC in the store; everything else in
+   * the commit machinery is store-agnostic.
+   */
+  trait CommitStore {
+    /** Atomically create `dir/name` with `content` iff no object exists at
+      * that name; return false — writing nothing — when one does. */
+    def putIfAbsent(
+        spark: SparkSession, dir: String, name: String, content: Array[Byte]): Boolean
+  }
+
+  object CommitStore {
+    /** Hadoop `create(path, overwrite = false)` — atomic in the NameNode on
+      * HDFS (true create-exclusive); on local filesystems the no-overwrite
+      * check is enforced but not race-atomic (prefer a store-native client
+      * where true multi-writer safety matters). */
+    object HadoopCreateExclusive extends CommitStore {
+      override def putIfAbsent(
+          spark: SparkSession, dir: String, name: String,
+          content: Array[Byte]): Boolean = {
+        val hfs = fs(spark, dir)
+        val p = new Path(dir, name)
+        val out =
+          try hfs.create(p, false)
+          catch {
+            case e: java.io.IOException =>
+              if (hfs.exists(p)) return false else throw e
+          }
+        try out.write(content) finally out.close()
+        true
+      }
+    }
+  }
+
+  @volatile private var registeredCommitStore: Option[CommitStore] = None
+
+  /** Install a store-native [[CommitStore]] (e.g. an S3 `If-None-Match`
+    * client) for the `conditional-put` protocol; process-wide. */
+  def registerCommitStore(store: CommitStore): Unit =
+    registeredCommitStore = Some(store)
+
+  def clearCommitStore(): Unit = registeredCommitStore = None
+
+  private def currentCommitStore: CommitStore =
+    registeredCommitStore.getOrElse(CommitStore.HadoopCreateExclusive)
 
   private[graft] def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -208,9 +278,26 @@ object ManifestStore {
       version: Long, content: String, protocol: CommitProtocol): Unit = {
     val hfs = fs(spark, dir)
     val finalName = f"$prefix.$version%012d"
+    protocol match {
+      case CommitProtocol.ConditionalPut(store) =>
+        // one atomic create-iff-absent IS the commit — no tmp file, no
+        // rename, no visibility check, no crash window
+        if (!store.putIfAbsent(spark, dir, finalName, content.getBytes("UTF-8")))
+          throw new java.io.IOException(
+            s"conditional-put commit refused for $finalName under $dir — " +
+              s"a concurrent writer committed this version first")
+      case _ => commitVersionedByRename(
+        spark, hfs, dir, prefix, version, content, protocol, finalName)
+    }
+  }
+
+  private def commitVersionedByRename(
+      spark: SparkSession, hfs: FileSystem, dir: String, prefix: String,
+      version: Long, content: String, protocol: CommitProtocol,
+      finalName: String): Unit = {
     val token = writerToken()
-    // tmp name is writer-unique under BOTH protocols: two racing writers
-    // must never clobber each other's in-flight bytes
+    // tmp name is writer-unique under BOTH rename protocols: two racing
+    // writers must never clobber each other's in-flight bytes
     val tmp = new Path(dir, s"$finalName.$token.tmp")
     val out = hfs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
@@ -258,6 +345,9 @@ object ManifestStore {
             s"lost the version-$version commit race under $dir to " +
               s"${others.map(_._3).sorted.mkString(", ")}")
         }
+      case CommitProtocol.ConditionalPut(_) =>
+        throw new IllegalStateException(
+          "ConditionalPut is dispatched before the rename path") // unreachable
     }
   }
 

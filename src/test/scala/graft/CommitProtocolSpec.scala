@@ -147,6 +147,87 @@ class CommitProtocolSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.commit.protocol", "rename")
   }
 
+  /** Conditional-put double: the create-iff-absent DECISION is atomic
+    * (ConcurrentHashMap claim — the semantics a real S3 `If-None-Match: *`
+    * provides in the store), then the bytes land so readers resolve them.
+    * Runs on the OVERWRITING store, where neither rename tier's primitive
+    * exists — exactly the deployment the SPI is for. */
+  private object InMemoryConditionalPut extends ManifestStore.CommitStore {
+    val claimed: java.util.concurrent.ConcurrentHashMap.KeySetView[String, java.lang.Boolean] =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    override def putIfAbsent(
+        s: org.apache.spark.sql.SparkSession, dir: String, name: String,
+        content: Array[Byte]): Boolean = {
+      if (!claimed.add(s"$dir/$name")) return false
+      val hfs = ManifestStore.fs(s, dir)
+      val out = hfs.create(new Path(dir, name), true)
+      try out.write(content) finally out.close()
+      true
+    }
+  }
+
+  test("ConditionalPut: one atomic call commits; the loser is refused with nothing written — no crash window") {
+    val dir = owfsDir("cp_cput")
+    val proto = CommitProtocol.ConditionalPut(InMemoryConditionalPut)
+    ManifestStore.commitVersioned(spark, dir, "_manifest", 1, "p1\tgA\n", proto)
+    val e = intercept[java.io.IOException] {
+      ManifestStore.commitVersioned(spark, dir, "_manifest", 1, "p1\tgB\n", proto)
+    }
+    assert(e.getMessage.contains("conditional-put commit refused"), e.getMessage)
+    assert(ManifestStore.readVersioned(spark, dir, "_manifest")
+      .contains((1L, "p1\tgA\n")))
+    // exactly ONE file per version, no tmp debris, no duplicate to resolve
+    val files = ManifestStore.fs(spark, dir)
+      .listStatus(new Path(dir)).map(_.getPath.getName).toSeq
+    assert(files == Seq("_manifest.000000000001"), files.toString)
+    // the crash matrix is a two-state machine here: BEFORE the put nothing
+    // is visible and the version is free (a retry simply takes it); AFTER
+    // the put the commit is complete. There is no intermediate state, so
+    // the read-repair tier's crashed-loser-shadows-winner hazard (covered
+    // above) cannot be constructed for this tier — that is the point.
+  }
+
+  test("end-to-end upsert race under conditional-put on the overwriting store: loser aborts, winner durable") {
+    val dir = owfsDir("cp_cput_upsert")
+    ManifestStore.registerCommitStore(InMemoryConditionalPut)
+    spark.conf.set("spark.graft.commit.protocol", "conditional-put")
+    try {
+      def batch(tag: String) =
+        spark.range(3).select(
+          lit("p1").as("k"), concat(lit(tag + "_"), $"id").as("id"), $"id".as("v"))
+      ManifestStore.upsert(batch("seed"), dir, "k", Seq("k", "id"), spark)   // v1
+      ManifestStore.upsert(batch("winner"), dir, "k", Seq("k", "id"), spark) // v2
+      // a loser that computed version 2 from the stale v1 manifest: its
+      // data write lands token-unique, its commit is refused atomically
+      val loserGen = "2-deadbeef"
+      batch("loser").withColumn("gen", lit(loserGen)).repartition($"k")
+        .write.mode("append").partitionBy("gen", "k").parquet(s"$dir/data")
+      intercept[java.io.IOException] {
+        ManifestStore.commitVersioned(spark, dir, "_manifest", 2, s"p1\t$loserGen\n")
+      }
+      val ids = ManifestStore.currentFrame(spark, dir, "k").get
+        .select($"id").as[String].collect().toSet
+      assert(ids == (0 until 3).flatMap(i => Seq(s"seed_$i", s"winner_$i")).toSet,
+        s"loser rows leaked into reads: $ids")
+      assert(ManifestStore.vacuum(spark, dir) >= 1)
+      assert(!ManifestStore.fs(spark, dir)
+        .exists(new Path(s"$dir/data/gen=$loserGen")), "loser generation survived vacuum")
+    } finally {
+      spark.conf.set("spark.graft.commit.protocol", "rename")
+      ManifestStore.clearCommitStore()
+    }
+  }
+
+  test("HadoopCreateExclusive default store: second putIfAbsent refused, content intact") {
+    val dir = tmpDir("cp_hce")
+    val st = ManifestStore.CommitStore.HadoopCreateExclusive
+    assert(st.putIfAbsent(spark, dir, "_m.1", "A".getBytes("UTF-8")))
+    assert(!st.putIfAbsent(spark, dir, "_m.1", "B".getBytes("UTF-8")))
+    val in = ManifestStore.fs(spark, dir).open(new Path(dir, "_m.1"))
+    val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    assert(got == "A")
+  }
+
   test("FileContext on file:// refuses rename onto an existing destination (the primitive AtomicRename rests on)") {
     // the FileSystem-API rename on vanilla LocalFileSystem would silently
     // replace; FileContext without Options.Rename.OVERWRITE must throw —
