@@ -32,12 +32,35 @@ import graft.ops.{Dedup, ManifestStore, TextOps}
  * the fingerprint store (content-hash-sized — the one genuinely growing
  * piece, exactly the piece a deployment would persist via the manifest
  * protocol between runs).
+ *
+ * GROUP COMMIT (`commitEvery`, round 11): one manifest commit per
+ * micro-batch was the measured pipeline bottleneck (666 rows/s vs 10.7k
+ * for the stateless stages, BENCH_STREAM) — each commit pays a
+ * generation write + manifest CAS regardless of batch size. With
+ * `commitEvery = N`, fresh survivors buffer (checkpointed, so no lineage
+ * re-reads a batch) and land as ONE upsert every N batches — atomicity
+ * per COMMIT is unchanged (a reader sees all of a group or none of it;
+ * crash debris stays invisible). The trade, stated honestly: visibility
+ * lags up to N−1 batches, and a crash before the group's commit loses
+ * those batches' table rows (dedup state is in-memory and re-seeded on
+ * restart anyway, so a replayed source re-ingests them). [[Handle.flush]]
+ * commits any remainder — call it after the stream drains or on
+ * shutdown.
  */
 object IngestPipeline {
 
   final case class BatchReport(
       batchId: Long, nIn: Long, psi: Double, drifted: Boolean,
       nAdmitted: Long, nFresh: Long)
+
+  /** The wired pipeline plus its group-commit flusher. */
+  final class Handle(
+      val writer: DataStreamWriter[Row], flushFn: () => Unit) {
+    /** Commit any buffered-but-uncommitted survivors now. Call after the
+      * stream drains (or from a shutdown hook); a no-op when nothing is
+      * pending or `commitEvery = 1`. */
+    def flush(): Unit = flushFn()
+  }
 
   /**
    * Wire the pipeline. `docs` must carry `idCol`, `textCol`, `keyCol`
@@ -48,8 +71,9 @@ object IngestPipeline {
       docs: DataFrame, idCol: String, textCol: String, keyCol: String,
       partCol: String, tablePath: String, ref: DataFrame,
       cap: Long, psiThreshold: Double = 0.25,
-      seed: Option[DataFrame] = None)(
-      onReport: BatchReport => Unit): DataStreamWriter[Row] = {
+      seed: Option[DataFrame] = None, commitEvery: Int = 1)(
+      onReport: BatchReport => Unit): Handle = {
+    require(commitEvery >= 1, s"commitEvery must be >= 1, got $commitEvery")
     val spark = docs.sparkSession
     val monitor = new DriftStream.DriftMonitor(ref, keyCol)
     val limiter = new RateLimitStream.CmsRateLimiter(keyCol, idCol, cap)
@@ -59,8 +83,21 @@ object IngestPipeline {
       .map(s => Dedup.seenFingerprints(s, textCol))
       .getOrElse(spark.emptyDataFrame.select(lit("").as("fp")).where(lit(false)))
       .localCheckpoint()
+    // group-commit buffer: fresh survivors awaiting their group's upsert
+    // (checkpointed — its lineage must not re-read any batch); dedup state
+    // still grows PER BATCH so intra-group duplicates drop correctly
+    var pending: Option[DataFrame] = None
+    var batchesSinceCommit = 0
+    def flushPending(): Unit = synchronized {
+      pending.foreach { p =>
+        ManifestStore.upsert(p, tablePath, partCol, Seq(partCol, idCol), spark)
+        DriftStream.release(p)
+      }
+      pending = None
+      batchesSinceCommit = 0
+    }
 
-    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+    val writer = docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val pinned = batch.localCheckpoint()
       // every per-batch checkpoint is released before the batch ends, and
       // a superseded fingerprint store as soon as its successor is
@@ -78,14 +115,19 @@ object IngestPipeline {
           .localCheckpoint()
         val nFresh = fresh.count()
         if (nFresh > 0) {
-          ManifestStore.upsert(fresh, tablePath, partCol, Seq(partCol, idCol), spark)
           val grown = seenFps
             .unionByName(Dedup.seenFingerprints(fresh, textCol))
             .distinct()
             .localCheckpoint() // eager: safe to drop the predecessor now
           DriftStream.release(seenFps)
           seenFps = grown
+          val buffered = pending.fold(fresh)(_.unionByName(fresh))
+            .localCheckpoint() // eager: fresh + old buffer releasable below
+          pending.foreach(DriftStream.release)
+          pending = Some(buffered)
         }
+        batchesSinceCommit += 1
+        if (batchesSinceCommit >= commitEvery) flushPending()
         onReport(BatchReport(id, nIn, psi, psi > psiThreshold, nAdmitted, nFresh))
       } finally {
         if (fresh != null) DriftStream.release(fresh)
@@ -93,6 +135,7 @@ object IngestPipeline {
         DriftStream.release(pinned)
       }
     }
+    new Handle(writer, () => flushPending())
   }
 
   /** [[attach]] + start. */
@@ -100,8 +143,10 @@ object IngestPipeline {
       docs: DataFrame, idCol: String, textCol: String, keyCol: String,
       partCol: String, tablePath: String, ref: DataFrame,
       cap: Long, psiThreshold: Double = 0.25,
-      seed: Option[DataFrame] = None)(
-      onReport: BatchReport => Unit): StreamingQuery =
-    attach(docs, idCol, textCol, keyCol, partCol, tablePath, ref,
-      cap, psiThreshold, seed)(onReport).start()
+      seed: Option[DataFrame] = None, commitEvery: Int = 1)(
+      onReport: BatchReport => Unit): (StreamingQuery, Handle) = {
+    val h = attach(docs, idCol, textCol, keyCol, partCol, tablePath, ref,
+      cap, psiThreshold, seed, commitEvery)(onReport)
+    (h.writer.start(), h)
+  }
 }

@@ -23,7 +23,7 @@ class IngestPipelineSpec extends SparkSpec {
     val residentBefore = spark.sparkContext.getPersistentRDDs.size
     val reports = mutable.Buffer.empty[IngestPipeline.BatchReport]
     val ms = MemoryStream[(Long, String, String)]
-    val q = IngestPipeline.start(
+    val (q, _) = IngestPipeline.start(
       ms.toDS().toDF("id", "text", "source"),
       idCol = "id", textCol = "text", keyCol = "source", partCol = "source",
       tablePath = dir, ref = ref, cap = 3L)(reports += _)
@@ -63,5 +63,46 @@ class IngestPipelineSpec extends SparkSpec {
     val residentAfter = spark.sparkContext.getPersistentRDDs.size
     assert(residentAfter <= residentBefore + 2,
       s"checkpoint residue: $residentBefore resident before, $residentAfter after")
+  }
+
+  test("group commit (commitEvery=3): rows buffer, one commit per group, flush drains the remainder — every row accounted") {
+    implicit val ctx = spark.sqlContext
+    val dir = tmpDir("ingest_gc")
+    val ref = (Seq.fill(2)("a") ++ Seq.fill(2)("b")).toDF("source")
+    val reports = mutable.Buffer.empty[IngestPipeline.BatchReport]
+    val ms = MemoryStream[(Long, String, String)]
+    val (q, h) = IngestPipeline.start(
+      ms.toDS().toDF("id", "text", "source"),
+      idCol = "id", textCol = "text", keyCol = "source", partCol = "source",
+      tablePath = dir, ref = ref, cap = 100L, commitEvery = 3)(reports += _)
+    try {
+      def versions = ManifestStore.versions(spark, dir).size
+      ms.addData((1L, "t1", "a"), (2L, "t2", "a")); q.processAllAvailable()
+      assert(versions == 0, "batch 1 of the group must not commit")
+      assert(ManifestStore.readManifest(spark, dir).isEmpty)
+      // batch 2 carries an intra-group cross-batch dup (t1) — dedup state
+      // grows per batch, independent of the deferred commit
+      ms.addData((3L, "t1", "b"), (4L, "t3", "b")); q.processAllAvailable()
+      assert(versions == 0, "batch 2 of the group must not commit")
+      ms.addData((5L, "t4", "a")); q.processAllAvailable()
+      assert(versions == 1, "3rd batch must trigger the group's single commit")
+      val afterGroup = ManifestStore.currentFrame(spark, dir, "source").get
+        .select("id").as[Long].collect().toSet
+      assert(afterGroup == Set(1L, 2L, 4L, 5L), afterGroup.toString)
+
+      // a partial group buffers until flush
+      ms.addData((6L, "t5", "a")); q.processAllAvailable()
+      assert(versions == 1, "partial group must not commit")
+      h.flush()
+      assert(versions == 2, "flush must commit the remainder")
+      val all = ManifestStore.currentFrame(spark, dir, "source").get
+        .select("id").as[Long].collect().toSet
+      assert(all == Set(1L, 2L, 4L, 5L, 6L), all.toString)
+      h.flush() // idempotent no-op
+      assert(versions == 2)
+      // the ledger accounted every row across the group boundaries
+      assert(reports.map(_.nIn).sum == 6L)
+      assert(reports.map(_.nFresh).sum == 5L) // id 3 deduped intra-group
+    } finally q.stop()
   }
 }
