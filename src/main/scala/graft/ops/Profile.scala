@@ -306,6 +306,64 @@ object Profile {
       sum("jsd").as("jsd"))
 
   /**
+   * NUMERIC drift — [[driftByKey]] for continuous columns (amounts,
+   * latencies, perplexities), the round-10 gap: the column is binned by
+   * the SAME DD log-bucket assignment the quantile ledger uses
+   * ([[ddBucket]] — one bucket math; every bucket spans an α-relative
+   * value range, so bins are meaningfully comparable across corpora of
+   * any magnitude, unlike fixed-width bins) and the per-bucket counts
+   * score through THE categorical drift arithmetic
+   * ([[driftByKeyFromCounts]]) — binned PSI over log-space buckets, the
+   * standard continuous-PSI recipe. One row per occupied bucket:
+   * `(bucket, bucket_mid, ref_cnt, cur_cnt, psi, jsd)` with `bucket_mid`
+   * the α-accurate bucket value ([[ddBucketMid]]). Non-positive/null
+   * values are out of domain (shift them first, or monitor their rate via
+   * [[Validate.constraintReport]]).
+   *
+   * Scale shape: unchanged from the categorical path — one bucket-count
+   * aggregate per side (≈10³ buckets however big the corpus), a
+   * full-outer join of the two bucket tables, broadcast totals. And
+   * because the bucket tables ARE [[ddHistogram]] frames, a deployment
+   * already maintaining a DD ledger ([[SketchLedger]]) scores drift from
+   * the ledger fold without touching either corpus.
+   */
+  def driftNumericByBucket(
+      ref: DataFrame, cur: DataFrame, c: String,
+      alpha: Double = 0.01, eps: Double = 1e-6): DataFrame = {
+    val r = ddHistogram(ref, c, alpha)
+      .select(col("bucket").as("key"), col("cnt").as("ref_cnt")).localCheckpoint()
+    val cc = ddHistogram(cur, c, alpha)
+      .select(col("bucket").as("key"), col("cnt").as("cur_cnt")).localCheckpoint()
+    driftNumericFromHistograms(r, cc, alpha, eps)
+  }
+
+  /** [[driftNumericByBucket]] over PRE-BUCKETED `(key, ref_cnt)` /
+    * `(key, cur_cnt)` DD-histogram frames — the ledger-fold and
+    * streaming-monitor entry point (reference binned once, never per
+    * batch). */
+  def driftNumericFromHistograms(
+      r: DataFrame, c: DataFrame, alpha: Double = 0.01,
+      eps: Double = 1e-6): DataFrame =
+    driftByKeyFromCounts(r, c, eps)
+      .select(
+        col("key").as("bucket"),
+        ddBucketMid(col("key"), alpha).as("bucket_mid"),
+        col("ref_cnt"), col("cur_cnt"), col("psi"), col("jsd"))
+
+  /** One-row numeric-drift summary (the [[drift]] shape over
+    * [[driftNumericByBucket]]'s unrounded contributions):
+    * `(n_buckets_ref, n_buckets_cur, n_buckets_union, psi, jsd)`. */
+  def driftNumeric(
+      ref: DataFrame, cur: DataFrame, c: String,
+      alpha: Double = 0.01, eps: Double = 1e-6): DataFrame =
+    driftNumericByBucket(ref, cur, c, alpha, eps).agg(
+      count(when(col("ref_cnt") > 0, 1)).as("n_buckets_ref"),
+      count(when(col("cur_cnt") > 0, 1)).as("n_buckets_cur"),
+      count(lit(1)).as("n_buckets_union"),
+      sum("psi").as("psi"),
+      sum("jsd").as("jsd"))
+
+  /**
    * Key-occupancy skew profile — the pre-flight diagnostic behind the
    * [[Scale]] decisions: whether a join/aggregation key needs salting
    * (`max_cnt`/`p99_cnt` ≫ `p50_cnt`), what salt factor bounds the hot
@@ -360,12 +418,31 @@ object Profile {
    * excluded (DDSketch's domain; count them via [[Validate.constraintReport]]
    * if the contract forbids them).
    */
-  def ddHistogram(df: DataFrame, c: String, alpha: Double = 0.01): DataFrame = {
+  /** THE DD bucket assignment, as a column: `⌊ln(x)/ln(γ)⌋` with
+    * `γ = (1+α)/(1−α)` — shared by the histogram/quantile family and the
+    * numeric drift path (one bucket math, never two). Non-positive and
+    * null inputs map to NULL (Spark's `log` domain), which every consumer
+    * filters. */
+  def ddBucket(x: Column, alpha: Double): Column = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
     val gamma = (1 + alpha) / (1 - alpha)
+    floor(log(x.cast("double")) / lit(math.log(gamma))).cast("long")
+  }
+
+  /** Midpoint VALUE estimate of DD bucket `b`: `2γ^(b+1)/(γ+1)`, within
+    * relative error α of every value the bucket holds; 6-dp rounded (the
+    * [[ddQuantiles]] convention — IEEE-reproducible, oracle-hashable). */
+  def ddBucketMid(b: Column, alpha: Double): Column = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    val gamma = (1 + alpha) / (1 - alpha)
+    round(lit(2.0) * pow(lit(gamma), b + 1) / lit(gamma + 1), 6)
+  }
+
+  def ddHistogram(df: DataFrame, c: String, alpha: Double = 0.01): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
     val x = col(c).cast("double")
     df.where(x.isNotNull && x > 0)
-      .select(floor(log(x) / lit(math.log(gamma))).cast("long").as("bucket"))
+      .select(ddBucket(x, alpha).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
   }
 
@@ -407,11 +484,9 @@ object Profile {
   def ddHistogramByGroup(
       df: DataFrame, groupCol: String, c: String, alpha: Double = 0.01): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
-    val gamma = (1 + alpha) / (1 - alpha)
     val x = col(c).cast("double")
     df.where(x.isNotNull && x > 0 && col(groupCol).isNotNull)
-      .select(col(groupCol).as("grp"),
-        floor(log(x) / lit(math.log(gamma))).cast("long").as("bucket"))
+      .select(col(groupCol).as("grp"), ddBucket(x, alpha).as("bucket"))
       .groupBy("grp", "bucket").agg(count(lit(1)).as("cnt"))
   }
 

@@ -304,6 +304,20 @@ object EventQueries {
         .orderBy("key")
     }),
 
+    // Numeric drift: the value column DD-log-bucketed (the exact
+    // ddsketch bucket math) then scored through the SAME PSI/JSD
+    // arithmetic — binned continuous PSI, bucket assignment + bucket
+    // midpoint + both divergences all replayed bit-exact in the oracle
+    "q_profile_drift_numeric" -> ((s, dir) => {
+      val ev = Tpch.read(s, dir, "events")
+      Profile.driftNumericByBucket(
+          ev.where(col("event_id") % 2 === 0),
+          ev.where(col("event_id") % 2 === 1), "value", alpha = 0.05)
+        .select(col("bucket"), col("bucket_mid"), col("ref_cnt"), col("cur_cnt"),
+          round(col("psi"), 6).as("psi"), round(col("jsd"), 6).as("jsd"))
+        .orderBy("bucket")
+    }),
+
     // Skew-aware two-phase nesting (Scale.saltedCollectList): per-type
     // event-id lists built under a salt so no single task holds more than
     // ~1/8 of a hot key's collect_list state; the flattened list is sorted
@@ -761,6 +775,42 @@ object EventQueries {
         |        * ln(greatest(p, 1e-6) / greatest(q, 1e-6)), 6) AS psi,
         |  round((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END
         |       + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END) / 2, 6) AS jsd
-        |FROM s ORDER BY key""".stripMargin
+        |FROM s ORDER BY key""".stripMargin,
+
+    // alpha = 0.05 -> gamma = 1.05/0.95; bucket floor(ln(v)/ln(gamma)),
+    // midpoint 2*gamma^(b+1)/(gamma+1) — the ddsketch replay, feeding the
+    // identical PSI/JSD count arithmetic as q_profile_drift
+    "q_profile_drift_numeric" ->
+      """WITH g AS (SELECT ln((1.0 + 0.05) / (1.0 - 0.05)) AS lg,
+        |                  (1.0 + 0.05) / (1.0 - 0.05) AS gamma),
+        |r AS (SELECT CAST(floor(ln(CAST(value AS DOUBLE)) / lg) AS BIGINT) AS key,
+        |             count(*) AS ref_cnt
+        |      FROM events, g
+        |      WHERE event_id % 2 = 0 AND value IS NOT NULL AND value > 0
+        |      GROUP BY 1),
+        |c AS (SELECT CAST(floor(ln(CAST(value AS DOUBLE)) / lg) AS BIGINT) AS key,
+        |             count(*) AS cur_cnt
+        |      FROM events, g
+        |      WHERE event_id % 2 = 1 AND value IS NOT NULL AND value > 0
+        |      GROUP BY 1),
+        |j AS (SELECT COALESCE(r.key, c.key) AS key,
+        |             COALESCE(ref_cnt, 0) AS ref_cnt,
+        |             COALESCE(cur_cnt, 0) AS cur_cnt
+        |      FROM r FULL OUTER JOIN c ON c.key = r.key),
+        |t AS (SELECT (SELECT SUM(ref_cnt) FROM r) AS rt,
+        |             (SELECT SUM(cur_cnt) FROM c) AS ct),
+        |s AS (SELECT key, ref_cnt, cur_cnt,
+        |             CAST(ref_cnt AS DOUBLE) / CAST(rt AS DOUBLE) AS p,
+        |             CAST(cur_cnt AS DOUBLE) / CAST(ct AS DOUBLE) AS q
+        |      FROM j, t)
+        |SELECT key AS bucket,
+        |  (SELECT round(2.0 * pow(gamma, key + 1) / (gamma + 1.0), 6) FROM g)
+        |    AS bucket_mid,
+        |  ref_cnt, cur_cnt,
+        |  round((greatest(p, 1e-6) - greatest(q, 1e-6))
+        |        * ln(greatest(p, 1e-6) / greatest(q, 1e-6)), 6) AS psi,
+        |  round((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END
+        |       + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END) / 2, 6) AS jsd
+        |FROM s ORDER BY bucket""".stripMargin
   )
 }

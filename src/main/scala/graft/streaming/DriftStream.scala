@@ -40,16 +40,24 @@ object DriftStream {
     }
 
   /** One reference-scored monitor instance. Reusable across batches and
-    * streams (the reference table is immutable). */
-  final class DriftMonitor(ref: DataFrame, keyCol: String, eps: Double = 1e-6) {
-    private val refCounts = ref.where(col(keyCol).isNotNull)
-      .groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("ref_cnt"))
+    * streams (the reference table is immutable). The key is an EXPRESSION
+    * so the categorical monitor (`col(keyCol)`) and the numeric one
+    * ([[numericMonitor]] — the DD bucket of a continuous column) share
+    * every line of the scoring path; null keys (out-of-domain values) are
+    * excluded on both sides, as in the batch operators. */
+  final class DriftMonitor private[streaming] (
+      ref: DataFrame, keyExpr: org.apache.spark.sql.Column, eps: Double) {
+    def this(ref: DataFrame, keyCol: String, eps: Double = 1e-6) =
+      this(ref, col(keyCol), eps)
+
+    private val refCounts = ref.where(keyExpr.isNotNull)
+      .groupBy(keyExpr.as("key")).agg(count(lit(1)).as("ref_cnt"))
       .localCheckpoint()
 
     /** Score one batch: `(n_rows, n_keys_batch, psi, jsd)`. */
     def score(batch: DataFrame): (Long, Long, Double, Double) = {
-      val c = batch.where(col(keyCol).isNotNull)
-        .groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cur_cnt"))
+      val c = batch.where(keyExpr.isNotNull)
+        .groupBy(keyExpr.as("key")).agg(count(lit(1)).as("cur_cnt"))
         .localCheckpoint()
       try {
         val row = Profile.driftByKeyFromCounts(refCounts, c, eps).agg(
@@ -61,6 +69,17 @@ object DriftStream {
       } finally DriftStream.release(c) // per-batch checkpoint must not outlive the score
     }
   }
+
+  /** NUMERIC drift monitor: the batch column is DD-log-bucketed
+    * ([[Profile.ddBucket]] — the exact bucket math
+    * [[Profile.driftNumericByBucket]] uses, so monitor and batch audit
+    * can never disagree) and scored against the reference's bucket
+    * distribution. Non-positive/null values are out of domain (their
+    * bucket is null) and excluded, as in the batch operator. */
+  def numericMonitor(
+      ref: DataFrame, c: String, alpha: Double = 0.01,
+      eps: Double = 1e-6): DriftMonitor =
+    new DriftMonitor(ref, Profile.ddBucket(col(c), alpha), eps)
 
   /** Wire a monitor into a stream: each micro-batch is scored against the
     * reference and the summary handed to `onScore`
@@ -89,4 +108,30 @@ object DriftStream {
       onScore: (Long, Long, Long, Double, Double, Boolean) => Unit)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     attach(stream, keyCol, ref, psiThreshold, eps)(onScore)(sink).start()
+
+  /** [[attach]] for a CONTINUOUS column via [[numericMonitor]] — same
+    * callback/sink contract, pass-through semantics unchanged. */
+  def attachNumeric(
+      stream: DataFrame, c: String, ref: DataFrame, alpha: Double = 0.01,
+      psiThreshold: Double = 0.25, eps: Double = 1e-6)(
+      onScore: (Long, Long, Long, Double, Double, Boolean) => Unit)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val monitor = numericMonitor(ref, c, alpha, eps)
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val pinned = batch.localCheckpoint()
+      try {
+        val (nRows, nKeys, psi, jsd) = monitor.score(pinned)
+        onScore(id, nRows, nKeys, psi, jsd, psi > psiThreshold)
+        sink(pinned, id)
+      } finally release(pinned)
+    }
+  }
+
+  /** [[attachNumeric]] + start. */
+  def startNumeric(
+      stream: DataFrame, c: String, ref: DataFrame, alpha: Double = 0.01,
+      psiThreshold: Double = 0.25, eps: Double = 1e-6)(
+      onScore: (Long, Long, Long, Double, Double, Boolean) => Unit)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    attachNumeric(stream, c, ref, alpha, psiThreshold, eps)(onScore)(sink).start()
 }
