@@ -1303,9 +1303,9 @@ object Dedup {
    * replayable by the DuckDB oracle.
    *
    * Removal is aggressive by contract (EVERY occurrence is cut, no
-   * canonical survivor): the keep-one variant needs a global
-   * (doc, position) tie-break whose interaction with overlapping spans is
-   * a curation-policy decision, not an engine primitive. Hash collisions
+   * canonical survivor) — right for boilerplate; for cross-document
+   * quotation dedup use [[exactSubstringDedupKeepFirst]], which keeps one
+   * deterministic survivor per duplicated window. Hash collisions
    * (32-bit) can spuriously merge distinct windows at ~N²/2³² odds — the
    * standard trade, same as the fingerprint operators.
    *
@@ -1321,6 +1321,45 @@ object Dedup {
     // duplicated = total occurrence count > 1 (within- or cross-document)
     val dup = wins.groupBy("h").agg(count(lit(1)).as("c")).where(col("c") > 1).select("h")
     spanCutRebuild(toks, wins.join(dup, "h").select(col("id"), col("p")), n)
+  }
+
+  /**
+   * KEEP-ONE exact-substring dedup — the Lee et al. keep-a-canonical-
+   * occurrence policy (their public ExactSubstr tooling removes all
+   * later occurrences, keeping the first): per duplicated window HASH,
+   * the lexicographically first occurrence by `(id, p)` SURVIVES and
+   * every other occurrence is cut. Right for cross-document quotation /
+   * shared-paragraph dedup, where the remove-all contract
+   * ([[exactSubstringDedup]] — correct for boilerplate) would delete the
+   * canonical copy too.
+   *
+   * The survivor rule is deterministic and engine-replayable: a
+   * `row_number` over `(id, p)` within each hash — one exchange of the
+   * duplicated-occurrence mass (1 row per occurrence), then the same
+   * island cut + rebuild. Overlapping-span interaction, stated plainly:
+   * survival is per-WINDOW — a surviving window's tokens can still be cut
+   * where a DIFFERENT duplicated window covering them lost its own
+   * tie-break (the inherent window-granularity trade; Lee et al.'s
+   * byte-range form has the same property at range granularity). What IS
+   * guaranteed: every cut position of this variant is also cut by
+   * remove-all (survivors only shrink the cut set — spec-pinned), and for
+   * a window duplicated k times exactly k−1 occurrences are cut.
+   *
+   * Same output shape as [[exactSubstringDedup]]; documents whose every
+   * token sat under losing occurrences drop out.
+   */
+  def exactSubstringDedupKeepFirst(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"window length must be >= 1, got $n")
+    val toks = spanTokens(df, idCol, textCol)
+    val wins = spanWins(toks, n)
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("c")).where(col("c") > 1).select("h")
+    val byHash = Window.partitionBy("h").orderBy(col("id"), col("p"))
+    val losers = wins.join(dup, "h")
+      .withColumn("_rn", row_number().over(byHash))
+      .where(col("_rn") > 1)
+      .select(col("id"), col("p"))
+    spanCutRebuild(toks, losers, n)
   }
 
   /** `(id, t: array<string>)` token frames for the span-dedup family. */

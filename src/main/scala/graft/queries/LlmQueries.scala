@@ -771,6 +771,15 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Keep-one span dedup: per duplicated window the (doc, position)-first
+    // occurrence survives, all others cut — the oracle replays the
+    // survivor tie-break with the same row_number-over-(id, p) rule
+    "q_dedup_exact_substring_keepfirst" -> ((s, dir) => {
+      Dedup.exactSubstringDedupKeepFirst(docsWithNearDups(s, dir), "doc_id", "text", n = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Incremental span dedup — the continuous-ingest form: even doc_ids
     // are the ingested store (held only as (h, c) window counts — never
     // re-tokenized), odd doc_ids are the arriving batch; a batch window
@@ -1736,6 +1745,38 @@ object LlmQueries {
          |cut AS (SELECT DISTINCT doc_id, pos FROM (
          |          SELECT w.doc_id, unnest(generate_series(w.p, w.p + 9)) AS pos
          |          FROM win w JOIN dup USING (h))),
+         |tok AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok FROM toks),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+         |         LEFT JOIN cut c ON c.doc_id = t.doc_id AND c.pos = t.pos
+         |         WHERE c.pos IS NULL),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+         |               count(*) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT a.doc_id, a.text_clean, CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |       CAST(a.n_kept AS BIGINT) AS n_kept
+         |FROM agg a JOIN toks t ON t.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin,
+
+    // keep-one span dedup oracle: same window/dup machinery; the cut set
+    // is every duplicated occurrence EXCEPT the row_number-1 survivor
+    // under the deterministic (doc_id, p) order within each hash
+    "q_dedup_exact_substring_keepfirst" ->
+      s"""WITH $mutCte,
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM alldocs),
+         |wpos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 9)) AS p
+         |         FROM toks WHERE len(t) >= 10),
+         |win AS (SELECT doc_id, p,
+         |               ('0x' || substr(md5(array_to_string(t[p:p+9], ' ')), 1, 8))::BIGINT AS h
+         |        FROM wpos),
+         |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1),
+         |losers AS (SELECT doc_id, p FROM (
+         |             SELECT w.doc_id, w.p,
+         |                    row_number() OVER (PARTITION BY w.h
+         |                                       ORDER BY w.doc_id, w.p) AS rn
+         |             FROM win w JOIN dup USING (h))
+         |           WHERE rn > 1),
+         |cut AS (SELECT DISTINCT doc_id, pos FROM (
+         |          SELECT doc_id, unnest(generate_series(p, p + 9)) AS pos
+         |          FROM losers)),
          |tok AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok FROM toks),
          |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
          |         LEFT JOIN cut c ON c.doc_id = t.doc_id AND c.pos = t.pos

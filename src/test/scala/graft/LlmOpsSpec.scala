@@ -1114,6 +1114,51 @@ class LlmOpsSpec extends SparkSpec {
     assert(tokLevel == Set((1L, "a c"), (2L, "d")), s"n=1 semantics wrong: $tokLevel")
   }
 
+  test("Dedup: keep-one span dedup — deterministic survivor, k-1 cuts, cut set ⊆ remove-all's") {
+    // hand-computed survivor semantics: "a b c" occurs at (1,1) and (2,2);
+    // the (id,p)-first occurrence (doc 1) survives, doc 2's copy is cut
+    val docs = Seq((1L, "a b c d"), (2L, "x a b c y")).toDF("doc_id", "text")
+    val kf = Dedup.exactSubstringDedupKeepFirst(docs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kf == Set((1L, "a b c d"), (2L, "x y")), s"survivor rule wrong: $kf")
+    // remove-all on the same corpus cuts BOTH occurrences
+    val ra = Dedup.exactSubstringDedup(docs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ra == Set((1L, "d"), (2L, "x y")), s"remove-all baseline moved: $ra")
+
+    // identical twins: the first doc survives WHOLE, the twin drops out
+    val twins = Seq(
+      (1L, "t1 t2 t3 t4 t5"), (2L, "t1 t2 t3 t4 t5"), (3L, "u1 u2 u3 u4")
+    ).toDF("doc_id", "text")
+    val twinKf = Dedup.exactSubstringDedupKeepFirst(twins, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(twinKf == Set((1L, "t1 t2 t3 t4 t5"), (3L, "u1 u2 u3 u4")),
+      s"twin keep-one wrong: $twinKf")
+
+    // PARITY LAW on a richer corpus: remove-all's kept tokens per doc are
+    // a subsequence of keep-first's (survivors only SHRINK the cut set)
+    val corpus = Seq(
+      (1L, "y1 s1 s2 s3 y2 y3"), (2L, "x1 x2 s1 s2 s3 x3"),
+      (3L, "q1 q2 q3 q1 q2 q3"), (4L, "z1 z2 z3 z4"),
+      (5L, "z1 z2 z3 z9")).toDF("doc_id", "text")
+    def byDoc(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      df.collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val raM = byDoc(Dedup.exactSubstringDedup(corpus, "doc_id", "text", n = 3))
+    val kfM = byDoc(Dedup.exactSubstringDedupKeepFirst(corpus, "doc_id", "text", n = 3))
+    def isSubseq(small: Seq[String], big: Seq[String]): Boolean = {
+      var i = 0
+      big.foreach(t => if (i < small.length && small(i) == t) i += 1)
+      i == small.length
+    }
+    raM.foreach { case (id, toksRa) =>
+      val toksKf = kfM.getOrElse(id, Seq.empty)
+      assert(isSubseq(toksRa, toksKf),
+        s"doc $id: remove-all kept $toksRa is not a subsequence of keep-first $toksKf")
+    }
+    // and keep-first never keeps LESS than remove-all anywhere
+    assert(raM.keySet.subsetOf(kfM.keySet))
+  }
+
   test("Dedup: incremental span dedup == batch span dedup over the union, restricted to the batch") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
