@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * 100× scale stress — one decade past [[BenchScale]]: the round-10 verdict
+ * flagged the four worst 10× ratios (minhash 3.26, phash 3.01,
+ * clusters_star 2.51, exact_substring 2.54) as "sub-quadratic so far" and
+ * asked for the next decade before extrapolating to cluster scale. This
+ * main synthesizes a 100-copy decorrelated corpus (same marker-v3
+ * construction — per-copy token suffixes, rotated embeddings, shifted
+ * keys — so true duplicate structure stays CONSTANT while data grows
+ * 100×) and times those four queries at sf0.1 and at 100×, plus the
+ * minhash generation/verification split (the round-9 adjudication
+ * discipline: verification is ∝ candidates, structural on the planted
+ * corpus — the split keeps that claim measured, not assumed).
+ *
+ * Writes `BENCH_SCALE100X.json`. Correctness at this scale is checked
+ * separately by running `Verify` + `tools/check.py` against the synth dir
+ * (the flagship and span-dedup oracles — see ROUND11_NOTES).
+ *
+ * Interpretation note: at sf0.1 a 32-thread JVM is mostly idle, so
+ * wall-clock ratios under ~10×/decade mean the operator's WORK grows
+ * sub-linearly per row or the cores absorb it; the number that matters is
+ * ratio100 / ratio10 staying bounded (no super-linear blowup emerging one
+ * decade out).
+ */
+object BenchScale100 {
+
+  private val stressQueries = Seq(
+    "q_dedup_minhash_lsh", "q_mm_phash",
+    "q_dedup_clusters_star", "q_dedup_exact_substring",
+    // the auto router is what users call — its ratio rides along so the
+    // star fallback's number is never read in isolation
+    "q_dedup_clusters_auto")
+
+  private def releaseResidue(spark: SparkSession, keep: Set[Int]): Unit =
+    spark.sparkContext.getPersistentRDDs.foreach {
+      case (id, rdd) if !keep.contains(id) => rdd.unpersist(blocking = true)
+      case _ => ()
+    }
+
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val selected =
+      if (args.isEmpty) stressQueries
+      else stressQueries.filter(n => args.exists(n.startsWith))
+    val fullRun = args.isEmpty
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dst = sys.env.getOrElse(
+      "SPARK_GRAFT_SCALE100_DIR", s"${sys.props("java.io.tmpdir")}/graft_sf100x")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      // 100× corpus: AQE starts reduce stages wide (bounded per-task spill)
+      // and coalesces small ones — the BenchScale rationale, one decade on
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+
+    BenchScale.synth(spark, src, dst, copies = 100)
+
+    // plan-shape warm at sf0.001 (codegen/JIT/datasource one-time costs)
+    val warm = "/root/testdata/sf0.001"
+    val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    for (name <- selected) {
+      try SparkEntry.queries(name)(spark, warm)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      finally releaseResidue(spark, keep)
+    }
+
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    val perQuery = selected.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t1 = time(fn(spark, src).write.format("noop").mode("overwrite").save())
+      releaseResidue(spark, keep)
+      val t100 = time(fn(spark, dst).write.format("noop").mode("overwrite").save())
+      releaseResidue(spark, keep)
+      println(s"[scale100x] $name sf0.1=${num(t1)}s sf10=${num(t100)}s ratio=${num(t100 / t1)}")
+      s""""$name":{"sf01":${num(t1)},"sf10":${num(t100)},"ratio100":${num(t100 / t1)}}"""
+    }
+
+    if (!fullRun) { spark.stop(); return }
+
+    // minhash adjudication split at 100×: generation (posting-list shuffle)
+    // vs verification (∝ candidates — every doc is planted into a pair on
+    // this corpus, so candidate mass is structurally ~linear in corpus)
+    def minhashSplit(dir: String): String = {
+      val docs = Quality.docsWithNearDups(spark, dir)
+      val bands = graft.ops.Dedup.lshBands(
+        graft.ops.Dedup.minhashSignaturesNative(docs, "doc_id", "text", 16, 3), 16, 8)
+      var cand: DataFrame = null
+      val tGen = time {
+        cand = graft.ops.Dedup.candidatePairs(bands, maxOccupancy = 64).localCheckpoint()
+      }
+      val nCand = cand.count()
+      val tVer = time {
+        graft.ops.Dedup.verifyJaccard(cand, docs, "doc_id", "text", 3, minJaccard = 0.35)
+          .where(col("jaccard") >= 0.35)
+          .write.format("noop").mode("overwrite").save()
+      }
+      releaseResidue(spark, keep)
+      s"""{"gen_sec":${num(tGen)},"verify_sec":${num(tVer)},"candidates":$nCand}"""
+    }
+    val split100 = minhashSplit(dst)
+
+    val json =
+      s"""{"copies":100,"src":"$src","synth":"$dst",""" +
+        s""""queries":{${perQuery.mkString(",")}},""" +
+        s""""minhash_split_sf10":$split100}"""
+    println(json)
+    Files.writeString(Paths.get("BENCH_SCALE100X.json"), json + "\n")
+    spark.stop()
+  }
+}

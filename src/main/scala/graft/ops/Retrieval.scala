@@ -454,6 +454,31 @@ object Retrieval {
   def lexIndexCommitted(indexDir: String): Boolean =
     ManifestStore.readVersioned(SparkSession.active, indexDir, "_lex").isDefined
 
+  /** One-call lexical-index health report (the
+    * [[graft.ops.Similarity.indexStats]] twin): committed version, live
+    * segments (the [[compactLexIndex]] pressure number), tombstone
+    * generations + ids (the [[purgeLexTombstones]] debt), and debris
+    * directories (the [[vacuumLexIndex]] reclaim number). Listings plus
+    * one tiny tombstone read — postings are never touched. */
+  final case class LexIndexStats(
+      version: Long, segments: Int, tombstoneGenerations: Int,
+      tombstonedIds: Long, debrisGenerations: Int)
+
+  def lexIndexStats(spark: SparkSession, indexDir: String): Option[LexIndexStats] =
+    ManifestStore.readVersioned(spark, indexDir, "_lex").map { case (ver, content) =>
+      val (segs, delGens) = parseLexManifest(content)
+      val nTs = liveTombstones(spark, indexDir, delGens)
+        .map(_.count()).getOrElse(0L)
+      val live = (segs ++ delGens).toSet
+      val hfs = ManifestStore.fs(spark, indexDir)
+      val dir = new org.apache.hadoop.fs.Path(indexDir)
+      val onDisk =
+        if (!hfs.exists(dir)) Set.empty[String]
+        else hfs.listStatus(dir).map(_.getPath.getName)
+          .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=")).toSet
+      LexIndexStats(ver, segs.size, delGens.size, nTs, (onDisk -- live).size)
+    }
+
   /** Load the committed index: postings union over live segments; df and
     * corpus stats fold the per-segment partials (vocabulary-sized work —
     * the corpus is never rescanned at load or serve time). */

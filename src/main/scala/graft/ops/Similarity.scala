@@ -1553,6 +1553,36 @@ object Similarity {
     (ver, codeGens.size)
   }
 
+  /** One-call index health report for the ops runbook (the
+    * [[ManifestStore.stats]] discipline): committed version, live code
+    * generations (the [[compactIndex]] pressure number), tombstone
+    * generations and total tombstoned ids (the [[purgeIndexTombstones]]
+    * DEBT — every query pays the anti-join until it's collected), and
+    * debris directories no manifest references (the [[vacuumIndex]]
+    * reclaim number). Listings plus one tiny tombstone-id read — never
+    * touches codes or vectors. */
+  final case class IndexStats(
+      version: Long, codeGenerations: Int, tombstoneGenerations: Int,
+      tombstonedIds: Long, debrisGenerations: Int)
+
+  def indexStats(spark: SparkSession, indexDir: String): Option[IndexStats] =
+    ManifestStore.readVersioned(spark, indexDir, "_index").map { case (ver, content) =>
+      val (qgen, codeGens, delGens) = parseIndexManifest(content)
+      val nTs =
+        if (delGens.isEmpty) 0L
+        else delGens
+          .map(g => spark.read.parquet(s"$indexDir/gen=$g/tombstones"))
+          .reduce(_.unionByName(_)).distinct().count()
+      val live = (codeGens ++ delGens :+ qgen).toSet
+      val hfs = ManifestStore.fs(spark, indexDir)
+      val dir = new org.apache.hadoop.fs.Path(indexDir)
+      val onDisk =
+        if (!hfs.exists(dir)) Set.empty[String]
+        else hfs.listStatus(dir).map(_.getPath.getName)
+          .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=")).toSet
+      IndexStats(ver, codeGens.size, delGens.size, nTs, (onDisk -- live).size)
+    }
+
   def readIndex(spark: SparkSession, indexDir: String): AnnIndex = {
     val (_, content) = ManifestStore.readVersioned(spark, indexDir, "_index")
       .getOrElse(throw new IllegalStateException(s"no committed index under $indexDir"))

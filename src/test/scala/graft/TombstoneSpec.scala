@@ -80,6 +80,11 @@ class TombstoneSpec extends SparkSpec {
       assert(akey(Similarity.ivfPqTopKIndexed(
         Similarity.readIndex(spark, dir), vqueries, 3, nprobe = 2)) == preCompact)
 
+    // the ops report surfaces the tombstone debt
+    val stats = Similarity.indexStats(spark, dir).get
+    assert(stats.tombstoneGenerations == 2 && stats.tombstonedIds == victimIds.size + 1,
+      stats.toString)
+
     // PURGE: physical drop + tombstone retirement; serving unchanged
     val retired = Similarity.purgeIndexTombstones(spark, dir)
     assert(retired == victimIds.size + 1, s"retired $retired tombstones") // +1 = 99999
@@ -98,8 +103,11 @@ class TombstoneSpec extends SparkSpec {
       assert(raw.where($"vec_id".isin(victimIds: _*)).isEmpty,
         s"gen $g still holds deleted codes")
     }
-    // a second purge is a no-op
+    // a second purge is a no-op; the report shows the debt collected
     assert(Similarity.purgeIndexTombstones(spark, dir) == 0L)
+    val statsAfter = Similarity.indexStats(spark, dir).get
+    assert(statsAfter.tombstoneGenerations == 0 && statsAfter.tombstonedIds == 0L,
+      statsAfter.toString)
   }
 
   // ---- lexical index -----------------------------------------------------
@@ -147,6 +155,10 @@ class TombstoneSpec extends SparkSpec {
       "doc_id", "text", tqueries, k = 6))
     assert(served2 == ref2, "append-after-delete diverged from rebuild")
 
+    // the ops report surfaces the tombstone debt
+    val lstats = Retrieval.lexIndexStats(spark, dir).get
+    assert(lstats.tombstoneGenerations == 2 && lstats.tombstonedIds == 3L, lstats.toString)
+
     // PURGE: serving unchanged, del lines gone, postings physically clean
     val retired = Retrieval.purgeLexTombstones(spark, dir)
     assert(retired == 3L, s"retired $retired") // 3, 6, 777
@@ -162,6 +174,8 @@ class TombstoneSpec extends SparkSpec {
         .where($"doc_id".isin(3L, 6L)).isEmpty, s"gen $g still holds deleted postings")
     }
     assert(Retrieval.purgeLexTombstones(spark, dir) == 0L)
+    val lstatsAfter = Retrieval.lexIndexStats(spark, dir).get
+    assert(lstatsAfter.tombstoneGenerations == 0 && lstatsAfter.tombstonedIds == 0L)
   }
 
   // ---- manifest table ----------------------------------------------------
