@@ -56,6 +56,32 @@ object LlmQueries {
     Similarity.readIndex(s, indexDir)
   }
 
+  /** Build-once memo for the TOMBSTONE-DELETED ANN index: same quantizers
+    * and corpus as [[persistedIndex]] (trained BEFORE the delete — the
+    * takedown arrives after the build, as in production), then every
+    * `vec_id % 7 == 2` vector deleted via
+    * [[Similarity.deleteFromIndex]]. Serving must equal the same ADC
+    * ranking with those candidates excluded — the oracle replays training
+    * on the full corpus and filters only the candidate set, exactly the
+    * operator's anti-join semantics. Separate memo path: deletion mutates
+    * index state, and [[persistedIndex]]'s dir is shared. */
+  private def persistedDeletedIndex(s: SparkSession, dir: String): Similarity.AnnIndex = {
+    val e = emb(s, dir)
+    val fp = e.agg(count(lit(1)), max(col("vec_id"))).collect()(0)
+    val (dims, m, coarseK, pqK, iters) = (64, 4, 8, 16, 2)
+    val indexDir =
+      s"${sys.props("java.io.tmpdir")}/graft_ann_index_del_v1/" +
+        s"${new java.io.File(dir).getName}_d${dims}_m${m}_c${coarseK}_k${pqK}_i${iters}" +
+        s"_n${fp.getLong(0)}_x${fp.getLong(1)}"
+    if (!Similarity.indexCommitted(indexDir)) {
+      graft.GraftExtensions.register(s)
+      Similarity.buildIndex(e, indexDir, dims, m, coarseK, pqK, iters)
+      Similarity.deleteFromIndex(
+        e.where(col("vec_id") % 7 === 2).select("vec_id"), indexDir)
+    }
+    Similarity.readIndex(s, indexDir)
+  }
+
   /** Deterministic JSONL dump of the documents table (memoized under /tmp
     * per corpus fingerprint): one JSON object per line, and every 97th
     * doc's line truncated by one character — chopping the closing brace
@@ -96,6 +122,26 @@ object LlmQueries {
       s"${sys.props("java.io.tmpdir")}/graft_lex_index_v1/" +
         s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
     if (!Retrieval.lexIndexCommitted(path)) Retrieval.writeLexIndex(d, path)
+    path
+  }
+
+  /** Build-once memo for the TOMBSTONE-DELETED lexical index: the full
+    * corpus is indexed, then every `doc_id % 7 == 3` document is deleted
+    * through [[Retrieval.deleteFromLexIndex]] — serving must equal BM25
+    * over the corpus minus those docs (df, N and avgdl all adjusted), the
+    * rebuild-parity contract under the driver's oracle gate. A separate
+    * memo path from [[lexIndexDir]]: deletion mutates index state. */
+  private def lexIndexDeletedDir(s: SparkSession, dir: String): String = {
+    val d = docs(s, dir)
+    val fp = d.agg(count(lit(1)), max(col("doc_id"))).collect()(0)
+    val path =
+      s"${sys.props("java.io.tmpdir")}/graft_lex_index_del_v1/" +
+        s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
+    if (!Retrieval.lexIndexCommitted(path)) {
+      Retrieval.writeLexIndex(d, path)
+      Retrieval.deleteFromLexIndex(
+        d.where(col("doc_id") % 7 === 3).select("doc_id"), path)
+    }
     path
   }
 
@@ -420,17 +466,17 @@ object LlmQueries {
     * replays [[graft.ops.Retrieval]] exactly — same postings build (dl rides
     * the explode), same Lucene idf, same left-associated double arithmetic,
     * same 4-dp round-then-rank. Yields `bmranked(qid, doc_id, score, rank)`. */
-  private def bm25Ctes(qsrc: String): String =
+  private def bm25Ctes(qsrc: String, docsSrc: String = "documents"): String =
     s"""bq AS ($qsrc),
        |bqt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS token FROM bq),
        |bp AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
        |       FROM (SELECT doc_id, len(string_split(text, ' ')) AS dl,
        |               unnest(string_split(text, ' ')) AS token
-       |             FROM documents WHERE text IS NOT NULL)
+       |             FROM $docsSrc WHERE text IS NOT NULL)
        |       GROUP BY doc_id, token),
        |bstat AS (SELECT count(*) AS n_docs,
        |            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
-       |          FROM documents WHERE text IS NOT NULL),
+       |          FROM $docsSrc WHERE text IS NOT NULL),
        |bdf AS (SELECT token, count(*) AS df FROM bp GROUP BY token),
        |bsc AS (SELECT t.qid, p.doc_id,
        |          ln(1.0 + (CAST(s.n_docs AS DOUBLE) - f.df + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
@@ -969,6 +1015,21 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Tombstone-deleted ANN serving: the committed index minus the
+    // vec_id % 7 == 2 takedown set — quantizers trained on the FULL
+    // corpus (the delete arrived after the build), candidates anti-joined;
+    // the oracle replays full training and filters only candidates
+    "q_sim_ivfpq_deleted" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = emb(s, dir)
+      val idx = persistedDeletedIndex(s, dir)
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfPqTopKIndexed(idx, queries, 5, nprobe = 2)
+        .select("qid", "rank", "vec_id", "adc")
+        .orderBy("qid", "rank")
+    }),
+
     // Serving with the exact re-rank stage: the ADC scan only has to get
     // the true neighbors INTO a 32-candidate shortlist; the final ranking
     // exact-scores that shortlist against the raw vectors persisted per
@@ -1388,6 +1449,20 @@ object LlmQueries {
         (2L, "window sort dup quantum")).toDF("qid", "qtext")
       Retrieval.bm25TopKIndexed(
           Retrieval.readLexIndex(s, lexIndexDir(s, dir)), queries, k = 10)
+        .orderBy("qid", "rank")
+    }),
+
+    // Tombstone-deleted BM25 serving: the committed index minus the
+    // doc_id % 7 == 3 takedown set — the oracle scores BM25 over the
+    // REMAINING corpus only, so a hash match proves df/N/avgdl all
+    // adjusted, not just that deleted docs stopped being retrievable
+    "q_ret_bm25_deleted" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, "spark dup"), (1L, "hash join merge"),
+        (2L, "window sort dup quantum")).toDF("qid", "qtext")
+      Retrieval.bm25TopKIndexed(
+          Retrieval.readLexIndex(s, lexIndexDeletedDir(s, dir)), queries, k = 10)
         .orderBy("qid", "rank")
     }),
 
@@ -2050,6 +2125,17 @@ object LlmQueries {
     // codes (parquet floats/ints are exact), so serving from it must
     // reproduce q_sim_ivfpq's ranking verbatim — shared oracle.
     "q_sim_ivfpq_persisted" -> ivfPqOracleSql,
+
+    // full-corpus training, candidate set minus the takedown ids — the
+    // operator's serve-time anti-join, replayed as one candidate filter
+    "q_sim_ivfpq_deleted" ->
+      s"""WITH $ivfPqAdcCtes
+         |SELECT qid, rank, vec_id, adc FROM (
+         |  SELECT qid, vec_id, adc,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY adc ASC, vec_id ASC) AS INT) AS rank
+         |  FROM adc WHERE vec_id % 7 <> 2)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "q_sim_ivfpq_rerank" -> ivfPqRerankOracleSql,
 
     "q_embed_semdedup" ->
@@ -2598,6 +2684,14 @@ object LlmQueries {
 
     // the persisted-index path must serve IDENTICAL rankings — one oracle
     "q_ret_bm25_indexed" -> bm25FixedQueriesOracle,
+
+    "q_ret_bm25_deleted" ->
+      s"""WITH ${bm25Ctes(
+           "SELECT * FROM (VALUES (0, 'spark dup'), (1, 'hash join merge'), " +
+             "(2, 'window sort dup quantum')) AS v(qid, qtext)",
+           "(SELECT * FROM documents WHERE doc_id % 7 <> 3)")}
+         |SELECT CAST(qid AS BIGINT) AS qid, rank, doc_id, score
+         |FROM bmranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     "q_ret_hybrid_rrf" ->
       s"""WITH ${compCte("comp", "embeddings")},
