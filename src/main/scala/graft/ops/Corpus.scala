@@ -355,4 +355,46 @@ object Corpus {
       .orderBy(col("logw").desc, col(idCol).asc)
       .limit(m)
   }
+
+  /**
+   * Training-export sharding — the LAST step of a corpus build: the
+   * curated documents assigned to `nShards` files in a deterministic
+   * GLOBAL SHUFFLE (training wants documents decorrelated from their
+   * ingest/source order; adjacent crawl pages in one batch teach the
+   * model the crawl, not the language). Shard and within-shard order are
+   * both salted id hashes ([[hashBucket]] discipline, independent
+   * domains), so the export is a pure function of (ids, salt): re-runs,
+   * engines and parallelism all produce the identical sharding — and an
+   * incremental re-export keeps every old document's position stable.
+   * Adds `(shard, ord)` with `ord` the 1-based rank inside the shard
+   * (hash order, id tie-break).
+   *
+   * Scale shape: ONE exchange (the shard assignment), per-shard ranks via
+   * a window partitioned by shard — never a global sort. The writer form
+   * ([[writeTrainingShards]]) clusters one file per shard.
+   */
+  def withTrainingShard(
+      df: DataFrame, idCol: String, nShards: Int, salt: String = ""): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val shard = pmod(
+      TextOps.hash32(concat(lit(s"shard:$salt:"), col(idCol).cast("string"))),
+      lit(nShards.toLong)).cast("int")
+    val h = TextOps.hash32(concat(lit(s"shardord:$salt:"), col(idCol).cast("string")))
+    val w = Window.partitionBy("shard").orderBy(col("_h"), col(idCol))
+    df.withColumn("shard", shard)
+      .withColumn("_h", h)
+      .withColumn("ord", row_number().over(w))
+      .drop("_h")
+  }
+
+  /** [[withTrainingShard]] + hive-partitioned parquet write, one
+    * hash-ordered file per shard directory — the artifact a trainer's
+    * data loader consumes shard-by-shard. */
+  def writeTrainingShards(
+      df: DataFrame, idCol: String, nShards: Int, outDir: String,
+      salt: String = ""): Unit =
+    withTrainingShard(df, idCol, nShards, salt)
+      .repartition(col("shard"))
+      .sortWithinPartitions("ord")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 }

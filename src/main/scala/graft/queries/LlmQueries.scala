@@ -1134,6 +1134,15 @@ object LlmQueries {
 
     // Per-source quota cap: keep each source's 10 longest documents
     // (quality-ranked cap, not an unbiased draw)
+    // Training-export sharding: deterministic global shuffle into 8
+    // shards — shard assignment AND within-shard order are salted id
+    // hashes, so the oracle replays the whole export layout bit-for-bit
+    "q_corpus_shard" -> ((s, dir) =>
+      Corpus.withTrainingShard(
+          docs(s, dir).select("doc_id", "source"), "doc_id", nShards = 8, salt = "x")
+        .select("doc_id", "source", "shard", "ord")
+        .orderBy("doc_id")),
+
     "q_corpus_cap" -> ((s, dir) =>
       Corpus.capPerGroup(docs(s, dir), "source", n = 10,
           col("n_chars").desc, col("doc_id").asc)
@@ -2313,6 +2322,16 @@ object LlmQueries {
         |      FROM t JOIN rep ON rep.doc_id = t.doc_id
         |      LEFT JOIN d ON d.doc_id = t.doc_id)
         |SELECT doc_id, reasons = '' AS keep, reasons FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_shard" ->
+      """SELECT doc_id, source, shard, CAST(ord AS INT) AS ord FROM (
+        |  SELECT doc_id, source, shard,
+        |         row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS ord
+        |  FROM (SELECT doc_id, source,
+        |          CAST(('0x' || substr(md5('shard:x:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INT) AS shard,
+        |          ('0x' || substr(md5('shardord:x:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
 
     "q_corpus_cap" ->
       """SELECT doc_id, source, n_chars FROM (

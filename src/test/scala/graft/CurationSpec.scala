@@ -112,4 +112,40 @@ class CurationSpec extends SparkSpec {
     // the corpus; the decomposed plan only hash-partitions (bucket windows)
     assert(!p.contains("rangepartitioning"), p)
   }
+
+  test("training-export sharding: every doc exactly once, deterministic, one file per shard, no global sort") {
+    import graft.ops.Corpus
+    val docs = (1L to 500L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val a = Corpus.withTrainingShard(docs, "doc_id", nShards = 8, salt = "s")
+    val rows = a.select("doc_id", "shard", "ord").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.map(_._1).distinct.length == 500, "a doc was dropped or duplicated")
+    assert(rows.map(_._2).distinct.sorted.toSeq == (0 to 7), "shards not fully used")
+    // ords are contiguous 1..|shard| within each shard
+    rows.groupBy(_._2).foreach { case (s, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length), s"shard $s ord gap")
+    }
+    // pure function of (ids, salt): a rerun reproduces the layout exactly
+    val b = Corpus.withTrainingShard(docs, "doc_id", nShards = 8, salt = "s")
+      .select("doc_id", "shard", "ord").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.toSet == b.toSet, "sharding is not deterministic")
+    // the export decorrelates ingest order: within a shard, consecutive
+    // ord must not be consecutive doc_ids everywhere (a sorted passthrough)
+    val shard0 = rows.filter(_._2 == 0).sortBy(_._3).map(_._1)
+    assert(shard0.sliding(2).exists(p => p.length == 2 && p(1) != p(0) + 1),
+      "shard order mirrors ingest order — no shuffle happened")
+
+    // writer: hive layout, ONE file per shard directory
+    val out = tmpDir("train_shards")
+    Corpus.writeTrainingShards(docs, "doc_id", nShards = 8, out, salt = "s")
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).toSeq
+    assert(shardDirs.size == 8, s"expected 8 shard dirs, got ${shardDirs.size}")
+    shardDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${d.getName}: ${parts.length} files, want 1")
+    }
+    assert(spark.read.parquet(out).count() == 500)
+  }
 }

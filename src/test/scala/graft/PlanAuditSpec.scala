@@ -118,6 +118,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"re-rank planned a cartesian:\n$p")
   }
 
+  test("round-11 serving paths: tombstone anti-join broadcasts; r=2 index keeps pruning + broadcast joins") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = e.where(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+    // tombstoned index: the anti-join against the (tiny) id list must be
+    // a BroadcastHashJoin — a shuffled anti-join would exchange the full
+    // probed-cell mass to subtract a handful of ids
+    val delDir = tmpDir("graft_plan_idx_del")
+    Similarity.buildIndex(e, delDir, dims = 64, m = 4, coarseK = 4, pqK = 4, iters = 1)
+    import spark.implicits._
+    Similarity.deleteFromIndex(Seq(3L, 9L).toDF("vec_id"), delDir)
+    val pDel = Similarity.ivfPqTopKIndexed(
+        Similarity.readIndex(spark, delDir), queries, 3, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(pDel.contains("BroadcastHashJoin") && pDel.contains("LeftAnti"),
+      s"tombstone filter must be a broadcast anti-join:\n$pDel")
+    assert(!pDel.contains("SortMergeJoin"), s"tombstoned serving planned a shuffle join:\n$pDel")
+
+    // assign_r=2 index: partition pruning and broadcast-only joins hold on
+    // the redundant layout too (the min-over-cells dedup adds an aggregate,
+    // never a shuffle join or a cartesian)
+    val r2Dir = tmpDir("graft_plan_idx_r2")
+    val coarse = Similarity.trainCentroids(e, 4, 1)
+    val cb = Similarity.pqTrainCodebooksResidual(e, coarse, dims = 64, m = 4, k = 4, iters = 1)
+    Similarity.writeIndex(e, coarse, cb, r2Dir, dims = 64, m = 4, assignR = 2)
+    val pR2 = Similarity.ivfPqTopKIndexedRerank(
+        Similarity.readIndex(spark, r2Dir), queries, 3, nprobe = 2, shortlist = 16)
+      .queryExecution.executedPlan.toString
+    val cellFilters = "PartitionFilters: \\[[^\\]]*cell".r.findAllIn(pR2).size
+    assert(cellFilters >= 2,
+      s"r=2 serving lost the probed-cell partition filters ($cellFilters):\n$pR2")
+    assert(!pR2.contains("SortMergeJoin") && !pR2.contains("CartesianProduct"),
+      s"r=2 serving planned a shuffle join or cartesian:\n$pR2")
+  }
+
   test("similarity scoring cross-products are broadcast-side only") {
     // Scoring every (vector, centroid/query) combination IS a cross product —
     // correct only as a BroadcastNestedLoopJoin whose build side is the small
