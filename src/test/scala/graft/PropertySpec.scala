@@ -369,4 +369,39 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(f.getAs[Double]("jsd") - g.getAs[Double]("jsd")) < 1e-12,
       "JSD must be symmetric")
   }
+
+  test("property: lex-index tombstone delete equals a fresh build over the remaining corpus") {
+    import graft.ops.Retrieval
+    // random small corpora over a tiny vocabulary (guaranteed term
+    // collisions, so df/N/avgdl adjustments have teeth) and random delete
+    // sets, including ids not in the corpus
+    val vocab = Seq("a", "b", "c", "d", "e")
+    val docGen = for {
+      len <- Gen.chooseNum(0, 6)
+      ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val queries = Seq((0L, "a c"), (1L, "b d e")).toDF("qid", "qtext")
+    def ranked(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.orderBy("qid", "rank").collect().toSeq.map(_.toSeq)
+    for (trial <- 0 until 3) {
+      val texts = sample(docGen, 20)
+      val docs = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+        .toDF("doc_id", "text")
+      val delIds = sample(Gen.chooseNum(1L, 25L), 6).distinct // some absent
+      val dir = tmpDir(s"prop_lexdel_$trial")
+      Retrieval.writeLexIndex(docs, dir)
+      Retrieval.deleteFromLexIndex(delIds.toDF("doc_id"), dir)
+      val served = ranked(Retrieval.bm25TopKIndexed(
+        Retrieval.readLexIndex(spark, dir), queries, k = 20))
+      val rebuilt = ranked(Retrieval.bm25(
+        docs.where(!$"doc_id".isin(delIds: _*)), "doc_id", "text", queries, k = 20))
+      assert(served == rebuilt,
+        s"trial $trial: delete diverged from rebuild (dels=$delIds)\n$served\nvs\n$rebuilt")
+      // purge preserves serving exactly
+      Retrieval.purgeLexTombstones(spark, dir)
+      assert(ranked(Retrieval.bm25TopKIndexed(
+        Retrieval.readLexIndex(spark, dir), queries, k = 20)) == rebuilt,
+        s"trial $trial: purge changed serving")
+    }
+  }
 }
