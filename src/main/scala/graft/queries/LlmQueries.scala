@@ -1087,6 +1087,21 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Redundant (top-2) assignment at the same nprobe: the recall lever's
+    // exact-scoring form under the oracle gate — the SQL replays top-2
+    // cell assignment, the probe, candidate dedup, and exact-dot ranking
+    "q_sim_ivf_multi" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = emb(s, dir)
+      val centroids = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopKMulti(e, centroids, queries, 5, nprobe = 2, assignR = 2)
+        .select("qid", "rank", "vec_id", "dot")
+        .orderBy("qid", "rank")
+    }),
+
     // SRP-LSH bucketed near-duplicate vectors on planted exact dups
     "q_embed_neardup" -> ((s, dir) => {
       GraftExtensions.register(s)
@@ -2236,6 +2251,35 @@ object LlmQueries {
          |                    row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS rn
          |             FROM adot WHERE vec_id < 3) WHERE rn <= 2),
          |cand AS (SELECT qp.qid, a.vec_id FROM qprobe qp JOIN acell a ON a.cell = qp.cell),
+         |dots AS (SELECT c.qid, c.vec_id, CAST(SUM(ca.q * cb.q) AS BIGINT) AS dot
+         |         FROM cand c
+         |         JOIN comp ca ON ca.vec_id = c.qid
+         |         JOIN comp cb ON cb.vec_id = c.vec_id AND cb.d = ca.d
+         |         GROUP BY c.qid, c.vec_id)
+         |SELECT qid, rank, vec_id, dot FROM (
+         |  SELECT qid, vec_id, dot,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS INT) AS rank
+         |  FROM dots
+         |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // same replay with rn <= 2 in the assignment (each vector in its TOP-2
+    // cells) and a DISTINCT candidate set (a vector reachable through both
+    // probed cells must occupy one rank)
+    "q_sim_ivf_multi" ->
+      s"""WITH ${compCte("comp", "embeddings")},
+         |cent AS (SELECT vec_id AS cid, d, q FROM comp WHERE vec_id < 8),
+         |adot AS (SELECT c.vec_id, ct.cid, SUM(c.q * ct.q) AS cdot
+         |         FROM comp c JOIN cent ct ON ct.d = c.d GROUP BY c.vec_id, ct.cid),
+         |acell AS (SELECT vec_id, cid AS cell FROM (
+         |            SELECT vec_id, cid,
+         |                   row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS rn
+         |            FROM adot) WHERE rn <= 2),
+         |qprobe AS (SELECT vec_id AS qid, cid AS cell FROM (
+         |             SELECT vec_id, cid,
+         |                    row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS rn
+         |             FROM adot WHERE vec_id < 3) WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT qp.qid, a.vec_id
+         |         FROM qprobe qp JOIN acell a ON a.cell = qp.cell),
          |dots AS (SELECT c.qid, c.vec_id, CAST(SUM(ca.q * cb.q) AS BIGINT) AS dot
          |         FROM cand c
          |         JOIN comp ca ON ca.vec_id = c.qid

@@ -73,4 +73,35 @@ class SketchLedgerSpec extends SparkSpec {
     val exact = batches.flatten.distinct.size.toDouble
     assert(math.abs(est - exact) / exact < 0.05, s"est $est vs exact $exact")
   }
+
+  test("numeric drift scores from a DD-histogram ledger fold — no corpus rescan") {
+    // a reference corpus ingested as three batches, each appending ONLY its
+    // DD histogram to the ledger; a later batch is scored against the
+    // folded reference without any access to the reference rows — and the
+    // score equals Profile.driftNumeric over the raw frames (one bucket
+    // math, one drift arithmetic, whatever the storage path)
+    val dir = tmpDir("dd_ledger")
+    val refBatches = Seq(
+      (1 to 40).map(i => 8.0 + (i % 5)),
+      (1 to 30).map(i => 9.0 + (i % 3)),
+      (1 to 30).map(i => 7.5 + (i % 4)))
+    refBatches.foreach { b =>
+      SketchLedger.append(Profile.ddHistogram(b.toDF("v"), "v", 0.05), dir)
+    }
+    val cur = (1 to 50).map(i => 700.0 + (i % 5) * 50).toDF("v")
+    val refFold = SketchLedger.read(spark, dir).get
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+    val viaLedger = Profile.driftNumericFromHistograms(
+        refFold.select(col("bucket").as("key"), col("cnt").as("ref_cnt")),
+        Profile.ddHistogram(cur, "v", 0.05)
+          .select(col("bucket").as("key"), col("cnt").as("cur_cnt")),
+        alpha = 0.05)
+      .agg(sum("psi")).collect()(0).getDouble(0)
+    val direct = Profile.driftNumeric(
+        refBatches.flatten.toDF("v"), cur, "v", alpha = 0.05)
+      .collect()(0).getAs[Double]("psi")
+    assert(viaLedger == direct,
+      s"ledger-fold drift $viaLedger != direct $direct")
+    assert(viaLedger > 0.25, "magnitude shift must score as drifted")
+  }
 }
