@@ -261,6 +261,24 @@ object ManifestStore {
     Some((vmax, readFile(spark, dir, name)))
   }
 
+  /** The committed `<prefix>` file with the HIGHEST version ≤ `asOf` —
+    * the generic time-travel resolve behind [[readManifestAt]] and the
+    * index stores' `readIndexAt`/`readLexIndexAt`. */
+  private[graft] def readVersionedAt(
+      spark: SparkSession, dir: String, prefix: String,
+      asOf: Long): Option[(Long, String)] = {
+    val files = listVersioned(spark, dir, prefix).filter(_._1 <= asOf)
+    if (files.isEmpty) return None
+    val v = files.map(_._1).max
+    val name = files.filter(_._1 == v).minBy(_._2)._3
+    Some((v, readFile(spark, dir, name)))
+  }
+
+  /** All committed versions of `<prefix>` under `dir`, ascending. */
+  private[graft] def versionsOf(
+      spark: SparkSession, dir: String, prefix: String): Seq[Long] =
+    listVersioned(spark, dir, prefix).map(_._1).distinct.sorted
+
   private def writerToken(): String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(8)
 

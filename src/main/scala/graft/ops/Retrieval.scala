@@ -482,10 +482,28 @@ object Retrieval {
   /** Load the committed index: postings union over live segments; df and
     * corpus stats fold the per-segment partials (vocabulary-sized work —
     * the corpus is never rescanned at load or serve time). */
-  def readLexIndex(spark: SparkSession, indexDir: String): LexIndex = {
-    val (_, content) = ManifestStore.readVersioned(spark, indexDir, "_lex")
-      .getOrElse(throw new IllegalStateException(
-        s"no committed lexical index under $indexDir"))
+  def readLexIndex(spark: SparkSession, indexDir: String): LexIndex =
+    readLexIndexFrom(spark, indexDir,
+      ManifestStore.readVersioned(spark, indexDir, "_lex")
+        .getOrElse(throw new IllegalStateException(
+          s"no committed lexical index under $indexDir"))._2)
+
+  /** TIME TRAVEL: the lexical index as of commit version `asOf` — the
+    * [[graft.ops.Similarity.readIndexAt]] twin; readable until
+    * [[vacuumLexIndex]]/[[purgeLexTombstones]] reclaim the generations
+    * it references. */
+  def readLexIndexAt(spark: SparkSession, indexDir: String, asOf: Long): LexIndex =
+    readLexIndexFrom(spark, indexDir,
+      ManifestStore.readVersionedAt(spark, indexDir, "_lex", asOf)
+        .getOrElse(throw new IllegalStateException(
+          s"no lexical index committed at or before version $asOf under $indexDir"))._2)
+
+  /** All committed lexical-index versions, ascending. */
+  def lexIndexVersions(spark: SparkSession, indexDir: String): Seq[Long] =
+    ManifestStore.versionsOf(spark, indexDir, "_lex")
+
+  private def readLexIndexFrom(
+      spark: SparkSession, indexDir: String, content: String): LexIndex = {
     val (segs, delGens) = parseLexManifest(content)
     val ts = liveTombstones(spark, indexDir, delGens)
     // del generations carry NEGATIVE df/corpus partials, so the same folds

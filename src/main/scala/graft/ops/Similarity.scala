@@ -1583,9 +1583,33 @@ object Similarity {
       IndexStats(ver, codeGens.size, delGens.size, nTs, (onDisk -- live).size)
     }
 
-  def readIndex(spark: SparkSession, indexDir: String): AnnIndex = {
-    val (_, content) = ManifestStore.readVersioned(spark, indexDir, "_index")
-      .getOrElse(throw new IllegalStateException(s"no committed index under $indexDir"))
+  def readIndex(spark: SparkSession, indexDir: String): AnnIndex =
+    readIndexFrom(spark, indexDir,
+      ManifestStore.readVersioned(spark, indexDir, "_index")
+        .getOrElse(throw new IllegalStateException(
+          s"no committed index under $indexDir"))._2)
+
+  /** TIME TRAVEL: the index as of commit version `asOf` (the newest
+    * commit ≤ `asOf`) — pin the exact snapshot a training run retrieved
+    * against, reproducibly. Generations are immutable so the snapshot is
+    * consistent with no locking; it stays READABLE until [[vacuumIndex]]
+    * (which retains only the CURRENT manifest's generations) or a
+    * [[purgeIndexTombstones]] reclaims what it references — a deployment
+    * serving time travel schedules those accordingly, the
+    * [[ManifestStore.vacuum]] retention contract. */
+  def readIndexAt(spark: SparkSession, indexDir: String, asOf: Long): AnnIndex =
+    readIndexFrom(spark, indexDir,
+      ManifestStore.readVersionedAt(spark, indexDir, "_index", asOf)
+        .getOrElse(throw new IllegalStateException(
+          s"no index committed at or before version $asOf under $indexDir"))._2)
+
+  /** All committed index versions, ascending — each addressable via
+    * [[readIndexAt]] until vacuumed past. */
+  def indexVersions(spark: SparkSession, indexDir: String): Seq[Long] =
+    ManifestStore.versionsOf(spark, indexDir, "_index")
+
+  private def readIndexFrom(
+      spark: SparkSession, indexDir: String, content: String): AnnIndex = {
     val (qgen, codeGens, delGens) = parseIndexManifest(content)
     val meta = spark.read.parquet(s"$indexDir/gen=$qgen/meta").collect().head
     // live tombstones fold to ONE distinct-id frame (takedown batches are

@@ -178,6 +178,47 @@ class TombstoneSpec extends SparkSpec {
     assert(lstatsAfter.tombstoneGenerations == 0 && lstatsAfter.tombstonedIds == 0L)
   }
 
+  // ---- time travel ---------------------------------------------------------
+
+  test("index time travel: a pre-delete snapshot still serves the deleted doc; versions addressable until vacuum") {
+    // ANN: build (v1) -> append (v2) -> delete (v3); v2 must still serve
+    // the id v3 tombstoned — the pinned-experiment reproducibility contract
+    val coarse = Similarity.trainCentroids(embs, 4, 2)
+    val cb = Similarity.pqTrainCodebooksResidual(embs, coarse, dims = 8, m = 2, k = 3, iters = 2)
+    val dir = tmpDir("ann_tt")
+    Similarity.writeIndex(embs.where($"vec_id" < 24), coarse, cb, dir, dims = 8, m = 2)
+    Similarity.appendToIndex(embs.where($"vec_id" >= 24), dir)
+    val victim = Similarity.ivfPqTopKIndexed(
+        Similarity.readIndex(spark, dir), vqueries, 3, nprobe = 2)
+      .where($"vec_id" >= 3).select("vec_id").as[Long].head()
+    Similarity.deleteFromIndex(Seq(victim).toDF("vec_id"), dir)
+    assert(Similarity.indexVersions(spark, dir) == Seq(1L, 2L, 3L))
+    val atV2 = Similarity.ivfPqTopKIndexed(
+      Similarity.readIndexAt(spark, dir, 2L), vqueries, 3, nprobe = 2)
+    assert(!atV2.where($"vec_id" === victim).isEmpty,
+      "pre-delete snapshot lost the later-deleted doc")
+    assert(Similarity.ivfPqTopKIndexed(
+        Similarity.readIndex(spark, dir), vqueries, 3, nprobe = 2)
+      .where($"vec_id" === victim).isEmpty, "current snapshot still serves the deleted doc")
+    // v1 (pre-append) serves only the first half's candidates
+    assert(Similarity.ivfPqTopKIndexed(
+        Similarity.readIndexAt(spark, dir, 1L), vqueries, 3, nprobe = 2)
+      .where($"vec_id" >= 24).isEmpty, "v1 snapshot sees appended vectors")
+
+    // lex: same contract
+    val ldir = tmpDir("lex_tt")
+    Retrieval.writeLexIndex(docsA, ldir)
+    Retrieval.deleteFromLexIndex(Seq(3L).toDF("doc_id"), ldir)
+    assert(Retrieval.lexIndexVersions(spark, ldir) == Seq(1L, 2L))
+    val served1 = Retrieval.bm25TopKIndexed(
+      Retrieval.readLexIndexAt(spark, ldir, 1L), tqueries, k = 5)
+    assert(!served1.where($"doc_id" === 3L).isEmpty,
+      "pre-delete lex snapshot lost the deleted doc")
+    assert(Retrieval.bm25TopKIndexed(
+        Retrieval.readLexIndex(spark, ldir), tqueries, k = 5)
+      .where($"doc_id" === 3L).isEmpty)
+  }
+
   // ---- manifest table ----------------------------------------------------
 
   test("ManifestStore.delete: partition-pruned row deletes; emptied partitions leave the manifest") {
