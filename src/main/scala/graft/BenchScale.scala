@@ -116,6 +116,7 @@ object BenchScale {
   private val stressQueries = Seq(
     "q_dedup_clusters", "q_dedup_clusters_star", "q_dedup_clusters_auto",
     "q_dedup_minhash_lsh", "q_dedup_jaccard_blocked", "q_dedup_exact_substring",
+    "q_dedup_exact_substring_keepfirst",
     "q_embed_semdedup", "q_contamination_semantic",
     "q_sim_ivfpq", "q_sim_pq",
     "q_text_perplexity2", "q_j4_union",
