@@ -833,6 +833,43 @@ object Dedup {
       Seq(idCol), "left_anti")
 
   /**
+   * Quality-aware canonical survivor selection: keeps, per duplicate
+   * cluster, the row MAXIMIZING `qualityCol` (ties broken by the minimum
+   * id — fully deterministic), and drops every other cluster member;
+   * documents appearing in no pair pass through untouched. This is the
+   * policy production dedup actually wants — [[dropDuplicateClusters]]'s
+   * min-id survivor is arbitrary, while "keep the longest / highest-quality
+   * copy" preserves the best training signal per duplicate group (the
+   * CCNet/RefinedWeb-style canonicalization step).
+   *
+   * Scale shape: every intermediate frame is proportional to the DUPLICATE
+   * mass (pair members), never the corpus — the labels come from
+   * [[clustersAuto]] over the pairs, quality is joined for member rows
+   * only, the per-cluster survivor is one `min_by` hash aggregate (no
+   * window, no per-cluster sort), and the corpus pays exactly one
+   * anti-join against the loser id list. A null quality ranks BELOW every
+   * non-null quality (it survives only in an all-null cluster, where the
+   * min-id tie-break decides) — mirroring SQL `ORDER BY q DESC NULLS
+   * LAST` so oracles replay the same survivor.
+   */
+  def keepBestInClusters(
+      df: DataFrame, pairs: DataFrame, idCol: String, qualityCol: Column,
+      maxIter: Int = 30): DataFrame = {
+    val labels = clustersAuto(pairs, maxIter = maxIter)
+      .withColumnRenamed("id", idCol)
+    // nulls-last under the min_by asc ordering: null quality -> +inf key
+    val qKey = negate(coalesce(qualityCol.cast("double"),
+      lit(Double.NegativeInfinity)))
+    val survivors = df
+      .join(labels, Seq(idCol))
+      .groupBy(col("cluster"))
+      .agg(min_by(col(idCol), struct(qKey, col(idCol))).as(idCol))
+      .select(idCol)
+    val losers = labels.select(idCol).join(survivors, Seq(idCol), "left_anti")
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Benchmark decontamination: exact-content overlap between a training
    * corpus and an evaluation set — `(corpus_id, eval_id)` for every pair
    * whose case/whitespace-normalized fingerprints collide. The join is an

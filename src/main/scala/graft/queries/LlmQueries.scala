@@ -436,8 +436,11 @@ object LlmQueries {
    * then the transitive closure as a recursive CTE, labeling each doc with
    * its component minimum.
    */
-  private lazy val clustersOracleSql =
-    s"""WITH RECURSIVE $mutCte,
+  /** CTE chain ending in `reach(id, r)` — blocked-Jaccard pairs over the
+    * mutated corpus, then the transitive closure (shared by the clustering
+    * and canonical-survivor oracles). */
+  private lazy val clusterReachCtes =
+    s"""$mutCte,
        |${shingleCte("alldocs")},
        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM alldocs a JOIN alldocs b
@@ -451,9 +454,27 @@ object LlmQueries {
        |reach(id, r) AS (
        |  SELECT DISTINCT src, src FROM e
        |  UNION
-       |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)
+       |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)""".stripMargin
+
+  private lazy val clustersOracleSql =
+    s"""WITH RECURSIVE $clusterReachCtes
        |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** Canonical-survivor oracle: component labels from the closure, the
+    * per-cluster survivor by (n_chars DESC, doc_id ASC), non-members pass. */
+  private lazy val keepBestOracleSql =
+    s"""WITH RECURSIVE $clusterReachCtes,
+       |lab AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),
+       |surv AS (SELECT doc_id FROM (
+       |           SELECT l.doc_id,
+       |                  row_number() OVER (PARTITION BY l.cluster
+       |                    ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn
+       |           FROM lab l JOIN alldocs d ON d.doc_id = l.doc_id) WHERE rn = 1)
+       |SELECT d.doc_id, d.n_chars FROM alldocs d
+       |LEFT JOIN lab l ON l.doc_id = d.doc_id
+       |WHERE l.doc_id IS NULL OR d.doc_id IN (SELECT surv.doc_id FROM surv)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Quantized components (vec_id, d, q) over embedding relation `src`. */
   private def compCte(name: String, src: String): String =
@@ -686,6 +707,22 @@ object LlmQueries {
         .select("id_a", "id_b")
       Dedup.clustersAuto(pairs, propagationRounds = 4)
         .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Quality-aware canonical survivor: same blocked-Jaccard clusters as
+    // q_dedup_clusters, but the survivor is the LONGEST member (n_chars
+    // desc, doc_id asc tie-break) instead of the arbitrary min id — the
+    // production "keep the best copy" policy. Non-members pass through.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val d = docsWithNearDups(s, dir)
+        .withColumn("len_bucket", floor(col("n_chars") / 100))
+      val pairs = Dedup.blockedNearDuplicates(
+        d, "doc_id", "text",
+        blockCols = Seq("lang", "source", "len_bucket"),
+        shingle = 3, threshold = 0.35)
+      Dedup.keepBestInClusters(d, pairs, "doc_id", col("n_chars"))
+        .select("doc_id", "n_chars")
         .orderBy("doc_id")
     }),
 
@@ -1692,6 +1729,8 @@ object LlmQueries {
     // Contraction variant computes the identical label set, so it shares
     // the recursive-closure oracle verbatim.
     "q_dedup_clusters_star" -> clustersOracleSql,
+
+    "q_dedup_keep_best" -> keepBestOracleSql,
 
     // Auto-selection runs on consecutive-id chain pairs (deep topology);
     // the closure oracle is the same recursive-CTE shape over those pairs.

@@ -587,6 +587,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 10L)) // one survivor per cluster + untouched 4
   }
 
+  test("Dedup: keepBestInClusters keeps the max-quality member, min-id on ties, nulls last") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val docs = Seq(
+      (1L, Some(5.0)), (2L, Some(9.0)), (3L, Some(9.0)), // tie 2 vs 3 → min id 2
+      (4L, Some(1.0)),                                   // non-member: untouched
+      (10L, None), (11L, Some(0.5)),                     // null ranks last → 11
+      (20L, None), (21L, None))                          // all-null → min id 20
+      .toDF("doc_id", "q")
+    val kept = Dedup.keepBestInClusters(docs, pairs, "doc_id", col("q"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 11L, 20L))
+    // survivor laws: one per component, survivors ⊆ input, members-only drop
+    assert(kept.subsetOf(Set(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L)))
+  }
+
   test("Dedup: clustersContract matches propagation labels and converges on a 1000-link chain") {
     // Same mixed graph as the propagation test: identical label contract.
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
