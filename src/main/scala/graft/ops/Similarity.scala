@@ -1008,7 +1008,8 @@ object Similarity {
    */
   def pqEncodeResidual(
       emb: DataFrame, coarse: DataFrame, codebooks: DataFrame, dims: Int, m: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      attrCols: Seq[String] = Nil): DataFrame = {
     require(m >= 1 && dims % m == 0, s"dims ($dims) must divide into m ($m) subspaces")
     val sd = dims / m
     val cents = collectCentroids(coarse, "cid", "cvec")
@@ -1023,14 +1024,17 @@ object Similarity {
         typedlit(qoffs.map(_.slice(s * sd, (s + 1) * sd))), col("_ci"))
       cidAt(cb(s), idx)
     }
+    // attribute columns ride the same single projection pass — pure
+    // pass-through, no join, no second corpus scan
+    val attrs = attrCols.map(col)
     emb
-      .select(
+      .select(Seq(
         col(idCol).as("vec_id"), col(vecCol).as("_v"),
-        argBestIdx(col(vecCol), cents, l2 = false).as("_ci"))
-      .select(
+        argBestIdx(col(vecCol), cents, l2 = false).as("_ci")) ++ attrs: _*)
+      .select(Seq(
         col("vec_id"),
-        cidAt(cents, col("_ci")).as("cell"),
-        posexplode(array(codeCols: _*)).as(Seq("sub", "code")))
+        cidAt(cents, col("_ci")).as("cell")) ++ attrs :+
+        posexplode(array(codeCols: _*)).as(Seq("sub", "code")): _*)
   }
 
   /**
@@ -1049,9 +1053,11 @@ object Similarity {
    */
   def pqEncodeResidualTop(
       emb: DataFrame, coarse: DataFrame, codebooks: DataFrame, dims: Int, m: Int,
-      r: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      r: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      attrCols: Seq[String] = Nil): DataFrame = {
     require(r >= 1, s"r must be >= 1, got $r")
-    if (r == 1) return pqEncodeResidual(emb, coarse, codebooks, dims, m, idCol, vecCol)
+    if (r == 1)
+      return pqEncodeResidual(emb, coarse, codebooks, dims, m, idCol, vecCol, attrCols)
     require(m >= 1 && dims % m == 0, s"dims ($dims) must divide into m ($m) subspaces")
     val sd = dims / m
     val cents = collectCentroids(coarse, "cid", "cvec")
@@ -1072,15 +1078,16 @@ object Similarity {
         typedlit(qoffs.map(_.slice(s * sd, (s + 1) * sd))), col("_ci"))
       cidAt(cb(s), idx)
     }
+    val attrs = attrCols.map(col)
     emb
-      .select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
-      .select(col("vec_id"), col("_v"),
-        explode(slice(array_sort(array(entries: _*)), 1, r)).as("_e"))
-      .select(col("vec_id"), col("_v"),
-        col("_e.cid").as("cell"), col("_e.idx").as("_ci"))
+      .select(Seq(col(idCol).as("vec_id"), col(vecCol).as("_v")) ++ attrs: _*)
+      .select(Seq(col("vec_id"), col("_v")) ++ attrs :+
+        explode(slice(array_sort(array(entries: _*)), 1, r)).as("_e"): _*)
+      .select(Seq(col("vec_id"), col("_v"),
+        col("_e.cid").as("cell"), col("_e.idx").as("_ci")) ++ attrs: _*)
       .select(
-        col("vec_id"), col("cell"),
-        posexplode(array(codeCols: _*)).as(Seq("sub", "code")))
+        Seq(col("vec_id"), col("cell")) ++ attrs :+
+        posexplode(array(codeCols: _*)).as(Seq("sub", "code")): _*)
   }
 
   /** Per-(query, probed cell) residual ADC lookup table
@@ -1257,9 +1264,15 @@ object Similarity {
   final class AnnIndex(
       val coarse: DataFrame, val codebooks: DataFrame, val codes: DataFrame,
       vectorsThunk: () => DataFrame, val dims: Int, val m: Int,
-      val assignR: Int = 1) {
+      val assignR: Int = 1, val attrs: Seq[String] = Nil) {
     lazy val vectors: DataFrame = vectorsThunk()
   }
+
+  /** Attribute column list from a meta row (pre-attrs layouts → none). */
+  private def metaAttrCols(meta: org.apache.spark.sql.Row): Seq[String] =
+    if (!meta.schema.fieldNames.contains("attrs")) Nil
+    else Option(meta.getAs[String]("attrs")).filter(_.nonEmpty)
+      .map(_.split(",").toSeq).getOrElse(Nil)
 
   /** Generation IDs are directory-name suffixes: historically bare numbers,
     * since round 9 writers mint `<V>-<token>` (both forms parse and read).
@@ -1311,10 +1324,10 @@ object Similarity {
       emb: DataFrame, indexDir: String, dims: Int, m: Int,
       coarseK: Int, pqK: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      assignR: Int = 1): Unit = {
+      assignR: Int = 1, attrCols: Seq[String] = Nil): Unit = {
     val coarse = trainCentroids(emb, coarseK, iters, idCol, vecCol)
     val codebooks = pqTrainCodebooksResidual(emb, coarse, dims, m, pqK, iters, idCol, vecCol)
-    writeIndex(emb, coarse, codebooks, indexDir, dims, m, idCol, vecCol, assignR)
+    writeIndex(emb, coarse, codebooks, indexDir, dims, m, idCol, vecCol, assignR, attrCols)
   }
 
   /** Persist an index from already-trained quantizers (see [[buildIndex]])
@@ -1324,13 +1337,20 @@ object Similarity {
     * [[pqTrainCodebooksResidual]] against this `coarse`). Rebuilding over
     * an existing index is safe: the old generations are never touched and
     * the old manifest stays authoritative until the new rename lands. */
+  /** Column names the index layout owns — attribute columns must not
+    * collide with them (serving joins/aggregates would silently break). */
+  private val IndexReservedCols =
+    Set("vec_id", "cell", "sub", "code", "embedding", "qid", "adc", "pd", "rank")
+
   def writeIndex(
       emb: DataFrame, coarse: DataFrame, codebooks: DataFrame,
       indexDir: String, dims: Int, m: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      assignR: Int = 1): Unit = {
+      assignR: Int = 1, attrCols: Seq[String] = Nil): Unit = {
     require(m >= 1 && dims % m == 0, s"dims ($dims) must divide into m ($m) subspaces")
     require(assignR >= 1, s"assignR must be >= 1, got $assignR")
+    attrCols.foreach(a => require(!IndexReservedCols.contains(a) && !a.contains(","),
+      s"attribute column '$a' collides with a reserved index column or contains ','"))
     val spark = emb.sparkSession
     val gen = nextIndexGen(spark, indexDir)
     val genId = newIndexGenId(gen)
@@ -1340,13 +1360,16 @@ object Similarity {
     import spark.implicits._
     // assign_r is an INDEX property, not a query knob: appends must encode
     // deltas with the same redundancy and serving must dedup copies, so it
-    // rides the meta artifact next to dims/m
-    Seq((dims, m, assignR)).toDF("dims", "m", "assign_r")
+    // rides the meta artifact next to dims/m — and so does the attribute
+    // column list (appends must carry the same attrs or filtered serving
+    // would see a mixed-schema corpus)
+    Seq((dims, m, assignR, attrCols.mkString(",")))
+      .toDF("dims", "m", "assign_r", "attrs")
       .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
-    pqEncodeResidualTop(emb, coarse, codebooks, dims, m, assignR, idCol, vecCol)
+    pqEncodeResidualTop(emb, coarse, codebooks, dims, m, assignR, idCol, vecCol, attrCols)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$base/codes")
-    writeIndexVectors(emb, coarse, s"$base/vectors", idCol, vecCol, assignR)
+    writeIndexVectors(emb, coarse, s"$base/vectors", idCol, vecCol, assignR, attrCols)
     ManifestStore.commitVersioned(spark, indexDir, "_index", gen,
       s"quantizers\t$genId\ncodes\t$genId\n")
   }
@@ -1357,14 +1380,16 @@ object Similarity {
     * exchange before the partitioned write's own clustering. */
   private def writeIndexVectors(
       emb: DataFrame, coarse: DataFrame, dir: String,
-      idCol: String, vecCol: String, assignR: Int = 1): Unit = {
+      idCol: String, vecCol: String, assignR: Int = 1,
+      attrCols: Seq[String] = Nil): Unit = {
     val cents = collectCentroids(coarse, "cid", "cvec")
+    val attrs = attrCols.map(col)
     val assigned =
       if (assignR == 1)
-        emb.select(
+        emb.select(Seq(
           col(idCol).as("vec_id"),
           cidAt(cents, argBestIdx(col(vecCol), cents, l2 = false)).as("cell"),
-          col(vecCol).as("embedding"))
+          col(vecCol).as("embedding")) ++ attrs: _*)
       else {
         // top-r copies so the re-rank stage's probed-cell partition filter
         // can reach a vector through ANY of its cells (serving dedups)
@@ -1374,10 +1399,11 @@ object Similarity {
             lit(cid).as("cid"))
         }
         emb
-          .select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
-          .select(col("vec_id"), col("_v").as("embedding"),
-            explode(slice(array_sort(array(entries: _*)), 1, assignR)).as("_e"))
-          .select(col("vec_id"), col("_e.cid").as("cell"), col("embedding"))
+          .select(Seq(col(idCol).as("vec_id"), col(vecCol).as("_v")) ++ attrs: _*)
+          .select(Seq(col("vec_id"), col("_v").as("embedding")) ++ attrs :+
+            explode(slice(array_sort(array(entries: _*)), 1, assignR)).as("_e"): _*)
+          .select(Seq(
+            col("vec_id"), col("_e.cid").as("cell"), col("embedding")) ++ attrs: _*)
       }
     assigned
       .repartition(col("cell"))
@@ -1414,14 +1440,21 @@ object Similarity {
     // via 1) — assign_r is read from meta, never a caller knob here
     val assignR = if (meta.schema.fieldNames.contains("assign_r"))
       meta.getAs[Int]("assign_r") else 1
+    // attrs are an index property too: a delta missing them would commit a
+    // generation filtered serving can't predicate on — fail loud here
+    val attrCols = metaAttrCols(meta)
+    attrCols.foreach(a => require(delta.columns.contains(a),
+      s"append delta missing index attribute column '$a' (index carries attrs " +
+        s"${attrCols.mkString(",")})"))
     val coarse = spark.read.parquet(s"$indexDir/gen=$qgen/coarse")
     val codebooks = spark.read.parquet(s"$indexDir/gen=$qgen/codebooks")
     val gen = math.max(nextIndexGen(spark, indexDir), ver + 1)
     val genId = newIndexGenId(gen)
-    pqEncodeResidualTop(delta, coarse, codebooks, dims, m, assignR, idCol, vecCol)
+    pqEncodeResidualTop(delta, coarse, codebooks, dims, m, assignR, idCol, vecCol, attrCols)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/gen=$genId/codes")
-    writeIndexVectors(delta, coarse, s"$indexDir/gen=$genId/vectors", idCol, vecCol, assignR)
+    writeIndexVectors(
+      delta, coarse, s"$indexDir/gen=$genId/vectors", idCol, vecCol, assignR, attrCols)
     val codeLines = (codeGens :+ genId).map(g => s"codes\t$g") ++
       delGens.map(g => s"dels\t$g")
     ManifestStore.commitVersioned(spark, indexDir, "_index", gen,
@@ -1638,7 +1671,8 @@ object Similarity {
       m = meta.getAs[Int]("m"),
       // pre-assign_r indexes (rounds 8-10) are single-assignment
       assignR = if (meta.schema.fieldNames.contains("assign_r"))
-        meta.getAs[Int]("assign_r") else 1)
+        meta.getAs[Int]("assign_r") else 1,
+      attrs = metaAttrCols(meta))
   }
 
   /**
@@ -1744,11 +1778,24 @@ object Similarity {
    * non-probed cells' files are pruned at planning time, the behavior
    * PlanAuditSpec pins). Ranking is identical to [[ivfPqTopK]] with the
    * same quantizers.
+   *
+   * FILTERED search: pass `filter` (a predicate over the index's attribute
+   * columns — see [[writeIndex]]'s `attrCols`) to restrict candidates
+   * BEFORE top-k selection, so all k results satisfy the predicate
+   * (pre-filter semantics, the Qdrant/Vespa contract — never the
+   * post-filter shape that silently returns < k rows). The predicate is
+   * ordinary parquet-column pruning on the codes scan (PushedFilters,
+   * row-group stat skipping) — zero extra joins or exchanges. Recall
+   * caveat inherent to IVF pre-filtering: candidates still come from the
+   * nprobe probed cells only, so a highly selective predicate wants a
+   * larger nprobe (matching-vector mass per probed cell shrinks with
+   * selectivity; the standard filtered-ANN trade).
    */
   def ivfPqTopKIndexed(
       index: AnnIndex, queries: DataFrame, k: Int, nprobe: Int,
-      qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame = {
-    val (adc, _) = adcScoresIndexed(index, queries, nprobe, qIdCol, qVecCol)
+      qIdCol: String = "qid", qVecCol: String = "qvec",
+      filter: Option[Column] = None): DataFrame = {
+    val (adc, _) = adcScoresIndexed(index, queries, nprobe, qIdCol, qVecCol, filter)
     val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
     adc.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -1758,7 +1805,8 @@ object Similarity {
     * filter on the sibling `vectors` artifact). */
   private def adcScoresIndexed(
       index: AnnIndex, queries: DataFrame, nprobe: Int,
-      qIdCol: String, qVecCol: String): (DataFrame, Seq[Any]) = {
+      qIdCol: String, qVecCol: String,
+      filter: Option[Column] = None): (DataFrame, Seq[Any]) = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val qw = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid").asc)
     val probes = ivfScoreCells(
@@ -1769,7 +1817,12 @@ object Similarity {
     val probedCells = probes.select("cell").distinct().collect().map(_.get(0)).toSeq
     val lut = pqLutResidual(
       index.codebooks, index.coarse, probes, queries, index.dims, index.m, qIdCol, qVecCol)
-    val joined = index.codes
+    // an attribute predicate (filtered ANN) lands NEXT TO the partition
+    // filter on the codes scan: attrs are plain parquet columns of the
+    // artifact, so the predicate reaches PushedFilters / row-group stats —
+    // non-matching file mass is skipped at the scan, never exchanged
+    val filteredCodes = filter.fold(index.codes)(index.codes.where)
+    val joined = filteredCodes
       .where(col("cell").isin(probedCells: _*))
       .join(broadcast(probes), "cell")
       .join(broadcast(lut), Seq("qid", "cell", "sub", "code"))
@@ -1833,9 +1886,11 @@ object Similarity {
    */
   def ivfPqTopKIndexedRerank(
       index: AnnIndex, queries: DataFrame, k: Int, nprobe: Int, shortlist: Int,
-      qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame = {
+      qIdCol: String = "qid", qVecCol: String = "qvec",
+      filter: Option[Column] = None): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
-    val (adc, probedCells) = adcScoresIndexed(index, queries, nprobe, qIdCol, qVecCol)
+    val (adc, probedCells) =
+      adcScoresIndexed(index, queries, nprobe, qIdCol, qVecCol, filter)
     val sw = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
     val sl = adc
       .withColumn("srn", row_number().over(sw))

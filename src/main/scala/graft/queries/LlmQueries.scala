@@ -45,13 +45,16 @@ object LlmQueries {
     val e = emb(s, dir)
     val fp = e.agg(count(lit(1)), max(col("vec_id"))).collect()(0)
     val (dims, m, coarseK, pqK, iters) = (64, 4, 8, 16, 2)
+    // v5: the index carries `label` as an attribute column (filtered-ANN
+    // serving) — pure pass-through, identical unfiltered ranking
     val indexDir =
-      s"${sys.props("java.io.tmpdir")}/graft_ann_index_v4/" +
+      s"${sys.props("java.io.tmpdir")}/graft_ann_index_v5/" +
         s"${new java.io.File(dir).getName}_d${dims}_m${m}_c${coarseK}_k${pqK}_i${iters}" +
         s"_n${fp.getLong(0)}_x${fp.getLong(1)}"
     if (!Similarity.indexCommitted(indexDir)) {
       graft.GraftExtensions.register(s)
-      Similarity.buildIndex(e, indexDir, dims, m, coarseK, pqK, iters)
+      Similarity.buildIndex(e, indexDir, dims, m, coarseK, pqK, iters,
+        attrCols = Seq("label"))
     }
     Similarity.readIndex(s, indexDir)
   }
@@ -1048,6 +1051,24 @@ object LlmQueries {
       val queries = e.where(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfPqTopKIndexed(idx, queries, 5, nprobe = 2)
+        .select("qid", "rank", "vec_id", "adc")
+        .orderBy("qid", "rank")
+    }),
+
+    // FILTERED ANN serving: the same persisted index, restricted to
+    // label = 2 candidates via the attribute predicate pushed into the
+    // codes scan (pre-filter semantics — every returned row satisfies the
+    // predicate, ranked by the same ADC contract). The oracle replays the
+    // unfiltered ADC and filters candidates by label — identical by
+    // construction since ADC is per-candidate.
+    "q_sim_ivfpq_filtered" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = emb(s, dir)
+      val idx = persistedIndex(s, dir)
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfPqTopKIndexed(idx, queries, 5, nprobe = 2,
+          filter = Some(col("label") === 2))
         .select("qid", "rank", "vec_id", "adc")
         .orderBy("qid", "rank")
     }),
@@ -2198,6 +2219,21 @@ object LlmQueries {
          |         CAST(row_number() OVER (PARTITION BY qid
          |           ORDER BY adc ASC, vec_id ASC) AS INT) AS rank
          |  FROM adc WHERE vec_id % 7 <> 2)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // Filtered ANN: candidates restricted by attribute BEFORE the top-k
+    // cut — ADC values are per-candidate, so filtering the adc relation
+    // equals filtering the codes scan (what the operator pushes down)
+    "q_sim_ivfpq_filtered" ->
+      s"""WITH $ivfPqAdcCtes,
+         |fadc AS (SELECT a.qid, a.vec_id, a.adc FROM adc a
+         |         JOIN embeddings em ON em.vec_id = a.vec_id
+         |         WHERE em.label = 2)
+         |SELECT qid, rank, vec_id, adc FROM (
+         |  SELECT qid, vec_id, adc,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY adc ASC, vec_id ASC) AS INT) AS rank
+         |  FROM fadc)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "q_sim_ivfpq_rerank" -> ivfPqRerankOracleSql,
 

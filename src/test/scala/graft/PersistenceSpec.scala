@@ -191,6 +191,57 @@ class PersistenceSpec extends SparkSpec {
     assert(afterVacuum.exceptAll(after).isEmpty && after.exceptAll(afterVacuum).isEmpty)
   }
 
+  test("ANN index: attribute columns ride build+append, filtered serving, fail-loud guards") {
+    import graft.ops.Similarity
+    val embs = (0 until 48).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(d * 0.7 + (i % 7)).toFloat), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = embs.where($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val dir = tmpDir("idx_attr")
+    val coarse = Similarity.trainCentroids(embs, 4, 2)
+    val cb = Similarity.pqTrainCodebooksResidual(embs, coarse, dims = 8, m = 2, k = 3, iters = 2)
+    Similarity.writeIndex(embs.where($"vec_id" < 24), coarse, cb, dir,
+      dims = 8, m = 2, attrCols = Seq("label"))
+    Similarity.appendToIndex(embs.where($"vec_id" >= 24), dir)
+    val idx = Similarity.readIndex(spark, dir)
+    assert(idx.attrs == Seq("label"), s"attrs lost in meta round-trip: ${idx.attrs}")
+
+    // law: filtered top-k == unfiltered FULL candidate ranking restricted
+    // to predicate-passing ids, re-ranked, cut to k
+    val labels = embs.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val allCands = Similarity.ivfPqTopKIndexed(idx, queries, 1000, nprobe = 2)
+      .select("qid", "vec_id", "adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = allCands.filter(t => labels(t._2) == 1)
+      .groupBy(_._1).toSeq.flatMap { case (qid, ts) =>
+        ts.sortBy(t => (t._3, t._2)).take(3).zipWithIndex
+          .map { case ((_, v, a), i) => (qid, i + 1, v, a) }
+      }.toSet
+    val filtered = Similarity.ivfPqTopKIndexed(idx, queries, 3, nprobe = 2,
+        filter = Some($"label" === 1))
+      .select("qid", "rank", "vec_id", "adc").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(filtered == expected, s"filtered serving diverged:\n$filtered\nvs\n$expected")
+    assert(filtered.forall(t => labels(t._3) == 1), "a non-matching candidate leaked")
+
+    // the filtered RERANK path obeys the same predicate
+    val fr = Similarity.ivfPqTopKIndexedRerank(idx, queries, 3, nprobe = 2,
+        shortlist = 16, filter = Some($"label" === 1))
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(fr.nonEmpty && fr.forall(labels(_) == 1))
+
+    // guards: a delta missing the attr fails loud; reserved names rejected
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIndex(
+        embs.select($"vec_id" + 100 as "vec_id", $"embedding"), dir)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.writeIndex(embs, coarse, cb, tmpDir("idx_attr_bad"),
+        dims = 8, m = 2, attrCols = Seq("cell"))
+    }
+  }
+
   test("ANN index: manifest commit, append == full build, crash invisibility, vacuum") {
     import graft.ops.Similarity
     val embs = (0 until 48).map { i =>

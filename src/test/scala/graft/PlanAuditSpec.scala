@@ -156,6 +156,31 @@ class PlanAuditSpec extends SparkSpec {
       s"r=2 serving planned a shuffle join or cartesian:\n$pR2")
   }
 
+  test("filtered ANN: attribute predicate is PUSHED into the codes scan, pruning intact") {
+    // Filtered search must cost a scan-level predicate, not a join: the
+    // attr rides the codes artifact as a parquet column, so the filter
+    // must appear in PushedFilters (row-group stat skipping) NEXT TO the
+    // probed-cell partition filter, with every join still broadcast.
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val idxDir = tmpDir("graft_plan_idx_attr")
+    Similarity.buildIndex(e, idxDir, dims = 64, m = 4, coarseK = 4, pqK = 4,
+      iters = 1, attrCols = Seq("label"))
+    val idx = Similarity.readIndex(spark, idxDir)
+    val queries = e.where(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val p = Similarity.ivfPqTopKIndexed(idx, queries, 3, nprobe = 2,
+        filter = Some(col("label") === 2))
+      .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(p).isDefined,
+      s"label predicate not pushed to the codes scan:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"filtered serving lost the probed-cell partition filter:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"filtered serving planned a shuffle join or cartesian:\n$p")
+  }
+
   test("similarity scoring cross-products are broadcast-side only") {
     // Scoring every (vector, centroid/query) combination IS a cross product —
     // correct only as a BroadcastNestedLoopJoin whose build side is the small
