@@ -217,6 +217,44 @@ object Retrieval {
       .select("qid", "rank", "doc_id", "rrf")
   }
 
+  /**
+   * Weighted min-max score fusion of N ranked lists (each
+   * `(qid, doc_id, score)`) — the calibrated-score alternative to
+   * [[rrfFuse]] when raw scores carry magnitude information worth keeping
+   * (RRF deliberately discards it): per query per list, scores rescale to
+   * `[0,1]` via `(s − min)/(max − min)` (a single-candidate or constant
+   * list normalizes to 1.0 — the best score maps to 1 by convention),
+   * then fuse as `Σ wᵢ · normᵢ` with documents absent from a list
+   * contributing 0. Output `(qid, rank, doc_id, fused)`, fused rounded to
+   * 6 dp before ranking, ties on ascending doc id.
+   *
+   * Scale shape: inputs are k-bounded per query by construction (top-k
+   * lists), so the per-list min/max window, the union, and the fuse
+   * aggregate all act on queries × k rows — nothing corpus-sized moves.
+   */
+  def fuseNormalized(lists: Seq[(DataFrame, Double)], k: Int): DataFrame = {
+    require(lists.nonEmpty, "fuseNormalized needs at least one scored list")
+    require(k > 0, s"k must be positive, got $k")
+    require(lists.forall(_._2 > 0), "fusion weights must be positive")
+    val qw = Window.partitionBy("qid")
+    val contrib = lists.map { case (df, wgt) =>
+      df.select(col("qid"), col("doc_id"), col("score").cast("double").as("_s"))
+        .withColumn("_mn", min(col("_s")).over(qw))
+        .withColumn("_mx", max(col("_s")).over(qw))
+        .select(col("qid"), col("doc_id"),
+          (lit(wgt) * when(col("_mx") === col("_mn"), lit(1.0))
+            .otherwise((col("_s") - col("_mn")) / (col("_mx") - col("_mn"))))
+            .as("_c"))
+    }.reduce(_ unionByName _)
+    val rw = Window.partitionBy("qid").orderBy(col("fused").desc, col("doc_id").asc)
+    contrib
+      .groupBy("qid", "doc_id")
+      .agg(round(sum(col("_c")), 6).as("fused"))
+      .withColumn("rank", row_number().over(rw).cast("int"))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "doc_id", "fused")
+  }
+
   // -------------------------------------------------------------------------
   // Persisted lexical index — build-once/query-many with incremental append,
   // committed through ManifestStore.CommitProtocol (the same pluggable

@@ -1493,6 +1493,26 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Calibrated hybrid: the same lexical + vector lists fused by weighted
+    // min-max-normalized scores (0.7 lexical / 0.3 vector) — keeps score
+    // magnitude where RRF keeps only rank
+    "q_ret_hybrid_norm" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val d = docs(s, dir)
+      val textQueries = d.where(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
+      val vecQueries = emb(s, dir).where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val lex = Retrieval.bm25(d, "doc_id", "text", textQueries, k = 10)
+        .select(col("qid"), col("doc_id"), col("score"))
+      val vec = Similarity.bruteForceTopK(emb(s, dir), vecQueries, 10)
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          col("dot").cast("double").as("score"))
+      Retrieval.fuseNormalized(Seq((lex, 0.7), (vec, 0.3)), k = 10)
+        .orderBy("qid", "rank")
+    }),
+
     // DSIR importance weights: every document scored by hashed-unigram
     // log-likelihood ratio against the English subset as the target
     // distribution — documents distributionally closest to the target get
@@ -2855,6 +2875,44 @@ object LlmQueries {
          |  SELECT qid, doc_id, rrf,
          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
          |  FROM fused) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // Min-max-normalized weighted fusion over the same two lists: per
+    // (query, list) scores rescale to [0,1] (constant list -> 1.0), fuse
+    // as 0.7*lex + 0.3*vec, round 6dp, rank desc with doc_id tie-break
+    "q_ret_hybrid_norm" ->
+      s"""WITH ${compCte("comp", "embeddings")},
+         |${compCte("qcomp", "(SELECT * FROM embeddings WHERE vec_id < 3)")},
+         |vdots AS (SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+         |            CAST(SUM(q.q * c.q) AS BIGINT) AS dot
+         |          FROM qcomp q JOIN comp c ON c.d = q.d
+         |          GROUP BY q.vec_id, c.vec_id),
+         |vtop AS (SELECT qid, doc_id, CAST(dot AS DOUBLE) AS score FROM (
+         |           SELECT qid, doc_id, dot,
+         |             CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, doc_id ASC) AS INT) AS rank
+         |           FROM vdots) WHERE rank <= 10),
+         |${bm25Ctes(
+           "SELECT doc_id AS qid, array_to_string(string_split(text, ' ')[1:4], ' ') AS qtext " +
+             "FROM documents WHERE doc_id < 3")},
+         |btop AS (SELECT qid, doc_id, score FROM bmranked WHERE rank <= 10),
+         |bnorm AS (SELECT qid, doc_id,
+         |            CAST(0.7 AS DOUBLE) * (CASE WHEN mx = mn THEN CAST(1.0 AS DOUBLE)
+         |              ELSE (score - mn) / (mx - mn) END) AS c
+         |          FROM (SELECT qid, doc_id, score,
+         |                  MIN(score) OVER (PARTITION BY qid) AS mn,
+         |                  MAX(score) OVER (PARTITION BY qid) AS mx FROM btop)),
+         |vnorm AS (SELECT qid, doc_id,
+         |            CAST(0.3 AS DOUBLE) * (CASE WHEN mx = mn THEN CAST(1.0 AS DOUBLE)
+         |              ELSE (score - mn) / (mx - mn) END) AS c
+         |          FROM (SELECT qid, doc_id, score,
+         |                  MIN(score) OVER (PARTITION BY qid) AS mn,
+         |                  MAX(score) OVER (PARTITION BY qid) AS mx FROM vtop)),
+         |nfused AS (SELECT qid, doc_id, round(sum(c), 6) AS fused
+         |           FROM (SELECT * FROM bnorm UNION ALL SELECT * FROM vnorm)
+         |           GROUP BY qid, doc_id)
+         |SELECT qid, rank, doc_id, fused FROM (
+         |  SELECT qid, doc_id, fused,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY fused DESC, doc_id ASC) AS INT) AS rank
+         |  FROM nfused) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     "q_corpus_dsir" ->
       """WITH tb AS (SELECT doc_id, lang,

@@ -95,6 +95,26 @@ class RetrievalSpec extends SparkSpec {
     (0L, 3L, 200000000000L, Array(0.0f, 0.5f)))
     .toDF("qid", "doc_id", "rel", "embedding")
 
+  test("fuseNormalized: min-max rescale, weights, constant-list convention, absent docs") {
+    // list A: scores 10..30 normalize to 0, 0.5, 1; list B: constant -> 1.0
+    val a = Seq((1L, 101L, 10.0), (1L, 102L, 20.0), (1L, 103L, 30.0))
+      .toDF("qid", "doc_id", "score")
+    val b = Seq((1L, 103L, 7.0), (1L, 104L, 7.0)).toDF("qid", "doc_id", "score")
+    val out = Retrieval.fuseNormalized(Seq((a, 0.5), (b, 0.5)), k = 10)
+      .collect().map(r => r.getLong(2) -> (r.getInt(1), r.getDouble(3))).toMap
+    // 103: 0.5*1 + 0.5*1 = 1.0; 104: 0.5 (B only); 102: 0.25; 101: 0.0
+    assert(out(103L) == ((1, 1.0)) && out(104L) == ((2, 0.5)))
+    assert(out(102L) == ((3, 0.25)) && out(101L) == ((4, 0.0)))
+    // single list with negative scores still lands in [0,1]
+    val neg = Seq((1L, 1L, -4.0), (1L, 2L, -2.0)).toDF("qid", "doc_id", "score")
+    val single = Retrieval.fuseNormalized(Seq((neg, 1.0)), k = 2)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(single == Map(2L -> 1.0, 1L -> 0.0))
+    intercept[IllegalArgumentException] {
+      Retrieval.fuseNormalized(Seq((a, 0.0)), k = 2)
+    }
+  }
+
   test("mmrRerank: diversity beats redundancy at low lambda, exact greedy trace") {
     val out = graft.ops.Similarity.mmrRerank(mmrCands, k = 3, lambda = 0.3)
       .orderBy("rank").collect()
