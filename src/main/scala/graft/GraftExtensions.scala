@@ -66,6 +66,11 @@ object GraftExtensions {
         c(0),
         intLit(c(1), "cms_sketch", "d"),
         intLit(c(2), "cms_sketch", "w")))),
+    ("moment_matrix", graft.expressions.MomentMatrix.info,
+      arity("moment_matrix", 3)(c => graft.expressions.MomentMatrix.MomentAgg(
+        c(0),
+        intLit(c(1), "moment_matrix", "dims"),
+        intLit(c(2), "moment_matrix", "scale").toLong))),
     ("synth_image", ImageKernels.synthInfo,
       arity("synth_image", 1)(c => ImageKernels.SynthImage(c(0)))),
     ("image_decode", ImageKernels.decodeInfo,

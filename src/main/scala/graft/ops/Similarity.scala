@@ -2030,4 +2030,157 @@ object Similarity {
       semanticNearDuplicates(emb, centroids, threshold, idCol, vecCol)
         .select(col("id_a"), col("id_b")),
       idCol)
+
+  // ---------------------------------------------------------------------
+  // Distributed PCA — dimensionality reduction for embedding stores.
+  //
+  // The 100 TB shape: the ONLY corpus-wide pass is the `moment_matrix`
+  // native aggregate (exact integer count / sums / upper-triangle cross
+  // products, partial-aggregatable, ~17 KB per partition partial at
+  // d = 64 — see graft.expressions.MomentMatrix). The d×d eigenproblem
+  // is driver-side (trivial at embedding dims), and projection is a
+  // shuffle-free per-row expression against literal basis vectors — the
+  // same economics as k-means assignment. No N×d² explosion, no
+  // float-sum nondeterminism: moments are exact integers, so training is
+  // a pure function of the input multiset (oracle-replayable), and the
+  // deterministic Jacobi sweep + sign convention make the basis itself
+  // reproducible across runs and cluster layouts.
+  // ---------------------------------------------------------------------
+
+  /** A trained PCA basis. `mean` and `eigenvalues` live in the QUANTIZED
+    * domain (components scaled by `scale`, variances by `scale²`) —
+    * projections are therefore `scale ×` the unquantized ones, a fixed
+    * isotropic factor that preserves every distance ratio and ranking. */
+  final case class PcaModel(
+      dims: Int, k: Int, scale: Long,
+      mean: Array[Double], basis: Array[Array[Double]],
+      eigenvalues: Array[Double])
+
+  /** Exact integer moment matrix of the corpus — ONE aggregate row
+    * `[n, s_0..s_{d-1}, upper-triangle Σq_i·q_j]` (see
+    * [[graft.expressions.MomentMatrix]] for layout and the
+    * `N < 2⁶³/scale²` exactness bound). The single collect is one bounded
+    * array (1 + d + d(d+1)/2 longs), the legitimate driver-side shape. */
+  def momentMatrix(
+      emb: DataFrame, dims: Int,
+      vecCol: String = "embedding", scale: Long = 1000L): Array[Long] = {
+    graft.GraftExtensions.register(emb.sparkSession)
+    emb.agg(call_function("moment_matrix",
+        col(vecCol), lit(dims), lit(scale.toInt)).as("m"))
+      .collect()(0).getSeq[Long](0).toArray
+  }
+
+  /** Deterministic cyclic-Jacobi eigendecomposition of a symmetric d×d
+    * matrix (driver-side; d = embedding dims, trivially small). Fixed
+    * sweep order + fixed convergence test ⇒ bit-reproducible. Returns
+    * (eigenvalues, eigenvectors-as-rows), UNSORTED. */
+  private def jacobiEigen(
+      m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-14) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            // stable tangent: t -> 1 as theta -> 0, never cancels
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = 0.0
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { off += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), Array.tabulate(d, d)((c0, i) => v(i)(c0)))
+  }
+
+  /**
+   * Train a `k`-component PCA basis from the corpus's exact integer
+   * moments: covariance `C_ij = P_ij/n − (S_i/n)(S_j/n)` (population
+   * form, quantized domain), Jacobi eigensolve, components sorted by
+   * eigenvalue descending (ties by first-seen order — deterministic),
+   * each eigenvector sign-normalized so its largest-|magnitude| component
+   * (first index on ties) is positive.
+   */
+  def pcaTrain(
+      emb: DataFrame, dims: Int, k: Int,
+      vecCol: String = "embedding", scale: Long = 1000L): PcaModel = {
+    require(k >= 1 && k <= dims, s"k ($k) must be in [1, dims=$dims]")
+    val mm = momentMatrix(emb, dims, vecCol, scale)
+    val n = mm(0).toDouble
+    require(n >= 2, s"pcaTrain needs at least 2 vectors, got ${mm(0)}")
+    val mean = Array.tabulate(dims)(i => mm(1 + i) / n)
+    val cov = Array.tabulate(dims, dims) { (i, j) =>
+      val (lo, hi) = if (i <= j) (i, j) else (j, i)
+      mm(graft.expressions.MomentMatrix.triIndex(lo, hi, dims)) / n -
+        mean(lo) * mean(hi)
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = evals.indices.sortBy(i => -evals(i)).take(k)
+    val basis = order.map { c =>
+      val vec = evecs(c)
+      val mi = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
+      if (vec(mi) < 0) vec.map(x => -x) else vec
+    }.toArray
+    PcaModel(dims, k, scale, mean, basis, order.map(evals).toArray)
+  }
+
+  /**
+   * Project a vector column onto a trained basis — a PURE per-row
+   * expression: each component is `Σ_d (q_d − mean_d)·b_cd` with
+   * `q_d = floor(x_d·scale)` (the training quantization) and the basis /
+   * mean folded in as literals, so the plan is a shuffle-free projection
+   * over the scan with NO join and no corpus-wide state. Output column:
+   * `array<double>` of length k. Left-to-right `aggregate` summation is
+   * a fixed order — deterministic across runs and partitionings.
+   */
+  def pcaProject(
+      df: DataFrame, model: PcaModel,
+      vecCol: String = "embedding", outCol: String = "pca"): DataFrame = {
+    val qv = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(model.scale.toDouble)))
+    val pcs = model.basis.zipWithIndex.map { case (b, _) =>
+      val dotq = aggregate(
+        zip_with(qv, typedlit(b.toSeq), (q, w) => q * w),
+        lit(0.0), (acc, x) => acc + x)
+      val meanDot = b.zip(model.mean).map { case (w, mu) => w * mu }.sum
+      dotq - lit(meanDot)
+    }
+    df.withColumn(outCol, array(pcs: _*))
+  }
 }

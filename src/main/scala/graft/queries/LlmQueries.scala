@@ -739,6 +739,22 @@ object LlmQueries {
         .orderBy("corpus_id", "eval_id")
     }),
 
+    // PCA moment matrix: the ONE corpus pass behind distributed PCA —
+    // exact integer count / per-dim sums / upper-triangle cross products
+    // from the partial-aggregatable moment_matrix kernel, flat layout
+    // [n, s_0.., p_ij..] (idx arithmetic replayed by the oracle). The
+    // eigensolve riding on these moments is driver-side d×d and
+    // deterministic (PcaSpec pins it); the moments are the distributed
+    // surface, so they carry the oracle.
+    "q_embed_pca_moments" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      emb(s, dir)
+        .agg(call_function("moment_matrix",
+          col("embedding"), lit(64), lit(1000)).as("m"))
+        .select(posexplode(col("m")).as(Seq("idx", "p")))
+        .orderBy("idx")
+    }),
+
     // SemDeDup-style semantic dedup pairs: k-means cells bound the pair
     // search (equi-join on cell), exact quantized cosine verifies. The
     // quantizer is trained on the base corpus and the dedup runs over the
@@ -2256,6 +2272,26 @@ object LlmQueries {
          |  FROM fadc)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "q_sim_ivfpq_rerank" -> ivfPqRerankOracleSql,
+
+    // Exact moment-matrix replay: q = floor(x * 1e3), flat index
+    // idx(n)=0, idx(s_i)=1+i, idx(p_ij)=1+64+i*64-i(i-1)/2+(j-i), i<=j
+    "q_embed_pca_moments" ->
+      """WITH c3 AS (SELECT vec_id, d - 1 AS d,
+        |              CAST(floor(x * 1e3) AS BIGINT) AS q
+        |            FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+        |                         unnest(embedding) AS x
+        |                  FROM embeddings)),
+        |xp AS (SELECT CAST(1 + 64 + a.d * 64 - a.d * (a.d - 1) / 2 + (b.d - a.d) AS INT) AS idx,
+        |              CAST(SUM(a.q * b.q) AS BIGINT) AS p
+        |       FROM c3 a JOIN c3 b ON b.vec_id = a.vec_id AND b.d >= a.d
+        |       GROUP BY a.d, b.d),
+        |sm AS (SELECT CAST(1 + d AS INT) AS idx, CAST(SUM(q) AS BIGINT) AS p
+        |       FROM c3 GROUP BY d),
+        |ct AS (SELECT CAST(0 AS INT) AS idx, CAST(count(*) AS BIGINT) AS p
+        |       FROM embeddings)
+        |SELECT idx, p FROM (SELECT * FROM ct UNION ALL SELECT * FROM sm
+        |                    UNION ALL SELECT * FROM xp)
+        |ORDER BY idx""".stripMargin,
 
     "q_embed_semdedup" ->
       s"""WITH $kmeansCtesAutoK,

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Laws for the distributed PCA family: exact moment aggregation,
+  * deterministic eigensolve, orthonormal basis, projection geometry. */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 6
+
+  /** Deterministic low-rank-plus-noise corpus: strong variance along two
+    * planted directions, so the top-2 eigenvalues must dominate. */
+  private def corpus(n: Int) = (0 until n).map { i =>
+    val a = math.sin(i * 0.37) * 0.8
+    val b = math.cos(i * 0.53) * 0.4
+    val v = Array.tabulate(dims) { d =>
+      (a * (if (d % 2 == 0) 1.0 else -0.5) +
+        b * (if (d < 3) 0.6 else -0.2) +
+        math.sin(i * 1.1 + d) * 0.02).toFloat
+    }
+    (i.toLong, v)
+  }.toDF("vec_id", "embedding")
+
+  test("moment_matrix equals the brute-force moments, across any partitioning") {
+    val df = corpus(97)
+    val local = df.collect().map(r => r.getSeq[Float](1).toArray)
+    val scale = 1000L
+    val q = local.map(_.map(x => math.floor(x.toDouble * scale).toLong))
+    val expected = new Array[Long](1 + dims + dims * (dims + 1) / 2)
+    expected(0) = q.length
+    q.foreach { v =>
+      (0 until dims).foreach { i =>
+        expected(1 + i) += v(i)
+        (i until dims).foreach { j =>
+          expected(graft.expressions.MomentMatrix.triIndex(i, j, dims)) += v(i) * v(j)
+        }
+      }
+    }
+    val one = Similarity.momentMatrix(df.repartition(1), dims, scale = scale)
+    val many = Similarity.momentMatrix(df.repartition(7), dims, scale = scale)
+    assert(one.toSeq == expected.toSeq, "single-partition moments diverge from brute force")
+    assert(many.toSeq == expected.toSeq, "partial-aggregated moments are partition-dependent")
+  }
+
+  test("moment_matrix fails loud on a wrong-length vector, skips nulls") {
+    val bad = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] { Similarity.momentMatrix(bad, dims) }
+    assert(ex.getMessage != null)
+    val withNull = corpus(10).unionByName(
+      Seq((99L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    assert(Similarity.momentMatrix(withNull, dims)(0) == 10L, "null vector must not count")
+  }
+
+  test("pcaTrain: orthonormal basis, descending eigenvalues, deterministic, sign-normalized") {
+    val df = corpus(200)
+    val m1 = Similarity.pcaTrain(df, dims, k = dims)
+    val m2 = Similarity.pcaTrain(df.repartition(5), dims, k = dims)
+    assert(m1.basis.flatten.toSeq == m2.basis.flatten.toSeq &&
+      m1.eigenvalues.toSeq == m2.eigenvalues.toSeq,
+      "PCA training must be a pure function of the input multiset")
+    // eigenvalues: descending, non-negative (covariance is PSD)
+    assert(m1.eigenvalues.zip(m1.eigenvalues.tail).forall { case (a, b) => a >= b })
+    assert(m1.eigenvalues.forall(_ >= -1e-6))
+    // planted 2-direction structure dominates
+    assert(m1.eigenvalues(1) > 10 * math.max(m1.eigenvalues(2), 1e-12),
+      s"planted structure not recovered: ${m1.eigenvalues.toSeq}")
+    // orthonormality within fp tolerance
+    for (i <- m1.basis.indices; j <- i until m1.basis.length) {
+      val dot = m1.basis(i).zip(m1.basis(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"basis($i)·basis($j) = $dot")
+    }
+    // sign convention: the largest-|component| entry is positive
+    m1.basis.foreach { b =>
+      val mi = b.indices.maxBy(i => (math.abs(b(i)), -i))
+      assert(b(mi) > 0, s"sign convention violated: ${b.toSeq}")
+    }
+  }
+
+  test("pcaProject: full-rank projection preserves pairwise squared distances") {
+    val df = corpus(60)
+    val model = Similarity.pcaTrain(df, dims, k = dims)
+    val proj = Similarity.pcaProject(df, model).select("vec_id", "pca")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val raw = df.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(x => math.floor(x.toDouble * model.scale)).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = raw.keys.toSeq.sorted.take(12)
+    for (a <- ids; b <- ids if a < b) {
+      val dr = d2(raw(a), raw(b))
+      val dp = d2(proj(a), proj(b))
+      // rotation is an isometry: quantized-domain distances survive exactly
+      // (up to fp roundoff relative to the magnitude)
+      assert(math.abs(dr - dp) <= 1e-6 * math.max(dr, 1.0),
+        s"distance not preserved for ($a,$b): raw $dr vs projected $dp")
+    }
+    // variance along pc1 equals the top eigenvalue (population form)
+    val n = proj.size.toDouble
+    val c0 = proj.values.map(_(0)).toSeq
+    val mu = c0.sum / n
+    val varC0 = c0.map(x => (x - mu) * (x - mu)).sum / n
+    assert(math.abs(varC0 - model.eigenvalues(0)) <= 1e-6 * model.eigenvalues(0),
+      s"pc1 variance $varC0 != top eigenvalue ${model.eigenvalues(0)}")
+  }
+
+  test("pcaProject plan: shuffle-free projection over the scan") {
+    val df = corpus(50)
+    val model = Similarity.pcaTrain(df, dims, k = 2)
+    val p = Similarity.pcaProject(df, model).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"projection must not join:\n$p")
+  }
+
+  test("PCA halves the dims on the test embeddings at the measured recall/variance floor") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Similarity.pcaTrain(e, dims = 64, k = 32)
+    // explained variance should concentrate: top half of components carry
+    // most of the total (embeddings are synthetic but correlated)
+    val total = {
+      val full = Similarity.pcaTrain(e, dims = 64, k = 64)
+      full.eigenvalues.sum
+    }
+    val kept = model.eigenvalues.sum
+    assert(kept / total > 0.6, s"explained variance ${kept / total} too low")
+    // top-10 L2 recall: nearest neighbors in the 32-dim projected space vs
+    // the quantized full space (PCA is an isometry at k=d, so full-space
+    // L2 = projected L2 there; truncation to 32 is the approximation
+    // under test)
+    val proj = Similarity.pcaProject(e, model).select("vec_id", "pca")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val raw = e.select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * model.scale)).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def top10(space: Map[Long, Array[Double]], q: Long) =
+      space.keys.filter(_ != q).toSeq
+        .sortBy(id => (d2(space(q), space(id)), id)).take(10).toSet
+    val qids = raw.keys.toSeq.sorted.take(20)
+    val recall = qids.map { q =>
+      (top10(raw, q) intersect top10(proj, q)).size / 10.0
+    }.sum / qids.size
+    // the synthetic corpus is near-isotropic (explained variance ~0.66 at
+    // half the dims), so truncation honestly costs recall — measured 0.41;
+    // the floor pins the deterministic measurement, not a marketing claim.
+    // On a real embedding model's output (strongly anisotropic) the same
+    // 2× compression typically keeps >0.9 of the variance.
+    assert(recall >= 0.35, s"PCA-space recall@10 $recall below measured floor")
+    info(f"pca 64->32 recall@10 = $recall%.3f, explained variance = ${kept / total}%.3f")
+  }
+}
