@@ -229,6 +229,28 @@ object Quality {
       topkMap(Similarity.ivfPqTopKIndexedRerank(
         Similarity.readIndex(spark, idxDir), queries, 10, nprobe = 2,
         shortlist = 256)), exact10)
+    // Filtered ANN (round 11): predicate pushed into the codes scan of an
+    // attribute-carrying index; truth is the EXACT brute-force top-10 over
+    // the predicate-passing corpus subset. At ~1/4 selectivity the probed
+    // cells hold ~4× less matching mass, so fixed-nprobe recall drops —
+    // the documented trade — and raising nprobe buys it back. Measured on
+    // the persisted artifact with the re-rank stage.
+    val fIdxDir = Files.createTempDirectory("graft_quality_fidx").toString
+    Similarity.writeIndex(e, cents, cbR16, fIdxDir, dims = 64, m = 8,
+      attrCols = Seq("label"))
+    val fPred = col("label") === 2
+    val fExact10 = topkMap(
+      Similarity.bruteForceTopK(e.where(fPred), queries, 10))
+    val fIdx = Similarity.readIndex(spark, fIdxDir)
+    val filtered2 = recallAtK(
+      topkMap(Similarity.ivfPqTopKIndexedRerank(
+        fIdx, queries, 10, nprobe = 2, shortlist = 256,
+        filter = Some(fPred))), fExact10)
+    val filtered8 = recallAtK(
+      topkMap(Similarity.ivfPqTopKIndexedRerank(
+        fIdx, queries, 10, nprobe = 8, shortlist = 1024,
+        filter = Some(fPred))), fExact10)
+
     // SQ8 (round 10): per-dimension 8-bit codes, full scan — the
     // 4×-compression tier should sit far above PQ's 128×-compressed recall
     // and near the exact scan
@@ -255,6 +277,8 @@ object Quality {
         s""""ivfpq_m8_k64_nprobe2_at10":$ivfpqK64,"ivfpq_rerank_at10":$rerank,""" +
         s""""ivfpq_rerank_nprobe8_at10":$rerank8,""" +
         s""""ivfpq_rerank_multi2_at10":$rerankMulti2,"sq8_fullscan_at10":$sq8,""" +
+        s""""ivfpq_filtered_nprobe2_at10":$filtered2,""" +
+        s""""ivfpq_filtered_nprobe8_at10":$filtered8,""" +
         s""""kmeans_converged_iters":$kmIters,""" +
         s""""ivf_converged_nprobe2_at10":$ivfConv,""" +
         s""""ivf_nprobe2_multi2_at10":$ivfMulti2,""" +

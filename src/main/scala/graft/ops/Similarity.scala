@@ -2139,9 +2139,53 @@ object Similarity {
    */
   def pcaTrain(
       emb: DataFrame, dims: Int, k: Int,
-      vecCol: String = "embedding", scale: Long = 1000L): PcaModel = {
+      vecCol: String = "embedding", scale: Long = 1000L): PcaModel =
+    pcaTrainFromMoments(momentMatrix(emb, dims, vecCol, scale), dims, k, scale)
+
+  /** One-row moment FRAME `(dims, scale, m)` for a batch — the ledger unit
+    * for incremental PCA: append one per ingest batch
+    * ([[SketchLedger.append]]), fold with [[momentFold]], retrain with
+    * [[pcaTrainFromMoments]] — corpus-wide PCA at cost ∝ batches, no
+    * batch ever rescanned (integer moments merge by addition, so the fold
+    * IS the whole-corpus aggregate, bit for bit). */
+  def momentFrame(
+      emb: DataFrame, dims: Int,
+      vecCol: String = "embedding", scale: Long = 1000L): DataFrame = {
+    graft.GraftExtensions.register(emb.sparkSession)
+    emb.agg(call_function("moment_matrix",
+        col(vecCol), lit(dims), lit(scale.toInt)).as("m"))
+      .select(lit(dims).as("dims"), lit(scale).as("scale"), col("m"))
+  }
+
+  /** Element-wise sum of moment frames (one row per appended batch —
+    * bounded by compaction cadence, the [[SketchLedger]] contract).
+    * Mixed shapes fail loud: a frame quantized at a different scale would
+    * silently corrupt every moment. */
+  def momentFold(frames: DataFrame): Array[Long] = {
+    val rows = frames.select(col("dims"), col("scale"), col("m")).collect()
+    require(rows.nonEmpty, "momentFold of an empty ledger")
+    val dims = rows.head.getInt(0)
+    val scale = rows.head.getLong(1)
+    rows.foreach(r => require(r.getInt(0) == dims && r.getLong(1) == scale,
+      s"mixed moment shapes in ledger: (${r.getInt(0)}, ${r.getLong(1)}) " +
+        s"vs ($dims, $scale)"))
+    val acc = new Array[Long](1 + dims + dims * (dims + 1) / 2)
+    rows.foreach { r =>
+      val m = r.getSeq[Long](2)
+      require(m.length == acc.length,
+        s"moment frame length ${m.length} != expected ${acc.length}")
+      var i = 0
+      while (i < acc.length) { acc(i) += m(i); i += 1 }
+    }
+    acc
+  }
+
+  /** Train from an already-folded moment array (see [[momentFold]]) —
+    * the incremental-retrain entry point; [[pcaTrain]] is this over one
+    * whole-corpus [[momentMatrix]] pass. */
+  def pcaTrainFromMoments(
+      mm: Array[Long], dims: Int, k: Int, scale: Long = 1000L): PcaModel = {
     require(k >= 1 && k <= dims, s"k ($k) must be in [1, dims=$dims]")
-    val mm = momentMatrix(emb, dims, vecCol, scale)
     val n = mm(0).toDouble
     require(n >= 2, s"pcaTrain needs at least 2 vectors, got ${mm(0)}")
     val mean = Array.tabulate(dims)(i => mm(1 + i) / n)

@@ -104,4 +104,30 @@ class SketchLedgerSpec extends SparkSpec {
       s"ledger-fold drift $viaLedger != direct $direct")
     assert(viaLedger > 0.25, "magnitude shift must score as drifted")
   }
+
+  test("moment ledger: per-batch frame fold == whole-corpus moments; PCA retrains from the fold") {
+    import graft.ops.Similarity
+    val dims = 5
+    def batch(ids: Range) = ids.map { i =>
+      (i.toLong, Array.tabulate(dims)(d => (math.sin(i * 0.7 + d) * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val batches = Seq(batch(0 until 30), batch(30 until 75), batch(75 until 120))
+    val dir = tmpDir("moment_ledger")
+    batches.foreach(b => SketchLedger.append(Similarity.momentFrame(b, dims), dir))
+    val fold = Similarity.momentFold(SketchLedger.read(spark, dir).get)
+    val whole = Similarity.momentMatrix(batches.reduce(_ unionByName _), dims)
+    assert(fold.toSeq == whole.toSeq,
+      "folded batch moments diverge from the whole-corpus pass")
+    // the retrained model is the whole-corpus model, bit for bit
+    val viaLedger = Similarity.pcaTrainFromMoments(fold, dims, k = 3)
+    val direct = Similarity.pcaTrain(batches.reduce(_ unionByName _), dims, k = 3)
+    assert(viaLedger.basis.flatten.toSeq == direct.basis.flatten.toSeq &&
+      viaLedger.eigenvalues.toSeq == direct.eigenvalues.toSeq &&
+      viaLedger.mean.toSeq == direct.mean.toSeq)
+    // mixed-scale frames fail loud
+    SketchLedger.append(Similarity.momentFrame(batches.head, dims, scale = 500L), dir)
+    intercept[IllegalArgumentException] {
+      Similarity.momentFold(SketchLedger.read(spark, dir).get)
+    }
+  }
 }
