@@ -71,6 +71,11 @@ object GraftExtensions {
         c(0),
         intLit(c(1), "moment_matrix", "dims"),
         intLit(c(2), "moment_matrix", "scale").toLong))),
+    ("vec_sum", graft.expressions.MomentMatrix.vecSumInfo,
+      arity("vec_sum", 3)(c => graft.expressions.MomentMatrix.VecSumAgg(
+        c(0),
+        intLit(c(1), "vec_sum", "dims"),
+        intLit(c(2), "vec_sum", "scale").toLong))),
     ("synth_image", ImageKernels.synthInfo,
       arity("synth_image", 1)(c => ImageKernels.SynthImage(c(0)))),
     ("image_decode", ImageKernels.decodeInfo,

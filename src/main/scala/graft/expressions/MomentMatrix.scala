@@ -143,4 +143,101 @@ object MomentMatrix {
       "products] over q_d = floor(x_d * scale). Partial-aggregatable, " +
       "merge is elementwise addition (partition-order independent); " +
       "exact while N < 2^63 / scale^2 for |x| <= 1.")
+
+  // -----------------------------------------------------------------------
+  // vec_sum — the first-order-only sibling: exact integer count + per-dim
+  // sums, buffer 1 + d longs. The aggregate behind group-wise pooling
+  // (chunk embeddings -> document embedding): shuffling one partial per
+  // (group, partition) of d+1 longs instead of posexploding N×d rows is a
+  // d× exchange-volume cut. Magnitude bound is the gentler first-order
+  // one: N < 2^63 / scale per group.
+  // -----------------------------------------------------------------------
+
+  final class VecSums(val d: Int, val scale: Long) {
+    val cells = new Array[Long](1 + d)
+    def add(vec: ArrayData): Unit = {
+      require(vec.numElements() == d,
+        s"vec_sum(dims=$d) got a vector of length ${vec.numElements()}")
+      cells(0) += 1L
+      var i = 0
+      while (i < d) {
+        cells(1 + i) += math.floor(vec.getFloat(i).toDouble * scale).toLong
+        i += 1
+      }
+    }
+    def mergeIn(other: VecSums): Unit = {
+      require(other.d == d && other.scale == scale,
+        "merging differently-shaped vec_sum buffers")
+      var i = 0
+      while (i < cells.length) { cells(i) += other.cells(i); i += 1 }
+    }
+  }
+
+  case class VecSumAgg(
+      child: Expression, dims: Int, scale: Long,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[VecSums] with UnaryLike[Expression] {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) if dims >= 1 && dims <= MaxDims && scale >= 1 =>
+        TypeCheckResult.TypeCheckSuccess
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName dims must be in [1, $MaxDims] and scale >= 1, got ($dims, $scale)")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${other.simpleString}")
+    }
+
+    override def createAggregationBuffer(): VecSums = new VecSums(dims, scale)
+
+    override def update(buffer: VecSums, input: InternalRow): VecSums = {
+      val v = child.eval(input)
+      if (v != null) buffer.add(v.asInstanceOf[ArrayData])
+      buffer
+    }
+
+    override def merge(buffer: VecSums, other: VecSums): VecSums = {
+      buffer.mergeIn(other)
+      buffer
+    }
+
+    override def eval(buffer: VecSums): Any =
+      new GenericArrayData(buffer.cells.map(v => v: Any))
+
+    override def serialize(buffer: VecSums): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(buffer.d)
+      out.writeLong(buffer.scale)
+      var i = 0
+      while (i < buffer.cells.length) { out.writeLong(buffer.cells(i)); i += 1 }
+      out.flush()
+      bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): VecSums = {
+      val in = new DataInputStream(new ByteArrayInputStream(bytes))
+      val m = new VecSums(in.readInt(), in.readLong())
+      var i = 0
+      while (i < m.cells.length) { m.cells(i) = in.readLong(); i += 1 }
+      m
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): VecSumAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): VecSumAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(newChild: Expression): VecSumAgg =
+      copy(child = newChild)
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "vec_sum"
+  }
+
+  val vecSumInfo = new ExpressionInfo(
+    classOf[VecSumAgg].getName, "vec_sum",
+    "vec_sum(vec, dims, scale) - exact integer [count, per-dim sums] of a " +
+      "float-vector column over q_d = floor(x_d * scale). " +
+      "Partial-aggregatable; merge is elementwise addition.")
 }

@@ -2180,6 +2180,35 @@ object Similarity {
     acc
   }
 
+  /**
+   * Group-wise mean pooling of a vector column — the chunk→document
+   * embedding step (pool a long document's chunk embeddings into one
+   * vector): `(groupCol, n, mean)` with `mean` the per-dimension average
+   * in the ORIGINAL (unquantized) domain, computed as exact integer sums
+   * (`vec_sum` native aggregate, quantized at `scale`) divided by the
+   * count — a single double division per dimension, so the result is a
+   * pure function of the input multiset (no float-summation order).
+   *
+   * Shuffle shape: ONE exchange of (group, partition)-partial sums of
+   * d + 1 longs each — a d× volume cut over the posexplode-then-groupBy
+   * form, and the partial aggregation means a hot group costs its reduce
+   * task only the merge of per-partition partials.
+   */
+  def meanPool(
+      df: DataFrame, groupCol: String, dims: Int,
+      vecCol: String = "embedding", scale: Long = 1000L): DataFrame = {
+    graft.GraftExtensions.register(df.sparkSession)
+    df.groupBy(col(groupCol))
+      .agg(call_function("vec_sum",
+        col(vecCol), lit(dims), lit(scale.toInt)).as("_s"))
+      .select(
+        col(groupCol),
+        element_at(col("_s"), 1).as("n"),
+        transform(slice(col("_s"), 2, dims),
+          s => s.cast("double") / (element_at(col("_s"), 1) * lit(scale))
+            .cast("double")).as("mean"))
+  }
+
   /** Train from an already-folded moment array (see [[momentFold]]) —
     * the incremental-retrain entry point; [[pcaTrain]] is this over one
     * whole-corpus [[momentMatrix]] pass. */

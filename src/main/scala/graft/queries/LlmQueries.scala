@@ -755,6 +755,17 @@ object LlmQueries {
         .orderBy("idx")
     }),
 
+    // Group-wise mean pooling (chunk -> document embedding): exact integer
+    // vec_sum partials, one exchange of d+1 longs per (group, partition),
+    // mean = sums / (n * scale) in one double division per dim
+    "q_embed_mean_pool" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      Similarity.meanPool(emb(s, dir), "label", dims = 64)
+        .select(col("label"), col("n"),
+          posexplode(col("mean")).as(Seq("d", "mean")))
+        .orderBy("label", "d")
+    }),
+
     // SemDeDup-style semantic dedup pairs: k-means cells bound the pair
     // search (equi-join on cell), exact quantized cosine verifies. The
     // quantizer is trained on the base corpus and the dedup runs over the
@@ -2272,6 +2283,20 @@ object LlmQueries {
          |  FROM fadc)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "q_sim_ivfpq_rerank" -> ivfPqRerankOracleSql,
+
+    "q_embed_mean_pool" ->
+      """WITH c3 AS (SELECT label, CAST(d - 1 AS INT) AS d,
+        |              CAST(floor(x * 1e3) AS BIGINT) AS q
+        |            FROM (SELECT label, generate_subscripts(embedding, 1) AS d,
+        |                         unnest(embedding) AS x
+        |                  FROM embeddings)),
+        |nl AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+        |       FROM embeddings GROUP BY label)
+        |SELECT c.label, nl.n, c.d,
+        |       CAST(SUM(c.q) AS DOUBLE) / CAST(nl.n * 1000 AS DOUBLE) AS mean
+        |FROM c3 c JOIN nl ON nl.label = c.label
+        |GROUP BY c.label, nl.n, c.d
+        |ORDER BY c.label, c.d""".stripMargin,
 
     // Exact moment-matrix replay: q = floor(x * 1e3), flat index
     // idx(n)=0, idx(s_i)=1+i, idx(p_ij)=1+64+i*64-i(i-1)/2+(j-i), i<=j

@@ -54,6 +54,22 @@ class PcaSpec extends SparkSpec {
     assert(Similarity.momentMatrix(withNull, dims)(0) == 10L, "null vector must not count")
   }
 
+  test("meanPool: exact group means, partition-independent, known values") {
+    val df = Seq(
+      (1, Array(1.0f, -1.0f)), (1, Array(3.0f, 0.5f)),
+      (2, Array(0.25f, 0.25f))).toDF("g", "embedding")
+    def pool(d: org.apache.spark.sql.DataFrame) =
+      Similarity.meanPool(d, "g", dims = 2)
+        .collect().map(r => r.getInt(0) ->
+          ((r.getLong(1), r.getSeq[Double](2).toSeq))).toMap
+    val one = pool(df.repartition(1))
+    val many = pool(df.repartition(5))
+    assert(one == many, "mean pooling is partition-dependent")
+    // group 1: q-sums (1000+3000, -1000+500) / (2*1000) = (2.0, -0.25)
+    assert(one(1) == ((2L, Seq(2.0, -0.25))))
+    assert(one(2) == ((1L, Seq(0.25, 0.25))))
+  }
+
   test("pcaTrain: orthonormal basis, descending eigenvalues, deterministic, sign-normalized") {
     val df = corpus(200)
     val m1 = Similarity.pcaTrain(df, dims, k = dims)
