@@ -190,6 +190,95 @@ object Retrieval {
   }
 
   /**
+   * RM3-style pseudo-relevance-feedback expansion (Abdul-Jaleel et al.
+   * 2004; the Anserini/Lucene default expansion model): a first BM25 pass
+   * retrieves `fbDocs` feedback documents per query, their terms are
+   * weighted by `rel(t) = Σ_D (tf(t,D)/|D|) · score(q,D)` (relevance-model
+   * weights with the BM25 score as the document posterior), the top
+   * `fbTerms` terms normalize to a distribution, and the final query
+   * interpolates `origWeight · uniform(original terms) + (1−origWeight) ·
+   * expansion` — then a second, WEIGHTED BM25 pass ranks the corpus under
+   * the expanded query. Deterministic end to end: 6-dp rounds at the two
+   * sum points (term weights), the engine's 4-dp round-then-rank on both
+   * passes, token tie-breaks on the term-selection cut.
+   *
+   * Scale shape: the postings frame is built ONCE and materialized (it
+   * feeds pass-1 scoring, feedback-term weighting, and pass-2 scoring —
+   * the tokenize-once retention discipline); everything query-sided
+   * (feedback lists, term weights — queries × (|Q| + fbTerms) rows)
+   * stays broadcast-sized, so both passes are the standard broadcast-
+   * into-postings plan and the corpus is scanned, not shuffled.
+   */
+  def bm25Rm3(
+      df: DataFrame, idCol: String, textCol: String, queries: DataFrame,
+      k: Int, fbDocs: Int = 5, fbTerms: Int = 10, origWeight: Double = 0.5,
+      k1: Double = K1, b: Double = B): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(fbDocs > 0 && fbTerms > 0, "fbDocs and fbTerms must be positive")
+    require(origWeight >= 0.0 && origWeight <= 1.0,
+      s"origWeight must be in [0,1], got $origWeight")
+    val postings = bm25Postings(df, idCol, textCol).localCheckpoint()
+    val stats = bm25Stats(df, textCol)
+    val dfreq = docFreq(postings)
+    val pass1 = bm25Score(postings, dfreq, stats, queries, fbDocs, k1, b)
+    val rel = postings
+      .join(broadcast(pass1.select(col("qid"), col("doc_id"), col("score"))),
+        Seq("doc_id"))
+      .groupBy(col("qid"), col("token"))
+      .agg(round(sum(
+        col("tf").cast("double") / col("dl").cast("double") * col("score")), 6)
+        .as("rel"))
+    val tw = Window.partitionBy("qid").orderBy(col("rel").desc, col("token").asc)
+    val qw = Window.partitionBy("qid")
+    val expTerms = rel
+      .withColumn("_trn", row_number().over(tw))
+      .where(col("_trn") <= fbTerms)
+      .withColumn("_den", sum(col("rel")).over(qw))
+      .select(col("qid"), col("token"), (col("rel") / col("_den")).as("w_exp"))
+    val origTerms = queries
+      .select(col("qid"),
+        explode(array_distinct(TextOps.tokens(col("qtext")))).as("token"))
+      .withColumn("w_orig", lit(1.0) / count(lit(1)).over(qw))
+    val weights = origTerms.select("qid", "token", "w_orig")
+      .join(expTerms, Seq("qid", "token"), "full_outer")
+      .select(col("qid"), col("token"),
+        round(lit(origWeight) * coalesce(col("w_orig"), lit(0.0)) +
+          lit(1.0 - origWeight) * coalesce(col("w_exp"), lit(0.0)), 6).as("w"))
+    bm25ScoreWeighted(postings, dfreq, stats, weights, k, k1, b)
+  }
+
+  /** Weighted variant of the scoring core: `termWeights` is
+    * `(qid, token, w)` and each term's BM25 contribution scales by `w`
+    * (the expanded-query second pass). Same plan shape as [[bm25Score]]. */
+  private def bm25ScoreWeighted(
+      postings: DataFrame, dfreq: DataFrame, stats: DataFrame,
+      termWeights: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
+    val termStats = dfreq.join(broadcast(termWeights), Seq("token"))
+    val scored = postings
+      .join(broadcast(termStats), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("qid"), col("doc_id"),
+        (col("w") *
+          (log(lit(1.0) +
+            (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+              (col("df").cast("double") + lit(0.5))) *
+            (col("tf").cast("double") * lit(k1 + 1.0)) /
+            (col("tf").cast("double") +
+              lit(k1) * (lit(1.0 - b) +
+                lit(b) * col("dl").cast("double") * col("n_docs").cast("double") /
+                  col("total_tokens").cast("double")))))
+          .as("_s"))
+      .groupBy("qid", "doc_id")
+      .agg(round(sum(col("_s")), 4).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "doc_id", "score")
+  }
+
+  /**
    * Reciprocal rank fusion of N ranked lists (each `(qid, doc_id, rank)`):
    * `rrf = Σ_lists 1/(rrfK + rank)`, documents absent from a list simply
    * contribute nothing — the standard way to combine lexical and vector

@@ -1520,6 +1520,19 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // RM3 pseudo-relevance feedback: BM25 pass-1 top-5 feedback docs,
+    // relevance-model term weights, top-10 expansion terms interpolated
+    // 0.5/0.5 with the uniform original query, weighted BM25 pass-2
+    "q_ret_bm25_rm3" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val textQueries = d.where(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
+      Retrieval.bm25Rm3(d, "doc_id", "text", textQueries,
+          k = 10, fbDocs = 5, fbTerms = 10, origWeight = 0.5)
+        .orderBy("qid", "rank")
+    }),
+
     // Calibrated hybrid: the same lexical + vector lists fused by weighted
     // min-max-normalized scores (0.7 lexical / 0.3 vector) — keeps score
     // magnitude where RRF keeps only rank
@@ -2936,6 +2949,48 @@ object LlmQueries {
          |  SELECT qid, doc_id, rrf,
          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
          |  FROM fused) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // RM3 replay: pass-1 bmranked -> feedback top-5 -> relevance-model
+    // term weights (round 6) -> top-10 terms (rel desc, token asc) ->
+    // normalized + 0.5/0.5 interpolation with uniform originals (round 6)
+    // -> weighted second scoring pass (round 4, rank desc, doc_id asc)
+    "q_ret_bm25_rm3" ->
+      s"""WITH ${bm25Ctes(
+           "SELECT doc_id AS qid, array_to_string(string_split(text, ' ')[1:4], ' ') AS qtext " +
+             "FROM documents WHERE doc_id < 3")},
+         |fb AS (SELECT qid, doc_id, score FROM bmranked WHERE rank <= 5),
+         |brel AS (SELECT f.qid, p.token,
+         |           round(SUM(CAST(p.tf AS DOUBLE) / p.dl * f.score), 6) AS rel
+         |         FROM fb f JOIN bp p ON p.doc_id = f.doc_id
+         |         GROUP BY f.qid, p.token),
+         |btsel AS (SELECT qid, token, rel FROM (
+         |            SELECT qid, token, rel,
+         |              row_number() OVER (PARTITION BY qid ORDER BY rel DESC, token ASC) AS trn
+         |            FROM brel) WHERE trn <= 10),
+         |bexpw AS (SELECT qid, token,
+         |            rel / SUM(rel) OVER (PARTITION BY qid) AS w_exp FROM btsel),
+         |borigw AS (SELECT qid, token,
+         |             CAST(1.0 AS DOUBLE) / COUNT(*) OVER (PARTITION BY qid) AS w_orig
+         |           FROM bqt),
+         |bwts AS (SELECT COALESCE(o.qid, e.qid) AS qid,
+         |           COALESCE(o.token, e.token) AS token,
+         |           round(0.5 * COALESCE(o.w_orig, 0) + 0.5 * COALESCE(e.w_exp, 0), 6) AS w
+         |         FROM borigw o FULL OUTER JOIN bexpw e
+         |           ON e.qid = o.qid AND e.token = o.token),
+         |bsc2 AS (SELECT t.qid, p.doc_id,
+         |           t.w * (ln(1.0 + (CAST(s.n_docs AS DOUBLE) - f.df + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+         |           * (CAST(p.tf AS DOUBLE) * (1.2 + 1.0))
+         |           / (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+         |               + 0.75 * CAST(p.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE)
+         |                 / CAST(s.total_tokens AS DOUBLE)))) AS sc
+         |         FROM bp p JOIN bdf f USING (token) JOIN bwts t USING (token)
+         |         CROSS JOIN bstat s),
+         |bagg2 AS (SELECT qid, doc_id, round(sum(sc), 4) AS score
+         |          FROM bsc2 GROUP BY qid, doc_id)
+         |SELECT qid, rank, doc_id, score FROM (
+         |  SELECT qid, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+         |  FROM bagg2) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     // Min-max-normalized weighted fusion over the same two lists: per
     // (query, list) scores rescale to [0,1] (constant list -> 1.0), fuse

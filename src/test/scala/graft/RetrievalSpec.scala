@@ -95,6 +95,41 @@ class RetrievalSpec extends SparkSpec {
     (0L, 3L, 200000000000L, Array(0.0f, 0.5f)))
     .toDF("qid", "doc_id", "rel", "embedding")
 
+  test("bm25Rm3: expansion reaches docs sharing no original query term") {
+    // doc 1 matches the query; doc 2 shares 'bridge' terms with doc 1 but
+    // NOT with the query — plain BM25 cannot score it, RM3 must
+    val docs = Seq(
+      (1L, "query term bridge link"),
+      (2L, "bridge link other stuff"),
+      (3L, "completely unrelated words here")).toDF("doc_id", "text")
+    val q = Seq((7L, "query term")).toDF("qid", "qtext")
+    val plain = Retrieval.bm25(docs, "doc_id", "text", q, k = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == Set(1L), s"plain bm25 should only reach doc 1, got $plain")
+    val rm3 = Retrieval.bm25Rm3(docs, "doc_id", "text", q,
+        k = 3, fbDocs = 1, fbTerms = 4, origWeight = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rm3.contains(2L), s"expansion missed the bridge doc: $rm3")
+    assert(!rm3.contains(3L), "expansion leaked to an unrelated doc")
+  }
+
+  test("bm25Rm3 with origWeight = 1 preserves the plain BM25 ranking") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha alpha delta"),
+      (3L, "beta beta beta epsilon"),
+      (4L, "zeta eta theta")).toDF("doc_id", "text")
+    val q = Seq((1L, "alpha beta")).toDF("qid", "qtext")
+    def ranking(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val plain = ranking(Retrieval.bm25(docs, "doc_id", "text", q, k = 4))
+    val rm3 = ranking(Retrieval.bm25Rm3(docs, "doc_id", "text", q,
+      k = 4, fbDocs = 2, fbTerms = 5, origWeight = 1.0))
+    assert(rm3 == plain,
+      s"origWeight=1 must reduce to the unexpanded ranking:\n$rm3\nvs\n$plain")
+  }
+
   test("fuseNormalized: min-max rescale, weights, constant-list convention, absent docs") {
     // list A: scores 10..30 normalize to 0, 0.5, 1; list B: constant -> 1.0
     val a = Seq((1L, 101L, 10.0), (1L, 102L, 20.0), (1L, 103L, 30.0))
