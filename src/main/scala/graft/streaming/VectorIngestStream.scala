@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 
-import graft.ops.Similarity
+import graft.ops.{Similarity, SketchLedger}
 
 /**
  * Continuous VECTOR-INDEX ingest — the streaming face of the persisted
@@ -25,6 +25,18 @@ import graft.ops.Similarity
  *
  * Per batch `onReport` receives `(batchId, nVectors, indexVersion,
  * codeGenerations)`.
+ *
+ * MOMENTS LEDGER (optional): pass `momentsLedger = Some((dir, dims))` and
+ * every non-empty batch ALSO appends its exact integer moment frame
+ * ([[Similarity.momentFrame]]) to a [[SketchLedger]] at `dir` — the
+ * running corpus statistics that make the eventual drift-triggered
+ * REBUILD cheap: `pcaTrainFromMoments(momentFold(ledger))` retrains from
+ * frames without rescanning a single ingested batch, and the fold equals
+ * the whole-corpus pass bit for bit (SketchLedgerSpec). The two stores
+ * commit independently (no cross-store transaction): a crash between the
+ * index append and the ledger append can leave the ledger one batch
+ * behind the index — acceptable for advisory statistics, and visible by
+ * comparing the ledger's frame count to the report stream.
  */
 object VectorIngestStream {
 
@@ -33,7 +45,8 @@ object VectorIngestStream {
 
   def attach(
       vectors: DataFrame, indexDir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding")(
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      momentsLedger: Option[(String, Int)] = None)(
       onReport: BatchReport => Unit): DataStreamWriter[Row] = {
     val spark = vectors.sparkSession
     vectors.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
@@ -41,6 +54,9 @@ object VectorIngestStream {
       try {
         val n = pinned.count()
         Similarity.appendToIndex(pinned, indexDir, idCol, vecCol)
+        if (n > 0) momentsLedger.foreach { case (mDir, dims) =>
+          SketchLedger.append(Similarity.momentFrame(pinned, dims, vecCol), mDir)
+        }
         val (version, nGens) = Similarity.indexStatus(spark, indexDir)
         onReport(BatchReport(id, n, version, nGens))
       } finally pinned.queryExecution.analyzed.foreach {
@@ -54,7 +70,8 @@ object VectorIngestStream {
   /** [[attach]] + start. */
   def start(
       vectors: DataFrame, indexDir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding")(
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      momentsLedger: Option[(String, Int)] = None)(
       onReport: BatchReport => Unit): StreamingQuery =
-    attach(vectors, indexDir, idCol, vecCol)(onReport).start()
+    attach(vectors, indexDir, idCol, vecCol, momentsLedger)(onReport).start()
 }

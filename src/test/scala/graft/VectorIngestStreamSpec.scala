@@ -64,4 +64,40 @@ class VectorIngestStreamSpec extends SparkSpec {
     assert(Similarity.indexStatus(spark, dirStream)._2 == 2)
     assert(serve(dirStream) == serve(dirBatch))
   }
+
+  test("moments ledger rides the ingest: fold over streamed frames == whole-stream pass") {
+    import graft.ops.SketchLedger
+    implicit val ctx = spark.sqlContext
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(8)(d => math.sin(d * 0.9 + i * 0.3).toFloat)
+    val all = (0 until 40).map(i => (i.toLong, vec(i)))
+    val embs = all.toDF("vec_id", "embedding")
+    val coarse = Similarity.trainCentroids(embs, 4, 1)
+    val cb = Similarity.pqTrainCodebooksResidual(embs, coarse, dims = 8, m = 2, k = 3, iters = 1)
+    val idxDir = tmpDir("vidx_mom")
+    val ledgerDir = tmpDir("vidx_mom_ledger")
+    Similarity.writeIndex(embs.where($"vec_id" < 10), coarse, cb, idxDir, dims = 8, m = 2)
+    // bootstrap frame for the pre-stream corpus, then stream the rest
+    SketchLedger.append(
+      Similarity.momentFrame(embs.where($"vec_id" < 10), dims = 8), ledgerDir)
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = VectorIngestStream.start(
+      ms.toDS().toDF("vec_id", "embedding"), idxDir,
+      momentsLedger = Some((ledgerDir, 8)))(_ => ())
+    try {
+      ms.addData(all.slice(10, 25): _*)
+      q.processAllAvailable()
+      ms.addData(all.slice(25, 40): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val fold = Similarity.momentFold(SketchLedger.read(spark, ledgerDir).get)
+    val whole = Similarity.momentMatrix(embs, dims = 8)
+    assert(fold.toSeq == whole.toSeq,
+      "streamed moment frames diverge from the whole-corpus pass")
+    // and PCA retrains from the ledger exactly as from the corpus
+    val a = Similarity.pcaTrainFromMoments(fold, dims = 8, k = 3)
+    val b = Similarity.pcaTrain(embs, dims = 8, k = 3)
+    assert(a.basis.flatten.toSeq == b.basis.flatten.toSeq &&
+      a.eigenvalues.toSeq == b.eigenvalues.toSeq)
+  }
 }
