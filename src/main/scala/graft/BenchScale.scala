@@ -130,7 +130,14 @@ object BenchScale {
     "q_dedup_fuzzy", "q_mm_phash",
     // event-family scaling (synth v3 carries events): the union-and-carry
     // as-of plan, window sessionization, and the median-join imputation
-    "q_ev_asof", "q_ev_sessions", "q_val_impute")
+    "q_ev_asof", "q_ev_sessions", "q_val_impute",
+    // round-11 late additions: quality-aware survivor (clustering + one
+    // min_by aggregate), the two-pass RM3 expansion (queries derive from
+    // the corpus, same convention as q_ret_hybrid_rrf), and the two
+    // single-aggregate controls (moments, grouped pooling) whose ratios
+    // should sit at ~1× — they are one partial-agg pass each
+    "q_dedup_keep_best", "q_ret_bm25_rm3",
+    "q_embed_pca_moments", "q_embed_mean_pool")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()

@@ -221,6 +221,54 @@ object Retrieval {
     val stats = bm25Stats(df, textCol)
     val dfreq = docFreq(postings)
     val pass1 = bm25Score(postings, dfreq, stats, queries, fbDocs, k1, b)
+    val weights = rm3Weights(postings, pass1, queries, fbTerms, origWeight)
+    bm25ScoreWeighted(postings, dfreq, stats, weights, k, k1, b)
+  }
+
+  /**
+   * [[bm25Rm3]] served from a PERSISTED lexical index — the
+   * build-once/query-many form. Pass 1 is the token-pruned
+   * [[bm25TopKIndexed]]; the feedback-doc term fetch is the ONE postings
+   * scan that cannot token-prune (pseudo-relevance feedback needs the
+   * feedback docs' full term vectors — the classic forward-index trade;
+   * the scan's OUTPUT is bounded by queries × fbDocs docs' token mass and
+   * the doc_id probe is a broadcast join); pass 2 collects the expanded
+   * term set (bounded by queries × (|Q| + fbTerms), same fail-loud
+   * [[MaxQueryTerms]] contract as the unexpanded path) back into a
+   * literal `IN`, so the scoring scan recovers the token-range
+   * footer-stat pruning.
+   */
+  def bm25Rm3Indexed(
+      index: LexIndex, queries: DataFrame, k: Int,
+      fbDocs: Int = 5, fbTerms: Int = 10, origWeight: Double = 0.5,
+      k1: Double = K1, b: Double = B): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(fbDocs > 0 && fbTerms > 0, "fbDocs and fbTerms must be positive")
+    require(origWeight >= 0.0 && origWeight <= 1.0,
+      s"origWeight must be in [0,1], got $origWeight")
+    val pass1 = bm25TopKIndexed(index, queries, fbDocs, k1, b)
+    // bounded (queries × (|Q| + fbTerms) rows) — pinned so the term-set
+    // collect and the pass-2 join don't recompute the feedback scan
+    val weights = rm3Weights(index.postings, pass1, queries, fbTerms, origWeight)
+      .localCheckpoint()
+    val terms = weights.select("token").distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(terms.size <= MaxQueryTerms,
+      s"bm25Rm3Indexed expanded to ${terms.size} distinct terms " +
+        s"(max $MaxQueryTerms) — pass an interactive query batch, not a corpus")
+    bm25ScoreWeighted(
+      index.postings.where(col("token").isin(terms: _*)),
+      index.docFreq.where(col("token").isin(terms: _*)),
+      index.stats, weights, k, k1, b)
+  }
+
+  /** Shared RM3 weight model: relevance-model term weights over the
+    * pass-1 feedback lists, top-`fbTerms` cut, normalization, and the
+    * `origWeight` interpolation with the uniform original query —
+    * `(qid, token, w)`, every frame queries-sided and broadcast-sized. */
+  private def rm3Weights(
+      postings: DataFrame, pass1: DataFrame, queries: DataFrame,
+      fbTerms: Int, origWeight: Double): DataFrame = {
     val rel = postings
       .join(broadcast(pass1.select(col("qid"), col("doc_id"), col("score"))),
         Seq("doc_id"))
@@ -239,12 +287,11 @@ object Retrieval {
       .select(col("qid"),
         explode(array_distinct(TextOps.tokens(col("qtext")))).as("token"))
       .withColumn("w_orig", lit(1.0) / count(lit(1)).over(qw))
-    val weights = origTerms.select("qid", "token", "w_orig")
+    origTerms.select("qid", "token", "w_orig")
       .join(expTerms, Seq("qid", "token"), "full_outer")
       .select(col("qid"), col("token"),
         round(lit(origWeight) * coalesce(col("w_orig"), lit(0.0)) +
           lit(1.0 - origWeight) * coalesce(col("w_exp"), lit(0.0)), 6).as("w"))
-    bm25ScoreWeighted(postings, dfreq, stats, weights, k, k1, b)
   }
 
   /** Weighted variant of the scoring core: `termWeights` is

@@ -464,6 +464,46 @@ object LlmQueries {
        |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** RM3 two-pass replay (shared by the direct and indexed serving
+    * paths - the index round-trips identical postings/df/stats). */
+  private lazy val rm3OracleSql =
+    s"""WITH ${bm25Ctes(
+           "SELECT doc_id AS qid, array_to_string(string_split(text, ' ')[1:4], ' ') AS qtext " +
+             "FROM documents WHERE doc_id < 3")},
+         |fb AS (SELECT qid, doc_id, score FROM bmranked WHERE rank <= 5),
+         |brel AS (SELECT f.qid, p.token,
+         |           round(SUM(CAST(p.tf AS DOUBLE) / p.dl * f.score), 6) AS rel
+         |         FROM fb f JOIN bp p ON p.doc_id = f.doc_id
+         |         GROUP BY f.qid, p.token),
+         |btsel AS (SELECT qid, token, rel FROM (
+         |            SELECT qid, token, rel,
+         |              row_number() OVER (PARTITION BY qid ORDER BY rel DESC, token ASC) AS trn
+         |            FROM brel) WHERE trn <= 10),
+         |bexpw AS (SELECT qid, token,
+         |            rel / SUM(rel) OVER (PARTITION BY qid) AS w_exp FROM btsel),
+         |borigw AS (SELECT qid, token,
+         |             CAST(1.0 AS DOUBLE) / COUNT(*) OVER (PARTITION BY qid) AS w_orig
+         |           FROM bqt),
+         |bwts AS (SELECT COALESCE(o.qid, e.qid) AS qid,
+         |           COALESCE(o.token, e.token) AS token,
+         |           round(0.5 * COALESCE(o.w_orig, 0) + 0.5 * COALESCE(e.w_exp, 0), 6) AS w
+         |         FROM borigw o FULL OUTER JOIN bexpw e
+         |           ON e.qid = o.qid AND e.token = o.token),
+         |bsc2 AS (SELECT t.qid, p.doc_id,
+         |           t.w * (ln(1.0 + (CAST(s.n_docs AS DOUBLE) - f.df + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+         |           * (CAST(p.tf AS DOUBLE) * (1.2 + 1.0))
+         |           / (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+         |               + 0.75 * CAST(p.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE)
+         |                 / CAST(s.total_tokens AS DOUBLE)))) AS sc
+         |         FROM bp p JOIN bdf f USING (token) JOIN bwts t USING (token)
+         |         CROSS JOIN bstat s),
+         |bagg2 AS (SELECT qid, doc_id, round(sum(sc), 4) AS score
+         |          FROM bsc2 GROUP BY qid, doc_id)
+         |SELECT qid, rank, doc_id, score FROM (
+         |  SELECT qid, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+         |  FROM bagg2) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   /** Canonical-survivor oracle: component labels from the closure, the
     * per-cluster survivor by (n_chars DESC, doc_id ASC), non-members pass. */
   private lazy val keepBestOracleSql =
@@ -1529,6 +1569,20 @@ object LlmQueries {
         .select(col("doc_id").as("qid"),
           array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
       Retrieval.bm25Rm3(d, "doc_id", "text", textQueries,
+          k = 10, fbDocs = 5, fbTerms = 10, origWeight = 0.5)
+        .orderBy("qid", "rank")
+    }),
+
+    // The same RM3 expansion served from the PERSISTED lexical index —
+    // identical ranking (the index round-trips postings/df/stats), pass-2
+    // recovers token pruning via the collected expanded-term literal
+    "q_ret_bm25_rm3_indexed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val textQueries = d.where(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
+      Retrieval.bm25Rm3Indexed(
+          Retrieval.readLexIndex(s, lexIndexDir(s, dir)), textQueries,
           k = 10, fbDocs = 5, fbTerms = 10, origWeight = 0.5)
         .orderBy("qid", "rank")
     }),
@@ -2954,43 +3008,11 @@ object LlmQueries {
     // term weights (round 6) -> top-10 terms (rel desc, token asc) ->
     // normalized + 0.5/0.5 interpolation with uniform originals (round 6)
     // -> weighted second scoring pass (round 4, rank desc, doc_id asc)
-    "q_ret_bm25_rm3" ->
-      s"""WITH ${bm25Ctes(
-           "SELECT doc_id AS qid, array_to_string(string_split(text, ' ')[1:4], ' ') AS qtext " +
-             "FROM documents WHERE doc_id < 3")},
-         |fb AS (SELECT qid, doc_id, score FROM bmranked WHERE rank <= 5),
-         |brel AS (SELECT f.qid, p.token,
-         |           round(SUM(CAST(p.tf AS DOUBLE) / p.dl * f.score), 6) AS rel
-         |         FROM fb f JOIN bp p ON p.doc_id = f.doc_id
-         |         GROUP BY f.qid, p.token),
-         |btsel AS (SELECT qid, token, rel FROM (
-         |            SELECT qid, token, rel,
-         |              row_number() OVER (PARTITION BY qid ORDER BY rel DESC, token ASC) AS trn
-         |            FROM brel) WHERE trn <= 10),
-         |bexpw AS (SELECT qid, token,
-         |            rel / SUM(rel) OVER (PARTITION BY qid) AS w_exp FROM btsel),
-         |borigw AS (SELECT qid, token,
-         |             CAST(1.0 AS DOUBLE) / COUNT(*) OVER (PARTITION BY qid) AS w_orig
-         |           FROM bqt),
-         |bwts AS (SELECT COALESCE(o.qid, e.qid) AS qid,
-         |           COALESCE(o.token, e.token) AS token,
-         |           round(0.5 * COALESCE(o.w_orig, 0) + 0.5 * COALESCE(e.w_exp, 0), 6) AS w
-         |         FROM borigw o FULL OUTER JOIN bexpw e
-         |           ON e.qid = o.qid AND e.token = o.token),
-         |bsc2 AS (SELECT t.qid, p.doc_id,
-         |           t.w * (ln(1.0 + (CAST(s.n_docs AS DOUBLE) - f.df + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
-         |           * (CAST(p.tf AS DOUBLE) * (1.2 + 1.0))
-         |           / (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
-         |               + 0.75 * CAST(p.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE)
-         |                 / CAST(s.total_tokens AS DOUBLE)))) AS sc
-         |         FROM bp p JOIN bdf f USING (token) JOIN bwts t USING (token)
-         |         CROSS JOIN bstat s),
-         |bagg2 AS (SELECT qid, doc_id, round(sum(sc), 4) AS score
-         |          FROM bsc2 GROUP BY qid, doc_id)
-         |SELECT qid, rank, doc_id, score FROM (
-         |  SELECT qid, doc_id, score,
-         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INT) AS rank
-         |  FROM bagg2) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_ret_bm25_rm3" -> rm3OracleSql,
+
+    // Indexed RM3 serves the identical ranking from the persisted lexical
+    // index (same corpus, same weights) - shared oracle, verbatim.
+    "q_ret_bm25_rm3_indexed" -> rm3OracleSql,
 
     // Min-max-normalized weighted fusion over the same two lists: per
     // (query, list) scores rescale to [0,1] (constant list -> 1.0), fuse

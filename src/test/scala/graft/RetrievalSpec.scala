@@ -130,6 +130,27 @@ class RetrievalSpec extends SparkSpec {
       s"origWeight=1 must reduce to the unexpanded ranking:\n$rm3\nvs\n$plain")
   }
 
+  test("bm25Rm3Indexed == direct bm25Rm3 over the same corpus") {
+    val docs = Seq(
+      (1L, "query term bridge link extra words"),
+      (2L, "bridge link other stuff padding"),
+      (3L, "query unrelated term filler tokens"),
+      (4L, "completely different vocabulary here"),
+      (5L, "term term bridge query mixed")).toDF("doc_id", "text")
+    val q = Seq((7L, "query term"), (8L, "bridge stuff")).toDF("qid", "qtext")
+    val direct = Retrieval.bm25Rm3(docs, "doc_id", "text", q,
+        k = 5, fbDocs = 2, fbTerms = 4, origWeight = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val dir = tmpDir("rm3_lex_idx")
+    Retrieval.writeLexIndex(docs, dir)
+    val indexed = Retrieval.bm25Rm3Indexed(
+        Retrieval.readLexIndex(spark, dir), q,
+        k = 5, fbDocs = 2, fbTerms = 4, origWeight = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(indexed == direct,
+      s"indexed RM3 diverged from direct:\n$indexed\nvs\n$direct")
+  }
+
   test("fuseNormalized: min-max rescale, weights, constant-list convention, absent docs") {
     // list A: scores 10..30 normalize to 0, 0.5, 1; list B: constant -> 1.0
     val a = Seq((1L, 101L, 10.0), (1L, 102L, 20.0), (1L, 103L, 30.0))
