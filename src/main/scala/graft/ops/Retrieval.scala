@@ -354,6 +354,61 @@ object Retrieval {
   }
 
   /**
+   * Ranking-quality evaluation — the measurement layer of a retrieval
+   * pipeline: per query, graded nDCG@k (`(2^g − 1)/log₂(rank+1)` gains,
+   * ideal ordering by grade desc / doc_id asc), MRR (reciprocal rank of
+   * the first relevant hit, 0 if none retrieved), precision@k and
+   * recall@k. `results` is any `(qid, rank, doc_id)` ranking (the output
+   * contract of every top-k in this module); `qrels` is
+   * `(qid, doc_id, grade)` with grade ≥ 1 meaning relevant (unjudged
+   * pairs count grade 0 — the TREC convention). Queries with no judged
+   * relevant document score ndcg/recall 0. Output:
+   * `(qid, ndcg, mrr, prec, recall)`, all rounded to 6 dp.
+   *
+   * Scale shape: `results` is k-bounded per query by construction and
+   * qrels is an evaluation set (orders of magnitude smaller than any
+   * corpus) — every join and aggregate here moves queries × k rows; at
+   * typical sizes the whole evaluation is broadcast-joined, nothing
+   * corpus-scale is touched at all.
+   */
+  def evalRanking(results: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val graded = results.where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"))
+      .join(qrels.select(col("qid"), col("doc_id"), col("grade")),
+        Seq("qid", "doc_id"), "left")
+      .withColumn("g", coalesce(col("grade"), lit(0)))
+    val perQ = graded.groupBy("qid").agg(
+      round(sum((pow(lit(2.0), col("g")) - lit(1.0)) / log2(col("rank") + 1)), 6)
+        .as("dcg"),
+      round(max(when(col("g") > 0, lit(1.0) / col("rank")).otherwise(lit(0.0))), 6)
+        .as("mrr"),
+      sum(when(col("g") > 0, 1).otherwise(0)).as("n_rel_ret"))
+    val iw = Window.partitionBy("qid").orderBy(col("grade").desc, col("doc_id").asc)
+    val ideal = qrels.where(col("grade") > 0)
+      .withColumn("irank", row_number().over(iw))
+      .where(col("irank") <= k)
+      .groupBy("qid")
+      .agg(round(sum(
+        (pow(lit(2.0), col("grade")) - lit(1.0)) / log2(col("irank") + 1)), 6)
+        .as("idcg"))
+    val nrel = qrels.where(col("grade") > 0)
+      .groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    perQ
+      .join(ideal, Seq("qid"), "left")
+      .join(nrel, Seq("qid"), "left")
+      .select(
+        col("qid"),
+        round(when(col("idcg").isNull || col("idcg") === 0, lit(0.0))
+          .otherwise(col("dcg") / col("idcg")), 6).as("ndcg"),
+        col("mrr"),
+        round(col("n_rel_ret").cast("double") / k, 6).as("prec"),
+        round(when(col("n_rel").isNull, lit(0.0))
+          .otherwise(col("n_rel_ret").cast("double") / col("n_rel")), 6)
+          .as("recall"))
+  }
+
+  /**
    * Weighted min-max score fusion of N ranked lists (each
    * `(qid, doc_id, score)`) — the calibrated-score alternative to
    * [[rrfFuse]] when raw scores carry magnitude information worth keeping

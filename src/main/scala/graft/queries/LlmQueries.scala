@@ -1573,6 +1573,23 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Ranking evaluation: BM25 top-10 against a deterministic synthetic
+    // qrels set ((doc_id + qid) % 17 == 0 relevant, graded 1..3) —
+    // nDCG/MRR/precision/recall per query, every frame queries-sided
+    "q_ret_eval" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val textQueries = d.where(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 4), " ").as("qtext"))
+      val qrels = textQueries.select("qid")
+        .crossJoin(d.select("doc_id"))
+        .where((col("doc_id") + col("qid")) % 17 === 0)
+        .select(col("qid"), col("doc_id"),
+          ((col("doc_id") + col("qid")) % 3 + 1).cast("int").as("grade"))
+      val results = Retrieval.bm25(d, "doc_id", "text", textQueries, k = 10)
+      Retrieval.evalRanking(results, qrels, k = 10).orderBy("qid")
+    }),
+
     // The same RM3 expansion served from the PERSISTED lexical index —
     // identical ranking (the index round-trips postings/df/stats), pass-2
     // recovers token pruning via the collected expanded-term literal
@@ -3009,6 +3026,44 @@ object LlmQueries {
     // normalized + 0.5/0.5 interpolation with uniform originals (round 6)
     // -> weighted second scoring pass (round 4, rank desc, doc_id asc)
     "q_ret_bm25_rm3" -> rm3OracleSql,
+
+    // Ranking-eval replay: same synthetic qrels arithmetic, DCG/IDCG with
+    // (2^g - 1)/log2(rank+1) gains, MRR as max reciprocal relevant rank
+    "q_ret_eval" ->
+      s"""WITH ${bm25Ctes(
+           "SELECT doc_id AS qid, array_to_string(string_split(text, ' ')[1:4], ' ') AS qtext " +
+             "FROM documents WHERE doc_id < 3")},
+         |qr AS (SELECT q.qid, d.doc_id,
+         |         CAST((d.doc_id + q.qid) % 3 + 1 AS INT) AS grade
+         |       FROM (SELECT DISTINCT qid FROM bq) q CROSS JOIN documents d
+         |       WHERE (d.doc_id + q.qid) % 17 = 0),
+         |res AS (SELECT qid, rank, doc_id FROM bmranked WHERE rank <= 10),
+         |egr AS (SELECT r.qid, r.rank, COALESCE(qr.grade, 0) AS g
+         |        FROM res r LEFT JOIN qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id),
+         |edcg AS (SELECT qid,
+         |           round(SUM((pow(2.0, g) - 1.0) / log2(rank + 1)), 6) AS dcg,
+         |           round(MAX(CASE WHEN g > 0 THEN 1.0 / rank ELSE 0.0 END), 6) AS mrr,
+         |           SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS n_rel_ret
+         |         FROM egr GROUP BY qid),
+         |eideal AS (SELECT qid,
+         |             round(SUM((pow(2.0, grade) - 1.0) / log2(irank + 1)), 6) AS idcg
+         |           FROM (SELECT qid, grade, doc_id,
+         |                   row_number() OVER (PARTITION BY qid
+         |                     ORDER BY grade DESC, doc_id ASC) AS irank
+         |                 FROM qr WHERE grade > 0)
+         |           WHERE irank <= 10 GROUP BY qid),
+         |enrel AS (SELECT qid, count(*) AS n_rel FROM qr WHERE grade > 0 GROUP BY qid)
+         |SELECT d.qid,
+         |       round(CASE WHEN i.idcg IS NULL OR i.idcg = 0 THEN 0.0
+         |             ELSE d.dcg / i.idcg END, 6) AS ndcg,
+         |       d.mrr,
+         |       round(CAST(d.n_rel_ret AS DOUBLE) / 10, 6) AS prec,
+         |       round(CASE WHEN n.n_rel IS NULL THEN 0.0
+         |             ELSE CAST(d.n_rel_ret AS DOUBLE) / n.n_rel END, 6) AS recall
+         |FROM edcg d
+         |LEFT JOIN eideal i ON i.qid = d.qid
+         |LEFT JOIN enrel n ON n.qid = d.qid
+         |ORDER BY d.qid""".stripMargin,
 
     // Indexed RM3 serves the identical ranking from the persisted lexical
     // index (same corpus, same weights) - shared oracle, verbatim.

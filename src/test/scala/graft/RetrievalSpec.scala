@@ -130,6 +130,37 @@ class RetrievalSpec extends SparkSpec {
       s"origWeight=1 must reduce to the unexpanded ranking:\n$rm3\nvs\n$plain")
   }
 
+  test("evalRanking: hand-computed nDCG/MRR/prec/recall, no-relevant and unjudged cases") {
+    // q1: ranks 1..3 = docs (10 g=0, 11 g=2, 12 g=1); qrels also hold an
+    // unretrieved relevant doc 13 (g=3) -> recall penalized, IDCG uses it
+    val results = Seq(
+      (1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+      (2L, 1, 20L), (2L, 2, 21L)).toDF("qid", "rank", "doc_id")
+    val qrels = Seq(
+      (1L, 11L, 2), (1L, 12L, 1), (1L, 13L, 3),
+      (3L, 30L, 1)).toDF("qid", "doc_id", "grade")
+    val out = Retrieval.evalRanking(results, qrels, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // q1 DCG = 0 + 3/log2(3) + 1/log2(4) = 1.892789... + 0.5
+    val dcg = 3.0 / (math.log(3) / math.log(2)) + 1.0 / 2.0
+    // IDCG = 7/log2(2) + 3/log2(3) + 1/log2(4) (grades 3,2,1)
+    val idcg = 7.0 + 3.0 / (math.log(3) / math.log(2)) + 0.5
+    val ndcg = BigDecimal(BigDecimal(dcg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble /
+      BigDecimal(idcg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == ndcg, s"ndcg ${out(1L)._1} != $ndcg")
+    assert(out(1L)._2 == 0.5)                       // first relevant at rank 2
+    assert(out(1L)._3 == BigDecimal(2.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)    // 2 of 3 retrieved relevant
+    assert(out(1L)._4 == BigDecimal(2.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)    // 2 of 3 judged relevant
+    // q2 has no judged relevant docs at all: everything 0
+    assert(out(2L) == ((0.0, 0.0, 0.0, 0.0)))
+    // q3 never appears in results -> not evaluated
+    assert(!out.contains(3L))
+  }
+
   test("bm25Rm3Indexed == direct bm25Rm3 over the same corpus") {
     val docs = Seq(
       (1L, "query term bridge link extra words"),
