@@ -116,6 +116,51 @@ object Corpus {
   }
 
   /**
+   * Temperature-based mixture rates (the multilingual-pretraining
+   * rebalancer, Conneau & Lample 2019): with group shares `p_g = n_g/N`,
+   * the target mix is `q_g ∝ p_g^(1/T)` — `T = 1` keeps the natural mix,
+   * `T → ∞` approaches uniform, `T < 1` sharpens toward the head. The
+   * per-group KEEP RATE that realizes the target by downsampling only is
+   * `r_g ∝ p_g^(1/T − 1)` normalized so the most-upweighted group keeps
+   * rate 1.0 (no group is ever oversampled — the standard trade).
+   * Returns `(groupCol, n_rows, share, rate)` — one row per group,
+   * rate rounded to 6 dp (the plan-time threshold contract of
+   * [[sampleByGroup]]).
+   */
+  def temperatureRates(
+      df: DataFrame, groupCol: String, temperature: Double): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val grp = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_rows"))
+    val tot = grp.agg(sum(col("n_rows")).as("_tn"))
+    val raw = grp.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_rows"),
+        (col("n_rows").cast("double") / col("_tn").cast("double")).as("share"),
+        pow(col("n_rows").cast("double") / col("_tn").cast("double"),
+          lit(1.0 / temperature - 1.0)).as("_w"))
+    val mx = raw.agg(max(col("_w")).as("_mw"))
+    raw.crossJoin(broadcast(mx))
+      .select(col(groupCol), col("n_rows"), round(col("share"), 6).as("share"),
+        round(col("_w") / col("_mw"), 6).as("rate"))
+  }
+
+  /**
+   * Apply a temperature mix in one shot: [[temperatureRates]] joined back
+   * (broadcast — the rates frame is group-count-sized) and the same
+   * integer-bucket hash filter as [[sampleByGroup]], so the selection is
+   * deterministic, incremental-stable, and exactly replayable. The kept
+   * corpus follows `p^(1/T)` up to the 10⁻⁴ bucket quantization.
+   */
+  def sampleByTemperature(
+      df: DataFrame, idCol: String, groupCol: String, temperature: Double,
+      salt: String = ""): DataFrame = {
+    val rates = temperatureRates(df, groupCol, temperature)
+      .select(col(groupCol), round(col("rate") * 10000).cast("long").as("_thr"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .where(hashBucket("sample", salt, col(idCol)) < col("_thr"))
+      .drop("_thr")
+  }
+
+  /**
    * EXACT-count per-group sampling: precisely `n` rows per group (fewer if
    * the group is smaller), picked deterministically by ordering the group on
    * a salted id hash — an unbiased draw that is stable across runs, engines,

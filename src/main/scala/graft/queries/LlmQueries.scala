@@ -1240,6 +1240,20 @@ object LlmQueries {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // Temperature mixture rates (T=2 flattens toward uniform): per-lang
+    // share and the downsample-only keep rate p^(1/T-1)/max
+    "q_corpus_temperature" -> ((s, dir) =>
+      graft.ops.Corpus.temperatureRates(docs(s, dir), "lang", temperature = 2.0)
+        .orderBy("lang")),
+
+    // ...and the applied mix: per-lang kept counts under the same
+    // hash-bucket filter (deterministic, incremental-stable)
+    "q_corpus_temperature_sample" -> ((s, dir) =>
+      graft.ops.Corpus.sampleByTemperature(
+          docs(s, dir), "doc_id", "lang", temperature = 2.0)
+        .groupBy("lang").agg(count(lit(1)).as("kept"))
+        .orderBy("lang")),
+
     // Deterministic train/val/test split + per-split token budgets
     "q_corpus_split" -> ((s, dir) =>
       graft.ops.Corpus.withSplit(docs(s, dir), "doc_id")
@@ -2561,6 +2575,32 @@ object LlmQueries {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE ('0x' || substr(md5('sample::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 1000
         |ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_temperature" ->
+      """WITH grp AS (SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang),
+        |tot AS (SELECT SUM(n_rows) AS tn FROM grp),
+        |raw AS (SELECT lang, n_rows,
+        |          CAST(n_rows AS DOUBLE) / CAST(tn AS DOUBLE) AS share,
+        |          pow(CAST(n_rows AS DOUBLE) / CAST(tn AS DOUBLE), 1.0/2.0 - 1.0) AS w
+        |        FROM grp CROSS JOIN tot),
+        |mx AS (SELECT MAX(w) AS mw FROM raw)
+        |SELECT lang, n_rows, round(share, 6) AS share, round(w / mw, 6) AS rate
+        |FROM raw CROSS JOIN mx ORDER BY lang""".stripMargin,
+
+    "q_corpus_temperature_sample" ->
+      """WITH grp AS (SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang),
+        |tot AS (SELECT SUM(n_rows) AS tn FROM grp),
+        |raw AS (SELECT lang,
+        |          pow(CAST(n_rows AS DOUBLE) / CAST(tn AS DOUBLE), 1.0/2.0 - 1.0) AS w
+        |        FROM grp CROSS JOIN tot),
+        |mx AS (SELECT MAX(w) AS mw FROM raw),
+        |rates AS (SELECT lang,
+        |            CAST(round(round(w / mw, 6) * 10000) AS BIGINT) AS thr
+        |          FROM raw CROSS JOIN mx)
+        |SELECT d.lang, count(*) AS kept
+        |FROM documents d JOIN rates r ON r.lang = d.lang
+        |WHERE ('0x' || substr(md5('sample::' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < r.thr
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "q_corpus_split" ->
       """SELECT split, count(*) AS docs,

@@ -148,4 +148,29 @@ class CurationSpec extends SparkSpec {
     }
     assert(spark.read.parquet(out).count() == 500)
   }
+
+  test("temperatureRates: T=1 identity, T>1 flattens (head downsampled, tail kept whole)") {
+    import graft.ops.Corpus
+    val df = ((1 to 800).map(i => (i.toLong, "big")) ++
+      (1001 to 1150).map(i => (i.toLong, "mid")) ++
+      (2001 to 2050).map(i => (i.toLong, "small"))).toDF("id", "g")
+    // T=1: 1/T-1 = 0 -> every rate is exactly 1.0 (natural mix untouched)
+    val t1 = Corpus.temperatureRates(df, "g", 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(t1.values.forall(_ == 1.0), s"T=1 must keep everything: $t1")
+    // T=2: rate ∝ 1/sqrt(p) normalized — smallest group keeps 1.0, head
+    // is downsampled hardest, ordering strictly by group size
+    val t2 = Corpus.temperatureRates(df, "g", 2.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(t2("small") == 1.0 && t2("big") < t2("mid") && t2("mid") < 1.0, s"$t2")
+    // expected big rate: sqrt(p_small/p_big) = sqrt(50/800) = 0.25
+    assert(t2("big") == 0.25, s"big rate ${t2("big")} != 0.25")
+    // the applied sample is a subset and respects per-group determinism
+    val kept = Corpus.sampleByTemperature(df, "id", "g", 2.0)
+    assert(kept.count() < df.count())
+    val again = Corpus.sampleByTemperature(df, "id", "g", 2.0)
+      .select("id").as[Long].collect().toSet
+    assert(kept.select("id").as[Long].collect().toSet == again)
+    assert(kept.where($"g" === "small").count() == 50, "rate-1.0 group must keep all rows")
+  }
 }
