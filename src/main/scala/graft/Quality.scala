@@ -190,6 +190,31 @@ object Quality {
           e, cents, cbR, queries, 10, nprobe = 2, dims = 64, m = m)), exact10)
       s""""pq_m${m}_fullscan_at10":$full,"ivfpq_m${m}_nprobe2_at10":$ivfpq"""
     }
+    // PCA-rotation ablation (round 11, the OPQ-lite hypothesis): rotate
+    // the corpus by the full-rank PCA basis (an isometry — within the
+    // rotated space exact search is the same problem), retrain the SAME
+    // coarse+PQ configuration there, and measure recall against the
+    // rotated-space exact truth. If variance-aligned subspaces help PQ on
+    // this corpus, the rotated line beats ivfpq_m8_nprobe2_at10; either
+    // way the number is recorded and the hypothesis stays pinned to the
+    // artifact (the convergence-refutation discipline).
+    val pcaModel = Similarity.pcaTrain(e, dims = 64, k = 64)
+    val rot = Similarity.pcaProject(e, pcaModel)
+      .select(col("vec_id"),
+        transform(col("pca"),
+          x => (x / pcaModel.scale.toDouble).cast("float")).as("embedding"))
+      .localCheckpoint()
+    val rotQueries = rot.where(col("vec_id") < 64)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val rotExact10 = topkMap(Similarity.bruteForceTopK(rot, rotQueries, 10))
+    val rotCents = Similarity.trainCentroids(rot, 32, 2)
+    val rotCbR = Similarity.pqTrainCodebooksResidual(
+      rot, rotCents, dims = 64, m = 8, k = 16, iters = 2)
+    val ivfpqRot = recallAtK(
+      topkMap(Similarity.ivfPqTopK(
+        rot, rotCents, rotCbR, rotQueries, 10, nprobe = 2, dims = 64, m = 8)),
+      rotExact10)
+
     // The k-lever: on this corpus the serving-recall knob that actually
     // moves is codes-per-subspace, not residual vs raw (see
     // residual_energy_ratio) — measured with the shipped operators.
@@ -279,6 +304,7 @@ object Quality {
         s""""ivfpq_rerank_multi2_at10":$rerankMulti2,"sq8_fullscan_at10":$sq8,""" +
         s""""ivfpq_filtered_nprobe2_at10":$filtered2,""" +
         s""""ivfpq_filtered_nprobe8_at10":$filtered8,""" +
+        s""""ivfpq_m8_nprobe2_rot_at10":$ivfpqRot,""" +
         s""""kmeans_converged_iters":$kmIters,""" +
         s""""ivf_converged_nprobe2_at10":$ivfConv,""" +
         s""""ivf_nprobe2_multi2_at10":$ivfMulti2,""" +
