@@ -71,6 +71,9 @@ object GraftExtensions {
         c(0),
         intLit(c(1), "moment_matrix", "dims"),
         intLit(c(2), "moment_matrix", "scale").toLong))),
+    ("pca_project", graft.expressions.PcaProject.info,
+      arity("pca_project", 4)(c => graft.expressions.PcaProjectExpr(
+        c(0), c(1), c(2), c(3)))),
     ("vec_sum", graft.expressions.MomentMatrix.vecSumInfo,
       arity("vec_sum", 3)(c => graft.expressions.MomentMatrix.VecSumAgg(
         c(0),

@@ -2239,21 +2239,22 @@ object Similarity {
    * `q_d = floor(x_d·scale)` (the training quantization) and the basis /
    * mean folded in as literals, so the plan is a shuffle-free projection
    * over the scan with NO join and no corpus-wide state. Output column:
-   * `array<double>` of length k. Left-to-right `aggregate` summation is
-   * a fixed order — deterministic across runs and partitionings.
+   * `array<double>` of length k. Runs on the codegen'd `pca_project`
+   * kernel ([[graft.expressions.PcaProjectExpr]]) — the basis rides into
+   * generated code as a reference object, the row quantizes once for all
+   * k components, and the left-to-right summation is a fixed order —
+   * deterministic across runs, partitionings, and bases.
    */
   def pcaProject(
       df: DataFrame, model: PcaModel,
       vecCol: String = "embedding", outCol: String = "pca"): DataFrame = {
-    val qv = transform(col(vecCol),
-      x => floor(x.cast("double") * lit(model.scale.toDouble)))
-    val pcs = model.basis.zipWithIndex.map { case (b, _) =>
-      val dotq = aggregate(
-        zip_with(qv, typedlit(b.toSeq), (q, w) => q * w),
-        lit(0.0), (acc, x) => acc + x)
-      val meanDot = b.zip(model.mean).map { case (w, mu) => w * mu }.sum
-      dotq - lit(meanDot)
-    }
-    df.withColumn(outCol, array(pcs: _*))
+    graft.GraftExtensions.register(df.sparkSession)
+    val meanDots = model.basis.map(b =>
+      b.zip(model.mean).map { case (w, mu) => w * mu }.sum)
+    df.withColumn(outCol, call_function("pca_project",
+      col(vecCol),
+      typedlit(model.basis.map(_.toSeq).toSeq),
+      typedlit(meanDots.toSeq),
+      lit(model.scale)))
   }
 }

@@ -123,6 +123,25 @@ class PcaSpec extends SparkSpec {
       s"pc1 variance $varC0 != top eigenvalue ${model.eigenvalues(0)}")
   }
 
+  test("pca_project kernel is bit-identical to the composed aggregate(zip_with) form") {
+    val df = corpus(80)
+    val model = Similarity.pcaTrain(df, dims, k = 4)
+    val kernel = Similarity.pcaProject(df, model).select("vec_id", "pca")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    // the reference composed form (what pcaProject ran before the kernel)
+    val qv = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(model.scale.toDouble)))
+    val pcs = model.basis.map { b =>
+      val dotq = aggregate(
+        zip_with(qv, typedlit(b.toSeq), (q, w) => q * w),
+        lit(0.0), (acc, x) => acc + x)
+      dotq - lit(b.zip(model.mean).map { case (w, mu) => w * mu }.sum)
+    }
+    val hof = df.withColumn("pca", array(pcs: _*)).select("vec_id", "pca")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(kernel == hof, "kernel diverged from the composed reference form")
+  }
+
   test("pcaProject plan: shuffle-free projection over the scan") {
     val df = corpus(50)
     val model = Similarity.pcaTrain(df, dims, k = 2)
