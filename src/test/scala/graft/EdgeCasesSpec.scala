@@ -159,6 +159,47 @@ class EdgeCasesSpec extends SparkSpec {
     assert(graft.ops.Corpus.sampleWeighted(tiny, "id", "w", k = 10).count() == 2)
   }
 
+  test("round-11 ops behave on empty and degenerate input") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // keepBestInClusters with no pairs: identity (nothing drops)
+    val docs = Seq((1L, 5.0), (2L, 3.0)).toDF("doc_id", "q")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.keepBestInClusters(docs, noPairs, "doc_id", col("q")).count() == 2)
+    // evalRanking on empty results: empty, not a crash; empty qrels: all-zero
+    val qrels = Seq((1L, 10L, 1)).toDF("qid", "doc_id", "grade")
+    val emptyRes = Seq.empty[(Long, Int, Long)].toDF("qid", "rank", "doc_id")
+    assert(graft.ops.Retrieval.evalRanking(emptyRes, qrels, 5).isEmpty)
+    val res = Seq((1L, 1, 99L)).toDF("qid", "rank", "doc_id")
+    val noRels = Seq.empty[(Long, Long, Int)].toDF("qid", "doc_id", "grade")
+    val z = graft.ops.Retrieval.evalRanking(res, noRels, 5).collect()(0)
+    assert(z.getDouble(1) == 0.0 && z.getDouble(2) == 0.0 && z.getDouble(4) == 0.0)
+    // RM3 on a corpus where the query matches nothing: empty (pass-1 empty)
+    assert(graft.ops.Retrieval.bm25Rm3(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq((1L, "zzz qqq")).toDF("qid", "qtext"), k = 5).isEmpty)
+    // fuseNormalized over one empty list + one live list: live docs rank
+    val live = Seq((1L, 10L, 2.0), (1L, 11L, 4.0)).toDF("qid", "doc_id", "score")
+    val emptyList = Seq.empty[(Long, Long, Double)].toDF("qid", "doc_id", "score")
+    val fused = graft.ops.Retrieval.fuseNormalized(
+        Seq((live, 0.5), (emptyList, 0.5)), k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fused == Set(10L, 11L))
+    // meanPool / moments on empty input: empty frame / zero counts
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.meanPool(
+      emptyVecs.withColumn("g", lit("a")), "g", dims = 4).isEmpty)
+    assert(Similarity.momentMatrix(emptyVecs, dims = 4)(0) == 0L)
+    // temperature on a single group: rate exactly 1.0 at any T
+    val one = Seq((1L, "only"), (2L, "only")).toDF("id", "g")
+    val r = graft.ops.Corpus.temperatureRates(one, "g", 3.0).collect()(0)
+    assert(r.getDouble(3) == 1.0)
+    // pcaTrain refuses a sub-2-vector corpus (fail loud, not NaN moments)
+    intercept[IllegalArgumentException] {
+      Similarity.pcaTrain(
+        Seq((1L, Array(1f, 2f))).toDF("vec_id", "embedding"), dims = 2, k = 1)
+    }
+  }
+
   test("capPerGroup keeps the n best-ranked rows per group, smaller groups whole") {
     val df = (Seq((1L, "a", 50), (2L, "a", 90), (3L, "a", 70), (4L, "a", 90)) ++
       Seq((10L, "b", 10))).toDF("doc_id", "grp", "quality")
