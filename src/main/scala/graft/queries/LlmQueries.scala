@@ -1286,6 +1286,30 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // COMPOSED batch curation capstone: quality gate -> exact dedup ->
+    // temperature mix (T=2, by lang) -> token budget — each stage the
+    // same spec-verified operator as its standalone query, chained, and
+    // the WHOLE flow replayed bit-exact by one oracle CTE chain. This is
+    // the "run the full curation pass" shape a corpus owner actually
+    // executes; every stage stays set-based so the composition is one
+    // plan, no intermediate materialization.
+    "q_pipeline_curate" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val d = docs(s, dir)
+      val gate = TextOps.curationGate(d, "doc_id", "text",
+        TextOps.CurationRules(
+          minTokens = 30, maxTopTokenFrac = 0.12, maxDupBigramFrac = 0.2))
+      val gated = d.join(gate.where(col("keep")).select("doc_id"), Seq("doc_id"))
+      val deduped = Dedup.exactByContent(gated, "doc_id", "text")
+      val mixed = Corpus.sampleByTemperature(
+        deduped, "doc_id", "lang", temperature = 2.0)
+      Corpus.sampleToTokenBudget(
+          mixed.select("doc_id", "text", "lang", "source", "n_chars"),
+          "doc_id", size(split(col("text"), " ")), budget = 8000L)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Per-source quota cap: keep each source's 10 longest documents
     // (quality-ranked cap, not an unbiased draw)
     // Training-export sharding: deterministic global shuffle into 8
@@ -2646,6 +2670,56 @@ object LlmQueries {
         |      FROM t JOIN rep ON rep.doc_id = t.doc_id
         |      LEFT JOIN d ON d.doc_id = t.doc_id)
         |SELECT doc_id, reasons = '' AS keep, reasons FROM r ORDER BY doc_id""".stripMargin,
+
+    // Composed curation replay: gate CTEs verbatim, then min-id-per-md5
+    // dedup, temperature rates computed ON THE DEDUPED SURVIVORS (stage
+    // inputs chain, exactly like the operator composition), hash mix
+    // filter, and the hash-order token-budget prefix
+    "q_pipeline_curate" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(ts) AS tok FROM t) GROUP BY doc_id, tok),
+        |rep AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS ttf
+        |        FROM cnt GROUP BY doc_id),
+        |g AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
+        |      FROM (SELECT doc_id, ts,
+        |              unnest(generate_series(1, CAST(len(ts) AS BIGINT) - 1)) AS i FROM t)),
+        |d AS (SELECT doc_id, CAST(count(*) - count(DISTINCT g) AS DOUBLE) / count(*) AS dbf
+        |      FROM g GROUP BY doc_id),
+        |r AS (SELECT t.doc_id,
+        |        concat_ws(',',
+        |          CASE WHEN len(t.ts) < 30 THEN 'too_few_tokens' END,
+        |          CASE WHEN rep.ttf > 0.12 THEN 'top_token_frac' END,
+        |          CASE WHEN coalesce(d.dbf, 0.0) > 0.2 THEN 'dup_2gram_frac' END) AS reasons
+        |      FROM t JOIN rep ON rep.doc_id = t.doc_id
+        |      LEFT JOIN d ON d.doc_id = t.doc_id),
+        |kept AS (SELECT dd.doc_id, dd.text, dd.lang, dd.source, dd.n_chars
+        |         FROM documents dd JOIN r ON r.doc_id = dd.doc_id
+        |         WHERE r.reasons = ''),
+        |ded AS (SELECT doc_id, text, lang, source, n_chars FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY md5(text)
+        |                                       ORDER BY doc_id) AS rn
+        |          FROM kept) WHERE rn = 1),
+        |grp AS (SELECT lang, count(*) AS n_rows FROM ded GROUP BY lang),
+        |tot AS (SELECT SUM(n_rows) AS tn FROM grp),
+        |raw AS (SELECT lang,
+        |          pow(CAST(n_rows AS DOUBLE) / CAST(tn AS DOUBLE), 1.0/2.0 - 1.0) AS w
+        |        FROM grp CROSS JOIN tot),
+        |mx AS (SELECT MAX(w) AS mw FROM raw),
+        |rates AS (SELECT lang,
+        |            CAST(round(round(w / mw, 6) * 10000) AS BIGINT) AS thr
+        |          FROM raw CROSS JOIN mx),
+        |mixed AS (SELECT ded.* FROM ded JOIN rates rt ON rt.lang = ded.lang
+        |          WHERE ('0x' || substr(md5('sample::' || CAST(ded.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < rt.thr),
+        |bk AS (SELECT doc_id, lang, source, n_chars,
+        |         ('0x' || substr(md5('budget::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h,
+        |         len(string_split(text, ' ')) AS tk
+        |       FROM mixed),
+        |bc AS (SELECT *, sum(tk) OVER (ORDER BY h % 64, h, doc_id
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM bk)
+        |SELECT doc_id, lang, source, n_chars FROM bc WHERE cum <= 8000
+        |ORDER BY doc_id""".stripMargin,
 
     "q_corpus_shard" ->
       """SELECT doc_id, source, shard, CAST(ord AS INT) AS ord FROM (
