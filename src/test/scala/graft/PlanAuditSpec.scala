@@ -181,6 +181,28 @@ class PlanAuditSpec extends SparkSpec {
       s"filtered serving planned a shuffle join or cartesian:\n$p")
   }
 
+  test("composed curation chains as one plan: no cartesian, rates/prefix joins broadcast") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Corpus, Dedup, TextOps}
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val gate = TextOps.curationGate(d, "doc_id", "text",
+      TextOps.CurationRules(
+        minTokens = 30, maxTopTokenFrac = 0.12, maxDupBigramFrac = 0.2))
+    val gated = d.join(gate.where(col("keep")).select("doc_id"), Seq("doc_id"))
+    val deduped = Dedup.exactByContent(gated, "doc_id", "text")
+    val mixed = Corpus.sampleByTemperature(deduped, "doc_id", "lang", 2.0)
+    val p = Corpus.sampleToTokenBudget(
+        mixed.select("doc_id", "text", "lang", "source", "n_chars"),
+        "doc_id", size(split(col("text"), " ")), budget = 8000L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"curation chain planned a cartesian:\n$p")
+    // the mix-rate and bucket-prefix frames are group-/bucket-count-sized
+    // and must ride broadcasts, never shuffle the corpus against them
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in the chain:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a corpus-side frame shuffled against a stats frame:\n$p")
+  }
+
   test("similarity scoring cross-products are broadcast-side only") {
     // Scoring every (vector, centroid/query) combination IS a cross product —
     // correct only as a BroadcastNestedLoopJoin whose build side is the small
