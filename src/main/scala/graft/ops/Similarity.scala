@@ -2209,6 +2209,45 @@ object Similarity {
             .cast("double")).as("mean"))
   }
 
+  /**
+   * Embedding-distribution drift between two moment folds — the
+   * REBUILD-TRIGGER signal for the frozen-quantizer index
+   * ([[appendToIndex]] encodes against fixed centroids; when the
+   * distribution moves, recall decays silently): the per-dimension
+   * squared standardized mean shift, averaged —
+   * `score = (1/d) Σ_d (μa_d − μb_d)² / (pooledVar_d + eps)`.
+   * Both inputs come from [[momentMatrix]]/[[momentFold]] at the SAME
+   * dims and scale, so the comparison costs two already-computed moment
+   * arrays and zero corpus access — fold the ledger's pre-window and
+   * post-window frames and compare. Deterministic closed form (driver
+   * arithmetic over 2·(1+d+d(d+1)/2) longs); ~0 for same-distribution
+   * windows, grows quadratically with mean displacement in units of the
+   * pooled standard deviation (score ≈ k² for a uniform k-sigma shift).
+   */
+  def momentsDrift(
+      a: Array[Long], b: Array[Long], dims: Int, eps: Double = 1e-9): Double = {
+    val expect = 1 + dims + dims * (dims + 1) / 2
+    require(a.length == expect && b.length == expect,
+      s"moment arrays must have length $expect for dims=$dims, " +
+        s"got ${a.length} and ${b.length}")
+    val (na, nb) = (a(0).toDouble, b(0).toDouble)
+    require(na >= 2 && nb >= 2, "momentsDrift needs >= 2 vectors per side")
+    var acc = 0.0
+    var d = 0
+    while (d < dims) {
+      val muA = a(1 + d) / na
+      val muB = b(1 + d) / nb
+      val idx = graft.expressions.MomentMatrix.triIndex(d, d, dims)
+      val varA = a(idx) / na - muA * muA
+      val varB = b(idx) / nb - muB * muB
+      val pooled = (na * varA + nb * varB) / (na + nb)
+      val diff = muA - muB
+      acc += diff * diff / (pooled + eps)
+      d += 1
+    }
+    acc / dims
+  }
+
   /** Train from an already-folded moment array (see [[momentFold]]) —
     * the incremental-retrain entry point; [[pcaTrain]] is this over one
     * whole-corpus [[momentMatrix]] pass. */

@@ -70,6 +70,25 @@ class PcaSpec extends SparkSpec {
     assert(one(2) == ((1L, Seq(0.25, 0.25))))
   }
 
+  test("momentsDrift: ~0 on same distribution, ~k^2 on a k-sigma shift, symmetric") {
+    def vecs(ids: Range, shift: Float) = ids.map { i =>
+      (i.toLong, Array.tabulate(dims)(d =>
+        (math.sin(i * 0.7 + d) * 0.5 + shift).toFloat))
+    }.toDF("vec_id", "embedding")
+    val ref = Similarity.momentMatrix(vecs(0 until 400, 0f), dims)
+    val same = Similarity.momentMatrix(vecs(400 until 800, 0f), dims)
+    val lo = Similarity.momentsDrift(ref, same, dims)
+    assert(lo < 0.05, s"same-distribution drift $lo should be ~0")
+    // shift by ~2 pooled sigmas: sin()*0.5 has sd ~0.354, shift 0.7 ≈ 2σ
+    val far = Similarity.momentMatrix(vecs(400 until 800, 0.7f), dims)
+    val hi = Similarity.momentsDrift(ref, far, dims)
+    assert(hi > 2.0 && hi < 8.0, s"2-sigma shift scored $hi, expected ~4")
+    assert(Similarity.momentsDrift(far, ref, dims) == hi, "drift must be symmetric")
+    intercept[IllegalArgumentException] {
+      Similarity.momentsDrift(ref, same.take(3), dims)
+    }
+  }
+
   test("pcaTrain: orthonormal basis, descending eigenvalues, deterministic, sign-normalized") {
     val df = corpus(200)
     val m1 = Similarity.pcaTrain(df, dims, k = dims)
