@@ -161,6 +161,66 @@ object Corpus {
   }
 
   /**
+   * Temperature-based UPSAMPLING rates — the repetition complement of
+   * [[temperatureRates]]: the same `q_g ∝ p_g^(1/T)` target realized by
+   * REPEATING tail groups instead of dropping head rows (the
+   * data-constrained regime, where every document is needed and the mix is
+   * rebalanced by epochs — LLaMA's per-source epoch counts; Muennighoff
+   * et al. 2023 bound useful repetition at ~4 epochs, the `maxEpochs`
+   * default). Per-group epoch factor `f_g ∝ p_g^(1/T − 1)` normalized so
+   * the LARGEST group trains exactly once (`f = 1.0` — no row is ever
+   * dropped), capped at `maxEpochs`, rounded to 6 dp (the same plan-time
+   * contract as [[temperatureRates]]). Returns
+   * `(groupCol, n_rows, share, epochs)`.
+   */
+  def epochRates(
+      df: DataFrame, groupCol: String, temperature: Double,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val grp = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_rows"))
+    val tot = grp.agg(sum(col("n_rows")).as("_tn"))
+    val raw = grp.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_rows"),
+        (col("n_rows").cast("double") / col("_tn").cast("double")).as("share"),
+        pow(col("n_rows").cast("double") / col("_tn").cast("double"),
+          lit(1.0 / temperature - 1.0)).as("_w"))
+    val mn = raw.agg(min(col("_w")).as("_mw"))
+    raw.crossJoin(broadcast(mn))
+      .select(col(groupCol), col("n_rows"), round(col("share"), 6).as("share"),
+        least(round(col("_w") / col("_mw"), 6), lit(maxEpochs)).as("epochs"))
+  }
+
+  /**
+   * Apply an epoch mix by deterministic repetition: every row is kept
+   * `floor(f_g)` times, plus one extra copy for the hash-selected
+   * `frac(f_g)` share of the group — so each group's total output mass is
+   * `n_g · f_g` up to the 10⁻⁴ bucket quantization, and since `f_g ≥ 1` by
+   * construction NO row is ever dropped. Copies are distinguished by an
+   * `epoch` column (0-based) so a downstream [[withShuffleOrder]] on
+   * `(idCol, epoch)` spreads repetitions across the training order instead
+   * of clustering them. One broadcast join + a row-local generator — the
+   * output exchange-free regardless of corpus size; output mass is bounded
+   * by `maxEpochs ·` input mass.
+   */
+  def sampleWithRepetition(
+      df: DataFrame, idCol: String, groupCol: String, temperature: Double,
+      maxEpochs: Double = 4.0, salt: String = ""): DataFrame = {
+    require(!df.columns.contains("epoch"),
+      "sampleWithRepetition writes a reserved 'epoch' column, but the input already has one")
+    val rates = epochRates(df, groupCol, temperature, maxEpochs)
+      .select(col(groupCol),
+        floor(col("epochs")).cast("long").as("_full"),
+        round((col("epochs") - floor(col("epochs"))) * 10000).cast("long").as("_thr"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .withColumn("_copies",
+        col("_full") + when(
+          hashBucket("epoch", salt, col(idCol)) < col("_thr"), 1L).otherwise(0L))
+      .withColumn("epoch", explode(sequence(lit(0L), col("_copies") - 1)))
+      .drop("_full", "_thr", "_copies")
+  }
+
+  /**
    * EXACT-count per-group sampling: precisely `n` rows per group (fewer if
    * the group is smaller), picked deterministically by ordering the group on
    * a salted id hash — an unbiased draw that is stable across runs, engines,

@@ -1254,6 +1254,22 @@ object LlmQueries {
         .groupBy("lang").agg(count(lit(1)).as("kept"))
         .orderBy("lang")),
 
+    // Epoch UPSAMPLING rates (T=2, cap 4): the repetition complement of
+    // the temperature mix — largest lang trains exactly once, tail langs
+    // repeat up to maxEpochs
+    "q_corpus_epochs" -> ((s, dir) =>
+      graft.ops.Corpus.epochRates(docs(s, dir), "lang", temperature = 2.0)
+        .orderBy("lang")),
+
+    // ...and the applied repetition: per-(lang, epoch) output counts —
+    // each full epoch carries the whole group, the final partial epoch
+    // the hash-selected fractional share
+    "q_corpus_epoch_sample" -> ((s, dir) =>
+      graft.ops.Corpus.sampleWithRepetition(
+          docs(s, dir), "doc_id", "lang", temperature = 2.0)
+        .groupBy("lang", "epoch").agg(count(lit(1)).as("docs"))
+        .orderBy("lang", "epoch")),
+
     // Deterministic train/val/test split + per-split token budgets
     "q_corpus_split" -> ((s, dir) =>
       graft.ops.Corpus.withSplit(docs(s, dir), "doc_id")
@@ -2625,6 +2641,37 @@ object LlmQueries {
         |FROM documents d JOIN rates r ON r.lang = d.lang
         |WHERE ('0x' || substr(md5('sample::' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < r.thr
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "q_corpus_epochs" ->
+      """WITH grp AS (SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang),
+        |tot AS (SELECT SUM(n_rows) AS tn FROM grp),
+        |raw AS (SELECT lang, n_rows,
+        |          CAST(n_rows AS DOUBLE) / CAST(tn AS DOUBLE) AS share,
+        |          pow(CAST(n_rows AS DOUBLE) / CAST(tn AS DOUBLE), 1.0/2.0 - 1.0) AS w
+        |        FROM grp CROSS JOIN tot),
+        |mn AS (SELECT MIN(w) AS mw FROM raw)
+        |SELECT lang, n_rows, round(share, 6) AS share,
+        |       least(round(w / mw, 6), 4.0) AS epochs
+        |FROM raw CROSS JOIN mn ORDER BY lang""".stripMargin,
+
+    "q_corpus_epoch_sample" ->
+      """WITH grp AS (SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang),
+        |tot AS (SELECT SUM(n_rows) AS tn FROM grp),
+        |raw AS (SELECT lang,
+        |          pow(CAST(n_rows AS DOUBLE) / CAST(tn AS DOUBLE), 1.0/2.0 - 1.0) AS w
+        |        FROM grp CROSS JOIN tot),
+        |mn AS (SELECT MIN(w) AS mw FROM raw),
+        |er AS (SELECT lang, least(round(w / mw, 6), 4.0) AS e FROM raw CROSS JOIN mn),
+        |rates AS (SELECT lang, CAST(floor(e) AS BIGINT) AS f,
+        |                 CAST(round((e - floor(e)) * 10000) AS BIGINT) AS thr
+        |          FROM er),
+        |sel AS (SELECT d.lang,
+        |          r.f + CASE WHEN ('0x' || substr(md5('epoch::' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < r.thr
+        |                THEN 1 ELSE 0 END AS copies
+        |        FROM documents d JOIN rates r USING (lang))
+        |SELECT lang, epoch, count(*) AS docs
+        |FROM (SELECT lang, unnest(range(copies)) AS epoch FROM sel)
+        |GROUP BY lang, epoch ORDER BY lang, epoch""".stripMargin,
 
     "q_corpus_split" ->
       """SELECT split, count(*) AS docs,

@@ -173,4 +173,38 @@ class CurationSpec extends SparkSpec {
     assert(kept.select("id").as[Long].collect().toSet == again)
     assert(kept.where($"g" === "small").count() == 50, "rate-1.0 group must keep all rows")
   }
+
+  test("epochRates/sampleWithRepetition: T=1 identity, upsample-only mass law, cap") {
+    import graft.ops.Corpus
+    val df = ((1 to 800).map(i => (i.toLong, "big")) ++
+      (1001 to 1150).map(i => (i.toLong, "mid")) ++
+      (2001 to 2050).map(i => (i.toLong, "small"))).toDF("id", "g")
+    // T=1: every group trains exactly once — output IS the input, epoch 0
+    val t1 = Corpus.sampleWithRepetition(df, "id", "g", 1.0)
+    assert(t1.count() == 1000 && t1.where($"epoch" =!= 0L).count() == 0)
+    // T=2: f ∝ 1/sqrt(p) normalized so the HEAD trains once; small hits
+    // sqrt(800/50) = 4.0 exactly at the default cap, mid = sqrt(800/150)
+    val e2 = Corpus.epochRates(df, "g", 2.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(e2("big") == 1.0 && e2("small") == 4.0, s"$e2")
+    assert(math.abs(e2("mid") - 2.309401) < 1e-6, s"mid ${e2("mid")}")
+    // cap: maxEpochs=2 clamps small
+    val cap = Corpus.epochRates(df, "g", 2.0, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(cap("small") == 2.0, s"$cap")
+    // applied: head kept exactly once, no row of any group dropped, and
+    // per-group mass lands in [n·floor(f), n·ceil(f)]
+    val rep = Corpus.sampleWithRepetition(df, "id", "g", 2.0)
+    assert(rep.where($"g" === "big").count() == 800)
+    assert(rep.select("id").distinct().count() == 1000, "upsample-only: no row dropped")
+    val midN = rep.where($"g" === "mid").count()
+    assert(midN >= 300 && midN <= 450, s"mid mass $midN outside [2n, 3n]")
+    assert(rep.where($"g" === "small").count() == 200, "integer factor 4 = exact 4 copies")
+    // copies are distinguished (id, epoch) — no duplicate training keys
+    assert(rep.select("id", "epoch").distinct().count() == rep.count())
+    // reserved-column discipline
+    intercept[IllegalArgumentException] {
+      Corpus.sampleWithRepetition(df.withColumn("epoch", lit(1)), "id", "g", 2.0)
+    }
+  }
 }
