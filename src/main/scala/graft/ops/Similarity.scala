@@ -211,6 +211,62 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /**
+   * Hard-negative mining over ANY scored candidate frame
+   * `(qid, vec_id, dot)` — the contrastive-training data generator (DPR,
+   * Karpukhin et al. 2020): per query, the top-`k` highest-scoring corpus
+   * vectors that are NOT labeled positives. `positives` is the label
+   * relation `(qid, vec_id)` — queries-sided and broadcast by construction.
+   *
+   * `fnFrac` is the RocketQA-style false-negative guard (Qu et al. 2021):
+   * an unlabeled candidate scoring above `fnFrac ×` the query's best
+   * LABELED positive score is likely a missing label, not a negative —
+   * mining it would train the model to push true matches apart. When set,
+   * such candidates are excluded (threshold test is one double multiply per
+   * row — engine-exact); queries with no labeled positive keep all
+   * candidates (nothing to calibrate against).
+   *
+   * Pass [[bruteForceTopK]]'s internals via [[hardNegatives]] for the exact
+   * tier, or any indexed serving output (`ivfTopK`/`ivfPqTopKIndexed`) —
+   * the miner only needs `(qid, vec_id, dot)`, so the candidate generator
+   * scales independently.
+   */
+  def hardNegativesFrom(
+      scored: DataFrame, positives: DataFrame, k: Int,
+      fnFrac: Option[Double] = None,
+      idCol: String = "vec_id", qIdCol: String = "qid"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    fnFrac.foreach(f => require(f > 0, s"fnFrac must be positive, got $f"))
+    val pos = positives.select(col(qIdCol).as("qid"), col(idCol).as("vec_id"))
+    val cand = scored.join(broadcast(pos), Seq("qid", "vec_id"), "left_anti")
+    val filtered = fnFrac match {
+      case Some(f) =>
+        val pmax = scored.join(broadcast(pos), Seq("qid", "vec_id"))
+          .groupBy("qid").agg(max(col("dot")).as("_pmax"))
+        cand.join(broadcast(pmax), Seq("qid"), "left")
+          .where(col("_pmax").isNull ||
+            col("dot").cast("double") <= lit(f) * col("_pmax").cast("double"))
+          .drop("_pmax")
+      case None => cand
+    }
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id").asc)
+    filtered.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** [[hardNegativesFrom]] over the exact brute-force scorer: corpus
+    * streamed once against broadcast queries, every non-positive ranked. */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame, positives: DataFrame, k: Int,
+      fnFrac: Option[Double] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame = {
+    val scored = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(broadcast(queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"))))
+      .select(col("qid"), col("vec_id"), dotQ(col("v"), col("qv")).as("dot"))
+    hardNegativesFrom(scored, positives, k, fnFrac, idCol = "vec_id", qIdCol = "qid")
+  }
+
   // -------------------------------------------------------------------------
   // SQ8 scalar quantization — the third compression tier alongside PQ and
   // residual IVF-PQ (the classic Faiss/Lucene `SQ8` codec): every dimension

@@ -1024,6 +1024,22 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Hard-negative mining for contrastive training: per query the top-5
+    // non-positive corpus vectors (positives = the self-labeled brute
+    // top-2), with the RocketQA false-negative guard dropping unlabeled
+    // candidates scoring above 0.95x the best labeled positive
+    "q_sim_hard_negatives" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = emb(s, dir)
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val positives = Similarity.bruteForceTopK(e, queries, 2)
+        .select("qid", "vec_id")
+      Similarity.hardNegatives(e, queries, positives, 5, fnFrac = Some(0.95))
+        .select("qid", "rank", "vec_id", "dot")
+        .orderBy("qid", "rank")
+    }),
+
     // Cluster-stratified diverse sampling: exactly 20 vectors per k-means
     // cell, drawn by salted hash — density-skew-free coverage of the
     // embedding space
@@ -2300,6 +2316,30 @@ object LlmQueries {
          |  SELECT qid, vec_id, dot,
          |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS INT) AS rank
          |  FROM dots
+         |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_sim_hard_negatives" ->
+      s"""WITH ${compCte("comp", "embeddings")},
+         |${compCte("qcomp", "(SELECT * FROM embeddings WHERE vec_id < 3)")},
+         |dots AS (SELECT q.vec_id AS qid, c.vec_id, CAST(SUM(q.q * c.q) AS BIGINT) AS dot
+         |         FROM qcomp q JOIN comp c ON c.d = q.d
+         |         GROUP BY q.vec_id, c.vec_id),
+         |pos AS (SELECT qid, vec_id FROM (
+         |          SELECT qid, vec_id,
+         |                 row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS rn
+         |          FROM dots) WHERE rn <= 2),
+         |pmax AS (SELECT d.qid, MAX(d.dot) AS pm
+         |         FROM dots d JOIN pos p ON p.qid = d.qid AND p.vec_id = d.vec_id
+         |         GROUP BY d.qid),
+         |cand AS (SELECT d.qid, d.vec_id, d.dot FROM dots d
+         |         LEFT JOIN pos p ON p.qid = d.qid AND p.vec_id = d.vec_id
+         |         WHERE p.vec_id IS NULL),
+         |filt AS (SELECT c.qid, c.vec_id, c.dot FROM cand c JOIN pmax m ON m.qid = c.qid
+         |         WHERE CAST(c.dot AS DOUBLE) <= 0.95 * CAST(m.pm AS DOUBLE))
+         |SELECT qid, rank, vec_id, dot FROM (
+         |  SELECT qid, vec_id, dot,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS INT) AS rank
+         |  FROM filt
          |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q_corpus_diverse_sample" ->

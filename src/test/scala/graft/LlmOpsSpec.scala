@@ -173,6 +173,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(2)._1 == 1L && out(2)._2 == 0L)
   }
 
+  test("Similarity: hard negatives exclude positives, fnFrac drops likely false negatives") {
+    val vecs = Seq(
+      (1L, Array(0.5f, 0.5f)),   // the labeled positive (dot 5e11)
+      (2L, Array(1.0f, 0.0f)),   // unlabeled near-match (dot 1e12) — a false negative
+      (3L, Array(0.25f, 0.0f)),  // genuine hard negative (dot 2.5e11)
+      (4L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((0L, Array(1.0f, 0.0f))).toDF("qid", "qvec")
+    val positives = Seq((0L, 1L)).toDF("qid", "vec_id")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    // unguarded: every non-positive ranked, near-match first
+    assert(ids(Similarity.hardNegatives(vecs, queries, positives, 3)) == Seq(2L, 3L, 4L))
+    // fnFrac=0.95: the unlabeled near-match scores 1e12 > 0.95 · 5e11 → dropped
+    assert(ids(Similarity.hardNegatives(
+      vecs, queries, positives, 3, fnFrac = Some(0.95))) == Seq(3L, 4L))
+    // a query with NO labeled positive keeps all candidates under the guard
+    val qNoPos = Seq((9L, Array(0.0f, 1.0f))).toDF("qid", "qvec")
+    assert(ids(Similarity.hardNegatives(
+      vecs, qNoPos, positives, 1, fnFrac = Some(0.95))) == Seq(4L))
+  }
+
   test("Similarity: identical vectors share an SRP bucket and cosine ≈ 1") {
     val vecs = (0 until 4).map(i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(d + i % 2).toFloat), 0))
