@@ -811,4 +811,91 @@ object TextOps {
         round(-avg(col("_lp")), 4).as("avg_nll"),
         round(exp(-avg(col("_lp"))), 2).as("ppl"))
   }
+
+  // ---------------------------------------------------------------------
+  // Trainable hashed Naive Bayes — the learned domain/quality classifier
+  // stage of the curation stack (CCNet trains a fastText LM/classifier to
+  // score crawl text against a target corpus; multinomial NB over hashed
+  // token features is the same shape trainable in two aggregate passes
+  // with no gradient loop). Features are HASHED into a fixed bucket space
+  // (md5-derived, engine-replayable), so the model size is bounded by
+  // labels × numBuckets regardless of corpus vocabulary — the 100 TB
+  // contract — and smoothing uses the constant bucket count as the vocab
+  // term, keeping scores independent of discovery order.
+  // ---------------------------------------------------------------------
+
+  /** Hashed feature bucket of a token (own `nb::` domain — independent of
+    * the sampling/split hash families, see [[graft.ops.Corpus.hashBucket]]). */
+  def nbBucket(token: Column, numBuckets: Int): Column =
+    hash32(concat(lit("nb::"), token)) % numBuckets
+
+  /** A trained NB model: `counts` = (label, bucket, cnt) hashed-token
+    * counts (≤ labels × numBuckets rows by construction); `labelStats` =
+    * (label, n_docs, n_tokens) for priors and smoothing denominators. */
+  case class NbModel(counts: org.apache.spark.sql.DataFrame,
+                     labelStats: org.apache.spark.sql.DataFrame,
+                     numBuckets: Int)
+
+  /**
+   * Trains multinomial NB from labeled `(labelCol, textCol)` rows: one
+   * exploded aggregate for per-(label, bucket) token counts, one row-level
+   * aggregate for per-label doc/token totals. Null labels/text are
+   * excluded. Both model frames are plain DataFrames — persist them with
+   * any sink and serve with [[nbPredict]].
+   */
+  def nbTrain(
+      df: org.apache.spark.sql.DataFrame, labelCol: String, textCol: String,
+      numBuckets: Int = 1 << 18): NbModel = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val base = df.where(col(labelCol).isNotNull && col(textCol).isNotNull)
+    val counts = base
+      .select(col(labelCol).as("label"), explode(tokens(col(textCol))).as("token"))
+      .select(col("label"), nbBucket(col("token"), numBuckets).as("bucket"))
+      .groupBy("label", "bucket").agg(count(lit(1)).as("cnt"))
+    val stats = base.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(counts.groupBy("label").agg(sum(col("cnt")).as("n_tokens")),
+        Seq("label"), "left")
+      .na.fill(0L, Seq("n_tokens"))
+    NbModel(counts, stats, numBuckets)
+  }
+
+  /**
+   * Predicts the max-posterior label per document:
+   * `score(d, l) = Σ_matched ln(cnt+1) − n_d · ln(n_tokens_l + B) +
+   * ln(n_docs_l / N)` — the add-one multinomial log-posterior rearranged so
+   * unmatched buckets (ln(0+1) = 0) never need a row, which keeps the
+   * token-side join INNER on bucket and the per-(doc, label) frame at
+   * matched size. Scores are rounded to 4 dp before the argmax (absorbs
+   * partial-sum order and within-ulp libm differences, the
+   * [[unigramPerplexity]] analysis); ties break on label ascending.
+   * Returns `(idCol, pred, score)`.
+   */
+  def nbPredict(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      model: NbModel): org.apache.spark.sql.DataFrame = {
+    val toks = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("token"))
+      .select(col("_id"), nbBucket(col("token"), model.numBuckets).as("bucket"))
+    val docLen = toks.groupBy("_id").agg(count(lit(1)).as("_n"))
+    val matched = toks.join(model.counts, Seq("bucket"))
+      .groupBy("_id", "label")
+      .agg(sum(log(col("cnt").cast("double") + lit(1.0))).as("_m"))
+    val totalDocs = model.labelStats.agg(sum(col("n_docs")).as("_nd"))
+    val scores = docLen
+      .crossJoin(broadcast(model.labelStats))
+      .join(matched, Seq("_id", "label"), "left")
+      .crossJoin(broadcast(totalDocs))
+      .select(col("_id"), col("label"),
+        round(
+          coalesce(col("_m"), lit(0.0))
+            - col("_n").cast("double") *
+              log(col("n_tokens").cast("double") + lit(model.numBuckets.toDouble))
+            + log(col("n_docs").cast("double") / col("_nd").cast("double")),
+          4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_id").orderBy(col("score").desc, col("label").asc)
+    scores.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("_id").as(idCol), col("label").as("pred"), col("score"))
+  }
 }

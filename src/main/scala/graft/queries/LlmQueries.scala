@@ -1711,6 +1711,18 @@ object LlmQueries {
       TextOps.perplexityBuckets(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Trained hashed-NB domain classifier: fit on the 80% doc_id%10<8
+    // slice (lang as the label), score the held-out 20% — max-posterior
+    // label from hashed add-one multinomial counts
+    "q_text_nb_classify" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = TextOps.nbTrain(
+        d.where(col("doc_id") % 10 < 8), "lang", "text")
+      TextOps.nbPredict(
+          d.where(col("doc_id") % 10 >= 8), "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
     // Token-budget sampling: the hash-shuffled prefix of the corpus whose
     // cumulative token count fits a 15000-token budget — decomposed as
     // bucket prefix sums + partitioned windows, never a global sort
@@ -3343,6 +3355,36 @@ object LlmQueries {
          |            WHEN ppl <= qhi THEN 'middle'
          |            ELSE 'tail' END AS bucket
          |FROM p CROSS JOIN q ORDER BY doc_id""".stripMargin,
+
+    "q_text_nb_classify" ->
+      """WITH train AS (SELECT lang AS label, text FROM documents WHERE doc_id % 10 < 8),
+        |tt AS (SELECT label,
+        |         ('0x' || substr(md5('nb::' || token), 1, 8))::BIGINT % 262144 AS bucket
+        |       FROM (SELECT label, unnest(string_split(text, ' ')) AS token FROM train)),
+        |counts AS (SELECT label, bucket, count(*) AS cnt FROM tt GROUP BY label, bucket),
+        |stats AS (SELECT t.label, t.nd, COALESCE(c.nt, 0) AS nt
+        |          FROM (SELECT label, count(*) AS nd FROM train GROUP BY label) t
+        |          LEFT JOIN (SELECT label, sum(cnt) AS nt FROM counts GROUP BY label) c
+        |            USING (label)),
+        |tot AS (SELECT SUM(nd) AS n FROM stats),
+        |test AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+        |dt AS (SELECT doc_id,
+        |         ('0x' || substr(md5('nb::' || token), 1, 8))::BIGINT % 262144 AS bucket
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM test)),
+        |dlen AS (SELECT doc_id, count(*) AS dn FROM dt GROUP BY doc_id),
+        |matched AS (SELECT d.doc_id, c.label, SUM(ln(CAST(c.cnt AS DOUBLE) + 1.0)) AS m
+        |            FROM dt d JOIN counts c ON c.bucket = d.bucket
+        |            GROUP BY d.doc_id, c.label),
+        |sc AS (SELECT l.doc_id, s.label,
+        |         round(COALESCE(m.m, 0.0)
+        |               - CAST(l.dn AS DOUBLE) * ln(CAST(s.nt AS DOUBLE) + 262144.0)
+        |               + ln(CAST(s.nd AS DOUBLE) / CAST(t.n AS DOUBLE)), 4) AS score
+        |       FROM dlen l CROSS JOIN stats s CROSS JOIN tot t
+        |       LEFT JOIN matched m ON m.doc_id = l.doc_id AND m.label = s.label)
+        |SELECT doc_id, pred, score FROM (
+        |  SELECT doc_id, label AS pred, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+        |  FROM sc) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_corpus_token_budget" ->
       """WITH k AS (SELECT doc_id, lang, source, n_chars,

@@ -16,6 +16,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows(1).getSeq[String](0) == Seq.empty && rows(1).getInt(1) == 2)
   }
 
+  test("TextOps: NB classifier — disjoint vocab, exact hand-computed score, tie on label asc") {
+    val train = Seq(("A", "x x y"), ("B", "z")).toDF("label", "text")
+    val model = TextOps.nbTrain(train, "label", "text")
+    val out = TextOps.nbPredict(
+        Seq((1L, "x x"), (2L, "z z z")).toDF("id", "text"), "id", "text", model)
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "A" && out(1).getString(1) == "B")
+    // doc "x x": m = 2·ln(cnt_A(x)+1) = 2·ln 3, n_d = 2, nt_A = 3, prior ln(1/2)
+    val b = (1 << 18).toDouble
+    val want = BigDecimal(
+        2 * math.log(3.0) - 2 * math.log(3.0 + b) + math.log(0.5))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getDouble(2) == want, s"score ${out(0).getDouble(2)} != $want")
+    // unseen vocab + symmetric label stats: scores tie, label asc wins
+    val sym = TextOps.nbTrain(
+      Seq(("a", "p"), ("b", "q")).toDF("label", "text"), "label", "text")
+    val t = TextOps.nbPredict(
+      Seq((9L, "unseen")).toDF("id", "text"), "id", "text", sym).collect()(0)
+    assert(t.getString(1) == "a")
+    // null-label rows are excluded from training
+    val withNull = TextOps.nbTrain(
+      train.unionByName(Seq((null: String, "x")).toDF("label", "text")), "label", "text")
+    assert(withNull.labelStats.count() == 2)
+  }
+
   test("TextOps: langId picks the dominant stopword profile, 'und' without hits") {
     val df = Seq("the cat sat on the mat", "el gato es un gato", "zzz qqq").toDF("text")
       .select(TextOps.langId($"text").as("l"))
