@@ -2304,6 +2304,31 @@ object Similarity {
     acc / dims
   }
 
+  /**
+   * [[momentsDrift]] over a moments LEDGER (the
+   * [[graft.streaming.VectorIngestStream]] `momentsLedger` artifact):
+   * folds the first `baselineGens` committed frames against the rest and
+   * scores the shift — "has the embedding distribution moved since the
+   * index was built?" answered from sketches alone, no ingested batch
+   * rescanned. Returns None until both windows are nonempty (fewer than
+   * `baselineGens + 1` committed generations). A score ≳ 1 means the mean
+   * has moved by about a pooled standard deviation — time to retrain the
+   * quantizer ([[pcaTrainFromMoments]] / `buildIndex`) rather than keep
+   * appending against stale centroids.
+   */
+  def ledgerMomentsDrift(
+      spark: SparkSession, ledgerDir: String, dims: Int, baselineGens: Int,
+      eps: Double = 1e-9): Option[Double] = {
+    require(baselineGens > 0, s"baselineGens must be positive, got $baselineGens")
+    val gens = SketchLedger.generations(spark, ledgerDir)
+    if (gens.length <= baselineGens) None
+    else {
+      val base = momentFold(SketchLedger.readGens(spark, ledgerDir, gens.take(baselineGens)))
+      val recent = momentFold(SketchLedger.readGens(spark, ledgerDir, gens.drop(baselineGens)))
+      Some(momentsDrift(base, recent, dims, eps))
+    }
+  }
+
   /** Train from an already-folded moment array (see [[momentFold]]) —
     * the incremental-retrain entry point; [[pcaTrain]] is this over one
     * whole-corpus [[momentMatrix]] pass. */

@@ -56,6 +56,21 @@ object SketchLedger {
     gen
   }
 
+  /** Committed generation ids in append order — the window handle for
+    * before/after comparisons over the ledger (drift scoring folds a
+    * prefix and its complement separately). Empty before the first
+    * commit. */
+  def generations(spark: SparkSession, dir: String): Seq[String] =
+    ManifestStore.readVersioned(spark, dir, Prefix)
+      .map { case (_, c) => parseManifest(c) }.getOrElse(Seq.empty)
+
+  /** The union of an explicit generation subset (ids from
+    * [[generations]]) — same shape as [[read]] but windowed. */
+  def readGens(spark: SparkSession, dir: String, gens: Seq[String]): DataFrame = {
+    require(gens.nonEmpty, "readGens of an empty generation window")
+    gens.map(g => spark.read.parquet(s"$dir/gen=$g")).reduce(_.unionByName(_))
+  }
+
   /** All committed sketch frames, unioned — hand the result to the
     * family's fold. None before the first commit. */
   def read(spark: SparkSession, dir: String): Option[DataFrame] =

@@ -89,6 +89,25 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("ledgerMomentsDrift: None until both windows exist, low for in-distribution appends, high after a shift") {
+    import graft.ops.SketchLedger
+    val dir = java.nio.file.Files.createTempDirectory("mdrift").toString
+    def vecs(ids: Range, shift: Float) = ids.map { i =>
+      (i.toLong, Array.tabulate(dims)(d =>
+        (math.sin(i * 0.7 + d) * 0.5 + shift).toFloat))
+    }.toDF("vec_id", "embedding")
+    SketchLedger.append(Similarity.momentFrame(vecs(0 until 300, 0f), dims), dir)
+    // one generation: no comparison window yet
+    assert(Similarity.ledgerMomentsDrift(spark, dir, dims, baselineGens = 1).isEmpty)
+    SketchLedger.append(Similarity.momentFrame(vecs(300 until 600, 0f), dims), dir)
+    val lo = Similarity.ledgerMomentsDrift(spark, dir, dims, baselineGens = 1).get
+    assert(lo < 0.05, s"in-distribution append drifted $lo")
+    SketchLedger.append(Similarity.momentFrame(vecs(600 until 900, 0.7f), dims), dir)
+    // baseline = first 2 gens, recent = the shifted third
+    val hi = Similarity.ledgerMomentsDrift(spark, dir, dims, baselineGens = 2).get
+    assert(hi > 2.0, s"2-sigma shifted append scored only $hi")
+  }
+
   test("pcaTrain: orthonormal basis, descending eigenvalues, deterministic, sign-normalized") {
     val df = corpus(200)
     val m1 = Similarity.pcaTrain(df, dims, k = dims)
