@@ -96,6 +96,36 @@ object Corpus {
     df.withColumn("split", splitLabel(col(idCol), train, validation, salt))
 
   /**
+   * Cross-split duplicate-contamination audit: hash splitting assigns by
+   * ID, so two documents with IDENTICAL content routinely land on opposite
+   * sides of a train/test cut — exactly the leakage that inflates held-out
+   * eval (Lee et al. 2022 measure ~1% of benchmark eval data duplicated in
+   * training sets). Returns, per ordered split pair, the number of
+   * duplicate content groups spanning the pair and the total leaked pairs
+   * (`Σ n_a · n_b` over shared fingerprints).
+   *
+   * Exact-content tier (normalized [[TextOps.fingerprint]]); near-dup
+   * leakage composes the same shape over [[graft.ops.Dedup]]'s minhash
+   * signatures. One exchange of per-(fingerprint, split) counts; the
+   * self-join fans out at most `splits²` rows per fingerprint, never
+   * document pairs.
+   */
+  def splitLeakageAudit(
+      df: DataFrame, idCol: String, textCol: String,
+      train: Double = 0.8, validation: Double = 0.1,
+      salt: String = ""): DataFrame = {
+    val counts = withSplit(df, idCol, train, validation, salt)
+      .where(col(textCol).isNotNull)
+      .select(TextOps.fingerprint(col(textCol)).as("fp"), col("split"))
+      .groupBy("fp", "split").agg(count(lit(1)).as("n"))
+    counts.as("a").join(counts.as("b"),
+        col("a.fp") === col("b.fp") && col("a.split") < col("b.split"))
+      .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
+      .agg(count(lit(1)).as("dup_groups"),
+        sum(col("a.n") * col("b.n")).as("leaked_pairs"))
+  }
+
+  /**
    * Domain-weighted corpus mixing: per-group deterministic sampling rates
    * (e.g. keep 50% of a high-quality source, 5% of a crawl) — the standard
    * way a pretraining mix is rebalanced without materializing per-source

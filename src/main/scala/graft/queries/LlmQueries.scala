@@ -520,6 +520,41 @@ object LlmQueries {
        |ORDER BY d.doc_id""".stripMargin
 
   /** Quantized components (vec_id, d, q) over embedding relation `src`. */
+  /** Hashed-NB CTE chain: trains on the `doc_id % 10 < 8` slice (lang as
+    * the label, 2¹⁸ md5 buckets), scores the held-out slice — replays
+    * [[graft.ops.TextOps.nbTrain]]/`nbPredict` exactly (same rearranged
+    * add-one posterior, same 4-dp round-then-argmax, label-asc ties).
+    * Yields `nbpred(doc_id, pred, score)`. */
+  private def nbCtes: String =
+    """train AS (SELECT lang AS label, text FROM documents WHERE doc_id % 10 < 8),
+      |tt AS (SELECT label,
+      |         ('0x' || substr(md5('nb::' || token), 1, 8))::BIGINT % 262144 AS bucket
+      |       FROM (SELECT label, unnest(string_split(text, ' ')) AS token FROM train)),
+      |counts AS (SELECT label, bucket, count(*) AS cnt FROM tt GROUP BY label, bucket),
+      |stats AS (SELECT t.label, t.nd, COALESCE(c.nt, 0) AS nt
+      |          FROM (SELECT label, count(*) AS nd FROM train GROUP BY label) t
+      |          LEFT JOIN (SELECT label, sum(cnt) AS nt FROM counts GROUP BY label) c
+      |            USING (label)),
+      |tot AS (SELECT SUM(nd) AS n FROM stats),
+      |test AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+      |dt AS (SELECT doc_id,
+      |         ('0x' || substr(md5('nb::' || token), 1, 8))::BIGINT % 262144 AS bucket
+      |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM test)),
+      |dlen AS (SELECT doc_id, count(*) AS dn FROM dt GROUP BY doc_id),
+      |matched AS (SELECT d.doc_id, c.label, SUM(ln(CAST(c.cnt AS DOUBLE) + 1.0)) AS m
+      |            FROM dt d JOIN counts c ON c.bucket = d.bucket
+      |            GROUP BY d.doc_id, c.label),
+      |sc AS (SELECT l.doc_id, s.label,
+      |         round(COALESCE(m.m, 0.0)
+      |               - CAST(l.dn AS DOUBLE) * ln(CAST(s.nt AS DOUBLE) + 262144.0)
+      |               + ln(CAST(s.nd AS DOUBLE) / CAST(t.n AS DOUBLE)), 4) AS score
+      |       FROM dlen l CROSS JOIN stats s CROSS JOIN tot t
+      |       LEFT JOIN matched m ON m.doc_id = l.doc_id AND m.label = s.label),
+      |nbpred AS (SELECT doc_id, pred, score FROM (
+      |  SELECT doc_id, label AS pred, score,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+      |  FROM sc) WHERE rn = 1)""".stripMargin
+
   private def compCte(name: String, src: String): String =
     s"""$name AS (
        |  SELECT vec_id, d, CAST(floor(x * 1e6) AS BIGINT) AS q
@@ -1721,6 +1756,30 @@ object LlmQueries {
       TextOps.nbPredict(
           d.where(col("doc_id") % 10 >= 8), "doc_id", "text", model)
         .orderBy("doc_id")
+    }),
+
+    // ...and its held-out confusion matrix: truth × predicted label
+    // counts — the measurement layer for the trained classifier
+    "q_text_nb_confusion" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = TextOps.nbTrain(
+        d.where(col("doc_id") % 10 < 8), "lang", "text")
+      TextOps.nbPredict(
+          d.where(col("doc_id") % 10 >= 8), "doc_id", "text", model)
+        .join(d.select(col("doc_id"), col("lang").as("truth")), Seq("doc_id"))
+        .groupBy("truth", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("truth", "pred")
+    }),
+
+    // Cross-split duplicate-contamination audit: content duplicated under
+    // NEW ids (the benchmark-leak scenario) lands on both sides of the
+    // hash split — per split pair, spanning dup groups and leaked pairs
+    "q_corpus_split_leakage" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val contaminated = d.unionByName(
+        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Corpus.splitLeakageAudit(contaminated, "doc_id", "text")
+        .orderBy("split_a", "split_b")
     }),
 
     // Token-budget sampling: the hash-shuffled prefix of the corpus whose
@@ -3357,34 +3416,32 @@ object LlmQueries {
          |FROM p CROSS JOIN q ORDER BY doc_id""".stripMargin,
 
     "q_text_nb_classify" ->
-      """WITH train AS (SELECT lang AS label, text FROM documents WHERE doc_id % 10 < 8),
-        |tt AS (SELECT label,
-        |         ('0x' || substr(md5('nb::' || token), 1, 8))::BIGINT % 262144 AS bucket
-        |       FROM (SELECT label, unnest(string_split(text, ' ')) AS token FROM train)),
-        |counts AS (SELECT label, bucket, count(*) AS cnt FROM tt GROUP BY label, bucket),
-        |stats AS (SELECT t.label, t.nd, COALESCE(c.nt, 0) AS nt
-        |          FROM (SELECT label, count(*) AS nd FROM train GROUP BY label) t
-        |          LEFT JOIN (SELECT label, sum(cnt) AS nt FROM counts GROUP BY label) c
-        |            USING (label)),
-        |tot AS (SELECT SUM(nd) AS n FROM stats),
-        |test AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
-        |dt AS (SELECT doc_id,
-        |         ('0x' || substr(md5('nb::' || token), 1, 8))::BIGINT % 262144 AS bucket
-        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM test)),
-        |dlen AS (SELECT doc_id, count(*) AS dn FROM dt GROUP BY doc_id),
-        |matched AS (SELECT d.doc_id, c.label, SUM(ln(CAST(c.cnt AS DOUBLE) + 1.0)) AS m
-        |            FROM dt d JOIN counts c ON c.bucket = d.bucket
-        |            GROUP BY d.doc_id, c.label),
-        |sc AS (SELECT l.doc_id, s.label,
-        |         round(COALESCE(m.m, 0.0)
-        |               - CAST(l.dn AS DOUBLE) * ln(CAST(s.nt AS DOUBLE) + 262144.0)
-        |               + ln(CAST(s.nd AS DOUBLE) / CAST(t.n AS DOUBLE)), 4) AS score
-        |       FROM dlen l CROSS JOIN stats s CROSS JOIN tot t
-        |       LEFT JOIN matched m ON m.doc_id = l.doc_id AND m.label = s.label)
-        |SELECT doc_id, pred, score FROM (
-        |  SELECT doc_id, label AS pred, score,
-        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
-        |  FROM sc) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      s"""WITH $nbCtes
+         |SELECT doc_id, pred, score FROM nbpred ORDER BY doc_id""".stripMargin,
+
+    "q_text_nb_confusion" ->
+      s"""WITH $nbCtes
+         |SELECT d.lang AS truth, p.pred, count(*) AS n
+         |FROM nbpred p JOIN documents d USING (doc_id)
+         |GROUP BY d.lang, p.pred ORDER BY truth, pred""".stripMargin,
+
+    "q_corpus_split_leakage" ->
+      """WITH docs2 AS (SELECT doc_id, text FROM documents
+        |               UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |sp AS (SELECT text,
+        |         CASE WHEN b < 8000 THEN 'train'
+        |              WHEN b < 9000 THEN 'validation'
+        |              ELSE 'test' END AS split
+        |       FROM (SELECT text,
+        |               ('0x' || substr(md5('split::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+        |             FROM docs2 WHERE text IS NOT NULL)),
+        |c AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |             split, count(*) AS n
+        |      FROM sp GROUP BY fp, split)
+        |SELECT a.split AS split_a, b.split AS split_b, count(*) AS dup_groups,
+        |       CAST(SUM(a.n * b.n) AS BIGINT) AS leaked_pairs
+        |FROM c a JOIN c b ON a.fp = b.fp AND a.split < b.split
+        |GROUP BY a.split, b.split ORDER BY split_a, split_b""".stripMargin,
 
     "q_corpus_token_budget" ->
       """WITH k AS (SELECT doc_id, lang, source, n_chars,

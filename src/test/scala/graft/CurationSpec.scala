@@ -207,4 +207,29 @@ class CurationSpec extends SparkSpec {
       Corpus.sampleWithRepetition(df.withColumn("epoch", lit(1)), "id", "g", 2.0)
     }
   }
+
+  test("splitLeakageAudit: silent on unique content, counts cross-split dup mass exactly") {
+    import graft.ops.Corpus
+    val unique = (1 to 200).map(i => (i.toLong, s"doc number $i")).toDF("id", "text")
+    assert(Corpus.splitLeakageAudit(unique, "id", "text").count() == 0)
+    // 60 ids sharing ONE text land in all three splits; expected leaked
+    // pairs per split pair = the product of per-split membership counts
+    val dup = (1 to 60).map(i => (i.toLong, "same text")).toDF("id", "text")
+    val bySplit = Corpus.withSplit(dup, "id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Corpus.splitLeakageAudit(dup, "id", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    for {
+      (a, b) <- Seq(("test", "train"), ("test", "validation"), ("train", "validation"))
+      if bySplit.getOrElse(a, 0L) > 0 && bySplit.getOrElse(b, 0L) > 0
+    } assert(out((a, b)) == ((1L, bySplit(a) * bySplit(b))),
+      s"($a,$b): ${out.get((a, b))} vs expected ${bySplit(a) * bySplit(b)}")
+    // normalization: whitespace/case variants of the same content leak too
+    val variant = Seq((1L, "Same  Text"), (100L, "same text")).toDF("id", "text")
+    val vs = Corpus.withSplit(variant, "id").select("split").distinct().count()
+    if (vs == 2) assert(Corpus.splitLeakageAudit(variant, "id", "text").count() == 1)
+  }
 }

@@ -331,4 +331,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(ws.contains("TakeOrderedAndProject"), ws)
     assert(!ws.contains("Exchange"), s"weighted sample shuffled:\n$ws")
   }
+
+  test("round-11 additions: epoch repetition is broadcast+generator; miners join broadcast-side") {
+    // epoch mix: rates reach the corpus as a BroadcastHashJoin and copies
+    // come from a row-local generator — never a row-level cartesian
+    val ep = plan("q_corpus_epoch_sample")
+    assert(ep.contains("BroadcastHashJoin"), ep)
+    assert(ep.contains("Generate explode"), ep)
+    assert(!ep.contains("CartesianProduct"), s"epoch sample planned a cartesian:\n$ep")
+    // hard negatives: the label exclusion is a broadcast LeftAnti; the
+    // only corpus×queries product is the broadcast-side scorer
+    val hn = plan("q_sim_hard_negatives")
+    assert(hn.contains("LeftAnti"), hn)
+    assert(!hn.contains("CartesianProduct"), s"hard negatives planned a cartesian:\n$hn")
+    // NB classify: token-side joins are hash joins on bucket/label — the
+    // only NLJ attaches are the one-row/labels-sized broadcast stats
+    val nb = plan("q_text_nb_classify")
+    assert(!nb.contains("CartesianProduct"), s"nb classify planned a cartesian:\n$nb")
+  }
 }
