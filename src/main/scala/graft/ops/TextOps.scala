@@ -861,6 +861,43 @@ object TextOps {
   }
 
   /**
+   * Per-batch NB model frame for a [[SketchLedger]] — NB's sufficient
+   * statistics are pure counts, so the model folds by ADDITION exactly
+   * like the moments ledger: train on each ingested batch, append the
+   * frame, and [[nbFromFrames]] over the ledger read equals
+   * [[nbTrain]] on the whole corpus bit for bit, with no batch ever
+   * rescanned. Token rows carry `(label, bucket, cnt, docs=0)`; one
+   * `bucket = -1` row per label carries the doc count; `buckets` rides
+   * every row so a mixed-shape fold fails loud (the moment-frame
+   * dims/scale discipline).
+   */
+  def nbFrame(
+      df: org.apache.spark.sql.DataFrame, labelCol: String, textCol: String,
+      numBuckets: Int = 1 << 18): org.apache.spark.sql.DataFrame = {
+    val m = nbTrain(df, labelCol, textCol, numBuckets)
+    m.counts.select(col("label"), col("bucket"), col("cnt"), lit(0L).as("docs"))
+      .unionByName(m.labelStats.select(col("label"), lit(-1L).as("bucket"),
+        lit(0L).as("cnt"), col("n_docs").as("docs")))
+      .withColumn("buckets", lit(numBuckets))
+  }
+
+  /** Rebuilds the [[NbModel]] from unioned ledger frames (see
+    * [[nbFrame]]): one additive fold, then the two model frames split
+    * back out. The incremental-retrain entry point. */
+  def nbFromFrames(frames: org.apache.spark.sql.DataFrame): NbModel = {
+    val bs = frames.select(col("buckets")).distinct().collect().map(_.getInt(0))
+    require(bs.length == 1,
+      s"mixed bucket counts in NB ledger: ${bs.sorted.mkString(", ")}")
+    val folded = frames.groupBy("label", "bucket")
+      .agg(sum(col("cnt")).as("cnt"), sum(col("docs")).as("docs"))
+    val counts = folded.where(col("bucket") >= 0).select("label", "bucket", "cnt")
+    val stats = folded.groupBy("label").agg(
+      sum(col("docs")).as("n_docs"),
+      sum(when(col("bucket") >= 0, col("cnt")).otherwise(0L)).as("n_tokens"))
+    NbModel(counts, stats, bs(0))
+  }
+
+  /**
    * Predicts the max-posterior label per document:
    * `score(d, l) = Σ_matched ln(cnt+1) − n_d · ln(n_tokens_l + B) +
    * ln(n_docs_l / N)` — the add-one multinomial log-posterior rearranged so

@@ -1059,6 +1059,28 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Contrastive training-set capstone: positives (self-labeled brute
+    // top-2) × guarded hard negatives (top-2 under the 0.95 fnFrac band)
+    // → (qid, pos, neg, margin) triplets, the DPR training-pair export,
+    // composed as ONE chained plan
+    "q_pipeline_triplets" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = emb(s, dir)
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val pos = Similarity.bruteForceTopK(e, queries, 2)
+        .select(col("qid"), col("vec_id").as("pos_id"), col("dot").as("pos_dot"))
+      val neg = Similarity.hardNegatives(
+          e, queries, pos.select(col("qid"), col("pos_id").as("vec_id")),
+          2, fnFrac = Some(0.95))
+        .select(col("qid"), col("vec_id").as("neg_id"), col("dot").as("neg_dot"))
+      pos.join(neg, Seq("qid"))
+        .select(col("qid"), col("pos_id"), col("neg_id"),
+          col("pos_dot"), col("neg_dot"),
+          (col("pos_dot") - col("neg_dot")).as("margin"))
+        .orderBy("qid", "pos_id", "neg_id")
+    }),
+
     // Hard-negative mining for contrastive training: per query the top-5
     // non-positive corpus vectors (positives = the self-labeled brute
     // top-2), with the RocketQA false-negative guard dropping unlabeled
@@ -2388,6 +2410,31 @@ object LlmQueries {
          |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS INT) AS rank
          |  FROM dots
          |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_pipeline_triplets" ->
+      s"""WITH ${compCte("comp", "embeddings")},
+         |${compCte("qcomp", "(SELECT * FROM embeddings WHERE vec_id < 3)")},
+         |dots AS (SELECT q.vec_id AS qid, c.vec_id, CAST(SUM(q.q * c.q) AS BIGINT) AS dot
+         |         FROM qcomp q JOIN comp c ON c.d = q.d
+         |         GROUP BY q.vec_id, c.vec_id),
+         |pos AS (SELECT qid, vec_id AS pos_id, dot AS pos_dot FROM (
+         |          SELECT qid, vec_id, dot,
+         |                 row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS rn
+         |          FROM dots) WHERE rn <= 2),
+         |pmax AS (SELECT qid, MAX(pos_dot) AS pm FROM pos GROUP BY qid),
+         |cand AS (SELECT d.qid, d.vec_id, d.dot FROM dots d
+         |         LEFT JOIN pos p ON p.qid = d.qid AND p.pos_id = d.vec_id
+         |         WHERE p.pos_id IS NULL),
+         |filt AS (SELECT c.qid, c.vec_id, c.dot FROM cand c JOIN pmax m ON m.qid = c.qid
+         |         WHERE CAST(c.dot AS DOUBLE) <= 0.95 * CAST(m.pm AS DOUBLE)),
+         |neg AS (SELECT qid, vec_id AS neg_id, dot AS neg_dot FROM (
+         |          SELECT qid, vec_id, dot,
+         |                 row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS rn
+         |          FROM filt) WHERE rn <= 2)
+         |SELECT p.qid, p.pos_id, n.neg_id, p.pos_dot, n.neg_dot,
+         |       p.pos_dot - n.neg_dot AS margin
+         |FROM pos p JOIN neg n ON n.qid = p.qid
+         |ORDER BY p.qid, p.pos_id, n.neg_id""".stripMargin,
 
     "q_sim_hard_negatives" ->
       s"""WITH ${compCte("comp", "embeddings")},

@@ -130,4 +130,34 @@ class SketchLedgerSpec extends SparkSpec {
       Similarity.momentFold(SketchLedger.read(spark, dir).get)
     }
   }
+
+  test("NB ledger: per-batch model frames fold to the whole-corpus classifier bit-for-bit") {
+    import graft.ops.TextOps
+    def batch(rows: (String, String)*) = rows.toSeq.toDF("label", "text")
+    val batches = Seq(
+      batch(("A", "x x y"), ("B", "z w")),
+      batch(("A", "x"), ("C", "v v v")),
+      batch(("B", "z z y")))
+    val dir = tmpDir("nb_ledger")
+    batches.foreach(b => SketchLedger.append(TextOps.nbFrame(b, "label", "text"), dir))
+    val folded = TextOps.nbFromFrames(SketchLedger.read(spark, dir).get)
+    val whole = TextOps.nbTrain(batches.reduce(_ unionByName _), "label", "text")
+    def countSet(m: TextOps.NbModel) =
+      m.counts.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def statSet(m: TextOps.NbModel) =
+      m.labelStats.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(countSet(folded) == countSet(whole), "folded counts diverge")
+    assert(statSet(folded) == statSet(whole), "folded label stats diverge")
+    // and the served predictions agree exactly
+    val test = Seq((1L, "x y"), (2L, "z"), (3L, "v")).toDF("id", "text")
+    def preds(m: TextOps.NbModel) =
+      TextOps.nbPredict(test, "id", "text", m).orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(preds(folded) == preds(whole))
+    // mixed bucket shapes fail loud
+    SketchLedger.append(TextOps.nbFrame(batches.head, "label", "text", numBuckets = 64), dir)
+    intercept[IllegalArgumentException] {
+      TextOps.nbFromFrames(SketchLedger.read(spark, dir).get)
+    }
+  }
 }
