@@ -137,7 +137,13 @@ object BenchScale {
     // single-aggregate controls (moments, grouped pooling) whose ratios
     // should sit at ~1× — they are one partial-agg pass each
     "q_dedup_keep_best", "q_ret_bm25_rm3",
-    "q_embed_pca_moments", "q_embed_mean_pool")
+    "q_embed_pca_moments", "q_embed_mean_pool",
+    // round-11 closing additions: the NB train+classify double aggregate,
+    // the epoch-repetition generator and the fingerprint-count leakage
+    // audit (both ~1× single-exchange controls), the brute hard-negative
+    // miner (linear in corpus mass) and its chained triplet capstone
+    "q_text_nb_classify", "q_corpus_epoch_sample", "q_corpus_split_leakage",
+    "q_sim_hard_negatives", "q_pipeline_triplets")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()
