@@ -200,6 +200,43 @@ class EdgeCasesSpec extends SparkSpec {
     }
   }
 
+  test("round-11 closing ops behave on empty and degenerate input") {
+    import graft.ops.{Corpus, TextOps}
+    // epoch mix on a single group: f exactly 1.0 at any T, output = input
+    val one = Seq((1L, "only"), (2L, "only")).toDF("id", "g")
+    assert(Corpus.epochRates(one, "g", 3.0).collect()(0).getDouble(3) == 1.0)
+    assert(Corpus.sampleWithRepetition(one, "id", "g", 3.0).count() == 2)
+    // epoch mix on empty input: empty rates, empty output, no crash
+    val emptyG = Seq.empty[(Long, String)].toDF("id", "g")
+    assert(Corpus.epochRates(emptyG, "g", 2.0).isEmpty)
+    assert(Corpus.sampleWithRepetition(emptyG, "id", "g", 2.0).isEmpty)
+    // hard negatives when EVERY corpus vector is a labeled positive: empty
+    val vecs = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val qs = Seq((0L, Array(1f, 0f))).toDF("qid", "qvec")
+    val allPos = Seq((0L, 1L), (0L, 2L)).toDF("qid", "vec_id")
+    assert(Similarity.hardNegatives(vecs, qs, allPos, 3).isEmpty)
+    // ...and with an empty positives relation: plain brute ranking
+    val noPos = Seq.empty[(Long, Long)].toDF("qid", "vec_id")
+    assert(Similarity.hardNegatives(vecs, qs, noPos, 3).count() == 2)
+    // NB trained on ONE label predicts it for anything (prior = ln 1 = 0)
+    val m1 = TextOps.nbTrain(Seq(("A", "x y")).toDF("label", "text"), "label", "text")
+    val p = TextOps.nbPredict(
+      Seq((1L, "unseen words")).toDF("id", "text"), "id", "text", m1).collect()(0)
+    assert(p.getString(1) == "A")
+    // NB predict over an empty test frame: empty, not a crash
+    assert(TextOps.nbPredict(
+      Seq.empty[(Long, String)].toDF("id", "text"), "id", "text", m1).isEmpty)
+    // leakage audit on empty input: empty
+    assert(Corpus.splitLeakageAudit(
+      Seq.empty[(Long, String)].toDF("id", "text"), "id", "text").isEmpty)
+    // nbFromFrames refuses an empty ledger read shape loudly
+    intercept[IllegalArgumentException] {
+      TextOps.nbFromFrames(
+        Seq.empty[(String, Long, Long, Long, Int)]
+          .toDF("label", "bucket", "cnt", "docs", "buckets"))
+    }
+  }
+
   test("capPerGroup keeps the n best-ranked rows per group, smaller groups whole") {
     val df = (Seq((1L, "a", 50), (2L, "a", 90), (3L, "a", 70), (4L, "a", 90)) ++
       Seq((10L, "b", 10))).toDF("doc_id", "grp", "quality")

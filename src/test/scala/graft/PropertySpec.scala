@@ -404,4 +404,91 @@ class PropertySpec extends SparkSpec {
         s"trial $trial: purge changed serving")
     }
   }
+
+  test("property: epoch repetition mass lands in [n·floor(f), n·ceil(f)], head exact, no row dropped") {
+    import graft.ops.Corpus
+    for (trial <- 0 until 3) {
+      val sizes = Gen.listOfN(4, Gen.chooseNum(20, 300))
+        .pureApply(Gen.Parameters.default, rng.Seed(trial + 7L))
+      val rows = sizes.zipWithIndex.flatMap { case (n, g) =>
+        (0 until n).map(i => ((g * 10000 + i).toLong, s"g$g")) }
+      val df = rows.toDF("id", "g")
+      val t = 1.0 + trial // T = 1, 2, 3
+      val rates = Corpus.epochRates(df, "g", t)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      val out = Corpus.sampleWithRepetition(df, "id", "g", t)
+      val counts = out.groupBy("g").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = sizes.zipWithIndex.map { case (s, g) => s"g$g" -> s.toLong }.toMap
+      for ((g, f) <- rates) {
+        val (lo, hi) = (n(g) * math.floor(f).toLong, n(g) * math.ceil(f).toLong)
+        assert(counts(g) >= lo && counts(g) <= hi,
+          s"trial $trial T=$t $g: ${counts(g)} outside [$lo, $hi] at f=$f")
+      }
+      // unique-largest group trains exactly once; no id ever dropped
+      val maxN = n.values.max
+      if (n.values.count(_ == maxN) == 1) {
+        val head = n.maxBy(_._2)._1
+        assert(rates(head) == 1.0 && counts(head) == maxN, s"head $head: ${rates(head)}/${counts(head)}")
+      }
+      assert(out.select("id").distinct().count() == rows.length.toLong)
+      assert(out.select("id", "epoch").distinct().count() == out.count())
+    }
+  }
+
+  test("property: hard negatives equal the brute ranking minus positives (unguarded)") {
+    import graft.ops.Similarity
+    for (trial <- 0 until 3) {
+      val s = rng.Seed(trial + 13L)
+      val comps = Gen.listOfN(15 * 4, Gen.chooseNum(-100, 100))
+        .pureApply(Gen.Parameters.default, s)
+      val corpus = comps.grouped(4).zipWithIndex.map { case (c, i) =>
+        ((i + 1).toLong, c.map(_ / 100.0f).toArray) }.toSeq.toDF("vec_id", "embedding")
+      val queries = Seq((0L, Array(0.9f, 0.1f, -0.3f, 0.5f)),
+        (1L, Array(-0.2f, 0.8f, 0.4f, -0.6f))).toDF("qid", "qvec")
+      val posIds = Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 1L), Gen.chooseNum(1L, 15L)))
+        .pureApply(Gen.Parameters.default, s).distinct
+      val positives = posIds.toDF("qid", "vec_id")
+      // independent expectation: full brute ranking, positives removed, re-ranked
+      val full = Similarity.bruteForceTopK(corpus, queries, 15)
+        .select("qid", "vec_id", "dot").orderBy("qid", "dot", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy { case (q, v, d) => (q, -d, v) }
+      val expected = full.groupBy(_._1).view.mapValues(
+          _.filterNot { case (q, v, _) => posIds.contains((q, v)) }
+            .take(4).zipWithIndex
+            .map { case ((q, v, d), i) => (q, i + 1, v, d) })
+        .values.flatten.toSeq.sortBy(t => (t._1, t._2))
+      val got = Similarity.hardNegatives(corpus, queries, positives, 4)
+        .select("qid", "rank", "vec_id", "dot").orderBy("qid", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == expected, s"trial $trial:\n$got\nvs\n$expected")
+    }
+  }
+
+  test("property: NB count-frame fold equals whole-corpus training on random batch splits") {
+    import graft.ops.TextOps
+    val vocab = Seq("u", "v", "w", "x", "y")
+    for (trial <- 0 until 3) {
+      val s = rng.Seed(trial + 29L)
+      val docGen = for {
+        lbl <- Gen.oneOf("A", "B", "C")
+        len <- Gen.chooseNum(1, 5)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield (lbl, ws.mkString(" "))
+      val rows = Gen.listOfN(30, docGen).pureApply(Gen.Parameters.default, s)
+      val cut = Gen.listOfN(30, Gen.chooseNum(0, 2)).pureApply(Gen.Parameters.default, s)
+      val batches = (0 to 2).map(b =>
+        rows.zip(cut).collect { case (r, c) if c == b => r })
+        .filter(_.nonEmpty).map(_.toDF("label", "text"))
+      val folded = TextOps.nbFromFrames(
+        batches.map(TextOps.nbFrame(_, "label", "text", numBuckets = 1024)).reduce(_ unionByName _))
+      val whole = TextOps.nbTrain(rows.toDF("label", "text"), "label", "text", numBuckets = 1024)
+      val test = Seq((1L, "u x"), (2L, "y y w"), (3L, "zzz")).toDF("id", "text")
+      def preds(m: TextOps.NbModel) =
+        TextOps.nbPredict(test, "id", "text", m).orderBy("id")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(preds(folded) == preds(whole), s"trial $trial diverged")
+    }
+  }
 }
