@@ -35,7 +35,12 @@ object BenchScale100 {
     "q_dedup_clusters_star", "q_dedup_exact_substring",
     // the auto router is what users call — its ratio rides along so the
     // star fallback's number is never read in isolation
-    "q_dedup_clusters_auto")
+    "q_dedup_clusters_auto",
+    // round-11 closing ops two decades out: classifier train+serve, the
+    // brute hard-negative miner + its triplet capstone, and the two
+    // single-exchange controls (epoch generator, fingerprint-count audit)
+    "q_text_nb_classify", "q_sim_hard_negatives", "q_pipeline_triplets",
+    "q_corpus_epoch_sample", "q_corpus_split_leakage")
 
   private def releaseResidue(spark: SparkSession, keep: Set[Int]): Unit =
     spark.sparkContext.getPersistentRDDs.foreach {

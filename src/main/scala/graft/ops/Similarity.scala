@@ -1732,6 +1732,35 @@ object Similarity {
   }
 
   /**
+   * Drift-triggered full retrain — the ACTION [[ledgerMomentsDrift]]
+   * exists to trigger: rebuilds the index from its OWN stored rerank
+   * vectors (the post-delete corpus — tombstones are folded by the read,
+   * assign-r copies deduped here), retraining BOTH quantizer tiers
+   * against the current distribution and committing one fresh full
+   * generation through the same manifest swap. The old generations drop
+   * out of the manifest atomically (vacuumable), accumulated tombstones
+   * retire with them, and appends resume against the new quantizers. No
+   * external copy of the corpus is needed — the index is self-healing.
+   *
+   * Training is deterministic (lowest-id seeds, exact integer Lloyd
+   * iterations), so a rebuild serves IDENTICALLY to a fresh
+   * [[buildIndex]] over the same remaining corpus (spec-pinned).
+   */
+  def rebuildIndex(
+      spark: SparkSession, indexDir: String,
+      coarseK: Int, pqK: Int, iters: Int): Unit = {
+    val idx = readIndex(spark, indexDir)
+    val emb = idx.vectors
+      .select((col("vec_id") +: col("embedding") +: idx.attrs.map(col)): _*)
+      .dropDuplicates("vec_id")
+      // the training/encode passes scan this multiple times; pin the
+      // dedup result rather than re-reading every generation per pass
+      .localCheckpoint()
+    buildIndex(emb, indexDir, idx.dims, idx.m, coarseK, pqK, iters,
+      assignR = idx.assignR, attrCols = idx.attrs)
+  }
+
+  /**
    * Index-generation compaction — the continuous-ingest counterpart of
    * [[ManifestStore.compact]]: every [[appendToIndex]] adds a codes-only
    * generation, so after many small deltas a query's probed-cell read

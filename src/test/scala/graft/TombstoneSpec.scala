@@ -122,6 +122,37 @@ class TombstoneSpec extends SparkSpec {
   private def ranked(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
     df.orderBy("qid", "rank").collect().toSeq.map(_.toSeq)
 
+  test("rebuildIndex: self-healing retrain from the index's own vectors equals a fresh build over the remaining corpus") {
+    val half = embs.where($"vec_id" < 24)
+    val coarse = Similarity.trainCentroids(half, 4, 2)
+    val cb = Similarity.pqTrainCodebooksResidual(half, coarse, dims = 8, m = 2, k = 3, iters = 2)
+    val dir = tmpDir("ann_rebuild")
+    // stale-quantizer scenario: trained on the first half only, second
+    // half appended against the frozen quantizers, then a takedown lands
+    Similarity.writeIndex(half, coarse, cb, dir, dims = 8, m = 2)
+    Similarity.appendToIndex(embs.where($"vec_id" >= 24), dir)
+    Similarity.deleteFromIndex(Seq(5L, 30L).toDF("vec_id"), dir)
+    // retrain in place with FRESH quantizers at a different coarse k
+    Similarity.rebuildIndex(spark, dir, coarseK = 6, pqK = 4, iters = 2)
+    def served(d: String) = Similarity.ivfPqTopKIndexedRerank(
+        Similarity.readIndex(spark, d), vqueries, 3, nprobe = 2, shortlist = 16)
+      .select("qid", "rank", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = served(dir)
+    // law: deterministic training → identical serving to a fresh
+    // buildIndex over the remaining corpus
+    val ref = tmpDir("ann_rebuild_ref")
+    Similarity.buildIndex(embs.where(!$"vec_id".isin(5L, 30L)), ref,
+      dims = 8, m = 2, coarseK = 6, pqK = 4, iters = 2)
+    assert(got == served(ref), s"rebuild diverged from fresh build")
+    // the rebuild collapsed generations and retired accumulated tombstones
+    val st = Similarity.indexStats(spark, dir).get
+    assert(st.tombstonedIds == 0 && st.tombstoneGenerations == 0, st.toString)
+    assert(st.codeGenerations == 1, st.toString)
+    // deleted ids stay gone through the retrain
+    assert(!got.exists { case (_, _, v) => v == 5L || v == 30L })
+  }
+
   test("lex delete: BM25 scores equal a rebuild without the docs (df/N/avgdl adjust); purge physical") {
     val dir = tmpDir("lex_del")
     Retrieval.writeLexIndex(docsA, dir)
