@@ -294,8 +294,49 @@ object Quality {
       s""""fuzzy_d1":{"candidates":${fuzzyRow.getLong(0)},"pairs":${fuzzyRow.getLong(1)},""" +
         s""""efficiency":${fuzzyRow.getDouble(2)}}"""
 
+    // ---- NB classifier held-out accuracy (round 11) --------------------
+    // Honest-measurement pair: the synth corpus draws text independent of
+    // its lang/source labels, so the LANG accuracy should sit AT the
+    // majority prior (the corpus finding, same class as the PCA isotropy
+    // floor) — while a CONTENT-DERIVED label on the same corpus shows the
+    // classifier separates when signal exists.
+    def holdoutAcc(d: DataFrame, labelCol: String): (Double, Double) = {
+      val train = d.where(col("doc_id") % 10 < 8)
+      val test = d.where(col("doc_id") % 10 >= 8).localCheckpoint()
+      val preds = graft.ops.TextOps.nbPredict(
+        test, "doc_id", "text", graft.ops.TextOps.nbTrain(train, labelCol, "text"))
+      val acc = preds.join(test.select(col("doc_id"), col(labelCol).as("_t")), Seq("doc_id"))
+        .agg(avg(when(col("pred") === col("_t"), 1.0).otherwise(0.0)))
+        .collect()(0).getDouble(0)
+      val prior = test.groupBy(col(labelCol)).count()
+        .agg(max("count")).collect()(0).getLong(0).toDouble / test.count()
+      (acc, prior)
+    }
+    val docsRaw = graft.queries.Tpch.read(spark, sfDir, "documents")
+      .where(col("text").isNotNull)
+    val (langAcc, langPrior) = holdoutAcc(docsRaw, "lang")
+    // capability control at harness scale: planted class vocab + shared
+    // noise (deterministic generator, 2:1 imbalance) — separable by design
+    val planted = {
+      import spark.implicits._
+      val shared = Seq("the", "of", "data", "run", "with", "scan", "row")
+      val va = Seq("spark", "join", "shuffle")
+      val vb = Seq("tensor", "grad", "batchnorm")
+      (0 until 10000).map { i =>
+        val own = if (i % 3 != 0) va else vb
+        val text = (0 until 40).map(j =>
+          if (j % 4 == 0) own((i + j) % own.length)
+          else shared((i * 7 + j) % shared.length)).mkString(" ")
+        (i.toLong, if (i % 3 != 0) "a" else "b", text)
+      }.toDF("doc_id", "lbl", "text")
+    }
+    val (plantedAcc, plantedPrior) = holdoutAcc(planted, "lbl")
+    val nb =
+      s""""nb":{"lang_holdout_acc":$langAcc,"lang_majority_prior":$langPrior,""" +
+        s""""planted_signal_acc":$plantedAcc,"planted_majority_prior":$plantedPrior}"""
+
     val json =
-      s"""{"sf_dir":"$sfDir","text":{"docs":${docs.count()},"truth_pairs_j80":${truth80.size},""" +
+      s"""{"sf_dir":"$sfDir",$nb,"text":{"docs":${docs.count()},"truth_pairs_j80":${truth80.size},""" +
         s""""truth_pairs_j90":${truth90.size},"minhash_lsh":{${mh.mkString(",")}},""" +
         s""""simhash64_h3":{"recall":$shR,"precision":$shP}},""" +
         s""""ann":{"queries":${exact10.size},${ivf.mkString(",")},${pq.mkString(",")},""" +

@@ -18,6 +18,32 @@ class QualitySpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
 
+  test("NB classifier separates a planted-signal corpus far above the majority prior") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // class-specific vocab mixed with shared noise: learnable by design
+    val shared = Seq("the", "of", "data", "run", "with")
+    val va = Seq("spark", "join", "shuffle")
+    val vb = Seq("tensor", "grad", "batchnorm")
+    def doc(i: Int, own: Seq[String]) =
+      (0 until 12).map(j =>
+        if (j % 3 == 0) own((i + j) % own.length)
+        else shared((i * 7 + j) % shared.length)).mkString(" ")
+    val rows = (0 until 120).map { i =>
+      if (i % 3 != 0) (i.toLong, "a", doc(i, va)) // 2:1 imbalance
+      else (i.toLong, "b", doc(i, vb))
+    }
+    val df = rows.toDF("doc_id", "label", "text")
+    val m = TextOps.nbTrain(df.where($"doc_id" % 10 < 8), "label", "text")
+    val test = df.where($"doc_id" % 10 >= 8)
+    val acc = TextOps.nbPredict(test, "doc_id", "text", m)
+      .join(test.select($"doc_id", $"label"), Seq("doc_id"))
+      .agg(avg(when($"pred" === $"label", 1.0).otherwise(0.0)))
+      .collect()(0).getDouble(0)
+    // majority prior is ~0.67; planted vocab must push NB near-perfect
+    assert(acc >= 0.95, s"planted-signal accuracy $acc below 0.95")
+  }
+
   test("minhash-LSH banding: recall/precision floors and the bands s-curve") {
     GraftExtensions.register(spark)
     val docs = Quality.docsWithNearDups(spark, dir).localCheckpoint()
