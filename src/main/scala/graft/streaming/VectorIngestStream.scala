@@ -40,13 +40,21 @@ import graft.ops.{Similarity, SketchLedger}
  */
 object VectorIngestStream {
 
+  /** `drift` is populated only when the stream was attached with a
+    * moments ledger AND `driftBaselineGens > 0` and the ledger has grown
+    * past the baseline window — the [[Similarity.ledgerMomentsDrift]]
+    * score of everything ingested after the first `driftBaselineGens`
+    * committed frames vs that baseline (≳1 ⇒ the mean has moved ~a
+    * pooled σ: trigger [[Similarity.rebuildIndex]]). */
   final case class BatchReport(
-      batchId: Long, nVectors: Long, indexVersion: Long, codeGenerations: Int)
+      batchId: Long, nVectors: Long, indexVersion: Long, codeGenerations: Int,
+      drift: Option[Double] = None)
 
   def attach(
       vectors: DataFrame, indexDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      momentsLedger: Option[(String, Int)] = None)(
+      momentsLedger: Option[(String, Int)] = None,
+      driftBaselineGens: Int = 0)(
       onReport: BatchReport => Unit): DataStreamWriter[Row] = {
     val spark = vectors.sparkSession
     vectors.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
@@ -57,8 +65,12 @@ object VectorIngestStream {
         if (n > 0) momentsLedger.foreach { case (mDir, dims) =>
           SketchLedger.append(Similarity.momentFrame(pinned, dims, vecCol), mDir)
         }
+        val drift = momentsLedger.flatMap { case (mDir, dims) =>
+          if (driftBaselineGens <= 0) None
+          else Similarity.ledgerMomentsDrift(spark, mDir, dims, driftBaselineGens)
+        }
         val (version, nGens) = Similarity.indexStatus(spark, indexDir)
-        onReport(BatchReport(id, n, version, nGens))
+        onReport(BatchReport(id, n, version, nGens, drift))
       } finally pinned.queryExecution.analyzed.foreach {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
           lr.rdd.unpersist(blocking = false)
@@ -71,7 +83,9 @@ object VectorIngestStream {
   def start(
       vectors: DataFrame, indexDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      momentsLedger: Option[(String, Int)] = None)(
+      momentsLedger: Option[(String, Int)] = None,
+      driftBaselineGens: Int = 0)(
       onReport: BatchReport => Unit): StreamingQuery =
-    attach(vectors, indexDir, idCol, vecCol, momentsLedger)(onReport).start()
+    attach(vectors, indexDir, idCol, vecCol, momentsLedger,
+      driftBaselineGens)(onReport).start()
 }

@@ -100,4 +100,36 @@ class VectorIngestStreamSpec extends SparkSpec {
     assert(a.basis.flatten.toSeq == b.basis.flatten.toSeq &&
       a.eigenvalues.toSeq == b.eigenvalues.toSeq)
   }
+
+  test("per-batch drift rides the report: None before a window, low in-distribution, high after a shift") {
+    import graft.ops.SketchLedger
+    implicit val ctx = spark.sqlContext
+    def vec(i: Long, shift: Float): Array[Float] =
+      Array.tabulate(8)(d => (math.sin(i * 0.7 + d) * 0.5 + shift).toFloat)
+    val base = (0 until 200).map(i => (i.toLong, vec(i, 0f)))
+    val embs = base.toDF("vec_id", "embedding")
+    val coarse = Similarity.trainCentroids(embs, 4, 1)
+    val cb = Similarity.pqTrainCodebooksResidual(embs, coarse, dims = 8, m = 2, k = 3, iters = 1)
+    val idxDir = tmpDir("vidx_drift")
+    val ledgerDir = tmpDir("vidx_drift_ledger")
+    Similarity.writeIndex(embs.where($"vec_id" < 10), coarse, cb, idxDir, dims = 8, m = 2)
+    val reports = mutable.Buffer.empty[VectorIngestStream.BatchReport]
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = VectorIngestStream.start(
+      ms.toDS().toDF("vec_id", "embedding"), idxDir,
+      momentsLedger = Some((ledgerDir, 8)), driftBaselineGens = 1)(reports += _)
+    try {
+      ms.addData(base.slice(10, 110): _*) // the baseline window
+      q.processAllAvailable()
+      ms.addData(base.slice(110, 200): _*) // in-distribution
+      q.processAllAvailable()
+      ms.addData((200 until 300).map(i => (i.toLong, vec(i, 0.7f))): _*) // ~2σ shift
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(reports.map(_.drift.isDefined).toSeq == Seq(false, true, true), reports.toString)
+    assert(reports(1).drift.get < 0.1, s"in-distribution drift ${reports(1).drift.get}")
+    // recent window = in-distribution + shifted gens — diluted but far
+    // above the in-distribution score (the trigger has teeth)
+    assert(reports(2).drift.get > 0.5, s"post-shift drift ${reports(2).drift.get}")
+  }
 }
