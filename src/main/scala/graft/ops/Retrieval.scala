@@ -190,6 +190,74 @@ object Retrieval {
   }
 
   /**
+   * BM25F multi-field ranking (Robertson & Zaragoza 2004's weighted-field
+   * model; the Elasticsearch `combined_fields` variant): per-field term
+   * frequencies are scaled by the field boost and summed into ONE
+   * pseudo-document frequency — `wtf(d,t) = Σ_f w_f·tf_{f,t}` — and the
+   * document length normalizes the same way (`wdl = Σ_f w_f·dl_f`,
+   * averaged over the corpus), so a title hit counts `w_title/w_body`
+   * times a body hit but saturates through the SAME k1 curve instead of
+   * summing independent per-field BM25 scores (the known failure of naive
+   * field fusion: a term matching three weak fields outscores one strong
+   * match). `df` counts documents containing the term in ANY field;
+   * documents enter the stats when ANY field is non-null.
+   *
+   * Plan: one corpus scan per field unions into one (doc, token)
+   * aggregate; `wdl` derives from the postings themselves
+   * (`Σ_t wtf = Σ_f w_f·dl_f`), so there is NO second corpus pass — the
+   * wdl attach is a doc-keyed equi-join of token-distinct frames, joined
+   * AFTER the query-term filter so only matched docs move. Exact-binary
+   * boosts (0.5, 1.0, 2.0, …) keep every weighted sum order-exact; the
+   * 4-dp round-then-rank absorbs the rest (the engine's standard
+   * determinism contract).
+   */
+  def bm25F(
+      df: DataFrame, idCol: String, fields: Seq[(String, Double)],
+      queries: DataFrame, k: Int, k1: Double = K1, b: Double = B): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(fields.nonEmpty, "bm25F needs at least one field")
+    fields.foreach { case (c, w) =>
+      require(w > 0, s"field '$c' has a non-positive boost $w") }
+    val tok = fields.map { case (c, w) =>
+      df.where(col(c).isNotNull)
+        .select(col(idCol).as("doc_id"),
+          explode(TextOps.tokens(col(c))).as("token"), lit(w).as("_w"))
+    }.reduce(_ unionByName _)
+    val postings = tok.groupBy("doc_id", "token").agg(sum(col("_w")).as("wtf"))
+      .localCheckpoint()
+    val wdl = postings.groupBy("doc_id").agg(sum(col("wtf")).as("wdl"))
+    val stats = wdl.agg(
+      count(lit(1)).as("n_docs"), sum(col("wdl")).as("total_wdl"))
+    val dfreq = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    val qterms = queries.select(
+      col("qid"),
+      explode(array_distinct(TextOps.tokens(col("qtext")))).as("token"))
+    val termStats = dfreq.join(broadcast(qterms), Seq("token"))
+    val scored = postings
+      .join(broadcast(termStats), Seq("token"))
+      .join(wdl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("qid"), col("doc_id"),
+        (log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) *
+          (col("wtf") * lit(k1 + 1.0)) /
+          (col("wtf") +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("wdl") * col("n_docs").cast("double") /
+                col("total_wdl"))))
+          .as("_s"))
+      .groupBy("qid", "doc_id")
+      .agg(round(sum(col("_s")), 4).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "doc_id", "score")
+  }
+
+  /**
    * RM3-style pseudo-relevance-feedback expansion (Abdul-Jaleel et al.
    * 2004; the Anserini/Lucene default expansion model): a first BM25 pass
    * retrieves `fbDocs` feedback documents per query, their terms are

@@ -1658,6 +1658,22 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // BM25F multi-field ranking: title (first 5 tokens, boost 2) + body
+    // (rest, boost 1) — weighted tf summed into ONE saturation curve
+    // with weighted length normalization, df over any-field presence
+    "q_ret_bm25f" -> ((s, dir) => {
+      import s.implicits._
+      val fielded = docs(s, dir).select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 5), " ").as("title"),
+        array_join(slice(split(col("text"), " "), 6, 1000000), " ").as("body"))
+      val queries = Seq(
+        (0L, "spark dup"), (1L, "hash join merge"),
+        (2L, "window sort")).toDF("qid", "qtext")
+      Retrieval.bm25F(fielded, "doc_id",
+          Seq(("title", 2.0), ("body", 1.0)), queries, k = 10)
+        .orderBy("qid", "rank")
+    }),
+
     // Phrase-constrained BM25: only documents containing "a a the"
     // contiguously are ranked, but idf/avgdl stay full-corpus — the
     // filter-vs-scoring split, both halves replayed in the oracle
@@ -3280,6 +3296,36 @@ object LlmQueries {
         |FROM documents ORDER BY asset_id""".stripMargin,
 
     "q_ret_bm25" -> bm25FixedQueriesOracle,
+
+    "q_ret_bm25f" ->
+      """WITH fd AS (SELECT doc_id,
+        |       array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS title,
+        |       array_to_string(list_slice(string_split(text, ' '), 6, 1000000), ' ') AS body
+        |     FROM documents),
+        |fq AS (SELECT * FROM (VALUES (0, 'spark dup'), (1, 'hash join merge'),
+        |                             (2, 'window sort')) AS v(qid, qtext)),
+        |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS token FROM fq),
+        |tok AS (SELECT doc_id, unnest(string_split(title, ' ')) AS token, 2.0 AS w
+        |        FROM fd WHERE title IS NOT NULL
+        |        UNION ALL
+        |        SELECT doc_id, unnest(string_split(body, ' ')) AS token, 1.0 AS w
+        |        FROM fd WHERE body IS NOT NULL),
+        |fp AS (SELECT doc_id, token, sum(w) AS wtf FROM tok GROUP BY doc_id, token),
+        |fwdl AS (SELECT doc_id, sum(wtf) AS wdl FROM fp GROUP BY doc_id),
+        |fstat AS (SELECT count(*) AS n_docs, sum(wdl) AS total_wdl FROM fwdl),
+        |fdf AS (SELECT token, count(*) AS df FROM fp GROUP BY token),
+        |fsc AS (SELECT t.qid, p.doc_id,
+        |          ln(1.0 + (CAST(s.n_docs AS DOUBLE) - f.df + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+        |          * (p.wtf * (1.2 + 1.0))
+        |          / (p.wtf + 1.2 * ((1.0 - 0.75)
+        |              + 0.75 * l.wdl * CAST(s.n_docs AS DOUBLE) / s.total_wdl)) AS sc
+        |        FROM fp p JOIN fdf f USING (token) JOIN qt t USING (token)
+        |        JOIN fwdl l USING (doc_id) CROSS JOIN fstat s),
+        |fagg AS (SELECT qid, doc_id, round(sum(sc), 4) AS score FROM fsc GROUP BY qid, doc_id)
+        |SELECT qid, rank, doc_id, score FROM (
+        |  SELECT qid, doc_id, score,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+        |  FROM fagg) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     // BM25 scores from the FULL corpus; the phrase hit set filters the
     // scored docs; ranks recomputed within the filtered set

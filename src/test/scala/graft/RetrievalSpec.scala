@@ -95,6 +95,38 @@ class RetrievalSpec extends SparkSpec {
     (0L, 3L, 200000000000L, Array(0.0f, 0.5f)))
     .toDF("qid", "doc_id", "rel", "embedding")
 
+  test("bm25F: single unit field reduces to bm25; title boost reorders; null fields score") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark joins data fast here"),
+      (2L, "rows scan merge sort spark"),
+      (3L, "batch window filter order value")).toDF("doc_id", "text")
+    val queries = Seq((0L, "spark sort")).toDF("qid", "qtext")
+    // law: one field at boost 1.0 IS plain bm25, bit for bit
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(rows(Retrieval.bm25F(docs, "doc_id", Seq(("text", 1.0)), queries, 10)) ==
+      rows(Retrieval.bm25(docs, "doc_id", "text", queries, 10)))
+    // title boost: same term, same lengths — the title match must outrank
+    // the body match under boost, and tie without it
+    val fielded = Seq(
+      (1L, "quantum stuff", "plain words here"),
+      (2L, "plain stuff", "quantum words here")).toDF("doc_id", "title", "body")
+    val q2 = Seq((0L, "quantum")).toDF("qid", "qtext")
+    val boosted = Retrieval.bm25F(fielded, "doc_id",
+        Seq(("title", 3.0), ("body", 1.0)), q2, 2)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(boosted == Seq(1L, 2L), s"title match must rank first: $boosted")
+    // null fields: a doc with a null body still scores on its title
+    val withNull = Seq(
+      (1L, "quantum title", null), (2L, "other", "quantum body text")
+    ).toDF("doc_id", "title", "body")
+    val scoredNull = Retrieval.bm25F(withNull, "doc_id",
+        Seq(("title", 2.0), ("body", 1.0)), q2, 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(scoredNull == Set(1L, 2L))
+  }
+
   test("bm25Rm3: expansion reaches docs sharing no original query term") {
     // doc 1 matches the query; doc 2 shares 'bridge' terms with doc 1 but
     // NOT with the query — plain BM25 cannot score it, RM3 must
