@@ -110,6 +110,28 @@ object Corpus {
    * self-join fans out at most `splits²` rows per fingerprint, never
    * document pairs.
    */
+  /**
+   * The NEAR-DUP tier of the leakage audit — the leak that actually
+   * survives exact dedup: takes ANY duplicate-pair frame `(id_a, id_b)`
+   * (simhash/minhash/embedding near-dup pairs — whatever generator fits
+   * the corpus) and counts the pairs straddling a split boundary, per
+   * ordered split pair. `labeled` is the `(idCol, split)` relation (from
+   * [[withSplit]]). Two id-keyed equi-joins over the pair mass — the
+   * generator's cost dominates, the audit itself is join-light.
+   */
+  def splitLeakageFromPairs(
+      pairs: DataFrame, labeled: DataFrame, idCol: String = "doc_id",
+      splitCol: String = "split"): DataFrame = {
+    val lab = labeled.select(col(idCol), col(splitCol))
+    pairs
+      .join(lab.select(col(idCol).as("id_a"), col(splitCol).as("_sa")), Seq("id_a"))
+      .join(lab.select(col(idCol).as("id_b"), col(splitCol).as("_sb")), Seq("id_b"))
+      .where(col("_sa") =!= col("_sb"))
+      .select(least(col("_sa"), col("_sb")).as("split_a"),
+        greatest(col("_sa"), col("_sb")).as("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("leaked_pairs"))
+  }
+
   def splitLeakageAudit(
       df: DataFrame, idCol: String, textCol: String,
       train: Double = 0.8, validation: Double = 0.1,

@@ -902,6 +902,21 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // NEAR-DUP split leakage: simhash64 near-identical pairs straddling
+    // the train/val/test cut (re-keyed union contamination) — the leak
+    // exact dedup doesn't catch, counted per split pair
+    "q_corpus_split_leakage_neardup" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val d = docs(s, dir)
+      val dd = d.select("doc_id", "text").unionByName(
+        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val pairs = Dedup.simhashNearDuplicates64(
+        Dedup.simhashNative64(dd, "doc_id", "text"))
+      Corpus.splitLeakageFromPairs(
+          pairs, Corpus.withSplit(dd, "doc_id"))
+        .orderBy("split_a", "split_b")
+    }),
+
     // Overlap-tier decontamination: eval docs are planted MIDDLE spans of
     // corpus docs (tokens n/4+1 .. n/4+⌈n/2⌉, id+5000000) — contained
     // text that exact-fingerprint contamination (q_contamination) and
@@ -2133,6 +2148,46 @@ object LlmQueries {
         |            - CASE WHEN hi_sk >= 2147483648 THEN 18446744073709551616::HUGEINT ELSE 0 END
         |            AS BIGINT) AS simhash
         |FROM halves ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_split_leakage_neardup" ->
+      """WITH dd AS (SELECT doc_id, text FROM documents
+        |       UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        |tok AS (SELECT id, tok, count(*) AS cnt
+        |        FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM dd)
+        |        GROUP BY id, tok),
+        |th AS (SELECT id, cnt, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS lo,
+        |              ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hi FROM tok),
+        |votes AS (SELECT id, j,
+        |            SUM(CASE WHEN ((CASE WHEN j < 32 THEN lo >> j ELSE hi >> (j - 32) END) & 1) = 1
+        |                THEN cnt ELSE -cnt END) AS v
+        |          FROM th, range(64) t(j) GROUP BY id, j),
+        |halves AS (SELECT id,
+        |             SUM(CASE WHEN v > 0 AND j < 32 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS lo_sk,
+        |             SUM(CASE WHEN v > 0 AND j >= 32 THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS hi_sk
+        |           FROM votes GROUP BY id),
+        |sk AS (SELECT id,
+        |         CAST(lo_sk + hi_sk * 4294967296
+        |              - CASE WHEN hi_sk >= 2147483648 THEN 18446744073709551616::HUGEINT ELSE 0 END
+        |              AS BIGINT) AS simhash
+        |       FROM halves),
+        |banded AS (SELECT id, simhash, j AS band, (simhash >> CAST(16 * j AS INT)) & 65535 AS band_key
+        |           FROM sk, range(4) r(j)),
+        |p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |      FROM banded a JOIN banded b
+        |        ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+        |      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN b < 8000 THEN 'train'
+        |              WHEN b < 9000 THEN 'validation'
+        |              ELSE 'test' END AS split
+        |       FROM (SELECT doc_id,
+        |               ('0x' || substr(md5('split::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+        |             FROM dd)),
+        |lk AS (SELECT least(a.split, b.split) AS split_a, greatest(a.split, b.split) AS split_b
+        |       FROM p JOIN sp a ON a.doc_id = p.id_a JOIN sp b ON b.doc_id = p.id_b
+        |       WHERE a.split <> b.split)
+        |SELECT split_a, split_b, count(*) AS leaked_pairs
+        |FROM lk GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin,
 
     "q_dedup_simhash64_pairs" ->
       """WITH dd AS (SELECT doc_id, text FROM documents
