@@ -297,4 +297,74 @@ object Scale {
     if (maxCnt <= threshold * p50) 1
     else math.min(cap.toLong, math.ceil(maxCnt / p50).toLong).toInt
   }
+
+  /**
+   * SCD Type-2 dimension merge (Kimball's slowly-changing-dimension
+   * history): `current` is the dimension history — key columns, attribute
+   * columns, and `valid_from`/`valid_to` (null `valid_to` = the live
+   * version); `updates` carries the same keys + attributes effective at
+   * `effectiveTs`. The merge:
+   *
+   *  - closes the live row of every key whose attributes CHANGED
+   *    (`valid_to = effectiveTs`) and inserts the new live version;
+   *  - suppresses no-op updates (identical attributes → history
+   *    untouched, no empty version churn);
+   *  - inserts brand-new keys as live rows;
+   *  - never touches already-closed rows.
+   *
+   * Attribute comparison is null-safe (`<=>` per column). One full-outer
+   * equi-join of the LIVE slice against the updates — closed history
+   * rides through untouched, so the work is proportional to live + update
+   * mass, not history depth. Compose with
+   * [[graft.ops.ManifestStore.upsert]] partitioned by a key range for the
+   * persisted form: each merge writes one new generation and time travel
+   * gives as-of reads of the whole dimension.
+   *
+   * `updates` must not carry duplicate keys (two versions of one key in a
+   * single batch have no defined order) — enforced with a fail-loud check.
+   */
+  def scd2Merge(
+      current: DataFrame, updates: DataFrame, keyCols: Seq[String],
+      effectiveTs: String): DataFrame = {
+    require(keyCols.nonEmpty, "scd2Merge needs at least one key column")
+    val metaCols = Seq("valid_from", "valid_to")
+    metaCols.foreach(c => require(current.columns.contains(c),
+      s"current history must carry a '$c' column"))
+    val attrCols = current.columns.filterNot(
+      c => keyCols.contains(c) || metaCols.contains(c)).toSeq
+    val expected = (keyCols ++ attrCols).toSet
+    require(updates.columns.toSet == expected,
+      s"updates columns ${updates.columns.sorted.mkString(",")} must be exactly " +
+        s"keys+attrs ${expected.toSeq.sorted.mkString(",")}")
+    val dupKeys = updates.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n")).where(col("_n") > 1).limit(1).count()
+    require(dupKeys == 0, "updates carry duplicate keys — one version per key per merge")
+
+    val dead = current.where(col("valid_to").isNotNull)
+    val live = current.where(col("valid_to").isNull)
+    val u = updates.select(
+      keyCols.map(c => col(c).as(s"_uk_$c")) ++
+        attrCols.map(c => col(c).as(s"_ua_$c")): _*)
+    val joinCond = keyCols.map(c => col(c) === col(s"_uk_$c")).reduce(_ && _)
+    val j = live.join(u, joinCond, "full_outer")
+    val hasUpdate = col(s"_uk_${keyCols.head}").isNotNull
+    val hasCurrent = col(keyCols.head).isNotNull
+    val attrsEqual =
+      if (attrCols.isEmpty) lit(true)
+      else attrCols.map(c => col(c) <=> col(s"_ua_$c")).reduce(_ && _)
+
+    val keptLive = j.where(hasCurrent && (!hasUpdate || attrsEqual))
+      .select(current.columns.map(col): _*)
+    val closed = j.where(hasCurrent && hasUpdate && !attrsEqual)
+      .select(current.columns.map(c =>
+        if (c == "valid_to") lit(effectiveTs).as("valid_to") else col(c)): _*)
+    val fresh = j.where(hasUpdate && (!hasCurrent || !attrsEqual))
+      .select(current.columns.map {
+        case c if keyCols.contains(c) => col(s"_uk_$c").as(c)
+        case c if attrCols.contains(c) => col(s"_ua_$c").as(c)
+        case "valid_from" => lit(effectiveTs).as("valid_from")
+        case "valid_to" => lit(null: String).cast("string").as("valid_to")
+      }: _*)
+    dead.unionByName(keptLive).unionByName(closed).unionByName(fresh)
+  }
 }

@@ -111,6 +111,30 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // SCD Type-2 dimension merge: pre-closed history untouched, changed
+    // keys closed + re-versioned, no-op updates suppressed, new keys
+    // inserted live — all four regimes in one merge, fully replayed
+    "q_scale_scd2" -> ((s, dir) => {
+      val cust = Tpch.read(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+      val hist0 = cust.select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+        lit("2024-01-01").as("valid_from"),
+        lit(null: String).cast("string").as("valid_to"))
+      val oldClosed = cust.where(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit("OLDSEG").as("c_mktsegment"), col("c_nationkey"),
+          lit("2023-01-01").as("valid_from"), lit("2024-01-01").as("valid_to"))
+      val current = oldClosed.unionByName(hist0)
+      val updates = cust.where(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"),
+            concat(col("c_mktsegment"), lit("_V2")).as("c_mktsegment"), col("c_nationkey"))
+        .unionByName(cust.where(col("c_custkey") % 7 === 1))  // no-op
+        .unionByName(cust.where(col("c_custkey") % 13 === 0)  // brand new keys
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_mktsegment"), col("c_nationkey")))
+      Scale.scd2Merge(current, updates, Seq("c_custkey"), "2024-06-01")
+        .orderBy("c_custkey", "valid_from")
+    }),
+
     // Join-strategy advisor over three regimes: a small dimension
     // (broadcast), a uniform key (plain shuffle at a forced-low broadcast
     // cutoff), and a planted 50%-hot key (salted, factor capped). Exact
@@ -520,6 +544,40 @@ object EventQueries {
         |       quantile_cont(cnt, 0.5) AS p50_cnt,
         |       quantile_cont(cnt, 0.99) AS p99_cnt
         |FROM c""".stripMargin,
+
+    "q_scale_scd2" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment, c_nationkey FROM customer),
+        |hist0 AS (SELECT c_custkey, c_mktsegment, c_nationkey,
+        |            '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to FROM c),
+        |oldc AS (SELECT c_custkey, 'OLDSEG' AS c_mktsegment, c_nationkey,
+        |           '2023-01-01' AS valid_from, '2024-01-01' AS valid_to
+        |         FROM c WHERE c_custkey % 10 = 0),
+        |cur AS (SELECT * FROM oldc UNION ALL SELECT * FROM hist0),
+        |upd AS (SELECT c_custkey, c_mktsegment || '_V2' AS c_mktsegment, c_nationkey
+        |        FROM c WHERE c_custkey % 7 = 0
+        |        UNION ALL SELECT c_custkey, c_mktsegment, c_nationkey
+        |        FROM c WHERE c_custkey % 7 = 1
+        |        UNION ALL SELECT c_custkey + 1000000, c_mktsegment, c_nationkey
+        |        FROM c WHERE c_custkey % 13 = 0),
+        |live AS (SELECT * FROM cur WHERE valid_to IS NULL),
+        |dead AS (SELECT * FROM cur WHERE valid_to IS NOT NULL),
+        |j AS (SELECT l.c_custkey, l.c_mktsegment, l.c_nationkey, l.valid_from, l.valid_to,
+        |             u.c_custkey AS uk, u.c_mktsegment AS useg, u.c_nationkey AS unat
+        |      FROM live l FULL OUTER JOIN upd u ON l.c_custkey = u.c_custkey),
+        |kept AS (SELECT c_custkey, c_mktsegment, c_nationkey, valid_from, valid_to FROM j
+        |         WHERE c_custkey IS NOT NULL AND (uk IS NULL OR
+        |           (c_mktsegment IS NOT DISTINCT FROM useg AND c_nationkey IS NOT DISTINCT FROM unat))),
+        |closed AS (SELECT c_custkey, c_mktsegment, c_nationkey, valid_from,
+        |             '2024-06-01' AS valid_to FROM j
+        |           WHERE c_custkey IS NOT NULL AND uk IS NOT NULL AND NOT
+        |             (c_mktsegment IS NOT DISTINCT FROM useg AND c_nationkey IS NOT DISTINCT FROM unat)),
+        |fresh AS (SELECT uk AS c_custkey, useg AS c_mktsegment, unat AS c_nationkey,
+        |            '2024-06-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to FROM j
+        |          WHERE uk IS NOT NULL AND (c_custkey IS NULL OR NOT
+        |            (c_mktsegment IS NOT DISTINCT FROM useg AND c_nationkey IS NOT DISTINCT FROM unat)))
+        |SELECT * FROM dead UNION ALL SELECT * FROM kept
+        |UNION ALL SELECT * FROM closed UNION ALL SELECT * FROM fresh
+        |ORDER BY c_custkey, valid_from""".stripMargin,
 
     // per-scenario exact stats + d=2 x w=128 CMS inner-product replays +
     // the decision ladder with the operator's exact float-op order

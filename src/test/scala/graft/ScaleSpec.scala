@@ -328,4 +328,42 @@ class ScaleSpec extends SparkSpec {
     assert(e.getAs[Long]("n_right") == 0L &&
       e.getAs[String]("recommendation") == "broadcast_right")
   }
+
+  test("scd2Merge: close+reversion, no-op suppression, inserts, null-safe attrs, idempotence") {
+    def hist(rows: (Long, String, String, String)*) =
+      rows.toSeq.toDF("k", "seg", "valid_from", "valid_to")
+    val current = hist(
+      (1L, "A", "2023-01-01", "2024-01-01"),  // pre-closed: must never move
+      (1L, "B", "2024-01-01", null),          // live, will change
+      (2L, "C", "2024-01-01", null),          // live, no-op update
+      (3L, null, "2024-01-01", null),         // live with NULL attr
+      (4L, "D", "2024-01-01", null))          // live, no update at all
+    val updates = Seq(
+      (1L, "B2"), (2L, "C"), (3L, (null: String)), (5L, "E")).toDF("k", "seg")
+    val out = Scale.scd2Merge(current, updates, Seq("k"), "2024-06-01")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(out == Set(
+      (1L, "A", "2023-01-01", "2024-01-01"),   // dead untouched
+      (1L, "B", "2024-01-01", "2024-06-01"),   // closed
+      (1L, "B2", "2024-06-01", null),          // new version
+      (2L, "C", "2024-01-01", null),           // no-op suppressed: SAME row
+      (3L, null, "2024-01-01", null),          // null <=> null: no-op
+      (4L, "D", "2024-01-01", null),           // unmentioned key kept
+      (5L, "E", "2024-06-01", null)), out.toString) // brand-new key
+    // idempotence: re-applying the same updates at a later ts changes nothing
+    val again = Scale.scd2Merge(
+        hist(out.toSeq.map(t => (t._1, t._2, t._3, t._4)): _*),
+        updates, Seq("k"), "2024-12-01")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(again == out, "second merge of identical updates must be a no-op")
+    // a null attr changing TO a value is a real change (null-safe compare)
+    val flip = Scale.scd2Merge(current, Seq((3L, "NOW")).toDF("k", "seg"), Seq("k"), "2024-06-01")
+      .where(col("k") === 3L)
+      .collect().map(r => (r.getString(1), r.getString(3))).toSet
+    assert(flip == Set((null, "2024-06-01"), ("NOW", null)), flip.toString)
+    // duplicate update keys fail loud
+    intercept[IllegalArgumentException] {
+      Scale.scd2Merge(current, Seq((1L, "X"), (1L, "Y")).toDF("k", "seg"), Seq("k"), "2024-06-01")
+    }
+  }
 }
