@@ -348,5 +348,18 @@ class PlanAuditSpec extends SparkSpec {
     // only NLJ attaches are the one-row/labels-sized broadcast stats
     val nb = plan("q_text_nb_classify")
     assert(!nb.contains("CartesianProduct"), s"nb classify planned a cartesian:\n$nb")
+    // BM25F: query terms broadcast into the weighted postings, wdl attach
+    // is an equi-join — never a cartesian, and the term filter broadcasts
+    val bf = plan("q_ret_bm25f")
+    assert(bf.contains("BroadcastHashJoin"), bf)
+    assert(!bf.contains("CartesianProduct"), s"bm25f planned a cartesian:\n$bf")
+    // SCD2: the full-outer merge SPECIALIZES per branch — each union arm's
+    // null-filter lets Catalyst rewrite the FullOuter into an Inner /
+    // LeftOuter / RightOuter HASH join (broadcast at this scale) — never
+    // a cartesian or NLJ, and always an equi-join on the key
+    val scd = plan("q_scale_scd2")
+    assert(scd.contains("HashJoin"), scd)
+    assert(!scd.contains("CartesianProduct") && !scd.contains("BroadcastNestedLoopJoin"),
+      s"scd2 planned a cartesian/NLJ:\n$scd")
   }
 }
