@@ -308,6 +308,33 @@ object Corpus {
   }
 
   /**
+   * Deterministic stratified interleave: attaches an `ord` column holding
+   * the row's 0-based rank WITHIN its group under the salted-hash shuffle
+   * — sorting by `(ord, <tiebreak>)` yields a round-robin training order
+   * where rank r of every group precedes rank r+1 of any group. Unlike
+   * [[withShuffleOrder]]'s iid order (whose short prefixes can be
+   * arbitrarily unbalanced), ANY prefix of the interleaved order carries
+   * every still-unexhausted group in equal proportion — the stable
+   * per-batch source mix some training recipes want at batch granularity
+   * rather than in expectation. Same reproducibility contract as every
+   * hash-ordered op: a pure function of (id, salt).
+   *
+   * One exchange (window partitioned by group). A group spanning many
+   * partitions sorts within its window — for pathologically dominant
+   * groups compose with [[sampleByTemperature]]/[[capPerGroup]] first.
+   */
+  def withInterleaveOrder(
+      df: DataFrame, idCol: String, groupCol: String,
+      salt: String = ""): DataFrame = {
+    require(!df.columns.contains("ord"),
+      "withInterleaveOrder writes a reserved 'ord' column, but the input already has one")
+    val w = Window.partitionBy(groupCol).orderBy(
+      TextOps.hash32(concat(lit(s"ileave:$salt:"), col(idCol).cast("string"))),
+      col(idCol))
+    df.withColumn("ord", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /**
    * Per-group quota cap: at most `n` rows per group, keeping the rows that
    * rank FIRST under `rankBy` — the per-domain document cap every web-corpus
    * recipe applies so no single site dominates the training mix (rank by

@@ -1381,6 +1381,13 @@ object LlmQueries {
         .select("doc_id", "ord")
         .orderBy("ord", "doc_id")),
 
+    // Stratified round-robin interleave: rank r of every lang precedes
+    // rank r+1 of any lang — stable per-batch source mix
+    "q_corpus_interleave" -> ((s, dir) =>
+      Corpus.withInterleaveOrder(docs(s, dir), "doc_id", "lang")
+        .select("doc_id", "lang", "ord")
+        .orderBy("ord", "lang", "doc_id")),
+
     // Composite curation gate: all failed quality rules per doc, one pass
     "q_text_curation" -> ((s, dir) => {
       GraftExtensions.register(s)
@@ -2926,6 +2933,13 @@ object LlmQueries {
       """SELECT doc_id,
         |  ('0x' || substr(md5('shuffle::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS ord
         |FROM documents ORDER BY ord, doc_id""".stripMargin,
+
+    "q_corpus_interleave" ->
+      """SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY
+        |    ('0x' || substr(md5('ileave::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |    doc_id) - 1 AS BIGINT) AS ord
+        |FROM documents ORDER BY ord, lang, doc_id""".stripMargin,
 
     "q_text_curation" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),

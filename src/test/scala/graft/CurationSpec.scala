@@ -208,6 +208,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("withInterleaveOrder: every prefix is group-balanced until a group exhausts") {
+    import graft.ops.Corpus
+    val df = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (1001 to 1030).map(i => (i.toLong, "mid")) ++
+      (2001 to 2010).map(i => (i.toLong, "small"))).toDF("id", "g")
+    val ordered = Corpus.withInterleaveOrder(df, "id", "g")
+      .orderBy("ord", "g", "id")
+      .select("g").as[String].collect()
+    // while all 3 groups live (first 30 ranks): every 3-row window has one of each
+    for (k <- Seq(1, 5, 10)) {
+      val prefix = ordered.take(k * 3)
+      assert(prefix.count(_ == "big") == k && prefix.count(_ == "mid") == k &&
+        prefix.count(_ == "small") == k, s"prefix ${k * 3} unbalanced")
+    }
+    // after small (10) exhausts, big and mid stay balanced until mid (30) runs out
+    val after = ordered.drop(30).take(40) // ranks 10..29 of big+mid
+    assert(after.count(_ == "big") == 20 && after.count(_ == "mid") == 20)
+    // deterministic and reserved-column guarded
+    assert(Corpus.withInterleaveOrder(df, "id", "g")
+      .orderBy("ord", "g", "id").select("id").as[Long].collect().toSeq ==
+      Corpus.withInterleaveOrder(df, "id", "g")
+        .orderBy("ord", "g", "id").select("id").as[Long].collect().toSeq)
+    intercept[IllegalArgumentException] {
+      Corpus.withInterleaveOrder(df.withColumn("ord", lit(1)), "id", "g")
+    }
+  }
+
   test("splitLeakageAudit: silent on unique content, counts cross-split dup mass exactly") {
     import graft.ops.Corpus
     val unique = (1 to 200).map(i => (i.toLong, s"doc number $i")).toDF("id", "text")
