@@ -92,6 +92,62 @@ object Profile {
    * semantics differ across engines) and the per-row arithmetic is a
    * single subtract/divide/floor chain — IEEE-identical everywhere.
    */
+  /**
+   * Exact pairwise Pearson correlations over numeric columns in ONE
+   * aggregate pass — the "which quality signals are redundant?" question
+   * every feature/score audit asks before pruning columns. Values are
+   * quantized to integers (`floor(x·scale)` — IEEE-identical on every
+   * engine, the [[graft.ops.Similarity]] moment discipline) so the
+   * accumulated sums are EXACT and order-independent; correlations derive
+   * from the integer moments in closed form and round to 4 dp. Rows with
+   * a null in ANY column are excluded (complete-case, the standard
+   * pairwise-consistent choice). Output: one row per unordered pair
+   * `(col_a, col_b, n, corr)` with the pair ordered by the INPUT column
+   * sequence; a zero-variance column yields null corr (undefined, not ±1).
+   *
+   * Partials are `2 + d + d(d+1)/2` longs regardless of row count; the
+   * documented overflow bound is `N · (scale·max|x|)² < 2⁶³` (the
+   * [[graft.expressions.MomentMatrix]] analysis — at scale 10³ and values
+   * up to 10⁴, ~9·10⁴ billion rows).
+   */
+  def correlations(
+      df: DataFrame, cols: Seq[String], scale: Long = 1000L): DataFrame = {
+    require(cols.size >= 2, s"correlations needs at least 2 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, "duplicate columns")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val base = df.where(cols.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(cols.map(c =>
+        floor(col(c).cast("double") * scale).cast("long").as(s"_q_$c")): _*)
+    val sums =
+      count(lit(1)).as("_n") +:
+        cols.map(c => sum(col(s"_q_$c")).as(s"_s_$c")) ++:
+        (for {
+          i <- cols.indices; j <- i until cols.size
+        } yield sum(col(s"_q_${cols(i)}") * col(s"_q_${cols(j)}"))
+          .as(s"_p_${i}_$j"))
+    val m = base.agg(sums.head, sums.tail: _*)
+    val pairs = for (i <- cols.indices; j <- (i + 1) until cols.size) yield (i, j)
+    pairs.map { case (i, j) =>
+      val (a, b) = (cols(i), cols(j))
+      // corr = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)·(n·Syy − Sy²)). The
+      // SUMS are exact integers; the derived products are computed in
+      // DOUBLE (casting each exact long first) so n·Sxy can never
+      // overflow a long — still a pure function of the exact sums with a
+      // fixed op order, so engines agree bit-for-bit and the 4-dp round
+      // holds. (Precision, not determinism, degrades in the extreme
+      // huge-mean/near-zero-corr regime — center first if that matters.)
+      def d(c: Column): Column = c.cast("double")
+      val n = d(col("_n"))
+      val num = n * d(col(s"_p_${i}_$j")) - d(col(s"_s_$a")) * d(col(s"_s_$b"))
+      val va = n * d(col(s"_p_${i}_$i")) - d(col(s"_s_$a")) * d(col(s"_s_$a"))
+      val vb = n * d(col(s"_p_${j}_$j")) - d(col(s"_s_$b")) * d(col(s"_s_$b"))
+      m.select(
+        lit(a).as("col_a"), lit(b).as("col_b"), col("_n").as("n"),
+        when(va > 0 && vb > 0, round(num / sqrt(va * vb), 4))
+          .otherwise(lit(null).cast("double")).as("corr"))
+    }.reduce(_ unionByName _)
+  }
+
   def histogram(
       df: DataFrame, c: String, lo: Double, hi: Double, bins: Int): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")

@@ -1388,6 +1388,17 @@ object LlmQueries {
         .select("doc_id", "lang", "ord")
         .orderBy("ord", "lang", "doc_id")),
 
+    // Exact one-pass correlation matrix over three length/diversity
+    // signals — the redundant-feature audit before pruning score columns
+    "q_profile_corr" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        col("n_chars").cast("double").as("n_chars"),
+        size(split(col("text"), " ")).cast("double").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("double").as("n_distinct"))
+      graft.ops.Profile.correlations(d, Seq("n_chars", "n_tokens", "n_distinct"))
+        .orderBy("col_a", "col_b")
+    }),
+
     // Composite curation gate: all failed quality rules per doc, one pass
     "q_text_curation" -> ((s, dir) => {
       GraftExtensions.register(s)
@@ -2940,6 +2951,36 @@ object LlmQueries {
         |    ('0x' || substr(md5('ileave::' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
         |    doc_id) - 1 AS BIGINT) AS ord
         |FROM documents ORDER BY ord, lang, doc_id""".stripMargin,
+
+    "q_profile_corr" ->
+      """WITH q AS (SELECT
+        |    CAST(floor(CAST(n_chars AS DOUBLE) * 1000) AS BIGINT) AS qa,
+        |    CAST(floor(CAST(len(string_split(text, ' ')) AS DOUBLE) * 1000) AS BIGINT) AS qb,
+        |    CAST(floor(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) * 1000) AS BIGINT) AS qc
+        |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |m AS (SELECT count(*) AS n,
+        |        SUM(qa) AS sa, SUM(qb) AS sb, SUM(qc) AS sc,
+        |        SUM(qa*qa) AS paa, SUM(qa*qb) AS pab, SUM(qa*qc) AS pac,
+        |        SUM(qb*qb) AS pbb, SUM(qb*qc) AS pbc, SUM(qc*qc) AS pcc
+        |      FROM q)
+        |SELECT 'n_chars' AS col_a, 'n_tokens' AS col_b, n,
+        |  round((CAST(n AS DOUBLE) * CAST(pab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(paa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(pbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 4) AS corr
+        |FROM m
+        |UNION ALL
+        |SELECT 'n_chars', 'n_distinct', n,
+        |  round((CAST(n AS DOUBLE) * CAST(pac AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sc AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(paa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(pcc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))), 4)
+        |FROM m
+        |UNION ALL
+        |SELECT 'n_tokens', 'n_distinct', n,
+        |  round((CAST(n AS DOUBLE) * CAST(pbc AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sc AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(pbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(pcc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))), 4)
+        |FROM m
+        |ORDER BY col_a, col_b""".stripMargin,
 
     "q_text_curation" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),

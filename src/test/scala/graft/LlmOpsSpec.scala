@@ -448,6 +448,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(p("v") == ((1L, 2L, "a", "b"))) // null excluded from distinct and extremes
   }
 
+  test("Profile: correlations — perfect +/-1, known value, zero-variance null, complete-case") {
+    import graft.ops.Profile
+    // y = 2x (corr +1), z = -x (corr -1 with both)
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0), (4.0, 8.0, -4.0))
+      .toDF("x", "y", "z")
+    val out = Profile.correlations(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out(("x", "y")) == 1.0 && out(("x", "z")) == -1.0 && out(("y", "z")) == -1.0, out.toString)
+    // hand-computed non-trivial value: x=(1,2,3), w=(1,3,2) → corr = 0.5
+    val hand = Profile.correlations(
+        Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0)).toDF("x", "w"), Seq("x", "w"))
+      .collect()(0)
+    assert(hand.getDouble(3) == 0.5, hand.toString)
+    // zero-variance column → null corr, not ±1 or NaN
+    val zv = Profile.correlations(
+        Seq((1.0, 7.0), (2.0, 7.0), (3.0, 7.0)).toDF("x", "c"), Seq("x", "c"))
+      .collect()(0)
+    assert(zv.isNullAt(3), zv.toString)
+    // complete-case: a null in ANY column drops the row everywhere
+    val withNull = Seq((Some(1.0), Some(2.0)), (None, Some(9.0)), (Some(3.0), Some(6.0)))
+      .toDF("x", "y")
+    val cc = Profile.correlations(withNull, "x" :: "y" :: Nil).collect()(0)
+    assert(cc.getLong(2) == 2L && cc.getDouble(3) == 1.0, cc.toString)
+  }
+
   test("Profile: histogram clamps the closed upper edge and drops out-of-range") {
     val df = Seq(0.0, 5.0, 9.99, 10.0, -0.1, 10.1).toDF("x")
     val h = graft.ops.Profile.histogram(df, "x", 0.0, 10.0, 2)
