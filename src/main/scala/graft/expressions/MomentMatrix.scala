@@ -53,7 +53,11 @@ object MomentMatrix {
         s"moment_matrix(dims=$d) got a vector of length ${vec.numElements()}")
       var i = 0
       while (i < d) {
-        q(i) = math.floor(vec.getFloat(i).toDouble * scale).toLong
+        // null elements quantize to 0 — PcaProject's convention, so the
+        // moments a model trains from and the projection it serves agree
+        q(i) =
+          if (vec.isNullAt(i)) 0L
+          else math.floor(vec.getFloat(i).toDouble * scale).toLong
         i += 1
       }
       cells(0) += 1L
@@ -161,7 +165,9 @@ object MomentMatrix {
       cells(0) += 1L
       var i = 0
       while (i < d) {
-        cells(1 + i) += math.floor(vec.getFloat(i).toDouble * scale).toLong
+        // null elements quantize to 0 (PcaProject convention; see Moments)
+        if (!vec.isNullAt(i))
+          cells(1 + i) += math.floor(vec.getFloat(i).toDouble * scale).toLong
         i += 1
       }
     }

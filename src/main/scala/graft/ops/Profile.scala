@@ -109,43 +109,56 @@ object Profile {
    * documented overflow bound is `N · (scale·max|x|)² < 2⁶³` (the
    * [[graft.expressions.MomentMatrix]] analysis — at scale 10³ and values
    * up to 10⁴, ~9·10⁴ billion rows).
+   *
+   * Plan shape (the wide-d discipline): the moments land in ONE aggregate
+   * row as two arrays (`_s` per-column sums, `_p` upper-triangle products),
+   * and the d(d−1)/2 output rows come from exploding a LITERAL pair table
+   * against it — one aggregate subtree + one Generate, so at d = 64 the
+   * plan is 2 nodes, not 2 016 union arms each re-deriving the aggregate
+   * (analysis/optimizer cost linear in d², correctness never leaning on
+   * ReusedExchange).
    */
   def correlations(
       df: DataFrame, cols: Seq[String], scale: Long = 1000L): DataFrame = {
     require(cols.size >= 2, s"correlations needs at least 2 columns, got ${cols.size}")
     require(cols.distinct.size == cols.size, "duplicate columns")
     require(scale > 0, s"scale must be positive, got $scale")
+    val nc = cols.size
     val base = df.where(cols.map(c => col(c).isNotNull).reduce(_ && _))
       .select(cols.map(c =>
         floor(col(c).cast("double") * scale).cast("long").as(s"_q_$c")): _*)
-    val sums =
-      count(lit(1)).as("_n") +:
-        cols.map(c => sum(col(s"_q_$c")).as(s"_s_$c")) ++:
-        (for {
-          i <- cols.indices; j <- i until cols.size
-        } yield sum(col(s"_q_${cols(i)}") * col(s"_q_${cols(j)}"))
-          .as(s"_p_${i}_$j"))
-    val m = base.agg(sums.head, sums.tail: _*)
-    val pairs = for (i <- cols.indices; j <- (i + 1) until cols.size) yield (i, j)
-    pairs.map { case (i, j) =>
-      val (a, b) = (cols(i), cols(j))
-      // corr = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)·(n·Syy − Sy²)). The
-      // SUMS are exact integers; the derived products are computed in
-      // DOUBLE (casting each exact long first) so n·Sxy can never
-      // overflow a long — still a pure function of the exact sums with a
-      // fixed op order, so engines agree bit-for-bit and the 4-dp round
-      // holds. (Precision, not determinism, degrades in the extreme
-      // huge-mean/near-zero-corr regime — center first if that matters.)
-      def d(c: Column): Column = c.cast("double")
-      val n = d(col("_n"))
-      val num = n * d(col(s"_p_${i}_$j")) - d(col(s"_s_$a")) * d(col(s"_s_$b"))
-      val va = n * d(col(s"_p_${i}_$i")) - d(col(s"_s_$a")) * d(col(s"_s_$a"))
-      val vb = n * d(col(s"_p_${j}_$j")) - d(col(s"_s_$b")) * d(col(s"_s_$b"))
-      m.select(
-        lit(a).as("col_a"), lit(b).as("col_b"), col("_n").as("n"),
+    // 1-based flat index of the (i, j) cross product (i <= j) within `_p`
+    def tri(i: Int, j: Int): Int = i * nc - i * (i - 1) / 2 + (j - i) + 1
+    val m = base.agg(
+      count(lit(1)).as("_n"),
+      array(cols.map(c => sum(col(s"_q_$c"))): _*).as("_s"),
+      array((for { i <- cols.indices; j <- i until nc }
+        yield sum(col(s"_q_${cols(i)}") * col(s"_q_${cols(j)}"))): _*).as("_p"))
+    val pairTable = array((for { i <- cols.indices; j <- (i + 1) until nc } yield
+      struct(
+        lit(cols(i)).as("a"), lit(cols(j)).as("b"),
+        lit(i + 1).as("si"), lit(j + 1).as("sj"),
+        lit(tri(i, j)).as("pij"), lit(tri(i, i)).as("pii"),
+        lit(tri(j, j)).as("pjj"))): _*)
+    // corr = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)·(n·Syy − Sy²)). The
+    // SUMS are exact integers; the derived products are computed in
+    // DOUBLE (casting each exact long first) so n·Sxy can never
+    // overflow a long — still a pure function of the exact sums with a
+    // fixed op order, so engines agree bit-for-bit and the 4-dp round
+    // holds. (Precision, not determinism, degrades in the extreme
+    // huge-mean/near-zero-corr regime — center first if that matters.)
+    def d(c: Column): Column = c.cast("double")
+    def s(idx: Column): Column = d(element_at(col("_s"), idx))
+    def p(idx: Column): Column = d(element_at(col("_p"), idx))
+    val n = d(col("_n"))
+    val num = n * p(col("pr.pij")) - s(col("pr.si")) * s(col("pr.sj"))
+    val va = n * p(col("pr.pii")) - s(col("pr.si")) * s(col("pr.si"))
+    val vb = n * p(col("pr.pjj")) - s(col("pr.sj")) * s(col("pr.sj"))
+    m.select(col("_n"), col("_s"), col("_p"), explode(pairTable).as("pr"))
+      .select(
+        col("pr.a").as("col_a"), col("pr.b").as("col_b"), col("_n").as("n"),
         when(va > 0 && vb > 0, round(num / sqrt(va * vb), 4))
           .otherwise(lit(null).cast("double")).as("corr"))
-    }.reduce(_ unionByName _)
   }
 
   def histogram(

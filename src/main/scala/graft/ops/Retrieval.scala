@@ -462,7 +462,16 @@ object Retrieval {
         .as("idcg"))
     val nrel = qrels.where(col("grade") > 0)
       .groupBy("qid").agg(count(lit(1)).as("n_rel"))
-    perQ
+    // evaluate over the JUDGED query set (the trec_eval convention): a
+    // query present in qrels that retrieved zero results must emit a
+    // zeroed row, not vanish — dropping it would overstate macro-averages
+    val allQ = results.select(col("qid"))
+      .unionByName(qrels.select(col("qid"))).distinct()
+    allQ
+      .join(perQ, Seq("qid"), "left")
+      .withColumn("dcg", coalesce(col("dcg"), lit(0.0)))
+      .withColumn("mrr", coalesce(col("mrr"), lit(0.0)))
+      .withColumn("n_rel_ret", coalesce(col("n_rel_ret"), lit(0L)))
       .join(ideal, Seq("qid"), "left")
       .join(nrel, Seq("qid"), "left")
       .select(

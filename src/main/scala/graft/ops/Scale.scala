@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -321,7 +322,9 @@ object Scale {
    * gives as-of reads of the whole dimension.
    *
    * `updates` must not carry duplicate keys (two versions of one key in a
-   * single batch have no defined order) — enforced with a fail-loud check.
+   * single batch have no defined order) — enforced fail-loud INSIDE the
+   * merge plan (a window count feeding `raise_error` on the update side),
+   * so the guard costs no extra eager pass: the operator is one job.
    */
   def scd2Merge(
       current: DataFrame, updates: DataFrame, keyCols: Seq[String],
@@ -336,19 +339,28 @@ object Scale {
     require(updates.columns.toSet == expected,
       s"updates columns ${updates.columns.sorted.mkString(",")} must be exactly " +
         s"keys+attrs ${expected.toSeq.sorted.mkString(",")}")
-    val dupKeys = updates.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("_n")).where(col("_n") > 1).limit(1).count()
-    require(dupKeys == 0, "updates carry duplicate keys — one version per key per merge")
 
     val dead = current.where(col("valid_to").isNotNull)
     val live = current.where(col("valid_to").isNull)
-    val u = updates.select(
-      keyCols.map(c => col(c).as(s"_uk_$c")) ++
-        attrCols.map(c => col(c).as(s"_ua_$c")): _*)
+    // `_rhs` doubles as the presence marker AND the in-plan duplicate-key
+    // guard: every merge branch evaluates it, so a batch with two versions
+    // of one key fails loud before anything merges — no second scan of
+    // `updates` (the window count shares the key exchange the join needs)
+    val dupW = Window.partitionBy(keyCols.map(col): _*)
+    val u = updates
+      .withColumn("_dupn", count(lit(1)).over(dupW))
+      .select(
+        keyCols.map(c => col(c).as(s"_uk_$c")) ++
+          attrCols.map(c => col(c).as(s"_ua_$c")) :+
+          when(col("_dupn") > 1, raise_error(lit(
+            "updates carry duplicate keys — one version per key per merge")))
+            .otherwise(lit(true)).as("_rhs"): _*)
     val joinCond = keyCols.map(c => col(c) === col(s"_uk_$c")).reduce(_ && _)
-    val j = live.join(u, joinCond, "full_outer")
-    val hasUpdate = col(s"_uk_${keyCols.head}").isNotNull
-    val hasCurrent = col(keyCols.head).isNotNull
+    // presence flags, NOT key-null checks: a live row whose first key
+    // column is null must still ride through (it can never equi-join)
+    val j = live.withColumn("_lhs", lit(true)).join(u, joinCond, "full_outer")
+    val hasUpdate = col("_rhs").isNotNull
+    val hasCurrent = col("_lhs").isNotNull
     val attrsEqual =
       if (attrCols.isEmpty) lit(true)
       else attrCols.map(c => col(c) <=> col(s"_ua_$c")).reduce(_ && _)

@@ -2146,12 +2146,21 @@ object Similarity {
     * [[graft.expressions.MomentMatrix]] for layout and the
     * `N < 2⁶³/scale²` exactness bound). The single collect is one bounded
     * array (1 + d + d(d+1)/2 longs), the legitimate driver-side shape. */
+  /** The quantization scale rides the SQL surface as an int literal —
+    * fail loud on a value that would silently truncate (training would
+    * then quantize at a different scale than [[PcaModel.scale]] serves). */
+  private def quantScaleLit(scale: Long, fn: String): Column = {
+    require(scale >= 1 && scale <= Int.MaxValue,
+      s"$fn scale must be in [1, ${Int.MaxValue}], got $scale")
+    lit(scale.toInt)
+  }
+
   def momentMatrix(
       emb: DataFrame, dims: Int,
       vecCol: String = "embedding", scale: Long = 1000L): Array[Long] = {
     graft.GraftExtensions.register(emb.sparkSession)
     emb.agg(call_function("moment_matrix",
-        col(vecCol), lit(dims), lit(scale.toInt)).as("m"))
+        col(vecCol), lit(dims), quantScaleLit(scale, "momentMatrix")).as("m"))
       .collect()(0).getSeq[Long](0).toArray
   }
 
@@ -2238,7 +2247,7 @@ object Similarity {
       vecCol: String = "embedding", scale: Long = 1000L): DataFrame = {
     graft.GraftExtensions.register(emb.sparkSession)
     emb.agg(call_function("moment_matrix",
-        col(vecCol), lit(dims), lit(scale.toInt)).as("m"))
+        col(vecCol), lit(dims), quantScaleLit(scale, "momentFrame")).as("m"))
       .select(lit(dims).as("dims"), lit(scale).as("scale"), col("m"))
   }
 
@@ -2285,7 +2294,7 @@ object Similarity {
     graft.GraftExtensions.register(df.sparkSession)
     df.groupBy(col(groupCol))
       .agg(call_function("vec_sum",
-        col(vecCol), lit(dims), lit(scale.toInt)).as("_s"))
+        col(vecCol), lit(dims), quantScaleLit(scale, "meanPool")).as("_s"))
       .select(
         col(groupCol),
         element_at(col("_s"), 1).as("n"),

@@ -88,7 +88,12 @@ object IngestPipeline {
     // still grows PER BATCH so intra-group duplicates drop correctly
     var pending: Option[DataFrame] = None
     var batchesSinceCommit = 0
-    def flushPending(): Unit = synchronized {
+    // one lock guards pending/batchesSinceCommit on BOTH threads: the
+    // foreachBatch thread's read-modify-write and a Handle.flush from a
+    // shutdown hook — an unguarded race could commit-and-release the
+    // buffer while a batch is still unioning into it
+    val pendingLock = new Object
+    def flushPending(): Unit = pendingLock.synchronized {
       pending.foreach { p =>
         ManifestStore.upsert(p, tablePath, partCol, Seq(partCol, idCol), spark)
         DriftStream.release(p)
@@ -121,13 +126,17 @@ object IngestPipeline {
             .localCheckpoint() // eager: safe to drop the predecessor now
           DriftStream.release(seenFps)
           seenFps = grown
-          val buffered = pending.fold(fresh)(_.unionByName(fresh))
-            .localCheckpoint() // eager: fresh + old buffer releasable below
-          pending.foreach(DriftStream.release)
-          pending = Some(buffered)
+          pendingLock.synchronized {
+            val buffered = pending.fold(fresh)(_.unionByName(fresh))
+              .localCheckpoint() // eager: fresh + old buffer releasable below
+            pending.foreach(DriftStream.release)
+            pending = Some(buffered)
+          }
         }
-        batchesSinceCommit += 1
-        if (batchesSinceCommit >= commitEvery) flushPending()
+        pendingLock.synchronized {
+          batchesSinceCommit += 1
+          if (batchesSinceCommit >= commitEvery) flushPending()
+        }
         onReport(BatchReport(id, nIn, psi, psi > psiThreshold, nAdmitted, nFresh))
       } finally {
         if (fresh != null) DriftStream.release(fresh)

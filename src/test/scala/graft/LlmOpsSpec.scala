@@ -473,6 +473,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(cc.getLong(2) == 2L && cc.getDouble(3) == 1.0, cc.toString)
   }
 
+  test("Profile: correlations at d=32 — one aggregate subtree, all pairs derived") {
+    import graft.ops.Profile
+    val d = 32
+    val colNames = (0 until d).map(i => s"c$i")
+    // c_i = a deterministic linear+offset family: c_i = (i+1)*t + i, so
+    // every pair correlates exactly +1 (linear in the same t)
+    val rows = (1 to 50).map { t =>
+      org.apache.spark.sql.Row.fromSeq(
+        (0 until d).map(i => (i + 1.0) * t + i))
+    }
+    val schema = org.apache.spark.sql.types.StructType(colNames.map(c =>
+      org.apache.spark.sql.types.StructField(
+        c, org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val corr = Profile.correlations(df, colNames, scale = 1000L)
+    // the wide-d discipline: ONE aggregate subtree + a literal pair
+    // explode — never d(d-1)/2 union arms each re-deriving the aggregate
+    val nAgg = corr.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    assert(nAgg == 1, s"correlations must plan exactly 1 aggregate, got $nAgg")
+    val out = corr.collect()
+    assert(out.length == d * (d - 1) / 2, s"expected ${d * (d - 1) / 2} pairs")
+    assert(out.forall(r => r.getLong(2) == 50L && r.getDouble(3) == 1.0),
+      out.filterNot(r => r.getDouble(3) == 1.0).take(3).mkString("; "))
+  }
+
   test("Profile: histogram clamps the closed upper edge and drops out-of-range") {
     val df = Seq(0.0, 5.0, 9.99, 10.0, -0.1, 10.1).toDF("x")
     val h = graft.ops.Profile.histogram(df, "x", 0.0, 10.0, 2)

@@ -189,8 +189,10 @@ class RetrievalSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble)    // 2 of 3 judged relevant
     // q2 has no judged relevant docs at all: everything 0
     assert(out(2L) == ((0.0, 0.0, 0.0, 0.0)))
-    // q3 never appears in results -> not evaluated
-    assert(!out.contains(3L))
+    // q3 is judged but retrieved NOTHING -> a zeroed row (the trec_eval
+    // convention: evaluate over the judged query set; silently dropping
+    // it would overstate every macro-average)
+    assert(out(3L) == ((0.0, 0.0, 0.0, 0.0)))
   }
 
   test("bm25Rm3Indexed == direct bm25Rm3 over the same corpus") {

@@ -361,9 +361,30 @@ class ScaleSpec extends SparkSpec {
       .where(col("k") === 3L)
       .collect().map(r => (r.getString(1), r.getString(3))).toSet
     assert(flip == Set((null, "2024-06-01"), ("NOW", null)), flip.toString)
-    // duplicate update keys fail loud
-    intercept[IllegalArgumentException] {
-      Scale.scd2Merge(current, Seq((1L, "X"), (1L, "Y")).toDF("k", "seg"), Seq("k"), "2024-06-01")
+    // duplicate update keys fail loud — the guard lives INSIDE the merge
+    // plan (raise_error over a window count: one job, no extra eager
+    // pass), so it fires when the merge executes
+    val ex = intercept[Exception] {
+      Scale.scd2Merge(current,
+        Seq((1L, "X"), (1L, "Y")).toDF("k", "seg"), Seq("k"), "2024-06-01")
+        .collect()
     }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("duplicate keys")), ex.toString)
+    // a live row whose key is NULL can never equi-join an update — the
+    // presence flags (not key-null checks) must carry it through untouched
+    val nullKey = Seq[(java.lang.Long, String, String, String)](
+      (null, "NK", "2024-01-01", null), (6L, "F", "2024-01-01", null))
+      .toDF("k", "seg", "valid_from", "valid_to")
+    val nkOut = Scale.scd2Merge(
+        nullKey, Seq((6L, "F2")).toDF("k", "seg"), Seq("k"), "2024-06-01")
+      .collect().map(r =>
+        (if (r.isNullAt(0)) null else r.getLong(0): java.lang.Long,
+          r.getString(1), r.getString(3))).toSet
+    assert(nkOut == Set(
+      (null: java.lang.Long, "NK", null),
+      (6L: java.lang.Long, "F", "2024-06-01"),
+      (6L: java.lang.Long, "F2", null)), nkOut.toString)
   }
 }
