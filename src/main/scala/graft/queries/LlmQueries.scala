@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 import graft.GraftExtensions
-import graft.ops.{Corpus, Dedup, Multimodal, Pii, Retrieval, Similarity, TextOps}
+import graft.ops.{Corpus, Dedup, MinhashIndex, Multimodal, Pii, Retrieval, Similarity, TextOps}
 import graft.sources.Jsonl
 
 /**
@@ -144,6 +144,30 @@ object LlmQueries {
       Retrieval.writeLexIndex(d, path)
       Retrieval.deleteFromLexIndex(
         d.where(col("doc_id") % 7 === 3).select("doc_id"), path)
+    }
+    path
+  }
+
+  /** Build-once memo for the persisted INCREMENTAL minhash index over
+    * [[docsWithNearDups]]: built from the even-id half, the odd-id half
+    * appended via [[MinhashIndex.appendToMinhashIndex]] (signing only that
+    * batch) — so the measured serving line reads stored band rows and
+    * never re-signs the corpus, the exact rerun economics the one-shot
+    * `q_dedup_minhash_lsh` lacks. Same layout-versioned, corpus-
+    * fingerprinted scratch discipline as [[persistedIndex]]. */
+  private def minhashIndexDir(s: SparkSession, dir: String): String = {
+    val d = docs(s, dir)
+    val fp = d.agg(count(lit(1)), max(col("doc_id"))).collect()(0)
+    val path =
+      s"${sys.props("java.io.tmpdir")}/graft_mh_index_v1/" +
+        s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
+    if (!MinhashIndex.minhashIndexCommitted(path)) {
+      val all = docsWithNearDups(s, dir)
+      MinhashIndex.writeMinhashIndex(
+        all.where(col("doc_id") % 2 === 0), path,
+        numHashes = 16, bands = 8, shingle = 3)
+      MinhashIndex.appendToMinhashIndex(
+        all.where(col("doc_id") % 2 === 1), path, maxOccupancy = 64)
     }
     path
   }
@@ -712,6 +736,23 @@ object LlmQueries {
           // oracle applies the identical cap, and at ≤ sf0.1 it never
           // binds (max occupancy ~41)
           maxOccupancy = 64)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // The SAME near-dup detection served from the PERSISTED INCREMENTAL
+    // minhash index (built from the even-id half, odd half appended —
+    // only that batch was ever signed): candidate pairs come from stored
+    // band rows, the corpus is re-read only to Jaccard-verify the
+    // candidates. Shares q_dedup_minhash_lsh's oracle chain verbatim —
+    // the incremental index must collide identically to one-shot banding.
+    "q_dedup_minhash_inc" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val cands = MinhashIndex.candidatePairsIndexed(
+        s, minhashIndexDir(s, dir), maxOccupancy = 64)
+      Dedup.verifyJaccard(
+          cands, docsWithNearDups(s, dir), "doc_id", "text",
+          shingle = 3, minJaccard = 0.35)
+        .where(col("jaccard") >= 0.35)
         .orderBy("id_a", "id_b")
     }),
 
@@ -2035,6 +2076,30 @@ object LlmQueries {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash_lsh" ->
+      s"""WITH $mutCte,
+         |${shingleCte("alldocs")},
+         |h AS (SELECT id, sh, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
+         |mh AS (SELECT id, i, min((h * (2*i + 1) + (98765*i + 12345)) % 2147483647) AS mh
+         |       FROM h, range(16) t(i) GROUP BY id, i),
+         |bands AS (SELECT id, i // 2 AS band,
+         |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_key
+         |          FROM mh GROUP BY id, i // 2),
+         |occ AS (SELECT band, band_key FROM bands
+         |        GROUP BY band, band_key HAVING count(*) <= 64),
+         |bcap AS (SELECT b.id, b.band, b.band_key FROM bands b
+         |         JOIN occ o ON o.band = b.band AND o.band_key = b.band_key),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM bcap a JOIN bcap b
+         |           ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |$jaccardSql
+         |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The incremental index must collide EXACTLY like one-shot banding
+    // over the accumulated corpus (serving re-applies the occupancy cap to
+    // current totals), so the oracle chain is q_dedup_minhash_lsh's
+    // verbatim — the incremental construction is what's under test.
+    "q_dedup_minhash_inc" ->
       s"""WITH $mutCte,
          |${shingleCte("alldocs")},
          |h AS (SELECT id, sh, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, MinhashIndex}
+
+/**
+ * The persisted incremental MinHash-LSH index (round-12 verdict item 1):
+ * appends sign + band only the batch, serving equals one-shot candidate
+ * generation over the accumulated corpus, and the store follows the
+ * TombstoneSpec discipline — delete hides + adjusts occupancy exactly,
+ * compact retires tombstones physically with identical serving.
+ */
+class MinhashIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 30 docs in near-dup groups of 3: a long shared prefix per group, one
+  // trailing token varied per member — high-Jaccard triples the banding
+  // must catch, plus enough shared vocabulary for occasional random
+  // collisions (which parity must reproduce too, whatever they are)
+  private def corpus: DataFrame = (0 until 30).map { i =>
+    val g = i / 3
+    val shared = (0 until 12).map(k => s"w${(g * 7 + k * 3) % 19}").mkString(" ")
+    (i.toLong, s"$shared tail${i % 3} end$g")
+  }.toDF("doc_id", "text")
+
+  private def oneShot(df: DataFrame, cap: Int = Int.MaxValue): Set[(Long, Long)] =
+    pairSet(Dedup.candidatePairs(
+      Dedup.lshBands(
+        Dedup.minhashSignaturesNative(df, "doc_id", "text", 16, 3), 16, 8), cap))
+
+  private def pairSet(pairs: DataFrame): Set[(Long, Long)] =
+    pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("append signs only the batch; indexed serving == one-shot over the union; " +
+    "returned delta-pairs are exactly the new ones") {
+    val a = corpus.where($"doc_id" % 2 === 0)
+    val b = corpus.where($"doc_id" % 2 === 1)
+    val dir = tmpDir("mh_inc")
+    MinhashIndex.writeMinhashIndex(a, dir)
+    assert(MinhashIndex.minhashIndexCommitted(dir))
+
+    val newPairs = pairSet(MinhashIndex.appendToMinhashIndex(b, dir))
+    val union = oneShot(corpus)
+    val aOnly = oneShot(a)
+    assert(newPairs == union -- aOnly,
+      s"append must return exactly the pairs the batch introduces:\n" +
+        s"got ${newPairs.toSeq.sorted}\nwant ${(union -- aOnly).toSeq.sorted}")
+    assert(union.nonEmpty && newPairs.nonEmpty, "vacuous corpus — no collisions")
+
+    // the serving read equals one-shot over the union, capped or not
+    assert(pairSet(MinhashIndex.candidatePairsIndexed(spark, dir)) == union)
+    assert(pairSet(MinhashIndex.candidatePairsIndexed(spark, dir, maxOccupancy = 4)) ==
+      oneShot(corpus, cap = 4), "cap must re-apply over the accumulated corpus")
+
+    val st = MinhashIndex.minhashIndexStats(spark, dir).get
+    assert(st.segments == 2 && st.tombstoneGenerations == 0 && st.tombstonedIds == 0L)
+    assert(st.meta == MinhashIndex.MhMeta(16, 8, 3))
+  }
+
+  test("empty append is a no-op: empty pair frame, no new commit") {
+    val dir = tmpDir("mh_empty")
+    MinhashIndex.writeMinhashIndex(corpus, dir)
+    val verBefore = MinhashIndex.minhashIndexStats(spark, dir).get.version
+    val out = MinhashIndex.appendToMinhashIndex(corpus.limit(0), dir)
+    assert(out.isEmpty)
+    assert(MinhashIndex.minhashIndexStats(spark, dir).get.version == verBefore)
+  }
+
+  test("append to an uncommitted dir fails loud") {
+    val ex = intercept[IllegalStateException] {
+      MinhashIndex.appendToMinhashIndex(corpus, tmpDir("mh_none"))
+    }
+    assert(ex.getMessage.contains("no committed minhash index"))
+  }
+
+  test("delete: serving equals one-shot over the corpus minus the ids; " +
+    "later appends never pair against deleted docs and cap math stays exact") {
+    val a = corpus.where($"doc_id" < 20)
+    val dir = tmpDir("mh_del")
+    MinhashIndex.writeMinhashIndex(a, dir)
+    // delete one member of a near-dup triple so the law has teeth
+    val victims = Seq(0L, 3L)
+    MinhashIndex.deleteFromMinhashIndex(victims.toDF("doc_id"), dir)
+    val survivors = a.where(!$"doc_id".isin(victims: _*))
+    assert(pairSet(MinhashIndex.candidatePairsIndexed(spark, dir)) == oneShot(survivors),
+      "post-delete serving must equal one-shot over the remaining corpus")
+
+    // a later append joins only live docs, and its occupancy totals see the
+    // negative partials: parity against one-shot over survivors + batch
+    val b = corpus.where($"doc_id" >= 20)
+    val newPairs = pairSet(MinhashIndex.appendToMinhashIndex(b, dir))
+    val after = survivors.unionByName(b)
+    assert(newPairs == oneShot(after) -- oneShot(survivors))
+    assert(!newPairs.exists(p => victims.contains(p._1) || victims.contains(p._2)),
+      "a deleted doc resurfaced in append pairs")
+    assert(pairSet(MinhashIndex.candidatePairsIndexed(spark, dir)) == oneShot(after))
+
+    // idempotent re-delete: no change to serving, debt counted once per id
+    MinhashIndex.deleteFromMinhashIndex(victims.toDF("doc_id"), dir)
+    assert(pairSet(MinhashIndex.candidatePairsIndexed(spark, dir)) == oneShot(after))
+  }
+
+  test("compact: identical serving, tombstones retired physically, " +
+    "deleted ids become re-appendable, vacuum reclaims debris") {
+    val dir = tmpDir("mh_compact")
+    MinhashIndex.writeMinhashIndex(corpus.where($"doc_id" < 15), dir)
+    MinhashIndex.appendToMinhashIndex(corpus.where($"doc_id" >= 15), dir)
+    MinhashIndex.deleteFromMinhashIndex(Seq(1L, 4L).toDF("doc_id"), dir)
+    val before = pairSet(MinhashIndex.candidatePairsIndexed(spark, dir))
+
+    val retired = MinhashIndex.compactMinhashIndex(spark, dir)
+    assert(retired == 3, s"2 segments + 1 del generation, got $retired")
+    assert(pairSet(MinhashIndex.candidatePairsIndexed(spark, dir)) == before,
+      "compaction changed serving")
+    val st = MinhashIndex.minhashIndexStats(spark, dir).get
+    assert(st.segments == 1 && st.tombstoneGenerations == 0 && st.tombstonedIds == 0L)
+    assert(st.debrisGenerations == 3)
+    assert(MinhashIndex.vacuumMinhashIndex(spark, dir) == 3)
+    assert(MinhashIndex.minhashIndexStats(spark, dir).get.debrisGenerations == 0)
+    assert(pairSet(MinhashIndex.candidatePairsIndexed(spark, dir)) == before,
+      "vacuum touched live data")
+
+    // the tombstone contract: after compaction a deleted id can re-enter
+    val again = pairSet(MinhashIndex.appendToMinhashIndex(
+      corpus.where($"doc_id" === 1L), dir))
+    assert(again.exists(p => p._1 == 1L || p._2 == 1L),
+      "re-appended id 1 should pair with its surviving near-dup group")
+    // noop compact on a single tombstone-free segment
+    MinhashIndex.compactMinhashIndex(spark, dir) // merges the re-append segment
+    assert(MinhashIndex.compactMinhashIndex(spark, dir) == 0)
+  }
+}
