@@ -184,4 +184,88 @@ object Multimodal {
     val parts = math.max(1, (totalBytes / (targetMb.toLong << 20)).toInt)
     assets.repartition(parts, col("asset_id"))
   }
+
+  // -------------------------------------------------------------------------
+  // Decode-once FEATURE STORE — the rerun economics fix for media near-dup
+  // (round-12 verdict item 2): `image_ahash`/`audio_fingerprint`/decode
+  // stats are pure per-asset functions of the payload bytes, yet every
+  // near-dup rerun was re-decoding all pixels (the 58× 100×-scale outlier
+  // in BENCH_SCALE100X). Decoding belongs at INGEST, exactly once; the
+  // store persists the features as a manifest-committed keyed table
+  // ([[ManifestStore]] — atomic visibility, upsert, row-level delete,
+  // time travel, compaction all inherited), partitioned by modality and
+  // keyed by (modality, asset_id). Serve-time near-dup then moves 64 bits
+  // per asset and never touches payload bytes — at 100 TB of media the
+  // rerun cost drops from a full decode pass to a fingerprint-column scan.
+  // -------------------------------------------------------------------------
+
+  /**
+   * The decode-once feature row: modality-dispatched 64-bit perceptual
+   * fingerprint (`simhash` — aHash for images, energy-profile for audio)
+   * plus the full decoded statistics struct for the matching modality
+   * (null for the others, and null fingerprints for undecodable payloads —
+   * the store records the failure rather than killing ingest). Video
+   * payloads get the documented stub features. The payload column is
+   * consumed here and DROPPED — bytes never enter the store.
+   */
+  def featurize(assets: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(assets.sparkSession)
+    assets.select(
+      col("asset_id"),
+      col("modality"),
+      col("meta.source").as("source"),
+      col("meta.n_bytes").as("n_bytes"),
+      when(col("modality") === "image", imageAHash(col("content")))
+        .when(col("modality") === "audio", audioFingerprint(col("content")))
+        .as("simhash"),
+      when(col("modality") === "image", decodeImage(col("content"))).as("img"),
+      when(col("modality") === "audio", decodeAudio(col("content"))).as("audio"),
+      when(col("modality") === "video", decodeStub(col("content"))).as("video"))
+  }
+
+  /** Decode `assets` ONCE and commit their features. Upsert semantics: a
+    * re-ingested asset_id replaces its feature row (last writer wins), so
+    * ingest is idempotent per asset. */
+  def writeFeatureStore(assets: DataFrame, storeDir: String): Unit =
+    ManifestStore.upsert(
+      featurize(assets), storeDir, "modality",
+      Seq("modality", "asset_id"), assets.sparkSession)
+
+  /** The committed feature table (no payloads, no decoding). Fails loud
+    * before the first commit. */
+  def readFeatureStore(spark: org.apache.spark.sql.SparkSession, storeDir: String): DataFrame =
+    ManifestStore.currentFrame(spark, storeDir, "modality")
+      .getOrElse(throw new IllegalStateException(
+        s"no committed multimodal feature store under $storeDir"))
+
+  /** Takedown: physically remove assets' feature rows (partition-grain
+    * rewrite, the [[ManifestStore.delete]] contract). `ids` must carry
+    * `(modality, asset_id)`. */
+  def deleteFromFeatureStore(ids: DataFrame, storeDir: String): Int =
+    ManifestStore.delete(
+      ids, storeDir, "modality", Seq("modality", "asset_id"), ids.sparkSession)
+
+  /** [[imageNearDuplicates]] served from the feature store: the banded
+    * pair search reads the persisted 64-bit fingerprints — identical
+    * pairs to the decode path over the same assets (spec-pinned), with
+    * ZERO payload bytes read. */
+  def imageNearDuplicatesIndexed(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      maxHamming: Int = 3): DataFrame =
+    storedNearDuplicates(spark, storeDir, "image", maxHamming)
+
+  /** [[audioNearDuplicates]] served from the feature store. */
+  def audioNearDuplicatesIndexed(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      maxHamming: Int = 3): DataFrame =
+    storedNearDuplicates(spark, storeDir, "audio", maxHamming)
+
+  private def storedNearDuplicates(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      modality: String, maxHamming: Int): DataFrame =
+    Dedup.simhashNearDuplicates64(
+      readFeatureStore(spark, storeDir)
+        .where(col("modality") === modality && col("simhash").isNotNull)
+        .select(col("asset_id").as("id"), col("simhash")),
+      maxHamming)
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 import graft.GraftExtensions
-import graft.ops.{Corpus, Dedup, MinhashIndex, Multimodal, Pii, Retrieval, Similarity, TextOps}
+import graft.ops.{Corpus, Dedup, ManifestStore, MinhashIndex, Multimodal, Pii, Retrieval, Similarity, TextOps}
 import graft.sources.Jsonl
 
 /**
@@ -168,6 +168,32 @@ object LlmQueries {
         numHashes = 16, bands = 8, shingle = 3)
       MinhashIndex.appendToMinhashIndex(
         all.where(col("doc_id") % 2 === 1), path, maxOccupancy = 64)
+    }
+    path
+  }
+
+  /** Build-once memo for the DECODE-ONCE multimodal feature store: every
+    * planted image and WAV is decoded exactly once at store build
+    * ([[Multimodal.writeFeatureStore]] — fingerprints + full decode stats,
+    * payloads dropped), and the `_indexed` queries serve from the
+    * committed feature table, so their measured rerun cost is a
+    * fingerprint-column scan with ZERO payload decodes — the fix for the
+    * 58× rerun outlier the one-shot `q_mm_phash` carries by design. */
+  private def mmFeatureStoreDir(s: SparkSession, dir: String): String = {
+    val d = docs(s, dir)
+    val fp = d.agg(count(lit(1)), max(col("doc_id"))).collect()(0)
+    val path =
+      s"${sys.props("java.io.tmpdir")}/graft_mm_features_v1/" +
+        s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
+    if (ManifestStore.readManifest(s, path).isEmpty) {
+      GraftExtensions.register(s)
+      val images = Multimodal.asAsset(
+        col("doc_id"), lit("image"),
+        call_function("synth_image", col("doc_id")), col("source"))(d)
+      val audio = Multimodal.asAsset(
+        col("doc_id"), lit("audio"),
+        call_function("synth_wav", col("doc_id")), col("source"))(d)
+      Multimodal.writeFeatureStore(images.unionByName(audio), path)
     }
     path
   }
@@ -1648,6 +1674,26 @@ object LlmQueries {
         call_function("synth_wav", col("doc_id")), col("source"))(docs(s, dir))
       assets
         .select(col("asset_id"), Multimodal.audioFingerprint(col("content")).as("afp"))
+        .orderBy("asset_id")
+    }),
+
+    // The SAME perceptual hashes served from the DECODE-ONCE feature
+    // store: payload bytes were decoded exactly once at store build; this
+    // query reads the committed fingerprint column — the rerun-economics
+    // path. Oracle shared with q_mm_phash verbatim (the store must hold
+    // exactly what the decode path computes).
+    "q_mm_phash_indexed" -> ((s, dir) => {
+      Multimodal.readFeatureStore(s, mmFeatureStoreDir(s, dir))
+        .where(col("modality") === "image")
+        .select(col("asset_id"), col("simhash").as("phash"))
+        .orderBy("asset_id")
+    }),
+
+    // Audio twin of q_mm_phash_indexed — oracle shared with q_mm_audio_fp.
+    "q_mm_audio_fp_indexed" -> ((s, dir) => {
+      Multimodal.readFeatureStore(s, mmFeatureStoreDir(s, dir))
+        .where(col("modality") === "audio")
+        .select(col("asset_id"), col("simhash").as("afp"))
         .orderBy("asset_id")
     }),
 
@@ -3373,6 +3419,33 @@ object LlmQueries {
         |SELECT doc_id AS asset_id, bit_or(bv) AS afp
         |FROM bits GROUP BY doc_id ORDER BY asset_id""".stripMargin,
 
+    // Served from the decode-once feature store — oracle chain is
+    // q_mm_audio_fp's verbatim.
+    "q_mm_audio_fp_indexed" ->
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS nch, 256 + doc_id % 128 AS F
+        |           FROM documents),
+        |fr AS (SELECT doc_id, nch, F, g.i AS i
+        |       FROM p, UNNEST(generate_series(0, F - 1)) g(i)),
+        |sq AS (SELECT doc_id, F, (i * 64) // F AS w,
+        |         (((doc_id * 31 + i * 7919) % 65536) - 32768)
+        |           * (((doc_id * 31 + i * 7919) % 65536) - 32768)
+        |         + CASE WHEN nch = 2 THEN
+        |             (((doc_id * 31 + 17 + i * 7919) % 65536) - 32768)
+        |               * (((doc_id * 31 + 17 + i * 7919) % 65536) - 32768)
+        |           ELSE 0 END AS e
+        |       FROM fr),
+        |win AS (SELECT doc_id, F, w, SUM(e) AS ew, count(*) AS fw
+        |        FROM sq GROUP BY doc_id, F, w),
+        |tot AS (SELECT doc_id, SUM(ew) AS et FROM win GROUP BY doc_id),
+        |bits AS (SELECT win.doc_id,
+        |           CASE WHEN win.ew * win.F >= tot.et * win.fw
+        |                THEN CASE WHEN win.w = 63 THEN -9223372036854775808
+        |                          ELSE (CAST(1 AS BIGINT) << CAST(win.w AS INT)) END
+        |                ELSE 0 END AS bv
+        |         FROM win JOIN tot ON tot.doc_id = win.doc_id)
+        |SELECT doc_id AS asset_id, bit_or(bv) AS afp
+        |FROM bits GROUP BY doc_id ORDER BY asset_id""".stripMargin,
+
     "q_mm_resize" ->
       """WITH p AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
         |                  doc_id % 256 AS r, (doc_id * 7) % 256 AS g,
@@ -3406,6 +3479,27 @@ object LlmQueries {
     // mean comparison, hash assembled with bit_or (bit 63 as min-long —
     // DuckDB's << refuses the sign bit)
     "q_mm_phash" ->
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+        |                  (doc_id % 256) + ((doc_id * 7) % 256) + ((doc_id * 13) % 256) AS L
+        |           FROM documents),
+        |cells AS (SELECT doc_id, w, h, L, cy.i AS cy, cx.i AS cx,
+        |                 (cx.i * w) // 8 AS x0, ((cx.i + 1) * w) // 8 AS x1,
+        |                 (cy.i * h) // 8 AS y0, ((cy.i + 1) * h) // 8 AS y1
+        |          FROM p, range(8) cy(i), range(8) cx(i)),
+        |bits AS (SELECT doc_id,
+        |           CASE WHEN (L * ((x1 - x0) * (y1 - y0)
+        |                           - CASE WHEN cx = 0 THEN (y1 - y0) ELSE 0 END)) * (w * h)
+        |                     >= (L * (w * h - h)) * ((x1 - x0) * (y1 - y0))
+        |                THEN CASE WHEN cy * 8 + cx = 63 THEN -9223372036854775808
+        |                          ELSE (CAST(1 AS BIGINT) << CAST(cy * 8 + cx AS INT)) END
+        |                ELSE 0 END AS bv
+        |         FROM cells)
+        |SELECT doc_id AS asset_id, bit_or(bv) AS phash
+        |FROM bits GROUP BY doc_id ORDER BY asset_id""".stripMargin,
+
+    // Served from the decode-once feature store — must equal the decode
+    // path bit-for-bit, so the oracle chain is q_mm_phash's verbatim.
+    "q_mm_phash_indexed" ->
       """WITH p AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
         |                  (doc_id % 256) + ((doc_id * 7) % 256) + ((doc_id * 13) % 256) AS L
         |           FROM documents),

@@ -1354,6 +1354,59 @@ class LlmOpsSpec extends SparkSpec {
     assert(hs(0) == hs(1))
   }
 
+  test("Multimodal feature store: decode once at ingest, indexed near-dup == decode path, " +
+    "upsert idempotent, delete retires pairs") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val base = Seq(
+      (1L, "image", 10L), (2L, "image", 10L), (3L, "image", 11L),
+      (4L, "audio", 7L), (5L, "audio", 7L), (6L, "audio", 9L))
+      .toDF("asset_id", "modality", "pk")
+      .withColumn("content_raw",
+        when($"modality" === "image", call_function("synth_image", $"pk"))
+          .otherwise(call_function("synth_wav", $"pk")))
+      .unionByName(Seq((7L, "image", 0L)).toDF("asset_id", "modality", "pk")
+        .withColumn("content_raw", lit(Array[Byte](1, 2, 3))))
+    val assets = Multimodal.asAsset(
+      $"asset_id", $"modality", $"content_raw", lit("src"))(base)
+    val dir = tmpDir("mm_store")
+    Multimodal.writeFeatureStore(assets, dir)
+
+    val store = Multimodal.readFeatureStore(spark, dir)
+    assert(store.count() == 7)
+    // undecodable payload: failure recorded (row present, null fingerprint)
+    assert(store.where($"asset_id" === 7L && $"simhash".isNull).count() == 1)
+    // modality dispatch: the matching stats struct is populated, others null
+    assert(store.where($"modality" === "image" && $"asset_id" =!= 7L)
+      .where($"img".isNull || $"audio".isNotNull).isEmpty)
+    assert(store.where($"modality" === "audio")
+      .where($"audio".isNull || $"img".isNotNull).isEmpty)
+
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the store serves the SAME pairs the decode path computes — zero
+    // payload bytes read at serve time
+    val direct = pset(Multimodal.imageNearDuplicates(
+      assets.where($"modality" === "image"), "asset_id", "content"))
+    assert(pset(Multimodal.imageNearDuplicatesIndexed(spark, dir)) == direct)
+    assert(direct.contains((1L, 2L, 0)), direct.toString)
+    val audioPairs = pset(Multimodal.audioNearDuplicatesIndexed(spark, dir))
+    assert(audioPairs == pset(Multimodal.audioNearDuplicates(
+      assets.where($"modality" === "audio"), "asset_id", "content")))
+    assert(audioPairs.contains((4L, 5L, 0)), audioPairs.toString)
+
+    // re-ingesting a subset is idempotent (upsert by key, last writer wins)
+    Multimodal.writeFeatureStore(assets.where($"asset_id" <= 3L), dir)
+    assert(pset(Multimodal.imageNearDuplicatesIndexed(spark, dir)) == direct)
+
+    // takedown: the deleted asset's feature row and all its pairs vanish
+    Multimodal.deleteFromFeatureStore(
+      Seq(("image", 2L)).toDF("modality", "asset_id"), dir)
+    val after = pset(Multimodal.imageNearDuplicatesIndexed(spark, dir))
+    assert(after == direct.filterNot(p => p._1 == 2L || p._2 == 2L), after.toString)
+  }
+
   test("Multimodal.resizeImage: exact block means, upscale and garbage null") {
     import spark.implicits._
     GraftExtensions.register(spark)
