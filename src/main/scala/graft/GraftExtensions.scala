@@ -108,6 +108,9 @@ object GraftExtensions {
     ("min_shingle_hash", DocKernels.minShingleInfo,
       arity("min_shingle_hash", 2)(c => DocKernels.MinShingleHash(
         c(0), intLit(c(1), "min_shingle_hash", "n")))),
+    ("span_win_hashes", DocKernels.spanWinInfo,
+      arity("span_win_hashes", 2)(c => DocKernels.SpanWinHashes(
+        c(0), intLit(c(1), "span_win_hashes", "n")))),
     ("winnow_fps", DocKernels.winnowInfo,
       arity("winnow_fps", 3)(c => DocKernels.WinnowFps(
         c(0),

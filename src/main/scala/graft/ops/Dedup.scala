@@ -1404,19 +1404,19 @@ object Dedup {
     df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
 
   /** One row per n-token window start: `(id, p, h)` — p 1-based, h the
-    * engine-standard md5-derived 32-bit hash of the space-joined window. */
+    * ROLLING double-polynomial window hash
+    * ([[graft.expressions.DocKernels.SpanWinHashes]] — one md5 per TOKEN
+    * plus O(1) integer work per window, replacing the former md5 of each
+    * space-joined window string whose hashed byte volume was O(tokens·n);
+    * the packed 62-bit value also collides less than the 32-bit md5
+    * prefix it replaces). Re-keying note: window hash VALUES changed in
+    * round 12 — a pre-round-12 [[substringWindowCounts]] store must be
+    * regenerated; the oracles replay the polynomial term-by-term. */
   private def spanWins(toks: DataFrame, n: Int): DataFrame = {
-    val m = size(col("t"))
-    // one window per starting position p (1-based); sequence(1, 0) would
-    // yield a DESCENDING [1, 0] — guard short docs to an empty window set
-    val winExpr = when(m >= n,
-      transform(sequence(lit(1), m - n + 1), p =>
-        struct(p.as("p"),
-          conv(substring(md5(array_join(slice(col("t"), p, lit(n)), " ").cast("binary")), 1, 8),
-            16, 10).cast("long").as("h"))))
-      .otherwise(array().cast("array<struct<p:int,h:bigint>>"))
-    toks.select(col("id"), explode(winExpr).as("w"))
-      .select(col("id"), col("w.p").as("p"), col("w.h").as("h"))
+    graft.GraftExtensions.register(toks.sparkSession)
+    toks.select(col("id"),
+        posexplode(call_function("span_win_hashes", col("t"), lit(n))).as(Seq("_p0", "h")))
+      .select(col("id"), (col("_p0") + 1).as("p"), col("h"))
   }
 
   /** Shared cut + rebuild: `dupStarts` is `(id, p)` — the duplicated
@@ -1437,27 +1437,39 @@ object Dedup {
     * shuffling it once. */
   private def spanCutRebuild(toks: DataFrame, dupStarts: DataFrame, n: Int): DataFrame = {
     val byDoc = Window.partitionBy("id").orderBy("p")
-    val cut = dupStarts
+    // per-doc [start, end] cut islands, collected to ONE array row per doc
+    // — the frame is duplicated-island-sized, never token-sized
+    val islands = dupStarts
       .withColumn("_new",
         when(col("p") - lag("p", 1).over(byDoc) > n, 1).otherwise(0))
       .withColumn("_island", sum("_new").over(byDoc))
       .groupBy("id", "_island")
-      .agg(min("p").as("_start"), (max("p") + lit(n - 1)).as("_end"))
-      .select(col("id"), explode(sequence(col("_start"), col("_end"))).as("pos"))
-    // n_tokens rides the exploded rows (constant per id) so the rebuild
-    // needs no third corpus scan to re-derive it via a join
-    val tok = toks
-      .select(col("id"), size(col("t")).cast("long").as("n_tokens"),
-        posexplode(col("t")).as(Seq("pos0", "tok")))
-      .select(col("id"), col("n_tokens"), (col("pos0") + 1).as("pos"), col("tok"))
-    tok.join(cut, Seq("id", "pos"), "left_anti")
-      .groupBy("id", "n_tokens")
-      .agg(
-        array_join(
-          transform(sort_array(collect_list(struct(col("pos"), col("tok")))), s => s("tok")),
-          " ").as("text_clean"),
-        count(lit(1)).as("n_kept"))
-      .select("id", "text_clean", "n_tokens", "n_kept")
+      .agg(min("p").as("s"), (max("p") + lit(n - 1)).as("e"))
+      .groupBy("id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("_cuts"))
+    // Rebuild WITHOUT exploding the corpus (the round-12 shuffle cut —
+    // formerly every token moved through a (id, pos) anti-join exchange
+    // plus a collect_list re-assembly sort): one id-keyed join of the
+    // token frames against the island arrays (cut docs ≪ corpus → AQE
+    // broadcasts the island side), then a per-row position-aware HOF
+    // filter keeps tokens outside every island. Tokens never shuffle;
+    // islands per doc are disjoint and few (they merged overlaps), so the
+    // per-token exists() scan is O(islands), not O(cuts).
+    toks.join(islands, Seq("id"), "left")
+      .select(
+        col("id"),
+        filter(col("t"), (tok, i) =>
+          coalesce(
+            !exists(col("_cuts"), c =>
+              (i + 1) >= c.getField("s") && (i + 1) <= c.getField("e")),
+            lit(true))).as("_kept"),
+        size(col("t")).cast("long").as("n_tokens"))
+      .where(size(col("_kept")) > 0)
+      .select(
+        col("id"),
+        array_join(col("_kept"), " ").as("text_clean"),
+        col("n_tokens"),
+        size(col("_kept")).cast("long").as("n_kept"))
   }
 
   /**

@@ -257,6 +257,37 @@ object LlmQueries {
        |    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM $src)
        |    WHERE len(s) >= 3))""".stripMargin
 
+  /** Span-dedup window hashes over a `toks(doc_id, t)` CTE: the term-by-
+    * term replay of the engine's ROLLING double-polynomial kernel
+    * ([[graft.expressions.DocKernels.SpanWinHashes]]) — per-token
+    * md5-derived 32-bit hash mod 2³¹−1, two polynomial sums against a
+    * LITERAL power table (bases 131/137, powers precomputed here in Scala
+    * so the SQL needs no recursion), packed `h1·2³¹ + h2`. Term-wise mod
+    * keeps every intermediate under 2⁶²; the mod-sum equals the engine's
+    * rolling accumulation exactly. Ends in `win(doc_id, p, h)`. */
+  private def spanWinCte(n: Int): String = {
+    val M = 2147483647L
+    def pows(b: Long): IndexedSeq[Long] =
+      Iterator.iterate(1L)(v => v * b % M).take(n).toIndexedSeq
+    val p1 = pows(131L)
+    val p2 = pows(137L)
+    val rows = (0 until n)
+      .map(j => s"($j, ${p1(n - 1 - j)}, ${p2(n - 1 - j)})").mkString(", ")
+    s"""wpos AS (SELECT doc_id, unnest(generate_series(1, len(t) - ${n - 1})) AS p
+       |         FROM toks WHERE len(t) >= $n),
+       |thm AS (SELECT doc_id, generate_subscripts(t, 1) AS tp,
+       |          (('0x' || substr(md5(unnest(t)), 1, 8))::BIGINT) % $M AS hm
+       |        FROM toks),
+       |pw(j, v1, v2) AS (SELECT * FROM (VALUES $rows)),
+       |win AS (SELECT a.doc_id, a.p,
+       |          (SUM((b.hm * pw.v1) % $M) % $M) * 2147483648
+       |          + (SUM((b.hm * pw.v2) % $M) % $M) AS h
+       |        FROM wpos a
+       |        CROSS JOIN pw
+       |        JOIN thm b ON b.doc_id = a.doc_id AND b.tp = a.p + pw.j
+       |        GROUP BY a.doc_id, a.p)""".stripMargin
+  }
+
   /** Winnowing fingerprints (n=3-shingles, w=4 windows) over `src` (must
     * expose doc_id, text): CTE chain ending in `${tag}fps(id, fp)` —
     * positional shingle hashes, sliding-window min, complete windows only
@@ -2389,11 +2420,7 @@ object LlmQueries {
     "q_dedup_exact_substring" ->
       s"""WITH $mutCte,
          |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM alldocs),
-         |wpos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 9)) AS p
-         |         FROM toks WHERE len(t) >= 10),
-         |win AS (SELECT doc_id, p,
-         |               ('0x' || substr(md5(array_to_string(t[p:p+9], ' ')), 1, 8))::BIGINT AS h
-         |        FROM wpos),
+         |${spanWinCte(10)},
          |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1),
          |cut AS (SELECT DISTINCT doc_id, pos FROM (
          |          SELECT w.doc_id, unnest(generate_series(w.p, w.p + 9)) AS pos
@@ -2415,11 +2442,7 @@ object LlmQueries {
     "q_dedup_exact_substring_keepfirst" ->
       s"""WITH $mutCte,
          |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM alldocs),
-         |wpos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 9)) AS p
-         |         FROM toks WHERE len(t) >= 10),
-         |win AS (SELECT doc_id, p,
-         |               ('0x' || substr(md5(array_to_string(t[p:p+9], ' ')), 1, 8))::BIGINT AS h
-         |        FROM wpos),
+         |${spanWinCte(10)},
          |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1),
          |losers AS (SELECT doc_id, p FROM (
          |             SELECT w.doc_id, w.p,
@@ -2447,11 +2470,7 @@ object LlmQueries {
     "q_dedup_exact_substring_inc" ->
       s"""WITH $mutCte,
          |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM alldocs),
-         |wpos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 9)) AS p
-         |         FROM toks WHERE len(t) >= 10),
-         |win AS (SELECT doc_id, p,
-         |               ('0x' || substr(md5(array_to_string(t[p:p+9], ' ')), 1, 8))::BIGINT AS h
-         |        FROM wpos),
+         |${spanWinCte(10)},
          |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1),
          |cut AS (SELECT DISTINCT doc_id, pos FROM (
          |          SELECT w.doc_id, unnest(generate_series(w.p, w.p + 9)) AS pos

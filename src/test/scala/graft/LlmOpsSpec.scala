@@ -1191,6 +1191,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1).isNullAt(1), "corrupt payload must decode to NULL, not throw")
   }
 
+  test("span_win_hashes kernel: rolling == closed-form polynomial, short docs empty, " +
+    "identical windows collide, distinct windows don't") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val M = 2147483647L
+    // closed-form reference, computed independently of the rolling update:
+    // h_b(p) = sum_j hm(t_{p+j}) * b^(n-1-j) mod M, packed h1*2^31 + h2
+    def ref(tokens: Seq[String], n: Int): Seq[Long] = {
+      val hm = tokens.map(t =>
+        graft.expressions.MinhashSigs.hash32Bytes(t.getBytes("UTF-8")) % M)
+      def poly(b: Long, start: Int): Long =
+        (0 until n).foldLeft(0L)((acc, j) => (acc * b + hm(start + j)) % M)
+      (0 to tokens.size - n).map(p => (poly(131L, p) << 31) + poly(137L, p))
+    }
+    val texts = Seq(
+      "a b c d e f g",
+      "x y a b c d q",       // shares the window "a b c d" with doc 1
+      "one two three",
+      "short")
+    val n = 4
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select($"id", call_function("span_win_hashes", split($"text", " "), lit(n)).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.split(" ").toSeq
+      val want = if (toks.size < n) Seq.empty[Long] else ref(toks, n)
+      assert(got(i.toLong) == want, s"doc $i: ${got(i.toLong)} != $want")
+    }
+    // the shared 4-token window hashes identically across documents...
+    assert(got(0L)(0) == got(1L)(2), "identical windows must collide")
+    // ...and the hash space is wide enough that the other windows differ
+    assert((got(0L) ++ got(1L)).distinct.size == got(0L).size + got(1L).size - 1)
+  }
+
   test("Dedup: exact-substring span dedup cuts every duplicated window occurrence") {
     // n=3 windows, hand-computable: a and b share the span "s1 s2 s3"
     // (cross-doc dup), d repeats its own 3-window internally (within-doc
