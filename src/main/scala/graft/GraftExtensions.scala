@@ -19,10 +19,14 @@ import graft.expressions.{AudioKernels, DocKernels, ImageKernels, MinhashSigs, Q
  * what the driver-contract query entry points do.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    GraftExtensions.tableFunctions.foreach { case (name, info, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
 }
 
 object GraftExtensions {
@@ -144,12 +148,137 @@ object GraftExtensions {
       arity("bloom_probe", 2)(c =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(c(0), c(1)))))
 
+  // -------------------------------------------------------------------------
+  // TABLE-valued functions — the curation tier's SQL surface (round-12
+  // verdict item 5): the hot whole-operator entry points, callable from a
+  // plain `spark.sql("SELECT ... FROM graft_dedup_exact('docs', ...)")`
+  // with no Scala in sight. Each builder resolves its table-name literals
+  // through `SparkSession.active.table` (temp views, catalog tables — the
+  // [[graft.GraftCatalog]] views compose directly) and returns the SAME
+  // DataFrame plan the Scala API builds, so SQL and Scala callers get
+  // identical semantics AND identical physical plans. Only pure-plan
+  // operators are exposed (no operator that checkpoints or collects at
+  // build time belongs in an analysis-time builder).
+  // -------------------------------------------------------------------------
+
+  private def strLit(e: Expression, fn: String, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _: org.apache.spark.sql.types.StringType) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a string literal, got $other")
+  }
+
+  private def numLit(e: Expression, fn: String, what: String): Double = e match {
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Double, _) => v
+    case Literal(v: Float, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: Long, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a numeric literal, got $other")
+  }
+
+  private def tvfArity(fn: String, n: Int)(
+      build: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    c => {
+      if (c.length != n) throw new IllegalArgumentException(
+        s"$fn expects $n argument(s), got ${c.length}")
+      build(c)
+    }
+
+  private def tvfInfo(name: String, usage: String) =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  private def tableOf(name: String) = SparkSession.active.table(name)
+
+  private val tableFunctions: Seq[
+      (String, org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+        Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    ("graft_dedup_exact", tvfInfo("graft_dedup_exact",
+      "_FUNC_(table, id_col, text_col) - exact content dedup: one row per " +
+        "distinct text (by md5), smallest id wins."),
+      tvfArity("graft_dedup_exact", 3) { c =>
+        graft.ops.Dedup.exactByContent(
+          tableOf(strLit(c(0), "graft_dedup_exact", "table")),
+          strLit(c(1), "graft_dedup_exact", "id_col"),
+          strLit(c(2), "graft_dedup_exact", "text_col"))
+          .queryExecution.logical
+      }),
+    ("graft_sample", tvfInfo("graft_sample",
+      "_FUNC_(table, id_col, rate, salt) - deterministic hash sample at " +
+        "`rate` (nested across rates for a fixed salt)."),
+      tvfArity("graft_sample", 4) { c =>
+        graft.ops.Corpus.sampleDeterministic(
+          tableOf(strLit(c(0), "graft_sample", "table")),
+          strLit(c(1), "graft_sample", "id_col"),
+          numLit(c(2), "graft_sample", "rate"),
+          strLit(c(3), "graft_sample", "salt"))
+          .queryExecution.logical
+      }),
+    ("graft_split", tvfInfo("graft_split",
+      "_FUNC_(table, id_col, train, validation, salt) - attaches the " +
+        "deterministic train/validation/test `split` label column."),
+      tvfArity("graft_split", 5) { c =>
+        graft.ops.Corpus.withSplit(
+          tableOf(strLit(c(0), "graft_split", "table")),
+          strLit(c(1), "graft_split", "id_col"),
+          numLit(c(2), "graft_split", "train"),
+          numLit(c(3), "graft_split", "validation"),
+          strLit(c(4), "graft_split", "salt"))
+          .queryExecution.logical
+      }),
+    ("graft_cap_per_group", tvfInfo("graft_cap_per_group",
+      "_FUNC_(table, group_col, n, order_col) - keeps the first `n` rows " +
+        "per group under ascending `order_col` (WindowGroupLimit plan)."),
+      tvfArity("graft_cap_per_group", 4) { c =>
+        graft.ops.Corpus.capPerGroup(
+          tableOf(strLit(c(0), "graft_cap_per_group", "table")),
+          strLit(c(1), "graft_cap_per_group", "group_col"),
+          intLit(c(2), "graft_cap_per_group", "n"),
+          org.apache.spark.sql.functions.col(
+            strLit(c(3), "graft_cap_per_group", "order_col")).asc)
+          .queryExecution.logical
+      }),
+    ("graft_bm25_topk", tvfInfo("graft_bm25_topk",
+      "_FUNC_(docs_table, id_col, text_col, queries_table, k) - BM25 " +
+        "top-k ranking; queries_table must carry (qid, qtext)."),
+      tvfArity("graft_bm25_topk", 5) { c =>
+        graft.ops.Retrieval.bm25(
+          tableOf(strLit(c(0), "graft_bm25_topk", "docs_table")),
+          strLit(c(1), "graft_bm25_topk", "id_col"),
+          strLit(c(2), "graft_bm25_topk", "text_col"),
+          tableOf(strLit(c(3), "graft_bm25_topk", "queries_table")),
+          intLit(c(4), "graft_bm25_topk", "k"))
+          .queryExecution.logical
+      }),
+    ("graft_quality", tvfInfo("graft_quality",
+      "_FUNC_(table, id_col, text_col) - per-document quality signals " +
+        "(length/punct/stopword/repetition) joined to the id column."),
+      tvfArity("graft_quality", 3) { c =>
+        val t = tableOf(strLit(c(0), "graft_quality", "table"))
+        val id = strLit(c(1), "graft_quality", "id_col")
+        val text = strLit(c(2), "graft_quality", "text_col")
+        t.select(
+          org.apache.spark.sql.functions.col(id) +:
+            graft.ops.TextOps.qualitySignals(
+              org.apache.spark.sql.functions.col(text)): _*)
+          .queryExecution.logical
+      }))
+
   /** Runtime registration on an existing session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    tableFunctions.foreach { case (name, _, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
 
   /** Binds `bpe_encode(tokens)` on the session to a LEARNED merge table
     * ([[graft.ops.TextOps.learnBpeMerges]]) — the table is expression

@@ -72,4 +72,74 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r10.isNullAt(2), "garbage bytes must hash to NULL")
     assert(r10.getString(3) == "a b")
   }
+
+  test("curation operators run PURELY through spark.sql as table functions, " +
+    "identical to the Scala API") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    GraftCatalog.registerViews(spark, "/root/testdata/sf0.001")
+    Seq((0L, "spark dup"), (1L, "hash join merge"))
+      .toDF("qid", "qtext").createOrReplaceTempView("tfq")
+
+    // 1. exact dedup
+    val sqlDedup = spark.sql(
+      """SELECT doc_id FROM graft_dedup_exact('documents', 'doc_id', 'text')
+        |ORDER BY doc_id""".stripMargin).as[Long].collect().toSeq
+    val apiDedup = graft.ops.Dedup.exactByContent(
+        spark.table("documents"), "doc_id", "text")
+      .select("doc_id").orderBy("doc_id").as[Long].collect().toSeq
+    assert(sqlDedup == apiDedup && sqlDedup.nonEmpty)
+
+    // 2. deterministic sample (and the SQL form composes downstream SQL)
+    val sqlSample = spark.sql(
+      """SELECT count(*) FROM graft_sample('documents', 'doc_id', 0.25, 's1')"""
+    ).as[Long].collect()(0)
+    val apiSample = graft.ops.Corpus.sampleDeterministic(
+      spark.table("documents"), "doc_id", 0.25, "s1").count()
+    assert(sqlSample == apiSample && sqlSample > 0)
+
+    // 3. split labels
+    val sqlSplit = spark.sql(
+      """SELECT split, count(*) AS n
+        |FROM graft_split('documents', 'doc_id', 0.8, 0.1, '')
+        |GROUP BY split ORDER BY split""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val apiSplit = graft.ops.Corpus.withSplit(spark.table("documents"), "doc_id")
+      .groupBy("split").count().orderBy("split")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sqlSplit == apiSplit && sqlSplit.map(_._1) == Seq("test", "train", "validation"))
+
+    // 4. per-group cap
+    val sqlCap = spark.sql(
+      """SELECT lang, count(*) AS n
+        |FROM graft_cap_per_group('documents', 'lang', 5, 'doc_id')
+        |GROUP BY lang""".stripMargin)
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(sqlCap.nonEmpty && sqlCap.forall(_ <= 5))
+
+    // 5. BM25 top-k against a queries view
+    val sqlBm25 = spark.sql(
+      """SELECT qid, rank, doc_id, score
+        |FROM graft_bm25_topk('documents', 'doc_id', 'text', 'tfq', 5)
+        |ORDER BY qid, rank""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val apiBm25 = graft.ops.Retrieval.bm25(
+        spark.table("documents"), "doc_id", "text", spark.table("tfq"), k = 5)
+      .orderBy("qid", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(sqlBm25 == apiBm25 && sqlBm25.nonEmpty)
+
+    // 6. quality signals (SQL filter over the TVF output — the gate shape)
+    val sqlQual = spark.sql(
+      """SELECT count(*) FROM graft_quality('documents', 'doc_id', 'text')
+        |WHERE n_tokens >= 5 AND stopword_ratio >= 0""".stripMargin)
+      .as[Long].collect()(0)
+    assert(sqlQual > 0)
+
+    // wrong arity / non-literal args fail loud with the descriptive error
+    val ex = intercept[Exception](
+      spark.sql("SELECT * FROM graft_dedup_exact('documents', 'doc_id')").collect())
+    assert(ex.getMessage.contains("expects 3 argument"), ex.getMessage)
+  }
 }
