@@ -112,6 +112,52 @@ object Quality {
     sums.getLong(0).toDouble / sums.getLong(1)
   }
 
+  /**
+   * STRUCTURED embedding corpus (round-12 verdict item 4): the isotropic
+   * synth embeddings refute every quality lever BY CONSTRUCTION (flat
+   * spectrum → PCA has nothing to keep, rotation has nothing to align,
+   * residuals are as big as the vectors), so the quality harness also
+   * measures the same levers on a corpus with planted structure:
+   *
+   *  - 32 cluster centers living in the top 16 latent dimensions (IVF and
+   *    residual encoding have real geometry to exploit);
+   *  - a geometrically decaying noise spectrum (σ_k ∝ 0.95^k — PCA has
+   *    variance to concentrate);
+   *  - the latent frame mixed through the Sylvester-Hadamard rotation
+   *    `H[d][k] = (−1)^popcount(d AND k)` (orthogonal, deterministic), so
+   *    the OBSERVED axes correlate across PQ subspace boundaries — the
+   *    regime where a learned rotation (OPQ-lite) can actually win;
+   *  - `label = cell mod 4`, correlated with geometry (filtered-ANN truth
+   *    sets are geometrically coherent).
+   *
+   * Everything is md5-hash-derived from (seed, index) — deterministic
+   * across runs and engines, no RNG state.
+   */
+  def structuredEmbeddings(
+      spark: SparkSession, n: Int, dims: Int = 64, cells: Int = 32): DataFrame = {
+    import spark.implicits._
+    def u(seed: String): Double = // uniform in [-1, 1], md5-derived
+      graft.expressions.MinhashSigs.hash32Bytes(
+        seed.getBytes("UTF-8")).toDouble / 2147483648.0 - 1.0
+    val centers = Array.tabulate(cells, dims)((c, k) =>
+      if (k < 16) u(s"qc:$c:$k") else 0.0)
+    val sigma = Array.tabulate(dims)(k => 0.35 * math.pow(0.95, k))
+    (0 until n).map { i =>
+      val cell = i % cells
+      val y = Array.tabulate(dims)(k => centers(cell)(k) * 0.8 + u(s"qz:$i:$k") * sigma(k))
+      val x = Array.tabulate(dims) { d =>
+        var s = 0.0
+        var k = 0
+        while (k < dims) {
+          s += (if (Integer.bitCount(d & k) % 2 == 0) y(k) else -y(k))
+          k += 1
+        }
+        (s / 16.0).toFloat // keeps |x| ~< 1 (the quantization contract)
+      }
+      (i.toLong, x, (cell % 4).toLong)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -335,8 +381,106 @@ object Quality {
       s""""nb":{"lang_holdout_acc":$langAcc,"lang_majority_prior":$langPrior,""" +
         s""""planted_signal_acc":$plantedAcc,"planted_majority_prior":$plantedPrior}"""
 
+    // ---- STRUCTURED corpus: the same levers measured ON SIGNAL ----------
+    // (round-12 verdict item 4 — every line here sits beside its isotropic
+    // twin above; the corpus is deliberately anisotropic + clustered +
+    // Hadamard-rotated, see structuredEmbeddings)
+    val es = structuredEmbeddings(spark, math.max(2000, e.count().toInt))
+      .localCheckpoint()
+    val sQueries = es.where(col("vec_id") < 64)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val sExact10 = topkMap(Similarity.bruteForceTopK(es, sQueries, 10))
+    val sCents = Similarity.trainCentroids(es, 32, 2)
+    val sIvf = recallAtK(
+      topkMap(Similarity.ivfTopK(es, sCents, sQueries, 10, nprobe = 2)), sExact10)
+    val sEnergy = residualEnergyRatio(es, sCents)
+    // PCA: explained variance of the top 32 of 64 components, and
+    // recall@10 of EXACT search in the 32-dim projected space against the
+    // full-space truth — the pair of numbers whose isotropic values (0.66
+    // explained, 0.41 recall) were corpus findings, not engine ceilings
+    val sPcaFull = Similarity.pcaTrain(es, dims = 64, k = 64)
+    val sExplained32 =
+      sPcaFull.eigenvalues.take(32).sum / sPcaFull.eigenvalues.sum
+    val sPca32 = sPcaFull.copy(k = 32,
+      basis = sPcaFull.basis.take(32), eigenvalues = sPcaFull.eigenvalues.take(32))
+    val sProj = Similarity.pcaProject(es, sPca32)
+      .select(col("vec_id"),
+        transform(col("pca"),
+          x => (x / sPca32.scale.toDouble).cast("float")).as("embedding"))
+      .localCheckpoint()
+    val sProjQueries = sProj.where(col("vec_id") < 64)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val sPcaRecall = recallAtK(
+      topkMap(Similarity.bruteForceTopK(sProj, sProjQueries, 10)), sExact10)
+    // OPQ-lite re-tested where it CAN win: baseline residual IVF-PQ vs the
+    // same configuration after full-rank PCA rotation — on the Hadamard-
+    // mixed spectrum the rotation re-concentrates variance into aligned
+    // subspaces, which is precisely OPQ's claim
+    val sCbR = Similarity.pqTrainCodebooksResidual(
+      es, sCents, dims = 64, m = 8, k = 16, iters = 2)
+    val sIvfpq = recallAtK(
+      topkMap(Similarity.ivfPqTopK(
+        es, sCents, sCbR, sQueries, 10, nprobe = 2, dims = 64, m = 8)), sExact10)
+    val sRot = Similarity.pcaProject(es, sPcaFull)
+      .select(col("vec_id"),
+        transform(col("pca"),
+          x => (x / sPcaFull.scale.toDouble).cast("float")).as("embedding"))
+      .localCheckpoint()
+    val sRotQueries = sRot.where(col("vec_id") < 64)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val sRotExact10 = topkMap(Similarity.bruteForceTopK(sRot, sRotQueries, 10))
+    val sRotCents = Similarity.trainCentroids(sRot, 32, 2)
+    val sRotCbR = Similarity.pqTrainCodebooksResidual(
+      sRot, sRotCents, dims = 64, m = 8, k = 16, iters = 2)
+    val sIvfpqRot = recallAtK(
+      topkMap(Similarity.ivfPqTopK(
+        sRot, sRotCents, sRotCbR, sRotQueries, 10, nprobe = 2, dims = 64, m = 8)),
+      sRotExact10)
+    // OPQ with BALANCED allocation (Ge et al.'s parametric OPQ insight):
+    // plain PCA rotation CONCENTRATES variance — the first PQ subspace
+    // then carries most of the energy and its 16 codes saturate, which is
+    // why the rot line barely moves. The real OPQ lever deals the
+    // variance-sorted components across subspaces in snake order so each
+    // subspace quantizes a balanced slice; same isometry class, different
+    // component-to-subspace assignment.
+    val snakePerm: Array[Int] = {
+      val mSub = 8
+      val per = 64 / mSub
+      val buckets = Array.fill(mSub)(List.empty[Int])
+      for (r <- 0 until per; j <- 0 until mSub) {
+        val compIdx = r * mSub + (if (r % 2 == 0) j else mSub - 1 - j)
+        buckets(j) = buckets(j) :+ compIdx
+      }
+      buckets.flatten.toArray
+    }
+    val sPcaOpq = sPcaFull.copy(
+      basis = snakePerm.map(sPcaFull.basis),
+      eigenvalues = snakePerm.map(sPcaFull.eigenvalues))
+    val sOpq = Similarity.pcaProject(es, sPcaOpq)
+      .select(col("vec_id"),
+        transform(col("pca"),
+          x => (x / sPcaOpq.scale.toDouble).cast("float")).as("embedding"))
+      .localCheckpoint()
+    val sOpqQueries = sOpq.where(col("vec_id") < 64)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val sOpqExact10 = topkMap(Similarity.bruteForceTopK(sOpq, sOpqQueries, 10))
+    val sOpqCents = Similarity.trainCentroids(sOpq, 32, 2)
+    val sOpqCbR = Similarity.pqTrainCodebooksResidual(
+      sOpq, sOpqCents, dims = 64, m = 8, k = 16, iters = 2)
+    val sIvfpqOpq = recallAtK(
+      topkMap(Similarity.ivfPqTopK(
+        sOpq, sOpqCents, sOpqCbR, sOpqQueries, 10, nprobe = 2, dims = 64, m = 8)),
+      sOpqExact10)
+    val structured =
+      s""""structured":{"n":${es.count()},"ivf_nprobe2_at10":$sIvf,""" +
+        s""""residual_energy_ratio":$sEnergy,""" +
+        s""""pca32_explained_var":$sExplained32,"pca32_recall_at10":$sPcaRecall,""" +
+        s""""ivfpq_m8_nprobe2_at10":$sIvfpq,""" +
+        s""""ivfpq_m8_nprobe2_rot_at10":$sIvfpqRot,""" +
+        s""""ivfpq_m8_nprobe2_opq_balanced_at10":$sIvfpqOpq}"""
+
     val json =
-      s"""{"sf_dir":"$sfDir",$nb,"text":{"docs":${docs.count()},"truth_pairs_j80":${truth80.size},""" +
+      s"""{"sf_dir":"$sfDir",$nb,$structured,"text":{"docs":${docs.count()},"truth_pairs_j80":${truth80.size},""" +
         s""""truth_pairs_j90":${truth90.size},"minhash_lsh":{${mh.mkString(",")}},""" +
         s""""simhash64_h3":{"recall":$shR,"precision":$shP}},""" +
         s""""ann":{"queries":${exact10.size},${ivf.mkString(",")},${pq.mkString(",")},""" +
