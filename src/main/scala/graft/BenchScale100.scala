@@ -103,6 +103,31 @@ object BenchScale100 {
 
     if (!fullRun) { spark.stop(); return }
 
+    // Indexed RERUN economics (round-12 verdict items 1-2): the build-once
+    // stores measured as a deployment reruns them — first call pays the
+    // one-time ingest (decode / sign+band: "cold"), the second serves from
+    // the committed artifacts ("rerun"). The number that kills the 58×
+    // phash outlier is rerun_ratio100 — the warm rerun's growth across two
+    // decades, which should sit in sketch territory because serve-time
+    // work is fingerprint-column-sized, never payload/token-sized.
+    val indexed = Seq("q_mm_phash_indexed", "q_dedup_minhash_inc").map { name =>
+      val fn = SparkEntry.queries(name)
+      def run(dir: String): Double = {
+        val t = time(fn(spark, dir).write.format("noop").mode("overwrite").save())
+        releaseResidue(spark, keep)
+        t
+      }
+      val cold1 = run(src)
+      val rerun1 = run(src)
+      val cold100 = run(dst)
+      val rerun100 = run(dst)
+      println(s"[scale100x] $name cold=${num(cold1)}/${num(cold100)}s " +
+        s"rerun=${num(rerun1)}/${num(rerun100)}s rerunRatio=${num(rerun100 / rerun1)}")
+      s""""$name":{"cold_sf01":${num(cold1)},"rerun_sf01":${num(rerun1)},""" +
+        s""""cold_sf10":${num(cold100)},"rerun_sf10":${num(rerun100)},""" +
+        s""""rerun_ratio100":${num(rerun100 / rerun1)}}"""
+    }
+
     // minhash adjudication split at 100×: generation (posting-list shuffle)
     // vs verification (∝ candidates — every doc is planted into a pair on
     // this corpus, so candidate mass is structurally ~linear in corpus)
@@ -128,6 +153,7 @@ object BenchScale100 {
     val json =
       s"""{"copies":100,"src":"$src","synth":"$dst",""" +
         s""""queries":{${perQuery.mkString(",")}},""" +
+        s""""indexed_reruns":{${indexed.mkString(",")}},""" +
         s""""minhash_split_sf10":$split100}"""
     println(json)
     Files.writeString(Paths.get("BENCH_SCALE100X.json"), json + "\n")

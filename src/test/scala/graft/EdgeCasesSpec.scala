@@ -165,10 +165,14 @@ class EdgeCasesSpec extends SparkSpec {
     val docs = Seq((1L, 5.0), (2L, 3.0)).toDF("doc_id", "q")
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.keepBestInClusters(docs, noPairs, "doc_id", col("q")).count() == 2)
-    // evalRanking on empty results: empty, not a crash; empty qrels: all-zero
+    // evalRanking on empty results: the judged query still scores — a
+    // ZEROED row, not a silent drop (the round-12 trec_eval convention:
+    // macro-averages must see unretrieved judged queries)
     val qrels = Seq((1L, 10L, 1)).toDF("qid", "doc_id", "grade")
     val emptyRes = Seq.empty[(Long, Int, Long)].toDF("qid", "rank", "doc_id")
-    assert(graft.ops.Retrieval.evalRanking(emptyRes, qrels, 5).isEmpty)
+    val zeroed = graft.ops.Retrieval.evalRanking(emptyRes, qrels, 5).collect()
+    assert(zeroed.length == 1 && zeroed(0).getLong(0) == 1L &&
+      (1 to 4).forall(i => zeroed(0).getDouble(i) == 0.0), zeroed.mkString(";"))
     val res = Seq((1L, 1, 99L)).toDF("qid", "rank", "doc_id")
     val noRels = Seq.empty[(Long, Long, Int)].toDF("qid", "doc_id", "grade")
     val z = graft.ops.Retrieval.evalRanking(res, noRels, 5).collect()(0)
