@@ -128,6 +128,28 @@ object BenchScale100 {
         s""""rerun_ratio100":${num(rerun100 / rerun1)}}"""
     }
 
+    // the store's OWN rerun economics, isolated from Jaccard verification
+    // (which is ∝ candidate mass — structural on the planted corpus and
+    // identical for indexed and one-shot paths): candidate generation
+    // from stored band rows, the stage the index exists to make cheap
+    val candIndexed = {
+      def run(dir: String): Double = {
+        val mhDir = graft.queries.LlmQueries.minhashIndexDirFor(spark, dir)
+        val t = time(graft.ops.MinhashIndex
+          .candidatePairsIndexed(spark, mhDir, maxOccupancy = 64)
+          .write.format("noop").mode("overwrite").save())
+        releaseResidue(spark, keep)
+        t
+      }
+      run(src); run(dst) // warm both memos
+      val c1 = run(src)
+      val c100 = run(dst)
+      println(s"[scale100x] minhash_cand_indexed rerun=${num(c1)}/${num(c100)}s " +
+        s"ratio=${num(c100 / c1)}")
+      s""""minhash_cand_indexed":{"rerun_sf01":${num(c1)},"rerun_sf10":${num(c100)},""" +
+        s""""rerun_ratio100":${num(c100 / c1)}}"""
+    }
+
     // minhash adjudication split at 100×: generation (posting-list shuffle)
     // vs verification (∝ candidates — every doc is planted into a pair on
     // this corpus, so candidate mass is structurally ~linear in corpus)

@@ -155,6 +155,10 @@ object LlmQueries {
     * never re-signs the corpus, the exact rerun economics the one-shot
     * `q_dedup_minhash_lsh` lacks. Same layout-versioned, corpus-
     * fingerprinted scratch discipline as [[persistedIndex]]. */
+  /** Public handle on the memo for the scale-stress harness. */
+  def minhashIndexDirFor(s: SparkSession, dir: String): String =
+    minhashIndexDir(s, dir)
+
   private def minhashIndexDir(s: SparkSession, dir: String): String = {
     val d = docs(s, dir)
     val fp = d.agg(count(lit(1)), max(col("doc_id"))).collect()(0)

@@ -362,4 +362,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!scd.contains("CartesianProduct") && !scd.contains("BroadcastNestedLoopJoin"),
       s"scd2 planned a cartesian/NLJ:\n$scd")
   }
+
+  test("round-12 serving paths: indexed stores never recompute their features; " +
+    "span rebuild never explodes the corpus; scd2 guard lives in the plan") {
+    // the incremental minhash index serves candidates from STORED band
+    // rows — a minhash_sigs call in the serving plan would mean the corpus
+    // is being re-signed (the exact cost the store exists to kill)
+    val mh = plan("q_dedup_minhash_inc")
+    assert(!mh.contains("minhash_sigs"), s"indexed serving re-signed the corpus:\n$mh")
+    assert(!mh.contains("CartesianProduct") && !mh.contains("BroadcastNestedLoopJoin"),
+      s"minhash-inc planned a cartesian/NLJ:\n$mh")
+    // the multimodal feature store serves fingerprints from parquet — any
+    // decode/synth kernel in the plan means payload bytes are being re-read
+    val ph = plan("q_mm_phash_indexed")
+    assert(!ph.contains("image_ahash") && !ph.contains("synth_image") &&
+      !ph.contains("image_decode"),
+      s"indexed phash re-decoded payloads:\n$ph")
+    val af = plan("q_mm_audio_fp_indexed")
+    assert(!af.contains("audio_fingerprint") && !af.contains("synth_wav"),
+      s"indexed audio fp re-decoded payloads:\n$af")
+    // span dedup rebuild (round 12): the token mass must NOT fan out into
+    // cut-position rows — the old shape generated sequence(start, end) per
+    // island and anti-joined every token through an exchange; the new
+    // shape is a per-row HOF filter, so the only Generate left is the
+    // window-hash posexplode
+    val sp = plan("q_dedup_exact_substring")
+    assert(!sp.contains("explode(sequence("),
+      s"span rebuild regressed to position-explode:\n$sp")
+    // the scd2 duplicate-key guard is IN the merge plan (raise_error over
+    // a window count), not a separate eager pass
+    val scd = plan("q_scale_scd2")
+    assert(scd.contains("raise_error"), s"scd2 guard left the plan:\n$scd")
+  }
 }
