@@ -202,6 +202,23 @@ object LlmQueries {
     path
   }
 
+  /** Build-once memo for the persisted window-count store: the even-id
+    * half of [[docsWithNearDups]] ingested as `(h, c)` counts (n = 10),
+    * so `q_dedup_substring_inc_indexed` reads the committed skeleton and
+    * never re-tokenizes the store-side corpus. */
+  private def spanStoreDir(s: SparkSession, dir: String): String = {
+    val d = docs(s, dir)
+    val fp = d.agg(count(lit(1)), max(col("doc_id"))).collect()(0)
+    val path =
+      s"${sys.props("java.io.tmpdir")}/graft_span_store_v1/" +
+        s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
+    if (ManifestStore.readManifest(s, path).isEmpty)
+      Dedup.writeWindowCounts(
+        docsWithNearDups(s, dir).where(col("doc_id") % 2 === 0),
+        path, "doc_id", "text", n = 10)
+    path
+  }
+
   /** documents ∪ near-dup mutation (drop first 2 tokens, id+1000000). */
   private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -1097,6 +1114,22 @@ object LlmQueries {
         all.where(col("doc_id") % 2 === 0), "doc_id", "text", n = 10)
       Dedup.exactSubstringDedupIncremental(
         all.where(col("doc_id") % 2 =!= 0), seen, "doc_id", "text", n = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // The SAME incremental span dedup served from the PERSISTED window-
+    // count store (bootstrapped once from the even half — the (h, c)
+    // skeleton under the manifest protocol; the corpus is never
+    // re-tokenized at serve time). Shares q_dedup_exact_substring_inc's
+    // oracle verbatim: the store must hold exactly what the direct
+    // counts pass computes.
+    "q_dedup_substring_inc_indexed" -> ((s, dir) => {
+      val all = docsWithNearDups(s, dir)
+      Dedup.exactSubstringDedupIncremental(
+        all.where(col("doc_id") % 2 =!= 0),
+        Dedup.readWindowCounts(s, spanStoreDir(s, dir)),
+        "doc_id", "text", n = 10)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
@@ -2472,6 +2505,29 @@ object LlmQueries {
     // union (store windows + batch windows — exactly c_seen + c_batch),
     // cut and rebuild restricted to the batch (odd doc_ids)
     "q_dedup_exact_substring_inc" ->
+      s"""WITH $mutCte,
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM alldocs),
+         |${spanWinCte(10)},
+         |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1),
+         |cut AS (SELECT DISTINCT doc_id, pos FROM (
+         |          SELECT w.doc_id, unnest(generate_series(w.p, w.p + 9)) AS pos
+         |          FROM win w JOIN dup USING (h) WHERE w.doc_id % 2 <> 0)),
+         |tok AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+         |        FROM toks WHERE doc_id % 2 <> 0),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+         |         LEFT JOIN cut c ON c.doc_id = t.doc_id AND c.pos = t.pos
+         |         WHERE c.pos IS NULL),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+         |               count(*) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT a.doc_id, a.text_clean, CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |       CAST(a.n_kept AS BIGINT) AS n_kept
+         |FROM agg a JOIN toks t ON t.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin,
+
+    // Served from the persisted window-count store — must equal the
+    // direct counts pass bit-for-bit, so the oracle chain is
+    // q_dedup_exact_substring_inc's verbatim.
+    "q_dedup_substring_inc_indexed" ->
       s"""WITH $mutCte,
          |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM alldocs),
          |${spanWinCte(10)},

@@ -1352,6 +1352,57 @@ class LlmOpsSpec extends SparkSpec {
     assert(summed == direct, "window-count store is not additive")
   }
 
+  test("Dedup: PERSISTED window-count store — one-call ingest equals the direct " +
+    "incremental pass, counts fold by addition across appends, guards fail loud") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val corpus = Seq(
+      (2L, "x1 x2 s1 s2 s3 x3"),
+      (4L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    val batchB = Seq(
+      (1L, "y1 s1 s2 s3 y2 y3"),
+      (3L, "z1 z2 z3 z4")).toDF("doc_id", "text")
+    val batchC = Seq(
+      (5L, "z1 z2 z3 q9"),           // dup only against BATCH B's counts —
+      (7L, "w3 w4 w5 k1")).toDF("doc_id", "text") // dup against the BOOTSTRAP corpus
+
+    val dir = tmpDir("span_store")
+    intercept[IllegalStateException](Dedup.readWindowCounts(spark, dir))
+    Dedup.writeWindowCounts(corpus, dir, "doc_id", "text", n = 3)
+    intercept[IllegalArgumentException](
+      Dedup.writeWindowCounts(corpus, dir, "doc_id", "text", n = 3))
+
+    // one-call ingest of B == direct incremental against counts(corpus)
+    val gotB = rows(Dedup.exactSubstringDedupIncrementalIndexed(
+      batchB, dir, "doc_id", "text"))
+    val wantB = rows(Dedup.exactSubstringDedupIncremental(
+      batchB, Dedup.substringWindowCounts(corpus, "doc_id", "text", 3),
+      "doc_id", "text", n = 3))
+    assert(gotB == wantB, s"$gotB != $wantB")
+
+    // the store folded B's counts by ADDITION: ingesting C now sees
+    // corpus ∪ B — doc 5 dups against B's z-window, doc 7 against the
+    // bootstrap corpus's w-window
+    val gotC = rows(Dedup.exactSubstringDedupIncrementalIndexed(
+      batchC, dir, "doc_id", "text"))
+    val wantC = rows(Dedup.exactSubstringDedupIncremental(
+      batchC,
+      Dedup.substringWindowCounts(
+        corpus.unionByName(batchB), "doc_id", "text", 3),
+      "doc_id", "text", n = 3))
+    assert(gotC == wantC, s"$gotC != $wantC")
+    val byId = gotC.map(t => t._1 -> t._2).toMap
+    assert(byId(5L) == "q9" && byId(7L) == "k1", byId.toString)
+
+    // and the final store equals a from-scratch count of everything
+    val stored = Dedup.readWindowCounts(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Dedup.substringWindowCounts(
+      corpus.unionByName(batchB).unionByName(batchC), "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored == direct, "persisted counts diverged from a fresh count")
+  }
+
   test("Multimodal.imageNearDuplicates: perceptual-hash pairs via the simhash band machinery") {
     import spark.implicits._
     def png(f: (Int, Int) => Int, w: Int = 64, h: Int = 64): Array[Byte] = {
