@@ -175,7 +175,7 @@ object BenchScale100 {
     val json =
       s"""{"copies":100,"src":"$src","synth":"$dst",""" +
         s""""queries":{${perQuery.mkString(",")}},""" +
-        s""""indexed_reruns":{${indexed.mkString(",")}},""" +
+        s""""indexed_reruns":{${indexed.mkString(",")},$candIndexed},""" +
         s""""minhash_split_sf10":$split100}"""
     println(json)
     Files.writeString(Paths.get("BENCH_SCALE100X.json"), json + "\n")

@@ -1757,6 +1757,25 @@ object LlmQueries {
         .orderBy("asset_id")
     }),
 
+    // Image near-duplicate PAIRS served from the feature store: the
+    // banded pair search runs over the persisted 64-bit hashes (zero
+    // payload reads). The planted geometry makes the phash bits a pure
+    // function of (id%8, id%5) — the luminance L cancels from the bit
+    // rule — so only 40 distinct bit patterns exist and pair mass is
+    // quadratic in the corpus; a deterministic tenth keeps outputs
+    // bounded (the q_dedup_simhash_pairs subset discipline) while the
+    // oracle replays hash bits, 16-bit banding, and the hamming cut.
+    "q_mm_neardup_indexed" -> ((s, dir) => {
+      Dedup.simhashNearDuplicates64(
+          Multimodal.readFeatureStore(s, mmFeatureStoreDir(s, dir))
+            .where(col("modality") === "image" && col("asset_id") % 10 === 0 &&
+              col("simhash").isNotNull)
+            .select(col("asset_id").as("id"), col("simhash")),
+          maxHamming = 3)
+        .withColumnRenamed("id_a", "asset_a").withColumnRenamed("id_b", "asset_b")
+        .orderBy("asset_a", "asset_b")
+    }),
+
     // Audio twin of q_mm_phash_indexed — oracle shared with q_mm_audio_fp.
     "q_mm_audio_fp_indexed" -> ((s, dir) => {
       Multimodal.readFeatureStore(s, mmFeatureStoreDir(s, dir))
@@ -3497,6 +3516,35 @@ object LlmQueries {
         |         FROM win JOIN tot ON tot.doc_id = win.doc_id)
         |SELECT doc_id AS asset_id, bit_or(bv) AS afp
         |FROM bits GROUP BY doc_id ORDER BY asset_id""".stripMargin,
+
+    // Store-served image near-dup pairs: phash bits from the planted
+    // closed form (q_mm_phash's CTE), then 4×16-bit banding + hamming ≤ 3
+    // (q_dedup_simhash64_pairs' pair machinery over the perceptual hash).
+    "q_mm_neardup_indexed" ->
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+        |                  (doc_id % 256) + ((doc_id * 7) % 256) + ((doc_id * 13) % 256) AS L
+        |           FROM documents WHERE doc_id % 10 = 0),
+        |cells AS (SELECT doc_id, w, h, L, cy.i AS cy, cx.i AS cx,
+        |                 (cx.i * w) // 8 AS x0, ((cx.i + 1) * w) // 8 AS x1,
+        |                 (cy.i * h) // 8 AS y0, ((cy.i + 1) * h) // 8 AS y1
+        |          FROM p, range(8) cy(i), range(8) cx(i)),
+        |bits AS (SELECT doc_id,
+        |           CASE WHEN (L * ((x1 - x0) * (y1 - y0)
+        |                           - CASE WHEN cx = 0 THEN (y1 - y0) ELSE 0 END)) * (w * h)
+        |                     >= (L * (w * h - h)) * ((x1 - x0) * (y1 - y0))
+        |                THEN CASE WHEN cy * 8 + cx = 63 THEN -9223372036854775808
+        |                          ELSE (CAST(1 AS BIGINT) << CAST(cy * 8 + cx AS INT)) END
+        |                ELSE 0 END AS bv
+        |         FROM cells),
+        |sk AS (SELECT doc_id AS id, bit_or(bv) AS simhash FROM bits GROUP BY doc_id),
+        |banded AS (SELECT id, simhash, j AS band, (simhash >> CAST(16 * j AS INT)) & 65535 AS band_key
+        |           FROM sk, range(4) r(j)),
+        |pr AS (SELECT DISTINCT a.id AS asset_a, b.id AS asset_b,
+        |              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |       FROM banded a JOIN banded b
+        |         ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)
+        |SELECT asset_a, asset_b, hamming FROM pr WHERE hamming <= 3
+        |ORDER BY asset_a, asset_b""".stripMargin,
 
     // Served from the decode-once feature store — oracle chain is
     // q_mm_audio_fp's verbatim.
