@@ -254,6 +254,33 @@ object GraftExtensions {
           intLit(c(4), "graft_bm25_topk", "k"))
           .queryExecution.logical
       }),
+    ("graft_minhash_pairs", tvfInfo("graft_minhash_pairs",
+      "_FUNC_(index_dir, max_occupancy) - candidate near-duplicate pairs " +
+        "served from a persisted MinHash-LSH index (never re-signs the " +
+        "corpus); equals one-shot banding over the accumulated corpus."),
+      tvfArity("graft_minhash_pairs", 2) { c =>
+        graft.ops.MinhashIndex.candidatePairsIndexed(
+          SparkSession.active,
+          strLit(c(0), "graft_minhash_pairs", "index_dir"),
+          intLit(c(1), "graft_minhash_pairs", "max_occupancy"))
+          .queryExecution.logical
+      }),
+    ("graft_mm_neardups", tvfInfo("graft_mm_neardups",
+      "_FUNC_(store_dir, modality, max_hamming) - media near-duplicate " +
+        "pairs served from a decode-once feature store (zero payload " +
+        "reads); modality 'image' or 'audio'."),
+      tvfArity("graft_mm_neardups", 3) { c =>
+        val store = strLit(c(0), "graft_mm_neardups", "store_dir")
+        val hamming = intLit(c(2), "graft_mm_neardups", "max_hamming")
+        (strLit(c(1), "graft_mm_neardups", "modality") match {
+          case "image" => graft.ops.Multimodal
+            .imageNearDuplicatesIndexed(SparkSession.active, store, hamming)
+          case "audio" => graft.ops.Multimodal
+            .audioNearDuplicatesIndexed(SparkSession.active, store, hamming)
+          case other => throw new IllegalArgumentException(
+            s"graft_mm_neardups: modality must be 'image' or 'audio', got '$other'")
+        }).queryExecution.logical
+      }),
     ("graft_quality", tvfInfo("graft_quality",
       "_FUNC_(table, id_col, text_col) - per-document quality signals " +
         "(length/punct/stopword/repetition) joined to the id column."),

@@ -199,10 +199,15 @@ object MinhashIndex {
     if (bandsB.isEmpty)
       return bandsB.select(col("id").as("id_a"), col("id").as("id_b")).limit(0)
     // post-append bucket totals from the additive occupancy partials (del
-    // generations carry negatives) — vocabulary-sized frames, the stored
-    // band mass is never aggregated here
+    // generations carry negatives). The stored partial rows are
+    // bucket-count-sized (≈ docs × bands across segments), so the fold is
+    // RESTRICTED to the batch's buckets first — a broadcast semi-join
+    // against the batch's (band, band_key) set — before aggregating:
+    // per-append work stays proportional to the batch, not the corpus.
     val occB = bandsB.groupBy("band", "band_key").agg(count(lit(1)).as("_nb"))
     val occS = segUnion(spark, indexDir, segs ++ delGens, "occupancy")
+      .join(broadcast(occB.select("band", "band_key")),
+        Seq("band", "band_key"), "left_semi")
       .groupBy("band", "band_key").agg(sum(col("n")).as("_ns"))
     val ok = occB.join(occS, Seq("band", "band_key"), "left")
       .where(col("_nb") + coalesce(col("_ns"), lit(0L)) <= maxOccupancy)
@@ -248,6 +253,29 @@ object MinhashIndex {
     val (_, _, segs, delGens) = readManifest(spark, indexDir, "readMinhashBands")
     liveBands(spark, indexDir, segs, delGens)
   }
+
+  /** TIME TRAVEL: the banded view as of commit version `asOf` (the
+    * [[Retrieval.readLexIndexAt]] twin) — readable until
+    * [[compactMinhashIndex]]/[[vacuumMinhashIndex]] reclaim the
+    * generations it references. */
+  def readMinhashBandsAt(
+      spark: SparkSession, indexDir: String, asOf: Long): DataFrame = {
+    val content = ManifestStore.readVersionedAt(spark, indexDir, Prefix, asOf)
+      .getOrElse(throw new IllegalStateException(
+        s"no minhash index committed at or before version $asOf under $indexDir"))._2
+    val (_, segs, delGens) = parseManifest(content)
+    liveBands(spark, indexDir, segs, delGens)
+  }
+
+  /** [[candidatePairsIndexed]] as of commit version `asOf`. */
+  def candidatePairsIndexedAt(
+      spark: SparkSession, indexDir: String, asOf: Long,
+      maxOccupancy: Int = Int.MaxValue): DataFrame =
+    Dedup.candidatePairs(readMinhashBandsAt(spark, indexDir, asOf), maxOccupancy)
+
+  /** All committed index versions, ascending. */
+  def minhashIndexVersions(spark: SparkSession, indexDir: String): Seq[Long] =
+    ManifestStore.versionsOf(spark, indexDir, Prefix)
 
   /**
    * Tombstone DELETE — the takedown path without touching any segment:

@@ -60,6 +60,24 @@ class MinhashIndexSpec extends SparkSpec {
     assert(st.meta == MinhashIndex.MhMeta(16, 8, 3))
   }
 
+  test("time travel: the index as of each committed version serves that snapshot's pairs") {
+    val dir = tmpDir("mh_tt")
+    val a = corpus.where($"doc_id" < 15)
+    MinhashIndex.writeMinhashIndex(a, dir)
+    MinhashIndex.appendToMinhashIndex(corpus.where($"doc_id" >= 15), dir)
+    MinhashIndex.deleteFromMinhashIndex(Seq(0L).toDF("doc_id"), dir)
+    val versions = MinhashIndex.minhashIndexVersions(spark, dir)
+    assert(versions.size == 3 && versions == versions.sorted)
+    assert(pairSet(MinhashIndex.candidatePairsIndexedAt(spark, dir, versions.head)) ==
+      oneShot(a), "version-1 snapshot must be the bootstrap corpus")
+    assert(pairSet(MinhashIndex.candidatePairsIndexedAt(spark, dir, versions(1))) ==
+      oneShot(corpus), "version-2 snapshot must be the appended union")
+    assert(pairSet(MinhashIndex.candidatePairsIndexedAt(spark, dir, versions.last)) ==
+      oneShot(corpus.where($"doc_id" =!= 0L)), "latest must reflect the delete")
+    assert(pairSet(MinhashIndex.candidatePairsIndexedAt(spark, dir, versions.last)) ==
+      pairSet(MinhashIndex.candidatePairsIndexed(spark, dir)))
+  }
+
   test("empty append is a no-op: empty pair frame, no new commit") {
     val dir = tmpDir("mh_empty")
     MinhashIndex.writeMinhashIndex(corpus, dir)

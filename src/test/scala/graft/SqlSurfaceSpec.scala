@@ -142,4 +142,38 @@ class SqlSurfaceSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft_dedup_exact('documents', 'doc_id')").collect())
     assert(ex.getMessage.contains("expects 3 argument"), ex.getMessage)
   }
+
+  test("the persisted stores serve from plain SQL: minhash pairs and media near-dups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    // minhash index over a tiny planted corpus
+    val docsDf = (0 until 12).map { i =>
+      val shared = (0 until 10).map(k => s"w${(i / 3 * 5 + k) % 13}").mkString(" ")
+      (i.toLong, s"$shared t${i % 3}")
+    }.toDF("doc_id", "text")
+    val mhDir = tmpDir("sql_mh")
+    graft.ops.MinhashIndex.writeMinhashIndex(docsDf, mhDir)
+    val sqlPairs = spark.sql(
+      s"SELECT id_a, id_b FROM graft_minhash_pairs('$mhDir', 64) ORDER BY id_a, id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val apiPairs = graft.ops.MinhashIndex.candidatePairsIndexed(spark, mhDir, 64)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sqlPairs == apiPairs && sqlPairs.nonEmpty)
+
+    // feature store with two identical planted images
+    val assets = graft.ops.Multimodal.asAsset(
+      $"asset_id", lit("image"), call_function("synth_image", $"pk"), lit("s"))(
+      Seq((1L, 5L), (2L, 5L), (3L, 6L)).toDF("asset_id", "pk"))
+    val mmDir = tmpDir("sql_mm")
+    graft.ops.Multimodal.writeFeatureStore(assets, mmDir)
+    val sqlDups = spark.sql(
+      s"SELECT id_a, id_b, hamming FROM graft_mm_neardups('$mmDir', 'image', 3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(sqlDups.contains((1L, 2L, 0)), sqlDups.toString)
+    val bad = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_mm_neardups('$mmDir', 'video', 3)").collect())
+    assert(bad.getMessage.contains("modality"), bad.getMessage)
+  }
 }
