@@ -923,6 +923,27 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // COMPOSED near-dup curation capstone over the PERSISTED index: the
+    // whole production takedown loop as one flow — candidate pairs served
+    // from the incremental minhash store (no re-signing), Jaccard-verified
+    // ≥ 0.35 against the corpus, transitively clustered, and the LONGEST
+    // member of each cluster survives (keep-best policy). One oracle CTE
+    // chain replays every stage: banding, verification, the recursive
+    // closure, and the survivor window.
+    "q_pipeline_neardup_curate" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val d = docsWithNearDups(s, dir)
+      val pairs = Dedup.verifyJaccard(
+          MinhashIndex.candidatePairsIndexed(
+            s, minhashIndexDir(s, dir), maxOccupancy = 64),
+          d, "doc_id", "text", shingle = 3, minJaccard = 0.35)
+        .where(col("jaccard") >= 0.35)
+        .select("id_a", "id_b")
+      Dedup.keepBestInClusters(d, pairs, "doc_id", col("n_chars"))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: exact-fingerprint overlap between the
     // corpus and a planted eval set (every 10th doc, re-id'd)
     "q_contamination" -> ((s, dir) => {
@@ -2293,6 +2314,45 @@ object LlmQueries {
     "q_dedup_clusters_star" -> clustersOracleSql,
 
     "q_dedup_keep_best" -> keepBestOracleSql,
+
+    // The persisted-index curation capstone: minhash banding (the
+    // q_dedup_minhash_lsh chain — the store must collide identically),
+    // Jaccard verification, recursive-closure clustering, and the
+    // keep-best survivor window, all in one replay.
+    "q_pipeline_neardup_curate" ->
+      s"""WITH RECURSIVE $mutCte,
+         |${shingleCte("alldocs")},
+         |h AS (SELECT id, sh, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
+         |mh AS (SELECT id, i, min((h * (2*i + 1) + (98765*i + 12345)) % 2147483647) AS mh
+         |       FROM h, range(16) t(i) GROUP BY id, i),
+         |bands AS (SELECT id, i // 2 AS band,
+         |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_key
+         |          FROM mh GROUP BY id, i // 2),
+         |occ AS (SELECT band, band_key FROM bands
+         |        GROUP BY band, band_key HAVING count(*) <= 64),
+         |bcap AS (SELECT b.id, b.band, b.band_key FROM bands b
+         |         JOIN occ o ON o.band = b.band AND o.band_key = b.band_key),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM bcap a JOIN bcap b
+         |           ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |$jaccardSql,
+         |p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.35),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION SELECT id_b AS src, id_a AS dst FROM p),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+         |lab AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),
+         |surv AS (SELECT doc_id FROM (
+         |           SELECT l.doc_id,
+         |                  row_number() OVER (PARTITION BY l.cluster
+         |                    ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn
+         |           FROM lab l JOIN alldocs d ON d.doc_id = l.doc_id) WHERE rn = 1)
+         |SELECT d.doc_id, d.n_chars FROM alldocs d
+         |LEFT JOIN lab l ON l.doc_id = d.doc_id
+         |WHERE l.doc_id IS NULL OR d.doc_id IN (SELECT surv.doc_id FROM surv)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Auto-selection runs on consecutive-id chain pairs (deep topology);
     // the closure oracle is the same recursive-CTE shape over those pairs.
