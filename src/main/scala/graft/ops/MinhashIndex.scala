@@ -247,6 +247,22 @@ object MinhashIndex {
     Dedup.candidatePairs(liveBands(spark, indexDir, segs, delGens), maxOccupancy)
   }
 
+  /** End-to-end near-dup detection FROM the index: stored candidate pairs
+    * ([[candidatePairsIndexed]] — never re-signs) Jaccard-verified against
+    * the corpus text at `threshold` ([[Dedup.verifyJaccard]] — shingles
+    * only candidate docs). The one-call serving form of
+    * [[Dedup.nearDuplicates]] with the signing cost amortized into the
+    * store; verification remains ∝ candidate mass by nature. */
+  def nearDuplicatesIndexed(
+      corpus: DataFrame, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingle: Int = 3, threshold: Double = 0.5,
+      maxOccupancy: Int = 64): DataFrame =
+    Dedup.verifyJaccard(
+        candidatePairsIndexed(corpus.sparkSession, indexDir, maxOccupancy),
+        corpus, idCol, textCol, shingle, minJaccard = threshold)
+      .where(col("jaccard") >= threshold)
+
   /** The live banded view `(id, band, band_key)` — for composing with
     * custom verification or occupancy audits ([[Dedup.lshOccupancyStats]]). */
   def readMinhashBands(spark: SparkSession, indexDir: String): DataFrame = {
@@ -290,6 +306,10 @@ object MinhashIndex {
    */
   def deleteFromMinhashIndex(ids: DataFrame, indexDir: String): Unit = {
     val spark = ids.sparkSession
+    require(ids.columns.length == 1,
+      s"deleteFromMinhashIndex takes a single-column id frame, got " +
+        s"(${ids.columns.mkString(", ")}) — selecting a wrong column " +
+        "silently would tombstone the wrong documents")
     val (ver, meta, segs, delGens) = readManifest(spark, indexDir, "deleteFromMinhashIndex")
     val dels = ids.select(col(ids.columns.head).as("id")).distinct().localCheckpoint()
     if (dels.isEmpty) return

@@ -825,12 +825,9 @@ object LlmQueries {
     // the incremental index must collide identically to one-shot banding.
     "q_dedup_minhash_inc" -> ((s, dir) => {
       GraftExtensions.register(s)
-      val cands = MinhashIndex.candidatePairsIndexed(
-        s, minhashIndexDir(s, dir), maxOccupancy = 64)
-      Dedup.verifyJaccard(
-          cands, docsWithNearDups(s, dir), "doc_id", "text",
-          shingle = 3, minJaccard = 0.35)
-        .where(col("jaccard") >= 0.35)
+      MinhashIndex.nearDuplicatesIndexed(
+          docsWithNearDups(s, dir), minhashIndexDir(s, dir),
+          "doc_id", "text", shingle = 3, threshold = 0.35, maxOccupancy = 64)
         .orderBy("id_a", "id_b")
     }),
 
@@ -933,11 +930,9 @@ object LlmQueries {
     "q_pipeline_neardup_curate" -> ((s, dir) => {
       GraftExtensions.register(s)
       val d = docsWithNearDups(s, dir)
-      val pairs = Dedup.verifyJaccard(
-          MinhashIndex.candidatePairsIndexed(
-            s, minhashIndexDir(s, dir), maxOccupancy = 64),
-          d, "doc_id", "text", shingle = 3, minJaccard = 0.35)
-        .where(col("jaccard") >= 0.35)
+      val pairs = MinhashIndex.nearDuplicatesIndexed(
+          d, minhashIndexDir(s, dir),
+          "doc_id", "text", shingle = 3, threshold = 0.35, maxOccupancy = 64)
         .select("id_a", "id_b")
       Dedup.keepBestInClusters(d, pairs, "doc_id", col("n_chars"))
         .select("doc_id", "n_chars")
