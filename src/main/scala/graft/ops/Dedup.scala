@@ -121,6 +121,37 @@ object Dedup {
           .otherwise("retained"))
   }
 
+  /** A chosen LSH banding: `bands × rows = numHashes`, with the S-curve
+    * crossover `(1/bands)^(1/rows)` — the Jaccard similarity at which a
+    * pair's candidate probability passes ~1−1/e. */
+  final case class LshPlan(bands: Int, rows: Int, crossover: Double)
+
+  /** Candidate probability of a pair with Jaccard `j` under `(bands,
+    * rows)` banding: `1 − (1 − j^rows)^bands` — the standard S-curve
+    * (Leskovec/Rajaraman/Ullman, MMDS ch. 3). */
+  def lshCandidateProb(bands: Int, rows: Int, j: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(j, rows), bands)
+
+  /**
+   * Pick the banding for a target Jaccard threshold: among the divisors
+   * of `numHashes`, the `(bands, rows)` whose S-curve crossover
+   * `(1/b)^(1/r)` lands closest to `targetJaccard` (ties to more bands —
+   * recall over precision, the dedup-side default). The planning function
+   * every `nearDuplicates`/[[MinhashIndex]] deployment otherwise
+   * hand-derives; e.g. 16 hashes at target 0.35 → (8 bands, 2 rows),
+   * crossover 0.3536 — the engine's own shipped configuration.
+   */
+  def lshPlan(numHashes: Int, targetJaccard: Double): LshPlan = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    require(targetJaccard > 0 && targetJaccard < 1,
+      s"targetJaccard must be in (0, 1), got $targetJaccard")
+    val options = (1 to numHashes).filter(numHashes % _ == 0).map { b =>
+      val r = numHashes / b
+      LshPlan(b, r, math.pow(1.0 / b, 1.0 / r))
+    }
+    options.minBy(p => (math.abs(p.crossover - targetJaccard), -p.bands))
+  }
+
   /**
    * MinHash signatures, wide format: one row per document with columns
    * `mh_0 … mh_{numHashes-1}`. All `numHashes` permutation minima are

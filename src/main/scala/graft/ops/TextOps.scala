@@ -83,6 +83,30 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /**
+   * HTML → text extraction (the CCNet/RefinedWeb ingest stage before any
+   * quality or dedup pass): drops `<script>`/`<style>` blocks WITH their
+   * content (code is not prose), strips every remaining tag, decodes the
+   * six ubiquitous entities (`&amp; &lt; &gt; &quot; &#39; &nbsp;` —
+   * `&amp;` LAST, so `&amp;lt;` decodes to the literal `&lt;` the author
+   * wrote, not `<`), and collapses whitespace runs. Pure codegen'd
+   * built-ins (regexp chains — no UDF, no kernel), and every pattern is
+   * RE2-compatible so the DuckDB oracle replays the chain verbatim.
+   * Malformed markup degrades gracefully: an unclosed tag strips to its
+   * `>` or survives as text, never throws.
+   */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val decoded =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(noTags,
+          "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"),
+        "&quot;", "\""), "&#39;", "'"), "&amp;", "&")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Rolling-hash document fingerprint: the minimum 32-bit hash over the
     * document's word shingles (winnowing's min-sampling step with a single
     * global window) — robust to local edits, cheap to compare at scale.

@@ -1150,6 +1150,29 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // HTML -> text extraction (the ingest stage before any quality/dedup
+    // pass): every doc wrapped in planted markup — style/script blocks
+    // (with a stray '<' inside the script), heading, attributes, and for
+    // every third doc an entity gauntlet. stripHtml must drop code blocks
+    // WITH content, strip tags, decode entities (&amp; last), and
+    // collapse whitespace; the oracle replays the identical regex chain.
+    "q_text_html_strip" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(
+          col("doc_id"),
+          TextOps.stripHtml(concat(
+            lit("<html><head><style>p{color:red}</style></head>" +
+              "<body><h1 class=\"t\">Doc "),
+            col("doc_id").cast("string"),
+            lit("</h1><p>"), col("text"),
+            lit("</p><script type=\"text/javascript\">var x = 1 < 2;</script>"),
+            when(col("doc_id") % 3 === 0,
+              lit("<p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;end</p>"))
+              .otherwise(lit("")),
+            lit("</body></html>"))).as("text_clean"))
+        .orderBy("doc_id")
+    }),
+
     // Boilerplate line removal: every doc gets a planted per-source
     // boilerplate line (appears in 100% of its source's docs → dropped)
     // plus a doc-unique footer (kept) — the output must strip exactly the
@@ -2620,6 +2643,28 @@ object LlmQueries {
          |       CAST(a.n_kept AS BIGINT) AS n_kept
          |FROM agg a JOIN toks t ON t.doc_id = a.doc_id
          |ORDER BY a.doc_id""".stripMargin,
+
+    "q_text_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><style>p{color:red}</style></head><body><h1 class="t">Doc '
+        |    || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+        |    || '</p><script type="text/javascript">var x = 1 < 2;</script>'
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN '<p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;end</p>'
+        |            ELSE '' END
+        |    || '</body></html>' AS html FROM documents),
+        |s1 AS (SELECT doc_id,
+        |         regexp_replace(html,
+        |           '(?is)<(script|style)\b[^>]*>.*?</(script|style)\s*>', ' ', 'g') AS t
+        |       FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id,
+        |         replace(replace(replace(replace(replace(replace(t,
+        |           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |           '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+        |       FROM s2)
+        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_clean
+        |FROM s3 ORDER BY doc_id""".stripMargin,
 
     "q_text_boilerplate" ->
       """WITH dd AS (SELECT doc_id, source,

@@ -1226,6 +1226,52 @@ class LlmOpsSpec extends SparkSpec {
     assert((got(0L) ++ got(1L)).distinct.size == got(0L).size + got(1L).size - 1)
   }
 
+  test("Dedup.lshPlan: crossover math, shipped-config reproduction, recall-side ties") {
+    import graft.ops.Dedup
+    // the engine's own shipped configuration falls out of the planner
+    val p35 = Dedup.lshPlan(16, 0.35)
+    assert(p35.bands == 8 && p35.rows == 2, p35.toString)
+    assert(math.abs(p35.crossover - math.pow(1.0 / 8, 0.5)) < 1e-12)
+    // high-threshold target picks fewer bands / more rows
+    val p80 = Dedup.lshPlan(16, 0.8)
+    assert(p80.bands < p35.bands && p80.rows > p35.rows, p80.toString)
+    // S-curve sanity: candidate probability is monotone in j, and more
+    // bands always mean more candidates at fixed j
+    val js = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+    val curve = js.map(Dedup.lshCandidateProb(8, 2, _))
+    assert(curve == curve.sorted && curve.last > 0.99, curve.toString)
+    js.foreach { j =>
+      assert(Dedup.lshCandidateProb(8, 2, j) >= Dedup.lshCandidateProb(4, 4, j) - 1e-12,
+        s"more bands must not lower candidate prob at j=$j")
+    }
+    // a pair AT the crossover has candidate probability near 1 - 1/e
+    val atCross = Dedup.lshCandidateProb(p35.bands, p35.rows, p35.crossover)
+    assert(math.abs(atCross - (1 - math.exp(-1))) < 0.05, atCross.toString)
+    intercept[IllegalArgumentException](Dedup.lshPlan(16, 0.0))
+  }
+
+  test("TextOps.stripHtml: blocks dropped with content, entities decoded in order, " +
+    "malformed markup degrades gracefully") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    def strip(s: String): String =
+      Seq(s).toDF("h").select(TextOps.stripHtml($"h")).collect()(0).getString(0)
+    assert(strip("<p>Hello <b>world</b></p>") == "Hello world")
+    // script/style vanish WITH content, even with a stray '<' inside
+    assert(strip("a<script>if (1 < 2) x()</script>b<style>p{}</style>c") == "a b c")
+    // entity order: &amp;lt; is the LITERAL text '&lt;', not a tag opener
+    assert(strip("A &amp; B &amp;lt;kept&amp;gt; &lt;x&gt; &quot;q&quot; &#39;s&#39;") ==
+      "A & B &lt;kept&gt; <x> \"q\" 's'")
+    // unclosed tag: strips to its '>', or survives as text when '>' never comes
+    assert(strip("pre <div class='x' post") == "pre <div class='x' post")
+    assert(strip("pre <div\nclass='x'> post") == "pre post")
+    // whitespace collapse + trim
+    assert(strip("  <p> a\n\n b\t c </p>  ") == "a b c")
+    // null passthrough
+    assert(Seq[Option[String]](None).toDF("h")
+      .select(TextOps.stripHtml($"h")).collect()(0).isNullAt(0))
+  }
+
   test("Dedup: exact-substring span dedup cuts every duplicated window occurrence") {
     // n=3 windows, hand-computable: a and b share the span "s1 s2 s3"
     // (cross-doc dup), d repeats its own 3-window internally (within-doc
