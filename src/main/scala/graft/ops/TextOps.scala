@@ -84,6 +84,41 @@ object TextOps {
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /**
+   * URL canonicalization — the crawl-side dedup key (two fetches of one
+   * resource under cosmetic URL variants must collapse BEFORE content
+   * dedup ever runs): lowercases scheme and host, drops the default port
+   * (`:80` for http, `:443` for https), drops the fragment, strips
+   * tracking parameters (`utm_*`, `gclid`, `fbclid`, `ref`), sorts the
+   * surviving query parameters byte-wise (param order is not semantic),
+   * drops a lone trailing slash from non-root paths, and omits `?` when
+   * no parameters survive. Pure built-ins (regexp_extract + array HOFs),
+   * every pattern RE2-compatible for oracle replay. Deliberately NOT
+   * attempted: percent-encoding normalization and IDN — they need a full
+   * RFC 3986 codec, and a wrong "normalization" silently merges distinct
+   * resources (worse than missing a collapse).
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    val port = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*(:[0-9]+)", 1)
+    val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val keptPort = when(
+      (scheme === "http" && port === ":80") ||
+        (scheme === "https" && port === ":443") || port === "",
+      lit("")).otherwise(port)
+    val cleanPath = when(path.rlike("^.+/$") && path =!= "/",
+      regexp_replace(path, "/$", "")).otherwise(path)
+    val params = when(query === "", array().cast("array<string>"))
+      .otherwise(array_sort(filter(split(query, "&"), p =>
+        !p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)="))))
+    concat(
+      scheme, lit("://"), host, keptPort, cleanPath,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
+
+  /**
    * HTML → text extraction (the CCNet/RefinedWeb ingest stage before any
    * quality or dedup pass): drops `<script>`/`<style>` blocks WITH their
    * content (code is not prose), strips every remaining tag, decodes the

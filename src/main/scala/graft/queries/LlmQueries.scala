@@ -1150,6 +1150,32 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // URL canonicalization: four planted variants per doc — uppercase
+    // scheme/host + default port + tracking params + unsorted query +
+    // trailing slash + fragment — where variants 0 and 1 MUST collapse to
+    // the same canonical key (the crawl-dedup property), 2 drops its
+    // default port and gclid, 3 keeps its non-default port and loses only
+    // the fragment. The oracle replays every extraction and rule.
+    "q_text_url_canon" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://Site"), (col("doc_id") % 7).cast("string"),
+            lit(".COM:443/page/"), (col("doc_id") % 50).cast("string"),
+            lit("/?utm_source=tw&b=2&a=1#sec")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://site"), (col("doc_id") % 7).cast("string"),
+            lit(".com/page/"), (col("doc_id") % 50).cast("string"), lit("?a=1&b=2")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("HTTP://Site"), (col("doc_id") % 7).cast("string"),
+            lit(".com:80/page/"), (col("doc_id") % 50).cast("string"),
+            lit("/index.html?gclid=xyz")))
+        .otherwise(
+          concat(lit("http://site"), (col("doc_id") % 7).cast("string"),
+            lit(".com:8080/page/"), (col("doc_id") % 50).cast("string"), lit("#frag")))
+      d.select(col("doc_id"), TextOps.canonicalizeUrl(url).as("canon_url"))
+        .orderBy("doc_id")
+    }),
+
     // HTML -> text extraction (the ingest stage before any quality/dedup
     // pass): every doc wrapped in planted markup — style/script blocks
     // (with a stray '<' inside the script), heading, attributes, and for
@@ -2643,6 +2669,44 @@ object LlmQueries {
          |       CAST(a.n_kept AS BIGINT) AS n_kept
          |FROM agg a JOIN toks t ON t.doc_id = a.doc_id
          |ORDER BY a.doc_id""".stripMargin,
+
+    "q_text_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR)
+        |        || '.COM:443/page/' || CAST(doc_id % 50 AS VARCHAR)
+        |        || '/?utm_source=tw&b=2&a=1#sec'
+        |      WHEN 1 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+        |        || '.com/page/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2'
+        |      WHEN 2 THEN 'HTTP://Site' || CAST(doc_id % 7 AS VARCHAR)
+        |        || '.com:80/page/' || CAST(doc_id % 50 AS VARCHAR)
+        |        || '/index.html?gclid=xyz'
+        |      ELSE 'http://site' || CAST(doc_id % 7 AS VARCHAR)
+        |        || '.com:8080/page/' || CAST(doc_id % 50 AS VARCHAR) || '#frag'
+        |    END AS url FROM documents),
+        |parts AS (SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*(:[0-9]+)', 1) AS port,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM u),
+        |rules AS (SELECT doc_id, scheme, host,
+        |    CASE WHEN (scheme = 'http' AND port = ':80')
+        |           OR (scheme = 'https' AND port = ':443') OR port = ''
+        |         THEN '' ELSE port END AS kport,
+        |    CASE WHEN regexp_matches(path, '^.+/$') AND path <> '/'
+        |         THEN regexp_replace(path, '/$', '') ELSE path END AS cpath,
+        |    CASE WHEN query = '' THEN []
+        |         ELSE list_sort(list_filter(string_split(query, '&'),
+        |                p -> NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=')))
+        |    END AS params
+        |  FROM parts)
+        |SELECT doc_id,
+        |  scheme || '://' || host || kport || cpath ||
+        |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END
+        |    AS canon_url
+        |FROM rules ORDER BY doc_id""".stripMargin,
 
     "q_text_html_strip" ->
       """WITH h AS (SELECT doc_id,

@@ -1272,6 +1272,34 @@ class LlmOpsSpec extends SparkSpec {
       .select(TextOps.stripHtml($"h")).collect()(0).isNullAt(0))
   }
 
+  test("TextOps.canonicalizeUrl: variants collapse, ports/fragments/tracking handled, " +
+    "root path and param sort stable") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    def canon(s: String): String =
+      Seq(s).toDF("u").select(TextOps.canonicalizeUrl($"u")).collect()(0).getString(0)
+    // the crawl-dedup property: cosmetic variants collapse to one key
+    val variants = Seq(
+      "HTTPS://Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+      "https://example.com/a/b?a=1&b=2",
+      "https://EXAMPLE.com:443/a/b/?b=2&utm_campaign=y&a=1")
+    assert(variants.map(canon).distinct == Seq("https://example.com/a/b?a=1&b=2"),
+      variants.map(canon).toString)
+    // non-default port survives; default port for the OTHER scheme survives
+    assert(canon("http://h.com:8080/x") == "http://h.com:8080/x")
+    assert(canon("http://h.com:443/x") == "http://h.com:443/x")
+    assert(canon("https://h.com:80/x") == "https://h.com:80/x")
+    // root path keeps its slash; all-tracking query drops the '?'
+    assert(canon("https://h.com/?utm_source=a&gclid=b") == "https://h.com/")
+    assert(canon("HTTP://H.com:80/") == "http://h.com/")
+    // a 'ref' param drops, but 'referrer=' and 'prefix=' survive (anchored)
+    assert(canon("https://h.com/p?ref=x&referrer=y&prefix=z") ==
+      "https://h.com/p?prefix=z&referrer=y")
+    // null passthrough
+    assert(Seq[Option[String]](None).toDF("u")
+      .select(TextOps.canonicalizeUrl($"u")).collect()(0).isNullAt(0))
+  }
+
   test("Dedup: exact-substring span dedup cuts every duplicated window occurrence") {
     // n=3 windows, hand-computable: a and b share the span "s1 s2 s3"
     // (cross-doc dup), d repeats its own 3-window internally (within-doc
