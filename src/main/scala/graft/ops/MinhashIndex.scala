@@ -247,6 +247,30 @@ object MinhashIndex {
     Dedup.candidatePairs(liveBands(spark, indexDir, segs, delGens), maxOccupancy)
   }
 
+  /**
+   * The INCREMENTAL VERIFIED feed — the per-batch unit a continuous
+   * near-dup deployment actually consumes, with verification paid only
+   * on the batch's OWN candidate pairs (never the corpus's): append
+   * `delta` ([[appendToMinhashIndex]] — signs only the batch), then
+   * Jaccard-verify just the returned new pairs against `corpus` (which
+   * must contain the accumulated documents INCLUDING `delta` — the
+   * ingest table after its upsert; [[Dedup.verifyJaccard]] shingles only
+   * the pair-involved docs, so cost is ∝ batch candidate mass). The
+   * disjoint union of these per-batch feeds equals one-shot
+   * [[Dedup.nearDuplicates]] over the final corpus (spec-pinned), which
+   * is exactly why a rerun never needs to re-verify history.
+   */
+  def nearDuplicatesForBatch(
+      delta: DataFrame, corpus: DataFrame, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingle: Int = 3, threshold: Double = 0.5,
+      maxOccupancy: Int = 64): DataFrame = {
+    val newPairs = appendToMinhashIndex(delta, indexDir, idCol, textCol, maxOccupancy)
+    Dedup.verifyJaccard(newPairs, corpus, idCol, textCol, shingle,
+        minJaccard = threshold)
+      .where(col("jaccard") >= threshold)
+  }
+
   /** End-to-end near-dup detection FROM the index: stored candidate pairs
     * ([[candidatePairsIndexed]] — never re-signs) Jaccard-verified against
     * the corpus text at `threshold` ([[Dedup.verifyJaccard]] — shingles

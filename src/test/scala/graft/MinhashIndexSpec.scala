@@ -60,6 +60,33 @@ class MinhashIndexSpec extends SparkSpec {
     assert(st.meta == MinhashIndex.MhMeta(16, 8, 3))
   }
 
+  test("incremental VERIFIED feed: per-batch verified pairs union to one-shot " +
+    "nearDuplicates over the final corpus — history is never re-verified") {
+    val batches = Seq(
+      corpus.where($"doc_id" < 10),
+      corpus.where($"doc_id" >= 10 && $"doc_id" < 20),
+      corpus.where($"doc_id" >= 20))
+    val dir = tmpDir("mh_feed")
+    MinhashIndex.writeMinhashIndex(batches.head, dir)
+    // batch 1's own pairs come from the serving read over the bootstrap
+    var acc = batches.head
+    val feed0 = pairSet(MinhashIndex.nearDuplicatesIndexed(
+      acc, dir, threshold = 0.35, maxOccupancy = 64))
+    val feeds = feed0 +: batches.tail.map { b =>
+      acc = acc.unionByName(b) // the ingest table after its upsert
+      pairSet(MinhashIndex.nearDuplicatesForBatch(
+        b, acc, dir, threshold = 0.35, maxOccupancy = 64))
+    }
+    val oneShotAll = pairSet(Dedup.nearDuplicates(
+      corpus, "doc_id", "text", numHashes = 16, bands = 8, shingle = 3,
+      threshold = 0.35, nativeSignatures = true, maxOccupancy = 64))
+    assert(feeds.reduce(_ ++ _) == oneShotAll,
+      s"verified feeds != one-shot: ${feeds.map(_.size)} vs ${oneShotAll.size}")
+    assert(feeds.map(_.size).sum == oneShotAll.size,
+      "per-batch verified feeds overlapped — history was re-verified")
+    assert(oneShotAll.nonEmpty)
+  }
+
   test("time travel: the index as of each committed version serves that snapshot's pairs") {
     val dir = tmpDir("mh_tt")
     val a = corpus.where($"doc_id" < 15)
