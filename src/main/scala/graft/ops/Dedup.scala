@@ -121,6 +121,63 @@ object Dedup {
           .otherwise("retained"))
   }
 
+  /**
+   * Corpus-wide paragraph/line dedup — the CCNet ingest stage (Wenzek et
+   * al. 2020, arXiv:1911.00359): split every document on `sep`, drop each
+   * line that duplicates one seen elsewhere in the corpus, and reassemble
+   * the survivors in original order. This is what strips boilerplate
+   * ("subscribe", cookie banners, shared footers) that recurs across
+   * MILLIONS of otherwise-distinct pages — cheaper and earlier in the
+   * pipeline than span dedup ([[exactSubstringDedup]]), which catches
+   * shared runs that don't align to line boundaries.
+   *
+   * `keepFirst = true` (default) keeps the single first occurrence under
+   * the (id, position) total order — one copy of every line value survives
+   * somewhere, CCNet's semantics. `keepFirst = false` removes EVERY
+   * occurrence of a line that appears more than once (the aggressive
+   * variant for boilerplate known to be worthless).
+   *
+   * Scale shape: lines are keyed by md5 (fixed 32 bytes shuffled per line,
+   * not the line text); the global first/count comes from a
+   * partial-aggregatable `groupBy(h)` — map-side combine collapses a
+   * million-fold duplicated banner to one row per input partition BEFORE
+   * the exchange, so pathological line skew never concentrates on one
+   * reducer. One shuffle-join of lines against that aggregate on `h`, one
+   * reassembly `groupBy(id)`. No windows over the hot key, no all-pairs.
+   * A document whose every line was seen earlier reassembles to the empty
+   * string (it is pure boilerplate — downstream length filters drop it).
+   * Null/absent text passes through as null.
+   */
+  def paragraphDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", keepFirst: Boolean = true): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val lines = base.where(col("text").isNotNull)
+      .select(col("id"), posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+      .withColumn("h", md5(col("line")))
+    val keep =
+      if (keepFirst) {
+        // min(struct(id, pos)) per hash — partial-aggregatable, skew-proof
+        val firsts = lines.groupBy(col("h"))
+          .agg(min(struct(col("id"), col("pos"))).as("first"))
+        lines.join(firsts, Seq("h"))
+          .where(struct(col("id"), col("pos")) === col("first"))
+      } else {
+        val counts = lines.groupBy(col("h")).agg(count(lit(1)).as("n"))
+        lines.join(counts, Seq("h")).where(col("n") === 1L)
+      }
+    val rebuilt = keep.groupBy(col("id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")),
+        sep).as("_clean"))
+    base.join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("text").isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("_clean"), lit(""))).as(textCol))
+  }
+
   /** A chosen LSH banding: `bands × rows = numHashes`, with the S-curve
     * crossover `(1/bands)^(1/rows)` — the Jaccard similarity at which a
     * pair's candidate probability passes ~1−1/e. */

@@ -357,6 +357,100 @@ object Similarity {
       .select("qid", "rank", "vec_id", "sdot")
   }
 
+  // -------------------------------------------------------------------------
+  // Binary (1-bit) quantization — the compression floor of the ladder
+  // (float32 → SQ8 4× → PQ ~128× → binary 32×/dim-byte): one SIGN BIT per
+  // dimension, packed 64 to a long. The standard "binary quantization"
+  // serving tier of modern vector stores (Lucene/Elasticsearch BQ,
+  // Qdrant/Weaviate binary indexes): Hamming distance over the packed words
+  // is a rank proxy for cosine on roughly-centered embeddings, the scan
+  // touches 1 bit/dim (d=64 → ONE long per vector, a 256× read reduction vs
+  // float32), and an exact re-rank of the Hamming shortlist buys the recall
+  // back — same two-stage contract as [[ivfPqTopKIndexedRerank]].
+  //
+  // Everything is engine-exact by construction: the bit rule is a raw
+  // float32 `> 0` comparison (no quantization, no rounding), packing is
+  // integer bit-or, and the score is an integer popcount — the oracle
+  // replays all three verbatim.
+  // -------------------------------------------------------------------------
+
+  /** Sign-bit binary code for an `array<float>` column: bit `i mod 64` of
+    * word `i / 64` is set iff component `i` is `> 0f` (strict — zeros and
+    * negatives clear). Statically unrolled over `dims`, so the whole encode
+    * is codegen'd fixed-arity integer arithmetic (no higher-order
+    * functions): `ceil(dims/64)` longs per row. */
+  def binaryEncode(vec: Column, dims: Int): Column = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    val words = (0 until (dims + 63) / 64).map { w =>
+      val hi = math.min(dims, w * 64 + 64)
+      (w * 64 until hi).map { i =>
+        when(element_at(vec, i + 1) > lit(0f), lit(1L << (i - w * 64)))
+          .otherwise(lit(0L))
+      }.reduce[Column](_ bitwiseOR _)
+    }
+    array(words: _*)
+  }
+
+  /** `(vec_id, sig)` binary-code frame — the build-once artifact (persist
+    * it like [[sqEncode]] codes; at d=64 it is one long per vector). A
+    * shuffle-free projection over the corpus scan. */
+  def binaryEncodeFrame(
+      emb: DataFrame, dims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol).as("vec_id"), binaryEncode(col(vecCol), dims).as("sig"))
+
+  /** Hamming distance between two packed sign-bit codes: per-word
+    * `bit_count(xor)` summed over the statically-known word count —
+    * fixed-arity integer ops, fully codegen'd. */
+  def hammingDist(a: Column, b: Column, dims: Int): Column = {
+    val nWords = (dims + 63) / 64
+    (0 until nWords).map { w =>
+      bit_count(element_at(a, w + 1).bitwiseXOR(element_at(b, w + 1)))
+    }.reduce[Column](_ + _).cast("int")
+  }
+
+  /**
+   * Binary top-k: rank the corpus codes by Hamming distance to each query's
+   * sign-bit code (asc; vec_id tie-break — Hamming ties are common at 64
+   * bits, so the deterministic tie-break matters). Same broadcast-queries /
+   * corpus-single-pass / per-query TakeOrdered shape as [[bruteForceTopK]],
+   * but the scanned payload is the packed codes, not float vectors —
+   * `codes` comes from [[binaryEncodeFrame]] (build once, serve many).
+   */
+  def binaryTopK(
+      codes: DataFrame, queries: DataFrame, k: Int, dims: Int,
+      qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val scored = codes
+      .join(broadcast(queries.select(
+        col(qIdCol).as("qid"), binaryEncode(col(qVecCol), dims).as("qsig"))))
+      .select(col("qid"), col("vec_id"),
+        hammingDist(col("sig"), col("qsig"), dims).as("ham"))
+    val w = Window.partitionBy("qid").orderBy(col("ham").asc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "ham")
+  }
+
+  /** Binary scan + exact re-rank — the production BQ serving shape: the
+    * Hamming scan retrieves a `shortlist` ≫ k candidate set per query
+    * (codes only — at d=64 the scan reads one long per corpus row), and
+    * the final ranking exact-scores just those candidates against the raw
+    * vectors ([[rerankExact]]'s broadcast-shortlist join — the corpus never
+    * shuffles). Output ranks by exact integer dot (desc, vec_id tie-break),
+    * directly comparable to [[bruteForceTopK]]. */
+  def binaryTopKRerank(
+      emb: DataFrame, queries: DataFrame, k: Int, shortlist: Int, dims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val codes = binaryEncodeFrame(emb, dims, idCol, vecCol)
+    val sl = binaryTopK(codes, queries, shortlist, dims, qIdCol, qVecCol)
+      .select("qid", "vec_id")
+    rerankExact(sl, emb, queries, k, idCol, vecCol, qIdCol, qVecCol)
+  }
+
   /** Fail-loud bound on per-query candidate-set size in [[mmrRerank]]: the
     * greedy loop is O(k·|C|) per query and holds one query's candidates in
     * memory — the contract is k-bounded ANN/BM25 shortlists, not corpora. */

@@ -657,6 +657,22 @@ object LlmQueries {
       |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
       |  FROM sc) WHERE rn = 1)""".stripMargin
 
+  /** Sign-bit binary codes `bsig(vec_id, word, w)` — replays
+    * [[graft.ops.Similarity.binaryEncode]] exactly: bit `(i−1) mod 64` of
+    * word `(i−1)/64` set iff the raw float component is `> 0` (bit 63
+    * spelled as the min-BIGINT literal — DuckDB rejects `1 << 63` as a
+    * signed overflow, but the two's-complement value is the same word). */
+  private def binSigCte: String =
+    s"""bsig AS (
+       |  SELECT vec_id, ((i-1)//64) AS word,
+       |         bit_or(CASE WHEN v > 0 THEN
+       |                  (CASE WHEN (i-1)%64 = 63 THEN (-9223372036854775807 - 1)::BIGINT
+       |                        ELSE (1::BIGINT << ((i-1) % 64)) END)
+       |                ELSE 0::BIGINT END) AS w
+       |  FROM (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+       |        FROM embeddings)
+       |  GROUP BY vec_id, word)""".stripMargin
+
   private def compCte(name: String, src: String): String =
     s"""$name AS (
        |  SELECT vec_id, d, CAST(floor(x * 1e6) AS BIGINT) AS q
@@ -774,6 +790,32 @@ object LlmQueries {
       Dedup.exactByContent(d.unionByName(d), "doc_id", "text")
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // CCNet-style paragraph dedup (keep-first): every doc gets a shared
+    // banner line, its own unique body line, and a mod-7 shared footer —
+    // the duplicated lines must collapse to their single first occurrence
+    // under the (doc_id, position) order, bodies ride through untouched
+    "q_dedup_paragraph" -> ((s, dir) => {
+      val src = docs(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat_ws("\n",
+            lit("subscribe to our newsletter today"),
+            concat(col("text"), lit(" #"), col("doc_id").cast("string")),
+            concat(lit("copyright "), (col("doc_id") % 7).cast("string"))).as("text"))
+      Dedup.paragraphDedup(src, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // Remove-all variant: a line that appears ANYWHERE else in the corpus
+    // is dropped from every document — only the unique body lines survive
+    "q_dedup_paragraph_all" -> ((s, dir) => {
+      val src = docs(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat_ws("\n",
+            lit("subscribe to our newsletter today"),
+            concat(col("text"), lit(" #"), col("doc_id").cast("string")),
+            concat(lit("copyright "), (col("doc_id") % 7).cast("string"))).as("text"))
+      Dedup.paragraphDedup(src, "doc_id", "text", keepFirst = false).orderBy("doc_id")
     }),
 
     // Incremental (snapshot-over-snapshot) dedup: a new batch against the
@@ -1334,6 +1376,33 @@ object LlmQueries {
       val queries = e.where(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.sqTopK(Similarity.sqEncode(e, bounds), bounds, queries, 5)
+        .orderBy("qid", "rank")
+    }),
+
+    // Binary (1-bit sign) quantization scan: Hamming-ranked top-5 over
+    // packed 64-bit sign codes — the 32× compression floor of the
+    // quantization ladder (raw → SQ8 → PQ → binary); at d=64 the scan
+    // reads ONE long per corpus vector
+    "q_sim_binary" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = emb(s, dir)
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.binaryTopK(Similarity.binaryEncodeFrame(e, 64), queries, 5, 64)
+        .orderBy("qid", "rank")
+    }),
+
+    // Binary scan + exact re-rank: Hamming shortlist of 50 per query,
+    // exact integer-dot re-rank to top-5 — the production BQ serving
+    // shape (cheap bit scan retrieves, raw vectors re-rank a broadcast
+    // shortlist)
+    "q_sim_binary_rerank" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = emb(s, dir)
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.binaryTopKRerank(e, queries, 5, 50, 64)
+        .select("qid", "rank", "vec_id", "dot")
         .orderBy("qid", "rank")
     }),
 
@@ -2245,6 +2314,48 @@ object LlmQueries {
         |  FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    "q_dedup_paragraph" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         'subscribe to our newsletter today' || chr(10) ||
+        |         text || ' #' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |         'copyright ' || CAST(doc_id % 7 AS VARCHAR) AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |lines AS (SELECT doc_id, i - 1 AS pos, line FROM (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+        |         generate_subscripts(string_split(text, chr(10)), 1) AS i
+        |  FROM src)),
+        |kept AS (SELECT doc_id, pos, line FROM (
+        |  SELECT doc_id, pos, line,
+        |         row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
+        |  FROM lines) WHERE rn = 1),
+        |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, coalesce(r.text, '') AS text
+        |FROM src s LEFT JOIN reb r ON r.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
+    "q_dedup_paragraph_all" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         'subscribe to our newsletter today' || chr(10) ||
+        |         text || ' #' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |         'copyright ' || CAST(doc_id % 7 AS VARCHAR) AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |lines AS (SELECT doc_id, i - 1 AS pos, line FROM (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+        |         generate_subscripts(string_split(text, chr(10)), 1) AS i
+        |  FROM src)),
+        |kept AS (SELECT doc_id, pos, line FROM (
+        |  SELECT doc_id, pos, line,
+        |         count(*) OVER (PARTITION BY md5(line)) AS n
+        |  FROM lines) WHERE n = 1),
+        |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, coalesce(r.text, '') AS text
+        |FROM src s LEFT JOIN reb r ON r.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
     "q_dedup_snapshot_diff" ->
       """WITH f AS (SELECT doc_id,
         |             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
@@ -2957,6 +3068,41 @@ object LlmQueries {
          |  SELECT qid, vec_id, sdot,
          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sdot DESC, vec_id ASC) AS INT) AS rank
          |  FROM sqsc) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_sim_binary" ->
+      s"""WITH $binSigCte,
+         |ham AS (SELECT q.vec_id AS qid, c.vec_id,
+         |          CAST(SUM(bit_count(xor(q.w, c.w))) AS INT) AS ham
+         |        FROM bsig q JOIN bsig c ON c.word = q.word
+         |        WHERE q.vec_id < 3
+         |        GROUP BY q.vec_id, c.vec_id)
+         |SELECT qid, rank, vec_id, ham FROM (
+         |  SELECT qid, vec_id, ham,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY ham ASC, vec_id ASC) AS INT) AS rank
+         |  FROM ham) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_sim_binary_rerank" ->
+      s"""WITH $binSigCte,
+         |ham AS (SELECT q.vec_id AS qid, c.vec_id,
+         |          CAST(SUM(bit_count(xor(q.w, c.w))) AS INT) AS ham
+         |        FROM bsig q JOIN bsig c ON c.word = q.word
+         |        WHERE q.vec_id < 3
+         |        GROUP BY q.vec_id, c.vec_id),
+         |sl AS (SELECT qid, vec_id FROM (
+         |         SELECT qid, vec_id,
+         |                row_number() OVER (PARTITION BY qid ORDER BY ham ASC, vec_id ASC) AS rn
+         |         FROM ham) WHERE rn <= 50),
+         |${compCte("comp", "embeddings")},
+         |${compCte("qcomp", "(SELECT * FROM embeddings WHERE vec_id < 3)")},
+         |dots AS (SELECT q.vec_id AS qid, c.vec_id, CAST(SUM(q.q * c.q) AS BIGINT) AS dot
+         |         FROM qcomp q JOIN comp c ON c.d = q.d
+         |         GROUP BY q.vec_id, c.vec_id),
+         |scored AS (SELECT s.qid, s.vec_id, d.dot
+         |           FROM sl s JOIN dots d ON d.qid = s.qid AND d.vec_id = s.vec_id)
+         |SELECT qid, rank, vec_id, dot FROM (
+         |  SELECT qid, vec_id, dot,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q_sim_kmeans" ->
       s"""WITH ${kmeansCtes(8)}

@@ -1823,4 +1823,64 @@ class LlmOpsSpec extends SparkSpec {
     assert(Corpus.sampleWeighted(bad, "id", "w", k = 10)
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("Similarity.binaryEncode: sign-bit packing incl. bit 63, zeros clear, multi-word") {
+    import spark.implicits._
+    // dims=64: bits 0 and 63 positive, everything else zero/negative
+    val v = Array.tabulate(64)(i => if (i == 0) 0.5f else if (i == 63) 1e-9f
+                                    else if (i == 1) 0.0f else -0.3f)
+    val sig = Seq(Tuple1(v)).toDF("embedding")
+      .select(Similarity.binaryEncode($"embedding", 64)).as[Seq[Long]].collect()(0)
+    assert(sig == Seq(1L | (1L << 63)))
+    // dims=70 spills into a second word: bit 69 → word 1, bit 5
+    val v2 = Array.tabulate(70)(i => if (i == 69) 2.0f else -1.0f)
+    val sig2 = Seq(Tuple1(v2)).toDF("embedding")
+      .select(Similarity.binaryEncode($"embedding", 70)).as[Seq[Long]].collect()(0)
+    assert(sig2 == Seq(0L, 1L << 5))
+  }
+
+  test("Similarity.binaryTopK: hamming ranking with id tie-break; rerank recovers exact order") {
+    import spark.implicits._
+    // 4-dim toy corpus; signs: q=[+,+,+,+]
+    val vecs = Seq(
+      (0L, Array(0.9f, 0.8f, 0.7f, 0.6f)),   // ham 0 to q
+      (1L, Array(0.1f, 0.2f, 0.3f, -0.1f)),  // ham 1
+      (2L, Array(0.5f, 0.5f, 0.5f, -0.5f)),  // ham 1 — ties with 1, id breaks
+      (3L, Array(-1f, -1f, -1f, -1f)))       // ham 4
+      .toDF("vec_id", "embedding")
+    val queries = Seq((9L, Array(1f, 1f, 1f, 1f))).toDF("qid", "qvec")
+    val codes = Similarity.binaryEncodeFrame(vecs, 4)
+    val out = Similarity.binaryTopK(codes, queries, 4, 4)
+      .orderBy("rank").select("vec_id", "ham").as[(Long, Int)].collect().toSeq
+    assert(out == Seq((0L, 0), (1L, 1), (2L, 1), (3L, 4)))
+    // rerank with shortlist = corpus: exact top-k == bruteForceTopK (the
+    // recall ceiling law — the hamming stage only has to CONTAIN the top-k)
+    val rr = Similarity.binaryTopKRerank(vecs, queries, 3, 4, 4)
+      .orderBy("rank").select("vec_id", "dot").as[(Long, Long)].collect().toSeq
+    val brute = Similarity.bruteForceTopK(vecs, queries, 3)
+      .orderBy("rank").select("vec_id", "dot").as[(Long, Long)].collect().toSeq
+    assert(rr == brute)
+  }
+
+  test("Dedup.paragraphDedup: keep-first keeps one copy, remove-all strips every copy") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "banner\nalpha\nfooter"),
+      (2L, "banner\nbeta\nfooter"),
+      (3L, "banner\nfooter"),           // pure boilerplate → reassembles empty
+      (4L, null.asInstanceOf[String]),  // null rides through as null
+      (5L, "gamma"))
+      .toDF("doc_id", "text")
+    val kf = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(kf == Seq(
+      (1L, "banner\nalpha\nfooter"), // doc 1 is first: keeps both shared lines
+      (2L, "beta"),
+      (3L, ""),
+      (4L, null),
+      (5L, "gamma")))
+    val ra = Dedup.paragraphDedup(docs, "doc_id", "text", keepFirst = false)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(ra == Seq((1L, "alpha"), (2L, "beta"), (3L, ""), (4L, null), (5L, "gamma")))
+  }
 }
