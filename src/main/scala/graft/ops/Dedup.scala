@@ -1487,6 +1487,47 @@ object Dedup {
     spanCutRebuild(toks, losers, n)
   }
 
+  /**
+   * Memorization-risk profile — the diagnostic twin of the span-dedup
+   * family (Lee et al. 2021 §5; Carlini et al. 2022, arXiv:2202.07646,
+   * tie memorization odds to duplicated-sequence length): per document,
+   * how much of it is corpus-duplicated text, and how LONG the worst run
+   * is. Returns `(id, n_tokens, max_dup_span, dup_tokens)` for every
+   * non-null-text document — `dup_tokens` is the count of tokens covered
+   * by at least one duplicated `n`-window, `max_dup_span` the length of
+   * the longest contiguous covered run (0 when nothing is duplicated).
+   * This is the triage view a curation pipeline ranks by BEFORE deciding
+   * between [[exactSubstringDedup]]'s cut and dropping the document
+   * outright.
+   *
+   * Same cost shape as the dedup itself minus the rebuild: one window-hash
+   * exchange, one duplicated-START exchange (1 row per occurrence — the
+   * gap-and-island merge makes covered mass O(islands), positions are
+   * never generated at all: each island's length is `max(p)−min(p)+n`
+   * directly), one per-doc aggregate.
+   */
+  def memorizationProfile(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"window length must be >= 1, got $n")
+    val toks = spanTokens(df, idCol, textCol).where(col("t").isNotNull)
+    val wins = spanWins(toks, n)
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("c")).where(col("c") > 1).select("h")
+    val byDoc = Window.partitionBy("id").orderBy("p")
+    val islands = wins.join(dup, "h").select(col("id"), col("p"))
+      .withColumn("_new",
+        when(col("p") - lag("p", 1).over(byDoc) > n, 1).otherwise(0))
+      .withColumn("_island", sum("_new").over(byDoc))
+      .groupBy("id", "_island")
+      .agg((max(col("p")) - min(col("p")) + lit(n)).cast("long").as("_len"))
+      .groupBy("id")
+      .agg(max(col("_len")).as("max_dup_span"), sum(col("_len")).as("dup_tokens"))
+    toks.select(col("id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(islands, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("max_dup_span"), lit(0L)).as("max_dup_span"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
   /** `(id, t: array<string>)` token frames for the span-dedup family. */
   private def spanTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))

@@ -118,6 +118,14 @@ object TextOps {
         .otherwise(lit("")))
   }
 
+  /** Registrable host of a CANONICAL url ([[canonicalizeUrl]] output —
+    * scheme and host already lowercased): the authority up to the first
+    * `/ ? # :`. This is the per-domain grouping key for crawl-politeness
+    * caps ([[Corpus.capPerGroup]]) and domain-mix stats — one codegen'd
+    * regexp, '' when the input is not a URL, null on null. */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/?#:]*)", 1)
+
   /**
    * HTML → text extraction (the CCNet/RefinedWeb ingest stage before any
    * quality or dedup pass): drops `<script>`/`<style>` blocks WITH their

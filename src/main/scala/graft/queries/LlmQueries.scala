@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
@@ -258,6 +258,25 @@ object LlmQueries {
         .otherwise(col("text")))
 
   // Shared oracle fragments -------------------------------------------------
+
+  /** Four deterministic per-doc URL spellings of one logical resource —
+    * the shared plant of q_text_url_canon and q_corpus_domain_cap (the
+    * oracle replays it as a CASE over doc_id % 4). */
+  private def plantedUrl: Column =
+    when(col("doc_id") % 4 === 0,
+      concat(lit("HTTPS://Site"), (col("doc_id") % 7).cast("string"),
+        lit(".COM:443/page/"), (col("doc_id") % 50).cast("string"),
+        lit("/?utm_source=tw&b=2&a=1#sec")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("https://site"), (col("doc_id") % 7).cast("string"),
+          lit(".com/page/"), (col("doc_id") % 50).cast("string"), lit("?a=1&b=2")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("HTTP://Site"), (col("doc_id") % 7).cast("string"),
+          lit(".com:80/page/"), (col("doc_id") % 50).cast("string"),
+          lit("/index.html?gclid=xyz")))
+      .otherwise(
+        concat(lit("http://site"), (col("doc_id") % 7).cast("string"),
+          lit(".com:8080/page/"), (col("doc_id") % 50).cast("string"), lit("#frag")))
 
   private val mutCte =
     """alldocs AS (
@@ -1151,6 +1170,16 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Memorization-risk profile: per doc, tokens covered by duplicated
+    // 10-windows and the longest contiguous covered run — the triage view
+    // ranked before choosing cut-vs-drop; oracle recomputes the covered
+    // position set and its gaps-and-islands run lengths independently
+    "q_dedup_memorization" -> ((s, dir) => {
+      Dedup.memorizationProfile(docsWithNearDups(s, dir), "doc_id", "text", n = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Keep-one span dedup: per duplicated window the (doc, position)-first
     // occurrence survives, all others cut — the oracle replays the
     // survivor tie-break with the same row_number-over-(id, p) rule
@@ -1200,21 +1229,20 @@ object LlmQueries {
     // the fragment. The oracle replays every extraction and rule.
     "q_text_url_canon" -> ((s, dir) => {
       val d = docs(s, dir)
-      val url = when(col("doc_id") % 4 === 0,
-          concat(lit("HTTPS://Site"), (col("doc_id") % 7).cast("string"),
-            lit(".COM:443/page/"), (col("doc_id") % 50).cast("string"),
-            lit("/?utm_source=tw&b=2&a=1#sec")))
-        .when(col("doc_id") % 4 === 1,
-          concat(lit("https://site"), (col("doc_id") % 7).cast("string"),
-            lit(".com/page/"), (col("doc_id") % 50).cast("string"), lit("?a=1&b=2")))
-        .when(col("doc_id") % 4 === 2,
-          concat(lit("HTTP://Site"), (col("doc_id") % 7).cast("string"),
-            lit(".com:80/page/"), (col("doc_id") % 50).cast("string"),
-            lit("/index.html?gclid=xyz")))
-        .otherwise(
-          concat(lit("http://site"), (col("doc_id") % 7).cast("string"),
-            lit(".com:8080/page/"), (col("doc_id") % 50).cast("string"), lit("#frag")))
-      d.select(col("doc_id"), TextOps.canonicalizeUrl(url).as("canon_url"))
+      d.select(col("doc_id"), TextOps.canonicalizeUrl(plantedUrl).as("canon_url"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-domain document cap — the crawl-diversity quota every web-corpus
+    // recipe applies so no single site dominates the mix: canonical URL →
+    // registrable host → at most 30 docs per host under the (doc_id)
+    // order. WindowGroupLimit keeps each map task's local top-30 before
+    // the exchange, so the shuffle carries O(hosts × 30) rows per task.
+    "q_corpus_domain_cap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val framed = d.select(col("doc_id"),
+        TextOps.urlHost(TextOps.canonicalizeUrl(plantedUrl)).as("host"))
+      Corpus.capPerGroup(framed, "host", 30, col("doc_id").asc)
         .orderBy("doc_id")
     }),
 
@@ -1974,6 +2002,23 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // ORC roundtrip: documents mirrored through Spark's built-in ORC
+    // datasource (write once, _SUCCESS-guarded) and read back — schema
+    // and values incl. nulls must survive the format byte-exactly; the
+    // oracle reads the original parquet, so any ORC fidelity loss fails
+    // the hash
+    "q_src_orc" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val fp = d.agg(count(lit(1)), max(col("doc_id"))).collect()(0)
+      val path =
+        s"${sys.props("java.io.tmpdir")}/graft_orc_v1/" +
+          s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
+      graft.sources.Columnar.orcMirror(s, d, path)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal plumbing: documents as binary assets → stub feature extract
     "q_mm_features" -> ((s, dir) => {
       val assets = Multimodal.asAsset(
@@ -2307,6 +2352,12 @@ object LlmQueries {
         |SELECT CAST(NULL AS VARCHAR), count(*), CAST(NULL AS BIGINT), count(*)
         |FROM documents WHERE doc_id % 97 = 0
         |ORDER BY lang NULLS FIRST""".stripMargin,
+
+    // oracle reads the ORIGINAL parquet — any ORC roundtrip fidelity loss
+    // (types, nulls, text bytes) fails the hash
+    "q_src_orc" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (
@@ -2707,6 +2758,32 @@ object LlmQueries {
          |FROM agg a JOIN toks t ON t.doc_id = a.doc_id
          |ORDER BY a.doc_id""".stripMargin,
 
+    // memorization profile oracle: covered positions recomputed the
+    // independent way (explode every duplicated window's positions,
+    // DISTINCT), then run lengths via the classic pos − row_number
+    // gaps-and-islands — cross-checking the engine's start-island algebra
+    "q_dedup_memorization" ->
+      s"""WITH $mutCte,
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t
+         |         FROM alldocs WHERE text IS NOT NULL),
+         |${spanWinCte(10)},
+         |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1),
+         |cut AS (SELECT DISTINCT doc_id, pos FROM (
+         |          SELECT w.doc_id, unnest(generate_series(w.p, w.p + 9)) AS pos
+         |          FROM win w JOIN dup USING (h))),
+         |isl AS (SELECT doc_id, pos,
+         |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+         |        FROM cut),
+         |runs AS (SELECT doc_id, count(*) AS l FROM isl GROUP BY doc_id, g),
+         |agg AS (SELECT doc_id, CAST(max(l) AS BIGINT) AS max_dup_span,
+         |               CAST(sum(l) AS BIGINT) AS dup_tokens
+         |        FROM runs GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |       coalesce(a.max_dup_span, 0) AS max_dup_span,
+         |       coalesce(a.dup_tokens, 0) AS dup_tokens
+         |FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
     // keep-one span dedup oracle: same window/dup machinery; the cut set
     // is every duplicated occurrence EXCEPT the row_number-1 survivor
     // under the deterministic (doc_id, p) order within each hash
@@ -2818,6 +2895,31 @@ object LlmQueries {
         |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END
         |    AS canon_url
         |FROM rules ORDER BY doc_id""".stripMargin,
+
+    // domain cap oracle: same URL plant, host extracted + lowercased the
+    // independent way (canonicalizeUrl lowercases the host it extracts, so
+    // host-of-canonical == lower(host-of-raw)), then the row_number quota
+    "q_corpus_domain_cap" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR)
+        |        || '.COM:443/page/' || CAST(doc_id % 50 AS VARCHAR)
+        |        || '/?utm_source=tw&b=2&a=1#sec'
+        |      WHEN 1 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+        |        || '.com/page/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2'
+        |      WHEN 2 THEN 'HTTP://Site' || CAST(doc_id % 7 AS VARCHAR)
+        |        || '.com:80/page/' || CAST(doc_id % 50 AS VARCHAR)
+        |        || '/index.html?gclid=xyz'
+        |      ELSE 'http://site' || CAST(doc_id % 7 AS VARCHAR)
+        |        || '.com:8080/page/' || CAST(doc_id % 50 AS VARCHAR) || '#frag'
+        |    END AS url FROM documents),
+        |hosts AS (SELECT doc_id,
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host
+        |  FROM u)
+        |SELECT doc_id, host FROM (
+        |  SELECT doc_id, host,
+        |         row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+        |  FROM hosts) WHERE rn <= 30 ORDER BY doc_id""".stripMargin,
 
     "q_text_html_strip" ->
       """WITH h AS (SELECT doc_id,

@@ -1862,6 +1862,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(rr == brute)
   }
 
+  test("Dedup.memorizationProfile: island lengths, disjoint runs, zero rows for clean docs") {
+    import spark.implicits._
+    // doc 1 and 2 share the 6-token run "a b c d e f" (n=3 → windows at
+    // 1..4 → island [1, 6]); doc 1 additionally repeats "x y z" at two
+    // DISJOINT positions within itself
+    val docs = Seq(
+      (1L, "a b c d e f q x y z r s t u x y z"),
+      (2L, "a b c d e f"),
+      (3L, "aa bb cc dd ee")) // shares no 3-window with anything
+      .toDF("doc_id", "text")
+    val out = Dedup.memorizationProfile(docs, "doc_id", "text", n = 3)
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 1: islands [1,6] (len 6), [8,10] and [15,17] (len 3 each) →
+    // max 6, covered 12; doc 2: [1,6] → max 6, covered 6; doc 3: clean
+    assert(out == Seq((1L, 17L, 6L, 12L), (2L, 6L, 6L, 6L), (3L, 5L, 0L, 0L)))
+  }
+
+  test("TextOps.urlHost: canonical host, port/path/query stripped, non-URL empty, null null") {
+    import spark.implicits._
+    val rows = Seq(
+      "https://site3.com/page/1?a=1", "http://h.example.org:8080/x",
+      "ftp://files.net", "not a url", null)
+      .toDF("u").select(TextOps.urlHost($"u")).as[String].collect().toSeq
+    assert(rows == Seq("site3.com", "h.example.org", "files.net", "", null))
+  }
+
   test("Dedup.paragraphDedup: keep-first keeps one copy, remove-all strips every copy") {
     import spark.implicits._
     val docs = Seq(

@@ -394,4 +394,34 @@ class PlanAuditSpec extends SparkSpec {
     val scd = plan("q_scale_scd2")
     assert(scd.contains("raise_error"), s"scd2 guard left the plan:\n$scd")
   }
+
+  test("binary quantization: broadcast scan + WindowGroupLimit, no HOFs in the encode") {
+    val p = plan("q_sim_binary")
+    // queries broadcast against the codes scan; per-query top-k keeps the
+    // partial-TakeOrdered shape (map-side WindowGroupLimit before exchange)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    // the sign-bit encode is statically unrolled integer ops — a lambda in
+    // the plan means it regressed to interpreted higher-order functions
+    assert(!p.contains("lambdafunction"), s"binary encode regressed to HOFs:\n$p")
+  }
+
+  test("paragraph dedup and memorization profile: equi-joins only, no cartesian") {
+    for (q <- Seq("q_dedup_paragraph", "q_dedup_paragraph_all", "q_dedup_memorization")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q planned a cartesian/NLJ:\n$p")
+    }
+  }
+
+  test("ORC mirror: filters and pruning push into the ORC scan like parquet") {
+    val d = SparkEntry.queries("q_src_orc")(spark, dir)
+    // q_src_orc materialized the mirror; a filtered projection over it must
+    // push the predicate into the ORC reader and prune unread columns
+    val filtered = d.where(org.apache.spark.sql.functions.col("doc_id") < 10)
+      .select("doc_id", "lang")
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters"), p)
+    assert("PushedFilters: \\[[^\\]]*doc_id".r.findFirstIn(p).isDefined, p)
+  }
 }
