@@ -330,6 +330,16 @@ object Quality {
       topkMap(Similarity.sqTopK(
         Similarity.sqEncode(e, sqBounds), sqBounds, queries, 10)), exact10)
 
+    // Binary (1-bit sign) quantization (round 12): the 32× floor of the
+    // ladder. The raw hamming scan is the honest low line (64 bits can't
+    // rank 10 neighbors out of thousands); the production shape — hamming
+    // shortlist + exact re-rank — is what the recall claim rides on.
+    val bCodes = Similarity.binaryEncodeFrame(e, 64)
+    val binRaw = recallAtK(
+      topkMap(Similarity.binaryTopK(bCodes, queries, 10, 64)), exact10)
+    val binRerank = recallAtK(
+      topkMap(Similarity.binaryTopKRerank(e, queries, 10, 256, 64)), exact10)
+
     // ---- fuzzy-dedup blocking efficiency (round 10) --------------------
     // candidates admitted per true pair on the adversarial synthetic names
     // (near-identical digit tails) - the corpus where weak blocking drowns
@@ -471,13 +481,22 @@ object Quality {
       topkMap(Similarity.ivfPqTopK(
         sOpq, sOpqCents, sOpqCbR, sOpqQueries, 10, nprobe = 2, dims = 64, m = 8)),
       sOpqExact10)
+    // binary quantization on the structured corpus: clustered geometry
+    // concentrates sign agreement within clusters, so the raw hamming line
+    // should sit above its isotropic twin
+    val sBinRaw = recallAtK(
+      topkMap(Similarity.binaryTopK(
+        Similarity.binaryEncodeFrame(es, 64), sQueries, 10, 64)), sExact10)
+    val sBinRerank = recallAtK(
+      topkMap(Similarity.binaryTopKRerank(es, sQueries, 10, 256, 64)), sExact10)
     val structured =
       s""""structured":{"n":${es.count()},"ivf_nprobe2_at10":$sIvf,""" +
         s""""residual_energy_ratio":$sEnergy,""" +
         s""""pca32_explained_var":$sExplained32,"pca32_recall_at10":$sPcaRecall,""" +
         s""""ivfpq_m8_nprobe2_at10":$sIvfpq,""" +
         s""""ivfpq_m8_nprobe2_rot_at10":$sIvfpqRot,""" +
-        s""""ivfpq_m8_nprobe2_opq_balanced_at10":$sIvfpqOpq}"""
+        s""""ivfpq_m8_nprobe2_opq_balanced_at10":$sIvfpqOpq,""" +
+        s""""binary_fullscan_at10":$sBinRaw,"binary_rerank_sl256_at10":$sBinRerank}"""
 
     val json =
       s"""{"sf_dir":"$sfDir",$nb,$structured,"text":{"docs":${docs.count()},"truth_pairs_j80":${truth80.size},""" +
@@ -487,6 +506,7 @@ object Quality {
         s""""ivfpq_m8_k64_nprobe2_at10":$ivfpqK64,"ivfpq_rerank_at10":$rerank,""" +
         s""""ivfpq_rerank_nprobe8_at10":$rerank8,""" +
         s""""ivfpq_rerank_multi2_at10":$rerankMulti2,"sq8_fullscan_at10":$sq8,""" +
+        s""""binary_fullscan_at10":$binRaw,"binary_rerank_sl256_at10":$binRerank,""" +
         s""""ivfpq_filtered_nprobe2_at10":$filtered2,""" +
         s""""ivfpq_filtered_nprobe8_at10":$filtered8,""" +
         s""""ivfpq_m8_nprobe2_rot_at10":$ivfpqRot,""" +

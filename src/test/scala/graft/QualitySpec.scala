@@ -174,6 +174,28 @@ class QualitySpec extends SparkSpec {
     assert(reranked >= 0.50, s"re-rank recall@10 $reranked < 0.50")
   }
 
+  test("binary quantization: re-rank absorbs the sign-bit error; full shortlist equals brute") {
+    GraftExtensions.register(spark)
+    val e = graft.queries.Tpch.read(spark, dir, "embeddings").localCheckpoint()
+    val queries = e.where(col("vec_id") < 64)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Quality.topkMap(Similarity.bruteForceTopK(e, queries, 10))
+    val raw = Quality.recallAtK(
+      Quality.topkMap(Similarity.binaryTopK(
+        Similarity.binaryEncodeFrame(e, 64), queries, 10, 64)), exact)
+    val reranked = Quality.recallAtK(
+      Quality.topkMap(Similarity.binaryTopKRerank(e, queries, 10, 256, 64)), exact)
+    info(s"binary raw $raw -> reranked(sl=256) $reranked")
+    assert(reranked >= raw, s"re-rank lost recall: $reranked < raw $raw")
+    assert(reranked >= 0.6, s"binary re-rank recall@10 $reranked < 0.6")
+    // STRUCTURAL law: a shortlist covering the whole corpus makes the
+    // two-stage ranking THE exact scan (same dot, same vec_id tie-break) —
+    // the hamming stage only reorders what the re-rank fully re-scores
+    val full = Quality.recallAtK(
+      Quality.topkMap(Similarity.binaryTopKRerank(e, queries, 10, 1 << 20, 64)), exact)
+    assert(full == 1.0, s"corpus-wide shortlist re-rank recall $full != 1.0")
+  }
+
   test("converged coarse training: deterministic, converges before the cap, ceiling effect measured") {
     GraftExtensions.register(spark)
     val e = graft.queries.Tpch.read(spark, dir, "embeddings").localCheckpoint()
