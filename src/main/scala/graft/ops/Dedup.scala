@@ -152,21 +152,38 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n", keepFirst: Boolean = true): DataFrame = {
     val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-    val lines = base.where(col("text").isNotNull)
-      .select(col("id"), posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
-        .as(Seq("pos", "line")))
-      .withColumn("h", md5(col("line")))
+    val lines = paragraphLines(base, sep)
     val keep =
-      if (keepFirst) {
-        // min(struct(id, pos)) per hash — partial-aggregatable, skew-proof
-        val firsts = lines.groupBy(col("h"))
-          .agg(min(struct(col("id"), col("pos"))).as("first"))
-        lines.join(firsts, Seq("h"))
-          .where(struct(col("id"), col("pos")) === col("first"))
-      } else {
+      if (keepFirst) paragraphKeepFirst(lines)
+      else {
         val counts = lines.groupBy(col("h")).agg(count(lit(1)).as("n"))
         lines.join(counts, Seq("h")).where(col("n") === 1L)
       }
+    paragraphRebuild(base, keep, idCol, textCol, sep)
+  }
+
+  /** `(id, pos, line, h)` line frame of non-null-text docs. */
+  private def paragraphLines(base: DataFrame, sep: String): DataFrame =
+    base.where(col("text").isNotNull)
+      .select(col("id"), posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+      .withColumn("h", md5(col("line")))
+
+  /** First occurrence per line hash under the (id, pos) total order —
+    * min(struct) per hash is partial-aggregatable, so banner skew
+    * collapses map-side. */
+  private def paragraphKeepFirst(lines: DataFrame): DataFrame = {
+    val firsts = lines.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    lines.join(firsts, Seq("h"))
+      .where(struct(col("id"), col("pos")) === col("first"))
+  }
+
+  /** Reassemble surviving lines in original order; null text rides
+    * through as null, a doc whose every line was dropped becomes "". */
+  private def paragraphRebuild(
+      base: DataFrame, keep: DataFrame, idCol: String, textCol: String,
+      sep: String): DataFrame = {
     val rebuilt = keep.groupBy(col("id"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),
@@ -176,6 +193,44 @@ object Dedup {
       .select(col("id").as(idCol),
         when(col("text").isNull, lit(null).cast("string"))
           .otherwise(coalesce(col("_clean"), lit(""))).as(textCol))
+  }
+
+  /** Distinct line hashes of the accumulated corpus — the store behind
+    * [[paragraphDedupIncremental]], the line-granularity mirror of
+    * [[seenFingerprints]]: persist just these 32-byte hashes, never the
+    * corpus text. */
+  def seenLineHashes(
+      corpus: DataFrame, textCol: String, sep: String = "\n"): DataFrame =
+    corpus.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("_l"))
+      .select(md5(col("_l")).as("h")).distinct()
+
+  /**
+   * Incremental (batch-over-store) paragraph dedup — the continuous-crawl
+   * form of [[paragraphDedup]]'s keep-first contract, the way
+   * [[exactIncremental]] extends [[exact]]: a batch line survives iff its
+   * hash is NOT in the accumulated store AND it is the first occurrence
+   * within the batch itself under the (id, position) order. Cost is the
+   * batch's own line mass plus one anti-join against the hash store
+   * (batch ≪ store → AQE broadcasts the batch side); the corpus text is
+   * never rescanned.
+   *
+   * Streaming approximation, stated plainly (same as the span-dedup and
+   * exact-dedup incrementals): stored documents were cleaned against the
+   * store as of THEIR ingest time — a line first duplicated by a later
+   * batch is dropped from that batch onward, not retroactively. When
+   * ingest order follows id order, this equals the batch operator over
+   * the concatenated corpus restricted to the batch (spec-pinned).
+   */
+  def paragraphDedupIncremental(
+      batch: DataFrame, seen: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    require(seen.columns.contains("h"),
+      "seen must carry an h line-hash column — see seenLineHashes")
+    val base = batch.select(col(idCol).as("id"), col(textCol).as("text"))
+    val fresh = paragraphLines(base, sep)
+      .join(seen.select("h"), Seq("h"), "left_anti")
+    paragraphRebuild(base, paragraphKeepFirst(fresh), idCol, textCol, sep)
   }
 
   /** A chosen LSH banding: `bands × rows = numHashes`, with the S-curve
@@ -1730,6 +1785,82 @@ object Dedup {
       .select(col("h"), (col("c") + coalesce(col("_c0"), lit(0L))).as("c"))
     ManifestStore.upsert(
       withHashPart(summed), storeDir, "hp", Seq("hp", "h"), spark)
+    cleaned
+  }
+
+  // -------------------------------------------------------------------------
+  // PERSISTED line-hash store — the concrete form of the persistence
+  // contract [[seenLineHashes]] documents: the distinct line hashes live
+  // as a [[ManifestStore]] table partitioned by a 2-hex-char prefix (256
+  // parts), appends upsert only the batch's distinct hashes (idempotent —
+  // a re-appended hash replaces itself), so continuous paragraph dedup
+  // never rescans a byte of the accumulated corpus. The separator is
+  // pinned in a versioned meta file (base64 — separators are usually
+  // control characters): an append that split lines differently would
+  // silently merge distinct lines, so a mismatched store fails loud at
+  // read time instead. Single-writer contract per store, like every
+  // ledger in this engine.
+  // -------------------------------------------------------------------------
+
+  private val ParaStorePrefix = "_para"
+
+  private def paraSep(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    ManifestStore.readVersioned(spark, dir, ParaStorePrefix)
+      .map(m => new String(
+        java.util.Base64.getDecoder.decode(m._2.trim.stripPrefix("sep\t")), "UTF-8"))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed line-hash store under $dir"))
+
+  private def withLinePart(hashes: DataFrame): DataFrame =
+    hashes.withColumn("hp", substring(col("h"), 1, 2))
+
+  /** Bootstrap the persisted line-hash store from an initial corpus.
+    * Fails loud on an already-committed store (re-bootstrapping with a
+    * different corpus would leave stale hashes — wipe the dir or keep
+    * appending instead). */
+  def writeLineHashes(
+      df: DataFrame, storeDir: String, textCol: String,
+      sep: String = "\n"): Unit = {
+    val spark = df.sparkSession
+    require(ManifestStore.readVersioned(spark, storeDir, ParaStorePrefix).isEmpty,
+      s"line-hash store already committed under $storeDir — use " +
+        "paragraphDedupIncrementalIndexed to append")
+    ManifestStore.upsert(
+      withLinePart(seenLineHashes(df, textCol, sep)),
+      storeDir, "hp", Seq("hp", "h"), spark)
+    val sepB64 = java.util.Base64.getEncoder.encodeToString(sep.getBytes("UTF-8"))
+    ManifestStore.commitVersioned(spark, storeDir, ParaStorePrefix, 1L, s"sep\t$sepB64\n")
+  }
+
+  /** The committed `(h)` frame (for composing with
+    * [[paragraphDedupIncremental]] directly). */
+  def readLineHashes(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String): DataFrame = {
+    paraSep(spark, storeDir) // fail loud before the first commit
+    ManifestStore.currentFrame(spark, storeDir, "hp")
+      .map(_.select("h"))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed line-hash store under $storeDir"))
+  }
+
+  /**
+   * One-call continuous-ingest step: paragraph-dedup `batch` against the
+   * persisted hashes (exactly [[paragraphDedupIncremental]]'s math —
+   * shares its oracle), then append the batch's OWN distinct line hashes
+   * (only the batch's hash partitions are rewritten). Returns the cleaned
+   * batch, materialized before the commit.
+   */
+  def paragraphDedupIncrementalIndexed(
+      batch: DataFrame, storeDir: String, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    val sep = paraSep(spark, storeDir)
+    val seen = readLineHashes(spark, storeDir)
+    val cleaned = paragraphDedupIncremental(batch, seen, idCol, textCol, sep)
+      .localCheckpoint()
+    ManifestStore.upsert(
+      withLinePart(seenLineHashes(batch, textCol, sep)),
+      storeDir, "hp", Seq("hp", "h"), spark)
     cleaned
   }
 }

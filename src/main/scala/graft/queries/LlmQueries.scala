@@ -219,6 +219,33 @@ object LlmQueries {
     path
   }
 
+  /** The multi-line plant shared by the paragraph-dedup family: a global
+    * banner, the doc's own (suffix-uniqued) body, and a mod-7 shared
+    * footer — the oracle replays the identical construction. */
+  private def plantedParagraphs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).where(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat_ws("\n",
+          lit("subscribe to our newsletter today"),
+          concat(col("text"), lit(" #"), col("doc_id").cast("string")),
+          concat(lit("copyright "), (col("doc_id") % 7).cast("string"))).as("text"))
+
+  /** Once-per-(sf, corpus-fingerprint) bootstrap of the persisted
+    * line-hash store: the even half of [[plantedParagraphs]] committed as
+    * distinct hashes, so `q_dedup_paragraph_inc_indexed` reads the
+    * committed store and never rescans the store-side corpus. */
+  private def paraStoreDir(s: SparkSession, dir: String): String = {
+    val d = docs(s, dir)
+    val fp = d.agg(count(lit(1)), max(col("doc_id"))).collect()(0)
+    val path =
+      s"${sys.props("java.io.tmpdir")}/graft_para_store_v1/" +
+        s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
+    if (ManifestStore.readManifest(s, path).isEmpty)
+      Dedup.writeLineHashes(
+        plantedParagraphs(s, dir).where(col("doc_id") % 2 === 0), path, "text")
+    path
+  }
+
   /** documents ∪ near-dup mutation (drop first 2 tokens, id+1000000). */
   private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -815,26 +842,42 @@ object LlmQueries {
     // banner line, its own unique body line, and a mod-7 shared footer —
     // the duplicated lines must collapse to their single first occurrence
     // under the (doc_id, position) order, bodies ride through untouched
-    "q_dedup_paragraph" -> ((s, dir) => {
-      val src = docs(s, dir).where(col("text").isNotNull)
-        .select(col("doc_id"),
-          concat_ws("\n",
-            lit("subscribe to our newsletter today"),
-            concat(col("text"), lit(" #"), col("doc_id").cast("string")),
-            concat(lit("copyright "), (col("doc_id") % 7).cast("string"))).as("text"))
-      Dedup.paragraphDedup(src, "doc_id", "text").orderBy("doc_id")
-    }),
+    "q_dedup_paragraph" -> ((s, dir) =>
+      Dedup.paragraphDedup(plantedParagraphs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // Remove-all variant: a line that appears ANYWHERE else in the corpus
     // is dropped from every document — only the unique body lines survive
-    "q_dedup_paragraph_all" -> ((s, dir) => {
-      val src = docs(s, dir).where(col("text").isNotNull)
-        .select(col("doc_id"),
-          concat_ws("\n",
-            lit("subscribe to our newsletter today"),
-            concat(col("text"), lit(" #"), col("doc_id").cast("string")),
-            concat(lit("copyright "), (col("doc_id") % 7).cast("string"))).as("text"))
-      Dedup.paragraphDedup(src, "doc_id", "text", keepFirst = false).orderBy("doc_id")
+    "q_dedup_paragraph_all" -> ((s, dir) =>
+      Dedup.paragraphDedup(plantedParagraphs(s, dir), "doc_id", "text",
+          keepFirst = false)
+        .orderBy("doc_id")),
+
+    // Incremental paragraph dedup — the continuous-crawl form: even
+    // doc_ids are the accumulated corpus (held only as distinct line
+    // hashes — never rescanned), odd doc_ids are the arriving batch. A
+    // batch line survives iff unseen in the store AND first within the
+    // batch; the oracle replays both rules.
+    "q_dedup_paragraph_inc" -> ((s, dir) => {
+      val all = plantedParagraphs(s, dir)
+      Dedup.paragraphDedupIncremental(
+          all.where(col("doc_id") % 2 =!= 0),
+          Dedup.seenLineHashes(all.where(col("doc_id") % 2 === 0), "text"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // The SAME incremental paragraph dedup served from the PERSISTED
+    // line-hash store (bootstrapped once from the even half under the
+    // manifest protocol). Shares q_dedup_paragraph_inc's oracle verbatim:
+    // the store must hold exactly what seenLineHashes computes.
+    "q_dedup_paragraph_inc_indexed" -> ((s, dir) => {
+      val all = plantedParagraphs(s, dir)
+      Dedup.paragraphDedupIncremental(
+          all.where(col("doc_id") % 2 =!= 0),
+          Dedup.readLineHashes(s, paraStoreDir(s, dir)),
+          "doc_id", "text")
+        .orderBy("doc_id")
     }),
 
     // Incremental (snapshot-over-snapshot) dedup: a new batch against the
@@ -2405,6 +2448,64 @@ object LlmQueries {
         |        FROM kept GROUP BY doc_id)
         |SELECT s.doc_id, coalesce(r.text, '') AS text
         |FROM src s LEFT JOIN reb r ON r.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // incremental paragraph dedup oracle: seen = distinct line hashes of
+    // the even half; a batch (odd) line survives iff unseen AND first
+    // within the batch under (doc_id, pos)
+    "q_dedup_paragraph_inc" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         'subscribe to our newsletter today' || chr(10) ||
+        |         text || ' #' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |         'copyright ' || CAST(doc_id % 7 AS VARCHAR) AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |lines AS (SELECT doc_id, i - 1 AS pos, line FROM (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+        |         generate_subscripts(string_split(text, chr(10)), 1) AS i
+        |  FROM src)),
+        |seen AS (SELECT DISTINCT md5(line) AS h FROM lines WHERE doc_id % 2 = 0),
+        |fresh AS (SELECT b.doc_id, b.pos, b.line
+        |          FROM (SELECT * FROM lines WHERE doc_id % 2 <> 0) b
+        |          ANTI JOIN seen s ON md5(b.line) = s.h),
+        |kept AS (SELECT doc_id, pos, line FROM (
+        |  SELECT doc_id, pos, line,
+        |         row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
+        |  FROM fresh) WHERE rn = 1),
+        |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, coalesce(r.text, '') AS text
+        |FROM src s LEFT JOIN reb r ON r.doc_id = s.doc_id
+        |WHERE s.doc_id % 2 <> 0
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // served from the persisted line-hash store — must equal the direct
+    // seenLineHashes pass bit-for-bit, so the oracle is
+    // q_dedup_paragraph_inc's verbatim
+    "q_dedup_paragraph_inc_indexed" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         'subscribe to our newsletter today' || chr(10) ||
+        |         text || ' #' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |         'copyright ' || CAST(doc_id % 7 AS VARCHAR) AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |lines AS (SELECT doc_id, i - 1 AS pos, line FROM (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+        |         generate_subscripts(string_split(text, chr(10)), 1) AS i
+        |  FROM src)),
+        |seen AS (SELECT DISTINCT md5(line) AS h FROM lines WHERE doc_id % 2 = 0),
+        |fresh AS (SELECT b.doc_id, b.pos, b.line
+        |          FROM (SELECT * FROM lines WHERE doc_id % 2 <> 0) b
+        |          ANTI JOIN seen s ON md5(b.line) = s.h),
+        |kept AS (SELECT doc_id, pos, line FROM (
+        |  SELECT doc_id, pos, line,
+        |         row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
+        |  FROM fresh) WHERE rn = 1),
+        |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, coalesce(r.text, '') AS text
+        |FROM src s LEFT JOIN reb r ON r.doc_id = s.doc_id
+        |WHERE s.doc_id % 2 <> 0
         |ORDER BY s.doc_id""".stripMargin,
 
     "q_dedup_snapshot_diff" ->

@@ -1888,6 +1888,51 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows == Seq("site3.com", "h.example.org", "files.net", "", null))
   }
 
+  test("Dedup.paragraphDedupIncremental: equals batch keep-first over the union restricted to the batch") {
+    import spark.implicits._
+    val corpus = Seq((1L, "banner\nold body"), (2L, "banner\nmid")).toDF("doc_id", "text")
+    val batch = Seq((10L, "banner\nnew one\nshared"), (11L, "shared\nnew two"))
+      .toDF("doc_id", "text")
+    val inc = Dedup.paragraphDedupIncremental(
+        batch, Dedup.seenLineHashes(corpus, "text"), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    // banner is stored → dropped; "shared" keeps its first batch occurrence
+    assert(inc == Seq((10L, "new one\nshared"), (11L, "new two")))
+    // the law: with corpus ids preceding batch ids, incremental ≡ the
+    // batch operator over the concatenated corpus restricted to the batch
+    val union = Dedup.paragraphDedup(corpus.unionByName(batch), "doc_id", "text")
+      .where($"doc_id" >= 10L)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(inc == union)
+  }
+
+  test("Dedup line-hash store: bootstrap-once fails loud, appends become visible, sep pinned") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_para_store_spec").toString
+    val corpus = Seq((1L, "banner\nold body")).toDF("doc_id", "text")
+    Dedup.writeLineHashes(corpus, dir, "text")
+    intercept[IllegalArgumentException] {
+      Dedup.writeLineHashes(corpus, dir, "text")
+    }
+    // serve == direct incremental against the same corpus
+    val batch1 = Seq((10L, "banner\nnew one")).toDF("doc_id", "text")
+    val c1 = Dedup.paragraphDedupIncrementalIndexed(batch1, dir, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(c1 == Seq((10L, "new one")))
+    // the one-call ingested batch1's lines: a later batch must see them
+    val batch2 = Seq((20L, "new one\nbrand new")).toDF("doc_id", "text")
+    val c2 = Dedup.paragraphDedupIncrementalIndexed(batch2, dir, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(c2 == Seq((20L, "brand new")))
+    // a custom separator is pinned in the store meta and used at serve time
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_para_store_spec2").toString
+    Dedup.writeLineHashes(Seq((1L, "a|b")).toDF("doc_id", "text"), dir2, "text", sep = "|")
+    val cSep = Dedup.paragraphDedupIncrementalIndexed(
+        Seq((2L, "b|c")).toDF("doc_id", "text"), dir2, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(cSep == Seq((2L, "c")))
+  }
+
   test("Dedup.paragraphDedup: keep-first keeps one copy, remove-all strips every copy") {
     import spark.implicits._
     val docs = Seq(
