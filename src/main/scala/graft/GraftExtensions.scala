@@ -281,6 +281,40 @@ object GraftExtensions {
             s"graft_mm_neardups: modality must be 'image' or 'audio', got '$other'")
         }).queryExecution.logical
       }),
+    ("graft_paragraph_dedup", tvfInfo("graft_paragraph_dedup",
+      "_FUNC_(table, id_col, text_col, mode) - corpus-wide line dedup " +
+        "(CCNet): mode 'keep_first' keeps the first occurrence of every " +
+        "duplicated line, 'remove_all' strips every occurrence."),
+      tvfArity("graft_paragraph_dedup", 4) { c =>
+        val keepFirst = strLit(c(3), "graft_paragraph_dedup", "mode") match {
+          case "keep_first" => true
+          case "remove_all" => false
+          case other => throw new IllegalArgumentException(
+            s"graft_paragraph_dedup: mode must be 'keep_first' or " +
+              s"'remove_all', got '$other'")
+        }
+        graft.ops.Dedup.paragraphDedup(
+          tableOf(strLit(c(0), "graft_paragraph_dedup", "table")),
+          strLit(c(1), "graft_paragraph_dedup", "id_col"),
+          strLit(c(2), "graft_paragraph_dedup", "text_col"),
+          keepFirst = keepFirst)
+          .queryExecution.logical
+      }),
+    ("graft_binary_topk", tvfInfo("graft_binary_topk",
+      "_FUNC_(table, id_col, vec_col, queries_table, k, shortlist, dims) - " +
+        "binary-quantized ANN: hamming shortlist over packed sign bits, " +
+        "exact-dot re-rank to top-k; queries_table must carry (qid, qvec)."),
+      tvfArity("graft_binary_topk", 7) { c =>
+        graft.ops.Similarity.binaryTopKRerank(
+          tableOf(strLit(c(0), "graft_binary_topk", "table")),
+          tableOf(strLit(c(3), "graft_binary_topk", "queries_table")),
+          intLit(c(4), "graft_binary_topk", "k"),
+          intLit(c(5), "graft_binary_topk", "shortlist"),
+          intLit(c(6), "graft_binary_topk", "dims"),
+          strLit(c(1), "graft_binary_topk", "id_col"),
+          strLit(c(2), "graft_binary_topk", "vec_col"))
+          .queryExecution.logical
+      }),
     ("graft_quality", tvfInfo("graft_quality",
       "_FUNC_(table, id_col, text_col) - per-document quality signals " +
         "(length/punct/stopword/repetition) joined to the id column."),

@@ -1832,6 +1832,11 @@ object Dedup {
     ManifestStore.commitVersioned(spark, storeDir, ParaStorePrefix, 1L, s"sep\t$sepB64\n")
   }
 
+  /** Whether a line-hash store has been bootstrapped under `storeDir`. */
+  def lineStoreCommitted(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String): Boolean =
+    ManifestStore.readVersioned(spark, storeDir, ParaStorePrefix).isDefined
+
   /** The committed `(h)` frame (for composing with
     * [[paragraphDedupIncremental]] directly). */
   def readLineHashes(

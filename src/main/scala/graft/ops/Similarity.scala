@@ -378,7 +378,10 @@ object Similarity {
     * word `i / 64` is set iff component `i` is `> 0f` (strict — zeros and
     * negatives clear). Statically unrolled over `dims`, so the whole encode
     * is codegen'd fixed-arity integer arithmetic (no higher-order
-    * functions): `ceil(dims/64)` longs per row. */
+    * functions): `ceil(dims/64)` longs per row. A vector SHORTER than
+    * `dims` fails loud (ANSI `element_at` — silently hashing it as
+    * zero-padded would make two different-width corpora collide;
+    * EdgeCasesSpec pins the throw). */
   def binaryEncode(vec: Column, dims: Int): Column = {
     require(dims > 0, s"dims must be positive, got $dims")
     val words = (0 until (dims + 63) / 64).map { w =>
@@ -450,6 +453,75 @@ object Similarity {
       .select("qid", "vec_id")
     rerankExact(sl, emb, queries, k, idCol, vecCol, qIdCol, qVecCol)
   }
+
+  // -------------------------------------------------------------------------
+  // PERSISTED binary-code store — the build-once artifact behind
+  // [[binaryTopK]] (the same manifest machinery as the multimodal feature
+  // store and the line-hash/window-count skeletons): one long per vector
+  // at d=64, partitioned by id mod 64, `dims` pinned in a versioned meta
+  // file so a probe encoded at a different width fails loud instead of
+  // scoring garbage hamming distances. Upsert re-encodes changed vectors
+  // idempotently; delete is the row-level takedown.
+  // -------------------------------------------------------------------------
+
+  private val BinStorePrefix = "_bincodes"
+  private val BinIdParts = 64
+
+  private def binMetaDims(spark: SparkSession, dir: String): Int =
+    ManifestStore.readVersioned(spark, dir, BinStorePrefix)
+      .map(_._2.trim.stripPrefix("dims\t").toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed binary-code store under $dir"))
+
+  /** Encode + commit (bootstrap or append/upsert — re-encoding an id
+    * replaces its row). `dims` is pinned at bootstrap; appends must
+    * match it. */
+  def writeBinaryCodes(
+      emb: DataFrame, storeDir: String, dims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    val existing = ManifestStore.readVersioned(spark, storeDir, BinStorePrefix)
+    existing.foreach { case (_, meta) =>
+      val stored = meta.trim.stripPrefix("dims\t").toInt
+      require(stored == dims,
+        s"binary-code store under $storeDir is pinned at dims=$stored, got $dims")
+    }
+    val codes = binaryEncodeFrame(emb, dims, idCol, vecCol)
+      .withColumn("bp", pmod(col("vec_id"), lit(BinIdParts)).cast("string"))
+    ManifestStore.upsert(codes, storeDir, "bp", Seq("bp", "vec_id"), spark)
+    // meta commits AFTER the data lands: a crashed bootstrap fails loud at
+    // read (no meta) instead of advertising an empty store
+    if (existing.isEmpty)
+      ManifestStore.commitVersioned(
+        spark, storeDir, BinStorePrefix, 1L, s"dims\t$dims\n")
+  }
+
+  /** The committed `(vec_id, sig)` codes. Fails loud before the first
+    * commit. */
+  def readBinaryCodes(spark: SparkSession, storeDir: String): DataFrame = {
+    binMetaDims(spark, storeDir)
+    ManifestStore.currentFrame(spark, storeDir, "bp")
+      .map(_.select("vec_id", "sig"))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed binary-code store under $storeDir"))
+  }
+
+  /** Takedown: physically remove vectors' code rows (partition-grain
+    * rewrite). `ids` must carry `vec_id`. */
+  def deleteBinaryCodes(ids: DataFrame, storeDir: String): Int =
+    ManifestStore.delete(
+      ids.select(col("vec_id"))
+        .withColumn("bp", pmod(col("vec_id"), lit(BinIdParts)).cast("string")),
+      storeDir, "bp", Seq("bp", "vec_id"), ids.sparkSession)
+
+  /** [[binaryTopK]] served from the persisted store, `dims` read from the
+    * pinned meta — the query vectors never touch the corpus, the scan
+    * reads one long per stored vector. */
+  def binaryTopKIndexed(
+      spark: SparkSession, storeDir: String, queries: DataFrame, k: Int,
+      qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame =
+    binaryTopK(readBinaryCodes(spark, storeDir), queries, k,
+      binMetaDims(spark, storeDir), qIdCol, qVecCol)
 
   /** Fail-loud bound on per-query candidate-set size in [[mmrRerank]]: the
     * greedy loop is O(k·|C|) per query and holds one query's candidates in

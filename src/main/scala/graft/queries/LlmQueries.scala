@@ -219,6 +219,20 @@ object LlmQueries {
     path
   }
 
+  /** Once-per-(sf, corpus-fingerprint) bootstrap of the persisted
+    * binary-code store over the embeddings table (dims=64 pinned in the
+    * meta), so `q_sim_binary_indexed` serves from the committed codes. */
+  private def binStoreDir(s: SparkSession, dir: String): String = {
+    val e = emb(s, dir)
+    val fp = e.agg(count(lit(1)), max(col("vec_id"))).collect()(0)
+    val path =
+      s"${sys.props("java.io.tmpdir")}/graft_bin_store_v1/" +
+        s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
+    if (ManifestStore.readManifest(s, path).isEmpty)
+      Similarity.writeBinaryCodes(e, path, dims = 64)
+    path
+  }
+
   /** The multi-line plant shared by the paragraph-dedup family: a global
     * banner, the doc's own (suffix-uniqued) body, and a mod-7 shared
     * footer — the oracle replays the identical construction. */
@@ -1460,6 +1474,19 @@ object LlmQueries {
       val queries = e.where(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.binaryTopK(Similarity.binaryEncodeFrame(e, 64), queries, 5, 64)
+        .orderBy("qid", "rank")
+    }),
+
+    // The SAME binary scan served from the PERSISTED code store (dims
+    // pinned in versioned meta; one long per stored vector read) — shares
+    // q_sim_binary's oracle verbatim: the store must hold exactly what
+    // binaryEncodeFrame computes
+    "q_sim_binary_indexed" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = emb(s, dir)
+      val queries = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.binaryTopKIndexed(s, binStoreDir(s, dir), queries, 5)
         .orderBy("qid", "rank")
     }),
 
@@ -3273,6 +3300,20 @@ object LlmQueries {
          |  FROM sqsc) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q_sim_binary" ->
+      s"""WITH $binSigCte,
+         |ham AS (SELECT q.vec_id AS qid, c.vec_id,
+         |          CAST(SUM(bit_count(xor(q.w, c.w))) AS INT) AS ham
+         |        FROM bsig q JOIN bsig c ON c.word = q.word
+         |        WHERE q.vec_id < 3
+         |        GROUP BY q.vec_id, c.vec_id)
+         |SELECT qid, rank, vec_id, ham FROM (
+         |  SELECT qid, vec_id, ham,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY ham ASC, vec_id ASC) AS INT) AS rank
+         |  FROM ham) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // served from the persisted code store — must equal binaryEncodeFrame
+    // bit-for-bit, so the oracle is q_sim_binary's verbatim
+    "q_sim_binary_indexed" ->
       s"""WITH $binSigCte,
          |ham AS (SELECT q.vec_id AS qid, c.vec_id,
          |          CAST(SUM(bit_count(xor(q.w, c.w))) AS INT) AS ham

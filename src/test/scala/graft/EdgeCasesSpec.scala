@@ -306,4 +306,29 @@ class EdgeCasesSpec extends SparkSpec {
       .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
     assert(elem.fieldNames.contains("type") && !elem.fieldNames.contains("txType"))
   }
+
+  test("binaryEncode fails loud on a vector shorter than dims (ANSI element_at)") {
+    // a short vector would otherwise silently hash as if zero-padded —
+    // under ANSI semantics the out-of-bounds element_at throws instead,
+    // the same fail-loud posture as the store's pinned dims meta
+    val err = intercept[Exception] {
+      Seq(Tuple1(Array(1.0f, -1.0f)))
+        .toDF("embedding")
+        .select(Similarity.binaryEncode(col("embedding"), 64))
+        .collect()
+    }
+    assert(err.getMessage.contains("INVALID_ARRAY_INDEX"), err.getMessage)
+  }
+
+  test("paragraphDedup on empty and single-doc corpora") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.paragraphDedup(empty, "doc_id", "text").isEmpty)
+    // a single doc with an internally-duplicated line still dedups (the
+    // corpus-wide contract is occurrence-level, not doc-level)
+    val one = Seq((1L, "x\ny\nx")).toDF("doc_id", "text")
+    assert(Dedup.paragraphDedup(one, "doc_id", "text")
+      .select("text").as[String].collect()(0) == "x\ny")
+    assert(Dedup.paragraphDedup(one, "doc_id", "text", keepFirst = false)
+      .select("text").as[String].collect()(0) == "y")
+  }
 }

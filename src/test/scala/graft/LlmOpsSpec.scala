@@ -1888,6 +1888,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows == Seq("site3.com", "h.example.org", "files.net", "", null))
   }
 
+  test("binary-code store: serve == in-query, upsert idempotent, delete retires, dims pinned") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin_store_spec").toString
+    val vecs = Seq(
+      (0L, Array(0.9f, 0.8f, 0.7f, 0.6f)), (1L, Array(0.1f, 0.2f, 0.3f, -0.1f)),
+      (2L, Array(0.5f, 0.5f, 0.5f, -0.5f)), (3L, Array(-1f, -1f, -1f, -1f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((9L, Array(1f, 1f, 1f, 1f))).toDF("qid", "qvec")
+    Similarity.writeBinaryCodes(vecs, dir, dims = 4)
+    def served = Similarity.binaryTopKIndexed(spark, dir, queries, 4)
+      .orderBy("rank").select("vec_id", "ham").as[(Long, Int)].collect().toSeq
+    val inQuery = Similarity.binaryTopK(
+        Similarity.binaryEncodeFrame(vecs, 4), queries, 4, 4)
+      .orderBy("rank").select("vec_id", "ham").as[(Long, Int)].collect().toSeq
+    assert(served == inQuery)
+    // re-encoding the same corpus replaces rows — serving unchanged
+    Similarity.writeBinaryCodes(vecs, dir, dims = 4)
+    assert(served == inQuery)
+    // a mismatched width fails loud instead of scoring garbage hamming
+    intercept[IllegalArgumentException] {
+      Similarity.writeBinaryCodes(vecs, dir, dims = 8)
+    }
+    // takedown: the deleted vector leaves the serving path physically
+    Similarity.deleteBinaryCodes(Seq(Tuple1(0L)).toDF("vec_id"), dir)
+    assert(served.map(_._1) == Seq(1L, 2L, 3L))
+  }
+
   test("Dedup.paragraphDedupIncremental: equals batch keep-first over the union restricted to the batch") {
     import spark.implicits._
     val corpus = Seq((1L, "banner\nold body"), (2L, "banner\nmid")).toDF("doc_id", "text")

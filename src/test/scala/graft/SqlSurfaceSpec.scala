@@ -176,4 +176,38 @@ class SqlSurfaceSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM graft_mm_neardups('$mmDir', 'video', 3)").collect())
     assert(bad.getMessage.contains("modality"), bad.getMessage)
   }
+
+  test("paragraph dedup and binary ANN run purely through spark.sql") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq((1L, "banner\nalpha"), (2L, "banner\nbeta"))
+      .toDF("doc_id", "text").createOrReplaceTempView("para_docs")
+    val kf = spark.sql(
+      "SELECT doc_id, text FROM graft_paragraph_dedup('para_docs', 'doc_id', 'text', 'keep_first') ORDER BY doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(kf == Seq((1L, "banner\nalpha"), (2L, "beta")))
+    val ra = spark.sql(
+      "SELECT doc_id, text FROM graft_paragraph_dedup('para_docs', 'doc_id', 'text', 'remove_all') ORDER BY doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(ra == Seq((1L, "alpha"), (2L, "beta")))
+    val badMode = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_paragraph_dedup('para_docs', 'doc_id', 'text', 'zap')").collect())
+    assert(badMode.getMessage.contains("mode"), badMode.getMessage)
+
+    Seq((0L, Array(0.9f, 0.8f, 0.7f, 0.6f)), (1L, Array(0.1f, 0.2f, 0.3f, -0.1f)),
+      (2L, Array(-1f, -1f, -1f, -1f)))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("bin_vecs")
+    Seq((9L, Array(1f, 1f, 1f, 1f)))
+      .toDF("qid", "qvec").createOrReplaceTempView("bin_queries")
+    val sqlTop = spark.sql(
+      "SELECT qid, rank, vec_id, dot FROM graft_binary_topk(" +
+        "'bin_vecs', 'vec_id', 'embedding', 'bin_queries', 2, 3, 4) ORDER BY rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val apiTop = graft.ops.Similarity.binaryTopKRerank(
+        spark.table("bin_vecs"), spark.table("bin_queries"), 2, 3, 4)
+      .orderBy("rank")
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"))).toSeq
+    assert(sqlTop == apiTop && sqlTop.head == ((9L, 1, 0L)))
+  }
 }
