@@ -1791,8 +1791,10 @@ object Dedup {
   // -------------------------------------------------------------------------
   // PERSISTED line-hash store — the concrete form of the persistence
   // contract [[seenLineHashes]] documents: the distinct line hashes live
-  // as a [[ManifestStore]] table partitioned by a 2-hex-char prefix (256
-  // parts), appends upsert only the batch's distinct hashes (idempotent —
+  // as a [[ManifestStore]] table partitioned by the hash prefix mod 64
+  // (matching the window-count store's width — at toy scale the serve-time
+  // read is directory-listing-bound, so partition count is the knob),
+  // appends upsert only the batch's distinct hashes (idempotent —
   // a re-appended hash replaces itself), so continuous paragraph dedup
   // never rescans a byte of the accumulated corpus. The separator is
   // pinned in a versioned meta file (base64 — separators are usually
@@ -1803,6 +1805,7 @@ object Dedup {
   // -------------------------------------------------------------------------
 
   private val ParaStorePrefix = "_para"
+  private val ParaHashParts = 64
 
   private def paraSep(spark: org.apache.spark.sql.SparkSession, dir: String): String =
     ManifestStore.readVersioned(spark, dir, ParaStorePrefix)
@@ -1812,7 +1815,9 @@ object Dedup {
         s"no committed line-hash store under $dir"))
 
   private def withLinePart(hashes: DataFrame): DataFrame =
-    hashes.withColumn("hp", substring(col("h"), 1, 2))
+    hashes.withColumn("hp",
+      pmod(conv(substring(col("h"), 1, 2), 16, 10).cast("long"),
+        lit(ParaHashParts.toLong)).cast("string"))
 
   /** Bootstrap the persisted line-hash store from an initial corpus.
     * Fails loud on an already-committed store (re-bootstrapping with a

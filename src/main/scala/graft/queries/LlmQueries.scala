@@ -252,7 +252,7 @@ object LlmQueries {
     val d = docs(s, dir)
     val fp = d.agg(count(lit(1)), max(col("doc_id"))).collect()(0)
     val path =
-      s"${sys.props("java.io.tmpdir")}/graft_para_store_v1/" +
+      s"${sys.props("java.io.tmpdir")}/graft_para_store_v2/" +
         s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
     if (ManifestStore.readManifest(s, path).isEmpty)
       Dedup.writeLineHashes(
