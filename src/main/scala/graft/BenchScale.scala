@@ -150,7 +150,16 @@ object BenchScale {
     // rerun a deployment repeats) and the composed keep-best capstone
     // over the persisted index
     "q_dedup_minhash_inc", "q_dedup_substring_inc_indexed",
-    "q_mm_phash_indexed", "q_mm_neardup_indexed", "q_pipeline_neardup_curate")
+    "q_mm_phash_indexed", "q_mm_neardup_indexed", "q_pipeline_neardup_curate",
+    // round-12 session-2 additions: CCNet paragraph dedup (line mass is
+    // linear; the banner's occurrence count grows 10× but the min-struct
+    // aggregate partial-combines it map-side — the skew-proof claim under
+    // stress), its store-served incremental form, the memorization
+    // profiler (span machinery minus the rebuild), and the binary
+    // quantization scan + rerank (linear bit-scan controls) with the
+    // persisted-codes serving path
+    "q_dedup_paragraph", "q_dedup_paragraph_inc_indexed",
+    "q_dedup_memorization", "q_sim_binary_rerank", "q_sim_binary_indexed")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()

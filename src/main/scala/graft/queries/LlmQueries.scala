@@ -852,6 +852,22 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // One-pass dataset card: the header block of a dataset release —
+    // volume, null mass, label cardinalities, token/char mass, exact
+    // duplicate rate — as a single aggregate over one corpus scan
+    // (count-distincts expand map-side; no per-signal rescans)
+    "q_corpus_card" -> ((s, dir) => {
+      docs(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(when(col("text").isNotNull,
+          size(split(col("text"), " ")).cast("long")).otherwise(0L)).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"))
+    }),
+
     // CCNet-style paragraph dedup (keep-first): every doc gets a shared
     // banner line, its own unique body line, and a mod-7 shared footer —
     // the duplicated lines must collapse to their single first occurrence
@@ -2434,6 +2450,17 @@ object LlmQueries {
         |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_card" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(sum(CASE WHEN text IS NOT NULL
+        |                     THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS total_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+        |FROM documents""".stripMargin,
 
     "q_dedup_paragraph" ->
       """WITH src AS (

@@ -491,4 +491,72 @@ class PropertySpec extends SparkSpec {
       assert(preds(folded) == preds(whole), s"trial $trial diverged")
     }
   }
+
+  test("property: paragraph dedup conservation laws (keep-first exactly-once, remove-all = unique lines)") {
+    import graft.ops.Dedup
+    // random docs over a small line alphabet so cross-doc duplication is dense
+    val lineGen = Gen.chooseNum(0, 11).map(k => s"line$k")
+    val docGen = for {
+      n <- Gen.chooseNum(1, 6)
+      ls <- Gen.listOfN(n, lineGen)
+    } yield ls.mkString("\n")
+    val docs = sample(docGen, 60).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val inputLines = docs.flatMap { case (id, t) =>
+      t.split("\n", -1).zipWithIndex.map { case (l, p) => (id, p, l) } }
+    def outLines(keepFirst: Boolean): Seq[(Long, String)] =
+      Dedup.paragraphDedup(df, "doc_id", "text", keepFirst = keepFirst)
+        .collect().flatMap { r =>
+          val t = r.getString(1)
+          if (t.isEmpty) Seq.empty
+          else t.split("\n", -1).toSeq.map(l => (r.getLong(0), l))
+        }.toSeq
+    // keep-first: every distinct line VALUE survives exactly once, at its
+    // (id, pos)-first location
+    val kf = outLines(keepFirst = true)
+    val distinctVals = inputLines.map(_._3).distinct.toSet
+    assert(kf.map(_._2).toSet == distinctVals)
+    assert(kf.size == distinctVals.size, "keep-first emitted a value twice")
+    val firstHome = inputLines.groupBy(_._3).map { case (l, occ) =>
+      l -> occ.map(o => (o._1, o._2)).min }
+    kf.foreach { case (id, l) => assert(firstHome(l)._1 == id, s"'$l' survived off-home") }
+    // remove-all: exactly the globally-unique line values survive, in place
+    val ra = outLines(keepFirst = false)
+    val uniqueVals = inputLines.groupBy(_._3).filter(_._2.size == 1).keySet
+    assert(ra.map(_._2).toSet == uniqueVals && ra.size == uniqueVals.size)
+    // and remove-all's survivors are a subset of keep-first's values
+    assert(ra.map(_._2).toSet.subsetOf(kf.map(_._2).toSet))
+  }
+
+  test("property: binary sign codes — hamming(a,a)=0, symmetry, equals the scalar bit count") {
+    import graft.ops.Similarity
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-1000, 1000).map(_ / 1000.0f))
+    val vecs = sample(vecGen, 40).zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+    val df = vecs.toDF("vec_id", "embedding")
+    val sigs = Similarity.binaryEncodeFrame(df, 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).head).toMap
+    // engine packing equals the scalar reference rule
+    vecs.foreach { case (id, v) =>
+      val ref = v.zipWithIndex.foldLeft(0L) { case (acc, (x, i)) =>
+        if (x > 0f) acc | (1L << i) else acc }
+      assert(sigs(id) == ref, s"vec $id packed wrong")
+    }
+    // hamming laws via the column function over a self-join sample
+    val a = sigs(0L); val refSelf = java.lang.Long.bitCount(a ^ a)
+    assert(refSelf == 0)
+    for (i <- 1L until 10L) {
+      val hAb = java.lang.Long.bitCount(sigs(0L) ^ sigs(i))
+      val hBa = java.lang.Long.bitCount(sigs(i) ^ sigs(0L))
+      assert(hAb == hBa)
+    }
+    val engine = df.where($"vec_id" < 10)
+      .select($"vec_id",
+        Similarity.hammingDist(
+          Similarity.binaryEncode($"embedding", 64),
+          array((0 until 1).map(_ => lit(sigs(0L))): _*), 64).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0L until 10L).foreach { i =>
+      assert(engine(i) == java.lang.Long.bitCount(sigs(i) ^ sigs(0L)))
+    }
+  }
 }
