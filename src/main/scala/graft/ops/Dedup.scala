@@ -142,8 +142,11 @@ object Dedup {
    * partial-aggregatable `groupBy(h)` — map-side combine collapses a
    * million-fold duplicated banner to one row per input partition BEFORE
    * the exchange, so pathological line skew never concentrates on one
-   * reducer. One shuffle-join of lines against that aggregate on `h`, one
-   * reassembly `groupBy(id)`. No windows over the hot key, no all-pairs.
+   * reducer. One shuffle-join of lines against that aggregate on `h`;
+   * the rebuild then moves only the DROPPED `(id, pos)` occurrences (the
+   * dup mass) — surviving text never re-shuffles, the cleaned string is a
+   * per-row position-aware filter over the original split (the span-
+   * rebuild shape). No windows over the hot key, no all-pairs.
    * A document whose every line was seen earlier reassembles to the empty
    * string (it is pure boilerplate — downstream length filters drop it).
    * Null/absent text passes through as null.
@@ -153,13 +156,13 @@ object Dedup {
       sep: String = "\n", keepFirst: Boolean = true): DataFrame = {
     val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
     val lines = paragraphLines(base, sep)
-    val keep =
-      if (keepFirst) paragraphKeepFirst(lines)
+    val drops =
+      if (keepFirst) paragraphDropLaterOccurrences(lines)
       else {
         val counts = lines.groupBy(col("h")).agg(count(lit(1)).as("n"))
-        lines.join(counts, Seq("h")).where(col("n") === 1L)
+        lines.join(counts, Seq("h")).where(col("n") > 1L).select("id", "pos")
       }
-    paragraphRebuild(base, keep, idCol, textCol, sep)
+    paragraphRebuild(base, drops, idCol, textCol, sep)
   }
 
   /** `(id, pos, line, h)` line frame of non-null-text docs. */
@@ -169,30 +172,39 @@ object Dedup {
         .as(Seq("pos", "line")))
       .withColumn("h", md5(col("line")))
 
-  /** First occurrence per line hash under the (id, pos) total order —
+  /** Occurrences to DROP under keep-first: everything but the first
+    * occurrence per line hash under the (id, pos) total order —
     * min(struct) per hash is partial-aggregatable, so banner skew
     * collapses map-side. */
-  private def paragraphKeepFirst(lines: DataFrame): DataFrame = {
+  private def paragraphDropLaterOccurrences(lines: DataFrame): DataFrame = {
     val firsts = lines.groupBy(col("h"))
       .agg(min(struct(col("id"), col("pos"))).as("first"))
     lines.join(firsts, Seq("h"))
-      .where(struct(col("id"), col("pos")) === col("first"))
+      .where(struct(col("id"), col("pos")) =!= col("first"))
+      .select("id", "pos")
   }
 
-  /** Reassemble surviving lines in original order; null text rides
-    * through as null, a doc whose every line was dropped becomes "". */
+  /** Rebuild from the DROP list — the span-rebuild medicine applied to
+    * lines: only the dropped `(id, pos)` occurrences (the dup mass, the
+    * small side on a real corpus) move through an exchange; the corpus
+    * text never does. Each doc's drop positions collect to one array row
+    * (bounded by the doc's own line count), joined id-keyed (AQE
+    * broadcasts the drop side when dups ≪ corpus), and a per-row
+    * position-aware HOF filter keeps the lines outside the drop set.
+    * Null text rides through as null; a doc whose every line was dropped
+    * becomes "". */
   private def paragraphRebuild(
-      base: DataFrame, keep: DataFrame, idCol: String, textCol: String,
+      base: DataFrame, drops: DataFrame, idCol: String, textCol: String,
       sep: String): DataFrame = {
-    val rebuilt = keep.groupBy(col("id"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
-          x => x.getField("line")),
-        sep).as("_clean"))
-    base.join(rebuilt, Seq("id"), "left")
+    val cutArr = drops.groupBy(col("id"))
+      .agg(collect_list(col("pos")).as("_cut"))
+    base.join(cutArr, Seq("id"), "left")
       .select(col("id").as(idCol),
         when(col("text").isNull, lit(null).cast("string"))
-          .otherwise(coalesce(col("_clean"), lit(""))).as(textCol))
+          .otherwise(array_join(
+            filter(split(col("text"), java.util.regex.Pattern.quote(sep)),
+              (_, i) => coalesce(!array_contains(col("_cut"), i), lit(true))),
+            sep)).as(textCol))
   }
 
   /** Distinct line hashes of the accumulated corpus — the store behind
@@ -228,9 +240,13 @@ object Dedup {
     require(seen.columns.contains("h"),
       "seen must carry an h line-hash column — see seenLineHashes")
     val base = batch.select(col(idCol).as("id"), col(textCol).as("text"))
-    val fresh = paragraphLines(base, sep)
-      .join(seen.select("h"), Seq("h"), "left_anti")
-    paragraphRebuild(base, paragraphKeepFirst(fresh), idCol, textCol, sep)
+    val lines = paragraphLines(base, sep)
+    // drop = seen-anywhere ∪ later-occurrence-within-batch (of the unseen)
+    val fresh = lines.join(seen.select("h"), Seq("h"), "left_anti")
+    val drops = lines.join(seen.select("h"), Seq("h"), "left_semi")
+      .select("id", "pos")
+      .unionByName(paragraphDropLaterOccurrences(fresh))
+    paragraphRebuild(base, drops, idCol, textCol, sep)
   }
 
   /** A chosen LSH banding: `bands × rows = numHashes`, with the S-curve
