@@ -978,6 +978,20 @@ object TextOps {
   def nbPredict(
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       model: NbModel): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_id").orderBy(col("score").desc, col("label").asc)
+    nbScores(df, idCol, textCol, model)
+      .withColumnRenamed(idCol, "_id")
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("_id").as(idCol), col("label").as("pred"), col("score"))
+  }
+
+  /** The full per-(document, label) posterior-score frame behind
+    * [[nbPredict]] — `(idCol, label, score)`, scores 4-dp-rounded exactly
+    * as the argmax sees them. Exposed for margin/calibration analysis. */
+  def nbScores(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      model: NbModel): org.apache.spark.sql.DataFrame = {
     val toks = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("token"))
       .select(col("_id"), nbBucket(col("token"), model.numBuckets).as("bucket"))
@@ -986,20 +1000,50 @@ object TextOps {
       .groupBy("_id", "label")
       .agg(sum(log(col("cnt").cast("double") + lit(1.0))).as("_m"))
     val totalDocs = model.labelStats.agg(sum(col("n_docs")).as("_nd"))
-    val scores = docLen
+    docLen
       .crossJoin(broadcast(model.labelStats))
       .join(matched, Seq("_id", "label"), "left")
       .crossJoin(broadcast(totalDocs))
-      .select(col("_id"), col("label"),
+      .select(col("_id").as(idCol), col("label"),
         round(
           coalesce(col("_m"), lit(0.0))
             - col("_n").cast("double") *
               log(col("n_tokens").cast("double") + lit(model.numBuckets.toDouble))
             + log(col("n_docs").cast("double") / col("_nd").cast("double")),
           4).as("score"))
+  }
+
+  /**
+   * Margin-based reliability report for the NB classifier: held-out
+   * documents bucketed by the TOP-vs-RUNNER-UP score margin (the
+   * confidence proxy that stays engine-exact — a subtraction of already-
+   * 4-dp-rounded doubles, where a softmax's `exp` would hang correctness
+   * on libm rounding), with per-bucket volume and accuracy. The curation
+   * question it answers: above which confidence band can the classifier's
+   * label gate documents unreviewed? `bucket = least(floor(margin), cap)`;
+   * a document with a single-label model (no runner-up) lands in the top
+   * bucket by the shared least-ignores-null rule. Returns
+   * `(bucket, n, n_correct)`.
+   */
+  def nbMarginReliability(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      labelCol: String, model: NbModel, cap: Int = 9): org.apache.spark.sql.DataFrame = {
+    require(cap >= 0, s"cap must be >= 0, got $cap")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("_id").orderBy(col("score").desc, col("label").asc)
-    scores.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
-      .select(col("_id").as(idCol), col("label").as("pred"), col("score"))
+      .partitionBy(idCol).orderBy(col("score").desc, col("label").asc)
+    val tops = nbScores(df, idCol, textCol, model)
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") <= 2)
+      .groupBy(idCol)
+      .agg(
+        max(when(col("_rn") === 1, col("score"))).as("_s1"),
+        max(when(col("_rn") === 1, col("label"))).as("pred"),
+        max(when(col("_rn") === 2, col("score"))).as("_s2"))
+    tops
+      .join(df.select(col(idCol), col(labelCol).as("_truth")), Seq(idCol))
+      .select(
+        least(floor(col("_s1") - col("_s2")), lit(cap.toLong)).as("bucket"),
+        when(col("pred") === col("_truth"), 1L).otherwise(0L).as("_ok"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("_ok")).as("n_correct"))
   }
 }

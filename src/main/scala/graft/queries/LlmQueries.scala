@@ -2281,6 +2281,19 @@ object LlmQueries {
         .orderBy("truth", "pred")
     }),
 
+    // ...and its margin-based reliability report: held-out docs bucketed
+    // by the top-vs-runner-up score margin (engine-exact confidence proxy
+    // — a softmax's exp would hang the hash on libm rounding), per-bucket
+    // volume and accuracy — the "gate unreviewed above which band?" table
+    "q_text_nb_reliability" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = TextOps.nbTrain(
+        d.where(col("doc_id") % 10 < 8), "lang", "text")
+      TextOps.nbMarginReliability(
+          d.where(col("doc_id") % 10 >= 8), "doc_id", "text", "lang", model)
+        .orderBy("bucket")
+    }),
+
     // Cross-split duplicate-contamination audit: content duplicated under
     // NEW ids (the benchmark-leak scenario) lands on both sides of the
     // hash split — per split pair, spanning dup groups and leaked pairs
@@ -4494,6 +4507,27 @@ object LlmQueries {
          |SELECT d.lang AS truth, p.pred, count(*) AS n
          |FROM nbpred p JOIN documents d USING (doc_id)
          |GROUP BY d.lang, p.pred ORDER BY truth, pred""".stripMargin,
+
+    // margin-reliability oracle: the full score frame's top-2 per doc,
+    // bucket = least(floor(s1 - s2), 9) — exact subtraction of 4-dp
+    // scores, both engines' least() ignore a null runner-up
+    "q_text_nb_reliability" ->
+      s"""WITH $nbCtes,
+         |r2 AS (SELECT doc_id, label, score,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY score DESC, label ASC) AS rn
+         |       FROM sc),
+         |tops AS (SELECT doc_id,
+         |           max(CASE WHEN rn = 1 THEN score END) AS s1,
+         |           max(CASE WHEN rn = 1 THEN label END) AS pred,
+         |           max(CASE WHEN rn = 2 THEN score END) AS s2
+         |         FROM r2 WHERE rn <= 2 GROUP BY doc_id),
+         |j AS (SELECT least(CAST(floor(t.s1 - t.s2) AS BIGINT), 9) AS bucket,
+         |             CASE WHEN t.pred = d.lang THEN 1 ELSE 0 END AS ok
+         |      FROM tops t JOIN documents d USING (doc_id))
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(ok) AS BIGINT) AS n_correct
+         |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_corpus_split_leakage" ->
       """WITH docs2 AS (SELECT doc_id, text FROM documents

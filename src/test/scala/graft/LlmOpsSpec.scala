@@ -1888,6 +1888,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows == Seq("site3.com", "h.example.org", "files.net", "", null))
   }
 
+  test("TextOps.nbMarginReliability: separable corpus concentrates mass in the cap bucket at accuracy 1") {
+    import spark.implicits._
+    // class vocabularies are disjoint → margins are large and every
+    // prediction is right; a conflicted doc (mixed vocab) lands low
+    val rows = (0 until 60).map { i =>
+      val lbl = if (i % 2 == 0) "a" else "b"
+      val word = if (i % 2 == 0) "spark" else "tensor"
+      (i.toLong, lbl, Seq.fill(8)(word).mkString(" "))
+    } :+ (999L, "a", "spark tensor") // near-zero margin
+    val df = rows.toDF("doc_id", "lbl", "text")
+    val model = TextOps.nbTrain(df.where($"doc_id" < 900), "lbl", "text")
+    val rel = TextOps.nbMarginReliability(df, "doc_id", "text", "lbl", model)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rel.map(_._2).sum == 61L, s"buckets must partition the corpus: $rel")
+    val top = rel.last
+    assert(top._1 == 9L && top._2 >= 60L && top._3 == top._2,
+      s"separable mass must sit in the cap bucket at accuracy 1: $rel")
+    assert(rel.head._1 == 0L, s"the conflicted doc must land in bucket 0: $rel")
+  }
+
   test("binary-code store: serve == in-query, upsert idempotent, delete retires, dims pinned") {
     import spark.implicits._
     GraftExtensions.register(spark)
