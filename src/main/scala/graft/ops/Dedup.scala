@@ -207,6 +207,28 @@ object Dedup {
             sep)).as(textCol))
   }
 
+  /**
+   * WITHIN-document line dedup — the Gopher-class repetition cleanup (Rae
+   * et al. 2021 flag docs by duplicate-line fraction; this REPAIRS them):
+   * inside each document, every repeat of an earlier line is dropped,
+   * other documents' lines are irrelevant. Because the scope is one row,
+   * this is a pure PROJECTION — zero shuffles, no state, composes before
+   * the corpus-wide [[paragraphDedup]] (which then charges each surviving
+   * value once globally). The per-row scan is O(lines²) in the worst
+   * case (`array_contains` over the seen prefix) — lines per document are
+   * bounded small in practice; the corpus-wide operator is the tool when
+   * they aren't. Null text rides through as null.
+   */
+  def paragraphDedupWithinDoc(
+      docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val arr = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    docs.withColumn(textCol,
+      when(col(textCol).isNull, lit(null).cast("string"))
+        .otherwise(array_join(
+          filter(arr, (l, i) => !array_contains(slice(arr, lit(1), i), l)), sep)))
+  }
+
   /** Distinct line hashes of the accumulated corpus — the store behind
     * [[paragraphDedupIncremental]], the line-granularity mirror of
     * [[seenFingerprints]]: persist just these 32-byte hashes, never the

@@ -883,6 +883,22 @@ object LlmQueries {
           keepFirst = false)
         .orderBy("doc_id")),
 
+    // WITHIN-doc line dedup (the Gopher repetition repair): each doc gets
+    // a repeated intro and a doubled footer — repeats collapse inside the
+    // doc; the footer value shared ACROSS docs keeps one copy per doc
+    // (that's the corpus-wide operator's job). Zero-shuffle projection.
+    "q_dedup_paragraph_within" -> ((s, dir) => {
+      val src = docs(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat_ws("\n",
+            concat(lit("intro "), col("doc_id").cast("string")),
+            col("text"),
+            concat(lit("intro "), col("doc_id").cast("string")),
+            lit("shared footer"),
+            lit("shared footer")).as("text"))
+      Dedup.paragraphDedupWithinDoc(src, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // Incremental paragraph dedup — the continuous-crawl form: even
     // doc_ids are the accumulated corpus (held only as distinct line
     // hashes — never rescanned), odd doc_ids are the arriving batch. A
@@ -2516,6 +2532,27 @@ object LlmQueries {
         |SELECT s.doc_id, coalesce(r.text, '') AS text
         |FROM src s LEFT JOIN reb r ON r.doc_id = s.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    // within-doc dedup oracle: repeats collapse per (doc_id, line) under
+    // the position order — other docs never considered
+    "q_dedup_paragraph_within" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         'intro ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |         text || chr(10) ||
+        |         'intro ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |         'shared footer' || chr(10) || 'shared footer' AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |lines AS (SELECT doc_id, i, line FROM (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+        |         generate_subscripts(string_split(text, chr(10)), 1) AS i
+        |  FROM src)),
+        |kept AS (SELECT doc_id, i, line FROM (
+        |  SELECT doc_id, i, line,
+        |         row_number() OVER (PARTITION BY doc_id, line ORDER BY i) AS rn
+        |  FROM lines) WHERE rn = 1)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // incremental paragraph dedup oracle: seen = distinct line hashes of
     // the even half; a batch (odd) line survives iff unseen AND first

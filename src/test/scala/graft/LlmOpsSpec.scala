@@ -1982,6 +1982,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(cSep == Seq((2L, "c")))
   }
 
+  test("Dedup.paragraphDedupWithinDoc: repeats collapse inside the doc only; null rides") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x\ny\nx\nz\ny"),
+      (2L, "x"),                      // other docs never affect doc 1
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedupWithinDoc(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "x\ny\nz"), (2L, "x"), (3L, null)))
+  }
+
   test("Dedup.paragraphDedup: keep-first keeps one copy, remove-all strips every copy") {
     import spark.implicits._
     val docs = Seq(

@@ -414,6 +414,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("within-doc line dedup is a pure projection — zero exchanges") {
+    // the operator itself, without the driver query's presentation sort
+    val d = graft.queries.Tpch.read(spark, dir, "documents")
+    val p = graft.ops.Dedup.paragraphDedupWithinDoc(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"within-doc dedup shuffled:\n$p")
+  }
+
   test("ORC mirror: filters and pruning push into the ORC scan like parquet") {
     val d = SparkEntry.queries("q_src_orc")(spark, dir)
     // q_src_orc materialized the mirror; a filtered projection over it must
