@@ -132,6 +132,36 @@ object Corpus {
       .groupBy("split_a", "split_b").agg(count(lit(1)).as("leaked_pairs"))
   }
 
+  /**
+   * Leakage-SAFE split — fixes at assignment time what
+   * [[splitLeakageFromPairs]] can only measure: the split hash runs on
+   * each document's DUPLICATE-CLUSTER representative (the component
+   * minimum from [[Dedup.clusters]] over any pair frame — exact groups,
+   * verified minhash/simhash pairs, SemDeDup pairs), so duplicated or
+   * near-duplicated content lands on ONE side of every cut by
+   * construction. Documents in no pair represent themselves, and the
+   * hash domain is [[splitLabel]]'s — a pair-free corpus splits
+   * IDENTICALLY to [[withSplit]]. Cost: the pair generator dominates;
+   * the assignment adds the closure over the pair mass plus one
+   * id-keyed left join.
+   *
+   * Share caveat, stated plainly: splits are sized by CLUSTER count, not
+   * document count — a corpus whose duplicate clusters are huge will see
+   * per-split document shares drift from the requested fractions (the
+   * price of the guarantee; dedup first if that matters).
+   */
+  def withSplitLeakageSafe(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      train: Double = 0.8, validation: Double = 0.1,
+      salt: String = ""): DataFrame = {
+    val labels = graft.ops.Dedup.clusters(pairs)
+      .select(col("id").as(idCol), col("cluster").as("_rep"))
+    df.join(labels, Seq(idCol), "left")
+      .withColumn("split",
+        splitLabel(coalesce(col("_rep"), col(idCol)), train, validation, salt))
+      .drop("_rep")
+  }
+
   def splitLeakageAudit(
       df: DataFrame, idCol: String, textCol: String,
       train: Double = 0.8, validation: Double = 0.1,
@@ -145,6 +175,33 @@ object Corpus {
       .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
       .agg(count(lit(1)).as("dup_groups"),
         sum(col("a.n") * col("b.n")).as("leaked_pairs"))
+  }
+
+  /**
+   * Crawl-exclusion URL filter — the blocklist stage every web pipeline
+   * runs before fetch-side processing: drops documents whose URL host is
+   * on the blocklist (broadcast anti-join — a blocklist is list-sized,
+   * never corpus-sized) and, optionally, whose PATH matches a drop
+   * pattern (RE2-class regex — spam/calendar/faceted-nav path shapes).
+   * Host and path extract with [[TextOps.canonicalizeUrl]]'s own anchored
+   * regexes (host lowercased), so the filter agrees with the dedup key's
+   * view of the URL. Documents with a null URL pass through — this
+   * filter rejects KNOWN-bad addresses, absence of one is a different
+   * policy (filter upstream if null means reject).
+   */
+  def filterBlockedUrls(
+      df: DataFrame, urlCol: String, blockedHosts: DataFrame,
+      dropPathPattern: Option[String] = None): DataFrame = {
+    val host = lower(regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    val path = regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val kept = df.withColumn("_host", host)
+      .join(broadcast(blockedHosts.select(lower(col("host")).as("_host"))),
+        Seq("_host"), "left_anti")
+      .drop("_host")
+    dropPathPattern.fold(kept)(p =>
+      kept.where(col(urlCol).isNull || !path.rlike(p)))
   }
 
   /**

@@ -1202,6 +1202,38 @@ object LlmQueries {
         .orderBy("split_a", "split_b")
     }),
 
+    // Leakage-SAFE split: the same duplicated corpus and pair generator
+    // as the audit query, but assignment runs on the cluster
+    // representative — the cross-split leak count must be ZERO by
+    // construction (the oracle recomputes pairs, closure, representative
+    // hash, and the leak count independently)
+    "q_corpus_split_safe" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val d = docs(s, dir)
+      val dd = d.select("doc_id", "text").unionByName(
+        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val pairs = Dedup.simhashNearDuplicates64(
+        Dedup.simhashNative64(dd, "doc_id", "text"))
+      val labeled = Corpus.withSplitLeakageSafe(dd, "doc_id", pairs)
+      val leaked = Corpus.splitLeakageFromPairs(pairs, labeled)
+        .agg(coalesce(sum(col("leaked_pairs")), lit(0L)).as("_leaked"))
+      labeled.groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(leaked))
+        .select(col("split"), col("n_docs"), col("_leaked").as("leaked_pairs"))
+        .orderBy("split")
+    }),
+
+    // Crawl URL blocklist: two blocked hosts + a path drop pattern over
+    // the planted URL variants — the fetch-side exclusion stage
+    "q_corpus_url_filter" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id"), plantedUrl.as("url"))
+      val blocked = Seq("site2.com", "site5.com").toDF("host")
+      Corpus.filterBlockedUrls(d, "url", blocked,
+          dropPathPattern = Some("/page/13"))
+        .orderBy("doc_id")
+    }),
+
     // Overlap-tier decontamination: eval docs are planted MIDDLE spans of
     // corpus docs (tokens n/4+1 .. n/4+⌈n/2⌉, id+5000000) — contained
     // text that exact-fingerprint contamination (q_contamination) and
@@ -2835,6 +2867,85 @@ object LlmQueries {
         |            - CASE WHEN hi_sk >= 2147483648 THEN 18446744073709551616::HUGEINT ELSE 0 END
         |            AS BIGINT) AS simhash
         |FROM halves ORDER BY doc_id""".stripMargin,
+
+    // leakage-safe split oracle: the same simhash chain, then the
+    // transitive closure, representative-hashed split, and an
+    // independently-recomputed leak count (must be zero)
+    "q_corpus_split_safe" ->
+      """WITH RECURSIVE dd AS (SELECT doc_id, text FROM documents
+        |       UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        |tok AS (SELECT id, tok, count(*) AS cnt
+        |        FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM dd)
+        |        GROUP BY id, tok),
+        |th AS (SELECT id, cnt, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS lo,
+        |              ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hi FROM tok),
+        |votes AS (SELECT id, j,
+        |            SUM(CASE WHEN ((CASE WHEN j < 32 THEN lo >> j ELSE hi >> (j - 32) END) & 1) = 1
+        |                THEN cnt ELSE -cnt END) AS v
+        |          FROM th, range(64) t(j) GROUP BY id, j),
+        |halves AS (SELECT id,
+        |             SUM(CASE WHEN v > 0 AND j < 32 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS lo_sk,
+        |             SUM(CASE WHEN v > 0 AND j >= 32 THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS hi_sk
+        |           FROM votes GROUP BY id),
+        |sk AS (SELECT id,
+        |         CAST(lo_sk + hi_sk * 4294967296
+        |              - CASE WHEN hi_sk >= 2147483648 THEN 18446744073709551616::HUGEINT ELSE 0 END
+        |              AS BIGINT) AS simhash
+        |       FROM halves),
+        |banded AS (SELECT id, simhash, j AS band, (simhash >> CAST(16 * j AS INT)) & 65535 AS band_key
+        |           FROM sk, range(4) r(j)),
+        |p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |      FROM banded a JOIN banded b
+        |        ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+        |      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b AS src, id_a AS dst FROM p),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+        |lab AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+        |rep AS (SELECT d.doc_id, COALESCE(l.rep, d.doc_id) AS rep
+        |        FROM dd d LEFT JOIN lab l ON l.id = d.doc_id),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN b < 8000 THEN 'train'
+        |              WHEN b < 9000 THEN 'validation'
+        |              ELSE 'test' END AS split
+        |       FROM (SELECT doc_id,
+        |               ('0x' || substr(md5('split::' || CAST(rep AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+        |             FROM rep)),
+        |leak AS (SELECT count(*) AS leaked FROM p
+        |         JOIN sp sa ON sa.doc_id = p.id_a
+        |         JOIN sp sb ON sb.doc_id = p.id_b
+        |         WHERE sa.split <> sb.split)
+        |SELECT s.split, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(max(l.leaked) AS BIGINT) AS leaked_pairs
+        |FROM sp s CROSS JOIN leak l GROUP BY s.split ORDER BY s.split""".stripMargin,
+
+    // blocklist filter oracle: same host/path anchored extraction, NOT IN
+    // blocklist, NOT path-pattern
+    "q_corpus_url_filter" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR)
+        |        || '.COM:443/page/' || CAST(doc_id % 50 AS VARCHAR)
+        |        || '/?utm_source=tw&b=2&a=1#sec'
+        |      WHEN 1 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+        |        || '.com/page/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2'
+        |      WHEN 2 THEN 'HTTP://Site' || CAST(doc_id % 7 AS VARCHAR)
+        |        || '.com:80/page/' || CAST(doc_id % 50 AS VARCHAR)
+        |        || '/index.html?gclid=xyz'
+        |      ELSE 'http://site' || CAST(doc_id % 7 AS VARCHAR)
+        |        || '.com:8080/page/' || CAST(doc_id % 50 AS VARCHAR) || '#frag'
+        |    END AS url FROM documents),
+        |f AS (SELECT doc_id, url,
+        |        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host,
+        |        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+        |      FROM u)
+        |SELECT doc_id, url FROM f
+        |WHERE host NOT IN ('site2.com', 'site5.com')
+        |  AND NOT regexp_matches(path, '/page/13')
+        |ORDER BY doc_id""".stripMargin,
 
     "q_corpus_split_leakage_neardup" ->
       """WITH dd AS (SELECT doc_id, text FROM documents

@@ -1888,6 +1888,47 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows == Seq("site3.com", "h.example.org", "files.net", "", null))
   }
 
+  test("Corpus.withSplitLeakageSafe: chains land on one side; pair-free corpus == withSplit") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // a CHAIN a-b, b-c (c never pairs with a) plus a far-apart pair —
+    // closure must glue the chain to one representative
+    val pairs = Seq((1L, 50L), (50L, 120L), (7L, 199L)).toDF("id_a", "id_b")
+    val safe = Corpus.withSplitLeakageSafe(docs, "doc_id", pairs)
+    val bySplit = safe.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Set(bySplit(1L), bySplit(50L), bySplit(120L)).size == 1, "chain straddled a cut")
+    assert(bySplit(7L) == bySplit(199L), "pair straddled a cut")
+    // the audit reads zero on the safe assignment
+    assert(Corpus.splitLeakageFromPairs(pairs, safe).isEmpty)
+    // pair-free corpus: identical to the plain id-hash split
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val plain = Corpus.withSplit(docs, "doc_id").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val safeNp = Corpus.withSplitLeakageSafe(docs, "doc_id", noPairs)
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(safeNp == plain)
+  }
+
+  test("Corpus.filterBlockedUrls: host blocklist, path pattern, null-url passthrough") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "https://ok.com/a"),
+      (2L, "https://BAD.com/a"),        // host blocked (case-folded)
+      (3L, "https://ok.com/spam/x"),    // path pattern
+      (4L, null.asInstanceOf[String]))  // passes through
+      .toDF("doc_id", "url")
+    val blocked = Seq("bad.com").toDF("host")
+    val kept = Corpus.filterBlockedUrls(d, "url", blocked, Some("/spam/"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+    // without the path rule only the host drop applies
+    val hostOnly = Corpus.filterBlockedUrls(d, "url", blocked)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hostOnly == Set(1L, 3L, 4L))
+  }
+
   test("TextOps.nbMarginReliability: separable corpus concentrates mass in the cap bucket at accuracy 1") {
     import spark.implicits._
     // class vocabularies are disjoint → margins are large and every
