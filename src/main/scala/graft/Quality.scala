@@ -334,11 +334,12 @@ object Quality {
     // ladder. The raw hamming scan is the honest low line (64 bits can't
     // rank 10 neighbors out of thousands); the production shape — hamming
     // shortlist + exact re-rank — is what the recall claim rides on.
-    val bCodes = Similarity.binaryEncodeFrame(e, 64)
+    val bCodes = Similarity.binaryEncodeFrame(e, 64).localCheckpoint()
     val binRaw = recallAtK(
       topkMap(Similarity.binaryTopK(bCodes, queries, 10, 64)), exact10)
     val binRerank = recallAtK(
-      topkMap(Similarity.binaryTopKRerank(e, queries, 10, 256, 64)), exact10)
+      topkMap(Similarity.binaryTopKRerankFromCodes(
+        bCodes, e, queries, 10, 256, 64)), exact10)
 
     // ---- fuzzy-dedup blocking efficiency (round 10) --------------------
     // candidates admitted per true pair on the adversarial synthetic names
@@ -484,11 +485,12 @@ object Quality {
     // binary quantization on the structured corpus: clustered geometry
     // concentrates sign agreement within clusters, so the raw hamming line
     // should sit above its isotropic twin
+    val sBinCodes = Similarity.binaryEncodeFrame(es, 64).localCheckpoint()
     val sBinRaw = recallAtK(
-      topkMap(Similarity.binaryTopK(
-        Similarity.binaryEncodeFrame(es, 64), sQueries, 10, 64)), sExact10)
+      topkMap(Similarity.binaryTopK(sBinCodes, sQueries, 10, 64)), sExact10)
     val sBinRerank = recallAtK(
-      topkMap(Similarity.binaryTopKRerank(es, sQueries, 10, 256, 64)), sExact10)
+      topkMap(Similarity.binaryTopKRerankFromCodes(
+        sBinCodes, es, sQueries, 10, 256, 64)), sExact10)
     val structured =
       s""""structured":{"n":${es.count()},"ivf_nprobe2_at10":$sIvf,""" +
         s""""residual_energy_ratio":$sEnergy,""" +

@@ -263,11 +263,21 @@ object Dedup {
       "seen must carry an h line-hash column — see seenLineHashes")
     val base = batch.select(col(idCol).as("id"), col(textCol).as("text"))
     val lines = paragraphLines(base, sep)
-    // drop = seen-anywhere ∪ later-occurrence-within-batch (of the unseen)
-    val fresh = lines.join(seen.select("h"), Seq("h"), "left_anti")
-    val drops = lines.join(seen.select("h"), Seq("h"), "left_semi")
+    // drop = seen-anywhere ∪ later-occurrence-within-batch (of the unseen).
+    // The store joins ONCE: a marked left join feeds one per-hash aggregate
+    // carrying both the seen flag and the first fresh occurrence; the
+    // batch-side lines (cheap split/posexplode) are the only recomputed
+    // lineage.
+    val hinfo = lines
+      .join(seen.select(col("h"), lit(true).as("_seen")), Seq("h"), "left")
+      .groupBy("h")
+      .agg(
+        max(coalesce(col("_seen"), lit(false))).as("_seenAny"),
+        min(when(col("_seen").isNull, struct(col("id"), col("pos"))))
+          .as("_firstFresh"))
+    val drops = lines.join(hinfo, Seq("h"))
+      .where(col("_seenAny") || struct(col("id"), col("pos")) =!= col("_firstFresh"))
       .select("id", "pos")
-      .unionByName(paragraphDropLaterOccurrences(fresh))
     paragraphRebuild(base, drops, idCol, textCol, sep)
   }
 
@@ -1771,6 +1781,14 @@ object Dedup {
   private def withHashPart(counts: DataFrame): DataFrame =
     counts.withColumn("hp", pmod(col("h"), lit(SpanHashParts)).cast("string"))
 
+  /** Whether a window-count store has been fully bootstrapped (data AND
+    * pinned meta) under `storeDir` — the reader's own predicate, so a
+    * bootstrap-once guard built on it self-heals after a crash between
+    * the data upsert and the meta commit. */
+  def spanStoreCommitted(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String): Boolean =
+    ManifestStore.readVersioned(spark, storeDir, SpanStorePrefix).isDefined
+
   /** Bootstrap the persisted store from an initial corpus. Fails loud on
     * an already-committed store (a re-bootstrap with a different corpus
     * would leave stale counts for hashes absent from the new one — wipe
@@ -1875,20 +1893,34 @@ object Dedup {
     ManifestStore.commitVersioned(spark, storeDir, ParaStorePrefix, 1L, s"sep\t$sepB64\n")
   }
 
-  /** Whether a line-hash store has been bootstrapped under `storeDir`. */
+  /** Whether a line-hash store has been fully bootstrapped (data AND
+    * pinned meta) under `storeDir` — the reader's own predicate, so a
+    * bootstrap-once guard built on it self-heals after a crash between
+    * the data upsert and the meta commit. */
   def lineStoreCommitted(
       spark: org.apache.spark.sql.SparkSession, storeDir: String): Boolean =
     ManifestStore.readVersioned(spark, storeDir, ParaStorePrefix).isDefined
+
+  /** The separator pinned in a committed store's meta — callers composing
+    * their own split (e.g. a stream configured with an explicit `sep`)
+    * verify against it instead of silently splitting differently. */
+  def lineStoreSep(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String): String =
+    paraSep(spark, storeDir)
+
+  private def lineHashFrame(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String): DataFrame =
+    ManifestStore.currentFrame(spark, storeDir, "hp")
+      .map(_.select("h"))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed line-hash store under $storeDir"))
 
   /** The committed `(h)` frame (for composing with
     * [[paragraphDedupIncremental]] directly). */
   def readLineHashes(
       spark: org.apache.spark.sql.SparkSession, storeDir: String): DataFrame = {
     paraSep(spark, storeDir) // fail loud before the first commit
-    ManifestStore.currentFrame(spark, storeDir, "hp")
-      .map(_.select("h"))
-      .getOrElse(throw new IllegalStateException(
-        s"no committed line-hash store under $storeDir"))
+    lineHashFrame(spark, storeDir)
   }
 
   /**
@@ -1902,8 +1934,8 @@ object Dedup {
       batch: DataFrame, storeDir: String, idCol: String,
       textCol: String): DataFrame = {
     val spark = batch.sparkSession
-    val sep = paraSep(spark, storeDir)
-    val seen = readLineHashes(spark, storeDir)
+    val sep = paraSep(spark, storeDir) // one meta read serves both uses
+    val seen = lineHashFrame(spark, storeDir)
     val cleaned = paragraphDedupIncremental(batch, seen, idCol, textCol, sep)
       .localCheckpoint()
     ManifestStore.upsert(

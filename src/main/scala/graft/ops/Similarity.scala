@@ -376,12 +376,15 @@ object Similarity {
 
   /** Sign-bit binary code for an `array<float>` column: bit `i mod 64` of
     * word `i / 64` is set iff component `i` is `> 0f` (strict — zeros and
-    * negatives clear). Statically unrolled over `dims`, so the whole encode
-    * is codegen'd fixed-arity integer arithmetic (no higher-order
-    * functions): `ceil(dims/64)` longs per row. A vector SHORTER than
-    * `dims` fails loud (ANSI `element_at` — silently hashing it as
-    * zero-padded would make two different-width corpora collide;
-    * EdgeCasesSpec pins the throw). */
+    * negatives clear; a null COMPONENT clears its bit, the PcaProject
+    * zero convention, and matches the oracle's bit_or over non-null
+    * elements). Statically unrolled over `dims`, so the whole encode is
+    * codegen'd fixed-arity integer arithmetic (no higher-order
+    * functions): `ceil(dims/64)` longs per row. A null VECTOR propagates
+    * null; a vector whose length differs from `dims` fails loud in
+    * EITHER direction (a short vector hashed as zero-padded or a long
+    * one silently truncated would make different-width corpora collide —
+    * EdgeCasesSpec pins both throws). */
   def binaryEncode(vec: Column, dims: Int): Column = {
     require(dims > 0, s"dims must be positive, got $dims")
     val words = (0 until (dims + 63) / 64).map { w =>
@@ -391,16 +394,23 @@ object Similarity {
           .otherwise(lit(0L))
       }.reduce[Column](_ bitwiseOR _)
     }
-    array(words: _*)
+    when(vec.isNull, lit(null).cast("array<bigint>"))
+      .when(size(vec) === dims, array(words: _*))
+      .otherwise(raise_error(concat(
+        lit(s"binaryEncode: expected a $dims-dim vector, got length "),
+        size(vec).cast("string"))))
   }
 
   /** `(vec_id, sig)` binary-code frame — the build-once artifact (persist
     * it like [[sqEncode]] codes; at d=64 it is one long per vector). A
-    * shuffle-free projection over the corpus scan. */
+    * shuffle-free projection over the corpus scan. Null-vector rows are
+    * DROPPED (the oracle's unnest emits no row for them — a fabricated
+    * all-zero code would otherwise rank). */
   def binaryEncodeFrame(
       emb: DataFrame, dims: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    emb.select(col(idCol).as("vec_id"), binaryEncode(col(vecCol), dims).as("sig"))
+    emb.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"), binaryEncode(col(vecCol), dims).as("sig"))
 
   /** Hamming distance between two packed sign-bit codes: per-word
     * `bit_count(xor)` summed over the statically-known word count —
@@ -446,9 +456,20 @@ object Similarity {
   def binaryTopKRerank(
       emb: DataFrame, queries: DataFrame, k: Int, shortlist: Int, dims: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame =
+    binaryTopKRerankFromCodes(
+      binaryEncodeFrame(emb, dims, idCol, vecCol), emb, queries, k,
+      shortlist, dims, idCol, vecCol, qIdCol, qVecCol)
+
+  /** [[binaryTopKRerank]] with a caller-held codes frame (a persisted
+    * store readback, or codes already materialized for another
+    * measurement) — the encode pass is not repeated. */
+  def binaryTopKRerankFromCodes(
+      codes: DataFrame, emb: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int, dims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
-    val codes = binaryEncodeFrame(emb, dims, idCol, vecCol)
     val sl = binaryTopK(codes, queries, shortlist, dims, qIdCol, qVecCol)
       .select("qid", "vec_id")
     rerankExact(sl, emb, queries, k, idCol, vecCol, qIdCol, qVecCol)
@@ -496,14 +517,24 @@ object Similarity {
         spark, storeDir, BinStorePrefix, 1L, s"dims\t$dims\n")
   }
 
-  /** The committed `(vec_id, sig)` codes. Fails loud before the first
-    * commit. */
-  def readBinaryCodes(spark: SparkSession, storeDir: String): DataFrame = {
-    binMetaDims(spark, storeDir)
+  /** Whether a binary-code store has been fully bootstrapped (data AND
+    * pinned meta) under `storeDir` — the reader's own predicate, so a
+    * bootstrap-once guard built on it self-heals after a crash between
+    * the data upsert and the meta commit. */
+  def binaryCodesCommitted(spark: SparkSession, storeDir: String): Boolean =
+    ManifestStore.readVersioned(spark, storeDir, BinStorePrefix).isDefined
+
+  private def binCodesFrame(spark: SparkSession, storeDir: String): DataFrame =
     ManifestStore.currentFrame(spark, storeDir, "bp")
       .map(_.select("vec_id", "sig"))
       .getOrElse(throw new IllegalStateException(
         s"no committed binary-code store under $storeDir"))
+
+  /** The committed `(vec_id, sig)` codes. Fails loud before the first
+    * commit. */
+  def readBinaryCodes(spark: SparkSession, storeDir: String): DataFrame = {
+    binMetaDims(spark, storeDir)
+    binCodesFrame(spark, storeDir)
   }
 
   /** Takedown: physically remove vectors' code rows (partition-grain
@@ -519,9 +550,10 @@ object Similarity {
     * reads one long per stored vector. */
   def binaryTopKIndexed(
       spark: SparkSession, storeDir: String, queries: DataFrame, k: Int,
-      qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame =
-    binaryTopK(readBinaryCodes(spark, storeDir), queries, k,
-      binMetaDims(spark, storeDir), qIdCol, qVecCol)
+      qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame = {
+    val dims = binMetaDims(spark, storeDir) // one meta read serves both uses
+    binaryTopK(binCodesFrame(spark, storeDir), queries, k, dims, qIdCol, qVecCol)
+  }
 
   /** Fail-loud bound on per-query candidate-set size in [[mmrRerank]]: the
     * greedy loop is O(k·|C|) per query and holds one query's candidates in

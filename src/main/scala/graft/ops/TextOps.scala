@@ -118,11 +118,17 @@ object TextOps {
         .otherwise(lit("")))
   }
 
-  /** Registrable host of a CANONICAL url ([[canonicalizeUrl]] output —
-    * scheme and host already lowercased): the authority up to the first
-    * `/ ? # :`. This is the per-domain grouping key for crawl-politeness
-    * caps ([[Corpus.capPerGroup]]) and domain-mix stats — one codegen'd
-    * regexp, '' when the input is not a URL, null on null. */
+  /** HOSTNAME of a CANONICAL url ([[canonicalizeUrl]] output — scheme and
+    * host already lowercased): the authority up to the first `/ ? # :`.
+    * This is the per-host grouping key for crawl-politeness caps
+    * ([[Corpus.capPerGroup]]) and domain-mix stats — one codegen'd
+    * regexp, '' when the input is not a URL, null on null. Stated
+    * plainly: this is the FULL hostname, not the registrable eTLD+1
+    * domain — collapsing `a.spam.com`/`b.spam.com` needs the public-
+    * suffix list, which is out of scope here (a wrong suffix rule merges
+    * distinct sites, the same trade [[canonicalizeUrl]] documents for
+    * percent-encoding); a host-keyed cap is therefore evadable by
+    * subdomain sharding. */
   def urlHost(url: Column): Column =
     regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/?#:]*)", 1)
 
@@ -979,11 +985,10 @@ object TextOps {
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       model: NbModel): org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("_id").orderBy(col("score").desc, col("label").asc)
+      .partitionBy(idCol).orderBy(col("score").desc, col("label").asc)
     nbScores(df, idCol, textCol, model)
-      .withColumnRenamed(idCol, "_id")
       .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
-      .select(col("_id").as(idCol), col("label").as("pred"), col("score"))
+      .select(col(idCol), col("label").as("pred"), col("score"))
   }
 
   /** The full per-(document, label) posterior-score frame behind

@@ -212,7 +212,7 @@ object LlmQueries {
     val path =
       s"${sys.props("java.io.tmpdir")}/graft_span_store_v1/" +
         s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
-    if (ManifestStore.readManifest(s, path).isEmpty)
+    if (!Dedup.spanStoreCommitted(s, path))
       Dedup.writeWindowCounts(
         docsWithNearDups(s, dir).where(col("doc_id") % 2 === 0),
         path, "doc_id", "text", n = 10)
@@ -228,7 +228,7 @@ object LlmQueries {
     val path =
       s"${sys.props("java.io.tmpdir")}/graft_bin_store_v1/" +
         s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
-    if (ManifestStore.readManifest(s, path).isEmpty)
+    if (!Similarity.binaryCodesCommitted(s, path))
       Similarity.writeBinaryCodes(e, path, dims = 64)
     path
   }
@@ -254,7 +254,7 @@ object LlmQueries {
     val path =
       s"${sys.props("java.io.tmpdir")}/graft_para_store_v2/" +
         s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
-    if (ManifestStore.readManifest(s, path).isEmpty)
+    if (!Dedup.lineStoreCommitted(s, path))
       Dedup.writeLineHashes(
         plantedParagraphs(s, dir).where(col("doc_id") % 2 === 0), path, "text")
     path
@@ -1212,8 +1212,10 @@ object LlmQueries {
       val d = docs(s, dir)
       val dd = d.select("doc_id", "text").unionByName(
         d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      // the pair lineage (banded self-join + verify) is the dominant cost
+      // and feeds BOTH the closure and the audit — materialize it once
       val pairs = Dedup.simhashNearDuplicates64(
-        Dedup.simhashNative64(dd, "doc_id", "text"))
+        Dedup.simhashNative64(dd, "doc_id", "text")).localCheckpoint()
       val labeled = Corpus.withSplitLeakageSafe(dd, "doc_id", pairs)
       val leaked = Corpus.splitLeakageFromPairs(pairs, labeled)
         .agg(coalesce(sum(col("leaked_pairs")), lit(0L)).as("_leaked"))

@@ -48,9 +48,17 @@ object ParagraphIngestStream {
         var emptied = 0L
         if (n > 0) {
           val cleaned =
-            if (Dedup.lineStoreCommitted(spark, storeDir))
+            if (Dedup.lineStoreCommitted(spark, storeDir)) {
+              // the store's pinned separator is authoritative — a stream
+              // configured differently would silently split lines another
+              // way and drop whole documents as "duplicates"
+              val pinnedSep = Dedup.lineStoreSep(spark, storeDir)
+              require(pinnedSep == sep,
+                s"line-hash store under $storeDir is pinned to separator " +
+                  s"${pinnedSep.map(c => f"\\u${c.toInt}%04x").mkString} but the " +
+                  s"stream was configured with ${sep.map(c => f"\\u${c.toInt}%04x").mkString}")
               Dedup.paragraphDedupIncrementalIndexed(pinned, storeDir, idCol, textCol)
-            else {
+            } else {
               // bootstrap: clean the batch against itself (incremental
               // with an empty store), then commit its hashes
               val c = Dedup.paragraphDedup(pinned, idCol, textCol, sep)

@@ -307,17 +307,24 @@ class EdgeCasesSpec extends SparkSpec {
     assert(elem.fieldNames.contains("type") && !elem.fieldNames.contains("txType"))
   }
 
-  test("binaryEncode fails loud on a vector shorter than dims (ANSI element_at)") {
-    // a short vector would otherwise silently hash as if zero-padded —
-    // under ANSI semantics the out-of-bounds element_at throws instead,
-    // the same fail-loud posture as the store's pinned dims meta
-    val err = intercept[Exception] {
-      Seq(Tuple1(Array(1.0f, -1.0f)))
-        .toDF("embedding")
-        .select(Similarity.binaryEncode(col("embedding"), 64))
-        .collect()
-    }
-    assert(err.getMessage.contains("INVALID_ARRAY_INDEX"), err.getMessage)
+  test("binaryEncode: width mismatch fails loud both ways; null vector propagates / frame drops it") {
+    def enc(v: Array[Float], dims: Int) =
+      Seq(Tuple1(v)).toDF("embedding")
+        .select(Similarity.binaryEncode(col("embedding"), dims)).collect()
+    // short: zero-padded hashing would collide different-width corpora
+    val short = intercept[Exception](enc(Array(1.0f, -1.0f), 64))
+    assert(short.getMessage.contains("expected a 64-dim vector"), short.getMessage)
+    // long: silent truncation is the same collision from the other side
+    val long = intercept[Exception](enc(Array.fill(65)(1.0f), 64))
+    assert(long.getMessage.contains("expected a 64-dim vector"), long.getMessage)
+    // a null vector propagates null in the column form...
+    assert(enc(null, 64)(0).isNullAt(0))
+    // ...and the frame form DROPS the row (the oracle emits none for it —
+    // a fabricated all-zero code would otherwise rank in binaryTopK)
+    val df = Seq((1L, null.asInstanceOf[Array[Float]]), (2L, Array.fill(4)(1f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.binaryEncodeFrame(df, 4)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
   test("paragraphDedup on empty and single-doc corpora") {

@@ -61,4 +61,19 @@ class ParagraphIngestStreamSpec extends SparkSpec {
     val distinctLines = corpus.flatMap(_._2.split("\n")).distinct.size.toLong
     assert(stored == distinctLines)
   }
+
+  test("a stream configured with a different separator than the pinned store fails loud") {
+    implicit val ctx = spark.sqlContext
+    val dir = tmpDir("para_stream_sep")
+    Dedup.writeLineHashes(
+      Seq((1L, "a\nb")).toDF("doc_id", "text"), dir, "text") // pins "\n"
+    val ms = MemoryStream[(Long, String)]
+    val q = ParagraphIngestStream.start(
+      ms.toDS().toDF("doc_id", "text"), dir, sep = "|")(_ => ())
+    val err = intercept[Exception] {
+      try { ms.addData((2L, "b|c")); q.processAllAvailable() } finally q.stop()
+    }
+    val msg = Option(err.getCause).fold(err.getMessage)(c => err.getMessage + c.getMessage)
+    assert(msg.contains("pinned to separator"), msg)
+  }
 }
