@@ -315,6 +315,31 @@ object GraftExtensions {
           strLit(c(2), "graft_binary_topk", "vec_col"))
           .queryExecution.logical
       }),
+    ("graft_url_filter", tvfInfo("graft_url_filter",
+      "_FUNC_(table, url_col, blocked_table, path_pattern) - crawl URL " +
+        "blocklist: drops rows whose host is in blocked_table(host) or " +
+        "whose path matches the RE2 pattern ('' disables the path rule)."),
+      tvfArity("graft_url_filter", 4) { c =>
+        val pat = strLit(c(3), "graft_url_filter", "path_pattern")
+        graft.ops.Corpus.filterBlockedUrls(
+          tableOf(strLit(c(0), "graft_url_filter", "table")),
+          strLit(c(1), "graft_url_filter", "url_col"),
+          tableOf(strLit(c(2), "graft_url_filter", "blocked_table")),
+          if (pat.isEmpty) None else Some(pat))
+          .queryExecution.logical
+      }),
+    ("graft_memorization", tvfInfo("graft_memorization",
+      "_FUNC_(table, id_col, text_col, n) - per-document memorization-risk " +
+        "profile: tokens covered by corpus-duplicated n-windows and the " +
+        "longest contiguous covered run."),
+      tvfArity("graft_memorization", 4) { c =>
+        graft.ops.Dedup.memorizationProfile(
+          tableOf(strLit(c(0), "graft_memorization", "table")),
+          strLit(c(1), "graft_memorization", "id_col"),
+          strLit(c(2), "graft_memorization", "text_col"),
+          intLit(c(3), "graft_memorization", "n"))
+          .queryExecution.logical
+      }),
     ("graft_quality", tvfInfo("graft_quality",
       "_FUNC_(table, id_col, text_col) - per-document quality signals " +
         "(length/punct/stopword/repetition) joined to the id column."),

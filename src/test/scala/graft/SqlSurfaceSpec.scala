@@ -210,4 +210,29 @@ class SqlSurfaceSpec extends SparkSpec {
         r.getAs[Long]("vec_id"))).toSeq
     assert(sqlTop == apiTop && sqlTop.head == ((9L, 1, 0L)))
   }
+
+  test("URL filter and memorization profile run purely through spark.sql") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq((1L, "https://ok.com/a"), (2L, "https://bad.com/a"),
+      (3L, "https://ok.com/spam/x"))
+      .toDF("doc_id", "url").createOrReplaceTempView("uf_docs")
+    Seq("bad.com").toDF("host").createOrReplaceTempView("uf_blocked")
+    val kept = spark.sql(
+      "SELECT doc_id FROM graft_url_filter('uf_docs', 'url', 'uf_blocked', '/spam/') ORDER BY doc_id")
+      .as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+    // '' disables the path rule
+    val hostOnly = spark.sql(
+      "SELECT doc_id FROM graft_url_filter('uf_docs', 'url', 'uf_blocked', '') ORDER BY doc_id")
+      .as[Long].collect().toSeq
+    assert(hostOnly == Seq(1L, 3L))
+
+    Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "zz yy xx ww vv uu"))
+      .toDF("doc_id", "text").createOrReplaceTempView("mem_docs")
+    val mem = spark.sql(
+      "SELECT id, max_dup_span FROM graft_memorization('mem_docs', 'doc_id', 'text', 3) ORDER BY id")
+      .as[(Long, Long)].collect().toSeq
+    assert(mem == Seq((1L, 6L), (2L, 6L), (3L, 0L)))
+  }
 }
