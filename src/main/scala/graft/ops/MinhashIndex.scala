@@ -45,6 +45,26 @@ import org.apache.spark.sql.functions._
  * tombstones + negative occupancy without touching segments, and
  * compaction is the one full-rewrite debt collector (also retiring
  * tombstones physically).
+ *
+ * VERIFIED-PAIR generations: candidate generation amortizes into the
+ * band store, but Jaccard VERIFICATION is the dominant rerun cost once
+ * candidate mass grows (the 100× stress run measured ~103s of a 106s
+ * full re-serve in re-verifying history). Verification verdicts are a
+ * pure function of the two documents' text (immutable under the
+ * new-docs append contract), so they too belong in the store: `pairs`
+ * generations hold per-candidate dispositions `(id_a, id_b, jaccard,
+ * pass)` — committed by [[nearDuplicatesForBatch]] per batch and by
+ * [[nearDuplicatesIndexed]]`(persistVerdicts = true)` for full serves —
+ * and serving intersects CURRENT candidates with stored verdicts,
+ * verifying only the uncovered remainder. Verdicts are only comparable
+ * under one `(shingle, threshold)`, so the first pairs commit pins a
+ * `vmeta` line and later commits must match (fail-loud); a serve at a
+ * DIFFERENT `(shingle, threshold)` ignores the store and verifies fresh
+ * (a stored pass at 0.5 says nothing about 0.3). Tombstoned ids drop
+ * out of the verdict view at read; compaction folds pair generations
+ * into the rewrite. A crash between an append's band commit and its
+ * pairs commit self-heals: missing verdicts are re-verified at the next
+ * serve, never wrong.
  */
 object MinhashIndex {
 
@@ -73,32 +93,45 @@ object MinhashIndex {
     (committed.toSeq ++ onDisk :+ 0L).max + 1
   }
 
-  private def parseManifest(content: String): (MhMeta, Seq[String], Seq[String]) = {
+  /** Parsed manifest: banding meta, band segments, delete generations,
+    * verified-pair generations, and the pinned verification identity
+    * `(shingle, threshold)` of the pair generations (None until the first
+    * pairs commit). Older manifests simply lack `prs`/`vmeta` lines. */
+  private final case class Mf(
+      meta: MhMeta, segs: Seq[String], delGens: Seq[String],
+      pairGens: Seq[String], vmeta: Option[(Int, Double)])
+
+  private def parseManifest(content: String): Mf = {
     val lines = content.linesIterator.filter(_.nonEmpty).toSeq
     val meta = lines.collectFirst { case l if l.startsWith("meta\t") =>
       val Array(nh, b, sh) = l.stripPrefix("meta\t").split(",")
       MhMeta(nh.toInt, b.toInt, sh.toInt)
     }.getOrElse(throw new IllegalStateException(
       "minhash index manifest carries no meta line — not a minhash index"))
-    (meta,
+    val vmeta = lines.collectFirst { case l if l.startsWith("vmeta\t") =>
+      val Array(sh, t) = l.stripPrefix("vmeta\t").split(",")
+      (sh.toInt, t.toDouble)
+    }
+    Mf(meta,
       lines.collect { case l if l.startsWith("seg\t") => l.stripPrefix("seg\t") },
-      lines.collect { case l if l.startsWith("del\t") => l.stripPrefix("del\t") })
+      lines.collect { case l if l.startsWith("del\t") => l.stripPrefix("del\t") },
+      lines.collect { case l if l.startsWith("prs\t") => l.stripPrefix("prs\t") },
+      vmeta)
   }
 
-  private def manifestContent(
-      meta: MhMeta, segs: Seq[String], delGens: Seq[String]): String =
-    (s"meta\t${meta.numHashes},${meta.bands},${meta.shingle}" +:
-      (segs.map(g => s"seg\t$g") ++ delGens.map(g => s"del\t$g")))
+  private def manifestContent(mf: Mf): String =
+    (Seq(s"meta\t${mf.meta.numHashes},${mf.meta.bands},${mf.meta.shingle}") ++
+      mf.vmeta.map { case (sh, t) => s"vmeta\t$sh,$t" } ++
+      mf.segs.map(g => s"seg\t$g") ++ mf.delGens.map(g => s"del\t$g") ++
+      mf.pairGens.map(g => s"prs\t$g"))
       .mkString("", "\n", "\n")
 
   private def readManifest(
-      spark: SparkSession, indexDir: String,
-      op: String): (Long, MhMeta, Seq[String], Seq[String]) = {
+      spark: SparkSession, indexDir: String, op: String): (Long, Mf) = {
     val (ver, content) = ManifestStore.readVersioned(spark, indexDir, Prefix)
       .getOrElse(throw new IllegalStateException(
         s"$op: no committed minhash index under $indexDir"))
-    val (meta, segs, delGens) = parseManifest(content)
-    (ver, meta, segs, delGens)
+    (ver, parseManifest(content))
   }
 
   /** Band rows of `df` under `meta` — the per-row native signature kernel
@@ -167,7 +200,7 @@ object MinhashIndex {
     val genId = newGenId(gen)
     writeSegment(bandRows(df, idCol, textCol, meta), s"$indexDir/gen=$genId")
     ManifestStore.commitVersioned(spark, indexDir, Prefix, gen,
-      manifestContent(meta, Seq(genId), Seq.empty))
+      manifestContent(Mf(meta, Seq(genId), Seq.empty, Seq.empty, None)))
   }
 
   /** True iff `indexDir` holds a committed minhash index. */
@@ -194,8 +227,9 @@ object MinhashIndex {
       idCol: String = "doc_id", textCol: String = "text",
       maxOccupancy: Int = Int.MaxValue): DataFrame = {
     val spark = delta.sparkSession
-    val (ver, meta, segs, delGens) = readManifest(spark, indexDir, "appendToMinhashIndex")
-    val bandsB = bandRows(delta, idCol, textCol, meta).localCheckpoint()
+    val (ver, mf) = readManifest(spark, indexDir, "appendToMinhashIndex")
+    import mf.{segs, delGens}
+    val bandsB = bandRows(delta, idCol, textCol, mf.meta).localCheckpoint()
     if (bandsB.isEmpty)
       return bandsB.select(col("id").as("id_a"), col("id").as("id_b")).limit(0)
     // post-append bucket totals from the additive occupancy partials (del
@@ -228,8 +262,78 @@ object MinhashIndex {
     val genId = newGenId(gen)
     writeSegment(bandsB, s"$indexDir/gen=$genId")
     ManifestStore.commitVersioned(spark, indexDir, Prefix, gen,
-      manifestContent(meta, segs :+ genId, delGens))
+      manifestContent(mf.copy(segs = segs :+ genId)))
     pairs
+  }
+
+  /** Per-candidate disposition rows `(id_a, id_b, jaccard, pass)`:
+    * candidates absent from the verify output were eliminated by its size
+    * prefilter (they CANNOT reach the threshold) — stored as
+    * `pass = false, jaccard = null` so reruns skip them too. */
+  private def dispositions(
+      candidates: DataFrame, verified: DataFrame, threshold: Double): DataFrame =
+    candidates.select("id_a", "id_b")
+      .join(verified.select("id_a", "id_b", "jaccard"), Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        coalesce(col("jaccard") >= lit(threshold), lit(false)).as("pass"))
+
+  /** Commit `disp` as one verified-pair generation, pinning (or checking
+    * against) the index's `vmeta` verification identity. Re-reads the
+    * manifest at commit time — callers may have advanced it (the append's
+    * band commit) since their last read. No-op on an empty frame. */
+  private def commitPairsGen(
+      spark: SparkSession, indexDir: String, disp: DataFrame,
+      shingle: Int, threshold: Double): Unit = {
+    val (ver, mf) = readManifest(spark, indexDir, "commitPairsGen")
+    mf.vmeta.foreach { case (sh, t) =>
+      require(sh == shingle && t == threshold,
+        s"verified-pair store under $indexDir is pinned to (shingle=$sh, " +
+          s"threshold=$t); committing verdicts at ($shingle, $threshold) " +
+          "would mix incomparable dispositions — compact away the old " +
+          "generations or use a fresh index")
+    }
+    if (disp.isEmpty) return
+    val gen = math.max(nextGen(spark, indexDir), ver + 1)
+    val genId = newGenId(gen)
+    disp.select("id_a", "id_b", "jaccard", "pass")
+      .sortWithinPartitions("id_a", "id_b")
+      .write.mode("overwrite").parquet(s"$indexDir/gen=$genId/pairs")
+    ManifestStore.commitVersioned(spark, indexDir, Prefix, gen,
+      manifestContent(mf.copy(
+        pairGens = mf.pairGens :+ genId, vmeta = Some((shingle, threshold)))))
+  }
+
+  /** The live stored verdicts `(id_a, id_b, jaccard, pass)` — tombstoned
+    * ids dropped on BOTH sides (a pair referencing a deleted document is
+    * dead), de-duplicated across generations when more than one exists
+    * (verdicts are deterministic, so any copy is authoritative). None when
+    * no pairs generation has been committed. */
+  private def livePairs(
+      spark: SparkSession, indexDir: String, mf: Mf): Option[DataFrame] =
+    if (mf.pairGens.isEmpty) None
+    else {
+      val all = segUnion(spark, indexDir, mf.pairGens, "pairs")
+      val alive = liveTombstones(spark, indexDir, mf.delGens).fold(all) { t =>
+        all
+          .join(broadcast(t.select(col("id").as("id_a"))), Seq("id_a"), "left_anti")
+          .join(broadcast(t.select(col("id").as("id_b"))), Seq("id_b"), "left_anti")
+      }
+      Some(if (mf.pairGens.size > 1) alive.dropDuplicates("id_a", "id_b") else alive)
+    }
+
+  /** True iff the index carries at least one committed verified-pair
+    * generation (the reader's predicate for build-once memos that want
+    * rerun-cheap serving, not just a band store). */
+  def verifiedPairsCommitted(spark: SparkSession, indexDir: String): Boolean =
+    ManifestStore.readVersioned(spark, indexDir, Prefix)
+      .exists(c => parseManifest(c._2).pairGens.nonEmpty)
+
+  /** The live stored verdicts for audits (`(id_a, id_b, jaccard, pass)`),
+    * with the pinned verification identity. None until a pairs commit. */
+  def readVerifiedPairs(
+      spark: SparkSession, indexDir: String): Option[(DataFrame, (Int, Double))] = {
+    val (_, mf) = readManifest(spark, indexDir, "readVerifiedPairs")
+    for (p <- livePairs(spark, indexDir, mf); v <- mf.vmeta) yield (p, v)
   }
 
   /**
@@ -243,8 +347,8 @@ object MinhashIndex {
   def candidatePairsIndexed(
       spark: SparkSession, indexDir: String,
       maxOccupancy: Int = Int.MaxValue): DataFrame = {
-    val (_, _, segs, delGens) = readManifest(spark, indexDir, "candidatePairsIndexed")
-    Dedup.candidatePairs(liveBands(spark, indexDir, segs, delGens), maxOccupancy)
+    val (_, mf) = readManifest(spark, indexDir, "candidatePairsIndexed")
+    Dedup.candidatePairs(liveBands(spark, indexDir, mf.segs, mf.delGens), maxOccupancy)
   }
 
   /**
@@ -259,16 +363,27 @@ object MinhashIndex {
    * disjoint union of these per-batch feeds equals one-shot
    * [[Dedup.nearDuplicates]] over the final corpus (spec-pinned), which
    * is exactly why a rerun never needs to re-verify history.
+   *
+   * With `persistVerdicts` (the default) the batch's verification
+   * dispositions — passes AND fails, including size-prefilter
+   * eliminations — commit as a `pairs` generation, so a later FULL
+   * re-serve ([[nearDuplicatesIndexed]]) reads this batch's verdicts
+   * instead of re-paying its Jaccard work. The feed itself is
+   * materialized either way; a crash between the band commit and the
+   * pairs commit only loses the verdict cache, never correctness.
    */
   def nearDuplicatesForBatch(
       delta: DataFrame, corpus: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       shingle: Int = 3, threshold: Double = 0.5,
-      maxOccupancy: Int = 64): DataFrame = {
+      maxOccupancy: Int = 64, persistVerdicts: Boolean = true): DataFrame = {
     val newPairs = appendToMinhashIndex(delta, indexDir, idCol, textCol, maxOccupancy)
-    Dedup.verifyJaccard(newPairs, corpus, idCol, textCol, shingle,
-        minJaccard = threshold)
-      .where(col("jaccard") >= threshold)
+    val verified = Dedup.verifyJaccard(newPairs, corpus, idCol, textCol, shingle,
+      minJaccard = threshold).localCheckpoint()
+    if (persistVerdicts)
+      commitPairsGen(delta.sparkSession, indexDir,
+        dispositions(newPairs, verified, threshold), shingle, threshold)
+    verified.where(col("jaccard") >= threshold)
   }
 
   /** End-to-end near-dup detection FROM the index: stored candidate pairs
@@ -276,22 +391,68 @@ object MinhashIndex {
     * the corpus text at `threshold` ([[Dedup.verifyJaccard]] — shingles
     * only candidate docs). The one-call serving form of
     * [[Dedup.nearDuplicates]] with the signing cost amortized into the
-    * store; verification remains ∝ candidate mass by nature. */
+    * store — and, when the store carries verified-pair generations pinned
+    * to the SAME `(shingle, threshold)`, the verification cost amortized
+    * too: stored verdicts answer every covered candidate (Jaccard is
+    * deterministic over immutable text, so a stored verdict IS the fresh
+    * one), and only the uncovered remainder is shingled. A different
+    * `(shingle, threshold)` ignores the stored verdicts (incomparable)
+    * and verifies everything fresh.
+    *
+    * `persistVerdicts = true` additionally commits the freshly-verified
+    * remainder's dispositions as a new pairs generation — run the FIRST
+    * full serve with it and every later re-serve degrades to candidate
+    * generation + one verdict join, the single-digit-ratio rerun path. */
   def nearDuplicatesIndexed(
       corpus: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       shingle: Int = 3, threshold: Double = 0.5,
-      maxOccupancy: Int = 64): DataFrame =
-    Dedup.verifyJaccard(
-        candidatePairsIndexed(corpus.sparkSession, indexDir, maxOccupancy),
-        corpus, idCol, textCol, shingle, minJaccard = threshold)
-      .where(col("jaccard") >= threshold)
+      maxOccupancy: Int = 64, persistVerdicts: Boolean = false): DataFrame = {
+    val spark = corpus.sparkSession
+    val (_, mf) = readManifest(spark, indexDir, "nearDuplicatesIndexed")
+    val cands = Dedup.candidatePairs(
+      liveBands(spark, indexDir, mf.segs, mf.delGens), maxOccupancy)
+    val stored =
+      if (mf.vmeta.contains((shingle, threshold))) livePairs(spark, indexDir, mf)
+      else None
+    stored match {
+      case Some(p) =>
+        // candidates feed the covered join, the anti-join AND (when
+        // persisting) the disposition build — pin them once
+        val c = cands.localCheckpoint()
+        val covered = c.join(p, Seq("id_a", "id_b"))
+        val fresh = c.join(p.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+          .localCheckpoint()
+        val verifiedFresh = Dedup.verifyJaccard(
+          fresh, corpus, idCol, textCol, shingle, minJaccard = threshold)
+          .localCheckpoint()
+        if (persistVerdicts)
+          commitPairsGen(spark, indexDir,
+            dispositions(fresh, verifiedFresh, threshold), shingle, threshold)
+        covered.where(col("pass")).select("id_a", "id_b", "jaccard")
+          .unionByName(verifiedFresh.where(col("jaccard") >= threshold))
+      case None =>
+        require(!persistVerdicts || mf.vmeta.forall(_ == ((shingle, threshold))),
+          s"index under $indexDir pins verification identity ${mf.vmeta.get}; " +
+            s"persisting verdicts at ($shingle, $threshold) would mix " +
+            "incomparable dispositions")
+        val c = if (persistVerdicts) cands.localCheckpoint() else cands
+        val verified = Dedup.verifyJaccard(
+          c, corpus, idCol, textCol, shingle, minJaccard = threshold)
+        if (persistVerdicts) {
+          val v = verified.localCheckpoint()
+          commitPairsGen(spark, indexDir,
+            dispositions(c, v, threshold), shingle, threshold)
+          v.where(col("jaccard") >= threshold)
+        } else verified.where(col("jaccard") >= threshold)
+    }
+  }
 
   /** The live banded view `(id, band, band_key)` — for composing with
     * custom verification or occupancy audits ([[Dedup.lshOccupancyStats]]). */
   def readMinhashBands(spark: SparkSession, indexDir: String): DataFrame = {
-    val (_, _, segs, delGens) = readManifest(spark, indexDir, "readMinhashBands")
-    liveBands(spark, indexDir, segs, delGens)
+    val (_, mf) = readManifest(spark, indexDir, "readMinhashBands")
+    liveBands(spark, indexDir, mf.segs, mf.delGens)
   }
 
   /** TIME TRAVEL: the banded view as of commit version `asOf` (the
@@ -303,8 +464,8 @@ object MinhashIndex {
     val content = ManifestStore.readVersionedAt(spark, indexDir, Prefix, asOf)
       .getOrElse(throw new IllegalStateException(
         s"no minhash index committed at or before version $asOf under $indexDir"))._2
-    val (_, segs, delGens) = parseManifest(content)
-    liveBands(spark, indexDir, segs, delGens)
+    val mf = parseManifest(content)
+    liveBands(spark, indexDir, mf.segs, mf.delGens)
   }
 
   /** [[candidatePairsIndexed]] as of commit version `asOf`. */
@@ -334,19 +495,19 @@ object MinhashIndex {
       s"deleteFromMinhashIndex takes a single-column id frame, got " +
         s"(${ids.columns.mkString(", ")}) — selecting a wrong column " +
         "silently would tombstone the wrong documents")
-    val (ver, meta, segs, delGens) = readManifest(spark, indexDir, "deleteFromMinhashIndex")
+    val (ver, mf) = readManifest(spark, indexDir, "deleteFromMinhashIndex")
     val dels = ids.select(col(ids.columns.head).as("id")).distinct().localCheckpoint()
     if (dels.isEmpty) return
     val gen = math.max(nextGen(spark, indexDir), ver + 1)
     val genId = newGenId(gen)
     val base = s"$indexDir/gen=$genId"
     dels.coalesce(1).write.mode("overwrite").parquet(s"$base/tombstones")
-    liveBands(spark, indexDir, segs, delGens)
+    liveBands(spark, indexDir, mf.segs, mf.delGens)
       .join(broadcast(dels), Seq("id"), "left_semi")
       .groupBy("band", "band_key").agg(negate(count(lit(1))).as("n"))
       .coalesce(1).write.mode("overwrite").parquet(s"$base/occupancy")
     ManifestStore.commitVersioned(spark, indexDir, Prefix, gen,
-      manifestContent(meta, segs, delGens :+ genId))
+      manifestContent(mf.copy(delGens = mf.delGens :+ genId)))
   }
 
   /**
@@ -356,19 +517,32 @@ object MinhashIndex {
    * after this plus [[vacuumMinhashIndex]] no byte of a deleted document
    * remains, and deleted ids become re-appendable. Serving is identical
    * before and after (spec-pinned). Returns the number of generations
-   * retired (segments merged + del generations), 0 when the index is
-   * already a single tombstone-free segment.
+   * retired (segments merged + del generations + pair generations), 0
+   * when the index is already a single tombstone-free segment with at
+   * most one pair generation.
    */
   def compactMinhashIndex(spark: SparkSession, indexDir: String): Int = {
-    val (ver, meta, segs, delGens) = readManifest(spark, indexDir, "compactMinhashIndex")
-    if (segs.size <= 1 && delGens.isEmpty) return 0
+    val (ver, mf) = readManifest(spark, indexDir, "compactMinhashIndex")
+    if (mf.segs.size <= 1 && mf.delGens.isEmpty && mf.pairGens.size <= 1) return 0
     val gen = math.max(nextGen(spark, indexDir), ver + 1)
     val genId = newGenId(gen)
     writeSegment(
-      liveBands(spark, indexDir, segs, delGens), s"$indexDir/gen=$genId")
+      liveBands(spark, indexDir, mf.segs, mf.delGens), s"$indexDir/gen=$genId")
+    // verified-pair generations fold into the SAME rewrite: tombstoned ids
+    // drop out physically, duplicates collapse, and the surviving verdicts
+    // keep their pinned vmeta — serving is identical before and after
+    val survivingPairs = livePairs(spark, indexDir, mf).map { p =>
+      p.select("id_a", "id_b", "jaccard", "pass")
+        .sortWithinPartitions("id_a", "id_b")
+        .write.mode("overwrite").parquet(s"$indexDir/gen=$genId/pairs")
+      genId
+    }
     ManifestStore.commitVersioned(spark, indexDir, Prefix, gen,
-      manifestContent(meta, Seq(genId), Seq.empty))
-    segs.size + delGens.size
+      manifestContent(mf.copy(
+        segs = Seq(genId), delGens = Seq.empty,
+        pairGens = survivingPairs.toSeq,
+        vmeta = mf.vmeta.filter(_ => survivingPairs.nonEmpty))))
+    mf.segs.size + mf.delGens.size + mf.pairGens.size
   }
 
   /** Drop generation directories the current manifest does not reference
@@ -376,7 +550,8 @@ object MinhashIndex {
     * returns the count removed. */
   def vacuumMinhashIndex(spark: SparkSession, indexDir: String): Int = {
     val live = ManifestStore.readVersioned(spark, indexDir, Prefix)
-      .map { case (_, c) => val (_, s, d) = parseManifest(c); (s ++ d).toSet }
+      .map { case (_, c) =>
+        val mf = parseManifest(c); (mf.segs ++ mf.delGens ++ mf.pairGens).toSet }
       .getOrElse(Set.empty[String])
     val hfs = ManifestStore.fs(spark, indexDir)
     val dir = new org.apache.hadoop.fs.Path(indexDir)
@@ -394,20 +569,22 @@ object MinhashIndex {
     * read — band rows are never touched. */
   final case class MinhashIndexStats(
       version: Long, meta: MhMeta, segments: Int,
-      tombstoneGenerations: Int, tombstonedIds: Long, debrisGenerations: Int)
+      tombstoneGenerations: Int, tombstonedIds: Long, debrisGenerations: Int,
+      pairGenerations: Int, verificationMeta: Option[(Int, Double)])
 
   def minhashIndexStats(
       spark: SparkSession, indexDir: String): Option[MinhashIndexStats] =
     ManifestStore.readVersioned(spark, indexDir, Prefix).map { case (ver, content) =>
-      val (meta, segs, delGens) = parseManifest(content)
-      val nTs = liveTombstones(spark, indexDir, delGens).map(_.count()).getOrElse(0L)
-      val live = (segs ++ delGens).toSet
+      val mf = parseManifest(content)
+      val nTs = liveTombstones(spark, indexDir, mf.delGens).map(_.count()).getOrElse(0L)
+      val live = (mf.segs ++ mf.delGens ++ mf.pairGens).toSet
       val hfs = ManifestStore.fs(spark, indexDir)
       val dir = new org.apache.hadoop.fs.Path(indexDir)
       val onDisk =
         if (!hfs.exists(dir)) Set.empty[String]
         else hfs.listStatus(dir).map(_.getPath.getName)
           .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=")).toSet
-      MinhashIndexStats(ver, meta, segs.size, delGens.size, nTs, (onDisk -- live).size)
+      MinhashIndexStats(ver, mf.meta, mf.segs.size, mf.delGens.size, nTs,
+        (onDisk -- live).size, mf.pairGens.size, mf.vmeta)
     }
 }

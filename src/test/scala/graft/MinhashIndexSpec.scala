@@ -148,6 +148,133 @@ class MinhashIndexSpec extends SparkSpec {
     assert(pairSet(MinhashIndex.candidatePairsIndexed(spark, dir)) == oneShot(after))
   }
 
+  private def verifiedSet(pairs: DataFrame): Set[(Long, Long, Double)] =
+    pairs.select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def oneShotVerified(df: DataFrame, threshold: Double): Set[(Long, Long, Double)] =
+    verifiedSet(Dedup.nearDuplicates(
+      df, "doc_id", "text", numHashes = 16, bands = 8, shingle = 3,
+      threshold = threshold, nativeSignatures = true, maxOccupancy = 64))
+
+  /** Same ids, text mutilated — fresh verification over THIS corpus would
+    * disagree with the real one, so a serve that still returns the true
+    * verdicts provably read the store instead of re-shingling. */
+  private def corrupted: DataFrame =
+    corpus.select($"doc_id", concat(lit("x y z q"), $"doc_id").as("text"))
+
+  test("verified-pair store: a persistVerdicts serve commits every candidate's " +
+    "disposition; re-serves read verdicts and shingle NOTHING (corrupted-corpus probe)") {
+    val dir = tmpDir("mh_verd")
+    MinhashIndex.writeMinhashIndex(corpus.where($"doc_id" % 2 === 0), dir)
+    MinhashIndex.appendToMinhashIndex(corpus.where($"doc_id" % 2 === 1), dir,
+      maxOccupancy = 64)
+    val first = verifiedSet(MinhashIndex.nearDuplicatesIndexed(
+      corpus, dir, threshold = 0.35, maxOccupancy = 64, persistVerdicts = true))
+    assert(first == oneShotVerified(corpus, 0.35) && first.nonEmpty,
+      "persisting serve must still equal one-shot nearDuplicates")
+    val st = MinhashIndex.minhashIndexStats(spark, dir).get
+    assert(st.pairGenerations == 1 && st.verificationMeta.contains((3, 0.35)))
+    assert(MinhashIndex.verifiedPairsCommitted(spark, dir))
+
+    // mechanism probe: with every candidate covered, the corpus text is
+    // never consulted — a mutilated corpus must yield the SAME verdicts
+    val reserve = verifiedSet(MinhashIndex.nearDuplicatesIndexed(
+      corrupted, dir, threshold = 0.35, maxOccupancy = 64))
+    assert(reserve == first, "re-serve re-verified instead of reading stored verdicts")
+    // failed candidates are covered too (pass=false rows): the store holds
+    // MORE dispositions than passing pairs
+    val (stored, vm) = MinhashIndex.readVerifiedPairs(spark, dir).get
+    assert(vm == ((3, 0.35)))
+    assert(stored.count() >= first.size &&
+      stored.where(!col("pass")).count() ==
+        stored.count() - first.size)
+  }
+
+  test("batch feeds persist their verdicts; a later full serve verifies ONLY the " +
+    "uncovered bootstrap pairs, and persisting that remainder completes coverage") {
+    val a = corpus.where($"doc_id" < 10)
+    val dir = tmpDir("mh_verd_inc")
+    MinhashIndex.writeMinhashIndex(a, dir)
+    var acc = a
+    Seq(corpus.where($"doc_id" >= 10 && $"doc_id" < 20),
+        corpus.where($"doc_id" >= 20)).foreach { b =>
+      acc = acc.unionByName(b)
+      MinhashIndex.nearDuplicatesForBatch(
+        b, acc, dir, threshold = 0.35, maxOccupancy = 64).count()
+    }
+    assert(MinhashIndex.minhashIndexStats(spark, dir).get.pairGenerations == 2)
+    // bootstrap-internal pairs are the only uncovered ones — the serve
+    // verifies them fresh (correct corpus required), reuses the rest
+    val full = verifiedSet(MinhashIndex.nearDuplicatesIndexed(
+      corpus, dir, threshold = 0.35, maxOccupancy = 64, persistVerdicts = true))
+    assert(full == oneShotVerified(corpus, 0.35))
+    // now coverage is total: the corrupted-corpus probe must hold
+    assert(verifiedSet(MinhashIndex.nearDuplicatesIndexed(
+      corrupted, dir, threshold = 0.35, maxOccupancy = 64)) == full)
+  }
+
+  test("vmeta discipline: a serve at a different (shingle, threshold) ignores " +
+    "stored verdicts and verifies fresh; persisting mismatched verdicts fails loud") {
+    val dir = tmpDir("mh_vmeta")
+    MinhashIndex.writeMinhashIndex(corpus, dir)
+    MinhashIndex.nearDuplicatesIndexed(
+      corpus, dir, threshold = 0.35, maxOccupancy = 64, persistVerdicts = true).count()
+    // different threshold: stored passes at 0.35 say nothing — must re-verify
+    // (the REAL corpus feeds it, so the answer is the fresh one)
+    assert(verifiedSet(MinhashIndex.nearDuplicatesIndexed(
+      corpus, dir, threshold = 0.8, maxOccupancy = 64)) ==
+      oneShotVerified(corpus, 0.8))
+    val exServe = intercept[IllegalArgumentException] {
+      MinhashIndex.nearDuplicatesIndexed(
+        corpus, dir, threshold = 0.8, maxOccupancy = 64, persistVerdicts = true)
+    }
+    assert(exServe.getMessage.contains("incomparable"))
+    val exBatch = intercept[IllegalArgumentException] {
+      MinhashIndex.nearDuplicatesForBatch(
+        corpus.limit(1), corpus, dir, shingle = 4, threshold = 0.35,
+        maxOccupancy = 64)
+    }
+    assert(exBatch.getMessage.contains("incomparable"))
+  }
+
+  test("delete drops stored verdicts for the victim's pairs; compaction folds " +
+    "pair generations into the rewrite with identical serving") {
+    val dir = tmpDir("mh_verd_del")
+    MinhashIndex.writeMinhashIndex(corpus.where($"doc_id" < 20), dir)
+    MinhashIndex.nearDuplicatesIndexed(
+      corpus.where($"doc_id" < 20), dir, threshold = 0.35, maxOccupancy = 64,
+      persistVerdicts = true).count()
+    acc2AppendAndPersist(dir)
+    assert(MinhashIndex.minhashIndexStats(spark, dir).get.pairGenerations == 2)
+
+    MinhashIndex.deleteFromMinhashIndex(Seq(0L, 3L).toDF("doc_id"), dir)
+    val survivors = corpus.where(!$"doc_id".isin(0L, 3L))
+    val served = verifiedSet(MinhashIndex.nearDuplicatesIndexed(
+      corrupted, dir, threshold = 0.35, maxOccupancy = 64))
+    assert(served == oneShotVerified(survivors, 0.35),
+      "post-delete serve must equal one-shot over survivors (from stored verdicts)")
+    assert(!served.exists(p => Set(0L, 3L)(p._1) || Set(0L, 3L)(p._2)))
+
+    val retired = MinhashIndex.compactMinhashIndex(spark, dir)
+    assert(retired == 5, s"2 segs + 1 del + 2 pair gens, got $retired")
+    val st = MinhashIndex.minhashIndexStats(spark, dir).get
+    assert(st.pairGenerations == 1 && st.verificationMeta.contains((3, 0.35)))
+    assert(verifiedSet(MinhashIndex.nearDuplicatesIndexed(
+      corrupted, dir, threshold = 0.35, maxOccupancy = 64)) == served,
+      "compaction changed serving or lost verdicts")
+    MinhashIndex.vacuumMinhashIndex(spark, dir)
+    assert(verifiedSet(MinhashIndex.nearDuplicatesIndexed(
+      corrupted, dir, threshold = 0.35, maxOccupancy = 64)) == served)
+  }
+
+  /** Append the ≥20 half and persist its feed verdicts (helper keeps the
+    * delete/compact test readable). */
+  private def acc2AppendAndPersist(dir: String): Unit =
+    MinhashIndex.nearDuplicatesForBatch(
+      corpus.where($"doc_id" >= 20), corpus, dir,
+      threshold = 0.35, maxOccupancy = 64).count()
+
   test("compact: identical serving, tombstones retired physically, " +
     "deleted ids become re-appendable, vacuum reclaims debris") {
     val dir = tmpDir("mh_compact")
