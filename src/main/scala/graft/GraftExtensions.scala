@@ -124,6 +124,9 @@ object GraftExtensions {
       arity("repetition_stats", 1)(c => DocKernels.RepetitionStats(c(0)))),
     ("lang_id", DocKernels.langIdInfo,
       arity("lang_id", 1)(c => DocKernels.LangId(c(0)))),
+    ("registrable_domain", graft.expressions.UrlKernels.registrableInfo,
+      arity("registrable_domain", 1)(c =>
+        graft.expressions.UrlKernels.RegistrableDomain(c(0)))),
     ("text_normalize", DocKernels.normalizeInfo,
       arity("text_normalize", 1)(c => DocKernels.TextNormalize(c(0)))),
     ("pii_pseudonymize", graft.expressions.PiiKernels.pseudonymizeInfo,

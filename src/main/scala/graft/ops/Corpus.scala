@@ -154,7 +154,13 @@ object Corpus {
       df: DataFrame, idCol: String, pairs: DataFrame,
       train: Double = 0.8, validation: Double = 0.1,
       salt: String = ""): DataFrame = {
-    val labels = graft.ops.Dedup.clusters(pairs)
+    // clustersAuto, not plain clusters: min-label propagation caps its
+    // iterations and FAILS on a duplicate component with diameter > cap
+    // (long near-dup chains from incremental crawl shards are exactly how
+    // that happens in production); the auto router falls back to the
+    // O(log n)-round star contraction, so no pair topology can wedge a
+    // split assignment
+    val labels = graft.ops.Dedup.clustersAuto(pairs)
       .select(col("id").as(idCol), col("cluster").as("_rep"))
     df.join(labels, Seq(idCol), "left")
       .withColumn("split",
@@ -188,16 +194,36 @@ object Corpus {
    * view of the URL. Documents with a null URL pass through — this
    * filter rejects KNOWN-bad addresses, absence of one is a different
    * policy (filter upstream if null means reject).
+   *
+   * `matchRegistrable = true` keys the anti-join on the eTLD+1
+   * registrable domain ([[TextOps.registrableDomain]], both sides) so
+   * subdomain sharding cannot evade the list; requires
+   * [[graft.GraftExtensions.register]].
    */
   def filterBlockedUrls(
       df: DataFrame, urlCol: String, blockedHosts: DataFrame,
-      dropPathPattern: Option[String] = None): DataFrame = {
-    val host = lower(regexp_extract(col(urlCol),
+      dropPathPattern: Option[String] = None,
+      matchRegistrable: Boolean = false): DataFrame = {
+    val rawHost = lower(regexp_extract(col(urlCol),
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    // eTLD+1 mode: BOTH sides map through the registrable domain, so a
+    // blocklist entry `spam.co.uk` (or any host under it) rejects every
+    // subdomain shard `a{1..n}.spam.co.uk` — the evasion the full-hostname
+    // key documented as open. Hosts with NO registrable domain (the PSL
+    // null cases) fall back to the full hostname, so an anti-join key is
+    // never silently null (null keys would pass every blocklist).
+    val host =
+      if (matchRegistrable)
+        coalesce(TextOps.registrableDomain(rawHost), rawHost)
+      else rawHost
+    val blockKey =
+      if (matchRegistrable)
+        coalesce(TextOps.registrableDomain(lower(col("host"))), lower(col("host")))
+      else lower(col("host"))
     val path = regexp_extract(col(urlCol),
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val kept = df.withColumn("_host", host)
-      .join(broadcast(blockedHosts.select(lower(col("host")).as("_host"))),
+      .join(broadcast(blockedHosts.select(blockKey.as("_host"))),
         Seq("_host"), "left_anti")
       .drop("_host")
     dropPathPattern.fold(kept)(p =>

@@ -434,8 +434,12 @@ object Similarity {
       codes: DataFrame, queries: DataFrame, k: Int, dims: Int,
       qIdCol: String = "qid", qVecCol: String = "qvec"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // null query vectors produce null qsig and null hamming, which an
+    // ascending rank window orders NULLS FIRST — such a query would return
+    // k ARBITRARY rows ranked ahead of everything. Dropped instead, the
+    // same policy binaryEncodeFrame applies to null corpus vectors.
     val scored = codes
-      .join(broadcast(queries.select(
+      .join(broadcast(queries.where(col(qVecCol).isNotNull).select(
         col(qIdCol).as("qid"), binaryEncode(col(qVecCol), dims).as("qsig"))))
       .select(col("qid"), col("vec_id"),
         hammingDist(col("sig"), col("qsig"), dims).as("ham"))

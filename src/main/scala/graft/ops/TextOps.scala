@@ -92,17 +92,24 @@ object TextOps {
    * surviving query parameters byte-wise (param order is not semantic),
    * drops a lone trailing slash from non-root paths, and omits `?` when
    * no parameters survive. Pure built-ins (regexp_extract + array HOFs),
-   * every pattern RE2-compatible for oracle replay. Deliberately NOT
-   * attempted: percent-encoding normalization and IDN — they need a full
-   * RFC 3986 codec, and a wrong "normalization" silently merges distinct
-   * resources (worse than missing a collapse).
+   * every pattern RE2-compatible for oracle replay.
+   *
+   * Percent-encoding: the STANDARDS-DEFINED always-safe subset (RFC 3986
+   * §2.3 unreserved characters + §6.2.2.1 hex-case normalization) is
+   * applied first by [[pctNormalizeUrl]] — `%41`→`A`, `%7e`→`~`, and
+   * remaining escapes' hex uppercased (`%3a`→`%3A`) — while RESERVED
+   * escapes stay encoded (`%2F` is not a path separator; decoding it
+   * would merge distinct resources). Full codec work (IDN, non-UTF-8
+   * sequences) stays deliberately out of scope for the same
+   * wrong-merge reason.
    */
   def canonicalizeUrl(url: Column): Column = {
-    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val host = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
-    val port = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*(:[0-9]+)", 1)
-    val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val u = pctNormalizeUrl(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    val port = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*(:[0-9]+)", 1)
+    val path = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
     val keptPort = when(
       (scheme === "http" && port === ":80") ||
         (scheme === "https" && port === ":443") || port === "",
@@ -118,19 +125,75 @@ object TextOps {
         .otherwise(lit("")))
   }
 
+  /** RFC 3986 unreserved-character decodes `(escape, char)` in UPPERCASE-
+    * hex spelling — ALPHA / DIGIT / `-._~`, the characters whose encoded
+    * and bare forms are equivalent BY DEFINITION (§2.3), so decoding can
+    * never merge distinct resources. One table drives both the Column
+    * chain and the oracle SQL ([[pctNormalizeSql]]); applied AFTER the
+    * hex-case fold, so only uppercase spellings need entries. `%25` is
+    * absent by construction ('%' is reserved) — no decode can create a
+    * new escape, making the sequential replace chain order-safe on
+    * well-formed input (malformed bare-'%' text gets a deterministic
+    * best-effort both engines replay identically). */
+  private[graft] val pctUnreservedDecodes: Seq[(String, String)] =
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
+      .map(c => (f"%%${c.toInt}%02X", c.toString))
+
+  /** Safe-subset percent-encoding normalization of a URL string: fold
+    * escape hex to uppercase (first nibble then second — 12 RE2
+    * replaces), then decode the unreserved set (66 plain replaces).
+    * Reserved escapes survive encoded. Whole-URL-safe: no unreserved
+    * decode can produce a delimiter, so parsing after is unchanged. */
+  def pctNormalizeUrl(url: Column): Column = {
+    val up1 = "abcdef".foldLeft(url)((c, h) =>
+      regexp_replace(c, s"%$h([0-9A-Fa-f])", s"%${h.toUpper}" + "$1"))
+    val up2 = "abcdef".foldLeft(up1)((c, h) =>
+      regexp_replace(c, s"%([0-9A-F])$h", "%$1" + h.toUpper))
+    pctUnreservedDecodes.foldLeft(up2) { case (c, (esc, ch)) =>
+      replace(c, lit(esc), lit(ch))
+    }
+  }
+
+  /** The [[pctNormalizeUrl]] chain rendered as DuckDB SQL around `inner`
+    * — same fold order, `\1` backrefs, explicit 'g' flags (DuckDB
+    * replaces first-match by default where Spark replaces all). */
+  private[graft] def pctNormalizeSql(inner: String): String = {
+    val up1 = "abcdef".foldLeft(inner)((s, h) =>
+      s"regexp_replace($s, '%$h([0-9A-Fa-f])', '%${h.toUpper}\\1', 'g')")
+    val up2 = "abcdef".foldLeft(up1)((s, h) =>
+      s"regexp_replace($s, '%([0-9A-F])$h', '%\\1${h.toUpper}', 'g')")
+    pctUnreservedDecodes.foldLeft(up2) { case (s, (esc, ch)) =>
+      val lit = if (ch == "'") "''" else ch
+      s"replace($s, '$esc', '$lit')"
+    }
+  }
+
   /** HOSTNAME of a CANONICAL url ([[canonicalizeUrl]] output — scheme and
     * host already lowercased): the authority up to the first `/ ? # :`.
     * This is the per-host grouping key for crawl-politeness caps
     * ([[Corpus.capPerGroup]]) and domain-mix stats — one codegen'd
     * regexp, '' when the input is not a URL, null on null. Stated
     * plainly: this is the FULL hostname, not the registrable eTLD+1
-    * domain — collapsing `a.spam.com`/`b.spam.com` needs the public-
-    * suffix list, which is out of scope here (a wrong suffix rule merges
-    * distinct sites, the same trade [[canonicalizeUrl]] documents for
-    * percent-encoding); a host-keyed cap is therefore evadable by
-    * subdomain sharding. */
+    * domain — a host-keyed cap on it is evadable by subdomain sharding
+    * (`a1.spam.com`, `a2.spam.com`, …); key on [[registrableDomain]] of
+    * this host when that evasion matters. */
   def urlHost(url: Column): Column =
     regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/?#:]*)", 1)
+
+  /** Registrable eTLD+1 domain of a hostname — the subdomain-sharding-
+    * proof grouping key for crawl caps and blocklists: `a1.spam.co.uk` /
+    * `a2.spam.co.uk` both collapse to `spam.co.uk`, while
+    * `alice.github.io` / `bob.github.io` stay DISTINCT (the hosting
+    * suffix is public, each tenant its own site — the judgment a naive
+    * last-two-labels key gets wrong in both directions). Exact PSL
+    * algorithm (longest rule, wildcards, exceptions, implicit `*`
+    * fallback) over the bundled [[graft.model.PublicSuffix]] snapshot as
+    * a native codegen'd kernel ([[graft.expressions.UrlKernels]] — O(1)
+    * static-set probes per label, zero shuffle); null when the host has
+    * no registrable domain (empty/malformed, is itself a public suffix,
+    * or an IPv4 literal). Requires [[graft.GraftExtensions.register]]. */
+  def registrableDomain(host: Column): Column =
+    call_function("registrable_domain", host)
 
   /**
    * HTML → text extraction (the CCNet/RefinedWeb ingest stage before any

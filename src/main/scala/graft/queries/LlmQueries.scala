@@ -330,6 +330,51 @@ object LlmQueries {
         concat(lit("http://site"), (col("doc_id") % 7).cast("string"),
           lit(".com:8080/page/"), (col("doc_id") % 50).cast("string"), lit("#frag")))
 
+  /** [[plantedUrl]] extended with percent-encoding gauntlets (its own
+    * plant so the raw-URL consumers q_corpus_domain_cap/url_filter keep
+    * their inputs): unreserved escapes that MUST decode-and-collapse
+    * (`%61`→a in path and param names, `%7E`→~), a reserved escape that
+    * MUST survive encoded with its hex uppercased (`%2f`→`%2F`,
+    * `%3a`→`%3A`). */
+  private def plantedPctUrl: Column =
+    when(col("doc_id") % 4 === 0,
+      concat(lit("HTTPS://Site"), (col("doc_id") % 7).cast("string"),
+        lit(".COM:443/page/"), (col("doc_id") % 50).cast("string"),
+        lit("/?utm_source=tw&b=2&a=1#sec")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("https://site"), (col("doc_id") % 7).cast("string"),
+          lit(".com/p%61ge/"), (col("doc_id") % 50).cast("string"),
+          lit("?%61=1&b=2")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("HTTP://Site"), (col("doc_id") % 7).cast("string"),
+          lit(".com:80/page/"), (col("doc_id") % 50).cast("string"),
+          lit("/index.html?gclid=xyz&x=%2fv%3a7")))
+      .otherwise(
+        concat(lit("http://site"), (col("doc_id") % 7).cast("string"),
+          lit(".com:8080/p%61ge/%7E"), (col("doc_id") % 50).cast("string"),
+          lit("#frag")))
+
+  /** Adversarial URL plant for the eTLD+1 cap: subdomain shards of one
+    * spam site under a multi-label public suffix (must COLLAPSE), hosting-
+    * platform tenants (must stay DISTINCT — the suffix is public), a
+    * wildcard-rule host, an exception-rule host, and ordinary sharded
+    * `.com` subdomains (the implicit-`*` fallback). The oracle replays it
+    * as a CASE over doc_id % 6. */
+  private def plantedShardUrl: Column =
+    when(col("doc_id") % 6 <= 1,
+      concat(lit("https://a"), (col("doc_id") % 97).cast("string"),
+        lit(".spam.co.uk/p/"), col("doc_id").cast("string")))
+      .when(col("doc_id") % 6 === 2,
+        concat(lit("https://u"), (col("doc_id") % 40).cast("string"),
+          lit(".github.io/x")))
+      .when(col("doc_id") % 6 === 3,
+        concat(lit("https://sub.shop"), (col("doc_id") % 5).cast("string"),
+          lit(".ck/x")))
+      .when(col("doc_id") % 6 === 4, lit("http://www.ck/x"))
+      .otherwise(
+        concat(lit("https://w"), (col("doc_id") % 8).cast("string"),
+          lit(".site"), (col("doc_id") % 7).cast("string"), lit(".com/x")))
+
   private val mutCte =
     """alldocs AS (
       |  SELECT doc_id, text, lang, source, n_chars FROM documents
@@ -1363,7 +1408,7 @@ object LlmQueries {
     // the fragment. The oracle replays every extraction and rule.
     "q_text_url_canon" -> ((s, dir) => {
       val d = docs(s, dir)
-      d.select(col("doc_id"), TextOps.canonicalizeUrl(plantedUrl).as("canon_url"))
+      d.select(col("doc_id"), TextOps.canonicalizeUrl(plantedPctUrl).as("canon_url"))
         .orderBy("doc_id")
     }),
 
@@ -1377,6 +1422,23 @@ object LlmQueries {
       val framed = d.select(col("doc_id"),
         TextOps.urlHost(TextOps.canonicalizeUrl(plantedUrl)).as("host"))
       Corpus.capPerGroup(framed, "host", 30, col("doc_id").asc)
+        .orderBy("doc_id")
+    }),
+
+    // eTLD+1 per-domain cap — the subdomain-sharding-proof quota: the
+    // grouping key is the REGISTRABLE domain (exact PSL algorithm over the
+    // bundled snapshot, native kernel), so 97 shards of spam.co.uk
+    // collapse to one capped domain while github.io tenants stay distinct
+    // sites; wildcard (*.ck) and exception (!www.ck) rules exercised by
+    // plant. The oracle replays the suffix walk against the SAME snapshot
+    // (interpolated VALUES) — longest rule via min matching start index.
+    "q_corpus_etld_cap" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val d = docs(s, dir)
+      val framed = d.select(col("doc_id"),
+        TextOps.registrableDomain(
+          TextOps.urlHost(TextOps.canonicalizeUrl(plantedShardUrl))).as("domain"))
+      Corpus.capPerGroup(framed, "domain", 30, col("doc_id").asc)
         .orderBy("doc_id")
     }),
 
@@ -3188,20 +3250,21 @@ object LlmQueries {
          |ORDER BY a.doc_id""".stripMargin,
 
     "q_text_url_canon" ->
-      """WITH u AS (SELECT doc_id,
-        |    CASE CAST(doc_id % 4 AS INT)
-        |      WHEN 0 THEN 'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR)
-        |        || '.COM:443/page/' || CAST(doc_id % 50 AS VARCHAR)
-        |        || '/?utm_source=tw&b=2&a=1#sec'
-        |      WHEN 1 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR)
-        |        || '.com/page/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2'
-        |      WHEN 2 THEN 'HTTP://Site' || CAST(doc_id % 7 AS VARCHAR)
-        |        || '.com:80/page/' || CAST(doc_id % 50 AS VARCHAR)
-        |        || '/index.html?gclid=xyz'
-        |      ELSE 'http://site' || CAST(doc_id % 7 AS VARCHAR)
-        |        || '.com:8080/page/' || CAST(doc_id % 50 AS VARCHAR) || '#frag'
-        |    END AS url FROM documents),
-        |parts AS (SELECT doc_id,
+      (s"""WITH u0 AS (SELECT doc_id,
+         |    CASE CAST(doc_id % 4 AS INT)
+         |      WHEN 0 THEN 'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR)
+         |        || '.COM:443/page/' || CAST(doc_id % 50 AS VARCHAR)
+         |        || '/?utm_source=tw&b=2&a=1#sec'
+         |      WHEN 1 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+         |        || '.com/p%61ge/' || CAST(doc_id % 50 AS VARCHAR) || '?%61=1&b=2'
+         |      WHEN 2 THEN 'HTTP://Site' || CAST(doc_id % 7 AS VARCHAR)
+         |        || '.com:80/page/' || CAST(doc_id % 50 AS VARCHAR)
+         |        || '/index.html?gclid=xyz&x=%2fv%3a7'
+         |      ELSE 'http://site' || CAST(doc_id % 7 AS VARCHAR)
+         |        || '.com:8080/p%61ge/%7E' || CAST(doc_id % 50 AS VARCHAR) || '#frag'
+         |    END AS url FROM documents),
+         |u AS (SELECT doc_id, ${TextOps.pctNormalizeSql("url")} AS url FROM u0),
+         |parts AS (SELECT doc_id,""".stripMargin + """
         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host,
         |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*(:[0-9]+)', 1) AS port,
@@ -3223,7 +3286,7 @@ object LlmQueries {
         |  scheme || '://' || host || kport || cpath ||
         |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END
         |    AS canon_url
-        |FROM rules ORDER BY doc_id""".stripMargin,
+        |FROM rules ORDER BY doc_id""".stripMargin),
 
     // domain cap oracle: same URL plant, host extracted + lowercased the
     // independent way (canonicalizeUrl lowercases the host it extracts, so
@@ -3249,6 +3312,55 @@ object LlmQueries {
         |  SELECT doc_id, host,
         |         row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
         |  FROM hosts) WHERE rn <= 30 ORDER BY doc_id""".stripMargin,
+
+    // eTLD+1 cap oracle: same URL plant, then the FULL PSL walk replayed in
+    // SQL against the identical bundled snapshot — candidate suffixes per
+    // start index, exception > normal > wildcard priority at the smallest
+    // (longest-suffix) matching index, implicit-'*' fallback to the last
+    // label, registrable = public suffix + one label — then the quota.
+    "q_corpus_etld_cap" ->
+      s"""WITH psl AS (SELECT * FROM ${graft.model.PublicSuffix.oracleValuesSql}),
+         |u AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 6 <= 1 THEN 'https://a' || CAST(doc_id % 97 AS VARCHAR)
+         |           || '.spam.co.uk/p/' || CAST(doc_id AS VARCHAR)
+         |         WHEN doc_id % 6 = 2 THEN 'https://u' || CAST(doc_id % 40 AS VARCHAR)
+         |           || '.github.io/x'
+         |         WHEN doc_id % 6 = 3 THEN 'https://sub.shop' || CAST(doc_id % 5 AS VARCHAR)
+         |           || '.ck/x'
+         |         WHEN doc_id % 6 = 4 THEN 'http://www.ck/x'
+         |         ELSE 'https://w' || CAST(doc_id % 8 AS VARCHAR)
+         |           || '.site' || CAST(doc_id % 7 AS VARCHAR) || '.com/x'
+         |    END AS url FROM documents),
+         |l AS (SELECT doc_id,
+         |        string_split(lower(regexp_extract(url,
+         |          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)), '.') AS ls
+         |      FROM u),
+         |c AS (SELECT doc_id, ls, len(ls) AS n,
+         |        unnest(generate_series(1, len(ls))) AS i FROM l),
+         |cs AS (SELECT doc_id, ls, n, i,
+         |        array_to_string(ls[i:], '.') AS suffix,
+         |        CASE WHEN i < n THEN array_to_string(ls[i+1:], '.') END AS parent
+         |      FROM c),
+         |m AS (SELECT cs.doc_id, cs.i,
+         |        CASE WHEN x.rule IS NOT NULL THEN cs.i + 1
+         |             WHEN r.rule IS NOT NULL THEN cs.i
+         |             WHEN w.rule IS NOT NULL THEN cs.i END AS ps
+         |      FROM cs
+         |      LEFT JOIN psl x ON x.kind = 'x' AND x.rule = cs.suffix
+         |      LEFT JOIN psl r ON r.kind = 'r' AND r.rule = cs.suffix
+         |      LEFT JOIN psl w ON w.kind = 'w' AND w.rule = cs.parent),
+         |pick AS (SELECT doc_id, min(CASE WHEN ps IS NOT NULL THEN i END) AS mi
+         |         FROM m GROUP BY doc_id),
+         |reg AS (SELECT l.doc_id,
+         |          CASE WHEN coalesce(m.ps, len(l.ls)) >= 2
+         |               THEN array_to_string(l.ls[coalesce(m.ps, len(l.ls)) - 1:], '.')
+         |          END AS domain
+         |        FROM l JOIN pick p ON p.doc_id = l.doc_id
+         |        LEFT JOIN m ON m.doc_id = l.doc_id AND m.i = p.mi)
+         |SELECT doc_id, domain FROM (
+         |  SELECT doc_id, domain,
+         |         row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+         |  FROM reg) WHERE rn <= 30 ORDER BY doc_id""".stripMargin,
 
     "q_text_html_strip" ->
       """WITH h AS (SELECT doc_id,

@@ -21,7 +21,14 @@ object Columnar {
     * materialization — reruns reuse the files) and reads it back through
     * the ORC scan. The returned frame's lineage STARTS at the ORC files,
     * so downstream filters and projections push into the ORC reader
-    * rather than replaying `df`'s plan. */
+    * rather than replaying `df`'s plan.
+    *
+    * SINGLE-WRITER contract, stated plainly: the exists-check + overwrite
+    * is not atomic — two concurrent callers on one path can both miss the
+    * guard and race the write, and a reader can observe a half-written
+    * mirror (no manifest protocol here; this is a scratch materialization
+    * helper, not a store). Route shared artifacts through
+    * [[graft.ops.ManifestStore]] instead. */
   def orcMirror(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
     val done = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val hfs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)

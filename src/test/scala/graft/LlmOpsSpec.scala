@@ -1300,6 +1300,31 @@ class LlmOpsSpec extends SparkSpec {
       .select(TextOps.canonicalizeUrl($"u")).collect()(0).isNullAt(0))
   }
 
+  test("TextOps.canonicalizeUrl percent-encoding: unreserved escapes decode " +
+    "and collapse, reserved escapes survive with uppercased hex, " +
+    "%25 never decodes (no new-escape injection)") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    def canon(s: String): String =
+      Seq(s).toDF("u").select(TextOps.canonicalizeUrl($"u")).collect()(0).getString(0)
+    // unreserved set decodes everywhere — path, param name, param value —
+    // so escaped spellings collapse with the bare one
+    assert(canon("https://h.com/p%61ge/%7Ealice?%61=%31") ==
+      canon("https://h.com/page/~alice?a=1"))
+    assert(canon("https://h.com/A%2Da.b%5Fc") == "https://h.com/A-a.b_c")
+    // reserved escapes MUST NOT decode (decoding %2F would merge distinct
+    // resources); their hex uppercases, both nibble positions
+    assert(canon("https://h.com/a%2fb%3a1?x=%2fv%3a7") ==
+      "https://h.com/a%2Fb%3A1?x=%2Fv%3A7")
+    assert(canon("https://h.com/%aB%Cd") == "https://h.com/%AB%CD")
+    // %25 ('%') is reserved: '%2541' is escape %25 + literal "41", and the
+    // chain never manufactures a new escape out of it
+    assert(canon("https://h.com/x%2541") == "https://h.com/x%2541")
+    assert(canon("https://h.com/x%2561") == "https://h.com/x%2561")
+    // a '%' not followed by two hex digits passes through untouched
+    assert(canon("https://h.com/100%zz") == "https://h.com/100%zz")
+  }
+
   test("Dedup: exact-substring span dedup cuts every duplicated window occurrence") {
     // n=3 windows, hand-computable: a and b share the span "s1 s2 s3"
     // (cross-doc dup), d repeats its own 3-window internally (within-doc
@@ -1860,6 +1885,15 @@ class LlmOpsSpec extends SparkSpec {
     val brute = Similarity.bruteForceTopK(vecs, queries, 3)
       .orderBy("rank").select("vec_id", "dot").as[(Long, Long)].collect().toSeq
     assert(rr == brute)
+    // a NULL query vector is dropped (null qsig would null every hamming
+    // and rank k arbitrary rows NULLS-FIRST); live queries unaffected
+    val withNull = Seq(
+      (9L, Array(1f, 1f, 1f, 1f)), (10L, null.asInstanceOf[Array[Float]]))
+      .toDF("qid", "qvec")
+    val guarded = Similarity.binaryTopK(codes, withNull, 4, 4)
+    assert(guarded.where($"qid" === 10L).isEmpty)
+    assert(guarded.where($"qid" === 9L).orderBy("rank")
+      .select("vec_id", "ham").as[(Long, Int)].collect().toSeq == out)
   }
 
   test("Dedup.memorizationProfile: island lengths, disjoint runs, zero rows for clean docs") {
@@ -1899,6 +1933,14 @@ class LlmOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(Set(bySplit(1L), bySplit(50L), bySplit(120L)).size == 1, "chain straddled a cut")
     assert(bySplit(7L) == bySplit(199L), "pair straddled a cut")
+    // a chain LONGER than min-label propagation's iteration cap must not
+    // wedge the assignment (clustersAuto routes around the diameter wall)
+    val longChain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val safeLong = Corpus.withSplitLeakageSafe(docs, "doc_id", longChain)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((0L to 40L).map(safeLong).toSet.size == 1,
+      "a 41-member chain component straddled a cut")
     // the audit reads zero on the safe assignment
     assert(Corpus.splitLeakageFromPairs(pairs, safe).isEmpty)
     // pair-free corpus: identical to the plain id-hash split
@@ -1909,6 +1951,63 @@ class LlmOpsSpec extends SparkSpec {
       .select("doc_id", "split")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(safeNp == plain)
+  }
+
+  test("TextOps.registrableDomain: PSL matrix — multi-label rules, wildcard, " +
+    "exception, private suffixes, implicit-* fallback, null cases") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    def reg(hosts: String*): Seq[String] =
+      hosts.toDF("h").select(TextOps.registrableDomain($"h")).as[String]
+        .collect().toSeq
+    // multi-label rule: shards collapse; deeper shards too
+    assert(reg("a1.spam.co.uk", "a2.spam.co.uk", "x.y.spam.co.uk") ==
+      Seq("spam.co.uk", "spam.co.uk", "spam.co.uk"))
+    // private hosting suffix: each tenant is its own registrable domain
+    assert(reg("alice.github.io", "bob.github.io", "www.alice.github.io") ==
+      Seq("alice.github.io", "bob.github.io", "alice.github.io"))
+    // implicit * fallback: unknown TLD groups at last-label+1
+    assert(reg("w3.site4.com", "deep.sub.example.dev", "foo.unknowntld") ==
+      Seq("site4.com", "example.dev", "foo.unknowntld"))
+    // wildcard *.ck: one label under ck is a public suffix
+    assert(reg("sub.shop2.ck", "shop2.ck") == Seq("sub.shop2.ck", null))
+    // exception !www.ck beats the wildcard: www.ck IS a registrable domain
+    assert(reg("www.ck", "foo.www.ck") == Seq("www.ck", "www.ck"))
+    // Japanese designated-city wildcard + its city exception
+    assert(reg("x.chuo.kobe.jp", "city.kobe.jp", "w.city.kobe.jp") ==
+      Seq("x.chuo.kobe.jp", "city.kobe.jp", "city.kobe.jp"))
+    // case fold + trailing dot
+    assert(reg("A1.Spam.CO.UK", "spam.co.uk.") == Seq("spam.co.uk", "spam.co.uk"))
+    // null cases: a bare public suffix, a bare TLD, empty, malformed,
+    // IPv4 literal, null input
+    assert(reg("co.uk", "com", "", "a..b", "192.168.0.1", null) ==
+      Seq(null, null, null, null, null, null))
+  }
+
+  test("Corpus.filterBlockedUrls matchRegistrable: subdomain shards cannot " +
+    "evade the list; hosting tenants are blocked individually; " +
+    "suffix-less hosts fall back to hostname matching") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val d = Seq(
+      (1L, "https://ok.com/a"),
+      (2L, "https://a1.spam.co.uk/x"),     // shard of a blocked domain
+      (3L, "https://a2.spam.co.uk/y"),     // another shard — same verdict
+      (4L, "https://spam.co.uk/"),         // the apex itself
+      (5L, "https://evil.github.io/p"),    // blocked tenant
+      (6L, "https://good.github.io/p"),    // sibling tenant stays
+      (7L, null.asInstanceOf[String]))     // passes through
+      .toDF("doc_id", "url")
+    // blocklist entries may be apexes OR full hosts — both normalize
+    val blocked = Seq("spam.co.uk", "www.evil.github.io").toDF("host")
+    val kept = Corpus.filterBlockedUrls(d, "url", blocked, matchRegistrable = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 6L, 7L))
+    // the full-hostname mode documents the evasion these shards exploit
+    val naive = Corpus.filterBlockedUrls(d, "url", blocked)
+      .select("doc_id").as[Long].collect().toSet
+    assert(naive == Set(1L, 2L, 3L, 5L, 6L, 7L),
+      "hostname matching should only catch the exact apex")
   }
 
   test("Corpus.filterBlockedUrls: host blocklist, path pattern, null-url passthrough") {
