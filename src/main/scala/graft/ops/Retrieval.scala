@@ -464,11 +464,16 @@ object Retrieval {
       .groupBy("qid").agg(count(lit(1)).as("n_rel"))
     // evaluate over the JUDGED query set (the trec_eval convention): a
     // query present in qrels that retrieved zero results must emit a
-    // zeroed row, not vanish — dropping it would overstate macro-averages
-    val allQ = results.select(col("qid"))
-      .unionByName(qrels.select(col("qid"))).distinct()
-    allQ
-      .join(perQ, Seq("qid"), "left")
+    // zeroed row, not vanish — dropping it would overstate macro-averages.
+    // The spine is perQ FULL-OUTER the distinct judged qids, NOT
+    // (results ∪ qrels).distinct ⟕ perQ: that shape referenced `results`
+    // — the entire retrieval lineage — twice, with different projections
+    // below the exchanges, so no stage could be reused and the BM25 chain
+    // executed twice per eval (the round-12 bench regression). Every
+    // retrieved query has a rank-1 row, so perQ's qid set IS results'.
+    val judged = qrels.select(col("qid")).distinct()
+    perQ
+      .join(judged, Seq("qid"), "full_outer")
       .withColumn("dcg", coalesce(col("dcg"), lit(0.0)))
       .withColumn("mrr", coalesce(col("mrr"), lit(0.0)))
       .withColumn("n_rel_ret", coalesce(col("n_rel_ret"), lit(0L)))
