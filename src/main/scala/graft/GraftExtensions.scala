@@ -355,6 +355,33 @@ object GraftExtensions {
             graft.ops.TextOps.qualitySignals(
               org.apache.spark.sql.functions.col(text)): _*)
           .queryExecution.logical
+      }),
+    ("graft_drift", tvfInfo("graft_drift",
+      "_FUNC_(ref_table, cur_table, key_col) - categorical drift of " +
+        "cur vs ref over key_col: per-key shares with per-key PSI and " +
+        "Jensen-Shannon contributions (sum them for the headline scores)."),
+      tvfArity("graft_drift", 3) { c =>
+        graft.ops.Profile.driftByKey(
+          tableOf(strLit(c(0), "graft_drift", "ref_table")),
+          tableOf(strLit(c(1), "graft_drift", "cur_table")),
+          strLit(c(2), "graft_drift", "key_col"))
+          .queryExecution.logical
+      }),
+    ("graft_nb_reliability", tvfInfo("graft_nb_reliability",
+      "_FUNC_(train_table, heldout_table, id_col, text_col, label_col) - " +
+        "NB margin-reliability report: trains on train_table, buckets " +
+        "held-out docs by top-vs-runner-up score margin, returns " +
+        "(bucket, n, n_correct) - the gate-unreviewed-above-which-band table."),
+      tvfArity("graft_nb_reliability", 5) { c =>
+        val text = strLit(c(3), "graft_nb_reliability", "text_col")
+        val label = strLit(c(4), "graft_nb_reliability", "label_col")
+        graft.ops.TextOps.nbMarginReliability(
+          tableOf(strLit(c(1), "graft_nb_reliability", "heldout_table")),
+          strLit(c(2), "graft_nb_reliability", "id_col"), text, label,
+          graft.ops.TextOps.nbTrain(
+            tableOf(strLit(c(0), "graft_nb_reliability", "train_table")),
+            label, text))
+          .queryExecution.logical
       }))
 
   /** Runtime registration on an existing session (idempotent). */

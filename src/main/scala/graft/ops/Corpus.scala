@@ -664,4 +664,58 @@ object Corpus {
       .repartition(col("shard"))
       .sortWithinPartitions("ord")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  /** The seven headline card metrics, in a fixed order shared by
+    * [[datasetCard]] and [[datasetCardDiff]]. */
+  private val CardMetrics: Seq[String] = Seq(
+    "n_docs", "n_null_text", "n_langs", "n_sources",
+    "total_tokens", "total_chars", "n_distinct_texts")
+
+  /**
+   * One-pass dataset card: volume, null mass, label cardinalities,
+   * token/char mass, and distinct-content count as ONE aggregate over one
+   * corpus scan (the count-distincts expand map-side) — the release-note
+   * summary row of any corpus build. All metrics are integer-exact longs.
+   */
+  def datasetCard(
+      df: DataFrame, textCol: String = "text", langCol: String = "lang",
+      sourceCol: String = "source", charsCol: String = "n_chars"): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col(textCol).isNull, 1L).otherwise(0L)).as("n_null_text"),
+      countDistinct(col(langCol)).as("n_langs"),
+      countDistinct(col(sourceCol)).as("n_sources"),
+      sum(when(col(textCol).isNotNull,
+        size(split(col(textCol), " ")).cast("long")).otherwise(0L))
+        .as("total_tokens"),
+      sum(col(charsCol)).as("total_chars"),
+      countDistinct(md5(col(textCol))).as("n_distinct_texts"))
+
+  /**
+   * Dataset-card DIFF between two corpus snapshots — the release-gate
+   * artifact for an append-only corpus: what did this batch of appends do
+   * to volume, token mass, and duplication? One long-format row per
+   * metric: `(metric, v_a, v_b, delta)` with `delta = v_b − v_a`; the
+   * exact-dup count is `n_docs − n_distinct_texts` per side, derivable
+   * from the rows. Two one-row aggregates broadcast-joined and exploded —
+   * each corpus is scanned once, nothing row-sized moves.
+   *
+   * Pair it with the manifest stores' time travel
+   * ([[graft.ops.ManifestStore.frameAt]]) to diff committed VERSIONS of a
+   * persisted corpus: `datasetCardDiff(frameAt(v1), frameAt(v2))`.
+   */
+  def datasetCardDiff(
+      a: DataFrame, b: DataFrame, textCol: String = "text",
+      langCol: String = "lang", sourceCol: String = "source",
+      charsCol: String = "n_chars"): DataFrame = {
+    val ca = datasetCard(a, textCol, langCol, sourceCol, charsCol)
+    val cb = datasetCard(b, textCol, langCol, sourceCol, charsCol)
+      .select(CardMetrics.map(m => col(m).as(s"${m}_b")): _*)
+    val rows = CardMetrics.map(m =>
+      struct(lit(m).as("metric"), col(m).as("v_a"), col(s"${m}_b").as("v_b")))
+    ca.crossJoin(cb) // both sides are single aggregate rows — broadcast
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.metric").as("metric"), col("r.v_a").as("v_a"),
+        col("r.v_b").as("v_b"), (col("r.v_b") - col("r.v_a")).as("delta"))
+  }
 }

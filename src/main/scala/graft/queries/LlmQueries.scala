@@ -187,6 +187,28 @@ object LlmQueries {
     path
   }
 
+  /** Build-once memo for the two-version card-diff store: the even-id
+    * half of [[docs]] upserted as version 1, the odd half appended as
+    * version 2 — both snapshots stay addressable (nothing vacuumed), so
+    * `q_corpus_card_diff` diffs them through time travel. Guarded on the
+    * reader's predicate (two committed versions), so a crash mid-build
+    * rebuilds instead of serving a one-version store. */
+  private def cardStoreDir(s: SparkSession, dir: String): String = {
+    val d = docs(s, dir)
+    val fp = d.agg(count(lit(1)), max(col("doc_id"))).collect()(0)
+    val path =
+      s"${sys.props("java.io.tmpdir")}/graft_card_store_v1/" +
+        s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
+    if (ManifestStore.versions(s, path).size < 2) {
+      val keyed = d.withColumn("dp", pmod(col("doc_id"), lit(16)).cast("string"))
+      ManifestStore.upsert(
+        keyed.where(col("doc_id") % 2 === 0), path, "dp", Seq("dp", "doc_id"), s)
+      ManifestStore.upsert(
+        keyed.where(col("doc_id") % 2 === 1), path, "dp", Seq("dp", "doc_id"), s)
+    }
+    path
+  }
+
   /** Build-once memo for the DECODE-ONCE multimodal feature store: every
     * planted image and WAV is decoded exactly once at store build
     * ([[Multimodal.writeFeatureStore]] — fingerprints + full decode stats,
@@ -912,16 +934,21 @@ object LlmQueries {
     // volume, null mass, label cardinalities, token/char mass, exact
     // duplicate rate — as a single aggregate over one corpus scan
     // (count-distincts expand map-side; no per-signal rescans)
-    "q_corpus_card" -> ((s, dir) => {
-      docs(s, dir).agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
-        countDistinct(col("lang")).as("n_langs"),
-        countDistinct(col("source")).as("n_sources"),
-        sum(when(col("text").isNotNull,
-          size(split(col("text"), " ")).cast("long")).otherwise(0L)).as("total_tokens"),
-        sum(col("n_chars")).as("total_chars"),
-        countDistinct(md5(col("text"))).as("n_distinct_texts"))
+    "q_corpus_card" -> ((s, dir) => Corpus.datasetCard(docs(s, dir))),
+
+    // Dataset-card DIFF across committed STORE VERSIONS — the release
+    // gate for an append-only corpus: a two-version manifest store (v1 =
+    // even ids, v2 = +odd ids) read back through time travel (frameAt),
+    // each snapshot carded in one aggregate, deltas per metric. The
+    // oracle replays the version contents by their defining predicate
+    // (even vs all) over the raw table — any store-side loss, dup, or
+    // time-travel error breaks a metric row.
+    "q_corpus_card_diff" -> ((s, dir) => {
+      val store = cardStoreDir(s, dir)
+      val vs = ManifestStore.versions(s, store)
+      val at = (v: Long) => ManifestStore.frameAt(s, store, "dp", v)
+        .getOrElse(throw new IllegalStateException(s"no card store snapshot at $v"))
+      Corpus.datasetCardDiff(at(vs.head), at(vs.last)).orderBy("metric")
     }),
 
     // CCNet-style paragraph dedup (keep-first): every doc gets a shared
@@ -2597,6 +2624,40 @@ object LlmQueries {
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
         |FROM documents""".stripMargin,
+
+    // card-diff oracle: the store's two versions are defined by predicate
+    // (v1 = even ids, v2 = all), so each snapshot's card replays over the
+    // raw table and the diff is pure column arithmetic per metric row
+    "q_corpus_card_diff" ->
+      """WITH ca AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+        |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |         CAST(sum(CASE WHEN text IS NOT NULL
+        |                       THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS total_tokens,
+        |         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |         CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |cb AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+        |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |         CAST(sum(CASE WHEN text IS NOT NULL
+        |                       THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS total_tokens,
+        |         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |         CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+        |  FROM documents),
+        |m AS (
+        |  SELECT 'n_docs' AS metric, ca.n_docs AS v_a, cb.n_docs AS v_b FROM ca, cb
+        |  UNION ALL SELECT 'n_null_text', ca.n_null_text, cb.n_null_text FROM ca, cb
+        |  UNION ALL SELECT 'n_langs', ca.n_langs, cb.n_langs FROM ca, cb
+        |  UNION ALL SELECT 'n_sources', ca.n_sources, cb.n_sources FROM ca, cb
+        |  UNION ALL SELECT 'total_tokens', ca.total_tokens, cb.total_tokens FROM ca, cb
+        |  UNION ALL SELECT 'total_chars', ca.total_chars, cb.total_chars FROM ca, cb
+        |  UNION ALL SELECT 'n_distinct_texts', ca.n_distinct_texts, cb.n_distinct_texts FROM ca, cb)
+        |SELECT metric, v_a, v_b, v_b - v_a AS delta FROM m ORDER BY metric""".stripMargin,
 
     "q_dedup_paragraph" ->
       """WITH src AS (

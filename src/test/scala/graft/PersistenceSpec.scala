@@ -126,6 +126,39 @@ class PersistenceSpec extends SparkSpec {
     }
   }
 
+  test("dataset-card diff across store versions: per-metric deltas replay " +
+    "the appended mass; self-diff is all-zero; deletes show as negative volume") {
+    import graft.ops.{Corpus, ManifestStore}
+    import spark.implicits._
+    val dir = tmpDir("card_diff")
+    def rows(ids: Range) = ids.map(i =>
+      (i.toLong, if (i % 7 == 0) null else s"tok$i tok${i % 3} x",
+        if (i % 2 == 0) "en" else "de", s"src${i % 3}", 10L + i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("dp", pmod($"doc_id", lit(4)).cast("string"))
+    ManifestStore.upsert(rows(0 until 20), dir, "dp", Seq("dp", "doc_id"), spark)
+    ManifestStore.upsert(rows(20 until 30), dir, "dp", Seq("dp", "doc_id"), spark)
+    val vs = ManifestStore.versions(spark, dir)
+    assert(vs.size == 2)
+    val at = (v: Long) => ManifestStore.frameAt(spark, dir, "dp", v).get
+    val diff = Corpus.datasetCardDiff(at(vs.head), at(vs.last))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(diff("n_docs") == ((20L, 30L, 10L)))
+    assert(diff("n_null_text")._3 == 2L) // ids 21 and 28 are the appended nulls
+    assert(diff.keySet.size == 7 && diff.values.forall { case (a, b, d) => b - a == d })
+    // self-diff: every delta zero
+    assert(Corpus.datasetCardDiff(at(vs.last), at(vs.last))
+      .where($"delta" =!= 0L).isEmpty)
+    // a delete shows as negative volume in the forward diff
+    assert(ManifestStore.delete(
+      rows(0 until 5).select("dp", "doc_id"), dir, "dp", Seq("dp", "doc_id"), spark) > 0)
+    val vs2 = ManifestStore.versions(spark, dir)
+    val afterDel = Corpus.datasetCardDiff(at(vs2(1)), at(vs2.last))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(afterDel("n_docs") == -5L)
+  }
+
   test("S4: the keyed historical read is partition-pruned") {
     val dir = tmpDir("stmts_prune")
     FinOps.writeStatements(FinOps.toStatementItems(statement), dir)

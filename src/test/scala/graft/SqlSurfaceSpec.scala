@@ -235,4 +235,45 @@ class SqlSurfaceSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(mem == Seq((1L, 6L), (2L, 6L), (3L, 0L)))
   }
+
+  test("drift and NB reliability monitors are SQL-reachable with Scala parity") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // categorical drift: reference 50/50, current 80/20 over the key
+    (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang").createOrReplaceTempView("drift_ref")
+    (1 to 100).map(i => (i.toLong, if (i % 5 == 0) "de" else "en"))
+      .toDF("id", "lang").createOrReplaceTempView("drift_cur")
+    val sqlDrift = spark.sql(
+      "SELECT key, psi, jsd FROM graft_drift('drift_ref', 'drift_cur', 'lang') ORDER BY key")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val apiDrift = graft.ops.Profile.driftByKey(
+        spark.table("drift_ref"), spark.table("drift_cur"), "lang")
+      .orderBy("key")
+      .collect().map(r => (r.getAs[String]("key"),
+        r.getAs[Double]("psi"), r.getAs[Double]("jsd"))).toSeq
+    assert(sqlDrift == apiDrift && sqlDrift.map(_._1) == Seq("de", "en"))
+    assert(sqlDrift.forall(_._2 > 0), "an 80/20-vs-50/50 shift must carry PSI mass")
+
+    // NB reliability: disjoint class vocabularies train clean, one
+    // conflicted held-out doc lands in the low bucket
+    val train = (1 to 40).map(i =>
+      if (i % 2 == 0) (i.toLong, "alpha beta gamma delta", "a")
+      else (i.toLong, "omega psi chi phi", "b"))
+    train.toDF("doc_id", "text", "lang").createOrReplaceTempView("nbr_train")
+    Seq((101L, "alpha beta gamma", "a"), (102L, "omega psi chi", "b"),
+      (103L, "alpha omega", "a"))
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("nbr_held")
+    val sqlRel = spark.sql(
+      "SELECT bucket, n, n_correct FROM graft_nb_reliability(" +
+        "'nbr_train', 'nbr_held', 'doc_id', 'text', 'lang') ORDER BY bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val apiRel = graft.ops.TextOps.nbMarginReliability(
+        spark.table("nbr_held"), "doc_id", "text", "lang",
+        graft.ops.TextOps.nbTrain(spark.table("nbr_train"), "lang", "text"))
+      .orderBy("bucket")
+      .collect().map(r => (r.getAs[Long]("bucket"),
+        r.getAs[Long]("n"), r.getAs[Long]("n_correct"))).toSeq
+    assert(sqlRel == apiRel && sqlRel.map(_._2).sum == 3L)
+  }
 }
