@@ -382,6 +382,16 @@ object GraftExtensions {
             tableOf(strLit(c(0), "graft_nb_reliability", "train_table")),
             label, text))
           .queryExecution.logical
+      }),
+    ("graft_card_diff", tvfInfo("graft_card_diff",
+      "_FUNC_(table_a, table_b) - dataset-card diff between two corpus " +
+        "snapshots: one (metric, v_a, v_b, delta) row per headline metric " +
+        "(volume, null mass, cardinalities, token/char mass, distinct texts)."),
+      tvfArity("graft_card_diff", 2) { c =>
+        graft.ops.Corpus.datasetCardDiff(
+          tableOf(strLit(c(0), "graft_card_diff", "table_a")),
+          tableOf(strLit(c(1), "graft_card_diff", "table_b")))
+          .queryExecution.logical
       }))
 
   /** Runtime registration on an existing session (idempotent). */

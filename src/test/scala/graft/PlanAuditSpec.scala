@@ -50,6 +50,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!rj.contains("BroadcastNestedLoopJoin"), s"range join planned a nested loop:\n$rj")
   }
 
+  test("eTLD+1 cap: WindowGroupLimit quota with the registrable_domain " +
+    "kernel inside codegen — no UDF fallback, no extra exchange") {
+    val p = plan("q_corpus_etld_cap")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("registrable_domain"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    // the key derivation is a pure Project feeding the quota directly —
+    // no aggregate/join exchange between the kernel and the group limit
+    // (WholeStageCodegen spans don't print in an unfinalized AQE string,
+    // so the pin is the node shape, not the codegen label)
+    assert(p.contains("Project [doc_id"), p)
+  }
+
   test("round-6 additions: cell-bounded semdedup, bloom probe, perplexity partial-agg") {
     // SemDeDup's pair search must be an equi-join on the cell id — the
     // clustering bound is the whole point; a cartesian would be N².

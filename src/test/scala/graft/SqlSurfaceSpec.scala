@@ -275,5 +275,22 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("bucket"),
         r.getAs[Long]("n"), r.getAs[Long]("n_correct"))).toSeq
     assert(sqlRel == apiRel && sqlRel.map(_._2).sum == 3L)
+
+    // card diff: the release-gate table from SQL, and the native
+    // registrable_domain kernel straight in a SELECT
+    (1 to 10).map(i => (i.toLong, s"doc $i", "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .createOrReplaceTempView("card_a")
+    (1 to 15).map(i => (i.toLong, s"doc ${i % 12}", "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .createOrReplaceTempView("card_b")
+    val cd = spark.sql(
+      "SELECT metric, delta FROM graft_card_diff('card_a', 'card_b') ORDER BY metric")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cd("n_docs") == 5L && cd("n_distinct_texts") == 2L)
+    val rd = spark.sql(
+      "SELECT registrable_domain('a1.spam.co.uk'), registrable_domain('bob.github.io')")
+      .collect()(0)
+    assert(rd.getString(0) == "spam.co.uk" && rd.getString(1) == "bob.github.io")
   }
 }
