@@ -159,7 +159,12 @@ object BenchScale {
     // quantization scan + rerank (linear bit-scan controls) with the
     // persisted-codes serving path
     "q_dedup_paragraph", "q_dedup_paragraph_inc_indexed",
-    "q_dedup_memorization", "q_sim_binary_rerank", "q_sim_binary_indexed")
+    "q_dedup_memorization", "q_sim_binary_rerank", "q_sim_binary_indexed",
+    // round-13 additions: the eTLD+1 quota (a kernel projection feeding
+    // WindowGroupLimit — a ~1× control), the two-version card diff (two
+    // 1-row aggregates — ~1× control), and the retrieval eval whose spine
+    // re-plan must hold at 10× (queries derive from the corpus)
+    "q_corpus_etld_cap", "q_corpus_card_diff", "q_ret_eval")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()
