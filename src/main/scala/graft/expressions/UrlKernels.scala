@@ -49,48 +49,69 @@ object UrlKernels {
       copy(child = newChild)
   }
 
+  /** No suffix longer than this (in labels) can match any snapshot rule:
+    * the longest normal/exception rule's label count, or a wildcard
+    * parent's plus the wildcard's own label. Computed once at class load;
+    * the walk skips start indices whose suffix exceeds it. */
+  private val MaxMatchLabels: Int = {
+    def labels(r: String): Int = r.count(_ == '.') + 1
+    ((PublicSuffix.rules.iterator ++ PublicSuffix.exceptions.iterator).map(labels) ++
+      PublicSuffix.wildcards.iterator.map(labels(_) + 1)).max
+  }
+
   /** Static kernel (invoked from generated code and from eval). PSL walk,
     * longest suffix first: at each start index an exception match ends the
     * walk with the suffix one label shorter, a normal or wildcard match
     * ends it there; no match falls back to the last label (the implicit
     * `*` rule). The registrable domain is the public suffix plus one
-    * label; a host that IS a public suffix has none. */
+    * label; a host that IS a public suffix has none. One char pass
+    * validates labels and finds their offsets; the walk then builds ONE
+    * suffix string per probed label (each iteration hands its `next`
+    * suffix to the following one, which doubles as the wildcard parent
+    * probe) — no arrays of labels, no per-index re-joins. */
   def registrable(host: UTF8String): UTF8String = {
     if (host == null) return null
     var s = host.toString.toLowerCase(java.util.Locale.ROOT)
     if (s.nonEmpty && s.charAt(s.length - 1) == '.') s = s.substring(0, s.length - 1)
     if (s.isEmpty) return null
-    val labels = s.split('.')
-    if (labels.length == 0) return null
+    // one pass: reject empty labels, detect all-numeric (IPv4), count dots
     var allNumeric = true
+    var prev = '.'
+    var nDots = 0
     var i = 0
-    while (i < labels.length) {
-      val l = labels(i)
-      if (l.isEmpty) return null // ".." or leading dot — malformed
-      var j = 0
-      while (j < l.length && allNumeric) {
-        val c = l.charAt(j)
-        if (c < '0' || c > '9') allNumeric = false
-        j += 1
-      }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '.') {
+        if (prev == '.') return null // leading dot or ".." — malformed
+        nDots += 1
+      } else if (c < '0' || c > '9') allNumeric = false
+      prev = c
       i += 1
     }
+    if (prev == '.') return null // "a.." stripped once still ends dotted
     if (allNumeric) return null // IPv4 literal: no registrable domain
-    val n = labels.length
-    var psStart = -1
+    val n = nDots + 1
+    val starts = new Array[Int](n)
+    var li = 1
     i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '.') { starts(li) = i + 1; li += 1 }
+      i += 1
+    }
+    var psStart = -1
+    i = math.max(0, n - MaxMatchLabels) // longer suffixes cannot match
+    var cur = if (i < n) s.substring(starts(i)) else null
     while (i < n && psStart < 0) {
-      val suffix = labels.slice(i, n).mkString(".")
-      if (PublicSuffix.exceptions.contains(suffix)) psStart = i + 1
-      else if (PublicSuffix.rules.contains(suffix)) psStart = i
-      else if (i + 1 < n &&
-        PublicSuffix.wildcards.contains(labels.slice(i + 1, n).mkString(".")))
-        psStart = i
+      val next = if (i + 1 < n) s.substring(starts(i + 1)) else null
+      if (PublicSuffix.exceptions.contains(cur)) psStart = i + 1
+      else if (PublicSuffix.rules.contains(cur)) psStart = i
+      else if (next != null && PublicSuffix.wildcards.contains(next)) psStart = i
+      cur = next
       i += 1
     }
     if (psStart < 0) psStart = n - 1
     if (psStart == 0) null
-    else UTF8String.fromString(labels.slice(psStart - 1, n).mkString("."))
+    else UTF8String.fromString(s.substring(starts(psStart - 1)))
   }
 
   val registrableInfo: ExpressionInfo = new ExpressionInfo(

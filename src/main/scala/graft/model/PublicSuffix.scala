@@ -12,7 +12,9 @@ package graft.model
  * private-section hosting suffixes. It is NOT the full ~9k-rule list; a
  * production deployment should regenerate `rules`/`wildcards`/`exceptions`
  * from the upstream file (the format maps 1:1 — plain lines, `*.` lines
- * with the parent stored here, `!` lines stored without the bang).
+ * with the parent stored here, `!` lines stored without the bang);
+ * `tools/gen_public_suffix.py` emits this whole object from a downloaded
+ * copy of the list.
  *
  * Coverage asymmetry that makes a subset safe-by-default: the PSL
  * algorithm's fallback rule `*` makes every UNKNOWN single-label TLD a

@@ -277,14 +277,11 @@ object MinhashIndex {
       .select(col("id_a"), col("id_b"), col("jaccard"),
         coalesce(col("jaccard") >= lit(threshold), lit(false)).as("pass"))
 
-  /** Commit `disp` as one verified-pair generation, pinning (or checking
-    * against) the index's `vmeta` verification identity. Re-reads the
-    * manifest at commit time — callers may have advanced it (the append's
-    * band commit) since their last read. No-op on an empty frame. */
-  private def commitPairsGen(
-      spark: SparkSession, indexDir: String, disp: DataFrame,
-      shingle: Int, threshold: Double): Unit = {
-    val (ver, mf) = readManifest(spark, indexDir, "commitPairsGen")
+  /** Fail-loud guard shared by every verdict-committing path: the index's
+    * pinned `vmeta` identity must match EXACTLY. Runs against a
+    * freshly-read manifest so callers can check BEFORE mutating anything. */
+  private def requireVmeta(
+      mf: Mf, indexDir: String, shingle: Int, threshold: Double): Unit =
     mf.vmeta.foreach { case (sh, t) =>
       require(sh == shingle && t == threshold,
         s"verified-pair store under $indexDir is pinned to (shingle=$sh, " +
@@ -292,7 +289,17 @@ object MinhashIndex {
           "would mix incomparable dispositions — compact away the old " +
           "generations or use a fresh index")
     }
-    if (disp.isEmpty) return
+
+  /** Commit `disp` as one verified-pair generation. Re-reads the manifest
+    * at commit time — callers may have advanced it (the append's band
+    * commit) since their last read. Callers guard emptiness on their
+    * already-materialized candidate frames (disp rows ∝ candidates), so
+    * the disposition join executes exactly once, in the write. */
+  private def commitPairsGen(
+      spark: SparkSession, indexDir: String, disp: DataFrame,
+      shingle: Int, threshold: Double): Unit = {
+    val (ver, mf) = readManifest(spark, indexDir, "commitPairsGen")
+    requireVmeta(mf, indexDir, shingle, threshold)
     val gen = math.max(nextGen(spark, indexDir), ver + 1)
     val genId = newGenId(gen)
     disp.select("id_a", "id_b", "jaccard", "pass")
@@ -377,11 +384,20 @@ object MinhashIndex {
       idCol: String = "doc_id", textCol: String = "text",
       shingle: Int = 3, threshold: Double = 0.5,
       maxOccupancy: Int = 64, persistVerdicts: Boolean = true): DataFrame = {
+    val spark = delta.sparkSession
+    // identity check BEFORE the append mutates the store: failing after
+    // the band commit would leave the delta appended, and the retry with
+    // the corrected threshold would append it AGAIN — doubling its
+    // occupancy partials and silently capping its buckets at half their
+    // true occupancy forever after
+    if (persistVerdicts)
+      requireVmeta(readManifest(spark, indexDir, "nearDuplicatesForBatch")._2,
+        indexDir, shingle, threshold)
     val newPairs = appendToMinhashIndex(delta, indexDir, idCol, textCol, maxOccupancy)
     val verified = Dedup.verifyJaccard(newPairs, corpus, idCol, textCol, shingle,
       minJaccard = threshold).localCheckpoint()
-    if (persistVerdicts)
-      commitPairsGen(delta.sparkSession, indexDir,
+    if (persistVerdicts && !newPairs.isEmpty)
+      commitPairsGen(spark, indexDir,
         dispositions(newPairs, verified, threshold), shingle, threshold)
     verified.where(col("jaccard") >= threshold)
   }
@@ -391,13 +407,17 @@ object MinhashIndex {
     * the corpus text at `threshold` ([[Dedup.verifyJaccard]] — shingles
     * only candidate docs). The one-call serving form of
     * [[Dedup.nearDuplicates]] with the signing cost amortized into the
-    * store — and, when the store carries verified-pair generations pinned
-    * to the SAME `(shingle, threshold)`, the verification cost amortized
-    * too: stored verdicts answer every covered candidate (Jaccard is
-    * deterministic over immutable text, so a stored verdict IS the fresh
-    * one), and only the uncovered remainder is shingled. A different
-    * `(shingle, threshold)` ignores the stored verdicts (incomparable)
-    * and verifies everything fresh.
+    * store — and, when the store carries verified-pair generations at the
+    * same `shingle` and a pinned threshold `t ≤ threshold`, the
+    * verification cost amortized too: stored verdicts answer every
+    * covered candidate (Jaccard is deterministic over immutable text, so
+    * a stored verdict IS the fresh one; a pass row carries its EXACT
+    * jaccard, re-filterable at any HIGHER bar, and a fail at `t` —
+    * including a size-prefilter elimination, which proves `J < t` — is a
+    * fail at every `threshold ≥ t`), and only the uncovered remainder is
+    * shingled. Tightening the near-dup bar therefore never re-verifies; a
+    * LOWER threshold or different shingle is incomparable and verifies
+    * everything fresh.
     *
     * `persistVerdicts = true` additionally commits the freshly-verified
     * remainder's dispositions as a new pairs generation — run the FIRST
@@ -410,11 +430,21 @@ object MinhashIndex {
       maxOccupancy: Int = 64, persistVerdicts: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     val (_, mf) = readManifest(spark, indexDir, "nearDuplicatesIndexed")
+    // persisting is only legal at the pinned identity: a serve at a
+    // tighter bar verifies its remainder with a DEEPER size prune, so its
+    // fails are not decisive at the pinned threshold and committing them
+    // would poison every later serve
+    require(!persistVerdicts || mf.vmeta.forall(_ == ((shingle, threshold))),
+      s"index under $indexDir pins verification identity ${mf.vmeta.orNull}; " +
+        s"persisting verdicts at ($shingle, $threshold) would mix " +
+        "incomparable dispositions")
     val cands = Dedup.candidatePairs(
       liveBands(spark, indexDir, mf.segs, mf.delGens), maxOccupancy)
-    val stored =
-      if (mf.vmeta.contains((shingle, threshold))) livePairs(spark, indexDir, mf)
-      else None
+    val stored = mf.vmeta match {
+      case Some((sh, t)) if sh == shingle && t <= threshold =>
+        livePairs(spark, indexDir, mf)
+      case _ => None
+    }
     stored match {
       case Some(p) =>
         // candidates feed the covered join, the anti-join AND (when
@@ -426,23 +456,24 @@ object MinhashIndex {
         val verifiedFresh = Dedup.verifyJaccard(
           fresh, corpus, idCol, textCol, shingle, minJaccard = threshold)
           .localCheckpoint()
-        if (persistVerdicts)
+        if (persistVerdicts && !fresh.isEmpty) // identity pinned by the require
           commitPairsGen(spark, indexDir,
             dispositions(fresh, verifiedFresh, threshold), shingle, threshold)
-        covered.where(col("pass")).select("id_a", "id_b", "jaccard")
+        // the covered verdict re-filters at the serve's bar: pass rows
+        // carry exact jaccard; fail rows (jaccard null or < pinned t)
+        // cannot reach any threshold ≥ t
+        covered.where(col("pass") && col("jaccard") >= threshold)
+          .select("id_a", "id_b", "jaccard")
           .unionByName(verifiedFresh.where(col("jaccard") >= threshold))
       case None =>
-        require(!persistVerdicts || mf.vmeta.forall(_ == ((shingle, threshold))),
-          s"index under $indexDir pins verification identity ${mf.vmeta.get}; " +
-            s"persisting verdicts at ($shingle, $threshold) would mix " +
-            "incomparable dispositions")
         val c = if (persistVerdicts) cands.localCheckpoint() else cands
         val verified = Dedup.verifyJaccard(
           c, corpus, idCol, textCol, shingle, minJaccard = threshold)
         if (persistVerdicts) {
           val v = verified.localCheckpoint()
-          commitPairsGen(spark, indexDir,
-            dispositions(c, v, threshold), shingle, threshold)
+          if (!c.isEmpty)
+            commitPairsGen(spark, indexDir,
+              dispositions(c, v, threshold), shingle, threshold)
           v.where(col("jaccard") >= threshold)
         } else verified.where(col("jaccard") >= threshold)
     }

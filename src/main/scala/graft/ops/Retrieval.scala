@@ -441,17 +441,23 @@ object Retrieval {
    */
   def evalRanking(results: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val graded = results.where(col("rank") <= k)
+    // rank ≤ k applies INSIDE the aggregate, not as a pre-filter: a query
+    // whose surviving rows all sit above k (a rank-offset slice, a fused
+    // list) must still emit a zeroed row — filtered away it would vanish
+    // from the spine below and silently inflate macro-averages
+    val graded = results
       .select(col("qid"), col("rank"), col("doc_id"))
       .join(qrels.select(col("qid"), col("doc_id"), col("grade")),
         Seq("qid", "doc_id"), "left")
       .withColumn("g", coalesce(col("grade"), lit(0)))
+    val inK = col("rank") <= k
     val perQ = graded.groupBy("qid").agg(
-      round(sum((pow(lit(2.0), col("g")) - lit(1.0)) / log2(col("rank") + 1)), 6)
+      round(coalesce(sum(when(inK,
+        (pow(lit(2.0), col("g")) - lit(1.0)) / log2(col("rank") + 1))), lit(0.0)), 6)
         .as("dcg"),
-      round(max(when(col("g") > 0, lit(1.0) / col("rank")).otherwise(lit(0.0))), 6)
-        .as("mrr"),
-      sum(when(col("g") > 0, 1).otherwise(0)).as("n_rel_ret"))
+      round(max(when(inK && col("g") > 0, lit(1.0) / col("rank"))
+        .otherwise(lit(0.0))), 6).as("mrr"),
+      sum(when(inK && col("g") > 0, 1).otherwise(0)).as("n_rel_ret"))
     val iw = Window.partitionBy("qid").orderBy(col("grade").desc, col("doc_id").asc)
     val ideal = qrels.where(col("grade") > 0)
       .withColumn("irank", row_number().over(iw))
@@ -469,8 +475,10 @@ object Retrieval {
     // (results ∪ qrels).distinct ⟕ perQ: that shape referenced `results`
     // — the entire retrieval lineage — twice, with different projections
     // below the exchanges, so no stage could be reused and the BM25 chain
-    // executed twice per eval (the round-12 bench regression). Every
-    // retrieved query has a rank-1 row, so perQ's qid set IS results'.
+    // executed twice per eval (the round-12 bench regression). perQ
+    // aggregates over ALL results rows (the k cut lives inside the
+    // aggregate), so its qid set IS results' — including queries whose
+    // rows all sit above k.
     val judged = qrels.select(col("qid")).distinct()
     perQ
       .join(judged, Seq("qid"), "full_outer")

@@ -85,22 +85,37 @@ object LlmQueries {
     Similarity.readIndex(s, indexDir)
   }
 
+  /**
+   * Shared store-memo discipline (ONE point of truth for every build-once
+   * scratch artifact): a layout-versioned root (bump it when the layout
+   * changes), the corpus fingerprint key (row count + max id — the driver
+   * regenerates testdata wholesale, so any corpus change moves the key
+   * and a stale store can never serve), and a guard on the READER's own
+   * predicate so a crash mid-build rebuilds instead of serving a
+   * half-store forever. The two ANN memos keep their own key builder —
+   * their paths additionally carry every quantizer knob.
+   */
+  private def storeMemo(
+      fpFrame: DataFrame, idCol: String, dir: String, root: String)(
+      committed: String => Boolean)(build: String => Unit): String = {
+    val fp = fpFrame.agg(count(lit(1)), max(col(idCol))).collect()(0)
+    val path = s"${sys.props("java.io.tmpdir")}/$root/" +
+      s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
+    if (!committed(path)) build(path)
+    path
+  }
+
   /** Deterministic JSONL dump of the documents table (memoized under /tmp
     * per corpus fingerprint): one JSON object per line, and every 97th
     * doc's line truncated by one character — chopping the closing brace
     * plants the real-world failure mode (a truncated crawl shard) in
     * closed form, so the DuckDB oracle predicts exactly which rows ingest
     * as corrupt without parsing any JSON itself. */
-  private def jsonlDump(s: SparkSession, dir: String): String = {
-    val d = docs(s, dir)
-    val fp = d.agg(count(lit(1)), max(col("doc_id"))).collect()(0)
-    val path =
-      s"${sys.props("java.io.tmpdir")}/graft_jsonl_v1/" +
-        s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
-    val done = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val hfs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!hfs.exists(done)) {
-      d.select(
+  private def jsonlDump(s: SparkSession, dir: String): String =
+    storeMemo(docs(s, dir), "doc_id", dir, "graft_jsonl_v1")(p =>
+      ManifestStore.fs(s, p)
+        .exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) { path =>
+      docs(s, dir).select(
           col("doc_id"),
           to_json(struct(
             col("doc_id"), col("lang"), col("source"), col("n_chars"),
@@ -111,22 +126,14 @@ object LlmQueries {
             .as("value"))
         .write.mode("overwrite").text(path)
     }
-    path
-  }
 
   /** Build-once memo for the persisted lexical (BM25) index — same
     * layout-versioned, corpus-fingerprinted scratch path discipline as
     * [[persistedIndex]]: bench's warm-up pays the one-time build, the
     * measured line is serving-only latency. */
-  private def lexIndexDir(s: SparkSession, dir: String): String = {
-    val d = docs(s, dir)
-    val fp = d.agg(count(lit(1)), max(col("doc_id"))).collect()(0)
-    val path =
-      s"${sys.props("java.io.tmpdir")}/graft_lex_index_v1/" +
-        s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
-    if (!Retrieval.lexIndexCommitted(path)) Retrieval.writeLexIndex(d, path)
-    path
-  }
+  private def lexIndexDir(s: SparkSession, dir: String): String =
+    storeMemo(docs(s, dir), "doc_id", dir, "graft_lex_index_v1")(
+      Retrieval.lexIndexCommitted)(Retrieval.writeLexIndex(docs(s, dir), _))
 
   /** Build-once memo for the TOMBSTONE-DELETED lexical index: the full
     * corpus is indexed, then every `doc_id % 7 == 3` document is deleted
@@ -134,19 +141,14 @@ object LlmQueries {
     * over the corpus minus those docs (df, N and avgdl all adjusted), the
     * rebuild-parity contract under the driver's oracle gate. A separate
     * memo path from [[lexIndexDir]]: deletion mutates index state. */
-  private def lexIndexDeletedDir(s: SparkSession, dir: String): String = {
-    val d = docs(s, dir)
-    val fp = d.agg(count(lit(1)), max(col("doc_id"))).collect()(0)
-    val path =
-      s"${sys.props("java.io.tmpdir")}/graft_lex_index_del_v1/" +
-        s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
-    if (!Retrieval.lexIndexCommitted(path)) {
+  private def lexIndexDeletedDir(s: SparkSession, dir: String): String =
+    storeMemo(docs(s, dir), "doc_id", dir, "graft_lex_index_del_v1")(
+      Retrieval.lexIndexCommitted) { path =>
+      val d = docs(s, dir)
       Retrieval.writeLexIndex(d, path)
       Retrieval.deleteFromLexIndex(
         d.where(col("doc_id") % 7 === 3).select("doc_id"), path)
     }
-    path
-  }
 
   /** Build-once memo for the persisted INCREMENTAL minhash index over
     * [[docsWithNearDups]]: built from the even-id half, the odd-id half
@@ -159,17 +161,13 @@ object LlmQueries {
   def minhashIndexDirFor(s: SparkSession, dir: String): String =
     minhashIndexDir(s, dir)
 
-  private def minhashIndexDir(s: SparkSession, dir: String): String = {
-    val d = docs(s, dir)
-    val fp = d.agg(count(lit(1)), max(col("doc_id"))).collect()(0)
-    val path =
-      s"${sys.props("java.io.tmpdir")}/graft_mh_index_v2/" +
-        s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
+  private def minhashIndexDir(s: SparkSession, dir: String): String =
     // guard on the READER's predicate — a committed verified-pair
     // generation, not just a band store — so a crash between the band
     // commits and the verdict commit rebuilds instead of silently serving
     // the verify-everything path forever
-    if (!MinhashIndex.verifiedPairsCommitted(s, path)) {
+    storeMemo(docs(s, dir), "doc_id", dir, "graft_mh_index_v2")(
+      MinhashIndex.verifiedPairsCommitted(s, _)) { path =>
       val all = docsWithNearDups(s, dir)
       MinhashIndex.writeMinhashIndex(
         all.where(col("doc_id") % 2 === 0), path,
@@ -184,8 +182,6 @@ object LlmQueries {
         all, path, "doc_id", "text", shingle = 3, threshold = 0.35,
         maxOccupancy = 64, persistVerdicts = true).count()
     }
-    path
-  }
 
   /** Build-once memo for the two-version card-diff store: the even-id
     * half of [[docs]] upserted as version 1, the odd half appended as
@@ -193,21 +189,16 @@ object LlmQueries {
     * `q_corpus_card_diff` diffs them through time travel. Guarded on the
     * reader's predicate (two committed versions), so a crash mid-build
     * rebuilds instead of serving a one-version store. */
-  private def cardStoreDir(s: SparkSession, dir: String): String = {
-    val d = docs(s, dir)
-    val fp = d.agg(count(lit(1)), max(col("doc_id"))).collect()(0)
-    val path =
-      s"${sys.props("java.io.tmpdir")}/graft_card_store_v1/" +
-        s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
-    if (ManifestStore.versions(s, path).size < 2) {
-      val keyed = d.withColumn("dp", pmod(col("doc_id"), lit(16)).cast("string"))
+  private def cardStoreDir(s: SparkSession, dir: String): String =
+    storeMemo(docs(s, dir), "doc_id", dir, "graft_card_store_v1")(
+      ManifestStore.versions(s, _).size >= 2) { path =>
+      val keyed = docs(s, dir)
+        .withColumn("dp", pmod(col("doc_id"), lit(16)).cast("string"))
       ManifestStore.upsert(
         keyed.where(col("doc_id") % 2 === 0), path, "dp", Seq("dp", "doc_id"), s)
       ManifestStore.upsert(
         keyed.where(col("doc_id") % 2 === 1), path, "dp", Seq("dp", "doc_id"), s)
     }
-    path
-  }
 
   /** Build-once memo for the DECODE-ONCE multimodal feature store: every
     * planted image and WAV is decoded exactly once at store build
@@ -216,14 +207,11 @@ object LlmQueries {
     * committed feature table, so their measured rerun cost is a
     * fingerprint-column scan with ZERO payload decodes — the fix for the
     * 58× rerun outlier the one-shot `q_mm_phash` carries by design. */
-  private def mmFeatureStoreDir(s: SparkSession, dir: String): String = {
-    val d = docs(s, dir)
-    val fp = d.agg(count(lit(1)), max(col("doc_id"))).collect()(0)
-    val path =
-      s"${sys.props("java.io.tmpdir")}/graft_mm_features_v1/" +
-        s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
-    if (ManifestStore.readManifest(s, path).isEmpty) {
+  private def mmFeatureStoreDir(s: SparkSession, dir: String): String =
+    storeMemo(docs(s, dir), "doc_id", dir, "graft_mm_features_v1")(
+      ManifestStore.readManifest(s, _).isDefined) { path =>
       GraftExtensions.register(s)
+      val d = docs(s, dir)
       val images = Multimodal.asAsset(
         col("doc_id"), lit("image"),
         call_function("synth_image", col("doc_id")), col("source"))(d)
@@ -232,39 +220,25 @@ object LlmQueries {
         call_function("synth_wav", col("doc_id")), col("source"))(d)
       Multimodal.writeFeatureStore(images.unionByName(audio), path)
     }
-    path
-  }
 
   /** Build-once memo for the persisted window-count store: the even-id
     * half of [[docsWithNearDups]] ingested as `(h, c)` counts (n = 10),
     * so `q_dedup_substring_inc_indexed` reads the committed skeleton and
     * never re-tokenizes the store-side corpus. */
-  private def spanStoreDir(s: SparkSession, dir: String): String = {
-    val d = docs(s, dir)
-    val fp = d.agg(count(lit(1)), max(col("doc_id"))).collect()(0)
-    val path =
-      s"${sys.props("java.io.tmpdir")}/graft_span_store_v1/" +
-        s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
-    if (!Dedup.spanStoreCommitted(s, path))
+  private def spanStoreDir(s: SparkSession, dir: String): String =
+    storeMemo(docs(s, dir), "doc_id", dir, "graft_span_store_v1")(
+      Dedup.spanStoreCommitted(s, _))(
       Dedup.writeWindowCounts(
         docsWithNearDups(s, dir).where(col("doc_id") % 2 === 0),
-        path, "doc_id", "text", n = 10)
-    path
-  }
+        _, "doc_id", "text", n = 10))
 
   /** Once-per-(sf, corpus-fingerprint) bootstrap of the persisted
     * binary-code store over the embeddings table (dims=64 pinned in the
     * meta), so `q_sim_binary_indexed` serves from the committed codes. */
-  private def binStoreDir(s: SparkSession, dir: String): String = {
-    val e = emb(s, dir)
-    val fp = e.agg(count(lit(1)), max(col("vec_id"))).collect()(0)
-    val path =
-      s"${sys.props("java.io.tmpdir")}/graft_bin_store_v1/" +
-        s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
-    if (!Similarity.binaryCodesCommitted(s, path))
-      Similarity.writeBinaryCodes(e, path, dims = 64)
-    path
-  }
+  private def binStoreDir(s: SparkSession, dir: String): String =
+    storeMemo(emb(s, dir), "vec_id", dir, "graft_bin_store_v1")(
+      Similarity.binaryCodesCommitted(s, _))(
+      Similarity.writeBinaryCodes(emb(s, dir), _, dims = 64))
 
   /** The multi-line plant shared by the paragraph-dedup family: a global
     * banner, the doc's own (suffix-uniqued) body, and a mod-7 shared
@@ -281,17 +255,11 @@ object LlmQueries {
     * line-hash store: the even half of [[plantedParagraphs]] committed as
     * distinct hashes, so `q_dedup_paragraph_inc_indexed` reads the
     * committed store and never rescans the store-side corpus. */
-  private def paraStoreDir(s: SparkSession, dir: String): String = {
-    val d = docs(s, dir)
-    val fp = d.agg(count(lit(1)), max(col("doc_id"))).collect()(0)
-    val path =
-      s"${sys.props("java.io.tmpdir")}/graft_para_store_v2/" +
-        s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
-    if (!Dedup.lineStoreCommitted(s, path))
+  private def paraStoreDir(s: SparkSession, dir: String): String =
+    storeMemo(docs(s, dir), "doc_id", dir, "graft_para_store_v2")(
+      Dedup.lineStoreCommitted(s, _))(
       Dedup.writeLineHashes(
-        plantedParagraphs(s, dir).where(col("doc_id") % 2 === 0), path, "text")
-    path
-  }
+        plantedParagraphs(s, dir).where(col("doc_id") % 2 === 0), _, "text"))
 
   /** documents ∪ near-dup mutation (drop first 2 tokens, id+1000000). */
   private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
@@ -2245,10 +2213,9 @@ object LlmQueries {
     // the hash
     "q_src_orc" -> ((s, dir) => {
       val d = docs(s, dir)
-      val fp = d.agg(count(lit(1)), max(col("doc_id"))).collect()(0)
-      val path =
-        s"${sys.props("java.io.tmpdir")}/graft_orc_v1/" +
-          s"${new java.io.File(dir).getName}_n${fp.getLong(0)}_x${fp.getLong(1)}"
+      // orcMirror is itself _SUCCESS-guarded, so the memo guard is a
+      // constant-true: the helper only contributes the fingerprint key
+      val path = storeMemo(d, "doc_id", dir, "graft_orc_v1")(_ => true)(_ => ())
       graft.sources.Columnar.orcMirror(s, d, path)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           md5(col("text")).as("text_md5"))

@@ -35,6 +35,12 @@ import graft.ops.{ManifestStore, Similarity}
  */
 object BinaryIngestStream {
 
+  /** `dims` is the STORE's committed width, read back from the pinned
+    * meta — not the attach parameter — so a consumer keying width alerts
+    * on the report sees what is actually pinned; −1 until the first
+    * non-empty batch bootstraps the store (nothing is committed yet, and
+    * reporting the attach-time wish as a pin would mask a later
+    * different-width producer's loud failure). */
   final case class BatchReport(batchId: Long, nVectors: Long, dims: Int)
 
   def attach(
@@ -50,7 +56,7 @@ object BinaryIngestStream {
           Similarity.writeBinaryCodes(
             pinned.dropDuplicates(Seq(idCol)), storeDir, dims, idCol, vecCol)
         val stored = ManifestStore.readVersioned(spark, storeDir, "_bincodes")
-          .map(_._2.trim.stripPrefix("dims\t").toInt).getOrElse(dims)
+          .map(_._2.trim.stripPrefix("dims\t").toInt).getOrElse(-1)
         onReport(BatchReport(id, n, stored))
       } finally DriftStream.release(pinned)
     }

@@ -87,7 +87,9 @@ class BinaryIngestStreamSpec extends SparkSpec {
       ms.addData(Seq.empty[(Long, Array[Float])]: _*)
       q.processAllAvailable()
     } finally q.stop()
-    assert(reports.forall(_.nVectors == 0L))
+    assert(reports.forall(r => r.nVectors == 0L && r.dims == -1),
+      "pre-bootstrap reports must carry dims = -1 (nothing pinned), " +
+        s"got $reports")
     assert(!Similarity.binaryCodesCommitted(spark, dir),
       "an empty stream must not bootstrap a store")
   }

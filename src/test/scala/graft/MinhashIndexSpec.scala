@@ -214,28 +214,52 @@ class MinhashIndexSpec extends SparkSpec {
       corrupted, dir, threshold = 0.35, maxOccupancy = 64)) == full)
   }
 
-  test("vmeta discipline: a serve at a different (shingle, threshold) ignores " +
-    "stored verdicts and verifies fresh; persisting mismatched verdicts fails loud") {
+  test("vmeta discipline: thresholds AT OR ABOVE the pinned bar reuse verdicts " +
+    "(exact-jaccard re-filter — corrupted-corpus probe); lower thresholds and " +
+    "other shingles verify fresh; persisting off-identity fails loud") {
     val dir = tmpDir("mh_vmeta")
     MinhashIndex.writeMinhashIndex(corpus, dir)
     MinhashIndex.nearDuplicatesIndexed(
       corpus, dir, threshold = 0.35, maxOccupancy = 64, persistVerdicts = true).count()
-    // different threshold: stored passes at 0.35 say nothing — must re-verify
-    // (the REAL corpus feeds it, so the answer is the fresh one)
+    // tighter bar: a pass at 0.35 carries its exact jaccard and a fail
+    // cannot reach 0.8 — full coverage means the corpus text is never
+    // consulted, so the corrupted probe must still give the true answer
     assert(verifiedSet(MinhashIndex.nearDuplicatesIndexed(
-      corpus, dir, threshold = 0.8, maxOccupancy = 64)) ==
+      corrupted, dir, threshold = 0.8, maxOccupancy = 64)) ==
       oneShotVerified(corpus, 0.8))
+    // looser bar: stored fails at 0.35 say nothing about 0.2 — must
+    // re-verify (the REAL corpus feeds it; the corrupted probe would lie)
+    assert(verifiedSet(MinhashIndex.nearDuplicatesIndexed(
+      corpus, dir, threshold = 0.2, maxOccupancy = 64)) ==
+      oneShotVerified(corpus, 0.2))
+    // different VERIFICATION shingle: incomparable to the stored verdicts,
+    // so the serve re-verifies the stored (shingle-3-banded) candidates at
+    // 4-shingle Jaccard — equal to the explicit fresh composition
+    assert(verifiedSet(MinhashIndex.nearDuplicatesIndexed(
+      corpus, dir, shingle = 4, threshold = 0.35, maxOccupancy = 64)) ==
+      verifiedSet(Dedup.verifyJaccard(
+          MinhashIndex.candidatePairsIndexed(spark, dir, maxOccupancy = 64),
+          corpus, "doc_id", "text", shingle = 4, minJaccard = 0.35)
+        .where(col("jaccard") >= 0.35)))
     val exServe = intercept[IllegalArgumentException] {
       MinhashIndex.nearDuplicatesIndexed(
         corpus, dir, threshold = 0.8, maxOccupancy = 64, persistVerdicts = true)
     }
     assert(exServe.getMessage.contains("incomparable"))
+    // the batch feed must fail BEFORE mutating anything: failing after
+    // the band commit would leave the delta appended, and the corrected
+    // retry would append it AGAIN — doubled occupancy partials would then
+    // silently cap its buckets at half their true occupancy
+    val before = MinhashIndex.minhashIndexStats(spark, dir).get
     val exBatch = intercept[IllegalArgumentException] {
       MinhashIndex.nearDuplicatesForBatch(
         corpus.limit(1), corpus, dir, shingle = 4, threshold = 0.35,
         maxOccupancy = 64)
     }
     assert(exBatch.getMessage.contains("incomparable"))
+    val after = MinhashIndex.minhashIndexStats(spark, dir).get
+    assert(after.version == before.version && after.segments == before.segments,
+      s"a rejected batch feed mutated the store: $before -> $after")
   }
 
   test("delete drops stored verdicts for the victim's pairs; compaction folds " +
