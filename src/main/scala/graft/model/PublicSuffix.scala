@@ -27,25 +27,58 @@ package graft.model
  */
 object PublicSuffix {
 
+  /** All 47 Japanese prefectures — each `<pref>.jp` is a public suffix. */
+  private val JpPrefectures: Seq[String] = Seq(
+    "aichi", "akita", "aomori", "chiba", "ehime", "fukui", "fukuoka",
+    "fukushima", "gifu", "gunma", "hiroshima", "hokkaido", "hyogo",
+    "ibaraki", "ishikawa", "iwate", "kagawa", "kagoshima", "kanagawa",
+    "kochi", "kumamoto", "kyoto", "mie", "miyagi", "miyazaki", "nagano",
+    "nagasaki", "nara", "niigata", "oita", "okayama", "okinawa", "osaka",
+    "saga", "saitama", "shiga", "shimane", "shizuoka", "tochigi",
+    "tokushima", "tokyo", "tottori", "toyama", "wakayama", "yamagata",
+    "yamaguchi", "yamanashi")
+
+  /** US state/territory codes — `<st>.us` and `k12.<st>.us` are public
+    * suffixes (the locality scheme). */
+  private val UsStates: Seq[String] = Seq(
+    "ak", "al", "ar", "az", "ca", "co", "ct", "dc", "de", "fl", "ga",
+    "hi", "ia", "id", "il", "in", "ks", "ky", "la", "ma", "md", "me",
+    "mi", "mn", "mo", "ms", "mt", "nc", "nd", "ne", "nh", "nj", "nm",
+    "nv", "ny", "oh", "ok", "or", "pa", "ri", "sc", "sd", "tn", "tx",
+    "ut", "va", "vt", "wa", "wi", "wv", "wy")
+
+  /** Chinese province/municipality codes — `<prov>.cn` second-levels. */
+  private val CnProvinces: Seq[String] = Seq(
+    "ah", "bj", "cq", "fj", "gd", "gs", "gx", "gz", "ha", "hb", "he",
+    "hi", "hl", "hn", "jl", "js", "jx", "ln", "nm", "nx", "qh", "sc",
+    "sd", "sh", "sn", "sx", "tj", "xj", "xz", "yn", "zj")
+
+  /** South Korean metropolitan cities + provinces — `<x>.kr`. */
+  private val KrRegions: Seq[String] = Seq(
+    "busan", "chungbuk", "chungnam", "daegu", "daejeon", "gangwon",
+    "gwangju", "gyeongbuk", "gyeonggi", "gyeongnam", "incheon", "jeju",
+    "jeonbuk", "jeonnam", "seoul", "ulsan")
+
   /** Normal multi-label rules (the `co.uk` class). */
   val rules: Set[String] = Set(
     // United Kingdom
     "ac.uk", "co.uk", "gov.uk", "ltd.uk", "me.uk", "net.uk", "nhs.uk",
     "org.uk", "plc.uk", "police.uk", "sch.uk",
-    // Japan — organizational + prefectures (cities are wildcards below)
+    // Japan — organizational (prefectures generated below, designated
+    // cities are wildcards)
     "ac.jp", "ad.jp", "co.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp", "ne.jp",
-    "or.jp", "hokkaido.jp", "tokyo.jp", "osaka.jp", "kyoto.jp", "aichi.jp",
-    "kanagawa.jp", "saitama.jp", "chiba.jp", "hyogo.jp", "fukuoka.jp",
-    "shizuoka.jp", "hiroshima.jp", "miyagi.jp", "nagano.jp", "niigata.jp",
-    "okinawa.jp", "nara.jp", "gifu.jp", "gunma.jp", "tochigi.jp",
-    "ibaraki.jp", "mie.jp", "kumamoto.jp", "kagoshima.jp", "yamaguchi.jp",
-    // Australia
+    "or.jp",
+    // Australia — organizational + state/territory second-levels
     "asn.au", "com.au", "edu.au", "gov.au", "id.au", "net.au", "org.au",
-    // Brazil
+    "act.au", "nsw.au", "nt.au", "qld.au", "sa.au", "tas.au", "vic.au",
+    "wa.au",
+    // Brazil — the common professional/sectoral second-levels
     "com.br", "edu.br", "gov.br", "mil.br", "net.br", "org.br",
-    // China
+    "adv.br", "art.br", "blog.br", "eco.br", "eng.br", "med.br",
+    "mus.br", "nom.br", "not.br", "pro.br", "rec.br", "srv.br",
+    "tur.br", "tv.br", "vet.br", "wiki.br",
+    // China — organizational (provinces generated below)
     "ac.cn", "com.cn", "edu.cn", "gov.cn", "mil.cn", "net.cn", "org.cn",
-    "bj.cn", "sh.cn", "gd.cn", "zj.cn", "js.cn",
     // India
     "ac.in", "co.in", "edu.in", "firm.in", "gen.in", "gov.in", "ind.in",
     "mil.in", "net.in", "nic.in", "org.in", "res.in",
@@ -55,10 +88,9 @@ object PublicSuffix {
     // South Africa
     "ac.za", "co.za", "edu.za", "gov.za", "law.za", "mil.za", "net.za",
     "nom.za", "org.za", "school.za", "web.za",
-    // South Korea
+    // South Korea — organizational (regions generated below)
     "ac.kr", "co.kr", "es.kr", "go.kr", "hs.kr", "kg.kr", "mil.kr",
-    "ms.kr", "ne.kr", "or.kr", "pe.kr", "re.kr", "sc.kr", "seoul.kr",
-    "busan.kr",
+    "ms.kr", "ne.kr", "or.kr", "pe.kr", "re.kr", "sc.kr",
     // Taiwan
     "club.tw", "com.tw", "ebiz.tw", "edu.tw", "game.tw", "gov.tw",
     "idv.tw", "mil.tw", "net.tw", "org.tw",
@@ -99,15 +131,9 @@ object PublicSuffix {
     "ab.ca", "bc.ca", "gc.ca", "mb.ca", "nb.ca", "nf.ca", "nl.ca",
     "ns.ca", "nt.ca", "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca",
     "yk.ca",
-    // United States (state second-levels)
-    "ak.us", "al.us", "ar.us", "az.us", "ca.us", "co.us", "ct.us",
-    "dc.us", "de.us", "fl.us", "ga.us", "hi.us", "ia.us", "id.us",
-    "il.us", "in.us", "ks.us", "ky.us", "la.us", "ma.us", "md.us",
-    "me.us", "mi.us", "mn.us", "mo.us", "ms.us", "mt.us", "nc.us",
-    "nd.us", "ne.us", "nh.us", "nj.us", "nm.us", "nv.us", "ny.us",
-    "oh.us", "ok.us", "or.us", "pa.us", "ri.us", "sc.us", "sd.us",
-    "tn.us", "tx.us", "ut.us", "va.us", "vt.us", "wa.us", "wi.us",
-    "wv.us", "wy.us",
+    // Ukraine — more regional city second-levels
+    "odessa.ua", "lviv.ua", "kharkiv.ua", "kharkov.ua", "donetsk.ua",
+    "dnipropetrovsk.ua", "zaporizhzhe.ua", "crimea.ua",
     // PSL private section — common hosting suffixes where each tenant is
     // its own registrable domain
     "blogspot.com", "blogspot.co.uk", "blogspot.com.au", "blogspot.com.br",
@@ -119,7 +145,11 @@ object PublicSuffix {
     "azurewebsites.net", "s3.amazonaws.com", "cloudfront.net",
     "wordpress.com", "ngrok.io", "onrender.com", "fly.dev",
     "readthedocs.io", "neocities.org", "glitch.me", "surge.sh",
-    "repl.co")
+    "repl.co") ++
+    JpPrefectures.map(_ + ".jp") ++
+    UsStates.flatMap(st => Seq(s"$st.us", s"k12.$st.us")) ++
+    CnProvinces.map(_ + ".cn") ++
+    KrRegions.map(_ + ".kr")
 
   /** Wildcard rules (`*.x` in PSL syntax), stored as the PARENT `x`: any
     * single label under the parent is a public suffix. */
@@ -127,7 +157,10 @@ object PublicSuffix {
     "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg", "ye",
     // Japanese designated cities: *.city.jp with carve-outs below
     "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp", "sapporo.jp",
-    "sendai.jp", "yokohama.jp")
+    "sendai.jp", "yokohama.jp",
+    // AWS private-section wildcards: every EC2 public hostname is its own
+    // registrable domain (ec2-….compute(-1).amazonaws.com)
+    "compute.amazonaws.com", "compute-1.amazonaws.com")
 
   /** Exception rules (`!x` in PSL syntax), stored WITHOUT the bang: the
     * host is NOT a public suffix despite a wildcard match — its public

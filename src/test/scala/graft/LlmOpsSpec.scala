@@ -1982,6 +1982,15 @@ class LlmOpsSpec extends SparkSpec {
     // IPv4 literal, null input
     assert(reg("co.uk", "com", "", "a..b", "192.168.0.1", null) ==
       Seq(null, null, null, null, null, null))
+    // generated families: JP prefectures, US k12 locality scheme, KR
+    // regions, CN provinces — and the EC2-hostname wildcard, where every
+    // instance host is its own registrable domain
+    assert(reg("www.pref.okinawa.jp", "district.k12.wi.us",
+      "my.school.busan.kr", "site.gd.cn",
+      "ec2-1-2-3-4.compute-1.amazonaws.com",
+      "x.ec2-1-2-3-4.compute-1.amazonaws.com") ==
+      Seq("pref.okinawa.jp", "district.k12.wi.us", "school.busan.kr",
+        "site.gd.cn", null, "x.ec2-1-2-3-4.compute-1.amazonaws.com"))
   }
 
   test("Corpus.filterBlockedUrls matchRegistrable: subdomain shards cannot " +
