@@ -704,6 +704,62 @@ object Corpus {
    * ([[graft.ops.ManifestStore.frameAt]]) to diff committed VERSIONS of a
    * persisted corpus: `datasetCardDiff(frameAt(v1), frameAt(v2))`.
    */
+  /**
+   * Per-batch CARD FRAME — the dataset card's sufficient statistics as
+   * ONE mergeable row: the additive exact counts, the exact label SETS
+   * (lang/source are vocabulary-sized; a high-cardinality label belongs
+   * in a sketch column instead), and an HLL sketch of text md5s for the
+   * distinct-content estimate. Append one per ingested batch to a
+   * [[SketchLedger]] (`SketchLedger.append(cardFrame(batch), dir)` in any
+   * foreachBatch) and [[cardFold]] reads the running corpus card WITHOUT
+   * rescanning a single ingested batch — continuous corpus accounting,
+   * the streaming twin of [[datasetCard]].
+   *
+   * Fold laws (spec-pinned): every field except `n_distinct_texts` folds
+   * EXACTLY equal to the one-shot [[datasetCard]] over the union;
+   * `n_distinct_texts` is the HLL estimate — exact while the sketch stays
+   * in its sparse regime, ~2% standard error at corpus scale, the
+   * standard trade for mergeability. [[cardFoldFrame]] is associative
+   * (a fold is itself a card frame), which is what makes
+   * [[SketchLedger.compact]] of a long ledger sound.
+   */
+  def cardFrame(
+      df: DataFrame, textCol: String = "text", langCol: String = "lang",
+      sourceCol: String = "source", charsCol: String = "n_chars"): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col(textCol).isNull, 1L).otherwise(0L)).as("n_null_text"),
+      collect_set(col(langCol)).as("langs"),
+      collect_set(col(sourceCol)).as("sources"),
+      sum(when(col(textCol).isNotNull,
+        size(split(col(textCol), " ")).cast("long")).otherwise(0L))
+        .as("total_tokens"),
+      sum(col(charsCol)).as("total_chars"),
+      hll_sketch_agg(md5(col(textCol))).as("text_hll"))
+
+  /** Mergeable fold of card frames — same schema as [[cardFrame]], so
+    * folds compose (ledger compaction re-appends this one row). */
+  def cardFoldFrame(frames: DataFrame): DataFrame =
+    frames.agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("n_null_text")).as("n_null_text"),
+      array_distinct(flatten(collect_list(col("langs")))).as("langs"),
+      array_distinct(flatten(collect_list(col("sources")))).as("sources"),
+      sum(col("total_tokens")).as("total_tokens"),
+      sum(col("total_chars")).as("total_chars"),
+      hll_union_agg(col("text_hll")).as("text_hll"))
+
+  /** The READABLE running card from accumulated card frames (a
+    * [[SketchLedger.read]] result): [[datasetCard]]'s column shape, with
+    * `n_distinct_texts` the HLL estimate. */
+  def cardFold(frames: DataFrame): DataFrame =
+    cardFoldFrame(frames).select(
+      col("n_docs"), col("n_null_text"),
+      size(col("langs")).cast("long").as("n_langs"),
+      size(col("sources")).cast("long").as("n_sources"),
+      col("total_tokens"), col("total_chars"),
+      hll_sketch_estimate(col("text_hll")).as("n_distinct_texts"))
+
   def datasetCardDiff(
       a: DataFrame, b: DataFrame, textCol: String = "text",
       langCol: String = "lang", sourceCol: String = "source",

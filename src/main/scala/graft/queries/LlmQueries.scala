@@ -904,6 +904,21 @@ object LlmQueries {
     // (count-distincts expand map-side; no per-signal rescans)
     "q_corpus_card" -> ((s, dir) => Corpus.datasetCard(docs(s, dir))),
 
+    // Continuous-accounting fold law on its ORACLE-EXACT surface: three
+    // per-batch card frames (mod-3 corpus slices) folded must equal the
+    // one-shot card over the whole table on every exact field. The HLL
+    // distinct-text estimate is deliberately dropped here (not DuckDB-
+    // replayable once the sketch leaves its sparse regime) — its
+    // exactness-in-sparse-regime and compaction laws live in
+    // PersistenceSpec's ledger test.
+    "q_corpus_card_ledger" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.cardFold(
+        (0 to 2).map(k => Corpus.cardFrame(d.where(col("doc_id") % 3 === k)))
+          .reduce(_.unionByName(_)))
+        .drop("n_distinct_texts")
+    }),
+
     // Dataset-card DIFF across committed STORE VERSIONS — the release
     // gate for an append-only corpus: a two-version manifest store (v1 =
     // even ids, v2 = +odd ids) read back through time travel (frameAt),
@@ -2590,6 +2605,18 @@ object LlmQueries {
         |                     THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS total_tokens,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+        |FROM documents""".stripMargin,
+
+    // fold law: fold-of-parts == whole, so the oracle is the one-shot card
+    // over the full table (minus the sketch-estimated distinct column)
+    "q_corpus_card_ledger" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(sum(CASE WHEN text IS NOT NULL
+        |                     THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS total_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents""".stripMargin,
 
     // card-diff oracle: the store's two versions are defined by predicate

@@ -159,6 +159,43 @@ class PersistenceSpec extends SparkSpec {
     assert(afterDel("n_docs") == -5L)
   }
 
+  test("card ledger: per-batch card frames fold to the one-shot card " +
+    "(exact fields bit-equal, HLL distinct exact in the sparse regime); " +
+    "folds are associative and survive ledger compaction") {
+    import graft.ops.{Corpus, SketchLedger}
+    import spark.implicits._
+    def corpus(ids: Range) = ids.map(i =>
+      (i.toLong, if (i % 11 == 0) null else s"text ${i % 40} body",
+        if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr",
+        s"src${i % 4}", 5L + i % 9))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val all = corpus(0 until 90)
+    val dir = tmpDir("card_ledger")
+    Seq(0 until 30, 30 until 60, 60 until 90).foreach(r =>
+      SketchLedger.append(Corpus.cardFrame(corpus(r)), dir))
+    val folded = Corpus.cardFold(SketchLedger.read(spark, dir).get)
+      .collect()(0)
+    val oneShot = Corpus.datasetCard(all).collect()(0)
+    for (f <- Seq("n_docs", "n_null_text", "n_langs", "n_sources",
+        "total_tokens", "total_chars"))
+      assert(folded.getAs[Long](f) == oneShot.getAs[Long](f),
+        s"$f folded ${folded.getAs[Long](f)} != one-shot ${oneShot.getAs[Long](f)}")
+    // ~41 distinct texts: deep inside the HLL sparse regime → exact
+    assert(folded.getAs[Long]("n_distinct_texts") ==
+      oneShot.getAs[Long]("n_distinct_texts"))
+    // associativity: compacting the ledger to one folded FRAME serves the
+    // same card afterwards (and for appends landing after the compact)
+    SketchLedger.compact(
+      Corpus.cardFoldFrame(SketchLedger.read(spark, dir).get), dir)
+    assert(SketchLedger.status(spark, dir).get._2 == 1)
+    SketchLedger.append(Corpus.cardFrame(corpus(90 until 120)), dir)
+    val after = Corpus.cardFold(SketchLedger.read(spark, dir).get).collect()(0)
+    val full = Corpus.datasetCard(corpus(0 until 120)).collect()(0)
+    for (f <- Seq("n_docs", "n_langs", "total_tokens", "n_distinct_texts"))
+      assert(after.getAs[Long](f) == full.getAs[Long](f),
+        s"post-compact $f ${after.getAs[Long](f)} != ${full.getAs[Long](f)}")
+  }
+
   test("S4: the keyed historical read is partition-pruned") {
     val dir = tmpDir("stmts_prune")
     FinOps.writeStatements(FinOps.toStatementItems(statement), dir)
