@@ -66,12 +66,24 @@ object IngestPipeline {
    * Wire the pipeline. `docs` must carry `idCol`, `textCol`, `keyCol`
    * (the rate-limit key) and `partCol` (the table partition column);
    * `ref` is the drift reference for `keyCol`'s distribution.
+   *
+   * CARD LEDGER (optional): with `cardLedger = Some(dir)`, every batch's
+   * FRESH survivors — exactly the rows the table accumulates — append one
+   * [[graft.ops.Corpus.cardFrame]] row (label sets keyed on `keyCol` /
+   * `partCol`, char mass = text length) to a [[graft.ops.SketchLedger]]
+   * at `dir`, so `Corpus.cardFold(SketchLedger.read(...))` is the RUNNING
+   * DATASET CARD of the ingested corpus at any moment, with no batch ever
+   * rescanned. The ledger commits independently of the (possibly grouped)
+   * table upsert — a crash can leave it up to one group ahead of the
+   * table, the same advisory-statistics trade the vector ingest's moments
+   * ledger states.
    */
   def attach(
       docs: DataFrame, idCol: String, textCol: String, keyCol: String,
       partCol: String, tablePath: String, ref: DataFrame,
       cap: Long, psiThreshold: Double = 0.25,
-      seed: Option[DataFrame] = None, commitEvery: Int = 1)(
+      seed: Option[DataFrame] = None, commitEvery: Int = 1,
+      cardLedger: Option[String] = None)(
       onReport: BatchReport => Unit): Handle = {
     require(commitEvery >= 1, s"commitEvery must be >= 1, got $commitEvery")
     val spark = docs.sparkSession
@@ -120,6 +132,13 @@ object IngestPipeline {
           .localCheckpoint()
         val nFresh = fresh.count()
         if (nFresh > 0) {
+          cardLedger.foreach { dir =>
+            graft.ops.SketchLedger.append(
+              graft.ops.Corpus.cardFrame(
+                fresh.withColumn("_len", length(col(textCol)).cast("long")),
+                textCol, keyCol, partCol, "_len"),
+              dir)
+          }
           val grown = seenFps
             .unionByName(Dedup.seenFingerprints(fresh, textCol))
             .distinct()
@@ -152,10 +171,11 @@ object IngestPipeline {
       docs: DataFrame, idCol: String, textCol: String, keyCol: String,
       partCol: String, tablePath: String, ref: DataFrame,
       cap: Long, psiThreshold: Double = 0.25,
-      seed: Option[DataFrame] = None, commitEvery: Int = 1)(
+      seed: Option[DataFrame] = None, commitEvery: Int = 1,
+      cardLedger: Option[String] = None)(
       onReport: BatchReport => Unit): (StreamingQuery, Handle) = {
     val h = attach(docs, idCol, textCol, keyCol, partCol, tablePath, ref,
-      cap, psiThreshold, seed, commitEvery)(onReport)
+      cap, psiThreshold, seed, commitEvery, cardLedger)(onReport)
     (h.writer.start(), h)
   }
 }

@@ -65,6 +65,43 @@ class IngestPipelineSpec extends SparkSpec {
       s"checkpoint residue: $residentBefore resident before, $residentAfter after")
   }
 
+  test("card ledger rides the ingest: fold over the per-batch frames == " +
+    "the dataset card of exactly what the table accumulated") {
+    import graft.ops.{Corpus, SketchLedger}
+    import org.apache.spark.sql.functions.{col, length}
+    implicit val ctx = spark.sqlContext
+    val dir = tmpDir("ingest_card")
+    val ledger = tmpDir("ingest_card_ledger")
+    val ref = (Seq.fill(2)("a") ++ Seq.fill(2)("b")).toDF("source")
+    val ms = MemoryStream[(Long, String, String)]
+    val (q, _) = IngestPipeline.start(
+      ms.toDS().toDF("id", "text", "source"),
+      idCol = "id", textCol = "text", keyCol = "source", partCol = "source",
+      tablePath = dir, ref = ref, cap = 10L,
+      cardLedger = Some(ledger))(_ => ())
+    try {
+      ms.addData((1L, "alpha", "a"), (2L, "beta", "a"), (3L, "alpha", "b"))
+      q.processAllAvailable()
+      ms.addData((4L, "alpha", "a"), (5L, "gamma delta", "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // two batches with fresh survivors → two committed card frames
+    assert(SketchLedger.status(spark, ledger).get._2 == 2)
+    val folded = Corpus.cardFold(SketchLedger.read(spark, ledger).get)
+      .collect()(0)
+    // the reference card: EXACTLY the table's accumulated rows, with the
+    // pipeline's column mapping (label sets = source twice, chars = len)
+    val table = ManifestStore.currentFrame(spark, dir, "source").get
+    val want = Corpus.cardFold(Corpus.cardFrame(
+        table.withColumn("_len", length(col("text")).cast("long")),
+        "text", "source", "source", "_len"))
+      .collect()(0)
+    for (f <- Seq("n_docs", "n_null_text", "n_langs", "n_sources",
+        "total_tokens", "total_chars", "n_distinct_texts"))
+      assert(folded.getAs[Long](f) == want.getAs[Long](f),
+        s"$f: ledger ${folded.getAs[Long](f)} != table ${want.getAs[Long](f)}")
+  }
+
   test("group commit (commitEvery=3): rows buffer, one commit per group, flush drains the remainder — every row accounted") {
     implicit val ctx = spark.sqlContext
     val dir = tmpDir("ingest_gc")
