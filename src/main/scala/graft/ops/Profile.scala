@@ -671,6 +671,41 @@ object Profile {
    * more than the final `bins`-row aggregate. Spark's `percentile`
    * interpolation matches DuckDB's `quantile_cont` exactly on 2-dp input.
    */
+  /**
+   * Calibration (reliability-diagram) report for ANY scorer whose score
+   * claims to be a probability: rows bucketed by `floor(score·bins)`
+   * (top bucket closed), per bucket the volume, positive count, and the
+   * 6-dp-rounded mean score — `n_pos/n` vs `mean_score` per row IS the
+   * reliability curve, and the gap is the calibration error the operator
+   * reads before trusting a threshold gate. The generic face of
+   * [[TextOps.nbMarginReliability]]: that one buckets an engine-exact NB
+   * margin; this one takes any `(score ∈ [0,1], label)` pair — a quality
+   * classifier, a fuzzy-match confidence, an external model's export.
+   *
+   * One partial-aggregatable pass; bucketing is IEEE multiply+floor
+   * (engine-exact, no libm), and the mean sums 4-dp-QUANTIZED integer
+   * score units — a raw double sum is order-nondeterministic across
+   * engines and would hang the oracle hash on reduction order, the same
+   * reason money sums integer cents everywhere here. Null scores/labels
+   * are excluded (not scored ≠ scored 0).
+   */
+  def calibrationReport(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(
+        least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("long").as("bucket"),
+        round(col(scoreCol) * 10000).cast("long").as("_s4"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("_pos"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_pos")).as("n_pos"),
+        round(sum(col("_s4")) / (count(lit(1)) * lit(10000.0)), 6)
+          .as("mean_score"))
+  }
+
   def equiDepthHistogram(df: DataFrame, c: String, bins: Int): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     val nn = df.where(col(c).isNotNull).select(col(c).cast("double").as("_x"))

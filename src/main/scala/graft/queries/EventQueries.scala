@@ -219,6 +219,21 @@ object EventQueries {
           k = 500, probs = Seq(0.25, 0.5, 0.75, 0.9))
         .orderBy("p")),
 
+    // Calibration (reliability-diagram) report for ANY probability-scored
+    // gate: a planted MIS-calibrated scorer (score = (id%101)/100, label
+    // true iff (id%97)·10 < (id%101)·8 — integer compare, engine-exact)
+    // bucketed into deciles; per bucket volume, positives, and the
+    // 4-dp-quantized integer-summed mean score. n_pos/n vs mean_score per
+    // row is the curve an operator reads before trusting a threshold.
+    "q_profile_calibration" -> ((s, dir) => {
+      val d = Tpch.read(s, dir, "documents").select(
+        col("doc_id"),
+        ((col("doc_id") % 101) / lit(100.0)).as("score"),
+        ((col("doc_id") % 97) * 10 < (col("doc_id") % 101) * 8).as("label"))
+      Profile.calibrationReport(d, "score", "label", bins = 10)
+        .orderBy("bucket")
+    }),
+
     // Trailing-window rate-spike detection over the DENSE per-user daily
     // series: cross-multiplied integer comparison (cnt·m > 3·trail_sum),
     // zero-filled quiet days included — bit-exact on any engine
@@ -810,6 +825,20 @@ object EventQueries {
         |SELECT (SELECT CAST(MIN(p) AS BIGINT) FROM ip) AS est_join_rows,
         |       CAST(ex.x AS BIGINT) AS exact_join_rows
         |FROM ex""".stripMargin,
+
+    "q_profile_calibration" ->
+      """WITH s AS (SELECT doc_id,
+        |             (doc_id % 101) / 100.0 AS score,
+        |             ((doc_id % 97) * 10 < (doc_id % 101) * 8) AS label
+        |           FROM documents),
+        |b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bucket,
+        |             CAST(round(score * 10000) AS BIGINT) AS s4,
+        |             CASE WHEN label THEN 1 ELSE 0 END AS pos
+        |      FROM s)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(pos) AS BIGINT) AS n_pos,
+        |       round(sum(s4) / (count(*) * 10000.0), 6) AS mean_score
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_profile_drift" ->
       """WITH r AS (SELECT event_type AS key, count(*) AS ref_cnt FROM events

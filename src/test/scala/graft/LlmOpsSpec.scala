@@ -448,6 +448,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(p("v") == ((1L, 2L, "a", "b"))) // null excluded from distinct and extremes
   }
 
+  test("Profile.calibrationReport: decile buckets with closed top, " +
+    "n_pos/mean per bucket, null scores and labels excluded") {
+    import graft.ops.Profile
+    val d = Seq(
+      (0.05, Some(false)), (0.08, Some(false)),   // bucket 0: 0/2 pos
+      (0.55, Some(true)), (0.58, Some(false)),    // bucket 5: 1/2 pos
+      (0.95, Some(true)), (1.0, Some(true)),      // bucket 9 (1.0 closes in)
+      (0.42, None),                                // null label: excluded
+      (Double.NaN, Some(true)))                    // NaN rides to a bucket? no:
+      .toDF("score", "label")
+      // plant the null score via a where-replace (NaN would floor oddly)
+      .withColumn("score", when(isnan($"score"), lit(null)).otherwise($"score"))
+    val out = Profile.calibrationReport(d, "score", "label")
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 0L, 0.065), (5L, 2L, 1L, 0.565), (9L, 2L, 2L, 0.975)))
+  }
+
   test("Profile: correlations — perfect +/-1, known value, zero-variance null, complete-case") {
     import graft.ops.Profile
     // y = 2x (corr +1), z = -x (corr -1 with both)
