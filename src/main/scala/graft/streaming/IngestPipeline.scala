@@ -76,7 +76,13 @@ object IngestPipeline {
    * rescanned. The ledger commits independently of the (possibly grouped)
    * table upsert — a crash can leave it up to one group ahead of the
    * table, the same advisory-statistics trade the vector ingest's moments
-   * ledger states.
+   * ledger states. At-least-once honesty: after a crash-restart, a
+   * replayed batch whose rows the RESTARTED dedup state no longer
+   * remembers (it re-seeds from `seed`, not the table) re-counts them in
+   * the ledger even though the table's keyed upsert absorbs them — fold
+   * drift, not table corruption. Recovery is one line: re-derive
+   * (`cardFrame` over the table, with this pipeline's column mapping) and
+   * [[graft.ops.SketchLedger.compact]] the ledger to that frame.
    */
   def attach(
       docs: DataFrame, idCol: String, textCol: String, keyCol: String,
