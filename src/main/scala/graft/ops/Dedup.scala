@@ -1449,6 +1449,35 @@ object Dedup {
   }
 
   /**
+   * Per-eval-document CONTAMINATION REPORT — the artifact an eval-suite
+   * owner actually reads: one row per eval doc (INCLUDING clean ones, the
+   * half a pair list silently omits) with its worst corpus containment
+   * and how many corpus documents sit at or above the gate. `max_containment`
+   * below `threshold` but well above zero is the actionable middle band a
+   * pair feed filtered at the gate never surfaces. Same fingerprint
+   * machinery and join mass as [[overlapContamination]] (the gate filters
+   * after the per-pair aggregate, so scoring every sharing pair costs
+   * nothing extra); eval docs too short to fingerprint report clean —
+   * UNDETECTABLE by this tier, not certified absent (use the exact tier
+   * for those).
+   */
+  def contaminationReport(
+      corpus: DataFrame, evalSet: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, n: Int = 3, w: Int = 4): DataFrame = {
+    val pairs = overlapContamination(
+      corpus, evalSet, idCol, textCol, threshold = 0.0, n = n, w = w)
+    evalSet.select(col(idCol).as("eval_id"))
+      .join(pairs, Seq("eval_id"), "left")
+      .groupBy("eval_id")
+      .agg(
+        round(max(coalesce(col("containment"), lit(0.0))), 6)
+          .as("max_containment"),
+        sum(when(col("containment") >= threshold, 1L).otherwise(0L))
+          .as("n_contaminating"))
+      .withColumn("contaminated", col("n_contaminating") > 0)
+  }
+
+  /**
    * Containment / partial-overlap detection over winnowing fingerprints
    * ([[TextOps.winnow]] / [[TextOps.winnowNative]] `(id, fp)` rows):
    * candidate pairs share ≥ 1 fingerprint — an equi-join on `fp`, so

@@ -1319,6 +1319,23 @@ object LlmQueries {
         .orderBy("corpus_id", "eval_id")
     }),
 
+    // Per-eval-doc contamination REPORT over the same plant: every eval
+    // doc emits a row — max corpus containment (6 dp), gate count at 0.8,
+    // and the verdict — including the CLEAN docs a pair feed omits and
+    // the below-gate middle band it filters away
+    "q_contamination_report" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val d = docs(s, dir)
+      val toks = split(col("text"), " ")
+      val start = (size(toks) / lit(4)).cast("int") + 1
+      val len = ((size(toks) + 1) / lit(2)).cast("int")
+      val evalSet = d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          array_join(slice(toks, start, len), " ").as("text"))
+      Dedup.contaminationReport(d, evalSet, "doc_id", "text", 0.8)
+        .orderBy("eval_id")
+    }),
+
     // Winnowing fingerprints (min hash per 4-window of 3-shingles) — the
     // MOSS fingerprint set, computed by the zero-shuffle per-row kernel
     "q_text_winnow" -> ((s, dir) => {
@@ -3166,6 +3183,32 @@ object LlmQueries {
          |       FROM shared s JOIN en ON en.id = s.eval_id)
          |SELECT corpus_id, eval_id, containment FROM sc WHERE containment >= 0.8
          |ORDER BY corpus_id, eval_id""".stripMargin,
+
+    // report oracle: the same winnow/containment chain UNFILTERED, then a
+    // per-eval-doc rollup over a LEFT JOIN from the full eval set so clean
+    // (and fingerprint-less) docs emit zero rows too
+    "q_contamination_report" ->
+      s"""WITH ev AS (SELECT doc_id + 5000000 AS doc_id,
+         |         array_to_string(list_slice(string_split(text, ' '),
+         |           (len(string_split(text, ' ')) // 4) + 1,
+         |           (len(string_split(text, ' ')) // 4) + ((len(string_split(text, ' ')) + 1) // 2)), ' ') AS text
+         |       FROM documents WHERE doc_id % 5 = 0),
+         |${winnowCte("documents", "c")},
+         |${winnowCte("ev", "e")},
+         |en AS (SELECT id, count(*) AS n_eval FROM efps GROUP BY id),
+         |shared AS (SELECT c.id AS corpus_id, e.id AS eval_id, count(*) AS shared
+         |           FROM cfps c JOIN efps e ON e.fp = c.fp GROUP BY c.id, e.id),
+         |sc AS (SELECT s.eval_id, CAST(s.shared AS DOUBLE) / en.n_eval AS containment
+         |       FROM shared s JOIN en ON en.id = s.eval_id),
+         |r AS (SELECT ev.doc_id AS eval_id,
+         |             round(max(COALESCE(sc.containment, 0.0)), 6) AS max_containment,
+         |             CAST(sum(CASE WHEN sc.containment >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+         |               AS n_contaminating
+         |      FROM ev LEFT JOIN sc ON sc.eval_id = ev.doc_id
+         |      GROUP BY ev.doc_id)
+         |SELECT eval_id, max_containment, n_contaminating,
+         |       n_contaminating > 0 AS contaminated
+         |FROM r ORDER BY eval_id""".stripMargin,
 
     "q_dedup_containment" ->
       s"""WITH dd AS (SELECT doc_id, text FROM documents

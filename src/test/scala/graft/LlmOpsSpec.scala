@@ -448,6 +448,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(p("v") == ((1L, 2L, "a", "b"))) // null excluded from distinct and extremes
   }
 
+  test("Dedup.contaminationReport: every eval doc emits a row — clean zero, " +
+    "middle band visible below the gate, short docs report clean") {
+    import graft.ops.Dedup
+    graft.GraftExtensions.register(spark)
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "q r s t u v w x y z aa bb cc dd"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq(
+      (101L, "a b c d e f g h i j k l m n o p"), // full copy → containment 1
+      (102L, "a b c d e f g h zz yy xx ww vv uu tt ss"), // partial: below gate
+      (103L, "totally fresh eval content never seen"),   // clean
+      (104L, "xy"))                                      // too short: no fps
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationReport(corpus, evalSet, "doc_id", "text", 0.8)
+      .orderBy("eval_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 4, out.toSeq.toString)
+    assert(out(0) == ((101L, 1.0, 1L, true)), out(0).toString)
+    val mid = out(1)
+    assert(mid._1 == 102L && mid._2 > 0.0 && mid._2 < 0.8 &&
+      mid._3 == 0L && !mid._4, s"middle band must be visible below the gate: $mid")
+    assert(out(2) == ((103L, 0.0, 0L, false)))
+    assert(out(3) == ((104L, 0.0, 0L, false)),
+      "a fingerprint-less doc reports clean (undetectable, not certified)")
+  }
+
   test("Profile.calibrationReport: decile buckets with closed top, " +
     "n_pos/mean per bucket, null scores and labels excluded") {
     import graft.ops.Profile
