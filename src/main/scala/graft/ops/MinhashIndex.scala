@@ -266,10 +266,41 @@ object MinhashIndex {
     pairs
   }
 
+  /** Fail-loud guard for every verdict-committing path: a candidate
+    * document MISSING from the caller's corpus frame vanishes from
+    * [[Dedup.verifyJaccard]]'s size join exactly like a size-prefilter
+    * elimination, so without this check a wrong/partial corpus would
+    * commit decisive `pass = false` verdicts for pairs that were never
+    * examined — and since covered serves reuse stored verdicts without
+    * re-consulting text (by design), one bad-corpus persisting call
+    * would permanently suppress true near-dup pairs with no self-heal.
+    * Cost: one bounded aggregation ∝ candidate mass (the corpus side
+    * prunes to its id column before the anti-join), paid only on
+    * persisting calls — verdict commits are rare and permanent, the
+    * check is cheap insurance against an unrecoverable store. */
+  private def requireCandidatesInCorpus(
+      candidates: DataFrame, corpus: DataFrame, idCol: String,
+      indexDir: String): Unit = {
+    val missing = candidates.select(col("id_a").as("id"))
+      .unionByName(candidates.select(col("id_b").as("id")))
+      .distinct()
+      .join(corpus.select(col(idCol).as("id")), Seq("id"), "left_anti")
+      .limit(5).collect().map(_.get(0))
+    require(missing.isEmpty,
+      s"refusing to persist verdicts under $indexDir: candidate documents " +
+        s"absent from the supplied corpus frame (e.g. ${missing.mkString(", ")}) " +
+        "— their pairs would commit as decisive fails without ever being " +
+        "examined, permanently suppressing true near-dups on every later " +
+        "serve; pass the full accumulated corpus (including this batch)")
+  }
+
   /** Per-candidate disposition rows `(id_a, id_b, jaccard, pass)`:
     * candidates absent from the verify output were eliminated by its size
     * prefilter (they CANNOT reach the threshold) — stored as
-    * `pass = false, jaccard = null` so reruns skip them too. */
+    * `pass = false, jaccard = null` so reruns skip them too. Callers must
+    * run [[requireCandidatesInCorpus]] first: the prefilter-elimination
+    * reading of absence is only sound when every candidate document was
+    * actually present in the verify call's corpus frame. */
   private def dispositions(
       candidates: DataFrame, verified: DataFrame, threshold: Double): DataFrame =
     candidates.select("id_a", "id_b")
@@ -393,12 +424,28 @@ object MinhashIndex {
     if (persistVerdicts)
       requireVmeta(readManifest(spark, indexDir, "nearDuplicatesForBatch")._2,
         indexDir, shingle, threshold)
+    // the documented contract — `corpus` contains the accumulated corpus
+    // INCLUDING `delta` (the ingest table AFTER its upsert) — enforced
+    // BEFORE the append mutates the store: passing the pre-upsert table is
+    // the common way to violate it, and catching it only at the
+    // post-verification candidate check would leave the delta's bands
+    // appended, so the corrected retry would append them AGAIN (doubled
+    // occupancy partials). Cost ∝ batch ids, nothing corpus-sized moves.
+    val missingDelta = delta.select(col(idCol).as("id")).distinct()
+      .join(corpus.select(col(idCol).as("id")), Seq("id"), "left_anti")
+      .limit(5).collect().map(_.get(0))
+    require(missingDelta.isEmpty,
+      s"nearDuplicatesForBatch: delta documents absent from `corpus` " +
+        s"(e.g. ${missingDelta.mkString(", ")}) — pass the accumulated " +
+        "corpus INCLUDING this batch (the ingest table after its upsert)")
     val newPairs = appendToMinhashIndex(delta, indexDir, idCol, textCol, maxOccupancy)
     val verified = Dedup.verifyJaccard(newPairs, corpus, idCol, textCol, shingle,
       minJaccard = threshold).localCheckpoint()
-    if (persistVerdicts && !newPairs.isEmpty)
+    if (persistVerdicts && !newPairs.isEmpty) {
+      requireCandidatesInCorpus(newPairs, corpus, idCol, indexDir)
       commitPairsGen(spark, indexDir,
         dispositions(newPairs, verified, threshold), shingle, threshold)
+    }
     verified.where(col("jaccard") >= threshold)
   }
 
@@ -456,9 +503,11 @@ object MinhashIndex {
         val verifiedFresh = Dedup.verifyJaccard(
           fresh, corpus, idCol, textCol, shingle, minJaccard = threshold)
           .localCheckpoint()
-        if (persistVerdicts && !fresh.isEmpty) // identity pinned by the require
+        if (persistVerdicts && !fresh.isEmpty) { // identity pinned by the require
+          requireCandidatesInCorpus(fresh, corpus, idCol, indexDir)
           commitPairsGen(spark, indexDir,
             dispositions(fresh, verifiedFresh, threshold), shingle, threshold)
+        }
         // the covered verdict re-filters at the serve's bar: pass rows
         // carry exact jaccard; fail rows (jaccard null or < pinned t)
         // cannot reach any threshold ≥ t
@@ -471,9 +520,11 @@ object MinhashIndex {
           c, corpus, idCol, textCol, shingle, minJaccard = threshold)
         if (persistVerdicts) {
           val v = verified.localCheckpoint()
-          if (!c.isEmpty)
+          if (!c.isEmpty) {
+            requireCandidatesInCorpus(c, corpus, idCol, indexDir)
             commitPairsGen(spark, indexDir,
               dispositions(c, v, threshold), shingle, threshold)
+          }
           v.where(col("jaccard") >= threshold)
         } else verified.where(col("jaccard") >= threshold)
     }

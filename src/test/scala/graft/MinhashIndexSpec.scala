@@ -262,6 +262,42 @@ class MinhashIndexSpec extends SparkSpec {
       s"a rejected batch feed mutated the store: $before -> $after")
   }
 
+  test("verdict-store corpus guard: persisting with a candidate document absent " +
+    "from the corpus frame fails loud and commits NOTHING (absence would be " +
+    "misread as a size-prefilter fail and poison every later serve); the batch " +
+    "feed rejects a pre-upsert corpus BEFORE the band append") {
+    val dir = tmpDir("mh_guard")
+    MinhashIndex.writeMinhashIndex(corpus, dir)
+    // doc 0 sits in near-dup triple (0,1,2) — it IS a candidate, so a
+    // corpus missing it must be rejected, not committed as pass=false
+    val ex = intercept[IllegalArgumentException] {
+      MinhashIndex.nearDuplicatesIndexed(
+        corpus.where($"doc_id" =!= 0L), dir,
+        threshold = 0.35, maxOccupancy = 64, persistVerdicts = true)
+    }
+    assert(ex.getMessage.contains("absent from the supplied corpus"))
+    assert(MinhashIndex.minhashIndexStats(spark, dir).get.pairGenerations == 0,
+      "a rejected persisting serve committed a pairs generation")
+    // the store is intact: a correct persisting serve still works
+    assert(verifiedSet(MinhashIndex.nearDuplicatesIndexed(
+      corpus, dir, threshold = 0.35, maxOccupancy = 64, persistVerdicts = true)) ==
+      oneShotVerified(corpus, 0.35))
+
+    // batch feed with the PRE-upsert corpus (delta not in it): must fail
+    // before appending bands — a post-append failure would make the
+    // corrected retry append the delta twice
+    val before = MinhashIndex.minhashIndexStats(spark, dir).get
+    val exB = intercept[IllegalArgumentException] {
+      MinhashIndex.nearDuplicatesForBatch(
+        Seq((1000L, "w0 w3 w6 tail0 end0")).toDF("doc_id", "text"), corpus, dir,
+        threshold = 0.35, maxOccupancy = 64)
+    }
+    assert(exB.getMessage.contains("INCLUDING this batch"))
+    val after = MinhashIndex.minhashIndexStats(spark, dir).get
+    assert(after.version == before.version && after.segments == before.segments,
+      s"a rejected batch feed mutated the store: $before -> $after")
+  }
+
   test("delete drops stored verdicts for the victim's pairs; compaction folds " +
     "pair generations into the rewrite with identical serving") {
     val dir = tmpDir("mh_verd_del")
