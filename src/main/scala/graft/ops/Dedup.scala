@@ -567,8 +567,9 @@ object Dedup {
    * collisions negligible.
    */
   def simhashNearDuplicates(
-      sketches: DataFrame, maxHamming: Int = 3): DataFrame =
-    simhashBandPairs(sketches, maxHamming, bandBits = 8)
+      sketches: DataFrame, maxHamming: Int = 3,
+      maxOccupancy: Int = SimhashMaxOccupancy): DataFrame =
+    simhashBandPairs(sketches, maxHamming, bandBits = 8, maxOccupancy)
 
   /**
    * [[simhashNearDuplicates]] over 64-bit sketches ([[simhash64]] /
@@ -580,24 +581,62 @@ object Dedup {
    * (non-near-dup) collision rate negligible at corpus scale.
    */
   def simhashNearDuplicates64(
-      sketches: DataFrame, maxHamming: Int = 3): DataFrame =
-    simhashBandPairs(sketches, maxHamming, bandBits = 16)
+      sketches: DataFrame, maxHamming: Int = 3,
+      maxOccupancy: Int = SimhashMaxOccupancy): DataFrame =
+    simhashBandPairs(sketches, maxHamming, bandBits = 16, maxOccupancy)
 
-  /** Shared band-blocked Hamming pair generator: splits the sketch into 4
-    * bands of `bandBits` bits each (32-bit sketch × 8-bit bands, 64-bit
-    * sketch × 16-bit bands), collides docs on (band, band_key), verifies
-    * with `bit_count(xor)`. */
-  private def simhashBandPairs(
-      sketches: DataFrame, maxHamming: Int, bandBits: Int): DataFrame = {
-    require(maxHamming <= 3,
-      s"4-band blocking is exact only for maxHamming <= 3, got $maxHamming")
+  /** Default band-bucket occupancy cap for the simhash pair family — the
+    * same stop-bucket treatment as [[candidatePairs]]'s `maxOccupancy`,
+    * sized for fingerprint bands rather than minhash signature bands: a
+    * 16-bit band has only 65536 keys, so honest buckets grow linearly
+    * with the corpus AND degenerate content (blank images, silence
+    * clips, empty/boilerplate docs) collapses to ONE fingerprint whose
+    * bucket holds the whole degenerate family — uncapped, one reducer
+    * gets that family and emits occupancy² pairs. At the default, a
+    * surviving bucket contributes ≤ C(1024,2) ≈ 524k pairs and
+    * worst-case candidate mass is O(corpus × 1024 × 4) — linear. A
+    * dropped bucket's docs agree on ≤ `bandBits` sketch bits by
+    * construction of the drop (they still collide in their other, less
+    * degenerate bands if genuinely near-dup), and the drop is never
+    * silent: audit with [[simhashOccupancyStats]]. */
+  val SimhashMaxOccupancy: Int = 1024
+
+  /** The 4-band projection `(id, simhash, band, band_key)` behind the
+    * simhash pair family — public so occupancy audits and custom
+    * verification can compose with it. */
+  def simhashBands(sketches: DataFrame, bandBits: Int = 16): DataFrame = {
     val mask = (1L << bandBits) - 1
-    val banded = sketches.select(
+    sketches.select(
       col("id"), col("simhash"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("band"),
           shiftright(col("simhash"), bandBits * j).bitwiseAND(lit(mask)).as("band_key"))): _*)).as("b"))
       .select(col("id"), col("simhash"), col("b.band").as("band"), col("b.band_key").as("band_key"))
+  }
+
+  /** Occupancy audit for the simhash pair family's `maxOccupancy` cap —
+    * [[lshOccupancyStats]] over the [[simhashBands]] projection: one row
+    * `(n_buckets, n_dropped_buckets, dropped_rows, dropped_pair_mass,
+    * max_occupancy)`. Run it alongside any capped near-dup pass so the
+    * drop is measured, never silent. */
+  def simhashOccupancyStats(
+      sketches: DataFrame, bandBits: Int = 16,
+      maxOccupancy: Int = SimhashMaxOccupancy): DataFrame =
+    lshOccupancyStats(simhashBands(sketches, bandBits), maxOccupancy)
+
+  /** Shared band-blocked Hamming pair generator: splits the sketch into 4
+    * bands of `bandBits` bits each (32-bit sketch × 8-bit bands, 64-bit
+    * sketch × 16-bit bands), collides docs on (band, band_key), verifies
+    * with `bit_count(xor)`. `maxOccupancy` drops over-occupied buckets
+    * WHOLE — see [[SimhashMaxOccupancy]]. */
+  private def simhashBandPairs(
+      sketches: DataFrame, maxHamming: Int, bandBits: Int,
+      maxOccupancy: Int): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-band blocking is exact only for maxHamming <= 3, got $maxHamming")
+    require(maxOccupancy >= 2,
+      s"maxOccupancy below 2 drops every pair-capable bucket, got $maxOccupancy")
+    val banded = simhashBands(sketches, bandBits)
     // Posting-list pair generation (same shape as [[candidatePairs]]): one
     // shuffle of the band rows, pairs from an in-posting Generate, sketch
     // payload riding in the posting struct. sort_array orders by the
@@ -607,7 +646,7 @@ object Dedup {
     // its documented whole-corpus quadratic warning either way.
     banded.groupBy("band", "band_key")
       .agg(array_distinct(sort_array(collect_list(struct(col("id"), col("simhash"))))).as("ps"))
-      .where(size(col("ps")) > 1)
+      .where(size(col("ps")) > 1 && size(col("ps")) <= maxOccupancy)
       .select(posexplode(col("ps")).as(Seq("i", "pa")), col("ps"))
       .select(col("pa"),
         explode(expr("slice(ps, i + 2, size(ps) - i - 1)")).as("pb"))

@@ -84,12 +84,13 @@ object Multimodal {
    */
   def imageNearDuplicates(
       assets: DataFrame, idCol: String, contentCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxOccupancy: Int = Dedup.SimhashMaxOccupancy): DataFrame = {
     graft.GraftExtensions.register(assets.sparkSession)
     val sketches = assets
       .select(col(idCol).as("id"), imageAHash(col(contentCol)).as("simhash"))
       .where(col("simhash").isNotNull)
-    Dedup.simhashNearDuplicates64(sketches, maxHamming)
+    Dedup.simhashNearDuplicates64(sketches, maxHamming, maxOccupancy)
   }
 
   /** REAL integer block-average downscale to `tw`×`th`
@@ -110,12 +111,13 @@ object Multimodal {
     * then the simhash64 band machinery. */
   def audioNearDuplicates(
       assets: DataFrame, idCol: String, contentCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxOccupancy: Int = Dedup.SimhashMaxOccupancy): DataFrame = {
     graft.GraftExtensions.register(assets.sparkSession)
     val sketches = assets
       .select(col(idCol).as("id"), audioFingerprint(col(contentCol)).as("simhash"))
       .where(col("simhash").isNotNull)
-    Dedup.simhashNearDuplicates64(sketches, maxHamming)
+    Dedup.simhashNearDuplicates64(sketches, maxHamming, maxOccupancy)
   }
 
   /**
@@ -251,21 +253,23 @@ object Multimodal {
     * ZERO payload bytes read. */
   def imageNearDuplicatesIndexed(
       spark: org.apache.spark.sql.SparkSession, storeDir: String,
-      maxHamming: Int = 3): DataFrame =
-    storedNearDuplicates(spark, storeDir, "image", maxHamming)
+      maxHamming: Int = 3,
+      maxOccupancy: Int = Dedup.SimhashMaxOccupancy): DataFrame =
+    storedNearDuplicates(spark, storeDir, "image", maxHamming, maxOccupancy)
 
   /** [[audioNearDuplicates]] served from the feature store. */
   def audioNearDuplicatesIndexed(
       spark: org.apache.spark.sql.SparkSession, storeDir: String,
-      maxHamming: Int = 3): DataFrame =
-    storedNearDuplicates(spark, storeDir, "audio", maxHamming)
+      maxHamming: Int = 3,
+      maxOccupancy: Int = Dedup.SimhashMaxOccupancy): DataFrame =
+    storedNearDuplicates(spark, storeDir, "audio", maxHamming, maxOccupancy)
 
   private def storedNearDuplicates(
       spark: org.apache.spark.sql.SparkSession, storeDir: String,
-      modality: String, maxHamming: Int): DataFrame =
+      modality: String, maxHamming: Int, maxOccupancy: Int): DataFrame =
     Dedup.simhashNearDuplicates64(
       readFeatureStore(spark, storeDir)
         .where(col("modality") === modality && col("simhash").isNotNull)
         .select(col("asset_id").as("id"), col("simhash")),
-      maxHamming)
+      maxHamming, maxOccupancy)
 }

@@ -1253,6 +1253,19 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Occupancy audit for the simhash stop-bucket cap, at a cap tight
+    // enough (8) that the dup'd corpus actually trips it — the drop is
+    // measured, never silent (the lshOccupancyStats discipline)
+    "q_dedup_simhash64_occupancy" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val d = docs(s, dir)
+      val dd = d.select("doc_id", "text").unionByName(
+        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.simhashOccupancyStats(
+        Dedup.simhashNative64(dd, "doc_id", "text"),
+        bandBits = 16, maxOccupancy = 8)
+    }),
+
     // NEAR-DUP split leakage: simhash64 near-identical pairs straddling
     // the train/val/test cut (re-keyed union contamination) — the leak
     // exact dedup doesn't catch, counted per split pair
@@ -2890,9 +2903,13 @@ object LlmQueries {
         |       FROM votes GROUP BY id),
         |banded AS (SELECT id, simhash, j AS band, (simhash >> CAST(8 * j AS INT)) & 255 AS band_key
         |           FROM sk, range(4) r(j)),
+        |occ AS (SELECT band, band_key FROM banded
+        |        GROUP BY band, band_key HAVING count(*) <= 1024),
+        |bnd AS (SELECT b.id, b.simhash, b.band, b.band_key FROM banded b
+        |        JOIN occ o ON o.band = b.band AND o.band_key = b.band_key),
         |p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
         |             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        |      FROM banded a JOIN banded b
+        |      FROM bnd a JOIN bnd b
         |        ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)
         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
@@ -3041,8 +3058,12 @@ object LlmQueries {
         |       FROM halves),
         |banded AS (SELECT id, simhash, j AS band, (simhash >> CAST(16 * j AS INT)) & 65535 AS band_key
         |           FROM sk, range(4) r(j)),
+        |occ AS (SELECT band, band_key FROM banded
+        |        GROUP BY band, band_key HAVING count(*) <= 1024),
+        |bnd AS (SELECT b.id, b.simhash, b.band, b.band_key FROM banded b
+        |        JOIN occ o ON o.band = b.band AND o.band_key = b.band_key),
         |p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        |      FROM banded a JOIN banded b
+        |      FROM bnd a JOIN bnd b
         |        ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
         |      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
         |e AS (SELECT id_a AS src, id_b AS dst FROM p
@@ -3117,8 +3138,12 @@ object LlmQueries {
         |       FROM halves),
         |banded AS (SELECT id, simhash, j AS band, (simhash >> CAST(16 * j AS INT)) & 65535 AS band_key
         |           FROM sk, range(4) r(j)),
+        |occ AS (SELECT band, band_key FROM banded
+        |        GROUP BY band, band_key HAVING count(*) <= 1024),
+        |bnd AS (SELECT b.id, b.simhash, b.band, b.band_key FROM banded b
+        |        JOIN occ o ON o.band = b.band AND o.band_key = b.band_key),
         |p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        |      FROM banded a JOIN banded b
+        |      FROM bnd a JOIN bnd b
         |        ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
         |      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
         |sp AS (SELECT doc_id,
@@ -3157,12 +3182,49 @@ object LlmQueries {
         |       FROM halves),
         |banded AS (SELECT id, simhash, j AS band, (simhash >> CAST(16 * j AS INT)) & 65535 AS band_key
         |           FROM sk, range(4) r(j)),
+        |occ AS (SELECT band, band_key FROM banded
+        |        GROUP BY band, band_key HAVING count(*) <= 1024),
+        |bnd AS (SELECT b.id, b.simhash, b.band, b.band_key FROM banded b
+        |        JOIN occ o ON o.band = b.band AND o.band_key = b.band_key),
         |p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
         |             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        |      FROM banded a JOIN banded b
+        |      FROM bnd a JOIN bnd b
         |        ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)
         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same sketch + banding chain, aggregated to the one-row drop audit
+    // at cap 8 (tight enough that the dup'd corpus trips it)
+    "q_dedup_simhash64_occupancy" ->
+      """WITH dd AS (SELECT doc_id, text FROM documents
+        |       UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        |tok AS (SELECT id, tok, count(*) AS cnt
+        |        FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM dd)
+        |        GROUP BY id, tok),
+        |th AS (SELECT id, cnt, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS lo,
+        |              ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hi FROM tok),
+        |votes AS (SELECT id, j,
+        |            SUM(CASE WHEN ((CASE WHEN j < 32 THEN lo >> j ELSE hi >> (j - 32) END) & 1) = 1
+        |                THEN cnt ELSE -cnt END) AS v
+        |          FROM th, range(64) t(j) GROUP BY id, j),
+        |halves AS (SELECT id,
+        |             SUM(CASE WHEN v > 0 AND j < 32 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS lo_sk,
+        |             SUM(CASE WHEN v > 0 AND j >= 32 THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS hi_sk
+        |           FROM votes GROUP BY id),
+        |sk AS (SELECT id,
+        |         CAST(lo_sk + hi_sk * 4294967296
+        |              - CASE WHEN hi_sk >= 2147483648 THEN 18446744073709551616::HUGEINT ELSE 0 END
+        |              AS BIGINT) AS simhash
+        |       FROM halves),
+        |banded AS (SELECT id, simhash, j AS band, (simhash >> CAST(16 * j AS INT)) & 65535 AS band_key
+        |           FROM sk, range(4) r(j)),
+        |o AS (SELECT band, band_key, count(*) AS n FROM banded GROUP BY band, band_key)
+        |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        |       CAST(sum(CASE WHEN n > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_buckets,
+        |       CAST(sum(CASE WHEN n > 8 THEN n ELSE 0 END) AS BIGINT) AS dropped_rows,
+        |       CAST(sum(CASE WHEN n > 8 THEN (n * (n - 1)) // 2 ELSE 0 END) AS BIGINT) AS dropped_pair_mass,
+        |       CAST(max(n) AS BIGINT) AS max_occupancy
+        |FROM o""".stripMargin,
 
     "q_text_winnow" ->
       s"""WITH ${winnowCte("documents")}
@@ -4504,9 +4566,13 @@ object LlmQueries {
         |sk AS (SELECT doc_id AS id, bit_or(bv) AS simhash FROM bits GROUP BY doc_id),
         |banded AS (SELECT id, simhash, j AS band, (simhash >> CAST(16 * j AS INT)) & 65535 AS band_key
         |           FROM sk, range(4) r(j)),
+        |occ AS (SELECT band, band_key FROM banded
+        |        GROUP BY band, band_key HAVING count(*) <= 1024),
+        |bnd AS (SELECT b.id, b.simhash, b.band, b.band_key FROM banded b
+        |        JOIN occ o ON o.band = b.band AND o.band_key = b.band_key),
         |pr AS (SELECT DISTINCT a.id AS asset_a, b.id AS asset_b,
         |              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        |       FROM banded a JOIN banded b
+        |       FROM bnd a JOIN bnd b
         |         ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)
         |SELECT asset_a, asset_b, hamming FROM pr WHERE hamming <= 3
         |ORDER BY asset_a, asset_b""".stripMargin,

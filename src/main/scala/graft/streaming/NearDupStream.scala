@@ -41,8 +41,18 @@ object NearDupStream {
   case class Pair(id_a: Long, id_b: Long, hamming: Int)
 
   /** State transition, exposed for unit testing. Replayed ids are guarded:
-    * a document never pairs with itself and is stored at most once. */
-  def updateGroup(maxHamming: Int, stateTtlMs: Long)(
+    * a document never pairs with itself and is stored at most once.
+    *
+    * `maxOccupancy` is the streaming analogue of the batch family's
+    * stop-bucket cap ([[graft.ops.Dedup.SimhashMaxOccupancy]]): a bucket
+    * that reaches it SATURATES — later arrivals neither compare nor
+    * store, so per-bucket state is bounded at `maxOccupancy` entries and
+    * per-bucket emission at C(maxOccupancy, 2) pairs even when a million
+    * blank images share one fingerprint. Divergence from batch is the
+    * append-mode inevitability: pairs emitted before saturation stand
+    * (batch drops an over-occupied bucket WHOLE), and with no cap binding
+    * the two agree exactly (spec-pinned). */
+  def updateGroup(maxHamming: Int, stateTtlMs: Long, maxOccupancy: Int)(
       bucket: Long,
       docs: Iterator[Banded],
       state: GroupState[List[(Long, Long)]]): Iterator[Pair] = {
@@ -52,9 +62,10 @@ object NearDupStream {
     } else {
       val batch = docs.toSeq.sortBy(_.doc_id) // deterministic emit order
       var seen = state.getOption.getOrElse(Nil)
+      var occupancy = seen.size
       val out = collection.mutable.ArrayBuffer.empty[Pair]
       batch.foreach { d =>
-        if (!seen.exists(_._1 == d.doc_id)) {
+        if (occupancy < maxOccupancy && !seen.exists(_._1 == d.doc_id)) {
           seen.foreach { case (id0, sk0) =>
             val h = java.lang.Long.bitCount(sk0 ^ d.simhash)
             if (h <= maxHamming)
@@ -62,6 +73,7 @@ object NearDupStream {
                       else Pair(d.doc_id, id0, h))
           }
           seen = (d.doc_id, d.simhash) :: seen
+          occupancy += 1
         }
       }
       state.update(seen)
@@ -72,9 +84,12 @@ object NearDupStream {
 
   /** Near-duplicate pair stream (append mode). */
   def pairs(
-      docs: Dataset[Doc], maxHamming: Int = 3, stateTtlMs: Long = 0L): Dataset[Pair] = {
+      docs: Dataset[Doc], maxHamming: Int = 3, stateTtlMs: Long = 0L,
+      maxOccupancy: Int = graft.ops.Dedup.SimhashMaxOccupancy): Dataset[Pair] = {
     require(maxHamming <= 3,
       s"4-band blocking is exact only for maxHamming <= 3, got $maxHamming")
+    require(maxOccupancy >= 2,
+      s"maxOccupancy below 2 drops every pair-capable bucket, got $maxOccupancy")
     implicit val bandedEnc = Encoders.product[Banded]
     implicit val pairEnc = Encoders.product[Pair]
     implicit val longEnc = Encoders.scalaLong
@@ -101,6 +116,6 @@ object NearDupStream {
     banded
       .groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
-        updateGroup(maxHamming, stateTtlMs))
+        updateGroup(maxHamming, stateTtlMs, maxOccupancy))
   }
 }

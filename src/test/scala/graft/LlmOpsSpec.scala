@@ -335,6 +335,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 2), (1L, 4L, 3)))
   }
 
+  test("Dedup: simhash stop-bucket cap drops a hot bucket WHOLE, spares sparse " +
+    "buckets, and cap=MaxValue equals the default-capped output when no bucket " +
+    "is hot; the occupancy audit measures exactly what was dropped") {
+    // 40 identical sketches — one degenerate family filling all 4 of its
+    // band buckets to occupancy 40 — plus one honest near-dup pair far away
+    val hot = (1L to 40L).map((_, 0x1111222233334444L))
+    val pairDocs = Seq((100L, 0x7FFF0000ABCD0001L), (101L, 0x7FFF0000ABCD0000L))
+    val sk = (hot ++ pairDocs).toDF("id", "simhash")
+    val capped = Dedup.simhashNearDuplicates64(sk, maxHamming = 3, maxOccupancy = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)),
+      "capped pairs must keep the sparse-bucket pair and drop the hot family whole")
+    val uncapped = Dedup.simhashNearDuplicates64(sk, maxHamming = 3, Int.MaxValue)
+    assert(uncapped.count() == 40L * 39L / 2L + 1L,
+      "uncapped must emit the full quadratic family")
+    // no hot bucket at the default cap: capped == uncapped (the parity law
+    // every existing caller relies on at test scale)
+    val sparse = Seq((1L, 0x0AL), (2L, 0x0BL), (3L, 0xF0F0L)).toDF("id", "simhash")
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pset(Dedup.simhashNearDuplicates64(sparse)) ==
+      pset(Dedup.simhashNearDuplicates64(sparse, 3, Int.MaxValue)))
+    assert(pset(Dedup.simhashNearDuplicates(sparse)) ==
+      pset(Dedup.simhashNearDuplicates(sparse, 3, Int.MaxValue)))
+    // the audit: 4 hot buckets of 40 rows, C(40,2)·4 forfeited pairs; the
+    // honest pair's buckets survive (3 shared + 2 lone = 5 sparse buckets)
+    val st = Dedup.simhashOccupancyStats(sk, bandBits = 16, maxOccupancy = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(st == ((9L, 4L, 160L, 4L * (40L * 39L / 2L), 40L)), s"got $st")
+  }
+
   test("TextOps/Dedup: winnowing detects containment that Jaccard misses") {
     val full = (1 to 24).map(i => s"tok$i").mkString(" ")
     val half = (1 to 12).map(i => s"tok$i").mkString(" ")

@@ -34,13 +34,33 @@ class NearDupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("saturation cap: a bucket that reaches maxOccupancy stops storing and " +
+    "comparing — state and emission stay bounded under a degenerate family") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val st = TestGroupState.create[List[(Long, Long)]](
+      Optional.empty[List[(Long, Long)]], GroupStateTimeout.NoTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = false)
+    // 5 identical sketches, cap 3: docs 1..3 store (pairs C(3,2)=3), 4..5
+    // hit the saturated bucket — no pairs, no state growth
+    val docs = (1L to 5L).map(i => NearDupStream.Banded(i, 0x42L, 0L))
+    val out = NearDupStream.updateGroup(3, 0L, 3)(0L, docs.iterator, st).toSet
+    assert(out == Set(NearDupStream.Pair(1L, 2L, 0), NearDupStream.Pair(1L, 3L, 0),
+      NearDupStream.Pair(2L, 3L, 0)))
+    assert(st.get.size == 3, s"saturated bucket grew state: ${st.get}")
+    // a later batch against the saturated bucket emits nothing either
+    val out2 = NearDupStream.updateGroup(3, 0L, 3)(
+      0L, Iterator(NearDupStream.Banded(9L, 0x42L, 0L)), st).toSet
+    assert(out2.isEmpty && st.get.size == 3)
+  }
+
   test("state TTL: timed-out buckets are removed without emitting") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     val ndState = TestGroupState.create[List[(Long, Long)]](
       Optional.of(List((1L, 42L))), GroupStateTimeout.ProcessingTimeTimeout,
       1000L, Optional.empty[Long], hasTimedOut = true)
-    val out = NearDupStream.updateGroup(3, 1000L)(0L, Iterator.empty, ndState)
+    val out = NearDupStream.updateGroup(3, 1000L, 1024)(0L, Iterator.empty, ndState)
     assert(out.isEmpty && ndState.isRemoved)
     val dState = TestGroupState.create[Boolean](
       Optional.of(true), GroupStateTimeout.ProcessingTimeTimeout,
