@@ -127,6 +127,9 @@ object GraftExtensions {
     ("registrable_domain", graft.expressions.UrlKernels.registrableInfo,
       arity("registrable_domain", 1)(c =>
         graft.expressions.UrlKernels.RegistrableDomain(c(0)))),
+    ("pct_normalize", graft.expressions.UrlKernels.pctNormalizeInfo,
+      arity("pct_normalize", 1)(c =>
+        graft.expressions.UrlKernels.PctNormalize(c(0)))),
     ("text_normalize", DocKernels.normalizeInfo,
       arity("text_normalize", 1)(c => DocKernels.TextNormalize(c(0)))),
     ("pii_pseudonymize", graft.expressions.PiiKernels.pseudonymizeInfo,

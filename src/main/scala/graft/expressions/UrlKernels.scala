@@ -118,4 +118,80 @@ object UrlKernels {
     classOf[RegistrableDomain].getName, null, "registrable_domain",
     "_FUNC_(host) - registrable eTLD+1 domain of a hostname per the bundled public-suffix snapshot; null when none exists.",
     "", "", "", "", "", "", "built-in")
+
+  /** `pct_normalize(url)` — RFC 3986 §§2.3/6.2.2.1 safe-subset
+    * percent-encoding normalization in ONE string pass: escape hex folds
+    * to uppercase and unreserved escapes (ALPHA / DIGIT / `-._~`) decode;
+    * reserved escapes survive encoded (decoding `%2F` would merge
+    * distinct resources). Bit-identical to the 78-expression
+    * replace-chain form ([[graft.ops.TextOps.pctNormalizeUrlChain]] —
+    * the DuckDB-replayable oracle rendering, spec-pinned equal), which
+    * cost 78 passes over every URL; the kernel costs one. Equivalence
+    * argument: the chain's decodes are literal uppercase `%XX` replaces
+    * applied after the hex fold, none of which can create a new escape
+    * (`%25` is absent — `%` is reserved), and a valid escape's body can
+    * never start another escape, so left-to-right single-pass processing
+    * commutes with the chain's sequential global replaces; a bare `%`
+    * not followed by two hex chars is untouched by every chain pattern
+    * and is emitted verbatim here. */
+  case class PctNormalize(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string url, got ${other.simpleString}")
+    }
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "pct_normalize"
+    override protected def nullSafeEval(a: Any): Any =
+      UrlKernels.pctNormalize(a.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.expressions.UrlKernels.pctNormalize($a)")
+    override protected def withNewChildInternal(newChild: Expression): PctNormalize =
+      copy(child = newChild)
+  }
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else -1
+
+  private def isUnreserved(code: Int): Boolean =
+    (code >= 'A' && code <= 'Z') || (code >= 'a' && code <= 'z') ||
+      (code >= '0' && code <= '9') ||
+      code == '-' || code == '.' || code == '_' || code == '~'
+
+  private val UpHex = "0123456789ABCDEF"
+
+  /** Static kernel (invoked from generated code and from eval). Never
+    * null-for-non-null; escape-free inputs return the INPUT reference —
+    * the common case allocates nothing. */
+  def pctNormalize(url: UTF8String): UTF8String = {
+    if (url == null) return null
+    val s = url.toString
+    if (s.indexOf('%') < 0) return url
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < n) {
+        val h1 = hexVal(s.charAt(i + 1))
+        val h2 = hexVal(s.charAt(i + 2))
+        if (h1 >= 0 && h2 >= 0) {
+          val code = h1 * 16 + h2
+          if (isUnreserved(code)) sb.append(code.toChar)
+          else sb.append('%').append(UpHex.charAt(h1)).append(UpHex.charAt(h2))
+          i += 3
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  val pctNormalizeInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[PctNormalize].getName, null, "pct_normalize",
+    "_FUNC_(url) - safe-subset percent-encoding normalization: escape hex uppercased, RFC 3986 unreserved escapes decoded, reserved escapes preserved.",
+    "", "", "", "", "", "", "built-in")
 }

@@ -139,12 +139,25 @@ object TextOps {
     (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
       .map(c => (f"%%${c.toInt}%02X", c.toString))
 
-  /** Safe-subset percent-encoding normalization of a URL string: fold
-    * escape hex to uppercase (first nibble then second — 12 RE2
-    * replaces), then decode the unreserved set (66 plain replaces).
-    * Reserved escapes survive encoded. Whole-URL-safe: no unreserved
-    * decode can produce a delimiter, so parsing after is unchanged. */
-  def pctNormalizeUrl(url: Column): Column = {
+  /** Safe-subset percent-encoding normalization of a URL string: escape
+    * hex folded to uppercase, the unreserved set decoded, reserved
+    * escapes surviving encoded. Whole-URL-safe: no unreserved decode can
+    * produce a delimiter, so parsing after is unchanged. ONE codegen'd
+    * string pass ([[graft.expressions.UrlKernels.PctNormalize]]) — the
+    * replace-chain form this replaced ([[pctNormalizeUrlChain]], kept as
+    * the DuckDB-replayable oracle rendering and spec-pinned bit-identical)
+    * cost 78 passes over every URL, which at 100 TB of URLs was the whole
+    * canonicalization budget. Requires
+    * [[graft.GraftExtensions.register]]. */
+  def pctNormalizeUrl(url: Column): Column =
+    call_function("pct_normalize", url)
+
+  /** The sequential replace-chain rendering of [[pctNormalizeUrl]] —
+    * 12 RE2 hex-fold replaces then the 66 unreserved decodes, the form
+    * [[pctNormalizeSql]] renders for the DuckDB oracle from the same
+    * table. Kept for the kernel-equivalence spec; product code uses the
+    * one-pass kernel. */
+  private[graft] def pctNormalizeUrlChain(url: Column): Column = {
     val up1 = "abcdef".foldLeft(url)((c, h) =>
       regexp_replace(c, s"%$h([0-9A-Fa-f])", s"%${h.toUpper}" + "$1"))
     val up2 = "abcdef".foldLeft(up1)((c, h) =>

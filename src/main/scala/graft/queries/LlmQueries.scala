@@ -1447,6 +1447,7 @@ object LlmQueries {
     // default port and gclid, 3 keeps its non-default port and loses only
     // the fragment. The oracle replays every extraction and rule.
     "q_text_url_canon" -> ((s, dir) => {
+      GraftExtensions.register(s) // pct_normalize kernel
       val d = docs(s, dir)
       d.select(col("doc_id"), TextOps.canonicalizeUrl(plantedPctUrl).as("canon_url"))
         .orderBy("doc_id")
@@ -1458,6 +1459,7 @@ object LlmQueries {
     // order. WindowGroupLimit keeps each map task's local top-30 before
     // the exchange, so the shuffle carries O(hosts × 30) rows per task.
     "q_corpus_domain_cap" -> ((s, dir) => {
+      GraftExtensions.register(s) // pct_normalize kernel
       val d = docs(s, dir)
       val framed = d.select(col("doc_id"),
         TextOps.urlHost(TextOps.canonicalizeUrl(plantedUrl)).as("host"))

@@ -1402,6 +1402,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(canon("https://h.com/100%zz") == "https://h.com/100%zz")
   }
 
+  test("UrlKernels.pct_normalize: the one-pass kernel is bit-identical to the " +
+    "78-expression replace chain the oracle replays, across the adversarial " +
+    "escape space") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val fixtures = Seq(
+      // clean / no-escape fast path
+      "https://h.com/plain", "", "no escapes at all",
+      // unreserved decodes, every case mix
+      "%61%41%30%2d%2e%5f%7e", "%6a%6A%4a%4A",
+      // reserved escapes: hex fold only, both nibbles, all case mixes
+      "%2f%2F%3a%3A%aB%Ab%ab%AB%cd%dc%ef%fe",
+      // %25 must never manufacture a new escape
+      "x%2541 y%2561 z%25%25 %252541",
+      // bare/truncated/malformed percents
+      "%", "%%", "%g1", "%1g", "%a", "%1", "100%zz", "a%", "tail%4",
+      // adjacent + overlapping-looking runs
+      "%%41", "%2%41", "%a%41", "%41%42%43", "%aa%aa", "%fa%af",
+      // escapes at string edges
+      "%41end", "start%7E", "%41", "%7e",
+      // unicode payload around escapes
+      "café/%61/über?x=%7e☃",
+      // long degenerate run
+      "%61" * 50 + "%2f" * 50 + "%" * 7)
+    val df = fixtures.toDF("u")
+    val rows = df.select(
+      TextOps.pctNormalizeUrl($"u").as("kernel"),
+      TextOps.pctNormalizeUrlChain($"u").as("chain")).collect()
+    rows.zip(fixtures).foreach { case (r, f) =>
+      assert(r.getString(0) == r.getString(1),
+        s"kernel/chain diverge on '$f': '${r.getString(0)}' vs '${r.getString(1)}'")
+    }
+    // null passthrough
+    assert(Seq[Option[String]](None).toDF("u")
+      .select(TextOps.pctNormalizeUrl($"u")).collect()(0).isNullAt(0))
+  }
+
   test("Dedup: exact-substring span dedup cuts every duplicated window occurrence") {
     // n=3 windows, hand-computable: a and b share the span "s1 s2 s3"
     // (cross-doc dup), d repeats its own 3-window internally (within-doc
