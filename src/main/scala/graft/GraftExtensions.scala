@@ -130,6 +130,9 @@ object GraftExtensions {
     ("pct_normalize", graft.expressions.UrlKernels.pctNormalizeInfo,
       arity("pct_normalize", 1)(c =>
         graft.expressions.UrlKernels.PctNormalize(c(0)))),
+    ("html_unescape", graft.expressions.HtmlKernels.unescapeInfo,
+      arity("html_unescape", 1)(c =>
+        graft.expressions.HtmlKernels.HtmlUnescape(c(0)))),
     ("text_normalize", DocKernels.normalizeInfo,
       arity("text_normalize", 1)(c => DocKernels.TextNormalize(c(0)))),
     ("pii_pseudonymize", graft.expressions.PiiKernels.pseudonymizeInfo,

@@ -211,25 +211,28 @@ object TextOps {
   /**
    * HTML → text extraction (the CCNet/RefinedWeb ingest stage before any
    * quality or dedup pass): drops `<script>`/`<style>` blocks WITH their
-   * content (code is not prose), strips every remaining tag, decodes the
-   * six ubiquitous entities (`&amp; &lt; &gt; &quot; &#39; &nbsp;` —
-   * `&amp;` LAST, so `&amp;lt;` decodes to the literal `&lt;` the author
-   * wrote, not `<`), and collapses whitespace runs. Pure codegen'd
-   * built-ins (regexp chains — no UDF, no kernel), and every pattern is
-   * RE2-compatible so the DuckDB oracle replays the chain verbatim.
-   * Malformed markup degrades gracefully: an unclosed tag strips to its
-   * `>` or survives as text, never throws.
+   * content (code is not prose), strips every remaining tag, decodes
+   * entities, and collapses whitespace runs. Block/tag strip and the
+   * collapse are RE2 regexp chains (DuckDB-replayable verbatim); the
+   * entity decode is the one-pass [[graft.expressions.HtmlKernels]]
+   * kernel — six named entities PLUS bounded numeric character
+   * references (`&#x27;`, `&#8217;`, `&#160;`, … — printable ASCII +
+   * common punctuation; anything else survives verbatim), which real
+   * crawl HTML is full of and which a named-only decoder would leave as
+   * literal text poisoning dedup keys downstream. Single-pass decoding
+   * keeps the `&amp;`-last law: `&amp;lt;` yields the literal `&lt;`
+   * the author wrote, never `<`. The oracle replays the planted entity
+   * spellings from the shared decode expectations; the kernel matrix is
+   * unit-pinned in LlmOpsSpec. Malformed markup degrades gracefully: an
+   * unclosed tag strips to its `>` or survives as text, never throws.
+   * Requires [[graft.GraftExtensions.register]].
    */
   def stripHtml(html: Column): Column = {
     val noBlocks = regexp_replace(html,
       "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")
     val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
-    val decoded =
-      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        regexp_replace(regexp_replace(noTags,
-          "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"),
-        "&quot;", "\""), "&#39;", "'"), "&amp;", "&")
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(
+      call_function("html_unescape", noTags), "\\s+", " "))
   }
 
   /** Rolling-hash document fingerprint: the minimum 32-bit hash over the

@@ -1486,11 +1486,15 @@ object LlmQueries {
 
     // HTML -> text extraction (the ingest stage before any quality/dedup
     // pass): every doc wrapped in planted markup — style/script blocks
-    // (with a stray '<' inside the script), heading, attributes, and for
-    // every third doc an entity gauntlet. stripHtml must drop code blocks
-    // WITH content, strip tags, decode entities (&amp; last), and
-    // collapse whitespace; the oracle replays the identical regex chain.
+    // (with a stray '<' inside the script), heading, attributes; every
+    // third doc a named-entity gauntlet and every doc_id % 3 == 1 a
+    // NUMERIC-reference gauntlet (hex both cases, leading zeros, common
+    // punctuation, out-of-range verbatim, double-encoding survival).
+    // stripHtml must drop code blocks WITH content, strip tags, decode
+    // entities single-pass (the &amp;-last law), and collapse whitespace;
+    // the oracle replays the regex chain and the planted spellings.
     "q_text_html_strip" -> ((s, dir) => {
+      GraftExtensions.register(s) // html_unescape kernel
       val d = docs(s, dir)
       d.select(
           col("doc_id"),
@@ -1502,6 +1506,11 @@ object LlmQueries {
             lit("</p><script type=\"text/javascript\">var x = 1 < 2;</script>"),
             when(col("doc_id") % 3 === 0,
               lit("<p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;end</p>"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 3 === 1,
+              lit("<p>n1&#x27;h&#X27; c&#8217;s d&#8212;e &#160;sp " +
+                "&#65;&#097;&#x4D; dots&#8230; raw&#999999; " +
+                "dbl&amp;#8217; q&apos;end</p>"))
               .otherwise(lit("")),
             lit("</body></html>"))).as("text_clean"))
         .orderBy("doc_id")
@@ -3524,6 +3533,11 @@ object LlmQueries {
          |         row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
          |  FROM reg) WHERE rn <= 30 ORDER BY doc_id""".stripMargin,
 
+    // numeric-reference replaces run FIRST (each planted numeric spelling
+    // needs '&' directly before '#', so none can match inside the
+    // '&amp;#8217;' double-encoding plant); the named chain keeps its
+    // &amp;-last order, which then exposes the literal '&#8217;' exactly
+    // as the single-pass kernel does
     "q_text_html_strip" ->
       """WITH h AS (SELECT doc_id,
         |    '<html><head><style>p{color:red}</style></head><body><h1 class="t">Doc '
@@ -3532,17 +3546,26 @@ object LlmQueries {
         |    || CASE WHEN doc_id % 3 = 0
         |            THEN '<p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;end</p>'
         |            ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 1
+        |            THEN '<p>n1&#x27;h&#X27; c&#8217;s d&#8212;e &#160;sp &#65;&#097;&#x4D; dots&#8230; raw&#999999; dbl&amp;#8217; q&apos;end</p>'
+        |            ELSE '' END
         |    || '</body></html>' AS html FROM documents),
         |s1 AS (SELECT doc_id,
         |         regexp_replace(html,
         |           '(?is)<(script|style)\b[^>]*>.*?</(script|style)\s*>', ' ', 'g') AS t
         |       FROM h),
         |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s1),
+        |sn AS (SELECT doc_id,
+        |         replace(replace(replace(replace(replace(replace(replace(replace(replace(t,
+        |           '&#x27;', ''''), '&#X27;', ''''), '&#8217;', '’'),
+        |           '&#8212;', '—'), '&#160;', ' '), '&#65;', 'A'),
+        |           '&#097;', 'a'), '&#x4D;', 'M'), '&#8230;', '…') AS t
+        |       FROM s2),
         |s3 AS (SELECT doc_id,
-        |         replace(replace(replace(replace(replace(replace(t,
+        |         replace(replace(replace(replace(replace(replace(replace(t,
         |           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-        |           '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
-        |       FROM s2)
+        |           '&quot;', '"'), '&apos;', ''''), '&#39;', ''''), '&amp;', '&') AS t
+        |       FROM sn)
         |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_clean
         |FROM s3 ORDER BY doc_id""".stripMargin,
 

@@ -1349,6 +1349,38 @@ class LlmOpsSpec extends SparkSpec {
       .select(TextOps.stripHtml($"h")).collect()(0).isNullAt(0))
   }
 
+  test("HtmlKernels.html_unescape: numeric character references decode across the " +
+    "bounded safe set; everything else survives verbatim; single pass keeps the " +
+    "&amp;-last law") {
+    import spark.implicits._
+    def un(s: String): String =
+      Seq(s).toDF("h")
+        .select(org.apache.spark.sql.functions.call_function("html_unescape", $"h"))
+        .collect()(0).getString(0)
+    // decimal / hex (both x cases, both hex cases) / leading zeros
+    assert(un("&#39;&#x27;&#X27;&#x4d;&#x4D;&#039;&#0065;") == "'''MM'A")
+    // printable-ASCII range edges: 32 (space) and 126 (~); 31 and 127 out
+    assert(un("a&#32;b&#126;c&#31;d&#127;e") == "a b~c&#31;d&#127;e")
+    // NBSP (both spellings) decodes to a PLAIN space, like &nbsp;
+    assert(un("x&#160;y&#xA0;z&nbsp;w") == "x y z w")
+    // common punctuation set
+    assert(un("&#8211;&#8212;&#8216;&#8217;&#8220;&#8221;&#8226;&#8230;&#8364;&#8482;") ==
+      "–—‘’“”•…€™")
+    // out-of-range / overlong / malformed / unterminated: verbatim
+    assert(un("&#999999; &#12345678; &#; &#x; &#xG1; &#12") ==
+      "&#999999; &#12345678; &#; &#x; &#xG1; &#12")
+    // double-encoding: &amp;#8217; is the LITERAL text '&#8217;'
+    assert(un("dbl&amp;#8217;") == "dbl&#8217;")
+    assert(un("A &amp;lt;kept&amp;gt; &lt;x&gt;") == "A &lt;kept&gt; <x>")
+    // &apos; (the XML fifth) decodes; unknown named entities survive
+    assert(un("&apos;ok&bogus;&ampx") == "'ok&bogus;&ampx")
+    // entity-free fast path + null
+    assert(un("no entities here") == "no entities here")
+    assert(Seq[Option[String]](None).toDF("h")
+      .select(org.apache.spark.sql.functions.call_function("html_unescape", $"h"))
+      .collect()(0).isNullAt(0))
+  }
+
   test("TextOps.canonicalizeUrl: variants collapse, ports/fragments/tracking handled, " +
     "root path and param sort stable") {
     import spark.implicits._
