@@ -133,6 +133,9 @@ object GraftExtensions {
     ("html_unescape", graft.expressions.HtmlKernels.unescapeInfo,
       arity("html_unescape", 1)(c =>
         graft.expressions.HtmlKernels.HtmlUnescape(c(0)))),
+    ("idn_ascii", graft.expressions.UrlKernels.idnAsciiInfo,
+      arity("idn_ascii", 1)(c =>
+        graft.expressions.UrlKernels.IdnAscii(c(0)))),
     ("text_normalize", DocKernels.normalizeInfo,
       arity("text_normalize", 1)(c => DocKernels.TextNormalize(c(0)))),
     ("pii_pseudonymize", graft.expressions.PiiKernels.pseudonymizeInfo,

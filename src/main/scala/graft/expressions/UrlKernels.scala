@@ -190,6 +190,62 @@ object UrlKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** `idn_ascii(host)` — ASCII-compatible (punycode) form of a hostname
+    * via in-JDK `java.net.IDN` (IDNA2003, the public RFC 3490 algorithm):
+    * a unicode host and its punycode twin (`bücher.de` vs
+    * `xn--bcher-kva.de`) collapse to ONE canonical key, so domain caps
+    * and blocklists keyed on the canonical host are no longer evadable by
+    * the encoding choice. Lowercases first (so `BÜCHER.DE` collapses
+    * too); all-ASCII hosts take a zero-alloc fast path (already-punycode
+    * spellings are fixpoints); a host IDNA rejects (overlong label, empty
+    * label, …) falls back to its lowercased form — deterministic
+    * best-effort, never a throw inside a 100 TB scan. */
+  case class IdnAscii(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string host, got ${other.simpleString}")
+    }
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "idn_ascii"
+    override protected def nullSafeEval(a: Any): Any =
+      UrlKernels.idnAscii(a.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.expressions.UrlKernels.idnAscii($a)")
+    override protected def withNewChildInternal(newChild: Expression): IdnAscii =
+      copy(child = newChild)
+  }
+
+  /** Static kernel (invoked from generated code and from eval). */
+  def idnAscii(host: UTF8String): UTF8String = {
+    if (host == null) return null
+    val s = host.toString
+    var i = 0
+    var ascii = true
+    var hasUpper = false
+    while (ascii && i < s.length) {
+      val c = s.charAt(i)
+      if (c > 127) ascii = false
+      else if (c >= 'A' && c <= 'Z') hasUpper = true
+      i += 1
+    }
+    if (ascii) {
+      if (!hasUpper) host
+      else UTF8String.fromString(s.toLowerCase(java.util.Locale.ROOT))
+    } else {
+      val lowered = s.toLowerCase(java.util.Locale.ROOT)
+      try UTF8String.fromString(
+        java.net.IDN.toASCII(lowered).toLowerCase(java.util.Locale.ROOT))
+      catch { case _: IllegalArgumentException => UTF8String.fromString(lowered) }
+    }
+  }
+
+  val idnAsciiInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[IdnAscii].getName, null, "idn_ascii",
+    "_FUNC_(host) - lowercased ASCII-compatible (punycode) hostname via java.net.IDN; unicode and punycode spellings collapse to one key, malformed hosts fall back to lowercase.",
+    "", "", "", "", "", "", "built-in")
+
   val pctNormalizeInfo: ExpressionInfo = new ExpressionInfo(
     classOf[PctNormalize].getName, null, "pct_normalize",
     "_FUNC_(url) - safe-subset percent-encoding normalization: escape hex uppercased, RFC 3986 unreserved escapes decoded, reserved escapes preserved.",

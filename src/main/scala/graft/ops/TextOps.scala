@@ -91,22 +91,30 @@ object TextOps {
    * tracking parameters (`utm_*`, `gclid`, `fbclid`, `ref`), sorts the
    * surviving query parameters byte-wise (param order is not semantic),
    * drops a lone trailing slash from non-root paths, and omits `?` when
-   * no parameters survive. Pure built-ins (regexp_extract + array HOFs),
-   * every pattern RE2-compatible for oracle replay.
+   * no parameters survive. Regexp extraction + array HOFs, every pattern
+   * RE2-compatible for oracle replay; the two codec steps are one-pass
+   * native kernels. Requires [[graft.GraftExtensions.register]].
    *
    * Percent-encoding: the STANDARDS-DEFINED always-safe subset (RFC 3986
    * §2.3 unreserved characters + §6.2.2.1 hex-case normalization) is
    * applied first by [[pctNormalizeUrl]] — `%41`→`A`, `%7e`→`~`, and
    * remaining escapes' hex uppercased (`%3a`→`%3A`) — while RESERVED
    * escapes stay encoded (`%2F` is not a path separator; decoding it
-   * would merge distinct resources). Full codec work (IDN, non-UTF-8
-   * sequences) stays deliberately out of scope for the same
-   * wrong-merge reason.
+   * would merge distinct resources).
+   *
+   * IDN hosts: the extracted host is ASCII-compat-encoded
+   * ([[idnAsciiHost]] — in-JDK `java.net.IDN`, RFC 3490), so a unicode
+   * host and its punycode twin (`bücher.de` / `xn--bcher-kva.de`) share
+   * one canonical key feeding [[urlHost]] / [[registrableDomain]] —
+   * domain caps and blocklists stop being evadable by the encoding
+   * choice. This is also standards-defined equivalence, never a wrong
+   * merge. Non-UTF-8 byte sequences stay out of scope.
    */
   def canonicalizeUrl(url: Column): Column = {
     val u = pctNormalizeUrl(url)
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val host = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    val host = idnAsciiHost(
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
     val port = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*(:[0-9]+)", 1)
     val path = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val query = regexp_extract(u, "\\?([^#]*)", 1)
@@ -207,6 +215,16 @@ object TextOps {
     * or an IPv4 literal). Requires [[graft.GraftExtensions.register]]. */
   def registrableDomain(host: Column): Column =
     call_function("registrable_domain", host)
+
+  /** Lowercased ASCII-compatible (punycode) form of a hostname
+    * ([[graft.expressions.UrlKernels.IdnAscii]] — in-JDK `java.net.IDN`,
+    * zero dependencies): unicode and punycode spellings of one host
+    * collapse to one key; hosts IDNA rejects fall back to lowercase.
+    * Already applied inside [[canonicalizeUrl]]; exposed for callers
+    * normalizing bare hosts (blocklist entries, log joins). Requires
+    * [[graft.GraftExtensions.register]]. */
+  def idnAsciiHost(host: Column): Column =
+    call_function("idn_ascii", host)
 
   /**
    * HTML → text extraction (the CCNet/RefinedWeb ingest stage before any

@@ -1453,6 +1453,29 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // IDN host normalization: consecutive doc pairs plant the SAME url
+    // under the unicode spelling (even ids, mixed case) and its punycode
+    // twin (odd ids) across three host families (latin-1 umlaut, hyphened
+    // label, CJK) — canonicalization must collapse each pair to ONE key
+    // (the encoding-choice evasion closed by the idn_ascii kernel). The
+    // oracle is the independent closed form of the expected canonical
+    // url, punycode twins written literally.
+    "q_text_url_idn" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val d = docs(s, dir)
+      val k = floor(col("doc_id") / 2)
+      val fam = k % 3
+      val uni = when(fam === 0, "BÜcher.De").when(fam === 1, "münchen.de")
+        .otherwise("東京.jp")
+      val puny = when(fam === 0, "xn--bcher-kva.de")
+        .when(fam === 1, "xn--mnchen-3ya.de").otherwise("xn--1lqs71d.jp")
+      val host = when(col("doc_id") % 2 === 0, uni).otherwise(puny)
+      val url = concat(lit("HTTPS://"), host, lit("/p/"),
+        (k % 50).cast("string"), lit("?b=2&a=1#frag"))
+      d.select(col("doc_id"), TextOps.canonicalizeUrl(url).as("canon_url"))
+        .orderBy("doc_id")
+    }),
+
     // Per-domain document cap — the crawl-diversity quota every web-corpus
     // recipe applies so no single site dominates the mix: canonical URL →
     // registrable host → at most 30 docs per host under the (doc_id)
@@ -3419,6 +3442,18 @@ object LlmQueries {
          |       CAST(a.n_kept AS BIGINT) AS n_kept
          |FROM agg a JOIN toks t ON t.doc_id = a.doc_id
          |ORDER BY a.doc_id""".stripMargin,
+
+    // independent closed form: both spellings of a twin pair map to the
+    // literal punycode canonical url (host families keyed on doc_id//2)
+    "q_text_url_idn" ->
+      """SELECT doc_id,
+        |  'https://' ||
+        |  CASE CAST((doc_id // 2) % 3 AS INT)
+        |    WHEN 0 THEN 'xn--bcher-kva.de'
+        |    WHEN 1 THEN 'xn--mnchen-3ya.de'
+        |    ELSE 'xn--1lqs71d.jp' END
+        |  || '/p/' || CAST((doc_id // 2) % 50 AS VARCHAR) || '?a=1&b=2' AS canon_url
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_url_canon" ->
       (s"""WITH u0 AS (SELECT doc_id,

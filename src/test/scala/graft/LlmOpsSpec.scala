@@ -1434,6 +1434,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(canon("https://h.com/100%zz") == "https://h.com/100%zz")
   }
 
+  test("UrlKernels.idn_ascii: unicode and punycode host spellings collapse to one " +
+    "canonical key; ASCII hosts are fixpoints; malformed hosts fall back lowercased") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    def idn(s: String): String =
+      Seq(s).toDF("h").select(TextOps.idnAsciiHost($"h")).collect()(0).getString(0)
+    // twins collapse, case-insensitively, and punycode is a fixpoint
+    assert(idn("bücher.de") == "xn--bcher-kva.de")
+    assert(idn("BÜCHER.DE") == "xn--bcher-kva.de")
+    assert(idn("xn--bcher-kva.de") == "xn--bcher-kva.de")
+    assert(idn("münchen.de") == "xn--mnchen-3ya.de")
+    assert(idn("東京.jp") == "xn--1lqs71d.jp")
+    // ASCII fast path: lowercase only
+    assert(idn("Example.COM") == "example.com")
+    assert(idn("example.com") == "example.com")
+    assert(idn("") == "")
+    // IDNA-rejected host (empty label): deterministic lowercase fallback
+    assert(idn("BAD..HÖST") == "bad..höst")
+    // null passthrough
+    assert(Seq[Option[String]](None).toDF("h")
+      .select(TextOps.idnAsciiHost($"h")).collect()(0).isNullAt(0))
+    // end-to-end: canonicalizeUrl gives both spellings ONE key
+    def canon(s: String): String =
+      Seq(s).toDF("u").select(TextOps.canonicalizeUrl($"u")).collect()(0).getString(0)
+    assert(canon("https://BÜcher.de/a?b=2&a=1") == canon("https://xn--bcher-kva.de/a?a=1&b=2"))
+    assert(canon("https://bücher.de/a") == "https://xn--bcher-kva.de/a")
+  }
+
   test("UrlKernels.pct_normalize: the one-pass kernel is bit-identical to the " +
     "78-expression replace chain the oracle replays, across the adversarial " +
     "escape space") {
