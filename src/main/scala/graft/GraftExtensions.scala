@@ -124,6 +124,8 @@ object GraftExtensions {
       arity("repetition_stats", 1)(c => DocKernels.RepetitionStats(c(0)))),
     ("lang_id", DocKernels.langIdInfo,
       arity("lang_id", 1)(c => DocKernels.LangId(c(0)))),
+    ("lang_id_ngram", DocKernels.langIdNgramInfo,
+      arity("lang_id_ngram", 1)(c => DocKernels.LangIdNgram(c(0)))),
     ("registrable_domain", graft.expressions.UrlKernels.registrableInfo,
       arity("registrable_domain", 1)(c =>
         graft.expressions.UrlKernels.RegistrableDomain(c(0)))),

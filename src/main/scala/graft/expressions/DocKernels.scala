@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Ge
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Per-document codegen'd kernels for operations that are pure functions of a
@@ -404,6 +405,125 @@ object DocKernels {
   val langIdInfo: ExpressionInfo = new ExpressionInfo(
     classOf[LangId].getName, null, "lang_id",
     "_FUNC_(tokens) - stopword-profile language code ('und' without hits).",
+    "", "", "", "", "", "", "built-in")
+
+  /** `lang_id_ngram(text)` — Cavnar–Trenkle character-trigram language
+    * identification over the bundled [[graft.model.LangProfiles]]
+    * snapshot (10 languages incl. ru/ja/ar/zh — the non-Latin coverage
+    * the stopword-marker tier lacks). Normalization is pinned for oracle
+    * replay: lowercase, whitespace runs → one space, trim, pad one space
+    * each side; trigrams by CODEPOINT (DuckDB substring semantics); doc
+    * profile = top-[[graft.model.LangProfiles.rankSize]] trigrams by
+    * (count desc, UTF-8 byte order asc — DuckDB VARCHAR order);
+    * out-of-place distance with absent-gram penalty = rankSize; argmin
+    * with language-code-ascending tie-break; `und` only when the text
+    * has no trigram (empty after normalization). Deterministic — no
+    * floats, no locale-contextual cases in the profile scripts. */
+  case class LangIdNgram(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string, got ${other.simpleString}")
+    }
+    override def dataType: DataType = StringType
+    override def prettyName: String = "lang_id_ngram"
+    override protected def nullSafeEval(a: Any): Any =
+      DocKernels.langIdNgram(a.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.expressions.DocKernels.langIdNgram($a)")
+    override protected def withNewChildInternal(newChild: Expression): LangIdNgram =
+      copy(child = newChild)
+  }
+
+  private val UndLang = UTF8String.fromString("und")
+
+  // (lang, gram -> 1-based rank), language-ascending = the tie-break order
+  private lazy val ngramProfiles: Array[(String, java.util.HashMap[String, Integer])] =
+    graft.model.LangProfiles.profiles.sortBy(_._1).map { case (lang, grams) =>
+      val m = new java.util.HashMap[String, Integer](grams.size * 2)
+      grams.zipWithIndex.foreach { case (g, i) => m.put(g, Integer.valueOf(i + 1)) }
+      (lang, m)
+    }.toArray
+
+  /** Unsigned UTF-8 byte comparison — DuckDB's VARCHAR sort order, so the
+    * doc-profile tie-break replays across engines (UTF-16 compareTo would
+    * disagree above the BMP). */
+  private def utf8Compare(a: String, b: String): Int = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(ab.length, bb.length)
+    var i = 0
+    while (i < n) {
+      val d = (ab(i) & 0xff) - (bb(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    ab.length - bb.length
+  }
+
+  def langIdNgram(text: UTF8String): UTF8String = {
+    if (text == null) return null
+    val lowered = text.toString.toLowerCase(java.util.Locale.ROOT)
+    // collapse \s runs (the Java/RE2-shared ASCII set) to one space + trim
+    val sb = new java.lang.StringBuilder(lowered.length + 2)
+    sb.append(' ')
+    var i = 0
+    var lastSpace = true
+    while (i < lowered.length) {
+      val c = lowered.charAt(i)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+        c == '\f' || c == '\r'
+      if (ws) { if (!lastSpace) { sb.append(' '); lastSpace = true } }
+      else { sb.append(c); lastSpace = false }
+      i += 1
+    }
+    if (!lastSpace) sb.append(' ')
+    val padded = sb.toString
+    if (padded.length <= 2) return UndLang // nothing but whitespace
+    val cps = padded.codePoints().toArray
+    if (cps.length < 3) return UndLang
+    val counts = new java.util.HashMap[String, Integer]()
+    i = 0
+    while (i <= cps.length - 3) {
+      val g = new String(cps, i, 3)
+      val prev = counts.get(g)
+      counts.put(g, if (prev == null) Integer.valueOf(1)
+                    else Integer.valueOf(prev.intValue + 1))
+      i += 1
+    }
+    val k = graft.model.LangProfiles.rankSize
+    val entries = new Array[(String, Int)](counts.size)
+    val it = counts.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next(); entries(i) = (e.getKey, e.getValue.intValue); i += 1
+    }
+    java.util.Arrays.sort(entries, new java.util.Comparator[(String, Int)] {
+      override def compare(a: (String, Int), b: (String, Int)): Int =
+        if (a._2 != b._2) b._2 - a._2 else utf8Compare(a._1, b._1)
+    })
+    val m = math.min(k, entries.length)
+    var bestLang: String = null
+    var bestDist = Long.MaxValue
+    var p = 0
+    while (p < ngramProfiles.length) {
+      val (lang, prof) = ngramProfiles(p)
+      var dist = 0L
+      var j = 0
+      while (j < m) {
+        val r = prof.get(entries(j)._1)
+        dist += (if (r == null) k.toLong else math.abs((j + 1) - r.intValue).toLong)
+        j += 1
+      }
+      if (dist < bestDist) { bestDist = dist; bestLang = lang } // ties: first
+      p += 1                                                    // (lang asc) wins
+    }
+    UTF8String.fromString(bestLang)
+  }
+
+  val langIdNgramInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[LangIdNgram].getName, null, "lang_id_ngram",
+    "_FUNC_(text) - Cavnar-Trenkle character-trigram language code over the bundled 10-language profile snapshot ('und' when the text has no trigram).",
     "", "", "", "", "", "", "built-in")
 
   /**

@@ -662,6 +662,19 @@ object TextOps {
     * [[graft.GraftExtensions.register]]. */
   def langIdNative(tokens: Column): Column = call_function("lang_id", tokens)
 
+  /** Character-trigram language ID (Cavnar–Trenkle rank profiles over the
+    * bundled [[graft.model.LangProfiles]] snapshot — 10 languages
+    * including ru/ja/ar/zh, the non-Latin coverage [[langId]]'s
+    * stopword-marker tier lacks; that tier stays available as the cheap
+    * 5-language fallback). One codegen'd pass per document
+    * ([[graft.expressions.DocKernels.LangIdNgram]] — deterministic
+    * integer rank distances, `und` only for trigram-less text); profiles
+    * regenerate from `tools/gen_lang_profiles.py` (seed corpus documented
+    * there — swap in larger seeds for production-grade accuracy, the
+    * algorithm is unchanged). Requires
+    * [[graft.GraftExtensions.register]]. */
+  def langIdNgram(text: Column): Column = call_function("lang_id_ngram", text)
+
   /** Stopwords used by the quality score (union of the English markers). */
   val qualityStopwords: Seq[String] = langMarkers.head._2
 

@@ -326,6 +326,22 @@ object LlmQueries {
     * (`%61`→a in path and param names, `%7E`→~), a reserved escape that
     * MUST survive encoded with its hex uppercased (`%2f`→`%2F`,
     * `%3a`→`%3A`). */
+  /** Held-out sentences (distinct from the profile seeds) planted into
+    * every fifth doc by q_text_langid_ngram, rotating through the 10
+    * profile languages; the same literals interpolate into the oracle's
+    * CASE plant. Lowercase, BMP-only, apostrophe-free (SQL hygiene). */
+  private val langPlants: Seq[String] = Seq(
+    "the children walk to the school in the morning and they read books with the teacher",
+    "los niños caminan a la escuela por la mañana y leen libros con el maestro en la ciudad",
+    "les enfants marchent vers la maison le matin et ils lisent des livres avec le professeur dans la ville",
+    "die kinder gehen am morgen in die schule und sie lesen bücher mit dem lehrer in der stadt",
+    "as crianças caminham para a escola de manhã e leem livros com o professor na cidade",
+    "i bambini camminano verso la scuola al mattino e leggono libri con il maestro nella città",
+    "дети идут в школу утром и читают книги с учителем в городе каждый день недели",
+    "يذهب الأطفال إلى المدرسة في الصباح ويقرؤون الكتب مع المعلم في المدينة كل يوم",
+    "子供たちは朝に学校へ歩いて行き、先生と一緒に本を読みます。毎日街の中で遊びます。",
+    "孩子们早上走路去学校，他们和老师一起读书。每天在城市里玩耍。")
+
   private def plantedPctUrl: Column =
     when(col("doc_id") % 4 === 0,
       concat(lit("HTTPS://Site"), (col("doc_id") % 7).cast("string"),
@@ -1592,6 +1608,25 @@ object LlmQueries {
       docs(s, dir)
         .select(col("doc_id"), col("lang"),
           TextOps.langIdNative(TextOps.tokens(col("text"))).as("predicted"))
+        .orderBy("doc_id")
+    }),
+
+    // Cavnar–Trenkle character-trigram language ID over the bundled
+    // 10-language profile snapshot: every fifth doc's text is replaced by
+    // a held-out plant rotating through the 10 languages (incl. the
+    // non-Latin ru/ar/ja/zh the stopword tier cannot see). The oracle
+    // replays the FULL algorithm — normalization, codepoint trigrams,
+    // rank-40 doc profile (count desc, binary gram order), out-of-place
+    // distance vs the interpolated profile relation, argmin with lang-asc
+    // tie-break, 'und' for trigram-less docs.
+    "q_text_langid_ngram" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val planted = when(col("doc_id") % 5 === 0,
+        element_at(array(langPlants.map(lit): _*),
+          ((col("doc_id") / 5).cast("long") % 10 + 1).cast("int")))
+        .otherwise(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.langIdNgram(planted).as("predicted"))
         .orderBy("doc_id")
     }),
 
@@ -3724,6 +3759,47 @@ object LlmQueries {
          |    $caseArm
          |  END AS predicted
          |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    // full-algorithm replay: plant, normalize (lower, \s+ -> ' ', trim,
+    // pad), codepoint trigrams, per-doc rank-40 profile (count desc, g asc
+    // = binary order), out-of-place distance vs the interpolated profile
+    // snapshot (absent gram = penalty 40), argmin with lang-asc tie-break
+    "q_text_langid_ngram" -> {
+      val plantArms = langPlants.zipWithIndex.map { case (t, i) =>
+        s"      WHEN $i THEN '$t'"
+      }.mkString("\n")
+      s"""WITH lp AS (SELECT * FROM ${graft.model.LangProfiles.oracleValuesSql}),
+         |pl AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 0 THEN
+         |    CASE CAST((doc_id // 5) % 10 AS INT)
+         |$plantArms
+         |    END
+         |  ELSE text END AS text FROM documents),
+         |norm AS (SELECT doc_id,
+         |           ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' ' AS t
+         |         FROM pl),
+         |tg AS (SELECT doc_id, substring(t, s.i, 3) AS g
+         |       FROM norm, UNNEST(generate_series(1, len(t) - 2)) s(i)
+         |       WHERE len(t) >= 3),
+         |tc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+         |dr AS (SELECT doc_id, g, r FROM (
+         |         SELECT doc_id, g,
+         |                row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS r
+         |         FROM tc) WHERE r <= ${graft.model.LangProfiles.rankSize}),
+         |langs AS (SELECT DISTINCT lang FROM lp),
+         |dist AS (SELECT d.doc_id, l.lang,
+         |           SUM(CASE WHEN p.r IS NULL THEN ${graft.model.LangProfiles.rankSize}
+         |               ELSE abs(d.r - p.r) END) AS dist
+         |         FROM dr d CROSS JOIN langs l
+         |         LEFT JOIN lp p ON p.lang = l.lang AND p.g = d.g
+         |         GROUP BY d.doc_id, l.lang),
+         |best AS (SELECT doc_id, lang,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS rn
+         |         FROM dist)
+         |SELECT d.doc_id, COALESCE(b.lang, 'und') AS predicted
+         |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     "q_text_fingerprint" ->

@@ -1434,6 +1434,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(canon("https://h.com/100%zz") == "https://h.com/100%zz")
   }
 
+  test("TextOps.langIdNgram: the trigram profiles identify all 10 planted " +
+    "languages (accuracy floor 10/10 on held-out sentences distinct from the " +
+    "seeds); trigram-less text is 'und'; the marker tier stays available") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val plants = Seq(
+      "en" -> "the children walk to the school in the morning and they read books with the teacher",
+      "es" -> "los niños caminan a la escuela por la mañana y leen libros con el maestro en la ciudad",
+      "fr" -> "les enfants marchent vers la maison le matin et ils lisent des livres avec le professeur dans la ville",
+      "de" -> "die kinder gehen am morgen in die schule und sie lesen bücher mit dem lehrer in der stadt",
+      "pt" -> "as crianças caminham para a escola de manhã e leem livros com o professor na cidade",
+      "it" -> "i bambini camminano verso la scuola al mattino e leggono libri con il maestro nella città",
+      "ru" -> "дети идут в школу утром и читают книги с учителем в городе каждый день недели",
+      "ar" -> "يذهب الأطفال إلى المدرسة في الصباح ويقرؤون الكتب مع المعلم في المدينة كل يوم",
+      "ja" -> "子供たちは朝に学校へ歩いて行き、先生と一緒に本を読みます。毎日街の中で遊びます。",
+      "zh" -> "孩子们早上走路去学校，他们和老师一起读书。每天在城市里玩耍。")
+    val got = plants.toDF("expected", "text")
+      .select($"expected", TextOps.langIdNgram($"text").as("predicted"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val wrong = got.filter { case (e, p) => e != p }
+    assert(wrong.isEmpty, s"misclassified plants: ${wrong.mkString(", ")}")
+    // und only for trigram-less text; whitespace-only and empty qualify
+    val und = Seq("", "   ", "\t\n").toDF("text")
+      .select(TextOps.langIdNgram($"text")).collect().map(_.getString(0))
+    assert(und.forall(_ == "und"), und.mkString(","))
+    // a single char plus padding IS a trigram — classified, not und
+    assert(Seq("a").toDF("text").select(TextOps.langIdNgram($"text"))
+      .collect()(0).getString(0) != "und")
+    // null passthrough
+    assert(Seq[Option[String]](None).toDF("text")
+      .select(TextOps.langIdNgram($"text")).collect()(0).isNullAt(0))
+  }
+
   test("UrlKernels.idn_ascii: unicode and punycode host spellings collapse to one " +
     "canonical key; ASCII hosts are fixpoints; malformed hosts fall back lowercased") {
     import spark.implicits._
