@@ -36,25 +36,54 @@ object SketchLedger {
     content.linesIterator.filter(_.nonEmpty)
       .collect { case l if l.startsWith("gen\t") => l.stripPrefix("gen\t") }.toSeq
 
+  private def parseTags(content: String): Seq[String] =
+    content.linesIterator.filter(_.nonEmpty)
+      .collect { case l if l.startsWith("tag\t") => l.stripPrefix("tag\t") }.toSeq
+
+  private def manifestContent(gens: Seq[String], tags: Seq[String]): String =
+    (gens.map(g => s"gen\t$g") ++ tags.map(t => s"tag\t$t"))
+      .mkString("", "\n", "\n")
+
   /** Append one sketch frame (typically one row, a few KB) as a new
     * committed generation; returns the committed version. The first append
-    * creates the ledger. */
-  def append(sketch: DataFrame, dir: String): Long = {
+    * creates the ledger.
+    *
+    * `tag` makes the append IDEMPOTENT under at-least-once replay: a tag
+    * already recorded in the manifest (committed atomically WITH its
+    * frame) skips the append and returns the current version — stamp a
+    * streaming sink's appends with the `foreachBatch` batch id and a
+    * crash-replayed batch becomes a non-event instead of a double-counted
+    * frame. Tags survive [[compact]] (a compacted ledger must still
+    * reject a very late replay) and cost one manifest line each — the
+    * same linear growth as the gen lines they sit beside. */
+  def append(sketch: DataFrame, dir: String, tag: Option[String] = None): Long = {
     val spark = sketch.sparkSession
     val prior = ManifestStore.readVersioned(spark, dir, Prefix)
     val gens = prior.map { case (_, c) => parseManifest(c) }.getOrElse(Seq.empty)
-    // Version derives from the manifest we READ, never from on-disk gen dirs:
-    // a stale appender must collide on prior.version + 1 and throw (the
-    // documented loser-throws contract) instead of bumping past a concurrent
-    // winner and committing a manifest that omits the winner's frame. The
-    // UUID suffix keeps same-version crash-debris directories collision-free.
-    val gen = prior.map(_._1 + 1).getOrElse(1L)
-    val genId = newGenId(gen)
-    sketch.coalesce(1).write.mode("overwrite").parquet(s"$dir/gen=$genId")
-    ManifestStore.commitVersioned(spark, dir, Prefix, gen,
-      (gens :+ genId).map(g => s"gen\t$g").mkString("", "\n", "\n"))
-    gen
+    val tags = prior.map { case (_, c) => parseTags(c) }.getOrElse(Seq.empty)
+    if (tag.exists(tags.contains)) prior.get._1 // replayed batch: no-op
+    else {
+      tag.foreach(t => require(!t.contains('\n') && !t.contains('\t'),
+        s"ledger tag must not contain tab/newline: '$t'"))
+      // Version derives from the manifest we READ, never from on-disk gen
+      // dirs: a stale appender must collide on prior.version + 1 and throw
+      // (the documented loser-throws contract) instead of bumping past a
+      // concurrent winner and committing a manifest that omits the
+      // winner's frame. The UUID suffix keeps same-version crash-debris
+      // directories collision-free.
+      val gen = prior.map(_._1 + 1).getOrElse(1L)
+      val genId = newGenId(gen)
+      sketch.coalesce(1).write.mode("overwrite").parquet(s"$dir/gen=$genId")
+      ManifestStore.commitVersioned(spark, dir, Prefix, gen,
+        manifestContent(gens :+ genId, tags ++ tag))
+      gen
+    }
   }
+
+  /** Tags recorded by idempotent appends, in append order. */
+  def tags(spark: SparkSession, dir: String): Seq[String] =
+    ManifestStore.readVersioned(spark, dir, Prefix)
+      .map { case (_, c) => parseTags(c) }.getOrElse(Seq.empty)
 
   /** Committed generation ids in append order — the window handle for
     * before/after comparisons over the ledger (drift scoring folds a
@@ -92,12 +121,15 @@ object SketchLedger {
     * Old generations become debris for [[vacuum]]. */
   def compact(folded: DataFrame, dir: String): Long = {
     val spark = folded.sparkSession
-    val (ver, _) = ManifestStore.readVersioned(spark, dir, Prefix)
+    val (ver, content) = ManifestStore.readVersioned(spark, dir, Prefix)
       .getOrElse(throw new IllegalStateException(s"no committed ledger under $dir"))
     val gen = ver + 1 // same read-version CAS discipline as append
     val genId = newGenId(gen)
     folded.coalesce(1).write.mode("overwrite").parquet(s"$dir/gen=$genId")
-    ManifestStore.commitVersioned(spark, dir, Prefix, gen, s"gen\t$genId\n")
+    // idempotence tags OUTLIVE the frames they arrived with: a compacted
+    // ledger must still treat a very late replayed batch as a no-op
+    ManifestStore.commitVersioned(spark, dir, Prefix, gen,
+      manifestContent(Seq(genId), parseTags(content)))
     gen
   }
 

@@ -76,13 +76,15 @@ object IngestPipeline {
    * rescanned. The ledger commits independently of the (possibly grouped)
    * table upsert — a crash can leave it up to one group ahead of the
    * table, the same advisory-statistics trade the vector ingest's moments
-   * ledger states. At-least-once honesty: after a crash-restart, a
-   * replayed batch whose rows the RESTARTED dedup state no longer
-   * remembers (it re-seeds from `seed`, not the table) re-counts them in
-   * the ledger even though the table's keyed upsert absorbs them — fold
-   * drift, not table corruption. Recovery is one line: re-derive
-   * (`cardFrame` over the table, with this pipeline's column mapping) and
-   * [[graft.ops.SketchLedger.compact]] the ledger to that frame.
+   * ledger states. Replay is EXACTLY-ONCE: each append is tagged with the
+   * `foreachBatch` batch id (committed atomically with its frame), so a
+   * crash-replayed batch — whose rows the restarted dedup state no longer
+   * remembers — skips its ledger append instead of double-counting (the
+   * table's keyed upsert absorbs those rows anyway; spec-pinned: ledger
+   * fold == table card after kill + replay, no compact needed). A source
+   * that replays rows under NEW batch ids (manual re-feeds, not
+   * checkpoint recovery) is still re-counted — for that, re-derive
+   * (`cardFrame` over the table) and [[graft.ops.SketchLedger.compact]].
    */
   def attach(
       docs: DataFrame, idCol: String, textCol: String, keyCol: String,
@@ -139,11 +141,14 @@ object IngestPipeline {
         val nFresh = fresh.count()
         if (nFresh > 0) {
           cardLedger.foreach { dir =>
+            // batch-id tag: a crash-replayed batch (same foreachBatch id)
+            // skips the append — exactly-once card accounting even though
+            // the restarted dedup state no longer remembers its rows
             graft.ops.SketchLedger.append(
               graft.ops.Corpus.cardFrame(
                 fresh.withColumn("_len", length(col(textCol)).cast("long")),
                 textCol, keyCol, partCol, "_len"),
-              dir)
+              dir, tag = Some(s"batch=$id"))
           }
           val grown = seenFps
             .unionByName(Dedup.seenFingerprints(fresh, textCol))

@@ -100,6 +100,48 @@ class IngestPipelineSpec extends SparkSpec {
         "total_tokens", "total_chars", "n_distinct_texts"))
       assert(folded.getAs[Long](f) == want.getAs[Long](f),
         s"$f: ledger ${folded.getAs[Long](f)} != table ${want.getAs[Long](f)}")
+
+    // exactly-once across crash replay: the pipeline stamped each append
+    // with its foreachBatch id, so re-delivering a batch's card frame
+    // under the SAME id (what checkpoint recovery does) is a no-op —
+    // ledger fold == table card with no compact needed
+    assert(SketchLedger.tags(spark, ledger) == Seq("batch=0", "batch=1"))
+    val replayFrame = Corpus.cardFrame(
+      Seq((4L, "alpha", "a"), (5L, "gamma delta", "c")).toDF("id", "text", "source")
+        .withColumn("_len", length(col("text")).cast("long")),
+      "text", "source", "source", "_len")
+    assert(SketchLedger.append(replayFrame, ledger, tag = Some("batch=1")) == 2L,
+      "replayed batch must return the current version without appending")
+    assert(SketchLedger.status(spark, ledger).get._2 == 2, "replay appended a frame")
+    val refolded = Corpus.cardFold(SketchLedger.read(spark, ledger).get).collect()(0)
+    assert(refolded.getAs[Long]("n_docs") == want.getAs[Long]("n_docs"))
+  }
+
+  test("SketchLedger tagged appends: same tag is a no-op, tags survive compaction, " +
+    "untagged appends never collide with tags") {
+    import graft.ops.SketchLedger
+    val dir = tmpDir("ledger_tags")
+    val f1 = Seq((1L, 10L)).toDF("k", "v")
+    val f2 = Seq((2L, 20L)).toDF("k", "v")
+    assert(SketchLedger.append(f1, dir, tag = Some("batch=0")) == 1L)
+    assert(SketchLedger.append(f1, dir, tag = Some("batch=0")) == 1L) // replay
+    assert(SketchLedger.append(f2, dir, tag = Some("batch=1")) == 2L)
+    assert(SketchLedger.status(spark, dir).get._2 == 2)
+    assert(SketchLedger.append(f2, dir) == 3L) // untagged: always appends
+    assert(SketchLedger.tags(spark, dir) == Seq("batch=0", "batch=1"))
+    // compaction folds frames but keeps the tag memory: a very late
+    // replay of batch 0 is still a no-op
+    val folded = SketchLedger.read(spark, dir).get
+      .groupBy().agg(org.apache.spark.sql.functions.sum("v").as("v")).collect()(0)
+    assert(folded.getLong(0) == 50L)
+    SketchLedger.compact(
+      Seq((0L, 50L)).toDF("k", "v"), dir)
+    assert(SketchLedger.status(spark, dir).get._2 == 1)
+    val v = SketchLedger.append(f1, dir, tag = Some("batch=0"))
+    assert(SketchLedger.status(spark, dir).get._2 == 1,
+      "post-compact replay appended a frame")
+    assert(SketchLedger.tags(spark, dir) == Seq("batch=0", "batch=1"))
+    assert(v == 4L)
   }
 
   test("group commit (commitEvery=3): rows buffer, one commit per group, flush drains the remainder — every row accounted") {
