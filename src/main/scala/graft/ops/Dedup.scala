@@ -1857,6 +1857,13 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, storeDir: String): Boolean =
     ManifestStore.readVersioned(spark, storeDir, SpanStorePrefix).isDefined
 
+  /** The window length pinned in a committed store's meta — callers
+    * configured with their own `n` (e.g. a stream) verify against it
+    * instead of silently counting different windows. */
+  def spanStoreWindow(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String): Int =
+    spanMetaN(spark, storeDir)
+
   /** Bootstrap the persisted store from an initial corpus. Fails loud on
     * an already-committed store (a re-bootstrap with a different corpus
     * would leave stale counts for hashes absent from the new one — wipe
