@@ -199,6 +199,17 @@ object Corpus {
    * registrable domain ([[TextOps.registrableDomain]], both sides) so
    * subdomain sharding cannot evade the list; requires
    * [[graft.GraftExtensions.register]].
+   *
+   * WARNING (over-blocking): registrable-domain matching is only as good
+   * as the PSL snapshot's PRIVATE-section coverage. On a hosting platform
+   * missing from the bundled subset (the snapshot is a curated slice;
+   * `evil.weebly.com`-style tenants need the private rules), both the
+   * blocklist entry and every candidate host collapse to the PLATFORM
+   * apex — one listed tenant then anti-joins away every innocent tenant
+   * of the platform, a collateral mass-drop, not just a coarse key.
+   * Before using `matchRegistrable` against a production blocklist,
+   * regenerate the full PSL (`tools/gen_public_suffix.py` over the
+   * upstream `public_suffix_list.dat`, private section included).
    */
   def filterBlockedUrls(
       df: DataFrame, urlCol: String, blockedHosts: DataFrame,

@@ -693,10 +693,19 @@ object Profile {
       df: DataFrame, scoreCol: String, labelCol: String,
       bins: Int = 10): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
+    // scores outside [0,1] fail LOUD (raise_error is codegen'd — no extra
+    // pass): silently clamping them into the edge buckets would skew the
+    // reliability curve for exactly the miscalibrated/buggy scorer export
+    // this report exists to catch
+    val score = when(col(scoreCol) < 0 || col(scoreCol) > 1,
+      raise_error(concat(
+        lit(s"calibrationReport: $scoreCol outside [0, 1]: "),
+        col(scoreCol).cast("string"))).cast("double"))
+      .otherwise(col(scoreCol))
     df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(
-        least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("long").as("bucket"),
-        round(col(scoreCol) * 10000).cast("long").as("_s4"),
+        least(floor(score * bins), lit(bins - 1)).cast("long").as("bucket"),
+        round(score * 10000).cast("long").as("_s4"),
         when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("_pos"))
       .groupBy("bucket")
       .agg(

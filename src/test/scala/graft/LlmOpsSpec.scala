@@ -523,6 +523,19 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(out.toSeq == Seq(
       (0L, 2L, 0L, 0.065), (5L, 2L, 1L, 0.565), (9L, 2L, 2L, 0.975)))
+    // scores outside [0,1] fail LOUD — a buggy scorer export must never
+    // silently skew the reliability curve (negative would land in a
+    // negative bucket, >1 clamp into the top one)
+    for (bad <- Seq(-0.2, 1.7)) {
+      val ex = intercept[Exception] {
+        Profile.calibrationReport(
+          Seq((bad, true)).toDF("score", "label"), "score", "label").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+      assert(msgs(ex).exists(m => m != null && m.contains("outside [0, 1]")),
+        ex.toString)
+    }
   }
 
   test("Profile: correlations — perfect +/-1, known value, zero-variance null, complete-case") {
