@@ -46,6 +46,18 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT winnow_fps(split('a b c d e f g h', ' '), 3, 4) AS fps").collect()(0)
     val fps = wf.getSeq[Long](0)
     assert(fps.nonEmpty && fps.size <= 3 && fps == fps.sorted && fps.distinct == fps)
+    // the r14 URL/text codec kernels, callable straight from SQL
+    val codec = spark.sql(
+      """SELECT
+        |  pct_normalize('http://h/%7e%2fx') AS pct,
+        |  html_unescape('A &amp;amp; &#x27;B&#8217;') AS ent,
+        |  idn_ascii('BÜCHER.DE') AS idn,
+        |  lang_id_ngram('the house is near the river and the people walk') AS lang,
+        |  lang_id_ngram('') AS undl""".stripMargin).collect()(0)
+    assert(codec.getString(0) == "http://h/~%2Fx", codec.getString(0))
+    assert(codec.getString(1) == "A &amp; 'B’", codec.getString(1))
+    assert(codec.getString(2) == "xn--bcher-kva.de")
+    assert(codec.getString(3) == "en" && codec.getString(4) == "und")
     // bpe_encode from SQL once a merge table is bound to the session
     GraftExtensions.registerBpe(spark, Seq(("a", "b"), ("ab", "c")))
     val bpe = spark.sql("SELECT bpe_encode(split('abc xab', ' '))")
