@@ -95,6 +95,90 @@ class PropertySpec extends SparkSpec {
     assert(once.where(graft.ops.Pii.hasPii($"r")).isEmpty)
   }
 
+  test("property: pct_normalize kernel == replace chain on adversarial escape fuzz") {
+    // alphabet dense in escape-boundary cases: '%', hex both cases, a
+    // non-hex letter, and multibyte payload
+    val chars = Gen.oneOf('%', 'a', 'b', 'f', 'A', 'F', '2', '7', 'g', 'Z', '/', 'é')
+    val sGen = Gen.chooseNum(0, 24).flatMap(n => Gen.listOfN(n, chars).map(_.mkString))
+    val df = sample(sGen, 400).zipWithIndex.map(_.swap).toDF("id", "u")
+    val out = df.select(
+      graft.ops.TextOps.pctNormalizeUrl($"u").as("k"),
+      graft.ops.TextOps.pctNormalizeUrlChain($"u").as("c"))
+    assert(out.where($"k" =!= $"c").isEmpty,
+      out.where($"k" =!= $"c").collect().take(3).mkString(", "))
+  }
+
+  test("property: html_unescape equals an independent regex-based reference decoder") {
+    // independent reference: one regex alternation over the same decode
+    // set, built from different machinery than the kernel's manual scan
+    val named = Map("amp" -> "&", "lt" -> "<", "gt" -> ">",
+      "quot" -> "\"", "apos" -> "'", "nbsp" -> " ")
+    def safe(code: Int): Option[String] = code match {
+      case c if c >= 32 && c <= 126 => Some(c.toChar.toString)
+      case 160 => Some(" ")
+      case 169 | 171 | 174 | 176 | 183 | 187 | 215 | 247 => Some(code.toChar.toString)
+      case c if (c >= 8211 && c <= 8212) || (c >= 8216 && c <= 8218) ||
+        (c >= 8220 && c <= 8222) || c == 8226 || c == 8230 ||
+        c == 8242 || c == 8243 || c == 8364 || c == 8482 => Some(code.toChar.toString)
+      case _ => None
+    }
+    val rx = "&(?:(amp|lt|gt|quot|apos|nbsp);|#([0-9]{1,7});|#[xX]([0-9a-fA-F]{1,6});)".r
+    def ref(s: String): String = rx.replaceAllIn(s, m => {
+      val rep =
+        if (m.group(1) != null) Some(named(m.group(1)))
+        else if (m.group(2) != null) safe(m.group(2).toInt)
+        else safe(Integer.parseInt(m.group(3), 16))
+      java.util.regex.Matcher.quoteReplacement(rep.getOrElse(m.matched))
+    })
+    val chars = Gen.oneOf('&', '#', ';', 'x', 'X', 'a', 'm', 'p', 'l', 't',
+      '3', '9', '8', '2', '1', '7', 'q', ' ')
+    val sGen = Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n, chars).map(_.mkString))
+    val fuzz = sample(sGen, 400)
+    val df = fuzz.zipWithIndex.map(_.swap).toDF("id", "h")
+      .select($"id", $"h", call_function("html_unescape", $"h").as("k"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val bad = df.filter { case (h, k) => k != ref(h) }
+    assert(bad.isEmpty, bad.take(3).map { case (h, k) =>
+      s"'$h': kernel '$k' != ref '${ref(h)}'" }.mkString(", "))
+    // regex reference is left-to-right non-overlapping like the kernel, so
+    // double-encoded plants agree too
+    assert(ref("&amp;lt;") == "&lt;" && ref("&amp;#39;") == "&#39;")
+  }
+
+  test("property: idn_ascii is idempotent; pure-ASCII hosts are exactly lowercased") {
+    val hostGen = for {
+      labels <- Gen.chooseNum(1, 3)
+      parts <- Gen.listOfN(labels, Gen.oneOf(
+        "Example", "BÜCHER", "münchen", "xn--bcher-kva", "a1", "東京", "COM", "de", "jp"))
+    } yield parts.mkString(".")
+    val hosts = sample(hostGen, 200)
+    val out = hosts.zipWithIndex.map(_.swap).toDF("id", "h")
+      .select($"h",
+        graft.ops.TextOps.idnAsciiHost($"h").as("once"),
+        graft.ops.TextOps.idnAsciiHost(
+          graft.ops.TextOps.idnAsciiHost($"h")).as("twice"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val nonIdem = out.filter { case (_, a, b) => a != b }
+    assert(nonIdem.isEmpty, nonIdem.take(3).mkString(", "))
+    out.filter(_._1.forall(_ < 128.toChar)).foreach { case (h, a, _) =>
+      assert(a == h.toLowerCase(java.util.Locale.ROOT), s"$h -> $a")
+    }
+  }
+
+  test("property: lang_id_ngram is total over the profile langs + und; und iff no trigram") {
+    val langs = graft.model.LangProfiles.profiles.map(_._1).toSet
+    val sGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'e', 'т', 'の', '好', ' ', '\t')).map(_.mkString))
+    val rows = sample(sGen, 300).zipWithIndex.map(_.swap).toDF("id", "t")
+      .select($"t", graft.ops.TextOps.langIdNgram($"t").as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    rows.foreach { case (t, p) =>
+      val trimmed = t.trim
+      if (trimmed.isEmpty) assert(p == "und", s"'$t' -> $p")
+      else assert(langs.contains(p), s"'$t' -> $p not a profile lang")
+    }
+  }
+
   test("property: sequence packing partitions the corpus; seqs grow with id; only the last doc overflows") {
     val docGen = for { toks <- Gen.chooseNum(1, 700) } yield toks
     val rows = sample(docGen, 400).zipWithIndex.map { case (t, i) => (i.toLong, t) }
