@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 import graft.GraftExtensions
-import graft.ops.{Corpus, Dedup, ManifestStore, MinhashIndex, Multimodal, Pii, Retrieval, Similarity, TextOps}
+import graft.ops.{Corpus, Dedup, EvalRegistry, ManifestStore, MinhashIndex, Multimodal, Pii, Retrieval, Similarity, TextOps}
 import graft.sources.Jsonl
 
 /**
@@ -95,6 +95,31 @@ object LlmQueries {
    * half-store forever. The two ANN memos keep their own key builder —
    * their paths additionally carry every quantizer knob.
    */
+  /** Shared by q_contamination_report and its store-served twin — the
+    * registry must roll up identically to the direct form. */
+  private lazy val contaminationReportOracleSql: String =
+    s"""WITH ev AS (SELECT doc_id + 5000000 AS doc_id,
+         |         array_to_string(list_slice(string_split(text, ' '),
+         |           (len(string_split(text, ' ')) // 4) + 1,
+         |           (len(string_split(text, ' ')) // 4) + ((len(string_split(text, ' ')) + 1) // 2)), ' ') AS text
+         |       FROM documents WHERE doc_id % 5 = 0),
+         |${winnowCte("documents", "c")},
+         |${winnowCte("ev", "e")},
+         |en AS (SELECT id, count(*) AS n_eval FROM efps GROUP BY id),
+         |shared AS (SELECT c.id AS corpus_id, e.id AS eval_id, count(*) AS shared
+         |           FROM cfps c JOIN efps e ON e.fp = c.fp GROUP BY c.id, e.id),
+         |sc AS (SELECT s.eval_id, CAST(s.shared AS DOUBLE) / en.n_eval AS containment
+         |       FROM shared s JOIN en ON en.id = s.eval_id),
+         |r AS (SELECT ev.doc_id AS eval_id,
+         |             round(max(COALESCE(sc.containment, 0.0)), 6) AS max_containment,
+         |             CAST(sum(CASE WHEN sc.containment >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+         |               AS n_contaminating
+         |      FROM ev LEFT JOIN sc ON sc.eval_id = ev.doc_id
+         |      GROUP BY ev.doc_id)
+         |SELECT eval_id, max_containment, n_contaminating,
+         |       n_contaminating > 0 AS contaminated
+         |FROM r ORDER BY eval_id""".stripMargin
+
   private def storeMemo(
       fpFrame: DataFrame, idCol: String, dir: String, root: String)(
       committed: String => Boolean)(build: String => Unit): String = {
@@ -189,6 +214,28 @@ object LlmQueries {
     * `q_corpus_card_diff` diffs them through time travel. Guarded on the
     * reader's predicate (two committed versions), so a crash mid-build
     * rebuilds instead of serving a one-version store. */
+  /** Build-once eval-suite fingerprint registry: suite "main" = the
+    * contamination plant's middle spans (shared with
+    * q_contamination_report), suite "exact" = verbatim copies of every
+    * 25th doc. Guarded on the reader's predicate (committed meta). */
+  private def evalRegistryDir(s: SparkSession, dir: String): String =
+    storeMemo(docs(s, dir), "doc_id", dir, "graft_evalreg_v1")(
+      EvalRegistry.evalRegistryCommitted(s, _)) { path =>
+      val d = docs(s, dir)
+      val toks = split(col("text"), " ")
+      val start = (size(toks) / lit(4)).cast("int") + 1
+      val len = ((size(toks) + 1) / lit(2)).cast("int")
+      EvalRegistry.writeEvalRegistry(
+        d.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            array_join(slice(toks, start, len), " ").as("text")),
+        path, "doc_id", "text", "main")
+      EvalRegistry.appendToEvalRegistry(
+        d.where(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 6000000L).as("doc_id"), col("text")),
+        path, "doc_id", "text", "exact")
+    }
+
   private def cardStoreDir(s: SparkSession, dir: String): String =
     storeMemo(docs(s, dir), "doc_id", dir, "graft_card_store_v1")(
       ManifestStore.versions(s, _).size >= 2) { path =>
@@ -1363,6 +1410,34 @@ object LlmQueries {
           array_join(slice(toks, start, len), " ").as("text"))
       Dedup.contaminationReport(d, evalSet, "doc_id", "text", 0.8)
         .orderBy("eval_id")
+    }),
+
+    // The SAME report served from the persisted eval-suite fingerprint
+    // registry (suite-scoped to "main" — the "exact" suite's partitions
+    // prune at the scan): the store must roll up identically to the
+    // direct form, so the oracle is q_contamination_report's verbatim.
+    // Eval TEXT is read only at registry build; every serve is
+    // fingerprints-vs-fingerprints.
+    "q_contamination_report_indexed" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      EvalRegistry.contaminationReportIndexed(
+          docs(s, dir), evalRegistryDir(s, dir), "doc_id", "text",
+          threshold = 0.8, suite = Some("main"))
+        .select("eval_id", "max_containment", "n_contaminating", "contaminated")
+        .orderBy("eval_id")
+    }),
+
+    // The one-call decontamination GATE across BOTH registered suites and
+    // BOTH tiers: corpus minus (exact fingerprint matches ∪ winnowed
+    // containment ≥ 0.8) — the per-batch anti-join an ingest pipeline
+    // runs against a registry it never saw the eval text of
+    "q_contamination_decon" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      EvalRegistry.decontaminateIndexed(
+          docs(s, dir), evalRegistryDir(s, dir), "doc_id", "text",
+          threshold = 0.8)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
     }),
 
     // Winnowing fingerprints (min hash per 4-window of 3-shingles) — the
@@ -3326,28 +3401,39 @@ object LlmQueries {
     // report oracle: the same winnow/containment chain UNFILTERED, then a
     // per-eval-doc rollup over a LEFT JOIN from the full eval set so clean
     // (and fingerprint-less) docs emit zero rows too
-    "q_contamination_report" ->
+    "q_contamination_report" -> contaminationReportOracleSql,
+
+    // the store-served rollup must equal the direct form row for row
+    "q_contamination_report_indexed" -> contaminationReportOracleSql,
+
+    // gate oracle: both suites' fingerprints recomputed from the plants,
+    // exact tier (normalized-md5 equality) UNION overlap tier (winnowed
+    // containment >= 0.8), anti-joined against the corpus
+    "q_contamination_decon" ->
       s"""WITH ev AS (SELECT doc_id + 5000000 AS doc_id,
          |         array_to_string(list_slice(string_split(text, ' '),
          |           (len(string_split(text, ' ')) // 4) + 1,
          |           (len(string_split(text, ' ')) // 4) + ((len(string_split(text, ' ')) + 1) // 2)), ' ') AS text
          |       FROM documents WHERE doc_id % 5 = 0),
+         |cx AS (SELECT doc_id + 6000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0),
+         |evall AS (SELECT * FROM ev UNION ALL SELECT * FROM cx),
+         |cfp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+         |        FROM documents),
+         |efp AS (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+         |        FROM evall),
+         |exact_flag AS (SELECT DISTINCT c.doc_id FROM cfp c JOIN efp e ON e.f = c.f),
          |${winnowCte("documents", "c")},
-         |${winnowCte("ev", "e")},
+         |${winnowCte("evall", "e")},
          |en AS (SELECT id, count(*) AS n_eval FROM efps GROUP BY id),
          |shared AS (SELECT c.id AS corpus_id, e.id AS eval_id, count(*) AS shared
          |           FROM cfps c JOIN efps e ON e.fp = c.fp GROUP BY c.id, e.id),
-         |sc AS (SELECT s.eval_id, CAST(s.shared AS DOUBLE) / en.n_eval AS containment
-         |       FROM shared s JOIN en ON en.id = s.eval_id),
-         |r AS (SELECT ev.doc_id AS eval_id,
-         |             round(max(COALESCE(sc.containment, 0.0)), 6) AS max_containment,
-         |             CAST(sum(CASE WHEN sc.containment >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
-         |               AS n_contaminating
-         |      FROM ev LEFT JOIN sc ON sc.eval_id = ev.doc_id
-         |      GROUP BY ev.doc_id)
-         |SELECT eval_id, max_containment, n_contaminating,
-         |       n_contaminating > 0 AS contaminated
-         |FROM r ORDER BY eval_id""".stripMargin,
+         |ov_flag AS (SELECT DISTINCT s.corpus_id AS doc_id
+         |            FROM shared s JOIN en ON en.id = s.eval_id
+         |            WHERE CAST(s.shared AS DOUBLE) / en.n_eval >= 0.8),
+         |flag AS (SELECT doc_id FROM exact_flag UNION SELECT doc_id FROM ov_flag)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |ANTI JOIN flag f ON f.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_containment" ->
       s"""WITH dd AS (SELECT doc_id, text FROM documents
