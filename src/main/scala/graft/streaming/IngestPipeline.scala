@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 
-import graft.ops.{Dedup, ManifestStore, TextOps}
+import graft.ops.{Dedup, EvalRegistry, ManifestStore, TextOps}
 
 /**
  * The composed TRAINING-DATA INGEST pipeline — every streaming guard this
@@ -21,14 +21,20 @@ import graft.ops.{Dedup, ManifestStore, TextOps}
  *  3. EXACT DEDUP ([[Dedup.exactIncremental]] against a fingerprint
  *     store): within-batch and cross-batch duplicates drop; the store
  *     grows by addition and is never rescanned.
- *  4. UPSERT ([[ManifestStore.upsert]]): survivors land in the
+ *  4. DECONTAMINATION (optional — [[graft.ops.EvalRegistry
+ *     .decontaminateIndexed]] against a registered benchmark-fingerprint
+ *     store): documents that exact-match or contain ≥ the gate threshold
+ *     of any registered eval doc drop BEFORE the table ever sees them —
+ *     fingerprints only, the eval text never enters the pipeline.
+ *  5. UPSERT ([[ManifestStore.upsert]]): survivors land in the
  *     manifest-committed table — atomic visibility, crash debris
  *     invisible, snapshot isolation for concurrent readers.
  *
  * Per batch one ledger row goes to `onReport`:
- * `(batchId, nIn, psi, drifted, nAdmitted, nFresh)`; `nIn − nAdmitted`
- * is the rate-limit rejection count and `nAdmitted − nFresh` the
- * duplicate count. State: the reference count table, the CMS matrix, and
+ * `(batchId, nIn, psi, drifted, nAdmitted, nFresh, nClean)`;
+ * `nIn − nAdmitted` is the rate-limit rejection count,
+ * `nAdmitted − nFresh` the duplicate count, and `nFresh − nClean` the
+ * contamination-gate count (`nClean == nFresh` with no registry). State: the reference count table, the CMS matrix, and
  * the fingerprint store (content-hash-sized — the one genuinely growing
  * piece, exactly the piece a deployment would persist via the manifest
  * protocol between runs).
@@ -51,7 +57,7 @@ object IngestPipeline {
 
   final case class BatchReport(
       batchId: Long, nIn: Long, psi: Double, drifted: Boolean,
-      nAdmitted: Long, nFresh: Long)
+      nAdmitted: Long, nFresh: Long, nClean: Long)
 
   /** The wired pipeline plus its group-commit flusher. */
   final class Handle(
@@ -91,7 +97,8 @@ object IngestPipeline {
       partCol: String, tablePath: String, ref: DataFrame,
       cap: Long, psiThreshold: Double = 0.25,
       seed: Option[DataFrame] = None, commitEvery: Int = 1,
-      cardLedger: Option[String] = None)(
+      cardLedger: Option[String] = None,
+      evalRegistry: Option[(String, Double)] = None)(
       onReport: BatchReport => Unit): Handle = {
     require(commitEvery >= 1, s"commitEvery must be >= 1, got $commitEvery")
     val spark = docs.sparkSession
@@ -131,6 +138,7 @@ object IngestPipeline {
       // block-manager-residue lesson, enforced by IngestPipelineSpec)
       var admitted: DataFrame = null
       var fresh: DataFrame = null
+      var clean: DataFrame = null
       try {
         val nIn = pinned.count()
         val (_, _, psi, _) = monitor.score(pinned)
@@ -139,26 +147,38 @@ object IngestPipeline {
         fresh = Dedup.exactIncremental(admitted, seenFps, idCol, textCol)
           .localCheckpoint()
         val nFresh = fresh.count()
+        // the contamination gate sits AFTER dedup (gate cost ∝ fresh rows,
+        // not batch rows) and BEFORE the table/ledger; the fingerprint
+        // store still grows by the FULL fresh set — a contaminated doc
+        // re-arriving later is still a duplicate, and re-gating it every
+        // time would pay the registry join again for nothing
+        clean = evalRegistry.fold(fresh) { case (regDir, threshold) =>
+          EvalRegistry.decontaminateIndexed(fresh, regDir, idCol, textCol, threshold)
+            .localCheckpoint()
+        }
+        val nClean = if (evalRegistry.isEmpty) nFresh else clean.count()
         if (nFresh > 0) {
-          cardLedger.foreach { dir =>
-            // batch-id tag: a crash-replayed batch (same foreachBatch id)
-            // skips the append — exactly-once card accounting even though
-            // the restarted dedup state no longer remembers its rows
-            graft.ops.SketchLedger.append(
-              graft.ops.Corpus.cardFrame(
-                fresh.withColumn("_len", length(col(textCol)).cast("long")),
-                textCol, keyCol, partCol, "_len"),
-              dir, tag = Some(s"batch=$id"))
-          }
           val grown = seenFps
             .unionByName(Dedup.seenFingerprints(fresh, textCol))
             .distinct()
             .localCheckpoint() // eager: safe to drop the predecessor now
           DriftStream.release(seenFps)
           seenFps = grown
+        }
+        if (nClean > 0) {
+          cardLedger.foreach { dir =>
+            // batch-id tag: a crash-replayed batch (same foreachBatch id)
+            // skips the append — exactly-once card accounting even though
+            // the restarted dedup state no longer remembers its rows
+            graft.ops.SketchLedger.append(
+              graft.ops.Corpus.cardFrame(
+                clean.withColumn("_len", length(col(textCol)).cast("long")),
+                textCol, keyCol, partCol, "_len"),
+              dir, tag = Some(s"batch=$id"))
+          }
           pendingLock.synchronized {
-            val buffered = pending.fold(fresh)(_.unionByName(fresh))
-              .localCheckpoint() // eager: fresh + old buffer releasable below
+            val buffered = pending.fold(clean)(_.unionByName(clean))
+              .localCheckpoint() // eager: clean + old buffer releasable below
             pending.foreach(DriftStream.release)
             pending = Some(buffered)
           }
@@ -167,8 +187,10 @@ object IngestPipeline {
           batchesSinceCommit += 1
           if (batchesSinceCommit >= commitEvery) flushPending()
         }
-        onReport(BatchReport(id, nIn, psi, psi > psiThreshold, nAdmitted, nFresh))
+        onReport(BatchReport(id, nIn, psi, psi > psiThreshold, nAdmitted,
+          nFresh, nClean))
       } finally {
+        if (clean != null && (clean ne fresh)) DriftStream.release(clean)
         if (fresh != null) DriftStream.release(fresh)
         if (admitted != null) DriftStream.release(admitted)
         DriftStream.release(pinned)
@@ -183,10 +205,11 @@ object IngestPipeline {
       partCol: String, tablePath: String, ref: DataFrame,
       cap: Long, psiThreshold: Double = 0.25,
       seed: Option[DataFrame] = None, commitEvery: Int = 1,
-      cardLedger: Option[String] = None)(
+      cardLedger: Option[String] = None,
+      evalRegistry: Option[(String, Double)] = None)(
       onReport: BatchReport => Unit): (StreamingQuery, Handle) = {
     val h = attach(docs, idCol, textCol, keyCol, partCol, tablePath, ref,
-      cap, psiThreshold, seed, commitEvery, cardLedger)(onReport)
+      cap, psiThreshold, seed, commitEvery, cardLedger, evalRegistry)(onReport)
     (h.writer.start(), h)
   }
 }

@@ -117,6 +117,48 @@ class IngestPipelineSpec extends SparkSpec {
     assert(refolded.getAs[Long]("n_docs") == want.getAs[Long]("n_docs"))
   }
 
+  test("decontamination gate rides the pipeline: registered eval content never " +
+    "reaches the table or the card ledger; the report accounts the drop") {
+    import graft.ops.{Corpus, EvalRegistry, SketchLedger}
+    import org.apache.spark.sql.functions.{col, length}
+    implicit val ctx = spark.sqlContext
+    GraftExtensions.register(spark)
+    val dir = tmpDir("ingest_decon")
+    val ledger = tmpDir("ingest_decon_ledger")
+    val reg = tmpDir("ingest_decon_reg")
+    // registry: one benchmark doc whose text will arrive in the stream
+    EvalRegistry.writeEvalRegistry(
+      Seq((900L, "leaked benchmark answer text")).toDF("doc_id", "text"),
+      reg, "doc_id", "text", "bench")
+    val ref = (Seq.fill(2)("a") ++ Seq.fill(2)("b")).toDF("source")
+    val reports = mutable.Buffer.empty[IngestPipeline.BatchReport]
+    val ms = MemoryStream[(Long, String, String)]
+    val (q, _) = IngestPipeline.start(
+      ms.toDS().toDF("id", "text", "source"),
+      idCol = "id", textCol = "text", keyCol = "source", partCol = "source",
+      tablePath = dir, ref = ref, cap = 10L,
+      cardLedger = Some(ledger), evalRegistry = Some((reg, 0.8)))(reports += _)
+    try {
+      ms.addData(
+        (1L, "alpha", "a"),
+        (2L, "Leaked  BENCHMARK answer TEXT", "a"), // normalized exact match
+        (3L, "gamma delta", "b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(reports.map(r => (r.nFresh, r.nClean)) == Seq((3L, 2L)), reports.toString)
+    val tableIds = ManifestStore.currentFrame(spark, dir, "source").get
+      .select("id").as[Long].collect().toSet
+    assert(tableIds == Set(1L, 3L), s"contaminated doc reached the table: $tableIds")
+    // the card ledger counted exactly the gated survivors (== the table)
+    val folded = Corpus.cardFold(SketchLedger.read(spark, ledger).get).collect()(0)
+    val want = Corpus.cardFold(Corpus.cardFrame(
+        ManifestStore.currentFrame(spark, dir, "source").get
+          .withColumn("_len", length(col("text")).cast("long")),
+        "text", "source", "source", "_len")).collect()(0)
+    assert(folded.getAs[Long]("n_docs") == 2L &&
+      folded.getAs[Long]("n_docs") == want.getAs[Long]("n_docs"))
+  }
+
   test("SketchLedger tagged appends: same tag is a no-op, tags survive compaction, " +
     "untagged appends never collide with tags") {
     import graft.ops.SketchLedger
