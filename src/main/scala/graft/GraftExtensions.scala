@@ -342,6 +342,20 @@ object GraftExtensions {
           if (pat.isEmpty) None else Some(pat))
           .queryExecution.logical
       }),
+    ("graft_decontaminate", tvfInfo("graft_decontaminate",
+      "_FUNC_(table, id_col, text_col, registry_dir, threshold) - the " +
+        "eval-registry decontamination gate: rows minus every document " +
+        "that exact-matches or contains >= threshold of any registered " +
+        "benchmark doc (all suites)."),
+      tvfArity("graft_decontaminate", 5) { c =>
+        graft.ops.EvalRegistry.decontaminateIndexed(
+          tableOf(strLit(c(0), "graft_decontaminate", "table")),
+          strLit(c(3), "graft_decontaminate", "registry_dir"),
+          strLit(c(1), "graft_decontaminate", "id_col"),
+          strLit(c(2), "graft_decontaminate", "text_col"),
+          numLit(c(4), "graft_decontaminate", "threshold"))
+          .queryExecution.logical
+      }),
     ("graft_memorization", tvfInfo("graft_memorization",
       "_FUNC_(table, id_col, text_col, n) - per-document memorization-risk " +
         "profile: tokens covered by corpus-duplicated n-windows and the " +

@@ -186,6 +186,17 @@ object EvalRegistry {
       .withColumn("contaminated", col("n_contaminating") > 0)
   }
 
+  /** Retire a whole suite — the benchmark-rotation takedown: physically
+    * removes its rows under the manifest protocol (`suite` IS the
+    * partition column, so the rewrite touches nothing outside the
+    * retired suite's partition). Gates stop flagging against it the
+    * moment the commit lands; other suites are untouched. */
+  def deleteSuite(spark: SparkSession, dir: String, suite: String): Int =
+    ManifestStore.delete(
+      readEvalRegistry(spark, dir, Some(suite))
+        .select("suite", "eval_id", "kind", "fp"),
+      dir, "suite", Seq("suite", "eval_id", "kind", "fp"), spark)
+
   /** The one-call GATE: `corpus` minus every document that exact-matches
     * a registered eval doc OR contains ≥ `threshold` of one (both tiers,
     * any suite unless scoped) — the anti-join the ingest pipeline runs

@@ -113,6 +113,28 @@ class EvalRegistrySpec extends SparkSpec {
         corpus, dir, "doc_id", "text", suite = Some("v2"))
       .select("eval_id").as[Long].collect().toSeq
     assert(rep == Seq(200L))
+
+    // the SQL face of the gate: graft_decontaminate == the Scala call
+    corpus.createOrReplaceTempView("evalreg_corpus")
+    val sql = spark.sql(
+      s"SELECT doc_id FROM graft_decontaminate('evalreg_corpus', 'doc_id', " +
+        s"'text', '$dir', 0.8) ORDER BY doc_id").as[Long].collect().toSeq
+    val scala = EvalRegistry.decontaminateIndexed(
+        corpus, dir, "doc_id", "text", 0.8)
+      .select("doc_id").orderBy("doc_id").as[Long].collect().toSeq
+    assert(sql == scala && !sql.contains(11L))
+
+    // suite retirement: the v2 partition rewrites away, "main" untouched,
+    // and the unscoped gate stops flagging v2's match immediately
+    val removed = EvalRegistry.deleteSuite(spark, dir, "v2")
+    assert(removed > 0)
+    assert(EvalRegistry.registrySuites(spark, dir) == Seq("main"))
+    val after = EvalRegistry.exactContaminationIndexed(corpus, dir, "doc_id", "text")
+      .select("corpus_id").as[Long].collect().toSet
+    assert(after == Set(3L), after.toString)
+    assert(EvalRegistry.decontaminateIndexed(corpus, dir, "doc_id", "text", 0.8)
+      .select("doc_id").as[Long].collect().toSet.contains(11L),
+      "retired suite still gating")
   }
 
   test("guards: bootstrap-once fails loud; reads before the first commit fail " +
