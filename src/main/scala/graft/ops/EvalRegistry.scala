@@ -148,10 +148,13 @@ object EvalRegistry {
       suite: Option[String]): DataFrame = {
     val spark = corpus.sparkSession
     val (n, w) = registryParams(spark, dir)
-    // registry rows are eval-sized and feed two consumers — cut the read
+    // the registry feeds two consumers (denominators + the fp join) and
+    // is deliberately NOT checkpointed: re-reading an eval-sized parquet
+    // twice is cheap, while a localCheckpoint here would leak one cached
+    // block per call — and the ingest pipeline calls this PER BATCH on an
+    // unbounded stream (the round-5 block-manager-residue lesson)
     val wrows = readEvalRegistry(spark, dir, suite)
       .where(col("kind") === "w").select("suite", "eval_id", "fp")
-      .localCheckpoint()
     val en = wrows.groupBy("suite", "eval_id").agg(count(lit(1)).as("n_eval"))
     val cw = T.winnowNative(corpus, idCol, textCol, n, w)
       .select(col("id").as("corpus_id"), col("fp").cast("string").as("fp"))
@@ -201,7 +204,10 @@ object EvalRegistry {
     * a registered eval doc OR contains ≥ `threshold` of one (both tiers,
     * any suite unless scoped) — the anti-join the ingest pipeline runs
     * per batch. Cost ∝ the batch's fingerprint mass; the registry side is
-    * eval-sized. */
+    * eval-sized. The corpus lineage executes three times (exact tier,
+    * overlap tier, the anti-join back) — materialize an expensive
+    * upstream lineage first, as [[graft.streaming.IngestPipeline]] does
+    * with its checkpointed `fresh` frame. */
   def decontaminateIndexed(
       corpus: DataFrame, dir: String, idCol: String, textCol: String,
       threshold: Double = 0.8, suite: Option[String] = None): DataFrame = {

@@ -152,11 +152,13 @@ object IngestPipeline {
         // store still grows by the FULL fresh set — a contaminated doc
         // re-arriving later is still a duplicate, and re-gating it every
         // time would pay the registry join again for nothing
-        clean = evalRegistry.fold(fresh) { case (regDir, threshold) =>
-          EvalRegistry.decontaminateIndexed(fresh, regDir, idCol, textCol, threshold)
-            .localCheckpoint()
-        }
-        val nClean = if (evalRegistry.isEmpty) nFresh else clean.count()
+        clean =
+          if (nFresh == 0) fresh // nothing to gate — skip the registry read
+          else evalRegistry.fold(fresh) { case (regDir, threshold) =>
+            EvalRegistry.decontaminateIndexed(fresh, regDir, idCol, textCol, threshold)
+              .localCheckpoint()
+          }
+        val nClean = if (clean eq fresh) nFresh else clean.count()
         if (nFresh > 0) {
           val grown = seenFps
             .unionByName(Dedup.seenFingerprints(fresh, textCol))

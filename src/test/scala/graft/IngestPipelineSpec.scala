@@ -157,6 +157,25 @@ class IngestPipelineSpec extends SparkSpec {
         "text", "source", "source", "_len")).collect()(0)
     assert(folded.getAs[Long]("n_docs") == 2L &&
       folded.getAs[Long]("n_docs") == want.getAs[Long]("n_docs"))
+
+    // the gated path must release its per-batch checkpoints too: run two
+    // more batches (incl. an all-duplicate one that skips the gate) and
+    // pin the resident-block count — a leak here grows per batch forever
+    val residentMid = spark.sparkContext.getPersistentRDDs.size
+    val ms2 = MemoryStream[(Long, String, String)]
+    val (q2, _) = IngestPipeline.start(
+      ms2.toDS().toDF("id", "text", "source"),
+      idCol = "id", textCol = "text", keyCol = "source", partCol = "source",
+      tablePath = dir, ref = ref, cap = 10L,
+      seed = Some(ManifestStore.currentFrame(spark, dir, "source").get),
+      cardLedger = Some(ledger), evalRegistry = Some((reg, 0.8)))(_ => ())
+    try {
+      ms2.addData((4L, "delta epsilon", "b")); q2.processAllAvailable()
+      ms2.addData((5L, "alpha", "a")); q2.processAllAvailable() // all-dup batch
+    } finally q2.stop()
+    val residentAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(residentAfter <= residentMid + 2,
+      s"gated-path checkpoint residue: $residentMid before, $residentAfter after")
   }
 
   test("SketchLedger tagged appends: same tag is a no-op, tags survive compaction, " +
