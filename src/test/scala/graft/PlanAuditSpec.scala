@@ -293,6 +293,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(sim.contains("Generate"), sim)
   }
 
+  test("r14 codec kernels stay native in the plan (no ScalaUDF); the " +
+    "decontamination gate plans equi/anti joins only — no cartesian") {
+    // url canon (pct_normalize + idn_ascii), html strip (html_unescape),
+    // trigram language id: all per-row kernels inside the projection
+    for (q <- Seq("q_text_url_canon", "q_text_url_idn", "q_text_html_strip",
+        "q_text_langid_ngram")) {
+      val p = plan(q)
+      assert(!p.contains("ScalaUDF"), s"$q fell back to a UDF:\n${p.take(600)}")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+    val gate = plan("q_contamination_decon")
+    assert(!gate.contains("CartesianProduct") &&
+      !gate.contains("BroadcastNestedLoopJoin"),
+      s"the gate must stay equi/anti-join only:\n${gate.take(800)}")
+    assert(gate.contains("LeftAnti"), "the gate's survivor step is an anti-join")
+  }
+
   test("freq_items sketches partially before the exchange (O(k) shuffle volume)") {
     val p = plan("q_profile_heavyhitters")
     // the sketch is an object (not unsafe-row) aggregate; the partial mode
