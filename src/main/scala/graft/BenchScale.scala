@@ -164,7 +164,14 @@ object BenchScale {
     // WindowGroupLimit — a ~1× control), the two-version card diff (two
     // 1-row aggregates — ~1× control), and the retrieval eval whose spine
     // re-plan must hold at 10× (queries derive from the corpus)
-    "q_corpus_etld_cap", "q_corpus_card_diff", "q_ret_eval")
+    "q_corpus_etld_cap", "q_corpus_card_diff", "q_ret_eval",
+    // round-14 additions: the eval-registry decontamination gate (corpus
+    // fingerprint mass is linear, the registry side eval-sized — the
+    // store build pays once in the memo), the trigram language id and the
+    // pct/idn-kernel url canon (per-row kernel ~1× controls), and the
+    // simhash occupancy audit (two-level aggregate, linear)
+    "q_contamination_decon", "q_text_langid_ngram", "q_text_url_canon",
+    "q_dedup_simhash64_occupancy")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()
