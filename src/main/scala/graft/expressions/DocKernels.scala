@@ -407,18 +407,23 @@ object DocKernels {
     "_FUNC_(tokens) - stopword-profile language code ('und' without hits).",
     "", "", "", "", "", "", "built-in")
 
-  /** `lang_id_ngram(text)` — Cavnar–Trenkle character-trigram language
+  /** `lang_id_ngram(text)` — Cavnar–Trenkle character 1–3-gram language
     * identification over the bundled [[graft.model.LangProfiles]]
     * snapshot (10 languages incl. ru/ja/ar/zh — the non-Latin coverage
-    * the stopword-marker tier lacks). Normalization is pinned for oracle
+    * the stopword-marker tier lacks). Gram sizes MIX in one ranked list
+    * (the classic C&T formulation): unigram/bigram glue is what
+    * separates isolating scripts — zh trigrams are too sparse at small
+    * profile sizes, and a zh document far from the seeds would lose an
+    * all-penalty tie to ja under trigrams-only (measured; the held-out
+    * accuracy spec pins the fix). Normalization is pinned for oracle
     * replay: lowercase, whitespace runs → one space, trim, pad one space
-    * each side; trigrams by CODEPOINT (DuckDB substring semantics); doc
-    * profile = top-[[graft.model.LangProfiles.rankSize]] trigrams by
+    * each side; grams by CODEPOINT (DuckDB substring semantics); doc
+    * profile = top-[[graft.model.LangProfiles.rankSize]] grams by
     * (count desc, UTF-8 byte order asc — DuckDB VARCHAR order);
     * out-of-place distance with absent-gram penalty = rankSize; argmin
-    * with language-code-ascending tie-break; `und` only when the text
-    * has no trigram (empty after normalization). Deterministic — no
-    * floats, no locale-contextual cases in the profile scripts. */
+    * with language-code-ascending tie-break; `und` only when the
+    * normalized text is empty. Deterministic — no floats, no
+    * locale-contextual cases in the profile scripts. */
   case class LangIdNgram(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case StringType => TypeCheckResult.TypeCheckSuccess
@@ -483,13 +488,17 @@ object DocKernels {
     val cps = padded.codePoints().toArray
     if (cps.length < 3) return UndLang
     val counts = new java.util.HashMap[String, Integer]()
-    i = 0
-    while (i <= cps.length - 3) {
-      val g = new String(cps, i, 3)
-      val prev = counts.get(g)
-      counts.put(g, if (prev == null) Integer.valueOf(1)
-                    else Integer.valueOf(prev.intValue + 1))
-      i += 1
+    var n = 1
+    while (n <= 3) {
+      i = 0
+      while (i <= cps.length - n) {
+        val g = new String(cps, i, n)
+        val prev = counts.get(g)
+        counts.put(g, if (prev == null) Integer.valueOf(1)
+                      else Integer.valueOf(prev.intValue + 1))
+        i += 1
+      }
+      n += 1
     }
     val k = graft.model.LangProfiles.rankSize
     val entries = new Array[(String, Int)](counts.size)
@@ -523,7 +532,7 @@ object DocKernels {
 
   val langIdNgramInfo: ExpressionInfo = new ExpressionInfo(
     classOf[LangIdNgram].getName, null, "lang_id_ngram",
-    "_FUNC_(text) - Cavnar-Trenkle character-trigram language code over the bundled 10-language profile snapshot ('und' when the text has no trigram).",
+    "_FUNC_(text) - Cavnar-Trenkle character 1-3-gram language code over the bundled 10-language profile snapshot ('und' for empty text).",
     "", "", "", "", "", "", "built-in")
 
   /**

@@ -1686,14 +1686,14 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
-    // Cavnar–Trenkle character-trigram language ID over the bundled
+    // Cavnar–Trenkle character 1–3-gram language ID over the bundled
     // 10-language profile snapshot: every fifth doc's text is replaced by
     // a held-out plant rotating through the 10 languages (incl. the
     // non-Latin ru/ar/ja/zh the stopword tier cannot see). The oracle
-    // replays the FULL algorithm — normalization, codepoint trigrams,
-    // rank-40 doc profile (count desc, binary gram order), out-of-place
+    // replays the FULL algorithm — normalization, codepoint 1–3-grams,
+    // rank-64 doc profile (count desc, binary gram order), out-of-place
     // distance vs the interpolated profile relation, argmin with lang-asc
-    // tie-break, 'und' for trigram-less docs.
+    // tie-break, 'und' for empty-normalized docs.
     "q_text_langid_ngram" -> ((s, dir) => {
       GraftExtensions.register(s)
       val planted = when(col("doc_id") % 5 === 0,
@@ -3856,9 +3856,10 @@ object LlmQueries {
     },
 
     // full-algorithm replay: plant, normalize (lower, \s+ -> ' ', trim,
-    // pad), codepoint trigrams, per-doc rank-40 profile (count desc, g asc
-    // = binary order), out-of-place distance vs the interpolated profile
-    // snapshot (absent gram = penalty 40), argmin with lang-asc tie-break
+    // pad), codepoint 1–3-grams, per-doc rank-64 profile (count desc,
+    // g asc = binary order), out-of-place distance vs the interpolated
+    // profile snapshot (absent gram = penalty 64), argmin with lang-asc
+    // tie-break
     "q_text_langid_ngram" -> {
       val plantArms = langPlants.zipWithIndex.map { case (t, i) =>
         s"      WHEN $i THEN '$t'"
@@ -3873,9 +3874,10 @@ object LlmQueries {
          |norm AS (SELECT doc_id,
          |           ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' ' AS t
          |         FROM pl),
-         |tg AS (SELECT doc_id, substring(t, s.i, 3) AS g
-         |       FROM norm, UNNEST(generate_series(1, len(t) - 2)) s(i)
-         |       WHERE len(t) >= 3),
+         |tg AS (SELECT doc_id, substring(t, s.i, ll.l) AS g
+         |       FROM norm, range(1, 4) ll(l),
+         |            UNNEST(generate_series(1, len(t))) s(i)
+         |       WHERE len(t) >= 3 AND s.i + ll.l - 1 <= len(t)),
          |tc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
          |dr AS (SELECT doc_id, g, r FROM (
          |         SELECT doc_id, g,

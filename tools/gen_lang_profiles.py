@@ -1,13 +1,17 @@
 #!/usr/bin/env python3
-"""Regenerate model/LangProfiles.scala — Cavnar–Trenkle character-trigram
+"""Regenerate model/LangProfiles.scala — Cavnar–Trenkle character 1–3-gram
 rank profiles for the n-gram language identifier
 (graft.expressions.DocKernels lang_id_ngram).
 
 Method (public knowledge): Cavnar & Trenkle, "N-Gram-Based Text
 Categorization" (1994) — per-language profiles are the top-K character
 n-grams of seed text ranked by frequency; classification is the
-out-of-place rank distance. This snapshot uses trigrams only (K = 40,
-tie-break: UTF-8 byte order ascending), over text normalized exactly the
+out-of-place rank distance. This snapshot mixes 1-, 2- and 3-grams in
+ONE ranked list (the classic C&T formulation — unigram/bigram glue is
+what separates ISOLATING scripts: zh trigrams are too sparse at small
+profile sizes, and a zh document far from the seeds would otherwise
+lose an all-penalty tie to ja; K = 64, tie-break: UTF-8 byte order
+ascending), over text normalized exactly the
 way the kernel and the DuckDB oracle normalize documents: lowercase,
 whitespace runs collapsed to one space, trimmed, then padded with one
 leading and one trailing space.
@@ -28,7 +32,7 @@ Usage: python3 tools/gen_lang_profiles.py > src/main/scala/graft/model/LangProfi
 import re
 import sys
 
-K = 40
+K = 64
 
 SEEDS = {
     "en": [
@@ -110,9 +114,10 @@ def profile(texts: list[str]) -> list[str]:
     counts: dict[str, int] = {}
     for t in texts:
         cps = list(normalize(t))  # python str iterates codepoints, like the kernel
-        for i in range(len(cps) - 2):
-            g = "".join(cps[i:i + 3])
-            counts[g] = counts.get(g, 0) + 1
+        for n in (1, 2, 3):
+            for i in range(len(cps) - n + 1):
+                g = "".join(cps[i:i + n])
+                counts[g] = counts.get(g, 0) + 1
     ranked = sorted(counts.items(),
                     key=lambda kv: (-kv[1], kv[0].encode("utf-8")))
     return [g for g, _ in ranked[:K]]
@@ -121,14 +126,14 @@ def profile(texts: list[str]) -> list[str]:
 def main() -> int:
     print("package graft.model\n")
     print("/** GENERATED by tools/gen_lang_profiles.py — Cavnar–Trenkle")
-    print(" * character-trigram rank profiles (top-40, rank order) from the")
+    print(" * character 1-3-gram rank profiles (top-64, rank order) from the")
     print(" * public-domain seed text embedded in the tool. Regenerate rather")
     print(" * than editing; see the tool's docstring for method + seeds. */")
     print("object LangProfiles {\n")
     print("  /** Profile length; also the out-of-place penalty for a document")
     print("    * gram absent from a language profile. */")
     print("  val rankSize: Int = %d\n" % K)
-    print("  /** (language, trigrams in rank order 1..rankSize). */")
+    print("  /** (language, grams in rank order 1..rankSize). */")
     print("  val profiles: Seq[(String, Seq[String])] = Seq(")
     entries = []
     for lang in sorted(SEEDS):
