@@ -618,11 +618,25 @@ object Dedup {
     * [[lshOccupancyStats]] over the [[simhashBands]] projection: one row
     * `(n_buckets, n_dropped_buckets, dropped_rows, dropped_pair_mass,
     * max_occupancy)`. Run it alongside any capped near-dup pass so the
-    * drop is measured, never silent. */
+    * drop is measured, never silent.
+    *
+    * `bandBits` is REQUIRED (round-14 advice): the 64-bit family bands at
+    * 16 bits but the 32-bit family ([[simhashNearDuplicates]]) bands at 8
+    * — a defaulted audit of 32-bit sketches would silently measure the
+    * WRONG banding, reporting drop stats that don't correspond to what
+    * the capped pair pass actually dropped. Use
+    * [[simhashOccupancyStats32]] for the 32-bit family. */
   def simhashOccupancyStats(
-      sketches: DataFrame, bandBits: Int = 16,
+      sketches: DataFrame, bandBits: Int,
       maxOccupancy: Int = SimhashMaxOccupancy): DataFrame =
     lshOccupancyStats(simhashBands(sketches, bandBits), maxOccupancy)
+
+  /** [[simhashOccupancyStats]] at the 32-bit family's banding (8-bit
+    * bands) — the audit that matches what [[simhashNearDuplicates]]'s
+    * capped pair pass actually drops. */
+  def simhashOccupancyStats32(
+      sketches: DataFrame, maxOccupancy: Int = SimhashMaxOccupancy): DataFrame =
+    simhashOccupancyStats(sketches, bandBits = 8, maxOccupancy = maxOccupancy)
 
   /** Shared band-blocked Hamming pair generator: splits the sketch into 4
     * bands of `bandBits` bits each (32-bit sketch × 8-bit bands, 64-bit
@@ -1870,15 +1884,18 @@ object Dedup {
     * the dir or keep appending instead). */
   def writeWindowCounts(
       df: DataFrame, storeDir: String, idCol: String, textCol: String,
-      n: Int): Unit = {
+      n: Int, tag: Option[String] = None): Unit = {
     require(n >= 1, s"window length must be >= 1, got $n")
     val spark = df.sparkSession
     require(ManifestStore.readVersioned(spark, storeDir, SpanStorePrefix).isEmpty,
       s"window-count store already committed under $storeDir — use " +
         "exactSubstringDedupIncrementalIndexed to append")
+    // a tagged bootstrap whose data upsert landed but whose meta commit
+    // crashed replays HERE (spanStoreCommitted reads the meta): the tag
+    // skips the data re-add and only the meta commit re-runs
     ManifestStore.upsert(
       withHashPart(substringWindowCounts(df, idCol, textCol, n)),
-      storeDir, "hp", Seq("hp", "h"), spark)
+      storeDir, "hp", Seq("hp", "h"), spark, tag)
     ManifestStore.commitVersioned(spark, storeDir, SpanStorePrefix, 1L, s"n\t$n\n")
   }
 
@@ -1900,13 +1917,36 @@ object Dedup {
    * by addition (only the batch's hashes are read back and re-written;
    * untouched rows carry over inside their partitions). Returns the
    * cleaned batch, materialized before the commit.
+   *
+   * `tag` makes the count fold IDEMPOTENT under at-least-once replay
+   * (round 15 — closing the additive-fold honesty caveat): a tag already
+   * in the store's manifest — committed atomically with the fold it marks
+   * — skips the re-add AND re-derives the ORIGINAL cleaned output from
+   * the store alone. Equivalence: the original cut condition was
+   * `c_batch(h) + c_storeBefore(h) > 1`; after the fold the store holds
+   * exactly `c_storeBefore + c_batch`, so on replay the condition is
+   * simply `c_store(h) > 1` over the batch's windows. Without the tag, a
+   * crash-replayed micro-batch re-adds its counts — every one of its
+   * windows then totals ≥ 2 against the store and the whole batch would
+   * be cut from the replayed `onClean` output, while future occurrences
+   * of its windows over-cut forever.
    */
   def exactSubstringDedupIncrementalIndexed(
       batch: DataFrame, storeDir: String, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, tag: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     val n = spanMetaN(spark, storeDir)
     val seen = readWindowCounts(spark, storeDir)
+    if (tag.exists(t => ManifestStore.hasTag(spark, storeDir, t))) {
+      // replayed batch: counts already folded — cut against store totals
+      val toks = spanTokens(batch, idCol, textCol)
+      val wins = spanWins(toks, n)
+      val dup = wins.select("h")
+        .join(seen.where(col("c") > 1).select("h"), Seq("h"), "left_semi")
+        .distinct()
+      return spanCutRebuild(
+        toks, wins.join(dup, "h").select(col("id"), col("p")), n)
+    }
     val cleaned =
       exactSubstringDedupIncremental(batch, seen, idCol, textCol, n)
         .localCheckpoint()
@@ -1915,7 +1955,7 @@ object Dedup {
       .join(seen.select(col("h"), col("c").as("_c0")), Seq("h"), "left")
       .select(col("h"), (col("c") + coalesce(col("_c0"), lit(0L))).as("c"))
     ManifestStore.upsert(
-      withHashPart(summed), storeDir, "hp", Seq("hp", "h"), spark)
+      withHashPart(summed), storeDir, "hp", Seq("hp", "h"), spark, tag)
     cleaned
   }
 

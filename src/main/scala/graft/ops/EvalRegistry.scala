@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{TextOps => T}
@@ -58,19 +58,34 @@ object EvalRegistry {
       .getOrElse(throw new IllegalStateException(
         s"no committed eval registry under $dir"))
 
+  /** Long-cast of an eval id that FAILS LOUD when the cast nulls out
+    * (round-14 advice): a non-numeric string id (non-ANSI sessions) or a
+    * null id would otherwise register roster/exact/winnow rows under
+    * `eval_id = null` — merging distinct docs and corrupting every
+    * report denominator with no error. A codegen'd `raise_error` in the
+    * projection, no extra pass (the calibration-guard pattern). */
+  private def evalIdLong(id: Column, idCol: String): Column =
+    when(id.cast("long").isNotNull, id.cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"eval registry: id column '$idCol' value '"),
+        coalesce(id.cast("string"), lit("NULL")),
+        lit("' does not cast to a non-null long — rows would register " +
+          "under null eval_id, silently merging docs and corrupting " +
+          "report denominators; supply numeric ids"))))
+
   private def registryRows(
       evalSet: DataFrame, idCol: String, textCol: String,
       suite: String, n: Int, w: Int): DataFrame = {
     val roster = evalSet.select(
-      lit(suite).as("suite"), col(idCol).cast("long").as("eval_id"),
+      lit(suite).as("suite"), evalIdLong(col(idCol), idCol).as("eval_id"),
       lit("d").as("kind"), lit("").as("fp"))
     val exact = evalSet
-      .select(col(idCol).cast("long").as("eval_id"),
+      .select(evalIdLong(col(idCol), idCol).as("eval_id"),
         T.fingerprint(col(textCol)).as("fp"))
       .where(col("fp").isNotNull)
       .select(lit(suite).as("suite"), col("eval_id"), lit("x").as("kind"), col("fp"))
     val winnow = T.winnowNative(evalSet, idCol, textCol, n, w)
-      .select(lit(suite).as("suite"), col("id").cast("long").as("eval_id"),
+      .select(lit(suite).as("suite"), evalIdLong(col("id"), idCol).as("eval_id"),
         lit("w").as("kind"), col("fp").cast("string").as("fp"))
     roster.unionByName(exact).unionByName(winnow)
   }

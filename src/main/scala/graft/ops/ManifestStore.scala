@@ -70,8 +70,38 @@ object ManifestStore {
 
   /** `entries` maps each live partition value to its generation ID — the
     * `gen=` directory name suffix. Historically a bare number; since round
-    * 9 writers mint `<V>-<token>` ids (both forms parse and read). */
-  final case class Manifest(version: Long, entries: Map[String, String])
+    * 9 writers mint `<V>-<token>` ids (both forms parse and read).
+    * `tags` are idempotence markers (round 15 — the [[SketchLedger]]
+    * pattern generalized): an [[upsert]] stamped with a tag already in the
+    * manifest is a no-op, so a crash-replayed streaming micro-batch never
+    * re-folds additive partials. Serialized as `#tag\t<t>` lines beside the
+    * entry lines and committed atomically with them. */
+  final case class Manifest(
+      version: Long, entries: Map[String, String],
+      tags: Seq[String] = Seq.empty)
+
+  // -------------------------------------------------------------------------
+  // Idempotence tags, shared across every manifest dialect in this engine
+  // (this table store, SketchLedger, the minhash/lexical index manifests):
+  // a tag is one line committed atomically WITH the append it marks, so
+  // "was this batch already folded in?" is answerable from the same read
+  // that serves the store. Retention is BOUNDED (advice r14): checkpoint
+  // recovery can only ever replay the most recent uncommitted batch ids,
+  // so tags beyond the trailing window are dead weight — an unbounded list
+  // would grow the manifest (and the contains scan) linearly forever.
+  // MaxRetainedTags = 512 is ~three orders of magnitude above any real
+  // replay horizon (micro-batch engines replay the last uncommitted batch,
+  // occasionally a handful).
+  // -------------------------------------------------------------------------
+
+  private[graft] val MaxRetainedTags = 512
+
+  private[graft] def boundTags(tags: Seq[String]): Seq[String] =
+    if (tags.size <= MaxRetainedTags) tags else tags.takeRight(MaxRetainedTags)
+
+  private[graft] def requireTagShape(tag: String): Unit =
+    require(!tag.contains('\n') && !tag.contains('\t'),
+      s"idempotence tag must not contain tab/newline: '$tag'")
 
   /**
    * Commit-primitive strategy for the versioned-file protocol — the one
@@ -369,12 +399,16 @@ object ManifestStore {
     }
   }
 
+  private val TagLine = "#tag\t"
+
   private def parseManifest(version: Long, content: String): Manifest = {
-    val entries = content.linesIterator.filter(_.nonEmpty).map { line =>
+    val (tagLines, entryLines) =
+      content.linesIterator.filter(_.nonEmpty).toSeq.partition(_.startsWith(TagLine))
+    val entries = entryLines.map { line =>
       val i = line.lastIndexOf('\t')
       line.substring(0, i) -> line.substring(i + 1)
     }.toMap
-    Manifest(version, entries)
+    Manifest(version, entries, tagLines.map(_.stripPrefix(TagLine)))
   }
 
   /** Numeric component of a generation id (`"7"` and `"7-ab12cd34"` → 7). */
@@ -416,10 +450,23 @@ object ManifestStore {
   private def commitManifest(spark: SparkSession, path: String, m: Manifest): Unit = {
     val sb = new StringBuilder
     m.entries.toSeq.sortBy(_._1).foreach { case (k, g) =>
+      require(!k.startsWith("#tag"),
+        s"partition value '$k' collides with the reserved tag-line prefix")
       sb.append(k).append('\t').append(g).append('\n')
     }
+    boundTags(m.tags).foreach(t => sb.append(TagLine).append(t).append('\n'))
     commitVersioned(spark, path, "_manifest", m.version, sb.toString)
   }
+
+  /** Idempotence tags recorded by tagged [[upsert]]s, in append order
+    * (bounded to the trailing [[MaxRetainedTags]]). */
+  def tags(spark: SparkSession, path: String): Seq[String] =
+    readManifest(spark, path).map(_.tags).getOrElse(Seq.empty)
+
+  /** Whether `tag` is recorded in the current manifest — the reader's
+    * predicate for replay detection BEFORE recomputing an append. */
+  def hasTag(spark: SparkSession, path: String, tag: String): Boolean =
+    readManifest(spark, path).exists(_.tags.contains(tag))
 
   /** Next generation number: strictly above the committed version AND every
     * `gen=` directory on disk, so debris from a crashed attempt is never
@@ -481,12 +528,22 @@ object ManifestStore {
    * then the manifest rename commits. Reads only the touched partitions'
    * current directories (the manifest IS the pruning index — untouched
    * partitions are never listed, let alone scanned).
+   *
+   * `tag` makes the upsert IDEMPOTENT under at-least-once replay (the
+   * [[SketchLedger.append]] contract, generalized): a tag already in the
+   * manifest — committed atomically WITH the merge it marks — skips the
+   * write entirely and returns false. Stores whose upserts fold ADDITIVE
+   * partials (the span window-count store) stamp each streaming batch's
+   * fold with its batch id so a checkpoint-replayed micro-batch never
+   * doubles counts. Returns true when the upsert was performed.
    */
   def upsert(
       items: DataFrame, path: String, partCol: String, mergeKeys: Seq[String],
-      spark: SparkSession): Unit = {
+      spark: SparkSession, tag: Option[String] = None): Boolean = {
     require(mergeKeys.contains(partCol), s"mergeKeys must include $partCol")
+    tag.foreach(requireTagShape)
     val man = readManifest(spark, path)
+    if (tag.exists(t => man.exists(_.tags.contains(t)))) return false
     val touched = items.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq
     val existingTouched = man.flatMap { m =>
@@ -505,7 +562,9 @@ object ManifestStore {
       .write.mode("append").partitionBy("gen", partCol)
       .parquet(s"$path/data")
     val entries = man.map(_.entries).getOrElse(Map.empty) ++ touched.map(_ -> genId)
-    commitManifest(spark, path, Manifest(gen, entries))
+    val tags = boundTags(man.map(_.tags).getOrElse(Seq.empty) ++ tag)
+    commitManifest(spark, path, Manifest(gen, entries, tags))
+    true
   }
 
   /**
@@ -552,7 +611,7 @@ object ManifestStore {
       .collect().map(_.getString(0)).toSet
     val entries = (man.entries -- touched) ++
       touched.filter(stillLive.contains).map(_ -> genId)
-    commitManifest(spark, path, Manifest(gen, entries))
+    commitManifest(spark, path, Manifest(gen, entries, man.tags))
     touched.size
   }
 
@@ -637,7 +696,7 @@ object ManifestStore {
       .write.mode("append").partitionBy("gen", partCol)
       .parquet(s"$path/data")
     commitManifest(spark, path,
-      Manifest(gen, man.entries ++ victims.map(_ -> genId)))
+      Manifest(gen, man.entries ++ victims.map(_ -> genId), man.tags))
     victims.size
   }
 

@@ -94,12 +94,17 @@ object MinhashIndex {
   }
 
   /** Parsed manifest: banding meta, band segments, delete generations,
-    * verified-pair generations, and the pinned verification identity
+    * verified-pair generations, the pinned verification identity
     * `(shingle, threshold)` of the pair generations (None until the first
-    * pairs commit). Older manifests simply lack `prs`/`vmeta` lines. */
+    * pairs commit), and idempotence tags (round 15 — the
+    * [[SketchLedger.append]] contract: a tagged append already recorded
+    * here skips the commit, so a checkpoint-replayed micro-batch never
+    * doubles occupancy partials). Older manifests simply lack
+    * `prs`/`vmeta`/`tag` lines. */
   private final case class Mf(
       meta: MhMeta, segs: Seq[String], delGens: Seq[String],
-      pairGens: Seq[String], vmeta: Option[(Int, Double)])
+      pairGens: Seq[String], vmeta: Option[(Int, Double)],
+      tags: Seq[String] = Seq.empty)
 
   private def parseManifest(content: String): Mf = {
     val lines = content.linesIterator.filter(_.nonEmpty).toSeq
@@ -116,15 +121,22 @@ object MinhashIndex {
       lines.collect { case l if l.startsWith("seg\t") => l.stripPrefix("seg\t") },
       lines.collect { case l if l.startsWith("del\t") => l.stripPrefix("del\t") },
       lines.collect { case l if l.startsWith("prs\t") => l.stripPrefix("prs\t") },
-      vmeta)
+      vmeta,
+      lines.collect { case l if l.startsWith("tag\t") => l.stripPrefix("tag\t") })
   }
 
   private def manifestContent(mf: Mf): String =
     (Seq(s"meta\t${mf.meta.numHashes},${mf.meta.bands},${mf.meta.shingle}") ++
       mf.vmeta.map { case (sh, t) => s"vmeta\t$sh,$t" } ++
       mf.segs.map(g => s"seg\t$g") ++ mf.delGens.map(g => s"del\t$g") ++
-      mf.pairGens.map(g => s"prs\t$g"))
+      mf.pairGens.map(g => s"prs\t$g") ++
+      ManifestStore.boundTags(mf.tags).map(t => s"tag\t$t"))
       .mkString("", "\n", "\n")
+
+  private def withTag(mf: Mf, tag: Option[String]): Mf = {
+    tag.foreach(ManifestStore.requireTagShape)
+    mf.copy(tags = ManifestStore.boundTags(mf.tags ++ tag))
+  }
 
   private def readManifest(
       spark: SparkSession, indexDir: String, op: String): (Long, Mf) = {
@@ -187,11 +199,15 @@ object MinhashIndex {
 
   /** Build and commit a minhash index over `df`. Rebuilding over an
     * existing index is safe: old generations stay untouched and the old
-    * manifest stays authoritative until the new commit lands. */
+    * manifest stays authoritative until the new commit lands. `tag`
+    * records an idempotence marker with the initial commit so a
+    * bootstrap micro-batch replayed after a crash (the index is committed
+    * by then, so the stream takes the append path) is recognized there. */
   def writeMinhashIndex(
       df: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text",
-      numHashes: Int = 16, bands: Int = 8, shingle: Int = 3): Unit = {
+      numHashes: Int = 16, bands: Int = 8, shingle: Int = 3,
+      tag: Option[String] = None): Unit = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val spark = df.sparkSession
@@ -200,7 +216,8 @@ object MinhashIndex {
     val genId = newGenId(gen)
     writeSegment(bandRows(df, idCol, textCol, meta), s"$indexDir/gen=$genId")
     ManifestStore.commitVersioned(spark, indexDir, Prefix, gen,
-      manifestContent(Mf(meta, Seq(genId), Seq.empty, Seq.empty, None)))
+      manifestContent(withTag(
+        Mf(meta, Seq(genId), Seq.empty, Seq.empty, None), tag)))
   }
 
   /** True iff `indexDir` holds a committed minhash index. */
@@ -221,14 +238,29 @@ object MinhashIndex {
    * Contract: `delta` carries documents NOT already in the index (the
    * [[Retrieval.appendToLexIndex]] new-docs contract); an empty delta is
    * a no-op returning an empty pair frame.
+   *
+   * `tag` makes the append IDEMPOTENT under at-least-once replay (round
+   * 15): a tag already in the manifest — committed atomically with its
+   * band segment — skips the commit AND re-derives the SAME pair frame
+   * the original call returned, from the store alone: the batch's bands
+   * recompute (a pure per-document function), the occupancy cap evaluates
+   * against the store's CURRENT totals (which already include this
+   * batch's partials — exactly the post-append totals the original cap
+   * check used), and the cross side excludes the batch's own ids from the
+   * live bands (they are in the store now; intra-batch pairs come from
+   * the recomputed bands). A crash-replayed streaming micro-batch
+   * therefore neither doubles occupancy partials (which would trip caps
+   * early and silently drop true pairs forever) nor loses its pair feed.
    */
   def appendToMinhashIndex(
       delta: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text",
-      maxOccupancy: Int = Int.MaxValue): DataFrame = {
+      maxOccupancy: Int = Int.MaxValue, tag: Option[String] = None): DataFrame = {
     val spark = delta.sparkSession
     val (ver, mf) = readManifest(spark, indexDir, "appendToMinhashIndex")
     import mf.{segs, delGens}
+    if (tag.exists(mf.tags.contains))
+      return replayAppendPairs(delta, indexDir, idCol, textCol, mf, maxOccupancy)
     val bandsB = bandRows(delta, idCol, textCol, mf.meta).localCheckpoint()
     if (bandsB.isEmpty)
       return bandsB.select(col("id").as("id_a"), col("id").as("id_b")).limit(0)
@@ -262,8 +294,47 @@ object MinhashIndex {
     val genId = newGenId(gen)
     writeSegment(bandsB, s"$indexDir/gen=$genId")
     ManifestStore.commitVersioned(spark, indexDir, Prefix, gen,
-      manifestContent(mf.copy(segs = segs :+ genId)))
+      manifestContent(withTag(mf.copy(segs = segs :+ genId), tag)))
     pairs
+  }
+
+  /** The replay path of a tagged [[appendToMinhashIndex]]: the batch's
+    * segment is already committed, so re-derive the ORIGINAL call's pair
+    * frame without mutating anything. Equivalence argument: the original
+    * cap check admitted buckets where `batch + storedBefore <= cap`; the
+    * store's current partials sum to exactly `storedBefore + batch` (the
+    * appended segment's occupancy IS the batch's counts), so filtering on
+    * current totals `<= cap` admits the same buckets. The original cross
+    * join ran stored-before bands × batch bands; live bands minus the
+    * batch's ids reconstruct stored-before exactly (delta ids are NEW by
+    * the append contract), and intra-batch pairs come from the recomputed
+    * batch bands. */
+  private def replayAppendPairs(
+      delta: DataFrame, indexDir: String, idCol: String, textCol: String,
+      mf: Mf, maxOccupancy: Int): DataFrame = {
+    val spark = delta.sparkSession
+    val bandsB = bandRows(delta, idCol, textCol, mf.meta).localCheckpoint()
+    if (bandsB.isEmpty)
+      return bandsB.select(col("id").as("id_a"), col("id").as("id_b")).limit(0)
+    val occNow = segUnion(spark, indexDir, mf.segs ++ mf.delGens, "occupancy")
+      .join(broadcast(bandsB.select("band", "band_key").distinct()),
+        Seq("band", "band_key"), "left_semi")
+      .groupBy("band", "band_key").agg(sum(col("n")).as("_nt"))
+    val ok = occNow.where(col("_nt") <= maxOccupancy).select("band", "band_key")
+    val bandsOk = bandsB.join(broadcast(ok), Seq("band", "band_key"), "left_semi")
+    val intra = Dedup.candidatePairs(bandsOk, Int.MaxValue)
+    val deltaIds = delta.select(col(idCol).as("id")).distinct()
+    val cross = liveBands(spark, indexDir, mf.segs, mf.delGens)
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+      .join(broadcast(bandsOk.select(
+        col("band"), col("band_key"), col("id").as("_id_new"))),
+        Seq("band", "band_key"))
+      .where(col("id") =!= col("_id_new"))
+      .select(
+        least(col("id"), col("_id_new")).as("id_a"),
+        greatest(col("id"), col("_id_new")).as("id_b"))
+      .distinct()
+    intra.unionByName(cross).distinct().localCheckpoint()
   }
 
   /** Fail-loud guard for every verdict-committing path: a candidate
@@ -328,8 +399,9 @@ object MinhashIndex {
     * the disposition join executes exactly once, in the write. */
   private def commitPairsGen(
       spark: SparkSession, indexDir: String, disp: DataFrame,
-      shingle: Int, threshold: Double): Unit = {
+      shingle: Int, threshold: Double, tag: Option[String] = None): Unit = {
     val (ver, mf) = readManifest(spark, indexDir, "commitPairsGen")
+    if (tag.exists(mf.tags.contains)) return // replayed batch: verdicts committed
     requireVmeta(mf, indexDir, shingle, threshold)
     val gen = math.max(nextGen(spark, indexDir), ver + 1)
     val genId = newGenId(gen)
@@ -337,8 +409,8 @@ object MinhashIndex {
       .sortWithinPartitions("id_a", "id_b")
       .write.mode("overwrite").parquet(s"$indexDir/gen=$genId/pairs")
     ManifestStore.commitVersioned(spark, indexDir, Prefix, gen,
-      manifestContent(mf.copy(
-        pairGens = mf.pairGens :+ genId, vmeta = Some((shingle, threshold)))))
+      manifestContent(withTag(mf.copy(
+        pairGens = mf.pairGens :+ genId, vmeta = Some((shingle, threshold))), tag)))
   }
 
   /** The live stored verdicts `(id_a, id_b, jaccard, pass)` — tombstoned
@@ -414,7 +486,8 @@ object MinhashIndex {
       delta: DataFrame, corpus: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       shingle: Int = 3, threshold: Double = 0.5,
-      maxOccupancy: Int = 64, persistVerdicts: Boolean = true): DataFrame = {
+      maxOccupancy: Int = 64, persistVerdicts: Boolean = true,
+      tag: Option[String] = None): DataFrame = {
     val spark = delta.sparkSession
     // identity check BEFORE the append mutates the store: failing after
     // the band commit would leave the delta appended, and the retry with
@@ -438,13 +511,18 @@ object MinhashIndex {
       s"nearDuplicatesForBatch: delta documents absent from `corpus` " +
         s"(e.g. ${missingDelta.mkString(", ")}) — pass the accumulated " +
         "corpus INCLUDING this batch (the ingest table after its upsert)")
-    val newPairs = appendToMinhashIndex(delta, indexDir, idCol, textCol, maxOccupancy)
+    // the pairs commit carries its OWN tag (band commit and pairs commit
+    // are two manifest versions — a crash between them must replay into
+    // "band skip, pairs commit", the existing self-heal, not a double)
+    val newPairs = appendToMinhashIndex(
+      delta, indexDir, idCol, textCol, maxOccupancy, tag)
     val verified = Dedup.verifyJaccard(newPairs, corpus, idCol, textCol, shingle,
       minJaccard = threshold).localCheckpoint()
     if (persistVerdicts && !newPairs.isEmpty) {
       requireCandidatesInCorpus(newPairs, corpus, idCol, indexDir)
       commitPairsGen(spark, indexDir,
-        dispositions(newPairs, verified, threshold), shingle, threshold)
+        dispositions(newPairs, verified, threshold), shingle, threshold,
+        tag.map(_ + "/pairs"))
     }
     verified.where(col("jaccard") >= threshold)
   }

@@ -581,10 +581,24 @@ object Retrieval {
     (committed.toSeq ++ onDisk :+ 0L).max + 1
   }
 
-  private def parseLexManifest(content: String): (Seq[String], Seq[String]) = {
+  /** `(segments, delete generations, idempotence tags)` — tags are the
+    * round-15 replay markers ([[ManifestStore.boundTags]] retention): a
+    * tagged [[appendToLexIndex]] whose tag is already here is a replayed
+    * micro-batch and must NOT append again, or its df/corpus-stat partials
+    * would double and skew every later BM25 score. */
+  private def parseLexManifest(content: String): (Seq[String], Seq[String], Seq[String]) = {
     val lines = content.linesIterator.filter(_.nonEmpty).toSeq
     (lines.collect { case l if l.startsWith("seg\t") => l.stripPrefix("seg\t") },
-      lines.collect { case l if l.startsWith("del\t") => l.stripPrefix("del\t") })
+      lines.collect { case l if l.startsWith("del\t") => l.stripPrefix("del\t") },
+      lines.collect { case l if l.startsWith("tag\t") => l.stripPrefix("tag\t") })
+  }
+
+  private def lexManifestContent(
+      segs: Seq[String], delGens: Seq[String], tags: Seq[String]): String = {
+    tags.foreach(ManifestStore.requireTagShape)
+    (segs.map(g => s"seg\t$g") ++ delGens.map(g => s"del\t$g") ++
+      ManifestStore.boundTags(tags).map(t => s"tag\t$t"))
+      .mkString("", "\n", "\n")
   }
 
   /** One segment's four artifacts. The doc-frequency partial is derived by
@@ -614,15 +628,20 @@ object Retrieval {
 
   /** Build and commit a lexical index over `df`. Rebuilding over an existing
     * index is safe: old generations are untouched and the old manifest
-    * stays authoritative until the new commit lands. */
+    * stays authoritative until the new commit lands. `tag` records an
+    * idempotence marker with the initial commit so a bootstrap micro-batch
+    * replayed after a crash (the index is committed by then, so the stream
+    * takes the append path) is recognized there. */
   def writeLexIndex(
       df: DataFrame, indexDir: String,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text",
+      tag: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val gen = nextLexGen(spark, indexDir)
     val genId = newLexGenId(gen)
     writeSegment(df, idCol, textCol, s"$indexDir/gen=$genId")
-    ManifestStore.commitVersioned(spark, indexDir, "_lex", gen, s"seg\t$genId\n")
+    ManifestStore.commitVersioned(spark, indexDir, "_lex", gen,
+      lexManifestContent(Seq(genId), Seq.empty, tag.toSeq))
   }
 
   /** Every live segment must carry the `doclens` artifact before a
@@ -685,7 +704,7 @@ object Retrieval {
     val (ver, content) = ManifestStore.readVersioned(spark, indexDir, "_lex")
       .getOrElse(throw new IllegalStateException(
         s"no committed lexical index under $indexDir to delete from"))
-    val (segs, delGens) = parseLexManifest(content)
+    val (segs, delGens, tags) = parseLexManifest(content)
     val dels = ids.select(col("doc_id")).distinct().localCheckpoint()
     if (dels.isEmpty) return
     requireDoclens(spark, indexDir, segs, "deleteFromLexIndex")
@@ -707,8 +726,7 @@ object Retrieval {
         negate(coalesce(sum(col("dl")), lit(0L))).as("total_tokens"))
       .coalesce(1).write.mode("overwrite").parquet(s"$base/corpusstats")
     ManifestStore.commitVersioned(spark, indexDir, "_lex", gen,
-      (segs.map(g => s"seg\t$g") ++ (delGens :+ genId).map(g => s"del\t$g"))
-        .mkString("", "\n", "\n"))
+      lexManifestContent(segs, delGens :+ genId, tags))
   }
 
   /**
@@ -724,7 +742,7 @@ object Retrieval {
     val (ver, content) = ManifestStore.readVersioned(spark, indexDir, "_lex")
       .getOrElse(throw new IllegalStateException(
         s"no committed lexical index under $indexDir"))
-    val (segs, delGens) = parseLexManifest(content)
+    val (segs, delGens, tags) = parseLexManifest(content)
     if (delGens.isEmpty) return 0L
     requireDoclens(spark, indexDir, segs, "purgeLexTombstones")
     val ts = liveTombstones(spark, indexDir, delGens).get.localCheckpoint()
@@ -745,28 +763,36 @@ object Retrieval {
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
       .coalesce(1).write.mode("overwrite").parquet(s"$base/corpusstats")
-    ManifestStore.commitVersioned(spark, indexDir, "_lex", gen, s"seg\t$genId\n")
+    ManifestStore.commitVersioned(spark, indexDir, "_lex", gen,
+      lexManifestContent(Seq(genId), Seq.empty, tags))
     nTs
   }
 
   /** Incremental append of a NEW-document batch as one more segment —
     * serving over the appended index equals [[bm25]] over the concatenated
-    * corpus (spec-pinned). An empty delta is a no-op. */
+    * corpus (spec-pinned). An empty delta is a no-op.
+    *
+    * `tag` makes the append IDEMPOTENT under at-least-once replay (round
+    * 15): a tag already in the manifest — committed atomically with its
+    * segment — skips the append, so a checkpoint-replayed micro-batch
+    * never doubles df/corpus-stat partials (which would silently skew
+    * every subsequent BM25 score). */
   def appendToLexIndex(
       delta: DataFrame, indexDir: String,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text",
+      tag: Option[String] = None): Unit = {
     val spark = delta.sparkSession
     val (ver, content) = ManifestStore.readVersioned(spark, indexDir, "_lex")
       .getOrElse(throw new IllegalStateException(
         s"no committed lexical index under $indexDir to append to"))
+    val (segs, delGens, tags) = parseLexManifest(content)
+    if (tag.exists(tags.contains)) return // replayed batch: already a segment
     if (delta.isEmpty) return
-    val (segs, delGens) = parseLexManifest(content)
     val gen = math.max(nextLexGen(spark, indexDir), ver + 1)
     val genId = newLexGenId(gen)
     writeSegment(delta, idCol, textCol, s"$indexDir/gen=$genId")
     ManifestStore.commitVersioned(spark, indexDir, "_lex", gen,
-      ((segs :+ genId).map(g => s"seg\t$g") ++ delGens.map(g => s"del\t$g"))
-        .mkString("", "\n", "\n"))
+      lexManifestContent(segs :+ genId, delGens, tags ++ tag))
   }
 
   /** True iff `indexDir` holds a committed lexical index. */
@@ -785,7 +811,7 @@ object Retrieval {
 
   def lexIndexStats(spark: SparkSession, indexDir: String): Option[LexIndexStats] =
     ManifestStore.readVersioned(spark, indexDir, "_lex").map { case (ver, content) =>
-      val (segs, delGens) = parseLexManifest(content)
+      val (segs, delGens, _) = parseLexManifest(content)
       val nTs = liveTombstones(spark, indexDir, delGens)
         .map(_.count()).getOrElse(0L)
       val live = (segs ++ delGens).toSet
@@ -823,7 +849,7 @@ object Retrieval {
 
   private def readLexIndexFrom(
       spark: SparkSession, indexDir: String, content: String): LexIndex = {
-    val (segs, delGens) = parseLexManifest(content)
+    val (segs, delGens, _) = parseLexManifest(content)
     val ts = liveTombstones(spark, indexDir, delGens)
     // del generations carry NEGATIVE df/corpus partials, so the same folds
     // that merge segments also apply deletions — df, N and avgdl all score
@@ -885,7 +911,7 @@ object Retrieval {
     // del generations are never compaction victims (they're tiny and their
     // negative partials must keep folding against the UNCHANGED segment
     // stats) — [[purgeLexTombstones]] is the consolidation that retires them
-    val (segs, delGens) = parseLexManifest(content)
+    val (segs, delGens, tags) = parseLexManifest(content)
     if (segs.size <= maxGens) return 0
     val hfs = ManifestStore.fs(spark, indexDir)
     val sizes: Map[String, Long] = segs.map { g =>
@@ -916,8 +942,7 @@ object Retrieval {
         hfsD.exists(new org.apache.hadoop.fs.Path(s"$indexDir/gen=$g/doclens"))))
       unioned("doclens").write.mode("overwrite").parquet(s"$base/doclens")
     ManifestStore.commitVersioned(spark, indexDir, "_lex", gen,
-      ((keep :+ genId).map(g => s"seg\t$g") ++ delGens.map(g => s"del\t$g"))
-        .mkString("", "\n", "\n"))
+      lexManifestContent(keep :+ genId, delGens, tags))
     victims.size
   }
 
@@ -925,7 +950,7 @@ object Retrieval {
     * (superseded rebuilds, crash debris). Space only; returns count. */
   def vacuumLexIndex(spark: SparkSession, indexDir: String): Int = {
     val live = ManifestStore.readVersioned(spark, indexDir, "_lex")
-      .map { case (_, c) => val (s, d) = parseLexManifest(c); (s ++ d).toSet }
+      .map { case (_, c) => val (s, d, _) = parseLexManifest(c); (s ++ d).toSet }
       .getOrElse(Set.empty[String])
     val hfs = ManifestStore.fs(spark, indexDir)
     val dir = new org.apache.hadoop.fs.Path(indexDir)

@@ -54,8 +54,12 @@ object SketchLedger {
     * streaming sink's appends with the `foreachBatch` batch id and a
     * crash-replayed batch becomes a non-event instead of a double-counted
     * frame. Tags survive [[compact]] (a compacted ledger must still
-    * reject a very late replay) and cost one manifest line each — the
-    * same linear growth as the gen lines they sit beside. */
+    * reject a very late replay) and cost one manifest line each;
+    * retention is BOUNDED to the trailing
+    * [[ManifestStore.MaxRetainedTags]] (checkpoint recovery can only
+    * replay the most recent uncommitted batch ids — an unbounded list
+    * would grow the manifest and its contains-scan linearly forever on an
+    * unbounded stream). */
   def append(sketch: DataFrame, dir: String, tag: Option[String] = None): Long = {
     val spark = sketch.sparkSession
     val prior = ManifestStore.readVersioned(spark, dir, Prefix)
@@ -63,8 +67,7 @@ object SketchLedger {
     val tags = prior.map { case (_, c) => parseTags(c) }.getOrElse(Seq.empty)
     if (tag.exists(tags.contains)) prior.get._1 // replayed batch: no-op
     else {
-      tag.foreach(t => require(!t.contains('\n') && !t.contains('\t'),
-        s"ledger tag must not contain tab/newline: '$t'"))
+      tag.foreach(ManifestStore.requireTagShape)
       // Version derives from the manifest we READ, never from on-disk gen
       // dirs: a stale appender must collide on prior.version + 1 and throw
       // (the documented loser-throws contract) instead of bumping past a
@@ -75,7 +78,7 @@ object SketchLedger {
       val genId = newGenId(gen)
       sketch.coalesce(1).write.mode("overwrite").parquet(s"$dir/gen=$genId")
       ManifestStore.commitVersioned(spark, dir, Prefix, gen,
-        manifestContent(gens :+ genId, tags ++ tag))
+        manifestContent(gens :+ genId, ManifestStore.boundTags(tags ++ tag)))
       gen
     }
   }
@@ -128,8 +131,10 @@ object SketchLedger {
     folded.coalesce(1).write.mode("overwrite").parquet(s"$dir/gen=$genId")
     // idempotence tags OUTLIVE the frames they arrived with: a compacted
     // ledger must still treat a very late replayed batch as a no-op
+    // (retention stays bounded — the trailing window covers every id
+    // checkpoint recovery could still replay)
     ManifestStore.commitVersioned(spark, dir, Prefix, gen,
-      manifestContent(Seq(genId), parseTags(content)))
+      manifestContent(Seq(genId), ManifestStore.boundTags(parseTags(content))))
     gen
   }
 

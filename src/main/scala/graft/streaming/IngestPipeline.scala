@@ -82,8 +82,13 @@ object IngestPipeline {
    * rescanned. The ledger commits independently of the (possibly grouped)
    * table upsert — a crash can leave it up to one group ahead of the
    * table, the same advisory-statistics trade the vector ingest's moments
-   * ledger states. Replay is EXACTLY-ONCE: each append is tagged with the
-   * `foreachBatch` batch id (committed atomically with its frame), so a
+   * ledger states. Replay is EXACTLY-ONCE: each append is tagged with
+   * `q=<queryId>/batch=<id>` ([[StreamTags.batchTag]] — round 15: the
+   * query-id namespace closes the r14 advice hole where bare batch ids
+   * collided across checkpoint LINEAGES, silently skipping a new stream's
+   * batches 0..k against a reused ledger; the query id is
+   * checkpoint-stable, so exactly the replays recovery produces match and
+   * nothing else does), committed atomically with its frame, so a
    * crash-replayed batch — whose rows the restarted dedup state no longer
    * remembers — skips its ledger append instead of double-counting (the
    * table's keyed upsert absorbs those rows anyway; spec-pinned: ledger
@@ -169,14 +174,16 @@ object IngestPipeline {
         }
         if (nClean > 0) {
           cardLedger.foreach { dir =>
-            // batch-id tag: a crash-replayed batch (same foreachBatch id)
-            // skips the append — exactly-once card accounting even though
-            // the restarted dedup state no longer remembers its rows
+            // query-id-namespaced batch tag: a crash-replayed batch (same
+            // checkpoint lineage, same id) skips the append — exactly-once
+            // card accounting even though the restarted dedup state no
+            // longer remembers its rows — while a second stream or a fresh
+            // checkpoint gets a fresh namespace and appends normally
             graft.ops.SketchLedger.append(
               graft.ops.Corpus.cardFrame(
                 clean.withColumn("_len", length(col(textCol)).cast("long")),
                 textCol, keyCol, partCol, "_len"),
-              dir, tag = Some(s"batch=$id"))
+              dir, tag = Some(StreamTags.batchTag(spark, id)))
           }
           pendingLock.synchronized {
             val buffered = pending.fold(clean)(_.unionByName(clean))

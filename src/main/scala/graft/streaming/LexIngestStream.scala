@@ -17,6 +17,13 @@ import graft.ops.{ManifestStore, Retrieval}
  * over the concatenated corpus at every commit point — and a crash
  * mid-batch leaves only unreferenced debris.
  *
+ * Crash contract (round 15 — EXACTLY-ONCE): every append is stamped with
+ * `q=<queryId>/batch=<id>` ([[StreamTags.batchTag]] — checkpoint-stable
+ * query id), committed atomically with its segment. A crash-replayed
+ * micro-batch therefore skips the re-append — which would otherwise
+ * double its df/corpus-stat partials and silently skew every subsequent
+ * BM25 score over the index.
+ *
  * Segment count grows per batch: schedule [[Retrieval.compactLexIndex]]
  * like any other manifest table (the reported segment count is the
  * trigger signal). Batches must carry NEW doc ids (the append contract —
@@ -44,9 +51,10 @@ object LexIngestStream {
         // trained artifacts gate this store, unlike the ANN index's frozen
         // quantizers); later batches append as segments
         if (n > 0) {
+          val tag = Some(StreamTags.batchTag(spark, id))
           if (Retrieval.lexIndexCommitted(indexDir))
-            Retrieval.appendToLexIndex(pinned, indexDir, idCol, textCol)
-          else Retrieval.writeLexIndex(pinned, indexDir, idCol, textCol)
+            Retrieval.appendToLexIndex(pinned, indexDir, idCol, textCol, tag)
+          else Retrieval.writeLexIndex(pinned, indexDir, idCol, textCol, tag)
         }
         ManifestStore.readVersioned(spark, indexDir, "_lex") match {
           case Some((version, content)) =>

@@ -17,13 +17,17 @@ import graft.ops.{ManifestStore, MinhashIndex}
  * (the corpus is never re-signed; the [[MinhashIndex.appendToMinhashIndex]]
  * economics, streamed).
  *
- * Crash contract: the pair frame is materialized BEFORE the commit, and
- * a crash mid-batch leaves only unreferenced gen debris (the manifest
- * protocol) — on replay the batch re-appends; dedupe the re-delivered
- * segment with [[MinhashIndex.compactMinhashIndex]] + a source that
- * replays exactly-once, or treat `onPairs` as at-least-once (the standard
- * trade, stated plainly). Batches must carry NEW doc ids (the append
- * contract shared with the lexical store).
+ * Crash contract (round 15 — EXACTLY-ONCE): every append is stamped with
+ * `q=<queryId>/batch=<id>` ([[StreamTags.batchTag]] — checkpoint-stable
+ * query id, so replays of this lineage match while a fresh checkpoint or
+ * second stream never collides), committed atomically with its band
+ * segment. A crash-replayed micro-batch therefore skips the re-append —
+ * which would otherwise double the batch's occupancy partials, tripping
+ * the cap early and silently dropping true pairs forever after — and
+ * `onPairs` re-receives the ORIGINAL pair frame, re-derived from the
+ * store alone ([[MinhashIndex.appendToMinhashIndex]]'s replay path).
+ * Batches must carry NEW doc ids (the append contract shared with the
+ * lexical store).
  *
  * Per batch `onReport` receives `(batchId, nDocs, nNewPairs,
  * indexVersion, segments)` — segment count is the compaction trigger.
@@ -48,18 +52,23 @@ object MinhashIngestStream {
         val n = pinned.count()
         var nPairs = 0L
         if (n > 0) {
+          val tag = Some(StreamTags.batchTag(spark, id))
           if (MinhashIndex.minhashIndexCommitted(indexDir)) {
             // append returns the batch-vs-(batch ∪ corpus) candidate pairs,
-            // already materialized — safe to count and hand out
+            // already materialized — safe to count and hand out; a replayed
+            // batch (tag already committed) re-derives the SAME frame from
+            // the store without appending
             val pairs = MinhashIndex.appendToMinhashIndex(
-              pinned, indexDir, idCol, textCol, maxOccupancy)
+              pinned, indexDir, idCol, textCol, maxOccupancy, tag)
             nPairs = pairs.count()
             onPairs(pairs)
           } else {
-            // first non-empty batch bootstraps the index; within-batch
-            // pairs still surface (an empty index contributes none)
+            // first non-empty batch bootstraps the index (tagged, so its
+            // replay — against a now-committed index — is recognized by
+            // the append path); within-batch pairs still surface (an empty
+            // index contributes none)
             MinhashIndex.writeMinhashIndex(
-              pinned, indexDir, idCol, textCol, numHashes, bands, shingle)
+              pinned, indexDir, idCol, textCol, numHashes, bands, shingle, tag)
             val pairs = MinhashIndex.candidatePairsIndexed(
               spark, indexDir, maxOccupancy).localCheckpoint()
             nPairs = pairs.count()

@@ -26,14 +26,17 @@ import graft.ops.Dedup
  * than a committed store's pinned meta fails loud BEFORE mutating
  * anything — mismatched windows would silently corrupt every count.
  *
- * Crash contract (the [[ParagraphIngestStream]] trade, count-store
- * flavored): the cleaned frame is materialized before the count upsert,
- * so a crash mid-batch leaves only invisible debris; a replayed batch
- * against an already-updated store re-ADDS its counts (the additive fold
- * is not idempotent, unlike the paragraph store's distinct-hash upsert)
- * — inflated counts only ever over-cut FUTURE occurrences of windows the
- * batch itself made duplicated, and recovery is one rebuild from the
- * accumulated table. Single-writer per store, like every ledger here.
+ * Crash contract (round 15 — EXACTLY-ONCE): every count fold is stamped
+ * with `q=<queryId>/batch=<id>` ([[StreamTags.batchTag]] — the query id
+ * is checkpoint-stable, so replays of THIS lineage match and a second
+ * stream or fresh checkpoint never collides), committed atomically with
+ * the fold. A crash-replayed micro-batch therefore skips the re-add —
+ * which would otherwise make every window of the batch total ≥ 2 and cut
+ * the ENTIRE replayed batch from `onClean` while over-cutting future
+ * occurrences forever — and `onClean` re-receives the ORIGINAL cleaned
+ * output, re-derived from the already-folded store
+ * ([[Dedup.exactSubstringDedupIncrementalIndexed]]'s replay path).
+ * Single-writer per store, like every ledger here.
  *
  * Per batch `onReport` receives `(batchId, nDocs, nCutDocs, nDropped)` —
  * documents that lost at least one window, and documents that dropped
@@ -59,6 +62,7 @@ object SpanIngestStream {
         var nCut = 0L
         var nDropped = 0L
         if (nIn > 0) {
+          val tag = Some(StreamTags.batchTag(spark, id))
           val cleaned =
             if (Dedup.spanStoreCommitted(spark, storeDir)) {
               // the store's pinned window length is authoritative — a
@@ -69,13 +73,15 @@ object SpanIngestStream {
                 s"window-count store under $storeDir is pinned to n=$pinnedN " +
                   s"but the stream was configured with n=$n")
               Dedup.exactSubstringDedupIncrementalIndexed(
-                pinned, storeDir, idCol, textCol)
+                pinned, storeDir, idCol, textCol, tag)
             } else {
               // bootstrap: cut the batch against itself (incremental with
-              // an empty store), then commit its raw counts + meta
+              // an empty store), then commit its raw counts + meta — the
+              // tag rides the data upsert so a crash between it and the
+              // meta commit replays into "skip the re-add, commit the meta"
               val c = Dedup.exactSubstringDedup(pinned, idCol, textCol, n)
                 .localCheckpoint()
-              Dedup.writeWindowCounts(pinned, storeDir, idCol, textCol, n)
+              Dedup.writeWindowCounts(pinned, storeDir, idCol, textCol, n, tag)
               c
             }
           nCut = cleaned.where(col("n_kept") < col("n_tokens")).count()

@@ -102,19 +102,29 @@ class IngestPipelineSpec extends SparkSpec {
         s"$f: ledger ${folded.getAs[Long](f)} != table ${want.getAs[Long](f)}")
 
     // exactly-once across crash replay: the pipeline stamped each append
-    // with its foreachBatch id, so re-delivering a batch's card frame
-    // under the SAME id (what checkpoint recovery does) is a no-op —
-    // ledger fold == table card with no compact needed
-    assert(SketchLedger.tags(spark, ledger) == Seq("batch=0", "batch=1"))
+    // with q=<queryId>/batch=<id> (r15 — the query id is checkpoint-stable,
+    // so recovery replays match while a NEW checkpoint lineage gets a
+    // fresh namespace instead of colliding with these tags), so
+    // re-delivering a batch's card frame under the SAME lineage + id is a
+    // no-op — ledger fold == table card with no compact needed
+    val tags = SketchLedger.tags(spark, ledger)
+    assert(tags == Seq(s"q=${q.id}/batch=0", s"q=${q.id}/batch=1"),
+      s"tags must be query-id-namespaced batch ids, got $tags")
     val replayFrame = Corpus.cardFrame(
       Seq((4L, "alpha", "a"), (5L, "gamma delta", "c")).toDF("id", "text", "source")
         .withColumn("_len", length(col("text")).cast("long")),
       "text", "source", "source", "_len")
-    assert(SketchLedger.append(replayFrame, ledger, tag = Some("batch=1")) == 2L,
+    assert(SketchLedger.append(replayFrame, ledger, tag = Some(s"q=${q.id}/batch=1")) == 2L,
       "replayed batch must return the current version without appending")
     assert(SketchLedger.status(spark, ledger).get._2 == 2, "replay appended a frame")
     val refolded = Corpus.cardFold(SketchLedger.read(spark, ledger).get).collect()(0)
     assert(refolded.getAs[Long]("n_docs") == want.getAs[Long]("n_docs"))
+    // a SECOND stream (fresh lineage) re-feeding the same rows under its
+    // own batch 1 must NOT collide with this lineage's tags — the r14
+    // advice hole: bare batch=1 would have silently skipped it
+    assert(SketchLedger.append(replayFrame, ledger,
+      tag = Some("q=other-lineage/batch=1")) == 3L,
+      "a fresh checkpoint lineage's batch must append, not collide")
   }
 
   test("decontamination gate rides the pipeline: registered eval content never " +

@@ -261,6 +261,56 @@ class PersistenceSpec extends SparkSpec {
     assert(afterVacuum.exceptAll(after).isEmpty && after.exceptAll(afterVacuum).isEmpty)
   }
 
+  test("S5-manifest: idempotence tags (r15) — a tagged upsert replayed under " +
+    "the same tag is a no-op; tags survive delete and compact; retention is " +
+    "bounded") {
+    import graft.ops.ManifestStore
+    val dir = tmpDir("stmts_m_tags")
+    val b0 = Seq((1L, "a", "x"), (2L, "a", "y")).toDF("id", "p", "v")
+    val b1 = Seq((3L, "b", "z")).toDF("id", "p", "v")
+    assert(ManifestStore.upsert(b0, dir, "p", Seq("p", "id"), spark,
+      tag = Some("q=l1/batch=0")))
+    assert(ManifestStore.upsert(b1, dir, "p", Seq("p", "id"), spark,
+      tag = Some("q=l1/batch=1")))
+    val want = ManifestStore.currentFrame(spark, dir, "p").get.collect().toSet
+
+    // replay: same tag → skipped, data identical even with DIFFERENT rows
+    // (the caller's recomputed frame never lands twice)
+    assert(!ManifestStore.upsert(
+      Seq((3L, "b", "OTHER")).toDF("id", "p", "v"), dir, "p", Seq("p", "id"),
+      spark, tag = Some("q=l1/batch=1")),
+      "replayed tag must skip the upsert")
+    assert(ManifestStore.currentFrame(spark, dir, "p").get.collect().toSet == want)
+    assert(ManifestStore.tags(spark, dir) == Seq("q=l1/batch=0", "q=l1/batch=1"))
+    assert(ManifestStore.hasTag(spark, dir, "q=l1/batch=1"))
+
+    // a fresh lineage appends; untagged upserts never collide
+    assert(ManifestStore.upsert(
+      Seq((4L, "b", "w")).toDF("id", "p", "v"), dir, "p", Seq("p", "id"),
+      spark, tag = Some("q=l2/batch=0")))
+    ManifestStore.upsert(
+      Seq((5L, "c", "u")).toDF("id", "p", "v"), dir, "p", Seq("p", "id"), spark)
+    assert(ManifestStore.tags(spark, dir).size == 3)
+
+    // delete and compact both rewrite the manifest — tags must ride along
+    ManifestStore.delete(
+      Seq((5L, "c")).toDF("id", "p"), dir, "p", Seq("p", "id"), spark)
+    assert(ManifestStore.tags(spark, dir).size == 3, "delete dropped tags")
+    ManifestStore.compact(spark, dir, "p")
+    assert(ManifestStore.tags(spark, dir).size == 3, "compact dropped tags")
+    assert(!ManifestStore.upsert(b1, dir, "p", Seq("p", "id"), spark,
+      tag = Some("q=l1/batch=1")), "a very late replay must still no-op")
+
+    // retention bound (pure fold — an actual 512-append flood is just this
+    // fold applied repeatedly): only the trailing MaxRetainedTags survive;
+    // the replay horizon is recent ids, older tags are dead manifest weight
+    val flood = (0 until ManifestStore.MaxRetainedTags + 100).map(i => s"t$i")
+    val kept = ManifestStore.boundTags(flood)
+    assert(kept.size == ManifestStore.MaxRetainedTags)
+    assert(kept == flood.takeRight(ManifestStore.MaxRetainedTags),
+      "retention must keep the TRAILING window (the replayable ids)")
+  }
+
   test("ANN index: attribute columns ride build+append, filtered serving, fail-loud guards") {
     import graft.ops.Similarity
     val embs = (0 until 48).map { i =>

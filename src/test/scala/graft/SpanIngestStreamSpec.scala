@@ -93,6 +93,77 @@ class SpanIngestStreamSpec extends SparkSpec {
       Seq(batch1, batch2, batch3, Seq((8L, "u1 u2 u3 u4 u5 w9"))), Set(8L)))
   }
 
+  test("crash replay is exactly-once (r15): a tagged count fold re-applied " +
+    "under the same tag leaves the store identical to the no-crash run and " +
+    "re-derives the ORIGINAL cleaned output; a fresh lineage still appends") {
+    val dir = tmpDir("span_replay")
+    // bootstrap batch, tagged the way the stream stamps it
+    Dedup.writeWindowCounts(
+      batch1.toDF("doc_id", "text"), dir, "doc_id", "text", N,
+      tag = Some("q=lineage1/batch=0"))
+    // BOOTSTRAP REPLAY: the store is committed now, so a restarted stream
+    // takes the incremental path with the same tag — the replay math must
+    // reproduce the original bootstrap output (cut against itself), not
+    // cut the whole batch because it sees its own counts
+    val bootReplay = Dedup.exactSubstringDedupIncrementalIndexed(
+        batch1.toDF("doc_id", "text"), dir, "doc_id", "text",
+        Some("q=lineage1/batch=0"))
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(bootReplay == oneShotRestricted(Seq(batch1), Set(1L, 2L, 3L)),
+      "bootstrap replay must re-derive the original cleaned output")
+
+    // batch 1 (original pass), tagged
+    val orig = Dedup.exactSubstringDedupIncrementalIndexed(
+        batch2.toDF("doc_id", "text"), dir, "doc_id", "text",
+        Some("q=lineage1/batch=1"))
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    val countsAfter = Dedup.readWindowCounts(spark, dir)
+      .as[(Long, Long)].collect().toSet
+
+    // CRASH REPLAY: checkpoint recovery re-delivers the batch under the
+    // same lineage + id — the fold must not re-add (which would make every
+    // window of the batch total >= 2, cutting the ENTIRE replayed batch
+    // and over-cutting future occurrences forever)
+    val replay = Dedup.exactSubstringDedupIncrementalIndexed(
+        batch2.toDF("doc_id", "text"), dir, "doc_id", "text",
+        Some("q=lineage1/batch=1"))
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(replay == orig, "replayed onClean output != original")
+    val countsReplayed = Dedup.readWindowCounts(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(countsReplayed == countsAfter, "replay mutated the store")
+
+    // final store == the no-crash run (one-shot counts over the union)
+    val wantCounts = Dedup.substringWindowCounts(
+        (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text", N)
+      .as[(Long, Long)].collect().toSet
+    assert(countsReplayed == wantCounts, "store != no-crash run after replay")
+
+    // a FRESH lineage (new checkpoint / second stream) re-feeding rows
+    // under its own ids is NOT a replay — it must fold (honest re-count)
+    Dedup.exactSubstringDedupIncrementalIndexed(
+      Seq((9L, "s1 s2 s3")).toDF("doc_id", "text"), dir, "doc_id", "text",
+      Some("q=lineage2/batch=0"))
+    assert(Dedup.readWindowCounts(spark, dir)
+      .as[(Long, Long)].collect().toSet != wantCounts,
+      "a fresh lineage's batch must fold, not be mistaken for a replay")
+  }
+
+  test("the stream stamps its folds with query-id-namespaced tags") {
+    implicit val ctx = spark.sqlContext
+    val dir = tmpDir("span_stream_tags")
+    val ms = MemoryStream[(Long, String)]
+    val q = SpanIngestStream.start(
+      ms.toDS().toDF("doc_id", "text"), dir, n = N)(_ => ())
+    try {
+      ms.addData(batch1: _*); q.processAllAvailable()
+      ms.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val tags = graft.ops.ManifestStore.tags(spark, dir)
+    assert(tags == Seq(s"q=${q.id}/batch=0", s"q=${q.id}/batch=1"),
+      s"stream folds must carry checkpoint-stable lineage tags, got $tags")
+  }
+
   test("a stream configured with a different window length than the pinned " +
     "store fails loud before mutating anything") {
     implicit val ctx = spark.sqlContext
