@@ -200,16 +200,17 @@ object Corpus {
    * subdomain sharding cannot evade the list; requires
    * [[graft.GraftExtensions.register]].
    *
-   * WARNING (over-blocking): registrable-domain matching is only as good
-   * as the PSL snapshot's PRIVATE-section coverage. On a hosting platform
-   * missing from the bundled subset (the snapshot is a curated slice;
-   * `evil.weebly.com`-style tenants need the private rules), both the
-   * blocklist entry and every candidate host collapse to the PLATFORM
-   * apex — one listed tenant then anti-joins away every innocent tenant
-   * of the platform, a collateral mass-drop, not just a coarse key.
-   * Before using `matchRegistrable` against a production blocklist,
-   * regenerate the full PSL (`tools/gen_public_suffix.py` over the
-   * upstream `public_suffix_list.dat`, private section included).
+   * Over-blocking note: registrable-domain matching is only as good as
+   * the PSL snapshot's PRIVATE-section coverage. The bundled
+   * [[graft.model.PublicSuffix]] is the FULL upstream list (ICANN +
+   * private sections, 7.9k multi-label rules), so listed hosting
+   * platforms (`github.io`, `blogspot.*`, …) key each tenant as its own
+   * registrable domain. A platform the upstream list itself doesn't
+   * carry still collapses all tenants to the platform apex — one listed
+   * tenant then anti-joins away every innocent tenant — which is
+   * inherent to eTLD+1 keying, not to the snapshot; refresh the snapshot
+   * periodically (`tools/gen_public_suffix.py` over a current
+   * `public_suffix_list.dat`) to track newly-registered platforms.
    */
   def filterBlockedUrls(
       df: DataFrame, urlCol: String, blockedHosts: DataFrame,
