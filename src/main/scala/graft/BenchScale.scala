@@ -171,7 +171,12 @@ object BenchScale {
     // pct/idn-kernel url canon (per-row kernel ~1× controls), and the
     // simhash occupancy audit (two-level aggregate, linear)
     "q_contamination_decon", "q_text_langid_ngram", "q_text_url_canon",
-    "q_dedup_simhash64_occupancy")
+    "q_dedup_simhash64_occupancy",
+    // round-15 addition: the crawl-ingest capstone — strip/url/lang/quality
+    // gates are per-row kernels + one WindowGroupLimit each, the paragraph
+    // stages shuffle line mass (linear), the decon suite and mix rates ride
+    // broadcasts; the composed ratio should stay near-linear
+    "q_pipeline_crawl")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()

@@ -126,6 +126,11 @@ object GraftExtensions {
       arity("lang_id", 1)(c => DocKernels.LangId(c(0)))),
     ("lang_id_ngram", DocKernels.langIdNgramInfo,
       arity("lang_id_ngram", 1)(c => DocKernels.LangIdNgram(c(0)))),
+    ("lang_id_ngram_scored", DocKernels.langIdNgramScoredInfo,
+      arity("lang_id_ngram_scored", 1)(c => DocKernels.LangIdNgramScored(c(0)))),
+    ("text_from_bytes", graft.expressions.ByteKernels.textFromBytesInfo,
+      arity("text_from_bytes", 1)(c =>
+        graft.expressions.ByteKernels.TextFromBytes(c(0)))),
     ("registrable_domain", graft.expressions.UrlKernels.registrableInfo,
       arity("registrable_domain", 1)(c =>
         graft.expressions.UrlKernels.RegistrableDomain(c(0)))),

@@ -409,8 +409,8 @@ object DocKernels {
 
   /** `lang_id_ngram(text)` — Cavnar–Trenkle character 1–3-gram language
     * identification over the bundled [[graft.model.LangProfiles]]
-    * snapshot (10 languages incl. ru/ja/ar/zh — the non-Latin coverage
-    * the stopword-marker tier lacks). Gram sizes MIX in one ranked list
+    * snapshot (16 languages incl. the non-Latin ru/ja/ar/zh/ko/hi the
+    * stopword-marker tier lacks). Gram sizes MIX in one ranked list
     * (the classic C&T formulation): unigram/bigram glue is what
     * separates isolating scripts — zh trigrams are too sparse at small
     * profile sizes, and a zh document far from the seeds would lose an
@@ -420,10 +420,18 @@ object DocKernels {
     * each side; grams by CODEPOINT (DuckDB substring semantics); doc
     * profile = top-[[graft.model.LangProfiles.rankSize]] grams by
     * (count desc, UTF-8 byte order asc — DuckDB VARCHAR order);
-    * out-of-place distance with absent-gram penalty = rankSize; argmin
-    * with language-code-ascending tie-break; `und` only when the
-    * normalized text is empty. Deterministic — no floats, no
-    * locale-contextual cases in the profile scripts. */
+    * out-of-place distance against the rank-
+    * [[graft.model.LangProfiles.profileSize]] language profiles with
+    * absent-gram penalty = profileSize (C&T's asymmetric shape: long
+    * language profiles, short doc profiles); argmin with
+    * language-code-ascending tie-break. REJECTION: the winner is kept
+    * only if its distance clears the per-language cutoff
+    * ([[graft.model.LangProfiles.cutoffs]], integer math) — otherwise
+    * `und`, because open-domain crawl text is mostly languages no
+    * bundled profile knows and a confident wrong label poisons every
+    * downstream curation gate. `und` also for empty-normalized text.
+    * Deterministic — no floats, no locale-contextual cases in the
+    * profile scripts. */
   case class LangIdNgram(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case StringType => TypeCheckResult.TypeCheckSuccess
@@ -440,6 +448,37 @@ object DocKernels {
       copy(child = newChild)
   }
 
+  /** `lang_id_ngram_scored(text)` — the scored twin of [[LangIdNgram]]:
+    * `(lang, best_lang, best_dist, second_dist, max_dist)` where `lang`
+    * is the post-rejection label (`und` allowed), `best_lang` the raw
+    * argmin, and the integer distances let calibration/auditing derive
+    * exact confidences (`1 - best_dist/max_dist`) and margins
+    * (`(second_dist - best_dist)/max_dist`) downstream — e.g. feeding
+    * [[graft.ops.Profile.calibrationReport]] — without the kernel
+    * baking in a float. Same one codegen'd pass; the second-best
+    * distance rides the argmin loop for free. */
+  case class LangIdNgramScored(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string, got ${other.simpleString}")
+    }
+    override def dataType: DataType = StructType(Seq(
+      StructField("lang", StringType, nullable = false),
+      StructField("best_lang", StringType, nullable = false),
+      StructField("best_dist", LongType, nullable = false),
+      StructField("second_dist", LongType, nullable = false),
+      StructField("max_dist", LongType, nullable = false)))
+    override def prettyName: String = "lang_id_ngram_scored"
+    override protected def nullSafeEval(a: Any): Any =
+      DocKernels.langIdNgramScored(a.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.expressions.DocKernels.langIdNgramScored($a);")
+    override protected def withNewChildInternal(newChild: Expression): LangIdNgramScored =
+      copy(child = newChild)
+  }
+
   private val UndLang = UTF8String.fromString("und")
 
   // (lang, gram -> 1-based rank), language-ascending = the tie-break order
@@ -449,6 +488,10 @@ object DocKernels {
       grams.zipWithIndex.foreach { case (g, i) => m.put(g, Integer.valueOf(i + 1)) }
       (lang, m)
     }.toArray
+
+  // rejection cutoffs x1000, aligned with ngramProfiles' language order
+  private lazy val ngramCutoffs: Array[Int] =
+    ngramProfiles.map { case (lang, _) => graft.model.LangProfiles.cutoffs(lang) }
 
   /** Unsigned UTF-8 byte comparison — DuckDB's VARCHAR sort order, so the
     * doc-profile tie-break replays across engines (UTF-16 compareTo would
@@ -466,8 +509,9 @@ object DocKernels {
     ab.length - bb.length
   }
 
-  def langIdNgram(text: UTF8String): UTF8String = {
-    if (text == null) return null
+  /** Shared classifier core: [bestIdx, bestDist, secondDist, m], or null
+    * when the normalized text is too short to classify. */
+  private def classifyNgram(text: UTF8String): Array[Long] = {
     val lowered = text.toString.toLowerCase(java.util.Locale.ROOT)
     // collapse \s runs (the Java/RE2-shared ASCII set) to one space + trim
     val sb = new java.lang.StringBuilder(lowered.length + 2)
@@ -484,9 +528,9 @@ object DocKernels {
     }
     if (!lastSpace) sb.append(' ')
     val padded = sb.toString
-    if (padded.length <= 2) return UndLang // nothing but whitespace
+    if (padded.length <= 2) return null // nothing but whitespace
     val cps = padded.codePoints().toArray
-    if (cps.length < 3) return UndLang
+    if (cps.length < 3) return null
     val counts = new java.util.HashMap[String, Integer]()
     var n = 1
     while (n <= 3) {
@@ -501,6 +545,7 @@ object DocKernels {
       n += 1
     }
     val k = graft.model.LangProfiles.rankSize
+    val pk = graft.model.LangProfiles.profileSize.toLong
     val entries = new Array[(String, Int)](counts.size)
     val it = counts.entrySet().iterator()
     i = 0
@@ -512,27 +557,70 @@ object DocKernels {
         if (a._2 != b._2) b._2 - a._2 else utf8Compare(a._1, b._1)
     })
     val m = math.min(k, entries.length)
-    var bestLang: String = null
+    var bestIdx = -1
     var bestDist = Long.MaxValue
+    var secondDist = Long.MaxValue
     var p = 0
     while (p < ngramProfiles.length) {
-      val (lang, prof) = ngramProfiles(p)
+      val prof = ngramProfiles(p)._2
       var dist = 0L
       var j = 0
       while (j < m) {
         val r = prof.get(entries(j)._1)
-        dist += (if (r == null) k.toLong else math.abs((j + 1) - r.intValue).toLong)
+        dist += (if (r == null) pk else math.abs((j + 1) - r.intValue).toLong)
         j += 1
       }
-      if (dist < bestDist) { bestDist = dist; bestLang = lang } // ties: first
-      p += 1                                                    // (lang asc) wins
+      if (dist < bestDist) {                      // ties: first (lang asc) wins
+        secondDist = bestDist; bestDist = dist; bestIdx = p
+      } else if (dist < secondDist) secondDist = dist
+      p += 1
     }
-    UTF8String.fromString(bestLang)
+    Array(bestIdx.toLong, bestDist, secondDist, m.toLong)
   }
+
+  /** Per-language acceptance: dist*1000 <= m*profileSize*cutoff(lang). */
+  private def ngramAccepted(bestIdx: Int, bestDist: Long, m: Long): Boolean =
+    bestDist * 1000L <=
+      m * graft.model.LangProfiles.profileSize * ngramCutoffs(bestIdx)
+
+  def langIdNgram(text: UTF8String): UTF8String = {
+    if (text == null) return null
+    val r = classifyNgram(text)
+    if (r == null) return UndLang
+    val bestIdx = r(0).toInt
+    if (ngramAccepted(bestIdx, r(1), r(3))) {
+      UTF8String.fromString(ngramProfiles(bestIdx)._1)
+    } else UndLang
+  }
+
+  /** Scored twin for calibration/auditing: (lang, best_lang, best_dist,
+    * second_dist, max_dist) — `lang` is post-rejection ('und' allowed),
+    * `best_lang` the raw argmin, and the three integer distances let a
+    * caller derive any confidence/margin measure exactly (e.g.
+    * 1 - best_dist/max_dist, or (second-best)/max_dist margin) without
+    * the kernel baking in a float. */
+  def langIdNgramScored(text: UTF8String): InternalRow = {
+    if (text == null) return null
+    val r = classifyNgram(text)
+    if (r == null) {
+      return InternalRow(UndLang, UndLang, 0L, 0L, 0L)
+    }
+    val bestIdx = r(0).toInt
+    val bestLang = UTF8String.fromString(ngramProfiles(bestIdx)._1)
+    val lang =
+      if (ngramAccepted(bestIdx, r(1), r(3))) bestLang else UndLang
+    InternalRow(lang, bestLang, r(1), r(2),
+      r(3) * graft.model.LangProfiles.profileSize)
+  }
+
 
   val langIdNgramInfo: ExpressionInfo = new ExpressionInfo(
     classOf[LangIdNgram].getName, null, "lang_id_ngram",
-    "_FUNC_(text) - Cavnar-Trenkle character 1-3-gram language code over the bundled 10-language profile snapshot ('und' for empty text).",
+    "_FUNC_(text) - Cavnar-Trenkle character 1-3-gram language code over the bundled 16-language profile snapshot; 'und' for empty text or when the best distance fails the per-language rejection cutoff.",
+    "", "", "", "", "", "", "built-in")
+  val langIdNgramScoredInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[LangIdNgramScored].getName, null, "lang_id_ngram_scored",
+    "_FUNC_(text) - (lang, best_lang, best_dist, second_dist, max_dist) scored twin of lang_id_ngram for calibration and margin auditing.",
     "", "", "", "", "", "", "built-in")
 
   /**

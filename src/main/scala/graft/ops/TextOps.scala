@@ -245,6 +245,16 @@ object TextOps {
    * unclosed tag strips to its `>` or survives as text, never throws.
    * Requires [[graft.GraftExtensions.register]].
    */
+  /** Byte-level ingest decode ([[graft.expressions.ByteKernels]]): strict
+    * UTF-8, Windows-1252 fallback (sloppy variant — the five undefined
+    * bytes decode to their C1 controls), and up to two rounds of
+    * UTF-8-as-cp1252 mojibake repair (the ftfy dominant case) — the rung
+    * BEFORE [[stripHtml]]/`text_normalize` when the source hands you raw
+    * crawl bytes instead of trusted strings. One codegen'd pass; null in,
+    * null out. Requires [[graft.GraftExtensions.register]]. */
+  def textFromBytes(bytes: Column): Column =
+    call_function("text_from_bytes", bytes)
+
   def stripHtml(html: Column): Column = {
     val noBlocks = regexp_replace(html,
       "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")
@@ -662,18 +672,31 @@ object TextOps {
     * [[graft.GraftExtensions.register]]. */
   def langIdNative(tokens: Column): Column = call_function("lang_id", tokens)
 
-  /** Character-trigram language ID (Cavnar–Trenkle rank profiles over the
-    * bundled [[graft.model.LangProfiles]] snapshot — 10 languages
-    * including ru/ja/ar/zh, the non-Latin coverage [[langId]]'s
+  /** Character-n-gram language ID (Cavnar–Trenkle rank profiles over the
+    * bundled [[graft.model.LangProfiles]] snapshot — 16 languages
+    * including ru/ja/ar/zh/ko/hi, the non-Latin coverage [[langId]]'s
     * stopword-marker tier lacks; that tier stays available as the cheap
     * 5-language fallback). One codegen'd pass per document
     * ([[graft.expressions.DocKernels.LangIdNgram]] — deterministic
-    * integer rank distances, `und` only for trigram-less text); profiles
-    * regenerate from `tools/gen_lang_profiles.py` (seed corpus documented
-    * there — swap in larger seeds for production-grade accuracy, the
-    * algorithm is unchanged). Requires
+    * integer rank distances); `und` for trigram-less text AND for
+    * documents whose best distance fails the per-language rejection
+    * cutoff — open-domain crawl data is mostly languages no profile
+    * knows, and an honest unknown beats a confident wrong label in a
+    * curation gate. Profiles + cutoffs regenerate from
+    * `tools/gen_lang_profiles.py` (seed corpus and cutoff calibration
+    * documented there — swap in larger seeds for production-grade
+    * accuracy, the algorithm is unchanged). Requires
     * [[graft.GraftExtensions.register]]. */
   def langIdNgram(text: Column): Column = call_function("lang_id_ngram", text)
+
+  /** Scored twin of [[langIdNgram]]: struct `(lang, best_lang, best_dist,
+    * second_dist, max_dist)` — post-rejection label plus the raw argmin
+    * and exact integer distances, so calibration (e.g.
+    * `1 - best_dist/max_dist` confidence against a label column through
+    * [[Profile.calibrationReport]]) and margin auditing need no second
+    * classification pass. Requires [[graft.GraftExtensions.register]]. */
+  def langIdNgramScored(text: Column): Column =
+    call_function("lang_id_ngram_scored", text)
 
   /** Stopwords used by the quality score (union of the English markers). */
   val qualityStopwords: Seq[String] = langMarkers.head._2

@@ -374,9 +374,14 @@ object LlmQueries {
     * MUST survive encoded with its hex uppercased (`%2f`→`%2F`,
     * `%3a`→`%3A`). */
   /** Held-out sentences (distinct from the profile seeds) planted into
-    * every fifth doc by q_text_langid_ngram, rotating through the 10
-    * profile languages; the same literals interpolate into the oracle's
-    * CASE plant. Lowercase, BMP-only, apostrophe-free (SQL hygiene). */
+    * every fifth doc by q_text_langid_ngram, rotating through the 16
+    * profile languages PLUS five rejection plants — Finnish, Hungarian,
+    * Vietnamese, Greek (languages no bundled profile knows) and a
+    * keyboard-mash garbage line — that must classify as 'und' through
+    * the per-language cutoff, so the oracle replays the REJECTION arm of
+    * the algorithm, not just the argmin. The same literals interpolate
+    * into the oracle's CASE plant. Lowercase, BMP-only, apostrophe-free
+    * (SQL hygiene). */
   private val langPlants: Seq[String] = Seq(
     "the children walk to the school in the morning and they read books with the teacher",
     "los niños caminan a la escuela por la mañana y leen libros con el maestro en la ciudad",
@@ -387,7 +392,71 @@ object LlmQueries {
     "дети идут в школу утром и читают книги с учителем в городе каждый день недели",
     "يذهب الأطفال إلى المدرسة في الصباح ويقرؤون الكتب مع المعلم في المدينة كل يوم",
     "子供たちは朝に学校へ歩いて行き、先生と一緒に本を読みます。毎日街の中で遊びます。",
-    "孩子们早上走路去学校，他们和老师一起读书。每天在城市里玩耍。")
+    "孩子们早上走路去学校，他们和老师一起读书。每天在城市里玩耍。",
+    "아이들은 아침에 학교에 걸어가서 선생님과 함께 책을 읽습니다",
+    "बच्चे सुबह स्कूल जाते हैं और शहर में शिक्षक के साथ किताबें पढ़ते हैं",
+    "çocuklar sabah okula yürüyorlar ve şehirde öğretmenle birlikte kitap okuyorlar",
+    "de kinderen lopen s ochtends naar school en lezen boeken met de leraar in de stad",
+    "dzieci idą rano do szkoły i czytają książki z nauczycielem w mieście",
+    "anak anak berjalan ke sekolah pada pagi hari dan membaca buku dengan guru di kota",
+    "lapset kävelevät kouluun aamulla ja lukevat kirjoja opettajan kanssa kaupungissa",
+    "a gyerekek reggel sétálnak az iskolába és könyveket olvasnak a tanárral a városban",
+    "những đứa trẻ đi bộ đến trường vào buổi sáng và đọc sách với giáo viên trong thành phố",
+    "τα παιδιά περπατούν στο σχολείο το πρωί και διαβάζουν βιβλία με τον δάσκαλο στην πόλη",
+    "qzxv wkjt pffq zzzy xxkw 12345 98765 !!!")
+
+  /** The lang-id plant as a CASE over doc_id (every fifth doc replaced by
+    * a [[langPlants]] entry in rotation). */
+  private def langPlantCase(textExpr: String): String = {
+    val plantArms = langPlants.zipWithIndex.map { case (t, i) =>
+      s"      WHEN $i THEN '$t'"
+    }.mkString("\n")
+    s"""CASE WHEN doc_id % 5 = 0 THEN
+       |    CASE CAST((doc_id // 5) % ${langPlants.size} AS INT)
+       |$plantArms
+       |    END
+       |  ELSE $textExpr END""".stripMargin
+  }
+
+  /** Classifier CTE chain over `src` (a relation exposing doc_id, txt),
+    * prefixed so multiple classifications can coexist in one oracle:
+    * normalize, codepoint 1–3-grams, rank-64 doc profile, out-of-place
+    * distance vs the rank-512 `lp` profile relation (absent penalty =
+    * profileSize), per-doc gram count `<p>dm`, distances ranked by
+    * (dist asc, lang asc) in `<p>best`. Requires `lp` and `langs` CTEs
+    * in scope. */
+  private def langidClassifyCtes(p: String, src: String): String =
+    s"""${p}norm AS (SELECT doc_id,
+       |           ' ' || trim(regexp_replace(lower(txt), '\\s+', ' ', 'g')) || ' ' AS t
+       |         FROM $src),
+       |${p}tg AS (SELECT doc_id, substring(t, s.i, ll.l) AS g
+       |       FROM ${p}norm, range(1, 4) ll(l),
+       |            UNNEST(generate_series(1, len(t))) s(i)
+       |       WHERE len(t) >= 3 AND s.i + ll.l - 1 <= len(t)),
+       |${p}tc AS (SELECT doc_id, g, count(*) AS c FROM ${p}tg GROUP BY doc_id, g),
+       |${p}dr AS MATERIALIZED (SELECT doc_id, g, r FROM (
+       |         SELECT doc_id, g,
+       |                row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS r
+       |         FROM ${p}tc) WHERE r <= ${graft.model.LangProfiles.rankSize}),
+       |${p}dm AS (SELECT doc_id, count(*) AS m FROM ${p}dr GROUP BY doc_id),
+       |${p}dist AS (SELECT d.doc_id, l.lang,
+       |           SUM(CASE WHEN pr.r IS NULL THEN ${graft.model.LangProfiles.profileSize}
+       |               ELSE abs(d.r - pr.r) END) AS dist
+       |         FROM ${p}dr d CROSS JOIN langs l
+       |         LEFT JOIN lp pr ON pr.lang = l.lang AND pr.g = d.g
+       |         GROUP BY d.doc_id, l.lang),
+       |${p}best AS (SELECT doc_id, lang, dist,
+       |           row_number() OVER (PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS rn
+       |         FROM ${p}dist)""".stripMargin
+
+  /** Shared CTE chain for the two standalone lang-id oracles: profile +
+    * cutoff relations, the plant, and the unprefixed classifier chain. */
+  private def langidCtes: String =
+    s"""lp AS (SELECT * FROM ${graft.model.LangProfiles.oracleValuesSql}),
+       |lc AS (SELECT * FROM ${graft.model.LangProfiles.cutoffValuesSql}),
+       |langs AS (SELECT DISTINCT lang FROM lp),
+       |pl AS (SELECT doc_id, ${langPlantCase("text")} AS txt FROM documents),
+       |${langidClassifyCtes("", "pl")}""".stripMargin
 
   private def plantedPctUrl: Column =
     when(col("doc_id") % 4 === 0,
@@ -1630,6 +1699,29 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Byte-level ingest decode over planted byte fixtures: plain UTF-8
+    // (identity on the ASCII docs text), legacy Windows-1252 bytes, one
+    // and two rounds of UTF-8-as-cp1252 mojibake, undecodable garbage
+    // (cp1252 fallback), and empty input. The expected strings are
+    // closed-form by construction (the fixtures' round-trips are computed
+    // in the kernel's scaladoc provenance) — the oracle pins them as
+    // literals on the same doc_id families.
+    "q_text_from_bytes" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val bytes = when(col("doc_id") % 6 === 0, encode(col("text"), "UTF-8"))
+        .when(col("doc_id") % 6 === 1,
+          unhex(lit("636166E92064E96AE020767520393525206E61EF7665")))
+        .when(col("doc_id") % 6 === 2,
+          unhex(lit("636166C383C2A92064C383C2A96AC383C2A020767520393525206E61C383C2AF7665")))
+        .when(col("doc_id") % 6 === 3,
+          unhex(lit("636166C383C692C382C2A92064C383C692C382C2A96AC383C692C382C2A020767520393525206E61C383C692C382C2AF7665")))
+        .when(col("doc_id") % 6 === 4, unhex(lit("FFFEFA")))
+        .otherwise(encode(lit(""), "UTF-8"))
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.textFromBytes(bytes).as("text_out"))
+        .orderBy("doc_id")
+    }),
+
     // Boilerplate line removal: every doc gets a planted per-source
     // boilerplate line (appears in 100% of its source's docs → dropped)
     // plus a doc-unique footer (kept) — the output must strip exactly the
@@ -1687,21 +1779,43 @@ object LlmQueries {
     }),
 
     // Cavnar–Trenkle character 1–3-gram language ID over the bundled
-    // 10-language profile snapshot: every fifth doc's text is replaced by
-    // a held-out plant rotating through the 10 languages (incl. the
-    // non-Latin ru/ar/ja/zh the stopword tier cannot see). The oracle
-    // replays the FULL algorithm — normalization, codepoint 1–3-grams,
-    // rank-64 doc profile (count desc, binary gram order), out-of-place
-    // distance vs the interpolated profile relation, argmin with lang-asc
-    // tie-break, 'und' for empty-normalized docs.
+    // 16-language profile snapshot: every fifth doc's text is replaced by
+    // a held-out plant rotating through the 16 languages (incl. the
+    // non-Latin ru/ar/ja/zh/ko/hi the stopword tier cannot see) plus five
+    // REJECTION plants (fi/hu/vi/el/garbage) that must come back 'und'
+    // through the per-language distance cutoffs. The oracle replays the
+    // FULL algorithm — normalization, codepoint 1–3-grams, rank-64 doc
+    // profile (count desc, binary gram order), out-of-place distance vs
+    // the interpolated rank-512 profile relation (absent penalty 512),
+    // argmin with lang-asc tie-break, the cutoff rejection, 'und' for
+    // empty-normalized docs.
     "q_text_langid_ngram" -> ((s, dir) => {
       GraftExtensions.register(s)
       val planted = when(col("doc_id") % 5 === 0,
         element_at(array(langPlants.map(lit): _*),
-          ((col("doc_id") / 5).cast("long") % 10 + 1).cast("int")))
+          ((col("doc_id") / 5).cast("long") % langPlants.size + 1).cast("int")))
         .otherwise(col("text"))
       docs(s, dir)
         .select(col("doc_id"), TextOps.langIdNgram(planted).as("predicted"))
+        .orderBy("doc_id")
+    }),
+
+    // Scored twin: same plants, the struct expands to the post-rejection
+    // label, raw argmin label, and exact integer distances (best, second,
+    // max) — the margin/confidence surface a calibration pass consumes.
+    "q_text_langid_margin" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val planted = when(col("doc_id") % 5 === 0,
+        element_at(array(langPlants.map(lit): _*),
+          ((col("doc_id") / 5).cast("long") % langPlants.size + 1).cast("int")))
+        .otherwise(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.langIdNgramScored(planted).as("s"))
+        .select(col("doc_id"), col("s.lang").as("lang"),
+          col("s.best_lang").as("best_lang"),
+          col("s.best_dist").as("best_dist"),
+          col("s.second_dist").as("second_dist"),
+          col("s.max_dist").as("max_dist"))
         .orderBy("doc_id")
     }),
 
@@ -2119,6 +2233,79 @@ object LlmQueries {
           mixed.select("doc_id", "text", "lang", "source", "n_chars"),
           "doc_id", size(split(col("text"), " ")), budget = 8000L)
         .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // COMPOSED crawl-ingest capstone — the FRONT end a crawl corpus runs
+    // before any of the batch-curation flows: HTML strip → URL hygiene
+    // (canonicalize → registrable-domain blocklist → eTLD+1 cap) →
+    // language-ID gate (rejection plants and unclassifiable docs drop as
+    // 'und') → quality gate → within-doc line dedup → corpus-wide
+    // paragraph dedup → exact-fingerprint decontamination (benchmark
+    // suite drawn from the corpus itself: the %97 docs) → temperature
+    // mix by DETECTED language. Every stage is the same spec-verified
+    // operator as its standalone query, chained as ONE plan; the whole
+    // flow replays bit-exact in one oracle CTE chain. Plants: the PSL
+    // URL families (%6), the 21 lang plants incl. rejection plants (%5),
+    // a uniform HTML wrap with an entity family (%3), boilerplate lines
+    // around every doc, and the %97 benchmark membership.
+    "q_pipeline_crawl" -> ((s, dir) => {
+      import s.implicits._
+      GraftExtensions.register(s)
+      val d = docs(s, dir)
+      val t0 = when(col("doc_id") % 5 === 0,
+        element_at(array(langPlants.map(lit): _*),
+          ((col("doc_id") / 5).cast("long") % langPlants.size + 1).cast("int")))
+        .otherwise(col("text"))
+      val html = concat(
+        lit("<html><head><style>p{color:red}</style></head><body><h1>Doc "),
+        col("doc_id").cast("string"), lit("</h1><p>"), t0,
+        lit("</p><script>var x = 1 < 2;</script>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<p>A &amp; B &lt;tag&gt; &#8217;s &nbsp;end</p>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      val framed = d.select(col("doc_id"), plantedShardUrl.as("url"),
+        TextOps.stripHtml(html).as("text"))
+      // registrable-domain blocklist: the spam apex collapses every shard;
+      // one github tenant drops alone (private suffix keeps siblings)
+      val blocked = Seq("spam.co.uk", "www.u7.github.io").toDF("host")
+      val unblocked = Corpus.filterBlockedUrls(
+        framed, "url", blocked, matchRegistrable = true)
+      val domained = unblocked.withColumn("domain",
+        coalesce(
+          TextOps.registrableDomain(
+            TextOps.urlHost(TextOps.canonicalizeUrl(col("url")))),
+          TextOps.urlHost(TextOps.canonicalizeUrl(col("url")))))
+      val capped = Corpus.capPerGroup(domained, "domain", 10, col("doc_id").asc)
+      val langed = capped
+        .withColumn("lang", TextOps.langIdNgram(col("text")))
+        .where(col("lang") =!= "und")
+      val gate = TextOps.curationGate(langed, "doc_id", "text",
+        TextOps.CurationRules(
+          minTokens = 8, maxTopTokenFrac = 0.5, maxDupBigramFrac = 0.5))
+      val gated = langed.join(gate.where(col("keep")).select("doc_id"), Seq("doc_id"))
+      // boilerplate structure: a repeated promo line inside each doc and a
+      // shared copyright footer across docs — within-doc dedup collapses
+      // the repeat, corpus-wide keep-first leaves one global promo copy
+      val lined = gated.select(col("doc_id"), col("lang"), col("domain"),
+        concat_ws("\n",
+          lit("recommended for you"), col("text"),
+          lit("recommended for you"),
+          concat(lit("copyright "), (col("doc_id") % 7).cast("string"))).as("text"))
+      val within = Dedup.paragraphDedupWithinDoc(lined, "doc_id", "text")
+      val paraed = Dedup.paragraphDedup(within, "doc_id", "text")
+        .join(lined.select("doc_id", "lang", "domain"), Seq("doc_id"))
+      // decontamination: the %97 docs ARE the benchmark; any surviving doc
+      // whose cleaned text fingerprint matches a suite member drops
+      val suite = paraed.where(col("doc_id") % 97 === 0)
+        .select(TextOps.fingerprint(col("text")).as("_fp")).distinct()
+      val decon = paraed
+        .withColumn("_fp", TextOps.fingerprint(col("text")))
+        .join(broadcast(suite), Seq("_fp"), "left_anti")
+        .drop("_fp")
+      Corpus.sampleByTemperature(decon, "doc_id", "lang", temperature = 2.0)
+        .select("doc_id", "lang", "domain", "text")
         .orderBy("doc_id")
     }),
 
@@ -3733,6 +3920,17 @@ object LlmQueries {
         |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_clean
         |FROM s3 ORDER BY doc_id""".stripMargin,
 
+    "q_text_from_bytes" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN text
+        |    WHEN 1 THEN 'café déjà vu 95% naïve'
+        |    WHEN 2 THEN 'café déjà vu 95% naïve'
+        |    WHEN 3 THEN 'café déjà vu 95% naïve'
+        |    WHEN 4 THEN 'ÿþú'
+        |    ELSE '' END AS text_out
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_text_boilerplate" ->
       """WITH dd AS (SELECT doc_id, source,
         |         text || chr(10) || 'subscribe to ' || source || ' newsletter'
@@ -3858,43 +4056,40 @@ object LlmQueries {
     // full-algorithm replay: plant, normalize (lower, \s+ -> ' ', trim,
     // pad), codepoint 1–3-grams, per-doc rank-64 profile (count desc,
     // g asc = binary order), out-of-place distance vs the interpolated
-    // profile snapshot (absent gram = penalty 64), argmin with lang-asc
-    // tie-break
+    // rank-512 profile snapshot (absent gram = penalty 512), argmin with
+    // lang-asc tie-break, then the per-language cutoff rejection
+    // (dist*1000 > m*512*cut => 'und')
     "q_text_langid_ngram" -> {
-      val plantArms = langPlants.zipWithIndex.map { case (t, i) =>
-        s"      WHEN $i THEN '$t'"
-      }.mkString("\n")
-      s"""WITH lp AS (SELECT * FROM ${graft.model.LangProfiles.oracleValuesSql}),
-         |pl AS (SELECT doc_id,
-         |  CASE WHEN doc_id % 5 = 0 THEN
-         |    CASE CAST((doc_id // 5) % 10 AS INT)
-         |$plantArms
-         |    END
-         |  ELSE text END AS text FROM documents),
-         |norm AS (SELECT doc_id,
-         |           ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' ' AS t
-         |         FROM pl),
-         |tg AS (SELECT doc_id, substring(t, s.i, ll.l) AS g
-         |       FROM norm, range(1, 4) ll(l),
-         |            UNNEST(generate_series(1, len(t))) s(i)
-         |       WHERE len(t) >= 3 AND s.i + ll.l - 1 <= len(t)),
-         |tc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
-         |dr AS (SELECT doc_id, g, r FROM (
-         |         SELECT doc_id, g,
-         |                row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS r
-         |         FROM tc) WHERE r <= ${graft.model.LangProfiles.rankSize}),
-         |langs AS (SELECT DISTINCT lang FROM lp),
-         |dist AS (SELECT d.doc_id, l.lang,
-         |           SUM(CASE WHEN p.r IS NULL THEN ${graft.model.LangProfiles.rankSize}
-         |               ELSE abs(d.r - p.r) END) AS dist
-         |         FROM dr d CROSS JOIN langs l
-         |         LEFT JOIN lp p ON p.lang = l.lang AND p.g = d.g
-         |         GROUP BY d.doc_id, l.lang),
-         |best AS (SELECT doc_id, lang,
-         |           row_number() OVER (PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS rn
-         |         FROM dist)
-         |SELECT d.doc_id, COALESCE(b.lang, 'und') AS predicted
-         |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+      s"""WITH $langidCtes
+         |SELECT d.doc_id,
+         |  CASE WHEN b.lang IS NULL THEN 'und'
+         |       WHEN b.dist * 1000 > dm.m * ${graft.model.LangProfiles.profileSize} * c.cut THEN 'und'
+         |       ELSE b.lang END AS predicted
+         |FROM documents d
+         |LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+         |LEFT JOIN dm ON dm.doc_id = d.doc_id
+         |LEFT JOIN lc c ON c.lang = b.lang
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // scored twin: the same CTEs pivoted to rn<=2 — post-rejection label,
+    // raw argmin label, best/second/max integer distances
+    "q_text_langid_margin" -> {
+      s"""WITH $langidCtes,
+         |b2 AS (SELECT doc_id, dist AS dist2 FROM best WHERE rn = 2)
+         |SELECT d.doc_id,
+         |  CASE WHEN b.lang IS NULL THEN 'und'
+         |       WHEN b.dist * 1000 > dm.m * ${graft.model.LangProfiles.profileSize} * c.cut THEN 'und'
+         |       ELSE b.lang END AS lang,
+         |  COALESCE(b.lang, 'und') AS best_lang,
+         |  CAST(COALESCE(b.dist, 0) AS BIGINT) AS best_dist,
+         |  CAST(COALESCE(b2.dist2, 0) AS BIGINT) AS second_dist,
+         |  CAST(COALESCE(dm.m * ${graft.model.LangProfiles.profileSize}, 0) AS BIGINT) AS max_dist
+         |FROM documents d
+         |LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+         |LEFT JOIN b2 ON b2.doc_id = d.doc_id
+         |LEFT JOIN dm ON dm.doc_id = d.doc_id
+         |LEFT JOIN lc c ON c.lang = b.lang
          |ORDER BY d.doc_id""".stripMargin
     },
 
@@ -4519,6 +4714,167 @@ object LlmQueries {
         |       FROM bk)
         |SELECT doc_id, lang, source, n_chars FROM bc WHERE cum <= 8000
         |ORDER BY doc_id""".stripMargin,
+
+    // crawl-ingest capstone oracle: ONE CTE chain replaying every stage —
+    // plants (URL %6 families, lang plants %5, HTML wrap + entity %3),
+    // strip (script/style, tags, entities with &amp; last, ws collapse),
+    // PSL registrable-domain walk + blocklist + cap 10, the full lang-id
+    // classification + rejection gate, quality rules, within-doc line
+    // dedup, corpus-wide keep-first paragraph dedup, %97-suite exact
+    // decontamination, temperature mix T=2 by detected language
+    "q_pipeline_crawl" ->
+      s"""WITH psl AS (SELECT * FROM ${graft.model.PublicSuffix.oracleValuesSql}),
+         |lp AS (SELECT * FROM ${graft.model.LangProfiles.oracleValuesSql}),
+         |lc AS (SELECT * FROM ${graft.model.LangProfiles.cutoffValuesSql}),
+         |langs AS (SELECT DISTINCT lang FROM lp),
+         |u AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 6 <= 1 THEN 'https://a' || CAST(doc_id % 97 AS VARCHAR)
+         |           || '.spam.co.uk/p/' || CAST(doc_id AS VARCHAR)
+         |         WHEN doc_id % 6 = 2 THEN 'https://u' || CAST(doc_id % 40 AS VARCHAR)
+         |           || '.github.io/x'
+         |         WHEN doc_id % 6 = 3 THEN 'https://sub.shop' || CAST(doc_id % 5 AS VARCHAR)
+         |           || '.ck/x'
+         |         WHEN doc_id % 6 = 4 THEN 'http://www.ck/x'
+         |         ELSE 'https://w' || CAST(doc_id % 8 AS VARCHAR)
+         |           || '.site' || CAST(doc_id % 7 AS VARCHAR) || '.com/x'
+         |    END AS url FROM documents),
+         |pt AS (SELECT doc_id, ${langPlantCase("text")} AS t0 FROM documents),
+         |h AS (SELECT doc_id,
+         |    '<html><head><style>p{color:red}</style></head><body><h1>Doc '
+         |    || CAST(doc_id AS VARCHAR) || '</h1><p>' || t0
+         |    || '</p><script>var x = 1 < 2;</script>'
+         |    || CASE WHEN doc_id % 3 = 0
+         |            THEN '<p>A &amp; B &lt;tag&gt; &#8217;s &nbsp;end</p>'
+         |            ELSE '' END
+         |    || '</body></html>' AS html FROM pt),
+         |cs1 AS (SELECT doc_id,
+         |          regexp_replace(html,
+         |            '(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>', ' ', 'g') AS t
+         |        FROM h),
+         |cs2 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM cs1),
+         |csn AS (SELECT doc_id, replace(t, '&#8217;', '’') AS t FROM cs2),
+         |cs3 AS (SELECT doc_id,
+         |          replace(replace(replace(replace(replace(t,
+         |            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+         |            '&quot;', '"'), '&amp;', '&') AS t
+         |        FROM csn),
+         |txt AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text FROM cs3),
+         |ul AS (SELECT doc_id,
+         |         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host,
+         |         string_split(lower(regexp_extract(url,
+         |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)), '.') AS ls
+         |       FROM u),
+         |uc AS (SELECT doc_id, host, ls, len(ls) AS n,
+         |         unnest(generate_series(1, len(ls))) AS i FROM ul),
+         |ucs AS (SELECT doc_id, ls, n, i,
+         |          array_to_string(ls[i:], '.') AS suffix,
+         |          CASE WHEN i < n THEN array_to_string(ls[i+1:], '.') END AS parent
+         |        FROM uc),
+         |um AS (SELECT ucs.doc_id, ucs.i,
+         |         CASE WHEN x.rule IS NOT NULL THEN ucs.i + 1
+         |              WHEN r.rule IS NOT NULL THEN ucs.i
+         |              WHEN w.rule IS NOT NULL THEN ucs.i END AS ps
+         |       FROM ucs
+         |       LEFT JOIN psl x ON x.kind = 'x' AND x.rule = ucs.suffix
+         |       LEFT JOIN psl r ON r.kind = 'r' AND r.rule = ucs.suffix
+         |       LEFT JOIN psl w ON w.kind = 'w' AND w.rule = ucs.parent),
+         |upick AS (SELECT doc_id, min(CASE WHEN ps IS NOT NULL THEN i END) AS mi
+         |          FROM um GROUP BY doc_id),
+         |ureg AS (SELECT l.doc_id, l.host,
+         |           coalesce(
+         |             CASE WHEN coalesce(m.ps, len(l.ls)) >= 2
+         |                  THEN array_to_string(l.ls[coalesce(m.ps, len(l.ls)) - 1:], '.')
+         |             END, l.host) AS domain
+         |         FROM ul l JOIN upick p ON p.doc_id = l.doc_id
+         |         LEFT JOIN um m ON m.doc_id = l.doc_id AND m.i = p.mi),
+         |ub AS (SELECT doc_id, domain FROM ureg
+         |       WHERE domain NOT IN ('spam.co.uk', 'u7.github.io')),
+         |ucap AS (SELECT doc_id, domain FROM (
+         |           SELECT doc_id, domain,
+         |                  row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+         |           FROM ub) WHERE rn <= 10),
+         |base AS MATERIALIZED (SELECT c.doc_id, c.domain, t.text FROM ucap c
+         |         JOIN txt t ON t.doc_id = c.doc_id),
+         |lgsrc AS (SELECT doc_id, text AS txt FROM base),
+         |${langidClassifyCtes("lg", "lgsrc")},
+         |langed AS (SELECT b.doc_id, b.domain, b.text,
+         |    CASE WHEN lb.lang IS NULL THEN 'und'
+         |         WHEN lb.dist * 1000 > lgdm.m * ${graft.model.LangProfiles.profileSize} * c.cut THEN 'und'
+         |         ELSE lb.lang END AS lang
+         |  FROM base b
+         |  LEFT JOIN lgbest lb ON lb.doc_id = b.doc_id AND lb.rn = 1
+         |  LEFT JOIN lgdm ON lgdm.doc_id = b.doc_id
+         |  LEFT JOIN lc c ON c.lang = lb.lang),
+         |lkept AS MATERIALIZED (SELECT * FROM langed WHERE lang <> 'und'),
+         |qt AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM lkept),
+         |qcnt AS (SELECT doc_id, tok, count(*) AS c
+         |         FROM (SELECT doc_id, unnest(ts) AS tok FROM qt) GROUP BY doc_id, tok),
+         |qrep AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS ttf
+         |         FROM qcnt GROUP BY doc_id),
+         |qg AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
+         |       FROM (SELECT doc_id, ts,
+         |               unnest(generate_series(1, CAST(len(ts) AS BIGINT) - 1)) AS i FROM qt)),
+         |qd AS (SELECT doc_id, CAST(count(*) - count(DISTINCT g) AS DOUBLE) / count(*) AS dbf
+         |       FROM qg GROUP BY doc_id),
+         |qr AS (SELECT qt.doc_id,
+         |         concat_ws(',',
+         |           CASE WHEN len(qt.ts) < 8 THEN 'too_few_tokens' END,
+         |           CASE WHEN qrep.ttf > 0.5 THEN 'top_token_frac' END,
+         |           CASE WHEN coalesce(qd.dbf, 0.0) > 0.5 THEN 'dup_2gram_frac' END) AS reasons
+         |       FROM qt JOIN qrep ON qrep.doc_id = qt.doc_id
+         |       LEFT JOIN qd ON qd.doc_id = qt.doc_id),
+         |qkept AS (SELECT l.doc_id, l.lang, l.domain, l.text
+         |          FROM lkept l JOIN qr ON qr.doc_id = l.doc_id
+         |          WHERE qr.reasons = ''),
+         |ld AS MATERIALIZED (SELECT doc_id, lang, domain,
+         |         'recommended for you' || chr(10) || text || chr(10) ||
+         |         'recommended for you' || chr(10) ||
+         |         'copyright ' || CAST(doc_id % 7 AS VARCHAR) AS text
+         |       FROM qkept),
+         |wl AS (SELECT doc_id, i, line FROM (
+         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         |         generate_subscripts(string_split(text, chr(10)), 1) AS i
+         |  FROM ld)),
+         |wk AS (SELECT doc_id, i, line FROM (
+         |  SELECT doc_id, i, line,
+         |         row_number() OVER (PARTITION BY doc_id, line ORDER BY i) AS rn
+         |  FROM wl) WHERE rn = 1),
+         |wr AS MATERIALIZED (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+         |       FROM wk GROUP BY doc_id),
+         |pl2 AS (SELECT doc_id, i - 1 AS pos, line FROM (
+         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         |         generate_subscripts(string_split(text, chr(10)), 1) AS i
+         |  FROM wr)),
+         |pk2 AS (SELECT doc_id, pos, line FROM (
+         |  SELECT doc_id, pos, line,
+         |         row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
+         |  FROM pl2) WHERE rn = 1),
+         |pr2 AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+         |        FROM pk2 GROUP BY doc_id),
+         |paraed AS MATERIALIZED (SELECT w.doc_id, d.lang, d.domain, coalesce(p.text, '') AS text
+         |           FROM wr w
+         |           JOIN ld d ON d.doc_id = w.doc_id
+         |           LEFT JOIN pr2 p ON p.doc_id = w.doc_id),
+         |suite AS (SELECT DISTINCT
+         |            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |          FROM paraed WHERE doc_id % 97 = 0),
+         |dec AS MATERIALIZED (SELECT p.doc_id, p.lang, p.domain, p.text FROM paraed p
+         |        LEFT JOIN suite s
+         |          ON s.fp = md5(regexp_replace(lower(trim(p.text)), '\\s+', ' ', 'g'))
+         |        WHERE s.fp IS NULL),
+         |tgrp AS (SELECT lang, count(*) AS n_rows FROM dec GROUP BY lang),
+         |ttot AS (SELECT SUM(n_rows) AS tn FROM tgrp),
+         |traw AS (SELECT lang,
+         |           pow(CAST(n_rows AS DOUBLE) / CAST(tn AS DOUBLE), 1.0/2.0 - 1.0) AS w
+         |         FROM tgrp CROSS JOIN ttot),
+         |tmx AS (SELECT MAX(w) AS mw FROM traw),
+         |trates AS (SELECT lang,
+         |             CAST(round(round(w / mw, 6) * 10000) AS BIGINT) AS thr
+         |           FROM traw CROSS JOIN tmx),
+         |mixed AS (SELECT dec.* FROM dec JOIN trates rt ON rt.lang = dec.lang
+         |          WHERE ('0x' || substr(md5('sample::' || CAST(dec.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < rt.thr)
+         |SELECT doc_id, lang, domain, text FROM mixed
+         |ORDER BY doc_id""".stripMargin,
 
     "q_corpus_shard" ->
       """SELECT doc_id, source, shard, CAST(ord AS INT) AS ord FROM (

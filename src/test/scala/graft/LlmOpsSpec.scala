@@ -2384,4 +2384,57 @@ class LlmOpsSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, String)].collect().toSeq
     assert(ra == Seq((1L, "alpha"), (2L, "beta"), (3L, ""), (4L, null), (5L, "gamma")))
   }
+
+  test("TextOps.textFromBytes: strict UTF-8, sloppy-cp1252 fallback, " +
+    "mojibake repair rounds, unmappable scripts untouched, null/empty laws") {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.UTF_8
+    graft.GraftExtensions.register(spark)
+    def cp1252(s: String): Array[Byte] = {
+      // test-side encoder: strict cp1252 for the fixtures (no holes used)
+      val specials = Map('\u20ac' -> 0x80, '\u201a' -> 0x82, '\u0192' -> 0x83,
+        '\u201e' -> 0x84, '\u2026' -> 0x85, '\u2020' -> 0x86, '\u2021' -> 0x87,
+        '\u02c6' -> 0x88, '\u2030' -> 0x89, '\u0160' -> 0x8a, '\u2039' -> 0x8b,
+        '\u0152' -> 0x8c, '\u017d' -> 0x8e, '\u2018' -> 0x91, '\u2019' -> 0x92,
+        '\u201c' -> 0x93, '\u201d' -> 0x94, '\u2022' -> 0x95, '\u2013' -> 0x96,
+        '\u2014' -> 0x97, '\u02dc' -> 0x98, '\u2122' -> 0x99, '\u0161' -> 0x9a,
+        '\u203a' -> 0x9b, '\u0153' -> 0x9c, '\u017e' -> 0x9e, '\u0178' -> 0x9f)
+      s.map(c => specials.getOrElse(c, c.toInt).toByte).toArray
+    }
+    val clean = "price 12 \u20ac and caf\u00e9"           // € + é
+    val mojibake1 = new String(clean.getBytes(UTF_8).map(_ & 0xff).map {
+      b => if (b >= 0x80 && b <= 0x9f) " \u20ac\u0081\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160\u2039\u0152\u008d\u017d\u008f\u0090\u2018\u2019\u201c\u201d\u2022\u2013\u2014\u02dc\u2122\u0161\u203a\u0153\u009d\u017e\u0178".charAt(b - 0x7f) else b.toChar
+    }.mkString)                                            // utf8-as-cp1252
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      (1L, "plain ascii".getBytes(UTF_8)),                 // identity
+      (2L, clean.getBytes(UTF_8)),                         // valid utf-8 kept
+      (3L, cp1252(clean)),                                 // legacy cp1252
+      (4L, mojibake1.getBytes(UTF_8)),                     // 1-round mojibake
+      (5L, "\u4e2d\u6587 text".getBytes(UTF_8)),           // unmappable: untouched
+      (6L, Array[Byte](0x81.toByte, 0x41)),                // hole byte -> C1 + A
+      (7L, Array.emptyByteArray),                          // empty -> ""
+      (8L, null))                                          // null -> null
+    val out = rows.toDF("id", "b")
+      .select($"id", graft.ops.TextOps.textFromBytes($"b").as("t"))
+      .orderBy("id").as[(Long, String)].collect().toMap
+    assert(out(1L) == "plain ascii")
+    assert(out(2L) == clean)
+    assert(out(3L) == clean, s"cp1252 decode+repair: ${out(3L)}")
+    assert(out(4L) == clean, s"mojibake repair: ${out(4L)}")
+    assert(out(5L) == "\u4e2d\u6587 text")
+    assert(out(6L) == "\u0081A")
+    assert(out(7L) == "")
+    assert(out(8L) == null)
+    // double-encoded: utf8(clean) -> cp1252-decode -> utf8 -> cp1252-decode -> utf8
+    def asCp(b: Array[Byte]): String = new String(b.map { x =>
+      val c = x & 0xff
+      if (c >= 0x80 && c <= 0x9f)
+        "\u20ac\u0081\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160\u2039\u0152\u008d\u017d\u008f\u0090\u2018\u2019\u201c\u201d\u2022\u2013\u2014\u02dc\u2122\u0161\u203a\u0153\u009d\u017e\u0178".charAt(c - 0x80)
+      else c.toChar
+    }.mkString)
+    val dbl = asCp(asCp(clean.getBytes(UTF_8)).getBytes(UTF_8)).getBytes(UTF_8)
+    val out2 = Seq((1L, dbl)).toDF("id", "b")
+      .select(graft.ops.TextOps.textFromBytes($"b")).as[String].collect().head
+    assert(out2 == clean, s"double mojibake repair: $out2")
+  }
 }

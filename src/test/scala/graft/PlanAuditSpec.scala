@@ -310,6 +310,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(gate.contains("LeftAnti"), "the gate's survivor step is an anti-join")
   }
 
+  test("crawl-ingest capstone chains as one plan: no cartesian, kernels " +
+    "native, the decon suite and mix rates ride broadcasts") {
+    val p = plan("q_pipeline_crawl")
+    assert(!p.contains("CartesianProduct"), s"crawl chain planned a cartesian:\n${p.take(800)}")
+    assert(!p.contains("ScalaUDF"), s"a kernel fell back to a UDF:\n${p.take(800)}")
+    // the %97 suite anti-join and the temperature-rate join are tiny
+    // frames against the corpus — broadcasts, never corpus-vs-corpus SMJs
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in the chain:\n${p.take(800)}")
+    assert(p.contains("LeftAnti"), "decontamination must plan an anti-join")
+  }
+
   test("freq_items sketches partially before the exchange (O(k) shuffle volume)") {
     val p = plan("q_profile_heavyhitters")
     // the sketch is an object (not unsafe-row) aggregate; the partial mode

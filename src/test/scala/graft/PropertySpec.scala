@@ -165,8 +165,9 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("property: lang_id_ngram is total over the profile langs + und; und iff no trigram") {
-    val langs = graft.model.LangProfiles.profiles.map(_._1).toSet
+  test("property: lang_id_ngram is total over the profile langs + und; " +
+    "empty-normalized text is always und") {
+    val langs = graft.model.LangProfiles.profiles.map(_._1).toSet + "und"
     val sGen = Gen.chooseNum(0, 12).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf('a', 'e', 'т', 'の', '好', ' ', '\t')).map(_.mkString))
     val rows = sample(sGen, 300).zipWithIndex.map(_.swap).toDF("id", "t")
@@ -175,7 +176,10 @@ class PropertySpec extends SparkSpec {
     rows.foreach { case (t, p) =>
       val trimmed = t.trim
       if (trimmed.isEmpty) assert(p == "und", s"'$t' -> $p")
-      else assert(langs.contains(p), s"'$t' -> $p not a profile lang")
+      // non-empty random char soup may legitimately REJECT to und (the
+      // per-language cutoffs exist for exactly this input class); the
+      // property is totality, not acceptance
+      else assert(langs.contains(p), s"'$t' -> $p not a profile lang or und")
     }
   }
 

