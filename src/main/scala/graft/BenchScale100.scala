@@ -40,7 +40,14 @@ object BenchScale100 {
     // brute hard-negative miner + its triplet capstone, and the two
     // single-exchange controls (epoch generator, fingerprint-count audit)
     "q_text_nb_classify", "q_sim_hard_negatives", "q_pipeline_triplets",
-    "q_corpus_epoch_sample", "q_corpus_split_leakage")
+    "q_corpus_epoch_sample", "q_corpus_split_leakage",
+    // round-14 operators two decades out (10× covered them in round 14):
+    // the registry decontamination gate, the language-id and url-canon
+    // kernel controls, and the capped simhash occupancy audit
+    "q_contamination_decon", "q_text_langid_ngram", "q_text_url_canon",
+    "q_dedup_simhash64_occupancy",
+    // round-15: the composed crawl-ingest capstone
+    "q_pipeline_crawl")
 
   private def releaseResidue(spark: SparkSession, keep: Set[Int]): Unit =
     spark.sparkContext.getPersistentRDDs.foreach {

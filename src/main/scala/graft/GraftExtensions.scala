@@ -131,6 +131,12 @@ object GraftExtensions {
     ("text_from_bytes", graft.expressions.ByteKernels.textFromBytesInfo,
       arity("text_from_bytes", 1)(c =>
         graft.expressions.ByteKernels.TextFromBytes(c(0)))),
+    ("video_meta", graft.expressions.VideoKernels.videoMetaInfo,
+      arity("video_meta", 1)(c =>
+        graft.expressions.VideoKernels.VideoMeta(c(0)))),
+    ("synth_mp4", graft.expressions.VideoKernels.synthInfo,
+      arity("synth_mp4", 1)(c =>
+        graft.expressions.VideoKernels.SynthMp4(c(0)))),
     ("registrable_domain", graft.expressions.UrlKernels.registrableInfo,
       arity("registrable_domain", 1)(c =>
         graft.expressions.UrlKernels.RegistrableDomain(c(0)))),

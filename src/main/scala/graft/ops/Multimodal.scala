@@ -20,11 +20,16 @@ import org.apache.spark.sql.types._
  *    `javax.sound.sampled` (in-JDK) to exact integer sample statistics,
  *    NULL on unreadable or compressed payloads (MP3/AAC need external
  *    codecs).
- *  - VIDEO: PERMANENTLY STUBBED — no in-JDK video codec exists.
- *    [[decodeStub]]/[[sampleFrames]] keep the production signature
- *    (binary in, features/frames out) with deterministic fake features;
- *    a real deployment replaces only those marked expressions, every
- *    surrounding operator is unchanged.
+ *  - VIDEO: METADATA REAL, PIXELS STUBBED. [[videoMeta]] wraps the
+ *    native `video_meta` kernel ([[graft.expressions.VideoKernels]]):
+ *    a pure-JDK ISO-BMFF box parse to (duration_ms, n_tracks,
+ *    width, height, codecs) — the container-level dedup key — with
+ *    NULL on anything not structurally valid MP4. Pixel decode stays
+ *    impossible in-JDK: [[decodeStub]]/[[sampleFrames]] keep the
+ *    production signature (binary in, features/frames out) with
+ *    deterministic fake features; a real deployment replaces only
+ *    those marked expressions, every surrounding operator is
+ *    unchanged.
  *
  * Scale notes: payloads are large, so operators avoid shuffling the binary
  * column — features are extracted first and the payload is dropped or written
@@ -132,10 +137,23 @@ object Multimodal {
     call_function("audio_decode", content)
 
   /**
-   * STUB decode (video only, since round 8): deterministic pseudo-features
-   * from raw bytes. Replace the marked expressions with a real codec; the
-   * signature — binary in, fixed-width feature struct out — is the
-   * production shape.
+   * Container-level video metadata ([[graft.expressions.VideoKernels]]):
+   * one codegen'd ISO-BMFF box parse per payload —
+   * `(duration_ms, n_tracks, width, height, codecs)`, NULL for anything
+   * that is not structurally valid MP4/M4A/MOV. A (duration, dims,
+   * codec-set) key groups re-encodes and re-containerizations without
+   * touching a single pixel, and a `mp4a` fourcc marks the asset for the
+   * audio-fingerprint machinery once samples are decoded out-of-band.
+   * Requires [[graft.GraftExtensions.register]].
+   */
+  def videoMeta(content: Column): Column = call_function("video_meta", content)
+
+  /**
+   * STUB decode (video PIXELS only, since round 8): deterministic
+   * pseudo-features from raw bytes. Replace the marked expressions with a
+   * real codec; the signature — binary in, fixed-width feature struct
+   * out — is the production shape. Container metadata needs no stub —
+   * see [[videoMeta]].
    */
   def decodeStub(content: Column): Column = {
     // --- stub expressions: a real codec replaces from here ---

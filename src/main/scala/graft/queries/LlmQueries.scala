@@ -2550,6 +2550,28 @@ object LlmQueries {
         .orderBy("asset_id")
     }),
 
+    // REAL video container metadata: deterministic MP4s planted per doc_id
+    // (every box parameter closed-form in the id — v0/v1 mvhd layouts,
+    // 64-bit largesize headers, 1-3 tracks, a corrupt family), parsed by
+    // the pure-JDK ISO-BMFF kernel; the oracle recomputes duration/track/
+    // codec/dims from the generation formulas, so a parser that misreads
+    // any box offset hash-fails
+    "q_mm_video_meta" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val assets = Multimodal.asAsset(
+        col("doc_id"), lit("video"),
+        call_function("synth_mp4", col("doc_id")), col("source"))(docs(s, dir))
+      assets
+        .select(col("asset_id"), Multimodal.videoMeta(col("content")).as("f"))
+        .select(
+          col("asset_id"),
+          col("f.duration_ms").as("duration_ms"),
+          col("f.n_tracks").as("n_tracks"),
+          col("f.width").as("width"), col("f.height").as("height"),
+          col("f.codecs").as("codecs"))
+        .orderBy("asset_id")
+    }),
+
     // REAL audio decode: deterministic 16-bit PCM WAVs planted per doc_id
     // (sample(ch,i) closed-form in the id), decoded by the in-JDK
     // javax.sound.sampled kernel to exact per-channel sample sums — the
@@ -5272,6 +5294,27 @@ object LlmQueries {
         |  CAST((doc_id % 256) * (7 + doc_id % 8) * (8 + doc_id % 5) AS BIGINT) AS sum_r,
         |  CAST(((doc_id * 7) % 256) * (7 + doc_id % 8) * (8 + doc_id % 5) AS BIGINT) AS sum_g,
         |  CAST(((doc_id * 13) % 256) * (7 + doc_id % 8) * (8 + doc_id % 5) AS BIGINT) AS sum_b
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // Planted MP4 parameters are closed-form in doc_id (see VideoKernels
+    // .synthMp4): timescale 1000+(id%9)*100, ticks 48000+(id*7)%100000,
+    // duration_ms = ticks*1000 // timescale, 1+id%3 tracks, video codec by
+    // id%3, dims 320+(id%16)*40 x 240+(id%9)*40, id%7==6 corrupt -> NULLs
+    "q_mm_video_meta" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 7 = 6 THEN NULL
+        |       ELSE CAST((48000 + (doc_id * 7) % 100000) * 1000
+        |                 // (1000 + (doc_id % 9) * 100) AS BIGINT) END AS duration_ms,
+        |  CASE WHEN doc_id % 7 = 6 THEN NULL
+        |       ELSE CAST(1 + doc_id % 3 AS INT) END AS n_tracks,
+        |  CASE WHEN doc_id % 7 = 6 THEN NULL
+        |       ELSE CAST(320 + (doc_id % 16) * 40 AS INT) END AS width,
+        |  CASE WHEN doc_id % 7 = 6 THEN NULL
+        |       ELSE CAST(240 + (doc_id % 9) * 40 AS INT) END AS height,
+        |  CASE WHEN doc_id % 7 = 6 THEN NULL
+        |       ELSE CASE CAST(doc_id % 3 AS INT)
+        |              WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1,mp4a'
+        |              ELSE 'av01,mp4a,tx3g' END END AS codecs
         |FROM documents ORDER BY asset_id""".stripMargin,
 
     // Planted WAV parameters are closed-form in doc_id (see AudioKernels

@@ -2437,4 +2437,41 @@ class LlmOpsSpec extends SparkSpec {
       .select(graft.ops.TextOps.textFromBytes($"b")).as[String].collect().head
     assert(out2 == clean, s"double mojibake repair: $out2")
   }
+
+  test("Multimodal.videoMeta: hand-built ISO-BMFF fixtures parse exactly; " +
+    "corrupt/truncated/non-MP4 input obeys the NULL law") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    // hand-built fixtures (hex rendered by an independent python builder):
+    // v0 mvhd, timescale 1000, duration 90500 ticks, avc1 1920x1080 + mp4a
+    val video = "000000206674797069736F6D0000020069736F6D69736F32617663316D703431000001AC6D6F6F760000006C6D766864000000000000000000000000000003E80001618400010000010000000000000000000000000100000000000000000000000000000001000000000000000000000000000040000000000000000000000000000000000000000000000000000000000000030000009C7472616B0000005C746B6864000000030000000000000000000000010000000000016184000000000000000000000000000000000001000000000000000000000000000000010000000000000000000000000000400000000780000004380000000000386D646961000000306D696E66000000287374626C00000020737473640000000000000001000000106176633100000000000000000000009C7472616B0000005C746B6864000000030000000000000000000000020000000000016184000000000000000000000000000000000001000000000000000000000000000000010000000000000000000000000000400000000000000000000000000000386D646961000000306D696E66000000287374626C00000020737473640000000000000001000000106D7034610000000000000000000000186D64617400000000000000000000000000000000"
+    // v1 mvhd (64-bit duration) inside a 64-bit largesize moov, audio-only:
+    // timescale 48000, duration 480000 ticks -> exactly 10000 ms
+    val audio = "00000018667479704D344120000000004D34412069736F6D000000016D6F6F760000000000000124000000786D76686401000000000000000000000000000000000000000000BB80000000000007530000010000010000000000000000000000000100000000000000000000000000000001000000000000000000000000000040000000000000000000000000000000000000000000000000000000000000020000009C7472616B0000005C746B6864000000030000000000000000000000010000000000075300000000000000000000000000000000000001000000000000000000000000000000010000000000000000000000000000400000000000000000000000000000386D646961000000306D696E66000000287374626C00000020737473640000000000000001000000106D7034610000000000000000"
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      (1L, bytes(video)),
+      (2L, bytes(audio)),
+      (3L, bytes(video).take(100)),            // truncated mid-moov
+      (4L, "not a video at all".getBytes),     // no box structure
+      (5L, Array.emptyByteArray),              // empty
+      (6L, bytes(video).updated(40, 0x7f.toByte)), // mvhd size escapes moov
+      (7L, null))
+    val out = rows.toDF("id", "b")
+      .select($"id", graft.ops.Multimodal.videoMeta($"b").as("f"))
+      .select($"id", $"f.duration_ms", $"f.n_tracks", $"f.width", $"f.height",
+        $"f.codecs")
+      .orderBy("id").collect()
+    val v = out(0)
+    assert((v.getLong(1), v.getInt(2), v.getInt(3), v.getInt(4), v.getString(5)) ==
+      ((90500L, 2, 1920, 1080, "avc1,mp4a")), s"video fixture: $v")
+    val a = out(1)
+    assert((a.getLong(1), a.getInt(2), a.getString(5)) == ((10000L, 1, "mp4a")),
+      s"audio fixture: $a")
+    assert(a.isNullAt(3) && a.isNullAt(4), "audio-only: no dimensions")
+    for (i <- 2 until 7)
+      assert(out(i).isNullAt(1) && out(i).isNullAt(5),
+        s"row ${out(i).getLong(0)} must be NULL (corrupt-input law): ${out(i)}")
+  }
 }
