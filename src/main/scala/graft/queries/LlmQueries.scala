@@ -405,6 +405,13 @@ object LlmQueries {
     "τα παιδιά περπατούν στο σχολείο το πρωί και διαβάζουν βιβλία με τον δάσκαλο στην πόλη",
     "qzxv wkjt pffq zzzy xxkw 12345 98765 !!!")
 
+  /** Expected label per [[langPlants]] index — the ground truth the
+    * calibration query scores against (the last five plants are
+    * out-of-profile/garbage and must reject to 'und'). */
+  private val langPlantExpected: Seq[String] = Seq(
+    "en", "es", "fr", "de", "pt", "it", "ru", "ar", "ja", "zh",
+    "ko", "hi", "tr", "nl", "pl", "id", "und", "und", "und", "und", "und")
+
   /** The lang-id plant as a CASE over doc_id (every fifth doc replaced by
     * a [[langPlants]] entry in rotation). */
   private def langPlantCase(textExpr: String): String = {
@@ -1817,6 +1824,28 @@ object LlmQueries {
           col("s.second_dist").as("second_dist"),
           col("s.max_dist").as("max_dist"))
         .orderBy("doc_id")
+    }),
+
+    // The margin surface FEEDING calibration: over the planted docs (the
+    // rows with ground truth), confidence = 1 - best_dist/max_dist and
+    // label = (post-rejection prediction == expected), bucketed by the
+    // same reliability-report operator every probability-scored gate
+    // uses — the curve an operator reads before trusting the language
+    // gate's cutoffs on new data
+    "q_text_langid_calibration" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val idx = ((col("doc_id") / 5).cast("long") % langPlants.size + 1).cast("int")
+      val planted = element_at(array(langPlants.map(lit): _*), idx)
+      val expected = element_at(array(langPlantExpected.map(lit): _*), idx)
+      val scored = docs(s, dir).where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), expected.as("want"),
+          TextOps.langIdNgramScored(planted).as("s"))
+        .select(
+          (lit(1.0) - col("s.best_dist").cast("double") / col("s.max_dist"))
+            .as("score"),
+          (col("s.lang") === col("want")).as("label"))
+      graft.ops.Profile.calibrationReport(scored, "score", "label", bins = 10)
+        .orderBy("bucket")
     }),
 
     // Content fingerprints: normalized md5 + min-shingle rolling hash
@@ -4113,6 +4142,37 @@ object LlmQueries {
          |LEFT JOIN dm ON dm.doc_id = d.doc_id
          |LEFT JOIN lc c ON c.lang = b.lang
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // calibration over the planted rows: the classifier CTEs restricted to
+    // doc_id%5=0, confidence/label computed from the same distances, then
+    // the decile report's exact integer math
+    "q_text_langid_calibration" -> {
+      val wantArms = langPlantExpected.zipWithIndex.map { case (l, i) =>
+        s"      WHEN $i THEN '$l'"
+      }.mkString("\n")
+      s"""WITH $langidCtes,
+         |pd AS (SELECT doc_id,
+         |  CASE CAST((doc_id // 5) % ${langPlants.size} AS INT)
+         |$wantArms
+         |  END AS want FROM documents WHERE doc_id % 5 = 0),
+         |sc AS (SELECT pd.doc_id, pd.want,
+         |         1.0 - CAST(b.dist AS DOUBLE) / (dm.m * ${graft.model.LangProfiles.profileSize}) AS score,
+         |         CASE WHEN b.lang IS NULL THEN 'und'
+         |              WHEN b.dist * 1000 > dm.m * ${graft.model.LangProfiles.profileSize} * c.cut THEN 'und'
+         |              ELSE b.lang END AS predicted
+         |       FROM pd
+         |       LEFT JOIN best b ON b.doc_id = pd.doc_id AND b.rn = 1
+         |       LEFT JOIN dm ON dm.doc_id = pd.doc_id
+         |       LEFT JOIN lc c ON c.lang = b.lang),
+         |bkt AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bucket,
+         |               CAST(round(score * 10000) AS BIGINT) AS s4,
+         |               CASE WHEN predicted = want THEN 1 ELSE 0 END AS pos
+         |        FROM sc WHERE score IS NOT NULL)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(pos) AS BIGINT) AS n_pos,
+         |       round(sum(s4) / (count(*) * 10000.0), 6) AS mean_score
+         |FROM bkt GROUP BY bucket ORDER BY bucket""".stripMargin
     },
 
     "q_text_fingerprint" ->

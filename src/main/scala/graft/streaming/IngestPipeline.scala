@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 
@@ -18,22 +18,28 @@ import graft.ops.{Dedup, EvalRegistry, ManifestStore, TextOps}
  *  2. RATE LIMIT ([[RateLimitStream.CmsRateLimiter]]): per-key admission
  *     caps (domain/licence/source) with one O(d·w) matrix as the only
  *     state; the cap is never exceeded, collisions only throttle early.
- *  3. EXACT DEDUP ([[Dedup.exactIncremental]] against a fingerprint
+ *  3. GATE (optional — any per-row keep predicate, e.g.
+ *     `lang_id_ngram(text) =!= "und"` and/or quality rules): admitted
+ *     rows failing the predicate drop BEFORE dedup ever fingerprints
+ *     them — per-row kernel cost, zero state, and the fingerprint store
+ *     never grows with rows the corpus would discard anyway.
+ *  4. EXACT DEDUP ([[Dedup.exactIncremental]] against a fingerprint
  *     store): within-batch and cross-batch duplicates drop; the store
  *     grows by addition and is never rescanned.
- *  4. DECONTAMINATION (optional — [[graft.ops.EvalRegistry
+ *  5. DECONTAMINATION (optional — [[graft.ops.EvalRegistry
  *     .decontaminateIndexed]] against a registered benchmark-fingerprint
  *     store): documents that exact-match or contain ≥ the gate threshold
  *     of any registered eval doc drop BEFORE the table ever sees them —
  *     fingerprints only, the eval text never enters the pipeline.
- *  5. UPSERT ([[ManifestStore.upsert]]): survivors land in the
+ *  6. UPSERT ([[ManifestStore.upsert]]): survivors land in the
  *     manifest-committed table — atomic visibility, crash debris
  *     invisible, snapshot isolation for concurrent readers.
  *
  * Per batch one ledger row goes to `onReport`:
- * `(batchId, nIn, psi, drifted, nAdmitted, nFresh, nClean)`;
- * `nIn − nAdmitted` is the rate-limit rejection count,
- * `nAdmitted − nFresh` the duplicate count, and `nFresh − nClean` the
+ * `(batchId, nIn, psi, drifted, nAdmitted, nGated, nFresh, nClean)`;
+ * `nIn − nAdmitted` is the rate-limit rejection count, `nAdmitted −
+ * nGated` the gate rejection count (`nGated == nAdmitted` with no gate),
+ * `nGated − nFresh` the duplicate count, and `nFresh − nClean` the
  * contamination-gate count (`nClean == nFresh` with no registry). State: the reference count table, the CMS matrix, and
  * the fingerprint store (content-hash-sized — the one genuinely growing
  * piece, exactly the piece a deployment would persist via the manifest
@@ -57,7 +63,7 @@ object IngestPipeline {
 
   final case class BatchReport(
       batchId: Long, nIn: Long, psi: Double, drifted: Boolean,
-      nAdmitted: Long, nFresh: Long, nClean: Long)
+      nAdmitted: Long, nGated: Long, nFresh: Long, nClean: Long)
 
   /** The wired pipeline plus its group-commit flusher. */
   final class Handle(
@@ -103,7 +109,8 @@ object IngestPipeline {
       cap: Long, psiThreshold: Double = 0.25,
       seed: Option[DataFrame] = None, commitEvery: Int = 1,
       cardLedger: Option[String] = None,
-      evalRegistry: Option[(String, Double)] = None)(
+      evalRegistry: Option[(String, Double)] = None,
+      gate: Option[Column] = None)(
       onReport: BatchReport => Unit): Handle = {
     require(commitEvery >= 1, s"commitEvery must be >= 1, got $commitEvery")
     val spark = docs.sparkSession
@@ -142,6 +149,7 @@ object IngestPipeline {
       // squeeze execution memory for every later batch (the round-5
       // block-manager-residue lesson, enforced by IngestPipelineSpec)
       var admitted: DataFrame = null
+      var gated: DataFrame = null
       var fresh: DataFrame = null
       var clean: DataFrame = null
       try {
@@ -149,7 +157,11 @@ object IngestPipeline {
         val (_, _, psi, _) = monitor.score(pinned)
         admitted = limiter.admit(pinned)
         val nAdmitted = admitted.count()
-        fresh = Dedup.exactIncremental(admitted, seenFps, idCol, textCol)
+        // optional per-row gate BEFORE dedup: rows the corpus would
+        // discard must not cost a fingerprint or grow the store
+        gated = gate.fold(admitted)(c => admitted.where(c).localCheckpoint())
+        val nGated = if (gated eq admitted) nAdmitted else gated.count()
+        fresh = Dedup.exactIncremental(gated, seenFps, idCol, textCol)
           .localCheckpoint()
         val nFresh = fresh.count()
         // the contamination gate sits AFTER dedup (gate cost ∝ fresh rows,
@@ -197,10 +209,11 @@ object IngestPipeline {
           if (batchesSinceCommit >= commitEvery) flushPending()
         }
         onReport(BatchReport(id, nIn, psi, psi > psiThreshold, nAdmitted,
-          nFresh, nClean))
+          nGated, nFresh, nClean))
       } finally {
         if (clean != null && (clean ne fresh)) DriftStream.release(clean)
         if (fresh != null) DriftStream.release(fresh)
+        if (gated != null && (gated ne admitted)) DriftStream.release(gated)
         if (admitted != null) DriftStream.release(admitted)
         DriftStream.release(pinned)
       }
@@ -215,10 +228,12 @@ object IngestPipeline {
       cap: Long, psiThreshold: Double = 0.25,
       seed: Option[DataFrame] = None, commitEvery: Int = 1,
       cardLedger: Option[String] = None,
-      evalRegistry: Option[(String, Double)] = None)(
+      evalRegistry: Option[(String, Double)] = None,
+      gate: Option[Column] = None)(
       onReport: BatchReport => Unit): (StreamingQuery, Handle) = {
     val h = attach(docs, idCol, textCol, keyCol, partCol, tablePath, ref,
-      cap, psiThreshold, seed, commitEvery, cardLedger, evalRegistry)(onReport)
+      cap, psiThreshold, seed, commitEvery, cardLedger, evalRegistry,
+      gate)(onReport)
     (h.writer.start(), h)
   }
 }

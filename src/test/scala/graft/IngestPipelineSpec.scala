@@ -65,6 +65,50 @@ class IngestPipelineSpec extends SparkSpec {
       s"checkpoint residue: $residentBefore resident before, $residentAfter after")
   }
 
+  test("per-row gate rides the pipeline: und/quality rejects drop before " +
+    "dedup, the fingerprint store never learns them, report arithmetic holds") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.GraftExtensions.register(spark)
+    val dir = tmpDir("ingest_gate")
+    val ref = (Seq.fill(2)("a") ++ Seq.fill(2)("b")).toDF("source")
+    val reports = mutable.Buffer.empty[IngestPipeline.BatchReport]
+    val ms = MemoryStream[(Long, String, String)]
+    val gate = graft.ops.TextOps.langIdNgram($"text") =!= "und"
+    val (q, _) = IngestPipeline.start(
+      ms.toDS().toDF("id", "text", "source"),
+      idCol = "id", textCol = "text", keyCol = "source", partCol = "source",
+      tablePath = dir, ref = ref, cap = 10L, gate = Some(gate))(reports += _)
+    try {
+      // batch 0: two real-language docs + one keyboard-mash doc (the gate
+      // rejects it) + a dup of doc 1's text
+      ms.addData(
+        (1L, "the children walked to the school in the morning", "a"),
+        (2L, "xqzv wkjq pfft zzzz qqq xxkj vvwp", "a"), // gate reject
+        (3L, "the children walked to the school in the morning", "b"), // dup
+        (4L, "los estudiantes terminaron sus deberes antes de la cena", "b"))
+      q.processAllAvailable()
+      // batch 1: the SAME garbage text again — it must be gate-rejected
+      // again (nGated), NOT deduped (the store never fingerprinted it)
+      ms.addData((5L, "xqzv wkjq pfft zzzz qqq xxkj vvwp", "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(reports.size == 2, reports.toString)
+    val r0 = reports(0)
+    assert((r0.nIn, r0.nAdmitted, r0.nGated, r0.nFresh) == ((4L, 4L, 3L, 2L)),
+      r0.toString)
+    val r1 = reports(1)
+    // the garbage doc drops at the GATE again — dedup never saw it, so
+    // nGated = 0 and the duplicate count stays 0, proving the store did
+    // not grow with a discarded row
+    assert((r1.nIn, r1.nAdmitted, r1.nGated, r1.nFresh) == ((1L, 1L, 0L, 0L)),
+      r1.toString)
+    val table = ManifestStore.currentFrame(spark, dir, "source").get
+      .select("id").as[Long].collect().toSet
+    assert(table == Set(1L, 4L), table.toString)
+  }
+
   test("card ledger rides the ingest: fold over the per-batch frames == " +
     "the dataset card of exactly what the table accumulated") {
     import graft.ops.{Corpus, SketchLedger}
