@@ -240,6 +240,23 @@ object BenchScale {
       catch { case _: Throwable => () }
       finally releaseResidue(spark, keep)
     }
+    // Warm once at BOTH measured scales too: the store-backed serving
+    // queries (persisted minhash/phash/binary/lex/registry stores under
+    // /tmp, memoized by their committed manifests) pay their one-time
+    // build on the FIRST execution against a given corpus — without this
+    // pass the build bills to whichever measured line finds /tmp cold,
+    // and the ratio measures "build+serve vs serve" instead of the
+    // serving rerun a deployment repeats (observed round 15: a freshly
+    // synthesized 10x corpus put q_mm_phash_indexed's store build inside
+    // the measured sf1 line, 1.45x -> 49x with zero code change). The
+    // extra pass costs one unmeasured sweep per scale and makes every
+    // measured line a warm rerun, the same contract Bench.scala applies.
+    for (dir <- Seq(src, dst); name <- selected) {
+      try SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      finally releaseResidue(spark, keep)
+    }
 
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

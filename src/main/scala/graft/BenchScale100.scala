@@ -94,6 +94,17 @@ object BenchScale100 {
       catch { case _: Throwable => () }
       finally releaseResidue(spark, keep)
     }
+    // warm once at BOTH measured scales: store-backed queries must not
+    // bill their one-time /tmp store build to a measured line (the
+    // BenchScale round-15 lesson — a cold corpus turned phash_indexed's
+    // 1.45x serving ratio into 49x of build time); the explicit
+    // cold/rerun economics for the indexed family stay measured below
+    for (dir <- Seq(src, dst); name <- selected) {
+      try SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      finally releaseResidue(spark, keep)
+    }
 
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -117,6 +128,9 @@ object BenchScale100 {
     // phash outlier is rerun_ratio100 — the warm rerun's growth across two
     // decades, which should sit in sketch territory because serve-time
     // work is fingerprint-column-sized, never payload/token-sized.
+    // NOTE (r15): the both-scales warm pass above already built these
+    // stores, so "cold" here is cold only on a fresh /tmp — the line that
+    // matters, rerun_ratio100, is unaffected either way.
     val indexed = Seq("q_mm_phash_indexed", "q_dedup_minhash_inc").map { name =>
       val fn = SparkEntry.queries(name)
       def run(dir: String): Double = {
