@@ -673,7 +673,7 @@ object TextOps {
   def langIdNative(tokens: Column): Column = call_function("lang_id", tokens)
 
   /** Character-n-gram language ID (Cavnar–Trenkle rank profiles over the
-    * bundled [[graft.model.LangProfiles]] snapshot — 16 languages
+    * bundled [[graft.model.LangProfiles]] snapshot — 17 languages
     * including ru/ja/ar/zh/ko/hi, the non-Latin coverage [[langId]]'s
     * stopword-marker tier lacks; that tier stays available as the cheap
     * 5-language fallback). One codegen'd pass per document

@@ -374,8 +374,8 @@ object LlmQueries {
     * MUST survive encoded with its hex uppercased (`%2f`→`%2F`,
     * `%3a`→`%3A`). */
   /** Held-out sentences (distinct from the profile seeds) planted into
-    * every fifth doc by q_text_langid_ngram, rotating through the 16
-    * profile languages PLUS five rejection plants — Finnish, Hungarian,
+    * every fifth doc by q_text_langid_ngram, rotating through the 17
+    * profile languages PLUS five rejection plants — Finnish, Swedish,
     * Vietnamese, Greek (languages no bundled profile knows) and a
     * keyboard-mash garbage line — that must classify as 'und' through
     * the per-language cutoff, so the oracle replays the REJECTION arm of
@@ -399,8 +399,9 @@ object LlmQueries {
     "de kinderen lopen s ochtends naar school en lezen boeken met de leraar in de stad",
     "dzieci idą rano do szkoły i czytają książki z nauczycielem w mieście",
     "anak anak berjalan ke sekolah pada pagi hari dan membaca buku dengan guru di kota",
+    "a gyerekek reggel iskolába sétálnak és a tanárral együtt könyveket olvasnak a városban",
     "lapset kävelevät kouluun aamulla ja lukevat kirjoja opettajan kanssa kaupungissa",
-    "a gyerekek reggel sétálnak az iskolába és könyveket olvasnak a tanárral a városban",
+    "barnen går till skolan på morgonen och läser böcker med läraren i staden",
     "những đứa trẻ đi bộ đến trường vào buổi sáng và đọc sách với giáo viên trong thành phố",
     "τα παιδιά περπατούν στο σχολείο το πρωί και διαβάζουν βιβλία με τον δάσκαλο στην πόλη",
     "qzxv wkjt pffq zzzy xxkw 12345 98765 !!!")
@@ -410,7 +411,8 @@ object LlmQueries {
     * out-of-profile/garbage and must reject to 'und'). */
   private val langPlantExpected: Seq[String] = Seq(
     "en", "es", "fr", "de", "pt", "it", "ru", "ar", "ja", "zh",
-    "ko", "hi", "tr", "nl", "pl", "id", "und", "und", "und", "und", "und")
+    "ko", "hi", "tr", "nl", "pl", "id", "hu",
+    "und", "und", "und", "und", "und")
 
   /** The lang-id plant as a CASE over doc_id (every fifth doc replaced by
     * a [[langPlants]] entry in rotation). */
@@ -1786,10 +1788,10 @@ object LlmQueries {
     }),
 
     // Cavnar–Trenkle character 1–3-gram language ID over the bundled
-    // 16-language profile snapshot: every fifth doc's text is replaced by
-    // a held-out plant rotating through the 16 languages (incl. the
+    // 17-language profile snapshot: every fifth doc's text is replaced by
+    // a held-out plant rotating through the 17 languages (incl. the
     // non-Latin ru/ar/ja/zh/ko/hi the stopword tier cannot see) plus five
-    // REJECTION plants (fi/hu/vi/el/garbage) that must come back 'und'
+    // REJECTION plants (fi/sv/vi/el/garbage) that must come back 'und'
     // through the per-language distance cutoffs. The oracle replays the
     // FULL algorithm — normalization, codepoint 1–3-grams, rank-64 doc
     // profile (count desc, binary gram order), out-of-place distance vs

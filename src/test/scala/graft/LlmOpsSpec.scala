@@ -2438,6 +2438,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(out2 == clean, s"double mojibake repair: $out2")
   }
 
+  test("ByteKernels strict UTF-8 validation: overlongs, surrogates, and " +
+    "range/truncation edges all fall to the cp1252 path, valid boundaries decode") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    def decode(b: Array[Byte]): String =
+      Seq(Tuple1(b)).toDF("b")
+        .select(graft.ops.TextOps.textFromBytes($"b")).as[String].collect().head
+    // INVALID sequences: every byte decodes via cp1252 instead
+    val invalid = Seq(
+      Array(0xC0, 0x80),             // overlong NUL (2-byte)
+      Array(0xC1, 0xBF),             // overlong (C1 lead is never legal)
+      Array(0xE0, 0x80, 0x80),       // overlong 3-byte
+      Array(0xED, 0xA0, 0x80),       // UTF-16 surrogate D800
+      Array(0xF0, 0x80, 0x80, 0x80), // overlong 4-byte
+      Array(0xF4, 0x90, 0x80, 0x80), // above U+10FFFF
+      Array(0xF5, 0x80, 0x80, 0x80), // lead byte out of range
+      Array(0x41, 0xE2, 0x82),       // truncated 3-byte at end
+      Array(0x41, 0xC3))             // truncated 2-byte at end
+      .map(_.map(_.toByte))
+    for (b <- invalid) {
+      val s = decode(b)
+      // cp1252 decode = one char per byte, never a replacement char
+      assert(s.length == b.length && !s.contains('\uFFFD'),
+        s"bytes ${b.map(x => f"${x & 0xff}%02X").mkString(" ")} -> '$s'")
+    }
+    // VALID boundary sequences decode as UTF-8 (length in chars < bytes)
+    assert(decode(Array(0xF0, 0x90, 0x80, 0x80).map(_.toByte)).codePointAt(0) == 0x10000)
+    assert(decode(Array(0xF4, 0x8F, 0xBF, 0xBF).map(_.toByte)).codePointAt(0) == 0x10FFFF)
+    assert(decode(Array(0xED, 0x9F, 0xBF).map(_.toByte)) == "\ud7ff") // last pre-surrogate
+    assert(decode(Array(0xEE, 0x80, 0x80).map(_.toByte)) == "\ue000") // first post-surrogate
+  }
+
   test("Multimodal.videoMeta: hand-built ISO-BMFF fixtures parse exactly; " +
     "corrupt/truncated/non-MP4 input obeys the NULL law") {
     import spark.implicits._

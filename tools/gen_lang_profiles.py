@@ -8,7 +8,7 @@ Categorization" (1994) — per-language profiles are the top-P character
 n-grams of seed text ranked by frequency; a document is classified by
 the out-of-place rank distance of ITS top-D grams against each profile
 (the classic C&T shape is asymmetric: long language profiles, short
-document profiles — D=64, P=512 here; absent-gram penalty = P;
+document profiles — D=64, P=768 here; absent-gram penalty = P;
 tie-break everywhere: UTF-8 byte order ascending). Gram sizes MIX 1-,
 2- and 3-grams in ONE ranked list — unigram/bigram glue is what
 separates ISOLATING scripts: zh trigrams are too sparse at small
@@ -40,13 +40,15 @@ distance scale is script-dependent (CJK documents legitimately sit at
 Latin in-language text sits at 0.2-0.5). Each cutoff = the max
 distance observed over that language's held-out calibration fixtures
 (word-bag rotations + composed prose, tools/calibration embedded in
-LangIdAccuracySpec) + 0.05 margin. Measured outcome at this snapshot:
-0 in-profile misclassifications or rejections; 18/18 out-of-profile
-plants (vi fi sw hu el th he) and 5/5 garbage plants reject to 'und'.
-Honest limit: an unseen language typologically close to a bundled one
-may still false-accept (Indonesian scored 0.40-0.44 against it/tr
-before it was added as its own profile — the fix for a cousin
-language is always to ADD it, 5 seed sentences in this file).
+LangIdAccuracySpec) + 0.05 margin. Measured outcome at this snapshot
+(17 languages, P=768): 0 in-profile misclassifications or rejections;
+18/18 out-of-profile plants (vi fi sw sv el th he) and 5/5 garbage
+plants reject to 'und'. Honest limit: an unseen language typologically
+close to a bundled one may still false-accept — Indonesian scored
+0.40-0.44 against it/tr, and Hungarian 0.41 against tr after the seed
+corpora doubled, each fixed by ADDING the language as its own profile
+(a handful of seed sentences in this file); the growth path for any
+future cousin is the same.
 
 Usage: python3 tools/gen_lang_profiles.py > src/main/scala/graft/model/LangProfiles.scala
 """
@@ -54,14 +56,14 @@ import re
 import sys
 
 D = 64    # document profile length (top-D doc grams compared)
-P = 512   # language profile length; also the absent-gram penalty
+P = 768   # language profile length; also the absent-gram penalty
 
 # Per-language rejection cutoffs x1000 (see module docstring). A doc
 # classified as lang L is accepted iff bestDist*1000 <= m*P*CUTOFFS[L].
 CUTOFFS = {
-    "ar": 621, "de": 294, "en": 356, "es": 380, "fr": 337, "hi": 576,
-    "id": 376, "it": 455, "ja": 817, "ko": 784, "nl": 324, "pl": 486,
-    "pt": 396, "ru": 548, "tr": 601, "zh": 881,
+    "ar": 469, "de": 227, "en": 270, "es": 299, "fr": 281, "hi": 448,
+    "hu": 529, "id": 269, "it": 324, "ja": 786, "ko": 729, "nl": 289,
+    "pl": 423, "pt": 332, "ru": 411, "tr": 447, "zh": 856,
 }
 
 SEEDS = {
@@ -80,6 +82,14 @@ SEEDS = {
             "my brother works in the city every day and comes home late at night",
         "the weather was cold yesterday so we stayed at home and read books",
         "there are many old trees in the garden behind the school",
+            "we traveled by train to the coast last summer and stayed in a small hotel by the sea",
+        "could you please tell me where the nearest station is and how much a ticket costs",
+        "my sister is learning to cook and tonight she made soup with vegetables from the garden",
+        "the doctor told him to rest for a few days and drink plenty of water",
+        "there were about two hundred people at the meeting and many of them asked questions",
+        "i would like to buy three kilos of apples and half a kilo of cheese please",
+        "the forest behind the village is full of birds in the spring",
+        "in my opinion the new library is much better than the old one because it is open every day",
     ],
     "es": [
         "Todos los seres humanos nacen libres e iguales en dignidad y "
@@ -95,6 +105,14 @@ SEEDS = {
             "mi hermano trabaja en la ciudad todos los días y vuelve a casa tarde por la noche",
         "ayer hacía frío así que nos quedamos en casa y leímos libros",
         "hay muchos árboles viejos en el jardín detrás de la escuela",
+            "viajamos en tren a la costa el verano pasado y nos quedamos en un pequeño hotel junto al mar",
+        "podría decirme dónde está la estación más cercana y cuánto cuesta un billete",
+        "mi hermana está aprendiendo a cocinar y esta noche hizo sopa con verduras del huerto",
+        "el médico le dijo que descansara unos días y bebiera mucha agua",
+        "había unas doscientas personas en la reunión y muchas de ellas hicieron preguntas",
+        "quisiera comprar tres kilos de manzanas y medio kilo de queso por favor",
+        "el bosque detrás del pueblo está lleno de pájaros en primavera",
+        "en mi opinión la nueva biblioteca es mucho mejor que la antigua porque abre todos los días",
     ],
     "fr": [
         "Tous les êtres humains naissent libres et égaux en dignité et en "
@@ -111,6 +129,14 @@ SEEDS = {
             "mon frère travaille dans la ville tous les jours et rentre tard le soir",
         "hier il faisait froid alors nous sommes restés à la maison et nous avons lu des livres",
         "il y a beaucoup de vieux arbres dans le jardin derrière l école",
+            "nous avons voyagé en train jusqu à la côte l été dernier et nous avons dormi dans un petit hôtel au bord de la mer",
+        "pourriez vous me dire où se trouve la gare la plus proche et combien coûte un billet",
+        "ma sœur apprend à cuisiner et ce soir elle a fait une soupe avec des légumes du jardin",
+        "le médecin lui a dit de se reposer quelques jours et de boire beaucoup d eau",
+        "il y avait environ deux cents personnes à la réunion et beaucoup ont posé des questions",
+        "je voudrais acheter trois kilos de pommes et un demi kilo de fromage s il vous plaît",
+        "la forêt derrière le village est pleine d oiseaux au printemps",
+        "à mon avis la nouvelle bibliothèque est bien meilleure que l ancienne parce qu elle est ouverte tous les jours",
     ],
     "de": [
         "Alle Menschen sind frei und gleich an Würde und Rechten geboren. "
@@ -127,6 +153,14 @@ SEEDS = {
             "mein bruder arbeitet jeden tag in der stadt und kommt spät nach hause",
         "gestern war es kalt also blieben wir zu hause und lasen bücher",
         "es gibt viele alte bäume im garten hinter der schule",
+            "wir sind letzten sommer mit dem zug an die küste gefahren und haben in einem kleinen hotel am meer gewohnt",
+        "können sie mir bitte sagen wo der nächste bahnhof ist und wie viel eine fahrkarte kostet",
+        "meine schwester lernt kochen und heute abend hat sie eine suppe mit gemüse aus dem garten gemacht",
+        "der arzt sagte ihm er solle sich ein paar tage ausruhen und viel wasser trinken",
+        "bei der versammlung waren ungefähr zweihundert leute und viele von ihnen stellten fragen",
+        "ich möchte bitte drei kilo äpfel und ein halbes kilo käse kaufen",
+        "der wald hinter dem dorf ist im frühling voller vögel",
+        "meiner meinung nach ist die neue bibliothek viel besser als die alte weil sie jeden tag geöffnet ist",
     ],
     "pt": [
         "Todos os seres humanos nascem livres e iguais em dignidade e em "
@@ -143,6 +177,14 @@ SEEDS = {
             "meu irmão trabalha na cidade todos os dias e volta para casa tarde da noite",
         "ontem estava frio então ficamos em casa e lemos livros",
         "há muitas árvores velhas no jardim atrás da escola",
+            "viajamos de comboio até à costa no verão passado e ficámos num pequeno hotel à beira mar",
+        "pode dizer me onde fica a estação mais próxima e quanto custa um bilhete",
+        "a minha irmã está a aprender a cozinhar e esta noite fez uma sopa com legumes da horta",
+        "o médico disse lhe para descansar alguns dias e beber muita água",
+        "havia cerca de duzentas pessoas na reunião e muitas delas fizeram perguntas",
+        "queria comprar três quilos de maçãs e meio quilo de queijo por favor",
+        "a floresta atrás da aldeia está cheia de pássaros na primavera",
+        "na minha opinião a biblioteca nova é muito melhor do que a antiga porque está aberta todos os dias",
     ],
     "it": [
         "Tutti gli esseri umani nascono liberi ed eguali in dignità e "
@@ -158,6 +200,14 @@ SEEDS = {
             "mio fratello lavora in città ogni giorno e torna a casa tardi la sera",
         "ieri faceva freddo così siamo rimasti a casa e abbiamo letto dei libri",
         "ci sono molti alberi vecchi nel giardino dietro la scuola",
+            "l estate scorsa abbiamo viaggiato in treno fino alla costa e siamo stati in un piccolo albergo sul mare",
+        "può dirmi dove si trova la stazione più vicina e quanto costa un biglietto",
+        "mia sorella sta imparando a cucinare e stasera ha fatto una zuppa con le verdure dell orto",
+        "il dottore gli ha detto di riposare qualche giorno e di bere molta acqua",
+        "alla riunione c erano circa duecento persone e molte di loro hanno fatto domande",
+        "vorrei comprare tre chili di mele e mezzo chilo di formaggio per favore",
+        "il bosco dietro il paese è pieno di uccelli in primavera",
+        "secondo me la nuova biblioteca è molto meglio della vecchia perché è aperta tutti i giorni",
     ],
     "ru": [
         "Все люди рождаются свободными и равными в своем достоинстве и "
@@ -171,6 +221,14 @@ SEEDS = {
             "мой брат работает в городе каждый день и поздно возвращается домой",
         "вчера было холодно поэтому мы остались дома и читали книги",
         "в саду за школой растёт много старых деревьев",
+            "прошлым летом мы ехали на поезде к морю и жили в маленькой гостинице на берегу",
+        "скажите пожалуйста где находится ближайшая станция и сколько стоит билет",
+        "моя сестра учится готовить и сегодня вечером она сварила суп с овощами из огорода",
+        "врач сказал ему отдохнуть несколько дней и пить больше воды",
+        "на собрании было около двухсот человек и многие из них задавали вопросы",
+        "я хотел бы купить три килограмма яблок и полкило сыра пожалуйста",
+        "лес за деревней весной полон птиц",
+        "по моему мнению новая библиотека гораздо лучше старой потому что она открыта каждый день",
     ],
     "ar": [
         "يولد جميع الناس أحرارا متساوين في الكرامة والحقوق. وقد وهبوا عقلا "
@@ -183,6 +241,14 @@ SEEDS = {
             "أخي يعمل في المدينة كل يوم ويعود إلى البيت متأخرا في الليل",
         "كان الطقس باردا أمس فبقينا في البيت وقرأنا الكتب",
         "هناك أشجار قديمة كثيرة في الحديقة خلف المدرسة",
+            "سافرنا بالقطار إلى الساحل في الصيف الماضي وأقمنا في فندق صغير قرب البحر",
+        "هل يمكنك أن تخبرني أين أقرب محطة وكم تكلف التذكرة",
+        "أختي تتعلم الطبخ وهذا المساء أعدت حساء بالخضار من الحديقة",
+        "قال الطبيب له أن يستريح بضعة أيام ويشرب كثيرا من الماء",
+        "كان في الاجتماع نحو مئتي شخص وطرح كثير منهم أسئلة",
+        "أريد أن أشتري ثلاثة كيلوغرامات من التفاح ونصف كيلو من الجبن من فضلك",
+        "الغابة خلف القرية مليئة بالطيور في الربيع",
+        "في رأيي المكتبة الجديدة أفضل بكثير من القديمة لأنها مفتوحة كل يوم",
     ],
     "ja": [
         "すべての人間は、生まれながらにして自由であり、かつ、尊厳と権利とについて平等である。"
@@ -197,6 +263,14 @@ SEEDS = {
             "電車で駅まで行って、それから歩いて会社に行きます。",
         "私の母は毎週日曜日に美味しい料理を作ってくれます。",
         "日本の夏はとても暑いですが、冬は雪がたくさん降ります。",
+            "去年の夏、電車で海岸まで旅行して、海の近くの小さなホテルに泊まりました。",
+        "すみません、一番近い駅はどこですか。切符はいくらですか。",
+        "妹は料理を習っていて、今晩は庭の野菜でスープを作りました。",
+        "医者は彼に数日間休んで、水をたくさん飲むように言いました。",
+        "会議にはおよそ二百人が集まり、多くの人が質問をしました。",
+        "りんごを三キロとチーズを半キロください。",
+        "村の後ろの森は春になると鳥でいっぱいです。",
+        "私の意見では、新しい図書館は毎日開いているので、古いものよりずっと良いと思います。",
     ],
     "zh": [
         "人人生而自由，在尊严和权利上一律平等。他们赋有理性和良心，并应以兄弟关系的精神相对待。",
@@ -210,6 +284,14 @@ SEEDS = {
             "我每天坐地铁去上班，路上大约需要半个小时。",
         "我妈妈每个星期天都会做很好吃的菜。",
         "夏天天气很热，冬天下很多雪。",
+            "去年夏天我们坐火车去海边旅行，住在海边的一家小旅馆里。",
+        "请问最近的车站在哪里，一张票多少钱？",
+        "妹妹正在学做饭，今晚她用园子里的蔬菜做了汤。",
+        "医生让他休息几天，多喝水。",
+        "会议上大约有两百人，很多人提了问题。",
+        "我想买三公斤苹果和半公斤奶酪，谢谢。",
+        "村子后面的森林春天到处都是鸟。",
+        "我认为新图书馆比旧的好得多，因为它每天都开门。",
     ],
     "ko": [
         "모든 인간은 태어날 때부터 자유로우며 그 존엄과 권리에 있어 동등하다. "
@@ -225,6 +307,14 @@ SEEDS = {
             "지하철을 타고 회사에 가는데 삼십 분 정도 걸립니다",
         "어머니는 일요일마다 맛있는 음식을 만들어 주십니다",
         "여름에는 날씨가 덥고 겨울에는 눈이 많이 옵니다",
+            "작년 여름에 우리는 기차를 타고 바닷가로 여행을 가서 바다 근처의 작은 호텔에 묵었습니다",
+        "실례지만 가장 가까운 역이 어디에 있는지 그리고 표가 얼마인지 알려 주시겠습니까",
+        "여동생은 요리를 배우고 있는데 오늘 저녁에는 정원의 채소로 수프를 만들었습니다",
+        "의사는 그에게 며칠 쉬고 물을 많이 마시라고 말했습니다",
+        "회의에는 약 이백 명이 모였고 많은 사람들이 질문을 했습니다",
+        "사과 삼 킬로와 치즈 반 킬로를 사고 싶습니다",
+        "마을 뒤의 숲은 봄에 새들로 가득합니다",
+        "제 생각에는 새 도서관이 매일 열기 때문에 옛날 것보다 훨씬 좋습니다",
     ],
     "hi": [
         "सभी मनुष्यों को गौरव और अधिकारों के मामले में जन्मजात स्वतन्त्रता और "
@@ -237,6 +327,14 @@ SEEDS = {
             "मेरा भाई हर दिन शहर में काम करता है और रात को देर से घर आता है",
         "कल ठंड थी इसलिए हम घर पर रहे और किताबें पढ़ीं",
         "स्कूल के पीछे बगीचे में बहुत सारे पुराने पेड़ हैं",
+            "पिछली गर्मियों में हम रेलगाड़ी से समुद्र के किनारे गए और समुद्र के पास एक छोटे होटल में रहे",
+        "क्या आप मुझे बता सकते हैं कि सबसे पास का स्टेशन कहाँ है और टिकट कितने का है",
+        "मेरी बहन खाना बनाना सीख रही है और आज शाम उसने बगीचे की सब्जियों से सूप बनाया",
+        "डॉक्टर ने उससे कहा कि कुछ दिन आराम करो और खूब पानी पियो",
+        "बैठक में लगभग दो सौ लोग थे और उनमें से कई ने सवाल पूछे",
+        "मुझे तीन किलो सेब और आधा किलो पनीर चाहिए",
+        "गाँव के पीछे का जंगल वसंत में पक्षियों से भरा होता है",
+        "मेरी राय में नई लाइब्रेरी पुरानी से बहुत अच्छी है क्योंकि वह हर दिन खुली रहती है",
     ],
     "tr": [
         "Bütün insanlar hür, haysiyet ve haklar bakımından eşit doğarlar. "
@@ -250,6 +348,14 @@ SEEDS = {
             "kardeşim her gün şehirde çalışıyor ve gece eve geç dönüyor",
         "dün hava soğuktu bu yüzden evde kaldık ve kitap okuduk",
         "okulun arkasındaki bahçede birçok yaşlı ağaç var",
+            "geçen yaz trenle sahile gittik ve denizin yakınında küçük bir otelde kaldık",
+        "en yakın istasyonun nerede olduğunu ve biletin ne kadar olduğunu söyleyebilir misiniz",
+        "kız kardeşim yemek yapmayı öğreniyor ve bu akşam bahçedeki sebzelerle çorba yaptı",
+        "doktor ona birkaç gün dinlenmesini ve bol su içmesini söyledi",
+        "toplantıda yaklaşık iki yüz kişi vardı ve birçoğu soru sordu",
+        "üç kilo elma ve yarım kilo peynir almak istiyorum lütfen",
+        "köyün arkasındaki orman ilkbaharda kuşlarla dolu",
+        "bence yeni kütüphane eskisinden çok daha iyi çünkü her gün açık",
     ],
     "nl": [
         "Alle mensen worden vrij en gelijk in waardigheid en rechten "
@@ -265,6 +371,14 @@ SEEDS = {
             "mijn broer werkt elke dag in de stad en komt s avonds laat thuis",
         "gisteren was het koud dus bleven we thuis en lazen we boeken",
         "er staan veel oude bomen in de tuin achter de school",
+            "vorige zomer reisden we met de trein naar de kust en verbleven we in een klein hotel aan zee",
+        "kunt u mij vertellen waar het dichtstbijzijnde station is en hoeveel een kaartje kost",
+        "mijn zus leert koken en vanavond maakte ze soep met groenten uit de tuin",
+        "de dokter zei dat hij een paar dagen moest rusten en veel water moest drinken",
+        "er waren ongeveer tweehonderd mensen op de vergadering en velen van hen stelden vragen",
+        "ik wil graag drie kilo appels en een half kilo kaas kopen alstublieft",
+        "het bos achter het dorp zit in de lente vol vogels",
+        "naar mijn mening is de nieuwe bibliotheek veel beter dan de oude omdat ze elke dag open is",
     ],
     "pl": [
         "Wszyscy ludzie rodzą się wolni i równi pod względem swej godności "
@@ -278,6 +392,14 @@ SEEDS = {
             "mój brat pracuje codziennie w mieście i wraca do domu późno w nocy",
         "wczoraj było zimno więc zostaliśmy w domu i czytaliśmy książki",
         "za szkołą w ogrodzie rośnie wiele starych drzew",
+            "zeszłego lata pojechaliśmy pociągiem nad morze i zatrzymaliśmy się w małym hotelu nad brzegiem",
+        "czy może mi pan powiedzieć gdzie jest najbliższa stacja i ile kosztuje bilet",
+        "moja siostra uczy się gotować i dziś wieczorem zrobiła zupę z warzyw z ogrodu",
+        "lekarz powiedział mu żeby odpoczął kilka dni i pił dużo wody",
+        "na zebraniu było około dwustu osób i wiele z nich zadawało pytania",
+        "chciałbym kupić trzy kilogramy jabłek i pół kilograma sera proszę",
+        "las za wsią wiosną jest pełen ptaków",
+        "moim zdaniem nowa biblioteka jest o wiele lepsza od starej bo jest otwarta codziennie",
     ],
 
     "id": [
@@ -293,6 +415,32 @@ SEEDS = {
         "malam",
         "kemarin cuaca sangat dingin jadi kami tinggal di rumah dan "
         "membaca buku",
+            "musim panas lalu kami naik kereta ke pantai dan menginap di hotel kecil dekat laut",
+        "bisakah anda memberi tahu saya di mana stasiun terdekat dan berapa harga tiketnya",
+        "adik perempuan saya sedang belajar memasak dan malam ini dia membuat sup dengan sayuran dari kebun",
+        "dokter menyuruhnya beristirahat beberapa hari dan minum banyak air",
+        "ada sekitar dua ratus orang di rapat itu dan banyak dari mereka mengajukan pertanyaan",
+        "saya ingin membeli tiga kilo apel dan setengah kilo keju",
+        "hutan di belakang desa penuh dengan burung pada musim semi",
+        "menurut saya perpustakaan baru jauh lebih baik daripada yang lama karena buka setiap hari",
+    ],
+
+    "hu": [
+        "Minden emberi lény szabadon születik és egyenlő méltósága és joga "
+        "van. Az emberek ésszel és lelkiismerettel bírván egymással szemben "
+        "testvéri szellemben kell hogy viseltessenek.",
+        "délelőtt bevásároltunk a boltban sajtot gyümölcsöt és zöldséget "
+        "vettünk",
+        "a gyerekek az iskolában tanulnak és délután a kertben játszanak",
+        "mondd meg kérlek hány órakor indul a vonat és mennyibe kerül a "
+        "jegy",
+        "tegnap este hideg volt ezért otthon maradtunk és könyvet olvastunk",
+        "a bátyám minden nap a városban dolgozik és késő este ér haza",
+        "az orvos azt mondta neki hogy pihenjen néhány napot és igyon sok "
+        "vizet",
+        "a falu mögötti erdő tavasszal tele van madarakkal",
+        "szerintem az új könyvtár sokkal jobb mint a régi mert minden nap "
+        "nyitva van",
     ],
 }
 
