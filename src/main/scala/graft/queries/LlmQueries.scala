@@ -374,12 +374,14 @@ object LlmQueries {
     * MUST survive encoded with its hex uppercased (`%2f`→`%2F`,
     * `%3a`→`%3A`). */
   /** Held-out sentences (distinct from the profile seeds) planted into
-    * every fifth doc by q_text_langid_ngram, rotating through the 17
-    * profile languages PLUS five rejection plants — Finnish, Swedish,
-    * Vietnamese, Greek (languages no bundled profile knows) and a
+    * every fifth doc by q_text_langid_ngram, rotating through the 30
+    * profile languages PLUS three rejection plants — Swahili and
+    * Lithuanian (languages no bundled profile knows) and a
     * keyboard-mash garbage line — that must classify as 'und' through
     * the per-language cutoff, so the oracle replays the REJECTION arm of
-    * the algorithm, not just the argmin. The same literals interpolate
+    * the algorithm, not just the argmin. (The round-15 fi/sv/vi/el
+    * rejection plants became real labels when round 16 widened the
+    * snapshot to 30 languages.) The same literals interpolate
     * into the oracle's CASE plant. Lowercase, BMP-only, apostrophe-free
     * (SQL hygiene). */
   private val langPlants: Seq[String] = Seq(
@@ -404,15 +406,29 @@ object LlmQueries {
     "barnen går till skolan på morgonen och läser böcker med läraren i staden",
     "những đứa trẻ đi bộ đến trường vào buổi sáng và đọc sách với giáo viên trong thành phố",
     "τα παιδιά περπατούν στο σχολείο το πρωί και διαβάζουν βιβλία με τον δάσκαλο στην πόλη",
-    "qzxv wkjt pffq zzzy xxkw 12345 98765 !!!")
+    "qzxv wkjt pffq zzzy xxkw 12345 98765 !!!",
+    "børnene går i skole om morgenen og de læser bøger med læreren inde i byen",
+    "barna går til skolen om morgenen og leser bøker sammen med læreren sin i byen",
+    "děti chodí ráno do školy a čtou si knihy s učitelem ve městě",
+    "copiii merg dimineața la școală și citesc cărți cu profesorul în oraș",
+    "діти йдуть вранці до школи і читають книжки з учителем у місті",
+    "เด็กเดินไปโรงเรียนในตอนเช้าและอ่านหนังสือกับครูในเมือง",
+    "הילדים הולכים לבית הספר בבוקר וקוראים ספרים עם המורה בעיר",
+    "börnin ganga í skólann á morgnana og lesa bækur með kennaranum í bænum",
+    "децата вървят сутрин към училището и четат книги с учителя в града",
+    "watoto wanatembea kwenda shule asubuhi na kusoma vitabu na mwalimu mjini",
+    "vaikai ryte eina į mokyklą ir skaito knygas su mokytoju mieste")
 
   /** Expected label per [[langPlants]] index — the ground truth the
-    * calibration query scores against (the last five plants are
-    * out-of-profile/garbage and must reject to 'und'). */
+    * calibration query scores against (the garbage line and the
+    * trailing Swahili/Lithuanian plants are out-of-profile and must
+    * reject to 'und'). */
   private val langPlantExpected: Seq[String] = Seq(
     "en", "es", "fr", "de", "pt", "it", "ru", "ar", "ja", "zh",
     "ko", "hi", "tr", "nl", "pl", "id", "hu",
-    "und", "und", "und", "und", "und")
+    "fi", "sv", "vi", "el", "und",
+    "da", "no", "cs", "ro", "uk", "th", "he", "is", "bg",
+    "und", "und")
 
   /** The lang-id plant as a CASE over doc_id (every fifth doc replaced by
     * a [[langPlants]] entry in rotation). */
@@ -1788,10 +1804,11 @@ object LlmQueries {
     }),
 
     // Cavnar–Trenkle character 1–3-gram language ID over the bundled
-    // 17-language profile snapshot: every fifth doc's text is replaced by
-    // a held-out plant rotating through the 17 languages (incl. the
-    // non-Latin ru/ar/ja/zh/ko/hi the stopword tier cannot see) plus five
-    // REJECTION plants (fi/sv/vi/el/garbage) that must come back 'und'
+    // 30-language profile snapshot: every fifth doc's text is replaced by
+    // a held-out plant rotating through the 30 languages (incl. the
+    // non-Latin ru/ar/ja/zh/ko/hi/uk/el/he/th/bg the stopword tier cannot
+    // see) plus three REJECTION plants (sw/lt/garbage) that must come
+    // back 'und'
     // through the per-language distance cutoffs. The oracle replays the
     // FULL algorithm — normalization, codepoint 1–3-grams, rank-64 doc
     // profile (count desc, binary gram order), out-of-place distance vs

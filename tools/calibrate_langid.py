@@ -1,0 +1,338 @@
+#!/usr/bin/env python3
+"""Calibrate the per-language rejection cutoffs for gen_lang_profiles.py
+and measure held-out accuracy/confusion BEFORE regenerating the Scala
+snapshot.
+
+Replicates graft.expressions.DocKernels.classifyNgram exactly:
+normalize (lowercase, \\s runs -> ' ', trim, pad), codepoint 1-3-grams,
+rank-D doc profile (count desc, UTF-8 byte order asc), out-of-place
+distance vs the rank-P language profiles (absent penalty P), argmin with
+language-ascending tie-break; a winner L is accepted iff
+bestDist*1000 <= m*P*cutoff(L).
+
+Fixture families mirror LangIdAccuracySpec (keep the two in sync):
+ - word bags: 50 x 8-word rotations per language from the spec pools
+ - prose: one composed sentence per language
+ - oracle plants: the LlmQueries langPlants sentences
+ - rejection plants: languages NO profile covers — must reject
+
+Output: per-language max in-language normalized distance (the cutoff
+floor), suggested cutoff (max + 0.05), misclassification table, and
+whether every rejection plant rejects under the suggested cutoffs.
+
+Usage: python3 tools/calibrate_langid.py
+"""
+import sys
+
+from gen_lang_profiles import SEEDS, P, D, profile, normalize, CUTOFFS
+
+# ---- held-out fixtures (MIRROR LangIdAccuracySpec) -----------------------
+
+POOLS = {
+    "en": ["the", "and", "with", "from", "house", "water", "children",
+           "morning", "street", "people", "good", "small", "they", "have"],
+    "es": ["los", "las", "una", "con", "para", "casa", "agua", "niños",
+           "calle", "gente", "bueno", "pequeño", "ellos", "tienen"],
+    "fr": ["les", "des", "une", "avec", "pour", "maison", "eau",
+           "enfants", "rue", "gens", "bon", "petit", "ils", "ont"],
+    "de": ["die", "und", "mit", "von", "haus", "wasser", "kinder",
+           "morgen", "straße", "leute", "gut", "klein", "sie", "haben"],
+    "pt": ["os", "as", "uma", "com", "para", "casa", "água", "crianças",
+           "rua", "pessoas", "bom", "pequeno", "eles", "têm"],
+    "it": ["gli", "che", "il", "è", "più", "perché", "sono", "molto",
+           "bambini", "strada", "buono", "piccolo", "loro", "hanno"],
+    "ru": ["дом", "вода", "дети", "утро", "улица", "люди", "хорошо",
+           "маленький", "они", "есть", "и", "с"],
+    "ar": ["البيت", "الماء", "الأطفال", "الصباح", "الشارع", "الناس",
+           "جيد", "صغير", "هم", "لديهم", "و", "مع"],
+    "ja": ["いえは", "みずを", "こどもが", "あさに", "みちで", "ひとびとの",
+           "よいです", "ちいさい", "あります", "いきます"],
+    "zh": ["房子的", "水和", "孩子们", "早上在", "街道上", "人们是",
+           "很好的", "小小的", "他们有", "我们的"],
+    "ko": ["집은", "물을", "아이들이", "아침에", "거리에서", "사람들의",
+           "좋아요", "작은", "있습니다", "갑니다"],
+    "hi": ["घर", "पानी", "बच्चे", "सुबह", "सड़क", "लोग", "अच्छा",
+           "छोटा", "वे", "उनके", "और", "के", "साथ"],
+    "tr": ["evde", "suyu", "çocuklar", "sabahleyin", "sokakta",
+           "insanların", "iyidir", "küçük", "onlar", "vardır", "ile", "bir"],
+    "nl": ["het", "een", "met", "van", "huis", "water", "kinderen",
+           "ochtend", "straat", "mensen", "goed", "klein", "zij", "hebben"],
+    "pl": ["oni", "mają", "woda", "dzieci", "rano", "ulica", "ludzie",
+           "dobry", "mały", "jest", "oraz", "przy", "domu"],
+    "id": ["mereka", "dengan", "untuk", "anak", "pagi", "jalan",
+           "orang", "baik", "kecil", "mempunyai", "dan", "yang", "di", "ke"],
+    "hu": ["ők", "vannak", "víz", "gyerekek", "reggel", "utca",
+           "emberek", "jó", "kicsi", "ház", "és", "vagy", "most", "ebben"],
+    # batch 2
+    "sv": ["huset", "vattnet", "barnen", "morgonen", "gatan", "människor",
+           "bra", "liten", "och", "från", "inte", "vad", "mycket", "även"],
+    "fi": ["talo", "vesi", "lapset", "aamulla", "katu", "ihmiset",
+           "hyvä", "pieni", "ovat", "kanssa", "mutta", "myös", "että",
+           "kaupungissa"],
+    "da": ["børnene", "gaden", "sproget", "drengen", "pigen", "hvornår",
+           "halvfjerds", "køkkenet", "bogen", "æblet", "øjeblik",
+           "syvende", "meget", "tyve"],
+    "no": ["barna", "gata", "språket", "gutten", "jenta", "sytti",
+           "kjøkkenet", "boka", "eplet", "øyeblikk", "sjuende", "veldig",
+           "tjue", "vannet"],
+    "cs": ["dům", "voda", "děti", "ráno", "ulice", "lidé", "dobře",
+           "malý", "oni", "mají", "který", "hodně", "město", "škola"],
+    "ro": ["casa", "apa", "copiii", "dimineața", "strada", "oamenii",
+           "bun", "mic", "ei", "au", "și", "pentru", "unde", "față"],
+    "uk": ["будинок", "вода", "діти", "вранці", "вулиця", "люди",
+           "добре", "маленький", "вони", "мають", "його", "вже",
+           "місто", "який"],
+    "el": ["σπίτι", "νερό", "παιδιά", "πρωί", "δρόμος", "άνθρωποι",
+           "καλά", "μικρός", "αυτοί", "έχουν", "και", "με", "για", "πού"],
+    "he": ["הבית", "המים", "הילדים", "הבוקר", "הרחוב", "האנשים", "טוב",
+           "קטן", "הם", "יש", "ועם", "אל", "שלהם", "היום"],
+    "th": ["บ้าน", "น้ำ", "เด็ก", "ตอนเช้า", "ถนน", "ผู้คน", "ดี",
+           "เล็ก", "พวกเขา", "มี", "และ", "กับ", "ใน", "ที่"],
+    "vi": ["ngôi nhà", "nước", "trẻ em", "buổi sáng", "đường phố",
+           "mọi người", "tốt", "nhỏ", "họ", "có", "và", "với", "của", "ở"],
+    "is": ["húsið", "vatnið", "börnin", "morgnana", "gatan", "fólkið",
+           "góður", "lítill", "þeir", "með", "ekki", "hvenær", "þetta",
+           "því"],
+    "bg": ["къщата", "водата", "децата", "сутринта", "улицата", "хората",
+           "добре", "малък", "те", "имат", "във", "къде", "много",
+           "защото"],
+}
+
+# unspaced scripts: word bags join without separators (matches the spec)
+NO_SPACE = {"ja", "zh", "th"}
+
+PROSE = {
+    "en": "the students finished their homework before dinner and watched a movie together",
+    "es": "los estudiantes terminaron sus deberes antes de la cena y vieron una película juntos",
+    "fr": "les étudiants ont fini leurs devoirs avant le dîner et ont regardé un film ensemble",
+    "de": "die schüler beendeten ihre hausaufgaben vor dem abendessen und sahen zusammen einen film",
+    "pt": "as crianças não estão na escola porque hoje é um feriado nacional",
+    "it": "la nostra squadra ha vinto la partita ieri sera e tutti erano molto felici",
+    "ru": "наша команда выиграла игру вчера вечером и все были очень рады",
+    "ar": "فاز فريقنا بالمباراة مساء أمس وكان الجميع سعداء جدا",
+    "ja": "学生たちは夕食の前に宿題を終えて、一緒に映画を見ました。",
+    "zh": "学生们在晚饭前完成了作业，然后一起看了电影。",
+    "ko": "학생들은 저녁 식사 전에 숙제를 끝내고 함께 영화를 봤습니다",
+    "hi": "हमारी टीम ने कल शाम खेल जीता और सब बहुत खुश थे",
+    "tr": "öğrenciler akşam yemeğinden önce ödevlerini bitirdiler ve birlikte film izlediler",
+    "nl": "ons team heeft gisteravond de wedstrijd gewonnen en iedereen was erg blij",
+    "pl": "nasza drużyna wygrała wczoraj wieczorem mecz i wszyscy byli bardzo szczęśliwi",
+    "id": "pagi hari kami pergi ke pasar dan membeli roti susu dan telur untuk anak anak",
+    "hu": "reggel elmentünk a piacra és kenyeret tejet és tojást vettünk a gyerekeknek",
+    # batch 2
+    "sv": "vårt lag vann matchen igår kväll och alla var mycket glada",
+    "fi": "joukkueemme voitti pelin eilen illalla ja kaikki olivat hyvin iloisia",
+    "da": "vores hold vandt kampen i går aftes og alle var meget glade",
+    "no": "laget vårt vant kampen i går kveld og alle var veldig glade",
+    "cs": "náš tým včera večer vyhrál zápas a všichni byli velmi šťastní",
+    "ro": "echipa noastră a câștigat meciul aseară și toată lumea a fost foarte fericită",
+    "uk": "студенти закінчили домашнє завдання перед вечерею і разом подивилися фільм",
+    "el": "οι μαθητές τελείωσαν τα μαθήματά τους πριν από το δείπνο και είδαν μια ταινία μαζί",
+    "he": "התלמידים סיימו את שיעורי הבית לפני ארוחת הערב וצפו יחד בסרט",
+    "th": "นักเรียนทำการบ้านเสร็จก่อนอาหารเย็นและดูหนังด้วยกัน",
+    "vi": "các học sinh làm xong bài tập về nhà trước bữa tối và cùng nhau xem phim",
+    "is": "nemendurnir kláruðu heimavinnuna fyrir kvöldmat og horfðu saman á kvikmynd",
+    "bg": "учениците завършиха домашната си работа преди вечеря и гледаха филм заедно",
+}
+
+# LlmQueries.langPlants — the oracle plants (with batch-2 ground truth)
+ORACLE_PLANTS = {
+    "en": "the children walk to the school in the morning and they read books with the teacher",
+    "es": "los niños caminan a la escuela por la mañana y leen libros con el maestro en la ciudad",
+    "fr": "les enfants marchent vers la maison le matin et ils lisent des livres avec le professeur dans la ville",
+    "de": "die kinder gehen am morgen in die schule und sie lesen bücher mit dem lehrer in der stadt",
+    "pt": "as crianças caminham para a escola de manhã e leem livros com o professor na cidade",
+    "it": "i bambini camminano verso la scuola al mattino e leggono libri con il maestro nella città",
+    "ru": "дети идут в школу утром и читают книги с учителем в городе каждый день недели",
+    "ar": "يذهب الأطفال إلى المدرسة في الصباح ويقرؤون الكتب مع المعلم في المدينة كل يوم",
+    "ja": "子供たちは朝に学校へ歩いて行き、先生と一緒に本を読みます。毎日街の中で遊びます。",
+    "zh": "孩子们早上走路去学校，他们和老师一起读书。每天在城市里玩耍。",
+    "ko": "아이들은 아침에 학교에 걸어가서 선생님과 함께 책을 읽습니다",
+    "hi": "बच्चे सुबह स्कूल जाते हैं और शहर में शिक्षक के साथ किताबें पढ़ते हैं",
+    "tr": "çocuklar sabah okula yürüyorlar ve şehirde öğretmenle birlikte kitap okuyorlar",
+    "nl": "de kinderen lopen s ochtends naar school en lezen boeken met de leraar in de stad",
+    "pl": "dzieci idą rano do szkoły i czytają książki z nauczycielem w mieście",
+    "id": "anak anak berjalan ke sekolah pada pagi hari dan membaca buku dengan guru di kota",
+    "hu": "a gyerekek reggel iskolába sétálnak és a tanárral együtt könyveket olvasnak a városban",
+    "fi": "lapset kävelevät kouluun aamulla ja lukevat kirjoja opettajan kanssa kaupungissa",
+    "sv": "barnen går till skolan på morgonen och läser böcker med läraren i staden",
+    "vi": "những đứa trẻ đi bộ đến trường vào buổi sáng và đọc sách với giáo viên trong thành phố",
+    "el": "τα παιδιά περπατούν στο σχολείο το πρωί και διαβάζουν βιβλία με τον δάσκαλο στην πόλη",
+    "da": "børnene går i skole om morgenen og de læser bøger med læreren inde i byen",
+    "no": "barna går til skolen om morgenen og leser bøker sammen med læreren sin i byen",
+    "cs": "děti chodí ráno do školy a čtou si knihy s učitelem ve městě",
+    "ro": "copiii merg dimineața la școală și citesc cărți cu profesorul în oraș",
+    "uk": "діти йдуть вранці до школи і читають книжки з учителем у місті",
+    "th": "เด็กเดินไปโรงเรียนในตอนเช้าและอ่านหนังสือกับครูในเมือง",
+    "he": "הילדים הולכים לבית הספר בבוקר וקוראים ספרים עם המורה בעיר",
+    "is": "börnin ganga í skólann á morgnana og lesa bækur með kennaranum í bænum",
+    "bg": "децата вървят сутрин към училището и четат книги с учителя в града",
+}
+
+# languages NO profile covers — candidates for the rejection fixtures;
+# each sentence must reject to 'und' under the suggested cutoffs
+REJECT_PLANTS = [
+    ("sw", "nyumba iko karibu na mto na watu hutembea na mbwa wao jioni"),
+    ("sw", "asubuhi tulikwenda sokoni na kununua mkate maziwa na mayai kwa watoto"),
+    ("sw", "watoto wanatembea kwenda shule asubuhi na kusoma vitabu na mwalimu mjini"),
+    ("lt", "vaikai ryte eina į mokyklą ir skaito knygas su mokytoju mieste"),
+    ("lt", "namas yra netoli upės ir žmonės vakare vaikšto su savo šunimis"),
+    ("et", "lapsed kõnnivad hommikul kooli ja loevad koos õpetajaga raamatuid"),
+    ("ca", "els nens caminen cap a l escola al matí i llegeixen llibres amb el mestre"),
+    ("ka", "ბავშვები დილით სკოლაში მიდიან და კითხულობენ წიგნებს მასწავლებელთან ერთად"),
+    ("hy", "երեխաները առավոտյան դպրոց են գնում և գրքեր են կարդում ուսուցչի հետ"),
+]
+
+GARBAGE = [
+    "xqzv wkjq pfft zzzz qqq xxkj vvwp", "1234 5678 9012 3456",
+    ">>> ??? !!! ### $$$ %%% ^^^", "aaaa bbbb cccc dddd eeee ffff",
+    "zxcvbnm asdfghjkl qwertyuiop",
+    "qzxv wkjt pffq zzzy xxkw 12345 98765 !!!",
+]
+
+# ---- classifier replica ---------------------------------------------------
+
+
+def kernel_normalize(s: str) -> str:
+    """The KERNEL normalization (no apostrophe folding — that is profile
+    hygiene in the gen tool only)."""
+    out = []
+    last_space = True
+    for c in s.lower():
+        if c in " \t\n\x0b\f\r":
+            if not last_space:
+                out.append(" ")
+                last_space = True
+        else:
+            out.append(c)
+            last_space = False
+    t = "".join(out).strip()
+    return f" {t} " if t else ""
+
+
+def doc_profile(text: str):
+    t = kernel_normalize(text)
+    if len(t) <= 2:
+        return []
+    cps = list(t)
+    if len(cps) < 3:
+        return []
+    counts = {}
+    for n in (1, 2, 3):
+        for i in range(len(cps) - n + 1):
+            g = "".join(cps[i:i + n])
+            counts[g] = counts.get(g, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0].encode("utf-8")))
+    return [g for g, _ in ranked[:D]]
+
+
+def classify(text: str, profiles, cutoffs=None):
+    """Returns (label, best_lang, best_norm_x1000) — label is 'und' when
+    rejected (cutoffs given) or unclassifiable."""
+    dp = doc_profile(text)
+    if not dp:
+        return "und", "und", None
+    m = len(dp)
+    best_lang, best_dist = None, None
+    for lang in sorted(profiles):
+        rank = profiles[lang]
+        dist = 0
+        for r0, g in enumerate(dp, start=1):
+            pr = rank.get(g)
+            dist += P if pr is None else abs(r0 - pr)
+        if best_dist is None or dist < best_dist:
+            best_lang, best_dist = lang, dist
+    norm_x1000 = best_dist * 1000 // (m * P)  # floor, like integer compare
+    label = best_lang
+    if cutoffs is not None and best_dist * 1000 > m * P * cutoffs[best_lang]:
+        label = "und"
+    return label, best_lang, (best_dist * 1000 / (m * P))
+
+
+def main() -> int:
+    profiles = {}
+    for lang, seeds in SEEDS.items():
+        grams = profile(seeds)
+        profiles[lang] = {g: i + 1 for i, g in enumerate(grams)}
+
+    in_lang_max = {lang: 0.0 for lang in SEEDS}
+    confusions = []
+
+    def record(lang, text, kind):
+        label, best, nd = classify(text, profiles)
+        if best != lang:
+            confusions.append((kind, lang, best, round(nd, 3), text[:50]))
+        else:
+            in_lang_max[lang] = max(in_lang_max[lang], nd / 1000.0)
+
+    for lang, pool in POOLS.items():
+        sep = "" if lang in NO_SPACE else " "
+        for j in range(50):
+            bag = sep.join(pool[(j * 7 + k * 3) % len(pool)] for k in range(8))
+            record(lang, bag, "bag")
+    for lang, text in PROSE.items():
+        record(lang, text, "prose")
+    for lang, text in ORACLE_PLANTS.items():
+        record(lang, text, "plant")
+
+    print("== in-language max normalized distance (cutoff floor) ==")
+    suggested = {}
+    for lang in sorted(SEEDS):
+        cut = int(round(in_lang_max[lang] * 1000)) + 50
+        suggested[lang] = cut
+        print(f"  {lang}: max={in_lang_max[lang]:.3f} -> cutoff {cut}")
+
+    print("\n== misclassifications (want -> got) ==")
+    if not confusions:
+        print("  none")
+    for kind, want, got, nd, snip in confusions:
+        print(f"  [{kind}] {want} -> {got} (dist {nd}) :: {snip}")
+
+    print("\n== rejection plants under suggested cutoffs ==")
+    bad = 0
+    for lang, text in REJECT_PLANTS:
+        label, best, nd = classify(text, profiles, suggested)
+        ok = label == "und"
+        bad += 0 if ok else 1
+        mark = "ok " if ok else "FAIL"
+        print(f"  {mark} [{lang}] best={best} dist={nd/1000:.3f} "
+              f"cut={suggested[best]/1000:.3f} :: {text[:40]}")
+    for text in GARBAGE:
+        label, best, nd = classify(text, profiles, suggested)
+        ok = label == "und"
+        bad += 0 if ok else 1
+        mark = "ok " if ok else "FAIL"
+        nds = "n/a" if nd is None else f"{nd/1000:.3f}"
+        print(f"  {mark} [garbage] best={best} dist={nds}")
+
+    print("\n== suggested CUTOFFS dict ==")
+    items = ", ".join(f'"{k}": {suggested[k]}' for k in sorted(suggested))
+    print("{" + items + "}")
+
+    # the SHIPPED cutoffs must (a) sit at or above every measured
+    # in-language floor (else real text rejects) and (b) still reject
+    # every rejection plant (else looser-than-suggested values leak)
+    print("\n== shipped CUTOFFS validation ==")
+    shipped_bad = 0
+    for lang in sorted(SEEDS):
+        floor = int(round(in_lang_max[lang] * 1000))
+        if CUTOFFS.get(lang, -1) < floor:
+            shipped_bad += 1
+            print(f"  FAIL {lang}: shipped {CUTOFFS.get(lang)} < floor {floor}")
+    for lang, text in REJECT_PLANTS:
+        label, best, nd = classify(text, profiles, CUTOFFS)
+        if label != "und":
+            shipped_bad += 1
+            print(f"  FAIL reject [{lang}] accepted as {label} under shipped")
+    for text in GARBAGE:
+        label, best, nd = classify(text, profiles, CUTOFFS)
+        if label != "und":
+            shipped_bad += 1
+            print(f"  FAIL garbage accepted as {label} under shipped")
+    if not shipped_bad:
+        print("  ok — every shipped cutoff >= floor, all plants reject")
+    return 1 if (confusions or bad or shipped_bad) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

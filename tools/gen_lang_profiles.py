@@ -39,16 +39,18 @@ distance scale is script-dependent (CJK documents legitimately sit at
 0.6-0.8 against their own profile — their gram space is huge — while
 Latin in-language text sits at 0.2-0.5). Each cutoff = the max
 distance observed over that language's held-out calibration fixtures
-(word-bag rotations + composed prose, tools/calibration embedded in
-LangIdAccuracySpec) + 0.05 margin. Measured outcome at this snapshot
-(17 languages, P=768): 0 in-profile misclassifications or rejections;
-18/18 out-of-profile plants (vi fi sw sv el th he) and 5/5 garbage
-plants reject to 'und'. Honest limit: an unseen language typologically
-close to a bundled one may still false-accept — Indonesian scored
-0.40-0.44 against it/tr, and Hungarian 0.41 against tr after the seed
-corpora doubled, each fixed by ADDING the language as its own profile
-(a handful of seed sentences in this file); the growth path for any
-future cousin is the same.
+(word-bag rotations + composed prose + oracle plants, replayed by
+tools/calibrate_langid.py and pinned by LangIdAccuracySpec) + 0.05
+margin. Measured outcome at this snapshot (30 languages, P=768): 0
+in-profile misclassifications or rejections across 1500 word bags + 30
+prose + 30 plants; all out-of-profile plants (sw lt et ca ka hy) and
+6/6 garbage plants reject to 'und'. Honest limit: an unseen language
+typologically close to a bundled one may still false-accept —
+Indonesian scored 0.40-0.44 against it/tr, Hungarian 0.41 against tr,
+Icelandic 0.41-0.44 against no, and Bulgarian 0.32 against ru, each
+fixed by ADDING the language as its own profile (a handful of seed
+sentences in this file); the growth path for any future cousin (e.g.
+Faroese near no/is, Macedonian near bg) is the same.
 
 Usage: python3 tools/gen_lang_profiles.py > src/main/scala/graft/model/LangProfiles.scala
 """
@@ -60,10 +62,19 @@ P = 768   # language profile length; also the absent-gram penalty
 
 # Per-language rejection cutoffs x1000 (see module docstring). A doc
 # classified as lang L is accepted iff bestDist*1000 <= m*P*CUTOFFS[L].
+# Calibrated by tools/calibrate_langid.py (max held-out fixture distance
+# + 0.05 margin); re-run it after ANY seed change.
 CUTOFFS = {
     "ar": 469, "de": 227, "en": 270, "es": 299, "fr": 281, "hi": 448,
     "hu": 529, "id": 269, "it": 324, "ja": 786, "ko": 729, "nl": 289,
     "pl": 423, "pt": 332, "ru": 411, "tr": 447, "zh": 856,
+    # batch 2 (round 16): the next crawl-frequency tier, plus the two
+    # measured cousins (is sat at 0.41-0.44 against no, bg at 0.32
+    # against ru — the r14/15 id/hu growth path: add, don't tighten).
+    # Values = tools/calibrate_langid.py held-out max + 0.05.
+    "bg": 324, "cs": 448, "da": 298, "el": 313, "fi": 276, "he": 424,
+    "is": 405, "no": 450, "ro": 326, "sv": 234, "th": 508, "uk": 387,
+    "vi": 341,
 }
 
 SEEDS = {
@@ -441,6 +452,361 @@ SEEDS = {
         "a falu mögötti erdő tavasszal tele van madarakkal",
         "szerintem az új könyvtár sokkal jobb mint a régi mert minden nap "
         "nyitva van",
+    ],
+
+    # ---- batch 2 (round 16): next crawl-frequency tier -------------------
+    "sv": [
+        "Alla människor är födda fria och lika i värde och rättigheter. De "
+        "har utrustats med förnuft och samvete och bör handla gentemot "
+        "varandra i en anda av gemenskap.",
+        "huset ligger nära floden och människorna går ut med sina hundar "
+        "på kvällen när vädret är bra",
+        "på morgonen gick vi till torget och köpte bröd mjölk och ägg "
+        "till barnen",
+        "vad är klockan nu och när kommer du tillbaka till vårt hus imorgon",
+        "hon sa att boken låg på bordet men jag kunde inte hitta den "
+        "någonstans i rummet",
+        "min bror arbetar i staden varje dag och kommer hem sent på kvällen",
+        "igår var det kallt så vi stannade hemma och läste böcker",
+        "det finns många gamla träd i trädgården bakom skolan",
+        "förra sommaren åkte vi tåg till kusten och bodde på ett litet "
+        "hotell vid havet",
+        "kan du säga mig var närmaste station ligger och hur mycket en "
+        "biljett kostar",
+        "min syster lär sig laga mat och ikväll gjorde hon soppa med "
+        "grönsaker från trädgården",
+        "läkaren sa åt honom att vila några dagar och dricka mycket vatten",
+        "det var ungefär tvåhundra personer på mötet och många av dem "
+        "ställde frågor",
+        "jag skulle vilja köpa tre kilo äpplen och ett halvt kilo ost tack",
+        "skogen bakom byn är full av fåglar på våren",
+        "enligt min mening är det nya biblioteket mycket bättre än det "
+        "gamla eftersom det är öppet varje dag",
+    ],
+    "fi": [
+        "Kaikki ihmiset syntyvät vapaina ja tasavertaisina arvoltaan ja "
+        "oikeuksiltaan. Heille on annettu järki ja omatunto ja heidän on "
+        "toimittava toisiaan kohtaan veljeyden hengessä.",
+        "talo on lähellä jokea ja ihmiset kävelevät koiriensa kanssa "
+        "illalla kun sää on hyvä",
+        "aamulla menimme torille ja ostimme leipää maitoa ja munia "
+        "lapsille",
+        "paljonko kello on nyt ja milloin tulet takaisin meidän taloomme "
+        "huomenna",
+        "hän sanoi että kirja oli pöydällä mutta en löytänyt sitä mistään "
+        "huoneesta",
+        "veljeni työskentelee kaupungissa joka päivä ja tulee kotiin "
+        "myöhään illalla",
+        "eilen oli kylmä joten jäimme kotiin ja luimme kirjoja",
+        "koulun takana olevassa puutarhassa on paljon vanhoja puita",
+        "viime kesänä matkustimme junalla rannikolle ja asuimme pienessä "
+        "hotellissa meren rannalla",
+        "voitko kertoa minulle missä lähin asema on ja paljonko lippu "
+        "maksaa",
+        "siskoni opettelee laittamaan ruokaa ja tänä iltana hän teki "
+        "keittoa puutarhan vihanneksista",
+        "lääkäri käski hänen levätä muutaman päivän ja juoda paljon vettä",
+        "kokouksessa oli noin kaksisataa ihmistä ja monet heistä esittivät "
+        "kysymyksiä",
+        "haluaisin ostaa kolme kiloa omenoita ja puoli kiloa juustoa "
+        "kiitos",
+        "kylän takana oleva metsä on keväällä täynnä lintuja",
+        "minun mielestäni uusi kirjasto on paljon parempi kuin vanha koska "
+        "se on auki joka päivä",
+    ],
+    "da": [
+        "Alle mennesker er født frie og lige i værdighed og rettigheder. De "
+        "er udstyret med fornuft og samvittighed og de bør handle mod "
+        "hverandre i en broderskabets ånd.",
+        "huset ligger tæt ved floden og folk går tur med deres hunde om "
+        "aftenen når vejret er godt",
+        "om morgenen gik vi på markedet og købte brød mælk og æg til "
+        "børnene",
+        "hvad er klokken nu og hvornår kommer du tilbage til vores hus i "
+        "morgen",
+        "hun sagde at bogen lå på bordet men jeg kunne ikke finde den "
+        "nogen steder i værelset",
+        "min bror arbejder i byen hver dag og kommer sent hjem om aftenen",
+        "i går var det koldt så vi blev hjemme og læste bøger",
+        "der er mange gamle træer i haven bag skolen",
+        "sidste sommer rejste vi med tog til kysten og boede på et lille "
+        "hotel ved havet",
+        "kan du fortælle mig hvor den nærmeste station ligger og hvor "
+        "meget en billet koster",
+        "min søster er ved at lære at lave mad og i aften lavede hun suppe "
+        "med grøntsager fra haven",
+        "lægen sagde til ham at han skulle hvile sig nogle dage og drikke "
+        "rigeligt vand",
+        "der var omkring to hundrede mennesker til mødet og mange af dem "
+        "stillede spørgsmål",
+        "jeg vil gerne købe tre kilo æbler og et halvt kilo ost tak",
+        "skoven bag landsbyen er fuld af fugle om foråret",
+        "efter min mening er det nye bibliotek meget bedre end det gamle "
+        "fordi det er åbent hver dag",
+    ],
+    "no": [
+        "Alle mennesker er født frie og med samme menneskeverd og "
+        "menneskerettigheter. De er utstyrt med fornuft og samvittighet og "
+        "bør handle mot hverandre i brorskapets ånd.",
+        "huset ligger nær elva og folk går tur med hundene sine om kvelden "
+        "når været er fint",
+        "om morgenen gikk vi på torget og kjøpte brød melk og egg til "
+        "barna",
+        "hva er klokka nå og når kommer du tilbake til huset vårt i morgen",
+        "hun sa at boka lå på bordet men jeg kunne ikke finne den noe sted "
+        "i rommet",
+        "broren min jobber i byen hver dag og kommer sent hjem om kvelden",
+        "i går var det kaldt så vi ble hjemme og leste bøker",
+        "det er mange gamle trær i hagen bak skolen",
+        "i fjor sommer reiste vi med tog til kysten og bodde på et lite "
+        "hotell ved sjøen",
+        "kan du fortelle meg hvor den nærmeste stasjonen ligger og hvor "
+        "mye en billett koster",
+        "søstera mi lærer å lage mat og i kveld lagde hun suppe med "
+        "grønnsaker fra hagen",
+        "legen sa til ham at han måtte hvile noen dager og drikke mye vann",
+        "det var omtrent to hundre mennesker på møtet og mange av dem "
+        "stilte spørsmål",
+        "jeg vil gjerne kjøpe tre kilo epler og en halv kilo ost takk",
+        "skogen bak landsbyen er full av fugler om våren",
+        "etter min mening er det nye biblioteket mye bedre enn det gamle "
+        "fordi det er åpent hver dag",
+    ],
+    "cs": [
+        "Všichni lidé rodí se svobodní a sobě rovní co do důstojnosti a "
+        "práv. Jsou nadáni rozumem a svědomím a mají spolu jednat v duchu "
+        "bratrství.",
+        "dům stojí blízko řeky a lidé večer chodí se svými psy na "
+        "procházku když je hezké počasí",
+        "ráno jsme šli na trh a koupili jsme chléb mléko a vejce pro děti",
+        "kolik je teď hodin a kdy se zítra vrátíš k nám domů",
+        "řekla že kniha byla na stole ale nikde jsem ji nemohl najít",
+        "můj bratr pracuje každý den ve městě a vrací se domů pozdě večer",
+        "včera bylo chladno tak jsme zůstali doma a četli jsme knihy",
+        "na zahradě za školou roste mnoho starých stromů",
+        "loni v létě jsme jeli vlakem k moři a bydleli jsme v malém hotelu "
+        "na pobřeží",
+        "můžete mi říct kde je nejbližší nádraží a kolik stojí jízdenka",
+        "moje sestra se učí vařit a dnes večer uvařila polévku se "
+        "zeleninou ze zahrady",
+        "lékař mu řekl aby si několik dní odpočinul a pil hodně vody",
+        "na schůzi bylo asi dvě stě lidí a mnozí z nich kladli otázky",
+        "chtěl bych koupit tři kila jablek a půl kila sýra prosím",
+        "les za vesnicí je na jaře plný ptáků",
+        "podle mého názoru je nová knihovna mnohem lepší než ta stará "
+        "protože je otevřená každý den",
+    ],
+    "ro": [
+        "Toate ființele umane se nasc libere și egale în demnitate și în "
+        "drepturi. Ele sunt înzestrate cu rațiune și conștiință și trebuie "
+        "să se comporte unele față de altele în spiritul fraternității.",
+        "casa este aproape de râu și oamenii se plimbă seara cu câinii lor "
+        "când vremea este frumoasă",
+        "dimineața am mers la piață și am cumpărat pâine lapte și ouă "
+        "pentru copii",
+        "cât este ceasul acum și când te întorci mâine la casa noastră",
+        "ea a spus că era cartea pe masă dar nu am putut să o găsesc "
+        "nicăieri în cameră",
+        "fratele meu lucrează în oraș în fiecare zi și se întoarce acasă "
+        "târziu seara",
+        "ieri a fost frig așa că am rămas acasă și am citit cărți",
+        "în grădina din spatele școlii sunt mulți copaci bătrâni",
+        "vara trecută am călătorit cu trenul până la mare și am stat la un "
+        "hotel mic lângă țărm",
+        "puteți să îmi spuneți unde este cea mai apropiată gară și cât "
+        "costă un bilet",
+        "sora mea învață să gătească și în seara asta a făcut o supă cu "
+        "legume din grădină",
+        "doctorul i a spus să se odihnească câteva zile și să bea multă "
+        "apă",
+        "la ședință au fost cam două sute de oameni și mulți dintre ei au "
+        "pus întrebări",
+        "aș vrea să cumpăr trei kilograme de mere și o jumătate de "
+        "kilogram de brânză vă rog",
+        "pădurea din spatele satului este plină de păsări primăvara",
+        "după părerea mea biblioteca nouă este mult mai bună decât cea "
+        "veche pentru că este deschisă în fiecare zi",
+    ],
+    "uk": [
+        "Всі люди народжуються вільними і рівними у своїй гідності та "
+        "правах. Вони наділені розумом і совістю і повинні діяти у "
+        "відношенні один до одного в дусі братерства.",
+        "будинок стоїть біля річки і люди ввечері гуляють зі своїми "
+        "собаками коли погода гарна",
+        "вранці ми пішли на ринок і купили хліб молоко та яйця для дітей",
+        "котра зараз година і коли ти завтра повернешся до нашого дому",
+        "вона сказала що книжка була на столі але я ніде не міг її знайти",
+        "мій брат щодня працює в місті і пізно повертається додому",
+        "вчора було холодно тому ми залишилися вдома і читали книжки",
+        "у саду за школою росте багато старих дерев",
+        "минулого літа ми їхали потягом до моря і жили в маленькому "
+        "готелі на березі",
+        "скажіть будь ласка де найближча станція і скільки коштує квиток",
+        "моя сестра вчиться готувати і сьогодні ввечері вона зварила суп "
+        "з овочами з городу",
+        "лікар сказав йому відпочити кілька днів і пити багато води",
+        "на зборах було близько двохсот людей і багато з них ставили "
+        "запитання",
+        "я хотів би купити три кілограми яблук і півкіло сиру будь ласка",
+        "ліс за селом навесні повний птахів",
+        "на мою думку нова бібліотека набагато краща за стару бо вона "
+        "відчинена щодня",
+    ],
+    "el": [
+        "Όλοι οι άνθρωποι γεννιούνται ελεύθεροι και ίσοι στην αξιοπρέπεια "
+        "και τα δικαιώματα. Είναι προικισμένοι με λογική και συνείδηση και "
+        "οφείλουν να συμπεριφέρονται μεταξύ τους με πνεύμα αδελφοσύνης.",
+        "το σπίτι είναι κοντά στο ποτάμι και οι άνθρωποι περπατούν το "
+        "βράδυ με τα σκυλιά τους όταν ο καιρός είναι καλός",
+        "το πρωί πήγαμε στην αγορά και αγοράσαμε ψωμί γάλα και αυγά για "
+        "τα παιδιά",
+        "τι ώρα είναι τώρα και πότε θα γυρίσεις αύριο στο σπίτι μας",
+        "είπε ότι το βιβλίο ήταν πάνω στο τραπέζι αλλά δεν μπορούσα να το "
+        "βρω πουθενά στο δωμάτιο",
+        "ο αδερφός μου δουλεύει στην πόλη κάθε μέρα και γυρίζει σπίτι "
+        "αργά το βράδυ",
+        "χθες έκανε κρύο οπότε μείναμε στο σπίτι και διαβάσαμε βιβλία",
+        "στον κήπο πίσω από το σχολείο υπάρχουν πολλά παλιά δέντρα",
+        "το περασμένο καλοκαίρι ταξιδέψαμε με το τρένο στην ακτή και "
+        "μείναμε σε ένα μικρό ξενοδοχείο δίπλα στη θάλασσα",
+        "μπορείτε να μου πείτε πού είναι ο πιο κοντινός σταθμός και πόσο "
+        "κοστίζει ένα εισιτήριο",
+        "η αδερφή μου μαθαίνει να μαγειρεύει και απόψε έφτιαξε σούπα με "
+        "λαχανικά από τον κήπο",
+        "ο γιατρός του είπε να ξεκουραστεί μερικές μέρες και να πίνει "
+        "πολύ νερό",
+        "στη συνάντηση ήταν περίπου διακόσια άτομα και πολλοί από αυτούς "
+        "έκαναν ερωτήσεις",
+        "θα ήθελα να αγοράσω τρία κιλά μήλα και μισό κιλό τυρί παρακαλώ",
+        "το δάσος πίσω από το χωριό είναι γεμάτο πουλιά την άνοιξη",
+        "κατά τη γνώμη μου η καινούργια βιβλιοθήκη είναι πολύ καλύτερη "
+        "από την παλιά επειδή είναι ανοιχτή κάθε μέρα",
+    ],
+    "he": [
+        "כל בני האדם נולדו בני חורין ושווים בערכם ובזכויותיהם. כולם חוננו "
+        "בתבונה ובמצפון לפיכך חובה עליהם לנהוג איש ברעהו ברוח של אחווה.",
+        "הבית נמצא ליד הנהר ואנשים מטיילים בערב עם הכלבים שלהם כאשר מזג "
+        "האוויר טוב",
+        "בבוקר הלכנו לשוק וקנינו לחם חלב וביצים לילדים",
+        "מה השעה עכשיו ומתי תחזור מחר לבית שלנו",
+        "היא אמרה שהספר היה על השולחן אבל לא מצאתי אותו בשום מקום בחדר",
+        "אחי עובד בעיר כל יום וחוזר הביתה מאוחר בלילה",
+        "אתמול היה קר אז נשארנו בבית וקראנו ספרים",
+        "בגינה מאחורי בית הספר יש הרבה עצים זקנים",
+        "בקיץ שעבר נסענו ברכבת לחוף הים וגרנו במלון קטן ליד הים",
+        "אתה יכול להגיד לי איפה התחנה הקרובה ביותר וכמה עולה כרטיס",
+        "אחותי לומדת לבשל והערב היא הכינה מרק עם ירקות מהגינה",
+        "הרופא אמר לו לנוח כמה ימים ולשתות הרבה מים",
+        "בפגישה היו בערך מאתיים אנשים ורבים מהם שאלו שאלות",
+        "אני רוצה לקנות שלושה קילו תפוחים וחצי קילו גבינה בבקשה",
+        "היער מאחורי הכפר מלא ציפורים באביב",
+        "לדעתי הספרייה החדשה הרבה יותר טובה מהישנה כי היא פתוחה כל יום",
+    ],
+    "th": [
+        "มนุษย์ทั้งหลายเกิดมามีอิสระและเสมอภาคกันในศักดิ์ศรีและสิทธิ "
+        "ต่างมีเหตุผลและมโนธรรม และควรปฏิบัติต่อกันด้วยจิตวิญญาณแห่งภราดรภาพ",
+        "บ้านอยู่ใกล้แม่น้ำและผู้คนพาสุนัขไปเดินเล่นในตอนเย็นเมื่ออากาศดี",
+        "ตอนเช้าเราไปตลาดและซื้อขนมปังนมและไข่ให้เด็ก",
+        "ตอนนี้กี่โมงแล้วและพรุ่งนี้คุณจะกลับมาบ้านเราเมื่อไหร่",
+        "เธอบอกว่าหนังสืออยู่บนโต๊ะแต่ฉันหาไม่เจอที่ไหนเลยในห้อง",
+        "พี่ชายของฉันทำงานในเมืองทุกวันและกลับบ้านดึกตอนกลางคืน",
+        "เมื่อวานอากาศหนาวเราจึงอยู่บ้านและอ่านหนังสือ",
+        "ในสวนหลังโรงเรียนมีต้นไม้เก่าแก่มากมาย",
+        "ฤดูร้อนที่แล้วเรานั่งรถไฟไปชายทะเลและพักที่โรงแรมเล็กริมทะเล",
+        "ช่วยบอกฉันหน่อยได้ไหมว่าสถานีที่ใกล้ที่สุดอยู่ที่ไหนและตั๋วราคาเท่าไหร่",
+        "น้องสาวของฉันกำลังเรียนทำอาหารและเย็นนี้เธอทำซุปด้วยผักจากสวน",
+        "หมอบอกให้เขาพักผ่อนสองสามวันและดื่มน้ำมาก",
+        "ในการประชุมมีคนประมาณสองร้อยคนและหลายคนถามคำถาม",
+        "ฉันอยากซื้อแอปเปิ้ลสามกิโลและชีสครึ่งกิโล",
+        "ป่าหลังหมู่บ้านเต็มไปด้วยนกในฤดูใบไม้ผลิ",
+        "ในความคิดของฉันห้องสมุดใหม่ดีกว่าห้องสมุดเก่ามากเพราะเปิดทุกวัน",
+    ],
+    "vi": [
+        "Tất cả mọi người sinh ra đều được tự do và bình đẳng về nhân phẩm "
+        "và quyền lợi. Mọi con người đều được tạo hóa ban cho lý trí và "
+        "lương tâm và cần phải đối xử với nhau trong tình anh em.",
+        "ngôi nhà ở gần con sông và mọi người dắt chó đi dạo vào buổi tối "
+        "khi thời tiết đẹp",
+        "buổi sáng chúng tôi đi chợ và mua bánh mì sữa và trứng cho các "
+        "con",
+        "bây giờ là mấy giờ và ngày mai khi nào bạn sẽ quay lại nhà chúng "
+        "tôi",
+        "cô ấy nói rằng cuốn sách ở trên bàn nhưng tôi không tìm thấy nó "
+        "ở đâu trong phòng",
+        "anh trai tôi làm việc trong thành phố mỗi ngày và về nhà muộn "
+        "vào ban đêm",
+        "hôm qua trời lạnh nên chúng tôi ở nhà và đọc sách",
+        "trong khu vườn sau trường học có nhiều cây cổ thụ",
+        "mùa hè năm ngoái chúng tôi đi tàu đến bờ biển và ở trong một "
+        "khách sạn nhỏ gần biển",
+        "bạn có thể cho tôi biết nhà ga gần nhất ở đâu và vé giá bao "
+        "nhiêu không",
+        "em gái tôi đang học nấu ăn và tối nay cô ấy nấu súp với rau từ "
+        "vườn",
+        "bác sĩ bảo anh ấy nghỉ ngơi vài ngày và uống nhiều nước",
+        "có khoảng hai trăm người trong cuộc họp và nhiều người đã đặt "
+        "câu hỏi",
+        "tôi muốn mua ba cân táo và nửa cân phô mai",
+        "khu rừng sau làng đầy chim vào mùa xuân",
+        "theo tôi thư viện mới tốt hơn nhiều so với thư viện cũ vì nó mở "
+        "cửa mỗi ngày",
+    ],
+    "is": [
+        "Allir menn eru bornir frjálsir og jafnir öðrum að virðingu og "
+        "réttindum. Menn eru gæddir vitsmunum og samvisku og ber að "
+        "breyta bróðurlega hverjum við annan.",
+        "á morgnana förum við á markaðinn og kaupum brauð mjólk og egg "
+        "handa börnunum",
+        "hvað er klukkan núna og hvenær kemur þú aftur heim til okkar á "
+        "morgun",
+        "hún sagði að bókin væri á borðinu en ég fann hana hvergi í "
+        "herberginu",
+        "bróðir minn vinnur í bænum á hverjum degi og kemur seint heim á "
+        "kvöldin",
+        "í gær var kalt svo við vorum heima og lásum bækur",
+        "það eru mörg gömul tré í garðinum bak við skólann",
+        "síðasta sumar ferðuðumst við með lest að ströndinni og gistum á "
+        "litlu hóteli við sjóinn",
+        "getur þú sagt mér hvar næsta stöð er og hvað miði kostar",
+        "systir mín er að læra að elda og í kvöld bjó hún til súpu með "
+        "grænmeti úr garðinum",
+        "læknirinn sagði honum að hvíla sig í nokkra daga og drekka mikið "
+        "vatn",
+        "á fundinum voru um tvö hundruð manns og margir þeirra spurðu "
+        "spurninga",
+        "ég ætla að kaupa þrjú kíló af eplum og hálft kíló af osti takk",
+        "skógurinn bak við þorpið er fullur af fuglum á vorin",
+        "að mínu mati er nýja bókasafnið miklu betra en það gamla því það "
+        "er opið alla daga",
+    ],
+    "bg": [
+        "Всички хора се раждат свободни и равни по достойнство и права. "
+        "Те са надарени с разум и съвест и следва да се отнасят помежду "
+        "си в дух на братство.",
+        "къщата е близо до реката и хората се разхождат вечер с кучетата "
+        "си когато времето е хубаво",
+        "сутринта отидохме на пазара и купихме хляб мляко и яйца за "
+        "децата",
+        "колко е часът сега и кога ще се върнеш утре в нашата къща",
+        "тя каза че книгата беше на масата но не можах да я намеря "
+        "никъде в стаята",
+        "брат ми работи в града всеки ден и се прибира късно вечер",
+        "вчера беше студено затова останахме вкъщи и четохме книги",
+        "в градината зад училището има много стари дървета",
+        "миналото лято пътувахме с влак до брега и отседнахме в малък "
+        "хотел край морето",
+        "можете ли да ми кажете къде е най близката гара и колко струва "
+        "билетът",
+        "сестра ми се учи да готви и тази вечер направи супа със "
+        "зеленчуци от градината",
+        "лекарят му каза да си почине няколко дни и да пие много вода",
+        "на събранието имаше около двеста души и мнозина от тях задаваха "
+        "въпроси",
+        "искам да купя три килограма ябълки и половин килограм сирене "
+        "моля",
+        "гората зад селото е пълна с птици през пролетта",
+        "според мен новата библиотека е много по добра от старата защото "
+        "е отворена всеки ден",
     ],
 }
 
