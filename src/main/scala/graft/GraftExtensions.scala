@@ -131,6 +131,21 @@ object GraftExtensions {
     ("text_from_bytes", graft.expressions.ByteKernels.textFromBytesInfo,
       arity("text_from_bytes", 1)(c =>
         graft.expressions.ByteKernels.TextFromBytes(c(0)))),
+    ("deflate_ratio", graft.expressions.ZipKernels.deflateRatioInfo,
+      arity("deflate_ratio", 1)(c =>
+        graft.expressions.ZipKernels.DeflateRatio(c(0)))),
+    ("warc_records", graft.expressions.WarcKernels.warcRecordsInfo,
+      arity("warc_records", 1)(c =>
+        graft.expressions.WarcKernels.WarcRecords(c(0)))),
+    ("synth_warc", graft.expressions.WarcKernels.synthWarcInfo,
+      arity("synth_warc", 1)(c =>
+        graft.expressions.WarcKernels.SynthWarc(c(0)))),
+    ("image_meta", graft.expressions.ImageKernels.metaInfo,
+      arity("image_meta", 1)(c =>
+        graft.expressions.ImageKernels.ImageMeta(c(0)))),
+    ("synth_webp", graft.expressions.ImageKernels.synthWebpInfo,
+      arity("synth_webp", 1)(c =>
+        graft.expressions.ImageKernels.SynthWebp(c(0)))),
     ("video_meta", graft.expressions.VideoKernels.videoMetaInfo,
       arity("video_meta", 1)(c =>
         graft.expressions.VideoKernels.VideoMeta(c(0)))),

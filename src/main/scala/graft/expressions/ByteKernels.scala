@@ -11,20 +11,48 @@ import org.apache.spark.unsafe.types.UTF8String
  * wrongly-declared charsets, often already damaged by an earlier pipeline
  * that decoded UTF-8 as a legacy single-byte charset and re-encoded the
  * result (mojibake — "café" shipped as "cafÃ©"). `text_from_bytes` is the
- * missing rung BEFORE `text_normalize`: one codegen'd pass per row that
- * (1) decodes strict-valid UTF-8 as UTF-8, (2) falls back to
- * Windows-1252 for anything else (the de-facto superset of Latin-1 on
- * the web — HTML5 aliases `latin-1` to it; the five undefined cp1252
- * bytes 0x81/0x8D/0x8F/0x90/0x9D decode to their C1 controls, the
- * "sloppy-windows-1252" convention mojibake repair requires), and
- * (3) repairs up to TWO rounds of UTF-8-as-cp1252 mojibake: re-encode
- * the decoded string through cp1252 and, if the bytes form strictly
- * valid UTF-8 that decodes to something NEW, take the decode. The loop
- * is the public ftfy recipe (Speer, "fixes text for you") restricted to
- * its dominant case; two rounds covers single- and double-encoding,
- * and the strict-validity + progress guards make it a no-op on text
- * that is already clean (ASCII re-encodes to itself and decodes to
- * itself → breaks immediately).
+ * missing rung BEFORE `text_normalize`: one codegen'd pass per row whose
+ * decode ladder is, in order:
+ *
+ *  1. UTF-16 with BOM (FE FF / FF FE, even length, ≥1 code unit of
+ *     content): strict decode — unpaired surrogates fall through —
+ *     with the BOM stripped. BOM-less UTF-16 is NOT guessed (it is
+ *     indistinguishable from binary without a language model; crawl
+ *     payloads that matter carry the BOM or declare the charset).
+ *  2. Strict-valid UTF-8 (RFC 3629: no overlongs, no surrogates, max
+ *     U+10FFFF) decodes as UTF-8, then up to TWO rounds of
+ *     UTF-8-as-cp1252 mojibake repair: re-encode the decoded string
+ *     through cp1252 and, if the bytes form strictly valid UTF-8 that
+ *     decodes to something NEW, take the decode. The loop is the public
+ *     ftfy recipe (Speer, "fixes text for you") restricted to its
+ *     dominant case; two rounds covers single- and double-encoding, and
+ *     the strict-validity + progress guards make it a no-op on clean
+ *     text (ASCII re-encodes to itself → breaks immediately).
+ *  3. Legacy multibyte/Cyrillic ladder — Shift_JIS, EUC-JP, EUC-KR,
+ *     GB18030, Big5, windows-1251 (all in-JDK charsets). A candidate
+ *     must (a) strict-decode (CodingErrorAction.REPORT — no
+ *     replacement characters), (b) carry at least 8 non-ASCII chars of
+ *     evidence (the cutoffs are calibrated on 8-word bags; a lone
+ *     ideograph is not classifiable), and (c) CLASSIFY as a language
+ *     that charset encodes under
+ *     the bundled 30-language n-gram identifier with its calibrated
+ *     rejection cutoffs ([[DocKernels.langGateLabel]]):
+ *     sjis/euc-jp → ja, euc-kr → ko, gb18030/big5 → zh,
+ *     windows-1251 → ru/uk/bg. Byte validity alone CANNOT separate
+ *     the structurally-ambiguous pairs — EUC-JP and GB2312 share the
+ *     EUC frame and even the kana rows, Big5 and GBK overlap on most
+ *     of the two-byte space, and windows-1251 decodes every byte — so
+ *     the gate is "reads as real text in a plausible language", the
+ *     same measured rejection machinery the language gate itself uses.
+ *     Lowest normalized distance wins; ties break in ladder order.
+ *     A French cp1252 page tried as windows-1251 yields Latin words
+ *     with stray Cyrillic — the classifier rejects it and the ladder
+ *     falls through.
+ *  4. Windows-1252 fallback for everything else (the de-facto superset
+ *     of Latin-1 on the web — HTML5 aliases `latin-1` to it; the five
+ *     undefined cp1252 bytes 0x81/0x8D/0x8F/0x90/0x9D decode to their
+ *     C1 controls, the "sloppy-windows-1252" convention mojibake
+ *     repair requires), plus the same two-round mojibake repair.
  *
  * Deterministic, total (null in → null out, empty → empty), and exactly
  * replayable: the oracle plants closed-form byte fixtures whose expected
@@ -123,12 +151,102 @@ object ByteKernels {
     out
   }
 
+  /** Classification prefix cap for the legacy-charset gate (step 3). */
+  private val GateCapCodePoints = 512
+
+  /** (charset, languages it plausibly encodes) in ladder order — the
+    * deterministic tie-break when two candidates score equally. */
+  private val legacyLadder: Array[(java.nio.charset.Charset, Array[String])] =
+    Array(
+      (java.nio.charset.Charset.forName("Shift_JIS"), Array("ja")),
+      (java.nio.charset.Charset.forName("EUC-JP"), Array("ja")),
+      (java.nio.charset.Charset.forName("EUC-KR"), Array("ko")),
+      (java.nio.charset.Charset.forName("GB18030"), Array("zh")),
+      (java.nio.charset.Charset.forName("Big5"), Array("zh")),
+      (java.nio.charset.Charset.forName("windows-1251"),
+        Array("bg", "ru", "uk")))
+
+  /** Strict decode from `offset`: null on ANY malformed or unmappable
+    * input (decoders are not thread-safe — one per call; this is the
+    * rare non-UTF-8 path). */
+  private def strictDecode(
+      cs: java.nio.charset.Charset, b: Array[Byte], offset: Int): String = {
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(b, offset, b.length - offset))
+      .toString
+    catch { case _: java.nio.charset.CharacterCodingException => null }
+  }
+
+  /** UTF-16 with BOM: FE FF → BE, FF FE → LE; even length with at least
+    * one content unit; strict decode (unpaired surrogates → null), BOM
+    * stripped. */
+  private def decodeUtf16Bom(b: Array[Byte]): String = {
+    if (b.length < 4 || (b.length & 1) == 1) return null
+    val b0 = b(0) & 0xff
+    val b1 = b(1) & 0xff
+    val cs =
+      if (b0 == 0xfe && b1 == 0xff) java.nio.charset.StandardCharsets.UTF_16BE
+      else if (b0 == 0xff && b1 == 0xfe) java.nio.charset.StandardCharsets.UTF_16LE
+      else return null
+    strictDecode(cs, b, 2)
+  }
+
+  /** Evidence floor for the legacy gate: a candidate decode must carry
+    * at least this many non-ASCII chars before the classifier's verdict
+    * means anything — the cutoffs are calibrated on 8-word bags, and a
+    * lone "、" (SJIS 0x8141) or "い" (EUC-JP 0xA4A4) would otherwise
+    * clear the deliberately-lenient CJK cutoffs. Below the floor the
+    * deterministic cp1252 fallback is the honest answer. */
+  private val MinGateEvidence = 8
+
+  private def countNonAscii(s: String): Int = {
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      if (s.charAt(i) >= 0x80) n += 1
+      i += 1
+    }
+    n
+  }
+
+  /** Step 3: best legacy-charset decode that reads as a language its
+    * charset encodes, or null when none qualifies. */
+  private def tryLegacy(b: Array[Byte]): String = {
+    var best: String = null
+    var bestScore = Int.MaxValue
+    var i = 0
+    while (i < legacyLadder.length) {
+      val (cs, langs) = legacyLadder(i)
+      val dec = strictDecode(cs, b, 0)
+      if (dec != null && countNonAscii(dec) >= MinGateEvidence) {
+        val (label, score) = DocKernels.langGateLabel(dec, GateCapCodePoints)
+        var l = 0
+        var member = false
+        while (l < langs.length && !member) {
+          member = langs(l) == label; l += 1
+        }
+        if (member && score < bestScore) { best = dec; bestScore = score }
+      }
+      i += 1
+    }
+    best
+  }
+
   def textFromBytes(bytes: Array[Byte]): UTF8String = {
     if (bytes == null) return null
     if (bytes.length == 0) return UTF8String.EMPTY_UTF8
-    var s =
-      if (validUtf8(bytes)) new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-      else decodeCp1252(bytes)
+    val u16 = decodeUtf16Bom(bytes)
+    if (u16 != null) return UTF8String.fromString(u16)
+    var s: String = null
+    if (validUtf8(bytes)) {
+      s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    } else {
+      val legacy = tryLegacy(bytes)
+      if (legacy != null) return UTF8String.fromString(legacy)
+      s = decodeCp1252(bytes)
+    }
     var rounds = 0
     var progressed = true
     while (rounds < 2 && progressed) {
@@ -162,6 +280,6 @@ object ByteKernels {
 
   val textFromBytesInfo: ExpressionInfo = new ExpressionInfo(
     classOf[TextFromBytes].getName, null, "text_from_bytes",
-    "_FUNC_(binary) - decode crawl bytes to text: strict UTF-8, Windows-1252 fallback, up to two rounds of UTF-8-as-cp1252 mojibake repair.",
+    "_FUNC_(binary) - decode crawl bytes to text: UTF-16 BOM, strict UTF-8, language-gated Shift_JIS/EUC-JP/EUC-KR/GB18030/Big5/windows-1251, Windows-1252 fallback with up to two rounds of UTF-8-as-cp1252 mojibake repair.",
     "", "", "", "", "", "", "built-in")
 }

@@ -614,6 +614,31 @@ object DocKernels {
   }
 
 
+  /** Charset-detection gate ([[ByteKernels.textFromBytes]]): post-
+    * rejection label and normalized distance (x1000, floored — the same
+    * integer the cutoff comparison uses) of a capped prefix of `s`. A
+    * legacy-charset candidate decode is accepted only when it READS as
+    * a language that charset encodes, per this classifier — byte-level
+    * validity alone cannot separate the structurally-ambiguous pairs
+    * (EUC-JP vs GB2312 share the EUC frame AND the kana rows; Big5 vs
+    * GBK overlap on most two-byte space). The codepoint cap bounds
+    * per-candidate scoring cost on the rare non-UTF-8 path; 512 is far
+    * beyond what Cavnar–Trenkle needs. ("und", 1000) for text too short
+    * to classify. */
+  def langGateLabel(s: String, capCodePoints: Int): (String, Int) = {
+    val nCps = s.codePointCount(0, s.length)
+    val capped =
+      if (nCps <= capCodePoints) s
+      else s.substring(0, s.offsetByCodePoints(0, capCodePoints))
+    val r = classifyNgram(UTF8String.fromString(capped))
+    if (r == null) return ("und", 1000)
+    val bestIdx = r(0).toInt
+    val norm = (r(1) * 1000L /
+      (r(3) * graft.model.LangProfiles.profileSize.toLong)).toInt
+    if (ngramAccepted(bestIdx, r(1), r(3))) (ngramProfiles(bestIdx)._1, norm)
+    else ("und", norm)
+  }
+
   val langIdNgramInfo: ExpressionInfo = new ExpressionInfo(
     classOf[LangIdNgram].getName, null, "lang_id_ngram",
     "_FUNC_(text) - Cavnar-Trenkle character 1-3-gram language code over the bundled 30-language profile snapshot; 'und' for empty text or when the best distance fails the per-language rejection cutoff.",

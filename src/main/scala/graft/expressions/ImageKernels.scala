@@ -339,4 +339,224 @@ object ImageKernels {
     "image_ahash",
     "_FUNC_(content) - 64-bit average-hash perceptual fingerprint of an image payload (8x8 block-averaged luminance vs global mean, integer-exact); NULL if unreadable.",
     "", "", "", "", "", "", "built-in")
+
+  // ---- header-metadata tier (round 16) -----------------------------------
+  //
+  // `image_meta` parses CONTAINER HEADERS ONLY — dimensions + format +
+  // alpha flag with zero pixel decode — which is (a) the only tier
+  // available for WebP, a dominant crawl image format javax.imageio
+  // cannot decode (VP8 lossy, VP8L lossless, and VP8X extended headers
+  // are all pure byte arithmetic, the same shape as VideoKernels'
+  // ISO-BMFF walk), and (b) the cheap first pass a 100 TB image corpus
+  // runs before deciding what to decode at all. Header-tier honesty:
+  // PNG alpha comes from the IHDR color type (a tRNS chunk deeper in
+  // the stream is not consulted); GIF transparency lives in per-frame
+  // graphics-control extensions, so GIF reports false; JPEG has no
+  // alpha. Corrupt/truncated/unknown bytes → NULL, never a throw.
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le24(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def tag4(b: Array[Byte], i: Int): String =
+    new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)),
+      java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def metaRow(fmt: String, w: Int, h: Int, alpha: Boolean): InternalRow =
+    if (w <= 0 || h <= 0) null
+    else new GenericInternalRow(Array[Any](
+      org.apache.spark.unsafe.types.UTF8String.fromString(fmt), w, h, alpha))
+
+  def imageMeta(b: Array[Byte]): InternalRow =
+    try {
+      val n = b.length
+      // PNG: signature + IHDR (always the first chunk per spec)
+      if (n >= 26 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+        b(3) == 'G' && tag4(b, 12) == "IHDR") {
+        val ct = b(25) & 0xff
+        metaRow("png", be32(b, 16), be32(b, 20), ct == 4 || ct == 6)
+      } else if (n >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+        metaRow("gif", le16(b, 6), le16(b, 8), alpha = false)
+      } else if (n >= 26 && b(0) == 'B' && b(1) == 'M') {
+        val dib = le32(b, 14)
+        if (dib >= 40 && n >= 30)
+          metaRow("bmp", le32(b, 18), math.abs(le32(b, 22)),
+            le16(b, 28) == 32)
+        else if (dib == 12)
+          metaRow("bmp", le16(b, 18), le16(b, 20), alpha = false)
+        else null
+      } else if (n >= 12 && tag4(b, 0) == "RIFF" && tag4(b, 8) == "WEBP") {
+        if (n < 20) return null
+        tag4(b, 12) match {
+          case "VP8 " if n >= 30 =>
+            // lossy: 3-byte frame tag, sync 9D 01 2A, then 14-bit dims
+            if ((b(23) & 0xff) != 0x9d || (b(24) & 0xff) != 0x01 ||
+              (b(25) & 0xff) != 0x2a) null
+            else metaRow("webp", le16(b, 26) & 0x3fff, le16(b, 28) & 0x3fff,
+              alpha = false)
+          case "VP8L" if n >= 25 =>
+            // lossless: 0x2F signature, then 14+14 bit dims-1 + alpha bit
+            if ((b(20) & 0xff) != 0x2f) null
+            else {
+              val bits = le32(b, 21)
+              metaRow("webp", (bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1,
+                ((bits >> 28) & 1) == 1)
+            }
+          case "VP8X" if n >= 30 =>
+            // extended: flags byte (0x10 = alpha), 24-bit canvas dims-1
+            metaRow("webp", le24(b, 24) + 1, le24(b, 27) + 1,
+              (b(20) & 0x10) != 0)
+          case _ => null
+        }
+      } else if (n >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+        // JPEG: walk markers to the first SOFn (C0-CF minus C4/C8/CC)
+        var i = 2
+        while (i + 3 < n) {
+          if ((b(i) & 0xff) != 0xff) return null
+          var m = b(i + 1) & 0xff
+          while (m == 0xff && i + 2 < n) { i += 1; m = b(i + 1) & 0xff }
+          if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+          else if (m == 0xd9 || m == 0xda) return null // EOI/SOS before SOF
+          else {
+            val len = be16(b, i + 2)
+            if (len < 2) return null
+            if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+              if (i + 9 > n) return null
+              return metaRow("jpeg", be16(b, i + 7), be16(b, i + 5),
+                alpha = false)
+            }
+            i += 2 + len
+          }
+        }
+        null
+      } else null
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+
+  /** Deterministic WebP fixture: id rotates through the three WebP
+    * framings — id%3 = 0 lossy VP8 (alpha always false), 1 lossless
+    * VP8L, 2 extended VP8X — with closed-form geometry w = 16 + id%32,
+    * h = 16 + id%16 and alpha = (id%2 == 1) for the framings that carry
+    * the bit. Only the HEADERS are real (the pixel bitstream is not
+    * generated — `image_meta` never reads past them); id%7 == 6 emits
+    * a truncated RIFF shell to pin the corrupt→NULL law. */
+  def synthWebp(id: Long): Array[Byte] = {
+    val w = (16 + math.floorMod(id, 32)).toInt
+    val h = (16 + math.floorMod(id, 16)).toInt
+    val alpha = math.floorMod(id, 2) == 1
+    val out = new ByteArrayOutputStream()
+    def le32w(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    if (math.floorMod(id, 7) == 6) {
+      out.write("RIFF".getBytes("US-ASCII")); le32w(4)
+      out.write("WEBP".getBytes("US-ASCII")) // no chunk: truncated shell
+      return out.toByteArray
+    }
+    val (tag, payload) = math.floorMod(id, 3) match {
+      case 0 =>
+        val p = new Array[Byte](10)
+        p(3) = 0x9d.toByte; p(4) = 0x01; p(5) = 0x2a
+        p(6) = (w & 0xff).toByte; p(7) = ((w >> 8) & 0x3f).toByte
+        p(8) = (h & 0xff).toByte; p(9) = ((h >> 8) & 0x3f).toByte
+        ("VP8 ", p)
+      case 1 =>
+        val bits = (w - 1) | ((h - 1) << 14) | ((if (alpha) 1 else 0) << 28)
+        val p = new Array[Byte](5)
+        p(0) = 0x2f
+        p(1) = (bits & 0xff).toByte; p(2) = ((bits >> 8) & 0xff).toByte
+        p(3) = ((bits >> 16) & 0xff).toByte; p(4) = ((bits >> 24) & 0xff).toByte
+        ("VP8L", p)
+      case _ =>
+        val p = new Array[Byte](10)
+        p(0) = (if (alpha) 0x10 else 0x00).toByte
+        val cw = w - 1
+        val ch = h - 1
+        p(4) = (cw & 0xff).toByte; p(5) = ((cw >> 8) & 0xff).toByte
+        p(6) = ((cw >> 16) & 0xff).toByte
+        p(7) = (ch & 0xff).toByte; p(8) = ((ch >> 8) & 0xff).toByte
+        p(9) = ((ch >> 16) & 0xff).toByte
+        ("VP8X", p)
+    }
+    val padded = payload.length + (payload.length & 1)
+    out.write("RIFF".getBytes("US-ASCII")); le32w(4 + 8 + padded)
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write(tag.getBytes("US-ASCII")); le32w(payload.length)
+    out.write(payload)
+    if ((payload.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  val metaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("has_alpha", BooleanType)))
+
+  /** `image_meta(content)` — header-only (format, width, height,
+    * has_alpha); NULL for corrupt/unknown bytes. */
+  case class ImageMeta(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"image_meta requires binary, got ${other.simpleString}")
+    }
+    override def dataType: DataType = metaType
+    override def nullable: Boolean = true
+    override def prettyName: String = "image_meta"
+    override protected def nullSafeEval(bytes: Any): Any =
+      imageMeta(bytes.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |${ev.value} = graft.expressions.ImageKernels.imageMeta($c);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): ImageMeta =
+      copy(child = newChild)
+  }
+
+  /** `synth_webp(id)` — deterministic WebP header fixture (see
+    * [[synthWebp]]). */
+  case class SynthWebp(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"synth_webp requires bigint, got ${other.simpleString}")
+    }
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "synth_webp"
+    override protected def nullSafeEval(id: Any): Any =
+      synthWebp(id.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.ImageKernels.synthWebp($c);")
+    override protected def withNewChildInternal(newChild: Expression): SynthWebp =
+      copy(child = newChild)
+  }
+
+  val metaInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[ImageMeta].getName,
+    null,
+    "image_meta",
+    "_FUNC_(content) - header-only image metadata (format, width, height, has_alpha) for PNG/GIF/BMP/JPEG/WebP(VP8,VP8L,VP8X); NULL for corrupt or unknown bytes.",
+    "", "", "", "", "", "", "built-in")
+
+  val synthWebpInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[SynthWebp].getName,
+    null,
+    "synth_webp",
+    "_FUNC_(id) - deterministic WebP header fixture rotating VP8/VP8L/VP8X framings (corrupt shell at id%7=6).",
+    "", "", "", "", "", "", "built-in")
 }

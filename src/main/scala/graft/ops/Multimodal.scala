@@ -149,6 +149,18 @@ object Multimodal {
   def videoMeta(content: Column): Column = call_function("video_meta", content)
 
   /**
+   * Header-only image metadata ([[graft.expressions.ImageKernels]]):
+   * `(format, width, height, has_alpha)` from the container header
+   * alone — PNG/GIF/BMP/JPEG plus the WebP framings (VP8 lossy, VP8L
+   * lossless, VP8X extended) that `javax.imageio` cannot decode at all.
+   * NULL for corrupt/unknown bytes. The cheap first pass of an image
+   * corpus: geometry filters, format routing, and a (format, w, h) key
+   * for formats whose pixels stay undecodable in-JDK. Requires
+   * [[graft.GraftExtensions.register]].
+   */
+  def imageMeta(content: Column): Column = call_function("image_meta", content)
+
+  /**
    * STUB decode (video PIXELS only, since round 8): deterministic
    * pseudo-features from raw bytes. Replace the marked expressions with a
    * real codec; the signature — binary in, fixed-width feature struct

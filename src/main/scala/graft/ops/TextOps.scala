@@ -761,14 +761,24 @@ object TextOps {
   private[ops] def stopwordRatio(ts: Column): Column =
     markerHitsFromTokens(ts, qualityStopwords).cast("double") / size(ts)
 
+  /** Deflate compression ratio of the text's UTF-8 bytes — the
+    * C4/Gopher long-range-redundancy signal the token-level repetition
+    * stats cannot see ([[graft.expressions.ZipKernels]]: level 6, raw
+    * stream, deterministic; empty → 1.0). Threshold with margin — gate
+    * on "< 0.25", not an exact count. Requires
+    * [[graft.GraftExtensions.register]]. */
+  def deflateRatio(text: Column): Column = call_function("deflate_ratio", text)
+
   /** Thresholds for [[curationGate]]. Defaults are permissive; set only the
-    * rules a corpus needs. `allowedLangs = Nil` disables the language rule. */
+    * rules a corpus needs. `allowedLangs = Nil` disables the language rule;
+    * `minDeflateRatio = 0` disables the long-range-redundancy rule. */
   final case class CurationRules(
       minTokens: Int = 1, maxTokens: Int = Int.MaxValue,
       minAvgWordLen: Double = 0.0, maxAvgWordLen: Double = Double.MaxValue,
       minStopwordRatio: Double = 0.0,
       maxTopTokenFrac: Double = 1.0, maxDupBigramFrac: Double = 1.0,
-      allowedLangs: Seq[String] = Nil)
+      allowedLangs: Seq[String] = Nil,
+      minDeflateRatio: Double = 0.0)
 
   /**
    * Composite curation gate — the full cheap-filter stack (length, word
@@ -806,6 +816,12 @@ object TextOps {
         (coalesce(col("_r.dup_2gram_frac"), lit(0.0)) > rules.maxDupBigramFrac)) ++
       (if (rules.allowedLangs.nonEmpty)
         Seq("lang" -> !langIdFromTokens(col("_toks")).isin(rules.allowedLangs: _*))
+      else Nil) ++
+      // page-scale boilerplate compresses to almost nothing while its
+      // token stats look normal — the deflate rung only pays when set
+      (if (rules.minDeflateRatio > 0.0)
+        Seq("deflate_ratio" ->
+          (deflateRatio(col("_text")) < rules.minDeflateRatio))
       else Nil)
     // concat_ws skips nulls → the reason list is exactly the failed rules
     val reasons = concat_ws(",",

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 import graft.GraftExtensions
 import graft.ops.{Corpus, Dedup, EvalRegistry, ManifestStore, MinhashIndex, Multimodal, Pii, Retrieval, Similarity, TextOps}
-import graft.sources.Jsonl
+import graft.sources.{Jsonl, Warc}
 
 /**
  * Driver-contract queries for the LLM-training-data operators (dedup,
@@ -429,6 +429,252 @@ object LlmQueries {
     "fi", "sv", "vi", "el", "und",
     "da", "no", "cs", "ro", "uk", "th", "he", "is", "bg",
     "und", "und")
+
+  /** Byte framing per [[langPlants]] index for q_pipeline_crawl_bytes:
+    * script-native legacy charsets where the text_from_bytes decode
+    * ladder supports them (the language gate must pick each from its
+    * bytes), windows-1252 where the plant is representable (the Latin
+    * legacy arm), UTF-16LE with BOM otherwise (el/he/th and the
+    * non-cp1252 Latin diacritics) — every framing decodes back to the
+    * exact plant string, so the capstone output is byte-identical to
+    * the text-fed variant's. */
+  private lazy val langPlantBytes: Seq[Array[Byte]] = {
+    import java.nio.charset.Charset
+    val native = Map("ja" -> "Shift_JIS", "zh" -> "GB18030",
+      "ko" -> "EUC-KR", "ru" -> "windows-1251", "uk" -> "windows-1251",
+      "bg" -> "windows-1251")
+    langPlants.zip(langPlantExpected).map { case (t, lang) =>
+      native.get(lang) match {
+        case Some(n) => t.getBytes(Charset.forName(n))
+        case None =>
+          val cp1252 = Charset.forName("windows-1252")
+          if (cp1252.newEncoder().canEncode(t)) t.getBytes(cp1252)
+          else Array[Byte](0xff.toByte, 0xfe.toByte) ++
+            t.getBytes(Charset.forName("UTF-16LE"))
+      }
+    }
+  }
+
+  /** The crawl-ingest capstone chain over a caller-supplied payload
+    * column `t0` (the planted text for q_pipeline_crawl, its
+    * text_from_bytes decode for q_pipeline_crawl_bytes) — ONE composed
+    * plan: HTML wrap+strip → URL hygiene (canonicalize → registrable-
+    * domain blocklist → eTLD+1 cap) → language-ID rejection gate →
+    * quality gate → within-doc line dedup → corpus-wide paragraph
+    * dedup → exact-fingerprint decontamination → temperature mix by
+    * detected language. */
+  private def crawlCapstone(s: SparkSession, dir: String, t0: Column): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val html = concat(
+      lit("<html><head><style>p{color:red}</style></head><body><h1>Doc "),
+      col("doc_id").cast("string"), lit("</h1><p>"), t0,
+      lit("</p><script>var x = 1 < 2;</script>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<p>A &amp; B &lt;tag&gt; &#8217;s &nbsp;end</p>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    val framed = d.select(col("doc_id"), plantedShardUrl.as("url"),
+      TextOps.stripHtml(html).as("text"))
+    // registrable-domain blocklist: the spam apex collapses every shard;
+    // one github tenant drops alone (private suffix keeps siblings)
+    val blocked = Seq("spam.co.uk", "www.u7.github.io").toDF("host")
+    val unblocked = Corpus.filterBlockedUrls(
+      framed, "url", blocked, matchRegistrable = true)
+    val domained = unblocked.withColumn("domain",
+      coalesce(
+        TextOps.registrableDomain(
+          TextOps.urlHost(TextOps.canonicalizeUrl(col("url")))),
+        TextOps.urlHost(TextOps.canonicalizeUrl(col("url")))))
+    val capped = Corpus.capPerGroup(domained, "domain", 10, col("doc_id").asc)
+    val langed = capped
+      .withColumn("lang", TextOps.langIdNgram(col("text")))
+      .where(col("lang") =!= "und")
+    val gate = TextOps.curationGate(langed, "doc_id", "text",
+      TextOps.CurationRules(
+        minTokens = 8, maxTopTokenFrac = 0.5, maxDupBigramFrac = 0.5))
+    val gated = langed.join(gate.where(col("keep")).select("doc_id"), Seq("doc_id"))
+    // boilerplate structure: a repeated promo line inside each doc and a
+    // shared copyright footer across docs — within-doc dedup collapses
+    // the repeat, corpus-wide keep-first leaves one global promo copy
+    val lined = gated.select(col("doc_id"), col("lang"), col("domain"),
+      concat_ws("\n",
+        lit("recommended for you"), col("text"),
+        lit("recommended for you"),
+        concat(lit("copyright "), (col("doc_id") % 7).cast("string"))).as("text"))
+    val within = Dedup.paragraphDedupWithinDoc(lined, "doc_id", "text")
+    val paraed = Dedup.paragraphDedup(within, "doc_id", "text")
+      .join(lined.select("doc_id", "lang", "domain"), Seq("doc_id"))
+    // decontamination: the %97 docs ARE the benchmark; any surviving doc
+    // whose cleaned text fingerprint matches a suite member drops
+    val suite = paraed.where(col("doc_id") % 97 === 0)
+      .select(TextOps.fingerprint(col("text")).as("_fp")).distinct()
+    val decon = paraed
+      .withColumn("_fp", TextOps.fingerprint(col("text")))
+      .join(broadcast(suite), Seq("_fp"), "left_anti")
+      .drop("_fp")
+    Corpus.sampleByTemperature(decon, "doc_id", "lang", temperature = 2.0)
+      .select("doc_id", "lang", "domain", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Shared oracle for q_pipeline_crawl and q_pipeline_crawl_bytes
+    * (the byte framings decode losslessly, so one CTE chain replays
+    * both): plants, strip, PSL walk, lang gate, quality, dedup
+    * tiers, decontamination, temperature mix. */
+  private lazy val pipelineCrawlOracle: String =
+      s"""WITH psl AS (SELECT * FROM ${graft.model.PublicSuffix.oracleValuesSql}),
+         |lp AS (SELECT * FROM ${graft.model.LangProfiles.oracleValuesSql}),
+         |lc AS (SELECT * FROM ${graft.model.LangProfiles.cutoffValuesSql}),
+         |langs AS (SELECT DISTINCT lang FROM lp),
+         |u AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 6 <= 1 THEN 'https://a' || CAST(doc_id % 97 AS VARCHAR)
+         |           || '.spam.co.uk/p/' || CAST(doc_id AS VARCHAR)
+         |         WHEN doc_id % 6 = 2 THEN 'https://u' || CAST(doc_id % 40 AS VARCHAR)
+         |           || '.github.io/x'
+         |         WHEN doc_id % 6 = 3 THEN 'https://sub.shop' || CAST(doc_id % 5 AS VARCHAR)
+         |           || '.ck/x'
+         |         WHEN doc_id % 6 = 4 THEN 'http://www.ck/x'
+         |         ELSE 'https://w' || CAST(doc_id % 8 AS VARCHAR)
+         |           || '.site' || CAST(doc_id % 7 AS VARCHAR) || '.com/x'
+         |    END AS url FROM documents),
+         |pt AS (SELECT doc_id, ${langPlantCase("text")} AS t0 FROM documents),
+         |h AS (SELECT doc_id,
+         |    '<html><head><style>p{color:red}</style></head><body><h1>Doc '
+         |    || CAST(doc_id AS VARCHAR) || '</h1><p>' || t0
+         |    || '</p><script>var x = 1 < 2;</script>'
+         |    || CASE WHEN doc_id % 3 = 0
+         |            THEN '<p>A &amp; B &lt;tag&gt; &#8217;s &nbsp;end</p>'
+         |            ELSE '' END
+         |    || '</body></html>' AS html FROM pt),
+         |cs1 AS (SELECT doc_id,
+         |          regexp_replace(html,
+         |            '(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>', ' ', 'g') AS t
+         |        FROM h),
+         |cs2 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM cs1),
+         |csn AS (SELECT doc_id, replace(t, '&#8217;', '’') AS t FROM cs2),
+         |cs3 AS (SELECT doc_id,
+         |          replace(replace(replace(replace(replace(t,
+         |            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+         |            '&quot;', '"'), '&amp;', '&') AS t
+         |        FROM csn),
+         |txt AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text FROM cs3),
+         |ul AS (SELECT doc_id,
+         |         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host,
+         |         string_split(lower(regexp_extract(url,
+         |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)), '.') AS ls
+         |       FROM u),
+         |uc AS (SELECT doc_id, host, ls, len(ls) AS n,
+         |         unnest(generate_series(1, len(ls))) AS i FROM ul),
+         |ucs AS (SELECT doc_id, ls, n, i,
+         |          array_to_string(ls[i:], '.') AS suffix,
+         |          CASE WHEN i < n THEN array_to_string(ls[i+1:], '.') END AS parent
+         |        FROM uc),
+         |um AS (SELECT ucs.doc_id, ucs.i,
+         |         CASE WHEN x.rule IS NOT NULL THEN ucs.i + 1
+         |              WHEN r.rule IS NOT NULL THEN ucs.i
+         |              WHEN w.rule IS NOT NULL THEN ucs.i END AS ps
+         |       FROM ucs
+         |       LEFT JOIN psl x ON x.kind = 'x' AND x.rule = ucs.suffix
+         |       LEFT JOIN psl r ON r.kind = 'r' AND r.rule = ucs.suffix
+         |       LEFT JOIN psl w ON w.kind = 'w' AND w.rule = ucs.parent),
+         |upick AS (SELECT doc_id, min(CASE WHEN ps IS NOT NULL THEN i END) AS mi
+         |          FROM um GROUP BY doc_id),
+         |ureg AS (SELECT l.doc_id, l.host,
+         |           coalesce(
+         |             CASE WHEN coalesce(m.ps, len(l.ls)) >= 2
+         |                  THEN array_to_string(l.ls[coalesce(m.ps, len(l.ls)) - 1:], '.')
+         |             END, l.host) AS domain
+         |         FROM ul l JOIN upick p ON p.doc_id = l.doc_id
+         |         LEFT JOIN um m ON m.doc_id = l.doc_id AND m.i = p.mi),
+         |ub AS (SELECT doc_id, domain FROM ureg
+         |       WHERE domain NOT IN ('spam.co.uk', 'u7.github.io')),
+         |ucap AS (SELECT doc_id, domain FROM (
+         |           SELECT doc_id, domain,
+         |                  row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+         |           FROM ub) WHERE rn <= 10),
+         |base AS MATERIALIZED (SELECT c.doc_id, c.domain, t.text FROM ucap c
+         |         JOIN txt t ON t.doc_id = c.doc_id),
+         |lgsrc AS (SELECT doc_id, text AS txt FROM base),
+         |${langidClassifyCtes("lg", "lgsrc")},
+         |langed AS (SELECT b.doc_id, b.domain, b.text,
+         |    CASE WHEN lb.lang IS NULL THEN 'und'
+         |         WHEN lb.dist * 1000 > lgdm.m * ${graft.model.LangProfiles.profileSize} * c.cut THEN 'und'
+         |         ELSE lb.lang END AS lang
+         |  FROM base b
+         |  LEFT JOIN lgbest lb ON lb.doc_id = b.doc_id AND lb.rn = 1
+         |  LEFT JOIN lgdm ON lgdm.doc_id = b.doc_id
+         |  LEFT JOIN lc c ON c.lang = lb.lang),
+         |lkept AS MATERIALIZED (SELECT * FROM langed WHERE lang <> 'und'),
+         |qt AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM lkept),
+         |qcnt AS (SELECT doc_id, tok, count(*) AS c
+         |         FROM (SELECT doc_id, unnest(ts) AS tok FROM qt) GROUP BY doc_id, tok),
+         |qrep AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS ttf
+         |         FROM qcnt GROUP BY doc_id),
+         |qg AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
+         |       FROM (SELECT doc_id, ts,
+         |               unnest(generate_series(1, CAST(len(ts) AS BIGINT) - 1)) AS i FROM qt)),
+         |qd AS (SELECT doc_id, CAST(count(*) - count(DISTINCT g) AS DOUBLE) / count(*) AS dbf
+         |       FROM qg GROUP BY doc_id),
+         |qr AS (SELECT qt.doc_id,
+         |         concat_ws(',',
+         |           CASE WHEN len(qt.ts) < 8 THEN 'too_few_tokens' END,
+         |           CASE WHEN qrep.ttf > 0.5 THEN 'top_token_frac' END,
+         |           CASE WHEN coalesce(qd.dbf, 0.0) > 0.5 THEN 'dup_2gram_frac' END) AS reasons
+         |       FROM qt JOIN qrep ON qrep.doc_id = qt.doc_id
+         |       LEFT JOIN qd ON qd.doc_id = qt.doc_id),
+         |qkept AS (SELECT l.doc_id, l.lang, l.domain, l.text
+         |          FROM lkept l JOIN qr ON qr.doc_id = l.doc_id
+         |          WHERE qr.reasons = ''),
+         |ld AS MATERIALIZED (SELECT doc_id, lang, domain,
+         |         'recommended for you' || chr(10) || text || chr(10) ||
+         |         'recommended for you' || chr(10) ||
+         |         'copyright ' || CAST(doc_id % 7 AS VARCHAR) AS text
+         |       FROM qkept),
+         |wl AS (SELECT doc_id, i, line FROM (
+         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         |         generate_subscripts(string_split(text, chr(10)), 1) AS i
+         |  FROM ld)),
+         |wk AS (SELECT doc_id, i, line FROM (
+         |  SELECT doc_id, i, line,
+         |         row_number() OVER (PARTITION BY doc_id, line ORDER BY i) AS rn
+         |  FROM wl) WHERE rn = 1),
+         |wr AS MATERIALIZED (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+         |       FROM wk GROUP BY doc_id),
+         |pl2 AS (SELECT doc_id, i - 1 AS pos, line FROM (
+         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         |         generate_subscripts(string_split(text, chr(10)), 1) AS i
+         |  FROM wr)),
+         |pk2 AS (SELECT doc_id, pos, line FROM (
+         |  SELECT doc_id, pos, line,
+         |         row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
+         |  FROM pl2) WHERE rn = 1),
+         |pr2 AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+         |        FROM pk2 GROUP BY doc_id),
+         |paraed AS MATERIALIZED (SELECT w.doc_id, d.lang, d.domain, coalesce(p.text, '') AS text
+         |           FROM wr w
+         |           JOIN ld d ON d.doc_id = w.doc_id
+         |           LEFT JOIN pr2 p ON p.doc_id = w.doc_id),
+         |suite AS (SELECT DISTINCT
+         |            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |          FROM paraed WHERE doc_id % 97 = 0),
+         |dec AS MATERIALIZED (SELECT p.doc_id, p.lang, p.domain, p.text FROM paraed p
+         |        LEFT JOIN suite s
+         |          ON s.fp = md5(regexp_replace(lower(trim(p.text)), '\\s+', ' ', 'g'))
+         |        WHERE s.fp IS NULL),
+         |tgrp AS (SELECT lang, count(*) AS n_rows FROM dec GROUP BY lang),
+         |ttot AS (SELECT SUM(n_rows) AS tn FROM tgrp),
+         |traw AS (SELECT lang,
+         |           pow(CAST(n_rows AS DOUBLE) / CAST(tn AS DOUBLE), 1.0/2.0 - 1.0) AS w
+         |         FROM tgrp CROSS JOIN ttot),
+         |tmx AS (SELECT MAX(w) AS mw FROM traw),
+         |trates AS (SELECT lang,
+         |             CAST(round(round(w / mw, 6) * 10000) AS BIGINT) AS thr
+         |           FROM traw CROSS JOIN tmx),
+         |mixed AS (SELECT dec.* FROM dec JOIN trates rt ON rt.lang = dec.lang
+         |          WHERE ('0x' || substr(md5('sample::' || CAST(dec.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < rt.thr)
+         |SELECT doc_id, lang, domain, text FROM mixed
+         |ORDER BY doc_id""".stripMargin
 
   /** The lang-id plant as a CASE over doc_id (every fifth doc replaced by
     * a [[langPlants]] entry in rotation). */
@@ -1724,24 +1970,70 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // WARC shard ingest over planted shards: synth_warc(doc_id) builds a
+    // closed-form shard (warcinfo + HTTP response + request; gzip
+    // member-per-record framing at odd ids, plain at even; a CHUNKED
+    // transfer body at id%5=0 that must de-chunk, a windows-1252 body at
+    // id%5=1 that text_from_bytes must decode, a truncated tail record
+    // at id%7=6 that must surface as the _corrupt sentinel) — then the
+    // real reader path explodes it and the body rides text_from_bytes,
+    // exactly the crawl-capstone front end. The oracle recomputes every
+    // field from the id closed form.
+    "q_src_warc" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(Warc.records(call_function("synth_warc", col("doc_id"))))
+            .as(Seq("rec_no", "rec")))
+        .select(col("doc_id"), col("rec_no"),
+          col("rec.warc_type").as("warc_type"), col("rec.url").as("url"),
+          col("rec.ts").as("ts"), col("rec.mime").as("mime"),
+          col("rec.status").as("status"),
+          TextOps.textFromBytes(col("rec.content")).as("body_text"))
+        .orderBy("doc_id", "rec_no")
+    }),
+
     // Byte-level ingest decode over planted byte fixtures: plain UTF-8
     // (identity on the ASCII docs text), legacy Windows-1252 bytes, one
     // and two rounds of UTF-8-as-cp1252 mojibake, undecodable garbage
-    // (cp1252 fallback), and empty input. The expected strings are
-    // closed-form by construction (the fixtures' round-trips are computed
-    // in the kernel's scaladoc provenance) — the oracle pins them as
-    // literals on the same doc_id families.
+    // (cp1252 fallback — note FF FE FA is ODD length, so the UTF-16 BOM
+    // tier correctly passes on it), empty input, and the round-16
+    // legacy-multibyte tier: Shift_JIS + EUC-JP Japanese (the SAME
+    // sentence in both framings — the gate must pick each charset from
+    // its bytes), EUC-KR Korean, GB18030 simplified vs Big5 traditional
+    // Chinese (structurally ambiguous — only the language gate
+    // separates them), windows-1251 Ukrainian (exercising the
+    // multi-language cp1251 set beyond the obvious ru), and UTF-16
+    // LE/BE with BOMs. The expected strings are closed-form by
+    // construction — the oracle pins them as literals on the same
+    // doc_id families.
     "q_text_from_bytes" -> ((s, dir) => {
       GraftExtensions.register(s)
-      val bytes = when(col("doc_id") % 6 === 0, encode(col("text"), "UTF-8"))
-        .when(col("doc_id") % 6 === 1,
+      val bytes = when(col("doc_id") % 14 === 0, encode(col("text"), "UTF-8"))
+        .when(col("doc_id") % 14 === 1,
           unhex(lit("636166E92064E96AE020767520393525206E61EF7665")))
-        .when(col("doc_id") % 6 === 2,
+        .when(col("doc_id") % 14 === 2,
           unhex(lit("636166C383C2A92064C383C2A96AC383C2A020767520393525206E61C383C2AF7665")))
-        .when(col("doc_id") % 6 === 3,
+        .when(col("doc_id") % 14 === 3,
           unhex(lit("636166C383C692C382C2A92064C383C692C382C2A96AC383C692C382C2A020767520393525206E61C383C692C382C2AF7665")))
-        .when(col("doc_id") % 6 === 4, unhex(lit("FFFEFA")))
-        .otherwise(encode(lit(""), "UTF-8"))
+        .when(col("doc_id") % 14 === 4, unhex(lit("FFFEFA")))
+        .when(col("doc_id") % 14 === 5, encode(lit(""), "UTF-8"))
+        .when(col("doc_id") % 14 === 6,
+          unhex(lit("8E718B9F82BD82BF82CD92A982C98A778D5A82D695E082A282C48D7382AB82DC82B7814290E690B682C688EA8F8F82C9967B82F093C782DD82DC82B78142")))
+        .when(col("doc_id") % 14 === 7,
+          unhex(lit("BBD2B6A1A4BFA4C1A4CFC4ABA4CBB3D8B9BBA4D8CAE2A4A4A4C6B9D4A4ADA4DEA4B9A1A3C0E8C0B8A4C8B0ECBDEFA4CBCBDCA4F2C6C9A4DFA4DEA4B9A1A3")))
+        .when(col("doc_id") % 14 === 8,
+          unhex(lit("BEC6C0CCB5E9C0BA20BEC6C4A7BFA120C7D0B1B3BFA120B0C9BEEEB0A1BCAD20BCB1BBFDB4D4B0FA20C7D4B2B220C3A5C0BB20C0D0BDC0B4CFB4D9")))
+        .when(col("doc_id") % 14 === 9,
+          unhex(lit("BAA2D7D3C3C7D4E7C9CFD7DFC2B7C8A5D1A7D0A3CBFBC3C7BACDC0CFCAA6D2BBC6F0B6C1CAE9C3BFCCECD4DAB3C7CAD0C0EFCDE6")))
+        .when(col("doc_id") % 14 === 10,
+          unhex(lit("ABC4A46CADCCA6ADA457A8ABB8F4A568BEC7AED5A54CADCCA94DA6D1AE76A440B05FC5AAAED1A843A4D1A662ABB0A5ABB8CCAAB1")))
+        .when(col("doc_id") % 14 === 11,
+          unhex(lit("E4B3F2E820E9E4F3F2FC20E2F0E0EDF6B320E4EE20F8EAEEEBE820B320F7E8F2E0FEF2FC20EAEDE8E6EAE820E720F3F7E8F2E5EBE5EC20F320ECB3F1F2B3")))
+        .when(col("doc_id") % 14 === 12,
+          unhex(lit("FFFE630061006600E9002000B403BF03BA03B903BC03AE032000420435043A0441044204")))
+        .otherwise(
+          unhex(lit("FEFF00630061006600E9002003B403BF03BA03B903BC03AE002004420435043A04410442")))
       docs(s, dir)
         .select(col("doc_id"), TextOps.textFromBytes(bytes).as("text_out"))
         .orderBy("doc_id")
@@ -1786,6 +2078,49 @@ object LlmQueries {
           TextOps.tokenCount(col("text")).as("n_tokens"),
           TextOps.subwordCount(col("text")).as("n_subwords"))
         .orderBy("doc_id")),
+
+    // Deflate compression-ratio signal (C4/Gopher long-range redundancy)
+    // over planted payloads with wide-margin expected buckets: a
+    // repeated boilerplate line (ratio far below 0.25), chained-md5 hex
+    // (mid-entropy, safely inside [0.25, 0.9)), and a 9-char unique
+    // string (deflate's block-framing floor pushes the ratio past 0.9).
+    // Buckets, not raw counts: exact deflate output may drift a few
+    // bytes across zlib builds; the operator contract is "threshold
+    // with margin" and the oracle pins exactly that.
+    "q_text_deflate" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val payload = when(col("doc_id") % 3 === 0,
+          repeat(lit("all work and no play makes jack a dull boy "),
+            (col("doc_id") % 5 + 20).cast("int")))
+        .when(col("doc_id") % 3 === 1,
+          concat((0 until 16).map(i =>
+            md5(concat(lit("df:"), (col("doc_id") + i).cast("string")))): _*))
+        .otherwise(
+          substring(md5(concat(lit("dfs:"), col("doc_id").cast("string"))), 1, 9))
+      val r = TextOps.deflateRatio(payload)
+      docs(s, dir)
+        .select(col("doc_id"),
+          when(r < 0.25, "redundant").when(r < 0.9, "mixed")
+            .otherwise("incompressible").as("bucket"))
+        .orderBy("doc_id")
+    }),
+
+    // The deflate rung inside the composite curation gate: every 11th
+    // doc's text is replaced by pure repeated boilerplate — token-level
+    // stats look ordinary (distinct-ish words, no dominant token), only
+    // the compression ratio exposes it. All other rules stay at their
+    // permissive defaults, so the planted docs fail EXACTLY the
+    // deflate_ratio rule and everything else keeps.
+    "q_text_curation_deflate" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          repeat(lit("home products pricing about contact careers blog "), 30))
+          .otherwise(col("text")).as("text"))
+      TextOps.curationGate(planted, "doc_id", "text",
+          TextOps.CurationRules(minDeflateRatio = 0.1))
+        .orderBy("doc_id")
+    }),
 
     // Quality signals (length / word stats / stopword ratio)
     "q_text_quality" -> ((s, dir) =>
@@ -2298,63 +2633,30 @@ object LlmQueries {
     // a uniform HTML wrap with an entity family (%3), boilerplate lines
     // around every doc, and the %97 benchmark membership.
     "q_pipeline_crawl" -> ((s, dir) => {
-      import s.implicits._
       GraftExtensions.register(s)
-      val d = docs(s, dir)
       val t0 = when(col("doc_id") % 5 === 0,
         element_at(array(langPlants.map(lit): _*),
           ((col("doc_id") / 5).cast("long") % langPlants.size + 1).cast("int")))
         .otherwise(col("text"))
-      val html = concat(
-        lit("<html><head><style>p{color:red}</style></head><body><h1>Doc "),
-        col("doc_id").cast("string"), lit("</h1><p>"), t0,
-        lit("</p><script>var x = 1 < 2;</script>"),
-        when(col("doc_id") % 3 === 0,
-          lit("<p>A &amp; B &lt;tag&gt; &#8217;s &nbsp;end</p>"))
-          .otherwise(lit("")),
-        lit("</body></html>"))
-      val framed = d.select(col("doc_id"), plantedShardUrl.as("url"),
-        TextOps.stripHtml(html).as("text"))
-      // registrable-domain blocklist: the spam apex collapses every shard;
-      // one github tenant drops alone (private suffix keeps siblings)
-      val blocked = Seq("spam.co.uk", "www.u7.github.io").toDF("host")
-      val unblocked = Corpus.filterBlockedUrls(
-        framed, "url", blocked, matchRegistrable = true)
-      val domained = unblocked.withColumn("domain",
-        coalesce(
-          TextOps.registrableDomain(
-            TextOps.urlHost(TextOps.canonicalizeUrl(col("url")))),
-          TextOps.urlHost(TextOps.canonicalizeUrl(col("url")))))
-      val capped = Corpus.capPerGroup(domained, "domain", 10, col("doc_id").asc)
-      val langed = capped
-        .withColumn("lang", TextOps.langIdNgram(col("text")))
-        .where(col("lang") =!= "und")
-      val gate = TextOps.curationGate(langed, "doc_id", "text",
-        TextOps.CurationRules(
-          minTokens = 8, maxTopTokenFrac = 0.5, maxDupBigramFrac = 0.5))
-      val gated = langed.join(gate.where(col("keep")).select("doc_id"), Seq("doc_id"))
-      // boilerplate structure: a repeated promo line inside each doc and a
-      // shared copyright footer across docs — within-doc dedup collapses
-      // the repeat, corpus-wide keep-first leaves one global promo copy
-      val lined = gated.select(col("doc_id"), col("lang"), col("domain"),
-        concat_ws("\n",
-          lit("recommended for you"), col("text"),
-          lit("recommended for you"),
-          concat(lit("copyright "), (col("doc_id") % 7).cast("string"))).as("text"))
-      val within = Dedup.paragraphDedupWithinDoc(lined, "doc_id", "text")
-      val paraed = Dedup.paragraphDedup(within, "doc_id", "text")
-        .join(lined.select("doc_id", "lang", "domain"), Seq("doc_id"))
-      // decontamination: the %97 docs ARE the benchmark; any surviving doc
-      // whose cleaned text fingerprint matches a suite member drops
-      val suite = paraed.where(col("doc_id") % 97 === 0)
-        .select(TextOps.fingerprint(col("text")).as("_fp")).distinct()
-      val decon = paraed
-        .withColumn("_fp", TextOps.fingerprint(col("text")))
-        .join(broadcast(suite), Seq("_fp"), "left_anti")
-        .drop("_fp")
-      Corpus.sampleByTemperature(decon, "doc_id", "lang", temperature = 2.0)
-        .select("doc_id", "lang", "domain", "text")
-        .orderBy("doc_id")
+      crawlCapstone(s, dir, t0)
+    }),
+
+    // The SAME capstone fed BYTES instead of text: every payload rides
+    // through text_from_bytes first — script-native legacy charsets
+    // where the decode ladder supports them (ja→Shift_JIS, zh→GB18030,
+    // ko→EUC-KR, ru/uk/bg→windows-1251), windows-1252 where the plant
+    // is representable (the Latin legacy arm), UTF-16LE+BOM for the
+    // rest (el/he/th/pl/cs/…), UTF-8 for the ordinary docs. Each
+    // framing decodes back to the EXACT plant string, so the oracle is
+    // bit-identical to q_pipeline_crawl's — the corpus-level proof that
+    // byte ingest composes losslessly with the whole curation front end.
+    "q_pipeline_crawl_bytes" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val idx = ((col("doc_id") / 5).cast("long") % langPlants.size + 1).cast("int")
+      val bytes = when(col("doc_id") % 5 === 0,
+        element_at(array(langPlantBytes.map(lit(_)): _*), idx))
+        .otherwise(encode(col("text"), "UTF-8"))
+      crawlCapstone(s, dir, TextOps.textFromBytes(bytes))
     }),
 
     // Per-source quota cap: keep each source's 10 longest documents
@@ -2604,6 +2906,29 @@ object LlmQueries {
     // the pure-JDK ISO-BMFF kernel; the oracle recomputes duration/track/
     // codec/dims from the generation formulas, so a parser that misreads
     // any box offset hash-fails
+    // Header-only image metadata over planted fixtures: WebP headers
+    // (rotating VP8/VP8L/VP8X framings with a truncated-shell corrupt
+    // arm at id%7=6 — the format javax.imageio cannot decode, where the
+    // metadata tier is the ONLY tier) mixed with real synth PNGs whose
+    // IHDR geometry is closed-form in the id. The oracle recomputes
+    // every field from the generation parameters; corrupt → NULL.
+    "q_mm_image_meta" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val content = when(col("doc_id") % 3 < 2,
+        call_function("synth_webp", col("doc_id")))
+        .otherwise(call_function("synth_image", col("doc_id")))
+      docs(s, dir)
+        .select(col("doc_id").as("asset_id"),
+          Multimodal.imageMeta(content).as("m"))
+        .select(col("asset_id"),
+          col("m.format").as("format"), col("m.width").as("width"),
+          col("m.height").as("height"),
+          // INT, not BOOLEAN: a nullable bool's None/NaN representation
+          // diverges between the engines' dataframe bridges
+          col("m.has_alpha").cast("int").as("has_alpha"))
+        .orderBy("asset_id")
+    }),
+
     "q_mm_video_meta" -> ((s, dir) => {
       GraftExtensions.register(s)
       val assets = Multimodal.asAsset(
@@ -3990,15 +4315,75 @@ object LlmQueries {
         |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_clean
         |FROM s3 ORDER BY doc_id""".stripMargin,
 
+    "q_src_warc" ->
+      """WITH ids AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS arm,
+        |    'https://w' || CAST(doc_id % 8 AS VARCHAR) || '.example.com/p/'
+        |      || CAST(doc_id AS VARCHAR) AS url,
+        |    '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+        |      || 'T00:00:00Z' AS ts,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 200 WHEN 1 THEN 404
+        |      ELSE 503 END AS status
+        |  FROM documents),
+        |recs AS (
+        |  SELECT doc_id, 0 AS rec_no, 'warcinfo' AS warc_type,
+        |         CAST(NULL AS VARCHAR) AS url, ts,
+        |         'application/warc-fields' AS mime,
+        |         CAST(NULL AS INT) AS status,
+        |         'software: graft-synth' AS body_text
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'response', url, ts,
+        |         CASE WHEN arm = 1 THEN 'text/html; charset=windows-1252'
+        |              ELSE 'text/html; charset=UTF-8' END,
+        |         status,
+        |         CASE WHEN arm = 1 THEN 'café page ' || CAST(doc_id AS VARCHAR)
+        |              ELSE '<html><body><p>synth page '
+        |                || CAST(doc_id AS VARCHAR) || '</p></body></html>' END
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'request', url, ts,
+        |         'application/http;msgtype=request', CAST(NULL AS INT),
+        |         'GET /p/' || CAST(doc_id AS VARCHAR) || ' HTTP/1.1'
+        |           || chr(13) || chr(10) || chr(13) || chr(10)
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 3, '_corrupt', CAST(NULL AS VARCHAR),
+        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |         CAST(NULL AS INT), CAST(NULL AS VARCHAR)
+        |  FROM ids WHERE doc_id % 7 = 6)
+        |SELECT * FROM recs ORDER BY doc_id, rec_no""".stripMargin,
+
     "q_text_from_bytes" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 6 AS INT)
+        |  CASE CAST(doc_id % 14 AS INT)
         |    WHEN 0 THEN text
         |    WHEN 1 THEN 'café déjà vu 95% naïve'
         |    WHEN 2 THEN 'café déjà vu 95% naïve'
         |    WHEN 3 THEN 'café déjà vu 95% naïve'
         |    WHEN 4 THEN 'ÿþú'
-        |    ELSE '' END AS text_out
+        |    WHEN 5 THEN ''
+        |    WHEN 6 THEN '子供たちは朝に学校へ歩いて行きます。先生と一緒に本を読みます。'
+        |    WHEN 7 THEN '子供たちは朝に学校へ歩いて行きます。先生と一緒に本を読みます。'
+        |    WHEN 8 THEN '아이들은 아침에 학교에 걸어가서 선생님과 함께 책을 읽습니다'
+        |    WHEN 9 THEN '孩子们早上走路去学校他们和老师一起读书每天在城市里玩'
+        |    WHEN 10 THEN '孩子們早上走路去學校他們和老師一起讀書每天在城市裡玩'
+        |    WHEN 11 THEN 'діти йдуть вранці до школи і читають книжки з учителем у місті'
+        |    WHEN 12 THEN 'café δοκιμή текст'
+        |    ELSE 'café δοκιμή текст' END AS text_out
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_deflate" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 'redundant'
+        |    WHEN 1 THEN 'mixed'
+        |    ELSE 'incompressible' END AS bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_curation_deflate" ->
+      """SELECT doc_id,
+        |  doc_id % 11 <> 0 AS keep,
+        |  CASE WHEN doc_id % 11 = 0 THEN 'deflate_ratio' ELSE '' END AS reasons
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_boilerplate" ->
@@ -4823,159 +5208,11 @@ object LlmQueries {
     // classification + rejection gate, quality rules, within-doc line
     // dedup, corpus-wide keep-first paragraph dedup, %97-suite exact
     // decontamination, temperature mix T=2 by detected language
-    "q_pipeline_crawl" ->
-      s"""WITH psl AS (SELECT * FROM ${graft.model.PublicSuffix.oracleValuesSql}),
-         |lp AS (SELECT * FROM ${graft.model.LangProfiles.oracleValuesSql}),
-         |lc AS (SELECT * FROM ${graft.model.LangProfiles.cutoffValuesSql}),
-         |langs AS (SELECT DISTINCT lang FROM lp),
-         |u AS (SELECT doc_id,
-         |    CASE WHEN doc_id % 6 <= 1 THEN 'https://a' || CAST(doc_id % 97 AS VARCHAR)
-         |           || '.spam.co.uk/p/' || CAST(doc_id AS VARCHAR)
-         |         WHEN doc_id % 6 = 2 THEN 'https://u' || CAST(doc_id % 40 AS VARCHAR)
-         |           || '.github.io/x'
-         |         WHEN doc_id % 6 = 3 THEN 'https://sub.shop' || CAST(doc_id % 5 AS VARCHAR)
-         |           || '.ck/x'
-         |         WHEN doc_id % 6 = 4 THEN 'http://www.ck/x'
-         |         ELSE 'https://w' || CAST(doc_id % 8 AS VARCHAR)
-         |           || '.site' || CAST(doc_id % 7 AS VARCHAR) || '.com/x'
-         |    END AS url FROM documents),
-         |pt AS (SELECT doc_id, ${langPlantCase("text")} AS t0 FROM documents),
-         |h AS (SELECT doc_id,
-         |    '<html><head><style>p{color:red}</style></head><body><h1>Doc '
-         |    || CAST(doc_id AS VARCHAR) || '</h1><p>' || t0
-         |    || '</p><script>var x = 1 < 2;</script>'
-         |    || CASE WHEN doc_id % 3 = 0
-         |            THEN '<p>A &amp; B &lt;tag&gt; &#8217;s &nbsp;end</p>'
-         |            ELSE '' END
-         |    || '</body></html>' AS html FROM pt),
-         |cs1 AS (SELECT doc_id,
-         |          regexp_replace(html,
-         |            '(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>', ' ', 'g') AS t
-         |        FROM h),
-         |cs2 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM cs1),
-         |csn AS (SELECT doc_id, replace(t, '&#8217;', '’') AS t FROM cs2),
-         |cs3 AS (SELECT doc_id,
-         |          replace(replace(replace(replace(replace(t,
-         |            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-         |            '&quot;', '"'), '&amp;', '&') AS t
-         |        FROM csn),
-         |txt AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text FROM cs3),
-         |ul AS (SELECT doc_id,
-         |         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host,
-         |         string_split(lower(regexp_extract(url,
-         |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)), '.') AS ls
-         |       FROM u),
-         |uc AS (SELECT doc_id, host, ls, len(ls) AS n,
-         |         unnest(generate_series(1, len(ls))) AS i FROM ul),
-         |ucs AS (SELECT doc_id, ls, n, i,
-         |          array_to_string(ls[i:], '.') AS suffix,
-         |          CASE WHEN i < n THEN array_to_string(ls[i+1:], '.') END AS parent
-         |        FROM uc),
-         |um AS (SELECT ucs.doc_id, ucs.i,
-         |         CASE WHEN x.rule IS NOT NULL THEN ucs.i + 1
-         |              WHEN r.rule IS NOT NULL THEN ucs.i
-         |              WHEN w.rule IS NOT NULL THEN ucs.i END AS ps
-         |       FROM ucs
-         |       LEFT JOIN psl x ON x.kind = 'x' AND x.rule = ucs.suffix
-         |       LEFT JOIN psl r ON r.kind = 'r' AND r.rule = ucs.suffix
-         |       LEFT JOIN psl w ON w.kind = 'w' AND w.rule = ucs.parent),
-         |upick AS (SELECT doc_id, min(CASE WHEN ps IS NOT NULL THEN i END) AS mi
-         |          FROM um GROUP BY doc_id),
-         |ureg AS (SELECT l.doc_id, l.host,
-         |           coalesce(
-         |             CASE WHEN coalesce(m.ps, len(l.ls)) >= 2
-         |                  THEN array_to_string(l.ls[coalesce(m.ps, len(l.ls)) - 1:], '.')
-         |             END, l.host) AS domain
-         |         FROM ul l JOIN upick p ON p.doc_id = l.doc_id
-         |         LEFT JOIN um m ON m.doc_id = l.doc_id AND m.i = p.mi),
-         |ub AS (SELECT doc_id, domain FROM ureg
-         |       WHERE domain NOT IN ('spam.co.uk', 'u7.github.io')),
-         |ucap AS (SELECT doc_id, domain FROM (
-         |           SELECT doc_id, domain,
-         |                  row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
-         |           FROM ub) WHERE rn <= 10),
-         |base AS MATERIALIZED (SELECT c.doc_id, c.domain, t.text FROM ucap c
-         |         JOIN txt t ON t.doc_id = c.doc_id),
-         |lgsrc AS (SELECT doc_id, text AS txt FROM base),
-         |${langidClassifyCtes("lg", "lgsrc")},
-         |langed AS (SELECT b.doc_id, b.domain, b.text,
-         |    CASE WHEN lb.lang IS NULL THEN 'und'
-         |         WHEN lb.dist * 1000 > lgdm.m * ${graft.model.LangProfiles.profileSize} * c.cut THEN 'und'
-         |         ELSE lb.lang END AS lang
-         |  FROM base b
-         |  LEFT JOIN lgbest lb ON lb.doc_id = b.doc_id AND lb.rn = 1
-         |  LEFT JOIN lgdm ON lgdm.doc_id = b.doc_id
-         |  LEFT JOIN lc c ON c.lang = lb.lang),
-         |lkept AS MATERIALIZED (SELECT * FROM langed WHERE lang <> 'und'),
-         |qt AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM lkept),
-         |qcnt AS (SELECT doc_id, tok, count(*) AS c
-         |         FROM (SELECT doc_id, unnest(ts) AS tok FROM qt) GROUP BY doc_id, tok),
-         |qrep AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS ttf
-         |         FROM qcnt GROUP BY doc_id),
-         |qg AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
-         |       FROM (SELECT doc_id, ts,
-         |               unnest(generate_series(1, CAST(len(ts) AS BIGINT) - 1)) AS i FROM qt)),
-         |qd AS (SELECT doc_id, CAST(count(*) - count(DISTINCT g) AS DOUBLE) / count(*) AS dbf
-         |       FROM qg GROUP BY doc_id),
-         |qr AS (SELECT qt.doc_id,
-         |         concat_ws(',',
-         |           CASE WHEN len(qt.ts) < 8 THEN 'too_few_tokens' END,
-         |           CASE WHEN qrep.ttf > 0.5 THEN 'top_token_frac' END,
-         |           CASE WHEN coalesce(qd.dbf, 0.0) > 0.5 THEN 'dup_2gram_frac' END) AS reasons
-         |       FROM qt JOIN qrep ON qrep.doc_id = qt.doc_id
-         |       LEFT JOIN qd ON qd.doc_id = qt.doc_id),
-         |qkept AS (SELECT l.doc_id, l.lang, l.domain, l.text
-         |          FROM lkept l JOIN qr ON qr.doc_id = l.doc_id
-         |          WHERE qr.reasons = ''),
-         |ld AS MATERIALIZED (SELECT doc_id, lang, domain,
-         |         'recommended for you' || chr(10) || text || chr(10) ||
-         |         'recommended for you' || chr(10) ||
-         |         'copyright ' || CAST(doc_id % 7 AS VARCHAR) AS text
-         |       FROM qkept),
-         |wl AS (SELECT doc_id, i, line FROM (
-         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
-         |         generate_subscripts(string_split(text, chr(10)), 1) AS i
-         |  FROM ld)),
-         |wk AS (SELECT doc_id, i, line FROM (
-         |  SELECT doc_id, i, line,
-         |         row_number() OVER (PARTITION BY doc_id, line ORDER BY i) AS rn
-         |  FROM wl) WHERE rn = 1),
-         |wr AS MATERIALIZED (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
-         |       FROM wk GROUP BY doc_id),
-         |pl2 AS (SELECT doc_id, i - 1 AS pos, line FROM (
-         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
-         |         generate_subscripts(string_split(text, chr(10)), 1) AS i
-         |  FROM wr)),
-         |pk2 AS (SELECT doc_id, pos, line FROM (
-         |  SELECT doc_id, pos, line,
-         |         row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
-         |  FROM pl2) WHERE rn = 1),
-         |pr2 AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
-         |        FROM pk2 GROUP BY doc_id),
-         |paraed AS MATERIALIZED (SELECT w.doc_id, d.lang, d.domain, coalesce(p.text, '') AS text
-         |           FROM wr w
-         |           JOIN ld d ON d.doc_id = w.doc_id
-         |           LEFT JOIN pr2 p ON p.doc_id = w.doc_id),
-         |suite AS (SELECT DISTINCT
-         |            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-         |          FROM paraed WHERE doc_id % 97 = 0),
-         |dec AS MATERIALIZED (SELECT p.doc_id, p.lang, p.domain, p.text FROM paraed p
-         |        LEFT JOIN suite s
-         |          ON s.fp = md5(regexp_replace(lower(trim(p.text)), '\\s+', ' ', 'g'))
-         |        WHERE s.fp IS NULL),
-         |tgrp AS (SELECT lang, count(*) AS n_rows FROM dec GROUP BY lang),
-         |ttot AS (SELECT SUM(n_rows) AS tn FROM tgrp),
-         |traw AS (SELECT lang,
-         |           pow(CAST(n_rows AS DOUBLE) / CAST(tn AS DOUBLE), 1.0/2.0 - 1.0) AS w
-         |         FROM tgrp CROSS JOIN ttot),
-         |tmx AS (SELECT MAX(w) AS mw FROM traw),
-         |trates AS (SELECT lang,
-         |             CAST(round(round(w / mw, 6) * 10000) AS BIGINT) AS thr
-         |           FROM traw CROSS JOIN tmx),
-         |mixed AS (SELECT dec.* FROM dec JOIN trates rt ON rt.lang = dec.lang
-         |          WHERE ('0x' || substr(md5('sample::' || CAST(dec.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < rt.thr)
-         |SELECT doc_id, lang, domain, text FROM mixed
-         |ORDER BY doc_id""".stripMargin,
+    "q_pipeline_crawl" -> pipelineCrawlOracle,
+
+    // the bytes variant decodes every framing back to the exact
+    // plant text, so its oracle is IDENTICAL
+    "q_pipeline_crawl_bytes" -> pipelineCrawlOracle,
 
     "q_corpus_shard" ->
       """SELECT doc_id, source, shard, CAST(ord AS INT) AS ord FROM (
@@ -5379,6 +5616,25 @@ object LlmQueries {
     // .synthMp4): timescale 1000+(id%9)*100, ticks 48000+(id*7)%100000,
     // duration_ms = ticks*1000 // timescale, 1+id%3 tracks, video codec by
     // id%3, dims 320+(id%16)*40 x 240+(id%9)*40, id%7==6 corrupt -> NULLs
+    "q_mm_image_meta" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 3 < 2
+        |       THEN CASE WHEN doc_id % 7 = 6 THEN NULL ELSE 'webp' END
+        |       ELSE 'png' END AS format,
+        |  CASE WHEN doc_id % 3 < 2
+        |       THEN CASE WHEN doc_id % 7 = 6 THEN NULL
+        |            ELSE CAST(16 + doc_id % 32 AS INT) END
+        |       ELSE CAST(8 + doc_id % 8 AS INT) END AS width,
+        |  CASE WHEN doc_id % 3 < 2
+        |       THEN CASE WHEN doc_id % 7 = 6 THEN NULL
+        |            ELSE CAST(16 + doc_id % 16 AS INT) END
+        |       ELSE CAST(8 + doc_id % 5 AS INT) END AS height,
+        |  CASE WHEN doc_id % 3 < 2
+        |       THEN CASE WHEN doc_id % 7 = 6 THEN NULL
+        |            ELSE CAST(doc_id % 3 <> 0 AND doc_id % 2 = 1 AS INT) END
+        |       ELSE 0 END AS has_alpha
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
     "q_mm_video_meta" ->
       """SELECT doc_id AS asset_id,
         |  CASE WHEN doc_id % 7 = 6 THEN NULL

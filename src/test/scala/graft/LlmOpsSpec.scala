@@ -2438,6 +2438,161 @@ class LlmOpsSpec extends SparkSpec {
     assert(out2 == clean, s"double mojibake repair: $out2")
   }
 
+  test("TextOps.textFromBytes legacy-multibyte tier: each charset picked " +
+    "from its bytes by the language gate, ambiguous pairs separated, " +
+    "Latin cp1252 never hijacked, UTF-16 BOM tier structural") {
+    import spark.implicits._
+    import java.nio.charset.Charset
+    graft.GraftExtensions.register(spark)
+    def decode(b: Array[Byte]): String =
+      Seq(Tuple1(b)).toDF("b")
+        .select(graft.ops.TextOps.textFromBytes($"b")).as[String].collect().head
+    val ja = "子供たちは朝に学校へ歩いて行きます。先生と一緒に本を読みます。"
+    val ko = "아이들은 아침에 학교에 걸어가서 선생님과 함께 책을 읽습니다"
+    val zhS = "孩子们早上走路去学校他们和老师一起读书每天在城市里玩"
+    val zhT = "孩子們早上走路去學校他們和老師一起讀書每天在城市裡玩"
+    val uk = "діти йдуть вранці до школи і читають книжки з учителем у місті"
+    val ru = "дети идут в школу утром и читают книги с учителем в городе"
+    val bg = "децата вървят сутрин към училището и четат книги с учителя в града"
+    // the SAME Japanese sentence in both Japanese framings — byte
+    // structure alone cannot separate EUC-JP from GB2312 (shared EUC
+    // frame + kana rows); the language-set gate must
+    for (cs <- Seq("Shift_JIS", "EUC-JP"))
+      assert(decode(ja.getBytes(Charset.forName(cs))) == ja, cs)
+    assert(decode(ko.getBytes(Charset.forName("EUC-KR"))) == ko)
+    // the structurally-ambiguous Chinese pair: GB18030 simplified vs
+    // Big5 traditional both land in the zh profile's acceptance region,
+    // each from its own bytes
+    assert(decode(zhS.getBytes(Charset.forName("GB18030"))) == zhS)
+    assert(decode(zhT.getBytes(Charset.forName("Big5"))) == zhT)
+    // windows-1251 is a LANGUAGE SET (bg/ru/uk), not just Russian
+    for (t <- Seq(ru, uk, bg))
+      assert(decode(t.getBytes(Charset.forName("windows-1251"))) == t, t)
+    // a French cp1252 page strict-decodes under windows-1251 too (all
+    // single bytes map) — but reads as Latin-with-stray-Cyrillic, the
+    // classifier rejects it, and the cp1252 fallback wins
+    val fr = "café déjà vu 95% naïve les enfants marchent vers la maison"
+    assert(decode(fr.getBytes(Charset.forName("windows-1252"))) == fr)
+    // UTF-16 tier: BOM + strict decode, both endiannesses
+    val mixed = "café δοκιμή текст"
+    assert(decode(Array[Byte](0xff.toByte, 0xfe.toByte) ++
+      mixed.getBytes(Charset.forName("UTF-16LE"))) == mixed)
+    assert(decode(Array[Byte](0xfe.toByte, 0xff.toByte) ++
+      mixed.getBytes(Charset.forName("UTF-16BE"))) == mixed)
+    // bare BOM (no content) and odd length fall through to cp1252
+    assert(decode(Array[Byte](0xff.toByte, 0xfe.toByte)) == "ÿþ")
+    assert(decode(Array[Byte](0xff.toByte, 0xfe.toByte, 0xfa.toByte)) == "ÿþú")
+    // BOM + unpaired surrogate (D800 little-endian) is NOT valid UTF-16
+    // — strict decode refuses, the ladder falls to cp1252
+    assert(decode(Array[Byte](0xff.toByte, 0xfe.toByte, 0x00, 0xd8.toByte))
+      == "ÿþ\u0000Ø")
+    // too-short CJK (one ideograph) cannot clear the language gate —
+    // deterministic cp1252 fallback, never a half-confident guess
+    assert(decode("中".getBytes(Charset.forName("Big5"))) == "¤¤")
+  }
+
+  test("ImageKernels.imageMeta: header-only metadata for every format, " +
+    "WebP framings agree with their generator, corrupt -> NULL law") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    def meta(b: Array[Byte]): Option[(String, Int, Int, Boolean)] = {
+      val r = Seq(Tuple1(b)).toDF("b")
+        .select(graft.ops.Multimodal.imageMeta($"b").as("m"))
+        .select($"m.format", $"m.width", $"m.height", $"m.has_alpha")
+        .collect().head
+      if (r.isNullAt(0)) None
+      else Some((r.getString(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))
+    }
+    // real encoders: the header tier must agree with the pixel tier
+    def encoded(fmt: String, w: Int, h: Int, argb: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        if (argb) java.awt.image.BufferedImage.TYPE_INT_ARGB
+        else java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, baos)
+      baos.toByteArray
+    }
+    assert(meta(encoded("png", 17, 9, argb = false)) ==
+      Some(("png", 17, 9, false)))
+    assert(meta(encoded("png", 5, 31, argb = true)) ==
+      Some(("png", 5, 31, true)), "IHDR color type 6 carries alpha")
+    assert(meta(encoded("gif", 12, 7, argb = false)) ==
+      Some(("gif", 12, 7, false)))
+    assert(meta(encoded("bmp", 23, 11, argb = false)) ==
+      Some(("bmp", 23, 11, false)))
+    assert(meta(encoded("jpg", 33, 21, argb = false)) ==
+      Some(("jpeg", 33, 21, false)))
+    // WebP framings straight from the fixture generator: VP8 (id%3=0,
+    // alpha structurally absent), VP8L (id%3=1), VP8X (id%3=2) — with
+    // geometry and alpha recomputed from the id closed form
+    for (id <- Seq(0L, 3L, 12L, 1L, 7L, 31L, 2L, 5L, 23L)) {
+      val w = (16 + id % 32).toInt
+      val h = (16 + id % 16).toInt
+      val alpha = id % 3 != 0 && id % 2 == 1
+      assert(meta(graft.expressions.ImageKernels.synthWebp(id)) ==
+        Some(("webp", w, h, alpha)), s"id=$id")
+    }
+    // corrupt/truncated/unknown → NULL, never a throw
+    assert(meta(graft.expressions.ImageKernels.synthWebp(6L)) == None,
+      "truncated RIFF shell")
+    assert(meta(Array[Byte]()) == None)
+    assert(meta("not an image at all".getBytes("UTF-8")) == None)
+    assert(meta(encoded("png", 4, 4, argb = false).take(20)) == None,
+      "truncated IHDR")
+    val badSync = graft.expressions.ImageKernels.synthWebp(0L)
+    badSync(23) = 0x00 // break the VP8 sync code
+    assert(meta(badSync) == None)
+    // JPEG marker walk survives leading APPn segments (real camera
+    // files): the ImageIO JPEG already carries APP0/JFIF — covered
+    // above; a bare SOS before SOF must be NULL, not a scan
+    assert(meta(Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02)
+      .map(_.toByte)) == None)
+  }
+
+  test("ZipKernels.deflateRatio: ordering across redundancy classes, " +
+    "null/empty laws, determinism, and the curation-gate rung") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val redundant = "all work and no play makes jack a dull boy " * 25
+    val prose = "the students finished their homework before dinner and " +
+      "watched a movie together while the rain kept falling outside"
+    val shortUnique = "x9f2ab17c"
+    val rows = Seq((1L, redundant), (2L, prose), (3L, shortUnique),
+      (4L, ""), (5L, null))
+    val out = rows.toDF("id", "t")
+      .select($"id", graft.ops.TextOps.deflateRatio($"t").as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)))).toMap
+    assert(out(1L) != null && out(1L).doubleValue < 0.25,
+      s"repeated boilerplate must compress hard: ${out(1L)}")
+    assert(out(2L) != null && out(2L).doubleValue > 0.25 &&
+      out(2L).doubleValue < 0.9, s"prose sits in the middle: ${out(2L)}")
+    assert(out(3L) != null && out(3L).doubleValue >= 0.9,
+      s"short unique text hits the framing floor: ${out(3L)}")
+    assert(out(4L) != null && out(4L).doubleValue == 1.0, "empty -> 1.0")
+    assert(out(5L) == null, "null -> null")
+    // determinism: the kernel re-evaluated gives identical doubles
+    val again = rows.toDF("id", "t")
+      .select($"id", graft.ops.TextOps.deflateRatio($"t").as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)))).toMap
+    assert(out == again)
+    // gate rung: the planted boilerplate fails EXACTLY deflate_ratio;
+    // prose passes; the rule costs nothing unless set (default run
+    // keeps both)
+    val gated = graft.ops.TextOps.curationGate(
+        Seq((1L, redundant), (2L, prose)).toDF("doc_id", "text"),
+        "doc_id", "text",
+        graft.ops.TextOps.CurationRules(minDeflateRatio = 0.1))
+      .orderBy("doc_id").as[(Long, Boolean, String)].collect().toSeq
+    assert(gated == Seq((1L, false, "deflate_ratio"), (2L, true, "")))
+    val defaulted = graft.ops.TextOps.curationGate(
+        Seq((1L, redundant), (2L, prose)).toDF("doc_id", "text"),
+        "doc_id", "text", graft.ops.TextOps.CurationRules())
+      .orderBy("doc_id").as[(Long, Boolean, String)].collect().toSeq
+    assert(defaulted.forall(_._2), "disabled rule must not fire")
+  }
+
   test("ByteKernels strict UTF-8 validation: overlongs, surrogates, and " +
     "range/truncation edges all fall to the cp1252 path, valid boundaries decode") {
     import spark.implicits._

@@ -335,6 +335,32 @@ class PlanAuditSpec extends SparkSpec {
       s"no partial sketch below the exchange:\n$p")
   }
 
+  test("r16 kernels stay native and shuffle-free: WARC parse rides the " +
+    "scan-side Generate; deflate/image-meta/byte-decode are pure " +
+    "projections; the bytes-fed capstone keeps the capstone's shape") {
+    // warc_records: one per-shard parse exploded scan-side — the only
+    // exchange the final presentation sort; never a join
+    val w = plan("q_src_warc")
+    assert(!w.contains("ScalaUDF"), s"warc parse fell back to a UDF:\n${w.take(600)}")
+    assert(w.contains("Generate"), s"no scan-side explode:\n${w.take(600)}")
+    assert(!w.contains("Join"), s"warc read must not join:\n${w.take(600)}")
+    // per-row kernel controls: projection + presentation sort only
+    for (q <- Seq("q_text_deflate", "q_mm_image_meta", "q_text_from_bytes")) {
+      val p = plan(q)
+      assert(!p.contains("ScalaUDF"), s"$q fell back to a UDF:\n${p.take(600)}")
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+        s"$q is a per-row kernel — no joins belong in its plan:\n${p.take(600)}")
+    }
+    // the bytes-fed capstone twin carries the same plan contract as the
+    // text-fed capstone: kernels native, equi/anti joins only, tiny
+    // frames broadcast
+    val p = plan("q_pipeline_crawl_bytes")
+    assert(!p.contains("CartesianProduct"), s"bytes capstone planned a cartesian:\n${p.take(800)}")
+    assert(!p.contains("ScalaUDF"), s"a kernel fell back to a UDF:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in the chain:\n${p.take(800)}")
+    assert(p.contains("LeftAnti"), "decontamination must plan an anti-join")
+  }
+
   test("span dedup: equi-joins only — no occurrence-pair blowup") {
     // the operator's scale claim is that k occurrences of a window cost k
     // rows, never k² — so the plan must contain no cartesian and no

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.expressions.WarcKernels
+import graft.sources.Warc
+
+/**
+ * WARC shard ingest: batch/stream parity, gzip member framing, HTTP
+ * envelope + de-chunking, the _corrupt sentinel contract, and the
+ * ingest-health ledger (the JsonlStreamSpec shape for crawl bytes).
+ */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeShard(dir: String, name: String, ids: Seq[Long]): Unit = {
+    val out = new java.io.ByteArrayOutputStream()
+    ids.foreach(id => out.write(WarcKernels.synthWarc(id)))
+    Files.write(Paths.get(dir, name), out.toByteArray)
+  }
+
+  test("batch read: plain and gzip-member shards parse identically; " +
+    "chunked bodies de-chunk; the HTTP envelope is stripped") {
+    graft.GraftExtensions.register(spark)
+    val dir = tmpDir("warc_batch")
+    writeShard(dir, "even.warc", Seq(0L, 2L, 4L))      // plain framing
+    writeShard(dir, "odd.warc.gz", Seq(1L, 3L, 5L))    // member-per-record
+    val rows = Warc.read(spark, dir)
+      .select("path", "rec_no", "warc_type", "url", "status", "content")
+      .collect()
+    assert(rows.length == 18, "3 ids x 3 records x 2 shards")
+    val responses = rows.filter(_.getString(2) == "response")
+    assert(responses.length == 6)
+    for (r <- responses) {
+      val url = r.getString(3)
+      val id = url.substring(url.lastIndexOf('/') + 1).toLong
+      val wantStatus = (id % 3) match { case 0 => 200; case 1 => 404; case _ => 503 }
+      assert(r.getInt(4) == wantStatus, s"id=$id")
+      val body = new String(r.getAs[Array[Byte]](5),
+        if (id % 5 == 1) "windows-1252" else "UTF-8")
+      val want =
+        if (id % 5 == 1) s"café page $id"
+        else s"<html><body><p>synth page $id</p></body></html>"
+      assert(body == want, s"id=$id (chunked arm must de-chunk)")
+    }
+    // warcinfo/request records pass through with raw blocks
+    assert(rows.count(_.getString(2) == "warcinfo") == 6)
+    assert(rows.count(_.getString(2) == "request") == 6)
+  }
+
+  test("corrupt tail surfaces as the _corrupt sentinel; earlier records " +
+    "survive; the ledger counts it") {
+    graft.GraftExtensions.register(spark)
+    val dir = tmpDir("warc_corrupt")
+    writeShard(dir, "bad.warc", Seq(6L))   // id%7=6 -> truncated tail
+    writeShard(dir, "ok.warc", Seq(8L))
+    val recs = Warc.read(spark, dir)
+    val ledger = Warc.ingestStats(recs)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1.substring(r._1.lastIndexOf('/') + 1) ->
+        ((r._2, r._3, r._4))).toMap
+    assert(ledger("bad.warc") == ((4L, 1L, 1L)), s"$ledger")
+    assert(ledger("ok.warc") == ((3L, 1L, 0L)), s"$ledger")
+    // garbage bytes → exactly one sentinel, nothing lost silently
+    Files.write(Paths.get(dir, "noise.warc"),
+      "this is not a warc at all".getBytes("UTF-8"))
+    val noise = Warc.read(spark, dir)
+      .where($"path".endsWith("noise.warc"))
+      .select("warc_type").as[String].collect().toSeq
+    assert(noise == Seq("_corrupt"))
+  }
+
+  test("streaming twin: shards ingest incrementally and the live ledger " +
+    "converges to the batch ledger; throttle bounds the backfill") {
+    graft.GraftExtensions.register(spark)
+    val dir = tmpDir("warc_stream")
+    writeShard(dir, "s1.warc", Seq(10L))
+    writeShard(dir, "s2.warc.gz", Seq(11L))
+    val q = Warc.ingestStats(Warc.readStream(spark, dir, maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("warc_ledger")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warc_ledger").count() == 2)
+      assert(q.lastProgress.batchId >= 1, "1 file/trigger -> >= 2 batches")
+      // late shard — both ids even (plain framing): one shard is one
+      // framing, exactly like real *.warc vs *.warc.gz layouts
+      writeShard(dir, "s3.warc", Seq(12L, 14L))
+      q.processAllAvailable()
+      val live = spark.table("warc_ledger")
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1.substring(r._1.lastIndexOf('/') + 1) ->
+          ((r._2, r._3, r._4, r._5))).toMap
+      val batch = Warc.ingestStats(Warc.read(spark, dir))
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1.substring(r._1.lastIndexOf('/') + 1) ->
+          ((r._2, r._3, r._4, r._5))).toMap
+      assert(live == batch, "one ingest contract, two execution modes")
+      assert(live("s3.warc")._1 == 6L)
+    } finally q.stop()
+  }
+}
