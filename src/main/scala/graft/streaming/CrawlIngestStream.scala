@@ -1,0 +1,179 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+
+import graft.ops.{Corpus, Dedup, ManifestStore, TextOps}
+
+/**
+ * The CRAWL-INGEST CAPSTONE streamed — the full `q_pipeline_crawl` front
+ * end as one continuous configuration, every stage the SAME spec- and
+ * oracle-verified operator its batch form uses, in the same order:
+ *
+ *  1. HTML strip + URL hygiene (per-row, stateless): `strip_html`,
+ *     canonicalize → host → registrable domain.
+ *  2. BLOCKLIST ([[Corpus.filterBlockedUrls]], registrable-domain match):
+ *     static list, anti-join per batch.
+ *  3. eTLD+1 CAP ([[RateLimitStream.CmsRateLimiter]] keyed on the
+ *     registrable domain): the batch capstone's `capPerGroup(domain, N)`
+ *     becomes a cross-batch admission cap — the SAME first-N-per-domain
+ *     set when shards arrive in id order, and the only stage whose
+ *     batch/stream equivalence depends on arrival order (stated
+ *     honestly: a shuffled replay admits a different-but-equally-capped
+ *     subset; the CMS matrix is the only state).
+ *  4. LANGUAGE GATE (`lang_id_ngram` ≠ 'und') and QUALITY GATE
+ *     ([[TextOps.curationGate]] under caller rules) — per-row kernels,
+ *     garbage never reaches a fingerprint.
+ *  5. WITHIN-DOC line dedup ([[Dedup.paragraphDedupWithinDoc]], per-row)
+ *     then CORPUS-WIDE keep-first paragraph dedup against the persisted
+ *     line-hash store ([[Dedup.paragraphDedupIncrementalIndexed]] — the
+ *     ParagraphIngestStream stage inlined; the corpus is never
+ *     rescanned).
+ *  6. DECONTAMINATION: exact-fingerprint anti-join against a static
+ *     benchmark-suite fingerprint frame (`fp` column) — the capstone's
+ *     %97-suite arm with the suite as the external registry input it is
+ *     in production.
+ *  7. UPSERT ([[ManifestStore.upsert]]) into the lang-partitioned
+ *     corpus table — atomic visibility, crash debris invisible.
+ *
+ * TEMPERATURE MIX IS NOT A STAGE: the batch capstone's final
+ * `sampleByTemperature` needs the GLOBAL language distribution, which an
+ * ingest stream cannot know mid-flight — mixing is an export-time
+ * decision over the accumulated table ([[exportMix]]), and streamed
+ * ingest + export-time mix reproduces the batch capstone bit-for-bit
+ * (CrawlIngestStreamSpec pins it over ordered shards).
+ *
+ * Per batch one ledger row: `(batchId, nIn, nUnblocked, nAdmitted,
+ * nLang, nQuality, nEmptied, nClean)` — each adjacent difference is one
+ * stage's rejection count, the per-stage accounting a crawl operator
+ * reads before trusting the feed.
+ */
+object CrawlIngestStream {
+
+  final case class BatchReport(
+      batchId: Long, nIn: Long, nUnblocked: Long, nAdmitted: Long,
+      nLang: Long, nQuality: Long, nEmptied: Long, nClean: Long)
+
+  /** Static configuration of the chain. `blockedHosts` follows
+    * [[Corpus.filterBlockedUrls]]'s registrable-match contract;
+    * `suiteFps` is a `(fp)` frame of benchmark fingerprints (None
+    * disables decontamination). */
+  final case class Config(
+      blockedHosts: Seq[String],
+      domainCap: Long,
+      rules: TextOps.CurationRules,
+      lineStoreDir: String,
+      tablePath: String,
+      suiteFps: Option[DataFrame] = None,
+      stripHtml: Boolean = true)
+
+  /** Wire the chain over a streaming frame carrying `idCol`, `urlCol`
+    * and `htmlCol` (raw payload — already decoded text also works; the
+    * strip is a no-op on tag-free text). */
+  def attach(
+      docs: DataFrame, idCol: String, urlCol: String, htmlCol: String,
+      cfg: Config)(onReport: BatchReport => Unit): DataStreamWriter[Row] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val blocked = cfg.blockedHosts.toDF("host")
+    val limiter = new RateLimitStream.CmsRateLimiter("domain", idCol, cfg.domainCap)
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val pinned = batch.localCheckpoint()
+      var admitted: DataFrame = null
+      var cleaned: DataFrame = null
+      try {
+        val nIn = pinned.count()
+        // 1. strip + URL hygiene (one per-row projection). `stripHtml`
+        // collapses ALL whitespace (newlines included) — a feed that
+        // already ran block-structured HTML→text extraction sets
+        // Config.stripHtml = false so the paragraph tiers keep their
+        // line structure.
+        val framed = pinned.select(
+          col(idCol), col(urlCol).as("url"),
+          (if (cfg.stripHtml) TextOps.stripHtml(col(htmlCol))
+           else col(htmlCol)).as("text"))
+        // 2. blocklist, then the registrable-domain key the cap uses
+        val domained = Corpus.filterBlockedUrls(
+            framed, "url", blocked, matchRegistrable = true)
+          .withColumn("domain",
+            coalesce(
+              TextOps.registrableDomain(
+                TextOps.urlHost(TextOps.canonicalizeUrl(col("url")))),
+              TextOps.urlHost(TextOps.canonicalizeUrl(col("url")))))
+        val nUnblocked = domained.count()
+        // 3. cross-batch eTLD+1 cap
+        admitted = limiter.admit(domained).localCheckpoint()
+        val nAdmitted = admitted.count()
+        // 4. language + quality gates
+        val langed = admitted
+          .withColumn("lang", TextOps.langIdNgram(col("text")))
+          .where(col("lang") =!= "und")
+        val nLang = langed.count()
+        val keep = TextOps.curationGate(langed, idCol, "text", cfg.rules)
+          .where(col("keep")).select(idCol)
+        val gated = langed.join(keep, Seq(idCol))
+        val nQuality = gated.count()
+        var nEmptied = 0L
+        var nClean = 0L
+        if (nQuality > 0) {
+          // 5. within-doc, then corpus-wide keep-first vs the store
+          val within = Dedup.paragraphDedupWithinDoc(gated, idCol, "text")
+          val para =
+            if (Dedup.lineStoreCommitted(spark, cfg.lineStoreDir))
+              Dedup.paragraphDedupIncrementalIndexed(
+                within, cfg.lineStoreDir, idCol, "text")
+            else {
+              val c = Dedup.paragraphDedup(within, idCol, "text")
+                .localCheckpoint()
+              Dedup.writeLineHashes(within, cfg.lineStoreDir, "text")
+              c
+            }
+          val paraed = para
+            .join(gated.select(col(idCol), col("lang"), col("domain")), Seq(idCol))
+          nEmptied = paraed.where(col("text") === "").count()
+          // 6. decontamination against the static suite
+          val deconed = cfg.suiteFps.fold(paraed) { suite =>
+            paraed
+              .withColumn("_fp", TextOps.fingerprint(col("text")))
+              .join(broadcast(suite), Seq("_fp"), "left_anti")
+              .drop("_fp")
+          }
+          cleaned = deconed.localCheckpoint()
+          nClean = cleaned.count()
+          // 7. lang-partitioned corpus table
+          if (nClean > 0)
+            ManifestStore.upsert(
+              cleaned.select(col(idCol), col("lang"), col("domain"), col("text")),
+              cfg.tablePath, "lang", Seq("lang", idCol), spark)
+        }
+        onReport(BatchReport(
+          id, nIn, nUnblocked, nAdmitted, nLang, nQuality, nEmptied, nClean))
+      } finally {
+        if (cleaned != null) DriftStream.release(cleaned)
+        if (admitted != null) DriftStream.release(admitted)
+        DriftStream.release(pinned)
+      }
+    }
+  }
+
+  /** [[attach]] + start. */
+  def start(
+      docs: DataFrame, idCol: String, urlCol: String, htmlCol: String,
+      cfg: Config)(onReport: BatchReport => Unit): StreamingQuery =
+    attach(docs, idCol, urlCol, htmlCol, cfg)(onReport).start()
+
+  /** Export-time temperature mix over the ACCUMULATED table — the batch
+    * capstone's final stage, run when a training export is cut rather
+    * than per micro-batch (the mix rates need the global language
+    * distribution). Streamed ingest + this call ≡ the batch capstone
+    * over the same corpus. */
+  def exportMix(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      idCol: String, temperature: Double): DataFrame = {
+    val table = ManifestStore.currentFrame(spark, tablePath, "lang")
+      .getOrElse(throw new IllegalStateException(
+        s"no committed corpus table under $tablePath"))
+    Corpus.sampleByTemperature(table, idCol, "lang", temperature)
+  }
+}

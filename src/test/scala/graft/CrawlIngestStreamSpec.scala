@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Corpus, Dedup, TextOps}
+import graft.streaming.CrawlIngestStream
+
+/**
+ * Streamed crawl capstone ≡ batch capstone: the same planted corpus run
+ * (a) through the batch operator chain in one pass and (b) through
+ * [[CrawlIngestStream]] in ordered shards + [[CrawlIngestStream.exportMix]],
+ * must produce identical rows — plus per-stage ledger accounting.
+ */
+class CrawlIngestStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 90 docs: spam shards (blocklisted apex), sharded site.com domains
+  // (capped at 3 per registrable domain), per-doc text with planted
+  // boilerplate lines (within-doc repeat + corpus-wide promo line), a
+  // garbage-text family the language gate must reject, and a
+  // dup-bigram family the QUALITY gate must reject: its body is clearly
+  // English (classifies en at normalized distance 236 vs the 270
+  // cutoff — measured with tools/calibrate_langid.py, which replays the
+  // classifier exactly) but 75% of its bigrams are duplicates, so with
+  // maxDupBigramFrac = 0.6 it fails exactly the quality rung. (A
+  // "too short" body does NOT work for this role: the boilerplate
+  // frame dilutes short English below the language cutoff, so it would
+  // reject at the LANG stage and the quality ledger line would read 0.)
+  private def inputs: Seq[(Long, String, String)] =
+    (1L to 90L).map { i =>
+      val url =
+        if (i % 9 == 0) s"https://a$i.spam.example.com/p/$i"
+        else s"https://w${i % 4}.site${i % 5}.com/p/$i"
+      val body =
+        if (i % 11 == 7) "zzqx vvkq wpph jjfy qqzz xkwj ppfv zzyx kqvw"
+        else if (i % 13 == 5) Seq.fill(8)("the cat sat on the mat").mkString(" ")
+        else
+          s"the house number $i stands near the river and the people walk " +
+            s"with their dogs in the evening when the weather is good in " +
+            s"district ${i % 7}"
+      val text = Seq(
+        "recommended for you",
+        body,
+        "recommended for you", // within-doc repeat
+        s"unique footer line $i").mkString("\n")
+      (i, url, text)
+    }
+
+  private val rules = TextOps.CurationRules(
+    minTokens = 4, maxTopTokenFrac = 0.6, maxDupBigramFrac = 0.6)
+
+  /** The batch capstone chain (q_pipeline_crawl's shape) over `df`. */
+  private def batchChain(df: DataFrame, suite: Option[DataFrame]): DataFrame = {
+    val blocked = Seq("spam.example.com").toDF("host")
+    val domained = Corpus.filterBlockedUrls(
+        df, "url", blocked, matchRegistrable = true)
+      .withColumn("domain",
+        coalesce(
+          TextOps.registrableDomain(
+            TextOps.urlHost(TextOps.canonicalizeUrl(col("url")))),
+          TextOps.urlHost(TextOps.canonicalizeUrl(col("url")))))
+    val capped = Corpus.capPerGroup(domained, "domain", 3, col("doc_id").asc)
+    val langed = capped
+      .withColumn("lang", TextOps.langIdNgram(col("text")))
+      .where(col("lang") =!= "und")
+    val keep = TextOps.curationGate(langed, "doc_id", "text", rules)
+      .where(col("keep")).select("doc_id")
+    val gated = langed.join(keep, Seq("doc_id"))
+    val within = Dedup.paragraphDedupWithinDoc(gated, "doc_id", "text")
+    val paraed = Dedup.paragraphDedup(within, "doc_id", "text")
+      .join(gated.select("doc_id", "lang", "domain"), Seq("doc_id"))
+    val deconed = suite.fold(paraed) { s =>
+      paraed.withColumn("_fp", TextOps.fingerprint(col("text")))
+        .join(broadcast(s), Seq("_fp"), "left_anti").drop("_fp")
+    }
+    Corpus.sampleByTemperature(deconed, "doc_id", "lang", temperature = 2.0)
+      .select("doc_id", "lang", "domain", "text")
+  }
+
+  test("ordered shards through the stream + export-time mix == the batch " +
+    "capstone in one pass; the ledger accounts for every stage") {
+    graft.GraftExtensions.register(spark)
+    implicit val ctx = spark.sqlContext
+    val df = inputs.toDF("doc_id", "url", "text")
+
+    // the benchmark suite: fingerprints of every 17th SURVIVOR's cleaned
+    // text (the %97-arm shape) — an external registry input for both paths
+    val preSuite = batchChain(df, suite = None)
+    val suite = preSuite.where(col("doc_id") % 17 === 0)
+      .select(TextOps.fingerprint(col("text")).as("_fp")).distinct()
+      .localCheckpoint()
+    val want = batchChain(df, Some(suite))
+      .as[(Long, String, String, String)].collect().toSet
+
+    val lineStore = tmpDir("crawl_stream_lines")
+    val table = tmpDir("crawl_stream_table")
+    val cfg = CrawlIngestStream.Config(
+      blockedHosts = Seq("spam.example.com"), domainCap = 3L,
+      rules = rules, lineStoreDir = lineStore, tablePath = table,
+      suiteFps = Some(suite.withColumnRenamed("_fp", "fp")
+        .select(col("fp").as("_fp"))),
+      stripHtml = false) // inputs are block-structured text already
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[CrawlIngestStream.BatchReport]
+    val ms = MemoryStream[(Long, String, String)]
+    val q = CrawlIngestStream.start(
+      ms.toDS().toDF("doc_id", "url", "text"),
+      "doc_id", "url", "text", cfg)(reports += _)
+    try {
+      // three ordered shards — the id order the batch cap tie-breaks on
+      ms.addData(inputs.slice(0, 30)); q.processAllAvailable()
+      ms.addData(inputs.slice(30, 60)); q.processAllAvailable()
+      ms.addData(inputs.slice(60, 90)); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = CrawlIngestStream.exportMix(spark, table, "doc_id", 2.0)
+      .select("doc_id", "lang", "domain", "text")
+      .as[(Long, String, String, String)].collect().toSet
+    assert(got == want,
+      s"stream+export must equal batch: only-stream=${got -- want} " +
+        s"only-batch=${want -- got}")
+
+    // ledger sanity: stages only ever shrink the batch, and the stated
+    // rejections actually happened
+    assert(reports.size == 3)
+    for (r <- reports) {
+      assert(r.nIn >= r.nUnblocked && r.nUnblocked >= r.nAdmitted &&
+        r.nAdmitted >= r.nLang && r.nLang >= r.nQuality &&
+        r.nQuality >= r.nClean, r.toString)
+    }
+    assert(reports.map(_.nIn).sum == 90L)
+    assert(reports.map(r => r.nIn - r.nUnblocked).sum == 10L,
+      "the %9 spam shards block (spam.example.com apex)")
+    assert(reports.map(r => r.nLang - r.nQuality).sum > 0,
+      "the dup-bigram family fails the quality gate")
+    assert(reports.map(r => r.nAdmitted - r.nLang).sum > 0,
+      "the garbage family rejects to und")
+  }
+}
