@@ -176,7 +176,18 @@ object BenchScale {
     // gates are per-row kernels + one WindowGroupLimit each, the paragraph
     // stages shuffle line mass (linear), the decon suite and mix rates ride
     // broadcasts; the composed ratio should stay near-linear
-    "q_pipeline_crawl")
+    "q_pipeline_crawl",
+    // round-15 kernels (queue hygiene: explicit lines, not just riders
+    // inside the capstone): container/byte-level per-row controls and the
+    // scored langid twin + its calibration aggregate
+    "q_mm_video_meta", "q_text_from_bytes", "q_text_langid_margin",
+    "q_text_langid_calibration",
+    // round-16 additions: the WARC shard reader (decompress+parse is
+    // per-row over planted shards), the deflate-ratio kernel control, the
+    // image header-metadata kernel control, and the bytes-fed crawl
+    // capstone twin (text_from_bytes riding the whole chain)
+    "q_src_warc", "q_text_deflate", "q_mm_image_meta",
+    "q_pipeline_crawl_bytes")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()

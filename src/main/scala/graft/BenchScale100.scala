@@ -47,7 +47,15 @@ object BenchScale100 {
     "q_contamination_decon", "q_text_langid_ngram", "q_text_url_canon",
     "q_dedup_simhash64_occupancy",
     // round-15: the composed crawl-ingest capstone
-    "q_pipeline_crawl")
+    "q_pipeline_crawl",
+    // round-15 kernels two decades out (r15 verdict queue item): the
+    // video-container metadata walk, the byte-decode ladder, the scored
+    // langid twin
+    "q_mm_video_meta", "q_text_from_bytes", "q_text_langid_margin",
+    // round-16: WARC shard parse, deflate-ratio + image-metadata kernel
+    // controls, and the bytes-fed capstone twin
+    "q_src_warc", "q_text_deflate", "q_mm_image_meta",
+    "q_pipeline_crawl_bytes")
 
   private def releaseResidue(spark: SparkSession, keep: Set[Int]): Unit =
     spark.sparkContext.getPersistentRDDs.foreach {

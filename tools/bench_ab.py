@@ -20,17 +20,21 @@ What it does:
 Usage: python3 tools/bench_ab.py <old-ref> [--groups N] [--sf DIR]
        [--prefix q_...]  (repeatable filter for a targeted A/B)
 
-  4. ADJUDICATE: single-run pairs on heavy queries carry ±40-60%
-     run-to-run variance that pairing cannot remove (measured same-code:
-     round 14's q_mm_resize 5.03 vs 3.16 same day; round 15's
-     q_dedup_keep_best read old-slower AND new-slower in alternating
-     pairs). Every flagged query is re-measured ONCE on both trees, the
-     per-tree MIN kept, and the verdict THREE-CLASS: a ratio that
-     survives min-of-pairs outside [0.8, 1.25] in the same direction is
-     a "regression_suspect"/"improvement_suspect" — a REVIEW QUEUE
-     demanding a third sample before acting, never a conviction; inside
-     the band it is "noise" (round 15's first full run flagged
+  4. ADJUDICATE (round 16: fully automatic to conviction): single-run
+     pairs on heavy queries carry ±40-60% run-to-run variance that
+     pairing cannot remove (measured same-code: round 14's q_mm_resize
+     5.03 vs 3.16 same day; round 15's q_dedup_keep_best read
+     old-slower AND new-slower in alternating pairs — the manual rule
+     those rounds applied was "direction must reproduce across >= 3
+     samples"). The tool now runs that rule itself: every flagged query
+     is re-measured once (pass 2); anything still outside [0.8, 1.25]
+     on min-of-samples gets a THIRD sample; the final verdict is
+     "code_regression"/"code_improvement" ONLY when all three sample
+     pairs agree in direction AND the min-ratio stays outside the band,
+     else "noise" (round 15's first full run flagged
      q_corpus_split_safe at 2.26x; the adjudication pair read 1.10x).
+     BENCH_AB.json carries every sample, so the conviction is auditable
+     without reruns.
 
 Caveats: filtered Bench runs skip the requalification medians and never
 write BENCH_LOCAL.json (by design); this tool captures their stdout JSON
@@ -130,23 +134,60 @@ def main():
     flagged = {q: r for q, r in norm.items()
                if (r > 1.25 or r < 0.8) and max(pairs[q][0], pairs[q][1]) >= 0.5}
 
-    # adjudicate: re-measure every flagged query once on both trees, keep
-    # the per-tree min, re-evaluate the flag — one unlucky GC/AQE run on an
-    # iterative query must not stand as a "code delta"
+    # adjudicate: the rule rounds 14-15 applied by hand — a code-delta
+    # conviction needs the DIRECTION to reproduce across >= 3 samples,
+    # because single pairs on heavy queries carry +/-40-60% same-code
+    # variance. Pass 2 re-measures every flagged query once (kills the
+    # one-unlucky-GC case); anything still outside the band gets a THIRD
+    # sample, and the final verdict is three-class:
+    #   noise            — min-of-samples ratio back inside [0.8, 1.25],
+    #                      or the per-sample directions disagree
+    #   code_regression  — all sample pairs slower AND min-ratio > 1.25
+    #   code_improvement — all sample pairs faster AND min-ratio < 0.8
+    # The tool emits the conviction; round notes cite it, no manual reruns.
     adjudicated = {}
     if flagged:
         fq = sorted(flagged)
-        print(f"[ab] adjudicating {len(fq)} flagged queries", file=sys.stderr)
+        samples_old = {q: [pairs[q][0]] for q in fq}
+        samples_new = {q: [pairs[q][1]] for q in fq}
+        print(f"[ab] adjudicating {len(fq)} flagged queries (pass 2)",
+              file=sys.stderr)
         o2 = bench_json(old_tree, fq, args.sf)["queries"]
         n2 = bench_json(REPO, fq, args.sf)["queries"]
         for q in fq:
-            a = min(x for x in (pairs[q][0], o2.get(q)) if x and x > 0)
-            b = min(x for x in (pairs[q][1], n2.get(q)) if x and x > 0)
+            if o2.get(q): samples_old[q].append(o2[q])
+            if n2.get(q): samples_new[q].append(n2[q])
+        still = [q for q in fq
+                 if (min(samples_new[q]) / min(samples_old[q]) / med) > 1.25
+                 or (min(samples_new[q]) / min(samples_old[q]) / med) < 0.8]
+        if still:
+            print(f"[ab] third sample for {len(still)} still-flagged",
+                  file=sys.stderr)
+            o3 = bench_json(old_tree, still, args.sf)["queries"]
+            n3 = bench_json(REPO, still, args.sf)["queries"]
+            for q in still:
+                if o3.get(q): samples_old[q].append(o3[q])
+                if n3.get(q): samples_new[q].append(n3[q])
+        for q in fq:
+            a = min(samples_old[q])
+            b = min(samples_new[q])
             r = round(b / a / med, 4)
-            verdict = ("regression_suspect" if r > 1.25
-                       else "improvement_suspect" if r < 0.8 else "noise")
-            adjudicated[q] = {"old_min": round(a, 3), "new_min": round(b, 3),
-                              "normalized_ratio": r, "verdict": verdict}
+            per_sample = [sn / so / med for so, sn in
+                          zip(samples_old[q], samples_new[q])]
+            same_dir = (all(x > 1.0 for x in per_sample) or
+                        all(x < 1.0 for x in per_sample))
+            verdict = "noise"
+            if r > 1.25 and same_dir and len(per_sample) >= 3:
+                verdict = "code_regression"
+            elif r < 0.8 and same_dir and len(per_sample) >= 3:
+                verdict = "code_improvement"
+            adjudicated[q] = {
+                "samples_old": [round(x, 3) for x in samples_old[q]],
+                "samples_new": [round(x, 3) for x in samples_new[q]],
+                "per_sample_normalized": [round(x, 4) for x in per_sample],
+                "direction_reproduced": same_dir,
+                "old_min": round(a, 3), "new_min": round(b, 3),
+                "normalized_ratio": r, "verdict": verdict}
         flagged = {q: v["normalized_ratio"] for q, v in adjudicated.items()
                    if v["verdict"] != "noise"}
 
