@@ -131,6 +131,9 @@ object GraftExtensions {
     ("text_from_bytes", graft.expressions.ByteKernels.textFromBytesInfo,
       arity("text_from_bytes", 1)(c =>
         graft.expressions.ByteKernels.TextFromBytes(c(0)))),
+    ("text_from_bytes_decl", graft.expressions.ByteKernels.textFromBytesDeclInfo,
+      arity("text_from_bytes_decl", 2)(c =>
+        graft.expressions.ByteKernels.TextFromBytesDecl(c(0), c(1)))),
     ("deflate_ratio", graft.expressions.ZipKernels.deflateRatioInfo,
       arity("deflate_ratio", 1)(c =>
         graft.expressions.ZipKernels.DeflateRatio(c(0)))),
@@ -146,6 +149,9 @@ object GraftExtensions {
     ("synth_webp", graft.expressions.ImageKernels.synthWebpInfo,
       arity("synth_webp", 1)(c =>
         graft.expressions.ImageKernels.SynthWebp(c(0)))),
+    ("synth_avif", graft.expressions.ImageKernels.synthAvifInfo,
+      arity("synth_avif", 1)(c =>
+        graft.expressions.ImageKernels.SynthAvif(c(0)))),
     ("video_meta", graft.expressions.VideoKernels.videoMetaInfo,
       arity("video_meta", 1)(c =>
         graft.expressions.VideoKernels.VideoMeta(c(0)))),

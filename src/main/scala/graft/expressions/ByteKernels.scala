@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -261,6 +261,66 @@ object ByteKernels {
     UTF8String.fromString(s)
   }
 
+  /** Resolve a declared charset out of a MIME type string (the
+    * `charset=` parameter, optionally quoted) or a bare charset name;
+    * null when nothing is declared ("", a MIME type with no charset
+    * parameter) or the name is unknown to this JVM. A bare name with a
+    * '/' is a MIME type, never a charset. */
+  private def resolveDeclared(decl: String): java.nio.charset.Charset = {
+    if (decl == null) return null
+    var name = decl.trim
+    if (name.isEmpty) return null
+    val lower = name.toLowerCase(java.util.Locale.ROOT)
+    val at = lower.indexOf("charset=")
+    if (at >= 0) {
+      name = name.substring(at + 8)
+      val semi = name.indexOf(';')
+      if (semi >= 0) name = name.substring(0, semi)
+      name = name.trim.stripPrefix("\"").stripSuffix("\"").trim
+    } else if (name.indexOf('/') >= 0) return null
+    if (name.isEmpty) return null
+    try {
+      if (java.nio.charset.Charset.isSupported(name))
+        java.nio.charset.Charset.forName(name)
+      else null
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** [[textFromBytes]] with a DECLARED charset (an HTTP/HTML
+    * `Content-Type` value or a bare charset name) — the honor-but-verify
+    * ladder crawl payloads actually need, because a declaration reaches
+    * charsets sniffing never can (an ISO-8859-2 Polish page decodes
+    * every byte under five different single-byte charsets; only the
+    * declaration picks one):
+    *
+    *  1. A BOM outranks the declaration (the WHATWG precedence).
+    *  2. Strictly-valid UTF-8 outranks a non-UTF-8 declaration —
+    *     legacy declarations on UTF-8 bytes are THE classic mojibake
+    *     source, and a single-byte charset would "successfully" decode
+    *     them to garbage; the mojibake-repair rounds still apply.
+    *  3. The declared charset strict-decodes (REPORT — any malformed or
+    *     unmappable byte disqualifies it); the declaration itself is
+    *     the evidence, so no language gate applies here.
+    *  4. Anything else falls to the full sniffing ladder of
+    *     [[textFromBytes]].
+    *
+    * Empty/undeclared/unknown charset values skip straight to the
+    * sniffing ladder, so `textFromBytesDeclared(b, "")` ≡
+    * `textFromBytes(b)`. */
+  def textFromBytesDeclared(bytes: Array[Byte], decl: UTF8String): UTF8String = {
+    if (bytes == null) return null
+    if (bytes.length == 0) return UTF8String.EMPTY_UTF8
+    val u16 = decodeUtf16Bom(bytes)
+    if (u16 != null) return UTF8String.fromString(u16)
+    if (validUtf8(bytes)) return textFromBytes(bytes)
+    val cs = resolveDeclared(if (decl == null) null else decl.toString)
+    if (cs != null) {
+      val dec = strictDecode(cs, bytes, 0)
+      if (dec != null) return UTF8String.fromString(dec)
+    }
+    textFromBytes(bytes)
+  }
+
   /** `text_from_bytes(binary)` — see [[ByteKernels]]. */
   case class TextFromBytes(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -281,5 +341,37 @@ object ByteKernels {
   val textFromBytesInfo: ExpressionInfo = new ExpressionInfo(
     classOf[TextFromBytes].getName, null, "text_from_bytes",
     "_FUNC_(binary) - decode crawl bytes to text: UTF-16 BOM, strict UTF-8, language-gated Shift_JIS/EUC-JP/EUC-KR/GB18030/Big5/windows-1251, Windows-1252 fallback with up to two rounds of UTF-8-as-cp1252 mojibake repair.",
+    "", "", "", "", "", "", "built-in")
+
+  /** `text_from_bytes_decl(binary, declared)` — see
+    * [[ByteKernels.textFromBytesDeclared]]. Strict in BOTH arguments
+    * (SQL convention); callers with a nullable declaration column
+    * coalesce it to '' (≡ undeclared), which
+    * [[graft.ops.TextOps.textFromBytesDeclared]] does. */
+  case class TextFromBytesDecl(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (binary, string), got " +
+            s"(${l.simpleString}, ${r.simpleString})")
+      }
+    override def dataType: DataType = StringType
+    override def prettyName: String = "text_from_bytes_decl"
+    override protected def nullSafeEval(b: Any, d: Any): Any =
+      ByteKernels.textFromBytesDeclared(
+        b.asInstanceOf[Array[Byte]], d.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (b, d) =>
+        s"graft.expressions.ByteKernels.textFromBytesDeclared($b, $d)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): TextFromBytesDecl =
+      copy(left = newLeft, right = newRight)
+  }
+
+  val textFromBytesDeclInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[TextFromBytesDecl].getName, null, "text_from_bytes_decl",
+    "_FUNC_(binary, declared) - text_from_bytes honoring a declared charset (a Content-Type value or bare charset name): BOM > valid UTF-8 > strict declared decode > the sniffing ladder; '' declares nothing.",
     "", "", "", "", "", "", "built-in")
 }

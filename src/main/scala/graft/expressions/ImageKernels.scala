@@ -417,6 +417,8 @@ object ImageKernels {
               (b(20) & 0x10) != 0)
           case _ => null
         }
+      } else if (n >= 16 && tag4(b, 4) == "ftyp") {
+        avifMeta(b)
       } else if (n >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
         // JPEG: walk markers to the first SOFn (C0-CF minus C4/C8/CC)
         var i = 2
@@ -450,6 +452,113 @@ object ImageKernels {
     * the bit. Only the HEADERS are real (the pixel bitstream is not
     * generated — `image_meta` never reads past them); id%7 == 6 emits
     * a truncated RIFF shell to pin the corrupt→NULL law. */
+  // ISO-BMFF still images (AVIF/HEIC) — the same pure-byte box walk shape
+  // as VideoKernels' MP4 parse, against the HEIF layout:
+  // ftyp(brand) → meta(FullBox) → iprp → ipco → ispe (spatial extents,
+  // FullBox: ver/flags then width/height u32). Alpha is an AUXILIARY
+  // IMAGE ITEM in HEIF, marked by an `auxC` property in ipco — presence
+  // is the honest header-tier signal (resolving which item it attaches
+  // to needs the ipma association walk; the property existing at all
+  // means the file carries an alpha plane). The FIRST ispe is taken:
+  // encoders write the primary item's properties first, and the alpha
+  // aux item shares the primary's extents.
+
+  /** Map an ftyp brand to a format label; null for non-still brands. */
+  private def bmffBrand(s: String): String =
+    if (s == "avif" || s == "avis") "avif"
+    else if (s == "heic" || s == "heix" || s == "hevc" || s == "hevx") "heic"
+    else if (s == "mif1" || s == "msf1") "heif"
+    else null
+
+  /** First child box of `typ` scanning [from, end); (payloadStart,
+    * boxEnd) or null. Strict: a malformed size aborts the walk. */
+  private def bmffChild(b: Array[Byte], from: Int, end: Int, typ: String): (Int, Int) = {
+    var i = from
+    while (i + 8 <= end) {
+      val sz = be32(b, i).toLong & 0xffffffffL
+      if (sz < 8 || i + sz > end) return null
+      if (tag4(b, i + 4) == typ) return (i + 8, i + sz.toInt)
+      i += sz.toInt
+    }
+    null
+  }
+
+  private def avifMeta(b: Array[Byte]): InternalRow = {
+    val n = b.length
+    val ftypSize = be32(b, 0)
+    if (ftypSize < 16 || ftypSize > n) return null
+    // major brand, then the compatible-brands list; the MOST SPECIFIC
+    // label wins (an avif file typically lists mif1 as compatible)
+    var best: String = null
+    def consider(s: String): Unit = {
+      val f = bmffBrand(s)
+      if (f != null && (best == null ||
+        (best == "heif" && f != "heif"))) best = f
+    }
+    consider(tag4(b, 8))
+    var i = 16
+    while (i + 4 <= ftypSize) { consider(tag4(b, i)); i += 4 }
+    if (best == null) return null
+    val meta = bmffChild(b, ftypSize, n, "meta")
+    if (meta == null) return null
+    val iprp = bmffChild(b, meta._1 + 4, meta._2, "iprp") // meta is a FullBox
+    if (iprp == null) return null
+    val ipco = bmffChild(b, iprp._1, iprp._2, "ipco")
+    if (ipco == null) return null
+    var w = -1
+    var h = -1
+    var alpha = false
+    var j = ipco._1
+    while (j + 8 <= ipco._2) {
+      val sz = be32(b, j).toLong & 0xffffffffL
+      if (sz < 8 || j + sz > ipco._2) return null
+      val t = tag4(b, j + 4)
+      if (t == "ispe" && w < 0 && j + 20 <= ipco._2) {
+        w = be32(b, j + 12); h = be32(b, j + 16)
+      } else if (t == "auxC") alpha = true
+      j += sz.toInt
+    }
+    metaRow(best, w, h, alpha)
+  }
+
+  /** Deterministic AVIF/HEIC fixture: brand heic at id%5=0 else avif
+    * (mif1 always listed compatible — the specific brand must win),
+    * closed-form geometry w = 24 + id%40, h = 24 + id%24, alpha =
+    * (id%2 == 1) via an `auxC` property; id%7 == 6 emits a meta box
+    * whose declared size runs past EOF to pin the corrupt→NULL law.
+    * Headers only (no coded image data — `image_meta` never reads
+    * past ipco). */
+  def synthAvif(id: Long): Array[Byte] = {
+    val w = (24 + math.floorMod(id, 40)).toInt
+    val h = (24 + math.floorMod(id, 24)).toInt
+    val alpha = math.floorMod(id, 2) == 1
+    val brand = if (math.floorMod(id, 5) == 0) "heic" else "avif"
+    def be32a(v: Int): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32a(8 + payload.length) ++
+        typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ payload
+    val ftyp = box("ftyp",
+      brand.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        be32a(0) ++
+        "mif1".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    if (math.floorMod(id, 7) == 6) {
+      // meta declares 4096 bytes and the file ends: corrupt
+      return ftyp ++ be32a(4096) ++
+        "meta".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        be32a(0)
+    }
+    val ispe = box("ispe", be32a(0) ++ be32a(w) ++ be32a(h))
+    val auxC = box("auxC", be32a(0) ++
+      "urn:mpeg:mpegB:cicp:systems:auxiliary:alpha "
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val ipco = box("ipco", if (alpha) ispe ++ auxC else ispe)
+    val meta = box("meta", be32a(0) ++ box("iprp", ipco))
+    val mdat = box("mdat", Array[Byte](1, 2, 3, 4))
+    ftyp ++ meta ++ mdat
+  }
+
   def synthWebp(id: Long): Array[Byte] = {
     val w = (16 + math.floorMod(id, 32)).toInt
     val h = (16 + math.floorMod(id, 16)).toInt
@@ -546,11 +655,37 @@ object ImageKernels {
       copy(child = newChild)
   }
 
+  /** `synth_avif(id)` — deterministic AVIF/HEIC header fixture (see
+    * [[synthAvif]]). */
+  case class SynthAvif(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"synth_avif requires bigint, got ${other.simpleString}")
+    }
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "synth_avif"
+    override protected def nullSafeEval(id: Any): Any =
+      synthAvif(id.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expressions.ImageKernels.synthAvif($c);")
+    override protected def withNewChildInternal(newChild: Expression): SynthAvif =
+      copy(child = newChild)
+  }
+
   val metaInfo: ExpressionInfo = new ExpressionInfo(
     classOf[ImageMeta].getName,
     null,
     "image_meta",
-    "_FUNC_(content) - header-only image metadata (format, width, height, has_alpha) for PNG/GIF/BMP/JPEG/WebP(VP8,VP8L,VP8X); NULL for corrupt or unknown bytes.",
+    "_FUNC_(content) - header-only image metadata (format, width, height, has_alpha) for PNG/GIF/BMP/JPEG/WebP(VP8,VP8L,VP8X)/AVIF/HEIC (ISO-BMFF ispe walk, auxC alpha); NULL for corrupt or unknown bytes.",
+    "", "", "", "", "", "", "built-in")
+
+  val synthAvifInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[SynthAvif].getName,
+    null,
+    "synth_avif",
+    "_FUNC_(id) - deterministic AVIF/HEIC header fixture (ftyp brand by id%5, ispe geometry, auxC alpha at odd ids, corrupt meta at id%7=6).",
     "", "", "", "", "", "", "built-in")
 
   val synthWebpInfo: ExpressionInfo = new ExpressionInfo(

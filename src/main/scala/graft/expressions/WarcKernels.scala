@@ -163,9 +163,15 @@ object WarcKernels {
 
   def parseWarc(bytes: Array[Byte]): GenericArrayData = {
     val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    // the gzip path holds a NATIVE zlib inflater — it must be closed per
+    // call, not left to finalization: at crawl scale (millions of shards
+    // per executor lifetime) unreleased native buffers OOM-kill the
+    // process from outside the heap (measured: the 100x stress run died
+    // on SIGKILL before this finally block existed)
+    var in: InputStream = null
     try {
       val base = new ByteArrayInputStream(bytes)
-      val in: InputStream =
+      in =
         if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
           (bytes(1) & 0xff) == 0x8b)
           new java.util.zip.GZIPInputStream(base, 1 << 16)
@@ -223,6 +229,10 @@ object WarcKernels {
       }
     } catch {
       case scala.util.control.NonFatal(_) => rows += corruptRow
+    } finally {
+      if (in != null) try in.close() catch {
+        case scala.util.control.NonFatal(_) =>
+      }
     }
     new GenericArrayData(rows.toArray[Any])
   }
@@ -256,7 +266,8 @@ object WarcKernels {
     * `response` (url `https://w{id%8}.example.com/p/{id}`, date
     * `2024-01-{01+id%28}`, status 200/404/503 by id%3; body plain HTML
     * by default, CHUNKED transfer at id%5=0, windows-1252 "café page"
-    * at id%5=1), and a `request` record — gzipped ONE MEMBER PER RECORD
+    * at id%5=1, declared-ISO-8859-2 Polish at id%5=2 — the charset only
+    * a Content-Type header can pick), and a `request` record — gzipped ONE MEMBER PER RECORD
     * at odd ids (the Common Crawl framing), plain at even. id%7=6
     * appends a truncated record that must parse to the `_corrupt`
     * sentinel after the three good records. */
@@ -296,6 +307,12 @@ object WarcKernels {
           // JDK windows-1252 encode of the café literal
           s"café page $id".getBytes(
             java.nio.charset.Charset.forName("windows-1252")))
+      else if (arm == 2)
+        // the DECLARATION-ONLY charset: ISO-8859-2 decodes every byte,
+        // so no sniffing ladder can pick it — only the header can
+        ("text/html; charset=ISO-8859-2",
+          s"zażółć gęślą jaźń strona $id".getBytes(
+            java.nio.charset.Charset.forName("ISO-8859-2")))
       else
         ("text/html; charset=UTF-8",
           s"<html><body><p>synth page $id</p></body></html>"
@@ -335,19 +352,17 @@ object WarcKernels {
         s"GET /p/$id HTTP/1.1\r\n\r\n".getBytes(Ascii)))
     val out = new ByteArrayOutputStream()
     val gz = math.floorMod(id, 2) == 1
-    recs.foreach { r =>
+    // close() ends the native deflater (closing the BAOS underneath is a
+    // no-op) — finish() alone leaks zlib native memory per member, which
+    // OOM-kills a long-lived executor generating millions of fixtures
+    def member(payload: Array[Byte]): Unit =
       if (gz) {
         val g = new java.util.zip.GZIPOutputStream(out)
-        g.write(r); g.finish()
-      } else out.write(r)
-    }
-    if (math.floorMod(id, 7) == 6) {
-      val trunc = "WARC/1.0\r\nWARC-Type: response\r\n".getBytes(Ascii)
-      if (gz) {
-        val g = new java.util.zip.GZIPOutputStream(out)
-        g.write(trunc); g.finish()
-      } else out.write(trunc)
-    }
+        try { g.write(payload); g.finish() } finally g.close()
+      } else out.write(payload)
+    recs.foreach(member)
+    if (math.floorMod(id, 7) == 6)
+      member("WARC/1.0\r\nWARC-Type: response\r\n".getBytes(Ascii))
     out.toByteArray
   }
 

@@ -152,7 +152,9 @@ object Multimodal {
    * Header-only image metadata ([[graft.expressions.ImageKernels]]):
    * `(format, width, height, has_alpha)` from the container header
    * alone — PNG/GIF/BMP/JPEG plus the WebP framings (VP8 lossy, VP8L
-   * lossless, VP8X extended) that `javax.imageio` cannot decode at all.
+   * lossless, VP8X extended) and the ISO-BMFF stills (AVIF, HEIC —
+   * ftyp brand + ispe extents + auxC alpha) that `javax.imageio`
+   * cannot decode at all.
    * NULL for corrupt/unknown bytes. The cheap first pass of an image
    * corpus: geometry filters, format routing, and a (format, w, h) key
    * for formats whose pixels stay undecodable in-JDK. Requires

@@ -255,6 +255,18 @@ object TextOps {
   def textFromBytes(bytes: Column): Column =
     call_function("text_from_bytes", bytes)
 
+  /** [[textFromBytes]] honoring a DECLARED charset (an HTTP/HTML
+    * Content-Type value or a bare charset name — e.g. the `mime` column
+    * a [[graft.sources.Warc]] read surfaces): BOM > valid UTF-8 >
+    * strict declared decode > the sniffing ladder. A declaration
+    * reaches charsets sniffing never can (ISO-8859-2 decodes every
+    * byte, so only the header picks it), and BOM-less UTF-16 becomes
+    * decodable when declared. A null/absent declaration coalesces to
+    * '' ≡ undeclared. Requires [[graft.GraftExtensions.register]]. */
+  def textFromBytesDeclared(bytes: Column, declared: Column): Column =
+    call_function("text_from_bytes_decl", bytes,
+      coalesce(declared, lit("")))
+
   def stripHtml(html: Column): Column = {
     val noBlocks = regexp_replace(html,
       "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")

@@ -1974,9 +1974,11 @@ object LlmQueries {
     // closed-form shard (warcinfo + HTTP response + request; gzip
     // member-per-record framing at odd ids, plain at even; a CHUNKED
     // transfer body at id%5=0 that must de-chunk, a windows-1252 body at
-    // id%5=1 that text_from_bytes must decode, a truncated tail record
-    // at id%7=6 that must surface as the _corrupt sentinel) — then the
-    // real reader path explodes it and the body rides text_from_bytes,
+    // id%5=1, a declared-ISO-8859-2 Polish body at id%5=2 — a charset
+    // only the Content-Type header can pick, since ISO-8859-2 decodes
+    // every byte — and a truncated tail record at id%7=6 that must
+    // surface as the _corrupt sentinel) — then the real reader path
+    // explodes it and the body rides text_from_bytes_decl(content, mime),
     // exactly the crawl-capstone front end. The oracle recomputes every
     // field from the id closed form.
     "q_src_warc" -> ((s, dir) => {
@@ -1989,7 +1991,11 @@ object LlmQueries {
           col("rec.warc_type").as("warc_type"), col("rec.url").as("url"),
           col("rec.ts").as("ts"), col("rec.mime").as("mime"),
           col("rec.status").as("status"),
-          TextOps.textFromBytes(col("rec.content")).as("body_text"))
+          // the DECLARED form: the id%5=2 arm is ISO-8859-2 Polish,
+          // which decodes under five different single-byte charsets —
+          // only the Content-Type header picks the right one
+          TextOps.textFromBytesDeclared(col("rec.content"), col("rec.mime"))
+            .as("body_text"))
         .orderBy("doc_id", "rec_no")
     }),
 
@@ -2909,14 +2915,19 @@ object LlmQueries {
     // Header-only image metadata over planted fixtures: WebP headers
     // (rotating VP8/VP8L/VP8X framings with a truncated-shell corrupt
     // arm at id%7=6 — the format javax.imageio cannot decode, where the
-    // metadata tier is the ONLY tier) mixed with real synth PNGs whose
-    // IHDR geometry is closed-form in the id. The oracle recomputes
-    // every field from the generation parameters; corrupt → NULL.
+    // metadata tier is the ONLY tier), real synth PNGs whose IHDR
+    // geometry is closed-form in the id, and AVIF/HEIC (ISO-BMFF
+    // ftyp/meta/iprp/ipco/ispe walk with auxC alpha and a
+    // size-past-EOF corrupt meta arm — the other two dominant crawl
+    // formats with no in-JDK decoder). The oracle recomputes every
+    // field from the generation parameters; corrupt → NULL.
     "q_mm_image_meta" -> ((s, dir) => {
       GraftExtensions.register(s)
-      val content = when(col("doc_id") % 3 < 2,
+      val content = when(col("doc_id") % 4 < 2,
         call_function("synth_webp", col("doc_id")))
-        .otherwise(call_function("synth_image", col("doc_id")))
+        .when(col("doc_id") % 4 === 2,
+          call_function("synth_image", col("doc_id")))
+        .otherwise(call_function("synth_avif", col("doc_id")))
       docs(s, dir)
         .select(col("doc_id").as("asset_id"),
           Multimodal.imageMeta(content).as("m"))
@@ -4334,9 +4345,12 @@ object LlmQueries {
         |  UNION ALL
         |  SELECT doc_id, 1, 'response', url, ts,
         |         CASE WHEN arm = 1 THEN 'text/html; charset=windows-1252'
+        |              WHEN arm = 2 THEN 'text/html; charset=ISO-8859-2'
         |              ELSE 'text/html; charset=UTF-8' END,
         |         status,
         |         CASE WHEN arm = 1 THEN 'café page ' || CAST(doc_id AS VARCHAR)
+        |              WHEN arm = 2 THEN 'zażółć gęślą jaźń strona '
+        |                || CAST(doc_id AS VARCHAR)
         |              ELSE '<html><body><p>synth page '
         |                || CAST(doc_id AS VARCHAR) || '</p></body></html>' END
         |  FROM ids
@@ -5618,21 +5632,29 @@ object LlmQueries {
     // id%3, dims 320+(id%16)*40 x 240+(id%9)*40, id%7==6 corrupt -> NULLs
     "q_mm_image_meta" ->
       """SELECT doc_id AS asset_id,
-        |  CASE WHEN doc_id % 3 < 2
+        |  CASE WHEN doc_id % 4 < 2
         |       THEN CASE WHEN doc_id % 7 = 6 THEN NULL ELSE 'webp' END
-        |       ELSE 'png' END AS format,
-        |  CASE WHEN doc_id % 3 < 2
+        |       WHEN doc_id % 4 = 2 THEN 'png'
+        |       WHEN doc_id % 7 = 6 THEN NULL
+        |       WHEN doc_id % 5 = 0 THEN 'heic' ELSE 'avif' END AS format,
+        |  CASE WHEN doc_id % 4 < 2
         |       THEN CASE WHEN doc_id % 7 = 6 THEN NULL
         |            ELSE CAST(16 + doc_id % 32 AS INT) END
-        |       ELSE CAST(8 + doc_id % 8 AS INT) END AS width,
-        |  CASE WHEN doc_id % 3 < 2
+        |       WHEN doc_id % 4 = 2 THEN CAST(8 + doc_id % 8 AS INT)
+        |       WHEN doc_id % 7 = 6 THEN NULL
+        |       ELSE CAST(24 + doc_id % 40 AS INT) END AS width,
+        |  CASE WHEN doc_id % 4 < 2
         |       THEN CASE WHEN doc_id % 7 = 6 THEN NULL
         |            ELSE CAST(16 + doc_id % 16 AS INT) END
-        |       ELSE CAST(8 + doc_id % 5 AS INT) END AS height,
-        |  CASE WHEN doc_id % 3 < 2
+        |       WHEN doc_id % 4 = 2 THEN CAST(8 + doc_id % 5 AS INT)
+        |       WHEN doc_id % 7 = 6 THEN NULL
+        |       ELSE CAST(24 + doc_id % 24 AS INT) END AS height,
+        |  CASE WHEN doc_id % 4 < 2
         |       THEN CASE WHEN doc_id % 7 = 6 THEN NULL
         |            ELSE CAST(doc_id % 3 <> 0 AND doc_id % 2 = 1 AS INT) END
-        |       ELSE 0 END AS has_alpha
+        |       WHEN doc_id % 4 = 2 THEN 0
+        |       WHEN doc_id % 7 = 6 THEN NULL
+        |       ELSE CAST(doc_id % 2 = 1 AS INT) END AS has_alpha
         |FROM documents ORDER BY asset_id""".stripMargin,
 
     "q_mm_video_meta" ->

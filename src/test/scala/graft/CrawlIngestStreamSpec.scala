@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Corpus, Dedup, TextOps}
+import graft.sources.Warc
 import graft.streaming.CrawlIngestStream
 
 /**
@@ -137,5 +138,83 @@ class CrawlIngestStreamSpec extends SparkSpec {
       "the dup-bigram family fails the quality gate")
     assert(reports.map(r => r.nAdmitted - r.nLang).sum > 0,
       "the garbage family rejects to und")
+  }
+
+  test("end-to-end from WARC bytes on disk: readStream shards -> declared " +
+    "charset decode -> the capstone stream == the batch chain over the " +
+    "same decoded text; the ISO-8859-2 doc survives losslessly") {
+    graft.GraftExtensions.register(spark)
+    implicit val ctx = spark.sqlContext
+    // one extra doc in a charset only the Content-Type header can pick
+    // (ISO-8859-2 decodes every byte — sniffing cannot choose it), on its
+    // own registrable domain so the eTLD+1 cap admits it
+    val plBody = "dzieci idą rano do szkoły i czytają książki z " +
+      "nauczycielem w mieście a potem wracają do domu na obiad z rodzicami"
+    val plText = Seq("recommended for you", plBody,
+      "recommended for you", "unique footer line 91").mkString("\n")
+    val all = inputs :+ ((91L, "https://news.krakow-example.pl/artykul/91", plText))
+
+    // author REAL WARC response records (the same framing synth_warc
+    // emits): HTTP envelope with the charset declared per doc
+    def record(id: Long, url: String, text: String): Array[Byte] = {
+      val cs = if (id == 91L) "ISO-8859-2" else "UTF-8"
+      val body = text.getBytes(java.nio.charset.Charset.forName(cs))
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain; " +
+        s"charset=$cs\r\n\r\n").getBytes("ISO-8859-1") ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $url\r\n" +
+        "Content-Type: application/http;msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val shardDir = tmpDir("warc_e2e_shards")
+    val slices = Seq("s1.warc" -> all.slice(0, 30),
+      "s2.warc" -> all.slice(30, 60), "s3.warc" -> all.slice(60, 91))
+    val t0 = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(shardDir)).toMillis
+    for (((name, slice), k) <- slices.zipWithIndex) {
+      val out = new java.io.ByteArrayOutputStream()
+      slice.foreach { case (i, u, t) => out.write(record(i, u, t)) }
+      val p = java.nio.file.Paths.get(shardDir, name)
+      java.nio.file.Files.write(p, out.toByteArray)
+      // ordered discovery: the file source processes oldest-first, and
+      // the cap stage's batch/stream parity depends on id-ordered arrival
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + k * 2000L))
+    }
+
+    import org.apache.spark.sql.functions.regexp_extract
+    val recs = Warc.readStream(spark, shardDir, maxFilesPerTrigger = 1)
+      .where(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("url"), "(\\d+)$", 1).cast("long").as("doc_id"),
+        col("url"),
+        TextOps.textFromBytesDeclared(col("content"), col("mime")).as("text"))
+
+    val lineStore = tmpDir("warc_e2e_lines")
+    val table = tmpDir("warc_e2e_table")
+    val cfg = CrawlIngestStream.Config(
+      blockedHosts = Seq("spam.example.com"), domainCap = 3L,
+      rules = rules, lineStoreDir = lineStore, tablePath = table,
+      suiteFps = None, stripHtml = false)
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[CrawlIngestStream.BatchReport]
+    val q = CrawlIngestStream.start(
+      recs, "doc_id", "url", "text", cfg)(reports += _)
+    try q.processAllAvailable() finally q.stop()
+
+    val want = batchChain(all.toDF("doc_id", "url", "text"), suite = None)
+      .as[(Long, String, String, String)].collect().toSet
+    val got = CrawlIngestStream.exportMix(spark, table, "doc_id", 2.0)
+      .select("doc_id", "lang", "domain", "text")
+      .as[(Long, String, String, String)].collect().toSet
+    assert(got == want,
+      s"WARC bytes -> stream must equal the batch chain: " +
+        s"only-stream=${got -- want} only-batch=${want -- got}")
+    // the decode rung did real work: the Polish doc survives, labeled pl,
+    // and its body line (ż/ó/ł/ę intact) rode the chain losslessly — the
+    // boilerplate frame is gone by then (paragraph tiers cut it)
+    assert(want.exists(r => r._1 == 91L && r._2 == "pl" && r._4.contains(plBody)),
+      s"fixture: the Polish doc must survive the batch chain: $want")
+    assert(reports.map(_.nIn).sum == 91L)
   }
 }

@@ -2491,6 +2491,66 @@ class LlmOpsSpec extends SparkSpec {
     assert(decode("中".getBytes(Charset.forName("Big5"))) == "¤¤")
   }
 
+  test("TextOps.textFromBytesDeclared: honor-but-verify — a declaration " +
+    "reaches charsets sniffing never can; BOM and valid UTF-8 outrank " +
+    "a lying declaration; unknown/absent declarations fall to the ladder") {
+    import spark.implicits._
+    import java.nio.charset.Charset
+    graft.GraftExtensions.register(spark)
+    def decode(b: Array[Byte], decl: String): String =
+      Seq((b, decl)).toDF("b", "d")
+        .select(graft.ops.TextOps.textFromBytesDeclared($"b", $"d"))
+        .as[String].collect().head
+    // the declaration-only case: ISO-8859-2 decodes EVERY byte, so no
+    // validity test can pick it — the Content-Type header does
+    val pl = "zażółć gęślą jaźń pełną łąkę"
+    val plBytes = pl.getBytes(Charset.forName("ISO-8859-2"))
+    assert(decode(plBytes, "text/html; charset=ISO-8859-2") == pl)
+    assert(decode(plBytes, "ISO-8859-2") == pl, "bare charset name works")
+    assert(decode(plBytes, "charset=\"iso-8859-2\"") == pl, "quoted+cased")
+    // without the declaration the same bytes are cp1252 mojibake —
+    // exactly the gap the declared form closes
+    assert(decode(plBytes, "") != pl)
+    assert(decode(plBytes, "text/html") != pl, "MIME without charset declares nothing")
+    // BOM-less UTF-16 is undecodable by sniffing but trivial by declaration
+    val el = "τα παιδιά περπατούν στο σχολείο"
+    assert(decode(el.getBytes(Charset.forName("UTF-16LE")), "charset=UTF-16LE") == el)
+    // a LYING legacy declaration on strictly-valid UTF-8 bytes loses:
+    // the single-byte charset would "successfully" decode to mojibake
+    val fr = "café déjà vu"
+    assert(decode(fr.getBytes("UTF-8"), "text/html; charset=ISO-8859-2") == fr)
+    // a BOM outranks the declaration (WHATWG precedence)
+    val mixed = "café δοκιμή"
+    assert(decode(Array[Byte](0xff.toByte, 0xfe.toByte) ++
+      mixed.getBytes(Charset.forName("UTF-16LE")),
+      "charset=ISO-8859-2") == mixed)
+    // a declaration whose strict decode FAILS falls to the ladder: SJIS
+    // bytes declared EUC-KR still come back as the Japanese sentence
+    val ja = "子供たちは朝に学校へ歩いて行きます。先生と一緒に本を読みます。"
+    val sjis = ja.getBytes(Charset.forName("Shift_JIS"))
+    assert(!isStrict(sjis, "EUC-KR"), "fixture: SJIS must not be EUC-KR-valid")
+    assert(decode(sjis, "text/html; charset=EUC-KR") == ja)
+    // unknown charset names are undeclared, never a throw
+    assert(decode(fr.getBytes("UTF-8"), "charset=x-no-such-charset") == fr)
+    // null declaration ≡ undeclared (the helper coalesces)
+    assert(decode(plBytes, null) == decode(plBytes, ""))
+    // strictness matrix law: declared ≡ plain ladder whenever nothing
+    // is declared
+    val garbage = Array[Byte](0xfa.toByte, 0x81.toByte, 0xff.toByte)
+    assert(decode(garbage, "") ==
+      Seq(Tuple1(garbage)).toDF("b")
+        .select(graft.ops.TextOps.textFromBytes($"b")).as[String].collect().head)
+  }
+
+  /** Does `b` strict-decode under `cs`? (fixture sanity only) */
+  private def isStrict(b: Array[Byte], cs: String): Boolean = {
+    val dec = java.nio.charset.Charset.forName(cs).newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try { dec.decode(java.nio.ByteBuffer.wrap(b)); true }
+    catch { case _: java.nio.charset.CharacterCodingException => false }
+  }
+
   test("ImageKernels.imageMeta: header-only metadata for every format, " +
     "WebP framings agree with their generator, corrupt -> NULL law") {
     import spark.implicits._
@@ -2547,6 +2607,19 @@ class LlmOpsSpec extends SparkSpec {
     // above; a bare SOS before SOF must be NULL, not a scan
     assert(meta(Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02)
       .map(_.toByte)) == None)
+    // ISO-BMFF stills (AVIF/HEIC): brand detection (the specific brand
+    // must beat the generic mif1 compatible), ispe geometry, auxC alpha
+    for (id <- Seq(1L, 2L, 3L, 4L, 5L, 10L, 17L)) {
+      val w = (24 + id % 40).toInt
+      val h = (24 + id % 24).toInt
+      val fmt = if (id % 5 == 0) "heic" else "avif"
+      assert(meta(graft.expressions.ImageKernels.synthAvif(id)) ==
+        Some((fmt, w, h, id % 2 == 1)), s"id=$id")
+    }
+    // corrupt meta (declared size past EOF) → NULL; a bare ftyp with no
+    // meta tree → NULL (no extents is not an image we can describe)
+    assert(meta(graft.expressions.ImageKernels.synthAvif(6L)) == None)
+    assert(meta(graft.expressions.ImageKernels.synthAvif(20L).take(20)) == None)
   }
 
   test("ZipKernels.deflateRatio: ordering across redundancy classes, " +

@@ -37,9 +37,12 @@ class WarcSpec extends SparkSpec {
       val wantStatus = (id % 3) match { case 0 => 200; case 1 => 404; case _ => 503 }
       assert(r.getInt(4) == wantStatus, s"id=$id")
       val body = new String(r.getAs[Array[Byte]](5),
-        if (id % 5 == 1) "windows-1252" else "UTF-8")
+        if (id % 5 == 1) "windows-1252"
+        else if (id % 5 == 2) "ISO-8859-2"
+        else "UTF-8")
       val want =
         if (id % 5 == 1) s"café page $id"
+        else if (id % 5 == 2) s"zażółć gęślą jaźń strona $id"
         else s"<html><body><p>synth page $id</p></body></html>"
       assert(body == want, s"id=$id (chunked arm must de-chunk)")
     }
