@@ -201,6 +201,18 @@ object ByteKernels {
     * deterministic cp1252 fallback is the honest answer. */
   private val MinGateEvidence = 8
 
+  /** Count bytes ≥ 0x80, stopping early at `cap` — the pre-decode
+    * evidence bound for the legacy ladder. */
+  private def countHighBytes(b: Array[Byte], cap: Int): Int = {
+    var i = 0
+    var n = 0
+    while (i < b.length && n < cap) {
+      if ((b(i) & 0x80) != 0) n += 1
+      i += 1
+    }
+    n
+  }
+
   private def countNonAscii(s: String): Int = {
     var i = 0
     var n = 0
@@ -243,9 +255,34 @@ object ByteKernels {
     if (validUtf8(bytes)) {
       s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
     } else {
-      val legacy = tryLegacy(bytes)
-      if (legacy != null) return UTF8String.fromString(legacy)
-      s = decodeCp1252(bytes)
+      // Two SOUND cost gates before the legacy ladder — GB18030
+      // strict-decodes nearly any byte stream, so ungated, EVERY
+      // non-UTF-8 row (including the dominant class, lightly-accented
+      // Latin cp1252 pages) pays up to six strict decodes plus
+      // classifications. Outputs are unchanged by construction:
+      //  (a) BYTE EVIDENCE: every ladder candidate needs ≥
+      //      MinGateEvidence non-ASCII CHARS after decode, and each
+      //      such char consumes at least one byte ≥ 0x80 (single-byte
+      //      cp1251: exactly one; SJIS/EUC/GB/Big5 leads are ≥ 0x81) —
+      //      so fewer than MinGateEvidence high BYTES means no
+      //      candidate can be accepted, and the ladder is skipped
+      //      without decoding anything.
+      //  (b) LATIN FAST PATH: with enough evidence, classify the
+      //      cp1252 decode ONCE — a decode that READS as a real
+      //      language is a Latin page the ladder cannot beat (cp1252
+      //      emits no Cyrillic/CJK, so the accepted label cannot be one
+      //      a legacy charset would claim); true CJK/Cyrillic bytes
+      //      read as mojibake here, the classifier rejects, and the
+      //      ladder runs exactly as before.
+      // (Measured: the r16 A/B flagged the ungated ladder at 6.7× on
+      // the byte-decode bench line.)
+      val cp = decodeCp1252(bytes)
+      if (countHighBytes(bytes, MinGateEvidence) >= MinGateEvidence &&
+        DocKernels.langGateLabel(cp, GateCapCodePoints)._1 == "und") {
+        val legacy = tryLegacy(bytes)
+        if (legacy != null) return UTF8String.fromString(legacy)
+      }
+      s = cp
     }
     var rounds = 0
     var progressed = true
