@@ -29,16 +29,17 @@ import org.apache.spark.unsafe.types.UTF8String
  *     the strict-validity + progress guards make it a no-op on clean
  *     text (ASCII re-encodes to itself → breaks immediately).
  *  3. Legacy multibyte/Cyrillic ladder — Shift_JIS, EUC-JP, EUC-KR,
- *     GB18030, Big5, windows-1251 (all in-JDK charsets). A candidate
+ *     GB18030, Big5, and the single-byte Cyrillic family windows-1251,
+ *     KOI8-R, KOI8-U, ISO-8859-5 (all in-JDK charsets). A candidate
  *     must (a) strict-decode (CodingErrorAction.REPORT — no
  *     replacement characters), (b) carry at least 8 non-ASCII chars of
  *     evidence (the cutoffs are calibrated on 8-word bags; a lone
  *     ideograph is not classifiable), and (c) CLASSIFY as a language
  *     that charset encodes under
- *     the bundled 30-language n-gram identifier with its calibrated
+ *     the bundled 40-language n-gram identifier with its calibrated
  *     rejection cutoffs ([[DocKernels.langGateLabel]]):
- *     sjis/euc-jp → ja, euc-kr → ko, gb18030/big5 → zh,
- *     windows-1251 → ru/uk/bg. Byte validity alone CANNOT separate
+ *     sjis/euc-jp → ja, euc-kr → ko, gb18030/big5 → zh, and the
+ *     Cyrillic family → bg/ru/sr/uk per mapping. Byte validity alone CANNOT separate
  *     the structurally-ambiguous pairs — EUC-JP and GB2312 share the
  *     EUC frame and even the kana rows, Big5 and GBK overlap on most
  *     of the two-byte space, and windows-1251 decodes every byte — so
@@ -164,7 +165,19 @@ object ByteKernels {
       (java.nio.charset.Charset.forName("GB18030"), Array("zh")),
       (java.nio.charset.Charset.forName("Big5"), Array("zh")),
       (java.nio.charset.Charset.forName("windows-1251"),
-        Array("bg", "ru", "uk")))
+        Array("bg", "ru", "sr", "uk")),
+      // the rest of the single-byte Cyrillic family: all three decode
+      // every byte (like cp1251), so only the language gate separates
+      // them — measured (tools/calibrate_langid.py): each mapping's
+      // real text classifies at 160–281 normalized distance under its
+      // own decode and REJECTS (513–836) under every other family
+      // member's, except KOI8-R/KOI8-U whose shared Russian rows yield
+      // IDENTICAL decodes (tie → ladder order, same output) and whose
+      // Ukrainian case separates by distance (281 own vs 384 cross)
+      (java.nio.charset.Charset.forName("KOI8-R"), Array("bg", "ru")),
+      (java.nio.charset.Charset.forName("KOI8-U"), Array("bg", "ru", "uk")),
+      (java.nio.charset.Charset.forName("ISO-8859-5"),
+        Array("bg", "ru", "sr", "uk")))
 
   /** Strict decode from `offset`: null on ANY malformed or unmappable
     * input (decoders are not thread-safe — one per call; this is the
@@ -224,22 +237,35 @@ object ByteKernels {
   }
 
   /** Step 3: best legacy-charset decode that reads as a language its
-    * charset encodes, or null when none qualifies. */
+    * charset encodes, or null when none qualifies. Classification is
+    * the expensive step, so a candidate whose decode is STRING-IDENTICAL
+    * to an earlier candidate's is skipped (KOI8-R vs KOI8-U agree on
+    * every Russian/Bulgarian letter — the earlier candidate already
+    * carries the verdict, and strict-less keeps it on score ties). */
   private def tryLegacy(b: Array[Byte]): String = {
     var best: String = null
     var bestScore = Int.MaxValue
+    val seen = new java.util.ArrayList[String](4)
     var i = 0
     while (i < legacyLadder.length) {
       val (cs, langs) = legacyLadder(i)
       val dec = strictDecode(cs, b, 0)
       if (dec != null && countNonAscii(dec) >= MinGateEvidence) {
-        val (label, score) = DocKernels.langGateLabel(dec, GateCapCodePoints)
-        var l = 0
-        var member = false
-        while (l < langs.length && !member) {
-          member = langs(l) == label; l += 1
+        var dup = false
+        var k = 0
+        while (k < seen.size && !dup) {
+          dup = seen.get(k) == dec; k += 1
         }
-        if (member && score < bestScore) { best = dec; bestScore = score }
+        if (!dup) {
+          seen.add(dec)
+          val (label, score) = DocKernels.langGateLabel(dec, GateCapCodePoints)
+          var l = 0
+          var member = false
+          while (l < langs.length && !member) {
+            member = langs(l) == label; l += 1
+          }
+          if (member && score < bestScore) { best = dec; bestScore = score }
+        }
       }
       i += 1
     }

@@ -417,17 +417,33 @@ object LlmQueries {
     "börnin ganga í skólann á morgnana og lesa bækur með kennaranum í bænum",
     "децата вървят сутрин към училището и четат книги с учителя в града",
     "watoto wanatembea kwenda shule asubuhi na kusoma vitabu na mwalimu mjini",
-    "vaikai ryte eina į mokyklą ir skaito knygas su mokytoju mieste")
+    "vaikai ryte eina į mokyklą ir skaito knygas su mokytoju mieste",
+    // batch 3 (the sw/lt lines above graduated from rejection plants to
+    // real labels when the snapshot widened to 40 languages)
+    "els nens caminen cap a l escola al matí i llegeixen llibres amb el mestre",
+    "djeca ujutro hodaju u školu i čitaju knjige s učiteljem u gradu",
+    "деца ујутру пешаче у школу и читају књиге са учитељем у граду",
+    "deti ráno kráčajú do školy a čítajú knihy s učiteľom v meste",
+    "otroci zjutraj hodijo v šolo in berejo knjige z učiteljem v mestu",
+    "bērni no rīta iet uz skolu un lasa grāmatas ar skolotāju pilsētā",
+    "lapsed kõnnivad hommikul kooli ja loevad koos õpetajaga raamatuid",
+    "بچه ها صبح پیاده به مدرسه می روند و با معلم در شهر کتاب می خوانند",
+    // fresh out-of-profile rejection plants: unseen Latin (Basque) and
+    // an unseen script (Georgian)
+    "haurrak goizean eskolara oinez joaten dira eta liburuak irakurtzen dituzte irakaslearekin",
+    "ბავშვები დილით სკოლაში მიდიან და კითხულობენ წიგნებს მასწავლებელთან ერთად")
 
   /** Expected label per [[langPlants]] index — the ground truth the
     * calibration query scores against (the garbage line and the
-    * trailing Swahili/Lithuanian plants are out-of-profile and must
+    * trailing Basque/Georgian plants are out-of-profile and must
     * reject to 'und'). */
   private val langPlantExpected: Seq[String] = Seq(
     "en", "es", "fr", "de", "pt", "it", "ru", "ar", "ja", "zh",
     "ko", "hi", "tr", "nl", "pl", "id", "hu",
     "fi", "sv", "vi", "el", "und",
     "da", "no", "cs", "ro", "uk", "th", "he", "is", "bg",
+    "sw", "lt",
+    "ca", "hr", "sr", "sk", "sl", "lv", "et", "fa",
     "und", "und")
 
   /** Byte framing per [[langPlants]] index for q_pipeline_crawl_bytes:
@@ -442,7 +458,7 @@ object LlmQueries {
     import java.nio.charset.Charset
     val native = Map("ja" -> "Shift_JIS", "zh" -> "GB18030",
       "ko" -> "EUC-KR", "ru" -> "windows-1251", "uk" -> "windows-1251",
-      "bg" -> "windows-1251")
+      "bg" -> "windows-1251", "sr" -> "windows-1251")
     langPlants.zip(langPlantExpected).map { case (t, lang) =>
       native.get(lang) match {
         case Some(n) => t.getBytes(Charset.forName(n))
@@ -2009,37 +2025,47 @@ object LlmQueries {
     // its bytes), EUC-KR Korean, GB18030 simplified vs Big5 traditional
     // Chinese (structurally ambiguous — only the language gate
     // separates them), windows-1251 Ukrainian (exercising the
-    // multi-language cp1251 set beyond the obvious ru), and UTF-16
-    // LE/BE with BOMs. The expected strings are closed-form by
-    // construction — the oracle pins them as literals on the same
-    // doc_id families.
+    // multi-language cp1251 set beyond the obvious ru), UTF-16
+    // LE/BE with BOMs, and (r16) the rest of the single-byte Cyrillic
+    // family: KOI8-R Russian and ISO-8859-5 Bulgarian. The expected
+    // strings are closed-form by construction — the oracle pins them
+    // as literals on the same doc_id families.
     "q_text_from_bytes" -> ((s, dir) => {
       GraftExtensions.register(s)
-      val bytes = when(col("doc_id") % 14 === 0, encode(col("text"), "UTF-8"))
-        .when(col("doc_id") % 14 === 1,
+      val bytes = when(col("doc_id") % 16 === 0, encode(col("text"), "UTF-8"))
+        .when(col("doc_id") % 16 === 1,
           unhex(lit("636166E92064E96AE020767520393525206E61EF7665")))
-        .when(col("doc_id") % 14 === 2,
+        .when(col("doc_id") % 16 === 2,
           unhex(lit("636166C383C2A92064C383C2A96AC383C2A020767520393525206E61C383C2AF7665")))
-        .when(col("doc_id") % 14 === 3,
+        .when(col("doc_id") % 16 === 3,
           unhex(lit("636166C383C692C382C2A92064C383C692C382C2A96AC383C692C382C2A020767520393525206E61C383C692C382C2AF7665")))
-        .when(col("doc_id") % 14 === 4, unhex(lit("FFFEFA")))
-        .when(col("doc_id") % 14 === 5, encode(lit(""), "UTF-8"))
-        .when(col("doc_id") % 14 === 6,
+        .when(col("doc_id") % 16 === 4, unhex(lit("FFFEFA")))
+        .when(col("doc_id") % 16 === 5, encode(lit(""), "UTF-8"))
+        .when(col("doc_id") % 16 === 6,
           unhex(lit("8E718B9F82BD82BF82CD92A982C98A778D5A82D695E082A282C48D7382AB82DC82B7814290E690B682C688EA8F8F82C9967B82F093C782DD82DC82B78142")))
-        .when(col("doc_id") % 14 === 7,
+        .when(col("doc_id") % 16 === 7,
           unhex(lit("BBD2B6A1A4BFA4C1A4CFC4ABA4CBB3D8B9BBA4D8CAE2A4A4A4C6B9D4A4ADA4DEA4B9A1A3C0E8C0B8A4C8B0ECBDEFA4CBCBDCA4F2C6C9A4DFA4DEA4B9A1A3")))
-        .when(col("doc_id") % 14 === 8,
+        .when(col("doc_id") % 16 === 8,
           unhex(lit("BEC6C0CCB5E9C0BA20BEC6C4A7BFA120C7D0B1B3BFA120B0C9BEEEB0A1BCAD20BCB1BBFDB4D4B0FA20C7D4B2B220C3A5C0BB20C0D0BDC0B4CFB4D9")))
-        .when(col("doc_id") % 14 === 9,
+        .when(col("doc_id") % 16 === 9,
           unhex(lit("BAA2D7D3C3C7D4E7C9CFD7DFC2B7C8A5D1A7D0A3CBFBC3C7BACDC0CFCAA6D2BBC6F0B6C1CAE9C3BFCCECD4DAB3C7CAD0C0EFCDE6")))
-        .when(col("doc_id") % 14 === 10,
+        .when(col("doc_id") % 16 === 10,
           unhex(lit("ABC4A46CADCCA6ADA457A8ABB8F4A568BEC7AED5A54CADCCA94DA6D1AE76A440B05FC5AAAED1A843A4D1A662ABB0A5ABB8CCAAB1")))
-        .when(col("doc_id") % 14 === 11,
+        .when(col("doc_id") % 16 === 11,
           unhex(lit("E4B3F2E820E9E4F3F2FC20E2F0E0EDF6B320E4EE20F8EAEEEBE820B320F7E8F2E0FEF2FC20EAEDE8E6EAE820E720F3F7E8F2E5EBE5EC20F320ECB3F1F2B3")))
-        .when(col("doc_id") % 14 === 12,
+        .when(col("doc_id") % 16 === 12,
           unhex(lit("FFFE630061006600E9002000B403BF03BA03B903BC03AE032000420435043A0441044204")))
-        .otherwise(
+        .when(col("doc_id") % 16 === 13,
           unhex(lit("FEFF00630061006600E9002003B403BF03BA03B903BC03AE002004420435043A04410442")))
+        // the rest of the single-byte Cyrillic family (r16): KOI8-R
+        // Russian and ISO-8859-5 Bulgarian — both decode EVERY byte
+        // under cp1251 too, so only the language gate separates the
+        // mappings (cross-decodes measure 513-836 normalized distance
+        // vs 160-255 for the true mapping)
+        .when(col("doc_id") % 16 === 14,
+          unhex(lit("C4C5D4C920C9C4D5D420D720DBCBCFCCD520D5D4D2CFCD20C920DEC9D4C1C0D420CBCEC9C7C920D320D5DEC9D4C5CCC5CD20D720C7CFD2CFC4C5")))
+        .otherwise(
+          unhex(lit("D4D5E6D0E2D020D2EAE0D2EFE220E1E3E2E0D8DD20DAEADC20E3E7D8DBD8E9D5E2DE20D820E7D5E2D0E220DADDD8D3D820E120E3E7D8E2D5DBEF20D220D3E0D0D4D0")))
       docs(s, dir)
         .select(col("doc_id"), TextOps.textFromBytes(bytes).as("text_out"))
         .orderBy("doc_id")
@@ -2145,8 +2171,8 @@ object LlmQueries {
     }),
 
     // Cavnar–Trenkle character 1–3-gram language ID over the bundled
-    // 30-language profile snapshot: every fifth doc's text is replaced by
-    // a held-out plant rotating through the 30 languages (incl. the
+    // 40-language profile snapshot: every fifth doc's text is replaced by
+    // a held-out plant rotating through the 40 languages (incl. the
     // non-Latin ru/ar/ja/zh/ko/hi/uk/el/he/th/bg the stopword tier cannot
     // see) plus three REJECTION plants (sw/lt/garbage) that must come
     // back 'und'
@@ -4369,7 +4395,7 @@ object LlmQueries {
 
     "q_text_from_bytes" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 14 AS INT)
+        |  CASE CAST(doc_id % 16 AS INT)
         |    WHEN 0 THEN text
         |    WHEN 1 THEN 'café déjà vu 95% naïve'
         |    WHEN 2 THEN 'café déjà vu 95% naïve'
@@ -4383,7 +4409,9 @@ object LlmQueries {
         |    WHEN 10 THEN '孩子們早上走路去學校他們和老師一起讀書每天在城市裡玩'
         |    WHEN 11 THEN 'діти йдуть вранці до школи і читають книжки з учителем у місті'
         |    WHEN 12 THEN 'café δοκιμή текст'
-        |    ELSE 'café δοκιμή текст' END AS text_out
+        |    WHEN 13 THEN 'café δοκιμή текст'
+        |    WHEN 14 THEN 'дети идут в школу утром и читают книги с учителем в городе'
+        |    ELSE 'децата вървят сутрин към училището и четат книги с учителя в града' END AS text_out
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_deflate" ->

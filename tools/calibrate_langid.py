@@ -96,6 +96,32 @@ POOLS = {
     "bg": ["къщата", "водата", "децата", "сутринта", "улицата", "хората",
            "добре", "малък", "те", "имат", "във", "къде", "много",
            "защото"],
+    # batch 3
+    "ca": ["els", "una", "amb", "per", "casa", "aigua", "nens", "matí",
+           "carrer", "gent", "bo", "petit", "tenen", "molt"],
+    "hr": ["kuća", "voda", "djeca", "ujutro", "ulica", "ljudi", "dobro",
+           "mali", "oni", "imaju", "grad", "škola", "vrijeme", "jako"],
+    "sr": ["кућа", "вода", "деца", "ујутру", "улица", "људи", "добро",
+           "мали", "они", "имају", "град", "школа", "време", "веома"],
+    "sk": ["dom", "voda", "deti", "ráno", "ulica", "ľudia", "dobre",
+           "malý", "oni", "majú", "mesto", "škola", "veľa", "keď"],
+    "sl": ["hiša", "voda", "otroci", "zjutraj", "ulica", "ljudje",
+           "dobro", "majhen", "oni", "imajo", "mesto", "šola", "veliko",
+           "zdaj"],
+    "lt": ["namas", "vanduo", "vaikai", "rytas", "gatvė", "žmonės",
+           "gerai", "mažas", "jie", "turi", "miestas", "mokykla", "daug",
+           "dabar"],
+    "lv": ["māja", "ūdens", "bērni", "rīts", "iela", "cilvēki", "labi",
+           "mazs", "viņi", "viņiem", "pilsēta", "skola", "daudz",
+           "tagad"],
+    "et": ["maja", "vesi", "lapsed", "hommik", "tänav", "inimesed",
+           "hästi", "väike", "nemad", "neil", "linn", "kool", "palju",
+           "praegu"],
+    "fa": ["خانه", "آب", "بچه", "صبح", "خیابان", "مردم", "خوب", "کوچک",
+           "آنها", "دارند", "شهر", "مدرسه", "خیلی", "حالا"],
+    "sw": ["nyumba", "maji", "watoto", "asubuhi", "barabara", "watu",
+           "nzuri", "ndogo", "wao", "wana", "mji", "shule", "sana",
+           "sasa"],
 }
 
 # unspaced scripts: word bags join without separators (matches the spec)
@@ -133,6 +159,17 @@ PROSE = {
     "vi": "các học sinh làm xong bài tập về nhà trước bữa tối và cùng nhau xem phim",
     "is": "nemendurnir kláruðu heimavinnuna fyrir kvöldmat og horfðu saman á kvikmynd",
     "bg": "учениците завършиха домашната си работа преди вечеря и гледаха филм заедно",
+    # batch 3
+    "ca": "el nostre equip va guanyar el partit ahir a la nit i tothom estava molt content",
+    "hr": "naša momčad je sinoć pobijedila u utakmici i svi su bili jako sretni",
+    "sr": "наш тим је синоћ победио у утакмици и сви су били веома срећни",
+    "sk": "nový učiteľ hovorí veľmi pomaly a žiaci mu dobre rozumejú aj keď je hodina dlhá",
+    "sl": "naša ekipa je sinoči zmagala na tekmi in vsi so bili zelo veseli",
+    "lt": "mūsų komanda vakar vakare laimėjo rungtynes ir visi buvo labai laimingi",
+    "lv": "mūsu komanda vakar vakarā uzvarēja spēlē un visi bija ļoti priecīgi",
+    "et": "meie võistkond võitis eile õhtul mängu ja kõik olid väga rõõmsad",
+    "fa": "تیم ما دیشب بازی را برد و همه خیلی خوشحال بودند",
+    "sw": "timu yetu ilishinda mchezo jana usiku na wote walifurahi sana",
 }
 
 # LlmQueries.langPlants — the oracle plants (with batch-2 ground truth)
@@ -167,18 +204,29 @@ ORACLE_PLANTS = {
     "he": "הילדים הולכים לבית הספר בבוקר וקוראים ספרים עם המורה בעיר",
     "is": "börnin ganga í skólann á morgnana og lesa bækur með kennaranum í bænum",
     "bg": "децата вървят сутрин към училището и четат книги с учителя в града",
+    # batch 3
+    "ca": "els nens caminen cap a l escola al matí i llegeixen llibres amb el mestre",
+    "hr": "djeca ujutro hodaju u školu i čitaju knjige s učiteljem u gradu",
+    "sr": "деца ујутру пешаче у школу и читају књиге са учитељем у граду",
+    "sk": "deti ráno kráčajú do školy a čítajú knihy s učiteľom v meste",
+    "sl": "otroci zjutraj hodijo v šolo in berejo knjige z učiteljem v mestu",
+    "lt": "vaikai ryte eina į mokyklą ir skaito knygas su mokytoju mieste",
+    "lv": "bērni no rīta iet uz skolu un lasa grāmatas ar skolotāju pilsētā",
+    "et": "lapsed kõnnivad hommikul kooli ja loevad koos õpetajaga raamatuid",
+    "fa": "بچه ها صبح پیاده به مدرسه می روند و با معلم در شهر کتاب می خوانند",
+    "sw": "watoto wanatembea kwenda shule asubuhi na kusoma vitabu na mwalimu mjini",
 }
 
 # languages NO profile covers — candidates for the rejection fixtures;
 # each sentence must reject to 'und' under the suggested cutoffs
 REJECT_PLANTS = [
-    ("sw", "nyumba iko karibu na mto na watu hutembea na mbwa wao jioni"),
-    ("sw", "asubuhi tulikwenda sokoni na kununua mkate maziwa na mayai kwa watoto"),
-    ("sw", "watoto wanatembea kwenda shule asubuhi na kusoma vitabu na mwalimu mjini"),
-    ("lt", "vaikai ryte eina į mokyklą ir skaito knygas su mokytoju mieste"),
-    ("lt", "namas yra netoli upės ir žmonės vakare vaikšto su savo šunimis"),
-    ("et", "lapsed kõnnivad hommikul kooli ja loevad koos õpetajaga raamatuid"),
-    ("ca", "els nens caminen cap a l escola al matí i llegeixen llibres amb el mestre"),
+    # batch 3 graduated sw/lt/et/ca to real labels; the rejection set is
+    # now two unseen scripts plus three unseen-Latin stressors
+    ("eu", "haurrak goizean eskolara oinez joaten dira eta liburuak irakurtzen dituzte irakaslearekin"),
+    ("eu", "etxea ibaiaren ondoan dago eta jendea arratsaldean paseatzen da bere txakurrekin"),
+    ("sq", "fëmijët ecin në shkollë në mëngjes dhe lexojnë libra me mësuesin në qytet"),
+    ("sq", "shtëpia është afër lumit dhe njerëzit ecin me qentë e tyre në mbrëmje"),
+    ("ga", "siúlann na páistí ar scoil ar maidin agus léann siad leabhair leis an múinteoir"),
     ("ka", "ბავშვები დილით სკოლაში მიდიან და კითხულობენ წიგნებს მასწავლებელთან ერთად"),
     ("hy", "երեխաները առավոտյան դպրոց են գնում և գրքեր են կարդում ուսուցչի հետ"),
 ]

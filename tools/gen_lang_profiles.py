@@ -65,16 +65,20 @@ P = 768   # language profile length; also the absent-gram penalty
 # Calibrated by tools/calibrate_langid.py (max held-out fixture distance
 # + 0.05 margin); re-run it after ANY seed change.
 CUTOFFS = {
-    "ar": 469, "de": 227, "en": 270, "es": 299, "fr": 281, "hi": 448,
-    "hu": 529, "id": 269, "it": 324, "ja": 786, "ko": 729, "nl": 289,
-    "pl": 423, "pt": 332, "ru": 411, "tr": 447, "zh": 856,
-    # batch 2 (round 16): the next crawl-frequency tier, plus the two
-    # measured cousins (is sat at 0.41-0.44 against no, bg at 0.32
-    # against ru — the r14/15 id/hu growth path: add, don't tighten).
-    # Values = tools/calibrate_langid.py held-out max + 0.05.
-    "bg": 324, "cs": 448, "da": 298, "el": 313, "fi": 276, "he": 424,
-    "is": 405, "no": 450, "ro": 326, "sv": 234, "th": 508, "uk": 387,
-    "vi": 341,
+    # Re-pinned at the batch-3 (round 16, 40-language) snapshot: every
+    # value = tools/calibrate_langid.py held-out fixture max + 0.05.
+    # History: batch 2 added sv fi da no cs ro uk el he th vi + the
+    # measured cousins is (0.41-0.44 vs no) and bg (0.32 vs ru); batch 3
+    # graduates sw lt et ca from the rejection set and adds hr sr sk sl
+    # lv fa — each cousin added rather than thresholds tightened (the
+    # r14/15 id/hu growth path).
+    "ar": 469, "bg": 324, "ca": 245, "cs": 448, "da": 298, "de": 213,
+    "el": 313, "en": 269, "es": 298, "et": 320, "fa": 367, "fi": 276,
+    "fr": 281, "he": 424, "hi": 448, "hr": 315, "hu": 529, "id": 268,
+    "is": 405, "it": 324, "ja": 759, "ko": 729, "lt": 291, "lv": 318,
+    "nl": 288, "no": 450, "pl": 423, "pt": 332, "ro": 326, "ru": 411,
+    "sk": 351, "sl": 358, "sr": 375, "sv": 234, "sw": 263, "th": 508,
+    "tr": 447, "uk": 387, "vi": 341, "zh": 856,
 }
 
 SEEDS = {
@@ -807,6 +811,258 @@ SEEDS = {
         "гората зад селото е пълна с птици през пролетта",
         "според мен новата библиотека е много по добра от старата защото "
         "е отворена всеки ден",
+    ],
+    # batch 3 (round 16): Romance/Slavic/Baltic/Finnic cousins of existing
+    # profiles plus Persian and Swahili; sw/lt/et/ca graduate from the
+    # rejection fixtures to real labels (the measured add-don't-tighten
+    # growth path).
+    "ca": [
+        "Tots els éssers humans neixen lliures i iguals en dignitat i en "
+        "drets. Són dotats de raó i de consciència, i han de comportar-se "
+        "fraternalment els uns amb els altres.",
+        "la casa és a prop del riu i la gent passeja amb els seus gossos "
+        "al vespre quan fa bon temps",
+        "al matí vam anar al mercat i vam comprar pa llet i ous per als nens",
+        "quina hora és ara i quan tornaràs a casa nostra demà",
+        "ella va dir que el llibre era sobre la taula però no el vaig poder "
+        "trobar enlloc",
+        "el meu germà treballa a la ciutat cada dia i torna a casa tard a la nit",
+        "ahir feia fred així que ens vam quedar a casa i vam llegir llibres",
+        "hi ha molts arbres vells al jardí darrere de l escola",
+        "l estiu passat vam viatjar en tren fins a la costa i ens vam "
+        "allotjar en un petit hotel vora el mar",
+        "em podria dir on és l estació més propera i quant costa un bitllet",
+        "la meva germana està aprenent a cuinar i aquesta nit ha fet sopa "
+        "amb verdures de l hort",
+        "el metge li va dir que descansés uns dies i begués molta aigua",
+        "hi havia unes dues centes persones a la reunió i moltes van fer preguntes",
+        "voldria comprar tres quilos de pomes i mig quilo de formatge si us plau",
+        "el bosc darrere del poble és ple d ocells a la primavera",
+        "al meu parer la nova biblioteca és molt millor que la vella "
+        "perquè obre cada dia",
+    ],
+    "hr": [
+        "Sva ljudska bića rađaju se slobodna i jednaka u dostojanstvu i "
+        "pravima. Ona su obdarena razumom i sviješću i trebaju jedna prema "
+        "drugima postupati u duhu bratstva.",
+        "kuća je blizu rijeke i ljudi navečer šeću sa svojim psima kad je "
+        "vrijeme lijepo",
+        "ujutro smo otišli na tržnicu i kupili kruh mlijeko i jaja za djecu",
+        "koliko je sada sati i kada ćeš se sutra vratiti u našu kuću",
+        "rekla je da je knjiga na stolu ali nisam je mogao nigdje pronaći",
+        "moj brat radi u gradu svaki dan i kasno se vraća kući",
+        "jučer je bilo hladno pa smo ostali kod kuće i čitali knjige",
+        "u vrtu iza škole ima mnogo starih stabala",
+        "prošloga ljeta putovali smo vlakom na obalu i odsjeli u malom "
+        "hotelu uz more",
+        "možete li mi reći gdje je najbliža postaja i koliko košta karta",
+        "moja sestra uči kuhati i večeras je skuhala juhu od povrća iz vrta",
+        "liječnik mu je rekao da se odmara nekoliko dana i pije puno vode",
+        "na sastanku je bilo oko dvjesto ljudi i mnogi su postavljali pitanja",
+        "htio bih kupiti tri kile jabuka i pola kile sira molim",
+        "šuma iza sela puna je ptica u proljeće",
+        "po mom mišljenju nova knjižnica je puno bolja od stare jer je "
+        "otvorena svaki dan",
+    ],
+    "sr": [
+        "Сва људска бића рађају се слободна и једнака у достојанству и "
+        "правима. Она су обдарена разумом и свешћу и треба једни према "
+        "другима да поступају у духу братства.",
+        "кућа је близу реке и људи увече шетају са својим псима када је "
+        "време лепо",
+        "ујутру смо отишли на пијацу и купили хлеб млеко и јаја за децу",
+        "колико је сада сати и када ћеш се сутра вратити у нашу кућу",
+        "рекла је да је књига на столу али нисам могао нигде да је нађем",
+        "мој брат ради у граду сваки дан и касно се враћа кући",
+        "јуче је било хладно па смо остали код куће и читали књиге",
+        "у башти иза школе има много старог дрвећа",
+        "прошлог лета путовали смо возом на обалу и одсели у малом хотелу "
+        "поред мора",
+        "можете ли да ми кажете где је најближа станица и колико кошта карта",
+        "моја сестра учи да кува и вечерас је скувала супу од поврћа из баште",
+        "лекар му је рекао да се одмара неколико дана и да пије доста воде",
+        "на састанку је било око двеста људи и многи су постављали питања",
+        "хтео бих да купим три киле јабука и пола киле сира молим",
+        "шума иза села пуна је птица у пролеће",
+        "по мом мишљењу нова библиотека је много боља од старе јер је "
+        "отворена сваког дана",
+    ],
+    "sk": [
+        "Všetci ľudia sa rodia slobodní a rovní v dôstojnosti aj právach. "
+        "Sú obdarení rozumom a svedomím a majú sa k sebe správať v duchu "
+        "bratstva.",
+        "dom je blízko rieky a ľudia sa večer prechádzajú so svojimi psami "
+        "keď je pekné počasie",
+        "ráno sme išli na trh a kúpili sme chlieb mlieko a vajcia pre deti",
+        "koľko je teraz hodín a kedy sa zajtra vrátiš do nášho domu",
+        "povedala že kniha bola na stole ale nikde som ju nemohol nájsť",
+        "môj brat pracuje v meste každý deň a domov sa vracia neskoro v noci",
+        "včera bolo chladno tak sme zostali doma a čítali sme knihy",
+        "v záhrade za školou je veľa starých stromov",
+        "minulé leto sme cestovali vlakom na pobrežie a bývali sme v malom "
+        "hoteli pri mori",
+        "môžete mi povedať kde je najbližšia stanica a koľko stojí lístok",
+        "moja sestra sa učí variť a dnes večer uvarila polievku zo zeleniny "
+        "zo záhrady",
+        "lekár mu povedal aby niekoľko dní odpočíval a pil veľa vody",
+        "na stretnutí bolo okolo dvesto ľudí a mnohí kládli otázky",
+        "chcel by som kúpiť tri kilá jabĺk a pol kila syra prosím",
+        "les za dedinou je na jar plný vtákov",
+        "podľa môjho názoru je nová knižnica oveľa lepšia ako stará lebo "
+        "je otvorená každý deň",
+    ],
+    "sl": [
+        "Vsi ljudje se rodijo svobodni in imajo enako dostojanstvo in "
+        "enake pravice. Obdarjeni so z razumom in vestjo in bi morali "
+        "ravnati drug z drugim kakor bratje.",
+        "hiša je blizu reke in ljudje se zvečer sprehajajo s svojimi psi "
+        "ko je vreme lepo",
+        "zjutraj smo šli na tržnico in kupili kruh mleko in jajca za otroke",
+        "koliko je zdaj ura in kdaj se boš jutri vrnil v našo hišo",
+        "rekla je da je knjiga na mizi vendar je nisem mogel nikjer najti",
+        "moj brat dela v mestu vsak dan in se pozno vrača domov",
+        "včeraj je bilo hladno zato smo ostali doma in brali knjige",
+        "na vrtu za šolo je veliko starih dreves",
+        "lani poleti smo potovali z vlakom na obalo in stanovali v majhnem "
+        "hotelu ob morju",
+        "mi lahko poveste kje je najbližja postaja in koliko stane vozovnica",
+        "moja sestra se uči kuhati in je nocoj skuhala juho iz zelenjave z vrta",
+        "zdravnik mu je rekel naj nekaj dni počiva in pije veliko vode",
+        "na sestanku je bilo okoli dvesto ljudi in mnogi so postavljali "
+        "vprašanja",
+        "rad bi kupil tri kilograme jabolk in pol kilograma sira prosim",
+        "gozd za vasjo je spomladi poln ptic",
+        "po mojem mnenju je nova knjižnica veliko boljša od stare ker je "
+        "odprta vsak dan",
+    ],
+    "lt": [
+        "Visi žmonės gimsta laisvi ir lygūs savo orumu ir teisėmis. Jiems "
+        "suteiktas protas ir sąžinė ir jie turi elgtis vienas kito "
+        "atžvilgiu kaip broliai.",
+        "namas yra netoli upės ir žmonės vakare vaikšto su savo šunimis "
+        "kai oras geras",
+        "ryte nuėjome į turgų ir nupirkome duonos pieno ir kiaušinių vaikams",
+        "kiek dabar valandų ir kada rytoj grįši į mūsų namus",
+        "ji sakė kad knyga buvo ant stalo bet niekur negalėjau jos rasti",
+        "mano brolis kasdien dirba mieste ir vėlai grįžta namo",
+        "vakar buvo šalta todėl likome namuose ir skaitėme knygas",
+        "sode už mokyklos auga daug senų medžių",
+        "praėjusią vasarą traukiniu keliavome į pajūrį ir apsistojome "
+        "mažame viešbutyje prie jūros",
+        "gal galite pasakyti kur yra artimiausia stotis ir kiek kainuoja "
+        "bilietas",
+        "mano sesuo mokosi gaminti ir šį vakarą išvirė sriubą iš daržovių "
+        "iš sodo",
+        "gydytojas jam liepė kelias dienas ilsėtis ir gerti daug vandens",
+        "susirinkime buvo apie du šimtus žmonių ir daugelis uždavinėjo "
+        "klausimus",
+        "norėčiau nupirkti tris kilogramus obuolių ir pusę kilogramo sūrio "
+        "prašau",
+        "miškas už kaimo pavasarį pilnas paukščių",
+        "mano nuomone nauja biblioteka daug geresnė už senąją nes dirba "
+        "kiekvieną dieną",
+    ],
+    "lv": [
+        "Visi cilvēki piedzimst brīvi un vienlīdzīgi savā cieņā un "
+        "tiesībās. Viņi ir apveltīti ar saprātu un sirdsapziņu un viņiem "
+        "citam pret citu jāizturas brālības garā.",
+        "māja atrodas netālu no upes un cilvēki vakarā pastaigājas ar "
+        "saviem suņiem kad laiks ir labs",
+        "no rīta mēs aizgājām uz tirgu un nopirkām maizi pienu un olas "
+        "bērniem",
+        "cik tagad ir pulkstenis un kad tu rīt atgriezīsies mūsu mājā",
+        "viņa teica ka grāmata bija uz galda bet es nekur nevarēju to atrast",
+        "mans brālis katru dienu strādā pilsētā un vēlu atgriežas mājās",
+        "vakar bija auksts tāpēc mēs palikām mājās un lasījām grāmatas",
+        "dārzā aiz skolas aug daudz vecu koku",
+        "pagājušajā vasarā mēs braucām ar vilcienu uz jūrmalu un "
+        "apmetāmies mazā viesnīcā pie jūras",
+        "vai varat pateikt kur ir tuvākā stacija un cik maksā biļete",
+        "mana māsa mācās gatavot ēst un šovakar izvārīja zupu no dārzeņiem "
+        "no dārza",
+        "ārsts viņam teica dažas dienas atpūsties un dzert daudz ūdens",
+        "sapulcē bija apmēram divsimt cilvēku un daudzi uzdeva jautājumus",
+        "es vēlētos nopirkt trīs kilogramus ābolu un pus kilogramu siera "
+        "lūdzu",
+        "mežs aiz ciema pavasarī ir pilns putnu",
+        "manuprāt jaunā bibliotēka ir daudz labāka par veco jo tā ir "
+        "atvērta katru dienu",
+    ],
+    "et": [
+        "Kõik inimesed sünnivad vabadena ja võrdsetena oma väärikuselt ja "
+        "õigustelt. Neile on antud mõistus ja südametunnistus ja nende "
+        "suhtumist üksteisesse peab kandma vendluse vaim.",
+        "maja on jõe lähedal ja inimesed jalutavad õhtul oma koertega kui "
+        "ilm on ilus",
+        "hommikul läksime turule ja ostsime lastele leiba piima ja mune",
+        "mis kell praegu on ja millal sa homme meie majja tagasi tuled",
+        "ta ütles et raamat oli laual aga ma ei leidnud seda kuskilt",
+        "mu vend töötab iga päev linnas ja tuleb hilja õhtul koju",
+        "eile oli külm seega jäime koju ja lugesime raamatuid",
+        "aias kooli taga kasvab palju vanu puid",
+        "eelmisel suvel sõitsime rongiga rannikule ja peatusime väikeses "
+        "hotellis mere ääres",
+        "kas te oskate öelda kus on lähim jaam ja kui palju pilet maksab",
+        "mu õde õpib süüa tegema ja täna õhtul keetis ta aiast saadud "
+        "köögiviljadest suppi",
+        "arst ütles talle et ta puhkaks mõne päeva ja jooks palju vett",
+        "koosolekul oli umbes kakssada inimest ja paljud esitasid küsimusi",
+        "ma sooviksin osta kolm kilo õunu ja pool kilo juustu palun",
+        "mets küla taga on kevadel linde täis",
+        "minu arvates on uus raamatukogu palju parem kui vana sest see on "
+        "avatud iga päev",
+    ],
+    "fa": [
+        "تمام افراد بشر آزاد به دنیا می آیند و از لحاظ حیثیت و حقوق با هم "
+        "برابرند. همه دارای عقل و وجدان هستند و باید نسبت به یکدیگر با "
+        "روح برادری رفتار کنند.",
+        "خانه نزدیک رودخانه است و مردم عصرها با سگ های خود قدم می زنند "
+        "وقتی هوا خوب است",
+        "صبح به بازار رفتیم و برای بچه ها نان شیر و تخم مرغ خریدیم",
+        "الان ساعت چند است و فردا کی به خانه ما برمی گردی",
+        "او گفت که کتاب روی میز بود اما من نتوانستم آن را هیچ جا پیدا کنم",
+        "برادر من هر روز در شهر کار می کند و شب دیر به خانه می آید",
+        "دیروز هوا سرد بود پس در خانه ماندیم و کتاب خواندیم",
+        "در باغ پشت مدرسه درختان کهنسال زیادی هست",
+        "تابستان گذشته با قطار به ساحل سفر کردیم و در هتل کوچکی کنار "
+        "دریا ماندیم",
+        "می توانید بگویید نزدیک ترین ایستگاه کجاست و بلیت چقدر است",
+        "خواهرم آشپزی یاد می گیرد و امشب با سبزیجات باغ سوپ درست کرد",
+        "پزشک به او گفت چند روز استراحت کند و آب زیاد بنوشد",
+        "حدود دویست نفر در جلسه بودند و بسیاری از آنها سوال پرسیدند",
+        "می خواهم سه کیلو سیب و نیم کیلو پنیر بخرم لطفا",
+        "جنگل پشت روستا در بهار پر از پرندگان است",
+        "به نظر من کتابخانه جدید خیلی بهتر از قدیمی است چون هر روز باز است",
+    ],
+    "sw": [
+        "Watu wote wamezaliwa huru hadhi na haki zao ni sawa. Wote "
+        "wamejaliwa akili na dhamiri hivyo yapasa watendeane kindugu.",
+        "nyumba iko karibu na mto na watu hutembea na mbwa wao jioni "
+        "wakati hali ya hewa ni nzuri",
+        "asubuhi tulikwenda sokoni na kununua mkate maziwa na mayai kwa "
+        "watoto",
+        "sasa ni saa ngapi na utarudi lini nyumbani kwetu kesho",
+        "alisema kwamba kitabu kilikuwa mezani lakini sikuweza kukipata "
+        "popote",
+        "kaka yangu anafanya kazi mjini kila siku na anarudi nyumbani "
+        "usiku sana",
+        "jana kulikuwa na baridi kwa hiyo tulibaki nyumbani na kusoma "
+        "vitabu",
+        "kuna miti mingi ya zamani katika bustani nyuma ya shule",
+        "msimu wa joto uliopita tulisafiri kwa treni hadi pwani na kukaa "
+        "katika hoteli ndogo kando ya bahari",
+        "tafadhali unaweza kuniambia kituo cha karibu kiko wapi na tikiti "
+        "inagharimu kiasi gani",
+        "dada yangu anajifunza kupika na usiku huu alipika supu ya mboga "
+        "kutoka bustanini",
+        "daktari alimwambia apumzike kwa siku chache na anywe maji mengi",
+        "kulikuwa na watu kama mia mbili kwenye mkutano na wengi waliuliza "
+        "maswali",
+        "ningependa kununua kilo tatu za tufaha na nusu kilo ya jibini "
+        "tafadhali",
+        "msitu nyuma ya kijiji umejaa ndege wakati wa masika",
+        "kwa maoni yangu maktaba mpya ni bora zaidi kuliko ile ya zamani "
+        "kwa sababu hufunguliwa kila siku",
     ],
 }
 
