@@ -2468,6 +2468,15 @@ class LlmOpsSpec extends SparkSpec {
     // windows-1251 is a LANGUAGE SET (bg/ru/uk), not just Russian
     for (t <- Seq(ru, uk, bg))
       assert(decode(t.getBytes(Charset.forName("windows-1251"))) == t, t)
+    // the whole single-byte Cyrillic family: every mapping decodes every
+    // byte, so only the language gate separates them — each real text
+    // must round-trip through ITS OWN mapping (the cross-decodes measure
+    // 513-836 normalized distance and reject)
+    for (cs <- Seq("KOI8-R", "KOI8-U", "ISO-8859-5"))
+      assert(decode(ru.getBytes(Charset.forName(cs))) == ru, cs)
+    for (cs <- Seq("KOI8-U", "ISO-8859-5")) // uk has no KOI8-R encoding
+      assert(decode(uk.getBytes(Charset.forName(cs))) == uk, cs)
+    assert(decode(bg.getBytes(Charset.forName("ISO-8859-5"))) == bg)
     // a French cp1252 page strict-decodes under windows-1251 too (all
     // single bytes map) — but reads as Latin-with-stray-Cyrillic, the
     // classifier rejects it, and the cp1252 fallback wins
