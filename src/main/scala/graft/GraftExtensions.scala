@@ -167,6 +167,9 @@ object GraftExtensions {
     ("html_unescape", graft.expressions.HtmlKernels.unescapeInfo,
       arity("html_unescape", 1)(c =>
         graft.expressions.HtmlKernels.HtmlUnescape(c(0)))),
+    ("html_to_text", graft.expressions.HtmlKernels.toTextInfo,
+      arity("html_to_text", 1)(c =>
+        graft.expressions.HtmlKernels.HtmlToText(c(0)))),
     ("idn_ascii", graft.expressions.UrlKernels.idnAsciiInfo,
       arity("idn_ascii", 1)(c =>
         graft.expressions.UrlKernels.IdnAscii(c(0)))),

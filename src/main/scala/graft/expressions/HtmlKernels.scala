@@ -73,6 +73,13 @@ object HtmlKernels {
     if (html == null) return null
     val s = html.toString
     if (s.indexOf('&') < 0) return html
+    UTF8String.fromString(unescapeString(s))
+  }
+
+  /** String-level body of [[unescape]] — shared with [[toText]], whose
+    * tag-strip pass already owns a String. */
+  private[expressions] def unescapeString(s: String): String = {
+    if (s.indexOf('&') < 0) return s
     val n = s.length
     val sb = new java.lang.StringBuilder(n)
     var i = 0
@@ -106,11 +113,221 @@ object HtmlKernels {
         else { sb.append(safeChar(code).toChar); i = j + 1 }
       } else { sb.append('&'); i += 1 }
     }
-    UTF8String.fromString(sb.toString)
+    sb.toString
   }
 
   val unescapeInfo: ExpressionInfo = new ExpressionInfo(
     classOf[HtmlUnescape].getName, null, "html_unescape",
     "_FUNC_(s) - decode the six ubiquitous named HTML entities plus bounded numeric character references (printable ASCII + common punctuation); anything else survives verbatim.",
+    "", "", "", "", "", "", "built-in")
+
+  /**
+   * BLOCK-STRUCTURED HTML→text extraction (`html_to_text`) — the
+   * crawl-chain rung [[graft.ops.TextOps.stripHtml]] cannot be: that
+   * helper collapses ALL whitespace to single spaces, so a raw-HTML feed
+   * reaches the within-doc / corpus-wide PARAGRAPH dedup tiers and
+   * CCNet-style boilerplate removal as ONE line per document and both
+   * stages silently no-op. This kernel preserves the document's block
+   * structure as newlines so the line-level curation tiers operate on
+   * exactly the units a production extractor (trafilatura / jusText /
+   * CCNet's WET step) hands them.
+   *
+   * One left-to-right pass, native codegen'd expression:
+   *
+   *   - NON-CONTENT SUBTREES are dropped whole: `script`/`style` as
+   *     HTML raw-text elements (content skipped to the matching close
+   *     tag — a `<` inside JS never re-enters the parser), and
+   *     `head`/`nav`/`footer`/`aside` with same-tag depth counting
+   *     (chrome, not prose). An unclosed drop-subtree swallows to end
+   *     of input — degrade to LESS text, never guess — with one
+   *     spec-mandated exception: `<body` ends an unclosed `<head>`
+   *     (HTML5 makes `</head>` optional; real pages omit it).
+   *   - BLOCK BOUNDARIES emit a newline: `p div br li h1–h6 tr
+   *     blockquote pre` (open and close; also the dropped subtrees'
+   *     edges). Every other tag — inline markup — emits a single
+   *     space, never zero width: `foo<b>bar</b>` keeps its author
+   *     spacing law from stripHtml and per-line collapse absorbs it.
+   *   - Comments (`<!-- -->`), doctypes (`<! >`), and processing
+   *     instructions (`<? >`) vanish; `>` inside a quoted attribute
+   *     value does not close its tag (the regex strip's known hole).
+   *   - Entities decode via the [[unescape]] law (after tag strip, so
+   *     a decoded `&lt;` is literal text, never re-parsed; no entity
+   *     in the bounded safe set decodes to a newline).
+   *   - Finally whitespace collapses PER LINE (the fix for
+   *     stripHtml's global collapse): runs of intra-line whitespace
+   *     become one space, lines are trimmed, empty lines drop, lines
+   *     join with `\n`.
+   *
+   * Malformed markup degrades gracefully (unclosed tag strips to end,
+   * stray `>` is text, never throws); null in → null out; a page with
+   * no prose yields the empty string. Reference analog: the S2 ingest
+   * parse (docker/lambda_function.py:64) applied to crawl HTML.
+   */
+  case class HtmlToText(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string, got ${other.simpleString}")
+    }
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "html_to_text"
+    override protected def nullSafeEval(a: Any): Any =
+      HtmlKernels.toText(a.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.expressions.HtmlKernels.toText($a)")
+    override protected def withNewChildInternal(newChild: Expression): HtmlToText =
+      copy(child = newChild)
+  }
+
+  /** Subtrees whose content is chrome, not prose. `script`/`style` are
+    * handled as raw-text elements separately. */
+  private val dropSubtrees = Set("head", "nav", "footer", "aside")
+
+  /** Tags whose open OR close is a block boundary (→ newline). */
+  private val blockTags = Set(
+    "p", "div", "br", "li", "h1", "h2", "h3", "h4", "h5", "h6",
+    "tr", "blockquote", "pre",
+    // structural containers: their edges are block boundaries too (they
+    // never sit mid-sentence), and the dropped subtrees' edges
+    "html", "body", "head", "nav", "footer", "aside",
+    "table", "ul", "ol", "section", "article", "header", "main", "title")
+
+  private def isNameChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9')
+
+  /** Lowercased tag name starting at `from` (first name char), or "" if
+    * none. */
+  private def tagName(s: String, from: Int): String = {
+    var j = from
+    val n = s.length
+    val sb = new java.lang.StringBuilder(8)
+    while (j < n && isNameChar(s.charAt(j)) && sb.length < 16) {
+      val c = s.charAt(j)
+      sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** Index just past the tag's closing `>`, honoring quoted attribute
+    * values; `n` when the tag never closes (strip-to-end law). */
+  private def skipTag(s: String, from: Int): Int = {
+    var j = from
+    val n = s.length
+    var quote: Char = 0
+    while (j < n) {
+      val c = s.charAt(j)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return j + 1
+      j += 1
+    }
+    n
+  }
+
+  /** Case-insensitive search for `</name` at or after `from`; returns the
+    * index of the `<`, or -1. */
+  private def findClose(s: String, from: Int, name: String): Int = {
+    var j = from
+    val n = s.length
+    val m = name.length
+    while (j + m + 1 < n) {
+      if (s.charAt(j) == '<' && s.charAt(j + 1) == '/' &&
+          s.regionMatches(true, j + 2, name, 0, m) &&
+          (j + 2 + m >= n || !isNameChar(s.charAt(j + 2 + m)))) return j
+      j += 1
+    }
+    -1
+  }
+
+  /** Static kernel for [[HtmlToText]]. */
+  def toText(html: UTF8String): UTF8String = {
+    if (html == null) return null
+    UTF8String.fromString(toTextString(html.toString))
+  }
+
+  private[expressions] def toTextString(s: String): String = {
+    val n = s.length
+    // pass 1: strip tags, drop non-content subtrees, mark block
+    // boundaries with '\n' and inline-tag sites with ' '
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c != '<') { sb.append(c); i += 1 }
+      else if (s.regionMatches(i + 1, "!--", 0, 3)) {
+        val end = s.indexOf("-->", i + 4)
+        i = if (end < 0) n else end + 3
+      } else if (i + 1 < n && (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+        i = skipTag(s, i + 2)
+      } else {
+        val isClose = i + 1 < n && s.charAt(i + 1) == '/'
+        val name = tagName(s, if (isClose) i + 2 else i + 1)
+        if (name.isEmpty) { sb.append(c); i += 1 } // stray '<' is text
+        else {
+          if (blockTags.contains(name)) sb.append('\n') else sb.append(' ')
+          i = skipTag(s, i + 1)
+          if (!isClose && (name == "script" || name == "style")) {
+            // raw-text element: content is code, skip to the close tag
+            val close = findClose(s, i, name)
+            i = if (close < 0) n else skipTag(s, close + 2 + name.length)
+          } else if (!isClose && dropSubtrees.contains(name)) {
+            // chrome subtree: skip to the matching close with same-tag
+            // depth counting; an unclosed <head> ends at <body>
+            var depth = 1
+            while (depth > 0 && i < n) {
+              val lt = s.indexOf('<', i)
+              if (lt < 0) { i = n }
+              else if (s.regionMatches(true, lt + 1, name, 0, name.length) &&
+                  (lt + 1 + name.length >= n ||
+                    !isNameChar(s.charAt(lt + 1 + name.length)))) {
+                depth += 1; i = skipTag(s, lt + 1)
+              } else if (s.charAt(lt + 1) == '/' &&
+                  s.regionMatches(true, lt + 2, name, 0, name.length) &&
+                  (lt + 2 + name.length >= n ||
+                    !isNameChar(s.charAt(lt + 2 + name.length)))) {
+                depth -= 1; i = skipTag(s, lt + 1)
+              } else if (name == "head" &&
+                  s.regionMatches(true, lt + 1, "body", 0, 4) &&
+                  (lt + 5 >= n || !isNameChar(s.charAt(lt + 5)))) {
+                // HTML5: </head> is optional — body opens, head is over
+                depth = 0; i = lt
+              } else i = lt + 1
+            }
+            sb.append('\n')
+          }
+        }
+      }
+    }
+    // pass 2: entity decode (no safe entity decodes to a newline, so the
+    // line structure above is final)
+    val decoded = unescapeString(sb.toString)
+    // pass 3: per-line whitespace collapse — trim each line, single
+    // spaces within, drop empties, join with '\n'
+    val m = decoded.length
+    val out = new java.lang.StringBuilder(m)
+    var pendingBreak = false
+    var pendingSpace = false
+    var j = 0
+    while (j < m) {
+      val c = decoded.charAt(j)
+      if (c == '\n') pendingBreak = true
+      else if (Character.isWhitespace(c)) pendingSpace = true
+      else {
+        if (pendingBreak) { if (out.length > 0) out.append('\n') }
+        else if (pendingSpace && out.length > 0) out.append(' ')
+        pendingBreak = false; pendingSpace = false
+        out.append(c)
+      }
+      j += 1
+    }
+    out.toString
+  }
+
+  val toTextInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[HtmlToText].getName, null, "html_to_text",
+    "_FUNC_(html) - block-structured HTML to text: drops script/style/head/nav/footer/aside subtrees, newline at block-tag boundaries (p div br li h1-h6 tr blockquote pre ...), entity decode, per-line whitespace collapse.",
     "", "", "", "", "", "", "built-in")
 }

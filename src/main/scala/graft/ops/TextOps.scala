@@ -267,6 +267,22 @@ object TextOps {
     call_function("text_from_bytes_decl", bytes,
       coalesce(declared, lit("")))
 
+  /** BLOCK-STRUCTURED HTML→text ([[graft.expressions.HtmlKernels.HtmlToText]]):
+    * drops `script/style/head/nav/footer/aside` subtrees, emits a newline
+    * at block-tag boundaries, decodes entities, collapses whitespace PER
+    * LINE. This is the crawl-chain extraction rung — unlike [[stripHtml]]
+    * (which collapses newlines too), its output keeps the line structure
+    * the paragraph-dedup and boilerplate-removal tiers operate on, so
+    * those stages do real work on raw-HTML feeds. Requires
+    * [[graft.GraftExtensions.register]]. */
+  def htmlToText(html: Column): Column =
+    call_function("html_to_text", html)
+
+  /** FLAT strip — all whitespace (newlines included) collapses to single
+    * spaces, so the output is one line. Right for short snippets and for
+    * feeds whose line structure is meaningless; for the crawl chain use
+    * [[htmlToText]], which preserves block boundaries for the paragraph
+    * tiers. */
   def stripHtml(html: Column): Column = {
     val noBlocks = regexp_replace(html,
       "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")

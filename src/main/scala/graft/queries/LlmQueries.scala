@@ -1986,6 +1986,47 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // BLOCK-STRUCTURED HTML -> text (the crawl-chain extraction rung,
+    // r17): unlike stripHtml's global whitespace collapse, html_to_text
+    // keeps block boundaries as newlines so the paragraph-dedup and
+    // boilerplate tiers see real lines. Eight closed-form planted arms:
+    // heading+paragraphs, a full chrome page (head/nav/script/aside/
+    // footer all dropped whole), the entity gauntlet with <br>, list +
+    // table rows, nested same-tag nav + the unclosed-<head>-ends-at-
+    // <body> law, quoted-attribute '>' + comment + doctype, per-line
+    // whitespace collapse with an empty block dropped, and a
+    // chrome-only page that must yield ''. The oracle pins each arm's
+    // exact line list as literals.
+    "q_text_html_blocks" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val n = col("doc_id").cast("string")
+      val html = when(col("doc_id") % 8 === 0, concat(
+          lit("<h1>Doc "), n, lit("</h1><p>alpha "), n, lit("</p><p>beta</p>")))
+        .when(col("doc_id") % 8 === 1, concat(
+          lit("<html><head><title>t</title><style>p{color:red}</style></head>" +
+            "<body><nav>home about contact</nav><p>only prose "), n,
+          lit("</p><script>if (1 < 2) { x(); }</script>" +
+            "<aside>related</aside><footer>copyright corp</footer></body></html>")))
+        .when(col("doc_id") % 8 === 2, concat(
+          lit("<p>A &amp; B &lt;tag&gt; &#8217;s &nbsp;end</p>second "), n,
+          lit("<br>third")))
+        .when(col("doc_id") % 8 === 3, concat(
+          lit("<ul><li>one</li><li>two "), n,
+          lit("</li></ul><table><tr><td>a</td><td>b</td></tr></table>")))
+        .when(col("doc_id") % 8 === 4, concat(
+          lit("<head><title>t</title><body><nav>o <nav>i</nav> c</nav><p>kept "),
+          n, lit("</p>")))
+        .when(col("doc_id") % 8 === 5, concat(
+          lit("<!DOCTYPE html><!-- note --><p title=\"a > b\">attr "), n,
+          lit("</p>")))
+        .when(col("doc_id") % 8 === 6, concat(
+          lit("<div>  a\t b  </div><div>   </div><div>c "), n, lit("</div>")))
+        .otherwise(lit("<nav>only chrome</nav>"))
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.htmlToText(html).as("text_block"))
+        .orderBy("doc_id")
+    }),
+
     // WARC shard ingest over planted shards: synth_warc(doc_id) builds a
     // closed-form shard (warcinfo + HTTP response + request; gzip
     // member-per-record framing at odd ids, plain at even; a CHUNKED
@@ -4412,6 +4453,22 @@ object LlmQueries {
         |    WHEN 13 THEN 'café δοκιμή текст'
         |    WHEN 14 THEN 'дети идут в школу утром и читают книги с учителем в городе'
         |    ELSE 'децата вървят сутрин към училището и четат книги с учителя в града' END AS text_out
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_html_blocks" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+        |      || 'alpha ' || CAST(doc_id AS VARCHAR) || chr(10) || 'beta'
+        |    WHEN 1 THEN 'only prose ' || CAST(doc_id AS VARCHAR)
+        |    WHEN 2 THEN 'A & B <tag> ’s end' || chr(10)
+        |      || 'second ' || CAST(doc_id AS VARCHAR) || chr(10) || 'third'
+        |    WHEN 3 THEN 'one' || chr(10) || 'two ' || CAST(doc_id AS VARCHAR)
+        |      || chr(10) || 'a b'
+        |    WHEN 4 THEN 'kept ' || CAST(doc_id AS VARCHAR)
+        |    WHEN 5 THEN 'attr ' || CAST(doc_id AS VARCHAR)
+        |    WHEN 6 THEN 'a b' || chr(10) || 'c ' || CAST(doc_id AS VARCHAR)
+        |    ELSE '' END AS text_block
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_deflate" ->

@@ -1394,6 +1394,58 @@ class LlmOpsSpec extends SparkSpec {
       .collect()(0).isNullAt(0))
   }
 
+  test("HtmlKernels.html_to_text: block boundaries become newlines, chrome subtrees " +
+    "drop whole, entities decode, whitespace collapses PER LINE, malformed degrades") {
+    import spark.implicits._
+    def x(s: String): String =
+      Seq(s).toDF("h").select(TextOps.htmlToText($"h")).collect()(0).getString(0)
+    // block tags emit newlines; inline tags keep author spacing
+    assert(x("<h1>Title</h1><p>Hello <b>world</b></p><p>Next</p>") ==
+      "Title\nHello world\nNext")
+    assert(x("line one<br>line two<br/>line three") ==
+      "line one\nline two\nline three")
+    assert(x("<ul><li>a</li><li>b</li></ul><div>c</div>") == "a\nb\nc")
+    assert(x("<table><tr><td>r1c1</td><td>r1c2</td></tr><tr><td>r2</td></tr></table>") ==
+      "r1c1 r1c2\nr2")
+    // chrome subtrees vanish WITH content: head (incl. title/style), nav,
+    // footer, aside; script raw-text with a '<' inside never re-parses
+    assert(x("<html><head><title>t</title><style>p{color:red}</style></head>" +
+      "<body><nav>home about</nav><p>prose</p>" +
+      "<script>if (1 < 2) { x(); }</script>" +
+      "<aside>related links</aside><footer>copyright corp</footer></body></html>") ==
+      "prose")
+    // nested same-tag chrome: depth counting finds the MATCHING close
+    assert(x("<nav>outer <nav>inner</nav> still chrome</nav><p>kept</p>") == "kept")
+    // unclosed <head> ends at <body> (HTML5 optional </head>); unclosed
+    // nav swallows to end — degrade to less text, never guess
+    assert(x("<html><head><title>t</title><body><p>kept</p></body></html>") == "kept")
+    assert(x("<p>kept</p><nav>menu <p>swallowed</p>") == "kept")
+    // comments, doctype, processing instructions vanish; '>' inside a
+    // quoted attribute value does NOT close its tag
+    assert(x("<!DOCTYPE html><!-- note --><?xml v?><p>a</p>") == "a")
+    assert(x("""<p title="a > b">c</p>""") == "c")
+    assert(x("<!-- unterminated comment <p>gone</p>") == "")
+    // entities decode after tag strip: &lt; is literal, never re-parsed;
+    // &amp;-last law holds
+    assert(x("<p>A &amp; B &lt;tag&gt; &#8217;s &nbsp;end</p>") ==
+      "A & B <tag> ’s end")
+    assert(x("<p>&amp;lt;kept&amp;gt;</p>") == "&lt;kept&gt;")
+    // per-line collapse: intra-line runs collapse, lines trim, EMPTY
+    // lines drop, but distinct blocks stay distinct lines
+    assert(x("<div>  a\t b  </div><div>   </div><div>c</div>") == "a b\nc")
+    assert(x("<pre>  keep   structure? no: collapsed  </pre>") ==
+      "keep structure? no: collapsed")
+    // malformed: unclosed tag strips to end-of-input; stray '<'/'>' are text
+    assert(x("pre <div class='x' post") == "pre")
+    assert(x("a < b and c > d") == "a < b and c > d")
+    // tag-free text passes through with per-line collapse intact
+    assert(x("line1\n\n  line2  \nline3") == "line1\nline2\nline3")
+    // chrome-only page → empty string; null in → null out
+    assert(x("<nav>only chrome</nav>") == "")
+    assert(Seq[Option[String]](None).toDF("h")
+      .select(TextOps.htmlToText($"h")).collect()(0).isNullAt(0))
+  }
+
   test("TextOps.canonicalizeUrl: variants collapse, ports/fragments/tracking handled, " +
     "root path and param sort stable") {
     import spark.implicits._
