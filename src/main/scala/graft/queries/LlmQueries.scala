@@ -474,24 +474,37 @@ object LlmQueries {
   /** The crawl-ingest capstone chain over a caller-supplied payload
     * column `t0` (the planted text for q_pipeline_crawl, its
     * text_from_bytes decode for q_pipeline_crawl_bytes) — ONE composed
-    * plan: HTML wrap+strip → URL hygiene (canonicalize → registrable-
-    * domain blocklist → eTLD+1 cap) → language-ID rejection gate →
-    * quality gate → within-doc line dedup → corpus-wide paragraph
-    * dedup → exact-fingerprint decontamination → temperature mix by
-    * detected language. */
+    * plan in the CCNet stage order: HTML wrap → block-structured
+    * extraction (html_to_text) → URL hygiene (canonicalize →
+    * registrable-domain blocklist → eTLD+1 cap) → within-doc line
+    * dedup → corpus-wide paragraph dedup → language-ID rejection gate
+    * → quality gate → exact-fingerprint decontamination → temperature
+    * mix by detected language. */
   private def crawlCapstone(s: SparkSession, dir: String, t0: Column): DataFrame = {
     import s.implicits._
     val d = docs(s, dir)
+    // RAW page markup (r17): chrome the block extractor must DROP whole
+    // (head/style/title, the nav menu, the script with a stray '<'),
+    // block structure it must KEEP as lines (h1 / p / div boundaries), a
+    // repeated promo div (within-doc dedup food), a copyright div shared
+    // across docs (corpus-wide keep-first food), and the entity gauntlet
+    // arm. html_to_text — not stripHtml — is the extraction rung: its
+    // per-line collapse preserves exactly the line units the paragraph
+    // tiers below operate on, so those stages do real work on raw HTML.
     val html = concat(
-      lit("<html><head><style>p{color:red}</style></head><body><h1>Doc "),
-      col("doc_id").cast("string"), lit("</h1><p>"), t0,
-      lit("</p><script>var x = 1 < 2;</script>"),
+      lit("<html><head><style>p{color:red}</style><title>Site</title>" +
+        "</head><body><nav>site menu home about</nav><h1>Doc "),
+      col("doc_id").cast("string"),
+      lit("</h1><div>recommended for you</div><p>"), t0,
+      lit("</p><div>recommended for you</div>" +
+        "<script>var x = 1 < 2;</script>"),
       when(col("doc_id") % 3 === 0,
         lit("<p>A &amp; B &lt;tag&gt; &#8217;s &nbsp;end</p>"))
         .otherwise(lit("")),
-      lit("</body></html>"))
+      lit("<div>copyright "), (col("doc_id") % 7).cast("string"),
+      lit("</div></body></html>"))
     val framed = d.select(col("doc_id"), plantedShardUrl.as("url"),
-      TextOps.stripHtml(html).as("text"))
+      TextOps.htmlToText(html).as("text"))
     // registrable-domain blocklist: the spam apex collapses every shard;
     // one github tenant drops alone (private suffix keeps siblings)
     val blocked = Seq("spam.co.uk", "www.u7.github.io").toDF("host")
@@ -503,29 +516,29 @@ object LlmQueries {
           TextOps.urlHost(TextOps.canonicalizeUrl(col("url")))),
         TextOps.urlHost(TextOps.canonicalizeUrl(col("url")))))
     val capped = Corpus.capPerGroup(domained, "domain", 10, col("doc_id").asc)
-    val langed = capped
+    // CCNet stage order (r17): line-level dedup BEFORE language-ID.
+    // The promo/copyright chrome the extractor surfaces as real lines
+    // would otherwise pollute classification — measured with the
+    // calibration replay: with the boilerplate lines attached, every
+    // non-Latin plant rejects to 'und'; after keep-first dedup strips
+    // them, classification sees `Doc N` + the plant, the exact r16
+    // gate behavior. (This is CCNet's published motivation for
+    // deduplicating paragraphs before fastText LID.)
+    val within = Dedup.paragraphDedupWithinDoc(capped, "doc_id", "text")
+    val deduped = Dedup.paragraphDedup(within, "doc_id", "text")
+      .join(capped.select("doc_id", "domain"), Seq("doc_id"))
+    val langed = deduped
       .withColumn("lang", TextOps.langIdNgram(col("text")))
       .where(col("lang") =!= "und")
     val gate = TextOps.curationGate(langed, "doc_id", "text",
       TextOps.CurationRules(
         minTokens = 8, maxTopTokenFrac = 0.5, maxDupBigramFrac = 0.5))
     val gated = langed.join(gate.where(col("keep")).select("doc_id"), Seq("doc_id"))
-    // boilerplate structure: a repeated promo line inside each doc and a
-    // shared copyright footer across docs — within-doc dedup collapses
-    // the repeat, corpus-wide keep-first leaves one global promo copy
-    val lined = gated.select(col("doc_id"), col("lang"), col("domain"),
-      concat_ws("\n",
-        lit("recommended for you"), col("text"),
-        lit("recommended for you"),
-        concat(lit("copyright "), (col("doc_id") % 7).cast("string"))).as("text"))
-    val within = Dedup.paragraphDedupWithinDoc(lined, "doc_id", "text")
-    val paraed = Dedup.paragraphDedup(within, "doc_id", "text")
-      .join(lined.select("doc_id", "lang", "domain"), Seq("doc_id"))
     // decontamination: the %97 docs ARE the benchmark; any surviving doc
     // whose cleaned text fingerprint matches a suite member drops
-    val suite = paraed.where(col("doc_id") % 97 === 0)
+    val suite = gated.where(col("doc_id") % 97 === 0)
       .select(TextOps.fingerprint(col("text")).as("_fp")).distinct()
-    val decon = paraed
+    val decon = gated
       .withColumn("_fp", TextOps.fingerprint(col("text")))
       .join(broadcast(suite), Seq("_fp"), "left_anti")
       .drop("_fp")
@@ -536,8 +549,10 @@ object LlmQueries {
 
   /** Shared oracle for q_pipeline_crawl and q_pipeline_crawl_bytes
     * (the byte framings decode losslessly, so one CTE chain replays
-    * both): plants, strip, PSL walk, lang gate, quality, dedup
-    * tiers, decontamination, temperature mix. */
+    * both): plants, the closed-form extracted line list (html_to_text's
+    * behavior on the generated markup is pinned arm-by-arm in
+    * q_text_html_blocks), PSL walk, dedup tiers, lang gate, quality,
+    * decontamination, temperature mix — the CCNet stage order. */
   private lazy val pipelineCrawlOracle: String =
       s"""WITH psl AS (SELECT * FROM ${graft.model.PublicSuffix.oracleValuesSql}),
          |lp AS (SELECT * FROM ${graft.model.LangProfiles.oracleValuesSql}),
@@ -555,26 +570,13 @@ object LlmQueries {
          |           || '.site' || CAST(doc_id % 7 AS VARCHAR) || '.com/x'
          |    END AS url FROM documents),
          |pt AS (SELECT doc_id, ${langPlantCase("text")} AS t0 FROM documents),
-         |h AS (SELECT doc_id,
-         |    '<html><head><style>p{color:red}</style></head><body><h1>Doc '
-         |    || CAST(doc_id AS VARCHAR) || '</h1><p>' || t0
-         |    || '</p><script>var x = 1 < 2;</script>'
-         |    || CASE WHEN doc_id % 3 = 0
-         |            THEN '<p>A &amp; B &lt;tag&gt; &#8217;s &nbsp;end</p>'
-         |            ELSE '' END
-         |    || '</body></html>' AS html FROM pt),
-         |cs1 AS (SELECT doc_id,
-         |          regexp_replace(html,
-         |            '(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>', ' ', 'g') AS t
-         |        FROM h),
-         |cs2 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM cs1),
-         |csn AS (SELECT doc_id, replace(t, '&#8217;', '’') AS t FROM cs2),
-         |cs3 AS (SELECT doc_id,
-         |          replace(replace(replace(replace(replace(t,
-         |            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-         |            '&quot;', '"'), '&amp;', '&') AS t
-         |        FROM csn),
-         |txt AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text FROM cs3),
+         |txt AS (SELECT doc_id,
+         |    'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+         |    'recommended for you' || chr(10) || t0 || chr(10) ||
+         |    'recommended for you' || chr(10) ||
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN 'A & B <tag> ’s end' || chr(10) ELSE '' END ||
+         |    'copyright ' || CAST(doc_id % 7 AS VARCHAR) AS text FROM pt),
          |ul AS (SELECT doc_id,
          |         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host,
          |         string_split(lower(regexp_extract(url,
@@ -611,13 +613,37 @@ object LlmQueries {
          |           FROM ub) WHERE rn <= 10),
          |base AS MATERIALIZED (SELECT c.doc_id, c.domain, t.text FROM ucap c
          |         JOIN txt t ON t.doc_id = c.doc_id),
-         |lgsrc AS (SELECT doc_id, text AS txt FROM base),
+         |wl AS (SELECT doc_id, i, line FROM (
+         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         |         generate_subscripts(string_split(text, chr(10)), 1) AS i
+         |  FROM base)),
+         |wk AS (SELECT doc_id, i, line FROM (
+         |  SELECT doc_id, i, line,
+         |         row_number() OVER (PARTITION BY doc_id, line ORDER BY i) AS rn
+         |  FROM wl) WHERE rn = 1),
+         |wr AS MATERIALIZED (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+         |       FROM wk GROUP BY doc_id),
+         |pl2 AS (SELECT doc_id, i - 1 AS pos, line FROM (
+         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         |         generate_subscripts(string_split(text, chr(10)), 1) AS i
+         |  FROM wr)),
+         |pk2 AS (SELECT doc_id, pos, line FROM (
+         |  SELECT doc_id, pos, line,
+         |         row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
+         |  FROM pl2) WHERE rn = 1),
+         |pr2 AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+         |        FROM pk2 GROUP BY doc_id),
+         |paraed AS MATERIALIZED (SELECT w.doc_id, b.domain, coalesce(p.text, '') AS text
+         |           FROM wr w
+         |           JOIN base b ON b.doc_id = w.doc_id
+         |           LEFT JOIN pr2 p ON p.doc_id = w.doc_id),
+         |lgsrc AS (SELECT doc_id, text AS txt FROM paraed),
          |${langidClassifyCtes("lg", "lgsrc")},
          |langed AS (SELECT b.doc_id, b.domain, b.text,
          |    CASE WHEN lb.lang IS NULL THEN 'und'
          |         WHEN lb.dist * 1000 > lgdm.m * ${graft.model.LangProfiles.profileSize} * c.cut THEN 'und'
          |         ELSE lb.lang END AS lang
-         |  FROM base b
+         |  FROM paraed b
          |  LEFT JOIN lgbest lb ON lb.doc_id = b.doc_id AND lb.rn = 1
          |  LEFT JOIN lgdm ON lgdm.doc_id = b.doc_id
          |  LEFT JOIN lc c ON c.lang = lb.lang),
@@ -639,42 +665,13 @@ object LlmQueries {
          |           CASE WHEN coalesce(qd.dbf, 0.0) > 0.5 THEN 'dup_2gram_frac' END) AS reasons
          |       FROM qt JOIN qrep ON qrep.doc_id = qt.doc_id
          |       LEFT JOIN qd ON qd.doc_id = qt.doc_id),
-         |qkept AS (SELECT l.doc_id, l.lang, l.domain, l.text
+         |qkept AS MATERIALIZED (SELECT l.doc_id, l.lang, l.domain, l.text
          |          FROM lkept l JOIN qr ON qr.doc_id = l.doc_id
          |          WHERE qr.reasons = ''),
-         |ld AS MATERIALIZED (SELECT doc_id, lang, domain,
-         |         'recommended for you' || chr(10) || text || chr(10) ||
-         |         'recommended for you' || chr(10) ||
-         |         'copyright ' || CAST(doc_id % 7 AS VARCHAR) AS text
-         |       FROM qkept),
-         |wl AS (SELECT doc_id, i, line FROM (
-         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
-         |         generate_subscripts(string_split(text, chr(10)), 1) AS i
-         |  FROM ld)),
-         |wk AS (SELECT doc_id, i, line FROM (
-         |  SELECT doc_id, i, line,
-         |         row_number() OVER (PARTITION BY doc_id, line ORDER BY i) AS rn
-         |  FROM wl) WHERE rn = 1),
-         |wr AS MATERIALIZED (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
-         |       FROM wk GROUP BY doc_id),
-         |pl2 AS (SELECT doc_id, i - 1 AS pos, line FROM (
-         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
-         |         generate_subscripts(string_split(text, chr(10)), 1) AS i
-         |  FROM wr)),
-         |pk2 AS (SELECT doc_id, pos, line FROM (
-         |  SELECT doc_id, pos, line,
-         |         row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
-         |  FROM pl2) WHERE rn = 1),
-         |pr2 AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
-         |        FROM pk2 GROUP BY doc_id),
-         |paraed AS MATERIALIZED (SELECT w.doc_id, d.lang, d.domain, coalesce(p.text, '') AS text
-         |           FROM wr w
-         |           JOIN ld d ON d.doc_id = w.doc_id
-         |           LEFT JOIN pr2 p ON p.doc_id = w.doc_id),
          |suite AS (SELECT DISTINCT
          |            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-         |          FROM paraed WHERE doc_id % 97 = 0),
-         |dec AS MATERIALIZED (SELECT p.doc_id, p.lang, p.domain, p.text FROM paraed p
+         |          FROM qkept WHERE doc_id % 97 = 0),
+         |dec AS MATERIALIZED (SELECT p.doc_id, p.lang, p.domain, p.text FROM qkept p
          |        LEFT JOIN suite s
          |          ON s.fp = md5(regexp_replace(lower(trim(p.text)), '\\s+', ' ', 'g'))
          |        WHERE s.fp IS NULL),

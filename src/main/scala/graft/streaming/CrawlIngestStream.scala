@@ -11,8 +11,10 @@ import graft.ops.{Corpus, Dedup, ManifestStore, TextOps}
  * end as one continuous configuration, every stage the SAME spec- and
  * oracle-verified operator its batch form uses, in the same order:
  *
- *  1. HTML strip + URL hygiene (per-row, stateless): `strip_html`,
- *     canonicalize → host → registrable domain.
+ *  1. HTML→text extraction + URL hygiene (per-row, stateless):
+ *     block-structured `html_to_text` by default (the paragraph tiers
+ *     below operate on its line units), canonicalize → host →
+ *     registrable domain.
  *  2. BLOCKLIST ([[Corpus.filterBlockedUrls]], registrable-domain match):
  *     static list, anti-join per batch.
  *  3. eTLD+1 CAP ([[RateLimitStream.CmsRateLimiter]] keyed on the
@@ -22,14 +24,17 @@ import graft.ops.{Corpus, Dedup, ManifestStore, TextOps}
  *     batch/stream equivalence depends on arrival order (stated
  *     honestly: a shuffled replay admits a different-but-equally-capped
  *     subset; the CMS matrix is the only state).
- *  4. LANGUAGE GATE (`lang_id_ngram` ≠ 'und') and QUALITY GATE
- *     ([[TextOps.curationGate]] under caller rules) — per-row kernels,
- *     garbage never reaches a fingerprint.
- *  5. WITHIN-DOC line dedup ([[Dedup.paragraphDedupWithinDoc]], per-row)
+ *  4. WITHIN-DOC line dedup ([[Dedup.paragraphDedupWithinDoc]], per-row)
  *     then CORPUS-WIDE keep-first paragraph dedup against the persisted
  *     line-hash store ([[Dedup.paragraphDedupIncrementalIndexed]] — the
  *     ParagraphIngestStream stage inlined; the corpus is never
- *     rescanned).
+ *     rescanned). Dedup runs BEFORE the gates — the CCNet stage order
+ *     (r17): the promo/footer chrome a block extractor surfaces as
+ *     real lines pollutes n-gram language-ID, and keep-first dedup is
+ *     exactly the stage that strips it.
+ *  5. LANGUAGE GATE (`lang_id_ngram` ≠ 'und') and QUALITY GATE
+ *     ([[TextOps.curationGate]] under caller rules) — per-row kernels
+ *     over the deduplicated text.
  *  6. DECONTAMINATION: exact-fingerprint anti-join against a static
  *     benchmark-suite fingerprint frame (`fp` column) — the capstone's
  *     %97-suite arm with the suite as the external registry input it is
@@ -45,15 +50,29 @@ import graft.ops.{Corpus, Dedup, ManifestStore, TextOps}
  * (CrawlIngestStreamSpec pins it over ordered shards).
  *
  * Per batch one ledger row: `(batchId, nIn, nUnblocked, nAdmitted,
- * nLang, nQuality, nEmptied, nClean)` — each adjacent difference is one
- * stage's rejection count, the per-stage accounting a crawl operator
- * reads before trusting the feed.
+ * nEmptied, nLang, nQuality, nClean)` — each adjacent difference is one
+ * stage's rejection count (nEmptied counts docs whose text the dedup
+ * tiers emptied, BEFORE the gates), the per-stage accounting a crawl
+ * operator reads before trusting the feed.
  */
 object CrawlIngestStream {
 
   final case class BatchReport(
       batchId: Long, nIn: Long, nUnblocked: Long, nAdmitted: Long,
-      nLang: Long, nQuality: Long, nEmptied: Long, nClean: Long)
+      nEmptied: Long, nLang: Long, nQuality: Long, nClean: Long)
+
+  /** How stage 1 turns the payload column into text. */
+  sealed trait Extract
+  object Extract {
+    /** Block-structured `html_to_text` — the default: line units for
+      * the paragraph tiers. */
+    case object Blocks extends Extract
+    /** Legacy flat strip ([[TextOps.stripHtml]]): one line per doc —
+      * the paragraph tiers degrade to within-doc no-ops. */
+    case object Flat extends Extract
+    /** Payload is already extracted text — pass through. */
+    case object Plain extends Extract
+  }
 
   /** Static configuration of the chain. `blockedHosts` follows
     * [[Corpus.filterBlockedUrls]]'s registrable-match contract;
@@ -66,7 +85,7 @@ object CrawlIngestStream {
       lineStoreDir: String,
       tablePath: String,
       suiteFps: Option[DataFrame] = None,
-      stripHtml: Boolean = true)
+      extract: Extract = Extract.Blocks)
 
   /** Wire the chain over a streaming frame carrying `idCol`, `urlCol`
     * and `htmlCol` (raw payload — already decoded text also works; the
@@ -84,15 +103,16 @@ object CrawlIngestStream {
       var cleaned: DataFrame = null
       try {
         val nIn = pinned.count()
-        // 1. strip + URL hygiene (one per-row projection). `stripHtml`
-        // collapses ALL whitespace (newlines included) — a feed that
-        // already ran block-structured HTML→text extraction sets
-        // Config.stripHtml = false so the paragraph tiers keep their
-        // line structure.
+        // 1. extraction + URL hygiene (one per-row projection):
+        // block-structured by default — the paragraph tiers below
+        // operate on html_to_text's line units
         val framed = pinned.select(
           col(idCol), col(urlCol).as("url"),
-          (if (cfg.stripHtml) TextOps.stripHtml(col(htmlCol))
-           else col(htmlCol)).as("text"))
+          (cfg.extract match {
+            case Extract.Blocks => TextOps.htmlToText(col(htmlCol))
+            case Extract.Flat => TextOps.stripHtml(col(htmlCol))
+            case Extract.Plain => col(htmlCol)
+          }).as("text"))
         // 2. blocklist, then the registrable-domain key the cap uses
         val domained = Corpus.filterBlockedUrls(
             framed, "url", blocked, matchRegistrable = true)
@@ -105,20 +125,15 @@ object CrawlIngestStream {
         // 3. cross-batch eTLD+1 cap
         admitted = limiter.admit(domained).localCheckpoint()
         val nAdmitted = admitted.count()
-        // 4. language + quality gates
-        val langed = admitted
-          .withColumn("lang", TextOps.langIdNgram(col("text")))
-          .where(col("lang") =!= "und")
-        val nLang = langed.count()
-        val keep = TextOps.curationGate(langed, idCol, "text", cfg.rules)
-          .where(col("keep")).select(idCol)
-        val gated = langed.join(keep, Seq(idCol))
-        val nQuality = gated.count()
         var nEmptied = 0L
+        var nLang = 0L
+        var nQuality = 0L
         var nClean = 0L
-        if (nQuality > 0) {
-          // 5. within-doc, then corpus-wide keep-first vs the store
-          val within = Dedup.paragraphDedupWithinDoc(gated, idCol, "text")
+        if (nAdmitted > 0) {
+          // 4. within-doc, then corpus-wide keep-first vs the store —
+          // BEFORE the gates (CCNet order): dedup strips the chrome
+          // lines that would otherwise pollute language-ID
+          val within = Dedup.paragraphDedupWithinDoc(admitted, idCol, "text")
           val para =
             if (Dedup.lineStoreCommitted(spark, cfg.lineStoreDir))
               Dedup.paragraphDedupIncrementalIndexed(
@@ -130,11 +145,20 @@ object CrawlIngestStream {
               c
             }
           val paraed = para
-            .join(gated.select(col(idCol), col("lang"), col("domain")), Seq(idCol))
+            .join(admitted.select(col(idCol), col("domain")), Seq(idCol))
           nEmptied = paraed.where(col("text") === "").count()
+          // 5. language + quality gates over the deduplicated text
+          val langed = paraed
+            .withColumn("lang", TextOps.langIdNgram(col("text")))
+            .where(col("lang") =!= "und")
+          nLang = langed.count()
+          val keep = TextOps.curationGate(langed, idCol, "text", cfg.rules)
+            .where(col("keep")).select(idCol)
+          val gated = langed.join(keep, Seq(idCol))
+          nQuality = gated.count()
           // 6. decontamination against the static suite
-          val deconed = cfg.suiteFps.fold(paraed) { suite =>
-            paraed
+          val deconed = cfg.suiteFps.fold(gated) { suite =>
+            gated
               .withColumn("_fp", TextOps.fingerprint(col("text")))
               .join(broadcast(suite), Seq("_fp"), "left_anti")
               .drop("_fp")
@@ -148,7 +172,7 @@ object CrawlIngestStream {
               cfg.tablePath, "lang", Seq("lang", idCol), spark)
         }
         onReport(BatchReport(
-          id, nIn, nUnblocked, nAdmitted, nLang, nQuality, nEmptied, nClean))
+          id, nIn, nUnblocked, nAdmitted, nEmptied, nLang, nQuality, nClean))
       } finally {
         if (cleaned != null) DriftStream.release(cleaned)
         if (admitted != null) DriftStream.release(admitted)

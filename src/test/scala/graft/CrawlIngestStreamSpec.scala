@@ -21,14 +21,17 @@ class CrawlIngestStreamSpec extends SparkSpec {
   // (capped at 3 per registrable domain), per-doc text with planted
   // boilerplate lines (within-doc repeat + corpus-wide promo line), a
   // garbage-text family the language gate must reject, and a
-  // dup-bigram family the QUALITY gate must reject: its body is clearly
-  // English (classifies en at normalized distance 236 vs the 270
-  // cutoff — measured with tools/calibrate_langid.py, which replays the
-  // classifier exactly) but 75% of its bigrams are duplicates, so with
-  // maxDupBigramFrac = 0.6 it fails exactly the quality rung. (A
-  // "too short" body does NOT work for this role: the boilerplate
-  // frame dilutes short English below the language cutoff, so it would
-  // reject at the LANG stage and the quality ledger line would read 0.)
+  // dup-bigram family the QUALITY gate must reject. Under the CCNet
+  // order the gates see the POST-DEDUP text, so the quality-fail body
+  // must (a) embed its doc id — an id-free repeated line would be
+  // corpus-deduped away before the gate ever sees it — and (b) repeat a
+  // NATURAL sentence: rich char-grams classify en at normalized
+  // distance 115–158 vs the 270 cutoff (measured with
+  // tools/calibrate_langid.py, which replays the classifier exactly;
+  // a terse "cat sat on the mat" loop measures 314 → und, and the
+  // rejection would land on the LANG ledger line instead) while 80% of
+  // its word bigrams are duplicates, failing exactly the
+  // maxDupBigramFrac = 0.6 rung.
   private def inputs: Seq[(Long, String, String)] =
     (1L to 90L).map { i =>
       val url =
@@ -36,7 +39,10 @@ class CrawlIngestStreamSpec extends SparkSpec {
         else s"https://w${i % 4}.site${i % 5}.com/p/$i"
       val body =
         if (i % 11 == 7) "zzqx vvkq wpph jjfy qqzz xkwj ppfv zzyx kqvw"
-        else if (i % 13 == 5) Seq.fill(8)("the cat sat on the mat").mkString(" ")
+        else if (i % 13 == 5)
+          Seq.fill(6)(
+            s"the children of house $i walk to the school in the morning " +
+              "and they read many books with the teacher").mkString(" ")
         else
           s"the house number $i stands near the river and the people walk " +
             s"with their dogs in the evening when the weather is good in " +
@@ -52,7 +58,8 @@ class CrawlIngestStreamSpec extends SparkSpec {
   private val rules = TextOps.CurationRules(
     minTokens = 4, maxTopTokenFrac = 0.6, maxDupBigramFrac = 0.6)
 
-  /** The batch capstone chain (q_pipeline_crawl's shape) over `df`. */
+  /** The batch capstone chain (q_pipeline_crawl's shape, CCNet stage
+    * order: dedup before the gates) over `df`. */
   private def batchChain(df: DataFrame, suite: Option[DataFrame]): DataFrame = {
     val blocked = Seq("spam.example.com").toDF("host")
     val domained = Corpus.filterBlockedUrls(
@@ -63,17 +70,17 @@ class CrawlIngestStreamSpec extends SparkSpec {
             TextOps.urlHost(TextOps.canonicalizeUrl(col("url")))),
           TextOps.urlHost(TextOps.canonicalizeUrl(col("url")))))
     val capped = Corpus.capPerGroup(domained, "domain", 3, col("doc_id").asc)
-    val langed = capped
+    val within = Dedup.paragraphDedupWithinDoc(capped, "doc_id", "text")
+    val deduped = Dedup.paragraphDedup(within, "doc_id", "text")
+      .join(capped.select("doc_id", "domain"), Seq("doc_id"))
+    val langed = deduped
       .withColumn("lang", TextOps.langIdNgram(col("text")))
       .where(col("lang") =!= "und")
     val keep = TextOps.curationGate(langed, "doc_id", "text", rules)
       .where(col("keep")).select("doc_id")
     val gated = langed.join(keep, Seq("doc_id"))
-    val within = Dedup.paragraphDedupWithinDoc(gated, "doc_id", "text")
-    val paraed = Dedup.paragraphDedup(within, "doc_id", "text")
-      .join(gated.select("doc_id", "lang", "domain"), Seq("doc_id"))
-    val deconed = suite.fold(paraed) { s =>
-      paraed.withColumn("_fp", TextOps.fingerprint(col("text")))
+    val deconed = suite.fold(gated) { s =>
+      gated.withColumn("_fp", TextOps.fingerprint(col("text")))
         .join(broadcast(s), Seq("_fp"), "left_anti").drop("_fp")
     }
     Corpus.sampleByTemperature(deconed, "doc_id", "lang", temperature = 2.0)
@@ -102,7 +109,8 @@ class CrawlIngestStreamSpec extends SparkSpec {
       rules = rules, lineStoreDir = lineStore, tablePath = table,
       suiteFps = Some(suite.withColumnRenamed("_fp", "fp")
         .select(col("fp").as("_fp"))),
-      stripHtml = false) // inputs are block-structured text already
+      // inputs are block-structured text already
+      extract = CrawlIngestStream.Extract.Plain)
     val reports = scala.collection.mutable.ArrayBuffer
       .empty[CrawlIngestStream.BatchReport]
     val ms = MemoryStream[(Long, String, String)]
@@ -124,12 +132,12 @@ class CrawlIngestStreamSpec extends SparkSpec {
         s"only-batch=${want -- got}")
 
     // ledger sanity: stages only ever shrink the batch, and the stated
-    // rejections actually happened
+    // rejections actually happened (CCNet order: dedup precedes gates)
     assert(reports.size == 3)
     for (r <- reports) {
       assert(r.nIn >= r.nUnblocked && r.nUnblocked >= r.nAdmitted &&
         r.nAdmitted >= r.nLang && r.nLang >= r.nQuality &&
-        r.nQuality >= r.nClean, r.toString)
+        r.nQuality >= r.nClean && r.nEmptied <= r.nAdmitted, r.toString)
     }
     assert(reports.map(_.nIn).sum == 90L)
     assert(reports.map(r => r.nIn - r.nUnblocked).sum == 10L,
@@ -195,7 +203,7 @@ class CrawlIngestStreamSpec extends SparkSpec {
     val cfg = CrawlIngestStream.Config(
       blockedHosts = Seq("spam.example.com"), domainCap = 3L,
       rules = rules, lineStoreDir = lineStore, tablePath = table,
-      suiteFps = None, stripHtml = false)
+      suiteFps = None, extract = CrawlIngestStream.Extract.Plain)
     val reports = scala.collection.mutable.ArrayBuffer
       .empty[CrawlIngestStream.BatchReport]
     val q = CrawlIngestStream.start(
@@ -216,5 +224,80 @@ class CrawlIngestStreamSpec extends SparkSpec {
     assert(want.exists(r => r._1 == 91L && r._2 == "pl" && r._4.contains(plBody)),
       s"fixture: the Polish doc must survive the batch chain: $want")
     assert(reports.map(_.nIn).sum == 91L)
+  }
+
+  test("raw-HTML feed under Extract.Blocks: the nav menu never reaches the " +
+    "corpus, and the repeated promo line IS removed by the paragraph tier — " +
+    "the stage the flat strip silently disabled") {
+    graft.GraftExtensions.register(spark)
+    implicit val ctx = spark.sqlContext
+    // raw pages: chrome nav (dropped at extraction), a promo div line
+    // REPEATED across every page (corpus-wide keep-first food — under
+    // the old flat strip this line fused into the body and the
+    // paragraph tier could not touch it), per-doc prose, a footer div
+    val pages = (1L to 20L).map { i =>
+      val html =
+        s"""<html><head><title>p$i</title><style>.x{}</style></head><body>
+           |<nav>site menu home about</nav>
+           |<div>subscribe to our newsletter today</div>
+           |<p>the house number $i stands near the river and the people
+           | walk with their dogs in the evening when the weather is good
+           | in district ${i % 7}</p>
+           |<script>var x = 1 < 2;</script>
+           |<div>written by staff $i</div>
+           |</body></html>""".stripMargin
+      (i, s"https://w${i % 3}.site${i % 4}.com/p/$i", html)
+    }
+    val lineStore = tmpDir("crawl_html_lines")
+    val table = tmpDir("crawl_html_table")
+    val cfg = CrawlIngestStream.Config(
+      blockedHosts = Nil, domainCap = 100L,
+      rules = TextOps.CurationRules(minTokens = 4),
+      lineStoreDir = lineStore, tablePath = table,
+      suiteFps = None, extract = CrawlIngestStream.Extract.Blocks)
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[CrawlIngestStream.BatchReport]
+    val ms = MemoryStream[(Long, String, String)]
+    val q = CrawlIngestStream.start(
+      ms.toDS().toDF("doc_id", "url", "html"),
+      "doc_id", "url", "html", cfg)(reports += _)
+    try {
+      ms.addData(pages.slice(0, 10)); q.processAllAvailable()
+      ms.addData(pages.slice(10, 20)); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = graft.ops.ManifestStore
+      .currentFrame(spark, table, "lang").get
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got.size == 20, s"all prose docs survive: ${got.keySet}")
+    // extraction dropped the chrome subtrees on every page
+    assert(!got.values.exists(_.contains("site menu")), "nav is chrome")
+    assert(!got.values.exists(_.contains("var x")), "script is code")
+    // the PARAGRAPH TIER did real work on raw HTML: exactly ONE page
+    // (the first) keeps the promo line; every later page lost it to
+    // corpus-wide keep-first — under stripHtml this line fused into a
+    // single-line doc and survived everywhere
+    val withPromo = got.filter(_._2.contains("subscribe to our newsletter"))
+    assert(withPromo.keySet == Set(1L),
+      s"keep-first leaves the promo line only in doc 1: ${withPromo.keySet}")
+    // per-doc prose and footers stayed, as distinct lines
+    assert(got(7L).contains("the house number 7") &&
+      got(7L).contains("written by staff 7") && got(7L).contains("\n"))
+    // and the flat strip demonstrably CANNOT do this: same pages, Flat
+    // mode, fresh stores — every doc keeps the promo text fused in-line
+    val cfgFlat = cfg.copy(
+      lineStoreDir = tmpDir("crawl_flat_lines"),
+      tablePath = tmpDir("crawl_flat_table"),
+      extract = CrawlIngestStream.Extract.Flat)
+    val ms2 = MemoryStream[(Long, String, String)]
+    val q2 = CrawlIngestStream.start(
+      ms2.toDS().toDF("doc_id", "url", "html"),
+      "doc_id", "url", "html", cfgFlat)(_ => ())
+    try { ms2.addData(pages); q2.processAllAvailable() } finally q2.stop()
+    val flat = graft.ops.ManifestStore
+      .currentFrame(spark, cfgFlat.tablePath, "lang").get
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(flat.values.forall(_.contains("subscribe to our newsletter")),
+      "flat strip: the promo text rides every doc — the tier no-ops")
   }
 }
