@@ -28,27 +28,37 @@ import org.apache.spark.unsafe.types.UTF8String
  *     dominant case; two rounds covers single- and double-encoding, and
  *     the strict-validity + progress guards make it a no-op on clean
  *     text (ASCII re-encodes to itself → breaks immediately).
- *  3. Legacy multibyte/Cyrillic ladder — Shift_JIS, EUC-JP, EUC-KR,
- *     GB18030, Big5, and the single-byte Cyrillic family windows-1251,
- *     KOI8-R, KOI8-U, ISO-8859-5 (all in-JDK charsets). A candidate
- *     must (a) strict-decode (CodingErrorAction.REPORT — no
- *     replacement characters), (b) carry at least 8 non-ASCII chars of
- *     evidence (the cutoffs are calibrated on 8-word bags; a lone
- *     ideograph is not classifiable), and (c) CLASSIFY as a language
- *     that charset encodes under
- *     the bundled 40-language n-gram identifier with its calibrated
- *     rejection cutoffs ([[DocKernels.langGateLabel]]):
- *     sjis/euc-jp → ja, euc-kr → ko, gb18030/big5 → zh, and the
- *     Cyrillic family → bg/ru/sr/uk per mapping. Byte validity alone CANNOT separate
- *     the structurally-ambiguous pairs — EUC-JP and GB2312 share the
- *     EUC frame and even the kana rows, Big5 and GBK overlap on most
- *     of the two-byte space, and windows-1251 decodes every byte — so
- *     the gate is "reads as real text in a plausible language", the
- *     same measured rejection machinery the language gate itself uses.
- *     Lowest normalized distance wins; ties break in ladder order.
- *     A French cp1252 page tried as windows-1251 yields Latin words
- *     with stray Cyrillic — the classifier rejects it and the ladder
- *     falls through.
+ *  3. Legacy-charset ladder — the multibyte CJK family (Shift_JIS,
+ *     EUC-JP, EUC-KR, GB18030, Big5), the single-byte Cyrillic family
+ *     (windows-1251, KOI8-R, KOI8-U, ISO-8859-5), the single-byte
+ *     script charsets the 40-language gate covers (ISO-8859-7 /
+ *     windows-1253 Greek, windows-1255 Hebrew, windows-1256
+ *     Arabic/Farsi, windows-874 Thai), and the LATIN rungs
+ *     (ISO-8859-9 / windows-1254 Turkish, ISO-8859-2 / windows-1250
+ *     Central European) — all in-JDK charsets. A candidate must
+ *     (a) strict-decode its full payload (CodingErrorAction.REPORT —
+ *     no replacement characters; candidates are SCORED on a bounded
+ *     prefix decode and only the winner pays the full decode),
+ *     (b) carry non-ASCII evidence in the classified window (8 chars
+ *     for non-Latin scripts — the cutoffs are calibrated on 8-word
+ *     bags and a lone ideograph is not classifiable; 2 for the Latin
+ *     rungs, whose real pages run a handful of accents per sentence),
+ *     and (c) CLASSIFY as a language that charset encodes under the
+ *     bundled 40-language n-gram identifier with its calibrated
+ *     rejection cutoffs ([[DocKernels.langGateLabel]]). Byte validity
+ *     alone CANNOT separate the structurally-ambiguous pairs — EUC-JP
+ *     and GB2312 share the EUC frame and even the kana rows, Big5 and
+ *     GBK overlap on most of the two-byte space, and every single-byte
+ *     rung decodes nearly every byte — so the gate is "reads as real
+ *     text in a plausible language", the same measured rejection
+ *     machinery the language gate itself uses. Lowest normalized
+ *     distance wins; ties break in ladder order. A French cp1252 page
+ *     tried as windows-1251 yields Latin words with stray Cyrillic —
+ *     the classifier rejects it and the ladder falls through. The
+ *     LATIN rungs additionally compete against the cp1252 incumbent
+ *     by distance (lowest wins, ties keep cp1252): a windows-1250
+ *     Polish page classifies 'pl' under cp1252 too, with wrong accent
+ *     glyphs — first-accept would ship mojibake.
  *  4. Windows-1252 fallback for everything else (the de-facto superset
  *     of Latin-1 on the web — HTML5 aliases `latin-1` to it; the five
  *     undefined cp1252 bytes 0x81/0x8D/0x8F/0x90/0x9D decode to their
@@ -155,17 +165,39 @@ object ByteKernels {
   /** Classification prefix cap for the legacy-charset gate (step 3). */
   private val GateCapCodePoints = 512
 
-  /** (charset, languages it plausibly encodes) in ladder order — the
-    * deterministic tie-break when two candidates score equally. */
-  private val legacyLadder: Array[(java.nio.charset.Charset, Array[String])] =
+  /** Byte-prefix cap for candidate scoring (r17): classification reads
+    * at most [[GateCapCodePoints]] code points, and every ladder charset
+    * yields ≥ 1 code point per 4 bytes, so the first 4096 bytes always
+    * cover the classified window — candidates are scored on a bounded
+    * prefix decode and only the WINNER pays a full-payload strict
+    * decode (acceptance still requires full validity, so the accepted
+    * set is unchanged; the r16 A/B flagged the full-decode-per-candidate
+    * cost on large documents). */
+  private val PrefixCapBytes = 4096
+
+  /** One ladder rung: charset, the languages it plausibly encodes, and
+    * whether it is a LATIN-script charset — Latin rungs compete against
+    * the cp1252 incumbent by distance (lowest wins) instead of being
+    * short-circuited by it, and they use the lower Latin evidence floor
+    * (a real Polish/Turkish page carries only a handful of non-ASCII
+    * letters; the 8-char floor is calibrated for non-Latin scripts
+    * where every letter is non-ASCII). */
+  private final case class Rung(
+      cs: java.nio.charset.Charset, langs: Array[String], latin: Boolean)
+
+  private def rung(name: String, latin: Boolean, langs: String*): Rung =
+    Rung(java.nio.charset.Charset.forName(name), langs.toArray, latin)
+
+  /** The ladder in order — the deterministic tie-break when two
+    * candidates score equally. */
+  private val legacyLadder: Array[Rung] =
     Array(
-      (java.nio.charset.Charset.forName("Shift_JIS"), Array("ja")),
-      (java.nio.charset.Charset.forName("EUC-JP"), Array("ja")),
-      (java.nio.charset.Charset.forName("EUC-KR"), Array("ko")),
-      (java.nio.charset.Charset.forName("GB18030"), Array("zh")),
-      (java.nio.charset.Charset.forName("Big5"), Array("zh")),
-      (java.nio.charset.Charset.forName("windows-1251"),
-        Array("bg", "ru", "sr", "uk")),
+      rung("Shift_JIS", latin = false, "ja"),
+      rung("EUC-JP", latin = false, "ja"),
+      rung("EUC-KR", latin = false, "ko"),
+      rung("GB18030", latin = false, "zh"),
+      rung("Big5", latin = false, "zh"),
+      rung("windows-1251", latin = false, "bg", "ru", "sr", "uk"),
       // the rest of the single-byte Cyrillic family: all three decode
       // every byte (like cp1251), so only the language gate separates
       // them — measured (tools/calibrate_langid.py): each mapping's
@@ -174,10 +206,43 @@ object ByteKernels {
       // member's, except KOI8-R/KOI8-U whose shared Russian rows yield
       // IDENTICAL decodes (tie → ladder order, same output) and whose
       // Ukrainian case separates by distance (281 own vs 384 cross)
-      (java.nio.charset.Charset.forName("KOI8-R"), Array("bg", "ru")),
-      (java.nio.charset.Charset.forName("KOI8-U"), Array("bg", "ru", "uk")),
-      (java.nio.charset.Charset.forName("ISO-8859-5"),
-        Array("bg", "ru", "sr", "uk")))
+      rung("KOI8-R", latin = false, "bg", "ru"),
+      rung("KOI8-U", latin = false, "bg", "ru", "uk"),
+      rung("ISO-8859-5", latin = false, "bg", "ru", "sr", "uk"),
+      // r17: the remaining single-byte scripts the 40-language gate
+      // already covers — Greek, Hebrew, Arabic/Farsi, Thai. Same law
+      // as the Cyrillic family: every one decodes nearly every byte,
+      // so membership + calibrated distance is the only separator.
+      rung("ISO-8859-7", latin = false, "el"),
+      rung("windows-1253", latin = false, "el"),
+      rung("windows-1255", latin = false, "he"),
+      rung("windows-1256", latin = false, "ar", "fa"),
+      rung("x-windows-874", latin = false, "th"),
+      // r17 Latin rungs: Turkish (Latin-5) and the Central-European
+      // family. These compete with the cp1252 incumbent BY DISTANCE —
+      // a windows-1250 Polish page also classifies 'pl' under cp1252
+      // (measured 237 normalized, under the cutoff) with wrong accent
+      // glyphs, so first-accept would ship mojibake; the true decode
+      // scores lower and must win.
+      rung("ISO-8859-9", latin = true, "tr"),
+      rung("windows-1254", latin = true, "tr"),
+      rung("ISO-8859-2", latin = true,
+        "pl", "cs", "sk", "sl", "hr", "hu", "ro"),
+      rung("windows-1250", latin = true,
+        "pl", "cs", "sk", "sl", "hr", "hu", "ro"))
+
+  /** Languages FULLY representable in cp1252 — when the cp1252 decode
+    * classifies as one of these, cp1252 is a scored INCUMBENT the Latin
+    * rungs must beat by strictly lower distance (ties keep cp1252, the
+    * pre-r17 behavior). A label outside this set (e.g. 'pl' — Polish
+    * needs ą/ł/ż, which cp1252 cannot encode) means the cp1252 reading
+    * is mojibake-adjacent and any member Latin rung may claim the page. */
+  private val cp1252Langs: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](32)
+    Array("en", "es", "fr", "de", "pt", "it", "nl", "da", "no", "sv",
+      "fi", "is", "ca", "et", "id", "sw").foreach(s.add)
+    s
+  }
 
   /** Strict decode from `offset`: null on ANY malformed or unmappable
     * input (decoders are not thread-safe — one per call; this is the
@@ -206,13 +271,23 @@ object ByteKernels {
     strictDecode(cs, b, 2)
   }
 
-  /** Evidence floor for the legacy gate: a candidate decode must carry
-    * at least this many non-ASCII chars before the classifier's verdict
-    * means anything — the cutoffs are calibrated on 8-word bags, and a
-    * lone "、" (SJIS 0x8141) or "い" (EUC-JP 0xA4A4) would otherwise
-    * clear the deliberately-lenient CJK cutoffs. Below the floor the
-    * deterministic cp1252 fallback is the honest answer. */
+  /** Evidence floor for the NON-LATIN legacy gate: a candidate decode
+    * must carry at least this many non-ASCII chars before the
+    * classifier's verdict means anything — the cutoffs are calibrated
+    * on 8-word bags, and a lone "、" (SJIS 0x8141) or "い" (EUC-JP
+    * 0xA4A4) would otherwise clear the deliberately-lenient CJK
+    * cutoffs. Below the floor the deterministic cp1252 fallback is the
+    * honest answer. */
   private val MinGateEvidence = 8
+
+  /** Evidence floor for LATIN rungs (r17): real Polish/Turkish/Croatian
+    * text runs a handful of non-ASCII letters per sentence (the planted
+    * pl sentence carries six, hr three), so the 8-char floor would
+    * block exactly the pages these rungs exist for. Two non-ASCII chars
+    * are enough for the membership + cutoff gate to be the real
+    * separator; below that the charsets are indistinguishable and
+    * cp1252 is the honest answer. Doubles as the outer high-byte gate. */
+  private val MinLatinEvidence = 2
 
   /** Count bytes ≥ 0x80, stopping early at `cap` — the pre-decode
     * evidence bound for the legacy ladder. */
@@ -236,40 +311,92 @@ object ByteKernels {
     n
   }
 
+  /** Strict decode of the first [[PrefixCapBytes]] bytes — the bounded
+    * window candidate SCORING reads (full payloads decode only for the
+    * winner). `endOfInput = false` so a multibyte sequence cut at the
+    * prefix boundary is UNDERFLOW (ignored), not a malformed error; a
+    * malformed byte INSIDE the window still disqualifies. Payloads at
+    * or under the cap take the ordinary full strict decode. */
+  private def strictDecodePrefix(
+      cs: java.nio.charset.Charset, b: Array[Byte]): String = {
+    if (b.length <= PrefixCapBytes) return strictDecode(cs, b, 0)
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    val in = java.nio.ByteBuffer.wrap(b, 0, PrefixCapBytes)
+    val out = java.nio.CharBuffer.allocate(PrefixCapBytes + 2)
+    val cr = dec.decode(in, out, false)
+    if (cr.isError) null
+    else { out.flip(); out.toString }
+  }
+
   /** Step 3: best legacy-charset decode that reads as a language its
-    * charset encodes, or null when none qualifies. Classification is
-    * the expensive step, so a candidate whose decode is STRING-IDENTICAL
-    * to an earlier candidate's is skipped (KOI8-R vs KOI8-U agree on
-    * every Russian/Bulgarian letter — the earlier candidate already
-    * carries the verdict, and strict-less keeps it on score ties). */
-  private def tryLegacy(b: Array[Byte]): String = {
-    var best: String = null
-    var bestScore = Int.MaxValue
-    val seen = new java.util.ArrayList[String](4)
+    * charset encodes, or null when none qualifies.
+    *
+    * Candidates are scored on their bounded PREFIX decode (see
+    * [[PrefixCapBytes]] — the classified window is identical to the
+    * full decode's, so the ranking is unchanged), with classifications
+    * MEMOIZED by decoded string (KOI8-R vs KOI8-U agree on every
+    * Russian/Bulgarian letter; the Latin rungs usually agree with
+    * cp1252 on a French page — identical decodes classify once).
+    * Acceptance then requires the winner's FULL payload to
+    * strict-decode; a candidate whose prefix is valid but whose tail is
+    * malformed is skipped and the next-ranked candidate is tried —
+    * exactly the set the per-candidate-full-decode ladder accepted.
+    *
+    * `latinOnly` restricts the walk to Latin rungs — set when the
+    * cp1252 decode already READS as a real language, in which case a
+    * non-Latin rung cannot win (its membership label would need the
+    * same window to read as ja/ru/el/…, contradicting the accepted
+    * Latin reading) but a Latin rung still can, by strictly lower
+    * distance (`bestScore` seeds from the cp1252 incumbent when its
+    * label is cp1252-representable; ties keep cp1252). */
+  private def tryLegacy(
+      b: Array[Byte], latinOnly: Boolean, incumbentScore: Int,
+      cpLabelCache: (String, (String, Int))): String = {
+    // (score, ladderIdx, prefixDec) candidates, insertion-kept
+    val scores = new java.util.ArrayList[(Int, Int, String)](4)
+    val memo = new java.util.HashMap[String, (String, Int)](8)
+    if (cpLabelCache != null) memo.put(cpLabelCache._1, cpLabelCache._2)
     var i = 0
     while (i < legacyLadder.length) {
-      val (cs, langs) = legacyLadder(i)
-      val dec = strictDecode(cs, b, 0)
-      if (dec != null && countNonAscii(dec) >= MinGateEvidence) {
-        var dup = false
-        var k = 0
-        while (k < seen.size && !dup) {
-          dup = seen.get(k) == dec; k += 1
-        }
-        if (!dup) {
-          seen.add(dec)
-          val (label, score) = DocKernels.langGateLabel(dec, GateCapCodePoints)
+      val r = legacyLadder(i)
+      if (!latinOnly || r.latin) {
+        val dec = strictDecodePrefix(r.cs, b)
+        val floor = if (r.latin) MinLatinEvidence else MinGateEvidence
+        if (dec != null && countNonAscii(dec) >= floor) {
+          var ls = memo.get(dec)
+          if (ls == null) {
+            ls = DocKernels.langGateLabel(dec, GateCapCodePoints)
+            memo.put(dec, ls)
+          }
+          val (label, score) = ls
           var l = 0
           var member = false
-          while (l < langs.length && !member) {
-            member = langs(l) == label; l += 1
+          while (l < r.langs.length && !member) {
+            member = r.langs(l) == label; l += 1
           }
-          if (member && score < bestScore) { best = dec; bestScore = score }
+          if (member && score < incumbentScore) scores.add((score, i, dec))
         }
       }
       i += 1
     }
-    best
+    if (scores.isEmpty) return null
+    // winner(s) by (score asc, ladder order asc); full-decode in rank
+    // order, first full-valid wins (prefix == full under the cap)
+    val arr = new Array[(Int, Int, String)](scores.size)
+    scores.toArray(arr)
+    java.util.Arrays.sort(arr,
+      Ordering.by[(Int, Int, String), (Int, Int)](t => (t._1, t._2)))
+    var k = 0
+    while (k < arr.length) {
+      val full =
+        if (b.length <= PrefixCapBytes) arr(k)._3
+        else strictDecode(legacyLadder(arr(k)._2).cs, b, 0)
+      if (full != null) return full
+      k += 1
+    }
+    null
   }
 
   def textFromBytes(bytes: Array[Byte]): UTF8String = {
@@ -281,31 +408,36 @@ object ByteKernels {
     if (validUtf8(bytes)) {
       s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
     } else {
-      // Two SOUND cost gates before the legacy ladder — GB18030
-      // strict-decodes nearly any byte stream, so ungated, EVERY
-      // non-UTF-8 row (including the dominant class, lightly-accented
-      // Latin cp1252 pages) pays up to six strict decodes plus
-      // classifications. Outputs are unchanged by construction:
-      //  (a) BYTE EVIDENCE: every ladder candidate needs ≥
-      //      MinGateEvidence non-ASCII CHARS after decode, and each
-      //      such char consumes at least one byte ≥ 0x80 (single-byte
-      //      cp1251: exactly one; SJIS/EUC/GB/Big5 leads are ≥ 0x81) —
-      //      so fewer than MinGateEvidence high BYTES means no
-      //      candidate can be accepted, and the ladder is skipped
-      //      without decoding anything.
-      //  (b) LATIN FAST PATH: with enough evidence, classify the
-      //      cp1252 decode ONCE — a decode that READS as a real
-      //      language is a Latin page the ladder cannot beat (cp1252
-      //      emits no Cyrillic/CJK, so the accepted label cannot be one
-      //      a legacy charset would claim); true CJK/Cyrillic bytes
-      //      read as mojibake here, the classifier rejects, and the
-      //      ladder runs exactly as before.
-      // (Measured: the r16 A/B flagged the ungated ladder at 6.7× on
-      // the byte-decode bench line.)
+      // Cost gates before the legacy ladder — GB18030 strict-decodes
+      // nearly any byte stream, so ungated, EVERY non-UTF-8 row pays
+      // the full rung walk (the r16 A/B flagged that at 6.7× on the
+      // byte-decode bench line). Shape (r17):
+      //  (a) BYTE EVIDENCE: every ladder candidate needs non-ASCII
+      //      CHARS after decode (8 for non-Latin scripts, 2 for the
+      //      Latin rungs), and each such char consumes at least one
+      //      byte ≥ 0x80 — so fewer than MinLatinEvidence high BYTES
+      //      means no candidate can be accepted at all, and the
+      //      ladder is skipped without decoding anything.
+      //  (b) LATIN COMPETITION, not first-accept: classify the cp1252
+      //      decode ONCE. A decode that READS as a real language means
+      //      no NON-Latin rung can win (cp1252 emits no Cyrillic/CJK,
+      //      so their membership labels cannot fire) — but a LATIN
+      //      rung still can: a windows-1250 Polish page classifies
+      //      'pl' under cp1252 too (measured 237 normalized, under
+      //      the cutoff) with wrong accent glyphs. So Latin rungs
+      //      compete by distance against the cp1252 incumbent, whose
+      //      score counts only when its label is actually
+      //      cp1252-representable (cp1252Langs); ties keep cp1252.
+      //      True CJK/Cyrillic/Greek/… bytes read as mojibake here,
+      //      the classifier rejects, and the full ladder runs.
       val cp = decodeCp1252(bytes)
-      if (countHighBytes(bytes, MinGateEvidence) >= MinGateEvidence &&
-        DocKernels.langGateLabel(cp, GateCapCodePoints)._1 == "und") {
-        val legacy = tryLegacy(bytes)
+      if (countHighBytes(bytes, MinLatinEvidence) >= MinLatinEvidence) {
+        val cpVerdict = DocKernels.langGateLabel(cp, GateCapCodePoints)
+        val latinOnly = cpVerdict._1 != "und"
+        val incumbent =
+          if (latinOnly && cp1252Langs.contains(cpVerdict._1)) cpVerdict._2
+          else Int.MaxValue
+        val legacy = tryLegacy(bytes, latinOnly, incumbent, (cp, cpVerdict))
         if (legacy != null) return UTF8String.fromString(legacy)
       }
       s = cp
@@ -403,7 +535,7 @@ object ByteKernels {
 
   val textFromBytesInfo: ExpressionInfo = new ExpressionInfo(
     classOf[TextFromBytes].getName, null, "text_from_bytes",
-    "_FUNC_(binary) - decode crawl bytes to text: UTF-16 BOM, strict UTF-8, language-gated Shift_JIS/EUC-JP/EUC-KR/GB18030/Big5/windows-1251, Windows-1252 fallback with up to two rounds of UTF-8-as-cp1252 mojibake repair.",
+    "_FUNC_(binary) - decode crawl bytes to text: UTF-16 BOM, strict UTF-8, a language-gated legacy ladder (CJK multibyte, Cyrillic/Greek/Hebrew/Arabic/Thai single-byte, Turkish + Central-European Latin rungs competing with cp1252 by distance), Windows-1252 fallback with up to two rounds of UTF-8-as-cp1252 mojibake repair.",
     "", "", "", "", "", "", "built-in")
 
   /** `text_from_bytes_decl(binary, declared)` — see

@@ -2552,6 +2552,78 @@ class LlmOpsSpec extends SparkSpec {
     assert(decode("中".getBytes(Charset.forName("Big5"))) == "¤¤")
   }
 
+  test("TextOps.textFromBytes r17 rungs: Greek/Hebrew/Arabic/Thai single-byte " +
+    "charsets round-trip; Latin rungs beat cp1252 by DISTANCE, not " +
+    "first-accept; prefix-valid/tail-malformed payloads still reject; the " +
+    "classified window is the first 512 code points") {
+    import spark.implicits._
+    import java.nio.charset.Charset
+    graft.GraftExtensions.register(spark)
+    def decode(b: Array[Byte]): String =
+      Seq(Tuple1(b)).toDF("b")
+        .select(graft.ops.TextOps.textFromBytes($"b")).as[String].collect().head
+    val el = "τα παιδιά περπατούν στο σχολείο το πρωί και διαβάζουν βιβλία με τον δάσκαλο στην πόλη"
+    val he = "הילדים הולכים לבית הספר בבוקר וקוראים ספרים עם המורה בעיר"
+    val ar = "يذهب الأطفال إلى المدرسة في الصباح ويقرؤون الكتب مع المعلم في المدينة كل يوم"
+    val th = "เด็กเดินไปโรงเรียนในตอนเช้าและอ่านหนังสือกับครูในเมือง"
+    // each script charset picked from its bytes by the language gate
+    // (every one decodes nearly every byte — membership + calibrated
+    // distance is the only separator, the Cyrillic-family law again)
+    for (cs <- Seq("windows-1253", "ISO-8859-7"))
+      assert(decode(el.getBytes(Charset.forName(cs))) == el, cs)
+    assert(decode(he.getBytes(Charset.forName("windows-1255"))) == he)
+    assert(decode(ar.getBytes(Charset.forName("windows-1256"))) == ar)
+    assert(decode(th.getBytes(Charset.forName("x-windows-874"))) == th)
+    // LATIN rungs: a windows-1250 Polish page also classifies 'pl'
+    // under cp1252 (measured 237 normalized, under the cutoff) with
+    // '¹' where 'ą' belongs — first-accept would ship that; lowest
+    // distance picks the true decode. Same for Turkish and Czech.
+    val pl = "dzieci idą rano do szkoły i czytają książki z nauczycielem w mieście"
+    val tr = "çocuklar sabah okula yürüyorlar ve şehirde öğretmenle birlikte kitap okuyorlar"
+    val cz = "děti chodí ráno do školy a čtou si knihy s učitelem ve městě"
+    for (cs <- Seq("windows-1250", "ISO-8859-2"))
+      assert(decode(pl.getBytes(Charset.forName(cs))) == pl, cs)
+    for (cs <- Seq("ISO-8859-9", "windows-1254"))
+      assert(decode(tr.getBytes(Charset.forName(cs))) == tr, cs)
+    assert(decode(cz.getBytes(Charset.forName("ISO-8859-2"))) == cz)
+    // …and a GENUINE cp1252 page is never stolen by a Latin rung: the
+    // incumbent keeps ties, and fr/es/de are cp1252-representable
+    val fr = "les enfants marchent vers la maison le matin et ils lisent des livres avec le professeur"
+    val es = "los niños caminan a la escuela por la mañana y leen libros con el maestro en la ciudad"
+    for (t <- Seq(fr, es))
+      assert(decode(t.getBytes(Charset.forName("windows-1252"))) == t, t)
+    // PREFIX-SCORED, FULL-VALIDATED (r17): candidates are ranked on a
+    // bounded prefix decode, but acceptance requires the FULL payload
+    // to strict-decode. A >4096-byte payload whose prefix is valid
+    // Shift_JIS Japanese but whose tail is malformed must NOT ship the
+    // prefix — the SJIS candidate dies at full validation and the
+    // ladder falls to the sloppy-cp1252 fallback (which cannot equal
+    // the Japanese text).
+    val ja = "子供たちは朝に学校へ歩いて行きます。先生と一緒に本を読みます。"
+    val sjis = ja.getBytes(Charset.forName("Shift_JIS"))
+    val big = new java.io.ByteArrayOutputStream()
+    while (big.size < 5000) big.write(sjis)
+    val clean = big.toByteArray
+    assert(decode(clean) == ja * (clean.length / sjis.length),
+      "control: the clean repeated payload decodes via SJIS")
+    val broken = clean ++ Array[Byte](0xff.toByte, 0xff.toByte)
+    val out = decode(broken)
+    assert(!out.contains("子供"),
+      s"tail-malformed payload must not ship the SJIS prefix: ${out.take(40)}")
+    // WINDOW LAW: classification reads the first 512 code points. A page
+    // that opens with >512 chars of real English before a Japanese body
+    // reads as LATIN in the window — the ladder stands down and the
+    // page takes the cp1252 fallback (pinned intentionally: sniffing is
+    // a whole-page verdict made on the head; mixed-script pages need a
+    // declared charset, which textFromBytesDeclared honors).
+    val enHead = ("the children walk to the school in the morning and " +
+      "they read books with the teacher ") * 8 // ~700 chars, ASCII
+    val mixedBytes = (enHead + ja).getBytes(Charset.forName("Shift_JIS"))
+    val mixedOut = decode(mixedBytes)
+    assert(mixedOut.startsWith("the children") && !mixedOut.contains("子供"),
+      s"Latin window → cp1252 fallback: ${mixedOut.take(40)}")
+  }
+
   test("TextOps.textFromBytesDeclared: honor-but-verify — a declaration " +
     "reaches charsets sniffing never can; BOM and valid UTF-8 outrank " +
     "a lying declaration; unknown/absent declarations fall to the ladder") {
