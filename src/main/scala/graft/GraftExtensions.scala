@@ -170,6 +170,12 @@ object GraftExtensions {
     ("html_to_text", graft.expressions.HtmlKernels.toTextInfo,
       arity("html_to_text", 1)(c =>
         graft.expressions.HtmlKernels.HtmlToText(c(0)))),
+    ("pdf_text", graft.expressions.PdfKernels.pdfTextInfo,
+      arity("pdf_text", 1)(c =>
+        graft.expressions.PdfKernels.PdfText(c(0)))),
+    ("synth_pdf", graft.expressions.PdfKernels.synthPdfInfo,
+      arity("synth_pdf", 1)(c =>
+        graft.expressions.PdfKernels.SynthPdf(c(0)))),
     ("idn_ascii", graft.expressions.UrlKernels.idnAsciiInfo,
       arity("idn_ascii", 1)(c =>
         graft.expressions.UrlKernels.IdnAscii(c(0)))),

@@ -89,6 +89,11 @@ object ByteKernels {
     a
   }
 
+  /** cp1252 decode of one byte in 0x80..0x9F — shared with the PDF
+    * tier's WinAnsiEncoding string decode ([[PdfKernels]]), which is
+    * cp1252 on every printable position. */
+  private[expressions] def cp1252HighChar(c: Int): Char = cp1252High(c - 0x80)
+
   /** char → cp1252 byte for the non-trivial range (inverse of the decode
     * table); chars 0x00..0x7F and 0xA0..0xFF map to themselves. */
   private val cp1252Enc: java.util.HashMap[Character, java.lang.Byte] = {

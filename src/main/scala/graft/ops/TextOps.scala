@@ -283,6 +283,13 @@ object TextOps {
     * feeds whose line structure is meaningless; for the crawl chain use
     * [[htmlToText]], which preserves block boundaries for the paragraph
     * tiers. */
+  /** PDF→text honest tier ([[graft.expressions.PdfKernels]]): Flate/raw
+    * content streams, BT/ET text operators, WinAnsi string decode,
+    * html_to_text's per-line collapse. NULL for non-PDF or encrypted
+    * bytes; '' for a structurally valid but text-free document (a
+    * scanned-image PDF). Requires [[graft.GraftExtensions.register]]. */
+  def pdfText(bytes: Column): Column = call_function("pdf_text", bytes)
+
   def stripHtml(html: Column): Column = {
     val noBlocks = regexp_replace(html,
       "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")

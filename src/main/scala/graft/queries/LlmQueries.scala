@@ -2062,6 +2062,23 @@ object LlmQueries {
         .orderBy("doc_id", "rec_no")
     }),
 
+    // PDF text tier over planted documents (r17): synth_pdf(doc_id)
+    // builds a real single-page PDF (catalog/pages/page/WinAnsi font,
+    // computed xref) whose content stream rotates through the
+    // extraction arms — raw and FlateDecode streams, TJ kern-to-space,
+    // hex strings, the literal escape gauntlet, WinAnsi high bytes, the
+    // ' operator — plus an ENCRYPTED arm and a CORRUPT arm that must
+    // yield NULL (the honest-tier refusal law). The oracle recomputes
+    // every arm's expected text from the id closed form.
+    "q_src_pdf" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextOps.pdfText(call_function("synth_pdf", col("doc_id")))
+            .as("pdf_body"))
+        .orderBy("doc_id")
+    }),
+
     // Byte-level ingest decode over planted byte fixtures: plain UTF-8
     // (identity on the ASCII docs text), legacy Windows-1252 bytes, one
     // and two rounds of UTF-8-as-cp1252 mojibake, undecodable garbage
@@ -4466,6 +4483,19 @@ object LlmQueries {
         |         CAST(NULL AS INT), CAST(NULL AS VARCHAR)
         |  FROM ids WHERE doc_id % 7 = 6)
         |SELECT * FROM recs ORDER BY doc_id, rec_no""".stripMargin,
+
+    "q_src_pdf" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 0 THEN 'Hello PDF ' || CAST(doc_id AS VARCHAR)
+        |    WHEN 1 THEN 'alpha ' || CAST(doc_id AS VARCHAR) || chr(10) || 'beta'
+        |    WHEN 2 THEN 'This is TJ ' || CAST(doc_id AS VARCHAR) || chr(10) || 'Hello'
+        |    WHEN 3 THEN 'paren ( ) octal A backslash \ tab here '
+        |      || CAST(doc_id AS VARCHAR)
+        |    WHEN 4 THEN 'café déjà vu'
+        |    WHEN 5 THEN 'first line' || chr(10) || 'second ' || CAST(doc_id AS VARCHAR)
+        |    ELSE NULL END AS pdf_body
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_from_bytes" ->
       """SELECT doc_id,

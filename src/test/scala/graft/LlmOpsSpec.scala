@@ -2624,6 +2624,31 @@ class LlmOpsSpec extends SparkSpec {
       s"Latin window → cp1252 fallback: ${mixedOut.take(40)}")
   }
 
+  test("PdfKernels.pdf_text laws: non-PDF and encrypted refuse with NULL, " +
+    "a text-free PDF yields '', extraction is deterministic") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    def pdf(b: Array[Byte]): Option[String] =
+      Seq(Tuple1(b)).toDF("b")
+        .select(graft.ops.TextOps.pdfText($"b")).as[Option[String]].collect().head
+    // refusal law: not-a-PDF, truncated header, encrypted
+    assert(pdf("hello world".getBytes("UTF-8")).isEmpty)
+    assert(pdf(graft.expressions.PdfKernels.synthPdf(7L)).isEmpty) // corrupt arm
+    assert(pdf(graft.expressions.PdfKernels.synthPdf(6L)).isEmpty) // /Encrypt arm
+    // a structurally valid PDF with no text ops: '' (the scanned-image
+    // case), NOT null — distinguishable from corruption
+    val noText = ("%PDF-1.4\n1 0 obj << /Length 10 >>\nstream\n0 0 m 1 1 l S" +
+      "\nendstream endobj\ntrailer << /Size 2 >>\n%%EOF").getBytes("ISO-8859-1")
+    assert(pdf(noText).contains(""))
+    // closed-form arms (the q_src_pdf oracle pins all eight; spot two)
+    assert(pdf(graft.expressions.PdfKernels.synthPdf(0L)).contains("Hello PDF 0"))
+    assert(pdf(graft.expressions.PdfKernels.synthPdf(12L))
+      .contains("café déjà vu")) // WinAnsi octal bytes
+    // null in -> null out
+    assert(Seq[Option[Array[Byte]]](None).toDF("b")
+      .select(graft.ops.TextOps.pdfText($"b")).collect()(0).isNullAt(0))
+  }
+
   test("TextOps.textFromBytesDeclared: honor-but-verify — a declaration " +
     "reaches charsets sniffing never can; BOM and valid UTF-8 outrank " +
     "a lying declaration; unknown/absent declarations fall to the ladder") {

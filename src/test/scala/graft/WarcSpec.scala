@@ -73,6 +73,67 @@ class WarcSpec extends SparkSpec {
     assert(noise == Seq("_corrupt"))
   }
 
+  test("WARC -> PDF -> corpus (r17): application/pdf records route to the " +
+    "pdf_text tier by mime, HTML records to the declared-charset decode, " +
+    "and the extracted lines ride the paragraph tier") {
+    graft.GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Dedup, TextOps}
+    // author real WARC response records: ids 1/9 carry a synth PDF
+    // (arm 1: Flate stream, two lines), id 7 a corrupt PDF (arm 7 ->
+    // NULL), the rest plain HTML — one shard, mixed media, the real
+    // crawl shape
+    def pdfRecord(id: Long, body: Array[Byte], mime: String): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $mime\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x.com/d/$id\r\n" +
+        "Content-Type: application/http;msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    for (id <- 1L to 9L) {
+      val (body, mime) =
+        if (id == 1L || id == 9L)
+          (graft.expressions.PdfKernels.synthPdf(id), "application/pdf")
+        else if (id == 7L)
+          (graft.expressions.PdfKernels.synthPdf(7L), "application/pdf")
+        else
+          (s"<html><body><nav>menu</nav><p>page $id</p></body></html>"
+            .getBytes("UTF-8"), "text/html; charset=UTF-8")
+      out.write(pdfRecord(id, body, mime))
+    }
+    val dir = tmpDir("warc_pdf")
+    Files.write(Paths.get(dir, "mixed.warc"), out.toByteArray)
+    val recs = Warc.read(spark, dir)
+      .where($"warc_type" === "response")
+      .select(
+        regexp_extract($"url", "(\\d+)$", 1).cast("long").as("doc_id"),
+        $"mime", $"content")
+      .withColumn("text",
+        when($"mime".startsWith("application/pdf"),
+          TextOps.pdfText($"content"))
+          .otherwise(TextOps.htmlToText(
+            TextOps.textFromBytesDeclared($"content", $"mime"))))
+    val got = recs.select("doc_id", "text")
+      .as[(Long, Option[String])].collect().toMap
+    // PDF arm 1: two extracted lines, closed form
+    assert(got(1L).contains("alpha 1\nbeta"), s"${got(1L)}")
+    assert(got(9L).contains("alpha 9\nbeta"), s"${got(9L)}")
+    // corrupt PDF refuses (NULL), never a mojibake guess
+    assert(got(7L).isEmpty, s"${got(7L)}")
+    // HTML route: nav dropped, prose kept
+    assert(got(2L).contains("page 2"))
+    // the extracted lines are REAL lines: the paragraph tier dedups the
+    // shared 'beta' line across the two PDFs (keep-first)
+    val paraed = Dedup.paragraphDedup(
+      recs.where($"text".isNotNull).select($"doc_id", $"text"),
+      "doc_id", "text")
+    val texts = paraed.as[(Long, String)].collect().toMap
+    assert(texts(1L).contains("beta") && !texts(9L).contains("beta"),
+      s"keep-first leaves beta only in doc 1: $texts")
+  }
+
   test("streaming twin: shards ingest incrementally and the live ledger " +
     "converges to the batch ledger; throttle bounds the backfill") {
     graft.GraftExtensions.register(spark)
