@@ -428,6 +428,20 @@ object LlmQueries {
     "bērni no rīta iet uz skolu un lasa grāmatas ar skolotāju pilsētā",
     "lapsed kõnnivad hommikul kooli ja loevad koos õpetajaga raamatuid",
     "بچه ها صبح پیاده به مدرسه می روند و با معلم در شهر کتاب می خوانند",
+    // batch 4 (r17): Indic + SEA — seven unique scripts plus the
+    // measured cousins mr (Devanagari vs hi) and ur (Arabic script vs
+    // ar/fa) and tl; ms deliberately excluded (the id macrolanguage
+    // limit measured in tools/gen_lang_profiles.py)
+    "শিশুরা সকালে হেঁটে স্কুলে যায় এবং শহরে শিক্ষকের সাথে বই পড়ে",
+    "குழந்தைகள் காலையில் பள்ளிக்கு நடந்து செல்கிறார்கள் நகரத்தில் ஆசிரியருடன் புத்தகங்கள் படிக்கிறார்கள்",
+    "పిల్లలు ఉదయం బడికి నడిచి వెళతారు నగరంలో ఉపాధ్యాయుడితో పుస్తకాలు చదువుతారు",
+    "കുട്ടികൾ രാവിലെ സ്കൂളിലേക്ക് നടന്നു പോകുന്നു നഗരത്തിൽ അധ്യാപകനോടൊപ്പം പുസ്തകങ്ങൾ വായിക്കുന്നു",
+    "मुले सकाळी चालत शाळेत जातात आणि शहरात शिक्षकांसोबत पुस्तके वाचतात",
+    "બાળકો સવારે ચાલીને શાળાએ જાય છે અને શહેરમાં શિક્ષક સાથે પુસ્તકો વાંચે છે",
+    "ಮಕ್ಕಳು ಬೆಳಿಗ್ಗೆ ಶಾಲೆಗೆ ನಡೆದು ಹೋಗುತ್ತಾರೆ ನಗರದಲ್ಲಿ ಶಿಕ್ಷಕರೊಂದಿಗೆ ಪುಸ್ತಕಗಳನ್ನು ಓದುತ್ತಾರೆ",
+    "ਬੱਚੇ ਸਵੇਰੇ ਤੁਰ ਕੇ ਸਕੂਲ ਜਾਂਦੇ ਹਨ ਅਤੇ ਸ਼ਹਿਰ ਵਿੱਚ ਅਧਿਆਪਕ ਨਾਲ ਕਿਤਾਬਾਂ ਪੜ੍ਹਦੇ ਹਨ",
+    "بچے صبح پیدل اسکول جاتے ہیں اور شہر میں استاد کے ساتھ کتابیں پڑھتے ہیں",
+    "ang mga bata ay naglalakad papunta sa paaralan sa umaga at nagbabasa ng mga libro kasama ang guro sa lungsod",
     // fresh out-of-profile rejection plants: unseen Latin (Basque) and
     // an unseen script (Georgian)
     "haurrak goizean eskolara oinez joaten dira eta liburuak irakurtzen dituzte irakaslearekin",
@@ -444,6 +458,7 @@ object LlmQueries {
     "da", "no", "cs", "ro", "uk", "th", "he", "is", "bg",
     "sw", "lt",
     "ca", "hr", "sr", "sk", "sl", "lv", "et", "fa",
+    "bn", "ta", "te", "ml", "mr", "gu", "kn", "pa", "ur", "tl",
     "und", "und")
 
   /** Byte framing per [[langPlants]] index for q_pipeline_crawl_bytes:

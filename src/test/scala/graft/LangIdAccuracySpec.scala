@@ -148,7 +148,34 @@ class LangIdAccuracySpec extends SparkSpec {
       "کوچک", "آنها", "دارند", "شهر", "مدرسه", "خیلی", "حالا"),
     "sw" -> Seq("nyumba", "maji", "watoto", "asubuhi", "barabara",
       "watu", "nzuri", "ndogo", "wao", "wana", "mji", "shule", "sana",
-      "sasa"))
+      "sasa"),
+    // batch 4 (round 17)
+    "bn" -> Seq("বাড়ি", "পানি", "শিশুরা", "সকালে", "রাস্তা", "মানুষ",
+      "ভালো", "ছোট", "তারা", "আছে", "এবং", "শহর", "স্কুল", "এখন"),
+    "ta" -> Seq("வீடு", "தண்ணீர்", "குழந்தைகள்", "காலையில்", "தெரு",
+      "மக்கள்", "நல்ல", "சிறிய", "அவர்கள்", "உள்ளது", "மற்றும்",
+      "நகரம்", "பள்ளி", "இப்போது"),
+    "te" -> Seq("ఇల్లు", "నీరు", "పిల్లలు", "ఉదయం", "వీధి", "ప్రజలు",
+      "మంచి", "చిన్న", "వారు", "ఉంది", "మరియు", "నగరం", "బడి",
+      "ఇప్పుడు"),
+    "ml" -> Seq("വീട്", "വെള്ളം", "കുട്ടികൾ", "രാവിലെ", "തെരുവ്",
+      "ആളുകൾ", "നല്ല", "ചെറിയ", "അവർ", "ഉണ്ട്", "ഒപ്പം", "നഗരം",
+      "സ്കൂൾ", "ഇപ്പോൾ"),
+    "mr" -> Seq("पाणी", "मुले", "सकाळी", "रस्ता", "लोक", "चांगले",
+      "लहान", "त्यांनी", "आहेत", "आणि", "शहरात", "शाळा", "आता",
+      "झाडे"),
+    "gu" -> Seq("ઘર", "પાણી", "બાળકો", "સવારે", "શેરી", "લોકો",
+      "સારું", "નાનું", "તેઓ", "છે", "અને", "શહેર", "શાળા", "હવે"),
+    "kn" -> Seq("ಮನೆ", "ನೀರು", "ಮಕ್ಕಳು", "ಬೆಳಿಗ್ಗೆ", "ಬೀದಿ", "ಜನರು",
+      "ಒಳ್ಳೆಯ", "ಚಿಕ್ಕ", "ಅವರು", "ಇದೆ", "ಮತ್ತು", "ನಗರ", "ಶಾಲೆ",
+      "ಈಗ"),
+    "pa" -> Seq("ਘਰ", "ਪਾਣੀ", "ਬੱਚੇ", "ਸਵੇਰੇ", "ਗਲੀ", "ਲੋਕ", "ਚੰਗਾ",
+      "ਛੋਟਾ", "ਉਹ", "ਹਨ", "ਅਤੇ", "ਸ਼ਹਿਰ", "ਸਕੂਲ", "ਹੁਣ"),
+    "ur" -> Seq("گھر", "پانی", "بچے", "صبح", "گلی", "لوگ", "اچھا",
+      "چھوٹا", "وہ", "ہیں", "اور", "شہر", "اسکول", "اب"),
+    "tl" -> Seq("bahay", "tubig", "bata", "umaga", "kalye", "tao",
+      "mabuti", "maliit", "sila", "mayroon", "ang", "lungsod",
+      "paaralan", "ngayon"))
 
   private val prose: Seq[(String, String)] = Seq(
     "en" -> "the students finished their homework before dinner and watched a movie together",
@@ -193,7 +220,19 @@ class LangIdAccuracySpec extends SparkSpec {
     "lv" -> "mūsu komanda vakar vakarā uzvarēja spēlē un visi bija ļoti priecīgi",
     "et" -> "meie võistkond võitis eile õhtul mängu ja kõik olid väga rõõmsad",
     "fa" -> "تیم ما دیشب بازی را برد و همه خیلی خوشحال بودند",
-    "sw" -> "timu yetu ilishinda mchezo jana usiku na wote walifurahi sana")
+    "sw" -> "timu yetu ilishinda mchezo jana usiku na wote walifurahi sana",
+    // batch 4 — mr carries distinctly Marathi markers (आमच्या, आणि,
+    // होते) against the hi cousin; ur carries ے/ٹ against ar/fa
+    "bn" -> "আমাদের দল গতকাল সন্ধ্যায় খেলায় জিতেছে এবং সবাই খুব খুশি ছিল",
+    "ta" -> "எங்கள் அணி நேற்று இரவு போட்டியில் வென்றது எல்லோரும் மிகவும் மகிழ்ச்சியாக இருந்தனர்",
+    "te" -> "మా జట్టు నిన్న రాత్రి ఆట గెలిచింది అందరూ చాలా సంతోషంగా ఉన్నారు",
+    "ml" -> "ഞങ്ങളുടെ ടീം ഇന്നലെ രാത്രി കളി ജയിച്ചു എല്ലാവരും വളരെ സന്തോഷത്തിലായിരുന്നു",
+    "mr" -> "आमच्या संघाने काल रात्री सामना जिंकला आणि सगळे खूप आनंदी होते",
+    "gu" -> "અમારી ટીમે ગઈકાલે રાત્રે રમત જીતી અને બધા ખૂબ ખુશ હતા",
+    "kn" -> "ನಮ್ಮ ತಂಡ ನಿನ್ನೆ ರಾತ್ರಿ ಪಂದ್ಯ ಗೆದ್ದಿತು ಎಲ್ಲರೂ ತುಂಬಾ ಸಂತೋಷವಾಗಿದ್ದರು",
+    "pa" -> "ਸਾਡੀ ਟੀਮ ਨੇ ਕੱਲ੍ਹ ਰਾਤ ਮੈਚ ਜਿੱਤਿਆ ਅਤੇ ਸਾਰੇ ਬਹੁਤ ਖੁਸ਼ ਸਨ",
+    "ur" -> "ہماری ٹیم نے کل رات میچ جیتا اور سب بہت خوش تھے",
+    "tl" -> "nanalo ang aming koponan sa laro kagabi at lahat ay napakasaya")
 
   private val rejectPlants: Seq[(String, String)] = Seq(
     // sw/lt/et/ca graduated to real labels in batch 3; the rejection set

@@ -122,6 +122,31 @@ POOLS = {
     "sw": ["nyumba", "maji", "watoto", "asubuhi", "barabara", "watu",
            "nzuri", "ndogo", "wao", "wana", "mji", "shule", "sana",
            "sasa"],
+    # batch 4
+    "bn": ["বাড়ি", "পানি", "শিশুরা", "সকালে", "রাস্তা", "মানুষ", "ভালো",
+           "ছোট", "তারা", "আছে", "এবং", "শহর", "স্কুল", "এখন"],
+    "ta": ["வீடு", "தண்ணீர்", "குழந்தைகள்", "காலையில்", "தெரு", "மக்கள்",
+           "நல்ல", "சிறிய", "அவர்கள்", "உள்ளது", "மற்றும்", "நகரம்",
+           "பள்ளி", "இப்போது"],
+    "te": ["ఇల్లు", "నీరు", "పిల్లలు", "ఉదయం", "వీధి", "ప్రజలు", "మంచి",
+           "చిన్న", "వారు", "ఉంది", "మరియు", "నగరం", "బడి", "ఇప్పుడు"],
+    "ml": ["വീട്", "വെള്ളം", "കുട്ടികൾ", "രാവിലെ", "തെരുവ്", "ആളുകൾ",
+           "നല്ല", "ചെറിയ", "അവർ", "ഉണ്ട്", "ഒപ്പം", "നഗരം", "സ്കൂൾ",
+           "ഇപ്പോൾ"],
+    "mr": ["पाणी", "मुले", "सकाळी", "रस्ता", "लोक", "चांगले", "लहान",
+           "त्यांनी", "आहेत", "आणि", "शहरात", "शाळा", "आता", "झाडे"],
+    "gu": ["ઘર", "પાણી", "બાળકો", "સવારે", "શેરી", "લોકો", "સારું",
+           "નાનું", "તેઓ", "છે", "અને", "શહેર", "શાળા", "હવે"],
+    "kn": ["ಮನೆ", "ನೀರು", "ಮಕ್ಕಳು", "ಬೆಳಿಗ್ಗೆ", "ಬೀದಿ", "ಜನರು",
+           "ಒಳ್ಳೆಯ", "ಚಿಕ್ಕ", "ಅವರು", "ಇದೆ", "ಮತ್ತು", "ನಗರ", "ಶಾಲೆ",
+           "ಈಗ"],
+    "pa": ["ਘਰ", "ਪਾਣੀ", "ਬੱਚੇ", "ਸਵੇਰੇ", "ਗਲੀ", "ਲੋਕ", "ਚੰਗਾ", "ਛੋਟਾ",
+           "ਉਹ", "ਹਨ", "ਅਤੇ", "ਸ਼ਹਿਰ", "ਸਕੂਲ", "ਹੁਣ"],
+    "ur": ["گھر", "پانی", "بچے", "صبح", "گلی", "لوگ", "اچھا", "چھوٹا",
+           "وہ", "ہیں", "اور", "شہر", "اسکول", "اب"],
+    "tl": ["bahay", "tubig", "bata", "umaga", "kalye", "tao", "mabuti",
+           "maliit", "sila", "mayroon", "ang", "lungsod", "paaralan",
+           "ngayon"],
 }
 
 # unspaced scripts: word bags join without separators (matches the spec)
@@ -170,6 +195,17 @@ PROSE = {
     "et": "meie võistkond võitis eile õhtul mängu ja kõik olid väga rõõmsad",
     "fa": "تیم ما دیشب بازی را برد و همه خیلی خوشحال بودند",
     "sw": "timu yetu ilishinda mchezo jana usiku na wote walifurahi sana",
+    # batch 4
+    "bn": "আমাদের দল গতকাল সন্ধ্যায় খেলায় জিতেছে এবং সবাই খুব খুশি ছিল",
+    "ta": "எங்கள் அணி நேற்று இரவு போட்டியில் வென்றது எல்லோரும் மிகவும் மகிழ்ச்சியாக இருந்தனர்",
+    "te": "మా జట్టు నిన్న రాత్రి ఆట గెలిచింది అందరూ చాలా సంతోషంగా ఉన్నారు",
+    "ml": "ഞങ്ങളുടെ ടീം ഇന്നലെ രാത്രി കളി ജയിച്ചു എല്ലാവരും വളരെ സന്തോഷത്തിലായിരുന്നു",
+    "mr": "आमच्या संघाने काल रात्री सामना जिंकला आणि सगळे खूप आनंदी होते",
+    "gu": "અમારી ટીમે ગઈકાલે રાત્રે રમત જીતી અને બધા ખૂબ ખુશ હતા",
+    "kn": "ನಮ್ಮ ತಂಡ ನಿನ್ನೆ ರಾತ್ರಿ ಪಂದ್ಯ ಗೆದ್ದಿತು ಎಲ್ಲರೂ ತುಂಬಾ ಸಂತೋಷವಾಗಿದ್ದರು",
+    "pa": "ਸਾਡੀ ਟੀਮ ਨੇ ਕੱਲ੍ਹ ਰਾਤ ਮੈਚ ਜਿੱਤਿਆ ਅਤੇ ਸਾਰੇ ਬਹੁਤ ਖੁਸ਼ ਸਨ",
+    "ur": "ہماری ٹیم نے کل رات میچ جیتا اور سب بہت خوش تھے",
+    "tl": "nanalo ang aming koponan sa laro kagabi at lahat ay napakasaya",
 }
 
 # LlmQueries.langPlants — the oracle plants (with batch-2 ground truth)
@@ -215,6 +251,17 @@ ORACLE_PLANTS = {
     "et": "lapsed kõnnivad hommikul kooli ja loevad koos õpetajaga raamatuid",
     "fa": "بچه ها صبح پیاده به مدرسه می روند و با معلم در شهر کتاب می خوانند",
     "sw": "watoto wanatembea kwenda shule asubuhi na kusoma vitabu na mwalimu mjini",
+    # batch 4
+    "bn": "শিশুরা সকালে হেঁটে স্কুলে যায় এবং শহরে শিক্ষকের সাথে বই পড়ে",
+    "ta": "குழந்தைகள் காலையில் பள்ளிக்கு நடந்து செல்கிறார்கள் நகரத்தில் ஆசிரியருடன் புத்தகங்கள் படிக்கிறார்கள்",
+    "te": "పిల్లలు ఉదయం బడికి నడిచి వెళతారు నగరంలో ఉపాధ్యాయుడితో పుస్తకాలు చదువుతారు",
+    "ml": "കുട്ടികൾ രാവിലെ സ്കൂളിലേക്ക് നടന്നു പോകുന്നു നഗരത്തിൽ അധ്യാപകനോടൊപ്പം പുസ്തകങ്ങൾ വായിക്കുന്നു",
+    "mr": "मुले सकाळी चालत शाळेत जातात आणि शहरात शिक्षकांसोबत पुस्तके वाचतात",
+    "gu": "બાળકો સવારે ચાલીને શાળાએ જાય છે અને શહેરમાં શિક્ષક સાથે પુસ્તકો વાંચે છે",
+    "kn": "ಮಕ್ಕಳು ಬೆಳಿಗ್ಗೆ ಶಾಲೆಗೆ ನಡೆದು ಹೋಗುತ್ತಾರೆ ನಗರದಲ್ಲಿ ಶಿಕ್ಷಕರೊಂದಿಗೆ ಪುಸ್ತಕಗಳನ್ನು ಓದುತ್ತಾರೆ",
+    "pa": "ਬੱਚੇ ਸਵੇਰੇ ਤੁਰ ਕੇ ਸਕੂਲ ਜਾਂਦੇ ਹਨ ਅਤੇ ਸ਼ਹਿਰ ਵਿੱਚ ਅਧਿਆਪਕ ਨਾਲ ਕਿਤਾਬਾਂ ਪੜ੍ਹਦੇ ਹਨ",
+    "ur": "بچے صبح پیدل اسکول جاتے ہیں اور شہر میں استاد کے ساتھ کتابیں پڑھتے ہیں",
+    "tl": "ang mga bata ay naglalakad papunta sa paaralan sa umaga at nagbabasa ng mga libro kasama ang guro sa lungsod",
 }
 
 # languages NO profile covers — candidates for the rejection fixtures;

@@ -79,6 +79,9 @@ CUTOFFS = {
     "nl": 288, "no": 450, "pl": 423, "pt": 332, "ro": 326, "ru": 411,
     "sk": 351, "sl": 358, "sr": 375, "sv": 234, "sw": 263, "th": 508,
     "tr": 447, "uk": 387, "vi": 341, "zh": 856,
+    # batch 4 (r17, calibrated at the 50-language snapshot): Indic + SEA
+    "bn": 290, "ta": 316, "te": 365, "ml": 364, "mr": 386,
+    "gu": 395, "kn": 384, "pa": 442, "ur": 415, "tl": 195,
 }
 
 SEEDS = {
@@ -1063,6 +1066,162 @@ SEEDS = {
         "msitu nyuma ya kijiji umejaa ndege wakati wa masika",
         "kwa maoni yangu maktaba mpya ni bora zaidi kuliko ile ya zamani "
         "kwa sababu hufunguliwa kila siku",
+    ],
+    # batch 4 (r17): Indic + SEA — bn ta te ml mr gu kn pa ur tl.
+    # Seven carry their own Unicode script (Bengali, Tamil, Telugu,
+    # Malayalam, Gujarati, Kannada, Gurmukhi) so the gram space itself
+    # separates them; the measured cousins are mr (shares Devanagari
+    # with hi, separated by आहे/आणि-class function grams), ur (shares
+    # Arabic script with ar/fa, separated by ے/ٹ/ہے grams), and tl
+    # (Latin, but ang/mga/ng function words are unmistakable).
+    # MALAY (ms) IS DELIBERATELY EXCLUDED — the measured honest limit:
+    # an ms profile close enough to accept real Malay STEALS the id
+    # fixtures (the bag "mereka anak orang mempunyai di dengan pagi
+    # baik", the id prose, and the id oracle plant all flipped to ms at
+    # distance 88-144 — every word in them is both languages). ms/id is
+    # a macrolanguage pair; char-gram rank profiles cannot separate it
+    # the way they separated hu/is/bg cousins. A production system
+    # labels the pair jointly (fastText reports id for both); callers
+    # needing the split must use a token-level lexicon tier.
+    "bn": [
+        "সমস্ত মানুষ স্বাধীনভাবে সমান মর্যাদা এবং অধিকার নিয়ে জন্মগ্রহণ করে তাদের বিবেক এবং বুদ্ধি আছে",
+        "বাড়িটি নদীর কাছে এবং সন্ধ্যায় মানুষ তাদের কুকুর নিয়ে হাঁটে",
+        "আমরা সকালে বাজারে গিয়ে শিশুদের জন্য রুটি দুধ আর ডিম কিনলাম",
+        "এখন কটা বাজে আর তুমি কাল আমাদের বাড়িতে কখন ফিরে আসবে",
+        "সে বলল বইটি টেবিলের উপর ছিল কিন্তু আমি কোথাও খুঁজে পাইনি",
+        "আমার ভাই প্রতিদিন শহরে কাজ করে এবং রাতে দেরি করে বাড়ি ফেরে",
+        "গতকাল আবহাওয়া ঠান্ডা ছিল তাই আমরা বাড়িতে থেকে বই পড়লাম",
+        "স্কুলের পিছনের বাগানে অনেক পুরনো গাছ আছে",
+        "দয়া করে বলুন নিকটতম স্টেশন কোথায় এবং টিকিটের দাম কত",
+        "আমার বোন রান্না শিখছে এবং আজ সবজি দিয়ে স্যুপ বানিয়েছে",
+        "ডাক্তার তাকে কয়েক দিন বিশ্রাম নিতে এবং প্রচুর পানি পান করতে বললেন",
+        "আমি তিন কেজি আপেল আর আধা কেজি পনির কিনতে চাই",
+    ],
+    "ta": [
+        "மனிதப் பிறவியினர் சகலரும் சுதந்திரமாகவே பிறக்கின்றனர் அவர்கள் மதிப்பிலும் உரிமைகளிலும் சமமானவர்கள்",
+        "வீடு ஆற்றின் அருகில் உள்ளது மாலையில் மக்கள் தங்கள் நாய்களுடன் நடக்கிறார்கள்",
+        "காலையில் சந்தைக்கு சென்று குழந்தைகளுக்கு ரொட்டி பால் முட்டை வாங்கினோம்",
+        "இப்போது மணி என்ன நாளை எப்போது எங்கள் வீட்டிற்கு திரும்பி வருவாய்",
+        "புத்தகம் மேசையின் மேல் இருந்தது என்று அவள் சொன்னாள் ஆனால் எனக்கு கிடைக்கவில்லை",
+        "என் அண்ணன் தினமும் நகரத்தில் வேலை செய்கிறான் இரவு தாமதமாக வீட்டிற்கு வருகிறான்",
+        "நேற்று குளிராக இருந்தது எனவே நாங்கள் வீட்டில் இருந்து புத்தகங்கள் படித்தோம்",
+        "பள்ளியின் பின்னால் உள்ள தோட்டத்தில் பல பழைய மரங்கள் உள்ளன",
+        "அருகிலுள்ள நிலையம் எங்கே என்றும் டிக்கெட் விலை எவ்வளவு என்றும் சொல்லுங்கள்",
+        "என் தங்கை சமைக்க கற்றுக்கொள்கிறாள் இன்று காய்கறிகளுடன் சூப் செய்தாள்",
+        "சில நாட்கள் ஓய்வு எடுக்கவும் நிறைய தண்ணீர் குடிக்கவும் மருத்துவர் சொன்னார்",
+        "மூன்று கிலோ ஆப்பிளும் அரை கிலோ பாலாடைக்கட்டியும் வாங்க விரும்புகிறேன்",
+    ],
+    "te": [
+        "మానవులందరూ స్వతంత్రులుగా జన్మించారు గౌరవంలో హక్కులలో సమానులు",
+        "ఇల్లు నది దగ్గర ఉంది సాయంత్రం ప్రజలు తమ కుక్కలతో నడుస్తారు",
+        "ఉదయం మేము బజారుకు వెళ్లి పిల్లల కోసం రొట్టె పాలు గుడ్లు కొన్నాము",
+        "ఇప్పుడు సమయం ఎంత రేపు మా ఇంటికి ఎప్పుడు తిరిగి వస్తావు",
+        "పుస్తకం బల్ల మీద ఉందని ఆమె చెప్పింది కానీ నాకు ఎక్కడా దొరకలేదు",
+        "మా అన్నయ్య ప్రతిరోజు నగరంలో పని చేస్తాడు రాత్రి ఆలస్యంగా ఇంటికి వస్తాడు",
+        "నిన్న చలిగా ఉంది అందుకే మేము ఇంట్లో ఉండి పుస్తకాలు చదివాము",
+        "బడి వెనుక తోటలో చాలా పాత చెట్లు ఉన్నాయి",
+        "దగ్గరి స్టేషన్ ఎక్కడ ఉందో టికెట్ ధర ఎంతో చెప్పండి",
+        "మా చెల్లెలు వంట నేర్చుకుంటోంది ఈరోజు కూరగాయలతో సూప్ చేసింది",
+        "కొన్ని రోజులు విశ్రాంతి తీసుకోమని ఎక్కువ నీళ్లు తాగమని వైద్యుడు చెప్పాడు",
+        "మూడు కిలోల ఆపిల్ పండ్లు అర కిలో జున్ను కొనాలనుకుంటున్నాను",
+    ],
+    "ml": [
+        "മനുഷ്യരെല്ലാവരും തുല്യാവകാശങ്ങളോടും അന്തസ്സോടും സ്വാതന്ത്ര്യത്തോടുംകൂടി ജനിച്ചവരാണ്",
+        "വീട് നദിയുടെ അടുത്താണ് വൈകുന്നേരം ആളുകൾ നായ്ക്കളുമായി നടക്കുന്നു",
+        "രാവിലെ ഞങ്ങൾ ചന്തയിൽ പോയി കുട്ടികൾക്ക് റൊട്ടിയും പാലും മുട്ടയും വാങ്ങി",
+        "ഇപ്പോൾ സമയം എത്രയായി നാളെ എപ്പോൾ ഞങ്ങളുടെ വീട്ടിലേക്ക് തിരിച്ചു വരും",
+        "പുസ്തകം മേശപ്പുറത്തായിരുന്നു എന്ന് അവൾ പറഞ്ഞു പക്ഷേ എനിക്ക് കണ്ടെത്താനായില്ല",
+        "എന്റെ സഹോദരൻ എല്ലാ ദിവസവും നഗരത്തിൽ ജോലി ചെയ്യുന്നു രാത്രി വൈകി വീട്ടിൽ വരുന്നു",
+        "ഇന്നലെ തണുപ്പായിരുന്നു അതിനാൽ ഞങ്ങൾ വീട്ടിലിരുന്ന് പുസ്തകങ്ങൾ വായിച്ചു",
+        "സ്കൂളിന് പിന്നിലെ തോട്ടത്തിൽ ധാരാളം പഴയ മരങ്ങളുണ്ട്",
+        "അടുത്തുള്ള സ്റ്റേഷൻ എവിടെയാണെന്നും ടിക്കറ്റിന് എത്ര വിലയാണെന്നും പറയാമോ",
+        "എന്റെ സഹോദരി പാചകം പഠിക്കുന്നു ഇന്ന് പച്ചക്കറികൾ കൊണ്ട് സൂപ്പ് ഉണ്ടാക്കി",
+        "കുറച്ച് ദിവസം വിശ്രമിക്കാനും ധാരാളം വെള്ളം കുടിക്കാനും ഡോക്ടർ പറഞ്ഞു",
+        "മൂന്ന് കിലോ ആപ്പിളും അര കിലോ പാൽക്കട്ടിയും വാങ്ങാൻ ആഗ്രഹിക്കുന്നു",
+    ],
+    "mr": [
+        "सर्व मानवी व्यक्ती जन्मतः स्वतंत्र आहेत व त्यांना समान प्रतिष्ठा व समान अधिकार आहेत",
+        "घर नदीच्या जवळ आहे आणि संध्याकाळी लोक आपल्या कुत्र्यांसोबत फिरायला जातात",
+        "आम्ही सकाळी बाजारात गेलो आणि मुलांसाठी पाव दूध आणि अंडी विकत घेतली",
+        "आता किती वाजले आहेत आणि तू उद्या आमच्या घरी कधी परत येशील",
+        "तिने सांगितले की पुस्तक टेबलावर होते पण मला ते कुठेही सापडले नाही",
+        "माझा भाऊ दररोज शहरात काम करतो आणि रात्री उशिरा घरी येतो",
+        "काल थंडी होती म्हणून आम्ही घरीच राहिलो आणि पुस्तके वाचली",
+        "शाळेच्या मागच्या बागेत खूप जुनी झाडे आहेत",
+        "जवळचे स्थानक कुठे आहे आणि तिकिटाची किंमत किती आहे ते सांगाल का",
+        "माझी बहीण स्वयंपाक शिकत आहे आणि आज तिने भाज्यांचे सूप केले",
+        "डॉक्टरांनी त्याला काही दिवस विश्रांती घ्यायला आणि भरपूर पाणी प्यायला सांगितले",
+        "मला तीन किलो सफरचंद आणि अर्धा किलो पनीर विकत घ्यायचे आहे",
+    ],
+    "gu": [
+        "પ્રતિષ્ઠા અને અધિકારોની દૃષ્ટિએ સર્વ માનવો જન્મથી સ્વતંત્ર અને સમાન હોય છે",
+        "ઘર નદીની નજીક છે અને સાંજે લોકો પોતાના કૂતરા સાથે ચાલે છે",
+        "અમે સવારે બજારમાં ગયા અને બાળકો માટે રોટલી દૂધ અને ઈંડા ખરીદ્યા",
+        "અત્યારે કેટલા વાગ્યા છે અને તું કાલે અમારા ઘરે ક્યારે પાછો આવીશ",
+        "તેણે કહ્યું કે પુસ્તક ટેબલ પર હતું પણ મને ક્યાંય મળ્યું નહીં",
+        "મારો ભાઈ દરરોજ શહેરમાં કામ કરે છે અને રાત્રે મોડો ઘરે આવે છે",
+        "ગઈકાલે ઠંડી હતી એટલે અમે ઘરે રહ્યા અને પુસ્તકો વાંચ્યાં",
+        "શાળાની પાછળના બગીચામાં ઘણાં જૂનાં વૃક્ષો છે",
+        "નજીકનું સ્ટેશન ક્યાં છે અને ટિકિટની કિંમત કેટલી છે તે કહેશો",
+        "મારી બહેન રસોઈ શીખી રહી છે અને આજે શાકભાજીનો સૂપ બનાવ્યો",
+        "ડૉક્ટરે તેને થોડા દિવસ આરામ કરવા અને પુષ્કળ પાણી પીવા કહ્યું",
+        "મારે ત્રણ કિલો સફરજન અને અડધો કિલો પનીર ખરીદવું છે",
+    ],
+    "kn": [
+        "ಎಲ್ಲಾ ಮಾನವರು ಸ್ವತಂತ್ರರಾಗಿ ಹುಟ್ಟಿದ್ದಾರೆ ಘನತೆ ಮತ್ತು ಹಕ್ಕುಗಳಲ್ಲಿ ಸಮಾನರು",
+        "ಮನೆ ನದಿಯ ಹತ್ತಿರ ಇದೆ ಸಂಜೆ ಜನರು ತಮ್ಮ ನಾಯಿಗಳೊಂದಿಗೆ ನಡೆಯುತ್ತಾರೆ",
+        "ಬೆಳಿಗ್ಗೆ ನಾವು ಮಾರುಕಟ್ಟೆಗೆ ಹೋಗಿ ಮಕ್ಕಳಿಗೆ ರೊಟ್ಟಿ ಹಾಲು ಮೊಟ್ಟೆ ಖರೀದಿಸಿದೆವು",
+        "ಈಗ ಎಷ್ಟು ಗಂಟೆ ನಾಳೆ ನಮ್ಮ ಮನೆಗೆ ಯಾವಾಗ ಹಿಂತಿರುಗಿ ಬರುತ್ತೀಯ",
+        "ಪುಸ್ತಕ ಮೇಜಿನ ಮೇಲೆ ಇತ್ತು ಎಂದು ಅವಳು ಹೇಳಿದಳು ಆದರೆ ನನಗೆ ಎಲ್ಲಿಯೂ ಸಿಗಲಿಲ್ಲ",
+        "ನನ್ನ ಅಣ್ಣ ಪ್ರತಿದಿನ ನಗರದಲ್ಲಿ ಕೆಲಸ ಮಾಡುತ್ತಾನೆ ರಾತ್ರಿ ತಡವಾಗಿ ಮನೆಗೆ ಬರುತ್ತಾನೆ",
+        "ನಿನ್ನೆ ಚಳಿ ಇತ್ತು ಆದ್ದರಿಂದ ನಾವು ಮನೆಯಲ್ಲಿ ಇದ್ದು ಪುಸ್ತಕಗಳನ್ನು ಓದಿದೆವು",
+        "ಶಾಲೆಯ ಹಿಂದಿನ ತೋಟದಲ್ಲಿ ಅನೇಕ ಹಳೆಯ ಮರಗಳಿವೆ",
+        "ಹತ್ತಿರದ ನಿಲ್ದಾಣ ಎಲ್ಲಿದೆ ಮತ್ತು ಟಿಕೆಟ್ ಬೆಲೆ ಎಷ್ಟು ಹೇಳುವಿರಾ",
+        "ನನ್ನ ತಂಗಿ ಅಡುಗೆ ಕಲಿಯುತ್ತಿದ್ದಾಳೆ ಇಂದು ತರಕಾರಿಗಳೊಂದಿಗೆ ಸೂಪ್ ಮಾಡಿದಳು",
+        "ಕೆಲವು ದಿನ ವಿಶ್ರಾಂತಿ ಪಡೆಯಲು ಮತ್ತು ಹೆಚ್ಚು ನೀರು ಕುಡಿಯಲು ವೈದ್ಯರು ಹೇಳಿದರು",
+        "ಮೂರು ಕಿಲೋ ಸೇಬು ಮತ್ತು ಅರ್ಧ ಕಿಲೋ ಚೀಸ್ ಖರೀದಿಸಲು ಬಯಸುತ್ತೇನೆ",
+    ],
+    "pa": [
+        "ਸਾਰੇ ਮਨੁੱਖ ਆਜ਼ਾਦ ਜੰਮਦੇ ਹਨ ਅਤੇ ਇੱਜ਼ਤ ਅਤੇ ਹੱਕਾਂ ਵਿੱਚ ਬਰਾਬਰ ਹੁੰਦੇ ਹਨ",
+        "ਘਰ ਦਰਿਆ ਦੇ ਨੇੜੇ ਹੈ ਅਤੇ ਸ਼ਾਮ ਨੂੰ ਲੋਕ ਆਪਣੇ ਕੁੱਤਿਆਂ ਨਾਲ ਤੁਰਦੇ ਹਨ",
+        "ਅਸੀਂ ਸਵੇਰੇ ਬਾਜ਼ਾਰ ਗਏ ਅਤੇ ਬੱਚਿਆਂ ਲਈ ਰੋਟੀ ਦੁੱਧ ਅਤੇ ਅੰਡੇ ਖਰੀਦੇ",
+        "ਹੁਣ ਕੀ ਵਜਿਆ ਹੈ ਅਤੇ ਤੂੰ ਕੱਲ੍ਹ ਸਾਡੇ ਘਰ ਕਦੋਂ ਵਾਪਸ ਆਵੇਂਗਾ",
+        "ਉਸਨੇ ਕਿਹਾ ਕਿ ਕਿਤਾਬ ਮੇਜ਼ ਉੱਤੇ ਸੀ ਪਰ ਮੈਨੂੰ ਕਿਤੇ ਨਹੀਂ ਮਿਲੀ",
+        "ਮੇਰਾ ਭਰਾ ਹਰ ਰੋਜ਼ ਸ਼ਹਿਰ ਵਿੱਚ ਕੰਮ ਕਰਦਾ ਹੈ ਅਤੇ ਰਾਤ ਨੂੰ ਦੇਰ ਨਾਲ ਘਰ ਆਉਂਦਾ ਹੈ",
+        "ਕੱਲ੍ਹ ਠੰਢ ਸੀ ਇਸ ਲਈ ਅਸੀਂ ਘਰ ਰਹੇ ਅਤੇ ਕਿਤਾਬਾਂ ਪੜ੍ਹੀਆਂ",
+        "ਸਕੂਲ ਦੇ ਪਿੱਛੇ ਬਾਗ ਵਿੱਚ ਬਹੁਤ ਪੁਰਾਣੇ ਰੁੱਖ ਹਨ",
+        "ਕਿਰਪਾ ਕਰਕੇ ਦੱਸੋ ਨੇੜਲਾ ਸਟੇਸ਼ਨ ਕਿੱਥੇ ਹੈ ਅਤੇ ਟਿਕਟ ਦੀ ਕੀਮਤ ਕਿੰਨੀ ਹੈ",
+        "ਮੇਰੀ ਭੈਣ ਖਾਣਾ ਬਣਾਉਣਾ ਸਿੱਖ ਰਹੀ ਹੈ ਅਤੇ ਅੱਜ ਸਬਜ਼ੀਆਂ ਨਾਲ ਸੂਪ ਬਣਾਇਆ",
+        "ਡਾਕਟਰ ਨੇ ਉਸਨੂੰ ਕੁਝ ਦਿਨ ਆਰਾਮ ਕਰਨ ਅਤੇ ਬਹੁਤ ਪਾਣੀ ਪੀਣ ਲਈ ਕਿਹਾ",
+        "ਮੈਂ ਤਿੰਨ ਕਿਲੋ ਸੇਬ ਅਤੇ ਅੱਧਾ ਕਿਲੋ ਪਨੀਰ ਖਰੀਦਣਾ ਚਾਹੁੰਦਾ ਹਾਂ",
+    ],
+    "ur": [
+        "تمام انسان آزاد پیدا ہوئے ہیں اور عزت اور حقوق میں برابر ہیں",
+        "گھر دریا کے قریب ہے اور شام کو لوگ اپنے کتوں کے ساتھ چلتے ہیں",
+        "ہم صبح بازار گئے اور بچوں کے لیے روٹی دودھ اور انڈے خریدے",
+        "ابھی کیا وقت ہوا ہے اور تم کل ہمارے گھر کب واپس آؤ گے",
+        "اس نے کہا کہ کتاب میز پر تھی لیکن مجھے کہیں نہیں ملی",
+        "میرا بھائی ہر روز شہر میں کام کرتا ہے اور رات کو دیر سے گھر آتا ہے",
+        "کل سردی تھی اس لیے ہم گھر پر رہے اور کتابیں پڑھیں",
+        "اسکول کے پیچھے باغ میں بہت پرانے درخت ہیں",
+        "براہ کرم بتائیں قریبی اسٹیشن کہاں ہے اور ٹکٹ کی قیمت کتنی ہے",
+        "میری بہن کھانا پکانا سیکھ رہی ہے اور آج سبزیوں کا سوپ بنایا",
+        "ڈاکٹر نے اسے کچھ دن آرام کرنے اور زیادہ پانی پینے کو کہا",
+        "میں تین کلو سیب اور آدھا کلو پنیر خریدنا چاہتا ہوں",
+    ],
+    "tl": [
+        "ang lahat ng tao ay isinilang na malaya at pantay pantay sa karangalan at mga karapatan",
+        "ang bahay ay malapit sa ilog at sa gabi ay naglalakad ang mga tao kasama ang kanilang mga aso",
+        "pumunta kami sa palengke kaninang umaga at bumili ng tinapay gatas at itlog para sa mga bata",
+        "anong oras na ngayon at kailan ka babalik sa aming bahay bukas",
+        "sinabi niya na ang libro ay nasa ibabaw ng mesa pero hindi ko ito mahanap kahit saan",
+        "ang kapatid kong lalaki ay nagtatrabaho sa lungsod araw araw at umuuwi nang gabi na",
+        "malamig ang panahon kahapon kaya nanatili kami sa bahay at nagbasa ng mga libro",
+        "maraming lumang puno sa hardin sa likod ng paaralan",
+        "maaari mo bang sabihin kung nasaan ang pinakamalapit na istasyon at magkano ang tiket",
+        "ang aking kapatid na babae ay nag aaral magluto at gumawa ngayon ng sopas na may gulay",
+        "sinabi ng doktor na magpahinga siya ng ilang araw at uminom ng maraming tubig",
+        "gusto kong bumili ng tatlong kilo ng mansanas at kalahating kilo ng keso",
     ],
 }
 
