@@ -170,6 +170,9 @@ object GraftExtensions {
     ("html_to_text", graft.expressions.HtmlKernels.toTextInfo,
       arity("html_to_text", 1)(c =>
         graft.expressions.HtmlKernels.HtmlToText(c(0)))),
+    ("text_from_bytes_rung", graft.expressions.ByteKernels.textFromBytesRungInfo,
+      arity("text_from_bytes_rung", 1)(c =>
+        graft.expressions.ByteKernels.TextFromBytesRung(c(0)))),
     ("pdf_text", graft.expressions.PdfKernels.pdfTextInfo,
       arity("pdf_text", 1)(c =>
         graft.expressions.PdfKernels.PdfText(c(0)))),

@@ -358,7 +358,7 @@ object ByteKernels {
     * label is cp1252-representable; ties keep cp1252). */
   private def tryLegacy(
       b: Array[Byte], latinOnly: Boolean, incumbentScore: Int,
-      cpLabelCache: (String, (String, Int))): String = {
+      cpLabelCache: (String, (String, Int))): (String, String) = {
     // (score, ladderIdx, prefixDec) candidates, insertion-kept
     val scores = new java.util.ArrayList[(Int, Int, String)](4)
     val memo = new java.util.HashMap[String, (String, Int)](8)
@@ -395,10 +395,12 @@ object ByteKernels {
       Ordering.by[(Int, Int, String), (Int, Int)](t => (t._1, t._2)))
     var k = 0
     while (k < arr.length) {
+      val cs = legacyLadder(arr(k)._2).cs
       val full =
         if (b.length <= PrefixCapBytes) arr(k)._3
-        else strictDecode(legacyLadder(arr(k)._2).cs, b, 0)
-      if (full != null) return full
+        else strictDecode(cs, b, 0)
+      if (full != null)
+        return (full, cs.name().toLowerCase(java.util.Locale.ROOT))
       k += 1
     }
     null
@@ -406,12 +408,31 @@ object ByteKernels {
 
   def textFromBytes(bytes: Array[Byte]): UTF8String = {
     if (bytes == null) return null
-    if (bytes.length == 0) return UTF8String.EMPTY_UTF8
+    UTF8String.fromString(decodeWithRung(bytes)._1)
+  }
+
+  /** Exit-rung label for [[textFromBytes]] — the decode-cost
+    * observability surface (r17): `empty`, `utf16`, `utf8`,
+    * `utf8_repair` (valid UTF-8 that took ≥1 mojibake-repair round), a
+    * ladder charset's canonical lowercase name (`shift_jis`,
+    * `windows-1250`, …), or `cp1252` (the fallback; its repair round is
+    * a structural no-op — cp1252 decode/encode is bijective per byte).
+    * The ladder keeps growing rungs, and WHERE rows exit attributes the
+    * per-row decode cost as a queryable record instead of a rerun. */
+  def textFromBytesRung(bytes: Array[Byte]): UTF8String = {
+    if (bytes == null) return null
+    UTF8String.fromString(decodeWithRung(bytes)._2)
+  }
+
+  private[expressions] def decodeWithRung(bytes: Array[Byte]): (String, String) = {
+    if (bytes.length == 0) return ("", "empty")
     val u16 = decodeUtf16Bom(bytes)
-    if (u16 != null) return UTF8String.fromString(u16)
+    if (u16 != null) return (u16, "utf16")
     var s: String = null
+    var rung: String = null
     if (validUtf8(bytes)) {
       s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      rung = "utf8"
     } else {
       // Cost gates before the legacy ladder — GB18030 strict-decodes
       // nearly any byte stream, so ungated, EVERY non-UTF-8 row pays
@@ -443,22 +464,24 @@ object ByteKernels {
           if (latinOnly && cp1252Langs.contains(cpVerdict._1)) cpVerdict._2
           else Int.MaxValue
         val legacy = tryLegacy(bytes, latinOnly, incumbent, (cp, cpVerdict))
-        if (legacy != null) return UTF8String.fromString(legacy)
+        if (legacy != null) return legacy
       }
       s = cp
+      rung = "cp1252"
     }
     var rounds = 0
     var progressed = true
+    var repaired = false
     while (rounds < 2 && progressed) {
       progressed = false
       val re = encodeCp1252(s)
       if (re != null && validUtf8(re)) {
         val fixed = new String(re, java.nio.charset.StandardCharsets.UTF_8)
-        if (fixed != s) { s = fixed; progressed = true }
+        if (fixed != s) { s = fixed; progressed = true; repaired = true }
       }
       rounds += 1
     }
-    UTF8String.fromString(s)
+    (s, if (repaired) rung + "_repair" else rung)
   }
 
   /** Resolve a declared charset out of a MIME type string (the
@@ -537,6 +560,29 @@ object ByteKernels {
     override protected def withNewChildInternal(newChild: Expression): TextFromBytes =
       copy(child = newChild)
   }
+
+  /** `text_from_bytes_rung(binary)` — see [[textFromBytesRung]]. */
+  case class TextFromBytesRung(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary, got ${other.simpleString}")
+    }
+    override def dataType: DataType = StringType
+    override def prettyName: String = "text_from_bytes_rung"
+    override protected def nullSafeEval(a: Any): Any =
+      ByteKernels.textFromBytesRung(a.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a =>
+        s"graft.expressions.ByteKernels.textFromBytesRung($a)")
+    override protected def withNewChildInternal(newChild: Expression): TextFromBytesRung =
+      copy(child = newChild)
+  }
+
+  val textFromBytesRungInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[TextFromBytesRung].getName, null, "text_from_bytes_rung",
+    "_FUNC_(binary) - the decode ladder rung text_from_bytes exits at: empty, utf16, utf8, utf8_repair, a ladder charset name, or cp1252 — per-row decode-cost attribution as a record.",
+    "", "", "", "", "", "", "built-in")
 
   val textFromBytesInfo: ExpressionInfo = new ExpressionInfo(
     classOf[TextFromBytes].getName, null, "text_from_bytes",

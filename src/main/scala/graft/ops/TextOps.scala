@@ -255,6 +255,14 @@ object TextOps {
   def textFromBytes(bytes: Column): Column =
     call_function("text_from_bytes", bytes)
 
+  /** Exit-rung label of [[textFromBytes]]'s ladder (`empty`/`utf16`/
+    * `utf8`/`utf8_repair`/a ladder charset name/`cp1252`) — the
+    * decode-cost attribution a crawl operator groups by before trusting
+    * (or tuning) the ladder. Requires
+    * [[graft.GraftExtensions.register]]. */
+  def textFromBytesRung(bytes: Column): Column =
+    call_function("text_from_bytes_rung", bytes)
+
   /** [[textFromBytes]] honoring a DECLARED charset (an HTTP/HTML
     * Content-Type value or a bare charset name — e.g. the `mime` column
     * a [[graft.sources.Warc]] read surfaces): BOM > valid UTF-8 >

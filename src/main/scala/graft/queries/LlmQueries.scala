@@ -495,6 +495,64 @@ object LlmQueries {
     }
   }
 
+  /** The 24-arm planted byte corpus shared by q_text_from_bytes and
+    * q_text_rungs — one framing per doc_id % 24; every arm's expected
+    * decode AND exit rung are closed-form by construction. */
+  private def plantedBytes24: Column =
+    when(col("doc_id") % 24 === 0, encode(col("text"), "UTF-8"))
+        .when(col("doc_id") % 24 === 1,
+          unhex(lit("636166E92064E96AE020767520393525206E61EF7665")))
+        .when(col("doc_id") % 24 === 2,
+          unhex(lit("636166C383C2A92064C383C2A96AC383C2A020767520393525206E61C383C2AF7665")))
+        .when(col("doc_id") % 24 === 3,
+          unhex(lit("636166C383C692C382C2A92064C383C692C382C2A96AC383C692C382C2A020767520393525206E61C383C692C382C2AF7665")))
+        .when(col("doc_id") % 24 === 4, unhex(lit("FFFEFA")))
+        .when(col("doc_id") % 24 === 5, encode(lit(""), "UTF-8"))
+        .when(col("doc_id") % 24 === 6,
+          unhex(lit("8E718B9F82BD82BF82CD92A982C98A778D5A82D695E082A282C48D7382AB82DC82B7814290E690B682C688EA8F8F82C9967B82F093C782DD82DC82B78142")))
+        .when(col("doc_id") % 24 === 7,
+          unhex(lit("BBD2B6A1A4BFA4C1A4CFC4ABA4CBB3D8B9BBA4D8CAE2A4A4A4C6B9D4A4ADA4DEA4B9A1A3C0E8C0B8A4C8B0ECBDEFA4CBCBDCA4F2C6C9A4DFA4DEA4B9A1A3")))
+        .when(col("doc_id") % 24 === 8,
+          unhex(lit("BEC6C0CCB5E9C0BA20BEC6C4A7BFA120C7D0B1B3BFA120B0C9BEEEB0A1BCAD20BCB1BBFDB4D4B0FA20C7D4B2B220C3A5C0BB20C0D0BDC0B4CFB4D9")))
+        .when(col("doc_id") % 24 === 9,
+          unhex(lit("BAA2D7D3C3C7D4E7C9CFD7DFC2B7C8A5D1A7D0A3CBFBC3C7BACDC0CFCAA6D2BBC6F0B6C1CAE9C3BFCCECD4DAB3C7CAD0C0EFCDE6")))
+        .when(col("doc_id") % 24 === 10,
+          unhex(lit("ABC4A46CADCCA6ADA457A8ABB8F4A568BEC7AED5A54CADCCA94DA6D1AE76A440B05FC5AAAED1A843A4D1A662ABB0A5ABB8CCAAB1")))
+        .when(col("doc_id") % 24 === 11,
+          unhex(lit("E4B3F2E820E9E4F3F2FC20E2F0E0EDF6B320E4EE20F8EAEEEBE820B320F7E8F2E0FEF2FC20EAEDE8E6EAE820E720F3F7E8F2E5EBE5EC20F320ECB3F1F2B3")))
+        .when(col("doc_id") % 24 === 12,
+          unhex(lit("FFFE630061006600E9002000B403BF03BA03B903BC03AE032000420435043A0441044204")))
+        .when(col("doc_id") % 24 === 13,
+          unhex(lit("FEFF00630061006600E9002003B403BF03BA03B903BC03AE002004420435043A04410442")))
+        // the rest of the single-byte Cyrillic family (r16): KOI8-R
+        // Russian and ISO-8859-5 Bulgarian — both decode EVERY byte
+        // under cp1251 too, so only the language gate separates the
+        // mappings (cross-decodes measure 513-836 normalized distance
+        // vs 160-255 for the true mapping)
+        .when(col("doc_id") % 24 === 14,
+          unhex(lit("C4C5D4C920C9C4D5D420D720DBCBCFCCD520D5D4D2CFCD20C920DEC9D4C1C0D420CBCEC9C7C920D320D5DEC9D4C5CCC5CD20D720C7CFD2CFC4C5")))
+        .when(col("doc_id") % 24 === 15,
+          unhex(lit("D4D5E6D0E2D020D2EAE0D2EFE220E1E3E2E0D8DD20DAEADC20E3E7D8DBD8E9D5E2DE20D820E7D5E2D0E220DADDD8D3D820E120E3E7D8E2D5DBEF20D220D3E0D0D4D0")))
+        // r17 single-byte script rungs
+        .when(col("doc_id") % 24 === 16, // windows-1253 Greek
+          unhex(lit("F4E120F0E1E9E4E9DC20F0E5F1F0E1F4EFFDED20F3F4EF20F3F7EFEBE5DFEF20F4EF20F0F1F9DF20EAE1E920E4E9E1E2DCE6EFF5ED20E2E9E2EBDFE120ECE520F4EFED20E4DCF3EAE1EBEF20F3F4E7ED20F0FCEBE7")))
+        .when(col("doc_id") % 24 === 17, // windows-1255 Hebrew
+          unhex(lit("E4E9ECE3E9ED20E4E5ECEBE9ED20ECE1E9FA20E4F1F4F820E1E1E5F7F820E5F7E5F8E0E9ED20F1F4F8E9ED20F2ED20E4EEE5F8E420E1F2E9F8")))
+        .when(col("doc_id") % 24 === 18, // windows-1256 Arabic
+          unhex(lit("EDD0E5C820C7E1C3D8DDC7E120C5E1EC20C7E1E3CFD1D3C920DDED20C7E1D5C8C7CD20E6EDDED1C4E6E420C7E1DFCAC820E3DA20C7E1E3DAE1E320DDED20C7E1E3CFEDE4C920DFE120EDE6E3")))
+        .when(col("doc_id") % 24 === 19, // windows-874 Thai
+          unhex(lit("E0B4E7A1E0B4D4B9E4BBE2C3A7E0C3D5C2B9E3B9B5CDB9E0AAE9D2E1C5D0CDE8D2B9CBB9D1A7CAD7CDA1D1BAA4C3D9E3B9E0C1D7CDA7")))
+        // r17 Latin rungs — these pages also READ as their language
+        // under cp1252 (wrong glyphs); distance must pick the truth
+        .when(col("doc_id") % 24 === 20, // ISO-8859-9 Turkish
+          unhex(lit("E76F63756B6C6172207361626168206F6B756C612079FC72FC796F726C617220766520FE65686972646520F6F07265746D656E6C65206269726C696B7465206B69746170206F6B75796F726C6172")))
+        .when(col("doc_id") % 24 === 21, // windows-1250 Polish
+          unhex(lit("647A69656369206964B92072616E6F20646F20737A6B6FB379206920637A7974616AB9206B7369B9BF6B69207A206E6175637A796369656C656D2077206D69659C636965")))
+        .when(col("doc_id") % 24 === 22, // ISO-8859-2 Czech
+          unhex(lit("64EC74692063686F64ED2072E16E6F20646F20B96B6F6C79206120E8746F75207369206B6E69687920732075E86974656C656D207665206DEC7374EC")))
+        .otherwise( // ISO-8859-2 Hungarian
+          unhex(lit("612067796572656B656B2072656767656C2069736B6F6CE162612073E974E16C6E616B20E97320612074616EE17272616C20656779FC7474206BF66E7976656B6574206F6C7661736E616B20612076E1726F7362616E")))
+
   /** The crawl-ingest capstone chain over a caller-supplied payload
     * column `t0` (the planted text for q_pipeline_crawl, its
     * text_from_bytes decode for q_pipeline_crawl_bytes) — ONE composed
@@ -2119,62 +2177,26 @@ object LlmQueries {
     // doc_id families.
     "q_text_from_bytes" -> ((s, dir) => {
       GraftExtensions.register(s)
-      val bytes = when(col("doc_id") % 24 === 0, encode(col("text"), "UTF-8"))
-        .when(col("doc_id") % 24 === 1,
-          unhex(lit("636166E92064E96AE020767520393525206E61EF7665")))
-        .when(col("doc_id") % 24 === 2,
-          unhex(lit("636166C383C2A92064C383C2A96AC383C2A020767520393525206E61C383C2AF7665")))
-        .when(col("doc_id") % 24 === 3,
-          unhex(lit("636166C383C692C382C2A92064C383C692C382C2A96AC383C692C382C2A020767520393525206E61C383C692C382C2AF7665")))
-        .when(col("doc_id") % 24 === 4, unhex(lit("FFFEFA")))
-        .when(col("doc_id") % 24 === 5, encode(lit(""), "UTF-8"))
-        .when(col("doc_id") % 24 === 6,
-          unhex(lit("8E718B9F82BD82BF82CD92A982C98A778D5A82D695E082A282C48D7382AB82DC82B7814290E690B682C688EA8F8F82C9967B82F093C782DD82DC82B78142")))
-        .when(col("doc_id") % 24 === 7,
-          unhex(lit("BBD2B6A1A4BFA4C1A4CFC4ABA4CBB3D8B9BBA4D8CAE2A4A4A4C6B9D4A4ADA4DEA4B9A1A3C0E8C0B8A4C8B0ECBDEFA4CBCBDCA4F2C6C9A4DFA4DEA4B9A1A3")))
-        .when(col("doc_id") % 24 === 8,
-          unhex(lit("BEC6C0CCB5E9C0BA20BEC6C4A7BFA120C7D0B1B3BFA120B0C9BEEEB0A1BCAD20BCB1BBFDB4D4B0FA20C7D4B2B220C3A5C0BB20C0D0BDC0B4CFB4D9")))
-        .when(col("doc_id") % 24 === 9,
-          unhex(lit("BAA2D7D3C3C7D4E7C9CFD7DFC2B7C8A5D1A7D0A3CBFBC3C7BACDC0CFCAA6D2BBC6F0B6C1CAE9C3BFCCECD4DAB3C7CAD0C0EFCDE6")))
-        .when(col("doc_id") % 24 === 10,
-          unhex(lit("ABC4A46CADCCA6ADA457A8ABB8F4A568BEC7AED5A54CADCCA94DA6D1AE76A440B05FC5AAAED1A843A4D1A662ABB0A5ABB8CCAAB1")))
-        .when(col("doc_id") % 24 === 11,
-          unhex(lit("E4B3F2E820E9E4F3F2FC20E2F0E0EDF6B320E4EE20F8EAEEEBE820B320F7E8F2E0FEF2FC20EAEDE8E6EAE820E720F3F7E8F2E5EBE5EC20F320ECB3F1F2B3")))
-        .when(col("doc_id") % 24 === 12,
-          unhex(lit("FFFE630061006600E9002000B403BF03BA03B903BC03AE032000420435043A0441044204")))
-        .when(col("doc_id") % 24 === 13,
-          unhex(lit("FEFF00630061006600E9002003B403BF03BA03B903BC03AE002004420435043A04410442")))
-        // the rest of the single-byte Cyrillic family (r16): KOI8-R
-        // Russian and ISO-8859-5 Bulgarian — both decode EVERY byte
-        // under cp1251 too, so only the language gate separates the
-        // mappings (cross-decodes measure 513-836 normalized distance
-        // vs 160-255 for the true mapping)
-        .when(col("doc_id") % 24 === 14,
-          unhex(lit("C4C5D4C920C9C4D5D420D720DBCBCFCCD520D5D4D2CFCD20C920DEC9D4C1C0D420CBCEC9C7C920D320D5DEC9D4C5CCC5CD20D720C7CFD2CFC4C5")))
-        .when(col("doc_id") % 24 === 15,
-          unhex(lit("D4D5E6D0E2D020D2EAE0D2EFE220E1E3E2E0D8DD20DAEADC20E3E7D8DBD8E9D5E2DE20D820E7D5E2D0E220DADDD8D3D820E120E3E7D8E2D5DBEF20D220D3E0D0D4D0")))
-        // r17 single-byte script rungs
-        .when(col("doc_id") % 24 === 16, // windows-1253 Greek
-          unhex(lit("F4E120F0E1E9E4E9DC20F0E5F1F0E1F4EFFDED20F3F4EF20F3F7EFEBE5DFEF20F4EF20F0F1F9DF20EAE1E920E4E9E1E2DCE6EFF5ED20E2E9E2EBDFE120ECE520F4EFED20E4DCF3EAE1EBEF20F3F4E7ED20F0FCEBE7")))
-        .when(col("doc_id") % 24 === 17, // windows-1255 Hebrew
-          unhex(lit("E4E9ECE3E9ED20E4E5ECEBE9ED20ECE1E9FA20E4F1F4F820E1E1E5F7F820E5F7E5F8E0E9ED20F1F4F8E9ED20F2ED20E4EEE5F8E420E1F2E9F8")))
-        .when(col("doc_id") % 24 === 18, // windows-1256 Arabic
-          unhex(lit("EDD0E5C820C7E1C3D8DDC7E120C5E1EC20C7E1E3CFD1D3C920DDED20C7E1D5C8C7CD20E6EDDED1C4E6E420C7E1DFCAC820E3DA20C7E1E3DAE1E320DDED20C7E1E3CFEDE4C920DFE120EDE6E3")))
-        .when(col("doc_id") % 24 === 19, // windows-874 Thai
-          unhex(lit("E0B4E7A1E0B4D4B9E4BBE2C3A7E0C3D5C2B9E3B9B5CDB9E0AAE9D2E1C5D0CDE8D2B9CBB9D1A7CAD7CDA1D1BAA4C3D9E3B9E0C1D7CDA7")))
-        // r17 Latin rungs — these pages also READ as their language
-        // under cp1252 (wrong glyphs); distance must pick the truth
-        .when(col("doc_id") % 24 === 20, // ISO-8859-9 Turkish
-          unhex(lit("E76F63756B6C6172207361626168206F6B756C612079FC72FC796F726C617220766520FE65686972646520F6F07265746D656E6C65206269726C696B7465206B69746170206F6B75796F726C6172")))
-        .when(col("doc_id") % 24 === 21, // windows-1250 Polish
-          unhex(lit("647A69656369206964B92072616E6F20646F20737A6B6FB379206920637A7974616AB9206B7369B9BF6B69207A206E6175637A796369656C656D2077206D69659C636965")))
-        .when(col("doc_id") % 24 === 22, // ISO-8859-2 Czech
-          unhex(lit("64EC74692063686F64ED2072E16E6F20646F20B96B6F6C79206120E8746F75207369206B6E69687920732075E86974656C656D207665206DEC7374EC")))
-        .otherwise( // ISO-8859-2 Hungarian
-          unhex(lit("612067796572656B656B2072656767656C2069736B6F6CE162612073E974E16C6E616B20E97320612074616EE17272616C20656779FC7474206BF66E7976656B6574206F6C7661736E616B20612076E1726F7362616E")))
       docs(s, dir)
-        .select(col("doc_id"), TextOps.textFromBytes(bytes).as("text_out"))
+        .select(col("doc_id"), TextOps.textFromBytes(plantedBytes24).as("text_out"))
         .orderBy("doc_id")
+    }),
+
+    // Ladder-cost OBSERVABILITY (r17, verdict #7): where does each row
+    // EXIT the decode ladder? Grouped rung counts over the same 24-arm
+    // byte corpus — per-row decode-cost attribution as an oracle-checked
+    // record instead of a rerun (the ladder keeps growing rungs; this is
+    // the line that says which rungs a corpus actually pays for). The
+    // oracle pins each arm's closed-form exit: note arm 16 (cp1253
+    // Greek) exits at iso-8859-7 — the two charsets decode that plant
+    // identically and ties break in ladder order — and the Turkish pair
+    // collapses the same way.
+    "q_text_rungs" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      docs(s, dir)
+        .select(TextOps.textFromBytesRung(plantedBytes24).as("rung"))
+        .groupBy("rung").agg(count(lit(1)).as("n_docs"))
+        .orderBy("rung")
     }),
 
     // Boilerplate line removal: every doc gets a planted per-source
@@ -4540,6 +4562,22 @@ object LlmQueries {
         |    WHEN 22 THEN 'děti chodí ráno do školy a čtou si knihy s učitelem ve městě'
         |    ELSE 'a gyerekek reggel iskolába sétálnak és a tanárral együtt könyveket olvasnak a városban' END AS text_out
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_rungs" ->
+      """WITH r AS (SELECT
+        |  CASE CAST(doc_id % 24 AS INT)
+        |    WHEN 0 THEN 'utf8' WHEN 1 THEN 'cp1252' WHEN 2 THEN 'utf8_repair'
+        |    WHEN 3 THEN 'utf8_repair' WHEN 4 THEN 'cp1252' WHEN 5 THEN 'empty'
+        |    WHEN 6 THEN 'shift_jis' WHEN 7 THEN 'euc-jp' WHEN 8 THEN 'euc-kr'
+        |    WHEN 9 THEN 'gb18030' WHEN 10 THEN 'big5' WHEN 11 THEN 'windows-1251'
+        |    WHEN 12 THEN 'utf16' WHEN 13 THEN 'utf16' WHEN 14 THEN 'koi8-r'
+        |    WHEN 15 THEN 'iso-8859-5' WHEN 16 THEN 'iso-8859-7'
+        |    WHEN 17 THEN 'windows-1255' WHEN 18 THEN 'windows-1256'
+        |    WHEN 19 THEN 'x-windows-874' WHEN 20 THEN 'iso-8859-9'
+        |    WHEN 21 THEN 'windows-1250' ELSE 'iso-8859-2' END AS rung
+        |FROM documents)
+        |SELECT rung, count(*) AS n_docs FROM r GROUP BY rung
+        |ORDER BY rung""".stripMargin,
 
     "q_text_html_blocks" ->
       """SELECT doc_id,
