@@ -187,7 +187,12 @@ object BenchScale {
     // image header-metadata kernel control, and the bytes-fed crawl
     // capstone twin (text_from_bytes riding the whole chain)
     "q_src_warc", "q_text_deflate", "q_mm_image_meta",
-    "q_pipeline_crawl_bytes")
+    "q_pipeline_crawl_bytes",
+    // round-17 additions: the block-structured HTML extractor and PDF
+    // text tier (per-row kernel controls over planted markup/fixtures)
+    // and the ladder-rung attribution aggregate (per-row kernel + one
+    // grouped count)
+    "q_text_html_blocks", "q_src_pdf", "q_text_rungs")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()

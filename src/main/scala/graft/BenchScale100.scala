@@ -55,7 +55,10 @@ object BenchScale100 {
     // round-16: WARC shard parse, deflate-ratio + image-metadata kernel
     // controls, and the bytes-fed capstone twin
     "q_src_warc", "q_text_deflate", "q_mm_image_meta",
-    "q_pipeline_crawl_bytes")
+    "q_pipeline_crawl_bytes",
+    // round-17: block-structured HTML extraction, the PDF text tier,
+    // and the ladder-rung attribution aggregate
+    "q_text_html_blocks", "q_src_pdf", "q_text_rungs")
 
   private def releaseResidue(spark: SparkSession, keep: Set[Int]): Unit =
     spark.sparkContext.getPersistentRDDs.foreach {

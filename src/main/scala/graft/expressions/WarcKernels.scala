@@ -72,16 +72,65 @@ object WarcKernels {
     new String(b, 0, n, Ascii)
   }
 
+  /** Hard cap on one record's declared Content-Length (256 MiB — far
+    * above any sane crawl record; override with
+    * `-Dgraft.warc.maxRecordBytes`). The declared length is UNTRUSTED
+    * header input: allocating it up front would let a hostile ~2 GiB
+    * declaration OOM the executor before a single byte is read, so
+    * oversized declarations degrade to the _corrupt sentinel and the
+    * buffer grows in bounded chunks as real bytes actually arrive. */
+  private def maxRecordBytes: Long =
+    sys.props.get("graft.warc.maxRecordBytes").map(_.toLong)
+      .getOrElse(256L << 20)
+
   private def readFully(in: InputStream, n: Long): Array[Byte] = {
-    if (n > Int.MaxValue - 8) throw new EOFException("block too large")
-    val out = new Array[Byte](n.toInt)
-    var off = 0
-    while (off < out.length) {
-      val k = in.read(out, off, out.length - off)
+    if (n > maxRecordBytes)
+      throw new EOFException(s"declared record length $n exceeds cap")
+    // grow-as-read: the declaration only SIZES the first chunk hint, it
+    // never allocates the full claim — a lying header meets EOF first
+    val out = new ByteArrayOutputStream(math.min(n, 1L << 16).toInt)
+    val buf = new Array[Byte](1 << 16)
+    var remaining = n
+    while (remaining > 0) {
+      val k = in.read(buf, 0, math.min(remaining, buf.length.toLong).toInt)
       if (k < 0) throw new EOFException("short block")
-      off += k
+      out.write(buf, 0, k)
+      remaining -= k
     }
-    out
+    out.toByteArray
+  }
+
+  /** Per-shard decompressed-bytes cap (default 1 GiB; override with
+    * `-Dgraft.warc.maxShardBytes`): parseWarc materializes a shard's
+    * records as one array value, so a shard whose DECOMPRESSED size is
+    * unbounded (a gzip bomb, or a real multi-GiB raw shard) must stop
+    * the walk with the _corrupt sentinel — counted in ingestStats —
+    * instead of hitting executor OOM or the 2 GiB JVM array limit. */
+  private def maxShardBytes: Long =
+    sys.props.get("graft.warc.maxShardBytes").map(_.toLong)
+      .getOrElse(1L << 30)
+
+  /** Counts decompressed bytes as they are consumed; crossing the cap
+    * raises EOFException, which the parse loop's NonFatal handler turns
+    * into the one _corrupt sentinel. */
+  private final class BoundedIn(under: InputStream, limit: Long)
+      extends java.io.FilterInputStream(under) {
+    private var count = 0L
+    private def bump(n: Int): Int = {
+      if (n > 0) {
+        count += n
+        if (count > limit)
+          throw new EOFException(s"shard decompressed past $limit bytes")
+      }
+      n
+    }
+    override def read(): Int = {
+      val c = super.read()
+      if (c >= 0) bump(1)
+      c
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      bump(super.read(b, off, len))
   }
 
   private def corruptRow: InternalRow =
@@ -171,11 +220,12 @@ object WarcKernels {
     var in: InputStream = null
     try {
       val base = new ByteArrayInputStream(bytes)
-      in =
+      in = new BoundedIn(
         if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
           (bytes(1) & 0xff) == 0x8b)
           new java.util.zip.GZIPInputStream(base, 1 << 16)
-        else base
+        else base,
+        maxShardBytes)
       var done = false
       while (!done) {
         var line = readLine(in)

@@ -73,6 +73,47 @@ class WarcSpec extends SparkSpec {
     assert(noise == Seq("_corrupt"))
   }
 
+  test("hostile inputs degrade to the _corrupt sentinel (r17): a lying " +
+    "multi-GiB Content-Length never allocates, and a shard decompressing " +
+    "past the per-shard cap stops the walk") {
+    graft.GraftExtensions.register(spark)
+    val dir = tmpDir("warc_hostile")
+    // record 8 is well-formed; the next record DECLARES ~2 GiB — the
+    // old readFully allocated that up front (executor OOM risk from one
+    // untrusted header); now the declaration only caps the read and the
+    // oversized claim degrades to the sentinel, earlier records kept
+    val good = WarcKernels.synthWarc(8L)
+    val lying = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 2147483000\r\n\r\nshort").getBytes("ISO-8859-1")
+    Files.write(Paths.get(dir, "lying.warc"), good ++ lying)
+    val types = Warc.read(spark, dir)
+      .where($"path".endsWith("lying.warc"))
+      .select("warc_type").as[String].collect().toSeq
+    assert(types.count(_ == "_corrupt") == 1 && types.contains("response"),
+      s"earlier records survive, the lying record is one sentinel: $types")
+    // per-shard decompressed cap: under a tiny test cap, a shard larger
+    // than the cap stops with the sentinel instead of materializing
+    val dir2 = tmpDir("warc_shardcap")
+    val big = new java.io.ByteArrayOutputStream()
+    // ids as EVEN multiples of 7: the id%7=6 arm is a deliberately
+    // truncated record and odd ids emit gzip members — one shard is one
+    // framing, and either would stop the walk on its own
+    (0 until 50).foreach(i => big.write(WarcKernels.synthWarc(i * 14L)))
+    Files.write(Paths.get(dir2, "big.warc"), big.toByteArray)
+    System.setProperty("graft.warc.maxShardBytes", "4096")
+    try {
+      val rows = Warc.read(spark, dir2).select("warc_type")
+        .as[String].collect().toSeq
+      assert(rows.count(_ == "_corrupt") == 1, s"one sentinel: $rows")
+      assert(rows.size < 150, "the walk stopped early under the cap")
+      assert(rows.exists(_ != "_corrupt"), "records before the cap survive")
+    } finally System.clearProperty("graft.warc.maxShardBytes")
+    // with the default cap the same shard parses completely
+    val full = Warc.read(spark, dir2).select("warc_type")
+      .as[String].collect().toSeq
+    assert(!full.contains("_corrupt") && full.size >= 150)
+  }
+
   test("WARC -> PDF -> corpus (r17): application/pdf records route to the " +
     "pdf_text tier by mime, HTML records to the declared-charset decode, " +
     "and the extracted lines ride the paragraph tier") {

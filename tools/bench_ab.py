@@ -172,14 +172,24 @@ def main():
             a = min(samples_old[q])
             b = min(samples_new[q])
             r = round(b / a / med, 4)
+            # a re-bench run can omit a query on one tree (crash, -1
+            # sentinel): zip would silently truncate the pair list, the
+            # len>=3 conviction bar would become unreachable, and a real
+            # regression would land as 'noise' with no diagnostic —
+            # unequal sample counts are their own verdict instead
+            balanced = len(samples_old[q]) == len(samples_new[q])
+            if not balanced:
+                print(f"[ab] {q}: unbalanced samples "
+                      f"old={len(samples_old[q])} new={len(samples_new[q])}"
+                      " — marking insufficient_samples", file=sys.stderr)
             per_sample = [sn / so / med for so, sn in
                           zip(samples_old[q], samples_new[q])]
             same_dir = (all(x > 1.0 for x in per_sample) or
                         all(x < 1.0 for x in per_sample))
-            verdict = "noise"
-            if r > 1.25 and same_dir and len(per_sample) >= 3:
+            verdict = "noise" if balanced else "insufficient_samples"
+            if balanced and r > 1.25 and same_dir and len(per_sample) >= 3:
                 verdict = "code_regression"
-            elif r < 0.8 and same_dir and len(per_sample) >= 3:
+            elif balanced and r < 0.8 and same_dir and len(per_sample) >= 3:
                 verdict = "code_improvement"
             adjudicated[q] = {
                 "samples_old": [round(x, 3) for x in samples_old[q]],
