@@ -192,7 +192,8 @@ object BenchScale {
     // text tier (per-row kernel controls over planted markup/fixtures)
     // and the ladder-rung attribution aggregate (per-row kernel + one
     // grouped count)
-    "q_text_html_blocks", "q_src_pdf", "q_text_rungs")
+    "q_text_html_blocks", "q_src_pdf", "q_text_rungs",
+    "q_mm_decode_vp8l")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()

@@ -149,6 +149,9 @@ object GraftExtensions {
     ("synth_webp", graft.expressions.ImageKernels.synthWebpInfo,
       arity("synth_webp", 1)(c =>
         graft.expressions.ImageKernels.SynthWebp(c(0)))),
+    ("synth_webp_l", graft.expressions.Vp8lKernels.synthWebpLInfo,
+      arity("synth_webp_l", 1)(c =>
+        graft.expressions.Vp8lKernels.SynthWebpL(c(0)))),
     ("synth_avif", graft.expressions.ImageKernels.synthAvifInfo,
       arity("synth_avif", 1)(c =>
         graft.expressions.ImageKernels.SynthAvif(c(0)))),

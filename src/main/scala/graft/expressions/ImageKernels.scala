@@ -56,7 +56,26 @@ object ImageKernels {
     baos.toByteArray
   }
 
-  /** Decode any ImageIO-supported payload to exact pixel statistics;
+  /** Shared pixel reader: the pure-JDK VP8L (lossless WebP) decoder
+    * first ([[Vp8lKernels.decodeArgb]] — the framing javax.imageio
+    * cannot read, r17), then ImageIO for everything it supports.
+    * Returns (w, h, ARGB row-major) or null. */
+  private def readRgb(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val v = Vp8lKernels.decodeArgb(bytes)
+    if (v != null) v
+    else {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        (w, h, img.getRGB(0, 0, w, h, null, 0, w))
+      }
+    }
+  }
+
+  /** Decode any supported payload (ImageIO formats + VP8L WebP) to
+    * exact pixel statistics;
     * null for unreadable bytes. Catches NonFatal, not just IOException:
     * javax.imageio decoders throw RuntimeExceptions
     * (ArrayIndexOutOfBounds, NegativeArraySize, IllegalArgument,
@@ -65,12 +84,10 @@ object ImageKernels {
     * the never-throws policy exists to protect. */
   def decode(bytes: Array[Byte]): InternalRow =
     try {
-      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
-      if (img == null) null
+      val rgb = readRgb(bytes)
+      if (rgb == null) null
       else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val (w, h, px) = rgb
         var sr = 0L
         var sg = 0L
         var sb = 0L
@@ -105,12 +122,10 @@ object ImageKernels {
    */
   def aHash64(bytes: Array[Byte]): java.lang.Long =
     try {
-      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
-      if (img == null) null
+      val rgb = readRgb(bytes)
+      if (rgb == null) null
       else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val (w, h, px) = rgb
         var totalSum = 0L
         var i = 0
         while (i < px.length) {
@@ -167,14 +182,13 @@ object ImageKernels {
    */
   def resizePng(bytes: Array[Byte], tw: Int, th: Int): Array[Byte] =
     try {
-      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
-      if (img == null) null
+      val rgb = readRgb(bytes)
+      if (rgb == null) null
       else {
-        val w = img.getWidth
-        val h = img.getHeight
+        val (w, h, px0) = rgb
         if (tw < 1 || th < 1 || tw > w || th > h) null
         else {
-          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          val px = px0
           val out = new java.awt.image.BufferedImage(
             tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
           var oy = 0

@@ -3060,6 +3060,29 @@ object LlmQueries {
         .orderBy("asset_id")
     }),
 
+    // VP8L (lossless WebP) PIXEL decode (r17): synth_webp_l plants a
+    // real lossless-WebP per doc_id whose seven encoder arms exercise
+    // every decoder component — plain literals, subtract-green, an
+    // LZ77 neighborhood backreference, the color cache, a sub-byte
+    // bundled palette, the predictor transform, and a full
+    // code-length-coded prefix code — and whose pixels are closed-form
+    // in the id, so the oracle recomputes exact per-channel sums the
+    // way q_mm_decode does for PNG. This is the tier that makes
+    // perceptual dedup see WebP (javax.imageio cannot).
+    "q_mm_decode_vp8l" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      docs(s, dir)
+        .select(col("doc_id").as("asset_id"),
+          Multimodal.decodeImage(
+            call_function("synth_webp_l", col("doc_id"))).as("f"))
+        .select(col("asset_id"),
+          col("f.width").as("width"), col("f.height").as("height"),
+          col("f.n_px").as("n_px"),
+          col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
+          col("f.sum_b").as("sum_b"))
+        .orderBy("asset_id")
+    }),
+
     // REAL video container metadata: deterministic MP4s planted per doc_id
     // (every box parameter closed-form in the id — v0/v1 mvhd layouts,
     // 64-bit largesize headers, 1-3 tracks, a corrupt family), parsed by
@@ -5834,6 +5857,22 @@ object LlmQueries {
         |  CAST(((doc_id * 7) % 256) * (7 + doc_id % 8) * (8 + doc_id % 5) AS BIGINT) AS sum_g,
         |  CAST(((doc_id * 13) % 256) * (7 + doc_id % 8) * (8 + doc_id % 5) AS BIGINT) AS sum_b
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "q_mm_decode_vp8l" ->
+      """WITH geo AS (SELECT doc_id,
+        |  CAST(9 + doc_id % 8 AS INT) AS w, CAST(8 + doc_id % 5 AS INT) AS h,
+        |  doc_id % 256 AS r, (doc_id * 7) % 256 AS g, (doc_id * 13) % 256 AS b,
+        |  CAST(doc_id % 7 AS INT) AS arm FROM documents)
+        |SELECT doc_id AS asset_id, w AS width, h AS height,
+        |  CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(CASE WHEN arm IN (2, 3, 5) THEN w * h * r
+        |            ELSE (w - 1) * h * r END AS BIGINT) AS sum_r,
+        |  CAST(CASE WHEN arm IN (2, 3, 5) THEN w * h * g
+        |            WHEN arm = 6 THEN (w - 1) * (h + h // 2)
+        |            ELSE (w - 1) * h * g END AS BIGINT) AS sum_g,
+        |  CAST(CASE WHEN arm IN (2, 3, 5) THEN w * h * b
+        |            ELSE (w - 1) * h * b END AS BIGINT) AS sum_b
+        |FROM geo ORDER BY asset_id""".stripMargin,
 
     // Planted MP4 parameters are closed-form in doc_id (see VideoKernels
     // .synthMp4): timescale 1000+(id%9)*100, ticks 48000+(id*7)%100000,
