@@ -345,7 +345,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(w.contains("Generate"), s"no scan-side explode:\n${w.take(600)}")
     assert(!w.contains("Join"), s"warc read must not join:\n${w.take(600)}")
     // per-row kernel controls: projection + presentation sort only
-    for (q <- Seq("q_text_deflate", "q_mm_image_meta", "q_text_from_bytes")) {
+    // (r17 adds the block HTML extractor, the PDF tier, and the VP8L
+    // pixel decode to the same contract)
+    for (q <- Seq("q_text_deflate", "q_mm_image_meta", "q_text_from_bytes",
+        "q_text_html_blocks", "q_src_pdf", "q_mm_decode_vp8l")) {
       val p = plan(q)
       assert(!p.contains("ScalaUDF"), s"$q fell back to a UDF:\n${p.take(600)}")
       assert(!p.contains("Join") && !p.contains("CartesianProduct"),
@@ -359,6 +362,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), s"a kernel fell back to a UDF:\n${p.take(800)}")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in the chain:\n${p.take(800)}")
     assert(p.contains("LeftAnti"), "decontamination must plan an anti-join")
+    // the rung-attribution record is ONE hash aggregate over the rung
+    // projection — partial map-side, no join (r17)
+    val r = plan("q_text_rungs")
+    assert(!r.contains("ScalaUDF") && !r.contains("Join"),
+      s"q_text_rungs is a kernel projection + one aggregate:\n${r.take(600)}")
+    assert(r.contains("HashAggregate"),
+      s"rung counts must partial-aggregate:\n${r.take(600)}")
   }
 
   test("span dedup: equi-joins only — no occurrence-pair blowup") {
