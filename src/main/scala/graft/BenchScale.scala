@@ -193,7 +193,7 @@ object BenchScale {
     // and the ladder-rung attribution aggregate (per-row kernel + one
     // grouped count)
     "q_text_html_blocks", "q_src_pdf", "q_text_rungs",
-    "q_mm_decode_vp8l")
+    "q_mm_decode_vp8l", "q_src_media")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()

@@ -59,7 +59,7 @@ object BenchScale100 {
     // round-17: block-structured HTML extraction, the PDF text tier,
     // and the ladder-rung attribution aggregate
     "q_text_html_blocks", "q_src_pdf", "q_text_rungs",
-    "q_mm_decode_vp8l")
+    "q_mm_decode_vp8l", "q_src_media")
 
   private def releaseResidue(spark: SparkSession, keep: Set[Int]): Unit =
     spark.sparkContext.getPersistentRDDs.foreach {

@@ -298,6 +298,22 @@ object TextOps {
     * scanned-image PDF). Requires [[graft.GraftExtensions.register]]. */
   def pdfText(bytes: Column): Column = call_function("pdf_text", bytes)
 
+  /** MIME-ROUTED crawl extraction (r17) — the one rung between a WARC
+    * record `(content, mime)` and the crawl chain's text column:
+    * `application/pdf` → [[pdfText]] (NULL for encrypted/corrupt — the
+    * caller's health ledger sees the refusal); everything else →
+    * declared-charset byte decode ([[textFromBytesDeclared]]) then
+    * block-structured HTML extraction ([[htmlToText]] — a tag-free
+    * text/plain payload passes through with only the per-line collapse).
+    * Both routes emit the SAME line law, so the paragraph tiers
+    * downstream treat HTML and PDF documents identically. Requires
+    * [[graft.GraftExtensions.register]]. */
+  def extractText(content: Column, mime: Column): Column =
+    when(
+      lower(coalesce(mime, lit(""))).startsWith("application/pdf"),
+      pdfText(content))
+      .otherwise(htmlToText(textFromBytesDeclared(content, mime)))
+
   def stripHtml(html: Column): Column = {
     val noBlocks = regexp_replace(html,
       "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")

@@ -2152,6 +2152,42 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // MIME-ROUTED media extraction (r17): the one rung between a WARC
+    // record (content, mime) and the crawl chain — application/pdf
+    // routes to the pdf_text tier (a corrupt PDF stays NULL, visible to
+    // the health ledger), everything else to declared-charset decode +
+    // block HTML extraction, both emitting the same line law. Six
+    // closed-form arms: UTF-8 html (chrome dropped, blocks kept),
+    // declared-ISO-8859-2 Polish html (a charset only the header can
+    // pick), two real PDFs (raw and Flate arms of synth_pdf), a corrupt
+    // PDF (NULL), and a text/plain passthrough whose line structure
+    // survives.
+    "q_src_media" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val n = col("doc_id").cast("string")
+      val arm = col("doc_id") % 6
+      val content = when(arm === 0, encode(concat(
+          lit("<html><head><title>t</title></head><body><nav>site menu</nav>" +
+            "<h1>Doc "), n, lit("</h1><p>crawl page "), n,
+          lit("</p><script>1 < 2</script></body></html>")), "UTF-8"))
+        .when(arm === 1, concat(
+          unhex(lit("3C703E7A61BFF3B3E62067EAB66CB1206A61BCF1207374726F6E6120")),
+          encode(n, "UTF-8"), unhex(lit("3C2F703E"))))
+        .when(arm === 2, call_function("synth_pdf", col("doc_id") * 8))
+        .when(arm === 3, call_function("synth_pdf", col("doc_id") * 8 + 1))
+        .when(arm === 4, call_function("synth_pdf", col("doc_id") * 8 + 7))
+        .otherwise(encode(concat(
+          lit("plain text record "), n, lit("\nsecond line")), "UTF-8"))
+      val mime = when(arm === 0, lit("text/html; charset=UTF-8"))
+        .when(arm === 1, lit("text/html; charset=ISO-8859-2"))
+        .when(arm.isin(2, 3, 4), lit("application/pdf"))
+        .otherwise(lit("text/plain; charset=UTF-8"))
+      docs(s, dir)
+        .select(col("doc_id"), mime.as("mime"),
+          TextOps.extractText(content, mime).as("text_out"))
+        .orderBy("doc_id")
+    }),
+
     // Byte-level ingest decode over planted byte fixtures: plain UTF-8
     // (identity on the ASCII docs text), legacy Windows-1252 bytes, one
     // and two rounds of UTF-8-as-cp1252 mojibake, undecodable garbage
@@ -4543,6 +4579,25 @@ object LlmQueries {
         |         CAST(NULL AS INT), CAST(NULL AS VARCHAR)
         |  FROM ids WHERE doc_id % 7 = 6)
         |SELECT * FROM recs ORDER BY doc_id, rec_no""".stripMargin,
+
+    "q_src_media" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN 'text/html; charset=UTF-8'
+        |    WHEN 1 THEN 'text/html; charset=ISO-8859-2'
+        |    WHEN 5 THEN 'text/plain; charset=UTF-8'
+        |    ELSE 'application/pdf' END AS mime,
+        |  CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+        |      || 'crawl page ' || CAST(doc_id AS VARCHAR)
+        |    WHEN 1 THEN 'zażółć gęślą jaźń strona ' || CAST(doc_id AS VARCHAR)
+        |    WHEN 2 THEN 'Hello PDF ' || CAST(doc_id * 8 AS VARCHAR)
+        |    WHEN 3 THEN 'alpha ' || CAST(doc_id * 8 + 1 AS VARCHAR)
+        |      || chr(10) || 'beta'
+        |    WHEN 4 THEN NULL
+        |    ELSE 'plain text record ' || CAST(doc_id AS VARCHAR)
+        |      || chr(10) || 'second line' END AS text_out
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_src_pdf" ->
       """SELECT doc_id,

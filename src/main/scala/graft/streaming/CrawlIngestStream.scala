@@ -187,6 +187,35 @@ object CrawlIngestStream {
       cfg: Config)(onReport: BatchReport => Unit): StreamingQuery =
     attach(docs, idCol, urlCol, htmlCol, cfg)(onReport).start()
 
+  /** Wire the chain over RAW RECORDS `(idCol, urlCol, contentCol:
+    * binary, mimeCol)` — the [[graft.sources.Warc.readStream]] shape
+    * with no hand-written projection between source and chain:
+    * mime-routed extraction ([[TextOps.extractText]] — pdf_text for
+    * `application/pdf`, declared-charset decode + block HTML extraction
+    * for the rest) runs here, records whose extraction REFUSED
+    * (corrupt/encrypted PDF → NULL) drop before the chain, and the
+    * pipeline continues under `Extract.Plain` (the text is already
+    * block-structured — exactly the mode the paragraph tiers need). */
+  def attachRecords(
+      recs: DataFrame, idCol: String, urlCol: String,
+      contentCol: String, mimeCol: String,
+      cfg: Config)(onReport: BatchReport => Unit): DataStreamWriter[Row] = {
+    val extracted = recs.select(
+        col(idCol), col(urlCol),
+        TextOps.extractText(col(contentCol), col(mimeCol)).as("_xtext"))
+      .where(col("_xtext").isNotNull)
+    attach(extracted, idCol, urlCol, "_xtext",
+      cfg.copy(extract = Extract.Plain))(onReport)
+  }
+
+  /** [[attachRecords]] + start. */
+  def startRecords(
+      recs: DataFrame, idCol: String, urlCol: String,
+      contentCol: String, mimeCol: String,
+      cfg: Config)(onReport: BatchReport => Unit): StreamingQuery =
+    attachRecords(recs, idCol, urlCol, contentCol, mimeCol, cfg)(onReport)
+      .start()
+
   /** Export-time temperature mix over the ACCUMULATED table — the batch
     * capstone's final stage, run when a training export is cut rather
     * than per micro-batch (the mix rates need the global language

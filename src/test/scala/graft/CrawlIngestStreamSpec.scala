@@ -226,6 +226,85 @@ class CrawlIngestStreamSpec extends SparkSpec {
     assert(reports.map(_.nIn).sum == 91L)
   }
 
+  test("mixed-media WARC shards through attachRecords: HTML and PDF " +
+    "records route by mime into ONE corpus, a corrupt PDF drops at " +
+    "extraction, and the paragraph tier dedups across media") {
+    graft.GraftExtensions.register(spark)
+    implicit val ctx = spark.sqlContext
+    def record(id: Long, url: String, mime: String, body: Array[Byte]): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $mime\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $url\r\n" +
+        "Content-Type: application/http;msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    // ids 1-8 html pages with a shared promo div; 9/10 PDFs carrying
+    // English prose + a SHARED footer line — cross-media dedup food;
+    // 11 a corrupt PDF that must drop at extraction. The prose is the
+    // calibration-proven en sentence shape (a terser fixture measured
+    // und at 301 vs the 269 en cutoff).
+    def pdfBytes(i: Long): Array[Byte] = {
+      val content = s"BT /F1 12 Tf 72 720 Td (the children walk to the " +
+        s"school in the morning and read document $i) Tj 0 -14 Td " +
+        "(shared footer line) Tj ET"
+      (s"%PDF-1.4\n1 0 obj << /Length ${content.length} >>\nstream\n" +
+        content + "\nendstream endobj\ntrailer << /Size 2 >>\n%%EOF")
+        .getBytes("ISO-8859-1")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    for (i <- 1L to 8L) {
+      val html = (s"<html><head><title>p</title></head><body><nav>menu</nav>" +
+        s"<div>hot deals today</div><p>the house number $i stands near " +
+        "the river and the people walk with their dogs in the evening" +
+        "</p></body></html>").getBytes("UTF-8")
+      out.write(record(i, s"https://w${i % 3}.site${i % 4}.com/p/$i",
+        "text/html; charset=UTF-8", html))
+    }
+    for (i <- 9L to 10L)
+      out.write(record(i, s"https://docs.site$i.com/d/$i", "application/pdf",
+        pdfBytes(i)))
+    out.write(record(11L, "https://docs.site11.com/d/11", "application/pdf",
+      graft.expressions.PdfKernels.synthPdf(7L))) // corrupt -> NULL
+    val dir = tmpDir("warc_media")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "s.warc"),
+      out.toByteArray)
+
+    val recs = Warc.readStream(spark, dir)
+      .where(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("url"), "(\\d+)$", 1).cast("long").as("doc_id"),
+        col("url"), col("content"), col("mime"))
+    val cfg = CrawlIngestStream.Config(
+      blockedHosts = Nil, domainCap = 100L,
+      rules = TextOps.CurationRules(minTokens = 2),
+      lineStoreDir = tmpDir("warc_media_lines"),
+      tablePath = tmpDir("warc_media_table"), suiteFps = None)
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[CrawlIngestStream.BatchReport]
+    val q = CrawlIngestStream.startRecords(
+      recs, "doc_id", "url", "content", "mime", cfg)(reports += _)
+    try q.processAllAvailable() finally q.stop()
+
+    val got = graft.ops.ManifestStore
+      .currentFrame(spark, cfg.tablePath, "lang").get
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // the corrupt PDF dropped at EXTRACTION (before nIn even counts it)
+    assert(!got.contains(11L), s"corrupt pdf must not ingest: ${got.keySet}")
+    assert(reports.map(_.nIn).sum == 10L, s"$reports")
+    // html route: nav gone, promo line kept-first in doc 1 only
+    assert(got(3L).contains("the house number 3") &&
+      !got(3L).contains("menu"), s"${got.get(3L)}")
+    val withPromo = got.filter(_._2.contains("hot deals today")).keySet
+    assert(withPromo == Set(1L), s"promo keep-first: $withPromo")
+    // pdf route: both docs survive; the shared footer line deduped
+    // ACROSS MEDIA by the same paragraph tier the html docs use
+    assert(got(9L).contains("read document 9"), s"${got.get(9L)}")
+    assert(got(9L).contains("shared footer line") &&
+      !got(10L).contains("shared footer line"),
+      s"cross-media paragraph keep-first: ${got(9L)} / ${got(10L)}")
+  }
+
   test("raw-HTML feed under Extract.Blocks: the nav menu never reaches the " +
     "corpus, and the repeated promo line IS removed by the paragraph tier — " +
     "the stage the flat strip silently disabled") {
