@@ -442,10 +442,17 @@ object LlmQueries {
     "ਬੱਚੇ ਸਵੇਰੇ ਤੁਰ ਕੇ ਸਕੂਲ ਜਾਂਦੇ ਹਨ ਅਤੇ ਸ਼ਹਿਰ ਵਿੱਚ ਅਧਿਆਪਕ ਨਾਲ ਕਿਤਾਬਾਂ ਪੜ੍ਹਦੇ ਹਨ",
     "بچے صبح پیدل اسکول جاتے ہیں اور شہر میں استاد کے ساتھ کتابیں پڑھتے ہیں",
     "ang mga bata ay naglalakad papunta sa paaralan sa umaga at nagbabasa ng mga libro kasama ang guro sa lungsod",
+    // batch 5 (r17): Georgian and Armenian GRADUATE from the rejection
+    // set (unique scripts — the sw/lt/et/ca batch-3 move again);
+    // Nepali is the measured Devanagari cousin of hi/mr, separated by
+    // its हरू plurals and छन्/गर्छ verb grams
+    "ბავშვები დილით სკოლაში მიდიან და კითხულობენ წიგნებს მასწავლებელთან ერთად",
+    "երեխաները առավոտյան դպրոց են գնում և գրքեր են կարդում ուսուցչի հետ",
+    "बालबालिका बिहान हिँडेर विद्यालय जान्छन् र सहरमा शिक्षकसँग किताबहरू पढ्छन्",
     // fresh out-of-profile rejection plants: unseen Latin (Basque) and
-    // an unseen script (Georgian)
+    // an unseen script (Khmer)
     "haurrak goizean eskolara oinez joaten dira eta liburuak irakurtzen dituzte irakaslearekin",
-    "ბავშვები დილით სკოლაში მიდიან და კითხულობენ წიგნებს მასწავლებელთან ერთად")
+    "ក្មេងៗដើរទៅសាលារៀននៅពេលព្រឹក ហើយអានសៀវភៅជាមួយគ្រូ")
 
   /** Expected label per [[langPlants]] index — the ground truth the
     * calibration query scores against (the garbage line and the
@@ -459,6 +466,7 @@ object LlmQueries {
     "sw", "lt",
     "ca", "hr", "sr", "sk", "sl", "lv", "et", "fa",
     "bn", "ta", "te", "ml", "mr", "gu", "kn", "pa", "ur", "tl",
+    "ka", "hy", "ne",
     "und", "und")
 
   /** Byte framing per [[langPlants]] index for q_pipeline_crawl_bytes:

@@ -175,7 +175,17 @@ class LangIdAccuracySpec extends SparkSpec {
       "چھوٹا", "وہ", "ہیں", "اور", "شہر", "اسکول", "اب"),
     "tl" -> Seq("bahay", "tubig", "bata", "umaga", "kalye", "tao",
       "mabuti", "maliit", "sila", "mayroon", "ang", "lungsod",
-      "paaralan", "ngayon"))
+      "paaralan", "ngayon"),
+    // batch 5 (round 17)
+    "ka" -> Seq("სახლი", "წყალი", "ბავშვები", "დილით", "ქუჩა", "ხალხი",
+      "კარგი", "პატარა", "ისინი", "აქვთ", "და", "ქალაქი", "სკოლა",
+      "ახლა"),
+    "hy" -> Seq("տուն", "ջուր", "երեխաներ", "առավոտյան", "փողոց",
+      "մարդիկ", "լավ", "փոքր", "նրանք", "ունեն", "և", "քաղաք",
+      "դպրոց", "հիմա"),
+    "ne" -> Seq("घरहरू", "पानी", "बालबालिका", "बिहान", "सडक",
+      "मानिसहरू", "राम्रो", "सानो", "उनीहरू", "छन्", "गर्छन्",
+      "सहरमा", "विद्यालय", "अहिले"))
 
   private val prose: Seq[(String, String)] = Seq(
     "en" -> "the students finished their homework before dinner and watched a movie together",
@@ -232,7 +242,11 @@ class LangIdAccuracySpec extends SparkSpec {
     "kn" -> "ನಮ್ಮ ತಂಡ ನಿನ್ನೆ ರಾತ್ರಿ ಪಂದ್ಯ ಗೆದ್ದಿತು ಎಲ್ಲರೂ ತುಂಬಾ ಸಂತೋಷವಾಗಿದ್ದರು",
     "pa" -> "ਸਾਡੀ ਟੀਮ ਨੇ ਕੱਲ੍ਹ ਰਾਤ ਮੈਚ ਜਿੱਤਿਆ ਅਤੇ ਸਾਰੇ ਬਹੁਤ ਖੁਸ਼ ਸਨ",
     "ur" -> "ہماری ٹیم نے کل رات میچ جیتا اور سب بہت خوش تھے",
-    "tl" -> "nanalo ang aming koponan sa laro kagabi at lahat ay napakasaya")
+    "tl" -> "nanalo ang aming koponan sa laro kagabi at lahat ay napakasaya",
+    // batch 5
+    "ka" -> "ჩვენმა გუნდმა გუშინ საღამოს თამაში მოიგო და ყველა ძალიან ბედნიერი იყო",
+    "hy" -> "մեր թիմը երեկ երեկոյան հաղթեց խաղը և բոլորը շատ ուրախ էին",
+    "ne" -> "हाम्रो टोलीले हिजो राति खेल जित्यो र सबै धेरै खुसी थिए")
 
   private val rejectPlants: Seq[(String, String)] = Seq(
     // sw/lt/et/ca graduated to real labels in batch 3; the rejection set
@@ -243,8 +257,10 @@ class LangIdAccuracySpec extends SparkSpec {
     "sq" -> "fëmijët ecin në shkollë në mëngjes dhe lexojnë libra me mësuesin në qytet",
     "sq" -> "shtëpia është afër lumit dhe njerëzit ecin me qentë e tyre në mbrëmje",
     "ga" -> "siúlann na páistí ar scoil ar maidin agus léann siad leabhair leis an múinteoir",
-    "ka" -> "ბავშვები დილით სკოლაში მიდიან და კითხულობენ წიგნებს მასწავლებელთან ერთად",
-    "hy" -> "երեխաները առավոտյան դպրոց են գնում և գրքեր են կարդում ուսուցչի հետ")
+    // ka/hy graduated to real labels in batch 5; the unseen-script
+    // stressors are now Amharic (Ethiopic) and Khmer
+    "am" -> "ልጆች በጠዋት ወደ ትምህርት ቤት ይሄዳሉ እና መጽሐፍትን ያነባሉ",
+    "km" -> "ក្មេងៗដើរទៅសាលារៀននៅពេលព្រឹក ហើយអានសៀវភៅជាមួយគ្រូ")
 
   private val garbage: Seq[String] = Seq(
     "xqzv wkjq pfft zzzz qqq xxkj vvwp", "1234 5678 9012 3456",
@@ -301,8 +317,9 @@ class LangIdAccuracySpec extends SparkSpec {
     val byLang = out.groupBy(_._1).view.mapValues(v =>
       v.count(_._2 == "und").toDouble / v.size).toMap
     info(byLang.toSeq.sortBy(_._1).map { case (l, a) => f"$l=$a%.2f" }.mkString(" "))
-    // unseen scripts: every gram misses every profile — any cutoff rejects
-    for (l <- Seq("ka", "hy"))
+    // unseen scripts: every gram misses every profile — any cutoff
+    // rejects (ka/hy graduated in batch 5; Ethiopic and Khmer stand in)
+    for (l <- Seq("am", "km"))
       assert(byLang(l) == 1.0, s"$l: ${byLang(l)} — unseen script must always reject")
     // unseen Latin measured 1.00 at this snapshot; floor at 0.9 absorbs
     // profile regeneration (these sit between the Latin profiles — the

@@ -147,6 +147,18 @@ POOLS = {
     "tl": ["bahay", "tubig", "bata", "umaga", "kalye", "tao", "mabuti",
            "maliit", "sila", "mayroon", "ang", "lungsod", "paaralan",
            "ngayon"],
+    # batch 5
+    "ka": ["სახლი", "წყალი", "ბავშვები", "დილით", "ქუჩა", "ხალხი",
+           "კარგი", "პატარა", "ისინი", "აქვთ", "და", "ქალაქი", "სკოლა",
+           "ახლა"],
+    "hy": ["տուն", "ջուր", "երեխաներ", "առավոտյան", "փողոց", "մարդիկ",
+           "լավ", "փոքր", "նրանք", "ունեն", "և", "քաղաք", "դպրոց",
+           "հիմա"],
+    # ne vs hi/mr share Devanagari — the bag words carry the ne-distinct
+    # हरू plurals and छन्/गर्छन् verb forms (the sk-needed-ľ/keď rule)
+    "ne": ["घरहरू", "पानी", "बालबालिका", "बिहान", "सडक", "मानिसहरू",
+           "राम्रो", "सानो", "उनीहरू", "छन्", "गर्छन्", "सहरमा",
+           "विद्यालय", "अहिले"],
 }
 
 # unspaced scripts: word bags join without separators (matches the spec)
@@ -206,6 +218,10 @@ PROSE = {
     "pa": "ਸਾਡੀ ਟੀਮ ਨੇ ਕੱਲ੍ਹ ਰਾਤ ਮੈਚ ਜਿੱਤਿਆ ਅਤੇ ਸਾਰੇ ਬਹੁਤ ਖੁਸ਼ ਸਨ",
     "ur": "ہماری ٹیم نے کل رات میچ جیتا اور سب بہت خوش تھے",
     "tl": "nanalo ang aming koponan sa laro kagabi at lahat ay napakasaya",
+    # batch 5
+    "ka": "ჩვენმა გუნდმა გუშინ საღამოს თამაში მოიგო და ყველა ძალიან ბედნიერი იყო",
+    "hy": "մեր թիմը երեկ երեկոյան հաղթեց խաղը և բոլորը շատ ուրախ էին",
+    "ne": "हाम्रो टोलीले हिजो राति खेल जित्यो र सबै धेरै खुसी थिए",
 }
 
 # LlmQueries.langPlants — the oracle plants (with batch-2 ground truth)
@@ -262,6 +278,10 @@ ORACLE_PLANTS = {
     "pa": "ਬੱਚੇ ਸਵੇਰੇ ਤੁਰ ਕੇ ਸਕੂਲ ਜਾਂਦੇ ਹਨ ਅਤੇ ਸ਼ਹਿਰ ਵਿੱਚ ਅਧਿਆਪਕ ਨਾਲ ਕਿਤਾਬਾਂ ਪੜ੍ਹਦੇ ਹਨ",
     "ur": "بچے صبح پیدل اسکول جاتے ہیں اور شہر میں استاد کے ساتھ کتابیں پڑھتے ہیں",
     "tl": "ang mga bata ay naglalakad papunta sa paaralan sa umaga at nagbabasa ng mga libro kasama ang guro sa lungsod",
+    # batch 5
+    "ka": "ბავშვები დილით სკოლაში მიდიან და კითხულობენ წიგნებს მასწავლებელთან ერთად",
+    "hy": "երեխաները առավոտյան դպրոց են գնում և գրքեր են կարդում ուսուցչի հետ",
+    "ne": "बालबालिका बिहान हिँडेर विद्यालय जान्छन् र सहरमा शिक्षकसँग किताबहरू पढ्छन्",
 }
 
 # languages NO profile covers — candidates for the rejection fixtures;
@@ -274,8 +294,10 @@ REJECT_PLANTS = [
     ("sq", "fëmijët ecin në shkollë në mëngjes dhe lexojnë libra me mësuesin në qytet"),
     ("sq", "shtëpia është afër lumit dhe njerëzit ecin me qentë e tyre në mbrëmje"),
     ("ga", "siúlann na páistí ar scoil ar maidin agus léann siad leabhair leis an múinteoir"),
-    ("ka", "ბავშვები დილით სკოლაში მიდიან და კითხულობენ წიგნებს მასწავლებელთან ერთად"),
-    ("hy", "երեխաները առավոտյան դպրոց են գնում և գրքեր են կարդում ուսուցչի հետ"),
+    # ka/hy graduated to real labels in batch 5; the unseen-script
+    # stressors are now Amharic (Ethiopic) and Khmer
+    ("am", "ልጆች በጠዋት ወደ ትምህርት ቤት ይሄዳሉ እና መጽሐፍትን ያነባሉ"),
+    ("km", "ក្មេងៗដើរទៅសាលារៀននៅពេលព្រឹក ហើយអានសៀវភៅជាមួយគ្រូ"),
 ]
 
 GARBAGE = [

@@ -82,6 +82,8 @@ CUTOFFS = {
     # batch 4 (r17, calibrated at the 50-language snapshot): Indic + SEA
     "bn": 290, "ta": 316, "te": 365, "ml": 364, "mr": 386,
     "gu": 395, "kn": 384, "pa": 442, "ur": 415, "tl": 195,
+    # batch 5 (r17, calibrated at the 53-language snapshot)
+    "ka": 422, "hy": 417, "ne": 385,
 }
 
 SEEDS = {
@@ -1222,6 +1224,53 @@ SEEDS = {
         "ang aking kapatid na babae ay nag aaral magluto at gumawa ngayon ng sopas na may gulay",
         "sinabi ng doktor na magpahinga siya ng ilang araw at uminom ng maraming tubig",
         "gusto kong bumili ng tatlong kilo ng mansanas at kalahating kilo ng keso",
+    ],
+    # batch 5 (r17, post-queue): ka hy ne — Georgian and Armenian
+    # graduate from the rejection fixtures (their scripts are unique, the
+    # sw/lt/et/ca batch-3 move again); Nepali is the measured Devanagari
+    # cousin of hi/mr, separated by its हरू plurals and छ/छन्/गर्छ
+    # verb forms.
+    "ka": [
+        "ყველა ადამიანი იბადება თავისუფალი და თანასწორი თავისი ღირსებითა და უფლებებით",
+        "სახლი მდინარის ახლოს არის და საღამოს ხალხი თავიანთ ძაღლებთან ერთად სეირნობს",
+        "დილით ბაზარში წავედით და ბავშვებისთვის პური რძე და კვერცხი ვიყიდეთ",
+        "ახლა რომელი საათია და ხვალ როდის დაბრუნდები ჩვენს სახლში",
+        "მან თქვა რომ წიგნი მაგიდაზე იყო მაგრამ ვერსად ვიპოვე",
+        "ჩემი ძმა ყოველდღე ქალაქში მუშაობს და ღამით გვიან ბრუნდება სახლში",
+        "გუშინ ციოდა ამიტომ სახლში დავრჩით და წიგნებს ვკითხულობდით",
+        "სკოლის უკან ბაღში ბევრი ძველი ხეა",
+        "გთხოვთ მითხრათ სად არის უახლოესი სადგური და რა ღირს ბილეთი",
+        "ჩემი და სწავლობს საჭმლის მომზადებას და დღეს ბოსტნეულის წვნიანი მოამზადა",
+        "ექიმმა უთხრა რამდენიმე დღე დაესვენა და ბევრი წყალი დაელია",
+        "მინდა ვიყიდო სამი კილო ვაშლი და ნახევარი კილო ყველი",
+    ],
+    "hy": [
+        "բոլոր մարդիկ ծնվում են ազատ և հավասար իրենց արժանապատվությամբ և իրավունքներով",
+        "տունը գետի մոտ է և երեկոյան մարդիկ քայլում են իրենց շների հետ",
+        "առավոտյան գնացինք շուկա և երեխաների համար հաց կաթ և ձու գնեցինք",
+        "հիմա ժամը քանիսն է և վաղը երբ կվերադառնաս մեր տուն",
+        "նա ասաց որ գիրքը սեղանի վրա էր բայց ես ոչ մի տեղ չգտա",
+        "իմ եղբայրը ամեն օր քաղաքում աշխատում է և գիշերը ուշ է տուն գալիս",
+        "երեկ ցուրտ էր այդ պատճառով մենք տանը մնացինք և գրքեր կարդացինք",
+        "դպրոցի հետևում գտնվող այգում շատ հին ծառեր կան",
+        "խնդրում եմ ասեք որտեղ է մոտակա կայարանը և որքան արժե տոմսը",
+        "քույրս սովորում է ճաշ պատրաստել և այսօր բանջարեղենով ապուր պատրաստեց",
+        "բժիշկը նրան ասաց մի քանի օր հանգստանալ և շատ ջուր խմել",
+        "ուզում եմ գնել երեք կիլո խնձոր և կես կիլո պանիր",
+    ],
+    "ne": [
+        "सबै मानिसहरू स्वतन्त्र र समान मर्यादा तथा अधिकार लिएर जन्मेका हुन्छन्",
+        "घर नदीको नजिक छ र साँझमा मानिसहरू आफ्ना कुकुरहरूसँग हिँड्छन्",
+        "हामी बिहान बजार गयौं र बालबालिकाका लागि रोटी दूध र अण्डा किन्यौं",
+        "अहिले कति बज्यो र तिमी भोलि हाम्रो घर कहिले फर्किन्छौ",
+        "उनले भनिन् किताब टेबलमा थियो तर मैले कतै भेटिनँ",
+        "मेरो दाइ हरेक दिन सहरमा काम गर्छन् र राति ढिलो घर फर्कन्छन्",
+        "हिजो जाडो थियो त्यसैले हामी घरमै बस्यौं र किताबहरू पढ्यौं",
+        "विद्यालयको पछाडिको बगैंचामा धेरै पुराना रूखहरू छन्",
+        "कृपया भन्नुहोस् नजिकको स्टेसन कहाँ छ र टिकटको मूल्य कति हो",
+        "मेरी बहिनी खाना पकाउन सिक्दै छिन् र आज तरकारीको सुप बनाइन्",
+        "डाक्टरले उनलाई केही दिन आराम गर्न र धेरै पानी पिउन भने",
+        "म तीन किलो स्याउ र आधा किलो पनिर किन्न चाहन्छु",
     ],
 }
 
