@@ -481,32 +481,61 @@ object DocKernels {
 
   private val UndLang = UTF8String.fromString("und")
 
-  // (lang, gram -> 1-based rank), language-ascending = the tie-break order
-  private lazy val ngramProfiles: Array[(String, java.util.HashMap[String, Integer])] =
-    graft.model.LangProfiles.profiles.sortBy(_._1).map { case (lang, grams) =>
-      val m = new java.util.HashMap[String, Integer](grams.size * 2)
-      grams.zipWithIndex.foreach { case (g, i) => m.put(g, Integer.valueOf(i + 1)) }
-      (lang, m)
-    }.toArray
+  // language codes ascending = the argmin tie-break order. (The doc
+  // profile's secondary tie-break is the grams' UTF-8 BYTE order —
+  // DuckDB's VARCHAR sort order, so the oracle replays it exactly; it
+  // is realized below as the packed-long natural order, which equals
+  // UTF-8 order because UTF-8 preserves code-point order positionally.)
+  private lazy val ngramLangs: Array[String] =
+    graft.model.LangProfiles.profiles.map(_._1).sorted.toArray
 
-  // rejection cutoffs x1000, aligned with ngramProfiles' language order
+  // rejection cutoffs x1000, aligned with ngramLangs' language order
   private lazy val ngramCutoffs: Array[Int] =
-    ngramProfiles.map { case (lang, _) => graft.model.LangProfiles.cutoffs(lang) }
+    ngramLangs.map(lang => graft.model.LangProfiles.cutoffs(lang))
 
-  /** Unsigned UTF-8 byte comparison — DuckDB's VARCHAR sort order, so the
-    * doc-profile tie-break replays across engines (UTF-16 compareTo would
-    * disagree above the BMP). */
-  private def utf8Compare(a: String, b: String): Int = {
-    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(ab.length, bb.length)
-    var i = 0
-    while (i < n) {
-      val d = (ab(i) & 0xff) - (bb(i) & 0xff)
-      if (d != 0) return d
-      i += 1
+  /** Grams are 1-3 code points, so they pack into one positive long -
+    * `(cp1+1) << 42 | (cp2+1) << 21 | (cp3+1)`, absent positions 0 -
+    * whose NATURAL ORDER equals the gram strings' UTF-8 byte order
+    * (UTF-8 preserves code-point order positionally, and the 0 of an
+    * absent position sorts a shorter gram before its extensions exactly
+    * like the shorter byte string). The packing kills the per-gram
+    * String allocation + hashing that dominated the classifier (r17,
+    * A/B-backed). */
+  private def packGram(cps: Array[Int], at: Int, n: Int): Long = {
+    var v = (cps(at) + 1).toLong << 42
+    if (n > 1) v |= (cps(at + 1) + 1).toLong << 21
+    if (n > 2) v |= (cps(at + 2) + 1).toLong
+    v
+  }
+
+  private def packGramString(g: String): Long = {
+    val cps = g.codePoints().toArray
+    packGram(cps, 0, cps.length)
+  }
+
+  /** ONE gram -> per-language rank table for the whole snapshot
+    * (rank 0 = absent): the distance loop inverts from
+    * `langs x docGrams` string-map probes (53 x 64 per call) to
+    * `docGrams` long-map probes (64 per call) + pure array
+    * arithmetic. */
+  private lazy val gramRanks: java.util.HashMap[java.lang.Long, Array[Short]] = {
+    val m = new java.util.HashMap[java.lang.Long, Array[Short]](
+      ngramLangs.length * graft.model.LangProfiles.profileSize * 2)
+    var p = 0
+    while (p < ngramLangs.length) {
+      val grams = graft.model.LangProfiles.profiles
+        .find(_._1 == ngramLangs(p)).get._2
+      var r = 0
+      while (r < grams.length) {
+        val key = java.lang.Long.valueOf(packGramString(grams(r)))
+        var a = m.get(key)
+        if (a == null) { a = new Array[Short](ngramLangs.length); m.put(key, a) }
+        a(p) = (r + 1).toShort
+        r += 1
+      }
+      p += 1
     }
-    ab.length - bb.length
+    m
   }
 
   /** Shared classifier core: [bestIdx, bestDist, secondDist, m], or null
@@ -531,46 +560,72 @@ object DocKernels {
     if (padded.length <= 2) return null // nothing but whitespace
     val cps = padded.codePoints().toArray
     if (cps.length < 3) return null
-    val counts = new java.util.HashMap[String, Integer]()
+    // all 1/2/3-grams as packed longs; sort + run-length = the count map
+    val total = 3 * cps.length - 3
+    val grams = new Array[Long](total)
+    var w = 0
     var n = 1
     while (n <= 3) {
       i = 0
       while (i <= cps.length - n) {
-        val g = new String(cps, i, n)
-        val prev = counts.get(g)
-        counts.put(g, if (prev == null) Integer.valueOf(1)
-                      else Integer.valueOf(prev.intValue + 1))
+        grams(w) = packGram(cps, i, n)
+        w += 1
         i += 1
       }
       n += 1
     }
+    java.util.Arrays.sort(grams)
+    var d = 0
+    val gramsD = new Array[Long](total)
+    val countsD = new Array[Int](total)
+    i = 0
+    while (i < total) {
+      var j = i + 1
+      while (j < total && grams(j) == grams(i)) j += 1
+      gramsD(d) = grams(i)
+      countsD(d) = j - i
+      d += 1
+      i = j
+    }
     val k = graft.model.LangProfiles.rankSize
     val pk = graft.model.LangProfiles.profileSize.toLong
-    val entries = new Array[(String, Int)](counts.size)
-    val it = counts.entrySet().iterator()
+    // top-k by (count desc, gram asc): gramsD is gram-ascending by
+    // construction, so a STABLE sort on count desc keeps the tie order
+    // (index asc == gram asc)
+    val order = new Array[Integer](d)
     i = 0
-    while (it.hasNext) {
-      val e = it.next(); entries(i) = (e.getKey, e.getValue.intValue); i += 1
-    }
-    java.util.Arrays.sort(entries, new java.util.Comparator[(String, Int)] {
-      override def compare(a: (String, Int), b: (String, Int)): Int =
-        if (a._2 != b._2) b._2 - a._2 else utf8Compare(a._1, b._1)
+    while (i < d) { order(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(order, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val c = countsD(b.intValue) - countsD(a.intValue)
+        if (c != 0) c else a.intValue - b.intValue
+      }
     })
-    val m = math.min(k, entries.length)
+    val m = math.min(k, d)
+    val nLangs = ngramLangs.length
+    val dists = new Array[Long](nLangs)
+    var j = 0
+    while (j < m) {
+      val ranks = gramRanks.get(java.lang.Long.valueOf(gramsD(order(j).intValue)))
+      var p = 0
+      if (ranks == null) {
+        while (p < nLangs) { dists(p) += pk; p += 1 }
+      } else {
+        while (p < nLangs) {
+          val r = ranks(p)
+          dists(p) += (if (r == 0) pk else math.abs((j + 1) - r).toLong)
+          p += 1
+        }
+      }
+      j += 1
+    }
     var bestIdx = -1
     var bestDist = Long.MaxValue
     var secondDist = Long.MaxValue
     var p = 0
-    while (p < ngramProfiles.length) {
-      val prof = ngramProfiles(p)._2
-      var dist = 0L
-      var j = 0
-      while (j < m) {
-        val r = prof.get(entries(j)._1)
-        dist += (if (r == null) pk else math.abs((j + 1) - r.intValue).toLong)
-        j += 1
-      }
-      if (dist < bestDist) {                      // ties: first (lang asc) wins
+    while (p < nLangs) {                          // ties: first (lang asc) wins
+      val dist = dists(p)
+      if (dist < bestDist) {
         secondDist = bestDist; bestDist = dist; bestIdx = p
       } else if (dist < secondDist) secondDist = dist
       p += 1
@@ -589,7 +644,7 @@ object DocKernels {
     if (r == null) return UndLang
     val bestIdx = r(0).toInt
     if (ngramAccepted(bestIdx, r(1), r(3))) {
-      UTF8String.fromString(ngramProfiles(bestIdx)._1)
+      UTF8String.fromString(ngramLangs(bestIdx))
     } else UndLang
   }
 
@@ -606,7 +661,7 @@ object DocKernels {
       return InternalRow(UndLang, UndLang, 0L, 0L, 0L)
     }
     val bestIdx = r(0).toInt
-    val bestLang = UTF8String.fromString(ngramProfiles(bestIdx)._1)
+    val bestLang = UTF8String.fromString(ngramLangs(bestIdx))
     val lang =
       if (ngramAccepted(bestIdx, r(1), r(3))) bestLang else UndLang
     InternalRow(lang, bestLang, r(1), r(2),
@@ -635,7 +690,7 @@ object DocKernels {
     val bestIdx = r(0).toInt
     val norm = (r(1) * 1000L /
       (r(3) * graft.model.LangProfiles.profileSize.toLong)).toInt
-    if (ngramAccepted(bestIdx, r(1), r(3))) (ngramProfiles(bestIdx)._1, norm)
+    if (ngramAccepted(bestIdx, r(1), r(3))) (ngramLangs(bestIdx), norm)
     else ("und", norm)
   }
 
