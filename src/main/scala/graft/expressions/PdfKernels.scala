@@ -73,18 +73,29 @@ object PdfKernels {
   private val EndstreamKw = "endstream".getBytes("ISO-8859-1")
   private val DictOpen = "<<".getBytes("ISO-8859-1")
 
+  /** Per-stream inflated-bytes cap — the same hostile-input law as
+    * `graft.warc.maxShardBytes`: a tiny FlateDecode bomb inside a PDF
+    * must not allocate hundreds of MB per row. Content streams carrying
+    * text are tiny; Flate-compressed image XObjects can be tens of MB
+    * and carry no text, so past the cap the STREAM is refused (null →
+    * skipped), not the document. */
+  private[graft] def maxInflateBytes: Int =
+    Integer.getInteger("graft.pdf.maxInflateBytes", 32 << 20)
+
   private def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(data)
-      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val cap = maxInflateBytes
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(math.max(data.length * 4, 64), cap))
       val buf = new Array[Byte](8192)
-      var guard = 0
-      while (!inf.finished && !inf.needsInput && guard < (1 << 16)) {
+      while (!inf.finished && !inf.needsInput) {
         val n = inf.inflate(buf)
-        if (n > 0) out.write(buf, 0, n)
-        else if (n == 0 && inf.needsDictionary) return null
-        guard += 1
+        if (n > 0) {
+          if (out.size.toLong + n > cap) return null // decompression bomb
+          out.write(buf, 0, n)
+        } else if (n == 0 && inf.needsDictionary) return null
       }
       if (out.size == 0) null else out.toByteArray
     } catch {
@@ -272,13 +283,39 @@ object PdfKernels {
     out.toString
   }
 
+  private val EncryptKw = "/Encrypt".getBytes("ISO-8859-1")
+
+  /** True when '/Encrypt' appears OUTSIDE stream…endstream data spans —
+    * i.e. in dictionary/trailer text, where a real encryption reference
+    * lives (classic `trailer << /Encrypt n g R >>` and the xref-stream
+    * dict alike). An occurrence inside stream DATA is page content or
+    * ciphertext coincidence, not an encryption marker. */
+  private def encryptDictPresent(b: Array[Byte]): Boolean = {
+    var at = 0
+    while (at < b.length) {
+      val sk = indexOf(b, StreamKw, at)
+      val limit = if (sk < 0) b.length else sk
+      val e = indexOf(b, EncryptKw, at)
+      if (e >= 0 && e < limit) return true
+      if (sk < 0) return false
+      val end = indexOf(b, EndstreamKw, sk + StreamKw.length)
+      if (end < 0) return false // unterminated stream: rest is data
+      at = end + EndstreamKw.length
+    }
+    false
+  }
+
   def pdfText(b: Array[Byte]): UTF8String = {
     if (b == null) return null
     try {
       if (b.length < 8 || b(0) != '%' || b(1) != 'P' || b(2) != 'D' ||
         b(3) != 'F' || b(4) != '-') return null
-      // encrypted: string/stream bytes are ciphertext — refuse honestly
-      if (indexOf(b, "/Encrypt".getBytes("ISO-8859-1"), 0) >= 0) return null
+      // encrypted: string/stream bytes are ciphertext — refuse honestly.
+      // The scan covers DICTIONARY text only (classic trailers and
+      // xref-stream dicts both live outside stream data), so raw
+      // stream bytes that happen to contain '/Encrypt' don't falsely
+      // refuse the document.
+      if (encryptDictPresent(b)) return null
       val out = new java.lang.StringBuilder(256)
       var at = 0
       var continue = true

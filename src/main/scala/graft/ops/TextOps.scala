@@ -286,11 +286,6 @@ object TextOps {
   def htmlToText(html: Column): Column =
     call_function("html_to_text", html)
 
-  /** FLAT strip — all whitespace (newlines included) collapses to single
-    * spaces, so the output is one line. Right for short snippets and for
-    * feeds whose line structure is meaningless; for the crawl chain use
-    * [[htmlToText]], which preserves block boundaries for the paragraph
-    * tiers. */
   /** PDF→text honest tier ([[graft.expressions.PdfKernels]]): Flate/raw
     * content streams, BT/ET text operators, WinAnsi string decode,
     * html_to_text's per-line collapse. NULL for non-PDF or encrypted
@@ -314,6 +309,11 @@ object TextOps {
       pdfText(content))
       .otherwise(htmlToText(textFromBytesDeclared(content, mime)))
 
+  /** FLAT strip — all whitespace (newlines included) collapses to single
+    * spaces, so the output is one line. Right for short snippets and for
+    * feeds whose line structure is meaningless; for the crawl chain use
+    * [[htmlToText]], which preserves block boundaries for the paragraph
+    * tiers. */
   def stripHtml(html: Column): Column = {
     val noBlocks = regexp_replace(html,
       "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")

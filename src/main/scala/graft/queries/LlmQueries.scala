@@ -3106,8 +3106,10 @@ object LlmQueries {
 
     // VP8L (lossless WebP) PIXEL decode (r17): synth_webp_l plants a
     // real lossless-WebP per doc_id whose seven encoder arms exercise
-    // every decoder component — plain literals, subtract-green, an
-    // LZ77 neighborhood backreference, the color cache, a sub-byte
+    // every decoder component — plain literals, subtract-green, LZ77
+    // backreferences over striped rows (near plane codes AND the far
+    // code 97, so a wrong 2D-distance map shifts which stripe is
+    // copied and fails the sum), the color cache, a sub-byte
     // bundled palette, the predictor transform, and a full
     // code-length-coded prefix code — and whose pixels are closed-form
     // in the id, so the oracle recomputes exact per-channel sums the
@@ -5921,21 +5923,29 @@ object LlmQueries {
         |  CAST(((doc_id * 13) % 256) * (7 + doc_id % 8) * (8 + doc_id % 5) AS BIGINT) AS sum_b
         |FROM documents ORDER BY asset_id""".stripMargin,
 
+    // Arm 2 (the LZ77 arm) stripes greens g/(g+128) by row and copies
+    // the last row from row h-2 through plane codes 97/(0,2)/(0,1), so
+    // its green sum is the stripe count law: nGa rows of g where
+    // nGa = h/2+1 (h even) or (h-1)/2 (h odd), the rest (g+128)%256.
     "q_mm_decode_vp8l" ->
       """WITH geo AS (SELECT doc_id,
         |  CAST(9 + doc_id % 8 AS INT) AS w, CAST(8 + doc_id % 5 AS INT) AS h,
         |  doc_id % 256 AS r, (doc_id * 7) % 256 AS g, (doc_id * 13) % 256 AS b,
-        |  CAST(doc_id % 7 AS INT) AS arm FROM documents)
+        |  CAST(doc_id % 7 AS INT) AS arm FROM documents),
+        |geo2 AS (SELECT *,
+        |  CASE WHEN h % 2 = 0 THEN h // 2 + 1 ELSE (h - 1) // 2 END AS n_ga
+        |  FROM geo)
         |SELECT doc_id AS asset_id, w AS width, h AS height,
         |  CAST(w * h AS BIGINT) AS n_px,
         |  CAST(CASE WHEN arm IN (2, 3, 5) THEN w * h * r
         |            ELSE (w - 1) * h * r END AS BIGINT) AS sum_r,
-        |  CAST(CASE WHEN arm IN (2, 3, 5) THEN w * h * g
+        |  CAST(CASE WHEN arm IN (3, 5) THEN w * h * g
+        |            WHEN arm = 2 THEN w * (n_ga * g + (h - n_ga) * ((g + 128) % 256))
         |            WHEN arm = 6 THEN (w - 1) * (h + h // 2)
         |            ELSE (w - 1) * h * g END AS BIGINT) AS sum_g,
         |  CAST(CASE WHEN arm IN (2, 3, 5) THEN w * h * b
         |            ELSE (w - 1) * h * b END AS BIGINT) AS sum_b
-        |FROM geo ORDER BY asset_id""".stripMargin,
+        |FROM geo2 ORDER BY asset_id""".stripMargin,
 
     // Planted MP4 parameters are closed-form in doc_id (see VideoKernels
     // .synthMp4): timescale 1000+(id%9)*100, ticks 48000+(id*7)%100000,

@@ -2649,6 +2649,52 @@ class LlmOpsSpec extends SparkSpec {
       .select(graft.ops.TextOps.pdfText($"b")).collect()(0).isNullAt(0))
   }
 
+  test("PdfKernels hostile-input laws: '/Encrypt' inside stream DATA is " +
+    "content (not an encryption marker), and a FlateDecode bomb past the " +
+    "inflate cap skips the stream instead of allocating its full size") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    def pdf(b: Array[Byte]): Option[String] =
+      Seq(Tuple1(b)).toDF("b")
+        .select(graft.ops.TextOps.pdfText($"b")).as[Option[String]].collect().head
+    // the false-refusal case the trailer-only law fixes: a document whose
+    // PAGE TEXT mentions /Encrypt must still extract
+    val prose = ("%PDF-1.4\n1 0 obj << /Length 44 >>\nstream\n" +
+      "BT (see the /Encrypt entry of the trailer) Tj ET" +
+      "\nendstream endobj\ntrailer << /Size 2 >>\n%%EOF").getBytes("ISO-8859-1")
+    assert(pdf(prose).contains("see the /Encrypt entry of the trailer"))
+    // ...while a real trailer-dict /Encrypt still refuses (fixture arm 6
+    // re-pinned here so both sides of the law sit together)
+    assert(pdf(graft.expressions.PdfKernels.synthPdf(6L)).isEmpty)
+    // decompression bomb: ~1 MiB of text ops from a few hundred
+    // compressed bytes; under a 64 KiB test cap the stream is refused
+    // (document stays '', the OTHER stream's text still extracts)
+    val bombPayload = ("BT (x) Tj ET " * 80000).getBytes("ISO-8859-1")
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(bombPayload); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val bomb = out.toByteArray
+    val doc = new java.io.ByteArrayOutputStream()
+    doc.write(("%PDF-1.4\n1 0 obj << /Length " + bomb.length +
+      " /Filter /FlateDecode >>\nstream\n").getBytes("ISO-8859-1"))
+    doc.write(bomb)
+    doc.write(("\nendstream endobj\n2 0 obj << /Length 20 >>\nstream\n" +
+      "BT (survivor line) Tj ET\nendstream endobj\n" +
+      "trailer << /Size 3 >>\n%%EOF").getBytes("ISO-8859-1"))
+    val bombed = doc.toByteArray
+    System.setProperty("graft.pdf.maxInflateBytes", "65536")
+    try {
+      assert(pdf(bombed).contains("survivor line"),
+        "bombed stream skipped, sibling stream still extracts")
+    } finally System.clearProperty("graft.pdf.maxInflateBytes")
+    // and under the default cap the same document extracts BOTH streams
+    val full = pdf(bombed).get
+    assert(full.contains("survivor line") && full.contains("x"))
+  }
+
   test("TextOps.textFromBytesDeclared: honor-but-verify — a declaration " +
     "reaches charsets sniffing never can; BOM and valid UTF-8 outrank " +
     "a lying declaration; unknown/absent declarations fall to the ladder") {

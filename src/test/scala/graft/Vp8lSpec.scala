@@ -27,12 +27,48 @@ class Vp8lSpec extends SparkSpec {
       case 0 | 1 | 4 => // black first column
         (w, h, n, (w - 1).toLong * h * r, (w - 1).toLong * h * g,
           (w - 1).toLong * h * b)
-      case 2 | 3 | 5 => // constant color
+      case 2 => // LZ77 stripes: greens alternate g/(g+128) by row;
+        // the last row copies row h-2 (far plane code 97 + code 1)
+        val gb2 = (g + 128) % 256
+        val nGa = if (h % 2 == 0) h / 2 + 1 else (h - 1) / 2
+        (w, h, n, n * r, w.toLong * (nGa * g + (h - nGa) * gb2), n * b)
+      case 3 | 5 => // constant color
         (w, h, n, n * r, n * g, n * b)
       case _ => // arm 6: greens 1 + y%2 off the black column
         (w, h, n, (w - 1).toLong * h * r,
           (w - 1).toLong * (h + h / 2), (w - 1).toLong * h * b)
     }
+  }
+
+  test("the LZ77 code-to-plane table: packed form round-trips all 120 " +
+    "entries, and the nearest-first generation rule reproduces the " +
+    "verbatim embed everywhere except the documented d²=61 tie quirk") {
+    val table = Vp8lKernels.DistMapPairs.toSeq
+    assert(table.length == 120)
+    // the packed (dx+7)|(dy<<4) form must round-trip exactly — this is
+    // what the decode loop reads (the old (dx+8) pack overflowed dx=8)
+    assert(Vp8lKernels.distMapEntries.toSeq == table)
+    // domain law: dy 0..7, dx −7..8, (dy=0, dx≤0) excluded, no dups
+    assert(table.distinct.length == 120)
+    for ((dx, dy) <- table)
+      assert(dy >= 0 && dy <= 7 && dx >= -7 && dx <= 8 &&
+        !(dy == 0 && dx <= 0), s"($dx,$dy) outside the spec domain")
+    // cross-check: nearest-first by dx²+dy², ties larger dy then
+    // positive dx, reproduces the published table at every plane code
+    // EXCEPT the d²=61 group (codes 93–96), where the published order
+    // is (6,5),(−6,5),(5,6),(−5,6) — an unstable-sort quirk the
+    // normative table carries and decoders must follow verbatim
+    val ruled = (for {
+      dy <- 0 to 7
+      dx <- -7 to 8
+      if !(dy == 0 && dx <= 0)
+    } yield (dx, dy))
+      .sortBy { case (dx, dy) => (dx * dx + dy * dy, -dy, -dx) }
+    for (i <- 0 until 120 if i < 92 || i > 95)
+      assert(table(i) == ruled(i),
+        s"plane code ${i + 1}: embed ${table(i)} vs rule ${ruled(i)}")
+    assert(table.slice(92, 96) == Seq((6, 5), (-6, 5), (5, 6), (-5, 6)))
+    assert(ruled.slice(92, 96).toSet == table.slice(92, 96).toSet)
   }
 
   test("every encoder arm round-trips: literal, subtract-green, LZ77 " +
