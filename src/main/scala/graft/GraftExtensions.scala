@@ -173,6 +173,15 @@ object GraftExtensions {
     ("html_to_text", graft.expressions.HtmlKernels.toTextInfo,
       arity("html_to_text", 1)(c =>
         graft.expressions.HtmlKernels.HtmlToText(c(0)))),
+    ("html_title", graft.expressions.HtmlKernels.titleInfo,
+      arity("html_title", 1)(c =>
+        graft.expressions.HtmlKernels.HtmlTitle(c(0)))),
+    ("xml_text", graft.expressions.HtmlKernels.xmlTextInfo,
+      arity("xml_text", 1)(c =>
+        graft.expressions.HtmlKernels.XmlText(c(0)))),
+    ("json_text", graft.expressions.JsonKernels.jsonTextInfo,
+      arity("json_text", 1)(c =>
+        graft.expressions.JsonKernels.JsonText(c(0)))),
     ("text_from_bytes_rung", graft.expressions.ByteKernels.textFromBytesRungInfo,
       arity("text_from_bytes_rung", 1)(c =>
         graft.expressions.ByteKernels.TextFromBytesRung(c(0)))),

@@ -193,6 +193,14 @@ object HtmlKernels {
     "html", "body", "head", "nav", "footer", "aside",
     "table", "ul", "ol", "section", "article", "header", "main", "title")
 
+  /** XML-mode block boundaries: the HTML set (feeds embed XHTML) plus
+    * the RSS/Atom element vocabulary — each feed field is its own line
+    * unit for the paragraph tiers. */
+  private val xmlBlockTags = blockTags ++ Set(
+    "item", "entry", "channel", "feed", "rss", "description", "summary",
+    "content", "subtitle", "author", "name", "category", "link", "guid",
+    "pubdate", "updated", "published", "id", "enclosure")
+
   private def isNameChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9')
@@ -248,8 +256,17 @@ object HtmlKernels {
     UTF8String.fromString(toTextString(html.toString))
   }
 
-  private[expressions] def toTextString(s: String): String = {
+  private[expressions] def toTextString(s: String): String =
+    toTextString(s, xml = false)
+
+  /** Shared tag-walk body. `xml = true` is the FEED mode: no chrome
+    * subtrees are dropped (RSS/Atom have no head/nav), the block set
+    * grows the feed vocabulary, and `<![CDATA[…]]>` content — where
+    * real feeds embed escaped HTML — is extracted by ONE nested
+    * html-mode pass (CDATA cannot nest) framed as its own block. */
+  private[expressions] def toTextString(s: String, xml: Boolean): String = {
     val n = s.length
+    val blocks = if (xml) xmlBlockTags else blockTags
     // pass 1: strip tags, drop non-content subtrees, mark block
     // boundaries with '\n' and inline-tag sites with ' '
     val sb = new java.lang.StringBuilder(n)
@@ -257,7 +274,19 @@ object HtmlKernels {
     while (i < n) {
       val c = s.charAt(i)
       if (c != '<') { sb.append(c); i += 1 }
-      else if (s.regionMatches(i + 1, "!--", 0, 3)) {
+      else if (xml && s.regionMatches(i + 1, "![CDATA[", 0, 8)) {
+        val end = s.indexOf("]]>", i + 9)
+        val inner = if (end < 0) s.substring(i + 9)
+                    else s.substring(i + 9, end)
+        // literal character data; embedded-HTML shape extracted by the
+        // html law (the dominant real feed form). Escape the decoded
+        // text's '&' so pass 2's entity decode cannot double-decode
+        // CDATA content (it is literal by definition).
+        sb.append('\n')
+        sb.append(toTextString(inner, xml = false).replace("&", "&amp;"))
+        sb.append('\n')
+        i = if (end < 0) n else end + 3
+      } else if (s.regionMatches(i + 1, "!--", 0, 3)) {
         val end = s.indexOf("-->", i + 4)
         i = if (end < 0) n else end + 3
       } else if (i + 1 < n && (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
@@ -267,9 +296,14 @@ object HtmlKernels {
         val name = tagName(s, if (isClose) i + 2 else i + 1)
         if (name.isEmpty) { sb.append(c); i += 1 } // stray '<' is text
         else {
-          if (blockTags.contains(name)) sb.append('\n') else sb.append(' ')
+          if (blocks.contains(name)) sb.append('\n') else sb.append(' ')
           i = skipTag(s, i + 1)
-          if (!isClose && (name == "script" || name == "style")) {
+          if (xml && dropSubtrees.contains(name)) {
+            // feed mode: nothing is chrome — head/nav/... are ordinary
+            // elements (an XHTML page shipped as XML still gets its
+            // html-mode treatment via the CDATA path, not here)
+            ()
+          } else if (!isClose && (name == "script" || name == "style")) {
             // raw-text element: content is code, skip to the close tag
             val close = findClose(s, i, name)
             i = if (close < 0) n else skipTag(s, close + 2 + name.length)
@@ -329,5 +363,138 @@ object HtmlKernels {
   val toTextInfo: ExpressionInfo = new ExpressionInfo(
     classOf[HtmlToText].getName, null, "html_to_text",
     "_FUNC_(html) - block-structured HTML to text: drops script/style/head/nav/footer/aside subtrees, newline at block-tag boundaries (p div br li h1-h6 tr blockquote pre ...), entity decode, per-line whitespace collapse.",
+    "", "", "", "", "", "", "built-in")
+
+  /**
+   * Document TITLE extraction (`html_title`) — the field [[HtmlToText]]
+   * rightly cannot produce: it drops the whole `head` subtree as chrome,
+   * but the retrieval tier's BM25F ships a WEIGHTED TITLE FIELD
+   * ([[graft.ops.Retrieval]]), which a crawl feed could never populate.
+   * This kernel is the missing rung: the FIRST `<title>` element's text
+   * before any `<body>` open (a `<title>` inside body markup — SVG —
+   * is not the document title), entity-decoded by the [[unescape]] law,
+   * whitespace-collapsed to a single trimmed line.
+   *
+   * Laws: no `<title>` before body → NULL (absence is not an empty
+   * title); `<title></title>` → '' (present but empty); script/style
+   * raw-text content is skipped first (a title spelled inside JS is
+   * code, not a title); an unclosed `<title>` captures to end of input
+   * (the strip-to-end law). Null in → null out.
+   */
+  case class HtmlTitle(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string, got ${other.simpleString}")
+    }
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "html_title"
+    override protected def nullSafeEval(a: Any): Any =
+      HtmlKernels.title(a.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.expressions.HtmlKernels.title($a);" +
+          s"${ev.isNull} = ${ev.value} == null;")
+    override protected def withNewChildInternal(newChild: Expression): HtmlTitle =
+      copy(child = newChild)
+  }
+
+  /** Static kernel for [[HtmlTitle]]. */
+  def title(html: UTF8String): UTF8String = {
+    if (html == null) return null
+    val t = titleString(html.toString)
+    if (t == null) null else UTF8String.fromString(t)
+  }
+
+  private[expressions] def titleString(s: String): String = {
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c != '<') i += 1
+      else if (s.regionMatches(i + 1, "!--", 0, 3)) {
+        val end = s.indexOf("-->", i + 4)
+        i = if (end < 0) n else end + 3
+      } else if (i + 1 < n && (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+        i = skipTag(s, i + 2)
+      } else {
+        val isClose = i + 1 < n && s.charAt(i + 1) == '/'
+        val name = tagName(s, if (isClose) i + 2 else i + 1)
+        if (name.isEmpty) i += 1 // stray '<' is text
+        else if (!isClose && name == "body") return null // head is over
+        else if (!isClose && (name == "script" || name == "style")) {
+          i = skipTag(s, i + 1)
+          val close = findClose(s, i, name)
+          i = if (close < 0) n else skipTag(s, close + 2 + name.length)
+        } else if (!isClose && name == "title") {
+          i = skipTag(s, i + 1)
+          val close = findClose(s, i, "title")
+          val raw = if (close < 0) s.substring(i) else s.substring(i, close)
+          val decoded = unescapeString(raw)
+          // single-line collapse: runs of whitespace → one space, trimmed
+          val out = new java.lang.StringBuilder(decoded.length)
+          var pendingSpace = false
+          var j = 0
+          while (j < decoded.length) {
+            val ch = decoded.charAt(j)
+            if (Character.isWhitespace(ch)) pendingSpace = true
+            else {
+              if (pendingSpace && out.length > 0) out.append(' ')
+              pendingSpace = false
+              out.append(ch)
+            }
+            j += 1
+          }
+          return out.toString
+        } else i = skipTag(s, i + 1)
+      }
+    }
+    null
+  }
+
+  val titleInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[HtmlTitle].getName, null, "html_title",
+    "_FUNC_(html) - first <title> text before any <body>: entity-decoded, whitespace-collapsed to one line; NULL when absent, '' when present but empty.",
+    "", "", "", "", "", "", "built-in")
+
+  /**
+   * XML/RSS/Atom → text (`xml_text`) — the feed rung of the mime
+   * router: [[HtmlToText]]'s one-pass block law under the XML rules.
+   * No chrome subtrees (feeds have no head/nav to drop), the block set
+   * grows the RSS/Atom element vocabulary (`item`, `entry`, `title`,
+   * `description`, `summary`, `content`, …) so each feed field is its
+   * own line unit, and `<![CDATA[…]]>` sections — where real feeds ship
+   * escaped HTML — are extracted by one nested html-mode pass (CDATA
+   * cannot nest) and framed as their own block. Entities decode by the
+   * [[unescape]] law OUTSIDE CDATA only (CDATA is literal by
+   * definition). Same per-line collapse; null in → null out.
+   */
+  case class XmlText(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string, got ${other.simpleString}")
+    }
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "xml_text"
+    override protected def nullSafeEval(a: Any): Any =
+      HtmlKernels.xmlText(a.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.expressions.HtmlKernels.xmlText($a)")
+    override protected def withNewChildInternal(newChild: Expression): XmlText =
+      copy(child = newChild)
+  }
+
+  /** Static kernel for [[XmlText]]. */
+  def xmlText(x: UTF8String): UTF8String = {
+    if (x == null) return null
+    UTF8String.fromString(toTextString(x.toString, xml = true))
+  }
+
+  val xmlTextInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[XmlText].getName, null, "xml_text",
+    "_FUNC_(xml) - feed-mode block extraction: RSS/Atom element vocabulary as block boundaries, CDATA content through the html law, entity decode outside CDATA, per-line collapse.",
     "", "", "", "", "", "", "built-in")
 }

@@ -286,6 +286,15 @@ object TextOps {
   def htmlToText(html: Column): Column =
     call_function("html_to_text", html)
 
+  /** Document TITLE from raw HTML ([[graft.expressions.HtmlKernels.HtmlTitle]]):
+    * first `<title>` before any `<body>`, entity-decoded, one collapsed
+    * line; NULL when absent. The crawl-side feeder for the retrieval
+    * tier's weighted title field ([[Retrieval]] BM25F) — [[htmlToText]]
+    * rightly drops the whole `head` subtree, so without this kernel a
+    * crawl corpus can never populate that field. Requires
+    * [[graft.GraftExtensions.register]]. */
+  def htmlTitle(html: Column): Column = call_function("html_title", html)
+
   /** PDF→text honest tier ([[graft.expressions.PdfKernels]]): Flate/raw
     * content streams, BT/ET text operators, WinAnsi string decode,
     * html_to_text's per-line collapse. NULL for non-PDF or encrypted
@@ -293,21 +302,48 @@ object TextOps {
     * scanned-image PDF). Requires [[graft.GraftExtensions.register]]. */
   def pdfText(bytes: Column): Column = call_function("pdf_text", bytes)
 
-  /** MIME-ROUTED crawl extraction (r17) — the one rung between a WARC
-    * record `(content, mime)` and the crawl chain's text column:
-    * `application/pdf` → [[pdfText]] (NULL for encrypted/corrupt — the
-    * caller's health ledger sees the refusal); everything else →
-    * declared-charset byte decode ([[textFromBytesDeclared]]) then
-    * block-structured HTML extraction ([[htmlToText]] — a tag-free
-    * text/plain payload passes through with only the per-line collapse).
-    * Both routes emit the SAME line law, so the paragraph tiers
-    * downstream treat HTML and PDF documents identically. Requires
-    * [[graft.GraftExtensions.register]]. */
-  def extractText(content: Column, mime: Column): Column =
-    when(
-      lower(coalesce(mime, lit(""))).startsWith("application/pdf"),
-      pdfText(content))
+  /** JSON string-value harvest ([[graft.expressions.JsonKernels]]):
+    * every string VALUE of one strictly-parsed document as its own
+    * block line; NULL for malformed input, '' for valid-but-text-free.
+    * Requires [[graft.GraftExtensions.register]]. */
+  def jsonText(json: Column): Column = call_function("json_text", json)
+
+  /** XML/RSS/Atom feed extraction ([[graft.expressions.HtmlKernels.XmlText]]):
+    * the block law under the feed element vocabulary, CDATA content
+    * through the html law. Requires [[graft.GraftExtensions.register]]. */
+  def xmlText(xml: Column): Column = call_function("xml_text", xml)
+
+  /** MIME-ROUTED crawl extraction (r17; json/xml rungs r18) — the one
+    * rung between a WARC record `(content, mime)` and the crawl chain's
+    * text column:
+    *   - `application/pdf` → [[pdfText]] (NULL for encrypted/corrupt/
+    *     unknowable — the caller's health ledger sees the refusal);
+    *   - json mimes (`application/json`, `text/json`, `…+json`) →
+    *     declared-charset byte decode then [[jsonText]] (string-value
+    *     harvest; NULL for payloads that are not actually JSON);
+    *   - xml/feed mimes (`text/xml`, `application/xml`, `…+xml` — RSS
+    *     and Atom ship as `application/rss+xml`/`application/atom+xml`)
+    *     → decode then [[xmlText]] (feed block law, CDATA handled);
+    *   - everything else → decode then block-structured HTML extraction
+    *     ([[htmlToText]] — a tag-free text/plain payload passes through
+    *     with only the per-line collapse).
+    * Every route emits the SAME line law, so the paragraph tiers
+    * downstream treat HTML, PDF, JSON, and feed documents identically.
+    * Requires [[graft.GraftExtensions.register]]. */
+  def extractText(content: Column, mime: Column): Column = {
+    val m = lower(coalesce(mime, lit("")))
+    val mediaType = trim(substring_index(m, ";", 1))
+    when(m.startsWith("application/pdf"), pdfText(content))
+      .when(
+        mediaType.isin("application/json", "text/json") ||
+          mediaType.endsWith("+json"),
+        jsonText(textFromBytesDeclared(content, mime)))
+      .when(
+        mediaType.isin("text/xml", "application/xml") ||
+          mediaType.endsWith("+xml"),
+        xmlText(textFromBytesDeclared(content, mime)))
       .otherwise(htmlToText(textFromBytesDeclared(content, mime)))
+  }
 
   /** FLAT strip — all whitespace (newlines included) collapses to single
     * spaces, so the output is one line. Right for short snippets and for

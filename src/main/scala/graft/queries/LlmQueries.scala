@@ -2143,14 +2143,16 @@ object LlmQueries {
         .orderBy("doc_id", "rec_no")
     }),
 
-    // PDF text tier over planted documents (r17): synth_pdf(doc_id)
-    // builds a real single-page PDF (catalog/pages/page/WinAnsi font,
-    // computed xref) whose content stream rotates through the
+    // PDF text tier over planted documents (r17, CID arms r18):
+    // synth_pdf(doc_id) builds a real single-page PDF (catalog/pages/
+    // page, computed xref) whose content stream rotates through the
     // extraction arms — raw and FlateDecode streams, TJ kern-to-space,
     // hex strings, the literal escape gauntlet, WinAnsi high bytes, the
-    // ' operator — plus an ENCRYPTED arm and a CORRUPT arm that must
-    // yield NULL (the honest-tier refusal law). The oracle recomputes
-    // every arm's expected text from the id closed form.
+    // ' operator, a composite (Type0/CID) font whose 2-byte codes
+    // decode through a Flate-compressed ToUnicode CMap — plus an
+    // ENCRYPTED arm, a CORRUPT arm, and a CID-without-ToUnicode arm
+    // that must yield NULL (the honest-tier refusal law). The oracle
+    // recomputes every arm's expected text from the id closed form.
     "q_src_pdf" -> ((s, dir) => {
       GraftExtensions.register(s)
       docs(s, dir)
@@ -2160,20 +2162,25 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
-    // MIME-ROUTED media extraction (r17): the one rung between a WARC
-    // record (content, mime) and the crawl chain — application/pdf
-    // routes to the pdf_text tier (a corrupt PDF stays NULL, visible to
-    // the health ledger), everything else to declared-charset decode +
-    // block HTML extraction, both emitting the same line law. Six
+    // MIME-ROUTED media extraction (r17; json/xml arms r18): the one
+    // rung between a WARC record (content, mime) and the crawl chain —
+    // application/pdf routes to the pdf_text tier (a corrupt PDF stays
+    // NULL, visible to the health ledger), json mimes to the strict
+    // string-value harvest (a json-labeled payload that is NOT json
+    // refuses), xml/feed mimes to the feed block law (CDATA-embedded
+    // HTML extracted), everything else to declared-charset decode +
+    // block HTML extraction — all emitting the same line law. Nine
     // closed-form arms: UTF-8 html (chrome dropped, blocks kept),
     // declared-ISO-8859-2 Polish html (a charset only the header can
     // pick), two real PDFs (raw and Flate arms of synth_pdf), a corrupt
-    // PDF (NULL), and a text/plain passthrough whose line structure
-    // survives.
+    // PDF (NULL), a text/plain passthrough whose line structure
+    // survives, a JSON document (values harvested in order, keys and
+    // numbers silent, \u-escapes decoded), an RSS feed (field-per-line
+    // + CDATA body), and a broken-JSON arm (NULL).
     "q_src_media" -> ((s, dir) => {
       GraftExtensions.register(s)
       val n = col("doc_id").cast("string")
-      val arm = col("doc_id") % 6
+      val arm = col("doc_id") % 9
       val content = when(arm === 0, encode(concat(
           lit("<html><head><title>t</title></head><body><nav>site menu</nav>" +
             "<h1>Doc "), n, lit("</h1><p>crawl page "), n,
@@ -2181,14 +2188,30 @@ object LlmQueries {
         .when(arm === 1, concat(
           unhex(lit("3C703E7A61BFF3B3E62067EAB66CB1206A61BCF1207374726F6E6120")),
           encode(n, "UTF-8"), unhex(lit("3C2F703E"))))
-        .when(arm === 2, call_function("synth_pdf", col("doc_id") * 8))
-        .when(arm === 3, call_function("synth_pdf", col("doc_id") * 8 + 1))
-        .when(arm === 4, call_function("synth_pdf", col("doc_id") * 8 + 7))
+        .when(arm === 2, call_function("synth_pdf", col("doc_id") * 10))
+        .when(arm === 3, call_function("synth_pdf", col("doc_id") * 10 + 1))
+        .when(arm === 4, call_function("synth_pdf", col("doc_id") * 10 + 7))
+        .when(arm === 6, encode(concat(
+          lit("{\"title\": \"json doc "), n,
+          lit("\", \"tags\": [\"alpha\", \"beta "), n,
+          lit("\"], \"meta\": {\"note\": \"nested\\u0020value\"}, " +
+            "\"n\": 42, \"ok\": true}")),
+          "UTF-8"))
+        .when(arm === 7, encode(concat(
+          lit("<?xml version=\"1.0\"?><rss><channel><title>feed "), n,
+          lit("</title><item><title>item one</title><description>" +
+            "<![CDATA[<p>cdata body "), n,
+          lit("</p>]]></description></item></channel></rss>")), "UTF-8"))
+        .when(arm === 8, encode(concat(
+          lit("""{"broken": """), n), "UTF-8")) // unterminated object
         .otherwise(encode(concat(
           lit("plain text record "), n, lit("\nsecond line")), "UTF-8"))
       val mime = when(arm === 0, lit("text/html; charset=UTF-8"))
         .when(arm === 1, lit("text/html; charset=ISO-8859-2"))
         .when(arm.isin(2, 3, 4), lit("application/pdf"))
+        .when(arm === 6, lit("application/json; charset=UTF-8"))
+        .when(arm === 7, lit("application/rss+xml"))
+        .when(arm === 8, lit("application/json"))
         .otherwise(lit("text/plain; charset=UTF-8"))
       docs(s, dir)
         .select(col("doc_id"), mime.as("mime"),
@@ -3276,6 +3299,36 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // BM25F fed from RAW HTML BYTES end-to-end (r18): each doc is
+    // planted as a real page — first 5 tokens in <head><title>, the
+    // rest in <body><p> — and the fields come out of the bytes through
+    // the crawl-side kernels: html_title (the head field html_to_text
+    // rightly drops) and html_to_text (the body). The fielded frame is
+    // definitionally identical to q_ret_bm25f's split, so the oracle
+    // replays the same closed-form BM25F — proving the title rung
+    // closes the crawl→retrieval gap (a title-only term match ranks
+    // via the 2× title weight).
+    "q_ret_bm25f_crawl" -> ((s, dir) => {
+      import s.implicits._
+      GraftExtensions.register(s)
+      val html = concat(
+        lit("<html><head><meta charset=\"utf-8\">" +
+          "<script>var t = \"<title>not me</title>\";</script><title> "),
+        array_join(slice(split(col("text"), " "), 1, 5), " "),
+        lit(" </title></head><body><nav>site chrome</nav><p>"),
+        array_join(slice(split(col("text"), " "), 6, 1000000), " "),
+        lit("</p></body></html>"))
+      val fielded = docs(s, dir).select(col("doc_id"),
+        TextOps.htmlTitle(html).as("title"),
+        TextOps.htmlToText(html).as("body"))
+      val queries = Seq(
+        (0L, "spark dup"), (1L, "hash join merge"),
+        (2L, "window sort")).toDF("qid", "qtext")
+      Retrieval.bm25F(fielded, "doc_id",
+          Seq(("title", 2.0), ("body", 1.0)), queries, k = 10)
+        .orderBy("qid", "rank")
+    }),
+
     // Phrase-constrained BM25: only documents containing "a a the"
     // contiguously are ranked, but idf/avgdl stay full-corpus — the
     // filter-vs-scoring split, both halves replayed in the oracle
@@ -3490,6 +3543,41 @@ object LlmQueries {
 
   /** Shared by `q_ret_bm25` (direct) and `q_ret_bm25_indexed` (persisted
     * segments): the index is a physical layout, not a semantics change. */
+  /** BM25F weighted-fields replay over the first-5/rest token split —
+    * shared by q_ret_bm25f (fields sliced from `text`) and
+    * q_ret_bm25f_crawl (the SAME fields extracted from planted HTML
+    * bytes via html_title/html_to_text): one oracle pinning both IS the
+    * end-to-end claim. */
+  private lazy val bm25fWeightedFieldsOracle: String =
+    """WITH fd AS (SELECT doc_id,
+      |       array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS title,
+      |       array_to_string(list_slice(string_split(text, ' '), 6, 1000000), ' ') AS body
+      |     FROM documents),
+      |fq AS (SELECT * FROM (VALUES (0, 'spark dup'), (1, 'hash join merge'),
+      |                             (2, 'window sort')) AS v(qid, qtext)),
+      |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS token FROM fq),
+      |tok AS (SELECT doc_id, unnest(string_split(title, ' ')) AS token, 2.0 AS w
+      |        FROM fd WHERE title IS NOT NULL
+      |        UNION ALL
+      |        SELECT doc_id, unnest(string_split(body, ' ')) AS token, 1.0 AS w
+      |        FROM fd WHERE body IS NOT NULL),
+      |fp AS (SELECT doc_id, token, sum(w) AS wtf FROM tok GROUP BY doc_id, token),
+      |fwdl AS (SELECT doc_id, sum(wtf) AS wdl FROM fp GROUP BY doc_id),
+      |fstat AS (SELECT count(*) AS n_docs, sum(wdl) AS total_wdl FROM fwdl),
+      |fdf AS (SELECT token, count(*) AS df FROM fp GROUP BY token),
+      |fsc AS (SELECT t.qid, p.doc_id,
+      |          ln(1.0 + (CAST(s.n_docs AS DOUBLE) - f.df + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+      |          * (p.wtf * (1.2 + 1.0))
+      |          / (p.wtf + 1.2 * ((1.0 - 0.75)
+      |              + 0.75 * l.wdl * CAST(s.n_docs AS DOUBLE) / s.total_wdl)) AS sc
+      |        FROM fp p JOIN fdf f USING (token) JOIN qt t USING (token)
+      |        JOIN fwdl l USING (doc_id) CROSS JOIN fstat s),
+      |fagg AS (SELECT qid, doc_id, round(sum(sc), 4) AS score FROM fsc GROUP BY qid, doc_id)
+      |SELECT qid, rank, doc_id, score FROM (
+      |  SELECT qid, doc_id, score,
+      |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+      |  FROM fagg) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   private lazy val bm25FixedQueriesOracle: String =
     s"""WITH ${bm25Ctes(
          "SELECT * FROM (VALUES (0, 'spark dup'), (1, 'hash join merge'), " +
@@ -4592,26 +4680,39 @@ object LlmQueries {
 
     "q_src_media" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 6 AS INT)
+        |  CASE CAST(doc_id % 9 AS INT)
         |    WHEN 0 THEN 'text/html; charset=UTF-8'
         |    WHEN 1 THEN 'text/html; charset=ISO-8859-2'
         |    WHEN 5 THEN 'text/plain; charset=UTF-8'
+        |    WHEN 6 THEN 'application/json; charset=UTF-8'
+        |    WHEN 7 THEN 'application/rss+xml'
+        |    WHEN 8 THEN 'application/json'
         |    ELSE 'application/pdf' END AS mime,
-        |  CASE CAST(doc_id % 6 AS INT)
+        |  CASE CAST(doc_id % 9 AS INT)
         |    WHEN 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
         |      || 'crawl page ' || CAST(doc_id AS VARCHAR)
         |    WHEN 1 THEN 'zażółć gęślą jaźń strona ' || CAST(doc_id AS VARCHAR)
-        |    WHEN 2 THEN 'Hello PDF ' || CAST(doc_id * 8 AS VARCHAR)
-        |    WHEN 3 THEN 'alpha ' || CAST(doc_id * 8 + 1 AS VARCHAR)
+        |    WHEN 2 THEN 'Hello PDF ' || CAST(doc_id * 10 AS VARCHAR)
+        |    WHEN 3 THEN 'alpha ' || CAST(doc_id * 10 + 1 AS VARCHAR)
         |      || chr(10) || 'beta'
         |    WHEN 4 THEN NULL
-        |    ELSE 'plain text record ' || CAST(doc_id AS VARCHAR)
-        |      || chr(10) || 'second line' END AS text_out
+        |    WHEN 5 THEN 'plain text record ' || CAST(doc_id AS VARCHAR)
+        |      || chr(10) || 'second line'
+        |    WHEN 6 THEN 'json doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+        |      || 'alpha' || chr(10) || 'beta ' || CAST(doc_id AS VARCHAR)
+        |      || chr(10) || 'nested value'
+        |    WHEN 7 THEN 'feed ' || CAST(doc_id AS VARCHAR) || chr(10)
+        |      || 'item one' || chr(10) || 'cdata body ' || CAST(doc_id AS VARCHAR)
+        |    ELSE NULL END AS text_out
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Arms 6/7 (encrypted, corrupt) and 9 (CID font with NO ToUnicode —
+    // glyph indices are unknowable) refuse with NULL; arm 8 decodes
+    // 2-byte CID codes through a Flate-compressed ToUnicode CMap
+    // (bfrange offset 0xE0 + bfchar space/ligature entries).
     "q_src_pdf" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 8 AS INT)
+        |  CASE CAST(doc_id % 10 AS INT)
         |    WHEN 0 THEN 'Hello PDF ' || CAST(doc_id AS VARCHAR)
         |    WHEN 1 THEN 'alpha ' || CAST(doc_id AS VARCHAR) || chr(10) || 'beta'
         |    WHEN 2 THEN 'This is TJ ' || CAST(doc_id AS VARCHAR) || chr(10) || 'Hello'
@@ -4619,6 +4720,7 @@ object LlmQueries {
         |      || CAST(doc_id AS VARCHAR)
         |    WHEN 4 THEN 'café déjà vu'
         |    WHEN 5 THEN 'first line' || chr(10) || 'second ' || CAST(doc_id AS VARCHAR)
+        |    WHEN 8 THEN 'cid ff ' || CAST(doc_id AS VARCHAR) || chr(10) || 'beta'
         |    ELSE NULL END AS pdf_body
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -6033,35 +6135,13 @@ object LlmQueries {
 
     "q_ret_bm25" -> bm25FixedQueriesOracle,
 
-    "q_ret_bm25f" ->
-      """WITH fd AS (SELECT doc_id,
-        |       array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS title,
-        |       array_to_string(list_slice(string_split(text, ' '), 6, 1000000), ' ') AS body
-        |     FROM documents),
-        |fq AS (SELECT * FROM (VALUES (0, 'spark dup'), (1, 'hash join merge'),
-        |                             (2, 'window sort')) AS v(qid, qtext)),
-        |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS token FROM fq),
-        |tok AS (SELECT doc_id, unnest(string_split(title, ' ')) AS token, 2.0 AS w
-        |        FROM fd WHERE title IS NOT NULL
-        |        UNION ALL
-        |        SELECT doc_id, unnest(string_split(body, ' ')) AS token, 1.0 AS w
-        |        FROM fd WHERE body IS NOT NULL),
-        |fp AS (SELECT doc_id, token, sum(w) AS wtf FROM tok GROUP BY doc_id, token),
-        |fwdl AS (SELECT doc_id, sum(wtf) AS wdl FROM fp GROUP BY doc_id),
-        |fstat AS (SELECT count(*) AS n_docs, sum(wdl) AS total_wdl FROM fwdl),
-        |fdf AS (SELECT token, count(*) AS df FROM fp GROUP BY token),
-        |fsc AS (SELECT t.qid, p.doc_id,
-        |          ln(1.0 + (CAST(s.n_docs AS DOUBLE) - f.df + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
-        |          * (p.wtf * (1.2 + 1.0))
-        |          / (p.wtf + 1.2 * ((1.0 - 0.75)
-        |              + 0.75 * l.wdl * CAST(s.n_docs AS DOUBLE) / s.total_wdl)) AS sc
-        |        FROM fp p JOIN fdf f USING (token) JOIN qt t USING (token)
-        |        JOIN fwdl l USING (doc_id) CROSS JOIN fstat s),
-        |fagg AS (SELECT qid, doc_id, round(sum(sc), 4) AS score FROM fsc GROUP BY qid, doc_id)
-        |SELECT qid, rank, doc_id, score FROM (
-        |  SELECT qid, doc_id, score,
-        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INT) AS rank
-        |  FROM fagg) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_ret_bm25f" -> bm25fWeightedFieldsOracle,
+
+    // identical replay: the crawl variant's title/body come out of
+    // planted HTML bytes via html_title/html_to_text, and are
+    // DEFINITIONALLY the same first-5/rest token split — one oracle
+    // pins both, which is exactly the end-to-end claim
+    "q_ret_bm25f_crawl" -> bm25fWeightedFieldsOracle,
 
     // BM25 scores from the FULL corpus; the phrase hit set filters the
     // scored docs; ranks recomputed within the filtered set

@@ -89,10 +89,15 @@ object CrawlIngestStream {
 
   /** Wire the chain over a streaming frame carrying `idCol`, `urlCol`
     * and `htmlCol` (raw payload — already decoded text also works; the
-    * strip is a no-op on tag-free text). */
+    * strip is a no-op on tag-free text). `titleCol` (optional) is a
+    * per-doc document-title column carried UNTOUCHED through every
+    * stage into the corpus table — the retrieval tier's BM25F weighted
+    * title field, fed from the crawl side (html_title upstream). When
+    * absent the table schema is unchanged. */
   def attach(
       docs: DataFrame, idCol: String, urlCol: String, htmlCol: String,
-      cfg: Config)(onReport: BatchReport => Unit): DataStreamWriter[Row] = {
+      cfg: Config, titleCol: Option[String] = None)(
+      onReport: BatchReport => Unit): DataStreamWriter[Row] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val blocked = cfg.blockedHosts.toDF("host")
@@ -107,12 +112,13 @@ object CrawlIngestStream {
         // block-structured by default — the paragraph tiers below
         // operate on html_to_text's line units
         val framed = pinned.select(
-          col(idCol), col(urlCol).as("url"),
+          col(idCol) +: col(urlCol).as("url") +:
           (cfg.extract match {
             case Extract.Blocks => TextOps.htmlToText(col(htmlCol))
             case Extract.Flat => TextOps.stripHtml(col(htmlCol))
             case Extract.Plain => col(htmlCol)
-          }).as("text"))
+          }).as("text") +:
+          titleCol.map(t => col(t).as("title")).toSeq: _*)
         // 2. blocklist, then the registrable-domain key the cap uses
         val domained = Corpus.filterBlockedUrls(
             framed, "url", blocked, matchRegistrable = true)
@@ -145,7 +151,9 @@ object CrawlIngestStream {
               c
             }
           val paraed = para
-            .join(admitted.select(col(idCol), col("domain")), Seq(idCol))
+            .join(admitted.select(
+              col(idCol) +: col("domain") +:
+              titleCol.map(_ => col("title")).toSeq: _*), Seq(idCol))
           nEmptied = paraed.where(col("text") === "").count()
           // 5. language + quality gates over the deduplicated text
           val langed = paraed
@@ -165,10 +173,12 @@ object CrawlIngestStream {
           }
           cleaned = deconed.localCheckpoint()
           nClean = cleaned.count()
-          // 7. lang-partitioned corpus table
+          // 7. lang-partitioned corpus table (title rides when fed)
           if (nClean > 0)
             ManifestStore.upsert(
-              cleaned.select(col(idCol), col("lang"), col("domain"), col("text")),
+              cleaned.select(
+                col(idCol) +: col("lang") +: col("domain") +:
+                titleCol.map(_ => col("title")).toSeq :+ col("text"): _*),
               cfg.tablePath, "lang", Seq("lang", idCol), spark)
         }
         onReport(BatchReport(
@@ -200,12 +210,21 @@ object CrawlIngestStream {
       recs: DataFrame, idCol: String, urlCol: String,
       contentCol: String, mimeCol: String,
       cfg: Config)(onReport: BatchReport => Unit): DataStreamWriter[Row] = {
+    // document title for the retrieval tier: html_title over the same
+    // declared-charset decode the HTML route extracts from (Spark's
+    // subexpression elimination shares the decode within the
+    // projection); PDFs have no HTML title — NULL
+    val isPdf =
+      lower(coalesce(col(mimeCol), lit(""))).startsWith("application/pdf")
     val extracted = recs.select(
         col(idCol), col(urlCol),
-        TextOps.extractText(col(contentCol), col(mimeCol)).as("_xtext"))
+        TextOps.extractText(col(contentCol), col(mimeCol)).as("_xtext"),
+        when(!isPdf, TextOps.htmlTitle(
+          TextOps.textFromBytesDeclared(col(contentCol), col(mimeCol))))
+          .as("_title"))
       .where(col("_xtext").isNotNull)
     attach(extracted, idCol, urlCol, "_xtext",
-      cfg.copy(extract = Extract.Plain))(onReport)
+      cfg.copy(extract = Extract.Plain), titleCol = Some("_title"))(onReport)
   }
 
   /** [[attachRecords]] + start. */

@@ -254,7 +254,7 @@ class CrawlIngestStreamSpec extends SparkSpec {
     }
     val out = new java.io.ByteArrayOutputStream()
     for (i <- 1L to 8L) {
-      val html = (s"<html><head><title>p</title></head><body><nav>menu</nav>" +
+      val html = (s"<html><head><title>page $i guide</title></head><body><nav>menu</nav>" +
         s"<div>hot deals today</div><p>the house number $i stands near " +
         "the river and the people walk with their dogs in the evening" +
         "</p></body></html>").getBytes("UTF-8")
@@ -266,6 +266,22 @@ class CrawlIngestStreamSpec extends SparkSpec {
         pdfBytes(i)))
     out.write(record(11L, "https://docs.site11.com/d/11", "application/pdf",
       graft.expressions.PdfKernels.synthPdf(7L))) // corrupt -> NULL
+    // the other two text carriers (r18): a JSON api payload whose
+    // string VALUES are the text (keys/braces must never reach the
+    // corpus) — sharing the pdf footer line so the cross-media dedup
+    // claim covers three media — and an RSS feed whose body ships
+    // inside CDATA
+    out.write(record(12L, "https://api.site12.com/d/12",
+      "application/json; charset=UTF-8",
+      ("{\"title\": \"json record twelve\", \"body\": \"the children walk " +
+        "to the school in the morning and read books with the teacher\", " +
+        "\"note\": \"shared footer line\"}").getBytes("UTF-8")))
+    out.write(record(13L, "https://feeds.site13.com/d/13",
+      "application/rss+xml",
+      ("<rss><channel><title>daily news feed</title><item>" +
+        "<title>morning post</title><description><![CDATA[<p>the children " +
+        "read the books in the evening and the teacher walks home</p>]]>" +
+        "</description></item></channel></rss>").getBytes("UTF-8")))
     val dir = tmpDir("warc_media")
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "s.warc"),
       out.toByteArray)
@@ -291,7 +307,7 @@ class CrawlIngestStreamSpec extends SparkSpec {
       .select("doc_id", "text").as[(Long, String)].collect().toMap
     // the corrupt PDF dropped at EXTRACTION (before nIn even counts it)
     assert(!got.contains(11L), s"corrupt pdf must not ingest: ${got.keySet}")
-    assert(reports.map(_.nIn).sum == 10L, s"$reports")
+    assert(reports.map(_.nIn).sum == 12L, s"$reports")
     // html route: nav gone, promo line kept-first in doc 1 only
     assert(got(3L).contains("the house number 3") &&
       !got(3L).contains("menu"), s"${got.get(3L)}")
@@ -300,9 +316,41 @@ class CrawlIngestStreamSpec extends SparkSpec {
     // pdf route: both docs survive; the shared footer line deduped
     // ACROSS MEDIA by the same paragraph tier the html docs use
     assert(got(9L).contains("read document 9"), s"${got.get(9L)}")
+    // three-media keep-first: the footer line lives in pdf 9, pdf 10,
+    // AND json 12 — only the first keeps it
     assert(got(9L).contains("shared footer line") &&
-      !got(10L).contains("shared footer line"),
-      s"cross-media paragraph keep-first: ${got(9L)} / ${got(10L)}")
+      !got(10L).contains("shared footer line") &&
+      !got(12L).contains("shared footer line"),
+      s"cross-media paragraph keep-first: ${got(9L)} / ${got(10L)} / ${got(12L)}")
+    // json route: values only — no brace/quote/key noise in the corpus
+    assert(got(12L).contains("the children walk to the school") &&
+      !got(12L).contains("\"") && !got(12L).contains("{"),
+      s"${got.get(12L)}")
+    // rss route: CDATA body extracted through the html law
+    assert(got(13L).contains("the children read the books in the evening") &&
+      !got(13L).contains("CDATA") && !got(13L).contains("<p>"),
+      s"${got.get(13L)}")
+    // the title rung (r18): html docs carry their <title> into the
+    // corpus table (html_to_text rightly drops head, so this column is
+    // the ONLY path); PDFs have no HTML title -> NULL. And the field
+    // feeds BM25F's weighted title straight off the table: 'guide'
+    // lives only in titles, so exactly the 8 html docs rank.
+    val titled = graft.ops.ManifestStore
+      .currentFrame(spark, cfg.tablePath, "lang").get
+      .select("doc_id", "title", "text")
+    val tmap = titled.select("doc_id", "title")
+      .as[(Long, Option[String])].collect().toMap
+    assert(tmap(3L).contains("page 3 guide"), s"$tmap")
+    assert(tmap(9L).isEmpty, s"pdf has no html title: $tmap")
+    // feed title: RSS <channel><title> is the first title before any
+    // body — exactly what a feed's document title is; JSON has none
+    assert(tmap(13L).contains("daily news feed"), s"$tmap")
+    assert(tmap(12L).isEmpty, s"json has no markup title: $tmap")
+    val ranked = graft.ops.Retrieval.bm25F(titled, "doc_id",
+      Seq(("title", 2.0), ("text", 1.0)),
+      Seq((0L, "guide")).toDF("qid", "qtext"), k = 20)
+    assert(ranked.count() == 8L,
+      "title-only term ranks exactly the html docs")
   }
 
   test("raw-HTML feed under Extract.Blocks: the nav menu never reaches the " +

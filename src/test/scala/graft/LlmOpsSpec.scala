@@ -1446,6 +1446,103 @@ class LlmOpsSpec extends SparkSpec {
       .select(TextOps.htmlToText($"h")).collect()(0).isNullAt(0))
   }
 
+  test("HtmlKernels.html_title laws: first <title> before <body>, entity " +
+    "decode + one-line collapse, script-skip, NULL for absent, '' for " +
+    "present-but-empty") {
+    import spark.implicits._
+    def t(s: String): Option[String] =
+      Seq(s).toDF("h").select(TextOps.htmlTitle($"h"))
+        .as[Option[String]].collect().head
+    assert(t("<html><head><title>My Page</title></head><body>x</body></html>")
+      .contains("My Page"))
+    // entity decode + whitespace collapse to ONE trimmed line
+    assert(t("<title>  A &amp; B\n\t &#8217;s  guide </title>")
+      .contains("A & B ’s guide"))
+    // a <title> spelled inside script raw-text is code, not a title
+    assert(t("<head><script>var t=\"<title>not me</title>\";</script>" +
+      "<title>real</title></head><body></body>").contains("real"))
+    // FIRST title wins; a title inside body (SVG) is not the doc title
+    assert(t("<title>one</title><title>two</title>").contains("one"))
+    assert(t("<body><svg><title>svg label</title></svg></body>").isEmpty)
+    // absence is NULL; present-but-empty is ''
+    assert(t("<html><head></head><body>no title</body></html>").isEmpty)
+    assert(t("<title></title><body></body>").contains(""))
+    // unclosed title captures to end of input (strip-to-end law);
+    // attributes on the tag are honored
+    assert(t("<title data-x=\"a > b\">tail text").contains("tail text"))
+    // null in -> null out
+    assert(Seq[Option[String]](None).toDF("h")
+      .select(TextOps.htmlTitle($"h")).collect()(0).isNullAt(0))
+  }
+
+  test("JsonKernels.json_text laws: string values harvest in order as " +
+    "block lines, keys/numbers/bools silent, escapes decode, strict " +
+    "refusal for non-JSON, '' for valid-but-text-free") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    def j(s: String): Option[String] =
+      Seq(s).toDF("s").select(TextOps.jsonText($"s"))
+        .as[Option[String]].collect().head
+    // values in document order; keys are schema, numbers/bools silent
+    assert(j("""{"title": "one", "tags": ["a", "b"], "n": 42, "ok": true,
+      "meta": {"note": "deep"}}""").contains("one\na\nb\ndeep"))
+    // escape decode: \n inside a value is a REAL line break (block law);
+    // \u decodes; \" and \\ decode
+    assert(j("{\"a\": \"line1\\nline2\", \"b\": \"x\\u0020y\", " +
+      "\"c\": \"q\\\"q \\\\ end\"}")
+      .contains("line1\nline2\nx y\nq\"q \\ end"))
+    // top-level array and bare string work; whitespace tolerated
+    assert(j("""  [ "x" , { "k" : "y" } , 3 ]  """).contains("x\ny"))
+    assert(j("\"solo\"").contains("solo"))
+    // valid but text-free -> '' (distinct from malformed -> NULL)
+    assert(j("""{"n": 1, "m": [2, false, null]}""").contains(""))
+    // strict refusals: trailing garbage, unterminated, bad escape, bare
+    // word, raw control char in a string, over-deep nesting
+    assert(j("""{"a": "b"} extra""").isEmpty)
+    assert(j("""{"a": "b" """).isEmpty)
+    assert(j("""{"a": "b\q"}""").isEmpty)
+    assert(j("not json at all").isEmpty)
+    assert(j("{\"a\": \"x\ny\"}").isEmpty) // raw newline inside string
+    assert(j("[" * 100 + "\"x\"" + "]" * 100).isEmpty) // depth > 64
+    // null in -> null out
+    assert(Seq[Option[String]](None).toDF("s")
+      .select(TextOps.jsonText($"s")).collect()(0).isNullAt(0))
+  }
+
+  test("HtmlKernels.xml_text laws: feed fields are block lines, CDATA " +
+    "content extracts through the html law without double entity decode, " +
+    "head is NOT chrome in feed mode") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    def x(s: String): String =
+      Seq(s).toDF("s").select(TextOps.xmlText($"s"))
+        .collect()(0).getString(0)
+    // RSS shape: each field its own line; PI and comments vanish
+    assert(x("<?xml version=\"1.0\"?><!-- gen --><rss><channel>" +
+      "<title>My Feed</title><item><title>post one</title>" +
+      "<pubDate>now</pubDate></item></channel></rss>") ==
+      "My Feed\npost one\nnow")
+    // CDATA: embedded HTML extracted by the html law (tags become
+    // structure, not noise), framed as its own block
+    assert(x("<item><description><![CDATA[<p>Hello <b>world</b></p>" +
+      "<nav>chrome</nav>]]></description></item>") == "Hello world")
+    // CDATA is literal: '&amp;' inside CDATA is the FOUR characters
+    // &,a,m,p,; (plus the entity decode of the html pass) and must not
+    // double-decode; entities OUTSIDE CDATA decode once
+    assert(x("<item><t>A &amp; B</t><d><![CDATA[keep &amp;lt; verbatim]]>" +
+      "</d></item>") == "A & B\nkeep &lt; verbatim")
+    // Atom entries; head/nav are ordinary elements in feed mode
+    assert(x("<feed><entry><title>e1</title><summary>s1</summary></entry>" +
+      "</feed>") == "e1\ns1")
+    assert(x("<doc><head>not chrome here</head><nav>kept</nav></doc>") ==
+      "not chrome here\nkept")
+    // unterminated CDATA captures to end (degrade to less structure,
+    // never throw); null in -> null out
+    assert(x("<item><d><![CDATA[tail text") == "tail text")
+    assert(Seq[Option[String]](None).toDF("s")
+      .select(TextOps.xmlText($"s")).collect()(0).isNullAt(0))
+  }
+
   test("TextOps.canonicalizeUrl: variants collapse, ports/fragments/tracking handled, " +
     "root path and param sort stable") {
     import spark.implicits._
@@ -2640,10 +2737,17 @@ class LlmOpsSpec extends SparkSpec {
     val noText = ("%PDF-1.4\n1 0 obj << /Length 10 >>\nstream\n0 0 m 1 1 l S" +
       "\nendstream endobj\ntrailer << /Size 2 >>\n%%EOF").getBytes("ISO-8859-1")
     assert(pdf(noText).contains(""))
-    // closed-form arms (the q_src_pdf oracle pins all eight; spot two)
+    // closed-form arms (the q_src_pdf oracle pins all ten; spot a few)
     assert(pdf(graft.expressions.PdfKernels.synthPdf(0L)).contains("Hello PDF 0"))
-    assert(pdf(graft.expressions.PdfKernels.synthPdf(12L))
+    assert(pdf(graft.expressions.PdfKernels.synthPdf(14L))
       .contains("café déjà vu")) // WinAnsi octal bytes
+    // CID/Type0 with a ToUnicode CMap: 2-byte codes offset by 0xE0
+    // through bfrange, space + the two-char 'ff' expansion via bfchar
+    assert(pdf(graft.expressions.PdfKernels.synthPdf(18L))
+      .contains("cid ff 18\nbeta"))
+    // CID/Type0 WITHOUT ToUnicode: the only text is glyph indices ->
+    // NULL (unknowable), never '' and never mojibake
+    assert(pdf(graft.expressions.PdfKernels.synthPdf(19L)).isEmpty)
     // null in -> null out
     assert(Seq[Option[Array[Byte]]](None).toDF("b")
       .select(graft.ops.TextOps.pdfText($"b")).collect()(0).isNullAt(0))

@@ -121,9 +121,10 @@ class WarcSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import graft.ops.{Dedup, TextOps}
     // author real WARC response records: ids 1/9 carry a synth PDF
-    // (arm 1: Flate stream, two lines), id 7 a corrupt PDF (arm 7 ->
-    // NULL), the rest plain HTML — one shard, mixed media, the real
-    // crawl shape
+    // (arm 1: Flate stream, two lines), id 8 a CID-font PDF (arm 8:
+    // Type0 + ToUnicode CMap — its 'beta' line must dedup against the
+    // simple-font twins'), id 7 a corrupt PDF (arm 7 -> NULL), the rest
+    // plain HTML — one shard, mixed media, the real crawl shape
     def pdfRecord(id: Long, body: Array[Byte], mime: String): Array[Byte] = {
       val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $mime\r\n\r\n")
         .getBytes("ISO-8859-1") ++ body
@@ -136,7 +137,9 @@ class WarcSpec extends SparkSpec {
     for (id <- 1L to 9L) {
       val (body, mime) =
         if (id == 1L || id == 9L)
-          (graft.expressions.PdfKernels.synthPdf(id), "application/pdf")
+          (graft.expressions.PdfKernels.synthPdf(id * 10 + 1), "application/pdf")
+        else if (id == 8L)
+          (graft.expressions.PdfKernels.synthPdf(8L), "application/pdf")
         else if (id == 7L)
           (graft.expressions.PdfKernels.synthPdf(7L), "application/pdf")
         else
@@ -159,19 +162,24 @@ class WarcSpec extends SparkSpec {
     val got = recs.select("doc_id", "text")
       .as[(Long, Option[String])].collect().toMap
     // PDF arm 1: two extracted lines, closed form
-    assert(got(1L).contains("alpha 1\nbeta"), s"${got(1L)}")
-    assert(got(9L).contains("alpha 9\nbeta"), s"${got(9L)}")
+    assert(got(1L).contains("alpha 11\nbeta"), s"${got(1L)}")
+    assert(got(9L).contains("alpha 91\nbeta"), s"${got(9L)}")
+    // CID-font PDF: 2-byte codes through its ToUnicode CMap
+    assert(got(8L).contains("cid ff 8\nbeta"), s"${got(8L)}")
     // corrupt PDF refuses (NULL), never a mojibake guess
     assert(got(7L).isEmpty, s"${got(7L)}")
     // HTML route: nav dropped, prose kept
     assert(got(2L).contains("page 2"))
     // the extracted lines are REAL lines: the paragraph tier dedups the
-    // shared 'beta' line across the two PDFs (keep-first)
+    // shared 'beta' line across the three PDFs (keep-first) — including
+    // the CID-encoded one, whose bytes share NOTHING with the
+    // simple-font twins until the CMap decodes them
     val paraed = Dedup.paragraphDedup(
       recs.where($"text".isNotNull).select($"doc_id", $"text"),
       "doc_id", "text")
     val texts = paraed.as[(Long, String)].collect().toMap
-    assert(texts(1L).contains("beta") && !texts(9L).contains("beta"),
+    assert(texts(1L).contains("beta") && !texts(8L).contains("beta") &&
+      !texts(9L).contains("beta"),
       s"keep-first leaves beta only in doc 1: $texts")
   }
 
