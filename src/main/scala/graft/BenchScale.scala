@@ -193,7 +193,11 @@ object BenchScale {
     // and the ladder-rung attribution aggregate (per-row kernel + one
     // grouped count)
     "q_text_html_blocks", "q_src_pdf", "q_text_rungs",
-    "q_mm_decode_vp8l", "q_src_media")
+    "q_mm_decode_vp8l", "q_src_media",
+    // round-18: the CID/ToUnicode PDF arms and json/rss routes ride
+    // q_src_pdf/q_src_media above; new surface is the crawl-fed BM25F
+    // (title/body kernels + the weighted-field postings build)
+    "q_ret_bm25f_crawl")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()

@@ -59,7 +59,11 @@ object BenchScale100 {
     // round-17: block-structured HTML extraction, the PDF text tier,
     // and the ladder-rung attribution aggregate
     "q_text_html_blocks", "q_src_pdf", "q_text_rungs",
-    "q_mm_decode_vp8l", "q_src_media")
+    "q_mm_decode_vp8l", "q_src_media",
+    // round-18: the CID/ToUnicode PDF arms and json/rss routes ride
+    // q_src_pdf/q_src_media above; new surface is the crawl-fed BM25F
+    // (title/body kernels + the weighted-field postings build)
+    "q_ret_bm25f_crawl")
 
   private def releaseResidue(spark: SparkSession, keep: Set[Int]): Unit =
     spark.sparkContext.getPersistentRDDs.foreach {

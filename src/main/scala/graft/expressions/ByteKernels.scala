@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
  *  3. Legacy-charset ladder — the multibyte CJK family (Shift_JIS,
  *     EUC-JP, EUC-KR, GB18030, Big5), the single-byte Cyrillic family
  *     (windows-1251, KOI8-R, KOI8-U, ISO-8859-5), the single-byte
- *     script charsets the 40-language gate covers (ISO-8859-7 /
+ *     script charsets the bundled language gate covers (ISO-8859-7 /
  *     windows-1253 Greek, windows-1255 Hebrew, windows-1256
  *     Arabic/Farsi, windows-874 Thai), and the LATIN rungs
  *     (ISO-8859-9 / windows-1254 Turkish, ISO-8859-2 / windows-1250
@@ -44,7 +44,7 @@ import org.apache.spark.unsafe.types.UTF8String
  *     bags and a lone ideograph is not classifiable; 2 for the Latin
  *     rungs, whose real pages run a handful of accents per sentence),
  *     and (c) CLASSIFY as a language that charset encodes under the
- *     bundled 40-language n-gram identifier with its calibrated
+ *     bundled profile-snapshot n-gram identifier with its calibrated
  *     rejection cutoffs ([[DocKernels.langGateLabel]]). Byte validity
  *     alone CANNOT separate the structurally-ambiguous pairs — EUC-JP
  *     and GB2312 share the EUC frame and even the kana rows, Big5 and
@@ -214,7 +214,7 @@ object ByteKernels {
       rung("KOI8-R", latin = false, "bg", "ru"),
       rung("KOI8-U", latin = false, "bg", "ru", "uk"),
       rung("ISO-8859-5", latin = false, "bg", "ru", "sr", "uk"),
-      // r17: the remaining single-byte scripts the 40-language gate
+      // r17: the remaining single-byte scripts the bundled gate
       // already covers — Greek, Hebrew, Arabic/Farsi, Thai. Same law
       // as the Cyrillic family: every one decodes nearly every byte,
       // so membership + calibrated distance is the only separator.

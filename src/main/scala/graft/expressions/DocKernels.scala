@@ -409,7 +409,7 @@ object DocKernels {
 
   /** `lang_id_ngram(text)` — Cavnar–Trenkle character 1–3-gram language
     * identification over the bundled [[graft.model.LangProfiles]]
-    * snapshot (40 languages incl. the non-Latin
+    * snapshot (snapshot-sized — see LangProfiles.langs — incl. the non-Latin
     * ru/ja/ar/zh/ko/hi/uk/el/he/th/bg the stopword-marker tier lacks). Gram sizes MIX in one ranked list
     * (the classic C&T formulation): unigram/bigram glue is what
     * separates isolating scripts — zh trigrams are too sparse at small
@@ -696,7 +696,7 @@ object DocKernels {
 
   val langIdNgramInfo: ExpressionInfo = new ExpressionInfo(
     classOf[LangIdNgram].getName, null, "lang_id_ngram",
-    "_FUNC_(text) - Cavnar-Trenkle character 1-3-gram language code over the bundled 40-language profile snapshot; 'und' for empty text or when the best distance fails the per-language rejection cutoff.",
+    "_FUNC_(text) - Cavnar-Trenkle character 1-3-gram language code over the bundled profile snapshot; 'und' for empty text or when the best distance fails the per-language rejection cutoff.",
     "", "", "", "", "", "", "built-in")
   val langIdNgramScoredInfo: ExpressionInfo = new ExpressionInfo(
     classOf[LangIdNgramScored].getName, null, "lang_id_ngram_scored",

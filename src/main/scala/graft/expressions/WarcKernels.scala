@@ -86,18 +86,35 @@ object WarcKernels {
   private def readFully(in: InputStream, n: Long): Array[Byte] = {
     if (n > maxRecordBytes)
       throw new EOFException(s"declared record length $n exceeds cap")
-    // grow-as-read: the declaration only SIZES the first chunk hint, it
-    // never allocates the full claim — a lying header meets EOF first
-    val out = new ByteArrayOutputStream(math.min(n, 1L << 16).toInt)
-    val buf = new Array[Byte](1 << 16)
-    var remaining = n
-    while (remaining > 0) {
-      val k = in.read(buf, 0, math.min(remaining, buf.length.toLong).toInt)
-      if (k < 0) throw new EOFException("short block")
-      out.write(buf, 0, k)
-      remaining -= k
+    if (n <= (4L << 20)) {
+      // sane declaration (the overwhelmingly common crawl case): ONE
+      // exact allocation read in place — no chunk buffer, no final
+      // copy (the r17 grow-as-read form cost a full extra copy per
+      // record, A/B-visible on q_src_warc). A lying small header still
+      // meets EOF below with at most 4 MiB transiently allocated.
+      val out = new Array[Byte](n.toInt)
+      var off = 0
+      while (off < out.length) {
+        val k = in.read(out, off, out.length - off)
+        if (k < 0) throw new EOFException("short block")
+        off += k
+      }
+      out
+    } else {
+      // large declaration: grow-as-read — the header is UNTRUSTED and
+      // only sizes the first chunk hint, never the full claim, so a
+      // hostile ~256 MiB declaration cannot allocate ahead of real bytes
+      val out = new ByteArrayOutputStream(1 << 16)
+      val buf = new Array[Byte](1 << 16)
+      var remaining = n
+      while (remaining > 0) {
+        val k = in.read(buf, 0, math.min(remaining, buf.length.toLong).toInt)
+        if (k < 0) throw new EOFException("short block")
+        out.write(buf, 0, k)
+        remaining -= k
+      }
+      out.toByteArray
     }
-    out.toByteArray
   }
 
   /** Per-shard decompressed-bytes cap (default 1 GiB; override with

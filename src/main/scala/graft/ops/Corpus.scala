@@ -704,6 +704,41 @@ object Corpus {
       countDistinct(md5(col(textCol))).as("n_distinct_texts"))
 
   /**
+   * Per-media-type extraction/decode REFUSAL accounting (r18) — the
+   * card row that makes the honest-tier blind spots VISIBLE IN THE
+   * DATA instead of only in scaladoc: the engine's media tiers refuse
+   * what they cannot decode soundly (encrypted/CID-unknowable PDFs,
+   * VP8-lossy/AVIF pixel decode, non-JSON under a json mime, gzip
+   * bombs), and a corpus operator must see how much mass that refusal
+   * mass is per mime before trusting a feed.
+   *
+   * `okCol` is whatever the caller's tier produced — extracted text,
+   * a decoded-image struct — where NULL means REFUSED (the engine-wide
+   * refusal law). One grouped aggregate over one scan: per normalized
+   * media type (parameters stripped, lowercased), document and byte
+   * volume, refused documents and bytes, and the refusal percentage
+   * (4-dp round — the engine's determinism contract).
+   */
+  def mediaRefusalCard(
+      df: DataFrame, mimeCol: String, contentCol: String,
+      okCol: String): DataFrame =
+    df.select(
+        trim(substring_index(lower(coalesce(col(mimeCol), lit(""))), ";", 1))
+          .as("media_type"),
+        coalesce(octet_length(col(contentCol)).cast("long"), lit(0L))
+          .as("_bytes"),
+        col(okCol).isNull.as("_refused"))
+      .groupBy("media_type")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("_refused"), 1L).otherwise(0L)).as("n_refused"),
+        sum(col("_bytes")).as("total_bytes"),
+        sum(when(col("_refused"), col("_bytes")).otherwise(0L))
+          .as("refused_bytes"))
+      .withColumn("refused_pct",
+        round(col("n_refused") * lit(100.0) / col("n_docs"), 4))
+
+  /**
    * Dataset-card DIFF between two corpus snapshots — the release-gate
    * artifact for an append-only corpus: what did this batch of appends do
    * to volume, token mass, and duplication? One long-format row per

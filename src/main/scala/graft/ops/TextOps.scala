@@ -768,8 +768,8 @@ object TextOps {
   def langIdNative(tokens: Column): Column = call_function("lang_id", tokens)
 
   /** Character-n-gram language ID (Cavnar–Trenkle rank profiles over the
-    * bundled [[graft.model.LangProfiles]] snapshot — 40 languages
-    * including ru/ja/ar/zh/ko/hi/uk/el/he/th/bg, the non-Latin coverage [[langId]]'s
+    * bundled [[graft.model.LangProfiles]] snapshot — every snapshot
+    * language, including ru/ja/ar/zh/ko/hi/uk/el/he/th/bg, the non-Latin coverage [[langId]]'s
     * stopword-marker tier lacks; that tier stays available as the cheap
     * 5-language fallback). One codegen'd pass per document
     * ([[graft.expressions.DocKernels.LangIdNgram]] — deterministic

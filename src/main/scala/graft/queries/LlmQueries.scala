@@ -2219,6 +2219,38 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // MEDIA-REFUSAL CARD (r18): the accounting row that turns the
+    // honest tiers' documented blind spots into DATA — per media type,
+    // how many documents and bytes the extraction/decode tiers REFUSED
+    // (corrupt PDFs, non-JSON under a json mime, VP8-LOSSY WebP pixels
+    // — the dominant crawl WebP framing, permanently out of the
+    // pure-JDK tier). Five planted arms with closed-form byte masses;
+    // ok = the tier's own output (NULL ≡ refused, the engine-wide law).
+    "q_src_refusal_card" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val n = col("doc_id").cast("string")
+      val arm = col("doc_id") % 5
+      val content = when(arm === 0, encode(concat(
+          lit("<html><body><p>page "), n, lit("</p></body></html>")), "UTF-8"))
+        .when(arm === 1, call_function("synth_pdf", col("doc_id") * 10 + 7))
+        .when(arm === 2, encode(concat(lit("{\"x\": "), n), "UTF-8"))
+        .when(arm === 3, call_function("synth_webp", col("doc_id") * 21))
+        .otherwise(encode(concat(lit("plain note "), n), "UTF-8"))
+      val mime = when(arm === 0, lit("text/html; charset=UTF-8"))
+        .when(arm === 1, lit("application/pdf"))
+        .when(arm === 2, lit("application/json"))
+        .when(arm === 3, lit("image/webp"))
+        .otherwise(lit("text/plain"))
+      val ok = when(mime.startsWith("image/"),
+          when(Multimodal.decodeImage(content).isNotNull, lit("decoded")))
+        .otherwise(TextOps.extractText(content, mime))
+      Corpus.mediaRefusalCard(
+          docs(s, dir).select(col("doc_id"), mime.as("mime"),
+            content.as("content"), ok.as("ok")),
+          "mime", "content", "ok")
+        .orderBy("media_type")
+    }),
+
     // Byte-level ingest decode over planted byte fixtures: plain UTF-8
     // (identity on the ASCII docs text), legacy Windows-1252 bytes, one
     // and two rounds of UTF-8-as-cp1252 mojibake, undecodable garbage
@@ -2366,8 +2398,8 @@ object LlmQueries {
     }),
 
     // Cavnar–Trenkle character 1–3-gram language ID over the bundled
-    // 40-language profile snapshot: every fifth doc's text is replaced by
-    // a held-out plant rotating through the 40 languages (incl. the
+    // bundled profile snapshot: every fifth doc's text is replaced by
+    // a held-out plant rotating through the snapshot languages (incl. the
     // non-Latin ru/ar/ja/zh/ko/hi/uk/el/he/th/bg the stopword tier cannot
     // see) plus three REJECTION plants (sw/lt/garbage) that must come
     // back 'und'
@@ -4705,6 +4737,32 @@ object LlmQueries {
         |      || 'item one' || chr(10) || 'cdata body ' || CAST(doc_id AS VARCHAR)
         |    ELSE NULL END AS text_out
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Byte masses per arm: html 38+len(id), corrupt pdf '%PD'+str(id*10
+    // +7)+'garbage' = 10+len, broken json 6+len, VP8-lossy webp shell a
+    // CONSTANT 30 (RIFF+size+WEBP+tag+len+10-byte payload), plain 11+
+    // len. Refusals: pdf/json/webp arms entirely; html/plain never.
+    "q_src_refusal_card" ->
+      """WITH a AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS arm,
+        |  length(CAST(doc_id AS VARCHAR)) AS dl,
+        |  length(CAST(doc_id * 10 + 7 AS VARCHAR)) AS dl7 FROM documents),
+        |r AS (SELECT
+        |  CASE arm WHEN 0 THEN 'text/html' WHEN 1 THEN 'application/pdf'
+        |       WHEN 2 THEN 'application/json' WHEN 3 THEN 'image/webp'
+        |       ELSE 'text/plain' END AS media_type,
+        |  CAST(CASE arm WHEN 0 THEN 38 + dl WHEN 1 THEN 10 + dl7
+        |       WHEN 2 THEN 6 + dl WHEN 3 THEN 30 ELSE 11 + dl END
+        |    AS BIGINT) AS bytes,
+        |  CASE WHEN arm IN (1, 2, 3) THEN 1 ELSE 0 END AS refused
+        |  FROM a)
+        |SELECT media_type,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(refused) AS BIGINT) AS n_refused,
+        |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |  CAST(sum(CASE WHEN refused = 1 THEN bytes ELSE 0 END) AS BIGINT)
+        |    AS refused_bytes,
+        |  round(sum(refused) * 100.0 / count(*), 4) AS refused_pct
+        |FROM r GROUP BY media_type ORDER BY media_type""".stripMargin,
 
     // Arms 6/7 (encrypted, corrupt) and 9 (CID font with NO ToUnicode —
     // glyph indices are unknowable) refuse with NULL; arm 8 decodes

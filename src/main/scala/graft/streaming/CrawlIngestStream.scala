@@ -49,17 +49,21 @@ import graft.ops.{Corpus, Dedup, ManifestStore, TextOps}
  * ingest + export-time mix reproduces the batch capstone bit-for-bit
  * (CrawlIngestStreamSpec pins it over ordered shards).
  *
- * Per batch one ledger row: `(batchId, nIn, nUnblocked, nAdmitted,
- * nEmptied, nLang, nQuality, nClean)` — each adjacent difference is one
- * stage's rejection count (nEmptied counts docs whose text the dedup
- * tiers emptied, BEFORE the gates), the per-stage accounting a crawl
- * operator reads before trusting the feed.
+ * Per batch one ledger row: `(batchId, nIn, nRefused, nUnblocked,
+ * nAdmitted, nEmptied, nLang, nQuality, nClean)` — each adjacent
+ * difference is one stage's rejection count (nRefused counts docs whose
+ * EXTRACTION refused — corrupt/encrypted/unknowable PDFs, non-JSON
+ * under a json mime — the honest-tier blind-spot mass, visible in the
+ * ledger instead of silently pre-filtered; nEmptied counts docs whose
+ * text the dedup tiers emptied, BEFORE the gates), the per-stage
+ * accounting a crawl operator reads before trusting the feed.
  */
 object CrawlIngestStream {
 
   final case class BatchReport(
-      batchId: Long, nIn: Long, nUnblocked: Long, nAdmitted: Long,
-      nEmptied: Long, nLang: Long, nQuality: Long, nClean: Long)
+      batchId: Long, nIn: Long, nRefused: Long, nUnblocked: Long,
+      nAdmitted: Long, nEmptied: Long, nLang: Long, nQuality: Long,
+      nClean: Long)
 
   /** How stage 1 turns the payload column into text. */
   sealed trait Extract
@@ -119,9 +123,14 @@ object CrawlIngestStream {
             case Extract.Plain => col(htmlCol)
           }).as("text") +:
           titleCol.map(t => col(t).as("title")).toSeq: _*)
+        // 1b. extraction REFUSALS (null text — the honest tiers refuse
+        // what they cannot decode soundly) leave here, but COUNTED:
+        // the ledger shows the blind-spot mass per batch
+        val extractedOk = framed.where(col("text").isNotNull)
+        val nRefused = nIn - extractedOk.count()
         // 2. blocklist, then the registrable-domain key the cap uses
         val domained = Corpus.filterBlockedUrls(
-            framed, "url", blocked, matchRegistrable = true)
+            extractedOk, "url", blocked, matchRegistrable = true)
           .withColumn("domain",
             coalesce(
               TextOps.registrableDomain(
@@ -182,7 +191,8 @@ object CrawlIngestStream {
               cfg.tablePath, "lang", Seq("lang", idCol), spark)
         }
         onReport(BatchReport(
-          id, nIn, nUnblocked, nAdmitted, nEmptied, nLang, nQuality, nClean))
+          id, nIn, nRefused, nUnblocked, nAdmitted, nEmptied, nLang,
+          nQuality, nClean))
       } finally {
         if (cleaned != null) DriftStream.release(cleaned)
         if (admitted != null) DriftStream.release(admitted)
@@ -222,7 +232,8 @@ object CrawlIngestStream {
         when(!isPdf, TextOps.htmlTitle(
           TextOps.textFromBytesDeclared(col(contentCol), col(mimeCol))))
           .as("_title"))
-      .where(col("_xtext").isNotNull)
+    // refused extractions (null _xtext) flow INTO the chain so the
+    // ledger counts them (nRefused) before they leave at stage 1b
     attach(extracted, idCol, urlCol, "_xtext",
       cfg.copy(extract = Extract.Plain), titleCol = Some("_title"))(onReport)
   }

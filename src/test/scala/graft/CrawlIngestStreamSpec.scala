@@ -135,12 +135,13 @@ class CrawlIngestStreamSpec extends SparkSpec {
     // rejections actually happened (CCNet order: dedup precedes gates)
     assert(reports.size == 3)
     for (r <- reports) {
-      assert(r.nIn >= r.nUnblocked && r.nUnblocked >= r.nAdmitted &&
+      assert(r.nIn - r.nRefused >= r.nUnblocked && r.nUnblocked >= r.nAdmitted &&
         r.nAdmitted >= r.nLang && r.nLang >= r.nQuality &&
         r.nQuality >= r.nClean && r.nEmptied <= r.nAdmitted, r.toString)
     }
     assert(reports.map(_.nIn).sum == 90L)
-    assert(reports.map(r => r.nIn - r.nUnblocked).sum == 10L,
+    assert(reports.map(_.nRefused).sum == 0L, "html strings never refuse")
+    assert(reports.map(r => r.nIn - r.nRefused - r.nUnblocked).sum == 10L,
       "the %9 spam shards block (spam.example.com apex)")
     assert(reports.map(r => r.nLang - r.nQuality).sum > 0,
       "the dup-bigram family fails the quality gate")
@@ -305,9 +306,13 @@ class CrawlIngestStreamSpec extends SparkSpec {
     val got = graft.ops.ManifestStore
       .currentFrame(spark, cfg.tablePath, "lang").get
       .select("doc_id", "text").as[(Long, String)].collect().toMap
-    // the corrupt PDF dropped at EXTRACTION (before nIn even counts it)
+    // the corrupt PDF never reaches the corpus — but the ledger COUNTS
+    // the refusal (r18): extraction blind-spot mass is data, not a
+    // silent pre-filter
     assert(!got.contains(11L), s"corrupt pdf must not ingest: ${got.keySet}")
-    assert(reports.map(_.nIn).sum == 12L, s"$reports")
+    assert(reports.map(_.nIn).sum == 13L, s"$reports")
+    assert(reports.map(_.nRefused).sum == 1L,
+      s"the corrupt pdf is a COUNTED refusal: $reports")
     // html route: nav gone, promo line kept-first in doc 1 only
     assert(got(3L).contains("the house number 3") &&
       !got(3L).contains("menu"), s"${got.get(3L)}")

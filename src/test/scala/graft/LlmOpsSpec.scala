@@ -1543,6 +1543,48 @@ class LlmOpsSpec extends SparkSpec {
       .select(TextOps.xmlText($"s")).collect()(0).isNullAt(0))
   }
 
+  test("Corpus.mediaRefusalCard: a VP8-lossy WebP is COUNTED refused " +
+    "mass (docs and exact bytes), not silently dropped; decodable media " +
+    "and extractable text count zero") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    // a real decodable PNG, a VP8-LOSSY webp (pixel decode refuses —
+    // the documented pure-JDK blind spot), a corrupt PDF, good html
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val lossy = graft.expressions.ImageKernels.synthWebp(0L) // VP8 framing
+    val badPdf = graft.expressions.PdfKernels.synthPdf(7L)
+    val html = "<p>fine</p>".getBytes("UTF-8")
+    val rows = Seq(
+      (1L, "image/png", png), (2L, "image/webp", lossy),
+      (3L, "application/pdf", badPdf), (4L, "text/html", html))
+      .toDF("id", "mime", "content")
+      .withColumn("ok",
+        when($"mime".startsWith("image/"),
+          when(graft.ops.Multimodal.decodeImage($"content").isNotNull,
+            lit("decoded")))
+          .otherwise(graft.ops.TextOps.extractText($"content", $"mime")))
+    val card = graft.ops.Corpus
+      .mediaRefusalCard(rows, "mime", "content", "ok")
+      .select("media_type", "n_docs", "n_refused", "total_bytes",
+        "refused_bytes")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(card("image/webp") ==
+      (("image/webp", 1L, 1L, lossy.length.toLong, lossy.length.toLong)),
+      s"VP8-lossy refusal counted with its exact byte mass: $card")
+    assert(card("image/png") ==
+      (("image/png", 1L, 0L, png.length.toLong, 0L)), s"$card")
+    assert(card("application/pdf") ==
+      (("application/pdf", 1L, 1L, badPdf.length.toLong,
+        badPdf.length.toLong)), s"$card")
+    assert(card("text/html") ==
+      (("text/html", 1L, 0L, html.length.toLong, 0L)), s"$card")
+  }
+
   test("TextOps.canonicalizeUrl: variants collapse, ports/fragments/tracking handled, " +
     "root path and param sort stable") {
     import spark.implicits._
