@@ -449,10 +449,18 @@ object LlmQueries {
     "ბავშვები დილით სკოლაში მიდიან და კითხულობენ წიგნებს მასწავლებელთან ერთად",
     "երեխաները առավոտյան դպրոց են գնում և գրքեր են կարդում ուսուցչի հետ",
     "बालबालिका बिहान हिँडेर विद्यालय जान्छन् र सहरमा शिक्षकसँग किताबहरू पढ्छन्",
+    // batch 6 (r18): am km lo si my — the former rejection stressors
+    // graduate with their unique scripts (Ethiopic, Khmer, Lao,
+    // Sinhala, Myanmar), the batch-3/4/5 move again
+    "ልጆቹ ጠዋት ወደ ትምህርት ቤት ይሄዳሉ እና በከተማው ውስጥ ከመምህሩ ጋር መጽሐፍትን ያነባሉ",
+    "ក្មេងៗដើរទៅសាលារៀននៅពេលព្រឹក ហើយអានសៀវភៅជាមួយគ្រូនៅក្នុងទីក្រុង",
+    "ເດັກນ້ອຍຍ່າງໄປໂຮງຮຽນໃນຕອນເຊົ້າ ແລະອ່ານປຶ້ມກັບຄູໃນເມືອງ",
+    "ළමයි උදේට පයින් පාසලට යනවා සහ නගරයේ ගුරුවරයා එක්ක පොත් කියවනවා",
+    "ကလေးများသည် မနက်ပိုင်းတွင် ကျောင်းသို့ လမ်းလျှောက်သွားပြီး မြို့ထဲတွင် ဆရာနှင့်အတူ စာအုပ်များ ဖတ်ကြသည်",
     // fresh out-of-profile rejection plants: unseen Latin (Basque) and
-    // an unseen script (Khmer)
+    // an unseen script (Tibetan — Khmer graduated in batch 6)
     "haurrak goizean eskolara oinez joaten dira eta liburuak irakurtzen dituzte irakaslearekin",
-    "ក្មេងៗដើរទៅសាលារៀននៅពេលព្រឹក ហើយអានសៀវភៅជាមួយគ្រូ")
+    "བྱིས་པ་ཚོ་ཞོགས་པར་སློབ་གྲྭར་འགྲོ་ནས་དགེ་རྒན་དང་མཉམ་དུ་དཔེ་ཆ་ཀློག་གི་ཡོད")
 
   /** Expected label per [[langPlants]] index — the ground truth the
     * calibration query scores against (the garbage line and the
@@ -467,6 +475,7 @@ object LlmQueries {
     "ca", "hr", "sr", "sk", "sl", "lv", "et", "fa",
     "bn", "ta", "te", "ml", "mr", "gu", "kn", "pa", "ur", "tl",
     "ka", "hy", "ne",
+    "am", "km", "lo", "si", "my",
     "und", "und")
 
   /** Byte framing per [[langPlants]] index for q_pipeline_crawl_bytes:

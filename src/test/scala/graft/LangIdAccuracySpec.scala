@@ -185,7 +185,23 @@ class LangIdAccuracySpec extends SparkSpec {
       "դպրոց", "հիմա"),
     "ne" -> Seq("घरहरू", "पानी", "बालबालिका", "बिहान", "सडक",
       "मानिसहरू", "राम्रो", "सानो", "उनीहरू", "छन्", "गर्छन्",
-      "सहरमा", "विद्यालय", "अहिले"))
+      "सहरमा", "विद्यालय", "अहिले"),
+    // batch 6 (round 18): five unique scripts — Ethiopic, Khmer, Lao,
+    // Sinhala, Myanmar
+    "am" -> Seq("ቤቱ", "ውሃ", "ልጆች", "ጠዋት", "መንገድ", "ሰዎች", "ጥሩ",
+      "ትንሽ", "እነሱ", "አላቸው", "እና", "ጋር", "ከተማ", "ትምህርት"),
+    "km" -> Seq("ផ្ទះ", "ទឹក", "កុមារ", "ពេលព្រឹក", "ផ្លូវ", "មនុស្ស",
+      "ល្អ", "តូច", "ពួកគេ", "មាន", "និង", "ជាមួយ", "ទីក្រុង",
+      "សាលា"),
+    "lo" -> Seq("ເຮືອນ", "ນ້ຳ", "ເດັກນ້ອຍ", "ຕອນເຊົ້າ", "ຖະໜົນ",
+      "ຜູ້ຄົນ", "ດີ", "ນ້ອຍ", "ເຂົາເຈົ້າ", "ມີ", "ແລະ", "ກັບ",
+      "ເມືອງ", "ໂຮງຮຽນ"),
+    "si" -> Seq("ගෙදර", "වතුර", "ළමයි", "උදේ", "පාර", "මිනිසුන්",
+      "හොඳ", "පොඩි", "ඔවුන්", "තියෙනවා", "සහ", "එක්ක", "නගරය",
+      "පාසල"),
+    "my" -> Seq("အိမ်", "ရေ", "ကလေးများ", "မနက်", "လမ်း", "လူများ",
+      "ကောင်း", "သေးငယ်", "သူတို့", "ရှိသည်", "နှင့်", "အတူ",
+      "မြို့", "ကျောင်း"))
 
   private val prose: Seq[(String, String)] = Seq(
     "en" -> "the students finished their homework before dinner and watched a movie together",
@@ -246,7 +262,13 @@ class LangIdAccuracySpec extends SparkSpec {
     // batch 5
     "ka" -> "ჩვენმა გუნდმა გუშინ საღამოს თამაში მოიგო და ყველა ძალიან ბედნიერი იყო",
     "hy" -> "մեր թիմը երեկ երեկոյան հաղթեց խաղը և բոլորը շատ ուրախ էին",
-    "ne" -> "हाम्रो टोलीले हिजो राति खेल जित्यो र सबै धेरै खुसी थिए")
+    "ne" -> "हाम्रो टोलीले हिजो राति खेल जित्यो र सबै धेरै खुसी थिए",
+    // batch 6
+    "am" -> "ቡድናችን ትናንት ማታ ጨዋታውን አሸነፈ እና ሁሉም በጣም ደስተኞች ነበሩ",
+    "km" -> "ក្រុមរបស់យើងឈ្នះការប្រកួតកាលពីយប់មិញ ហើយគ្រប់គ្នាសប្បាយចិត្តណាស់",
+    "lo" -> "ທີມຂອງພວກເຮົາຊະນະການແຂ່ງຂັນເມື່ອຄືນນີ້ ແລະທຸກຄົນດີໃຈຫຼາຍ",
+    "si" -> "අපේ කණ්ඩායම ඊයේ රෑ තරගය දිනුවා සහ හැමෝම ගොඩක් සතුටු වුණා",
+    "my" -> "ကျွန်ုပ်တို့အသင်းသည် မနေ့ညက ပွဲကို အနိုင်ရခဲ့ပြီး အားလုံး အလွန်ပျော်ရွှင်ကြသည်")
 
   private val rejectPlants: Seq[(String, String)] = Seq(
     // sw/lt/et/ca graduated to real labels in batch 3; the rejection set
@@ -257,10 +279,10 @@ class LangIdAccuracySpec extends SparkSpec {
     "sq" -> "fëmijët ecin në shkollë në mëngjes dhe lexojnë libra me mësuesin në qytet",
     "sq" -> "shtëpia është afër lumit dhe njerëzit ecin me qentë e tyre në mbrëmje",
     "ga" -> "siúlann na páistí ar scoil ar maidin agus léann siad leabhair leis an múinteoir",
-    // ka/hy graduated to real labels in batch 5; the unseen-script
-    // stressors are now Amharic (Ethiopic) and Khmer
-    "am" -> "ልጆች በጠዋት ወደ ትምህርት ቤት ይሄዳሉ እና መጽሐፍትን ያነባሉ",
-    "km" -> "ក្មេងៗដើរទៅសាលារៀននៅពេលព្រឹក ហើយអានសៀវភៅជាមួយគ្រូ")
+    // am/km graduated to real labels in batch 6 (with lo/si/my); the
+    // unseen-script stressors are now Tibetan and Dhivehi (Thaana)
+    "bo" -> "བྱིས་པ་ཚོ་ཞོགས་པར་སློབ་གྲྭར་འགྲོ་ནས་དགེ་རྒན་དང་མཉམ་དུ་དཔེ་ཆ་ཀློག་གི་ཡོད",
+    "dv" -> "ކުދިން ހެނދުނު ސްކޫލަށް ހިނގާފައި ގޮސް މުދައްރިސާއެކު ފޮތް ކިޔަނީ")
 
   private val garbage: Seq[String] = Seq(
     "xqzv wkjq pfft zzzz qqq xxkj vvwp", "1234 5678 9012 3456",
@@ -318,8 +340,8 @@ class LangIdAccuracySpec extends SparkSpec {
       v.count(_._2 == "und").toDouble / v.size).toMap
     info(byLang.toSeq.sortBy(_._1).map { case (l, a) => f"$l=$a%.2f" }.mkString(" "))
     // unseen scripts: every gram misses every profile — any cutoff
-    // rejects (ka/hy graduated in batch 5; Ethiopic and Khmer stand in)
-    for (l <- Seq("am", "km"))
+    // rejects (am/km graduated in batch 6; Tibetan and Thaana stand in)
+    for (l <- Seq("bo", "dv"))
       assert(byLang(l) == 1.0, s"$l: ${byLang(l)} — unseen script must always reject")
     // unseen Latin measured 1.00 at this snapshot; floor at 0.9 absorbs
     // profile regeneration (these sit between the Latin profiles — the

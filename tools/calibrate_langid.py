@@ -159,6 +159,20 @@ POOLS = {
     "ne": ["घरहरू", "पानी", "बालबालिका", "बिहान", "सडक", "मानिसहरू",
            "राम्रो", "सानो", "उनीहरू", "छन्", "गर्छन्", "सहरमा",
            "विद्यालय", "अहिले"],
+    # batch 6: five unique scripts — any in-script bag should classify
+    "am": ["ቤቱ", "ውሃ", "ልጆች", "ጠዋት", "መንገድ", "ሰዎች", "ጥሩ",
+           "ትንሽ", "እነሱ", "አላቸው", "እና", "ጋር", "ከተማ", "ትምህርት"],
+    "km": ["ផ្ទះ", "ទឹក", "កុមារ", "ពេលព្រឹក", "ផ្លូវ", "មនុស្ស",
+           "ល្អ", "តូច", "ពួកគេ", "មាន", "និង", "ជាមួយ", "ទីក្រុង",
+           "សាលា"],
+    "lo": ["ເຮືອນ", "ນ້ຳ", "ເດັກນ້ອຍ", "ຕອນເຊົ້າ", "ຖະໜົນ", "ຜູ້ຄົນ",
+           "ດີ", "ນ້ອຍ", "ເຂົາເຈົ້າ", "ມີ", "ແລະ", "ກັບ", "ເມືອງ",
+           "ໂຮງຮຽນ"],
+    "si": ["ගෙදර", "වතුර", "ළමයි", "උදේ", "පාර", "මිනිසුන්", "හොඳ",
+           "පොඩි", "ඔවුන්", "තියෙනවා", "සහ", "එක්ක", "නගරය", "පාසල"],
+    "my": ["အိမ်", "ရေ", "ကလေးများ", "မနက်", "လမ်း", "လူများ",
+           "ကောင်း", "သေးငယ်", "သူတို့", "ရှိသည်", "နှင့်", "အတူ",
+           "မြို့", "ကျောင်း"],
 }
 
 # unspaced scripts: word bags join without separators (matches the spec)
@@ -222,6 +236,12 @@ PROSE = {
     "ka": "ჩვენმა გუნდმა გუშინ საღამოს თამაში მოიგო და ყველა ძალიან ბედნიერი იყო",
     "hy": "մեր թիմը երեկ երեկոյան հաղթեց խաղը և բոլորը շատ ուրախ էին",
     "ne": "हाम्रो टोलीले हिजो राति खेल जित्यो र सबै धेरै खुसी थिए",
+    # batch 6
+    "am": "ቡድናችን ትናንት ማታ ጨዋታውን አሸነፈ እና ሁሉም በጣም ደስተኞች ነበሩ",
+    "km": "ក្រុមរបស់យើងឈ្នះការប្រកួតកាលពីយប់មិញ ហើយគ្រប់គ្នាសប្បាយចិត្តណាស់",
+    "lo": "ທີມຂອງພວກເຮົາຊະນະການແຂ່ງຂັນເມື່ອຄືນນີ້ ແລະທຸກຄົນດີໃຈຫຼາຍ",
+    "si": "අපේ කණ්ඩායම ඊයේ රෑ තරගය දිනුවා සහ හැමෝම ගොඩක් සතුටු වුණා",
+    "my": "ကျွန်ုပ်တို့အသင်းသည် မနေ့ညက ပွဲကို အနိုင်ရခဲ့ပြီး အားလုံး အလွန်ပျော်ရွှင်ကြသည်",
 }
 
 # LlmQueries.langPlants — the oracle plants (with batch-2 ground truth)
@@ -282,22 +302,28 @@ ORACLE_PLANTS = {
     "ka": "ბავშვები დილით სკოლაში მიდიან და კითხულობენ წიგნებს მასწავლებელთან ერთად",
     "hy": "երեխաները առավոտյան դպրոց են գնում և գրքեր են կարդում ուսուցչի հետ",
     "ne": "बालबालिका बिहान हिँडेर विद्यालय जान्छन् र सहरमा शिक्षकसँग किताबहरू पढ्छन्",
+    # batch 6
+    "am": "ልጆቹ ጠዋት ወደ ትምህርት ቤት ይሄዳሉ እና በከተማው ውስጥ ከመምህሩ ጋር መጽሐፍትን ያነባሉ",
+    "km": "ក្មេងៗដើរទៅសាលារៀននៅពេលព្រឹក ហើយអានសៀវភៅជាមួយគ្រូនៅក្នុងទីក្រុង",
+    "lo": "ເດັກນ້ອຍຍ່າງໄປໂຮງຮຽນໃນຕອນເຊົ້າ ແລະອ່ານປຶ້ມກັບຄູໃນເມືອງ",
+    "si": "ළමයි උදේට පයින් පාසලට යනවා සහ නගරයේ ගුරුවරයා එක්ක පොත් කියවනවා",
+    "my": "ကလေးများသည် မနက်ပိုင်းတွင် ကျောင်းသို့ လမ်းလျှောက်သွားပြီး မြို့ထဲတွင် ဆရာနှင့်အတူ စာအုပ်များ ဖတ်ကြသည်",
 }
 
 # languages NO profile covers — candidates for the rejection fixtures;
 # each sentence must reject to 'und' under the suggested cutoffs
 REJECT_PLANTS = [
     # batch 3 graduated sw/lt/et/ca to real labels; the rejection set is
-    # now two unseen scripts plus three unseen-Latin stressors
+    # two unseen scripts plus three unseen-Latin stressors
     ("eu", "haurrak goizean eskolara oinez joaten dira eta liburuak irakurtzen dituzte irakaslearekin"),
     ("eu", "etxea ibaiaren ondoan dago eta jendea arratsaldean paseatzen da bere txakurrekin"),
     ("sq", "fëmijët ecin në shkollë në mëngjes dhe lexojnë libra me mësuesin në qytet"),
     ("sq", "shtëpia është afër lumit dhe njerëzit ecin me qentë e tyre në mbrëmje"),
     ("ga", "siúlann na páistí ar scoil ar maidin agus léann siad leabhair leis an múinteoir"),
-    # ka/hy graduated to real labels in batch 5; the unseen-script
-    # stressors are now Amharic (Ethiopic) and Khmer
-    ("am", "ልጆች በጠዋት ወደ ትምህርት ቤት ይሄዳሉ እና መጽሐፍትን ያነባሉ"),
-    ("km", "ក្មេងៗដើរទៅសាលារៀននៅពេលព្រឹក ហើយអានសៀវភៅជាមួយគ្រូ"),
+    # am/km graduated to real labels in batch 6 (with lo/si/my); the
+    # unseen-script stressors are now Tibetan and Dhivehi (Thaana)
+    ("bo", "བྱིས་པ་ཚོ་ཞོགས་པར་སློབ་གྲྭར་འགྲོ་ནས་དགེ་རྒན་དང་མཉམ་དུ་དཔེ་ཆ་ཀློག་གི་ཡོད"),
+    ("dv", "ކުދިން ހެނދުނު ސްކޫލަށް ހިނގާފައި ގޮސް މުދައްރިސާއެކު ފޮތް ކިޔަނީ"),
 ]
 
 GARBAGE = [

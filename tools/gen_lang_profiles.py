@@ -84,6 +84,11 @@ CUTOFFS = {
     "gu": 395, "kn": 384, "pa": 442, "ur": 415, "tl": 195,
     # batch 5 (r17, calibrated at the 53-language snapshot)
     "ka": 422, "hy": 417, "ne": 385,
+    # batch 6 (r18, calibrated at the 58-language snapshot): the five
+    # unique-script graduates — Ethiopic, Khmer, Lao, Sinhala, Myanmar.
+    # The new unseen-script stressors (Tibetan, Thaana Dhivehi) reject
+    # at 0.984 normalized — no shared script grams anywhere.
+    "am": 570, "km": 448, "lo": 440, "si": 364, "my": 314,
 }
 
 SEEDS = {
@@ -1271,6 +1276,83 @@ SEEDS = {
         "मेरी बहिनी खाना पकाउन सिक्दै छिन् र आज तरकारीको सुप बनाइन्",
         "डाक्टरले उनलाई केही दिन आराम गर्न र धेरै पानी पिउन भने",
         "म तीन किलो स्याउ र आधा किलो पनिर किन्न चाहन्छु",
+    ],
+    # batch 6 (r18): am km lo si my — the five rejection-stressor /
+    # real-crawl languages with UNIQUE scripts (Ethiopic, Khmer, Lao,
+    # Sinhala, Myanmar), the cheapest adds per the batch-3/4/5 pattern:
+    # no cousin in the snapshot shares a single script gram, so the
+    # gate's correctness rides the script mass. am/km graduate from the
+    # rejection fixtures; the new unseen-script stressors are Tibetan
+    # and Dhivehi (Thaana).
+    "am": [
+        "ሁሉም ሰዎች በክብርና በመብት እኩል ሆነው በነጻነት ይወለዳሉ",
+        "ቤቱ ከወንዙ አጠገብ ነው እና ሰዎች ማታ ከውሾቻቸው ጋር ይራመዳሉ",
+        "ጠዋት ወደ ገበያ ሄድን እና ለልጆቹ ዳቦ ወተት እና እንቁላል ገዛን",
+        "አሁን ስንት ሰዓት ነው እና ነገ ወደ ቤታችን መቼ ትመለሳለህ",
+        "መጽሐፉ ጠረጴዛው ላይ ነበር አለች ግን የትም ማግኘት አልቻልኩም",
+        "ወንድሜ በየቀኑ በከተማ ይሠራል እና ማታ ዘግይቶ ወደ ቤት ይመጣል",
+        "ትናንት ብርድ ነበር ስለዚህ ቤት ቆየን እና መጽሐፍትን አነበብን",
+        "ከትምህርት ቤቱ ጀርባ ባለው የአትክልት ስፍራ ብዙ አሮጌ ዛፎች አሉ",
+        "እባክህ የቅርቡ ጣቢያ የት እንደሆነ እና ትኬቱ ስንት እንደሚያወጣ ንገረኝ",
+        "እህቴ ምግብ ማብሰል እየተማረች ነው እና ዛሬ የአትክልት ሾርባ ሠራች",
+        "ሐኪሙ ለጥቂት ቀናት እንዲያርፍ እና ብዙ ውሃ እንዲጠጣ ነገረው",
+        "ሦስት ኪሎ ፖም እና ግማሽ ኪሎ አይብ መግዛት እፈልጋለሁ",
+    ],
+    "km": [
+        "មនុស្សទាំងអស់កើតមកមានសេរីភាព និងស្មើភាពគ្នាក្នុងសេចក្តីថ្លៃថ្នូរនិងសិទ្ធិ",
+        "ផ្ទះនៅជិតទន្លេ ហើយនៅពេលល្ងាចមនុស្សដើរលេងជាមួយឆ្កែរបស់ពួកគេ",
+        "ពេលព្រឹកយើងទៅផ្សារ ហើយទិញនំប៉័ង ទឹកដោះគោ និងស៊ុតសម្រាប់កុមារ",
+        "ឥឡូវនេះម៉ោងប៉ុន្មាន ហើយថ្ងៃស្អែកអ្នកនឹងត្រឡប់មកផ្ទះយើងនៅពេលណា",
+        "នាងបាននិយាយថាសៀវភៅនៅលើតុ ប៉ុន្តែខ្ញុំរកមិនឃើញនៅកន្លែងណាទេ",
+        "បងប្រុសរបស់ខ្ញុំធ្វើការនៅទីក្រុងរាល់ថ្ងៃ ហើយត្រឡប់មកផ្ទះយប់ជ្រៅ",
+        "ម្សិលមិញអាកាសធាតុត្រជាក់ ដូច្នេះយើងនៅផ្ទះ ហើយអានសៀវភៅ",
+        "មានដើមឈើចាស់ៗជាច្រើននៅក្នុងសួនខាងក្រោយសាលារៀន",
+        "សូមប្រាប់ខ្ញុំថាស្ថានីយ៍ជិតបំផុតនៅឯណា ហើយសំបុត្រតម្លៃប៉ុន្មាន",
+        "បងស្រីរបស់ខ្ញុំកំពុងរៀនធ្វើម្ហូប ហើយថ្ងៃនេះនាងធ្វើស៊ុបបន្លែ",
+        "វេជ្ជបណ្ឌិតបានប្រាប់គាត់ឱ្យសម្រាកពីរបីថ្ងៃ ហើយផឹកទឹកឱ្យបានច្រើន",
+        "ខ្ញុំចង់ទិញផ្លែប៉ោមបីគីឡូ និងឈីសកន្លះគីឡូ",
+    ],
+    "lo": [
+        "ຄົນທຸກຄົນເກີດມາມີອິດສະລະພາບ ແລະສະເໝີພາບໃນກຽດສັກສີແລະສິດທິ",
+        "ເຮືອນຢູ່ໃກ້ແມ່ນ້ຳ ແລະຕອນແລງຜູ້ຄົນຍ່າງຫຼິ້ນກັບໝາຂອງເຂົາເຈົ້າ",
+        "ຕອນເຊົ້າພວກເຮົາໄປຕະຫຼາດ ແລະຊື້ເຂົ້າຈີ່ ນົມ ແລະໄຂ່ໃຫ້ເດັກນ້ອຍ",
+        "ດຽວນີ້ຈັກໂມງແລ້ວ ແລະມື້ອື່ນເຈົ້າຈະກັບມາເຮືອນເຮົາເວລາໃດ",
+        "ລາວເວົ້າວ່າປຶ້ມຢູ່ເທິງໂຕະ ແຕ່ຂ້ອຍຊອກບໍ່ເຫັນຢູ່ໃສເລີຍ",
+        "ອ້າຍຂອງຂ້ອຍເຮັດວຽກຢູ່ໃນເມືອງທຸກມື້ ແລະກັບເຮືອນຊ້າໃນຕອນກາງຄືນ",
+        "ມື້ວານອາກາດໜາວ ສະນັ້ນພວກເຮົາຢູ່ເຮືອນ ແລະອ່ານປຶ້ມ",
+        "ມີຕົ້ນໄມ້ເກົ່າຫຼາຍຕົ້ນຢູ່ໃນສວນຫຼັງໂຮງຮຽນ",
+        "ກະລຸນາບອກຂ້ອຍວ່າສະຖານີທີ່ໃກ້ທີ່ສຸດຢູ່ໃສ ແລະປີ້ລາຄາເທົ່າໃດ",
+        "ເອື້ອຍຂອງຂ້ອຍກຳລັງຮຽນແຕ່ງກິນ ແລະມື້ນີ້ລາວເຮັດແກງຜັກ",
+        "ທ່ານໝໍບອກໃຫ້ລາວພັກຜ່ອນສອງສາມມື້ ແລະດື່ມນ້ຳຫຼາຍໆ",
+        "ຂ້ອຍຢາກຊື້ໝາກໂປມສາມກິໂລ ແລະເນີຍແຂງເຄິ່ງກິໂລ",
+    ],
+    "si": [
+        "සියලු මිනිසුන් උපතින්ම නිදහස් වන අතර ගරුත්වයෙන් හා අයිතිවාසිකම්වලින් සමාන වේ",
+        "ගෙදර ගඟ අසල පිහිටා ඇති අතර සවස මිනිසුන් ඔවුන්ගේ බල්ලන් සමඟ ඇවිදිති",
+        "උදේ අපි වෙළඳපොළට ගොස් ළමයින්ට පාන් කිරි සහ බිත්තර මිලදී ගත්තෙමු",
+        "දැන් වෙලාව කීයද සහ හෙට ඔබ අපේ ගෙදරට එන්නේ කවදාද",
+        "පොත මේසය උඩ තිබුණා කියා ඇය කීවා නමුත් මට කොහේවත් හොයාගන්න බැරි වුණා",
+        "මගේ සහෝදරයා හැමදාම නගරයේ වැඩ කරන අතර රෑ පරක්කු වී ගෙදර එයි",
+        "ඊයේ සීතල නිසා අපි ගෙදර නැවතී පොත් කියෙව්වෙමු",
+        "පාසල පිටුපස වත්තේ පරණ ගස් ගොඩක් තිබේ",
+        "කරුණාකර ළඟම දුම්රිය ස්ථානය කොහෙද සහ ටිකට් එකක මිල කීයද කියන්න",
+        "මගේ සහෝදරිය උයන්න ඉගෙන ගන්නවා අද ඇය එළවළු සුප් එකක් හැදුවා",
+        "වෛද්‍යවරයා ඔහුට දින කිහිපයක් විවේක ගන්නත් වතුර ගොඩක් බොන්නත් කීවා",
+        "මට ඇපල් කිලෝ තුනක් සහ චීස් කිලෝ භාගයක් ගන්න ඕනේ",
+    ],
+    "my": [
+        "လူတိုင်းသည် လွတ်လပ်၍ ဂုဏ်သိက္ခာနှင့် အခွင့်အရေးတို့၌ တန်းတူညီမျှ မွေးဖွားလာကြသည်",
+        "အိမ်သည် မြစ်အနီးတွင် ရှိပြီး ညနေပိုင်းတွင် လူများသည် ခွေးများနှင့်အတူ လမ်းလျှောက်ကြသည်",
+        "မနက်ပိုင်းတွင် ကျွန်ုပ်တို့ ဈေးသို့သွားပြီး ကလေးများအတွက် ပေါင်မုန့် နို့နှင့် ကြက်ဥများ ဝယ်ခဲ့သည်",
+        "အခု ဘယ်နှနာရီရှိပြီလဲ မနက်ဖြန် ကျွန်ုပ်တို့အိမ်သို့ ဘယ်အချိန် ပြန်လာမလဲ",
+        "စာအုပ်သည် စားပွဲပေါ်တွင် ရှိသည်ဟု သူမပြောသော်လည်း ကျွန်ုပ် ဘယ်နေရာမှာမှ ရှာမတွေ့ပါ",
+        "ကျွန်ုပ်၏အစ်ကိုသည် နေ့တိုင်း မြို့ထဲတွင် အလုပ်လုပ်ပြီး ညဉ့်နက်မှ အိမ်ပြန်သည်",
+        "မနေ့က ရာသီဥတုအေးသောကြောင့် ကျွန်ုပ်တို့ အိမ်မှာနေပြီး စာအုပ်များ ဖတ်ခဲ့သည်",
+        "ကျောင်းနောက်ဘက် ဥယျာဉ်ထဲတွင် သစ်ပင်အိုများစွာ ရှိသည်",
+        "အနီးဆုံးဘူတာရုံ ဘယ်မှာရှိသလဲ လက်မှတ်တစ်စောင် ဘယ်လောက်ကျသလဲ ပြောပြပေးပါ",
+        "ကျွန်ုပ်၏ညီမသည် ချက်ပြုတ်သင်နေပြီး ယနေ့ ဟင်းသီးဟင်းရွက်စွပ်ပြုတ် ချက်ခဲ့သည်",
+        "ဆရာဝန်က သူ့အား ရက်အနည်းငယ် အနားယူရန်နှင့် ရေများများသောက်ရန် ပြောသည်",
+        "ပန်းသီး သုံးကီလိုနှင့် ဒိန်ခဲ တစ်ဝက်ကီလို ဝယ်ချင်သည်",
     ],
 }
 
