@@ -369,6 +369,21 @@ class PlanAuditSpec extends SparkSpec {
       s"q_text_rungs is a kernel projection + one aggregate:\n${r.take(600)}")
     assert(r.contains("HashAggregate"),
       s"rung counts must partial-aggregate:\n${r.take(600)}")
+    // r18: the refusal card is the tier kernels scan-side into ONE hash
+    // aggregate keyed by media type — vocabulary-sized groups, no join
+    val rc = plan("q_src_refusal_card")
+    assert(!rc.contains("ScalaUDF") && !rc.contains("Join"),
+      s"refusal card is projection + one aggregate:\n${rc.take(600)}")
+    assert(rc.contains("HashAggregate"),
+      s"refusal counts must partial-aggregate:\n${rc.take(600)}")
+    // r18: the crawl-fed BM25F keeps the fielded form's exact contract —
+    // title/body kernels ride the scan projection (no UDF, no cartesian),
+    // query terms broadcast into the postings
+    val bf = plan("q_ret_bm25f_crawl")
+    assert(!bf.contains("ScalaUDF") && !bf.contains("CartesianProduct"),
+      s"crawl BM25F shape broke:\n${bf.take(800)}")
+    assert(bf.contains("BroadcastHashJoin"),
+      s"query terms must broadcast into the postings:\n${bf.take(800)}")
   }
 
   test("span dedup: equi-joins only — no occurrence-pair blowup") {
