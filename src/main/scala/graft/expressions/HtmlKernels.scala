@@ -201,6 +201,14 @@ object HtmlKernels {
     "content", "subtitle", "author", "name", "category", "link", "guid",
     "pubdate", "updated", "published", "id", "enclosure")
 
+  /** XML-mode SKIP subtrees: pure-metadata feed elements whose text is
+    * URLs, URNs, and timestamps — schema, not prose (the same law that
+    * keeps json_text from harvesting keys). Left in, every item would
+    * ship unique-per-doc noise lines that inflate dedup keys and skew
+    * the quality/language gates. */
+  private val xmlMetaTags = Set(
+    "link", "guid", "pubdate", "updated", "published", "id", "enclosure")
+
   private def isNameChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9')
@@ -267,6 +275,9 @@ object HtmlKernels {
   private[expressions] def toTextString(s: String, xml: Boolean): String = {
     val n = s.length
     val blocks = if (xml) xmlBlockTags else blockTags
+    // subtrees whose CONTENT is dropped whole: html chrome, or the
+    // feed metadata elements (URLs/timestamps are schema, not prose)
+    val skips = if (xml) xmlMetaTags else dropSubtrees
     // pass 1: strip tags, drop non-content subtrees, mark block
     // boundaries with '\n' and inline-tag sites with ' '
     val sb = new java.lang.StringBuilder(n)
@@ -298,16 +309,16 @@ object HtmlKernels {
         else {
           if (blocks.contains(name)) sb.append('\n') else sb.append(' ')
           i = skipTag(s, i + 1)
-          if (xml && dropSubtrees.contains(name)) {
-            // feed mode: nothing is chrome — head/nav/... are ordinary
-            // elements (an XHTML page shipped as XML still gets its
-            // html-mode treatment via the CDATA path, not here)
-            ()
-          } else if (!isClose && (name == "script" || name == "style")) {
+          // a self-closed tag (<enclosure url=… /> — the usual feed
+          // form) has no subtree to skip; entering the skip would
+          // swallow to end of input looking for a close that never comes
+          val selfClosing = i >= 2 && s.charAt(i - 2) == '/'
+          if (!isClose && !selfClosing &&
+              (name == "script" || name == "style")) {
             // raw-text element: content is code, skip to the close tag
             val close = findClose(s, i, name)
             i = if (close < 0) n else skipTag(s, close + 2 + name.length)
-          } else if (!isClose && dropSubtrees.contains(name)) {
+          } else if (!isClose && !selfClosing && skips.contains(name)) {
             // chrome subtree: skip to the matching close with same-tag
             // depth counting; an unclosed <head> ends at <body>
             var depth = 1
@@ -338,8 +349,16 @@ object HtmlKernels {
     // pass 2: entity decode (no safe entity decodes to a newline, so the
     // line structure above is final)
     val decoded = unescapeString(sb.toString)
-    // pass 3: per-line whitespace collapse — trim each line, single
-    // spaces within, drop empties, join with '\n'
+    // pass 3: the shared line law
+    collapseLines(decoded)
+  }
+
+  /** THE per-line whitespace-collapse law — trim each line, single
+    * spaces within, drop empties, join with '\n'. One implementation
+    * shared by every text tier (html/xml pass 3, pdf_text, json_text)
+    * so the cross-media dedup contract — same line units everywhere —
+    * cannot silently diverge. */
+  private[expressions] def collapseLines(decoded: String): String = {
     val m = decoded.length
     val out = new java.lang.StringBuilder(m)
     var pendingBreak = false

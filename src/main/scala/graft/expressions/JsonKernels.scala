@@ -44,7 +44,12 @@ object JsonKernels {
 
   def jsonText(u: UTF8String): UTF8String = {
     if (u == null) return null
-    val s = u.toString
+    val raw = u.toString
+    // a leading U+FEFF (the UTF-8 BOM surviving byte decode — standard
+    // Windows tooling output) is not content; refusing it would count
+    // perfectly valid JSON as refusal mass
+    val s = if (raw.nonEmpty && raw.charAt(0) == 0xFEFF.toChar) raw.substring(1)
+            else raw
     val out = new java.lang.StringBuilder(math.min(s.length, 256))
     try {
       val end = parseValue(s, skipWs(s, 0), out, 0)
@@ -179,27 +184,9 @@ object JsonKernels {
     j
   }
 
-  /** The html_to_text pass-3 line law. */
-  private def collapse(decoded: String): String = {
-    val m = decoded.length
-    val out = new java.lang.StringBuilder(m)
-    var pendingBreak = false
-    var pendingSpace = false
-    var j = 0
-    while (j < m) {
-      val c = decoded.charAt(j)
-      if (c == '\n') pendingBreak = true
-      else if (Character.isWhitespace(c)) pendingSpace = true
-      else {
-        if (pendingBreak) { if (out.length > 0) out.append('\n') }
-        else if (pendingSpace && out.length > 0) out.append(' ')
-        pendingBreak = false; pendingSpace = false
-        out.append(c)
-      }
-      j += 1
-    }
-    out.toString
-  }
+  /** The shared per-line collapse law ([[HtmlKernels.collapseLines]]). */
+  private def collapse(decoded: String): String =
+    HtmlKernels.collapseLines(decoded)
 
   /** `json_text(string)` — see [[JsonKernels]]. */
   case class JsonText(child: Expression) extends UnaryExpression {

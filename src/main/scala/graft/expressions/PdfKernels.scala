@@ -336,27 +336,9 @@ object PdfKernels {
     }
   }
 
-  /** Per-line whitespace collapse — the html_to_text pass-3 law. */
-  private def collapseLines(decoded: String): String = {
-    val m = decoded.length
-    val out = new java.lang.StringBuilder(m)
-    var pendingBreak = false
-    var pendingSpace = false
-    var j = 0
-    while (j < m) {
-      val c = decoded.charAt(j)
-      if (c == '\n') pendingBreak = true
-      else if (Character.isWhitespace(c)) pendingSpace = true
-      else {
-        if (pendingBreak) { if (out.length > 0) out.append('\n') }
-        else if (pendingSpace && out.length > 0) out.append(' ')
-        pendingBreak = false; pendingSpace = false
-        out.append(c)
-      }
-      j += 1
-    }
-    out.toString
-  }
+  /** The shared per-line collapse law ([[HtmlKernels.collapseLines]]). */
+  private def collapseLines(decoded: String): String =
+    HtmlKernels.collapseLines(decoded)
 
   private val EncryptKw = "/Encrypt".getBytes("ISO-8859-1")
 
@@ -366,16 +348,21 @@ object PdfKernels {
     * dict alike). An occurrence inside stream DATA is page content or
     * ciphertext coincidence, not an encryption marker. */
   private def encryptDictPresent(b: Array[Byte]): Boolean = {
+    // occurrences are monotone, so each is searched for ONCE and only
+    // re-searched after a stream span consumed it — the no-/Encrypt
+    // common case costs one scan, not one per stream object
     var at = 0
+    var e = indexOf(b, EncryptKw, 0)
     while (at < b.length) {
+      if (e < 0) return false
       val sk = indexOf(b, StreamKw, at)
       val limit = if (sk < 0) b.length else sk
-      val e = indexOf(b, EncryptKw, at)
-      if (e >= 0 && e < limit) return true
+      if (e < limit) return true
       if (sk < 0) return false
       val end = indexOf(b, EndstreamKw, sk + StreamKw.length)
       if (end < 0) return false // unterminated stream: rest is data
       at = end + EndstreamKw.length
+      if (e < at) e = indexOf(b, EncryptKw, at)
     }
     false
   }
@@ -508,29 +495,41 @@ object PdfKernels {
     else base.substring(0, base.length - 1) +
       (base.charAt(base.length - 1) + delta).toChar
 
+  /** Source-code hex → int, or -1 when it exceeds the supported 1–2
+    * byte code space (4-byte surrogate-coded srcs — CJK Extension-B
+    * subset fonts — are out of tier: the ENTRY is skipped, never a
+    * parse exception that would refuse the whole document). */
+  private def srcHex(hex: String): Int =
+    if (hex.length > 4) -1 else Integer.parseInt(hex, 16)
+
   /** Parse a ToUnicode CMap: code width from the codespace range
     * (default 2 bytes — Identity-H), bfchar pairs, bfrange in both the
     * dst-start and dst-array forms. Bounded: a range wider than 65536
-    * codes is hostile input and is clipped. */
+    * codes is hostile input and is clipped; srcs beyond the 2-byte
+    * code space are skipped per-entry (see [[srcHex]]). */
   private def parseCMap(text: String): (Int, java.util.HashMap[Integer, String]) = {
     val map = new java.util.HashMap[Integer, String]()
     val width = CodespaceRe.findFirstMatchIn(text)
       .map(_.group(1).length / 2).filter(w => w == 1 || w == 2).getOrElse(2)
     for (sec <- BfCharRe.findAllMatchIn(text); m <- HexPairRe.findAllMatchIn(sec.group(1))) {
-      map.put(Integer.parseInt(m.group(1), 16), utf16Hex(m.group(2)))
+      val src = srcHex(m.group(1))
+      if (src >= 0) map.put(src, utf16Hex(m.group(2)))
     }
     for (sec <- BfRangeRe.findAllMatchIn(text); m <- RangeRe.findAllMatchIn(sec.group(1))) {
-      val lo = Integer.parseInt(m.group(1), 16)
-      val hi = math.min(Integer.parseInt(m.group(2), 16), lo + 0xffff)
-      if (m.group(3) != null) {
-        val base = utf16Hex(m.group(3))
-        var code = lo
-        while (code <= hi) { map.put(code, bumpLast(base, code - lo)); code += 1 }
-      } else {
-        val dsts = HexRe.findAllMatchIn(m.group(4)).map(_.group(1)).toArray
-        var k = 0
-        while (k < dsts.length && lo + k <= hi) {
-          map.put(lo + k, utf16Hex(dsts(k))); k += 1
+      val lo = srcHex(m.group(1))
+      val hi0 = srcHex(m.group(2))
+      if (lo >= 0 && hi0 >= 0) {
+        val hi = math.min(hi0, lo + 0xffff)
+        if (m.group(3) != null) {
+          val base = utf16Hex(m.group(3))
+          var code = lo
+          while (code <= hi) { map.put(code, bumpLast(base, code - lo)); code += 1 }
+        } else {
+          val dsts = HexRe.findAllMatchIn(m.group(4)).map(_.group(1)).toArray
+          var k = 0
+          while (k < dsts.length && lo + k <= hi) {
+            map.put(lo + k, utf16Hex(dsts(k))); k += 1
+          }
         }
       }
     }
@@ -539,8 +538,13 @@ object PdfKernels {
 
   private val HexRe = "<([0-9A-Fa-f]+)>".r
   private val ToUnicodeRe = "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r
-  private val FontBindRe = "/(\\w+)\\s+(\\d+)\\s+\\d+\\s+R".r
+  // resource names run to the next delimiter — PDF name tokens legally
+  // carry '.', '-', '#xx' escapes and more, and the Tf reader keeps the
+  // raw spelling, so both sides must share the charset or bindings miss
+  private val FontBindRe =
+    "/([^\\s/<>\\[\\](){}%]+)\\s+(\\d+)\\s+\\d+\\s+R".r
   private val FontDictRe = "(?s)/Font\\s*<<(.*?)>>".r
+  private val FontRefRe = "/Font\\s+(\\d+)\\s+\\d+\\s+R".r
 
   /** Resolve resource font names to decode modes. Called only when the
     * document mentions /Type0 at all (the simple-font fast path pays
@@ -563,8 +567,14 @@ object PdfKernels {
             val ref = m.group(1).toInt
             objs.get(ref).map(objectStreamData(b, _)) match {
               case Some(cm) if cm != null =>
-                val (w, map) = parseCMap(new String(cm, "ISO-8859-1"))
-                if (map.isEmpty) CidUnknowable else CidFont(w, map)
+                // a CMap the tier cannot parse is an UNUSABLE map for
+                // THIS FONT — never an exception that refuses the doc
+                try {
+                  val (w, map) = parseCMap(new String(cm, "ISO-8859-1"))
+                  if (map.isEmpty) CidUnknowable else CidFont(w, map)
+                } catch {
+                  case e if scala.util.control.NonFatal(e) => CidUnknowable
+                }
               case _ => CidUnknowable
             }
           case None => CidUnknowable
@@ -573,16 +583,30 @@ object PdfKernels {
       }
     }
     if (type0.isEmpty) return Map.empty
-    // resource bindings: /Font << /F1 5 0 R … >> anywhere in object dicts
-    val out = scala.collection.mutable.Map.empty[String, FontMode]
-    for ((_, (s, e)) <- objs) {
+    // resource bindings: /Font << /F1 5 0 R … >> INLINE in any object
+    // dict, plus the indirect form /Font 9 0 R where object 9 IS the
+    // name→ref dict (a common generator layout — without following the
+    // ref, Type0 fonts stay unbound and decode as WinAnsi mojibake)
+    def dictText(span: (Int, Int)): String = {
+      val (s, e) = span
       val sk = indexOf(b, StreamKw, s)
       val dictEnd = if (sk >= 0 && sk < e) sk else e
-      val dict = new String(b, s, dictEnd - s, "ISO-8859-1")
+      new String(b, s, dictEnd - s, "ISO-8859-1")
+    }
+    val out = scala.collection.mutable.Map.empty[String, FontMode]
+    def bind(inner: String): Unit =
+      for (m <- FontBindRe.findAllMatchIn(inner))
+        type0.get(m.group(2).toInt).foreach(mode => out(m.group(1)) = mode)
+    for ((_, span) <- objs) {
+      val dict = dictText(span)
       if (dict.contains("/Font")) {
-        for (fd <- FontDictRe.findAllMatchIn(dict);
-             m <- FontBindRe.findAllMatchIn(fd.group(1))) {
-          type0.get(m.group(2).toInt).foreach(mode => out(m.group(1)) = mode)
+        for (fd <- FontDictRe.findAllMatchIn(dict)) bind(fd.group(1))
+        for (fr <- FontRefRe.findAllMatchIn(dict);
+             span2 <- objs.get(fr.group(1).toInt)) {
+          val target = dictText(span2)
+          // the referenced object is the font dict itself: its whole
+          // body is name→ref pairs
+          bind(target)
         }
       }
     }

@@ -323,7 +323,10 @@ object TextOps {
     *     harvest; NULL for payloads that are not actually JSON);
     *   - xml/feed mimes (`text/xml`, `application/xml`, `…+xml` — RSS
     *     and Atom ship as `application/rss+xml`/`application/atom+xml`)
-    *     → decode then [[xmlText]] (feed block law, CDATA handled);
+    *     → decode then [[xmlText]] (feed block law, CDATA handled) —
+    *     EXCEPT `application/xhtml+xml`, which is an ordinary WEB PAGE
+    *     serving mime, not a feed: it keeps the html route so its
+    *     head/nav/footer chrome is dropped like any other page's;
     *   - everything else → decode then block-structured HTML extraction
     *     ([[htmlToText]] — a tag-free text/plain payload passes through
     *     with only the per-line collapse).
@@ -339,8 +342,9 @@ object TextOps {
           mediaType.endsWith("+json"),
         jsonText(textFromBytesDeclared(content, mime)))
       .when(
-        mediaType.isin("text/xml", "application/xml") ||
-          mediaType.endsWith("+xml"),
+        (mediaType.isin("text/xml", "application/xml") ||
+          mediaType.endsWith("+xml")) &&
+          mediaType =!= "application/xhtml+xml",
         xmlText(textFromBytesDeclared(content, mime)))
       .otherwise(htmlToText(textFromBytesDeclared(content, mime)))
   }

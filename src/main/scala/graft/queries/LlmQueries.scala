@@ -2185,7 +2185,9 @@ object LlmQueries {
     // PDF (NULL), a text/plain passthrough whose line structure
     // survives, a JSON document (values harvested in order, keys and
     // numbers silent, \u-escapes decoded), an RSS feed (field-per-line
-    // + CDATA body), and a broken-JSON arm (NULL).
+    // + CDATA body; link/guid/pubDate/enclosure METADATA dropped — the
+    // oracle's expected text proves the URLs and timestamps never
+    // reach the corpus), and a broken-JSON arm (NULL).
     "q_src_media" -> ((s, dir) => {
       GraftExtensions.register(s)
       val n = col("doc_id").cast("string")
@@ -2208,7 +2210,10 @@ object LlmQueries {
           "UTF-8"))
         .when(arm === 7, encode(concat(
           lit("<?xml version=\"1.0\"?><rss><channel><title>feed "), n,
-          lit("</title><item><title>item one</title><description>" +
+          lit("</title><link>https://ex.com/feed</link>" +
+            "<item><title>item one</title><guid>https://ex.com/p?id="), n,
+          lit("</guid><pubDate>Mon, 01 Jan 2026</pubDate>" +
+            "<enclosure url=\"https://ex.com/a.mp3\"/><description>" +
             "<![CDATA[<p>cdata body "), n,
           lit("</p>]]></description></item></channel></rss>")), "UTF-8"))
         .when(arm === 8, encode(concat(

@@ -108,14 +108,18 @@ object CrawlIngestStream {
     val limiter = new RateLimitStream.CmsRateLimiter("domain", idCol, cfg.domainCap)
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val pinned = batch.localCheckpoint()
+      var framed: DataFrame = null
       var admitted: DataFrame = null
       var cleaned: DataFrame = null
       try {
         val nIn = pinned.count()
         // 1. extraction + URL hygiene (one per-row projection):
         // block-structured by default — the paragraph tiers below
-        // operate on html_to_text's line units
-        val framed = pinned.select(
+        // operate on html_to_text's line units. CHECKPOINTED: the
+        // extraction kernels (pdf object walk, json parse, html walk)
+        // run ONCE per batch — downstream counts and stages replay the
+        // materialized rows, not the kernels
+        framed = pinned.select(
           col(idCol) +: col(urlCol).as("url") +:
           (cfg.extract match {
             case Extract.Blocks => TextOps.htmlToText(col(htmlCol))
@@ -123,6 +127,7 @@ object CrawlIngestStream {
             case Extract.Plain => col(htmlCol)
           }).as("text") +:
           titleCol.map(t => col(t).as("title")).toSeq: _*)
+          .localCheckpoint()
         // 1b. extraction REFUSALS (null text — the honest tiers refuse
         // what they cannot decode soundly) leave here, but COUNTED:
         // the ledger shows the blind-spot mass per batch
@@ -196,6 +201,7 @@ object CrawlIngestStream {
       } finally {
         if (cleaned != null) DriftStream.release(cleaned)
         if (admitted != null) DriftStream.release(admitted)
+        if (framed != null) DriftStream.release(framed)
         DriftStream.release(pinned)
       }
     }

@@ -1496,6 +1496,9 @@ class LlmOpsSpec extends SparkSpec {
     assert(j("\"solo\"").contains("solo"))
     // valid but text-free -> '' (distinct from malformed -> NULL)
     assert(j("""{"n": 1, "m": [2, false, null]}""").contains(""))
+    // a UTF-8 BOM surviving byte decode is not content — valid JSON
+    // behind it must not count as refusal mass
+    assert(j("\uFEFF{\"a\": \"bom ok\"}").contains("bom ok"))
     // strict refusals: trailing garbage, unterminated, bad escape, bare
     // word, raw control char in a string, over-deep nesting
     assert(j("""{"a": "b"} extra""").isEmpty)
@@ -1517,11 +1520,18 @@ class LlmOpsSpec extends SparkSpec {
     def x(s: String): String =
       Seq(s).toDF("s").select(TextOps.xmlText($"s"))
         .collect()(0).getString(0)
-    // RSS shape: each field its own line; PI and comments vanish
+    // RSS shape: each field its own line; PI and comments vanish;
+    // METADATA elements (link/guid/pubDate/enclosure — URLs and
+    // timestamps, schema not prose) drop whole, including the
+    // self-closing enclosure form (no subtree to swallow)
     assert(x("<?xml version=\"1.0\"?><!-- gen --><rss><channel>" +
-      "<title>My Feed</title><item><title>post one</title>" +
-      "<pubDate>now</pubDate></item></channel></rss>") ==
-      "My Feed\npost one\nnow")
+      "<title>My Feed</title><link>https://ex.com/f</link>" +
+      "<item><title>post one</title>" +
+      "<guid>https://ex.com/p?id=1</guid>" +
+      "<pubDate>Mon, 01 Jan 2026</pubDate>" +
+      "<enclosure url=\"https://ex.com/a.mp3\" length=\"1\"/>" +
+      "<description>real prose</description></item></channel></rss>") ==
+      "My Feed\npost one\nreal prose")
     // CDATA: embedded HTML extracted by the html law (tags become
     // structure, not noise), framed as its own block
     assert(x("<item><description><![CDATA[<p>Hello <b>world</b></p>" +
@@ -1531,9 +1541,10 @@ class LlmOpsSpec extends SparkSpec {
     // double-decode; entities OUTSIDE CDATA decode once
     assert(x("<item><t>A &amp; B</t><d><![CDATA[keep &amp;lt; verbatim]]>" +
       "</d></item>") == "A & B\nkeep &lt; verbatim")
-    // Atom entries; head/nav are ordinary elements in feed mode
-    assert(x("<feed><entry><title>e1</title><summary>s1</summary></entry>" +
-      "</feed>") == "e1\ns1")
+    // Atom entries (their <id> is metadata and drops); head/nav are
+    // ordinary elements in feed mode
+    assert(x("<feed><entry><id>urn:uuid:abc</id><title>e1</title>" +
+      "<summary>s1</summary></entry></feed>") == "e1\ns1")
     assert(x("<doc><head>not chrome here</head><nav>kept</nav></doc>") ==
       "not chrome here\nkept")
     // unterminated CDATA captures to end (degrade to less structure,
@@ -1541,6 +1552,13 @@ class LlmOpsSpec extends SparkSpec {
     assert(x("<item><d><![CDATA[tail text") == "tail text")
     assert(Seq[Option[String]](None).toDF("s")
       .select(TextOps.xmlText($"s")).collect()(0).isNullAt(0))
+    // application/xhtml+xml is a WEB PAGE serving mime, not a feed:
+    // extractText keeps the html route so nav/head chrome still drops
+    val xhtml = ("<html><head><title>t</title></head><body>" +
+      "<nav>menu</nav><p>prose</p></body></html>").getBytes("UTF-8")
+    assert(Seq((xhtml, "application/xhtml+xml")).toDF("c", "m")
+      .select(TextOps.extractText($"c", $"m"))
+      .as[String].collect().head == "prose")
   }
 
   test("Corpus.mediaRefusalCard: a VP8-lossy WebP is COUNTED refused " +
@@ -2839,6 +2857,25 @@ class LlmOpsSpec extends SparkSpec {
     // and under the default cap the same document extracts BOTH streams
     val full = pdf(bombed).get
     assert(full.contains("survivor line") && full.contains("x"))
+    // INDIRECT font resource dict (/Font 9 0 R — a common generator
+    // layout) must resolve, and a 4-byte surrogate-coded CMap src
+    // (CJK Extension-B subsets) is SKIPPED per-entry, never a parse
+    // exception that refuses the whole document
+    val cmap = "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+      "1 beginbfchar\n<0041> <0058>\nendbfchar\n" +
+      "1 beginbfrange\n<D840DC00> <D840DC1F> <0041>\nendbfrange"
+    val indirect = ("%PDF-1.4\n" +
+      "3 0 obj << /Type /Page /Contents 4 0 R " +
+      "/Resources << /Font 9 0 R >> >> endobj\n" +
+      "9 0 obj << /F1 5 0 R >> endobj\n" +
+      "5 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H " +
+      "/DescendantFonts [6 0 R] /ToUnicode 7 0 R >> endobj\n" +
+      "6 0 obj << /Type /Font /Subtype /CIDFontType2 >> endobj\n" +
+      s"7 0 obj << /Length ${cmap.length} >>\nstream\n$cmap\nendstream endobj\n" +
+      "4 0 obj << /Length 26 >>\nstream\nBT /F1 12 Tf <0041> Tj ET\nendstream endobj\n" +
+      "trailer << /Size 10 >>\n%%EOF").getBytes("ISO-8859-1")
+    assert(pdf(indirect).contains("X"),
+      s"indirect /Font dict + skipped wide src: ${pdf(indirect)}")
   }
 
   test("TextOps.textFromBytesDeclared: honor-but-verify — a declaration " +
