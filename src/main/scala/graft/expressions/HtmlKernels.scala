@@ -209,6 +209,40 @@ object HtmlKernels {
   private val xmlMetaTags = Set(
     "link", "guid", "pubdate", "updated", "published", "id", "enclosure")
 
+  /** XML-mode PROSE CONTAINERS: feed elements whose content is MARKUP
+    * by convention — RSS `description` and Atom `content`/`summary`
+    * ship HTML either entity-ESCAPED (`&lt;p&gt;…`, the dominant real
+    * form) or inside CDATA. Their raw content gets ONE transport-layer
+    * entity decode (CDATA spans excluded — CDATA is already literal)
+    * and then the html-mode pass, so embedded tags become structure
+    * instead of literal `<p>` noise lines. The html pass's own entity
+    * decode then handles the CONTENT-layer entities — two decodes is
+    * exactly right for escaped html, one for CDATA, and a plain-text
+    * value passes through unchanged (no tags, '&' alone survives). */
+  private val xmlProseTags = Set("description", "content", "summary")
+
+  /** One feed prose container's raw inner text → extracted text: the
+    * transport decode + html pass described at [[xmlProseTags]]. */
+  private def feedProseContent(raw: String): String = {
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val cd = raw.indexOf("<![CDATA[", i)
+      if (cd < 0) {
+        sb.append(unescapeString(raw.substring(i)))
+        i = raw.length
+      } else {
+        sb.append(unescapeString(raw.substring(i, cd)))
+        val end = raw.indexOf("]]>", cd + 9)
+        val inner =
+          if (end < 0) raw.substring(cd + 9) else raw.substring(cd + 9, end)
+        sb.append(inner) // literal markup: the html pass decodes once
+        i = if (end < 0) raw.length else end + 3
+      }
+    }
+    toTextString(sb.toString, xml = false)
+  }
+
   private def isNameChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9')
@@ -313,7 +347,18 @@ object HtmlKernels {
           // form) has no subtree to skip; entering the skip would
           // swallow to end of input looking for a close that never comes
           val selfClosing = i >= 2 && s.charAt(i - 2) == '/'
-          if (!isClose && !selfClosing &&
+          if (xml && !isClose && !selfClosing && xmlProseTags.contains(name)) {
+            // feed prose container: capture raw content, transport-
+            // decode, html-mode extract — escaped and CDATA markup
+            // alike become structure ([[feedProseContent]]); the
+            // re-escape keeps the outer pass-2 from double-decoding
+            val close = findClose(s, i, name)
+            val raw = if (close < 0) s.substring(i) else s.substring(i, close)
+            sb.append('\n')
+            sb.append(feedProseContent(raw).replace("&", "&amp;"))
+            sb.append('\n')
+            i = if (close < 0) n else skipTag(s, close + 2 + name.length)
+          } else if (!isClose && !selfClosing &&
               (name == "script" || name == "style")) {
             // raw-text element: content is code, skip to the close tag
             val close = findClose(s, i, name)

@@ -2215,7 +2215,9 @@ object LlmQueries {
           lit("</guid><pubDate>Mon, 01 Jan 2026</pubDate>" +
             "<enclosure url=\"https://ex.com/a.mp3\"/><description>" +
             "<![CDATA[<p>cdata body "), n,
-          lit("</p>]]></description></item></channel></rss>")), "UTF-8"))
+          lit("</p>]]></description></item><item><title>second post" +
+            "</title><description>&lt;p&gt;escaped body "), n,
+          lit("&lt;/p&gt;</description></item></channel></rss>")), "UTF-8"))
         .when(arm === 8, encode(concat(
           lit("""{"broken": """), n), "UTF-8")) // unterminated object
         .otherwise(encode(concat(
@@ -4749,6 +4751,8 @@ object LlmQueries {
         |      || chr(10) || 'nested value'
         |    WHEN 7 THEN 'feed ' || CAST(doc_id AS VARCHAR) || chr(10)
         |      || 'item one' || chr(10) || 'cdata body ' || CAST(doc_id AS VARCHAR)
+        |      || chr(10) || 'second post' || chr(10)
+        |      || 'escaped body ' || CAST(doc_id AS VARCHAR)
         |    ELSE NULL END AS text_out
         |FROM documents ORDER BY doc_id""".stripMargin,
 

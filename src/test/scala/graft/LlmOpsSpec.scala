@@ -1536,6 +1536,19 @@ class LlmOpsSpec extends SparkSpec {
     // structure, not noise), framed as its own block
     assert(x("<item><description><![CDATA[<p>Hello <b>world</b></p>" +
       "<nav>chrome</nav>]]></description></item>") == "Hello world")
+    // the DOMINANT real form: entity-ESCAPED html inside description/
+    // content — one transport decode, then the html law (chrome drops,
+    // content-layer entities decode once; literal '<p>' never survives
+    // as a noise line)
+    assert(x("<item><description>&lt;p&gt;Hello &amp;amp; hi&lt;/p&gt;" +
+      "&lt;nav&gt;chrome&lt;/nav&gt;</description></item>") ==
+      "Hello & hi")
+    assert(x("<feed><entry><content type=\"html\">&lt;h1&gt;Title" +
+      "&lt;/h1&gt;&lt;p&gt;body text&lt;/p&gt;</content></entry></feed>") ==
+      "Title\nbody text")
+    // a PLAIN-TEXT description value passes through with one net decode
+    assert(x("<item><description>A &amp; B plain</description></item>") ==
+      "A & B plain")
     // CDATA is literal: '&amp;' inside CDATA is the FOUR characters
     // &,a,m,p,; (plus the entity decode of the html pass) and must not
     // double-decode; entities OUTSIDE CDATA decode once
